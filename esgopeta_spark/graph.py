@@ -1,0 +1,258 @@
+"""GunGraph — the reference's user-facing surface on Spark.
+
+Reference entry points (gun/doc.go:5-7): ``Scoped(...).FetchOne`` (point
+read), ``Scoped(...).Fetch`` (live subscription — see
+esgopeta_spark.streaming), ``Scoped(...).Put`` (write with lazy parent
+creation).  A path ``root -> f1 -> f2`` is a lazy chain of segments
+(gun/scoped.go:26-34); top-level fields are their own souls
+(gun/scoped_fetch.go:58-62).
+
+Design split:
+
+- **point ops** (``fetch_one``, ``soul_of``, ``put``): genuinely
+  single-key operations.  They resolve path prefixes with memoized
+  point lookups (the reference's soul cache, gun/scoped.go:44-81) —
+  collecting ONE row per hop is the correct plan for a point read, the
+  same way the reference does one map probe per hop.
+- **bulk ops** (``traverse``, ``nodes``, ``edges``): fully distributed,
+  expressed as iterated equi-joins on the quads relation — the
+  GraphX-style analytics subset.  No collect anywhere.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from esgopeta_spark.ham import empty_quads, ham_merge
+from esgopeta_spark.soul import SoulGen
+from esgopeta_spark.types import (
+    QUAD_SCHEMA,
+    UPDATE_SCHEMA,
+    VALUE_COLUMNS,
+    VALUE_RELATION,
+    decode_value,
+    encode_value,
+)
+
+
+class ErrNotObject(Exception):
+    """A path segment holds a non-relation value (gun/scoped.go:36-38)."""
+
+
+class ErrLookupOnTopLevel(Exception):
+    """Point lookup on a bare top-level field (gun/scoped_fetch.go:76-79)."""
+
+
+@dataclass
+class FetchResult:
+    """Mirrors gun/scoped_fetch.go:9-41: ``value_exists`` distinguishes a
+    stored null from an absent key (D1 null-vs-absent)."""
+
+    value: Any = None
+    value_exists: bool = False
+    field: str = ""
+    state: float | None = None
+
+
+@dataclass
+class PutResult:
+    graph: "GunGraph"
+    updates: list[dict] = dc_field(default_factory=list)  # the would-be wire message rows
+
+
+class GunGraph:
+    def __init__(self, spark: SparkSession, quads: DataFrame | None = None, soul_gen: SoulGen | None = None):
+        self.spark = spark
+        self.quads = quads if quads is not None else empty_quads(spark)
+        self.soul_gen = soul_gen or SoulGen()
+        self._soul_cache: dict[tuple[str, ...], str] = {}
+        self._put_count = 0
+
+    # ------------------------------------------------------------------
+    # construction
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def from_updates(cls, spark: SparkSession, updates: DataFrame, **kw) -> "GunGraph":
+        """Replay an update log (UPDATE_SCHEMA) into a snapshot graph."""
+        return cls(spark, ham_merge(updates), **kw)
+
+    @classmethod
+    def from_rows(cls, spark: SparkSession, rows: Iterable[dict], **kw) -> "GunGraph":
+        df = spark.createDataFrame(list(rows), QUAD_SCHEMA)
+        return cls(spark, ham_merge(df), **kw)
+
+    # ------------------------------------------------------------------
+    # point reads (reference A1-A5)
+    # ------------------------------------------------------------------
+
+    def _lookup(self, soul: str, field: str):
+        rows = (
+            self.quads.filter((F.col("soul") == soul) & (F.col("field") == field))
+            .limit(1)
+            .collect()
+        )
+        return rows[0] if rows else None
+
+    def soul_of(self, *path: str) -> str | None:
+        """Resolve a path prefix to a node soul, memoized (gun/scoped.go:44-81).
+
+        Top-level roots are their own souls (gun/scoped_fetch.go:58-62).
+        Raises ErrNotObject if an intermediate value is not a relation.
+        Returns None if an intermediate key is absent.
+        """
+        if not path:
+            raise ValueError("empty path")
+        key = tuple(path)
+        if key in self._soul_cache:
+            return self._soul_cache[key]
+        if len(path) == 1:
+            self._soul_cache[key] = path[0]
+            return path[0]
+        parent = self.soul_of(*path[:-1])
+        if parent is None:
+            return None
+        row = self._lookup(parent, path[-1])
+        if row is None:
+            return None
+        if row["value_type"] != VALUE_RELATION:
+            raise ErrNotObject(f"path {'/'.join(path)} hits non-relation value")
+        soul = row["value_relation"]
+        self._soul_cache[key] = soul
+        return soul
+
+    def fetch_one(self, *path: str) -> FetchResult:
+        """Point read (gun/scoped_fetch.go:43-74).
+
+        A bare top-level fetch returns a self-relation without any lookup,
+        exactly like the reference.
+        """
+        if not path:
+            raise ValueError("empty path")
+        field = path[-1]
+        if len(path) == 1:
+            return FetchResult(value={"#": field}, value_exists=True, field=field)
+        parent = self.soul_of(*path[:-1])
+        if parent is None:
+            return FetchResult(field=field)
+        row = self._lookup(parent, field)
+        if row is None:
+            return FetchResult(field=field)
+        return FetchResult(
+            value=decode_value(row), value_exists=True, field=field, state=row["state"]
+        )
+
+    # ------------------------------------------------------------------
+    # writes (reference B1-B5)
+    # ------------------------------------------------------------------
+
+    def put(
+        self,
+        path: Sequence[str],
+        value: Any,
+        state: float | None = None,
+        fail_without_parent: bool = False,
+        msg_id: str | None = None,
+    ) -> PutResult:
+        """Write with lazy parent creation (gun/scoped_put.go:50-145).
+
+        - a top-level put is an error (gun/scoped_put.go:79-82)
+        - every missing path prefix gets a fresh soul and a relation quad;
+          all quads of one put share ONE state (gun/scoped_put.go:102)
+        - ``fail_without_parent`` mirrors PutOptionFailWithoutParent
+        - returns the new (immutable) graph plus the update rows that
+          would form the outgoing wire message
+        """
+        path = list(path)
+        if len(path) < 2:
+            raise ValueError("cannot put on top level (gun/scoped_put.go:79-82)")
+        if state is None:
+            import time as _t
+
+            state = float(int(_t.time() * 1000))
+        new_quads: list[dict] = []
+        parent = path[0]  # top-level root: soul == field name
+        self._soul_cache[(path[0],)] = parent
+        for i in range(1, len(path) - 1):
+            prefix = tuple(path[: i + 1])
+            soul = None
+            try:
+                soul = self.soul_of(*prefix)
+            except ErrNotObject:
+                raise
+            if soul is None:
+                if fail_without_parent:
+                    raise ErrNotObject(f"parent {'/'.join(prefix)} missing")
+                soul = self.soul_gen()
+                new_quads.append(
+                    {"soul": parent, "field": path[i], **encode_value({"#": soul}), "state": state}
+                )
+                self._soul_cache[prefix] = soul
+            parent = soul
+        new_quads.append({"soul": parent, "field": path[-1], **encode_value(value), "state": state})
+
+        updates_df = self.spark.createDataFrame(new_quads, QUAD_SCHEMA)
+        merged = ham_merge(self.quads.unionByName(updates_df))
+        g = GunGraph(self.spark, merged, soul_gen=self.soul_gen)
+        g._soul_cache = dict(self._soul_cache)
+        g._put_count = self._put_count + 1
+        # long put chains build deep lineage; compact periodically
+        if g._put_count % 16 == 0:
+            g.quads = g.quads.localCheckpoint(eager=False)
+        return PutResult(graph=g, updates=new_quads)
+
+    # ------------------------------------------------------------------
+    # bulk / analytics (distributed; the GraphX-style subset)
+    # ------------------------------------------------------------------
+
+    def edges(self) -> DataFrame:
+        """GraphX-style edge list: (src, attr, dst) = relation quads."""
+        return self.quads.filter(F.col("value_type") == VALUE_RELATION).select(
+            F.col("soul").alias("src"),
+            F.col("field").alias("attr"),
+            F.col("value_relation").alias("dst"),
+        )
+
+    def traverse(self, roots: DataFrame, *fields: str) -> DataFrame:
+        """Bulk multi-hop traversal: for every row in ``roots`` (column
+        ``soul``), follow ``fields`` hop by hop via equi-joins on the edge
+        slice.  Returns roots' columns plus ``soul`` rebound to the target.
+
+        Each hop is one equi-join on the relation slice; Catalyst picks
+        broadcast when the edge slice is small, sort-merge otherwise.  At
+        100 TB, quads bucketed by soul make these co-located joins.
+        """
+        cur = roots
+        edges = self.edges()
+        for f_name in fields:
+            hop = edges.filter(F.col("attr") == f_name).select(
+                F.col("src"), F.col("dst").alias("_next")
+            )
+            cur = (
+                cur.join(hop, cur["soul"] == hop["src"], "inner")
+                .drop("soul", "src")
+                .withColumnRenamed("_next", "soul")
+            )
+        return cur
+
+    def values_at(self, roots: DataFrame, field_name: str) -> DataFrame:
+        """Terminal hop: read the (scalar) value of ``field_name`` for every
+        root soul.  Returns roots' columns + the tagged value columns."""
+        vals = self.quads.filter(F.col("field") == field_name).select(
+            F.col("soul").alias("_vsoul"), *VALUE_COLUMNS, F.col("state")
+        )
+        return roots.join(vals, roots["soul"] == vals["_vsoul"], "left").drop("_vsoul")
+
+    def node(self, soul: str) -> dict[str, Any]:
+        """Record view of one node (driver-side; point read)."""
+        rows = self.quads.filter(F.col("soul") == soul).collect()
+        return {r["field"]: decode_value(r) for r in rows}
+
+    def compact(self) -> "GunGraph":
+        g = GunGraph(self.spark, self.quads.localCheckpoint(eager=True), soul_gen=self.soul_gen)
+        g._soul_cache = dict(self._soul_cache)
+        return g

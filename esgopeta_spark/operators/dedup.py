@@ -1,0 +1,221 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2 G1/G2).
+
+Four tiers, cheapest first:
+
+1. **exact** — hash-groupBy on a normalized key.  One shuffle; at 100 TB
+   pre-partition by the hash so the groupBy is co-located.
+2. **MinHash + LSH** — shingle -> minhash signature -> band buckets ->
+   self-join within buckets only.  The candidate join is an equi-join on
+   (band, bucket-hash): no O(n²) cross join ever materializes; skew in a
+   hot bucket is handled by AQE skew-join splitting.
+3. **SimHash** — 64-bit fingerprint; near-dups = small Hamming distance.
+   Banded into 4×16-bit chunks for the same equi-join candidate trick.
+4. **n-gram Jaccard verify** — exact verification on LSH candidates.
+
+Everything below is built-in expressions (xxhash64, transform, explode,
+aggregate) — no Python in the candidate-generation hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text form for dedup: lowercase, collapse whitespace."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per distinct normalized text.
+
+    ``min_by`` aggregate = map-side partial + single shuffle on the text
+    hash; at scale group on xxhash64(text) (8 bytes) instead of the full
+    text to shrink shuffle width.
+    """
+    h = F.xxhash64(normalize_text(F.col(text_col))).alias("_th")
+    return (
+        df.withColumn("_th", h)
+        .groupBy("_th")
+        .agg(F.min(F.col(id_col)).alias("_keep"))
+        .select(F.col("_keep").alias(id_col))
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups with >1 member: (hash, n_dups, keeper_id)."""
+    return (
+        df.groupBy(normalize_text(F.col(text_col)).alias("norm_text"))
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keeper_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles / n-grams
+# ---------------------------------------------------------------------------
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set as array<string> (distinct)."""
+    words = F.split(normalize_text(col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: per seed k, min(xxhash64(shingle, k)).
+
+    Pure expressions — transform+array_min over the shingle array runs in
+    whole-stage codegen, no UDF, no shuffle.
+    """
+    return F.array(
+        *[F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(k)))) for k in range(num_hashes)]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    rows=num_hashes/bands per band; two docs collide if any band's rows
+    all match.  Join is equi on (band, hash-of-band): linear in collisions,
+    never quadratic in corpus size.  Returns (id_a, id_b) with a < b.
+    """
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias("_sig"),
+    )
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(F.concat_ws(",", *[F.element_at("_sig", b * rows + r + 1).cast("string") for r in range(rows)])).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bh")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Exact Jaccard verification of candidate pairs.
+
+    Joins the (small) candidate set back to the corpus twice; at scale the
+    candidate set after LSH is ~linear so these are cheap shuffles.
+    """
+    sh = docs.select(F.col(id_col).alias("_jid"), shingles(F.col(text_col), n).alias("_sh"))
+    out = (
+        df_pairs.join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
+        .withColumn("_inter", F.size(F.array_intersect("_sh_a", "_sh_b")))
+        .withColumn("_union", F.size(F.array_union("_sh_a", "_sh_b")))
+        .withColumn("jaccard", F.when(F.col("_union") > 0, F.col("_inter") / F.col("_union")).otherwise(F.lit(1.0)))
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs: LSH candidates verified by exact Jaccard >= threshold."""
+    cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
+    return ngram_jaccard(cand, df, text_col, id_col, shingle_n).filter(F.col("jaccard") >= threshold)
+
+
+def brute_force_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", threshold: float = 0.7, shingle_n: int = 3) -> DataFrame:
+    """O(n²) oracle for tests at tiny SF — NOT for scale."""
+    sh = df.select(F.col(id_col).alias("_jid"), shingles(F.col(text_col), shingle_n).alias("_sh"))
+    a = sh.select(F.col("_jid").alias("id_a"), F.col("_sh").alias("_sh_a"))
+    b = sh.select(F.col("_jid").alias("id_b"), F.col("_sh").alias("_sh_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("_inter", F.size(F.array_intersect("_sh_a", "_sh_b")))
+        .withColumn("_union", F.size(F.array_union("_sh_a", "_sh_b")))
+        .withColumn("jaccard", F.when(F.col("_union") > 0, F.col("_inter") / F.col("_union")).otherwise(F.lit(1.0)))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(col: Column, shingle_n: int = 2) -> Column:
+    """64-bit SimHash over word shingles, pure expressions.
+
+    For each of 64 bit positions, sum +1/-1 votes from each shingle's
+    xxhash64 bit; the fingerprint bit is the vote sign.  Expression-only
+    (transform/aggregate/shiftright) so it codegens; ~64 aggregates per
+    row is fine for fingerprinting batch jobs.
+    """
+    sh = shingles(col, shingle_n)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    bits = []
+    for i in range(64):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        bits.append(F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(2**i).cast("long"))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit fingerprint into 4
+    16-bit chunks (pigeonhole: hamming<=3 ⇒ at least one chunk equal),
+    equi-join on chunks, verify exact Hamming distance."""
+    fp = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_fp"))
+    chunks = fp.select(
+        "_id",
+        "_fp",
+        F.explode(
+            F.array(*[F.struct(F.lit(c).alias("c"), F.shiftright("_fp", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("v")) for c in range(4)])
+        ).alias("ch"),
+    ).select("_id", "_fp", "ch.c", "ch.v")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.v") == F.col("b.v")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), hamming64(F.col("a._fp"), F.col("b._fp")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,70 @@
+"""SparkSession construction with scale-minded defaults.
+
+Test/bench hardware is local[32]; the configs below are chosen so the
+same code runs unchanged on a multi-executor cluster: AQE on (runtime
+re-planning, skew-join splitting, partition coalescing), broadcast
+threshold sized for dimension tables, Arrow enabled for the Pandas-UDF
+slow path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "esgopeta-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # the driver's testdata parquet stores TIMESTAMP(NANOS); Spark has no
+        # nanos timestamp, so read them as long and convert in read_table
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# testdata columns physically stored as TIMESTAMP(NANOS); surfaced as proper
+# timestamps by read_table (micros truncation — exact for this data)
+_NANOS_TS_COLUMNS = {
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+    "events": ["ts"],
+}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Parquet scan; keep it bare so Catalyst pushes filters/pruning into it.
+
+    Nanos-timestamp columns arrive as long (see nanosAsLong conf) and are
+    converted to TIMESTAMP here; the cast is a cheap projected expression
+    that doesn't block predicate pushdown on other columns.
+    """
+    from pyspark.sql import functions as F
+
+    try:  # the driver may hand us a session built without this conf
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for c in _NANOS_TS_COLUMNS.get(name, []):
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df

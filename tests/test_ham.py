@@ -1,0 +1,195 @@
+"""HAM conflict-resolution tests.
+
+The reference DECLARES these cases but never wrote them
+(gun/tests/gun_test.go:127-134 TODO list); we implement the full matrix:
+unit outcomes (gun/state.go:25-48), the distributed merge's equivalence
+to a sequential pure-Python replay, and the golden replay scenarios from
+FIXTURES.md §1.2.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from esgopeta_spark import ham
+from esgopeta_spark.ham import (
+    NEWER_UPDATE,
+    OLDER_HISTORICAL,
+    SAME_KEEP,
+    SAME_UPDATE,
+    TOO_FUTURE_DEFERRED,
+    NEVER_SEEN_UPDATE,
+    conflict_resolve,
+    ham_apply_updates,
+    ham_merge,
+    empty_quads,
+)
+from esgopeta_spark.types import QUAD_SCHEMA, encode_value, decode_value
+
+
+def q(soul, field, value, state):
+    return {"soul": soul, "field": field, **encode_value(value), "state": float(state)}
+
+
+# ---------------------------------------------------------------------------
+# unit matrix (gun/state.go:60-79)
+# ---------------------------------------------------------------------------
+
+MATRIX = [
+    # existing_val, existing_state, new_val, new_state, sys_state, expected
+    ("a", None, "b", 5.0, 10.0, NEVER_SEEN_UPDATE),
+    ("a", 5.0, "b", 11.0, 10.0, TOO_FUTURE_DEFERRED),
+    ("a", 5.0, "b", 3.0, 10.0, OLDER_HISTORICAL),
+    ("a", 5.0, "b", 7.0, 10.0, NEWER_UPDATE),
+    ("a", 5.0, "a", 5.0, 10.0, SAME_KEEP),  # equal value
+    ("a", 5.0, "b", 5.0, 10.0, SAME_UPDATE),  # "b" > "a" lexically
+    ("b", 5.0, "a", 5.0, 10.0, SAME_KEEP),
+    # cross-type on equal state: JSON bytes — '"s"'(0x22) vs 'true'(0x74) vs
+    # '123'(0x31) vs 'null'(0x6e) vs '{"#":..}'(0x7b)
+    ("a", 5.0, True, 5.0, 10.0, SAME_UPDATE),  # 't' > '"'
+    (True, 5.0, "a", 5.0, 10.0, SAME_KEEP),
+    (123, 5.0, None, 5.0, 10.0, SAME_UPDATE),  # 'n' > '1'
+    (None, 5.0, {"#": "x"}, 5.0, 10.0, SAME_UPDATE),  # '{' > 'n'
+    ({"#": "x"}, 5.0, "zzz", 5.0, 10.0, SAME_KEEP),  # '{' > '"'
+    (2, 5.0, 10, 5.0, 10.0, SAME_KEEP),  # lexical, not numeric: '2' > '1'
+]
+
+
+@pytest.mark.parametrize("ev,es,nv,ns,ss,expected", MATRIX)
+def test_conflict_resolve_matrix(ev, es, nv, ns, ss, expected):
+    assert conflict_resolve(ev, es, nv, ns, ss) == expected
+
+
+def test_immediate_update_set():
+    # gun/state.go:50-54
+    assert ham.IMMEDIATE_UPDATE == {NEVER_SEEN_UPDATE, NEWER_UPDATE, SAME_UPDATE}
+
+
+# ---------------------------------------------------------------------------
+# sequential oracle: apply updates one at a time with conflict_resolve
+# ---------------------------------------------------------------------------
+
+
+def sequential_replay(rows, sys_state=float("inf")):
+    """Arrival-order replay through the pure-Python decision table, with
+    the reference's deferral retry loop (gun/storage.go:107-117)."""
+    store: dict[tuple[str, str], tuple[object, float]] = {}
+    pending = list(rows)
+    while pending:
+        deferred = []
+        for r in pending:
+            key = (r["soul"], r["field"])
+            val = decode_value(r)
+            if key not in store:
+                if sys_state < r["state"]:
+                    deferred.append(r)
+                    continue
+                store[key] = (val, r["state"])
+                continue
+            ev, es = store[key]
+            res = conflict_resolve(ev, es, val, r["state"], sys_state)
+            if res == TOO_FUTURE_DEFERRED:
+                deferred.append(r)
+            elif res in ham.IMMEDIATE_UPDATE:
+                store[key] = (val, r["state"])
+        if len(deferred) == len(pending):
+            break  # only futures left
+        pending = deferred
+    return store
+
+
+def spark_result(spark, rows, as_of=None):
+    df = spark.createDataFrame([dict(r) for r in rows], QUAD_SCHEMA)
+    merged = ham_apply_updates(empty_quads(spark), df, as_of_ms=as_of).quads
+    out = {}
+    for r in merged.collect():
+        out[(r["soul"], r["field"])] = (decode_value(r), r["state"])
+    return out
+
+
+def test_merge_matches_sequential_oracle_random(spark):
+    rng = random.Random(42)
+    values = ["a", "b", "zz", 1, 2, 10, 2.5, True, False, None, {"#": "n1"}, {"#": "n2"}]
+    rows = [
+        q(f"s{rng.randint(0, 3)}", f"f{rng.randint(0, 2)}", rng.choice(values), rng.randint(1, 6))
+        for _ in range(300)
+    ]
+    expected = sequential_replay(rows)
+    got = spark_result(spark, rows)
+    assert got == expected
+
+
+def test_merge_order_independence(spark):
+    rows = [
+        q("s", "f", "a", 5),
+        q("s", "f", "b", 5),
+        q("s", "f", "older", 3),
+        q("s", "f", True, 5),
+    ]
+    base = spark_result(spark, rows)
+    for perm in itertools.permutations(rows):
+        assert sequential_replay(list(perm)) == base
+
+
+# ---------------------------------------------------------------------------
+# golden replay scenarios (FIXTURES.md §1.2)
+# ---------------------------------------------------------------------------
+
+
+def test_newer_wins(spark):
+    got = spark_result(spark, [q("s", "f", "old", 1), q("s", "f", "new", 2)])
+    assert got == {("s", "f"): ("new", 2.0)}
+
+
+def test_older_discarded(spark):
+    got = spark_result(spark, [q("s", "f", "current", 5), q("s", "f", "stale", 1)])
+    assert got == {("s", "f"): ("current", 5.0)}
+
+
+def test_same_state_lexical(spark):
+    got = spark_result(spark, [q("s", "f", "apple", 5), q("s", "f", "banana", 5)])
+    assert got == {("s", "f"): ("banana", 5.0)}
+    # bool-vs-string: 'true' > '"zebra"' byte-wise
+    got = spark_result(spark, [q("s", "g", "zebra", 5), q("s", "g", True, 5)])
+    assert got == {("s", "g"): (True, 5.0)}
+
+
+def test_future_deferred_then_applied(spark):
+    rows = [q("s", "f", "now", 100), q("s", "f", "future", 1000)]
+    res = ham_apply_updates(
+        empty_quads(spark), spark.createDataFrame(rows, QUAD_SCHEMA), as_of_ms=500
+    )
+    snap = {(r["soul"], r["field"]): decode_value(r) for r in res.quads.collect()}
+    assert snap == {("s", "f"): "now"}
+    deferred = res.deferred.collect()
+    assert len(deferred) == 1 and decode_value(deferred[0]) == "future"
+    # clock advances past the deferred state -> applied
+    res2 = ham_apply_updates(res.quads, res.deferred, as_of_ms=2000)
+    snap2 = {(r["soul"], r["field"]): decode_value(r) for r in res2.quads.collect()}
+    assert snap2 == {("s", "f"): "future"}
+
+
+def test_duplicate_suppressed(spark):
+    rows = [q("s", "f", "v", 5)] * 4
+    merged = ham_merge(spark.createDataFrame(rows, QUAD_SCHEMA))
+    assert merged.count() == 1
+
+
+def test_null_vs_absent(spark):
+    got = spark_result(spark, [q("s", "f", None, 5)])
+    assert got == {("s", "f"): (None, 5.0)}  # stored null IS present
+    assert ("s", "g") not in got  # never-stored key is absent
+
+
+def test_value_json_spark_matches_python(spark):
+    values = ["plain", 'quo"te', "unié", 1, -2.5, 1e20, True, False, None, {"#": "abc"}]
+    rows = [q("s", f"f{i}", v, 1) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, QUAD_SCHEMA).withColumn("vj", ham.value_json_col())
+    got = {r["field"]: r["vj"] for r in df.collect()}
+    for i, v in enumerate(values):
+        assert got[f"f{i}"] == ham.value_json_py(rows[i]), v
