@@ -1,0 +1,76 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line:
+  {"metric": "headline_queries_total", "value": <sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>}
+
+Results are materialized through the noop sink (full execution, no
+driver-side collection cost) after a JVM warmup pass.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from esgopeta_spark.plans import REGISTRY
+from esgopeta_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "win_topk_orders_per_customer",
+    "agg_rollup_region_nation",
+    "graph_ham_merge_events",
+    "graph_traverse_customer_region",
+    "stream_tumbling_counts",
+    "stream_session_windows",
+    "dedup_exact_docs",
+    "dedup_minhash_pairs",
+    "text_profile_docs",
+    "sim_topk_cosine",
+    "sim_topk_cosine_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("esgopeta-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup on the smallest table
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

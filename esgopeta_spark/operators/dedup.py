@@ -68,13 +68,23 @@ def shingles(col: Column, n: int = 3) -> Column:
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature: per seed k, min(xxhash64(shingle, k)).
+    """MinHash signature as ONE pass over the shingles.
 
-    Pure expressions — transform+array_min over the shingle array runs in
-    whole-stage codegen, no UDF, no shuffle.
+    Naive formulation (k separate ``array_min(transform(...))`` columns)
+    re-evaluates the whole shingle expression k times — measured 400s+ on
+    50k docs.  Instead: hash every shingle once, then a single
+    ``aggregate`` folds the base hashes into a k-wide running-min vector,
+    deriving the k-th hash family as ``xxhash64(base_hash, k)`` (cheap
+    long-long hash, no string re-hash, no overflow under ANSI mode).
+    Cost: O(|shingles| * k) long hashes, shingles evaluated exactly once.
     """
-    return F.array(
-        *[F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(k)))) for k in range(num_hashes)]
+    base = F.transform(shingle_col, lambda s: F.xxhash64(s))
+    idx = F.sequence(F.lit(1), F.lit(num_hashes))
+    init = F.transform(idx, lambda i: F.lit(2**63 - 1).cast("long"))
+    return F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.zip_with(acc, idx, lambda cur, i: F.least(cur, F.xxhash64(h, i))),
     )
 
 
@@ -182,18 +192,30 @@ def simhash64(col: Column, shingle_n: int = 2) -> Column:
     """
     sh = shingles(col, shingle_n)
     hashes = F.transform(sh, lambda s: F.xxhash64(s))
-    bits = []
-    for i in range(64):
-        vote = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
-        )
-        bits.append(F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(2**i).cast("long"))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+    # ONE aggregate producing a 64-wide vote vector (a per-bit sum of ±1),
+    # then fold votes into the fingerprint.  Keeping this a single
+    # expression instead of 64 separate aggregates matters: plan size and
+    # codegen compile time stay O(1) in the bit width.
+    # Bit masks as long literals; bit 63 is the sign-bit mask (-2^63 —
+    # +2^63 would overflow a signed long).
+    masks = [1 << i for i in range(63)] + [-(2**63)]
+    mask_arr = F.array(*[F.lit(m).cast("long") for m in masks])
+    zeros = F.array(*[F.lit(0) for _ in range(64)])
+    votes = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            mask_arr,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    bits = F.zip_with(
+        votes,
+        mask_arr,
+        lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, b: acc.bitwiseOR(b))
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -1,0 +1,120 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2 G4).
+
+All pure column expressions (whole-stage codegen; no UDFs): language-ID
+via stopword-hit heuristic, quality scoring, token counting (whitespace
+and BPE-ish regex), document fingerprinting.  Each has an equivalent
+ANSI-SQL formulation used as the DuckDB oracle in plans/catalog.py, so
+semantics are chosen to be expressible in both dialects (e.g. md5 for
+fingerprints — xxhash64 exists only on the Spark side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from esgopeta_spark.operators.dedup import normalize_text
+
+# tiny per-language stopword lists — enough signal for an n-gram/stopword
+# heuristic; deliberately small so the oracle SQL stays readable
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "sich"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"],
+    "es": ["el", "la", "los", "de", "que", "es", "en", "un", "por", "con"],
+}
+
+#: BPE-ish word/number/punctuation splitter — kept to syntax valid in both
+#: Java regex (Spark) and RE2 (DuckDB)
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def words(col: Column) -> Column:
+    """Whitespace tokens of normalized text (empty text -> empty array)."""
+    n = normalize_text(col)
+    return F.when(F.length(n) == 0, F.array().cast("array<string>")).otherwise(F.split(n, " "))
+
+
+def token_count(col: Column) -> Column:
+    return F.size(words(col))
+
+
+def regex_token_count(col: Column) -> Column:
+    """BPE-ish token count: letter runs, digit runs, punctuation singles."""
+    return F.size(F.regexp_extract_all(normalize_text(col), F.lit(TOKEN_REGEX), F.lit(0)))
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    """Number of distinct stopwords of ``lang`` present in the text."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(F.array_distinct(words(col)), sw))
+
+
+def lang_guess(col: Column) -> Column:
+    """Stopword-hit language ID with a fixed tie order (en>de>fr>es>und)."""
+    hits = {l: stopword_hits(col, l) for l in STOPWORDS}
+    best = F.greatest(*hits.values())
+    out = F.when(best <= 0, F.lit("und"))
+    for l in ["en", "de", "fr", "es"]:  # tie order
+        out = out.when(hits[l] == best, F.lit(l))
+    return out.otherwise(F.lit("und"))
+
+
+def punct_ratio(col: Column) -> Column:
+    n = normalize_text(col)
+    return F.when(F.length(n) > 0, F.length(F.regexp_replace(n, "[^.,;:!?]", "")) / F.length(n)).otherwise(F.lit(0.0))
+
+
+def alpha_ratio(col: Column) -> Column:
+    n = normalize_text(col)
+    return F.when(F.length(n) > 0, F.length(F.regexp_replace(n, "[^a-z]", "")) / F.length(n)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column) -> Column:
+    """English stopword tokens / total tokens (the classic quality signal)."""
+    w = words(col)
+    sw = F.array(*[F.lit(x) for x in STOPWORDS["en"]])
+    hits = F.size(F.filter(w, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(w) > 0, hits / F.size(w)).otherwise(F.lit(0.0))
+
+
+def mean_word_len(col: Column) -> Column:
+    w = words(col)
+    total = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.when(F.size(w) > 0, total / F.size(w)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic [0,1] quality score: favors mid-length docs with sane
+    word lengths, some stopwords, not punctuation-heavy.  Deterministic,
+    oracle-reproducible (round at the end)."""
+    n_tok = token_count(col).cast("double")
+    len_score = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    wl = mean_word_len(col)
+    wl_score = F.when((wl >= 3.0) & (wl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    sw_score = F.least(stopword_ratio(col) * 4.0, F.lit(1.0))
+    punct_pen = F.when(punct_ratio(col) > 0.1, F.lit(0.5)).otherwise(F.lit(1.0))
+    return F.round((len_score * 0.3 + wl_score * 0.2 + sw_score * 0.3 + 0.2) * punct_pen, 6)
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 hex of normalized text
+    (md5 exists in both Spark and DuckDB; used for cross-engine checks).
+    Spark-side pipelines preferring speed can use xxhash64 instead."""
+    return F.md5(normalize_text(col))
+
+
+def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-stop text-analysis projection used by the catalog queries."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(c).alias("n_tokens"),
+        regex_token_count(c).alias("n_regex_tokens"),
+        F.round(mean_word_len(c), 6).alias("mean_word_len"),
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(alpha_ratio(c), 6).alias("alpha_ratio"),
+        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
+        lang_guess(c).alias("lang_guess"),
+        fingerprint(c).alias("fingerprint"),
+    )

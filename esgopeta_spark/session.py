@@ -66,5 +66,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     df = spark.read.parquet(table_path(sf_dir, name))
     for c in _NANOS_TS_COLUMNS.get(name, []):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
-            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+            # integer `div`, not `/`: double division rounds ns near the
+            # microsecond boundary, silently shifting timestamps by 1us
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df

@@ -1,0 +1,75 @@
+"""Sources & sinks (SURVEY.md §2 E1 + the quads persistence contract).
+
+The reference keeps everything in one in-memory map (gun/storage.go).
+Our durable layout is parquet with an explicit 100 TB posture:
+
+- ``write_quads`` buckets rows by ``hash(soul) % n_buckets`` into a
+  partition column, so (a) path-traversal joins on soul co-locate by
+  partition, (b) point reads prune to one bucket directory, (c) the
+  HAM-merge shuffle can be avoided entirely when both sides share the
+  bucketing.  (Hive-style bucketed tables would use the metastore; a
+  plain-directory layout keeps the same join locality via partition
+  pruning without one.)
+- ``read_quads`` prunes by bucket when a soul is given.
+- ``read_any`` is the generic format front-door (parquet/json/csv).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from esgopeta_spark.types import QUAD_SCHEMA
+
+DEFAULT_BUCKETS = 64
+
+
+def _bucket_expr(n_buckets: int):
+    return F.pmod(F.xxhash64("soul"), F.lit(n_buckets)).alias("soul_bucket")
+
+
+def write_quads(quads: DataFrame, path: str, n_buckets: int = DEFAULT_BUCKETS, mode: str = "overwrite") -> None:
+    (
+        quads.withColumn("soul_bucket", _bucket_expr(n_buckets))
+        .repartition("soul_bucket")
+        .write.mode(mode)
+        .partitionBy("soul_bucket")
+        .parquet(path)
+    )
+    # the bucket count is part of the layout; persist it so readers can't
+    # silently prune with the wrong modulus
+    import json
+
+    with open(os.path.join(path, "_quads_meta.json"), "w") as f:
+        json.dump({"n_buckets": n_buckets}, f)
+
+
+def read_quads(spark: SparkSession, path: str, soul: str | None = None) -> DataFrame:
+    import json
+
+    df = spark.read.parquet(path)
+    if soul is not None:
+        meta = os.path.join(path, "_quads_meta.json")
+        with open(meta) as f:
+            n_buckets = json.load(f)["n_buckets"]
+        # partition pruning: only the soul's bucket directory is scanned
+        df = df.filter(F.col("soul_bucket") == F.pmod(F.xxhash64(F.lit(soul)), F.lit(n_buckets)))
+        df = df.filter(F.col("soul") == soul)
+    return df.select([f.name for f in QUAD_SCHEMA.fields])
+
+
+def read_any(spark: SparkSession, path: str, fmt: str | None = None, schema=None, **options) -> DataFrame:
+    """Generic scan front-door; format inferred from the extension when
+    not given.  Keep scans bare so pushdown reaches the files."""
+    if fmt is None:
+        ext = os.path.splitext(path)[1].lstrip(".").lower()
+        fmt = {"pq": "parquet"}.get(ext, ext or "parquet")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+        options.setdefault("inferSchema", schema is None)
+    return reader.options(**options).format(fmt).load(path)

@@ -1,0 +1,138 @@
+"""Group G + custom-operator tests: dedup (LSH vs brute force), similarity
+(LSH recall vs exact), text analysis, multimodal plumbing, as-of/range
+joins, approx aggregates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from esgopeta_spark.session import read_table
+
+
+def docs_with_near_dups(spark, sf_dir):
+    """Real documents plus planted near-duplicates (testdata has no true
+    near-dups at tiny SF, so we inject controlled ones)."""
+    d = read_table(spark, sf_dir, "documents").limit(40)
+    originals = d.select("doc_id", "text")
+    # a near-dup: copy with the first word changed
+    mutated = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("xx "), F.substring_index("text", " ", -200)).alias("text"),
+    ).limit(10)
+    exact_copy = d.select((F.col("doc_id") + 200000).alias("doc_id"), "text").limit(5)
+    return originals.unionByName(mutated).unionByName(exact_copy)
+
+
+def test_minhash_lsh_vs_bruteforce(spark, sf_dir):
+    from esgopeta_spark.operators.dedup import brute_force_jaccard_pairs, minhash_dedup_pairs
+
+    docs = docs_with_near_dups(spark, sf_dir)
+    truth = {
+        (r["id_a"], r["id_b"]) for r in brute_force_jaccard_pairs(docs, threshold=0.7).collect()
+    }
+    assert truth, "planted dups must create true pairs"
+    got = {(r["id_a"], r["id_b"]) for r in minhash_dedup_pairs(docs, threshold=0.7).collect()}
+    # verification step makes precision exact; LSH recall should be high
+    assert got.issubset(truth)
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"LSH recall {recall}"
+
+
+def test_exact_dedup_keeps_lowest_id(spark, sf_dir):
+    from esgopeta_spark.operators.dedup import exact_dedup, exact_dup_groups
+
+    docs = docs_with_near_dups(spark, sf_dir)
+    kept = {r["doc_id"] for r in exact_dedup(docs).collect()}
+    groups = exact_dup_groups(docs).collect()
+    assert all(g["n_dups"] == 2 for g in groups)  # the 5 planted exact copies
+    assert len(groups) == 5
+    assert all(g["keeper_id"] < 100000 for g in groups)
+    # every copy's keeper is the original id
+    assert not any(k >= 200000 for k in kept)
+
+
+def test_simhash_finds_planted_dups(spark, sf_dir):
+    from esgopeta_spark.operators.dedup import simhash_candidates
+
+    docs = docs_with_near_dups(spark, sf_dir)
+    pairs = simhash_candidates(docs, max_hamming=10).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    # exact copies have hamming 0 -> must be found
+    exact_expected = {(r["doc_id"], r["doc_id"] + 200000) for r in docs.filter("doc_id < 100000").limit(5).collect()}
+    found_exact = {p for p in ids if p[1] - p[0] == 200000}
+    assert len(found_exact) == 5, f"simhash missed exact copies: {exact_expected - ids}"
+    assert all(r["hamming"] == 0 for r in pairs if r["id_b"] - r["id_a"] == 200000)
+
+
+def test_lsh_cosine_recall(spark, sf_dir):
+    from esgopeta_spark.operators.similarity import topk_cosine, topk_cosine_lsh
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = topk_cosine(emb, queries, k=5).collect()
+    approx = topk_cosine_lsh(emb, queries, dim=64, k=5, n_planes=4, n_tables=8).collect()
+    truth = {(r["query_id"], r["nbr_id"]) for r in exact}
+    got = {(r["query_id"], r["nbr_id"]) for r in approx}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.5, f"LSH ANN recall {recall} too low"  # 64-dim uniform data is hard; scale path, not exactness
+
+
+def test_asof_join(spark):
+    from esgopeta_spark.operators.asof import asof_join
+
+    trades = spark.createDataFrame(
+        [("A", 10.0, 1), ("A", 25.0, 2), ("B", 5.0, 3), ("A", 3.0, 4)],
+        "sym string, t double, trade_id int",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 5.0, 100.0), ("A", 20.0, 101.0), ("B", 1.0, 200.0), ("B", 9.0, 201.0)],
+        "sym string, t double, px double",
+    )
+    out = asof_join(trades, quotes.withColumnRenamed("t", "qt"), "sym", "t", "qt", ["px"])
+    got = {(r["sym"], r["t"]): r["px"] for r in out.collect()}
+    assert got == {("A", 10.0): 100.0, ("A", 25.0): 101.0, ("B", 5.0): 200.0, ("A", 3.0): None}
+
+
+def test_asof_join_tie_at_equal_ts(spark):
+    from esgopeta_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("A", 10.0, 1)], "sym string, t double, i int")
+    right = spark.createDataFrame([("A", 10.0, 42.0)], "sym string, qt double, px double")
+    out = asof_join(left, right, "sym", "t", "qt", ["px"]).collect()
+    assert out[0]["px"] == 42.0  # at-or-before includes equal timestamps
+
+
+def test_range_join(spark):
+    from esgopeta_spark.operators.asof import range_join
+
+    points = spark.createDataFrame([(1, 5.0), (2, 15.0), (3, 25.0)], "pid int, x double")
+    intervals = spark.createDataFrame(
+        [(10, 0.0, 10.0), (20, 10.0, 20.0), (30, 3.0, 27.0)], "iid int, lo double, hi double"
+    )
+    out = range_join(points, intervals, "x", "lo", "hi", bucket_width=8.0)
+    got = {(r["pid"], r["iid"]) for r in out.collect()}
+    assert got == {(1, 10), (1, 30), (2, 20), (2, 30), (3, 30)}
+
+
+def test_multimodal_pipeline(spark):
+    from esgopeta_spark.operators.multimodal import decode_image_meta, extract_features, synthetic_media
+
+    media = synthetic_media(spark, 32)
+    meta = decode_image_meta(media).collect()
+    assert len(meta) == 32 and all(r["is_png"] for r in meta)
+    assert all(r["payload_bytes"] == 136 for r in meta)
+    feats = extract_features(media, dim=16).collect()
+    assert len(feats) == 32 and all(len(r["feature"]) == 16 for r in feats)
+    # determinism: same payload -> same features
+    f0 = [r["feature"] for r in feats if r["media_id"] == 0][0]
+    feats2 = extract_features(media, dim=16).collect()
+    f0b = [r["feature"] for r in feats2 if r["media_id"] == 0][0]
+    assert f0 == f0b
+
+
+def test_approx_count_distinct_tolerance(spark, sf_dir):
+    o = read_table(spark, sf_dir, "orders")
+    exact = o.select(F.countDistinct("o_custkey").alias("n")).collect()[0]["n"]
+    approx = o.select(F.approx_count_distinct("o_custkey", 0.02).alias("n")).collect()[0]["n"]
+    assert abs(approx - exact) / exact < 0.05

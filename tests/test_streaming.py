@@ -1,0 +1,126 @@
+"""Group F tests: batch≡stream equivalence (the reference's replay
+guarantee) and the stateful streaming HAM merge on golden logs."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from esgopeta_spark.ham import ham_merge
+from esgopeta_spark.session import read_table
+from esgopeta_spark.streaming.ham_stream import streaming_ham_merge
+from esgopeta_spark.streaming.ingest import read_events_stream, read_update_stream
+from esgopeta_spark.streaming.windows import session_counts, sliding_counts, tumbling_counts
+from esgopeta_spark.types import QUAD_SCHEMA, UPDATE_SCHEMA, encode_value
+
+
+def q(soul, field, value, state, msg="m", ts="2024-01-01 00:00:00"):
+    import datetime
+
+    return {
+        "msg_id": msg,
+        "ack_id": None,
+        "peer_id": "p1",
+        "recv_ts": datetime.datetime.fromisoformat(ts),
+        "soul": soul,
+        "field": field,
+        **encode_value(value),
+        "state": float(state),
+    }
+
+
+def run_stream_to_memory(df, name, mode="update", timeout=180):
+    """availableNow: drain all input then stop — avoids the endless
+    empty-batch cycle a stateful ProcessingTimeTimeout query runs under
+    the default ASAP trigger."""
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert query.awaitTermination(timeout), f"stream {name} did not drain in {timeout}s"
+    finally:
+        query.stop()
+
+
+def test_streaming_ham_matches_batch(spark, tmp_path):
+    """Golden replay: out-of-order, duplicate, equal-state updates split
+    across two files (two micro-batches); final winners must equal the
+    batch ham_merge of the full log."""
+    batch1 = [
+        q("s1", "f", "a", 100, msg="m1"),
+        q("s1", "f", "zz", 100, msg="m2"),  # same-state lexical winner
+        q("s2", "f", 5, 200, msg="m3"),
+    ]
+    batch2 = [
+        q("s1", "f", "older", 50, msg="m4"),  # discarded
+        q("s2", "f", 7, 300, msg="m5"),  # newer wins
+        q("s2", "f", 7, 300, msg="m5"),  # duplicate suppressed
+    ]
+    d = str(tmp_path / "updates")
+    os.makedirs(d)
+    spark.createDataFrame(batch1, UPDATE_SCHEMA).coalesce(1).write.parquet(d + "/b1")
+    spark.createDataFrame(batch2, UPDATE_SCHEMA).coalesce(1).write.parquet(d + "/b2")
+    # flatten into one stream dir (file source reads files in order)
+    import glob
+    import shutil
+
+    sd = str(tmp_path / "stream")
+    os.makedirs(sd)
+    for i, f in enumerate(sorted(glob.glob(d + "/b*/part-*.parquet"))):
+        shutil.copy(f, f"{sd}/{i:03d}.parquet")
+
+    stream = read_update_stream(spark, sd)
+    out = streaming_ham_merge(stream)
+    run_stream_to_memory(out, "ham_out")
+
+    # last emitted row per key == final winner
+    emitted = spark.sql("select * from ham_out").collect()
+    final = {}
+    for r in emitted:  # memory sink appends in batch order
+        final[(r["soul"], r["field"])] = (r["value_type"], r["value_string"], r["value_number"], r["state"])
+
+    expected_df = ham_merge(spark.createDataFrame(batch1 + batch2, UPDATE_SCHEMA))
+    expected = {
+        (r["soul"], r["field"]): (r["value_type"], r["value_string"], r["value_number"], r["state"])
+        for r in expected_df.collect()
+    }
+    assert final == expected
+    assert expected[("s1", "f")][1] == "zz" and expected[("s2", "f")][2] == 7.0
+
+
+def test_streaming_windows_match_batch(spark, sf_dir):
+    """F2/F3/F4: the same window functions on readStream vs read produce
+    identical frames (batch-equivalence, SURVEY.md §5.3)."""
+    static = read_table(spark, sf_dir, "events")
+    stream = read_events_stream(spark, sf_dir)
+
+    for fn, name, mode in [
+        (tumbling_counts, "tumb", "complete"),
+        (sliding_counts, "slide", "complete"),
+        (session_counts, "sess", "complete"),
+    ]:
+        run_stream_to_memory(fn(stream), name, mode=mode)
+        got = {tuple(r) for r in spark.sql(f"select * from {name}").collect()}
+        want = {tuple(r) for r in fn(static).collect()}
+        assert got == want, name
+
+
+def test_streaming_dedup(spark, tmp_path):
+    from esgopeta_spark.streaming.ingest import deduped
+
+    rows = [q("s", "f", "v", 5, msg=f"m{i}") for i in range(4)]  # same update 4x
+    rows.append(q("s", "f", "w", 6, msg="m9"))
+    sd = str(tmp_path / "dups")
+    spark.createDataFrame(rows, UPDATE_SCHEMA).coalesce(1).write.parquet(sd)
+    stream = spark.readStream.schema(UPDATE_SCHEMA).parquet(sd)
+    run_stream_to_memory(deduped(stream), "dedup_out", mode="append")
+    got = spark.sql("select soul, field, value_string, state from dedup_out").collect()
+    assert len(got) == 2  # one per distinct (value, state)
