@@ -134,10 +134,17 @@ def minhash_lsh_candidates(
 def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Exact Jaccard verification of candidate pairs.
 
-    Joins the (small) candidate set back to the corpus twice; at scale the
-    candidate set after LSH is ~linear so these are cheap shuffles.
+    Shingles are recomputed only for docs that appear in a candidate pair
+    (left-semi prune BEFORE the shingle projection) — after LSH the
+    candidate set is ~linear, so this is a small fraction of the corpus.
     """
-    sh = docs.select(F.col(id_col).alias("_jid"), shingles(F.col(text_col), n).alias("_sh"))
+    cand_ids = (
+        df_pairs.select(F.col("id_a").alias("_cid"))
+        .unionByName(df_pairs.select(F.col("id_b").alias("_cid")))
+        .distinct()
+    )
+    needed = docs.join(cand_ids, docs[id_col] == cand_ids["_cid"], "left_semi")
+    sh = needed.select(F.col(id_col).alias("_jid"), shingles(F.col(text_col), n).alias("_sh"))
     out = (
         df_pairs.join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
         .join(sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")

@@ -1,0 +1,242 @@
+"""Extended catalog: subqueries, pivot, percentiles, second function
+batteries, lateral explode, and a tiebreak-stressing HAM query.  Same
+determinism rules as catalog.py (see its module docstring)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from esgopeta_spark.plans.catalog import T, money, pct, register
+
+
+@register(
+    "subquery_scalar_avg",
+    "E2,E4",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) FROM orders) * 1.5
+    """,
+    doc="scalar subquery: orders 1.5x above global average price",
+)
+def subquery_scalar_avg(spark, sf):
+    o = T(spark, sf, "orders")
+    avg_df = o.agg((F.sum(money("o_totalprice")).cast("double") / F.count("*")).alias("_avg"))
+    return (
+        o.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("_avg") * 1.5)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "subquery_exists_bulk_parts",
+    "E2,E3",
+    """
+    SELECT p_partkey, p_brand FROM part
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 45)
+    """,
+    doc="correlated EXISTS == left-semi join",
+)
+def subquery_exists_bulk_parts(spark, sf):
+    p, li = T(spark, sf, "part"), T(spark, sf, "lineitem")
+    bulky = li.filter(F.col("l_quantity") > 45)
+    return p.join(bulky, p.p_partkey == bulky.l_partkey, "left_semi").select("p_partkey", "p_brand")
+
+
+@register(
+    "subquery_in_region_customers",
+    "E2,E3",
+    """
+    SELECT c_custkey FROM customer
+    WHERE c_nationkey IN (
+      SELECT n_nationkey FROM nation WHERE n_regionkey IN (
+        SELECT r_regionkey FROM region WHERE r_name = 'EUROPE'))
+    """,
+    doc="nested IN subqueries == chained semi joins",
+)
+def subquery_in_region_customers(spark, sf):
+    c, n, r = T(spark, sf, "customer"), T(spark, sf, "nation"), T(spark, sf, "region")
+    eu = r.filter(F.col("r_name") == "EUROPE")
+    eun = n.join(F.broadcast(eu), n.n_regionkey == eu.r_regionkey, "left_semi")
+    return c.join(F.broadcast(eun), c.c_nationkey == eun.n_nationkey, "left_semi").select("c_custkey")
+
+
+@register(
+    "pivot_status_by_priority",
+    "E4",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="pivot (explicit value list) == FILTERed counts in the oracle",
+)
+def pivot_status_by_priority(spark, sf):
+    o = T(spark, sf, "orders")
+    piv = o.groupBy("o_orderpriority").pivot("o_orderstatus", ["F", "O", "P"]).count()
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+
+
+@register(
+    "win_first_last_value",
+    "E5",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(FIRST_VALUE(o_totalprice) OVER w AS DOUBLE) AS first_price,
+           CAST(LAST_VALUE(o_totalprice) OVER w AS DOUBLE) AS last_price,
+           CAST(NTH_VALUE(o_totalprice, 2) OVER w AS DOUBLE) AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="first/last/nth value over an unbounded frame with unique order",
+)
+def win_first_last_value(spark, sf):
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    o = T(spark, sf, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+@register(
+    "str_funcs2_supplier",
+    "E8",
+    """
+    SELECT s_suppkey,
+           lpad(CAST(s_suppkey AS VARCHAR), 8, '0') AS key_padded,
+           reverse(s_name) AS name_rev,
+           repeat('ab', 3) AS rep,
+           translate(s_name, 'aeiou', '.....') AS name_devoweled,
+           left(s_name, 4) AS name_left,
+           right(s_name, 3) AS name_right,
+           sha256(s_name) AS name_sha
+    FROM supplier
+    """,
+    doc="second string battery: lpad/reverse/repeat/translate/left/right/sha256",
+)
+def str_funcs2_supplier(spark, sf):
+    s = T(spark, sf, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.lpad(F.col("s_suppkey").cast("string"), 8, "0").alias("key_padded"),
+        F.reverse("s_name").alias("name_rev"),
+        F.repeat(F.lit("ab"), 3).alias("rep"),
+        F.translate("s_name", "aeiou", ".....").alias("name_devoweled"),
+        F.expr("left(s_name, 4)").alias("name_left"),
+        F.expr("right(s_name, 3)").alias("name_right"),
+        F.sha2(F.col("s_name").cast("binary"), 256).alias("name_sha"),
+    )
+
+
+@register(
+    "date_funcs2_orders",
+    "E8",
+    """
+    SELECT o_orderkey,
+           CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
+           CAST(isodow(o_orderdate) AS INTEGER) AS order_isodow,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(dayofyear(o_orderdate) AS INTEGER) AS order_doy
+    FROM orders
+    """,
+    doc="second date battery; ISO day-of-week aligns Spark weekday()+1 with DuckDB isodow",
+)
+def date_funcs2_orders(spark, sf):
+    o = T(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.quarter("o_orderdate").alias("order_quarter"),
+        (F.weekday("o_orderdate") + 1).alias("order_isodow"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.dayofyear("o_orderdate").alias("order_doy"),
+    )
+
+
+@register(
+    "explode_part_words",
+    "E8",
+    """
+    WITH w AS (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)
+    SELECT p_partkey, CAST(z[2] - 1 AS INTEGER) AS pos, CAST(z[1] AS VARCHAR) AS word
+    FROM (SELECT p_partkey, unnest(list_zip(words, generate_series(1, len(words)))) AS z FROM w)
+    """,
+    doc="lateral explode with position (posexplode == unnest of a value/index zip)",
+)
+def explode_part_words(spark, sf):
+    p = T(spark, sf, "part")
+    return p.select("p_partkey", F.posexplode(F.split("p_name", " ")).alias("pos", "word"))
+
+
+@register(
+    "agg_median_price",
+    "E4",
+    """
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="exact interpolated percentiles (Spark percentile == DuckDB quantile_cont)",
+)
+def agg_median_price(spark, sf):
+    o = T(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", 0.5).alias("median_price"),
+        F.percentile("o_totalprice", 0.9).alias("p90_price"),
+    )
+
+
+@register(
+    "graph_ham_lexical_ties",
+    "A10,D4",
+    """
+    WITH upd AS (
+      SELECT 'user/' || CAST(user_id AS VARCHAR) AS soul,
+             'latest_' || event_type AS field,
+             event_type || '#' || CAST(event_id AS VARCHAR) AS sval,
+             CAST(epoch_ms(ts) // 86400000 AS DOUBLE) AS state
+      FROM events),
+    r AS (
+      SELECT soul, field, sval, state,
+             ROW_NUMBER() OVER (PARTITION BY soul, field
+                                ORDER BY state DESC, '"' || sval || '"' DESC) AS rn
+      FROM upd)
+    SELECT soul, field, sval AS value_string, state FROM r WHERE rn = 1
+    """,
+    doc="HAM merge under heavy state ties (day-truncated states): the lexical "
+    "JSON tiebreak (gun/state.go:68-78) decides most keys — grades D4 directly",
+)
+def graph_ham_lexical_ties(spark, sf):
+    from esgopeta_spark.ham import ham_merge
+
+    e = T(spark, sf, "events")
+    updates = e.select(
+        F.concat(F.lit("user/"), F.col("user_id").cast("string")).alias("soul"),
+        F.concat(F.lit("latest_"), F.col("event_type")).alias("field"),
+        F.lit("string").alias("value_type"),
+        F.lit(None).cast("string").alias("value_number_raw"),
+        F.lit(None).cast("double").alias("value_number"),
+        F.concat(F.col("event_type"), F.lit("#"), F.col("event_id").cast("string")).alias("value_string"),
+        F.lit(None).cast("boolean").alias("value_bool"),
+        F.lit(None).cast("string").alias("value_relation"),
+        F.expr("CAST(unix_millis(ts) div 86400000 AS DOUBLE)").alias("state"),
+    )
+    return ham_merge(updates).select("soul", "field", "value_string", "state")
