@@ -256,3 +256,71 @@ class GunGraph:
         g = GunGraph(self.spark, self.quads.localCheckpoint(eager=True), soul_gen=self.soul_gen)
         g._soul_cache = dict(self._soul_cache)
         return g
+
+    # ------------------------------------------------------------------
+    # scoped chain API (reference A1: gun/scoped.go) + live subscribe (A6)
+    # ------------------------------------------------------------------
+
+    def scoped(self, *path: str) -> "Scoped":
+        """Lazy path chain, no I/O at build time — `g.scoped("a","b","c")`
+        mirrors `gun.Scoped(ctx, "a", "b", "c")` (gun/gun.go:147-156)."""
+        return Scoped(self, list(path))
+
+    def subscribe(self, updates_stream: DataFrame, *path: str) -> DataFrame:
+        """Live Fetch (gun/scoped_fetch.go:89-110): a streaming DataFrame of
+        winning updates for one (soul, field), driven by the update stream.
+
+        Resolves the path prefix against the current snapshot (the
+        reference resolves souls before subscribing too), then filters the
+        stream to the key and applies the stateful HAM merge so only
+        IsImmediateUpdate transitions are emitted.  The caller owns the
+        writeStream (sink, trigger, lifecycle) — stopping the query is
+        FetchDone (A9).
+        """
+        from esgopeta_spark.streaming.ham_stream import streaming_ham_merge
+
+        if len(path) < 2:
+            raise ErrLookupOnTopLevel("subscribe needs a parent path + field")
+        parent = self.soul_of(*path[:-1])
+        if parent is None:
+            raise ErrNotObject(f"cannot resolve parent of {'/'.join(path)}")
+        key_filtered = updates_stream.filter(
+            (F.col("soul") == parent) & (F.col("field") == path[-1])
+        )
+        return streaming_ham_merge(key_filtered)
+
+
+class Scoped:
+    """Parent-linked lazy path expression (gun/scoped.go:26-42).
+
+    Pure convenience over GunGraph's path methods, giving the reference's
+    fluent surface: ``g.scoped("room").scoped("msg").fetch_one()``.
+    ``put`` returns the updated Scoped (bound to the new graph) — access
+    ``.graph`` for the underlying GunGraph and ``.last_put`` for the
+    would-be wire message rows.
+    """
+
+    def __init__(self, graph: GunGraph, path: list[str]):
+        if not path:
+            raise ValueError("scoped path must be non-empty")
+        self.graph = graph
+        self.path = path
+        self.last_put: list[dict] = []
+
+    def scoped(self, *children: str) -> "Scoped":
+        return Scoped(self.graph, self.path + list(children))
+
+    def soul(self) -> str | None:
+        return self.graph.soul_of(*self.path)
+
+    def fetch_one(self) -> FetchResult:
+        return self.graph.fetch_one(*self.path)
+
+    def put(self, value: Any, **kw) -> "Scoped":
+        res = self.graph.put(self.path, value, **kw)
+        out = Scoped(res.graph, self.path)
+        out.last_put = res.updates
+        return out
+
+    def subscribe(self, updates_stream: DataFrame) -> DataFrame:
+        return self.graph.subscribe(updates_stream, *self.path)

@@ -20,11 +20,6 @@ no driver involvement per key.
 
 from __future__ import annotations
 
-import time
-from typing import Any, Iterable
-
-import pandas as pd
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -36,7 +31,6 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from esgopeta_spark.ham import value_json_py
 
 _VALUE_FIELDS = [
     ("value_type", StringType()),
@@ -66,68 +60,88 @@ STATE_SCHEMA = StructType(
 _VALUE_COLS = [n for n, _ in _VALUE_FIELDS]
 
 
-def _row_json(row: dict[str, Any]) -> str:
-    return value_json_py(row)
+def _make_handler(timers_enabled: bool):
+    """Build the per-key stateful handler as a CLOSURE.
 
-
-def _merge_key(state: float, vjson: str) -> tuple[float, str]:
-    return (state, vjson)
-
-
-def _ham_update_group(key, pdfs: Iterable[pd.DataFrame], gstate: GroupState, timers_enabled: bool = False):
-    """Stateful per-key handler (see module docstring).  ``timers_enabled``
-    is bound via functools.partial so it ships to executors by value."""
+    cloudpickle serializes closures by value — including the helper
+    functions defined inside — so executors never import esgopeta_spark.
+    (A module-level handler is pickled by reference and dies with
+    ModuleNotFoundError whenever the worker's sys.path lacks the repo,
+    e.g. a driver launched from another cwd.)
+    """
     import json as _json
+    import time as _time
 
-    soul, field = key
-    if gstate.exists:
-        st = gstate.get
-        winner = dict(zip(_VALUE_COLS + ["state", "value_json"], st[:8]))
-        pending = _json.loads(st[8]) if st[8] else []
-    else:
-        winner = None
-        pending = []
+    value_cols = list(_VALUE_COLS)
 
-    now_ms = time.time() * 1000.0
+    def _vjson(row):
+        # inlined copy of types.value_json_py (keep in sync; unit test
+        # test_handler_vjson_matches_types pins the equivalence)
+        vt = row["value_type"]
+        if vt == "null":
+            return "null"
+        if vt == "number":
+            raw = row.get("value_number_raw")
+            return raw if raw is not None else _json.dumps(row.get("value_number"))
+        if vt == "string":
+            return _json.dumps(row.get("value_string"), ensure_ascii=False, separators=(",", ":"))
+        if vt == "bool":
+            return "true" if row.get("value_bool") else "false"
+        return '{"#":' + _json.dumps(row.get("value_relation"), ensure_ascii=False) + "}"
 
-    incoming: list[dict] = []
-    for pdf in pdfs:
-        for rec in pdf.to_dict("records"):
-            incoming.append({c: rec.get(c) for c in _VALUE_COLS + ["state"]})
+    def handler(key, pdfs, gstate):
+        soul, field = key
+        if gstate.exists:
+            st = gstate.get
+            winner = dict(zip(value_cols + ["state", "value_json"], st[:8]))
+            pending = _json.loads(st[8]) if st[8] else []
+        else:
+            winner = None
+            pending = []
 
-    # re-attempt previously deferred futures whose time has come
-    ready = [p for p in pending if p["state"] <= now_ms]
-    pending = [p for p in pending if p["state"] > now_ms]
+        now_ms = _time.time() * 1000.0
 
-    emitted = None
-    for rec in sorted(incoming + ready, key=lambda r: (r["state"], _row_json(r))):
-        if rec["state"] > now_ms:  # TooFutureDeferred
-            pending.append(rec)
-            continue
-        rec_key = _merge_key(rec["state"], _row_json(rec))
-        if winner is None or rec_key > _merge_key(winner["state"], winner["value_json"]):
-            winner = {**{c: rec.get(c) for c in _VALUE_COLS}, "state": rec["state"], "value_json": _row_json(rec)}
-            emitted = winner
+        incoming = []
+        for pdf in pdfs:
+            for rec in pdf.to_dict("records"):
+                incoming.append({c: rec.get(c) for c in value_cols + ["state"]})
 
-    new_state = tuple(
-        [winner.get(c) if winner else None for c in _VALUE_COLS]
-        + [
-            winner["state"] if winner else None,
-            winner["value_json"] if winner else None,
-            _json.dumps(pending) if pending else None,
-        ]
-    )
-    gstate.update(new_state)
-    if pending and timers_enabled:
-        # wake up when the earliest future becomes applicable (+100ms like
-        # the reference's retry slack, gun/storage.go:109)
-        earliest = min(p["state"] for p in pending)
-        gstate.setTimeoutDuration(max(int(earliest - now_ms) + 100, 100))
+        # re-attempt previously deferred futures whose time has come
+        ready = [p for p in pending if p["state"] <= now_ms]
+        pending = [p for p in pending if p["state"] > now_ms]
 
-    if emitted is not None:
-        yield pd.DataFrame(
-            [{"soul": soul, "field": field, **{c: emitted.get(c) for c in _VALUE_COLS}, "state": emitted["state"]}]
+        emitted = None
+        for rec in sorted(incoming + ready, key=lambda r: (r["state"], _vjson(r))):
+            if rec["state"] > now_ms:  # TooFutureDeferred
+                pending.append(rec)
+                continue
+            if winner is None or (rec["state"], _vjson(rec)) > (winner["state"], winner["value_json"]):
+                winner = {**{c: rec.get(c) for c in value_cols}, "state": rec["state"], "value_json": _vjson(rec)}
+                emitted = winner
+
+        new_state = tuple(
+            [winner.get(c) if winner else None for c in value_cols]
+            + [
+                winner["state"] if winner else None,
+                winner["value_json"] if winner else None,
+                _json.dumps(pending) if pending else None,
+            ]
         )
+        gstate.update(new_state)
+        if pending and timers_enabled:
+            # wake when the earliest future becomes applicable (+100ms like
+            # the reference's retry slack, gun/storage.go:109)
+            earliest = min(p["state"] for p in pending)
+            gstate.setTimeoutDuration(max(int(earliest - now_ms) + 100, 100))
+
+        if emitted is not None:
+            import pandas as _pd
+
+            yield _pd.DataFrame(
+                [{"soul": soul, "field": field, **{c: emitted.get(c) for c in value_cols}, "state": emitted["state"]}]
+            )
+
+    return handler
 
 
 def streaming_ham_merge(updates: DataFrame, deferral_timers: bool = False) -> DataFrame:
@@ -145,14 +159,12 @@ def streaming_ham_merge(updates: DataFrame, deferral_timers: bool = False) -> Da
     time their key is touched (and always at batch compaction via
     ham_apply_updates) — the right trade for drain-and-stop pipelines.
     """
-    import functools
-
     quad_cols = ["soul", "field", *_VALUE_COLS, "state"]
     return (
         updates.select(*quad_cols)
         .groupBy("soul", "field")
         .applyInPandasWithState(
-            functools.partial(_ham_update_group, timers_enabled=deferral_timers),
+            _make_handler(deferral_timers),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",

@@ -162,3 +162,48 @@ def test_storage_ttl_and_tracking(spark):
     store = store.advance_to(6000.0)
     snap = {r["field"]: r["value_number"] for r in store.quads.collect()}
     assert snap["new"] == 9.0
+
+
+def test_scoped_chain_api(spark):
+    """Reference-shaped fluent chains (gun/scoped.go): build lazily, fetch,
+    put through the chain."""
+    g = fresh_graph(spark)
+    s = g.scoped("esgopeta-test").scoped("TestGunGetSimple", "some-field")
+    assert s.path == ["esgopeta-test", "TestGunGetSimple", "some-field"]
+    s2 = s.put("some-value", state=42.0)
+    assert len(s2.last_put) == 2  # lazy parent + leaf
+    r = s2.fetch_one()
+    assert r.value == "some-value" and r.state == 42.0
+    # soul memoization across the chain
+    assert s2.graph.soul_of("esgopeta-test", "TestGunGetSimple") == s2.graph.soul_of(
+        "esgopeta-test", "TestGunGetSimple"
+    )
+
+
+def test_scoped_subscribe_live(spark, tmp_path):
+    """A6 live Fetch: a subscription stream emits only winning updates for
+    the subscribed key."""
+    from esgopeta_spark.types import QUAD_SCHEMA
+
+    g = fresh_graph(spark)
+    g = g.put(["chat", "room1", "msg"], "hello", state=100.0).graph
+    soul = g.soul_of("chat", "room1")
+
+    updates = [
+        {"soul": soul, "field": "msg", **encode_value("world"), "state": 200.0},
+        {"soul": soul, "field": "msg", **encode_value("stale"), "state": 50.0},  # loses
+        {"soul": soul, "field": "other", **encode_value("x"), "state": 300.0},  # other key
+        {"soul": "other-soul", "field": "msg", **encode_value("y"), "state": 300.0},
+    ]
+    sd = str(tmp_path / "sub_updates")
+    spark.createDataFrame(updates, QUAD_SCHEMA).coalesce(1).write.parquet(sd)
+    stream = spark.readStream.schema(QUAD_SCHEMA).parquet(sd)
+
+    out = g.scoped("chat", "room1", "msg").subscribe(stream)
+    q = out.writeStream.format("memory").queryName("sub_out").outputMode("update").trigger(
+        availableNow=True
+    ).start()
+    assert q.awaitTermination(120)
+    got = spark.sql("select * from sub_out").collect()
+    assert len(got) == 1  # only the winning update for the subscribed key
+    assert got[0]["value_string"] == "world" and got[0]["state"] == 200.0

@@ -124,3 +124,50 @@ def test_streaming_dedup(spark, tmp_path):
     run_stream_to_memory(deduped(stream), "dedup_out", mode="append")
     got = spark.sql("select soul, field, value_string, state from dedup_out").collect()
     assert len(got) == 2  # one per distinct (value, state)
+
+
+def test_streaming_ham_on_events_scale(spark, sf_dir, tmp_path):
+    """Batch≡stream on a realistic update log: the events-derived updates
+    (the flagship entry query's input) streamed through the stateful HAM
+    operator must land on the same winners as the batch merge."""
+    from esgopeta_spark.plans.catalog import _events_as_updates
+
+    upd = _events_as_updates(spark, sf_dir)
+    sd = str(tmp_path / "ev_updates")
+    upd.coalesce(2).write.parquet(sd)
+
+    from esgopeta_spark.types import QUAD_SCHEMA
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(sd).schema
+    ).option("maxFilesPerTrigger", 1).parquet(sd)
+    out = streaming_ham_merge(stream)
+    run_stream_to_memory(out, "ham_events")
+
+    emitted = spark.sql("select * from ham_events").collect()
+    final = {}
+    for r in emitted:
+        final[(r["soul"], r["field"])] = (r["value_number"], r["state"])
+    expected = {
+        (r["soul"], r["field"]): (r["value_number"], r["state"])
+        for r in ham_merge(upd).collect()
+    }
+    assert final == expected and len(expected) == 75
+
+
+def test_handler_vjson_matches_types():
+    """The closure-inlined value-json encoder must stay in sync with
+    types.value_json_py (the HAM tiebreak key)."""
+    import inspect
+
+    from esgopeta_spark.streaming.ham_stream import _make_handler
+    from esgopeta_spark.types import encode_value, value_json_py
+
+    # reach the inner _vjson through the closure
+    handler = _make_handler(False)
+    vjson = handler.__closure__[len(handler.__closure__) - 1]
+    cells = {c.cell_contents for c in handler.__closure__ if callable(getattr(c, "cell_contents", None))}
+    fn = next(c for c in cells if getattr(c, "__name__", "") == "_vjson")
+    for v in ["plain", 'quo"te', "unié", 1, -2.5, True, False, None, {"#": "abc"}]:
+        row = encode_value(v)
+        assert fn(row) == value_json_py(row), v
