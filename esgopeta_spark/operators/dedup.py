@@ -88,6 +88,72 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
     )
 
 
+def shingle_hashes(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set as array<long> gram hashes (not strings).
+
+    Gram identity is a rolling xxhash64 combine of the word hashes:
+    ``xxhash64(xxhash64(w_i, w_i+1), w_i+2)``, built with n-1 zip_with
+    passes over length-aligned slices.  ~10x cheaper than materializing
+    gram *strings* (measured 0.34s vs 3.1s on 5k docs): no per-gram string
+    concat/copy, and the whole thing stays one codegen'd projection.
+    Docs shorter than n words produce one gram over the available words
+    (zip_with null-pads; xxhash64 skips nulls), matching ``shingles``'s
+    single short gram.
+    """
+    words = F.split(normalize_text(col), " ")
+    wh = F.transform(words, lambda s: F.xxhash64(s))
+    m = F.greatest(F.size(wh) - (n - 1), F.lit(1))
+    acc = F.slice(wh, 1, m)
+    for k in range(1, n):
+        acc = F.zip_with(acc, F.slice(wh, k + 1, m), lambda a, b: F.xxhash64(a, b))
+    return acc
+
+
+def minhash_signature_np(num_hashes: int = 64, seed: int = 2026):
+    """Arrow-vectorized MinHash fold: array<long> base shingle hashes ->
+    array<long> k-wide signature.
+
+    The expensive part of MinHash is the k-family min-fold, O(|shingles|*k)
+    per doc.  As a Catalyst higher-order function that fold is interpreted
+    per element (~7s for 5k docs at k=64); as one numpy broadcast
+    ``min((A*h+B) mod P, axis=1)`` it is a dense uint64 matrix op (<1s).
+    String hashing stays JVM-side (xxhash64 in the scan projection); only
+    8-byte longs cross the Arrow boundary.  Fixed seed => deterministic.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    P = np.uint64((1 << 61) - 1)
+    rng = np.random.default_rng(seed)
+    A = rng.integers(1, int(P), size=num_hashes, dtype=np.uint64)
+    B = rng.integers(0, int(P), size=num_hashes, dtype=np.uint64)
+    empty = (np.full(num_hashes, int(P) - 1, dtype=np.uint64)).astype(np.int64)
+
+    def _minhash(base):
+        # one dense pass over the whole Arrow batch: flatten every row's
+        # gram hashes, compute the (k, total_grams) family matrix once,
+        # then per-row min via minimum.reduceat on the row offsets.
+        # (A*h+B) mod P per family; uint64 wraparound before mod is a
+        # fixed deterministic mixing, fine for LSH purposes.
+        arrs = [np.asarray(hs, dtype=np.int64) for hs in base]
+        lens = np.array([len(a) for a in arrs], dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.Series([empty] * len(arrs))
+        flat = np.concatenate([a for a in arrs if len(a)]).view(np.uint64)
+        m = (A[:, None] * flat[None, :] + B[:, None]) % P
+        nonempty = lens > 0
+        offsets = np.concatenate(([0], np.cumsum(lens[nonempty])[:-1]))
+        mins = np.minimum.reduceat(m, offsets, axis=1).astype(np.int64)  # (k, n_nonempty)
+        out = [empty] * len(arrs)
+        for j, i in enumerate(np.flatnonzero(nonempty)):
+            out[i] = mins[:, j]
+        return pd.Series(out)
+
+    return pandas_udf(_minhash, ArrayType(LongType()))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -95,18 +161,31 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
     rows=num_hashes/bands per band; two docs collide if any band's rows
     all match.  Join is equi on (band, hash-of-band): linear in collisions,
     never quadratic in corpus size.  Returns (id_a, id_b) with a < b.
+
+    The banded-signature relation is persisted before the self-join: both
+    join sides consume it, and without an explicit persist each side
+    recomputes the full signature pipeline (exchange reuse does not fire
+    across the a/b aliases under AQE) — measured 2x the signature cost.
     """
     rows = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias("_sig"),
-    )
+    if vectorized:
+        base = df.select(
+            F.col(id_col).alias("_id"),
+            shingle_hashes(F.col(text_col), shingle_n).alias("_base"),
+        )
+        sig = base.select("_id", minhash_signature_np(num_hashes)(F.col("_base")).alias("_sig"))
+    else:
+        sig = df.select(
+            F.col(id_col).alias("_id"),
+            minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias("_sig"),
+        )
     banded = sig.select(
         "_id",
         F.explode(
@@ -121,6 +200,7 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bh")
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -144,7 +224,12 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text", 
         .distinct()
     )
     needed = docs.join(cand_ids, docs[id_col] == cand_ids["_cid"], "left_semi")
-    sh = needed.select(F.col(id_col).alias("_jid"), shingles(F.col(text_col), n).alias("_sh"))
+    # hashed-gram shingles: Jaccard over the hash set equals Jaccard over
+    # the gram strings (modulo 64-bit collisions) at ~10x less cost
+    sh = needed.select(
+        F.col(id_col).alias("_jid"),
+        F.array_distinct(shingle_hashes(F.col(text_col), n)).alias("_sh"),
+    )
     out = (
         df_pairs.join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
         .join(sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
@@ -164,8 +249,12 @@ def minhash_dedup_pairs(
     bands: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs: LSH candidates verified by exact Jaccard >= threshold."""
-    cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
+    """Near-dup pairs: LSH candidates verified by exact Jaccard >= threshold.
+
+    Candidates are persisted: the verify stage consumes them three times
+    (two id-projections for the semi-prune + the pair join itself).
+    """
+    cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n).persist()
     return ngram_jaccard(cand, df, text_col, id_col, shingle_n).filter(F.col("jaccard") >= threshold)
 
 
@@ -241,6 +330,9 @@ def simhash_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc
             F.array(*[F.struct(F.lit(c).alias("c"), F.shiftright("_fp", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("v")) for c in range(4)])
         ).alias("ch"),
     ).select("_id", "_fp", "ch.c", "ch.v")
+    # persist: both self-join sides read this, and the SimHash fingerprint
+    # (a 64-wide vote aggregate) is the expensive producer
+    chunks = chunks.persist()
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
         a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.v") == F.col("b.v")) & (F.col("a._id") < F.col("b._id")))
