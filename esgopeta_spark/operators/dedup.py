@@ -174,6 +174,9 @@ def minhash_lsh_candidates(
     recomputes the full signature pipeline (exchange reuse does not fire
     across the a/b aliases under AQE) — measured 2x the signature cost.
     """
+    from esgopeta_spark.session import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
     rows = num_hashes // bands
     if vectorized:
         base = df.select(
@@ -223,7 +226,9 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text", 
         .unionByName(df_pairs.select(F.col("id_b").alias("_cid")))
         .distinct()
     )
-    needed = docs.join(cand_ids, docs[id_col] == cand_ids["_cid"], "left_semi")
+    from esgopeta_spark.session import ensure_min_partitions
+
+    needed = ensure_min_partitions(docs.join(cand_ids, docs[id_col] == cand_ids["_cid"], "left_semi"))
     # hashed-gram shingles: Jaccard over the hash set equals Jaccard over
     # the gram strings (modulo 64-bit collisions) at ~10x less cost
     sh = needed.select(
@@ -322,6 +327,9 @@ def simhash_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc
     """Near-dup pairs by SimHash: band the 64-bit fingerprint into 4
     16-bit chunks (pigeonhole: hamming<=3 ⇒ at least one chunk equal),
     equi-join on chunks, verify exact Hamming distance."""
+    from esgopeta_spark.session import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
     fp = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_fp"))
     chunks = fp.select(
         "_id",

@@ -1256,7 +1256,7 @@ def sim_topk_cosine(spark, sf):
 
     emb = T(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
-    out = topk_cosine(emb, queries, k=5)
+    out = topk_cosine(emb, queries, k=5, dim=64)
     return out.select(
         "query_id",
         "nbr_id",

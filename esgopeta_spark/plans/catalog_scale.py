@@ -1,0 +1,257 @@
+"""Scale-operator catalog additions: as-of / range joins (the two classic
+joins Spark lacks natively), embedding-cosine near-dup, IVF similarity,
+and deeper TPC-H-shaped coverage.  Same determinism rules as catalog.py
+(see its module docstring)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from esgopeta_spark.plans.catalog import T, money, pct, register
+
+
+@register(
+    "join_asof_purchase_click",
+    "E3",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           epoch_us(p.ts) AS purchase_us,
+           epoch_us(c.ts) AS click_us,
+           CAST(floor(c.value * 1000000 + 0.5) AS BIGINT) AS click_value_micro
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+    doc="as-of (point-in-time) join: latest click at-or-before each purchase, per user; "
+    "union+last-carry formulation — one shuffle on the key, no range explosion "
+    "(operators/asof.py; (user_id, ts) is unique in the data so the match is total-ordered)",
+)
+def join_asof_purchase_click(spark, sf):
+    from esgopeta_spark.operators.asof import asof_join
+
+    ev = T(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("value").alias("click_value")
+    )
+    out = asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="click_ts",
+        right_value_cols=["click_ts", "click_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        F.unix_micros("click_ts").alias("click_us"),
+        F.floor(F.col("click_value") * 1000000.0 + 0.5).cast("bigint").alias("click_value_micro"),
+    )
+
+
+@register(
+    "join_range_acctbal_band",
+    "E3",
+    """
+    SELECT s_suppkey,
+           COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+    FROM supplier JOIN customer
+      ON c_acctbal >= s_acctbal - 50 AND c_acctbal < s_acctbal + 50
+    GROUP BY s_suppkey
+    """,
+    doc="range (interval-containment) join via bucketed equi-join: customers whose "
+    "balance falls in each supplier's +/-50 band (operators/asof.py range_join — "
+    "intervals explode to overlapped buckets, equi-join on bucket, exact residual filter; "
+    "Catalyst never falls back to a nested-loop cross product)",
+)
+def join_range_acctbal_band(spark, sf):
+    from esgopeta_spark.operators.asof import range_join
+
+    cust = T(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    supp = T(spark, sf, "supplier").select(
+        "s_suppkey",
+        (F.col("s_acctbal") - 50).alias("_lo"),
+        (F.col("s_acctbal") + 50).alias("_hi"),
+    )
+    joined = range_join(cust, supp, point_col="c_acctbal", start_col="_lo", end_col="_hi", bucket_width=100.0)
+    return joined.groupBy("s_suppkey").agg(
+        F.count("*").alias("n_cust"),
+        F.sum(money("c_acctbal")).cast("double").alias("sum_acctbal"),
+    )
+
+
+@register(
+    "dedup_embedding_exact",
+    "G2",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cs
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, CAST(floor(cs * 1000000 + 0.5) AS BIGINT) AS cosine_micro
+    FROM p WHERE cs >= 0.4
+    """,
+    doc="embedding-cosine near-dup, exact all-pairs tier (the oracle for the LSH tier); "
+    "unrolled codegen'd dot kernel, threshold chosen off any float boundary in the data",
+)
+def dedup_embedding_exact(spark, sf):
+    from esgopeta_spark.operators.similarity import embedding_dup_pairs_exact
+
+    emb = T(spark, sf, "embeddings")
+    out = embedding_dup_pairs_exact(emb, threshold=0.4, dim=64)
+    return out.select(
+        "id_a", "id_b", F.floor(F.col("cosine_sim") * 1000000.0 + 0.5).cast("bigint").alias("cosine_micro")
+    )
+
+
+@register(
+    "dedup_embedding_lsh",
+    "G2",
+    None,  # approximate candidate generation; pytest measures recall vs exact
+    doc="embedding-cosine near-dup, hyperplane-LSH tier (bucket equi-join self-pair, "
+    "exact cosine verify) — the linear-cost 100 TB path for the same predicate; "
+    "4 planes x 8 tables sized for this data's 0.4 threshold (arccos(0.4)~66deg -> "
+    "0.16/table -> ~75%% recall; production near-dup thresholds >=0.9 use deeper planes)",
+)
+def dedup_embedding_lsh(spark, sf):
+    from esgopeta_spark.operators.similarity import embedding_dup_pairs_lsh
+
+    emb = T(spark, sf, "embeddings")
+    out = embedding_dup_pairs_lsh(emb, threshold=0.4, dim=64, n_planes=4, n_tables=8)
+    return out.select(
+        "id_a", "id_b", F.floor(F.col("cosine_sim") * 1000000.0 + 0.5).cast("bigint").alias("cosine_micro")
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "sim_topk_cosine_ivf",
+    "G3",
+    None,  # approximate by design; pytest measures recall vs exact top-k
+    doc="IVF-flat approximate top-5 cosine: deterministic strided codebook, argmax cell "
+    "assignment against broadcast centroids, n_probe-cell probe join",
+)
+def sim_topk_cosine_ivf(spark, sf):
+    from esgopeta_spark.operators.similarity import topk_cosine_ivf
+
+    emb = T(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = topk_cosine_ivf(emb, queries, dim=64, k=5, centroid_stride=25, n_probe=3)
+    return out.select(
+        "query_id",
+        "nbr_id",
+        F.floor(F.col("cosine_sim") * 1000000.0 + 0.5).cast("bigint").alias("cosine_micro"),
+        "rank",
+    )
+
+
+@register(
+    "q4_late_shipment_priority",
+    "E2,E3,E4",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (adapted to this schema: late = shipped >60d after order): "
+    "correlated EXISTS with a non-equi residual == left-semi hash join + filter",
+)
+def q4_late_shipment_priority(spark, sf):
+    o = T(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@register(
+    "q14_promo_revenue",
+    "E3,E4",
+    """
+    SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                 ELSE CAST(0 AS DECIMAL(12,2)) * (1 - CAST(0 AS DECIMAL(4,2))) END) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           AS DOUBLE) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-04-01'
+    """,
+    doc="TPC-H Q14 shape: conditional aggregate ratio (promo revenue share); decimal-exact "
+    "sums, double division only at the end (rule 1); part dim broadcasts",
+)
+def q14_promo_revenue(spark, sf):
+    li = T(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1998-04-01")
+    )
+    p = T(spark, sf, "part").select("p_partkey", "p_type")
+    disc_price = money("l_extendedprice") * (F.lit(1) - pct("l_discount"))
+    zero = F.lit(0).cast("decimal(12,2)") * (F.lit(1) - F.lit(0).cast("decimal(4,2)"))
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return j.agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", disc_price).otherwise(zero)).cast("double")
+            / F.sum(disc_price).cast("double")
+        ).alias("promo_pct")
+    )
+
+
+@register(
+    "q18_large_orders",
+    "E3,E4",
+    """
+    WITH big AS (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+                 HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 280)
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT) AS totalprice_micro,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q18 shape: HAVING-filtered aggregate as IN-subquery (left-semi), "
+    "re-aggregated over the 3-way join; unique total order for the LIMIT (rule 4)",
+)
+def q18_large_orders(spark, sf):
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(money("l_quantity")).alias("_sq"))
+        .filter(F.col("_sq") > 280)
+        .select("l_orderkey")
+    )
+    o = T(spark, sf, "orders").join(
+        big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi"
+    )
+    c = T(spark, sf, "customer").select("c_custkey", "c_name")
+    j = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+    )
+    return (
+        j.groupBy("c_name", "c_custkey", "o_orderkey", "o_totalprice")
+        .agg(F.sum(money("l_quantity")).cast("double").alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 1000000.0 + 0.5).cast("bigint").alias("totalprice_micro"),
+            "sum_qty",
+        )
+    )

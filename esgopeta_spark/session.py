@@ -70,3 +70,20 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
             # microsecond boundary, silently shifting timestamps by 1us
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
+
+
+def ensure_min_partitions(df, min_parts: int | None = None):
+    """Widen tiny scans so per-row-heavy projections parallelize.
+
+    Small single-row-group parquet files arrive as ONE input partition;
+    any expensive projection over them (minhash, shingle hashing, vector
+    math) then runs on one core.  Repartition only when the plan is
+    narrower than the session's parallelism — on a real cluster a 100 TB
+    scan already has thousands of splits and this is a no-op (no shuffle
+    is added).
+    """
+    if min_parts is None:
+        min_parts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_parts:
+        return df.repartition(min_parts)
+    return df

@@ -136,3 +136,30 @@ def test_approx_count_distinct_tolerance(spark, sf_dir):
     exact = o.select(F.countDistinct("o_custkey").alias("n")).collect()[0]["n"]
     approx = o.select(F.approx_count_distinct("o_custkey", 0.02).alias("n")).collect()[0]["n"]
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_ivf_cosine_recall(spark, sf_dir):
+    from esgopeta_spark.operators.similarity import topk_cosine, topk_cosine_ivf
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = topk_cosine(emb, queries, k=5, dim=64).collect()
+    approx = topk_cosine_ivf(emb, queries, dim=64, k=5, centroid_stride=25, n_probe=3).collect()
+    truth = {(r["query_id"], r["nbr_id"]) for r in exact}
+    got = {(r["query_id"], r["nbr_id"]) for r in approx}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.4, f"IVF ANN recall {recall} too low"  # uniform 64-dim is the hard case
+
+
+def test_embedding_dup_lsh_recall(spark, sf_dir):
+    from esgopeta_spark.operators.similarity import embedding_dup_pairs_exact, embedding_dup_pairs_lsh
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    # 0.3 yields a non-trivial pair set on this data; planes sized for its
+    # angle: (1 - arccos(0.3)/pi)^3 ~ 0.21/table, 10 tables -> ~91% expected
+    exact = {(r["id_a"], r["id_b"]) for r in embedding_dup_pairs_exact(emb, 0.3, 64).collect()}
+    got = {(r["id_a"], r["id_b"]) for r in embedding_dup_pairs_lsh(emb, 0.3, 64, n_planes=3, n_tables=10).collect()}
+    assert got <= exact, "LSH tier must return a subset of the exact pairs (same verify predicate)"
+    assert exact, "test needs a non-empty truth set"
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.6, f"embedding LSH recall {recall} too low"
