@@ -226,9 +226,11 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text", 
         .unionByName(df_pairs.select(F.col("id_b").alias("_cid")))
         .distinct()
     )
-    from esgopeta_spark.session import ensure_min_partitions
-
-    needed = ensure_min_partitions(docs.join(cand_ids, docs[id_col] == cand_ids["_cid"], "left_semi"))
+    # NOTE: no ensure_min_partitions here — its partition probe (.rdd)
+    # finalizes the AQE plan of this JOIN, materializing the candidate
+    # pipeline a second time (measured 2x).  The candidate set is ~linear
+    # in dup count anyway; verify inherits the join's parallelism.
+    needed = docs.join(cand_ids, docs[id_col] == cand_ids["_cid"], "left_semi")
     # hashed-gram shingles: Jaccard over the hash set equals Jaccard over
     # the gram strings (modulo 64-bit collisions) at ~10x less cost
     sh = needed.select(

@@ -147,12 +147,10 @@ def topk_cosine_lsh(
     """Approximate top-k: union of ``n_tables`` independent hyperplane
     hashes; candidates = bucket-equi-join; exact cosine re-rank on the
     (small) candidate set.  Corpus-side work is a projection + equi-join —
-    scales linearly, survives 100×."""
-    from esgopeta_spark.session import ensure_min_partitions
-
-    c = ensure_min_partitions(corpus).select(
-        F.col(id_col).alias("nbr_id"), as_double(F.col(vec_col)).alias("_cv")
-    )
+    scales linearly, survives 100×.  (No forced repartition here: bucket
+    hashing is cheap per row, and widening a tiny scan costs more in
+    shuffle+task overhead than it buys — measured 2x slower at sf0.1.)"""
+    c = corpus.select(F.col(id_col).alias("nbr_id"), as_double(F.col(vec_col)).alias("_cv"))
     q = queries.select(F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv"))
     cand = None
     for t in range(n_tables):
@@ -290,11 +288,11 @@ def embedding_dup_pairs_lsh(
     For looser thresholds (0.3-0.5, theta ~60-70deg) use 3-4 planes and
     more tables, accepting a larger candidate set — below ~0.3 the angle
     no longer separates from random and exact verification dominates
-    regardless.
+    regardless.  (Bucket hashing is cheap -> no forced repartition; the
+    verify stage inherits parallelism from the candidate distinct's
+    shuffle.)
     """
-    from esgopeta_spark.session import ensure_min_partitions
-
-    v = ensure_min_partitions(df).select(F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v"))
+    v = df.select(F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v"))
     cand = None
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes, seed + 1000 * t)

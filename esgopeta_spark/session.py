@@ -81,6 +81,12 @@ def ensure_min_partitions(df, min_parts: int | None = None):
     narrower than the session's parallelism — on a real cluster a 100 TB
     scan already has thousands of splits and this is a no-op (no shuffle
     is added).
+
+    ONLY call this on scan-stage DataFrames (straight off read_table /
+    spark.read): the partition probe goes through ``.rdd``, and on a plan
+    with shuffles AQE finalization will MATERIALIZE the upstream stages —
+    executing the query once just to count partitions.  On a pure file
+    scan the probe is free.
     """
     if min_parts is None:
         min_parts = df.sparkSession.sparkContext.defaultParallelism
