@@ -350,3 +350,66 @@ def simhash_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# pair -> group clustering (connected components)
+# ---------------------------------------------------------------------------
+
+
+def dup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """Cluster near-dup PAIRS into canonical GROUPS: connected components
+    by iterative min-label propagation.
+
+    Returns (id, comp) for every id that appears in a pair; comp = the
+    smallest id reachable through the pair graph (the canonical keeper).
+    Singletons never enter the pair set and keep themselves by definition
+    — left-join this result and coalesce to id.
+
+    Each iteration is one equi-join + min-aggregate: comp labels flow one
+    hop, converging in graph-diameter rounds (near-dup clusters are
+    shallow — diameter is small in practice).  Lineage is cut with
+    localCheckpoint every few rounds so the plan doesn't grow across
+    iterations.  At extreme scale swap the loop body for the
+    alternating large-star/small-star formulation (O(log n) rounds,
+    same join shape); the driver loop and contract stay identical.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id")).persist()
+    for i in range(max_iter):
+        prop = edges.join(labels, edges["dst"] == labels["id"]).select(
+            F.col("src").alias("id"), F.col("comp")
+        )
+        new_labels = (
+            labels.unionByName(prop).groupBy("id").agg(F.min("comp").alias("comp"))
+        )
+        if (i + 1) % 4 == 0:
+            new_labels = new_labels.localCheckpoint(eager=False)
+        new_labels = new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_keepers(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Full near-dup dedup resolution: every doc id -> its canonical
+    keeper (smallest id in its dup cluster; itself when unpaired)."""
+    comp = dup_components(pairs)
+    return docs.select(F.col(id_col).alias("id")).join(comp, "id", "left").select(
+        "id", F.coalesce("comp", F.col("id")).alias("keeper")
+    )

@@ -255,3 +255,35 @@ def q18_large_orders(spark, sf):
             "sum_qty",
         )
     )
+
+
+@register(
+    "dedup_embedding_components",
+    "G2,A1",
+    """
+    WITH RECURSIVE
+    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4),
+    e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+    reach(s, t) AS (
+      SELECT a, a FROM e
+      UNION
+      SELECT r.s, e.b FROM reach r JOIN e ON r.t = e.a
+    )
+    SELECT s AS id, MIN(t) AS comp FROM reach GROUP BY s
+    """,
+    doc="near-dup pairs clustered into canonical groups: connected components by "
+    "iterative min-label propagation (operators/dedup.py dup_components); the DuckDB "
+    "oracle is the same closure as a recursive CTE",
+)
+def dedup_embedding_components(spark, sf):
+    from esgopeta_spark.operators.dedup import dup_components
+    from esgopeta_spark.operators.similarity import embedding_dup_pairs_exact
+
+    emb = T(spark, sf, "embeddings")
+    pairs = embedding_dup_pairs_exact(emb, threshold=0.4, dim=64)
+    return dup_components(pairs).select("id", "comp")

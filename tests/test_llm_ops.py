@@ -163,3 +163,40 @@ def test_embedding_dup_lsh_recall(spark, sf_dir):
     assert exact, "test needs a non-empty truth set"
     recall = len(got & exact) / len(exact)
     assert recall >= 0.6, f"embedding LSH recall {recall} too low"
+
+
+def test_dup_components_vs_union_find(spark, sf_dir):
+    from esgopeta_spark.operators.dedup import dedup_keepers, dup_components
+    from esgopeta_spark.operators.similarity import embedding_dup_pairs_exact
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = embedding_dup_pairs_exact(emb, threshold=0.3, dim=64)
+    edges = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    assert edges, "need a non-empty pair set"
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    # min-id canonicalization needs a final pass
+    truth = {x: find(x) for x in parent}
+
+    got = {r["id"]: r["comp"] for r in dup_components(pairs).collect()}
+    assert got == truth
+
+    keep = {r["id"]: r["keeper"] for r in dedup_keepers(emb, pairs, id_col="vec_id").collect()}
+    n_all = emb.count()
+    assert len(keep) == n_all
+    for i, k in truth.items():
+        assert keep[i] == k
+    singles = set(keep) - set(truth)
+    assert all(keep[s] == s for s in singles)
