@@ -287,3 +287,30 @@ def dedup_embedding_components(spark, sf):
     emb = T(spark, sf, "embeddings")
     pairs = embedding_dup_pairs_exact(emb, threshold=0.4, dim=64)
     return dup_components(pairs).select("id", "comp")
+
+
+@register(
+    "stream_join_attribution",
+    "F1,E3",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id,
+           epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS c_us,
+           CAST(floor(c.value * 1000000 + 0.5) AS BIGINT) AS click_value_micro
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 DAY
+    """,
+    doc="stream-stream interval join (batch form graded here; batch==stream equivalence "
+    "in test_streaming): purchases joined to same-user clicks within a 1-day lookback; "
+    "watermarked two-sided time bound gives streaming state a hard eviction horizon",
+)
+def stream_join_attribution(spark, sf):
+    from esgopeta_spark.streaming.joins import purchase_click_attribution
+
+    ev = T(spark, sf, "events")
+    return purchase_click_attribution(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+        lookback="1 day",
+    )

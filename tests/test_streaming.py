@@ -171,3 +171,26 @@ def test_handler_vjson_matches_types():
     for v in ["plain", 'quo"te', "unié", 1, -2.5, True, False, None, {"#": "abc"}]:
         row = encode_value(v)
         assert fn(row) == value_json_py(row), v
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Stream-stream interval join == the same join on static frames."""
+    from esgopeta_spark.streaming.ingest import read_events_stream
+    from esgopeta_spark.streaming.joins import purchase_click_attribution
+
+    static = read_table(spark, sf_dir, "events")
+    want = {
+        tuple(r)
+        for r in purchase_click_attribution(
+            static.filter(F.col("event_type") == "purchase"),
+            static.filter(F.col("event_type") == "click"),
+        ).collect()
+    }
+    assert want, "need non-empty attribution result"
+
+    s1 = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    s2 = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    out = purchase_click_attribution(s1, s2)
+    run_stream_to_memory(out, "attrib", mode="append")
+    got = {tuple(r) for r in spark.sql("select * from attrib").collect()}
+    assert got == want
