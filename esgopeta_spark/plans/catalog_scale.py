@@ -314,3 +314,86 @@ def stream_join_attribution(spark, sf):
         ev.filter(F.col("event_type") == "click"),
         lookback="1 day",
     )
+
+
+@register(
+    "skew_salted_agg",
+    "E4",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+           COUNT(*) AS n_items
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="skew-safe two-phase salted aggregate (operators/skew.py): hot keys split over "
+    "16 deterministic salts then re-merged — graded bit-identical to the plain GROUP BY "
+    "oracle (decimal partials are algebraic, so the split is exact, not approximate)",
+)
+def skew_salted_agg(spark, sf):
+    from esgopeta_spark.operators.skew import salted_aggregate
+
+    li = T(spark, sf, "lineitem").select(
+        "l_returnflag",
+        money("l_quantity").alias("_qty"),
+        money("l_extendedprice").alias("_price"),
+    )
+    out = salted_aggregate(
+        li, keys=["l_returnflag"],
+        sum_cols={"_qty": "sum_qty_dec", "_price": "sum_price_dec"},
+        count_alias="n_items",
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        F.col("sum_price_dec").cast("double").alias("sum_price"),
+        "n_items",
+    )
+
+
+@register(
+    "set_exceptall_multiline_orders",
+    "E7",
+    """
+    SELECT l_orderkey FROM lineitem
+    EXCEPT ALL
+    SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="EXCEPT ALL (multiset difference): lineitem order keys minus one occurrence per "
+    "finished order — exercises the bag semantics distinct-based set ops can't express",
+)
+def set_exceptall_multiline_orders(spark, sf):
+    li = T(spark, sf, "lineitem").select("l_orderkey")
+    o = T(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    return li.exceptAll(o)
+
+
+@register(
+    "multimodal_features",
+    "G5",
+    None,  # mapInPandas decode/feature kernels are not SQL-expressible; pytest checks
+    # determinism + schema (test_llm_ops multimodal_pipeline)
+    doc="multimodal binary-column pipeline: synthetic PNG-like media -> mapInPandas "
+    "header-sniff decode (stub kernel, real batch plumbing) -> deterministic feature "
+    "fold to array<float> -> join + stable projection",
+)
+def multimodal_features(spark, sf):
+    from esgopeta_spark.operators.multimodal import decode_image_meta, extract_features, synthetic_media
+
+    media = synthetic_media(spark, 64)
+    meta = decode_image_meta(media)
+    feats = extract_features(media, dim=16)
+    return (
+        meta.join(feats, "media_id")
+        .select(
+            "media_id",
+            "format_sniffed",
+            "payload_bytes",
+            F.floor(F.element_at("feature", 1).cast("double") * 1000000.0 + 0.5)
+            .cast("bigint")
+            .alias("f0_micro"),
+        )
+        .orderBy("media_id")
+    )
