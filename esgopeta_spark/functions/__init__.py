@@ -11,10 +11,20 @@ from esgopeta_spark.operators.dedup import (
     hamming64,
     minhash_signature,
     normalize_text,
+    shingle_hashes,
     shingles,
     simhash64,
 )
-from esgopeta_spark.operators.similarity import as_double, cosine, dot, l2_norm
+from esgopeta_spark.operators.similarity import (
+    as_double,
+    cosine,
+    cosine_unrolled,
+    dot,
+    dot_unrolled,
+    l2_norm,
+    lsh_bucket,
+    sq_norm_unrolled,
+)
 from esgopeta_spark.operators.text import (
     alpha_ratio,
     fingerprint,
@@ -36,10 +46,15 @@ __all__ = [
     "minhash_signature",
     "simhash64",
     "hamming64",
+    "shingle_hashes",
     "as_double",
     "dot",
+    "dot_unrolled",
     "l2_norm",
+    "sq_norm_unrolled",
     "cosine",
+    "cosine_unrolled",
+    "lsh_bucket",
     "words",
     "token_count",
     "regex_token_count",
