@@ -397,3 +397,48 @@ def multimodal_features(spark, sf):
         )
         .orderBy("media_id")
     )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    "G2",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+      FROM documents WHERE doc_id % 25 = 0
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               list_zip(w[1:len(w)-2], w[2:len(w)-1], w[3:len(w)]),
+               r -> r[1] || ' ' || r[2] || ' ' || r[3])) AS grams
+      FROM d
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(floor(
+             CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.grams, b.grams))) * 1000000 + 0.5) AS BIGINT)
+             AS jaccard_micro
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    """,
+    doc="exact word-3-gram Jaccard over a deterministic id-strided doc sample "
+    "(operators/dedup.py ngram_jaccard; Spark computes it over 64-bit gram hashes — "
+    "set-equal to string grams modulo hash collisions — the oracle over the strings "
+    "themselves); this is the G2 verify primitive graded standalone",
+)
+def dedup_ngram_jaccard(spark, sf):
+    from esgopeta_spark.operators.dedup import ngram_jaccard
+
+    d = T(spark, sf, "documents")
+    sample = d.filter(F.col("doc_id") % 25 == 0)
+    ids = sample.select(F.col("doc_id").alias("_i"))
+    pairs = (
+        ids.select(F.col("_i").alias("id_a"))
+        .join(ids.select(F.col("_i").alias("id_b")), F.col("id_a") < F.col("id_b"))
+    )
+    out = ngram_jaccard(pairs, sample, text_col="text", id_col="doc_id", n=3)
+    return out.select(
+        "id_a", "id_b",
+        F.floor(F.col("jaccard") * 1000000.0 + 0.5).cast("bigint").alias("jaccard_micro"),
+    )
