@@ -366,13 +366,16 @@ def dup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max
     Singletons never enter the pair set and keep themselves by definition
     — left-join this result and coalesce to id.
 
-    Each iteration is one equi-join + min-aggregate: comp labels flow one
-    hop, converging in graph-diameter rounds (near-dup clusters are
-    shallow — diameter is small in practice).  Lineage is cut with
-    localCheckpoint every few rounds so the plan doesn't grow across
-    iterations.  At extreme scale swap the loop body for the
-    alternating large-star/small-star formulation (O(log n) rounds,
-    same join shape); the driver loop and contract stay identical.
+    Each round: (1) labels flow one hop along edges, (2) a pointer-jump
+    (comp := comp of comp) halves remaining chain lengths — together
+    converging in O(log diameter) rounds instead of diameter rounds.
+    The convergence check is FUSED into the round's single action (a
+    changed-flag aggregate over the persisted result): iteration count,
+    not per-round data volume, dominates at small scale, and each round
+    here costs exactly one job.  Lineage is cut with localCheckpoint
+    every few rounds so the plan doesn't grow across iterations.  At
+    extreme scale the round body swaps for alternating large-star/
+    small-star (same join shapes, same driver loop).
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
@@ -385,22 +388,27 @@ def dup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max
         prop = edges.join(labels, edges["dst"] == labels["id"]).select(
             F.col("src").alias("id"), F.col("comp")
         )
-        new_labels = (
-            labels.unionByName(prop).groupBy("id").agg(F.min("comp").alias("comp"))
+        cand = labels.unionByName(prop).groupBy("id").agg(F.min("comp").alias("comp"))
+        ptr = cand.select(F.col("id").alias("comp"), F.col("comp").alias("_pc"))
+        jump = cand.join(ptr, "comp", "left").select(
+            "id", F.least(F.col("comp"), F.coalesce("_pc", F.col("comp"))).alias("comp")
+        )
+        merged = (
+            jump.alias("n")
+            .join(labels.alias("o"), "id")
+            .select(
+                F.col("id"),
+                F.col("n.comp").alias("comp"),
+                (F.col("n.comp") != F.col("o.comp")).alias("_chg"),
+            )
         )
         if (i + 1) % 4 == 0:
-            new_labels = new_labels.localCheckpoint(eager=False)
-        new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+            merged = merged.localCheckpoint(eager=False)
+        merged = merged.persist()
+        changed = merged.agg(F.max(F.col("_chg").cast("int")).alias("c")).collect()[0]["c"]
         labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        labels = merged.drop("_chg")
+        if not changed:
             break
     edges.unpersist()
     return labels
