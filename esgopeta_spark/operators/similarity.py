@@ -24,6 +24,9 @@ from __future__ import annotations
 import math
 import random
 
+import numpy as np
+import pandas as pd  # module-level so pandas_udf type hints resolve under PEP 563
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -101,7 +104,11 @@ def topk_cosine(
         if dim is not None
         else cosine(F.col("_qv"), F.col("_cv"))
     )
-    scored = c.join(F.broadcast(q), F.col("nbr_id") != F.col("query_id")).withColumn("cosine_sim", sim)
+    scored = (
+        c.join(F.broadcast(q), F.col("nbr_id") != F.col("query_id"))
+        .withColumn("cosine_sim", sim)
+        .select("query_id", "nbr_id", "cosine_sim")  # narrow BEFORE the window shuffle: vectors stay in the scan stage
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("nbr_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -132,6 +139,44 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def _bucket_array(vec: Column, all_planes: list[list[list[float]]]) -> Column:
+    """All tables' bucket ids for one vector, in ONE projection.
+
+    Arrow-vectorized pandas UDF: the whole batch's plane dots are one
+    BLAS matmul (batch x dim @ dim x (tables*planes)), then a reshape +
+    power-of-two dot folds sign bits into per-table bucket ids.  The
+    Catalyst-expression alternative is either an interpreted HOF fold
+    (~0.7 ms/row for 4x6 planes — measured to dominate the whole query)
+    or an unrolled chain whose serialized plan hits multi-MB and janino
+    compile time dominates instead.  Sign-at-zero could differ between
+    summation orders, but bucketing only requires corpus and query sides
+    to hash identically — both go through this kernel."""
+    n_tables = len(all_planes)
+    n_planes = len(all_planes[0])
+    P = np.array([p for planes in all_planes for p in planes], dtype=np.float64)  # (T*H) x dim
+    weights = (2 ** np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf("array<long>")
+    def _buckets(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack(v.to_numpy()).astype(np.float64)  # batch x dim
+        signs = (M @ P.T) >= 0.0  # batch x (T*H)
+        B = signs.reshape(len(v), n_tables, n_planes).astype(np.int64) @ weights  # batch x T
+        return pd.Series(list(B))
+
+    return _buckets(vec)
+
+
+def _first_match(ba: Column, bb: Column, t: Column) -> Column:
+    """True iff table ``t`` (0-based) is the FIRST table whose buckets
+    collide — a zero-shuffle replacement for `.distinct()` over the
+    candidate set: each colliding pair is kept exactly once, by the
+    earliest table that found it.  array_position returns the 1-based
+    index of the first `true` in the per-table equality vector."""
+    return F.array_position(F.zip_with(ba, bb, lambda x, y: x == y), F.lit(True)) == t + 1
+
+
 def topk_cosine_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -144,23 +189,41 @@ def topk_cosine_lsh(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: union of ``n_tables`` independent hyperplane
-    hashes; candidates = bucket-equi-join; exact cosine re-rank on the
-    (small) candidate set.  Corpus-side work is a projection + equi-join —
-    scales linearly, survives 100×.  (No forced repartition here: bucket
-    hashing is cheap per row, and widening a tiny scan costs more in
-    shuffle+task overhead than it buys — measured 2x slower at sf0.1.)"""
-    c = corpus.select(F.col(id_col).alias("nbr_id"), as_double(F.col(vec_col)).alias("_cv"))
-    q = queries.select(F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv"))
-    cand = None
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
-        ct = c.withColumn("_b", lsh_bucket(F.col("_cv"), planes)).withColumn("_t", F.lit(t))
-        qt = q.withColumn("_b", lsh_bucket(F.col("_qv"), planes)).withColumn("_t", F.lit(t))
-        pair = ct.join(F.broadcast(qt), ["_t", "_b"]).filter(F.col("nbr_id") != F.col("query_id"))
-        cand = pair if cand is None else cand.unionByName(pair)
-    cand = cand.select("query_id", "nbr_id", "_qv", "_cv").distinct()
-    scored = cand.withColumn("cosine_sim", cosine_unrolled(F.col("_qv"), F.col("_cv"), dim))
+    """Approximate top-k: ``n_tables`` independent hyperplane hashes;
+    candidates = bucket-equi-join; exact cosine re-rank on the (small)
+    candidate set.
+
+    Single-pass shape: ONE corpus scan computes every table's bucket in
+    one projection (an array), posexplode turns it into (table, bucket)
+    join keys, and one broadcast equi-join against the (likewise
+    exploded) query side finds all candidates.  Cross-table duplicates
+    are dropped by the first-matching-table filter — a codegen'd
+    expression over the two bucket arrays — instead of a distinct over
+    rows carrying both full vectors (the old shape's wide shuffle).
+    The only shuffle left is the per-query top-k window on candidates.
+    Scales linearly in corpus size, survives 100×."""
+    from esgopeta_spark.session import ensure_min_partitions
+
+    all_planes = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    c = (
+        ensure_min_partitions(corpus)  # small parquet = 1-2 splits; bucket hashing must parallelize
+        .select(F.col(id_col).alias("nbr_id"), as_double(F.col(vec_col)).alias("_cv"))
+        .withColumn("_cba", _bucket_array(F.col("_cv"), all_planes))
+        .select("nbr_id", "_cv", "_cba", F.posexplode("_cba").alias("_t", "_b"))
+    )
+    q = (
+        queries.select(F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv"))
+        .withColumn("_qba", _bucket_array(F.col("_qv"), all_planes))
+        .select("query_id", "_qv", "_qba", F.posexplode("_qba").alias("_t", "_b"))
+    )
+    cand = (
+        c.join(F.broadcast(q), ["_t", "_b"])
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .filter(_first_match(F.col("_cba"), F.col("_qba"), F.col("_t")))
+    )
+    scored = cand.withColumn("cosine_sim", cosine_unrolled(F.col("_qv"), F.col("_cv"), dim)).select(
+        "query_id", "nbr_id", "cosine_sim"  # narrow BEFORE the window shuffle
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("nbr_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -214,12 +277,18 @@ def topk_cosine_ivf(
     cents = corpus.filter(F.col(id_col) % centroid_stride == 0).select(
         F.col(id_col).alias("_cell"), as_double(F.col(vec_col)).alias("_cent")
     )
-    w_assign = Window.partitionBy("nbr_id").orderBy(F.col("_sim").desc(), F.col("_cell").asc())
+    # argmax-by-aggregation, not a window: the corpus x codebook cross
+    # product never leaves its scan stage — partial max_by combines
+    # map-side, so the shuffle is one narrow row per corpus vector
+    # (vs. shuffling every (vector, centroid) pair through a window)
     assigned = (
         c.join(F.broadcast(cents))
         .withColumn("_sim", cosine_unrolled(F.col("_cv"), F.col("_cent"), dim))
-        .withColumn("_rk", F.row_number().over(w_assign))
-        .filter(F.col("_rk") == 1)
+        .groupBy("nbr_id")
+        .agg(
+            F.max_by("_cell", F.struct(F.col("_sim"), (-F.col("_cell")).alias("_nc"))).alias("_cell"),
+            F.first("_cv").alias("_cv"),  # constant per nbr_id
+        )
         .select("nbr_id", "_cv", "_cell")
     )
     q = queries.select(F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv"))
@@ -235,6 +304,7 @@ def topk_cosine_ivf(
         assigned.join(F.broadcast(probes), "_cell")
         .filter(F.col("nbr_id") != F.col("query_id"))
         .withColumn("cosine_sim", cosine_unrolled(F.col("_qv"), F.col("_cv"), dim))
+        .select("query_id", "nbr_id", "cosine_sim")  # narrow BEFORE the window shuffle
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("nbr_id").asc())
     return (
@@ -289,21 +359,45 @@ def embedding_dup_pairs_lsh(
     more tables, accepting a larger candidate set — below ~0.3 the angle
     no longer separates from random and exact verification dominates
     regardless.  (Bucket hashing is cheap -> no forced repartition; the
-    verify stage inherits parallelism from the candidate distinct's
+    verify stage inherits parallelism from the candidate join's
     shuffle.)
+
+    Single-pass shape: one scan computes every table's bucket in one
+    projection (an array of bucket ids); candidates come from ONE
+    bucket-equi-join of the posexploded (table, bucket) keys; cross-table
+    duplicates are dropped by the first-matching-table filter over the
+    two bucket arrays (codegen) instead of a distinct over rows carrying
+    both full vectors (a wide shuffle).  The probe side stays at scan
+    parallelism and carries its vector; the build side is broadcast
+    WITHOUT vectors (ids + bucket arrays only), and the partner vector is
+    re-attached by a second broadcast hash join — so nothing ever
+    shuffles and no key-grouping caps parallelism (a shuffle join on
+    coarse buckets has at most n_tables x 2^n_planes groups, and AQE then
+    coalesces the tiny exchange to 1-2 partitions, serializing the
+    quadratic verify — measured 2x slower than this shape at sf0.1).
+    At 100 TB the build side no longer fits a broadcast: swap the two
+    broadcast joins for one shuffle join on (_t, _b) with the same
+    first-match filter (same semantics), salting any hot bucket.
     """
-    v = df.select(F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v"))
-    cand = None
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
-        bt = v.select("_id", "_v", lsh_bucket(F.col("_v"), planes).alias("_b"), F.lit(t).alias("_t"))
-        a = bt.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_b", "_t")
-        b = bt.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_b", "_t")
-        pair = a.join(b, ["_t", "_b"]).filter(F.col("id_a") < F.col("id_b"))
-        cand = pair if cand is None else cand.unionByName(pair)
-    cand = cand.select("id_a", "id_b", "_va", "_vb").distinct()
+    all_planes = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    from esgopeta_spark.session import ensure_min_partitions
+
+    base = ensure_min_partitions(df).select(
+        F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_ba", _bucket_array(F.col("_v"), all_planes))
+    a = base.select("_id", "_v", "_ba", F.posexplode("_ba").alias("_t", "_b"))
+    b_narrow = base.select(F.col("_id").alias("id_b"), F.col("_ba").alias("_bab"),
+                           F.posexplode("_ba").alias("_t", "_b"))
+    vecs = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    cand = (
+        a.join(F.broadcast(b_narrow), ["_t", "_b"])
+        .filter(F.col("_id") < F.col("id_b"))
+        .filter(_first_match(F.col("_ba"), F.col("_bab"), F.col("_t")))
+        .select(F.col("_id").alias("id_a"), "id_b", F.col("_v").alias("_va"))
+    )
     return (
-        cand.withColumn("cosine_sim", cosine_unrolled(F.col("_va"), F.col("_vb"), dim))
+        cand.join(F.broadcast(vecs), "id_b")
+        .withColumn("cosine_sim", cosine_unrolled(F.col("_va"), F.col("_vb"), dim))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
