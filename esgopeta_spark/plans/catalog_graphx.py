@@ -1,0 +1,96 @@
+"""GraphX-style analytics catalog entries: PageRank and triangle
+counting over edge projections of the testdata (SURVEY.md §7 stance —
+vertex/edge DataFrames + iterated joins; mandate "analytical graph
+queries fit GraphX").  Same determinism rules as catalog.py; PageRank
+uses all-integer micro-unit arithmetic (see operators/graph_analytics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from esgopeta_spark.plans.catalog import T, register
+
+_PR_EDGES_SQL = """
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+"""
+
+_PR_ITER_SQL = """
+    i{i} AS (
+      SELECT ed.dst, SUM(r{p}.r // ed.d) AS s
+      FROM ed JOIN r{p} ON ed.src = r{p}.node GROUP BY ed.dst),
+    r{i} AS (
+      SELECT n.node, CAST(150000 + (85 * COALESCE(i{i}.s, 0)) // 100 AS BIGINT) AS r
+      FROM nodes n LEFT JOIN i{i} ON n.node = i{i}.dst)
+"""
+
+
+@register(
+    "graph_pagerank_transactions",
+    "A1,E3,E4",
+    "WITH edges AS ("
+    + _PR_EDGES_SQL
+    + """),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    ed AS (SELECT e.src, e.dst, d.d FROM edges e JOIN deg d ON e.src = d.src),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+    """
+    + ",".join(_PR_ITER_SQL.format(i=i, p=i - 1) for i in (1, 2, 3))
+    + """
+    SELECT node, r AS rank_micro FROM r3
+    """,
+    doc="3-iteration PageRank (damping 0.85) over the customer->supplier transaction "
+    "graph, in integer micro-units with floor division so rank sums are exact and "
+    "order-free on both engines (operators/graph_analytics.pagerank; the graph is the "
+    "GunGraph relation-slice shape, SURVEY.md §1.3)",
+)
+def graph_pagerank_transactions(spark, sf):
+    from esgopeta_spark.operators.graph_analytics import pagerank
+
+    o = T(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(edges, iterations=3)
+
+
+@register(
+    "graph_triangles_coorder",
+    "A1,E3,E4",
+    """
+    WITH raw AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    e AS (SELECT DISTINCT LEAST(pa, pb) AS a, GREATEST(pa, pb) AS b FROM raw),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    corners AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri)
+    SELECT node, COUNT(*) AS triangles FROM corners GROUP BY node
+    """,
+    doc="per-part triangle counts on the parts-co-ordered graph: oriented-wedge "
+    "enumeration (a<b<c), each triangle found exactly once via two equi-joins "
+    "(operators/graph_analytics.triangle_counts)",
+)
+def graph_triangles_coorder(spark, sf):
+    from esgopeta_spark.operators.graph_analytics import triangle_counts
+
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    raw = a.join(b, "k").filter(F.col("pa") != F.col("pb")).select("pa", "pb").distinct()
+    return triangle_counts(raw, src="pa", dst="pb")
