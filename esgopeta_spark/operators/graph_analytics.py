@@ -71,12 +71,16 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     """Per-node triangle counts over an UNDIRECTED graph given as any
     edge list (direction and duplicates ignored; self-loops dropped).
 
-    Canonicalize to a < b once, then enumerate each triangle exactly
-    once as a < b < c via two equi-joins (e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c))
-    — the standard "oriented wedge" formulation: no triangle is counted
-    6 ways, and each join is an equi-join Catalyst can shuffle or
-    broadcast as sizes dictate.  Per-node counts come from exploding
-    each found triangle into its three corners.
+    Degree-ordered orientation (the scale-critical trick): each
+    undirected edge is directed from its lower-(degree, id) endpoint to
+    the higher one, making the graph a DAG in which every triangle has
+    exactly one apex with two out-edges.  Wedge enumeration then costs
+    Σ out_deg², and out-degree under this orientation is bounded by
+    O(√m) — on skewed graphs this collapses the wedge count by orders
+    of magnitude versus naive id-ordering (a hub of degree d generates
+    d²/2 wedges under id-order but only its *out*-wedges here).  Both
+    joins stay equi-joins; per-node counts come from exploding each
+    triangle into its three corners.
     """
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -84,13 +88,33 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .distinct()
     )
-    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"])  # x < y < z by construction
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    ew = (
+        e.join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "_da"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "_db"), "b")
+    )
+    a_first = (F.col("_da") < F.col("_db")) | ((F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b")))
+    oriented = ew.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("_db")).otherwise(F.col("_da")).alias("_dv"),
+    )
+    o1 = oriented.select("u", F.col("v").alias("v1"), F.col("_dv").alias("_d1"))
+    o2 = oriented.select("u", F.col("v").alias("v2"), F.col("_dv").alias("_d2"))
+    wedge_order = (F.col("_d1") < F.col("_d2")) | (
+        (F.col("_d1") == F.col("_d2")) & (F.col("v1") < F.col("v2"))
+    )
+    wedges = o1.join(o2, "u").filter(wedge_order)  # each out-pair of the apex once
+    close = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = wedges.join(close, ["v1", "v2"])  # closing edge is oriented v1 -> v2 by transitivity
     corners = (
-        tri.select(F.col("x").alias("node"))
-        .unionAll(tri.select(F.col("y").alias("node")))
-        .unionAll(tri.select(F.col("z").alias("node")))
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v1").alias("node")))
+        .unionAll(tri.select(F.col("v2").alias("node")))
     )
     return corners.groupBy("node").agg(F.count("*").alias("triangles"))

@@ -67,11 +67,12 @@ def graph_pagerank_transactions(spark, sf):
     "graph_triangles_coorder",
     "A1,E3,E4",
     """
-    WITH raw AS (
-      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+    WITH e AS (
+      SELECT LEAST(a.l_partkey, b.l_partkey) AS a, GREATEST(a.l_partkey, b.l_partkey) AS b
       FROM lineitem a JOIN lineitem b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
-    e AS (SELECT DISTINCT LEAST(pa, pb) AS a, GREATEST(pa, pb) AS b FROM raw),
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(DISTINCT a.l_orderkey) >= 2),
     tri AS (
       SELECT e1.a AS x, e1.b AS y, e2.b AS z
       FROM e e1 JOIN e e2 ON e1.b = e2.a
@@ -82,9 +83,11 @@ def graph_pagerank_transactions(spark, sf):
       UNION ALL SELECT z FROM tri)
     SELECT node, COUNT(*) AS triangles FROM corners GROUP BY node
     """,
-    doc="per-part triangle counts on the parts-co-ordered graph: oriented-wedge "
-    "enumeration (a<b<c), each triangle found exactly once via two equi-joins "
-    "(operators/graph_analytics.triangle_counts)",
+    doc="per-part triangle counts on the recurring-co-purchase graph (parts co-ordered "
+    "in >= 2 distinct orders: the pair-count aggregate shuffles once with map-side "
+    "combine, and the multiplicity filter keeps the edge set sparse at every SF); "
+    "degree-ordered wedge enumeration in operators/graph_analytics.triangle_counts "
+    "(the id-ordered DuckDB oracle enumerates the same triangle set)",
 )
 def graph_triangles_coorder(spark, sf):
     from esgopeta_spark.operators.graph_analytics import triangle_counts
@@ -92,5 +95,14 @@ def graph_triangles_coorder(spark, sf):
     li = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
     a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
     b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
-    raw = a.join(b, "k").filter(F.col("pa") != F.col("pb")).select("pa", "pb").distinct()
-    return triangle_counts(raw, src="pa", dst="pb")
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy(
+            F.least("pa", "pb").alias("ea"), F.greatest("pa", "pb").alias("eb")
+        )
+        .agg(F.countDistinct("k").alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("ea", "eb")
+    )
+    return triangle_counts(edges, src="ea", dst="eb")

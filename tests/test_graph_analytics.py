@@ -1,0 +1,61 @@
+"""Unit tests for GraphX-style analytics: degree-oriented triangle
+enumeration vs brute force, and the integer PageRank recurrence vs a
+pure-Python oracle."""
+
+from __future__ import annotations
+
+import itertools
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from esgopeta_spark.operators.graph_analytics import pagerank, triangle_counts
+
+
+def test_triangle_counts_match_bruteforce(spark):
+    rng = random.Random(7)
+    n = 40
+    edges = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(160)})
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+
+    adj = {i: set() for i in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want: dict[int, int] = {}
+    for x, y, z in itertools.combinations(range(n), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for v in (x, y, z):
+                want[v] = want.get(v, 0) + 1
+    assert got == want
+    assert sum(want.values()) % 3 == 0 and sum(want.values()) > 0
+
+
+def test_triangle_counts_ignores_direction_dups_loops(spark):
+    rows = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (3, 3), (2, 3)]
+    df = spark.createDataFrame(rows, "src int, dst int")
+    got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_pagerank_matches_python_oracle(spark):
+    rng = random.Random(11)
+    edges = sorted({(rng.randrange(25), rng.randrange(25)) for _ in range(80)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["rank_micro"] for r in pagerank(df, iterations=3).collect()}
+
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    deg: dict[int, int] = {}
+    for a, _ in edges:
+        deg[a] = deg.get(a, 0) + 1
+    rank = {v: 1_000_000 for v in nodes}
+    for _ in range(3):
+        inc = {v: 0 for v in nodes}
+        for a, b in edges:
+            inc[b] += rank[a] // deg[a]
+        rank = {v: 150_000 + (85 * inc[v]) // 100 for v in nodes}
+    assert got == rank
