@@ -194,3 +194,64 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     run_stream_to_memory(out, "attrib", mode="append")
     got = {tuple(r) for r in spark.sql("select * from attrib").collect()}
     assert got == want
+
+
+def test_stream_put_upsert_matches_batch(spark, tmp_path):
+    """B1 streaming write path: foreachBatch HAM upsert into the bucketed
+    store == one batch ham_merge of the full log; future-state rows park
+    in _pending (D3) and the merge is idempotent under batch replay."""
+    import glob
+    import shutil
+
+    from esgopeta_spark.ham import empty_quads, ham_apply_updates
+    from esgopeta_spark.sources.io import read_quads
+    from esgopeta_spark.streaming.upsert import ham_upsert_batch, stream_put
+
+    as_of = 1_000_000.0  # frozen deferral clock
+    batch1 = [
+        q("s1", "f", "a", 100, msg="m1"),
+        q("s1", "f", "zz", 100, msg="m2"),
+        q("s2", "f", 5, 200, msg="m3"),
+    ]
+    batch2 = [
+        q("s1", "f", "older", 50, msg="m4"),
+        q("s2", "f", 7, 300, msg="m5"),
+        q("s3", "g", True, 2_000_000, msg="m6"),  # future: state > as_of
+    ]
+    d = str(tmp_path / "raw")
+    os.makedirs(d)
+    spark.createDataFrame(batch1, UPDATE_SCHEMA).coalesce(1).write.parquet(d + "/b1")
+    spark.createDataFrame(batch2, UPDATE_SCHEMA).coalesce(1).write.parquet(d + "/b2")
+    sd = str(tmp_path / "stream")
+    os.makedirs(sd)
+    for i, f in enumerate(sorted(glob.glob(d + "/b*/part-*.parquet"))):
+        shutil.copy(f, f"{sd}/{i:03d}.parquet")
+
+    store = str(tmp_path / "store")
+    query = stream_put(
+        read_update_stream(spark, sd),
+        store,
+        str(tmp_path / "ckpt"),
+        n_buckets=8,
+        as_of_fn=lambda: as_of,
+    )
+    try:
+        query.processAllAvailable()  # drain both files, then stop
+    finally:
+        query.stop()
+
+    all_updates = spark.createDataFrame(batch1 + batch2, UPDATE_SCHEMA)
+    want = ham_apply_updates(empty_quads(spark), all_updates, as_of_ms=as_of)
+    key = lambda r: (r["soul"], r["field"])  # noqa: E731
+    got_rows = {key(r): r["value_string"] or r["value_number"] for r in read_quads(spark, store).collect()}
+    want_rows = {key(r): r["value_string"] or r["value_number"] for r in want.quads.collect()}
+    assert got_rows == want_rows
+    assert got_rows[("s1", "f")] == "zz" and got_rows[("s2", "f")] == 7.0
+
+    pending = spark.read.parquet(store + "/_pending")
+    assert [(r["soul"], r["field"]) for r in pending.collect()] == [("s3", "g")]
+
+    # idempotence: replaying a batch changes nothing
+    ham_upsert_batch(spark, spark.createDataFrame(batch2, UPDATE_SCHEMA), store, n_buckets=8, as_of_ms=as_of)
+    got2 = {key(r): r["value_string"] or r["value_number"] for r in read_quads(spark, store).collect()}
+    assert got2 == got_rows
