@@ -73,3 +73,35 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None, schema=None
         options.setdefault("header", "true")
         options.setdefault("inferSchema", schema is None)
     return reader.options(**options).format(fmt).load(path)
+
+
+def write_any(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    repartition_by_partition_cols: bool = True,
+    **options,
+) -> None:
+    """Generic sink front-door (parquet/orc/json/csv).
+
+    ``partition_by`` lays out Hive-style partition directories —
+    downstream scans filtering on those columns prune whole directories.
+    When partitioning, the frame is first repartitioned ON the partition
+    columns: without it every task writes a file into every partition
+    directory (tasks x partitions small files, the classic sink
+    mistake); with it each partition directory gets one file per key
+    slice.  Set ``repartition_by_partition_cols=False`` when the frame
+    is already clustered (e.g. straight out of a groupBy on the same
+    keys).
+    """
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    out = df
+    if partition_by and repartition_by_partition_cols:
+        out = out.repartition(*[F.col(c) for c in partition_by])
+    writer = out.write.mode(mode).options(**options)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.format(fmt).save(path)

@@ -39,3 +39,29 @@ def test_read_any_formats(spark, tmp_path):
         assert back.count() == 10
         vals = {(int(r["id"]), int(r["v"])) for r in back.collect()}
         assert vals == {(i, 2 * i) for i in range(10)}
+
+
+def test_write_any_partitioned_roundtrip(spark, tmp_path):
+    """write_any lays out prunable partition dirs in every format; the
+    partition column round-trips and a partition filter prunes to one
+    directory's files."""
+    import os
+
+    from esgopeta_spark.sources.io import read_any, write_any
+
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("int").alias("bucket"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("payload"),
+    )
+    for fmt in ["parquet", "orc", "json", "csv"]:
+        path = str(tmp_path / fmt)
+        write_any(df, path, fmt=fmt, partition_by=["bucket"])
+        dirs = sorted(d for d in os.listdir(path) if d.startswith("bucket="))
+        assert dirs == ["bucket=0", "bucket=1", "bucket=2", "bucket=3"], fmt
+        back = read_any(spark, path, fmt=fmt)
+        assert back.count() == 1000, fmt
+        assert back.filter(F.col("bucket") == 2).count() == 250, fmt
+        # partition filter must reach the scan as partition pruning
+        plan = back.filter(F.col("bucket") == 2)._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan and "bucket" in plan.split("PartitionFilters")[1][:80], fmt
