@@ -49,7 +49,11 @@ def pagerank(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = e.select(F.col("src").alias("node")).union(e.select("dst")).distinct()
     deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
-    ed = e.join(deg, "src")  # (src, dst, _deg)
+    # every iteration re-reads the degree-annotated edges and the node
+    # set; persist both once instead of recomputing the upstream
+    # edge-projection pipeline 3x (first action materializes them)
+    ed = e.join(deg, "src").persist()  # (src, dst, _deg)
+    nodes = nodes.persist()
     rank = nodes.withColumn("rank_micro", F.lit(1000000).cast("bigint"))
     for _ in range(iterations):
         contrib = (

@@ -240,3 +240,32 @@ def graph_ham_lexical_ties(spark, sf):
         F.expr("CAST(unix_millis(ts) div 86400000 AS DOUBLE)").alias("state"),
     )
     return ham_merge(updates).select("soul", "field", "value_string", "state")
+
+
+@register(
+    "map_funcs_nation_map",
+    "E8",
+    """
+    SELECT c_custkey, n_name AS nation_name,
+           (SELECT COUNT(*) FROM nation) AS n_nations
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+    doc="map functions (map_from_entries / element_at / map_keys): the nation dim "
+    "folded into ONE map value and broadcast — a per-row map lookup replaces the "
+    "join (the 'dimension as map literal' pattern for tiny dims); the oracle is the "
+    "equivalent join, proving the lookup semantics",
+)
+def map_funcs_nation_map(spark, sf):
+    n = T(spark, sf, "nation")
+    nmap = n.agg(
+        F.map_from_entries(F.collect_list(F.struct("n_nationkey", "n_name"))).alias("_m")
+    )
+    c = T(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    return (
+        c.crossJoin(F.broadcast(nmap))
+        .select(
+            "c_custkey",
+            F.element_at(F.col("_m"), F.col("c_nationkey")).alias("nation_name"),
+            F.size(F.map_keys(F.col("_m"))).cast("bigint").alias("n_nations"),
+        )
+    )
