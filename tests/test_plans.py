@@ -108,3 +108,45 @@ def test_asof_join_single_shuffle_on_key(spark, sf_dir):
 
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
     assert n_exchanges == 1, p
+
+
+def test_q19_hull_prefilters_reach_both_scans(spark, sf_dir):
+    """The disjunction spans the join, but its single-table hulls must
+    still be pushed: brand IN-list on the part scan, quantity range on
+    the lineitem scan."""
+    from esgopeta_spark.plans import REGISTRY
+
+    p = plan_of(REGISTRY["q19_disjunctive_revenue"].fn(spark, sf_dir))
+    assert "In(p_brand" in p, p
+    assert "GreaterThanOrEqual(l_quantity,1" in p and "LessThanOrEqual(l_quantity,3" in p, p
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
+
+
+def test_q17_semi_prune_before_per_part_agg(spark, sf_dir):
+    """The brand/size filter must reach the part scan and the lineitem
+    restriction must be a broadcast semi join — the per-part average only
+    runs over surviving parts."""
+    from esgopeta_spark.plans import REGISTRY
+
+    p = plan_of(REGISTRY["q17_small_quantity_revenue"].fn(spark, sf_dir))
+    assert "EqualTo(p_brand,Brand#13)" in p and "LessThan(p_size,10)" in p, p
+    assert "LeftSemi" in p and "BroadcastHashJoin" in p, p
+
+
+def test_triangles_all_joins_equi(spark, sf_dir):
+    """Degree-oriented wedge enumeration must stay equi-join end to end
+    (a cartesian fallback here is quadratic in the edge set)."""
+    from esgopeta_spark.plans import REGISTRY
+
+    p = plan_of(REGISTRY["graph_triangles_coorder"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_pagerank_contribution_agg_is_partial(spark, sf_dir):
+    """Each iteration's contribution sum must keep map-side partial
+    aggregation (HashAggregate appears in partial+final pairs)."""
+    from esgopeta_spark.plans import REGISTRY
+
+    p = plan_of(REGISTRY["graph_pagerank_transactions"].fn(spark, sf_dir))
+    assert "partial_sum" in p or "Partial" in p, p
+    assert "CartesianProduct" not in p
