@@ -193,3 +193,73 @@ def test_value_json_spark_matches_python(spark):
     got = {r["field"]: r["vj"] for r in df.collect()}
     for i, v in enumerate(values):
         assert got[f"f{i}"] == ham.value_json_py(rows[i]), v
+
+
+# ---------------------------------------------------------------------------
+# property-based: replay ≡ algebraic reduction (hypothesis)
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    _values = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(10**15), max_value=10**15),
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+        st.text(max_size=8),
+        st.builds(lambda s: {"#": s}, st.text(min_size=1, max_size=6)),
+    )
+    _rows = st.lists(
+        st.builds(
+            lambda s, f, v, t: q(f"s{s}", f"f{f}", v, t),
+            st.integers(0, 2),
+            st.integers(0, 2),
+            _values,
+            st.integers(1, 5),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+
+    def _maxby_reduction(rows):
+        """What the distributed merge computes: max over (state, value_json)
+        per key — one max_by aggregate, no notion of arrival order."""
+        from esgopeta_spark.types import value_json_py
+
+        best: dict[tuple[str, str], tuple[float, str, object]] = {}
+        for r in rows:
+            key = (r["soul"], r["field"])
+            rank = (r["state"], value_json_py(r))
+            if key not in best or rank > (best[key][0], best[key][1]):
+                best[key] = (rank[0], rank[1], decode_value(r))
+        return {k: (v[2], v[0]) for k, v in best.items()}
+
+    @given(_rows, st.randoms())
+    @settings(max_examples=300, deadline=None)
+    def test_property_replay_equals_maxby_any_order(rows, rnd):
+        """The load-bearing CRDT theorem behind the engine: sequential
+        arrival-order HAM replay (the reference's semantics,
+        gun/storage.go:91-122) converges to the order-free
+        max-by-(state, value_json) reduction (our distributed merge,
+        ham.ham_merge) for EVERY log and EVERY arrival order."""
+        want = _maxby_reduction(rows)
+        assert sequential_replay(rows) == want
+        shuffled = list(rows)
+        rnd.shuffle(shuffled)
+        assert sequential_replay(shuffled) == want
+
+    @given(_rows)
+    @settings(max_examples=100, deadline=None)
+    def test_property_merge_idempotent_under_replay(rows):
+        """Replaying the whole log on top of the converged store changes
+        nothing — the foundation of the streaming upsert sink's
+        at-least-once safety."""
+        once = _maxby_reduction(rows)
+        assert _maxby_reduction(rows + rows) == once
