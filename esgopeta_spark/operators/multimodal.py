@@ -109,6 +109,39 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
     return df.mapInPandas(kernel, out_schema)
 
 
+def resize_images(df: DataFrame, max_side: int = 224) -> DataFrame:
+    """mapInPandas resize kernel: aspect-preserving target dimensions are
+    computed for real (the part a pipeline plans partitioning and memory
+    around); the pixel resample itself is the stubbed codec step — the
+    payload passes through unchanged, where PIL's ``Image.resize`` would
+    produce the re-encoded bytes.
+    """
+    out_schema = (
+        "media_id bigint, width int, height int, out_width int, out_height int, payload binary"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["meta"].map(lambda m: m["width"] or 0)
+            h = pdf["meta"].map(lambda m: m["height"] or 0)
+            scale = (max_side / pd.concat([w, h], axis=1).max(axis=1).clip(lower=1)).clip(upper=1.0)
+            ow = (w * scale).round().astype("int32").clip(lower=1)
+            oh = (h * scale).round().astype("int32").clip(lower=1)
+            # --- STUB KERNEL: real resample (PIL Image.resize) goes here ---
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": w.astype("int32"),
+                    "height": h.astype("int32"),
+                    "out_width": ow,
+                    "out_height": oh,
+                    "payload": pdf["payload"],
+                }
+            )
+
+    return df.mapInPandas(kernel, out_schema)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: explode timestamps to sample without
     decoding (decode itself is the stubbed kernel above).  Shows the

@@ -131,6 +131,21 @@ def test_multimodal_pipeline(spark):
     assert f0 == f0b
 
 
+def test_multimodal_resize_dims(spark):
+    from esgopeta_spark.operators.multimodal import resize_images, synthetic_media
+
+    media = synthetic_media(spark, 16)
+    out = {r["media_id"]: r for r in resize_images(media, max_side=16).collect()}
+    assert len(out) == 16
+    for r in out.values():
+        # aspect preserved within rounding; never upscaled; payload intact
+        assert max(r["out_width"], r["out_height"]) <= 16
+        assert abs(r["out_width"] / r["out_height"] - r["width"] / r["height"]) < 0.2
+        assert bytes(r["payload"])[:8] == b"\x89PNG\r\n\x1a\n"
+    big = resize_images(media, max_side=4096).collect()
+    assert all(r["out_width"] == r["width"] and r["out_height"] == r["height"] for r in big)
+
+
 def test_approx_count_distinct_tolerance(spark, sf_dir):
     o = read_table(spark, sf_dir, "orders")
     exact = o.select(F.countDistinct("o_custkey").alias("n")).collect()[0]["n"]
