@@ -269,3 +269,30 @@ def map_funcs_nation_map(spark, sf):
             F.size(F.map_keys(F.col("_m"))).cast("bigint").alias("n_nations"),
         )
     )
+
+
+@register(
+    "win_percentrank_cumedist",
+    "E5",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(floor(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT) AS pr_micro,
+           CAST(floor(cume_dist()    OVER w * 1000000 + 0.5) AS BIGINT) AS cd_micro
+    FROM orders
+    WHERE o_custkey % 10 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="percent_rank + cume_dist over a keyed window (unique total order per rule 4; "
+    "micro-unit flooring per rule 3 — both are small-int ratios, exact either way)",
+)
+def win_percentrank_cumedist(spark, sf):
+    from pyspark.sql.window import Window
+
+    o = T(spark, sf, "orders").filter(F.col("o_custkey") % 10 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.floor(F.percent_rank().over(w) * 1000000.0 + 0.5).cast("bigint").alias("pr_micro"),
+        F.floor(F.cume_dist().over(w) * 1000000.0 + 0.5).cast("bigint").alias("cd_micro"),
+    )
