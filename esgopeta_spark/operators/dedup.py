@@ -196,7 +196,9 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(F.concat_ws(",", *[F.element_at("_sig", b * rows + r + 1).cast("string") for r in range(rows)])).alias("bh"),
+                        # xxhash64 is variadic: hash the band's signature rows
+                        # directly as longs — no per-row string materialization
+                        F.xxhash64(*[F.element_at("_sig", b * rows + r + 1) for r in range(rows)]).alias("bh"),
                     )
                     for b in range(bands)
                 ]
