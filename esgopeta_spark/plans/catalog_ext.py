@@ -296,3 +296,56 @@ def win_percentrank_cumedist(spark, sf):
         F.floor(F.percent_rank().over(w) * 1000000.0 + 0.5).cast("bigint").alias("pr_micro"),
         F.floor(F.cume_dist().over(w) * 1000000.0 + 0.5).cast("bigint").alias("cd_micro"),
     )
+
+
+@register(
+    "sessionize_events_islands",
+    "E5,E4,E8",
+    """
+    WITH marks AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marks)
+    SELECT user_id, session_no,
+           COUNT(*) AS n_events,
+           epoch_us(MIN(ts)) AS start_us,
+           epoch_us(MAX(ts)) AS end_us
+    FROM sess GROUP BY user_id, session_no
+    """,
+    doc="batch sessionization by gaps-and-islands: lag marks 30-min gaps, a running "
+    "sum numbers sessions, one aggregate summarizes them — the batch twin of the "
+    "session_window streaming entry (F4), same session boundaries; unique per-user "
+    "order (ts, event_id) per rule 4",
+)
+def sessionize_events_islands(spark, sf):
+    from pyspark.sql.window import Window
+
+    ev = T(spark, sf, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marks = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            # exact micros, not cast("long") (seconds, truncating): a gap of
+            # 1800.5s must count as > 30 min on both engines
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1800 * 1000000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = marks.withColumn(
+        "session_no",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.unix_micros(F.min("ts")).alias("start_us"),
+        F.unix_micros(F.max("ts")).alias("end_us"),
+    )
