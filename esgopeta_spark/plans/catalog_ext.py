@@ -349,3 +349,31 @@ def sessionize_events_islands(spark, sf):
         F.unix_micros(F.min("ts")).alias("start_us"),
         F.unix_micros(F.max("ts")).alias("end_us"),
     )
+
+
+@register(
+    "dedup_keeper_assignment",
+    "G1,E5",
+    r"""
+    SELECT doc_id,
+           MIN(doc_id) OVER (
+             PARTITION BY left(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 60)
+           ) AS keeper_id
+    FROM documents
+    """,
+    doc="dedup resolution end-to-end: every doc -> the smallest doc_id sharing its "
+    "60-char normalized-prefix fingerprint (itself when unique; this corpus has "
+    "prefix-dups but no byte-exact dups, so the prefix key is what actually "
+    "collides) — the assignment a dedup pipeline joins back to drop non-keepers; "
+    "window-min over the fingerprint, one shuffle (operators/dedup.py "
+    "normalize_text; the near-dup generalization is dedup_keepers over LSH pairs, "
+    "graded via dedup_embedding_components)",
+)
+def dedup_keeper_assignment(spark, sf):
+    from pyspark.sql.window import Window
+
+    from esgopeta_spark.operators.dedup import normalize_text
+
+    d = T(spark, sf, "documents")
+    w = Window.partitionBy(F.substring(normalize_text(F.col("text")), 1, 60))
+    return d.select("doc_id", F.min("doc_id").over(w).alias("keeper_id"))
