@@ -413,7 +413,9 @@ def dup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max
                 F.col("n.comp").alias("comp"),
                 (F.col("n.comp") != F.col("o.comp")).alias("_chg"),
             )
-            .localCheckpoint()
+            # lazy: the convergence aggregate below materializes the
+            # checkpoint AND returns the changed flag in ONE job/round
+            .localCheckpoint(eager=False)
         )
         changed = merged.agg(F.max(F.col("_chg").cast("int")).alias("c")).collect()[0]["c"]
         labels = merged.drop("_chg")
