@@ -255,3 +255,47 @@ def test_stream_put_upsert_matches_batch(spark, tmp_path):
     ham_upsert_batch(spark, spark.createDataFrame(batch2, UPDATE_SCHEMA), store, n_buckets=8, as_of_ms=as_of)
     got2 = {key(r): r["value_string"] or r["value_number"] for r in read_quads(spark, store).collect()}
     assert got2 == got_rows
+
+
+def test_stream_put_restart_recovery(spark, tmp_path):
+    """The upsert sink resumes from its checkpoint: a second query over
+    the same dir + checkpoint processes only the new file, and the store
+    converges to the batch merge of the full log."""
+    from esgopeta_spark.ham import empty_quads, ham_apply_updates
+    from esgopeta_spark.sources.io import read_quads
+    from esgopeta_spark.streaming.upsert import stream_put
+
+    as_of = 1_000_000.0
+    b1 = [q("s1", "f", "first", 100, msg="m1")]
+    b2 = [q("s1", "f", "second", 200, msg="m2"), q("s2", "f", 1, 50, msg="m3")]
+    sd = str(tmp_path / "stream")
+    os.makedirs(sd)
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(b1, UPDATE_SCHEMA).coalesce(1).write.parquet(str(tmp_path / "f1"))
+    import glob
+    import shutil
+
+    shutil.copy(glob.glob(str(tmp_path / "f1/part-*.parquet"))[0], sd + "/000.parquet")
+    q1 = stream_put(read_update_stream(spark, sd), store, ckpt, n_buckets=4, as_of_fn=lambda: as_of)
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    assert {r["value_string"] for r in read_quads(spark, store).collect()} == {"first"}
+
+    spark.createDataFrame(b2, UPDATE_SCHEMA).coalesce(1).write.parquet(str(tmp_path / "f2"))
+    shutil.copy(glob.glob(str(tmp_path / "f2/part-*.parquet"))[0], sd + "/001.parquet")
+    q2 = stream_put(read_update_stream(spark, sd), store, ckpt, n_buckets=4, as_of_fn=lambda: as_of)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    want = ham_apply_updates(
+        empty_quads(spark), spark.createDataFrame(b1 + b2, UPDATE_SCHEMA), as_of_ms=as_of
+    ).quads
+    got = {(r["soul"], r["field"]): (r["value_string"], r["value_number"]) for r in read_quads(spark, store).collect()}
+    exp = {(r["soul"], r["field"]): (r["value_string"], r["value_number"]) for r in want.collect()}
+    assert got == exp and got[("s1", "f")][0] == "second"
