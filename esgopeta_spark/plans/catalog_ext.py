@@ -377,3 +377,27 @@ def dedup_keeper_assignment(spark, sf):
     d = T(spark, sf, "documents")
     w = Window.partitionBy(F.substring(normalize_text(F.col("text")), 1, 60))
     return d.select("doc_id", F.min("doc_id").over(w).alias("keeper_id"))
+
+
+@register(
+    "agg_collect_sorted_parts",
+    "E4,E8",
+    """
+    SELECT l_orderkey,
+           array_to_string(list_sort(list(l_partkey)), ',') AS parts,
+           COUNT(*) AS n_items
+    FROM lineitem GROUP BY l_orderkey
+    """,
+    doc="collect_list aggregation made deterministic: the collected set is sorted "
+    "then joined to one string (collection order is partition-dependent; array_sort "
+    "fixes it; projection to string follows this catalog's array-output convention)",
+)
+def agg_collect_sorted_parts(spark, sf):
+    li = T(spark, sf, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("l_partkey")), lambda x: x.cast("string")),
+            ",",
+        ).alias("parts"),
+        F.count("*").alias("n_items"),
+    )
