@@ -401,3 +401,30 @@ def agg_collect_sorted_parts(spark, sf):
         ).alias("parts"),
         F.count("*").alias("n_items"),
     )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    "E4,E8",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS measure, l_extendedprice AS amount
+    FROM lineitem WHERE l_orderkey % 20 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem WHERE l_orderkey % 20 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+    FROM lineitem WHERE l_orderkey % 20 = 0
+    """,
+    doc="unpivot (wide -> long): three measure columns melted to (measure, amount) "
+    "rows — the inverse of pivot_status_by_priority; oracle is the UNION ALL "
+    "desugaring; per-row passthrough so values hash exactly",
+)
+def unpivot_lineitem_measures(spark, sf):
+    li = T(spark, sf, "lineitem").filter(F.col("l_orderkey") % 20 == 0)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "amount",
+    )
