@@ -428,3 +428,30 @@ def unpivot_lineitem_measures(spark, sf):
         "measure",
         "amount",
     )
+
+
+@register(
+    "pred_like_nullsafe",
+    "E2",
+    """
+    SELECT p_partkey,
+           p_name LIKE '%green%' AS has_green,
+           p_name NOT LIKE 'a%' AS not_a_start,
+           (NULLIF(p_brand, 'Brand#13') IS NOT DISTINCT FROM NULLIF(p_type, 'ECONOMY'))
+             AS brand13_and_economy
+    FROM part WHERE p_name LIKE '%o%'
+    """,
+    doc="predicate battery: LIKE / NOT LIKE pushed to the scan, and null-safe "
+    "equality (<=> / IS NOT DISTINCT FROM) over NULLIF-constructed nulls — true "
+    "exactly when both sides null out (Brand#13 ECONOMY parts)",
+)
+def pred_like_nullsafe(spark, sf):
+    p = T(spark, sf, "part").filter(F.col("p_name").like("%o%"))
+    return p.select(
+        "p_partkey",
+        F.col("p_name").like("%green%").alias("has_green"),
+        (~F.col("p_name").like("a%")).alias("not_a_start"),
+        F.nullif(F.col("p_brand"), F.lit("Brand#13"))
+        .eqNullSafe(F.nullif(F.col("p_type"), F.lit("ECONOMY")))
+        .alias("brand13_and_economy"),
+    )
