@@ -530,7 +530,7 @@ def win_topk_orders_per_customer(spark, sf):
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (
         T(spark, sf, "orders")
-        .select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).cast("bigint").alias("rn"))
         .filter(F.col("rn") <= 3)
     )
 
@@ -554,9 +554,9 @@ def win_rank_parts_by_size(spark, sf):
         "p_brand",
         "p_partkey",
         "p_size",
-        F.rank().over(w).alias("size_rank"),
-        F.dense_rank().over(w).alias("size_dense_rank"),
-        F.ntile(4).over(wu).alias("size_quartile"),
+        F.rank().over(w).cast("bigint").alias("size_rank"),
+        F.dense_rank().over(w).cast("bigint").alias("size_dense_rank"),
+        F.ntile(4).over(wu).cast("bigint").alias("size_quartile"),
     )
 
 
@@ -731,7 +731,7 @@ def str_funcs_customer(spark, sf):
         "c_custkey",
         F.upper("c_name").alias("name_upper"),
         F.substring("c_name", 1, 8).alias("name_prefix"),
-        F.length("c_name").alias("name_len"),
+        F.length("c_name").cast("bigint").alias("name_len"),
         F.concat_ws(":", "c_mktsegment", F.col("c_custkey").cast("string")).alias("seg_key"),
         F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_digits"),
         F.trim(F.lower("c_mktsegment")).alias("seg_lower"),
@@ -759,9 +759,9 @@ def date_funcs_orders(spark, sf):
     o = T(spark, sf, "orders")
     return o.select(
         "o_orderkey",
-        F.year("o_orderdate").alias("order_year"),
-        F.month("o_orderdate").alias("order_month"),
-        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("order_day"),
         F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
         F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
         F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias("days_to_cutoff"),
@@ -818,7 +818,7 @@ def array_funcs_part_names(spark, sf):
     wordsc = F.split(F.col("p_name"), " ")
     return p.select(
         "p_partkey",
-        F.size(wordsc).alias("n_words"),
+        F.size(wordsc).cast("bigint").alias("n_words"),
         F.element_at(wordsc, 1).alias("first_word"),
         F.array_contains(wordsc, "green").alias("has_green"),
         F.array_join(F.sort_array(wordsc), "_").alias("sorted_words"),
@@ -1261,7 +1261,7 @@ def sim_topk_cosine(spark, sf):
         "query_id",
         "nbr_id",
         F.floor(F.col("cosine_sim") * 1000000.0 + 0.5).cast("bigint").alias("cosine_micro"),
-        "rank",
+        F.col("rank").cast("bigint").alias("rank"),
     )
 
 

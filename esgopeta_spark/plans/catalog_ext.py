@@ -311,8 +311,8 @@ def win_percentrank_cumedist(spark, sf):
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sess AS (
       SELECT user_id, ts, event_id,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_no
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
       FROM marks)
     SELECT user_id, session_no,
            COUNT(*) AS n_events,

@@ -72,7 +72,7 @@ def q7_volume_shipping(spark, sf):
     )
     vol = money("l_extendedprice") * (F.lit(1) - pct("l_discount"))
     return (
-        j.select("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"), vol.alias("volume"))
+        j.select("supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year"), vol.alias("volume"))
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(F.sum("volume").cast("double").alias("revenue"))
     )
@@ -140,7 +140,7 @@ def q8_market_share(spark, sf):
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(asia_cust, o.o_custkey == asia_cust.c_custkey)
-        .select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"), "supp_nation")
+        .select(F.year("o_orderdate").cast("bigint").alias("o_year"), vol.alias("volume"), "supp_nation")
     )
     return j.groupBy("o_year").agg(
         (
