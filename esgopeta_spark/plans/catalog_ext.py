@@ -455,3 +455,18 @@ def pred_like_nullsafe(spark, sf):
         .eqNullSafe(F.nullif(F.col("p_type"), F.lit("ECONOMY")))
         .alias("brand13_and_economy"),
     )
+
+
+@register(
+    "agg_approx_percentile",
+    "E4",
+    None,  # approximate by design: driver records rows-only; pytest checks tolerance vs exact
+    doc="approx_percentile (t-digest-style sketch): the 100TB-scale variant of "
+    "agg_median_price — single pass, mergeable partials, no full sort",
+)
+def agg_approx_percentile(spark, sf):
+    o = T(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_percentile("o_totalprice", 0.5, 10000).alias("median_approx"),
+        F.approx_percentile("o_totalprice", 0.9, 10000).alias("p90_approx"),
+    )

@@ -215,3 +215,27 @@ def test_dup_components_vs_union_find(spark, sf_dir):
         assert keep[i] == k
     singles = set(keep) - set(truth)
     assert all(keep[s] == s for s in singles)
+
+
+def test_approx_percentile_tolerance(spark, sf_dir):
+    """The sketch percentile must land within 1% of the exact sort-based
+    value per group (accuracy param 10k on ~15k rows/group)."""
+    o = read_table(spark, sf_dir, "orders")
+    exact = {
+        r["o_orderstatus"]: (r["m"], r["p"])
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.percentile("o_totalprice", 0.5).alias("m"), F.percentile("o_totalprice", 0.9).alias("p"))
+        .collect()
+    }
+    approx = {
+        r["o_orderstatus"]: (r["m"], r["p"])
+        for r in o.groupBy("o_orderstatus")
+        .agg(
+            F.approx_percentile("o_totalprice", 0.5, 10000).alias("m"),
+            F.approx_percentile("o_totalprice", 0.9, 10000).alias("p"),
+        )
+        .collect()
+    }
+    for k, (m, p) in exact.items():
+        am, ap = approx[k]
+        assert abs(am - m) / m < 0.01 and abs(ap - p) / p < 0.01, (k, m, am, p, ap)
