@@ -3,5 +3,96 @@ import esgopeta_spark.plans.catalog_ext  # noqa: F401  (registers extended queri
 import esgopeta_spark.plans.catalog_scale  # noqa: F401  (as-of/range joins, embedding dedup, IVF, TPC-H depth)
 import esgopeta_spark.plans.catalog_tpch2  # noqa: F401  (TPC-H depth part 2: q7 q8 q13 q17 q19 q21 q22)
 import esgopeta_spark.plans.catalog_graphx  # noqa: F401  (GraphX-style analytics: pagerank, triangles)
+import esgopeta_spark.plans.catalog_graph2  # noqa: F401  (put replay, fetch path, streaming-HAM oracle twin)
 
-__all__ = ["REGISTRY", "QuerySpec"]
+# ---------------------------------------------------------------------------
+# Graded-window ordering.  The driver grades the FIRST 50 registered entries
+# (CORRECTNESS_r{N}.json); everything after is pytest-only.  Order the
+# registry so those 50 form a breadth-first cover of SURVEY.md §2 — one
+# flagship per operator family (every join type incl. as-of/range/skew, every
+# agg shape incl. pivot/unpivot/percentile, windows, set ops, scalar-func
+# batteries, UDFs, the graph A/B/D surface, streaming F-rows, and all LLM-ops
+# G-rows) — with depth variants (extra TPC-H queries, second batteries,
+# no-oracle approximate twins) behind them.  tests/test_graded_window.py pins
+# the cover.
+# ---------------------------------------------------------------------------
+
+GRADED_WINDOW = [
+    # E1/E2 scan + predicates + subqueries
+    "scan_filter_project",
+    "subquery_scalar_avg",
+    # E3/E4/E6 TPC-H-shaped headliners (+ depth flagship q18)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q18_large_orders",
+    # E3 join family — all types
+    "join_left_nation_suppliers",
+    "join_full_customer_supplier",
+    "join_semi_customers_with_orders",
+    "join_anti_customers_without_orders",
+    "join_theta_quantity_band",
+    "join_cross_region_status",
+    "join_asof_purchase_click",
+    "join_range_acctbal_band",
+    "skew_salted_join",
+    # E4 aggregation family
+    "agg_rollup_region_nation",
+    "agg_cube_flags",
+    "agg_order_stats",
+    "agg_median_price",
+    "pivot_status_by_priority",
+    "unpivot_lineitem_measures",
+    "skew_salted_agg",
+    # E5 windows + sessionization
+    "win_topk_orders_per_customer",
+    "win_running_total",
+    "win_range_30d_orders",
+    "sessionize_events_islands",
+    # E7 (E6 sort/limit is covered by q3 + win_topk)
+    "set_union_big_spenders",
+    "set_except_no_recent",
+    # E8 scalar-function batteries
+    "str_funcs_customer",
+    "date_funcs_orders",
+    "json_funcs_events",
+    "map_funcs_nation_map",
+    # E9 UDF surface
+    "udf_pandas_charge",
+    # Groups A/B/D — graph core
+    "graph_ham_merge_events",
+    "graph_traverse_customer_region",
+    "graph_put_replay",
+    "graph_fetch_path",
+    "graph_ham_lexical_ties",
+    # GraphX-style analytics
+    "graph_pagerank_transactions",
+    "graph_triangles_coorder",
+    # Group F — streaming
+    "graph_ham_stream_replay",
+    "stream_tumbling_counts",
+    "stream_session_windows",
+    "stream_dedup_events",
+    "stream_join_attribution",
+    # Group G — LLM data pipeline ops
+    "dedup_exact_docs",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_components",
+    "sim_topk_cosine",
+    "text_profile_docs",
+    "emb_label_stats",
+]
+
+
+def _reorder_registry() -> None:
+    missing = [n for n in GRADED_WINDOW if n not in REGISTRY]
+    if missing:  # fail loudly at import: a typo here silently shrinks the gate
+        raise RuntimeError(f"GRADED_WINDOW names not in REGISTRY: {missing}")
+    ordered = {n: REGISTRY[n] for n in GRADED_WINDOW}
+    ordered.update({n: s for n, s in REGISTRY.items() if n not in ordered})
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_reorder_registry()
+
+__all__ = ["REGISTRY", "QuerySpec", "GRADED_WINDOW"]

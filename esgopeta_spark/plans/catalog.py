@@ -765,9 +765,7 @@ def date_funcs_orders(spark, sf):
         F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
         F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
         F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias("days_to_cutoff"),
-        # o_orderdate is TIMESTAMP_NTZ in parquet; unix_millis needs LTZ
-        # (session TZ is UTC, so the cast is value-preserving)
-        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("order_epoch_ms"),
+        F.unix_millis("o_orderdate").alias("order_epoch_ms"),
     )
 
 

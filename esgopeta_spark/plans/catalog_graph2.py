@@ -1,0 +1,211 @@
+"""Driver-gradable entries for the reference's core write/read semantics.
+
+Groups A/B (scoped fetch/put) and F5 (streaming HAM core loop) were
+pytest-only until round 3; these entries derive deterministic workloads
+from the fixed-size TPC-H dimension tables so a DuckDB oracle can
+re-create the exact same result:
+
+- ``graph_put_replay``   — B1/B2/B3/A2: a scripted put sequence with lazy
+  parent creation (gun/scoped_put.go:50-145), overwrites (newer_update)
+  and stale writes (older_historical, gun/state.go:60-79); emits the
+  merged quad snapshot.
+- ``graph_fetch_path``   — A1-A4/D1: bulk fetch-one over a 2-hop path
+  (gun/scoped_fetch.go:43-74) with the null-vs-absent distinction
+  (stored null => value_exists with NULL value; absent => no value).
+- ``graph_ham_stream_replay`` — F5: the events update-log replayed
+  through the *streaming* winner handler (gun/scoped_fetch.go:112-217)
+  run in batch mode; final winner per key must equal the batch
+  ``max_by`` semilattice merge, giving the signature streaming operator
+  an oracle-checkable twin.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from esgopeta_spark.plans.catalog import T, register, _events_as_updates
+
+
+@register(
+    "graph_put_replay",
+    "B1,B2,B3,A2,A10",
+    """
+    WITH nn AS (
+      SELECT n.n_nationkey AS k, n.n_name AS nname,
+             'nation:' || lower(n.n_name) AS ncomment, r.r_name AS rname
+      FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey),
+    rs AS (
+      SELECT rname,
+             'rsoul' || CAST(ROW_NUMBER() OVER (ORDER BY MIN(k)) AS VARCHAR) AS rsoul,
+             CAST(1000 + MIN(k) AS DOUBLE) AS rstate
+      FROM nn GROUP BY rname),
+    rel AS (
+      SELECT 'regions' AS soul, rname AS field, 'relation' AS value_type,
+             CAST(NULL AS VARCHAR) AS value_string, rsoul AS value_relation,
+             rstate AS state
+      FROM rs),
+    val AS (
+      SELECT rs.rsoul AS soul, nn.nname AS field, 'string' AS value_type,
+             CASE WHEN nn.k < 5 THEN upper(nn.ncomment) ELSE nn.ncomment END AS value_string,
+             CAST(NULL AS VARCHAR) AS value_relation,
+             CAST(CASE WHEN nn.k < 5 THEN 2000 + nn.k ELSE 1000 + nn.k END AS DOUBLE) AS state
+      FROM nn JOIN rs ON nn.rname = rs.rname)
+    SELECT * FROM rel UNION ALL SELECT * FROM val
+    """,
+    doc="scripted put replay: 25 puts under lazy parents (gun/scoped_put.go:93-127), "
+    "5 overwrites (newer_update) and 5 stale writes (older_historical) that must "
+    "lose; snapshot must equal the oracle's closed-form merge",
+)
+def graph_put_replay(spark, sf):
+    from esgopeta_spark.graph import GunGraph
+
+    # fixed-size dimensions (nation=25, region=5 at every SF) -> the
+    # driver-side put loop is O(1) in SF, exactly like the reference's
+    # point-write surface
+    rows = (
+        T(spark, sf, "nation")
+        .join(T(spark, sf, "region"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.concat(F.lit("nation:"), F.lower("n_name")).alias("n_comment"),
+            "r_name",
+        )
+        .orderBy("n_nationkey")
+        .collect()
+    )
+
+    seq = iter(range(1, 10**6))
+    g = GunGraph(spark, soul_gen=lambda: f"rsoul{next(seq)}")
+    for r in rows:  # pass 1: create, with lazy region parents
+        g = g.put(
+            ["regions", r["r_name"], r["n_name"]], r["n_comment"], state=1000.0 + r["n_nationkey"]
+        ).graph
+    for r in rows:
+        if r["n_nationkey"] < 5:  # pass 2: overwrite (newer wins)
+            g = g.put(
+                ["regions", r["r_name"], r["n_name"]],
+                r["n_comment"].upper(),
+                state=2000.0 + r["n_nationkey"],
+            ).graph
+        elif r["n_nationkey"] < 10:  # pass 3: stale write (older loses)
+            g = g.put(
+                ["regions", r["r_name"], r["n_name"]], "stale", state=500.0 + r["n_nationkey"]
+            ).graph
+    return g.quads.select("soul", "field", "value_type", "value_string", "value_relation", "state")
+
+
+@register(
+    "graph_fetch_path",
+    "A1,A3,A4,D1",
+    """
+    SELECT c.c_custkey,
+           'region/' || CAST(n.n_regionkey AS VARCHAR) AS region_soul,
+           CASE WHEN n.n_regionkey < 3 THEN r.r_name END AS region_name,
+           n.n_regionkey <= 3 AS value_exists
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    doc="bulk fetch-one customer->nation->region->'name' (gun/scoped_fetch.go:43-74): "
+    "regions 0-2 hold a string, region 3 a STORED NULL (value_exists, no value), "
+    "region 4 is ABSENT (no quad) — the D1 null-vs-absent contract, distributed",
+)
+def graph_fetch_path(spark, sf):
+    from esgopeta_spark.graph import GunGraph
+
+    c, n, r = T(spark, sf, "customer"), T(spark, sf, "nation"), T(spark, sf, "region")
+
+    def quad(soul, field, vtype, vstring, vrel, state=1.0):
+        return [
+            soul.alias("soul"),
+            field.alias("field"),
+            F.lit(vtype).alias("value_type"),
+            F.lit(None).cast("string").alias("value_number_raw"),
+            F.lit(None).cast("double").alias("value_number"),
+            (vstring if vstring is not None else F.lit(None).cast("string")).alias("value_string"),
+            F.lit(None).cast("boolean").alias("value_bool"),
+            (vrel if vrel is not None else F.lit(None).cast("string")).alias("value_relation"),
+            F.lit(state).alias("state"),
+        ]
+
+    soul = lambda prefix, col: F.concat(F.lit(prefix), F.col(col).cast("string"))  # noqa: E731
+    quads = (
+        c.select(*quad(soul("customer/", "c_custkey"), F.lit("nation"), "relation", None, soul("nation/", "c_nationkey")))
+        .unionByName(
+            n.select(*quad(soul("nation/", "n_nationkey"), F.lit("region"), "relation", None, soul("region/", "n_regionkey")))
+        )
+        .unionByName(
+            r.filter(F.col("r_regionkey") < 3).select(
+                *quad(soul("region/", "r_regionkey"), F.lit("name"), "string", F.col("r_name"), None)
+            )
+        )
+        .unionByName(  # stored null: the key EXISTS, its value is null (D1)
+            r.filter(F.col("r_regionkey") == 3).select(
+                *quad(soul("region/", "r_regionkey"), F.lit("name"), "null", None, None)
+            )
+        )
+        # region 4: no quad at all -> absent
+    )
+    g = GunGraph(spark, quads=quads)
+    roots = c.select("c_custkey", soul("customer/", "c_custkey").alias("soul"))
+    at_region = g.traverse(roots, "nation", "region").withColumnRenamed("soul", "region_soul")
+    fetched = g.values_at(at_region.withColumnRenamed("region_soul", "soul"), "name")
+    return fetched.select(
+        "c_custkey",
+        F.col("soul").alias("region_soul"),
+        F.col("value_string").alias("region_name"),
+        F.col("value_type").isNotNull().alias("value_exists"),
+    )
+
+
+@register(
+    "graph_ham_stream_replay",
+    "F5,A7,A10",
+    """
+    WITH upd AS (
+      SELECT 'user/' || CAST(user_id AS VARCHAR) AS soul,
+             event_type AS field,
+             value AS value_number,
+             CAST(value AS VARCHAR) AS value_json,
+             CAST(epoch_ms(ts) AS DOUBLE) AS state
+      FROM events),
+    r AS (
+      SELECT soul, field, value_number, state,
+             ROW_NUMBER() OVER (PARTITION BY soul, field
+                                ORDER BY state DESC, value_json DESC) AS rn
+      FROM upd)
+    SELECT soul, field, value_number, state FROM r WHERE rn = 1
+    """,
+    doc="F5 oracle twin: the events update-log replayed through the STREAMING "
+    "winner handler (gun/scoped_fetch.go:112-217, ham_stream._make_handler) in "
+    "batch; the final emitted winner per (soul,field) must equal the batch "
+    "semilattice merge — pins batch≡stream equivalence under the driver gate",
+)
+def graph_ham_stream_replay(spark, sf):
+    from esgopeta_spark.streaming.ham_stream import OUTPUT_SCHEMA, _make_handler
+
+    handler = _make_handler(False)
+
+    class _BatchState:
+        """GroupState shim: one cold-start micro-batch over the whole log."""
+
+        exists = False
+        get = None
+
+        def update(self, st):
+            pass
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    out_cols = [f.name for f in OUTPUT_SCHEMA.fields]
+
+    def replay(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        frames = list(handler(key, [pdf], _BatchState()))
+        return frames[-1][out_cols] if frames else pd.DataFrame(columns=out_cols)
+
+    upd = _events_as_updates(spark, sf)
+    winners = upd.groupBy("soul", "field").applyInPandas(replay, OUTPUT_SCHEMA)
+    return winners.select("soul", "field", "value_number", "state")

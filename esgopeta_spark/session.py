@@ -28,9 +28,13 @@ def get_spark(app_name: str = "esgopeta-spark", shuffle_partitions: int | None =
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # the driver's testdata parquet stores TIMESTAMP(NANOS); Spark has no
-        # nanos timestamp, so read them as long and convert in read_table
+        # the driver's testdata parquet has stored ts columns as TIMESTAMP(NANOS)
+        # in one round and timestamp[us]-no-tz in another; normalize BOTH to
+        # plain TIMESTAMP: nanos read as long and converted in read_table,
+        # micros-without-tz read as TIMESTAMP (not TIMESTAMP_NTZ) so
+        # unix_millis()/window() keep working under the UTC session tz
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
@@ -53,22 +57,36 @@ _NANOS_TS_COLUMNS = {
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Parquet scan; keep it bare so Catalyst pushes filters/pruning into it.
 
-    Nanos-timestamp columns arrive as long (see nanosAsLong conf) and are
-    converted to TIMESTAMP here; the cast is a cheap projected expression
-    that doesn't block predicate pushdown on other columns.
+    The ingestion contract: every ts column in _NANOS_TS_COLUMNS surfaces as
+    plain TIMESTAMP (never bigint, never timestamp_ntz), whatever the parquet
+    physical type is.  Nanos-timestamp columns arrive as long (see nanosAsLong
+    conf) and are converted here; micros-no-tz columns arrive as TIMESTAMP_NTZ
+    when the session lacks the inferTimestampNTZ conf and are cast here.  Both
+    fixes are cheap projected expressions that don't block predicate pushdown
+    on other columns.
     """
     from pyspark.sql import functions as F
 
-    try:  # the driver may hand us a session built without this conf
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
+    for conf, val in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+    ):
+        try:  # the driver may hand us a session built without these confs
+            spark.conf.set(conf, val)
+        except Exception:
+            pass
     df = spark.read.parquet(table_path(sf_dir, name))
+    dtypes = dict(df.dtypes)
     for c in _NANOS_TS_COLUMNS.get(name, []):
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+        if c not in df.columns:
+            continue
+        if dtypes[c] == "bigint":
             # integer `div`, not `/`: double division rounds ns near the
             # microsecond boundary, silently shifting timestamps by 1us
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtypes[c] == "timestamp_ntz":
+            # session tz is UTC, so NTZ wall-clock == the stored UTC instant
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

