@@ -31,6 +31,12 @@ def asof_join(
     Union both sides tagged, sort within key by (ts, side) and carry the
     last seen right values forward; keep left rows.  last(ignorenulls)
     over an ordered window is the carry.
+
+    Duplicate right rows at the same (key, ts) have no inherent order; the
+    window order includes the right value struct itself as a final
+    tiebreak, so the carried value is deterministically the GREATEST
+    (value-struct-ordered) of the duplicates rather than whichever
+    partition happened to sort last.
     """
     l_tag = left.select(
         F.col(key).alias("_k"),
@@ -38,6 +44,7 @@ def asof_join(
         F.lit(0).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_rv_{c}") for c in right_value_cols],
+        F.lit(None).cast("string").alias("_tie"),
     )
     r_tag = right.select(
         F.col(key).alias("_k"),
@@ -45,9 +52,14 @@ def asof_join(
         F.lit(-1).alias("_side"),  # right sorts before left at equal ts (<=)
         F.lit(None).cast(l_tag.schema["_l"].dataType).alias("_l"),
         *[F.col(c).alias(f"_rv_{c}") for c in right_value_cols],
+        F.to_json(F.struct(*[F.col(c) for c in right_value_cols])).alias("_tie"),
     )
     u = l_tag.unionByName(r_tag)
-    w = Window.partitionBy("_k").orderBy("_ts", "_side").rowsBetween(Window.unboundedPreceding, 0)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side", F.col("_tie").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     carried = u.select(
         "_k",
         "_side",

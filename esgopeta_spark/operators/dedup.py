@@ -30,11 +30,14 @@ def normalize_text(col: Column) -> Column:
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id row per distinct normalized text.
 
-    ``min_by`` aggregate = map-side partial + single shuffle on the text
-    hash; at scale group on xxhash64(text) (8 bytes) instead of the full
-    text to shrink shuffle width.
+    ``min`` aggregate = map-side partial + single shuffle on the text
+    hash.  The grouping key is sha2-256 of the normalized text (32 bytes),
+    not the full text: constant shuffle width regardless of doc length,
+    and — unlike a 64-bit key — no birthday-bound risk of silently merging
+    distinct documents at 10⁹+ corpus sizes (64-bit collision odds pass
+    1% around 6×10⁸ keys; 256-bit is safe at any realistic corpus).
     """
-    h = F.xxhash64(normalize_text(F.col(text_col))).alias("_th")
+    h = F.sha2(normalize_text(F.col(text_col)), 256).alias("_th")
     return (
         df.withColumn("_th", h)
         .groupBy("_th")
@@ -169,10 +172,16 @@ def minhash_lsh_candidates(
     all match.  Join is equi on (band, hash-of-band): linear in collisions,
     never quadratic in corpus size.  Returns (id_a, id_b) with a < b.
 
-    The banded-signature relation is persisted before the self-join: both
-    join sides consume it, and without an explicit persist each side
-    recomputes the full signature pipeline (exchange reuse does not fire
-    across the a/b aliases under AQE) — measured 2x the signature cost.
+    The banded-signature relation is materialized (localCheckpoint) before
+    the self-join: both join sides consume it, and without materialization
+    each side recomputes the full signature pipeline (exchange reuse does
+    not fire across the a/b aliases under AQE) — measured 2x the signature
+    cost.  localCheckpoint, not persist(): checkpointed blocks are
+    reclaimed by the ContextCleaner once the DataFrame goes out of scope,
+    whereas persist() pins CacheManager entries for the session unless
+    every caller remembers to unpersist.  On a real cluster swap for
+    reliable .checkpoint() so executor loss cannot kill the lineage-less
+    frame.
     """
     from esgopeta_spark.session import ensure_min_partitions
 
@@ -205,7 +214,7 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bh")
-    banded = banded.persist()
+    banded = banded.localCheckpoint()
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -260,10 +269,12 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Near-dup pairs: LSH candidates verified by exact Jaccard >= threshold.
 
-    Candidates are persisted: the verify stage consumes them three times
-    (two id-projections for the semi-prune + the pair join itself).
+    Candidates are materialized (localCheckpoint — see
+    minhash_lsh_candidates for why not persist): the verify stage consumes
+    them three times (two id-projections for the semi-prune + the pair
+    join itself).
     """
-    cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n).persist()
+    cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n).localCheckpoint()
     return ngram_jaccard(cand, df, text_col, id_col, shingle_n).filter(F.col("jaccard") >= threshold)
 
 
@@ -342,9 +353,11 @@ def simhash_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc
             F.array(*[F.struct(F.lit(c).alias("c"), F.shiftright("_fp", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("v")) for c in range(4)])
         ).alias("ch"),
     ).select("_id", "_fp", "ch.c", "ch.v")
-    # persist: both self-join sides read this, and the SimHash fingerprint
-    # (a 64-wide vote aggregate) is the expensive producer
-    chunks = chunks.persist()
+    # materialize: both self-join sides read this, and the SimHash
+    # fingerprint (a 64-wide vote aggregate) is the expensive producer;
+    # localCheckpoint over persist for ContextCleaner reclaim (see
+    # minhash_lsh_candidates)
+    chunks = chunks.localCheckpoint()
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
         a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.v") == F.col("b.v")) & (F.col("a._id") < F.col("b._id")))

@@ -50,10 +50,12 @@ def pagerank(
     nodes = e.select(F.col("src").alias("node")).union(e.select("dst")).distinct()
     deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
     # every iteration re-reads the degree-annotated edges and the node
-    # set; persist both once instead of recomputing the upstream
-    # edge-projection pipeline 3x (first action materializes them)
-    ed = e.join(deg, "src").persist()  # (src, dst, _deg)
-    nodes = nodes.persist()
+    # set; materialize both once instead of recomputing the upstream
+    # edge-projection pipeline 3x.  localCheckpoint over persist(): the
+    # blocks are reclaimed by the ContextCleaner when the result goes out
+    # of scope — persist() would pin CacheManager entries for the session
+    ed = e.join(deg, "src").localCheckpoint()  # (src, dst, _deg)
+    nodes = nodes.localCheckpoint()
     rank = nodes.withColumn("rank_micro", F.lit(1000000).cast("bigint"))
     for _ in range(iterations):
         contrib = (

@@ -90,6 +90,29 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     return df
 
 
+# operators whose presence in the analyzed logical plan means the .rdd
+# partition probe would finalize (and thus EXECUTE) upstream AQE stages
+_NON_SCAN_OPS = (
+    "Join",
+    "Aggregate",
+    "Window",
+    "Sort",
+    "Deduplicate",
+    "Distinct",
+    "Repartition",
+    "GlobalLimit",
+    "FlatMapGroups",
+    "MapInPandas",
+)
+
+
+def is_scan_stage(df) -> bool:
+    """True iff the plan is a bare scan pipeline (scan/filter/project/etc.)
+    whose partition count can be probed without executing anything."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return not any(op in plan for op in _NON_SCAN_OPS)
+
+
 def ensure_min_partitions(df, min_parts: int | None = None):
     """Widen tiny scans so per-row-heavy projections parallelize.
 
@@ -100,12 +123,14 @@ def ensure_min_partitions(df, min_parts: int | None = None):
     scan already has thousands of splits and this is a no-op (no shuffle
     is added).
 
-    ONLY call this on scan-stage DataFrames (straight off read_table /
-    spark.read): the partition probe goes through ``.rdd``, and on a plan
-    with shuffles AQE finalization will MATERIALIZE the upstream stages —
-    executing the query once just to count partitions.  On a pure file
-    scan the probe is free.
+    Guarded: on a plan that already contains a shuffle/exchange-producing
+    operator the ``.rdd`` partition probe would finalize AQE and
+    MATERIALIZE the upstream stages — executing the query once just to
+    count partitions — so such plans are returned unchanged (they already
+    have shuffle-partitions-many partitions downstream anyway).
     """
+    if not is_scan_stage(df):
+        return df
     if min_parts is None:
         min_parts = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < min_parts:

@@ -34,28 +34,44 @@ def read_update_stream(spark: SparkSession, path: str, fmt: str = "parquet") -> 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-stream view of the events table (for windowed-agg streams).
 
-    The parquet stores TIMESTAMP(NANOS) (read as long under nanosAsLong),
-    so ts is restored to a real timestamp here, same as read_table.
+    Applies the same ts-normalization contract as session.read_table:
+    whatever the parquet physical type (nanos-as-long or micros-no-tz),
+    the stream's ts column is a plain TIMESTAMP.
     """
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
+    import hashlib
     import os
     import tempfile
+
+    for conf, val in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+    ):
+        try:
+            spark.conf.set(conf, val)
+        except Exception:
+            pass
 
     src = os.path.join(sf_dir, "events.parquet")
     static = spark.read.parquet(src)
     path = src
     if os.path.isfile(src):
         # the file-stream source requires a directory; expose the single
-        # parquet file through a symlink dir
-        d = tempfile.mkdtemp(prefix="esgopeta_events_stream_")
-        os.symlink(src, os.path.join(d, "events.parquet"))
+        # parquet file through a symlink dir.  Deterministic per-source
+        # path (not mkdtemp) so repeated calls REUSE one dir instead of
+        # leaking a new one per call.
+        tag = hashlib.sha256(os.path.abspath(src).encode()).hexdigest()[:16]
+        d = os.path.join(tempfile.gettempdir(), f"esgopeta_events_stream_{tag}")
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, "events.parquet")
+        if not os.path.islink(link):
+            os.symlink(src, link)
         path = d
     stream = spark.readStream.schema(static.schema).parquet(path)
-    if dict(static.dtypes).get("ts") == "bigint":
+    ts_dtype = dict(static.dtypes).get("ts")
+    if ts_dtype == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_dtype == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

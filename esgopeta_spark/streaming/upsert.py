@@ -54,11 +54,14 @@ def ham_upsert_batch(
     (batch put) or from foreachBatch (streaming put)."""
     pending = _pending_dir(store_path)
     incoming = batch.select(*_QUAD_COLS)
-    try:
+    # explicit existence check, not a bare except: a real read failure
+    # (corrupt file, permissions) must propagate, or deferred updates are
+    # silently dropped.  Local-path check is correct here because the
+    # pending side-store lives next to the local quads store; an object-
+    # store deployment swaps this for a FileSystem.exists call.
+    if os.path.isdir(pending):
         carried = spark.read.parquet(pending).select(*_QUAD_COLS)
         incoming = incoming.unionByName(carried)
-    except Exception:
-        pass  # no pending dir yet
 
     store_exists = os.path.exists(os.path.join(store_path, "_quads_meta.json"))
     if as_of_ms is None:
