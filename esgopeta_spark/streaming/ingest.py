@@ -75,6 +75,45 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+def read_update_stream_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka transport for the update stream (reference C7 adapter:
+    gun/websocket.go:90-161 re-expressed as a Spark source swap).
+
+    The wire contract is the UPDATE_SCHEMA JSON document in the record
+    value — identical to what the file source reads; everything downstream
+    (dedup, HAM merge, upsert sink) is transport-agnostic.  Partitioning:
+    producers should key records by ``soul`` so one soul's updates stay
+    ordered within a partition; the HAM merge is order-independent anyway
+    (semilattice), so cross-partition reordering only affects emission
+    timing, never the converged value.
+
+    Requires the spark-sql-kafka package on the classpath; raises the
+    underlying AnalysisException if the kafka source is unavailable (this
+    container ships without it — see tests/test_sources.py for the
+    availability-gated test).
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), UPDATE_SCHEMA).alias("_u"),
+        F.col("timestamp").alias("_kafka_ts"),
+    )
+    # recv_ts falls back to broker receive time when the producer omits it
+    return parsed.select("_u.*", "_kafka_ts").withColumn(
+        "recv_ts", F.coalesce(F.col("recv_ts"), F.col("_kafka_ts"))
+    ).drop("_kafka_ts")
+
+
 def deduped(updates: DataFrame, watermark_col: str = "recv_ts", delay: str = "10 minutes") -> DataFrame:
     """Streaming dedup of repeated (soul, field, value, state) updates —
     gun/scoped_fetch.go:174-178 with a watermark bounding state size."""

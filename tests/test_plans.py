@@ -142,6 +142,31 @@ def test_triangles_all_joins_equi(spark, sf_dir):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
 
 
+def test_fetch_path_hops_stay_equi_and_broadcast(spark, sf_dir):
+    """graph_fetch_path's two traversal hops + terminal value read are
+    equi-joins on the (small) relation slices — they must broadcast, and
+    nothing may fall back to cartesian/nested-loop."""
+    from esgopeta_spark.plans import REGISTRY
+
+    p = plan_of(REGISTRY["graph_fetch_path"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_stream_replay_is_single_key_shuffle(spark, sf_dir):
+    """graph_ham_stream_replay: one exchange on (soul, field) feeding the
+    Arrow grouped-map handler; a second exchange would mean the groupBy
+    key got re-derived downstream."""
+    import re
+
+    from esgopeta_spark.plans import REGISTRY
+
+    p = plan_of(REGISTRY["graph_ham_stream_replay"].fn(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in p, p
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+    assert n_exchanges == 1, p
+
+
 def test_pagerank_contribution_agg_is_partial(spark, sf_dir):
     """Each iteration's contribution sum must keep map-side partial
     aggregation (HashAggregate appears in partial+final pairs)."""

@@ -65,3 +65,24 @@ def test_write_any_partitioned_roundtrip(spark, tmp_path):
         # partition filter must reach the scan as partition pruning
         plan = back.filter(F.col("bucket") == 2)._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters: [" in plan and "bucket" in plan.split("PartitionFilters")[1][:80], fmt
+
+
+def test_kafka_update_stream_adapter(spark):
+    """C7 transport adapter: the Kafka reader must construct the exact
+    UPDATE_SCHEMA surface when the kafka source is on the classpath, and
+    fail with the source-not-found error (not an adapter bug) when it
+    isn't — this container ships without the kafka package."""
+    import pytest
+
+    from esgopeta_spark.streaming.ingest import read_update_stream_kafka
+    from esgopeta_spark.types import UPDATE_SCHEMA
+
+    try:
+        df = read_update_stream_kafka(spark, "localhost:9092", "gun-updates")
+    except Exception as exc:  # noqa: BLE001 - asserting the failure class
+        msg = str(exc)
+        assert "kafka" in msg.lower() and (
+            "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg or "deploying" in msg
+        ), f"unexpected failure mode: {msg[:500]}"
+        pytest.skip("kafka source not on classpath (expected in this container)")
+    assert set(f.name for f in UPDATE_SCHEMA.fields) <= set(df.columns)
