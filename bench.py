@@ -38,6 +38,13 @@ HEADLINE = [
     "text_profile_docs",
     "sim_topk_cosine",
     "sim_topk_cosine_lsh",
+    # round-3 graded flagships: temporal join, graph analytics, skew ops,
+    # streaming-HAM batch twin
+    "join_asof_purchase_click",
+    "graph_pagerank_transactions",
+    "graph_triangles_coorder",
+    "skew_salted_join",
+    "graph_ham_stream_replay",
 ]
 
 

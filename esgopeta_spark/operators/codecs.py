@@ -1,0 +1,186 @@
+"""Pure-numpy media codecs for the uncompressed formats (G5).
+
+The container ships no PIL/librosa/ffmpeg, but BMP (24-bit BI_RGB),
+PPM (P6) and WAV (PCM16) need nothing beyond struct + numpy — so those
+decode paths are REAL, not stubs.  Compressed formats (PNG/JPEG/MP3/MP4)
+genuinely require codec libraries and stay behind the explicit guard in
+operators.multimodal.
+
+Everything here is plain bytes->ndarray (and back) so the same functions
+run inside Arrow-batched mapInPandas kernels on executors and in local
+oracle tests.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# format sniffing
+# ---------------------------------------------------------------------------
+
+_MAGICS = [
+    (b"BM", "bmp"),
+    (b"P6", "ppm"),
+    (b"RIFF", "wav"),  # refined below (RIFF....WAVE)
+    (b"\x89PNG\r\n\x1a\n", "png"),
+    (b"\xff\xd8\xff", "jpeg"),
+]
+
+DECODABLE = {"bmp", "ppm", "wav"}
+
+
+def sniff_format(b: bytes | None) -> str:
+    if not b:
+        return "empty"
+    for magic, name in _MAGICS:
+        if b[: len(magic)] == magic:
+            if name == "wav" and b[8:12] != b"WAVE":
+                return "riff-other"
+            return name
+    return "unknown"
+
+
+# ---------------------------------------------------------------------------
+# BMP — 24-bit uncompressed BI_RGB, bottom-up rows, 4-byte row padding
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> BMP bytes."""
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype == np.uint8
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = bytearray()
+    bgr = arr[:, :, ::-1]  # BMP stores BGR
+    pad = b"\x00" * (row_size - w * 3)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        rows += bgr[y].tobytes() + pad
+    return header + info + bytes(rows)
+
+
+def decode_bmp(b: bytes) -> np.ndarray:
+    """BMP bytes -> (h, w, 3) uint8 RGB.  Supports the 24-bit BI_RGB
+    subset this pipeline produces; anything else raises ValueError."""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_offset = struct.unpack_from("<I", b, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", b, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", b, 26)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, compression={compression})")
+    flip = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    raw = np.frombuffer(b, dtype=np.uint8, count=row_size * h, offset=data_offset)
+    rows = raw.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    rgb = rows[:, :, ::-1]  # BGR -> RGB
+    return rgb[::-1] if flip else rgb
+
+
+# ---------------------------------------------------------------------------
+# PPM — P6 binary, maxval 255
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype == np.uint8
+    return f"P6\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def decode_ppm(b: bytes) -> np.ndarray:
+    if b[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    # header = magic, width, height, maxval as whitespace-separated tokens
+    # (comments unsupported — this codec reads what encode_ppm writes)
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(b[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError("only maxval=255 supported")
+    raw = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return raw.reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# WAV — RIFF PCM16
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int, n_channels: int = 1) -> bytes:
+    """int16 samples (flat, interleaved if multichannel) -> WAV bytes."""
+    assert samples.dtype == np.int16
+    data = samples.tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    block_align = n_channels * 2
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate, byte_rate, block_align, 16)
+    out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(data)) + data
+    return out
+
+
+def decode_wav(b: bytes) -> tuple[np.ndarray, int, int]:
+    """WAV bytes -> (int16 samples, sample_rate, n_channels).  PCM16 only."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    sample_rate = n_channels = None
+    samples = None
+    while pos + 8 <= len(b):
+        chunk_id = b[pos : pos + 4]
+        chunk_len = struct.unpack_from("<I", b, pos + 4)[0]
+        body = pos + 8
+        if chunk_id == b"fmt ":
+            audio_fmt, n_channels, sample_rate, _, _, bits = struct.unpack_from("<HHIIHH", b, body)
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
+        elif chunk_id == b"data":
+            samples = np.frombuffer(b, dtype=np.int16, count=chunk_len // 2, offset=body)
+        pos = body + chunk_len + (chunk_len & 1)  # chunks are word-aligned
+    if sample_rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return samples, sample_rate, n_channels
+
+
+# ---------------------------------------------------------------------------
+# resize — nearest + bilinear, pure numpy
+# ---------------------------------------------------------------------------
+
+
+def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    h, w = arr.shape[:2]
+    ys = (np.arange(out_h) * (h / out_h)).astype(np.int64).clip(0, h - 1)
+    xs = (np.arange(out_w) * (w / out_w)).astype(np.int64).clip(0, w - 1)
+    return arr[ys][:, xs]
+
+
+def resize_bilinear(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    h, w = arr.shape[:2]
+    # align-corners=False sampling grid (the conventional choice)
+    ys = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    y0 = np.floor(ys).astype(np.int64).clip(0, h - 1)
+    x0 = np.floor(xs).astype(np.int64).clip(0, w - 1)
+    y1 = (y0 + 1).clip(0, h - 1)
+    x1 = (x0 + 1).clip(0, w - 1)
+    wy = (ys - y0).clip(0.0, 1.0)[:, None, None]
+    wx = (xs - x0).clip(0.0, 1.0)[None, :, None]
+    a = arr.astype(np.float64)
+    top = a[y0][:, x0] * (1 - wx) + a[y0][:, x1] * wx
+    bot = a[y1][:, x0] * (1 - wx) + a[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.round(out).clip(0, 255).astype(np.uint8)

@@ -5,12 +5,19 @@ typed metadata struct alongside; heavy per-item work (decode, resize,
 feature-extract, frame-sample) runs in Arrow-batched ``mapInPandas`` so
 executors stream record batches without materializing a partition.
 
-The actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so the
-decode kernels are stubbed: ``decode_image_meta`` parses the (real)
-header bytes it can, and the deterministic fake feature extractor is
-clearly marked.  The Spark-side contract — schema, batch iteration,
-partition sizing — is real and tested; swapping the kernel body for a
-real codec changes nothing structurally.
+Decode status by format:
+
+- **REAL decode, no external deps** (operators.codecs, pure struct+numpy):
+  BMP 24-bit, PPM P6, WAV PCM16 — ``decode_media``,
+  ``extract_image_features``, ``extract_audio_features`` and
+  ``resize_media`` run the actual pixel/sample math, verified by
+  round-trip tests (tests/test_codecs.py).
+- **Compressed formats** (PNG/JPEG/MP3/MP4) genuinely require codec
+  libraries this container does not ship; those rows surface
+  ``ok=false, err='needs-codec'`` and the integration point is
+  ``raise_if_real_decode_requested``.  The legacy header-sniff kernels
+  (``decode_image_meta``, ``extract_features``) remain as the
+  codec-free fallback path.
 """
 
 from __future__ import annotations
@@ -159,7 +166,198 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 def raise_if_real_decode_requested():
     raise NotImplementedError(
-        "real image/audio decode requires PIL/librosa/ffmpeg, which this "
-        "container does not ship; the mapInPandas kernels above are the "
-        "integration points"
+        "decode of COMPRESSED media (png/jpeg/mp3/mp4) requires "
+        "PIL/librosa/ffmpeg, which this container does not ship; "
+        "uncompressed bmp/ppm/wav decode IS implemented (operators.codecs) "
+        "and the mapInPandas kernels below are the integration points"
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL decode path — uncompressed formats via operators.codecs
+# ---------------------------------------------------------------------------
+
+
+def synthetic_media_real(spark, n: int = 64) -> DataFrame:
+    """Deterministic corpus of REAL media payloads: BMP and PPM images
+    with a seeded gradient pattern, WAV sine tones, plus PNG-header rows
+    to exercise the needs-codec path."""
+    import numpy as np
+
+    from esgopeta_spark.operators import codecs
+
+    rows = []
+    for i in range(n):
+        kind = ("image", "image", "audio", "video")[i % 4]
+        if kind == "image":
+            w, h = 16 + (i % 5) * 4, 12 + (i % 3) * 4
+            yy, xx = np.mgrid[0:h, 0:w]
+            arr = np.stack(
+                [(xx * 7 + i) % 256, (yy * 5 + 2 * i) % 256, (xx + yy + 3 * i) % 256], axis=-1
+            ).astype(np.uint8)
+            if i % 2 == 0:
+                payload, fmt = codecs.encode_bmp(arr), "bmp"
+            else:
+                payload, fmt = codecs.encode_ppm(arr), "ppm"
+            rows.append((i, "image", payload, (w, h, None, None, fmt)))
+        elif kind == "audio":
+            sr = 8000
+            dur_s = 0.05 + (i % 4) * 0.025
+            t = np.arange(int(sr * dur_s)) / sr
+            freq = 200.0 + 50.0 * (i % 8)
+            samples = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
+            payload = codecs.encode_wav(samples, sr)
+            rows.append((i, "audio", payload, (None, None, sr, int(dur_s * 1000), "wav")))
+        else:  # compressed stand-in: header only, decodes to needs-codec
+            payload = b"\x89PNG\r\n\x1a\n" + bytes([(i * 7 + j) % 256 for j in range(64)])
+            rows.append((i, "video", payload, (None, None, None, 2000, "png")))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+DECODED_SCHEMA = (
+    "media_id bigint, format string, ok boolean, err string, "
+    "width int, height int, sample_rate int, n_samples int, duration_ms int"
+)
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """REAL decode of bmp/ppm/wav payloads per Arrow batch; compressed
+    formats surface ok=false, err='needs-codec' instead of failing the
+    job (at 100 TB a poison payload must never kill the stage)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from esgopeta_spark.operators import codecs
+
+        for pdf in batches:
+            out = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(b) if b is not None else b""
+                fmt = codecs.sniff_format(b)
+                rec = dict(
+                    media_id=mid, format=fmt, ok=False, err=None,
+                    width=None, height=None, sample_rate=None, n_samples=None, duration_ms=None,
+                )
+                try:
+                    if fmt in ("bmp", "ppm"):
+                        arr = codecs.decode_bmp(b) if fmt == "bmp" else codecs.decode_ppm(b)
+                        rec.update(ok=True, width=arr.shape[1], height=arr.shape[0])
+                    elif fmt == "wav":
+                        samples, sr, nch = codecs.decode_wav(b)
+                        rec.update(
+                            ok=True, sample_rate=sr, n_samples=len(samples) // nch,
+                            duration_ms=int(1000 * len(samples) / (sr * nch)),
+                        )
+                    else:
+                        rec.update(err="needs-codec" if fmt in ("png", "jpeg") else f"undecodable:{fmt}")
+                except ValueError as exc:  # malformed payload: quarantine, don't crash
+                    rec.update(err=f"corrupt:{exc}")
+                out.append(rec)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(kernel, DECODED_SCHEMA)
+
+
+def extract_image_features(df: DataFrame) -> DataFrame:
+    """Real pixel statistics from decoded images: per-channel means, luma
+    mean/std, edge energy (mean abs horizontal gradient) — the classic
+    cheap quality signals a filtering pipeline thresholds on."""
+    out_schema = "media_id bigint, feature array<float>"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from esgopeta_spark.operators import codecs
+
+        for pdf in batches:
+            ids, feats = [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(b) if b is not None else b""
+                fmt = codecs.sniff_format(b)
+                if fmt not in ("bmp", "ppm"):
+                    continue
+                arr = (codecs.decode_bmp(b) if fmt == "bmp" else codecs.decode_ppm(b)).astype(np.float64)
+                luma = arr @ np.array([0.299, 0.587, 0.114])
+                grad = np.abs(np.diff(luma, axis=1)).mean() if luma.shape[1] > 1 else 0.0
+                feats.append(
+                    np.array(
+                        [arr[..., 0].mean(), arr[..., 1].mean(), arr[..., 2].mean(),
+                         luma.mean(), luma.std(), grad],
+                        dtype=np.float32,
+                    ).tolist()
+                )
+                ids.append(mid)
+            # explicit dtypes: an all-empty batch (no image rows in this
+            # partition) must still carry int64/object columns for Arrow
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "feature": pd.Series(feats, dtype=object),
+                }
+            )
+
+    return df.mapInPandas(kernel, out_schema)
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Real signal statistics from decoded WAV audio: RMS, peak,
+    zero-crossing rate, duration."""
+    out_schema = "media_id bigint, rms double, peak double, zcr double, duration_ms int"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from esgopeta_spark.operators import codecs
+
+        for pdf in batches:
+            out = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(b) if b is not None else b""
+                if codecs.sniff_format(b) != "wav":
+                    continue
+                samples, sr, nch = codecs.decode_wav(b)
+                x = samples.astype(np.float64) / 32768.0
+                zc = np.mean(np.abs(np.diff(np.signbit(x)))) if len(x) > 1 else 0.0
+                out.append(
+                    dict(
+                        media_id=mid,
+                        rms=float(np.sqrt(np.mean(x**2))) if len(x) else 0.0,
+                        peak=float(np.abs(x).max()) if len(x) else 0.0,
+                        zcr=float(zc),
+                        duration_ms=int(1000 * len(samples) / (sr * nch)),
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(kernel, out_schema)
+
+
+def resize_media(df: DataFrame, max_side: int = 64, method: str = "bilinear") -> DataFrame:
+    """REAL aspect-preserving resize for bmp/ppm payloads: decode ->
+    numpy resample -> re-encode in the same format.  Never upscales.
+    Non-image / compressed rows pass through untouched (ok=false)."""
+    out_schema = "media_id bigint, ok boolean, out_width int, out_height int, payload binary"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from esgopeta_spark.operators import codecs
+
+        resample = codecs.resize_bilinear if method == "bilinear" else codecs.resize_nearest
+        for pdf in batches:
+            out = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(b) if b is not None else b""
+                fmt = codecs.sniff_format(raw)
+                if fmt not in ("bmp", "ppm"):
+                    out.append(dict(media_id=mid, ok=False, out_width=None, out_height=None, payload=raw))
+                    continue
+                arr = codecs.decode_bmp(raw) if fmt == "bmp" else codecs.decode_ppm(raw)
+                h, w = arr.shape[:2]
+                scale = min(max_side / max(w, h), 1.0)
+                ow, oh = max(int(round(w * scale)), 1), max(int(round(h * scale)), 1)
+                res = arr if (ow, oh) == (w, h) else resample(arr, ow, oh)
+                enc = codecs.encode_bmp(res) if fmt == "bmp" else codecs.encode_ppm(res)
+                out.append(dict(media_id=mid, ok=True, out_width=ow, out_height=oh, payload=enc))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(kernel, out_schema)

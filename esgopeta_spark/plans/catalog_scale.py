@@ -469,3 +469,33 @@ def skew_salted_join(spark, sf):
         F.sum("_price").cast("double").alias("revenue"),
         F.count("*").alias("n_items"),
     )
+
+
+@register(
+    "multimodal_decode_real",
+    "G5",
+    None,  # binary decode is not SQL-expressible; round-trip oracles live in
+    # tests/test_codecs.py (encode->decode identity, resize pixel math,
+    # sine-wave RMS theory)
+    doc="REAL multimodal decode pipeline: deterministic BMP/PPM/WAV corpus -> "
+    "mapInPandas pure-numpy decode (operators/codecs.py) -> per-kind meta + "
+    "audio RMS micro-units; compressed rows surface err='needs-codec' instead "
+    "of failing the stage",
+)
+def multimodal_decode_real(spark, sf):
+    from esgopeta_spark.operators.multimodal import (
+        decode_media,
+        extract_audio_features,
+        synthetic_media_real,
+    )
+
+    media = synthetic_media_real(spark, 64)
+    decoded = decode_media(media)
+    audio = extract_audio_features(media).select(
+        "media_id", F.floor(F.col("rms") * 1000000.0 + 0.5).cast("bigint").alias("rms_micro")
+    )
+    return (
+        decoded.join(audio, "media_id", "left")
+        .select("media_id", "format", "ok", "err", "width", "height", "sample_rate", "duration_ms", "rms_micro")
+        .orderBy("media_id")
+    )

@@ -333,3 +333,39 @@ def q22_sales_opportunity(spark, sf):
         F.count("*").alias("numcust"),
         F.sum(money("c_acctbal")).cast("double").alias("totacctbal"),
     )
+
+
+@register(
+    "q15_top_supplier",
+    "E3,E4",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    doc="TPC-H Q15 shape: quarterly revenue view per supplier, select the max-revenue "
+    "supplier(s) via a scalar subquery; decimal-exact sums (rule 1) make the max "
+    "comparison deterministic cross-engine",
+)
+def q15_top_supplier(spark, sf):
+    li = T(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(money("l_extendedprice") * (F.lit(1) - pct("l_discount"))).alias("_rev")
+    )
+    max_rev = revenue.agg(F.max("_rev").alias("_mx"))
+    s = T(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("_rev") == F.col("_mx"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("_rev").cast("double").alias("total_revenue"))
+    )
