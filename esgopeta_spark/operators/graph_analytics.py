@@ -46,16 +46,17 @@ def pagerank(
     unbounded-iteration treatment).  At scale, pre-partition edges by
     src and ranks by node to make the per-round join co-located.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    nodes = e.select(F.col("src").alias("node")).union(e.select("dst")).distinct()
+    # materialize the (possibly expensive) upstream edge pipeline ONCE;
+    # nodes/degrees/annotated-edges all derive from this single
+    # materialization instead of re-running the producer per derivation.
+    # localCheckpoint over persist(): the blocks are reclaimed by the
+    # ContextCleaner when the result goes out of scope — persist() would
+    # pin CacheManager entries for the session
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint()
+    nodes = e.select(F.col("src").alias("node")).union(e.select("dst")).distinct().localCheckpoint()
     deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
-    # every iteration re-reads the degree-annotated edges and the node
-    # set; materialize both once instead of recomputing the upstream
-    # edge-projection pipeline 3x.  localCheckpoint over persist(): the
-    # blocks are reclaimed by the ContextCleaner when the result goes out
-    # of scope — persist() would pin CacheManager entries for the session
+    # every iteration re-reads the degree-annotated edges and the node set
     ed = e.join(deg, "src").localCheckpoint()  # (src, dst, _deg)
-    nodes = nodes.localCheckpoint()
     rank = nodes.withColumn("rank_micro", F.lit(1000000).cast("bigint"))
     for _ in range(iterations):
         contrib = (
@@ -88,11 +89,16 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     joins stay equi-joins; per-node counts come from exploding each
     triangle into its three corners.
     """
+    # materialize the canonical edge set ONCE: it feeds the degree count
+    # (twice via unionAll), the orientation join, and the closing-edge
+    # probe — without this the (often expensive) edge producer re-runs
+    # per branch (measured 2x the whole query on the co-order graph)
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         e.select(F.col("a").alias("node"))

@@ -181,7 +181,11 @@ def graph_fetch_path(spark, sf):
     doc="F5 oracle twin: the events update-log replayed through the STREAMING "
     "winner handler (gun/scoped_fetch.go:112-217, ham_stream._make_handler) in "
     "batch; the final emitted winner per (soul,field) must equal the batch "
-    "semilattice merge — pins batch≡stream equivalence under the driver gate",
+    "semilattice merge — pins batch≡stream equivalence under the driver gate.  "
+    "Perf note: this deliberately pays the per-key Python handler cost for "
+    "every key at once (~9k rows/s/core); it is a correctness artifact, not "
+    "the batch-throughput path — that is ham_merge (graph_ham_merge_events), "
+    "one codegen'd max_by aggregate, ~20x faster on the same input",
 )
 def graph_ham_stream_replay(spark, sf):
     from esgopeta_spark.streaming.ham_stream import OUTPUT_SCHEMA, _make_handler

@@ -54,11 +54,15 @@ def graph_pagerank_transactions(spark, sf):
     li = T(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
     edges = (
         o.join(li, o.o_orderkey == li.l_orderkey)
+        # distinct on the (int, int) key pair FIRST — 8-byte shuffle rows —
+        # then tag into the shared string node namespace; distinct-on-strings
+        # shuffles ~3x the bytes for the same result
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
             F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
         )
-        .distinct()
     )
     return pagerank(edges, iterations=3)
 
@@ -92,16 +96,18 @@ def graph_pagerank_transactions(spark, sf):
 def graph_triangles_coorder(spark, sf):
     from esgopeta_spark.operators.graph_analytics import triangle_counts
 
-    li = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    # distinct (order, part) FIRST: the self-join input shrinks and each
+    # unordered part pair then occurs at most once per order, so the
+    # distinct-order count collapses to a plain count (one-phase partial
+    # agg instead of count-distinct's two-phase expand)
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
     b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
     edges = (
         a.join(b, "k")
         .filter(F.col("pa") < F.col("pb"))
-        .groupBy(
-            F.least("pa", "pb").alias("ea"), F.greatest("pa", "pb").alias("eb")
-        )
-        .agg(F.countDistinct("k").alias("_n"))
+        .groupBy(F.col("pa").alias("ea"), F.col("pb").alias("eb"))
+        .agg(F.count("*").alias("_n"))
         .filter(F.col("_n") >= 2)
         .select("ea", "eb")
     )
