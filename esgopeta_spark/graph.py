@@ -67,10 +67,33 @@ class PutResult:
 class GunGraph:
     def __init__(self, spark: SparkSession, quads: DataFrame | None = None, soul_gen: SoulGen | None = None):
         self.spark = spark
-        self.quads = quads if quads is not None else empty_quads(spark)
+        self._base = quads if quads is not None else empty_quads(spark)
+        # update frames not yet folded into _base.  HAM merge is a
+        # semilattice join (associative, commutative, idempotent —
+        # ham.py module docstring), so folding N puts in ONE aggregate at
+        # read time is value-identical to merging after every put; it
+        # turns a put chain's plan from N nested aggregates into one.
+        self._pending: list[DataFrame] = []
         self.soul_gen = soul_gen or SoulGen()
         self._soul_cache: dict[tuple[str, ...], str] = {}
         self._put_count = 0
+
+    @property
+    def quads(self) -> DataFrame:
+        """Merged snapshot (winner per key).  Folds any pending puts on
+        first read and caches the folded frame."""
+        if self._pending:
+            u = self._base
+            for p in self._pending:
+                u = u.unionByName(p)
+            self._base = ham_merge(u)
+            self._pending = []
+        return self._base
+
+    @quads.setter
+    def quads(self, df: DataFrame) -> None:
+        self._base = df
+        self._pending = []
 
     # ------------------------------------------------------------------
     # construction
@@ -196,12 +219,13 @@ class GunGraph:
         new_quads.append({"soul": parent, "field": path[-1], **encode_value(value), "state": state})
 
         updates_df = self.spark.createDataFrame(new_quads, QUAD_SCHEMA)
-        merged = ham_merge(self.quads.unionByName(updates_df))
-        g = GunGraph(self.spark, merged, soul_gen=self.soul_gen)
+        g = GunGraph(self.spark, self._base, soul_gen=self.soul_gen)
+        g._pending = self._pending + [updates_df]
         g._soul_cache = dict(self._soul_cache)
         g._put_count = self._put_count + 1
-        # long put chains build deep lineage; compact periodically
-        if g._put_count % 16 == 0:
+        # long put chains still need bounded lineage: fold + checkpoint
+        # (lazily — the next action materializes) every 16 pending frames
+        if len(g._pending) >= 16:
             g.quads = g.quads.localCheckpoint(eager=False)
         return PutResult(graph=g, updates=new_quads)
 
