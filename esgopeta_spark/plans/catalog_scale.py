@@ -128,9 +128,46 @@ def dedup_embedding_lsh(spark, sf):
 @register(
     "sim_topk_cosine_ivf",
     "G3",
-    None,  # approximate by design; pytest measures recall vs exact top-k
+    """
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings WHERE vec_id % 25 = 0),
+    assigned AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT c.vec_id, c.v, cents.cell,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                 list_dot_product(c.v, cents.cv)
+                   / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(cents.cv, cents.cv))) DESC,
+                 cents.cell ASC) AS rn
+        FROM c CROSS JOIN cents) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id % 50 = 0),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.query_id, q.qv, cents.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 list_dot_product(q.qv, cents.cv)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cents.cv, cents.cv))) DESC,
+                 cents.cell ASC) AS rk
+        FROM q CROSS JOIN cents) WHERE rk <= 3),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS nbr_id,
+             list_dot_product(p.qv, a.v)
+               / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) AS cosine_sim
+      FROM probes p JOIN assigned a ON p.cell = a.cell AND a.vec_id <> p.query_id),
+    r AS (SELECT query_id, nbr_id, cosine_sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine_sim DESC, nbr_id) AS rank
+          FROM scored)
+    SELECT query_id, nbr_id,
+           CAST(floor(cosine_sim * 1000000 + 0.5) AS BIGINT) AS cosine_micro, rank
+    FROM r WHERE rank <= 5
+    """,
     doc="IVF-flat approximate top-5 cosine: deterministic strided codebook, argmax cell "
-    "assignment against broadcast centroids, n_probe-cell probe join",
+    "assignment against broadcast centroids, n_probe-cell probe join.  Unlike the "
+    "hyperplane-LSH twin this IS oracle-checkable: every float op is a sequential "
+    "left-fold with identical operand order on both engines (rule 2), so cell "
+    "assignment, probe choice and final ranks match bitwise",
 )
 def sim_topk_cosine_ivf(spark, sf):
     from esgopeta_spark.operators.similarity import topk_cosine_ivf
