@@ -213,3 +213,53 @@ def graph_ham_stream_replay(spark, sf):
     upd = _events_as_updates(spark, sf)
     winners = upd.groupBy("soul", "field").applyInPandas(replay, OUTPUT_SCHEMA)
     return winners.select("soul", "field", "value_number", "state")
+
+
+@register(
+    "graph_ham_deferred_split",
+    "D3,A10",
+    """
+    WITH upd AS (
+      SELECT 'user/' || CAST(user_id AS VARCHAR) AS soul,
+             event_type AS field,
+             value AS value_number,
+             CAST(value AS VARCHAR) AS value_json,
+             CAST(epoch_ms(ts) AS DOUBLE) AS state
+      FROM events),
+    eligible AS (SELECT * FROM upd WHERE state <= 1715000000000.0),
+    w AS (
+      SELECT soul, field, value_number, state,
+             ROW_NUMBER() OVER (PARTITION BY soul, field
+                                ORDER BY state DESC, value_json DESC) AS rn
+      FROM eligible),
+    d AS (SELECT soul, field, COUNT(*) AS n_deferred
+          FROM upd WHERE state > 1715000000000.0 GROUP BY soul, field)
+    SELECT w.soul, w.field, w.value_number, w.state,
+           COALESCE(d.n_deferred, 0) AS n_deferred
+    FROM w LEFT JOIN d ON w.soul = d.soul AND w.field = d.field
+    WHERE w.rn = 1
+    """,
+    doc="D3 future-state deferral (gun/storage.go:107-117) as a batch split: updates "
+    "ahead of the as_of clock (fixed mid-range epoch for determinism) are withheld "
+    "from the merge and carried — the entry emits the eligible winner per key plus "
+    "the per-key deferred carry count, exercising ham_apply_updates end to end",
+)
+def graph_ham_deferred_split(spark, sf):
+    from esgopeta_spark.ham import empty_quads, ham_apply_updates
+
+    as_of_ms = 1715000000000.0  # ~2024-05-06; splits the 2024 event range
+    upd = _events_as_updates(spark, sf)
+    res = ham_apply_updates(empty_quads(spark), upd, as_of_ms=as_of_ms)
+    deferred_counts = res.deferred.groupBy("soul", "field").agg(
+        F.count("*").alias("n_deferred")
+    )
+    return (
+        res.quads.join(deferred_counts, ["soul", "field"], "left")
+        .select(
+            "soul",
+            "field",
+            "value_number",
+            "state",
+            F.coalesce("n_deferred", F.lit(0)).cast("bigint").alias("n_deferred"),
+        )
+    )
