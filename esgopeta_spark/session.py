@@ -70,6 +70,9 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     for conf, val in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+        # UTC keeps the NTZ->timestamp cast below value-preserving and
+        # makes unix_millis/window outputs tz-independent in any session
+        ("spark.sql.session.timeZone", "UTC"),
     ):
         try:  # the driver may hand us a session built without these confs
             spark.conf.set(conf, val)

@@ -59,6 +59,23 @@ def test_ntz_cast_branch_covers_driver_built_sessions(spark):
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
+def test_foreign_timezone_session_reads_correct_epochs(spark):
+    """A driver-built session may carry a non-UTC timezone; read_table must
+    still surface the stored UTC instants (it re-pins session tz to UTC at
+    runtime, keeping the NTZ cast value-preserving)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.session.timeZone", "America/New_York")
+    e = read_table(ns, SF_SMOKE, "events")
+    got = e.select(F.min(F.unix_millis("ts")).alias("ms")).collect()[0]["ms"]
+    want = duckdb.connect().execute(
+        f"SELECT MIN(CAST(epoch_ms(ts) AS BIGINT)) FROM '{SF_SMOKE}/events.parquet'"
+    ).fetchone()[0]
+    assert got == want
+
+
 def test_all_registry_entries_analyze(spark):
     """Every catalog entry must at least pass Catalyst analysis (~schema
     resolution) against current testdata.  Catches dtype drift in ANY entry
