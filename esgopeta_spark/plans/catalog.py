@@ -874,6 +874,42 @@ def udf_pandas_charge(spark, sf):
 
 
 @register(
+    "udf_grouped_agg_qty",
+    "E9",
+    """
+    SELECT l_returnflag,
+           SUM(CAST(l_quantity * 100 AS BIGINT)) AS qty_centi,
+           COUNT(*) AS n_lines
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="grouped-AGGREGATE pandas_udf (the third UDF shape next to scalar and "
+    "grouped-map): per-group reduction runs in pandas over Arrow batches; "
+    "integer centi-units make the sum order-independent (rule 3), so the "
+    "Python-side fold hash-matches the SQL aggregate exactly",
+)
+def udf_grouped_agg_qty(spark, sf):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def qty_centi(q: pd.Series) -> int:
+        # quantities are 2-decimal; scale to exact int64 before summing so
+        # the reduction is associative (no float accumulation order issues)
+        return int((q * 100).round().astype("int64").sum())
+
+    @pandas_udf("bigint")
+    def n_rows(q: pd.Series) -> int:
+        # grouped-agg pandas UDFs cannot mix with JVM aggregates in one
+        # agg — the count is a second pandas reduction over the same group
+        return int(len(q))
+
+    li = T(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        qty_centi("l_quantity").alias("qty_centi"),
+        n_rows("l_quantity").alias("n_lines"),
+    )
+
+
+@register(
     "udf_grouped_demean",
     "E9",
     """
