@@ -299,3 +299,32 @@ def test_stream_put_restart_recovery(spark, tmp_path):
     got = {(r["soul"], r["field"]): (r["value_string"], r["value_number"]) for r in read_quads(spark, store).collect()}
     exp = {(r["soul"], r["field"]): (r["value_string"], r["value_number"]) for r in want.collect()}
     assert got == exp and got[("s1", "f")][0] == "second"
+
+
+def test_upsert_corrupt_pending_store_raises(spark, tmp_path):
+    """A real failure reading the _pending side-store must PROPAGATE —
+    silently swallowing it would drop deferred updates (round-2 advice:
+    the old bare `except` hid corrupt/unreadable carries)."""
+    import pytest
+
+    from esgopeta_spark.streaming.upsert import _pending_dir, ham_upsert_batch
+
+    store = str(tmp_path / "store")
+    os.makedirs(_pending_dir(store))
+    with open(os.path.join(_pending_dir(store), "part-00000.parquet"), "wb") as f:
+        f.write(b"this is not parquet")
+
+    batch = spark.createDataFrame([q("s1", "f", "v", 100, msg="m1")], UPDATE_SCHEMA)
+    with pytest.raises(Exception):
+        ham_upsert_batch(spark, batch, store, n_buckets=4, as_of_ms=1e9)
+
+
+def test_upsert_missing_pending_dir_is_fine(spark, tmp_path):
+    from esgopeta_spark.sources.io import read_quads
+    from esgopeta_spark.streaming.upsert import ham_upsert_batch
+
+    store = str(tmp_path / "store")
+    batch = spark.createDataFrame([q("s1", "f", "v", 100, msg="m1")], UPDATE_SCHEMA)
+    ham_upsert_batch(spark, batch, store, n_buckets=4, as_of_ms=1e9)
+    rows = read_quads(spark, store).collect()
+    assert len(rows) == 1 and rows[0]["value_string"] == "v"
