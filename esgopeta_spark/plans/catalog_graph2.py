@@ -263,3 +263,50 @@ def graph_ham_deferred_split(spark, sf):
             F.coalesce("n_deferred", F.lit(0)).cast("bigint").alias("n_deferred"),
         )
     )
+
+
+@register(
+    "graph_ttl_tracking",
+    "B7,C9,A10",
+    """
+    WITH upd AS (
+      SELECT 'user/' || CAST(user_id AS VARCHAR) AS soul,
+             event_type AS field,
+             value AS value_number,
+             CAST(value AS VARCHAR) AS value_json,
+             CAST(epoch_ms(ts) AS DOUBLE) AS state
+      FROM events),
+    w AS (
+      SELECT soul, field, value_number, state,
+             ROW_NUMBER() OVER (PARTITION BY soul, field
+                                ORDER BY state DESC, value_json DESC) AS rn
+      FROM upd),
+    stored AS (  -- the store after merge + TTL purge at the corpus max clock
+      SELECT soul, field, value_number, state FROM w
+      WHERE rn = 1
+        AND state >= (SELECT MAX(state) FROM upd) - 25200000.0),
+    observed AS (  -- wire traffic: purchase updates only
+      SELECT soul, field, state FROM upd WHERE field = 'purchase')
+    SELECT o.soul, o.field, o.state
+    FROM observed o
+    WHERE EXISTS (SELECT 1 FROM stored s
+                  WHERE s.soul = o.soul AND s.field = o.field)
+    """,
+    doc="B7 TTL retention + C9 tracking policy (gun/storage.go:50-77, "
+    "gun/gun.go:59-78): merge the events update log, purge rows older than the "
+    "7h TTL at the corpus max clock (partition-prunable predicate), then apply "
+    "TrackingRequested to observed purchase traffic — a left-semi join against "
+    "surviving store keys",
+)
+def graph_ttl_tracking(spark, sf):
+    from esgopeta_spark.ham import ham_merge
+    from esgopeta_spark.storage import DEFAULT_TTL_MS, Tracking, apply_tracking, purge_expired
+
+    upd = _events_as_updates(spark, sf)
+    # deterministic "now" = the corpus max state (no wall clock in queries);
+    # a bounded 1-row aggregate collect, same as the reference's StateNow()
+    now_ms = upd.agg(F.max("state")).collect()[0][0]
+    stored = purge_expired(ham_merge(upd), now_ms, DEFAULT_TTL_MS)
+    observed = upd.filter(F.col("field") == "purchase").select("soul", "field", "state")
+    kept = apply_tracking(stored, observed, Tracking.REQUESTED)
+    return kept.select("soul", "field", "state")
