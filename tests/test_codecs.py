@@ -141,3 +141,59 @@ def test_image_features_distributed(spark):
     # features are real pixel stats: all channel means within [0, 255]
     for r in rows:
         assert all(0.0 <= v <= 255.0 for v in r["feature"][:5])
+
+
+# ---------------------------------------------------------------------------
+# property-based roundtrips (hypothesis)
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=40),
+        h=st.integers(min_value=1, max_value=40),
+        data=st.data(),
+    )
+    def test_bmp_ppm_roundtrip_property(w, h, data):
+        arr = data.draw(arrays(np.uint8, (h, w, 3)))
+        assert np.array_equal(codecs.decode_bmp(codecs.encode_bmp(arr)), arr)
+        assert np.array_equal(codecs.decode_ppm(codecs.encode_ppm(arr)), arr)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(min_value=0, max_value=4000),
+        sr=st.sampled_from([8000, 16000, 44100]),
+        data=st.data(),
+    )
+    def test_wav_roundtrip_property(n, sr, data):
+        samples = data.draw(arrays(np.int16, (n,)))
+        back, got_sr, nch = codecs.decode_wav(codecs.encode_wav(samples, sr))
+        assert got_sr == sr and nch == 1
+        assert np.array_equal(back, samples)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=30),
+        h=st.integers(min_value=1, max_value=30),
+        ow=st.integers(min_value=1, max_value=30),
+        oh=st.integers(min_value=1, max_value=30),
+        data=st.data(),
+    )
+    def test_resize_shapes_and_range_property(w, h, ow, oh, data):
+        arr = data.draw(arrays(np.uint8, (h, w, 3)))
+        for fn in (codecs.resize_nearest, codecs.resize_bilinear):
+            out = fn(arr, ow, oh)
+            assert out.shape == (oh, ow, 3)
+            assert out.dtype == np.uint8
+            # output values never escape the input's [min, max] hull
+            assert out.min() >= arr.min() and out.max() <= arr.max()
