@@ -1447,3 +1447,74 @@ def _text_langid_oracle() -> str:
 
 
 REGISTRY["text_langid_agg"].oracle = _text_langid_oracle()
+
+
+# ---------------------------------------------------------------------------
+# End-to-end training-data pipeline composition (G1+G4 in one plan):
+# dedup -> quality gate -> language rollup.  The showcase shape: each stage
+# is the operator library's own function, fused by Catalyst into one plan.
+# ---------------------------------------------------------------------------
+
+
+def _pipeline_oracle() -> str:
+    from esgopeta_spark.operators.text import STOPWORDS
+
+    def sw_list(lang):
+        return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+    hits = {
+        l: f"len(list_intersect(list_distinct(words), {sw_list(l)}))" for l in ["en", "de", "fr", "es"]
+    }
+    best = f"greatest({hits['en']}, {hits['de']}, {hits['fr']}, {hits['es']})"
+    return f"""
+    WITH n AS (
+      SELECT doc_id, source, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents),
+    keep AS (  -- stage 1: exact dedup, lowest doc_id per normalized text wins
+      SELECT MIN(doc_id) AS doc_id FROM n GROUP BY norm),
+    d AS (
+      SELECT n.doc_id, n.source,
+             CASE WHEN length(n.norm) = 0 THEN [] ELSE string_split(n.norm, ' ') END AS words
+      FROM n JOIN keep ON n.doc_id = keep.doc_id),
+    q AS (  -- stage 2: quality gate on token count + alpha ratio of words
+      SELECT doc_id, source, words,
+             CASE WHEN {best} <= 0 THEN 'und'
+                  WHEN {hits['en']} = {best} THEN 'en'
+                  WHEN {hits['de']} = {best} THEN 'de'
+                  WHEN {hits['fr']} = {best} THEN 'fr'
+                  WHEN {hits['es']} = {best} THEN 'es'
+                  ELSE 'und' END AS lang_guess
+      FROM d WHERE len(words) >= 10)
+    SELECT source, lang_guess,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(words)) AS BIGINT) AS total_tokens
+    FROM q GROUP BY source, lang_guess
+    """
+
+
+@register(
+    "pipeline_dedup_quality_lang",
+    "G1,G4,E3,E4",
+    None,  # long oracle attached below (same builder pattern as text_profile)
+    doc="end-to-end training-data pipeline in ONE Catalyst plan: exact-dedup "
+    "keepers (G1) -> token-count quality gate + language ID (G4) -> per-source "
+    "language rollup; the semi-join keeper prune runs BEFORE the expensive text "
+    "profiling, so downstream cost tracks the deduped survivor set",
+)
+def pipeline_dedup_quality_lang(spark, sf):
+    from esgopeta_spark.operators.dedup import exact_dedup
+    from esgopeta_spark.operators.text import lang_guess, token_count
+
+    d = T(spark, sf, "documents")
+    keepers = exact_dedup(d)  # (doc_id) of each group's lowest-id survivor
+    survivors = d.join(keepers, "doc_id", "left_semi")
+    gated = survivors.filter(token_count(F.col("text")) >= 10)
+    return gated.groupBy(
+        "source", lang_guess(F.col("text")).alias("lang_guess")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("total_tokens"),
+    )
+
+
+REGISTRY["pipeline_dedup_quality_lang"].oracle = _pipeline_oracle()
