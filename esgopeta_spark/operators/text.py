@@ -104,6 +104,42 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalize_text(col))
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into token-bounded overlapping chunks — the standard
+    pre-tokenization shaping step for LLM training corpora.
+
+    One codegen'd projection + posexplode: chunk starts are a
+    ``sequence(0, n-1, stride)`` (stride = chunk - overlap), each chunk a
+    word-array slice re-joined to text.  Empty docs yield one empty chunk
+    (the degenerate start=0 window), so no document silently disappears.
+    Fully distributed: chunking cost is linear in corpus tokens and the
+    explode multiplies rows ~n/stride with no shuffle at all — the
+    downstream tokenizer/dedup stage decides the partitioning.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    w = words(F.col(text_col))
+    n = F.size(w)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    return (
+        df.select(F.col(id_col), w.alias("_w"), F.posexplode(starts).alias("chunk_id", "_start"))
+        .select(
+            id_col,
+            "chunk_id",
+            F.concat_ws(" ", F.slice("_w", F.col("_start") + 1, chunk_tokens)).alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), F.size("_w") - F.col("_start")).alias("n_tokens"),
+        )
+        .withColumn("n_tokens", F.greatest("n_tokens", F.lit(0)))
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-stop text-analysis projection used by the catalog queries."""
     c = F.col(text_col)

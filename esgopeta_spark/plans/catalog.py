@@ -1518,3 +1518,41 @@ def pipeline_dedup_quality_lang(spark, sf):
 
 
 REGISTRY["pipeline_dedup_quality_lang"].oracle = _pipeline_oracle()
+
+
+@register(
+    "chunk_documents_tokens",
+    "G4,E8",
+    """
+    WITH n AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents),
+    w AS (
+      SELECT doc_id,
+             CASE WHEN length(norm) = 0 THEN [] ELSE string_split(norm, ' ') END AS words
+      FROM n),
+    c AS (
+      SELECT doc_id, words, UNNEST(range(0, greatest(len(words), 1), 48)) AS start
+      FROM w)
+    SELECT doc_id,
+           CAST(start // 48 AS INTEGER) AS chunk_id,
+           md5(array_to_string(words[start + 1 : start + 64], ' ')) AS chunk_fp,
+           CAST(greatest(least(64, len(words) - start), 0) AS INTEGER) AS n_tokens
+    FROM c
+    """,
+    doc="token-bounded overlapping document chunking (chunk=64, overlap=16): the "
+    "pre-tokenization shaping step of a training corpus; one projection + "
+    "posexplode, zero shuffles; chunk text compared by md5 fingerprint to keep "
+    "the gate output narrow",
+)
+def chunk_documents_tokens(spark, sf):
+    from esgopeta_spark.operators.text import chunk_documents
+
+    d = T(spark, sf, "documents")
+    ch = chunk_documents(d, chunk_tokens=64, overlap=16)
+    return ch.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.md5("chunk_text").alias("chunk_fp"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+    )

@@ -239,3 +239,29 @@ def test_approx_percentile_tolerance(spark, sf_dir):
     for k, (m, p) in exact.items():
         am, ap = approx[k]
         assert abs(am - m) / m < 0.01 and abs(ap - p) / p < 0.01, (k, m, am, p, ap)
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    from esgopeta_spark.operators.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(100))  # 100 tokens
+    df = spark.createDataFrame([(1, text), (2, ""), (3, "solo")], ["doc_id", "text"])
+    out = chunk_documents(df, chunk_tokens=10, overlap=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: stride 6, starts 0,6,...,96 -> 17 chunks
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert len(c1) == 17
+    assert c1[0]["chunk_text"].split()[:2] == ["w0", "w1"]
+    # consecutive chunks overlap by exactly 4 tokens
+    a, b = c1[0]["chunk_text"].split(), c1[1]["chunk_text"].split()
+    assert a[-4:] == b[:4]
+    # full coverage: every token appears in some chunk
+    seen = {t for r in c1 for t in r["chunk_text"].split()}
+    assert len(seen) == 100
+    # last chunk is short, n_tokens reflects it
+    assert c1[-1]["n_tokens"] == 4 and len(c1[-1]["chunk_text"].split()) == 4
+    # empty doc -> one empty chunk, not zero rows
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_tokens"] == 0
+    assert by_doc[3][0]["chunk_text"] == "solo" and by_doc[3][0]["n_tokens"] == 1
