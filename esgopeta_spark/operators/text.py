@@ -140,6 +140,49 @@ def chunk_documents(
     )
 
 
+# PII-shaped patterns — syntax valid in both Java regex and RE2; kept
+# deliberately simple (an entropy-free scrubber for the catalog/oracle;
+# production lists add locale-specific variants at the same call site)
+REDACTION_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\+?[0-9][0-9()\- ]{7,}[0-9]"),
+    ("url", r"https?://[^ ]+"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Sequential pattern scrub: each PII class replaced by its tag token.
+    Order matters (url before bare digits would differ) — fixed list order
+    keeps Spark and the SQL oracle byte-identical."""
+    out = col
+    for tag, pat in REDACTION_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{tag}>")
+    return out
+
+
+def repetition_profile(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Repeated-n-gram fraction per document — the classic corpus-quality
+    rule (heavily repetitive docs are boilerplate/spam).  One projection:
+    grams as joined word slices, duplicate fraction = 1 - distinct/total.
+    """
+    w = words(F.col(text_col))
+    m = F.greatest(F.size(w) - (n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    grams = F.when(m > 0, grams).otherwise(F.array().cast("array<string>"))
+    n_grams = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    dup_frac = F.when(n_grams > 0, (n_grams - n_distinct) / n_grams.cast("double")).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n_grams.alias("n_grams"),
+        n_distinct.alias("n_distinct_grams"),
+        dup_frac.alias("dup_gram_frac"),
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-stop text-analysis projection used by the catalog queries."""
     c = F.col(text_col)

@@ -1556,3 +1556,79 @@ def chunk_documents_tokens(spark, sf):
         F.md5("chunk_text").alias("chunk_fp"),
         F.col("n_tokens").cast("int").alias("n_tokens"),
     )
+
+
+@register(
+    "text_redact_pii",
+    "G4,E8",
+    r"""
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(
+                 text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+                 '\+?[0-9][0-9()\- ]{7,}[0-9]', '<phone>', 'g'),
+                 'https?://[^ ]+', '<url>', 'g')) AS redacted_fp,
+           CAST(length(text) - length(regexp_replace(regexp_replace(regexp_replace(
+                 text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+                 '\+?[0-9][0-9()\- ]{7,}[0-9]', '<phone>', 'g'),
+                 'https?://[^ ]+', '<url>', 'g')) AS BIGINT) AS bytes_removed
+    FROM documents
+    """,
+    doc="PII scrubbing (email/phone/url -> tag tokens) in fixed pattern order; "
+    "redacted text compared by md5 so the gate output stays narrow; "
+    "bytes_removed is the per-doc scrub delta a pipeline monitors",
+)
+def text_redact_pii(spark, sf):
+    from esgopeta_spark.operators.text import redact_pii
+
+    d = T(spark, sf, "documents")
+    red = redact_pii(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.md5(red).alias("redacted_fp"),
+        (F.length("text") - F.length(red)).cast("bigint").alias("bytes_removed"),
+    )
+
+
+@register(
+    "text_repetition_profile",
+    "G4,E8",
+    """
+    WITH n AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents),
+    w AS (
+      SELECT doc_id,
+             CASE WHEN length(norm) = 0 THEN [] ELSE string_split(norm, ' ') END AS words
+      FROM n),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(words) - 2 > 0
+                  THEN list_transform(range(1, len(words) - 1),
+                                      i -> array_to_string(words[i : i + 2], ' '))
+                  ELSE [] END AS grams
+      FROM w)
+    SELECT doc_id,
+           CAST(len(grams) AS INTEGER) AS n_grams,
+           CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct_grams,
+           CAST(floor(CASE WHEN len(grams) > 0
+                 THEN (len(grams) - len(list_distinct(grams))) / CAST(len(grams) AS DOUBLE)
+                 ELSE 0.0 END * 1000000 + 0.5) AS BIGINT) AS dup_gram_frac_micro
+    FROM g
+    """,
+    doc="repeated-3-gram fraction per document (the boilerplate/spam quality rule): "
+    "grams in one projection, duplicate fraction = 1 - distinct/total, micro-units "
+    "for cross-engine hashing",
+)
+def text_repetition_profile(spark, sf):
+    from esgopeta_spark.operators.text import repetition_profile
+
+    d = T(spark, sf, "documents")
+    out = repetition_profile(d, n=3)
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct_grams",
+        micro(F.col("dup_gram_frac")).alias("dup_gram_frac_micro"),
+    )

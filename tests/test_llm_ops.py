@@ -265,3 +265,33 @@ def test_chunk_documents_overlap_and_coverage(spark):
     # empty doc -> one empty chunk, not zero rows
     assert len(by_doc[2]) == 1 and by_doc[2][0]["n_tokens"] == 0
     assert by_doc[3][0]["chunk_text"] == "solo" and by_doc[3][0]["n_tokens"] == 1
+
+
+def test_redact_pii_patterns(spark):
+    from esgopeta_spark.operators.text import redact_pii
+
+    rows = [
+        (1, "contact bob@example.com or +1 (555) 123-4567 now"),
+        (2, "see https://example.com/path?q=1 for details"),
+        (3, "no pii here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["red"] for r in df.select("doc_id", redact_pii(F.col("text")).alias("red")).collect()}
+    assert out[1] == "contact <email> or <phone> now"
+    assert out[2] == "see <url> for details"
+    assert out[3] == "no pii here"
+
+
+def test_repetition_profile_detects_boilerplate(spark):
+    from esgopeta_spark.operators.text import repetition_profile
+
+    rows = [
+        (1, "buy now " * 50),                     # heavy repetition
+        (2, " ".join(f"w{i}" for i in range(60))),  # all distinct
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in repetition_profile(df, n=3).collect()}
+    assert out[1]["dup_gram_frac"] > 0.9
+    assert out[2]["dup_gram_frac"] == 0.0
+    assert out[3]["n_grams"] == 0 and out[3]["dup_gram_frac"] == 0.0
