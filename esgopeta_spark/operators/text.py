@@ -183,6 +183,34 @@ def repetition_profile(df: DataFrame, n: int = 3, text_col: str = "text", id_col
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the corpus *mixing* step of a
+    training pipeline (upweight/downweight sources by rate).
+
+    Inclusion is a pure function of the row id: the first 8 hex chars of
+    ``md5(id)`` as a uniform [0,1) draw, compared to the stratum's rate.
+    No RNG state, no seed plumbing — the same row is kept or dropped on
+    every engine and every rerun (md5 exists in Spark and DuckDB, so the
+    driver's oracle can replay the exact sample).  Scale shape: one
+    codegen'd filter, no shuffle; rates live in a CASE expression, not a
+    join, so the scan prunes nothing but rows.
+    """
+    draw = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("double")
+        / F.lit(float(16**8))
+    )
+    rate = F.lit(float(default_rate))
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(float(r))).otherwise(rate)
+    return df.filter(draw < rate)
+
+
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-stop text-analysis projection used by the catalog queries."""
     c = F.col(text_col)

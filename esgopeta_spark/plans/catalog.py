@@ -1632,3 +1632,36 @@ def text_repetition_profile(spark, sf):
         "n_distinct_grams",
         micro(F.col("dup_gram_frac")).alias("dup_gram_frac_micro"),
     )
+
+
+@register(
+    "corpus_mix_sample",
+    "G4,E2,E4",
+    """
+    WITH draws AS (
+      SELECT doc_id, source,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS DOUBLE)
+               / 4294967296.0 AS draw,
+             CASE WHEN source = 'src0' THEN 1.0
+                  WHEN source = 'src1' THEN 0.5
+                  WHEN source = 'src2' THEN 0.25
+                  WHEN source = 'src3' THEN 0.1
+                  ELSE 0.05 END AS rate
+      FROM documents)
+    SELECT source, COUNT(*) AS n_sampled
+    FROM draws WHERE draw < rate
+    GROUP BY source
+    """,
+    doc="deterministic stratified corpus-mixing sample: per-source keep rates, "
+    "inclusion = md5(doc_id)-derived uniform draw < rate — seedless, rerun- and "
+    "engine-stable so the oracle replays the exact sample; one codegen filter, "
+    "no shuffle before the rollup",
+)
+def corpus_mix_sample(spark, sf):
+    from esgopeta_spark.operators.text import stratified_sample
+
+    d = T(spark, sf, "documents")
+    sampled = stratified_sample(
+        d, {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}, default_rate=0.05
+    )
+    return sampled.groupBy("source").agg(F.count("*").alias("n_sampled"))

@@ -295,3 +295,20 @@ def test_repetition_profile_detects_boilerplate(spark):
     assert out[1]["dup_gram_frac"] > 0.9
     assert out[2]["dup_gram_frac"] == 0.0
     assert out[3]["n_grams"] == 0 and out[3]["dup_gram_frac"] == 0.0
+
+
+def test_stratified_sample_deterministic_and_rate_accurate(spark):
+    from esgopeta_spark.operators.text import stratified_sample
+
+    rows = [(i, f"s{i % 2}") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    got1 = {r["doc_id"] for r in stratified_sample(df, {"s0": 0.5, "s1": 0.1}).collect()}
+    got2 = {r["doc_id"] for r in stratified_sample(df, {"s0": 0.5, "s1": 0.1}).collect()}
+    assert got1 == got2  # rerun-stable
+    n0 = sum(1 for i in got1 if i % 2 == 0)
+    n1 = sum(1 for i in got1 if i % 2 == 1)
+    assert 400 < n0 < 600  # ~50% of 1000
+    assert 50 < n1 < 160  # ~10% of 1000
+    # default rate 0 drops unknown strata entirely
+    df2 = spark.createDataFrame([(1, "other")], ["doc_id", "source"])
+    assert stratified_sample(df2, {"s0": 1.0}).count() == 0
