@@ -1665,3 +1665,41 @@ def corpus_mix_sample(spark, sf):
         d, {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}, default_rate=0.05
     )
     return sampled.groupBy("source").agg(F.count("*").alias("n_sampled"))
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    "G4,G2,E3",
+    """
+    WITH n AS (
+      SELECT doc_id, source, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents),
+    w AS (
+      SELECT doc_id, source,
+             CASE WHEN length(norm) = 0 THEN [] ELSE string_split(norm, ' ') END AS words
+      FROM n),
+    g AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(range(0, greatest(len(words) - 3, 0) + 1),
+                                          i -> array_to_string(words[i + 1 : i + 3], ' '))) AS grams
+      FROM w),
+    corp AS (SELECT doc_id, UNNEST(grams) AS gram FROM g WHERE source <> 'src19'),
+    ev AS (SELECT DISTINCT UNNEST(grams) AS gram FROM g WHERE source = 'src19')
+    SELECT corp.doc_id, CAST(COUNT(DISTINCT corp.gram) AS BIGINT) AS n_shared_grams
+    FROM corp JOIN ev ON corp.gram = ev.gram
+    GROUP BY corp.doc_id
+    """,
+    doc="benchmark decontamination: corpus docs (sources != src19) sharing any "
+    "word 3-gram with the src19 eval slice, with the shared-gram count per doc; "
+    "eval gram set broadcasts, corpus never shuffles for the probe "
+    "(operators/text.contamination_overlap; hashed=False for the exact oracle, "
+    "xxhash64 keys at scale)",
+)
+def decontaminate_ngram_overlap(spark, sf):
+    from esgopeta_spark.operators.text import contamination_overlap
+
+    d = T(spark, sf, "documents")
+    corpus = d.filter(F.col("source") != "src19")
+    eval_set = d.filter(F.col("source") == "src19")
+    out = contamination_overlap(corpus, eval_set, n=3, hashed=False)
+    return out.select("doc_id", F.col("n_shared_grams").cast("bigint").alias("n_shared_grams"))

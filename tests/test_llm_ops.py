@@ -312,3 +312,25 @@ def test_stratified_sample_deterministic_and_rate_accurate(spark):
     # default rate 0 drops unknown strata entirely
     df2 = spark.createDataFrame([(1, "other")], ["doc_id", "source"])
     assert stratified_sample(df2, {"s0": 1.0}).count() == 0
+
+
+def test_contamination_overlap_flags_leaked_docs(spark):
+    from esgopeta_spark.operators.text import contamination_overlap
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text with no overlap at all"),
+            (3, "quick brown fox appears here too"),
+        ],
+        ["doc_id", "text"],
+    )
+    eval_set = spark.createDataFrame(
+        [(100, "watch the quick brown fox jump")], ["doc_id", "text"]
+    )
+    for hashed in (False, True):  # hashed (scale) and exact paths agree
+        out = {r["doc_id"]: r["n_shared_grams"] for r in
+               contamination_overlap(corpus, eval_set, n=3, hashed=hashed).collect()}
+        assert set(out) == {1, 3}  # both share 'quick brown fox'; doc 2 clean
+        assert out[1] >= 2  # 'the quick brown' + 'quick brown fox'
+        assert out[3] == 1
