@@ -536,3 +536,36 @@ def multimodal_decode_real(spark, sf):
         .select("media_id", "format", "ok", "err", "width", "height", "sample_rate", "duration_ms", "rms_micro")
         .orderBy("media_id")
     )
+
+
+@register(
+    "emb_label_centroids",
+    "G5,E4,E8",
+    """
+    WITH e AS (
+      SELECT label, UNNEST(embedding) AS v,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings)
+    SELECT label, CAST(dim AS INTEGER) AS dim,
+           CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_micro,
+           COUNT(*) AS n
+    FROM e GROUP BY label, dim
+    """,
+    doc="exact distributed per-label embedding centroids: posexplode to "
+    "(label, dim, value), per-component integer micro-unit sums (order-free, "
+    "rule 1/3) + counts — the caller divides for the mean; the embedding-hygiene "
+    "aggregation (centroids for IVF codebooks, label drift checks) with NO float "
+    "summation nondeterminism at any parallelism",
+)
+def emb_label_centroids(spark, sf):
+    emb = T(spark, sf, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim0", "v"))
+        .select(
+            "label",
+            (F.col("dim0") + 1).cast("int").alias("dim"),  # 1-based like the oracle
+            F.floor(F.col("v").cast("double") * 1000000.0 + 0.5).cast("bigint").alias("vm"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.sum("vm").cast("bigint").alias("sum_micro"), F.count("*").alias("n"))
+    )
