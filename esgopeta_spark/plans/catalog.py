@@ -1703,3 +1703,42 @@ def decontaminate_ngram_overlap(spark, sf):
     eval_set = d.filter(F.col("source") == "src19")
     out = contamination_overlap(corpus, eval_set, n=3, hashed=False)
     return out.select("doc_id", F.col("n_shared_grams").cast("bigint").alias("n_shared_grams"))
+
+
+@register(
+    "text_inverted_index",
+    "G4,E4,E8",
+    """
+    WITH n AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents),
+    tok AS (
+      SELECT doc_id, UNNEST(string_split(norm, ' ')) AS token
+      FROM n WHERE length(norm) > 0),
+    tf AS (
+      SELECT token, doc_id, COUNT(*) AS tf
+      FROM tok GROUP BY token, doc_id)
+    SELECT token,
+           COUNT(*) AS doc_freq,
+           CAST(SUM(tf) AS BIGINT) AS total_tf,
+           md5(array_to_string(list_sort(array_agg(CAST(doc_id AS VARCHAR))), ',')) AS postings_fp
+    FROM tf GROUP BY token
+    """,
+    doc="inverted-index build: token -> (document frequency, total term frequency, "
+    "posting-list fingerprint).  Two partial-agg shuffles — (token, doc) term "
+    "counts then per-token rollup; the posting list itself is order-canonicalized "
+    "(sort) before fingerprinting so the hash is partition-order-free",
+)
+def text_inverted_index(spark, sf):
+    from esgopeta_spark.operators.text import words
+
+    d = T(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(words(F.col("text"))).alias("token"))
+    tf = tok.groupBy("token", "doc_id").agg(F.count("*").alias("tf"))
+    return tf.groupBy("token").agg(
+        F.count("*").alias("doc_freq"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
+        F.md5(
+            F.concat_ws(",", F.sort_array(F.collect_list(F.col("doc_id").cast("string"))))
+        ).alias("postings_fp"),
+    )
