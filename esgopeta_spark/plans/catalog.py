@@ -1795,3 +1795,33 @@ def text_top_terms_tfidf(spark, sf):
         .filter(F.col("rank") <= 5)
         .select("doc_id", "token", F.col("score_milli").cast("bigint").alias("score_milli"), "rank")
     )
+
+
+@register(
+    "corpus_adaptive_length_filter",
+    "G4,E4,E3",
+    """
+    WITH thr AS (
+      SELECT source, quantile_cont(n_chars, 0.1) AS p10
+      FROM documents GROUP BY source)
+    SELECT d.source,
+           COUNT(*) AS n_kept,
+           CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars_kept
+    FROM documents d JOIN thr ON d.source = thr.source
+    WHERE d.n_chars > thr.p10
+    GROUP BY d.source
+    """,
+    doc="adaptive quality threshold: drop each source's shortest-decile docs, "
+    "threshold LEARNED from the data (exact interpolated P10 per source, "
+    "Spark percentile == DuckDB quantile_cont) instead of a global constant; "
+    "the tiny per-source threshold table broadcasts back onto the scan",
+)
+def corpus_adaptive_length_filter(spark, sf):
+    d = T(spark, sf, "documents")
+    thr = d.groupBy("source").agg(F.percentile("n_chars", 0.1).alias("p10"))
+    return (
+        d.join(F.broadcast(thr), "source")
+        .filter(F.col("n_chars") > F.col("p10"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"), F.sum("n_chars").cast("bigint").alias("sum_chars_kept"))
+    )
