@@ -1,10 +1,12 @@
-"""Pure-numpy media codecs for the uncompressed formats (G5).
+"""Pure-numpy media codecs (G5).
 
 The container ships no PIL/librosa/ffmpeg, but BMP (24-bit BI_RGB),
-PPM (P6) and WAV (PCM16) need nothing beyond struct + numpy — so those
-decode paths are REAL, not stubs.  Compressed formats (PNG/JPEG/MP3/MP4)
-genuinely require codec libraries and stay behind the explicit guard in
-operators.multimodal.
+PPM (P6), WAV (PCM16) and — via stdlib ``zlib`` — PNG need nothing
+beyond struct + numpy, so those decode paths are REAL, not stubs.
+PNG support covers the baseline non-interlaced profile (bit depth 8,
+grayscale / RGB / gray+alpha / RGBA, all five scanline filters);
+remaining compressed formats (JPEG/MP3/MP4) genuinely require codec
+libraries and stay behind the explicit guard in operators.multimodal.
 
 Everything here is plain bytes->ndarray (and back) so the same functions
 run inside Arrow-batched mapInPandas kernels on executors and in local
@@ -14,6 +16,7 @@ oracle tests.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -29,7 +32,7 @@ _MAGICS = [
     (b"\xff\xd8\xff", "jpeg"),
 ]
 
-DECODABLE = {"bmp", "ppm", "wav"}
+DECODABLE = {"bmp", "ppm", "wav", "png"}
 
 
 def sniff_format(b: bytes | None) -> str:
@@ -154,6 +157,158 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int, int]:
     if sample_rate is None or samples is None:
         raise ValueError("missing fmt/data chunk")
     return samples, sample_rate, n_channels
+
+
+# ---------------------------------------------------------------------------
+# PNG — baseline profile via stdlib zlib: bit depth 8, color types
+# 0 (gray) / 2 (RGB) / 4 (gray+alpha) / 6 (RGBA), non-interlaced,
+# all five scanline filters.  No third-party codec library involved.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized (a=left, b=up, c=upper-left), int16 in."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0, compress_level: int = 6) -> bytes:
+    """uint8 image -> PNG bytes.  (h, w) or (h, w, 1) -> grayscale,
+    (h, w, 2) -> gray+alpha, (h, w, 3) -> RGB, (h, w, 4) -> RGBA.
+    ``filter_type`` applies one PNG scanline filter to every row (0-4) —
+    handy for exercising every unfilter path in round-trip tests."""
+    assert arr.dtype == np.uint8
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    a16 = arr.astype(np.int16)
+    left = np.zeros_like(a16)
+    left[:, 1:] = a16[:, :-1]
+    up = np.zeros_like(a16)
+    up[1:] = a16[:-1]
+    upleft = np.zeros_like(a16)
+    upleft[1:, 1:] = a16[:-1, :-1]
+    if filter_type == 0:
+        filt = a16
+    elif filter_type == 1:
+        filt = a16 - left
+    elif filter_type == 2:
+        filt = a16 - up
+    elif filter_type == 3:
+        filt = a16 - ((left + up) >> 1)
+    elif filter_type == 4:
+        filt = a16 - _paeth(left, up, upleft)
+    else:
+        raise ValueError(f"bad filter_type {filter_type}")
+    filt = (filt % 256).astype(np.uint8).reshape(h, w * ch)
+    raw = np.concatenate([np.full((h, 1), filter_type, np.uint8), filt], axis=1).tobytes()
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, compress_level))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, channels) uint8.  Baseline subset: bit depth 8,
+    color types 0/2/4/6, no interlacing.  Chunk CRCs are verified; any
+    malformation raises ValueError (callers quarantine, never crash)."""
+    if b[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = len(_PNG_SIG), None, []
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(b):
+            raise ValueError("truncated chunk")
+        (crc,) = struct.unpack_from(">I", b, pos + 8 + length)
+        if crc != (zlib.crc32(ctype + data) & 0xFFFFFFFF):
+            raise ValueError(f"bad CRC in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt_method, interlace = ihdr
+    if depth != 8 or comp != 0 or filt_method != 0 or interlace != 0 or color_type not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color={color_type}, interlace={interlace})"
+        )
+    ch = _PNG_CHANNELS[color_type]
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"bad IDAT stream: {exc}") from exc
+    stride = 1 + w * ch
+    if len(raw) != h * stride:
+        raise ValueError("IDAT length mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    out = np.zeros((h, w, ch), dtype=np.uint8)
+    prev = np.zeros((w, ch), dtype=np.int16)
+    for y in range(h):
+        ftype = rows[y, 0]
+        line = rows[y, 1:].reshape(w, ch).astype(np.int16)
+        if ftype == 0:
+            recon = line
+        elif ftype == 1:  # Sub: prefix sum along x per channel, mod 256
+            recon = np.cumsum(line, axis=0, dtype=np.int64) % 256
+        elif ftype == 2:  # Up
+            recon = (line + prev) % 256
+        elif ftype == 3:  # Average: sequential left dependence
+            recon = np.zeros_like(line)
+            left = np.zeros(ch, dtype=np.int16)
+            for x in range(w):
+                left = (line[x] + ((left + prev[x]) >> 1)) % 256
+                recon[x] = left
+        elif ftype == 4:  # Paeth: sequential left dependence
+            recon = np.zeros_like(line)
+            left = np.zeros(ch, dtype=np.int16)
+            upleft = np.zeros(ch, dtype=np.int16)
+            for x in range(w):
+                left = (line[x] + _paeth(left, prev[x], upleft)) % 256
+                recon[x] = left
+                upleft = prev[x]
+        else:
+            raise ValueError(f"bad scanline filter {ftype}")
+        prev = recon.astype(np.int16)
+        out[y] = recon.astype(np.uint8)
+    return out
+
+
+def to_rgb(arr: np.ndarray) -> np.ndarray:
+    """Normalize a decoded image to (h, w, 3) RGB: replicate gray,
+    drop alpha."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    ch = arr.shape[2]
+    if ch == 1:
+        return np.repeat(arr, 3, axis=2)
+    if ch == 2:  # gray + alpha
+        return np.repeat(arr[:, :, :1], 3, axis=2)
+    if ch == 4:
+        return arr[:, :, :3]
+    return arr
 
 
 # ---------------------------------------------------------------------------

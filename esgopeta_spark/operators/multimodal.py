@@ -7,17 +7,22 @@ executors stream record batches without materializing a partition.
 
 Decode status by format:
 
-- **REAL decode, no external deps** (operators.codecs, pure struct+numpy):
-  BMP 24-bit, PPM P6, WAV PCM16 — ``decode_media``,
-  ``extract_image_features``, ``extract_audio_features`` and
-  ``resize_media`` run the actual pixel/sample math, verified by
-  round-trip tests (tests/test_codecs.py).
-- **Compressed formats** (PNG/JPEG/MP3/MP4) genuinely require codec
-  libraries this container does not ship; those rows surface
+- **REAL decode, no external deps** (operators.codecs, pure
+  struct+numpy, plus stdlib zlib for PNG): BMP 24-bit, PPM P6, WAV
+  PCM16, and baseline PNG (bit depth 8, gray/RGB/gray+alpha/RGBA, all
+  five scanline filters) — ``decode_media``, ``extract_image_features``,
+  ``extract_audio_features`` and ``resize_media`` run the actual
+  pixel/sample math, verified by round-trip tests (tests/test_codecs.py).
+- **Remaining compressed formats** (JPEG/MP3/MP4) genuinely require
+  codec libraries this container does not ship; those rows surface
   ``ok=false, err='needs-codec'`` and the integration point is
   ``raise_if_real_decode_requested``.  The legacy header-sniff kernels
   (``decode_image_meta``, ``extract_features``) remain as the
   codec-free fallback path.
+
+Malformed payloads NEVER kill a stage: every kernel catches the codec's
+ValueError and quarantines (or skips) the row — at 100 TB a single
+poison byte-string must cost one row, not the job.
 """
 
 from __future__ import annotations
@@ -166,10 +171,10 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 def raise_if_real_decode_requested():
     raise NotImplementedError(
-        "decode of COMPRESSED media (png/jpeg/mp3/mp4) requires "
-        "PIL/librosa/ffmpeg, which this container does not ship; "
-        "uncompressed bmp/ppm/wav decode IS implemented (operators.codecs) "
-        "and the mapInPandas kernels below are the integration points"
+        "decode of jpeg/mp3/mp4 requires PIL/librosa/ffmpeg, which this "
+        "container does not ship; bmp/ppm/wav/png decode IS implemented "
+        "(operators.codecs — PNG via stdlib zlib) and the mapInPandas "
+        "kernels below are the integration points"
     )
 
 
@@ -179,9 +184,10 @@ def raise_if_real_decode_requested():
 
 
 def synthetic_media_real(spark, n: int = 64) -> DataFrame:
-    """Deterministic corpus of REAL media payloads: BMP and PPM images
-    with a seeded gradient pattern, WAV sine tones, plus PNG-header rows
-    to exercise the needs-codec path."""
+    """Deterministic corpus of REAL media payloads: BMP, PPM and PNG
+    images with a seeded gradient pattern (PNG rows cycle through all
+    five scanline filters), WAV sine tones, plus JPEG-header rows to
+    exercise the needs-codec path."""
     import numpy as np
 
     from esgopeta_spark.operators import codecs
@@ -195,10 +201,13 @@ def synthetic_media_real(spark, n: int = 64) -> DataFrame:
             arr = np.stack(
                 [(xx * 7 + i) % 256, (yy * 5 + 2 * i) % 256, (xx + yy + 3 * i) % 256], axis=-1
             ).astype(np.uint8)
-            if i % 2 == 0:
-                payload, fmt = codecs.encode_bmp(arr), "bmp"
+            fmt = ("bmp", "ppm", "png")[i % 3]
+            if fmt == "bmp":
+                payload = codecs.encode_bmp(arr)
+            elif fmt == "ppm":
+                payload = codecs.encode_ppm(arr)
             else:
-                payload, fmt = codecs.encode_ppm(arr), "ppm"
+                payload = codecs.encode_png(arr, filter_type=i % 5)
             rows.append((i, "image", payload, (w, h, None, None, fmt)))
         elif kind == "audio":
             sr = 8000
@@ -208,9 +217,9 @@ def synthetic_media_real(spark, n: int = 64) -> DataFrame:
             samples = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
             payload = codecs.encode_wav(samples, sr)
             rows.append((i, "audio", payload, (None, None, sr, int(dur_s * 1000), "wav")))
-        else:  # compressed stand-in: header only, decodes to needs-codec
-            payload = b"\x89PNG\r\n\x1a\n" + bytes([(i * 7 + j) % 256 for j in range(64)])
-            rows.append((i, "video", payload, (None, None, None, 2000, "png")))
+        else:  # compressed stand-in: JPEG header only, decodes to needs-codec
+            payload = b"\xff\xd8\xff\xe0" + bytes([(i * 7 + j) % 256 for j in range(64)])
+            rows.append((i, "video", payload, (None, None, None, 2000, "jpeg")))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
@@ -221,9 +230,10 @@ DECODED_SCHEMA = (
 
 
 def decode_media(df: DataFrame) -> DataFrame:
-    """REAL decode of bmp/ppm/wav payloads per Arrow batch; compressed
-    formats surface ok=false, err='needs-codec' instead of failing the
-    job (at 100 TB a poison payload must never kill the stage)."""
+    """REAL decode of bmp/ppm/png/wav payloads per Arrow batch; formats
+    needing an external codec (jpeg) surface ok=false, err='needs-codec'
+    instead of failing the job (at 100 TB a poison payload must never
+    kill the stage)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from esgopeta_spark.operators import codecs
@@ -238,8 +248,8 @@ def decode_media(df: DataFrame) -> DataFrame:
                     width=None, height=None, sample_rate=None, n_samples=None, duration_ms=None,
                 )
                 try:
-                    if fmt in ("bmp", "ppm"):
-                        arr = codecs.decode_bmp(b) if fmt == "bmp" else codecs.decode_ppm(b)
+                    if fmt in ("bmp", "ppm", "png"):
+                        arr = {"bmp": codecs.decode_bmp, "ppm": codecs.decode_ppm, "png": codecs.decode_png}[fmt](b)
                         rec.update(ok=True, width=arr.shape[1], height=arr.shape[0])
                     elif fmt == "wav":
                         samples, sr, nch = codecs.decode_wav(b)
@@ -248,7 +258,7 @@ def decode_media(df: DataFrame) -> DataFrame:
                             duration_ms=int(1000 * len(samples) / (sr * nch)),
                         )
                     else:
-                        rec.update(err="needs-codec" if fmt in ("png", "jpeg") else f"undecodable:{fmt}")
+                        rec.update(err="needs-codec" if fmt == "jpeg" else f"undecodable:{fmt}")
                 except ValueError as exc:  # malformed payload: quarantine, don't crash
                     rec.update(err=f"corrupt:{exc}")
                 out.append(rec)
@@ -273,9 +283,13 @@ def extract_image_features(df: DataFrame) -> DataFrame:
             for mid, b in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(b) if b is not None else b""
                 fmt = codecs.sniff_format(b)
-                if fmt not in ("bmp", "ppm"):
+                if fmt not in ("bmp", "ppm", "png"):
                     continue
-                arr = (codecs.decode_bmp(b) if fmt == "bmp" else codecs.decode_ppm(b)).astype(np.float64)
+                try:
+                    arr = {"bmp": codecs.decode_bmp, "ppm": codecs.decode_ppm, "png": codecs.decode_png}[fmt](b)
+                except ValueError:  # corrupt payload: quarantine, don't crash
+                    continue
+                arr = codecs.to_rgb(arr).astype(np.float64)
                 luma = arr @ np.array([0.299, 0.587, 0.114])
                 grad = np.abs(np.diff(luma, axis=1)).mean() if luma.shape[1] > 1 else 0.0
                 feats.append(
@@ -314,7 +328,10 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
                 b = bytes(b) if b is not None else b""
                 if codecs.sniff_format(b) != "wav":
                     continue
-                samples, sr, nch = codecs.decode_wav(b)
+                try:
+                    samples, sr, nch = codecs.decode_wav(b)
+                except ValueError:  # corrupt payload: quarantine, don't crash
+                    continue
                 x = samples.astype(np.float64) / 32768.0
                 zc = np.mean(np.abs(np.diff(np.signbit(x)))) if len(x) > 1 else 0.0
                 out.append(
@@ -332,9 +349,10 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
 
 
 def resize_media(df: DataFrame, max_side: int = 64, method: str = "bilinear") -> DataFrame:
-    """REAL aspect-preserving resize for bmp/ppm payloads: decode ->
+    """REAL aspect-preserving resize for bmp/ppm/png payloads: decode ->
     numpy resample -> re-encode in the same format.  Never upscales.
-    Non-image / compressed rows pass through untouched (ok=false)."""
+    Non-image / undecodable / corrupt rows pass through untouched
+    (ok=false)."""
     out_schema = "media_id bigint, ok boolean, out_width int, out_height int, payload binary"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -343,20 +361,26 @@ def resize_media(df: DataFrame, max_side: int = 64, method: str = "bilinear") ->
         from esgopeta_spark.operators import codecs
 
         resample = codecs.resize_bilinear if method == "bilinear" else codecs.resize_nearest
+        decoders = {"bmp": codecs.decode_bmp, "ppm": codecs.decode_ppm, "png": codecs.decode_png}
+        encoders = {"bmp": codecs.encode_bmp, "ppm": codecs.encode_ppm, "png": codecs.encode_png}
         for pdf in batches:
             out = []
             for mid, b in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(b) if b is not None else b""
                 fmt = codecs.sniff_format(raw)
-                if fmt not in ("bmp", "ppm"):
+                if fmt not in decoders:
                     out.append(dict(media_id=mid, ok=False, out_width=None, out_height=None, payload=raw))
                     continue
-                arr = codecs.decode_bmp(raw) if fmt == "bmp" else codecs.decode_ppm(raw)
+                try:
+                    arr = decoders[fmt](raw)
+                except ValueError:  # corrupt payload: quarantine, don't crash
+                    out.append(dict(media_id=mid, ok=False, out_width=None, out_height=None, payload=raw))
+                    continue
                 h, w = arr.shape[:2]
                 scale = min(max_side / max(w, h), 1.0)
                 ow, oh = max(int(round(w * scale)), 1), max(int(round(h * scale)), 1)
                 res = arr if (ow, oh) == (w, h) else resample(arr, ow, oh)
-                enc = codecs.encode_bmp(res) if fmt == "bmp" else codecs.encode_ppm(res)
+                enc = encoders[fmt](res)
                 out.append(dict(media_id=mid, ok=True, out_width=ow, out_height=oh, payload=enc))
             yield pd.DataFrame(out)
 

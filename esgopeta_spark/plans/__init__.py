@@ -4,6 +4,7 @@ import esgopeta_spark.plans.catalog_scale  # noqa: F401  (as-of/range joins, emb
 import esgopeta_spark.plans.catalog_tpch2  # noqa: F401  (TPC-H depth part 2: q7 q8 q13 q17 q19 q21 q22)
 import esgopeta_spark.plans.catalog_graphx  # noqa: F401  (GraphX-style analytics: pagerank, triangles)
 import esgopeta_spark.plans.catalog_graph2  # noqa: F401  (put replay, fetch path, streaming-HAM oracle twin)
+import esgopeta_spark.plans.catalog_media  # noqa: F401  (G5: real PNG round-trip vs analytic oracle)
 
 # ---------------------------------------------------------------------------
 # Graded-window ordering.  The driver grades the FIRST 50 registered entries
@@ -35,17 +36,18 @@ GRADED_WINDOW = [
     "join_asof_purchase_click",
     "join_range_acctbal_band",
     "skew_salted_join",
-    # E4 aggregation family
+    # E4 aggregation family (cube variant demoted to parity-only in r4 —
+    # rollup keeps the grouping-sets shape graded — to make room for the
+    # G3 scale tier below)
     "agg_rollup_region_nation",
-    "agg_cube_flags",
     "agg_order_stats",
     "agg_median_price",
     "pivot_status_by_priority",
     "unpivot_lineitem_measures",
     "skew_salted_agg",
-    # E5 windows + sessionization
+    # E5 windows + sessionization (running-total demoted in r4 — range-30d
+    # keeps the frame-spec shape graded — to make room for G5 PNG below)
     "win_topk_orders_per_customer",
-    "win_running_total",
     "win_range_30d_orders",
     "sessionize_events_islands",
     # E7 (E6 sort/limit is covered by q3 + win_topk)
@@ -78,6 +80,10 @@ GRADED_WINDOW = [
     "dedup_ngram_jaccard",
     "dedup_embedding_components",
     "sim_topk_cosine",
+    # G3 SCALE tier under the gate (r4): IVF probe join, hash-exact vs DuckDB
+    "sim_topk_cosine_ivf",
+    # G5 real PNG codec round-trip vs analytic oracle (r4)
+    "multimodal_decode_png",
     "text_profile_docs",
     "emb_label_stats",
 ]

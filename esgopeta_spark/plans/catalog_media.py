@@ -1,0 +1,94 @@
+"""Multimodal graded entries (SURVEY.md §2 G5).
+
+The driver's testdata has no binary media table, so the graded entry
+derives a deterministic PNG corpus FROM a testdata table: each selected
+``documents`` row becomes a gradient image whose pixels are a closed-form
+function of ``doc_id``.  The Spark side runs the REAL codec path —
+``encode_png`` (stdlib zlib, cycling through all five scanline filters)
+then ``decode_png`` inside an Arrow-batched ``mapInPandas`` kernel — and
+reports decoded dimensions plus the integer pixel sum.  The DuckDB
+oracle computes the same invariants analytically (a generate_series
+double sum), so a hash match proves the encode->decode round trip is
+bit-exact on every image: any filter/unfilter bug, CRC slip or channel
+swap changes the pixel sum.
+
+Determinism: all-integer outputs (widths, heights, pixel sums), no
+doubles anywhere (catalog.py rules).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd  # module-level so PEP 563 string hints resolve
+
+from pyspark.sql import functions as F
+
+from esgopeta_spark.plans.catalog import T, register
+
+
+@register(
+    "multimodal_decode_png",
+    "G5",
+    """
+    WITH sel AS (
+      SELECT doc_id,
+             8 + doc_id % 13 AS w,
+             8 + doc_id % 7  AS h
+      FROM documents WHERE doc_id % 20 = 0)
+    SELECT s.doc_id,
+           CAST(s.w AS INTEGER) AS width,
+           CAST(s.h AS INTEGER) AS height,
+           CAST(SUM((xs.x * 7 + s.doc_id) % 256
+                  + (ys.y * 5 + 2 * s.doc_id) % 256
+                  + (xs.x + ys.y + 3 * s.doc_id) % 256) AS BIGINT) AS pixel_sum
+    FROM sel s, generate_series(0, 19) xs(x), generate_series(0, 13) ys(y)
+    WHERE xs.x < s.w AND ys.y < s.h
+    GROUP BY s.doc_id, s.w, s.h
+    """,
+    doc="REAL PNG round trip, graded: per selected doc, build the "
+    "deterministic gradient image, encode_png (stdlib zlib; scanline "
+    "filter = doc_id % 5, so all five filters are exercised across the "
+    "corpus), decode_png, emit decoded dims + integer pixel sum; the "
+    "oracle computes the same sums analytically.  Plan: pruned 1-column "
+    "scan -> widened partitions -> one Arrow mapInPandas kernel, no "
+    "shuffle, no collect — the 100 TB shape for per-item media work",
+)
+def multimodal_decode_png(spark, sf):
+    from esgopeta_spark.session import ensure_min_partitions
+
+    ids = T(spark, sf, "documents").filter(F.col("doc_id") % 20 == 0).select("doc_id")
+    ids = ensure_min_partitions(ids)
+    out_schema = "doc_id bigint, width int, height int, pixel_sum bigint"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from esgopeta_spark.operators import codecs
+
+        for pdf in batches:
+            ids_, ws, hs, sums = [], [], [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 8 + d % 13, 8 + d % 7
+                yy, xx = np.mgrid[0:h, 0:w]
+                arr = np.stack(
+                    [(xx * 7 + d) % 256, (yy * 5 + 2 * d) % 256, (xx + yy + 3 * d) % 256],
+                    axis=-1,
+                ).astype(np.uint8)
+                back = codecs.decode_png(codecs.encode_png(arr, filter_type=d % 5))
+                ids_.append(d)
+                ws.append(back.shape[1])
+                hs.append(back.shape[0])
+                sums.append(int(back.sum(dtype=np.int64)))
+            # explicit dtypes: an empty batch must still carry typed columns
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids_, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "pixel_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return ids.mapInPandas(kernel, out_schema)

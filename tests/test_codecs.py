@@ -34,6 +34,38 @@ def test_wav_roundtrip_exact():
     assert np.array_equal(back, samples)
 
 
+def test_png_roundtrip_all_filters_exact():
+    arr = _grad_image(w=19, h=13)
+    for ft in range(5):  # every PNG scanline filter exercises its unfilter path
+        assert np.array_equal(codecs.decode_png(codecs.encode_png(arr, filter_type=ft)), arr)
+
+
+def test_png_roundtrip_channel_counts():
+    rng = np.random.default_rng(11)
+    for ch in (1, 2, 3, 4):  # gray, gray+alpha, RGB, RGBA
+        arr = rng.integers(0, 256, size=(9, 14, ch), dtype=np.uint8)
+        assert np.array_equal(codecs.decode_png(codecs.encode_png(arr)), arr)
+    gray2d = rng.integers(0, 256, size=(7, 5), dtype=np.uint8)
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(gray2d))[:, :, 0], gray2d)
+
+
+def test_png_corrupt_payloads_raise_valueerror():
+    good = codecs.encode_png(_grad_image(8, 6))
+    flipped = bytearray(good)
+    flipped[20] ^= 0xFF  # damages IHDR -> CRC mismatch
+    for bad in (bytes(flipped), good[:40], good[:12] + b"\x00" * 20):
+        with pytest.raises(ValueError):
+            codecs.decode_png(bad)
+
+
+def test_to_rgb_normalizes_channels():
+    rng = np.random.default_rng(5)
+    gray = rng.integers(0, 256, size=(4, 3, 1), dtype=np.uint8)
+    assert np.array_equal(codecs.to_rgb(gray), np.repeat(gray, 3, axis=2))
+    rgba = rng.integers(0, 256, size=(4, 3, 4), dtype=np.uint8)
+    assert np.array_equal(codecs.to_rgb(rgba), rgba[:, :, :3])
+
+
 def test_sniff_format():
     arr = _grad_image(4, 4)
     assert codecs.sniff_format(codecs.encode_bmp(arr)) == "bmp"
@@ -95,7 +127,7 @@ def test_decode_media_distributed_matches_local(spark):
     for mid, r in rows.items():
         kind, meta = local[mid]["kind"], local[mid]["meta"]
         if kind == "image":
-            assert r["ok"] and r["format"] in ("bmp", "ppm")
+            assert r["ok"] and r["format"] in ("bmp", "ppm", "png")
             assert (r["width"], r["height"]) == (meta["width"], meta["height"])
         elif kind == "audio":
             assert r["ok"] and r["format"] == "wav"
@@ -116,7 +148,8 @@ def test_resize_media_roundtrips_and_bounds(spark):
         assert max(r["out_width"], r["out_height"]) <= 8
         # re-encoded payload must decode to exactly the declared dims
         b = bytes(r["payload"])
-        arr = codecs.decode_bmp(b) if codecs.sniff_format(b) == "bmp" else codecs.decode_ppm(b)
+        dec = {"bmp": codecs.decode_bmp, "ppm": codecs.decode_ppm, "png": codecs.decode_png}
+        arr = dec[codecs.sniff_format(b)](b)
         assert arr.shape[:2] == (r["out_height"], r["out_width"])
 
 
@@ -168,6 +201,18 @@ if HAVE_HYPOTHESIS:
         arr = data.draw(arrays(np.uint8, (h, w, 3)))
         assert np.array_equal(codecs.decode_bmp(codecs.encode_bmp(arr)), arr)
         assert np.array_equal(codecs.decode_ppm(codecs.encode_ppm(arr)), arr)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=40),
+        h=st.integers(min_value=1, max_value=40),
+        ch=st.sampled_from([1, 2, 3, 4]),
+        ft=st.integers(min_value=0, max_value=4),
+        data=st.data(),
+    )
+    def test_png_roundtrip_property(w, h, ch, ft, data):
+        arr = data.draw(arrays(np.uint8, (h, w, ch)))
+        assert np.array_equal(codecs.decode_png(codecs.encode_png(arr, filter_type=ft)), arr)
 
     @settings(max_examples=25, deadline=None)
     @given(

@@ -27,6 +27,8 @@ REQUIRED_IN_WINDOW = {
     "unpivot_lineitem_measures",
     "agg_median_price",  # E4 percentiles
     "sessionize_events_islands",  # E5 gaps-and-islands
+    "sim_topk_cosine_ivf",  # G3 scale tier (r4: graded, not just the exact oracle tier)
+    "multimodal_decode_png",  # G5 real codec round-trip (r4)
 }
 
 
