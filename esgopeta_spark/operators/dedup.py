@@ -61,13 +61,21 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingle set as array<string> (distinct)."""
+    """Word n-gram shingle set as array<string> (distinct).
+
+    Only FULL-length-n windows count: a doc with fewer than n words has
+    an EMPTY shingle set (no partial gram, no empty-string gram).  The
+    partial grams emitted before r4 made two empty docs "share" the ''
+    gram and flag as contaminated/near-dup — wrong leakage semantics
+    (ADVICE r3)."""
     words = F.split(normalize_text(col), " ")
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        F.sequence(F.lit(0), F.size(words) - n),
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
     )
-    return F.array_distinct(grams)
+    return F.when(F.size(words) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
@@ -99,13 +107,12 @@ def shingle_hashes(col: Column, n: int = 3) -> Column:
     passes over length-aligned slices.  ~10x cheaper than materializing
     gram *strings* (measured 0.34s vs 3.1s on 5k docs): no per-gram string
     concat/copy, and the whole thing stays one codegen'd projection.
-    Docs shorter than n words produce one gram over the available words
-    (zip_with null-pads; xxhash64 skips nulls), matching ``shingles``'s
-    single short gram.
+    Docs shorter than n words produce an EMPTY gram set, matching
+    ``shingles`` (full-length-n windows only).
     """
     words = F.split(normalize_text(col), " ")
     wh = F.transform(words, lambda s: F.xxhash64(s))
-    m = F.greatest(F.size(wh) - (n - 1), F.lit(1))
+    m = F.greatest(F.size(wh) - (n - 1), F.lit(0))
     acc = F.slice(wh, 1, m)
     for k in range(1, n):
         acc = F.zip_with(acc, F.slice(wh, k + 1, m), lambda a, b: F.xxhash64(a, b))
@@ -253,7 +260,10 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text", 
         .join(sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
         .withColumn("_inter", F.size(F.array_intersect("_sh_a", "_sh_b")))
         .withColumn("_union", F.size(F.array_union("_sh_a", "_sh_b")))
-        .withColumn("jaccard", F.when(F.col("_union") > 0, F.col("_inter") / F.col("_union")).otherwise(F.lit(1.0)))
+        # empty-vs-empty (both docs shorter than n words) = 0, not 1: no
+        # shared content is not evidence of duplication (exact_dedup owns
+        # the identical-short-text case)
+        .withColumn("jaccard", F.when(F.col("_union") > 0, F.col("_inter") / F.col("_union")).otherwise(F.lit(0.0)))
     )
     return out.select("id_a", "id_b", "jaccard")
 
@@ -287,7 +297,7 @@ def brute_force_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("_inter", F.size(F.array_intersect("_sh_a", "_sh_b")))
         .withColumn("_union", F.size(F.array_union("_sh_a", "_sh_b")))
-        .withColumn("jaccard", F.when(F.col("_union") > 0, F.col("_inter") / F.col("_union")).otherwise(F.lit(1.0)))
+        .withColumn("jaccard", F.when(F.col("_union") > 0, F.col("_inter") / F.col("_union")).otherwise(F.lit(0.0)))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -1680,8 +1680,10 @@ def corpus_mix_sample(spark, sf):
       FROM n),
     g AS (
       SELECT doc_id, source,
-             list_distinct(list_transform(range(0, greatest(len(words) - 3, 0) + 1),
-                                          i -> array_to_string(words[i + 1 : i + 3], ' '))) AS grams
+             CASE WHEN len(words) >= 3
+                  THEN list_distinct(list_transform(range(0, len(words) - 3 + 1),
+                                     i -> array_to_string(words[i + 1 : i + 3], ' ')))
+                  ELSE [] END AS grams
       FROM w),
     corp AS (SELECT doc_id, UNNEST(grams) AS gram FROM g WHERE source <> 'src19'),
     ev AS (SELECT DISTINCT UNNEST(grams) AS gram FROM g WHERE source = 'src19')
@@ -1783,11 +1785,18 @@ def text_top_terms_tfidf(spark, sf):
     tok = d.select("doc_id", F.explode(words(F.col("text"))).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
-    n_docs = tok.select("doc_id").distinct().count()  # scalar: one bounded job
-    scored = tf.join(F.broadcast(df_), "token").select(
-        "doc_id",
-        "token",
-        (F.col("tf") * F.expr(f"({n_docs} * 1000) DIV df")).alias("score_milli"),
+    # deferred 1-row aggregate broadcast-cross-joined in, NOT a driver-side
+    # .count(): keeps the whole entry lazy (analysis stays execution-free)
+    # and mirrors the oracle's CROSS JOIN nd
+    nd = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "token",
+            (F.col("tf") * F.expr("(n_docs * 1000) DIV df")).alias("score_milli"),
+        )
     )
     w = W.partitionBy("doc_id").orderBy(F.col("score_milli").desc(), F.col("token").asc())
     return (
@@ -1801,27 +1810,44 @@ def text_top_terms_tfidf(spark, sf):
     "corpus_adaptive_length_filter",
     "G4,E4,E3",
     """
-    WITH thr AS (
-      SELECT source, quantile_cont(n_chars, 0.1) AS p10
-      FROM documents GROUP BY source)
+    WITH ranked AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS cnt
+      FROM documents),
+    thr AS (
+      SELECT source, n_chars AS t10 FROM ranked WHERE rn = cnt // 10)
     SELECT d.source,
            COUNT(*) AS n_kept,
            CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars_kept
-    FROM documents d JOIN thr ON d.source = thr.source
-    WHERE d.n_chars > thr.p10
+    FROM documents d LEFT JOIN thr ON d.source = thr.source
+    WHERE d.n_chars > COALESCE(thr.t10, -1)
     GROUP BY d.source
     """,
     doc="adaptive quality threshold: drop each source's shortest-decile docs, "
-    "threshold LEARNED from the data (exact interpolated P10 per source, "
-    "Spark percentile == DuckDB quantile_cont) instead of a global constant; "
-    "the tiny per-source threshold table broadcasts back onto the scan",
+    "threshold LEARNED from the data instead of a global constant.  The "
+    "threshold is RANK-derived in pure integers (the n_chars value at sorted "
+    "position cnt DIV 10) — NOT an interpolated percentile, whose double "
+    "interpolation formulas are not guaranteed bit-identical across engines "
+    "and can flip membership of boundary docs (catalog determinism rules).  "
+    "The tiny per-source threshold table broadcasts back onto the scan; "
+    "sources with <10 docs keep everything (no threshold row, COALESCE -1)",
 )
 def corpus_adaptive_length_filter(spark, sf):
     d = T(spark, sf, "documents")
-    thr = d.groupBy("source").agg(F.percentile("n_chars", 0.1).alias("p10"))
+    ws = Window.partitionBy("source")
+    ranked = d.select(
+        "source",
+        "n_chars",
+        F.row_number().over(ws.orderBy(F.col("n_chars").asc())).alias("rn"),
+        F.count("*").over(ws).alias("cnt"),
+    )
+    thr = ranked.filter(F.col("rn") == F.expr("cnt div 10")).select(
+        "source", F.col("n_chars").alias("t10")
+    )
     return (
-        d.join(F.broadcast(thr), "source")
-        .filter(F.col("n_chars") > F.col("p10"))
+        d.join(F.broadcast(thr), "source", "left")
+        .filter(F.col("n_chars") > F.coalesce(F.col("t10"), F.lit(-1)))
         .groupBy("source")
         .agg(F.count("*").alias("n_kept"), F.sum("n_chars").cast("bigint").alias("sum_chars_kept"))
     )

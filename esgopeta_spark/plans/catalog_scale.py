@@ -454,8 +454,10 @@ def multimodal_features(spark, sf):
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(floor(
-             CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-               / len(list_distinct(list_concat(a.grams, b.grams))) * 1000000 + 0.5) AS BIGINT)
+             CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) > 0
+                  THEN CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.grams, b.grams)))
+                  ELSE 0.0 END * 1000000 + 0.5) AS BIGINT)
              AS jaccard_micro
     FROM g a JOIN g b ON a.doc_id < b.doc_id
     """,

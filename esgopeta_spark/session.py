@@ -10,6 +10,7 @@ slow path.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -45,25 +46,49 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-# testdata columns physically stored as TIMESTAMP(NANOS); surfaced as proper
-# timestamps by read_table (micros truncation — exact for this data)
-_NANOS_TS_COLUMNS = {
-    "orders": ["o_orderdate"],
-    "lineitem": ["l_shipdate"],
-    "events": ["ts"],
-}
+def _is_temporal_name(col: str) -> bool:
+    """Heuristic naming contract for temporal columns across the testdata
+    tables (`ts`, `*_ts`, `*date`, `*_at`, anything containing `time`).
+    Checked against every current table schema — no false positives —
+    and false-positive-safe by construction for non-matching dtypes:
+    normalization only touches matching columns whose dtype is NOT
+    already a plain timestamp."""
+    n = col.lower()
+    return (
+        n == "ts"
+        or n.endswith("_ts")
+        or n.endswith("date")
+        or n.endswith("_at")
+        or "time" in n
+    )
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Parquet scan; keep it bare so Catalyst pushes filters/pruning into it.
 
-    The ingestion contract: every ts column in _NANOS_TS_COLUMNS surfaces as
-    plain TIMESTAMP (never bigint, never timestamp_ntz), whatever the parquet
-    physical type is.  Nanos-timestamp columns arrive as long (see nanosAsLong
-    conf) and are converted here; micros-no-tz columns arrive as TIMESTAMP_NTZ
-    when the session lacks the inferTimestampNTZ conf and are cast here.  Both
-    fixes are cheap projected expressions that don't block predicate pushdown
-    on other columns.
+    The ingestion contract: every temporal-named column surfaces as plain
+    TIMESTAMP (never bigint, never timestamp_ntz, never date/string),
+    whatever physical type the driver's testdata ships this round.  The
+    physical type has drifted twice already — TIMESTAMP(NANOS) in round 1,
+    micros-without-tz in round 2 — so normalization is STRUCTURAL (inspect
+    the dtype of every temporal-named column in any table) rather than a
+    per-table enumeration a third drift would bypass:
+
+    - ``bigint``       -> epoch nanos (what the nanosAsLong conf surfaces
+                          for physical TIMESTAMP(NANOS)); integer `div`
+                          1000 to micros — double division would round ns
+                          near the microsecond boundary
+    - ``timestamp_ntz``-> cast; session tz is pinned UTC so NTZ wall-clock
+                          == the stored UTC instant, value-preserving
+    - ``date``         -> cast; midnight UTC, matching DuckDB's implicit
+                          date->timestamp promotion in epoch_ms()
+    - ``string``       -> cast (ISO-8601), nulls on garbage rather than a
+                          scan-time error
+    - ``timestamp``    -> untouched
+
+    All fixes are cheap projected expressions that don't block predicate
+    pushdown on other columns.  tests/test_ingestion_contract.py pins the
+    contract with synthetic drift fixtures for every branch.
     """
     from pyspark.sql import functions as F
 
@@ -79,22 +104,20 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
         except Exception:
             pass
     df = spark.read.parquet(table_path(sf_dir, name))
-    dtypes = dict(df.dtypes)
-    for c in _NANOS_TS_COLUMNS.get(name, []):
-        if c not in df.columns:
+    for c, dtype in df.dtypes:
+        if not _is_temporal_name(c):
             continue
-        if dtypes[c] == "bigint":
-            # integer `div`, not `/`: double division rounds ns near the
-            # microsecond boundary, silently shifting timestamps by 1us
+        if dtype == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-        elif dtypes[c] == "timestamp_ntz":
-            # session tz is UTC, so NTZ wall-clock == the stored UTC instant
+        elif dtype in ("timestamp_ntz", "date", "string"):
             df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
-# operators whose presence in the analyzed logical plan means the .rdd
-# partition probe would finalize (and thus EXECUTE) upstream AQE stages
+# operator node-name PREFIXES whose presence in the analyzed logical plan
+# means the .rdd partition probe would finalize (and thus EXECUTE) upstream
+# AQE stages.  Prefixes cover variants: Repartition -> RepartitionByExpression,
+# FlatMapGroups -> FlatMapGroupsInPandas(WithState), Intersect/Except -> *All.
 _NON_SCAN_OPS = (
     "Join",
     "Aggregate",
@@ -106,14 +129,30 @@ _NON_SCAN_OPS = (
     "GlobalLimit",
     "FlatMapGroups",
     "MapInPandas",
+    "Intersect",
+    "Except",
+    "Expand",
 )
+
+# leading tree-drawing characters (`+- `, `:- `, `:  `, `|`) then the node
+# class name (optionally '-quoted while unresolved)
+_PLAN_NODE_RE = re.compile(r"^[\s:+|-]*'?([A-Za-z]\w*)")
 
 
 def is_scan_stage(df) -> bool:
     """True iff the plan is a bare scan pipeline (scan/filter/project/etc.)
-    whose partition count can be probed without executing anything."""
+    whose partition count can be probed without executing anything.
+
+    Matches NODE TOKENS at the head of each analyzed-plan line, not raw
+    substrings: a column or alias containing 'Join'/'Sort' in some
+    expression text must not false-positive (which would silently skip the
+    partition widening this guard gates)."""
     plan = df._jdf.queryExecution().analyzed().toString()
-    return not any(op in plan for op in _NON_SCAN_OPS)
+    for line in plan.splitlines():
+        m = _PLAN_NODE_RE.match(line)
+        if m and any(m.group(1).startswith(op) for op in _NON_SCAN_OPS):
+            return False
+    return True
 
 
 def ensure_min_partitions(df, min_parts: int | None = None):

@@ -40,6 +40,27 @@ def test_ensure_min_partitions_skips_shuffled_plans(spark):
     assert ensure_min_partitions(joined) is joined
 
 
+def test_is_scan_stage_matches_node_tokens_not_substrings(spark):
+    """An alias containing an operator name ('Join', 'Sort') must NOT
+    false-positive (ADVICE r3): the guard matches line-leading plan node
+    tokens, not raw substrings."""
+    scan = read_table(spark, SF_SMOKE, "nation").select(
+        F.col("n_name").alias("JoinKey"), F.col("n_regionkey").alias("SortOrder")
+    )
+    assert is_scan_stage(scan), "aliases named like operators false-positived"
+
+
+def test_is_scan_stage_catches_setop_and_expand_nodes(spark):
+    """Intersect/Except/Expand produce shuffles/exchanges too; they must
+    disable the .rdd partition probe (ADVICE r3 false-negative list)."""
+    a = read_table(spark, SF_SMOKE, "nation").select("n_regionkey")
+    b = read_table(spark, SF_SMOKE, "region").select(F.col("r_regionkey").alias("n_regionkey"))
+    assert not is_scan_stage(a.intersect(b))
+    assert not is_scan_stage(a.exceptAll(b))
+    cube = read_table(spark, SF_SMOKE, "nation").cube("n_regionkey").count()
+    assert not is_scan_stage(cube)
+
+
 def test_asof_join_deterministic_under_duplicate_right_ts(spark):
     """Two right rows at the same (key, ts) must carry the GREATEST value
     struct, not an arbitrary partition-order winner."""

@@ -334,3 +334,41 @@ def test_contamination_overlap_flags_leaked_docs(spark):
         assert set(out) == {1, 3}  # both share 'quick brown fox'; doc 2 clean
         assert out[1] >= 2  # 'the quick brown' + 'quick brown fox'
         assert out[3] == 1
+
+
+def test_shingles_full_length_windows_only(spark):
+    """Docs shorter than n words have an EMPTY shingle set — no partial
+    gram, no ''-gram (ADVICE r3: two empty docs must not 'share' the empty
+    gram and flag as contaminated/near-dup)."""
+    from esgopeta_spark.operators.dedup import shingle_hashes, shingles
+    from esgopeta_spark.operators.text import contamination_overlap
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "two words"), (4, "one two three four")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            F.size(shingles(F.col("text"), 3)).alias("n_str"),
+            F.size(shingle_hashes(F.col("text"), 3)).alias("n_hash"),
+        ).collect()
+    }
+    for d in (1, 2, 3):  # under 3 words -> zero grams, both representations
+        assert rows[d]["n_str"] == 0 and rows[d]["n_hash"] == 0, rows[d]
+    assert rows[4]["n_str"] == 2 and rows[4]["n_hash"] == 2  # full windows only
+
+    # two empty docs share nothing: contamination must NOT flag them
+    corpus = spark.createDataFrame([(1, ""), (2, "x y")], ["doc_id", "text"])
+    eval_set = spark.createDataFrame([(9, ""), (10, "y z")], ["doc_id", "text"])
+    for hashed in (False, True):
+        assert contamination_overlap(corpus, eval_set, n=3, hashed=hashed).count() == 0
+
+
+def test_jaccard_empty_vs_empty_is_zero(spark):
+    from esgopeta_spark.operators.dedup import brute_force_jaccard_pairs
+
+    docs = spark.createDataFrame([(1, "a b"), (2, "c d")], ["doc_id", "text"])
+    # both docs have empty 3-gram sets; jaccard 0 -> below any threshold
+    assert brute_force_jaccard_pairs(docs, threshold=0.1, shingle_n=3).count() == 0
