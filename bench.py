@@ -3,10 +3,17 @@
 
 Prints exactly ONE JSON line:
   {"metric": "headline_queries_total", "value": <sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <float>}
+   "queries": {name: sec, ...}, "sf": <float>,
+   "loadavg_1m": <float>, "repeats": <int>}
 
 Results are materialized through the noop sink (full execution, no
 driver-side collection cost) after a JVM warmup pass.
+
+The loadavg field makes a contaminated run SELF-LABELING: round 3's
+driver-recorded total was ~2x an idle-box re-run of the identical code
+because concurrent external work landed on the box (adjudicated in
+VERDICT r3).  A reader seeing loadavg_1m >> SPARK_GRAFT_CPUS at start
+knows the numbers measure the box, not the engine.
 """
 
 from __future__ import annotations
@@ -47,12 +54,19 @@ HEADLINE = [
     "graph_pagerank_transactions",
     "graph_triangles_coorder",
     "skew_salted_join",
+    # round-4 graded flagships: ANN scale tier + real PNG codec round-trip
+    "sim_topk_cosine_ivf",
+    "multimodal_decode_png",
 ]
+
+
+REPEATS = 3
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    load_start = os.getloadavg()[0]
     spark = get_spark("esgopeta-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -64,11 +78,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
-        # best-of-2: the box hosts periodic external work whose ~45s stalls
-        # otherwise land on whichever query is running (measured: outliers
-        # move between queries across runs while warm-path times are stable)
+        # best-of-REPEATS: the box hosts periodic external work whose ~45s
+        # stalls otherwise land on whichever query is running (measured:
+        # outliers move between queries across runs while warm-path times
+        # are stable); r3 showed best-of-2 is not enough under sustained load
         best = float("inf")
-        for _ in range(2):
+        for _ in range(REPEATS):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
@@ -85,6 +100,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "loadavg_1m": round(load_start, 2),
+                "repeats": REPEATS,
             }
         )
     )
