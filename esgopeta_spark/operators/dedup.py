@@ -382,9 +382,18 @@ def simhash_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc
 # ---------------------------------------------------------------------------
 
 
-def dup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+def dup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+    algorithm: str = "minlabel",
+) -> DataFrame:
     """Cluster near-dup PAIRS into canonical GROUPS: connected components
-    by iterative min-label propagation.
+    by iterative min-label propagation (default), or alternating
+    large-star/small-star rounds (``algorithm='star'``) for extreme-scale
+    pair graphs — see ``dup_components_star``; a property test pins that
+    both return identical components.
 
     Returns (id, comp) for every id that appears in a pair; comp = the
     smallest id reachable through the pair graph (the canonical keeper).
@@ -407,9 +416,13 @@ def dup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max
     leaf plan.  On a real cluster prefer reliable checkpointing
     (sc.setCheckpointDir + .checkpoint()) so a lost executor doesn't
     kill the lineage-less frame; same loop shape.  At extreme scale the
-    round body swaps for alternating large-star/small-star (same join
-    shapes, same driver loop).
+    round body swaps for alternating large-star/small-star
+    (``algorithm='star'`` below; same driver loop shape).
     """
+    if algorithm == "star":
+        return dup_components_star(pairs, id_a, id_b, max_iter)
+    if algorithm != "minlabel":
+        raise ValueError(f"unknown algorithm {algorithm!r} (minlabel|star)")
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
         edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -445,6 +458,113 @@ def dup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max
         if not changed:
             break
     return labels
+
+
+def dup_components_star(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the extreme-scale alternative to min-label propagation.
+
+    Why it exists: min-label + pointer-jumping needs O(log diameter)
+    rounds, but each round's label join keys on *edges*, so a hot
+    component (one near-dup cluster with millions of members — common in
+    boilerplate-heavy crawls) funnels its whole edge set through few
+    reducers every round.  The star rounds rewrite the EDGE SET itself
+    toward min-rooted stars: each round is two groupBy-min + equi-join
+    passes keyed by node, edges shrink monotonically toward one edge per
+    non-root node, and skew flattens as high-degree nodes collapse into
+    roots.  Converges in O(log n) rounds on any topology.
+
+    Round body (all equi-joins + partial aggregates, no cartesian):
+    - large-star: for every directed edge (u,v) with v > u, reattach v to
+      m(u) = min(Γ(u) ∪ {u})
+    - small-star: direct edges large->small; reattach every smaller
+      neighbor (and u itself) to m(u)
+
+    Convergence = edge multiset stable, checked with a (count,
+    hash-sum) fingerprint — one tiny aggregate per round fused with the
+    round's materializing action (same eager-localCheckpoint discipline
+    as min-label: the plan must not compound across rounds).
+
+    Returns (id, comp) with comp = the component's smallest id — the
+    same contract (and bit-identical output, pinned by
+    tests/test_llm_ops.py) as ``dup_components``.
+    """
+    und = pairs.select(
+        F.least(F.col(id_a), F.col(id_b)).alias("src"),
+        F.greatest(F.col(id_a), F.col(id_b)).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    nodes = (
+        und.select(F.col("src").alias("id"))
+        .unionByName(und.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = und.distinct().localCheckpoint()
+    fingerprint = None
+    for _ in range(max_iter):
+        # ---- large-star ----
+        bidir = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = bidir.groupBy("src").agg(F.min("dst").alias("_mn"))
+        large = (
+            bidir.join(mins, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(
+                F.col("dst").alias("_u"),
+                F.least(F.col("_mn"), F.col("src")).alias("_v"),
+            )
+        )
+        ls = (
+            large.where(F.col("_u") != F.col("_v"))
+            .select(
+                F.least("_u", "_v").alias("src"), F.greatest("_u", "_v").alias("dst")
+            )
+            .distinct()
+        )
+        # ---- small-star (edges already directed small<large; group by the
+        # LARGE endpoint, reattach its smaller neighbors to their min) ----
+        dir_ls = ls.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+        mins2 = dir_ls.groupBy("u").agg(F.min("v").alias("_mn"))
+        reattached = dir_ls.join(mins2, "u").select(
+            F.col("v").alias("_u"), F.col("_mn").alias("_v")
+        )
+        self_edge = mins2.select(F.col("u").alias("_u"), F.col("_mn").alias("_v"))
+        new_edges = (
+            reattached.unionByName(self_edge)
+            .where(F.col("_u") != F.col("_v"))
+            .select(
+                F.least("_u", "_v").alias("src"), F.greatest("_u", "_v").alias("dst")
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        # one action materializes the round AND returns the fingerprint
+        # (bit_xor: order-free and overflow-free under ANSI mode, sound on
+        # a distinct edge set)
+        row = new_edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+        ).collect()[0]
+        edges = new_edges
+        new_fp = (row["n"], row["h"])
+        if new_fp == fingerprint:
+            break
+        fingerprint = new_fp
+    # converged: every component is a star rooted at its min (root has only
+    # larger neighbors, members have exactly the root as smaller neighbor)
+    comp = (
+        edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .groupBy("src")
+        .agg(F.min("dst").alias("_m"))
+        .select(F.col("src").alias("id"), F.least(F.col("src"), F.col("_m")).alias("comp"))
+    )
+    return nodes.join(comp, "id", "left").select(
+        "id", F.coalesce("comp", F.col("id")).alias("comp")
+    )
 
 
 def dedup_keepers(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -247,6 +247,41 @@ def q19_disjunctive_revenue(spark, sf):
 
 
 @register(
+    "q12_shipmode_priority",
+    "E2,E3,E4",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+    GROUP BY l_returnflag
+    """,
+    doc="TPC-H Q12 shape adapted to this schema (no l_shipmode/commitdate/"
+    "receiptdate: return flag stands in for ship mode, late = shipped >30d "
+    "after order): priority split via conditional integer counts, one "
+    "shuffle-join on orderkey then a 3-group aggregate; all-integer "
+    "outputs so the hash is engine-exact",
+)
+def q12_shipmode_priority(spark, sf):
+    li = T(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_orderkey", "l_shipdate", "l_returnflag")
+    o = T(spark, sf, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return j.groupBy("l_returnflag").agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+        F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+    )
+
+
+@register(
     "q21_waiting_supplier",
     "E2,E3,E4",
     """

@@ -216,6 +216,36 @@ def test_dup_components_vs_union_find(spark, sf_dir):
     singles = set(keep) - set(truth)
     assert all(keep[s] == s for s in singles)
 
+    # the extreme-scale path must produce the identical partition
+    star = {r["id"]: r["comp"] for r in dup_components(pairs, algorithm="star").collect()}
+    assert star == truth
+
+
+def test_dup_components_star_equals_minlabel_on_topologies(spark):
+    """Property: large/small-star CC == min-label CC on the pathological
+    shapes — long chains (diameter stress), stars (skew stress), cliques,
+    a deterministic random graph, and an already-canonical forest."""
+    import random
+
+    from esgopeta_spark.operators.dedup import dup_components
+
+    rng = random.Random(42)
+    topologies = {
+        "chain": [(i, i + 1) for i in range(60)],
+        "two_chains": [(i, i + 1) for i in range(25)] + [(100 + i, 101 + i) for i in range(25)],
+        "star": [(0, i) for i in range(1, 40)],
+        "reverse_star": [(i, 50) for i in range(40, 50)],
+        "clique": [(a, b) for a in range(12) for b in range(a + 1, 12)],
+        "random": [(rng.randrange(80), rng.randrange(80)) for _ in range(120)],
+        "forest": [(0, 1), (0, 2), (10, 11), (10, 12), (20, 21)],
+    }
+    for name, edges in topologies.items():
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        ml = {r["id"]: r["comp"] for r in dup_components(pairs).collect()}
+        st = {r["id"]: r["comp"] for r in dup_components(pairs, algorithm="star").collect()}
+        assert ml == st, f"{name}: star CC diverged from min-label"
+
 
 def test_approx_percentile_tolerance(spark, sf_dir):
     """The sketch percentile must land within 1% of the exact sort-based

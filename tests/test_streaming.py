@@ -328,3 +328,43 @@ def test_upsert_missing_pending_dir_is_fine(spark, tmp_path):
     ham_upsert_batch(spark, batch, store, n_buckets=4, as_of_ms=1e9)
     rows = read_quads(spark, store).collect()
     assert len(rows) == 1 and rows[0]["value_string"] == "v"
+
+
+def test_streaming_throughput_bounds(spark, tmp_path):
+    """Regression bound on the two streaming write paths (SCALE.md
+    §Streaming throughput): ≥800 rows/s at sf0.01 — an order of magnitude
+    under the measured idle-box rates (17-18k rows/s at sf0.1), so box
+    load can't flake it but an accidental per-row Python path or a store
+    rewrite that stops pruning buckets (both 10×+ cliffs) turns it red."""
+    from esgopeta_spark.plans.catalog import _events_as_updates
+    from esgopeta_spark.streaming.upsert import stream_put
+
+    upd = _events_as_updates(spark, "/root/testdata/sf0.01")
+    n = upd.count()
+    assert n >= 5000
+    sd = str(tmp_path / "upd")
+    upd.coalesce(2).write.parquet(sd)
+
+    # stateful HAM stream (applyInPandasWithState)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(sd).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sd)
+    )
+    t0 = time.perf_counter()
+    run_stream_to_memory(streaming_ham_merge(stream), "tp_ham")
+    ham_rate = n / (time.perf_counter() - t0)
+
+    # foreachBatch bucketed upsert
+    t0 = time.perf_counter()
+    query = stream_put(
+        read_update_stream(spark, sd), str(tmp_path / "store"), str(tmp_path / "ck"), n_buckets=8
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    put_rate = n / (time.perf_counter() - t0)
+
+    assert ham_rate >= 800, f"streaming_ham_merge throughput collapsed: {ham_rate:.0f} rows/s"
+    assert put_rate >= 800, f"stream_put throughput collapsed: {put_rate:.0f} rows/s"
