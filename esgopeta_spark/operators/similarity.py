@@ -76,6 +76,27 @@ def cosine_unrolled(a: Column, b: Column, dim: int) -> Column:
     return dot_unrolled(a, b, dim) / (F.sqrt(sq_norm_unrolled(a, dim)) * F.sqrt(sq_norm_unrolled(b, dim)))
 
 
+def norm_unrolled(a: Column, dim: int) -> Column:
+    """sqrt(sq_norm) as its own projection column.
+
+    Hoisting the two norms out of the pairwise kernel matters twice over:
+    (1) a pair stage over N×C rows recomputes each side's norm C× / N×
+    redundantly — precomputing makes norm cost linear in relation size;
+    (2) the unrolled cosine is a ~192-term expression whose whole-stage
+    codegen compile alone costs 1.5-2.8 s PER STAGE (measured) — with
+    norms hoisted the pair stage compiles a single unrolled dot.
+    ``dot/(na*nb)`` evaluates the IDENTICAL IEEE op sequence as
+    ``cosine_unrolled`` (same sqrt of the same fold, same product, same
+    divide), so results — and the DuckDB oracle hashes — are bit-equal.
+    """
+    return F.sqrt(sq_norm_unrolled(a, dim))
+
+
+def cosine_prenormed(a: Column, b: Column, na: Column, nb: Column, dim: int) -> Column:
+    """Cosine from precomputed norms — bitwise-equal to cosine_unrolled."""
+    return dot_unrolled(a, b, dim) / (na * nb)
+
+
 def topk_cosine(
     corpus: DataFrame,
     queries: DataFrame,
@@ -99,11 +120,14 @@ def topk_cosine(
         F.col(id_col).alias("nbr_id"), as_double(F.col(vec_col)).alias("_cv")
     )
     q = queries.select(F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv"))
-    sim = (
-        cosine_unrolled(F.col("_qv"), F.col("_cv"), dim)
-        if dim is not None
-        else cosine(F.col("_qv"), F.col("_cv"))
-    )
+    if dim is not None:
+        # norms hoisted per relation (see norm_unrolled): the N×Q pair
+        # stage compiles and evaluates one unrolled dot, not three sums
+        c = c.withColumn("_cn", norm_unrolled(F.col("_cv"), dim))
+        q = q.withColumn("_qn", norm_unrolled(F.col("_qv"), dim))
+        sim = cosine_prenormed(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn"), dim)
+    else:
+        sim = cosine(F.col("_qv"), F.col("_cv"))
     scored = (
         c.join(F.broadcast(q), F.col("nbr_id") != F.col("query_id"))
         .withColumn("cosine_sim", sim)
@@ -208,20 +232,25 @@ def topk_cosine_lsh(
     c = (
         ensure_min_partitions(corpus)  # small parquet = 1-2 splits; bucket hashing must parallelize
         .select(F.col(id_col).alias("nbr_id"), as_double(F.col(vec_col)).alias("_cv"))
+        .withColumn("_cn", norm_unrolled(F.col("_cv"), dim))
         .withColumn("_cba", _bucket_array(F.col("_cv"), all_planes))
-        .select("nbr_id", "_cv", "_cba", F.posexplode("_cba").alias("_t", "_b"))
+        .select("nbr_id", "_cv", "_cn", "_cba", F.posexplode("_cba").alias("_t", "_b"))
     )
     q = (
         queries.select(F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv"))
+        .withColumn("_qn", norm_unrolled(F.col("_qv"), dim))
         .withColumn("_qba", _bucket_array(F.col("_qv"), all_planes))
-        .select("query_id", "_qv", "_qba", F.posexplode("_qba").alias("_t", "_b"))
+        .select("query_id", "_qv", "_qn", "_qba", F.posexplode("_qba").alias("_t", "_b"))
     )
     cand = (
         c.join(F.broadcast(q), ["_t", "_b"])
         .filter(F.col("nbr_id") != F.col("query_id"))
         .filter(_first_match(F.col("_cba"), F.col("_qba"), F.col("_t")))
     )
-    scored = cand.withColumn("cosine_sim", cosine_unrolled(F.col("_qv"), F.col("_cv"), dim)).select(
+    scored = cand.withColumn(
+        "cosine_sim",
+        cosine_prenormed(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn"), dim),
+    ).select(
         "query_id", "nbr_id", "cosine_sim"  # narrow BEFORE the window shuffle
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("nbr_id").asc())
@@ -271,39 +300,57 @@ def topk_cosine_ivf(
     """
     from esgopeta_spark.session import ensure_min_partitions
 
-    c = ensure_min_partitions(corpus).select(
-        F.col(id_col).alias("nbr_id"), as_double(F.col(vec_col)).alias("_cv")
+    c = (
+        ensure_min_partitions(corpus)
+        .select(F.col(id_col).alias("nbr_id"), as_double(F.col(vec_col)).alias("_cv"))
+        .withColumn("_cn", norm_unrolled(F.col("_cv"), dim))
     )
-    cents = corpus.filter(F.col(id_col) % centroid_stride == 0).select(
-        F.col(id_col).alias("_cell"), as_double(F.col(vec_col)).alias("_cent")
+    cents = (
+        corpus.filter(F.col(id_col) % centroid_stride == 0)
+        .select(F.col(id_col).alias("_cell"), as_double(F.col(vec_col)).alias("_cent"))
+        .withColumn("_centn", norm_unrolled(F.col("_cent"), dim))
     )
     # argmax-by-aggregation, not a window: the corpus x codebook cross
     # product never leaves its scan stage — partial max_by combines
     # map-side, so the shuffle is one narrow row per corpus vector
-    # (vs. shuffling every (vector, centroid) pair through a window)
+    # (vs. shuffling every (vector, centroid) pair through a window).
+    # Norms are hoisted (norm_unrolled): the N×C pair stage computes one
+    # unrolled dot per pair instead of recomputing both norms pairwise.
     assigned = (
         c.join(F.broadcast(cents))
-        .withColumn("_sim", cosine_unrolled(F.col("_cv"), F.col("_cent"), dim))
+        .withColumn(
+            "_sim",
+            cosine_prenormed(F.col("_cv"), F.col("_cent"), F.col("_cn"), F.col("_centn"), dim),
+        )
         .groupBy("nbr_id")
         .agg(
             F.max_by("_cell", F.struct(F.col("_sim"), (-F.col("_cell")).alias("_nc"))).alias("_cell"),
             F.first("_cv").alias("_cv"),  # constant per nbr_id
+            F.first("_cn").alias("_cn"),
         )
-        .select("nbr_id", "_cv", "_cell")
+        .select("nbr_id", "_cv", "_cn", "_cell")
     )
-    q = queries.select(F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv"))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
+    ).withColumn("_qn", norm_unrolled(F.col("_qv"), dim))
     w_probe = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("_cell").asc())
     probes = (
         q.join(F.broadcast(cents))
-        .withColumn("_sim", cosine_unrolled(F.col("_qv"), F.col("_cent"), dim))
+        .withColumn(
+            "_sim",
+            cosine_prenormed(F.col("_qv"), F.col("_cent"), F.col("_qn"), F.col("_centn"), dim),
+        )
         .withColumn("_rk", F.row_number().over(w_probe))
         .filter(F.col("_rk") <= n_probe)
-        .select("query_id", "_qv", "_cell")
+        .select("query_id", "_qv", "_qn", "_cell")
     )
     scored = (
         assigned.join(F.broadcast(probes), "_cell")
         .filter(F.col("nbr_id") != F.col("query_id"))
-        .withColumn("cosine_sim", cosine_unrolled(F.col("_qv"), F.col("_cv"), dim))
+        .withColumn(
+            "cosine_sim",
+            cosine_prenormed(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn"), dim),
+        )
         .select("query_id", "nbr_id", "cosine_sim")  # narrow BEFORE the window shuffle
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("nbr_id").asc())
@@ -326,12 +373,19 @@ def embedding_dup_pairs_exact(
     usable directly on bounded partitions (e.g. per-shard QA)."""
     from esgopeta_spark.session import ensure_min_partitions
 
-    v = ensure_min_partitions(df).select(F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v"))
-    a = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
-    b = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    v = (
+        ensure_min_partitions(df)
+        .select(F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v"))
+        .withColumn("_n", norm_unrolled(F.col("_v"), dim))
+    )
+    a = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    b = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim", cosine_unrolled(F.col("_va"), F.col("_vb"), dim))
+        .withColumn(
+            "cosine_sim",
+            cosine_prenormed(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"), dim),
+        )
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
@@ -382,22 +436,28 @@ def embedding_dup_pairs_lsh(
     all_planes = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
     from esgopeta_spark.session import ensure_min_partitions
 
-    base = ensure_min_partitions(df).select(
-        F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v")
-    ).withColumn("_ba", _bucket_array(F.col("_v"), all_planes))
-    a = base.select("_id", "_v", "_ba", F.posexplode("_ba").alias("_t", "_b"))
+    base = (
+        ensure_min_partitions(df)
+        .select(F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v"))
+        .withColumn("_n", norm_unrolled(F.col("_v"), dim))
+        .withColumn("_ba", _bucket_array(F.col("_v"), all_planes))
+    )
+    a = base.select("_id", "_v", "_n", "_ba", F.posexplode("_ba").alias("_t", "_b"))
     b_narrow = base.select(F.col("_id").alias("id_b"), F.col("_ba").alias("_bab"),
                            F.posexplode("_ba").alias("_t", "_b"))
-    vecs = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    vecs = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
     cand = (
         a.join(F.broadcast(b_narrow), ["_t", "_b"])
         .filter(F.col("_id") < F.col("id_b"))
         .filter(_first_match(F.col("_ba"), F.col("_bab"), F.col("_t")))
-        .select(F.col("_id").alias("id_a"), "id_b", F.col("_v").alias("_va"))
+        .select(F.col("_id").alias("id_a"), "id_b", F.col("_v").alias("_va"), F.col("_n").alias("_na"))
     )
     return (
         cand.join(F.broadcast(vecs), "id_b")
-        .withColumn("cosine_sim", cosine_unrolled(F.col("_va"), F.col("_vb"), dim))
+        .withColumn(
+            "cosine_sim",
+            cosine_prenormed(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"), dim),
+        )
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
