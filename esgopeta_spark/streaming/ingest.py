@@ -104,6 +104,20 @@ def read_update_stream_kafka(
         .option("startingOffsets", starting_offsets)
         .load()
     )
+    return parse_update_records(raw)
+
+
+def parse_update_records(raw: DataFrame) -> DataFrame:
+    """Decode kafka-shaped records (``value`` binary/string JSON +
+    ``timestamp``) into UPDATE_SCHEMA rows.
+
+    Split out of ``read_update_stream_kafka`` so the WIRE PARSING is
+    testable without the kafka package on the classpath (this container
+    ships without it): the projection is identical whether ``raw`` came
+    from ``format("kafka")`` or a static frame with the same two columns
+    — tests/test_sources.py round-trips real JSON record bytes through
+    it in batch mode.
+    """
     parsed = raw.select(
         F.from_json(F.col("value").cast("string"), UPDATE_SCHEMA).alias("_u"),
         F.col("timestamp").alias("_kafka_ts"),

@@ -86,3 +86,44 @@ def test_kafka_update_stream_adapter(spark):
         ), f"unexpected failure mode: {msg[:500]}"
         pytest.skip("kafka source not on classpath (expected in this container)")
     assert set(f.name for f in UPDATE_SCHEMA.fields) <= set(df.columns)
+
+
+def test_kafka_record_parsing_without_classpath(spark):
+    """C7 wire parsing, actually executed: real JSON record bytes through
+    the adapter's projection (parse_update_records is the identical code
+    path read_update_stream_kafka applies to format('kafka') output) —
+    covers the decode even though this container lacks the kafka package."""
+    import datetime
+    import json
+
+    from esgopeta_spark.streaming.ingest import parse_update_records
+    from esgopeta_spark.types import UPDATE_SCHEMA
+
+    broker_ts = datetime.datetime(2024, 1, 2, 3, 4, 5)
+    records = [
+        {  # full record with its own recv_ts
+            "msg_id": "m1", "ack_id": None, "peer_id": "p1",
+            "recv_ts": "2024-01-01T00:00:00.000Z",
+            "soul": "s1", "field": "f", "value_type": "string",
+            "value_number_raw": None, "value_number": None,
+            "value_string": "hello", "value_bool": None, "value_relation": None,
+            "state": 100.0,
+        },
+        {  # producer omitted recv_ts -> broker timestamp fallback
+            "msg_id": "m2", "ack_id": "a1", "peer_id": "p2",
+            "soul": "s2", "field": "g", "value_type": "number",
+            "value_number_raw": "7", "value_number": 7.0,
+            "value_string": None, "value_bool": None, "value_relation": None,
+            "state": 200.0,
+        },
+    ]
+    raw = spark.createDataFrame(
+        [(json.dumps(r).encode(), broker_ts) for r in records],
+        "value binary, timestamp timestamp",
+    )
+    out = {r["msg_id"]: r for r in parse_update_records(raw).collect()}
+    assert set(f.name for f in UPDATE_SCHEMA.fields) <= set(parse_update_records(raw).columns)
+    assert out["m1"]["value_string"] == "hello" and out["m1"]["state"] == 100.0
+    assert out["m1"]["recv_ts"] == datetime.datetime(2024, 1, 1, 0, 0, 0)
+    assert out["m2"]["value_number"] == 7.0 and out["m2"]["ack_id"] == "a1"
+    assert out["m2"]["recv_ts"] == broker_ts  # broker-time fallback fired
