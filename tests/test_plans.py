@@ -175,3 +175,28 @@ def test_pagerank_contribution_agg_is_partial(spark, sf_dir):
     p = plan_of(REGISTRY["graph_pagerank_transactions"].fn(spark, sf_dir))
     assert "partial_sum" in p or "Partial" in p, p
     assert "CartesianProduct" not in p
+
+
+def test_png_entry_scan_prunes_to_doc_id(spark, sf_dir):
+    """The PNG round-trip entry must read ONE column (doc_id) — pulling
+    text/n_chars through the Arrow boundary for a codec kernel would be
+    a silent 50x IO cost on a wide documents table at scale."""
+    from esgopeta_spark.plans import REGISTRY
+
+    p = plan_of(REGISTRY["multimodal_decode_png"].fn(spark, sf_dir))
+    assert "MapInPandas" in p, p
+    read_schema = p.split("ReadSchema")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" not in read_schema, read_schema
+    assert "Exchange" not in p.split("MapInPandas")[0].split("Scan parquet")[0], p
+
+
+def test_q12_join_keeps_partial_agg_no_cartesian(spark, sf_dir):
+    """q12's lineitem-orders join must stay a hash/sort-merge equi-join
+    with map-side partial aggregation for the priority split counts."""
+    from esgopeta_spark.plans import REGISTRY
+
+    p = plan_of(REGISTRY["q12_shipmode_priority"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "partial_sum" in p or "Partial" in p, p
+    # the shipdate window filter must reach the lineitem scan
+    assert "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters")[1][:400], p
