@@ -1,12 +1,13 @@
 """Pure-numpy media codecs (G5).
 
-The container ships no PIL/librosa/ffmpeg, but BMP (24-bit BI_RGB),
-PPM (P6), WAV (PCM16) and — via stdlib ``zlib`` — PNG need nothing
-beyond struct + numpy, so those decode paths are REAL, not stubs.
-PNG support covers the baseline non-interlaced profile (bit depth 8,
-grayscale / RGB / gray+alpha / RGBA, all five scanline filters);
-remaining compressed formats (JPEG/MP3/MP4) genuinely require codec
-libraries and stay behind the explicit guard in operators.multimodal.
+The container ships no PIL/librosa/ffmpeg, but every IMAGE format plus
+PCM audio is implemented from scratch on struct + numpy + stdlib:
+BMP (24-bit BI_RGB), PPM (P6), WAV (PCM16), PNG via stdlib ``zlib``
+(baseline non-interlaced: bit depth 8, gray/RGB/gray+alpha/RGBA, all
+five scanline filters), and baseline JPEG (operators.jpeg: SOF0,
+sampling factors to 2x2 incl. 4:2:0, restart markers, per-image
+canonical Huffman on encode).  Only compressed AUDIO/VIDEO containers
+(mp3/mp4) remain behind the needs-codec guard in operators.multimodal.
 
 Everything here is plain bytes->ndarray (and back) so the same functions
 run inside Arrow-batched mapInPandas kernels on executors and in local
@@ -30,9 +31,11 @@ _MAGICS = [
     (b"RIFF", "wav"),  # refined below (RIFF....WAVE)
     (b"\x89PNG\r\n\x1a\n", "png"),
     (b"\xff\xd8\xff", "jpeg"),
+    (b"ID3", "mp3"),
+    (b"\xff\xfb", "mp3"),
 ]
 
-DECODABLE = {"bmp", "ppm", "wav", "png"}
+DECODABLE = {"bmp", "ppm", "wav", "png", "jpeg"}
 
 
 def sniff_format(b: bytes | None) -> str:
@@ -43,6 +46,8 @@ def sniff_format(b: bytes | None) -> str:
             if name == "wav" and b[8:12] != b"WAVE":
                 return "riff-other"
             return name
+    if len(b) >= 12 and b[4:8] == b"ftyp":  # ISO BMFF (mp4/mov)
+        return "mp4"
     return "unknown"
 
 
@@ -294,6 +299,11 @@ def decode_png(b: bytes) -> np.ndarray:
         prev = recon.astype(np.int16)
         out[y] = recon.astype(np.uint8)
     return out
+
+
+# baseline JPEG codec lives in its own module (DCT + huffman entropy
+# coding are ~400 lines); re-exported here so callers have one namespace
+from esgopeta_spark.operators.jpeg import decode_jpeg, encode_jpeg  # noqa: E402,F401
 
 
 def to_rgb(arr: np.ndarray) -> np.ndarray:

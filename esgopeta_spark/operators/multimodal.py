@@ -7,13 +7,14 @@ executors stream record batches without materializing a partition.
 
 Decode status by format:
 
-- **REAL decode, no external deps** (operators.codecs, pure
-  struct+numpy, plus stdlib zlib for PNG): BMP 24-bit, PPM P6, WAV
-  PCM16, and baseline PNG (bit depth 8, gray/RGB/gray+alpha/RGBA, all
-  five scanline filters) — ``decode_media``, ``extract_image_features``,
-  ``extract_audio_features`` and ``resize_media`` run the actual
-  pixel/sample math, verified by round-trip tests (tests/test_codecs.py).
-- **Remaining compressed formats** (JPEG/MP3/MP4) genuinely require
+- **REAL decode, no external deps** (operators.codecs + operators.jpeg,
+  pure struct+numpy+stdlib): BMP 24-bit, PPM P6, WAV PCM16, baseline
+  PNG (zlib inflate, all five scanline filters), and baseline JPEG
+  (SOF0, 4:4:4/4:2:2/4:2:0 sampling, restart markers) — every IMAGE
+  format a real corpus ships — through ``decode_media``,
+  ``extract_image_features``, ``extract_audio_features`` and
+  ``resize_media``, verified by round-trip tests (tests/test_codecs.py).
+- **Compressed audio/video containers** (mp3/mp4) genuinely require
   codec libraries this container does not ship; those rows surface
   ``ok=false, err='needs-codec'`` and the integration point is
   ``raise_if_real_decode_requested``.  The legacy header-sniff kernels
@@ -171,10 +172,11 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 def raise_if_real_decode_requested():
     raise NotImplementedError(
-        "decode of jpeg/mp3/mp4 requires PIL/librosa/ffmpeg, which this "
-        "container does not ship; bmp/ppm/wav/png decode IS implemented "
-        "(operators.codecs — PNG via stdlib zlib) and the mapInPandas "
-        "kernels below are the integration points"
+        "decode of mp3/mp4 audio/video requires librosa/ffmpeg, which this "
+        "container does not ship; every IMAGE format (bmp/ppm/png/jpeg) "
+        "plus PCM wav IS implemented from scratch (operators.codecs, "
+        "operators.jpeg) and the mapInPandas kernels below are the "
+        "integration points"
     )
 
 
@@ -184,10 +186,10 @@ def raise_if_real_decode_requested():
 
 
 def synthetic_media_real(spark, n: int = 64) -> DataFrame:
-    """Deterministic corpus of REAL media payloads: BMP, PPM and PNG
-    images with a seeded gradient pattern (PNG rows cycle through all
-    five scanline filters), WAV sine tones, plus JPEG-header rows to
-    exercise the needs-codec path."""
+    """Deterministic corpus of REAL media payloads: BMP, PPM, PNG and
+    JPEG images with a seeded gradient pattern (PNG rows cycle through
+    all five scanline filters; JPEG rows alternate 4:4:4 / 4:2:0), WAV
+    sine tones, plus MP4-header rows to exercise the needs-codec path."""
     import numpy as np
 
     from esgopeta_spark.operators import codecs
@@ -201,13 +203,17 @@ def synthetic_media_real(spark, n: int = 64) -> DataFrame:
             arr = np.stack(
                 [(xx * 7 + i) % 256, (yy * 5 + 2 * i) % 256, (xx + yy + 3 * i) % 256], axis=-1
             ).astype(np.uint8)
-            fmt = ("bmp", "ppm", "png")[i % 3]
+            # decorrelate from the kind selector (kind uses i % 4 too, so a
+            # plain i % 4 here would never pick png/jpeg for image rows)
+            fmt = ("bmp", "ppm", "png", "jpeg")[(i + i // 4) % 4]
             if fmt == "bmp":
                 payload = codecs.encode_bmp(arr)
             elif fmt == "ppm":
                 payload = codecs.encode_ppm(arr)
-            else:
+            elif fmt == "png":
                 payload = codecs.encode_png(arr, filter_type=i % 5)
+            else:
+                payload = codecs.encode_jpeg(arr, quality=90, subsample=i % 8 >= 4)
             rows.append((i, "image", payload, (w, h, None, None, fmt)))
         elif kind == "audio":
             sr = 8000
@@ -217,9 +223,9 @@ def synthetic_media_real(spark, n: int = 64) -> DataFrame:
             samples = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
             payload = codecs.encode_wav(samples, sr)
             rows.append((i, "audio", payload, (None, None, sr, int(dur_s * 1000), "wav")))
-        else:  # compressed stand-in: JPEG header only, decodes to needs-codec
-            payload = b"\xff\xd8\xff\xe0" + bytes([(i * 7 + j) % 256 for j in range(64)])
-            rows.append((i, "video", payload, (None, None, None, 2000, "jpeg")))
+        else:  # compressed video stand-in: MP4 ftyp box, decodes to needs-codec
+            payload = b"\x00\x00\x00\x18ftypisom" + bytes([(i * 7 + j) % 256 for j in range(64)])
+            rows.append((i, "video", payload, (None, None, None, 2000, "mp4")))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
@@ -230,10 +236,10 @@ DECODED_SCHEMA = (
 
 
 def decode_media(df: DataFrame) -> DataFrame:
-    """REAL decode of bmp/ppm/png/wav payloads per Arrow batch; formats
-    needing an external codec (jpeg) surface ok=false, err='needs-codec'
-    instead of failing the job (at 100 TB a poison payload must never
-    kill the stage)."""
+    """REAL decode of bmp/ppm/png/jpeg/wav payloads per Arrow batch;
+    formats needing an external codec (mp3/mp4) surface ok=false,
+    err='needs-codec' instead of failing the job (at 100 TB a poison
+    payload must never kill the stage)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from esgopeta_spark.operators import codecs
@@ -248,8 +254,13 @@ def decode_media(df: DataFrame) -> DataFrame:
                     width=None, height=None, sample_rate=None, n_samples=None, duration_ms=None,
                 )
                 try:
-                    if fmt in ("bmp", "ppm", "png"):
-                        arr = {"bmp": codecs.decode_bmp, "ppm": codecs.decode_ppm, "png": codecs.decode_png}[fmt](b)
+                    if fmt in ("bmp", "ppm", "png", "jpeg"):
+                        arr = {
+                            "bmp": codecs.decode_bmp,
+                            "ppm": codecs.decode_ppm,
+                            "png": codecs.decode_png,
+                            "jpeg": codecs.decode_jpeg,
+                        }[fmt](b)
                         rec.update(ok=True, width=arr.shape[1], height=arr.shape[0])
                     elif fmt == "wav":
                         samples, sr, nch = codecs.decode_wav(b)
@@ -258,7 +269,7 @@ def decode_media(df: DataFrame) -> DataFrame:
                             duration_ms=int(1000 * len(samples) / (sr * nch)),
                         )
                     else:
-                        rec.update(err="needs-codec" if fmt == "jpeg" else f"undecodable:{fmt}")
+                        rec.update(err="needs-codec" if fmt in ("mp3", "mp4") else f"undecodable:{fmt}")
                 except ValueError as exc:  # malformed payload: quarantine, don't crash
                     rec.update(err=f"corrupt:{exc}")
                 out.append(rec)
@@ -283,10 +294,15 @@ def extract_image_features(df: DataFrame) -> DataFrame:
             for mid, b in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(b) if b is not None else b""
                 fmt = codecs.sniff_format(b)
-                if fmt not in ("bmp", "ppm", "png"):
+                if fmt not in ("bmp", "ppm", "png", "jpeg"):
                     continue
                 try:
-                    arr = {"bmp": codecs.decode_bmp, "ppm": codecs.decode_ppm, "png": codecs.decode_png}[fmt](b)
+                    arr = {
+                        "bmp": codecs.decode_bmp,
+                        "ppm": codecs.decode_ppm,
+                        "png": codecs.decode_png,
+                        "jpeg": codecs.decode_jpeg,
+                    }[fmt](b)
                 except ValueError:  # corrupt payload: quarantine, don't crash
                     continue
                 arr = codecs.to_rgb(arr).astype(np.float64)
@@ -349,10 +365,10 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
 
 
 def resize_media(df: DataFrame, max_side: int = 64, method: str = "bilinear") -> DataFrame:
-    """REAL aspect-preserving resize for bmp/ppm/png payloads: decode ->
-    numpy resample -> re-encode in the same format.  Never upscales.
-    Non-image / undecodable / corrupt rows pass through untouched
-    (ok=false)."""
+    """REAL aspect-preserving resize for bmp/ppm/png/jpeg payloads:
+    decode -> numpy resample -> re-encode in the same format.  Never
+    upscales.  Non-image / undecodable / corrupt rows pass through
+    untouched (ok=false)."""
     out_schema = "media_id bigint, ok boolean, out_width int, out_height int, payload binary"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -361,8 +377,18 @@ def resize_media(df: DataFrame, max_side: int = 64, method: str = "bilinear") ->
         from esgopeta_spark.operators import codecs
 
         resample = codecs.resize_bilinear if method == "bilinear" else codecs.resize_nearest
-        decoders = {"bmp": codecs.decode_bmp, "ppm": codecs.decode_ppm, "png": codecs.decode_png}
-        encoders = {"bmp": codecs.encode_bmp, "ppm": codecs.encode_ppm, "png": codecs.encode_png}
+        decoders = {
+            "bmp": codecs.decode_bmp,
+            "ppm": codecs.decode_ppm,
+            "png": codecs.decode_png,
+            "jpeg": codecs.decode_jpeg,
+        }
+        encoders = {
+            "bmp": codecs.encode_bmp,
+            "ppm": codecs.encode_ppm,
+            "png": codecs.encode_png,
+            "jpeg": codecs.encode_jpeg,
+        }
         for pdf in batches:
             out = []
             for mid, b in zip(pdf["media_id"], pdf["payload"]):

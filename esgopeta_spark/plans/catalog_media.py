@@ -1,9 +1,11 @@
 """Multimodal graded entries (SURVEY.md §2 G5).
 
-The driver's testdata has no binary media table, so the graded entry
-derives a deterministic PNG corpus FROM a testdata table: each selected
+The driver's testdata has no binary media table, so these entries derive
+deterministic image corpora FROM a testdata table: each selected
 ``documents`` row becomes a gradient image whose pixels are a closed-form
-function of ``doc_id``.  The Spark side runs the REAL codec path —
+function of ``doc_id``.  PNG (lossless) is graded on exact pixel sums;
+JPEG (lossy) on the lossless invariants (dimensions), with fidelity
+pinned separately by PSNR tests.  The Spark side runs the REAL codec path —
 ``encode_png`` (stdlib zlib, cycling through all five scanline filters)
 then ``decode_png`` inside an Arrow-batched ``mapInPandas`` kernel — and
 reports decoded dimensions plus the integer pixel sum.  The DuckDB
@@ -25,6 +27,64 @@ import pandas as pd  # module-level so PEP 563 string hints resolve
 from pyspark.sql import functions as F
 
 from esgopeta_spark.plans.catalog import T, register
+
+
+@register(
+    "multimodal_decode_jpeg",
+    "G5",
+    """
+    SELECT doc_id,
+           CAST(8 + doc_id % 11 AS INTEGER) AS width,
+           CAST(8 + doc_id % 5  AS INTEGER) AS height
+    FROM documents WHERE doc_id % 20 = 10
+    """,
+    doc="REAL baseline-JPEG round trip (operators/jpeg.py — pure numpy "
+    "DCT + canonical Huffman, no codec library), graded on the LOSSLESS "
+    "invariants: per selected doc, build the gradient image, encode_jpeg "
+    "(4:2:0 for odd docs, 4:4:4 even), decode_jpeg, emit decoded "
+    "dimensions; pixel values are lossy so fidelity is pinned by PSNR "
+    "bounds in tests/test_codecs.py instead.  Same no-shuffle "
+    "mapInPandas plan shape as multimodal_decode_png",
+)
+def multimodal_decode_jpeg(spark, sf):
+    from esgopeta_spark.session import ensure_min_partitions
+
+    ids = T(spark, sf, "documents").filter(F.col("doc_id") % 20 == 10).select("doc_id")
+    ids = ensure_min_partitions(ids)
+    out_schema = "doc_id bigint, width int, height int"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from esgopeta_spark.operators import codecs
+
+        for pdf in batches:
+            ids_, ws, hs = [], [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 8 + d % 11, 8 + d % 5
+                yy, xx = np.mgrid[0:h, 0:w]
+                arr = np.stack(
+                    [(xx * 5 + d) % 256, (yy * 3 + 2 * d) % 256, (xx + yy + d) % 256],
+                    axis=-1,
+                ).astype(np.uint8)
+                # selected ids are all ≡10 (mod 20): vary subsampling by the
+                # id's 20-block so both 4:4:4 and 4:2:0 paths are graded
+                back = codecs.decode_jpeg(
+                    codecs.encode_jpeg(arr, quality=88, subsample=bool((d // 20) % 2))
+                )
+                ids_.append(d)
+                ws.append(back.shape[1])
+                hs.append(back.shape[0])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids_, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                }
+            )
+
+    return ids.mapInPandas(kernel, out_schema)
 
 
 @register(

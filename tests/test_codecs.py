@@ -66,6 +66,41 @@ def test_to_rgb_normalizes_channels():
     assert np.array_equal(codecs.to_rgb(rgba), rgba[:, :, :3])
 
 
+def _psnr(a, b):
+    a3 = a[:, :, None] if a.ndim == 2 else a
+    b3 = b[:, :, None] if b.ndim == 2 else b
+    mse = np.mean((a3.astype(np.float64) - b3.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255**2 / mse)
+
+
+def test_jpeg_roundtrip_psnr():
+    """JPEG is lossy: assert exact dims + PSNR bounds instead of bit
+    equality — >45 dB at 4:4:4 q90, >40 dB at 4:2:0 on smooth content."""
+    arr = _grad_image(w=37, h=29)
+    for subsample, bound in ((False, 45.0), (True, 40.0)):
+        dec = codecs.decode_jpeg(codecs.encode_jpeg(arr, quality=90, subsample=subsample))
+        assert dec.shape == arr.shape
+        assert _psnr(arr, dec) > bound, (subsample, _psnr(arr, dec))
+
+
+def test_jpeg_grayscale_and_restart_markers():
+    g = ((np.mgrid[0:20, 0:30][0] * 7) % 256).astype(np.uint8)
+    dec = codecs.decode_jpeg(codecs.encode_jpeg(g, quality=90))
+    assert dec.shape == (20, 30, 1) and _psnr(g, dec[:, :, 0]) > 45
+    arr = _grad_image(w=40, h=24)
+    for ri in (1, 3):  # DRI/RSTn path: DC predictors reset per interval
+        dec = codecs.decode_jpeg(codecs.encode_jpeg(arr, quality=90, restart_interval=ri))
+        assert _psnr(arr, dec) > 45
+
+
+def test_jpeg_corrupt_and_unsupported_raise_valueerror():
+    good = codecs.encode_jpeg(_grad_image(16, 16), quality=85)
+    cases = [good[:20], b"\xff\xd8" + b"\x00" * 30, good[:2] + good[4:], b"\xff\xd8\xff\xc2" + good[4:]]
+    for bad in cases:
+        with pytest.raises(ValueError):
+            codecs.decode_jpeg(bad)
+
+
 def test_sniff_format():
     arr = _grad_image(4, 4)
     assert codecs.sniff_format(codecs.encode_bmp(arr)) == "bmp"
@@ -73,6 +108,9 @@ def test_sniff_format():
     assert codecs.sniff_format(codecs.encode_wav(np.zeros(4, np.int16), 8000)) == "wav"
     assert codecs.sniff_format(b"\x89PNG\r\n\x1a\nxxxx") == "png"
     assert codecs.sniff_format(b"\xff\xd8\xff\xe0") == "jpeg"
+    assert codecs.sniff_format(codecs.encode_jpeg(arr)) == "jpeg"
+    assert codecs.sniff_format(b"\x00\x00\x00\x18ftypisomxxxx") == "mp4"
+    assert codecs.sniff_format(b"ID3\x04xxxx") == "mp3"
     assert codecs.sniff_format(b"") == "empty"
 
 
@@ -127,7 +165,7 @@ def test_decode_media_distributed_matches_local(spark):
     for mid, r in rows.items():
         kind, meta = local[mid]["kind"], local[mid]["meta"]
         if kind == "image":
-            assert r["ok"] and r["format"] in ("bmp", "ppm", "png")
+            assert r["ok"] and r["format"] in ("bmp", "ppm", "png", "jpeg")
             assert (r["width"], r["height"]) == (meta["width"], meta["height"])
         elif kind == "audio":
             assert r["ok"] and r["format"] == "wav"
@@ -148,7 +186,12 @@ def test_resize_media_roundtrips_and_bounds(spark):
         assert max(r["out_width"], r["out_height"]) <= 8
         # re-encoded payload must decode to exactly the declared dims
         b = bytes(r["payload"])
-        dec = {"bmp": codecs.decode_bmp, "ppm": codecs.decode_ppm, "png": codecs.decode_png}
+        dec = {
+            "bmp": codecs.decode_bmp,
+            "ppm": codecs.decode_ppm,
+            "png": codecs.decode_png,
+            "jpeg": codecs.decode_jpeg,
+        }
         arr = dec[codecs.sniff_format(b)](b)
         assert arr.shape[:2] == (r["out_height"], r["out_width"])
 
@@ -213,6 +256,21 @@ if HAVE_HYPOTHESIS:
     def test_png_roundtrip_property(w, h, ch, ft, data):
         arr = data.draw(arrays(np.uint8, (h, w, ch)))
         assert np.array_equal(codecs.decode_png(codecs.encode_png(arr, filter_type=ft)), arr)
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=32),
+        h=st.integers(min_value=1, max_value=32),
+        subsample=st.booleans(),
+        data=st.data(),
+    )
+    def test_jpeg_roundtrip_property(w, h, subsample, data):
+        # random noise is JPEG's worst case: assert exact dims + sanity
+        # fidelity, not bit equality (4:2:0 halves chroma resolution)
+        arr = data.draw(arrays(np.uint8, (h, w, 3)))
+        dec = codecs.decode_jpeg(codecs.encode_jpeg(arr, quality=95, subsample=subsample))
+        assert dec.shape == arr.shape
+        assert _psnr(arr, dec) > (20.0 if not subsample else 8.0)
 
     @settings(max_examples=25, deadline=None)
     @given(
