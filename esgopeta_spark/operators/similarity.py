@@ -361,6 +361,159 @@ def topk_cosine_ivf(
     )
 
 
+def kmeans_codebook(
+    corpus: DataFrame,
+    dim: int,
+    init_stride: int = 25,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic spherical k-means for the IVF coarse codebook —
+    the trained replacement for the id-strided sample (``topk_cosine_ivf``
+    docstring: "at 100 TB the codebook would come from a k-means job").
+
+    Returns (cell, centroid array<double>).  Engine-exact by
+    construction, so an IVF entry built on it stays DuckDB-hash-checkable:
+
+    - init: the id-strided sample (cell id = seed vector's id);
+    - assign: argmax cosine via the same max_by aggregate as the IVF
+      probe (broadcast codebook, corpus never shuffles);
+    - update: component-wise mean in integer MICRO-UNITS — components
+      quantized ``floor(v*1e6+0.5)`` as bigint, summed exactly
+      (order-free), mean = ``sum div n`` then one double division by 1e6
+      — never a float SUM, whose partition-order nondeterminism would
+      flake the oracle hash (catalog rule 1);
+    - empty cells keep their previous centroid (left-join + coalesce).
+
+    Each round's tiny codebook is localCheckpoint-ed so the driver loop's
+    plan stays constant-size.  Scale shape per round: one broadcast
+    pair stage + one (cell, dim)-keyed partial-agg shuffle of narrow
+    integer rows — linear in corpus size, cells*dim rows out.
+    """
+    c = (
+        corpus.select(F.col(id_col).alias("_vid"), as_double(F.col(vec_col)).alias("_cv"))
+        .withColumn("_cn", norm_unrolled(F.col("_cv"), dim))
+        .localCheckpoint()  # read once per iteration, not re-scanned
+    )
+    cents = c.filter(F.col("_vid") % init_stride == 0).select(
+        F.col("_vid").alias("cell"), F.col("_cv").alias("centroid")
+    )
+    for _ in range(n_iter):
+        cents_n = cents.withColumn("_centn", norm_unrolled(F.col("centroid"), dim))
+        assigned = (
+            c.join(F.broadcast(cents_n))
+            .withColumn(
+                "_sim",
+                cosine_prenormed(F.col("_cv"), F.col("centroid"), F.col("_cn"), F.col("_centn"), dim),
+            )
+            .groupBy("_vid")
+            .agg(
+                F.max_by("cell", F.struct(F.col("_sim"), (-F.col("cell")).alias("_nc"))).alias("cell"),
+                F.first("_cv").alias("_cv"),
+            )
+        )
+        comp_means = (
+            assigned.select("cell", F.posexplode("_cv").alias("_d", "_v"))
+            .select(
+                "cell",
+                "_d",
+                F.floor(F.col("_v") * 1000000.0 + 0.5).cast("bigint").alias("_vm"),
+            )
+            .groupBy("cell", "_d")
+            .agg(F.sum("_vm").alias("_sm"), F.count("*").alias("_n"))
+            .select(
+                "cell",
+                "_d",
+                (F.expr("_sm div _n").cast("double") / F.lit(1000000.0)).alias("_mv"),
+            )
+        )
+        updated = comp_means.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("_d"), F.col("_mv")))),
+                lambda s: s["_mv"],
+            ).alias("_new")
+        )
+        cents = (
+            cents.join(updated, "cell", "left")
+            .select("cell", F.coalesce("_new", F.col("centroid")).alias("centroid"))
+            .localCheckpoint()
+        )
+    return cents
+
+
+def topk_cosine_ivf_trained(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    init_stride: int = 25,
+    n_iter: int = 2,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-flat top-k over a k-means-TRAINED codebook: the full
+    production shape (train -> assign -> probe), deterministic end-to-end
+    so it remains oracle-checkable.  Same probe/assign plan as
+    ``topk_cosine_ivf``; only the codebook differs."""
+    from esgopeta_spark.session import ensure_min_partitions
+
+    book = kmeans_codebook(corpus, dim, init_stride, n_iter, id_col, vec_col)
+    cents = book.select(
+        F.col("cell").alias("_cell"), F.col("centroid").alias("_cent")
+    ).withColumn("_centn", norm_unrolled(F.col("_cent"), dim))
+    c = (
+        ensure_min_partitions(corpus)
+        .select(F.col(id_col).alias("nbr_id"), as_double(F.col(vec_col)).alias("_cv"))
+        .withColumn("_cn", norm_unrolled(F.col("_cv"), dim))
+    )
+    assigned = (
+        c.join(F.broadcast(cents))
+        .withColumn(
+            "_sim",
+            cosine_prenormed(F.col("_cv"), F.col("_cent"), F.col("_cn"), F.col("_centn"), dim),
+        )
+        .groupBy("nbr_id")
+        .agg(
+            F.max_by("_cell", F.struct(F.col("_sim"), (-F.col("_cell")).alias("_nc"))).alias("_cell"),
+            F.first("_cv").alias("_cv"),
+            F.first("_cn").alias("_cn"),
+        )
+        .select("nbr_id", "_cv", "_cn", "_cell")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
+    ).withColumn("_qn", norm_unrolled(F.col("_qv"), dim))
+    w_probe = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("_cell").asc())
+    probes = (
+        q.join(F.broadcast(cents))
+        .withColumn(
+            "_sim",
+            cosine_prenormed(F.col("_qv"), F.col("_cent"), F.col("_qn"), F.col("_centn"), dim),
+        )
+        .withColumn("_rk", F.row_number().over(w_probe))
+        .filter(F.col("_rk") <= n_probe)
+        .select("query_id", "_qv", "_qn", "_cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "_cell")
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .withColumn(
+            "cosine_sim",
+            cosine_prenormed(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn"), dim),
+        )
+        .select("query_id", "nbr_id", "cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("nbr_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine_sim", "rank")
+    )
+
+
 def embedding_dup_pairs_exact(
     df: DataFrame,
     threshold: float = 0.95,

@@ -184,6 +184,102 @@ def sim_topk_cosine_ivf(spark, sf):
 
 
 @register(
+    "sim_topk_cosine_ivf_kmeans",
+    "G3",
+    """
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents0 AS (SELECT vec_id AS cell, v AS cv FROM c WHERE vec_id % 25 = 0),
+    asg1 AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT c.vec_id, c.v, cents0.cell,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                 list_dot_product(c.v, cents0.cv)
+                   / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(cents0.cv, cents0.cv))) DESC,
+                 cents0.cell ASC) AS rn
+        FROM c CROSS JOIN cents0) WHERE rn = 1),
+    upd1 AS (
+      SELECT cell, t.d,
+             CAST(CAST(SUM(CAST(floor(v[t.d] * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+                  // COUNT(*) AS DOUBLE) / 1000000.0 AS mv
+      FROM asg1, generate_series(1, 64) t(d)
+      GROUP BY cell, t.d),
+    cents1 AS (
+      SELECT c0.cell, COALESCE(u.cv, c0.cv) AS cv
+      FROM cents0 c0 LEFT JOIN (
+        SELECT cell, list(mv ORDER BY d) AS cv FROM upd1 GROUP BY cell) u USING (cell)),
+    asg2 AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT c.vec_id, c.v, cents1.cell,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                 list_dot_product(c.v, cents1.cv)
+                   / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(cents1.cv, cents1.cv))) DESC,
+                 cents1.cell ASC) AS rn
+        FROM c CROSS JOIN cents1) WHERE rn = 1),
+    upd2 AS (
+      SELECT cell, t.d,
+             CAST(CAST(SUM(CAST(floor(v[t.d] * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+                  // COUNT(*) AS DOUBLE) / 1000000.0 AS mv
+      FROM asg2, generate_series(1, 64) t(d)
+      GROUP BY cell, t.d),
+    cents2 AS (
+      SELECT c1.cell, COALESCE(u.cv, c1.cv) AS cv
+      FROM cents1 c1 LEFT JOIN (
+        SELECT cell, list(mv ORDER BY d) AS cv FROM upd2 GROUP BY cell) u USING (cell)),
+    assigned AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT c.vec_id, c.v, cents2.cell,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                 list_dot_product(c.v, cents2.cv)
+                   / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(cents2.cv, cents2.cv))) DESC,
+                 cents2.cell ASC) AS rn
+        FROM c CROSS JOIN cents2) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id % 50 = 0),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.query_id, q.qv, cents2.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 list_dot_product(q.qv, cents2.cv)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cents2.cv, cents2.cv))) DESC,
+                 cents2.cell ASC) AS rk
+        FROM q CROSS JOIN cents2) WHERE rk <= 3),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS nbr_id,
+             list_dot_product(p.qv, a.v)
+               / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) AS cosine_sim
+      FROM probes p JOIN assigned a ON p.cell = a.cell AND a.vec_id <> p.query_id),
+    r AS (SELECT query_id, nbr_id, cosine_sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine_sim DESC, nbr_id) AS rank
+          FROM scored)
+    SELECT query_id, nbr_id,
+           CAST(floor(cosine_sim * 1000000 + 0.5) AS BIGINT) AS cosine_micro, rank
+    FROM r WHERE rank <= 5
+    """,
+    doc="IVF-flat top-5 over a k-means-TRAINED codebook — the full "
+    "production train->assign->probe pipeline, still hash-exact vs DuckDB: "
+    "centroid updates are component means in integer micro-units (exact, "
+    "order-free sums; both engines truncate integer division toward zero), "
+    "so two full k-means iterations reproduce bitwise cross-engine.  "
+    "Measured on sf0.001: trained codebook tightens mean max-cosine "
+    "quantization 0.264 -> 0.345 vs the strided sample",
+)
+def sim_topk_cosine_ivf_kmeans(spark, sf):
+    from esgopeta_spark.operators.similarity import topk_cosine_ivf_trained
+
+    emb = T(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = topk_cosine_ivf_trained(emb, queries, dim=64, k=5, init_stride=25, n_iter=2, n_probe=3)
+    return out.select(
+        "query_id",
+        "nbr_id",
+        F.floor(F.col("cosine_sim") * 1000000.0 + 0.5).cast("bigint").alias("cosine_micro"),
+        "rank",
+    )
+
+
+@register(
     "q4_late_shipment_priority",
     "E2,E3,E4",
     """

@@ -166,6 +166,47 @@ def test_ivf_cosine_recall(spark, sf_dir):
     assert recall >= 0.4, f"IVF ANN recall {recall} too low"  # uniform 64-dim is the hard case
 
 
+def test_kmeans_codebook_deterministic_and_tighter(spark, sf_dir):
+    """The trained IVF codebook must (a) be bit-identical across runs —
+    the property the oracle hash rests on — and (b) quantize tighter than
+    the strided init it starts from (higher mean max-cosine)."""
+    from esgopeta_spark.operators.similarity import (
+        as_double,
+        cosine_prenormed,
+        kmeans_codebook,
+        norm_unrolled,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    b1 = {r["cell"]: tuple(r["centroid"]) for r in kmeans_codebook(emb, dim=64, n_iter=2).collect()}
+    b2 = {r["cell"]: tuple(r["centroid"]) for r in kmeans_codebook(emb, dim=64, n_iter=2).collect()}
+    assert b1 == b2, "k-means codebook is not run-deterministic"
+
+    def mean_max_cos(book_df):
+        cents = book_df.select(
+            F.col("cell").alias("_cell"), F.col("centroid").alias("_cent")
+        ).withColumn("_centn", norm_unrolled(F.col("_cent"), 64))
+        c = emb.select(as_double(F.col("embedding")).alias("_cv")).withColumn(
+            "_cn", norm_unrolled(F.col("_cv"), 64)
+        )
+        return (
+            c.join(F.broadcast(cents))
+            .withColumn(
+                "_s", cosine_prenormed(F.col("_cv"), F.col("_cent"), F.col("_cn"), F.col("_centn"), 64)
+            )
+            .groupBy("_cv")
+            .agg(F.max("_s").alias("m"))
+            .agg(F.avg("m"))
+            .collect()[0][0]
+        )
+
+    strided = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("cell"), as_double(F.col("embedding")).alias("centroid")
+    )
+    trained = kmeans_codebook(emb, dim=64, n_iter=2)
+    assert mean_max_cos(trained) > mean_max_cos(strided), "training did not tighten quantization"
+
+
 def test_embedding_dup_lsh_recall(spark, sf_dir):
     from esgopeta_spark.operators.similarity import embedding_dup_pairs_exact, embedding_dup_pairs_lsh
 
