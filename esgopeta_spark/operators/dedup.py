@@ -574,3 +574,58 @@ def dedup_keepers(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> 
     return docs.select(F.col(id_col).alias("id")).join(comp, "id", "left").select(
         "id", F.coalesce("comp", F.col("id")).alias("keeper")
     )
+
+
+def duplicated_ngram_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Verbatim cross-document span detection — the EXACT-substring half
+    of training-data dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", arXiv:2107.06499, public): emit every
+    full-length word n-gram WITH ITS POSITION, keep grams that appear in
+    >= ``min_docs`` distinct documents, and report per-document stats of
+    the duplicated spans (how many window occurrences sit inside shared
+    text, how many distinct shared grams, where the first one starts).
+
+    Differs from MinHash/Jaccard (document-level similarity estimate):
+    this finds literal repeated passages — boilerplate headers, licence
+    blocks, templated spam — even inside otherwise-unique documents.
+
+    Scale shape: one projection explodes each doc into (pos, gram) rows
+    (~n_words rows per doc); ONE partial-aggregated shuffle keyed by gram
+    computes distinct-doc counts; the surviving shared-gram set is orders
+    of magnitude smaller than the gram stream and broadcasts back onto
+    it, so the per-doc rollup is the only other shuffle.  At 100 TB,
+    group on ``sha2(gram, 256)`` (32-byte constant-width key) instead of
+    the gram string to keep shuffle rows narrow; the plan is unchanged.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    windows = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(windows).alias("pos", "gram")
+    )
+    shared = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= F.lit(int(min_docs)))
+        .select("gram")
+    )
+    return (
+        grams.join(F.broadcast(shared), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_windows"),
+            F.countDistinct("gram").alias("n_dup_grams"),
+            F.min("pos").alias("first_dup_pos"),
+        )
+    )

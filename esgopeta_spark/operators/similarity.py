@@ -514,6 +514,100 @@ def topk_cosine_ivf_trained(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    dim: int = 64,
+    threshold_micro: int = 400000,
+    init_stride: int = 25,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540, public): k-means-cluster the embeddings, then look
+    for near-duplicate pairs ONLY within a cluster — the pairwise work
+    drops from O(n^2) to O(sum_cells (n/k)^2), which is what makes
+    embedding dedup feasible at 100 TB (cross-cell near-dups are missed
+    by construction; that is the documented recall trade of the method).
+
+    Deterministic end-to-end (and therefore DuckDB-hash-checkable):
+    the codebook comes from ``kmeans_codebook`` (integer micro-unit
+    centroid means), cell assignment is the same argmax-by-aggregation
+    as the IVF probe, and the duplicate test compares integer
+    micro-cosines (``floor(cos*1e6+0.5) >= threshold_micro``) so no
+    float boundary can flip membership cross-engine.
+
+    Scale shape: train (linear passes) -> assign (broadcast codebook,
+    corpus never shuffles) -> ONE equi-join on cell for the pair stage
+    (cells are many and bounded at ~n/k rows each; a hot cell salts the
+    same way any hot join key does) -> min-label connected components
+    over the pair graph -> left-join verdicts back onto the assignment.
+
+    Returns one row per vector: (vec_id, cell, keeper, is_dup) where
+    keeper is the smallest reachable id in the vector's semantic
+    component (itself if unique) and is_dup = 1 for every non-keeper
+    member of a component.
+    """
+    from esgopeta_spark.operators.dedup import dup_components
+    from esgopeta_spark.session import ensure_min_partitions
+
+    book = kmeans_codebook(corpus, dim, init_stride, n_iter, id_col, vec_col)
+    cents = book.select(
+        F.col("cell").alias("_cell"), F.col("centroid").alias("_cent")
+    ).withColumn("_centn", norm_unrolled(F.col("_cent"), dim))
+    c = (
+        ensure_min_partitions(corpus)
+        .select(F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v"))
+        .withColumn("_n", norm_unrolled(F.col("_v"), dim))
+    )
+    assigned = (
+        c.join(F.broadcast(cents))
+        .withColumn(
+            "_sim",
+            cosine_prenormed(F.col("_v"), F.col("_cent"), F.col("_n"), F.col("_centn"), dim),
+        )
+        .groupBy("_id")
+        .agg(
+            F.max_by("_cell", F.struct(F.col("_sim"), (-F.col("_cell")).alias("_nc"))).alias("cell"),
+            F.first("_v").alias("_v"),
+            F.first("_n").alias("_n"),
+        )
+    )
+    a = assigned.select(
+        F.col("_id").alias("id_a"), "cell", F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    b = assigned.select(
+        F.col("_id").alias("id_b"), "cell", F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine_micro",
+            F.floor(
+                cosine_prenormed(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"), dim)
+                * 1000000.0
+                + 0.5
+            ).cast("bigint"),
+        )
+        .filter(F.col("cosine_micro") >= F.lit(int(threshold_micro)))
+        .select("id_a", "id_b")
+    )
+    comps = dup_components(pairs)
+    return (
+        assigned.join(comps, assigned["_id"] == comps["id"], "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cell",
+            F.coalesce(F.col("comp"), F.col("_id")).alias("keeper"),
+            F.when(F.col("comp").isNotNull() & (F.col("comp") != F.col("_id")), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("is_dup"),
+        )
+    )
+
+
 def embedding_dup_pairs_exact(
     df: DataFrame,
     threshold: float = 0.95,

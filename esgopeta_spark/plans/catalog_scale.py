@@ -667,3 +667,113 @@ def emb_label_centroids(spark, sf):
         .groupBy("label", "dim")
         .agg(F.sum("vm").cast("bigint").alias("sum_micro"), F.count("*").alias("n"))
     )
+
+
+@register(
+    "dedup_semantic_kmeans",
+    "G2,G3",
+    """
+    WITH RECURSIVE
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents0 AS (SELECT vec_id AS cell, v AS cv FROM c WHERE vec_id % 25 = 0),
+    asg1 AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT c.vec_id, c.v, cents0.cell,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                 list_dot_product(c.v, cents0.cv)
+                   / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(cents0.cv, cents0.cv))) DESC,
+                 cents0.cell ASC) AS rn
+        FROM c CROSS JOIN cents0) WHERE rn = 1),
+    upd1 AS (
+      SELECT cell, t.d,
+             CAST(CAST(SUM(CAST(floor(v[t.d] * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+                  // COUNT(*) AS DOUBLE) / 1000000.0 AS mv
+      FROM asg1, generate_series(1, 64) t(d)
+      GROUP BY cell, t.d),
+    cents1 AS (
+      SELECT c0.cell, COALESCE(u.cv, c0.cv) AS cv
+      FROM cents0 c0 LEFT JOIN (
+        SELECT cell, list(mv ORDER BY d) AS cv FROM upd1 GROUP BY cell) u USING (cell)),
+    assigned AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT c.vec_id, c.v, cents1.cell,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                 list_dot_product(c.v, cents1.cv)
+                   / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(cents1.cv, cents1.cv))) DESC,
+                 cents1.cell ASC) AS rn
+        FROM c CROSS JOIN cents1) WHERE rn = 1),
+    p AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE CAST(floor(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+              * 1000000 + 0.5) AS BIGINT) >= 400000),
+    e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+    reach(s, t) AS (
+      SELECT a, a FROM e
+      UNION
+      SELECT r.s, e.b FROM reach r JOIN e ON r.t = e.a),
+    comp AS (SELECT s AS id, MIN(t) AS comp FROM reach GROUP BY s)
+    SELECT a.vec_id, a.cell, COALESCE(cm.comp, a.vec_id) AS keeper,
+           CAST(CASE WHEN cm.comp IS NOT NULL AND cm.comp <> a.vec_id
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_dup
+    FROM assigned a LEFT JOIN comp cm ON a.vec_id = cm.id
+    """,
+    doc="SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540): "
+    "k-means-cluster the embeddings (1 trained iteration, integer micro-unit "
+    "centroid means = engine-exact), then near-dup pairs ONLY within a cluster "
+    "(O(sum (n/k)^2), the trick that makes embedding dedup feasible at 100 TB), "
+    "min-label connected components, one verdict row per vector "
+    "(cell, keeper, is_dup).  The duplicate test compares integer micro-cosines "
+    "so no float boundary flips membership cross-engine (catalog rule 2)",
+)
+def dedup_semantic_kmeans(spark, sf):
+    from esgopeta_spark.operators.similarity import semantic_dedup
+
+    emb = T(spark, sf, "embeddings")
+    return semantic_dedup(
+        emb, dim=64, threshold_micro=400000, init_stride=25, n_iter=1
+    )
+
+
+@register(
+    "dedup_substring_spans",
+    "G1,G2,G4",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+      FROM documents),
+    g AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(w[i : i + 7], ' ') AS gram
+      FROM (SELECT doc_id, w, UNNEST(range(1, len(w) - 6)) AS i
+            FROM d WHERE len(w) >= 8)),
+    shared AS (
+      SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2)
+    SELECT g.doc_id,
+           COUNT(*) AS n_dup_windows,
+           COUNT(DISTINCT g.gram) AS n_dup_grams,
+           MIN(g.pos) AS first_dup_pos
+    FROM g JOIN shared USING (gram)
+    GROUP BY g.doc_id
+    """,
+    doc="verbatim cross-document span detection (exact-substring dedup, Lee et "
+    "al. 2022 arXiv:2107.06499): positioned word-8-gram windows, grams shared "
+    "by >=2 distinct docs, per-doc duplicated-span stats — catches literal "
+    "repeated passages (boilerplate, licence blocks, templated spam) that "
+    "document-level MinHash misses inside otherwise-unique docs.  One "
+    "gram-keyed partial-agg shuffle + a broadcast of the small shared-gram "
+    "set back onto the gram stream (operators/dedup.py duplicated_ngram_spans)",
+)
+def dedup_substring_spans(spark, sf):
+    from esgopeta_spark.operators.dedup import duplicated_ngram_spans
+
+    d = T(spark, sf, "documents")
+    out = duplicated_ngram_spans(d, n=8, min_docs=2)
+    return out.select(
+        "doc_id",
+        "n_dup_windows",
+        "n_dup_grams",
+        F.col("first_dup_pos").cast("bigint").alias("first_dup_pos"),
+    )

@@ -443,3 +443,72 @@ def test_jaccard_empty_vs_empty_is_zero(spark):
     docs = spark.createDataFrame([(1, "a b"), (2, "c d")], ["doc_id", "text"])
     # both docs have empty 3-gram sets; jaccard 0 -> below any threshold
     assert brute_force_jaccard_pairs(docs, threshold=0.1, shingle_n=3).count() == 0
+
+
+def test_semantic_dedup_verdicts_consistent(spark, sf_dir):
+    """SemDeDup verdicts: one row per vector; keepers are component minima;
+    every flagged dup shares a cluster cell with some >=threshold partner
+    (cluster-scoped pairs only — the documented SemDeDup recall trade)."""
+    from esgopeta_spark.operators.similarity import embedding_dup_pairs_exact, semantic_dedup
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, dim=64, threshold_micro=400000, init_stride=25, n_iter=1)
+    rows = out.collect()
+    assert len(rows) == emb.count()  # total verdict coverage
+    by_id = {r["vec_id"]: r for r in rows}
+    dups = [r for r in rows if r["is_dup"] == 1]
+    assert dups, "threshold 0.4 must flag something at this SF"
+    for r in dups:
+        assert r["keeper"] < r["vec_id"]  # keeper is smaller by construction
+        assert by_id[r["keeper"]]["is_dup"] == 0  # keepers are never dups
+        assert by_id[r["keeper"]]["keeper"] == r["keeper"]  # root maps to itself
+    # semantic (within-cell) pairs are a SUBSET of exact quadratic pairs:
+    # every dup must have an exact-cosine>=0.4 partner somewhere
+    exact = embedding_dup_pairs_exact(emb, threshold=0.4, dim=64)
+    paired = {r["id_a"] for r in exact.collect()} | {r["id_b"] for r in exact.collect()}
+    for r in dups:
+        assert r["vec_id"] in paired
+
+
+def test_duplicated_ngram_spans_vs_bruteforce(spark):
+    """Positioned 8-gram span stats vs a pure-python oracle on a corpus
+    with a planted shared passage."""
+    from esgopeta_spark.operators.dedup import duplicated_ngram_spans
+
+    boiler = "all rights reserved this document is provided as is without warranty"
+    docs = [
+        (1, "alpha beta " + boiler + " gamma delta"),
+        (2, boiler + " epsilon zeta eta theta iota kappa"),
+        (3, "totally unique words that nobody else shares in any window at all"),
+        (4, "short doc"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in duplicated_ngram_spans(
+            spark.createDataFrame(docs, ["doc_id", "text"]), n=8, min_docs=2
+        ).collect()
+    }
+
+    # python oracle
+    def windows(text):
+        w = " ".join(text.lower().split()).split(" ")
+        return [" ".join(w[i : i + 8]) for i in range(len(w) - 7)] if len(w) >= 8 else []
+
+    all_w = {i: windows(t) for i, t in docs}
+    from collections import Counter
+
+    docs_per_gram = Counter()
+    for i, ws in all_w.items():
+        for g in set(ws):
+            docs_per_gram[g] += 1
+    shared = {g for g, c in docs_per_gram.items() if c >= 2}
+    for i, ws in all_w.items():
+        hits = [(p, g) for p, g in enumerate(ws) if g in shared]
+        if not hits:
+            assert i not in out
+            continue
+        assert out[i]["n_dup_windows"] == len(hits)
+        assert out[i]["n_dup_grams"] == len({g for _, g in hits})
+        assert out[i]["first_dup_pos"] == min(p for p, _ in hits)
+    assert 1 in out and 2 in out  # the planted boilerplate is detected
+    assert 3 not in out and 4 not in out
