@@ -112,3 +112,58 @@ def graph_triangles_coorder(spark, sf):
         .select("ea", "eb")
     )
     return triangle_counts(edges, src="ea", dst="eb")
+
+
+@register(
+    "graph_bfs_hops_nation0",
+    "A1,E3",
+    """
+    WITH RECURSIVE
+    pairs AS (
+      SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    eu AS (
+      SELECT 'c' || CAST(ck AS VARCHAR) AS src, 's' || CAST(sk AS VARCHAR) AS dst FROM pairs
+      UNION ALL
+      SELECT 's' || CAST(sk AS VARCHAR), 'c' || CAST(ck AS VARCHAR) FROM pairs),
+    seed AS (
+      SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node
+      FROM customer WHERE c_nationkey = 0),
+    walk(node, hops) AS (
+      SELECT node, CAST(0 AS BIGINT) FROM seed
+      UNION
+      SELECT e.dst, w.hops + 1 FROM walk w JOIN eu e ON w.node = e.src
+      WHERE w.hops < 4)
+    SELECT node, MIN(hops) AS hops FROM walk GROUP BY node
+    """,
+    doc="multi-source BFS hop distance (GraphX ShortestPaths shape) from nation-0 "
+    "customers over the undirected customer<->supplier transaction graph, bounded at "
+    "4 hops: hop 1 = suppliers they buy from, hop 2 = co-buying customers, ...  "
+    "All-integer distances are engine-exact; the oracle is a recursive CTE whose "
+    "UNION-dedup keeps the state space at (node, hops) pairs, never path counts "
+    "(operators/graph_analytics.shortest_hops: frontier-only joins + anti-join "
+    "visited set, localCheckpoint per round)",
+)
+def graph_bfs_hops_nation0(spark, sf):
+    from esgopeta_spark.operators.graph_analytics import shortest_hops
+
+    o = T(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    seeds = (
+        T(spark, sf, "customer")
+        .filter(F.col("c_nationkey") == 0)
+        .select(F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node"))
+    )
+    return shortest_hops(edges, seeds, max_hops=4)

@@ -59,3 +59,33 @@ def test_pagerank_matches_python_oracle(spark):
             inc[b] += rank[a] // deg[a]
         rank = {v: 150_000 + (85 * inc[v]) // 100 for v in nodes}
     assert got == rank
+
+
+def test_shortest_hops_vs_python_bfs(spark):
+    from collections import deque
+
+    from esgopeta_spark.operators.graph_analytics import shortest_hops
+
+    # two components + an isolated seed; undirected via both directions
+    und = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (10, 11)]
+    edges = und + [(b, a) for a, b in und]
+    seeds = [1, 10, 99]  # 99 is isolated: present at hops 0, reaches nothing
+    df_e = spark.createDataFrame(edges, "src int, dst int")
+    df_s = spark.createDataFrame([(s,) for s in seeds], "node int")
+
+    got = {r["node"]: r["hops"] for r in shortest_hops(df_e, df_s, max_hops=4).collect()}
+
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    want, q = {s: 0 for s in seeds}, deque(seeds)
+    while q:
+        u = q.popleft()
+        if want[u] >= 4:
+            continue
+        for v in adj.get(u, []):
+            if v not in want:
+                want[v] = want[u] + 1
+                q.append(v)
+    assert got == want
+    assert got[99] == 0 and 7 not in got  # 7 is 6 hops from 1 -> cut off
