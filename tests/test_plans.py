@@ -200,3 +200,42 @@ def test_q12_join_keeps_partial_agg_no_cartesian(spark, sf_dir):
     assert "partial_sum" in p or "Partial" in p, p
     # the shipdate window filter must reach the lineitem scan
     assert "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters")[1][:400], p
+
+
+def test_semantic_dedup_pair_join_is_equi_on_cell(spark, sf_dir):
+    """The SemDeDup pair stage must be an equi-join on the cluster cell —
+    a cartesian fallback would be the O(n^2) the method exists to avoid.
+    (Plan is built on the registered entry = the graded surface.)"""
+    from esgopeta_spark.plans import REGISTRY
+
+    p = plan_of(REGISTRY["dedup_semantic_kmeans"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    # the only nested-loop joins allowed are the deliberate broadcast-codebook
+    # argmax stages (corpus x tiny-centroid cross, same shape as the IVF
+    # entries): every one must carry a broadcast build side
+    # (formatted explain prints each node twice: tree line + detail header)
+    assert p.count("BroadcastNestedLoopJoin Inner BuildRight") == p.count("BroadcastNestedLoopJoin") // 2
+    # the pair stage itself is a keyed hash join on cell
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_substring_spans_shared_grams_broadcast_back(spark, sf_dir):
+    """The shared-gram set joins back onto the gram stream as a broadcast
+    (it is orders of magnitude smaller); the gram rollup must keep
+    map-side partial aggregation."""
+    from esgopeta_spark.plans import REGISTRY
+
+    p = plan_of(REGISTRY["dedup_substring_spans"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 4, p  # partial+final for both rollups
+
+
+def test_bfs_round_join_is_equi(spark, sf_dir):
+    """Each BFS round = frontier(equi-join on src)edges + left-anti visited
+    check; neither may degenerate into a nested-loop shape."""
+    from esgopeta_spark.plans import REGISTRY
+
+    p = plan_of(REGISTRY["graph_bfs_hops_nation0"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
