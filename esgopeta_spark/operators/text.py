@@ -264,3 +264,50 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         lang_guess(c).alias("lang_guess"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    window_tokens: int = 2048,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic sequence packing — lay documents end-to-end into
+    fixed-size token windows (training shards), the step between a
+    filtered corpus and a tokenized training run.
+
+    Packing is the streaming-packer shape: within each source (the
+    natural shard key), docs are laid out in id order and a running
+    token cumsum assigns each doc to the window where it STARTS
+    (``(cumsum - n_tok) div window_tokens``) — all-integer, so the
+    layout is engine-exact and reproducible run-to-run, unlike greedy
+    best-fit packing whose output depends on arrival order.
+
+    Returns per (source, seq_bin): n_docs, tokens_used, first_doc.
+    ``tokens_used`` can exceed ``window_tokens`` when a doc straddles a
+    boundary — downstream the tokenizer truncates or carries over; the
+    summary keeps the overflow visible instead of hiding it.
+
+    Scale shape: one window shuffle partitioned by source (shards run
+    in parallel; a giant source is the same skew problem as any hot
+    window key — pre-split it upstream), then a partial-aggregated
+    rollup on (source, bin).  The per-doc token count is a codegen
+    regexp over normalized text; no Python anywhere.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy("doc_id")
+    d = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        regex_token_count(F.col(text_col)).cast("bigint").alias("n_tok"),
+    )
+    binned = d.withColumn("_cum", F.sum("n_tok").over(w)).withColumn(
+        "seq_bin", F.expr(f"(_cum - n_tok) div {int(window_tokens)}")
+    )
+    return binned.groupBy("source", "seq_bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("tokens_used"),
+        F.min("doc_id").alias("first_doc"),
+    )

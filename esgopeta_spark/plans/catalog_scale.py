@@ -777,3 +777,41 @@ def dedup_substring_spans(spark, sf):
         "n_dup_grams",
         F.col("first_dup_pos").cast("bigint").alias("first_dup_pos"),
     )
+
+
+def _pack_oracle() -> str:
+    from esgopeta_spark.operators.text import TOKEN_REGEX
+
+    return f"""
+    WITH d AS (
+      SELECT source, doc_id,
+             CAST(len(regexp_extract_all(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+               '{TOKEN_REGEX}')) AS BIGINT) AS n_tok
+      FROM documents),
+    c AS (
+      SELECT source, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+      FROM d)
+    SELECT source, CAST((cum - n_tok) // 2048 AS BIGINT) AS seq_bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_used,
+           MIN(doc_id) AS first_doc
+    FROM c GROUP BY source, seq_bin
+    """
+
+
+@register(
+    "corpus_pack_sequences",
+    "G4,E5,E4",
+    _pack_oracle(),
+    doc="deterministic sequence packing into 2048-token training windows "
+    "(operators/text.py pack_sequences): per-source id-ordered token cumsum "
+    "assigns each doc to the window where it starts — all-integer streaming-"
+    "packer layout, reproducible at any parallelism (vs. greedy best-fit whose "
+    "output depends on arrival order); per-(source, window) doc/token rollup",
+)
+def corpus_pack_sequences(spark, sf):
+    from esgopeta_spark.operators.text import pack_sequences
+
+    return pack_sequences(T(spark, sf, "documents"), window_tokens=2048)

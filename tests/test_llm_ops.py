@@ -512,3 +512,31 @@ def test_duplicated_ngram_spans_vs_bruteforce(spark):
         assert out[i]["first_dup_pos"] == min(p for p, _ in hits)
     assert 1 in out and 2 in out  # the planted boilerplate is detected
     assert 3 not in out and 4 not in out
+
+
+def test_pack_sequences_layout(spark):
+    """Streaming-packer layout: id-ordered cumsum binning per source;
+    a doc goes to the window where it starts; bins are contiguous."""
+    from esgopeta_spark.operators.text import pack_sequences
+
+    docs = [
+        # source a: token counts 3, 4, 2 with window 5 ->
+        # doc1 starts at 0 (bin 0), doc2 at 3 (bin 0), doc3 at 7 (bin 1)
+        (1, "a", "one two three"),
+        (2, "a", "four five six seven"),
+        (3, "a", "eight nine"),
+        # source b: a single 6-token doc straddles the window; stays in bin 0
+        (4, "b", "alpha beta gamma delta epsilon zeta"),
+    ]
+    out = {
+        (r["source"], r["seq_bin"]): r
+        for r in pack_sequences(
+            spark.createDataFrame(docs, ["doc_id", "source", "text"]), window_tokens=5
+        ).collect()
+    }
+    assert out[("a", 0)]["n_docs"] == 2 and out[("a", 0)]["tokens_used"] == 7
+    assert out[("a", 0)]["first_doc"] == 1
+    assert out[("a", 1)]["n_docs"] == 1 and out[("a", 1)]["tokens_used"] == 2
+    # overflow stays visible: 6 tokens in a 5-token window
+    assert out[("b", 0)]["tokens_used"] == 6
+    assert set(out) == {("a", 0), ("a", 1), ("b", 0)}
