@@ -33,9 +33,11 @@ _MAGICS = [
     (b"\xff\xd8\xff", "jpeg"),
     (b"ID3", "mp3"),
     (b"\xff\xfb", "mp3"),
+    (b"GIF87a", "gif"),
+    (b"GIF89a", "gif"),
 ]
 
-DECODABLE = {"bmp", "ppm", "wav", "png", "jpeg"}
+DECODABLE = {"bmp", "ppm", "wav", "png", "jpeg", "gif"}
 
 
 def sniff_format(b: bytes | None) -> str:
@@ -349,3 +351,212 @@ def resize_bilinear(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     bot = a[y1][:, x0] * (1 - wx) + a[y1][:, x1] * wx
     out = top * (1 - wy) + bot * wy
     return np.round(out).clip(0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# GIF — 87a/89a single-frame decode (global/local color tables, interlace,
+# extension skipping) + exact-palette encode, both around a from-scratch
+# variable-width LZW.  Completes the web image set (PNG/JPEG/GIF/BMP)
+# with no codec library.  Animation frames beyond the first and
+# transparency compositing are out of scope: frame 1 as RGB.
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW: variable code width (LSB-first), clear/end codes,
+    dictionary capped at 4096 entries."""
+    clear = 1 << min_code_size
+    end = clear + 1
+
+    def fresh() -> tuple[list[bytes], int]:
+        return [bytes([i]) for i in range(clear)] + [b"", b""], min_code_size + 1
+
+    table, width = fresh()
+    out = bytearray()
+    prev: bytes | None = None
+    pos, nbits = 0, len(data) * 8
+    while pos + width <= nbits:
+        byte_pos, bit_off = pos >> 3, pos & 7
+        code = (int.from_bytes(data[byte_pos : byte_pos + 3], "little") >> bit_off) & (
+            (1 << width) - 1
+        )
+        pos += width
+        if code == clear:
+            table, width = fresh()
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad first LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("LZW code beyond table")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        prev = entry
+        # "early change": the decoder's appends lag the encoder's defines by
+        # exactly one code (no append after the first code of a run), so it
+        # must widen when the table reaches 2^width - 1, one slot early —
+        # the convention every GIF writer assumes
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    cur, nbits = 0, 0
+
+    def emit(code: int, w: int) -> None:
+        nonlocal cur, nbits
+        cur |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(cur & 0xFF)
+            cur >>= 8
+            nbits -= 8
+
+    def fresh() -> tuple[dict[bytes, int], int, int]:
+        return {bytes([i]): i for i in range(clear)}, end + 1, min_code_size + 1
+
+    table, next_code, width = fresh()
+    emit(clear, width)
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            # mirror the decoder's append-then-bump: it widens as soon as
+            # its table length hits 2^width, BEFORE reading the next code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        else:  # dictionary full: reset, decoder mirrors on the clear code
+            emit(clear, width)
+            table, next_code, width = fresh()
+        w = bytes([k])
+    if w:
+        emit(table[w], width)
+    emit(end, width)
+    if nbits:
+        out.append(cur & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB with <= 256 distinct colors -> single-frame
+    GIF89a.  The palette is the exact color set (lexicographically
+    sorted, deterministic); quantization of richer images is a modeling
+    choice left to the caller."""
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype == np.uint8
+    flat = arr.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"encode_gif needs <=256 distinct colors, got {len(palette)}")
+    # GCT size field: 2^(n+1) entries, at least 4 (min_code_size >= 2)
+    n_field = max(1, int(len(palette) - 1).bit_length() - 1) if len(palette) > 2 else 1
+    while (2 << n_field) < len(palette):
+        n_field += 1
+    gct_entries = 2 << n_field
+    gct = palette.tobytes() + b"\x00" * (3 * (gct_entries - len(palette)))
+    min_code_size = max(2, n_field + 1)
+    lzw = _gif_lzw_encode(inverse.astype(np.uint8).tobytes(), min_code_size)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    return (
+        b"GIF89a"
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0x80 | (n_field << 4) | n_field, 0, 0])  # GCT flag + sizes
+        + gct
+        + b"\x2c" + b"\x00" * 4  # image descriptor at (0,0)
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + b"\x00"  # no LCT, not interlaced
+        + bytes([min_code_size])
+        + bytes(blocks)
+        + b"\x00\x3b"  # block terminator + trailer
+    )
+
+
+def decode_gif(b: bytes) -> np.ndarray:
+    """GIF87a/89a bytes -> (h, w, 3) uint8 RGB of the FIRST frame."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(b) < 13:
+        raise ValueError("truncated GIF header")
+    pos = 6
+    pos += 4  # logical screen w/h (frame uses its own descriptor)
+    packed = b[pos]
+    pos += 3  # packed, bg color, aspect
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(b, np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(b):
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-block chain
+            pos += 1
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        # image descriptor
+        if pos + 9 > len(b):
+            raise ValueError("truncated image descriptor")
+        w = int.from_bytes(b[pos + 4 : pos + 6], "little")
+        h = int.from_bytes(b[pos + 6 : pos + 8], "little")
+        ipacked = b[pos + 8]
+        pos += 9
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            ct = np.frombuffer(b, np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("GIF frame has no color table")
+        min_code_size = b[pos]
+        pos += 1
+        if not 2 <= min_code_size <= 11:
+            raise ValueError("bad LZW min code size")
+        data = bytearray()
+        while pos < len(b) and b[pos] != 0:
+            ln = b[pos]
+            data += b[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.frombuffer(_gif_lzw_decode(bytes(data), min_code_size), np.uint8)
+        if len(idx) < w * h:
+            raise ValueError("truncated GIF pixel data")
+        idx = idx[: w * h].reshape(h, w)
+        if idx.max(initial=0) >= len(ct):
+            raise ValueError("palette index out of range")
+        if ipacked & 0x40:  # interlaced: 4-pass row order
+            order = np.concatenate(
+                [np.arange(0, h, 8), np.arange(4, h, 8), np.arange(2, h, 4), np.arange(1, h, 2)]
+            )
+            de = np.empty_like(idx)
+            de[order] = idx
+            idx = de
+        return ct[idx]
+    raise ValueError("GIF contains no image frame")

@@ -186,10 +186,11 @@ def raise_if_real_decode_requested():
 
 
 def synthetic_media_real(spark, n: int = 64) -> DataFrame:
-    """Deterministic corpus of REAL media payloads: BMP, PPM, PNG and
-    JPEG images with a seeded gradient pattern (PNG rows cycle through
-    all five scanline filters; JPEG rows alternate 4:4:4 / 4:2:0), WAV
-    sine tones, plus MP4-header rows to exercise the needs-codec path."""
+    """Deterministic corpus of REAL media payloads: BMP, PPM, PNG, JPEG
+    and GIF images with a seeded gradient pattern (PNG rows cycle through
+    all five scanline filters; JPEG rows alternate 4:4:4 / 4:2:0; GIF
+    rows use a 16-color palette pattern), WAV sine tones, plus
+    MP4-header rows to exercise the needs-codec path."""
     import numpy as np
 
     from esgopeta_spark.operators import codecs
@@ -203,15 +204,25 @@ def synthetic_media_real(spark, n: int = 64) -> DataFrame:
             arr = np.stack(
                 [(xx * 7 + i) % 256, (yy * 5 + 2 * i) % 256, (xx + yy + 3 * i) % 256], axis=-1
             ).astype(np.uint8)
-            # decorrelate from the kind selector (kind uses i % 4 too, so a
-            # plain i % 4 here would never pick png/jpeg for image rows)
-            fmt = ("bmp", "ppm", "png", "jpeg")[(i + i // 4) % 4]
+            # decorrelate from the kind selector: kind fixes i % 4, so the
+            # format index must vary through i // 4 alone or image rows
+            # collapse onto two formats
+            fmt = ("bmp", "ppm", "png", "jpeg", "gif")[(i // 4 + i % 4) % 5]
             if fmt == "bmp":
                 payload = codecs.encode_bmp(arr)
             elif fmt == "ppm":
                 payload = codecs.encode_ppm(arr)
             elif fmt == "png":
                 payload = codecs.encode_png(arr, filter_type=i % 5)
+            elif fmt == "gif":
+                # palette format: regenerate the pattern from a 16-color table
+                # (the gradient above can exceed GIF's 256-color ceiling)
+                pal = np.stack(
+                    [(np.arange(16) * 17) % 256, (np.arange(16) * 31) % 256, (np.arange(16) * 7 + i) % 256],
+                    axis=-1,
+                ).astype(np.uint8)
+                arr = pal[(xx + yy + i) % 16]
+                payload = codecs.encode_gif(arr)
             else:
                 payload = codecs.encode_jpeg(arr, quality=90, subsample=i % 8 >= 4)
             rows.append((i, "image", payload, (w, h, None, None, fmt)))
@@ -254,12 +265,13 @@ def decode_media(df: DataFrame) -> DataFrame:
                     width=None, height=None, sample_rate=None, n_samples=None, duration_ms=None,
                 )
                 try:
-                    if fmt in ("bmp", "ppm", "png", "jpeg"):
+                    if fmt in ("bmp", "ppm", "png", "jpeg", "gif"):
                         arr = {
                             "bmp": codecs.decode_bmp,
                             "ppm": codecs.decode_ppm,
                             "png": codecs.decode_png,
                             "jpeg": codecs.decode_jpeg,
+                            "gif": codecs.decode_gif,
                         }[fmt](b)
                         rec.update(ok=True, width=arr.shape[1], height=arr.shape[0])
                     elif fmt == "wav":
@@ -294,7 +306,7 @@ def extract_image_features(df: DataFrame) -> DataFrame:
             for mid, b in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(b) if b is not None else b""
                 fmt = codecs.sniff_format(b)
-                if fmt not in ("bmp", "ppm", "png", "jpeg"):
+                if fmt not in ("bmp", "ppm", "png", "jpeg", "gif"):
                     continue
                 try:
                     arr = {
@@ -302,6 +314,7 @@ def extract_image_features(df: DataFrame) -> DataFrame:
                         "ppm": codecs.decode_ppm,
                         "png": codecs.decode_png,
                         "jpeg": codecs.decode_jpeg,
+                        "gif": codecs.decode_gif,
                     }[fmt](b)
                 except ValueError:  # corrupt payload: quarantine, don't crash
                     continue
@@ -382,12 +395,14 @@ def resize_media(df: DataFrame, max_side: int = 64, method: str = "bilinear") ->
             "ppm": codecs.decode_ppm,
             "png": codecs.decode_png,
             "jpeg": codecs.decode_jpeg,
+            "gif": codecs.decode_gif,
         }
         encoders = {
             "bmp": codecs.encode_bmp,
             "ppm": codecs.encode_ppm,
             "png": codecs.encode_png,
             "jpeg": codecs.encode_jpeg,
+            "gif": codecs.encode_gif,
         }
         for pdf in batches:
             out = []
@@ -405,7 +420,10 @@ def resize_media(df: DataFrame, max_side: int = 64, method: str = "bilinear") ->
                 h, w = arr.shape[:2]
                 scale = min(max_side / max(w, h), 1.0)
                 ow, oh = max(int(round(w * scale)), 1), max(int(round(h * scale)), 1)
-                res = arr if (ow, oh) == (w, h) else resample(arr, ow, oh)
+                # palette formats resample nearest regardless of method:
+                # interpolation invents colors a 256-entry palette can't hold
+                fmt_resample = codecs.resize_nearest if fmt == "gif" else resample
+                res = arr if (ow, oh) == (w, h) else fmt_resample(arr, ow, oh)
                 enc = encoders[fmt](res)
                 out.append(dict(media_id=mid, ok=True, out_width=ow, out_height=oh, payload=enc))
             yield pd.DataFrame(out)

@@ -165,7 +165,7 @@ def test_decode_media_distributed_matches_local(spark):
     for mid, r in rows.items():
         kind, meta = local[mid]["kind"], local[mid]["meta"]
         if kind == "image":
-            assert r["ok"] and r["format"] in ("bmp", "ppm", "png", "jpeg")
+            assert r["ok"] and r["format"] in ("bmp", "ppm", "png", "jpeg", "gif")
             assert (r["width"], r["height"]) == (meta["width"], meta["height"])
         elif kind == "audio":
             assert r["ok"] and r["format"] == "wav"
@@ -191,6 +191,7 @@ def test_resize_media_roundtrips_and_bounds(spark):
             "ppm": codecs.decode_ppm,
             "png": codecs.decode_png,
             "jpeg": codecs.decode_jpeg,
+            "gif": codecs.decode_gif,
         }
         arr = dec[codecs.sniff_format(b)](b)
         assert arr.shape[:2] == (r["out_height"], r["out_width"])
@@ -217,6 +218,82 @@ def test_image_features_distributed(spark):
     # features are real pixel stats: all channel means within [0, 255]
     for r in rows:
         assert all(0.0 <= v <= 255.0 for v in r["feature"][:5])
+
+
+# ---------------------------------------------------------------------------
+# GIF (LZW) — palette round-trips, interlace, dictionary overflow,
+# corruption quarantine
+# ---------------------------------------------------------------------------
+
+
+def _pal_image(w=16, h=12, ncolors=7, seed=5):
+    rng = np.random.default_rng(seed)
+    pal = np.unique(rng.integers(0, 256, (ncolors, 3), dtype=np.uint8), axis=0)
+    return pal[rng.integers(0, len(pal), (h, w))]
+
+
+def test_gif_roundtrip_exact():
+    for w, h, nc in [(16, 12, 7), (1, 1, 1), (40, 3, 2), (33, 21, 256)]:
+        arr = _pal_image(w, h, nc)
+        assert np.array_equal(codecs.decode_gif(codecs.encode_gif(arr)), arr), (w, h, nc)
+
+
+def test_gif_lzw_width_boundaries_and_overflow():
+    # enough distinct contexts to cross every code-width boundary and
+    # overflow the 4096-entry dictionary (forcing the clear-code reset)
+    arr = _pal_image(300, 400, 256, seed=11)
+    assert np.array_equal(codecs.decode_gif(codecs.encode_gif(arr)), arr)
+    # long runs exercise the KwKwK (code == len(table)) decode case
+    run = np.zeros((5, 200, 3), dtype=np.uint8)
+    run[:, 100:] = 255
+    assert np.array_equal(codecs.decode_gif(codecs.encode_gif(run)), run)
+
+
+def test_gif_interlaced_decode():
+    # re-pack our own encode as an interlaced frame: permute pixel rows
+    # into 4-pass order and flip the interlace bit; decode must undo it
+    arr = _pal_image(9, 13, 6, seed=2)
+    h, w = arr.shape[:2]
+    enc = bytearray(codecs.encode_gif(arr))
+    n_field = enc[10] & 0x07
+    desc = 13 + 3 * (2 << n_field)
+    assert enc[desc] == 0x2C
+    flat = arr.reshape(-1, 3)
+    pal, inv = np.unique(flat, axis=0, return_inverse=True)
+    idx = inv.reshape(h, w).astype(np.uint8)
+    order = np.concatenate(
+        [np.arange(0, h, 8), np.arange(4, h, 8), np.arange(2, h, 4), np.arange(1, h, 2)]
+    )
+    mcs = enc[desc + 10]
+    lzw = codecs._gif_lzw_encode(idx[order].tobytes(), mcs)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        blocks += bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+    inter = bytes(enc[: desc + 9]) + bytes([0x40]) + bytes([mcs]) + bytes(blocks) + b"\x00\x3b"
+    assert np.array_equal(codecs.decode_gif(inter), arr)
+
+
+def test_gif_extension_blocks_skipped():
+    arr = _pal_image(8, 8, 4)
+    enc = codecs.encode_gif(arr)
+    n_field = enc[10] & 0x07
+    desc = 13 + 3 * (2 << n_field)
+    # splice a graphic-control extension before the image descriptor
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    with_ext = enc[:desc] + gce + enc[desc:]
+    assert np.array_equal(codecs.decode_gif(with_ext), arr)
+
+
+def test_gif_corruption_raises_valueerror():
+    arr = _pal_image(20, 15, 9)
+    g = codecs.encode_gif(arr)
+    for cut in (3, 8, 12, 20, len(g) // 2):
+        with pytest.raises(ValueError):
+            codecs.decode_gif(g[:cut])
+    with pytest.raises(ValueError):
+        codecs.decode_gif(b"GIF89a" + b"\x00" * 30)  # no frame / garbage blocks
+    with pytest.raises(ValueError):
+        codecs.encode_gif(_grad_image(40, 30))  # >256 colors is a modeling error
 
 
 # ---------------------------------------------------------------------------
@@ -300,3 +377,19 @@ if HAVE_HYPOTHESIS:
             assert out.dtype == np.uint8
             # output values never escape the input's [min, max] hull
             assert out.min() >= arr.min() and out.max() <= arr.max()
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=30),
+        h=st.integers(min_value=1, max_value=30),
+        ncolors=st.integers(min_value=1, max_value=256),
+        data=st.data(),
+    )
+    def test_gif_roundtrip_property(w, h, ncolors, data):
+        pal_raw = data.draw(arrays(np.uint8, (ncolors, 3)))
+        pal = np.unique(pal_raw, axis=0)
+        idx = data.draw(
+            arrays(np.int64, (h, w), elements=st.integers(min_value=0, max_value=len(pal) - 1))
+        )
+        arr = pal[idx]
+        assert np.array_equal(codecs.decode_gif(codecs.encode_gif(arr)), arr)
