@@ -152,3 +152,69 @@ def multimodal_decode_png(spark, sf):
             )
 
     return ids.mapInPandas(kernel, out_schema)
+
+
+@register(
+    "multimodal_decode_gif",
+    "G5",
+    """
+    WITH sel AS (
+      SELECT doc_id,
+             8 + doc_id % 11 AS w,
+             8 + doc_id % 5  AS h
+      FROM documents WHERE doc_id % 20 = 0)
+    SELECT s.doc_id,
+           CAST(s.w AS INTEGER) AS width,
+           CAST(s.h AS INTEGER) AS height,
+           CAST(SUM(  (((xs.x + ys.y + s.doc_id) % 16) * 17) % 256
+                    + (((xs.x + ys.y + s.doc_id) % 16) * 31) % 256
+                    + (((xs.x + ys.y + s.doc_id) % 16) * 7 + s.doc_id) % 256
+                   ) AS BIGINT) AS pixel_sum
+    FROM sel s, generate_series(0, 17) xs(x), generate_series(0, 11) ys(y)
+    WHERE xs.x < s.w AND ys.y < s.h
+    GROUP BY s.doc_id, s.w, s.h
+    """,
+    doc="REAL GIF round trip: per selected doc, build a 16-color palette "
+    "image, encode_gif (from-scratch variable-width LZW), decode_gif, emit "
+    "decoded dims + integer pixel sum; the oracle computes the same sums "
+    "analytically from the palette arithmetic.  Same no-shuffle mapInPandas "
+    "shape as the graded PNG twin",
+)
+def multimodal_decode_gif(spark, sf):
+    from esgopeta_spark.session import ensure_min_partitions
+
+    ids = T(spark, sf, "documents").filter(F.col("doc_id") % 20 == 0).select("doc_id")
+    ids = ensure_min_partitions(ids)
+    out_schema = "doc_id bigint, width int, height int, pixel_sum bigint"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from esgopeta_spark.operators import codecs
+
+        for pdf in batches:
+            ids_, ws, hs, sums = [], [], [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 8 + d % 11, 8 + d % 5
+                yy, xx = np.mgrid[0:h, 0:w]
+                pal = np.stack(
+                    [(np.arange(16) * 17) % 256, (np.arange(16) * 31) % 256, (np.arange(16) * 7 + d) % 256],
+                    axis=-1,
+                ).astype(np.uint8)
+                arr = pal[(xx + yy + d) % 16]
+                back = codecs.decode_gif(codecs.encode_gif(arr))
+                ids_.append(d)
+                ws.append(back.shape[1])
+                hs.append(back.shape[0])
+                sums.append(int(back.sum(dtype=np.int64)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids_, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "pixel_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return ids.mapInPandas(kernel, out_schema)
