@@ -6,8 +6,12 @@ BMP (24-bit BI_RGB), PPM (P6), WAV (PCM16), PNG via stdlib ``zlib``
 (baseline non-interlaced: bit depth 8, gray/RGB/gray+alpha/RGBA, all
 five scanline filters), and baseline JPEG (operators.jpeg: SOF0,
 sampling factors to 2x2 incl. 4:2:0, restart markers, per-image
-canonical Huffman on encode).  Only compressed AUDIO/VIDEO containers
-(mp3/mp4) remain behind the needs-codec guard in operators.multimodal.
+canonical Huffman on encode), and GIF (from-scratch variable-width LZW,
+87a/89a, interlace).  Compressed AUDIO/VIDEO containers (mp3/mp4) get
+real METADATA parsing (ISO BMFF box walk, MPEG frame-header scan) —
+duration/dims/rates for corpus stats and filtering — while their
+frame/sample DECODE remains behind the needs-codec guard in
+operators.multimodal.
 
 Everything here is plain bytes->ndarray (and back) so the same functions
 run inside Arrow-batched mapInPandas kernels on executors and in local
@@ -560,3 +564,145 @@ def decode_gif(b: bytes) -> np.ndarray:
             idx = de
         return ct[idx]
     raise ValueError("GIF contains no image frame")
+
+
+# ---------------------------------------------------------------------------
+# Compressed-container METADATA parsers — mp4 (ISO BMFF box walk) and mp3
+# (frame-header scan).  Pipelines routinely need duration/dims for corpus
+# stats and filtering long before any sample decode; these read the
+# container structure only.  Frame/sample DECODE for these formats stays
+# behind the needs-codec guard.
+# ---------------------------------------------------------------------------
+
+
+def parse_mp4_meta(b: bytes) -> dict:
+    """Walk top-level ISO BMFF boxes; pull duration from moov/mvhd and
+    track dims from the first moov/trak/tkhd.  Returns
+    {duration_ms, width, height} (dims None for audio-only)."""
+
+    def boxes(buf: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            size = int.from_bytes(buf[pos : pos + 4], "big")
+            btype = buf[pos + 4 : pos + 8]
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > end:
+                    raise ValueError("truncated mp4 largesize box")
+                size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+                hdr = 16
+            else:
+                hdr = 8
+            if size == 0:  # box extends to end of file
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise ValueError("malformed mp4 box size")
+            yield btype, pos + hdr, pos + size
+            pos += size
+
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF (mp4) payload")
+    duration_ms = width = height = None
+    for btype, s, e in boxes(b, 0, len(b)):
+        if btype != b"moov":
+            continue
+        for ctype, cs, ce in boxes(b, s, e):
+            if ctype == b"mvhd" and ce - cs >= 20:
+                ver = b[cs]
+                if ver == 1:
+                    timescale = int.from_bytes(b[cs + 20 : cs + 24], "big")
+                    duration = int.from_bytes(b[cs + 24 : cs + 32], "big")
+                else:
+                    timescale = int.from_bytes(b[cs + 12 : cs + 16], "big")
+                    duration = int.from_bytes(b[cs + 16 : cs + 20], "big")
+                if timescale:
+                    duration_ms = duration * 1000 // timescale
+            elif ctype == b"trak" and width is None:
+                for ttype, ts, te in boxes(b, cs, ce):
+                    if ttype == b"tkhd" and te - ts >= 84:
+                        # width/height: 16.16 fixed point, last 8 bytes
+                        w = int.from_bytes(b[te - 8 : te - 4], "big") >> 16
+                        h = int.from_bytes(b[te - 4 : te], "big") >> 16
+                        if w and h:
+                            width, height = w, h
+    if duration_ms is None:
+        raise ValueError("mp4 has no moov/mvhd (metadata not present)")
+    return {"duration_ms": duration_ms, "width": width, "height": height}
+
+
+_MP3_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]  # V1 L3
+_MP3_RATES = [44100, 48000, 32000]
+
+
+def parse_mp3_meta(b: bytes) -> dict:
+    """Skip any ID3v2 tag, find the first MPEG-1 Layer III frame header,
+    and estimate duration from the audio byte count at the header's
+    bitrate (exact for CBR, the dominant corpus case).  Returns
+    {sample_rate, bitrate_kbps, duration_ms}."""
+    pos = 0
+    if b[:3] == b"ID3":
+        if len(b) < 10:
+            raise ValueError("truncated ID3 header")
+        # syncsafe 28-bit size
+        sz = (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
+        pos = 10 + sz
+    end = min(len(b), pos + 4096)  # sync must appear near the front
+    while pos + 4 <= end:
+        h = b[pos : pos + 4]
+        if (
+            h[0] == 0xFF
+            and (h[1] & 0xE0) == 0xE0
+            and (h[1] & 0x18) == 0x18  # MPEG-1
+            and (h[1] & 0x06) == 0x02  # Layer III
+            and (h[2] >> 4) not in (0, 15)
+            and ((h[2] >> 2) & 0x03) != 3
+        ):
+            bitrate = _MP3_BITRATES[h[2] >> 4]
+            rate = _MP3_RATES[(h[2] >> 2) & 0x03]
+            audio_bytes = len(b) - pos
+            return {
+                "sample_rate": rate,
+                "bitrate_kbps": bitrate,
+                "duration_ms": audio_bytes * 8 // bitrate,
+            }
+        pos += 1
+    raise ValueError("no MPEG-1 Layer III frame sync found")
+
+
+def encode_mp4_stub(duration_ms: int, width: int | None = None, height: int | None = None) -> bytes:
+    """Minimal structurally-valid ISO BMFF: ftyp + moov(mvhd[, trak/tkhd])
+    + empty mdat.  Carries REAL metadata for parse_mp4_meta; contains no
+    codec samples (decode stays needs-codec) — the test/fixture twin."""
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+    mvhd = box(
+        b"mvhd",
+        bytes(12)  # version/flags, ctime, mtime
+        + (1000).to_bytes(4, "big")  # timescale: ms
+        + int(duration_ms).to_bytes(4, "big")
+        + bytes(80),  # rate/volume/matrix/next-track boilerplate
+    )
+    moov_payload = mvhd
+    if width and height:
+        tkhd = box(
+            b"tkhd",
+            bytes(76) + (int(width) << 16).to_bytes(4, "big") + (int(height) << 16).to_bytes(4, "big"),
+        )
+        moov_payload += box(b"trak", tkhd)
+    return (
+        box(b"ftyp", b"isom" + bytes(4) + b"isomiso2")
+        + box(b"moov", moov_payload)
+        + box(b"mdat", b"")
+    )
+
+
+def encode_mp3_stub(duration_ms: int, bitrate_kbps: int = 128, sample_rate: int = 44100) -> bytes:
+    """ID3v2 header + one valid MPEG-1 Layer III frame header + padding
+    sized so the CBR duration estimate equals ``duration_ms``."""
+    bidx = _MP3_BITRATES.index(bitrate_kbps)
+    ridx = _MP3_RATES.index(sample_rate)
+    hdr = bytes([0xFF, 0xFB, (bidx << 4) | (ridx << 2), 0x00])
+    audio_bytes = duration_ms * bitrate_kbps // 8
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x00"
+    return id3 + hdr + bytes(max(0, audio_bytes - 4))

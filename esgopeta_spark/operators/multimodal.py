@@ -234,9 +234,13 @@ def synthetic_media_real(spark, n: int = 64) -> DataFrame:
             samples = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
             payload = codecs.encode_wav(samples, sr)
             rows.append((i, "audio", payload, (None, None, sr, int(dur_s * 1000), "wav")))
-        else:  # compressed video stand-in: MP4 ftyp box, decodes to needs-codec
-            payload = b"\x00\x00\x00\x18ftypisom" + bytes([(i * 7 + j) % 256 for j in range(64)])
-            rows.append((i, "video", payload, (None, None, None, 2000, "mp4")))
+        else:  # compressed video: structurally-valid mp4 with REAL metadata
+            # (moov/mvhd duration, tkhd dims on even rows); frame decode
+            # still resolves to needs-codec — only the metadata is real
+            dur = 1000 + (i % 5) * 500
+            vw, vh = (320, 240) if i % 2 == 0 else (None, None)
+            payload = codecs.encode_mp4_stub(dur, vw, vh)
+            rows.append((i, "video", payload, (vw, vh, None, dur, "mp4")))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
@@ -280,8 +284,25 @@ def decode_media(df: DataFrame) -> DataFrame:
                             ok=True, sample_rate=sr, n_samples=len(samples) // nch,
                             duration_ms=int(1000 * len(samples) / (sr * nch)),
                         )
+                    elif fmt == "mp4":
+                        # container METADATA is parseable without any codec:
+                        # box walk pulls duration + track dims; only frame
+                        # decode stays guarded
+                        meta = codecs.parse_mp4_meta(b)
+                        rec.update(
+                            err="needs-codec",
+                            duration_ms=meta["duration_ms"],
+                            width=meta["width"], height=meta["height"],
+                        )
+                    elif fmt == "mp3":
+                        meta = codecs.parse_mp3_meta(b)
+                        rec.update(
+                            err="needs-codec",
+                            sample_rate=meta["sample_rate"],
+                            duration_ms=meta["duration_ms"],
+                        )
                     else:
-                        rec.update(err="needs-codec" if fmt in ("mp3", "mp4") else f"undecodable:{fmt}")
+                        rec.update(err=f"undecodable:{fmt}")
                 except ValueError as exc:  # malformed payload: quarantine, don't crash
                     rec.update(err=f"corrupt:{exc}")
                 out.append(rec)

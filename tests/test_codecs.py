@@ -171,8 +171,10 @@ def test_decode_media_distributed_matches_local(spark):
             assert r["ok"] and r["format"] == "wav"
             assert r["sample_rate"] == meta["sample_rate"]
             assert abs(r["duration_ms"] - meta["duration_ms"]) <= 1
-        else:  # compressed stand-in
+        else:  # compressed container: frame decode guarded, metadata REAL
             assert not r["ok"] and r["err"] == "needs-codec"
+            assert r["duration_ms"] == meta["duration_ms"]
+            assert (r["width"], r["height"]) == (meta["width"], meta["height"])
 
 
 def test_resize_media_roundtrips_and_bounds(spark):
@@ -393,3 +395,36 @@ if HAVE_HYPOTHESIS:
         )
         arr = pal[idx]
         assert np.array_equal(codecs.decode_gif(codecs.encode_gif(arr)), arr)
+
+
+def test_mp4_mp3_metadata_parsers():
+    m = codecs.parse_mp4_meta(codecs.encode_mp4_stub(2000, 320, 240))
+    assert m == {"duration_ms": 2000, "width": 320, "height": 240}
+    assert codecs.parse_mp4_meta(codecs.encode_mp4_stub(1500))["width"] is None
+    a = codecs.parse_mp3_meta(codecs.encode_mp3_stub(3000, 128, 44100))
+    assert a["sample_rate"] == 44100 and a["bitrate_kbps"] == 128
+    assert abs(a["duration_ms"] - 3000) <= 1
+    for bad in (b"\x00\x00\x00\x08ftyp", codecs.encode_mp4_stub(9)[:30]):
+        with pytest.raises(ValueError):
+            codecs.parse_mp4_meta(bad)
+    with pytest.raises(ValueError):
+        codecs.parse_mp3_meta(b"ID3\x04\x00\x00\x00\x00\x00\x00" + b"\x00" * 100)
+
+
+def test_decode_media_container_metadata(spark):
+    """mp3/mp4 rows surface real container metadata while staying
+    quarantined (err=needs-codec); malformed containers quarantine as
+    corrupt instead of killing the stage."""
+    from esgopeta_spark.operators.multimodal import MEDIA_SCHEMA, decode_media
+
+    rows = [
+        (0, "video", codecs.encode_mp4_stub(2500, 640, 360), (640, 360, None, 2500, "mp4")),
+        (1, "audio", codecs.encode_mp3_stub(4000, 192, 48000), (None, None, 48000, 4000, "mp3")),
+        (2, "video", b"\x00\x00\x00\x18ftypisom" + bytes(64), (None,) * 4 + ("mp4",)),  # no moov
+    ]
+    out = {r["media_id"]: r for r in decode_media(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()}
+    assert not out[0]["ok"] and out[0]["err"] == "needs-codec"
+    assert (out[0]["width"], out[0]["height"], out[0]["duration_ms"]) == (640, 360, 2500)
+    assert not out[1]["ok"] and out[1]["err"] == "needs-codec"
+    assert out[1]["sample_rate"] == 48000 and abs(out[1]["duration_ms"] - 4000) <= 1
+    assert not out[2]["ok"] and out[2]["err"].startswith("corrupt:")
