@@ -364,8 +364,14 @@ def extract_image_features(df: DataFrame) -> DataFrame:
 
 def extract_audio_features(df: DataFrame) -> DataFrame:
     """Real signal statistics from decoded WAV audio: RMS, peak,
-    zero-crossing rate, duration."""
-    out_schema = "media_id bigint, rms double, peak double, zcr double, duration_ms int"
+    zero-crossing rate, duration, plus spectral shape (dominant
+    frequency and spectral centroid from one rfft of the first
+    channel) — the cheap features audio-corpus filters threshold on
+    (silence, tones, clipping, bandwidth)."""
+    out_schema = (
+        "media_id bigint, rms double, peak double, zcr double, duration_ms int, "
+        "dominant_hz double, spectral_centroid_hz double"
+    )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -384,6 +390,15 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
                     continue
                 x = samples.astype(np.float64) / 32768.0
                 zc = np.mean(np.abs(np.diff(np.signbit(x)))) if len(x) > 1 else 0.0
+                mono = x[::nch]  # first channel of the interleaved stream
+                dom = cent = 0.0
+                if len(mono) > 1:
+                    spec = np.abs(np.fft.rfft(mono))
+                    freqs = np.fft.rfftfreq(len(mono), 1.0 / sr)
+                    power = spec.sum()
+                    if power > 0:
+                        dom = float(freqs[int(np.argmax(spec[1:])) + 1])  # skip DC
+                        cent = float((freqs * spec).sum() / power)
                 out.append(
                     dict(
                         media_id=mid,
@@ -391,6 +406,8 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
                         peak=float(np.abs(x).max()) if len(x) else 0.0,
                         zcr=float(zc),
                         duration_ms=int(1000 * len(samples) / (sr * nch)),
+                        dominant_hz=dom,
+                        spectral_centroid_hz=cent,
                     )
                 )
             yield pd.DataFrame(out)

@@ -209,6 +209,14 @@ def test_audio_features_distributed(spark):
         assert 0.2 < r["rms"] < 0.3  # 12000/32768/sqrt(2) ~ 0.259
         assert 0.3 < r["peak"] < 0.4
         assert r["duration_ms"] > 0
+        # generator tones are 200 + 50*(i%8) Hz; rfft peak must land within
+        # one bin (clips are 0.05-0.125 s -> bins are 8-20 Hz wide)
+        want = 200.0 + 50.0 * (r["media_id"] % 8)
+        bin_hz = 1000.0 / r["duration_ms"]
+        assert abs(r["dominant_hz"] - want) <= bin_hz + 1e-9, (r["media_id"], r["dominant_hz"], want)
+        # a pure tone's spectral centroid sits near the tone (leakage skews
+        # it upward slightly on short clips)
+        assert abs(r["spectral_centroid_hz"] - want) < 150.0
 
 
 def test_image_features_distributed(spark):
