@@ -184,6 +184,35 @@ def ham_apply_updates(quads: DataFrame, updates: DataFrame, as_of_ms: float | No
     return ApplyResult(quads=ham_merge(base.unionByName(eligible)), deferred=deferred)
 
 
+
+def field_history(updates: DataFrame) -> DataFrame:
+    """Temporal-table (SCD2-style) view of an update log: per
+    (soul, field), every version in HAM order with its validity interval
+    [valid_from_ms, valid_to_ms); the current winner has a NULL
+    valid_to_ms.  The ordering is the SAME total order the merge uses —
+    (state, value_json) with the D4 lexical tiebreak — so version N's
+    value always equals what a fetch at a clock inside its interval
+    would have returned (gun/state.go:60-79 applied historically).
+
+    One window shuffle on (soul, field); every derived column is a
+    codegen'd window function over it.  This is the standard
+    slowly-changing-dimension shape: the graph's LWW update log becomes
+    a queryable history table.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("soul", "field").orderBy(
+        F.col("state").asc(), value_json_col().asc()
+    )
+    return updates.select(
+        "soul",
+        "field",
+        "value_number",
+        F.row_number().over(w).alias("version"),
+        F.col("state").cast("bigint").alias("valid_from_ms"),
+        F.lead(F.col("state").cast("bigint")).over(w).alias("valid_to_ms"),
+    )
+
 def empty_quads(spark) -> DataFrame:
     return spark.createDataFrame([], QUAD_SCHEMA)
 
@@ -203,4 +232,5 @@ __all__ = [
     "SAME_UPDATE",
     "IMMEDIATE_UPDATE",
     "value_json_py",
+    "field_history",
 ]

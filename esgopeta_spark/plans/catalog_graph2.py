@@ -310,3 +310,35 @@ def graph_ttl_tracking(spark, sf):
     observed = upd.filter(F.col("field") == "purchase").select("soul", "field", "state")
     kept = apply_tracking(stored, observed, Tracking.REQUESTED)
     return kept.select("soul", "field", "state")
+
+
+@register(
+    "graph_field_history_intervals",
+    "A10,D4,E5",
+    """
+    WITH upd AS (
+      SELECT 'user/' || CAST(user_id AS VARCHAR) AS soul,
+             event_type AS field,
+             value AS value_number,
+             CAST(value AS VARCHAR) AS value_json,
+             CAST(epoch_ms(ts) AS DOUBLE) AS state
+      FROM events)
+    SELECT soul, field, value_number,
+           ROW_NUMBER() OVER w AS version,
+           CAST(state AS BIGINT) AS valid_from_ms,
+           CAST(LEAD(CAST(state AS BIGINT)) OVER w AS BIGINT) AS valid_to_ms
+    FROM upd
+    WINDOW w AS (PARTITION BY soul, field ORDER BY state ASC, value_json ASC)
+    """,
+    doc="temporal-table (SCD2) view of the update log (ham.field_history): per "
+    "(soul, field) every version in HAM order — (state, value_json) with the D4 "
+    "lexical tiebreak, the SAME total order the merge uses — with validity "
+    "intervals [valid_from_ms, valid_to_ms); NULL valid_to = current winner.  "
+    "A fetch at any clock inside an interval returns that version's value, so "
+    "the LWW graph log becomes a queryable history table.  One (soul, field) "
+    "window shuffle, all columns codegen'd window functions",
+)
+def graph_field_history_intervals(spark, sf):
+    from esgopeta_spark.ham import field_history
+
+    return field_history(_events_as_updates(spark, sf))

@@ -263,3 +263,28 @@ if _HYP:
         at-least-once safety."""
         once = _maxby_reduction(rows)
         assert _maxby_reduction(rows + rows) == once
+
+
+def test_field_history_intervals_consistent_with_merge(spark):
+    """Each (soul, field)'s LAST version (NULL valid_to) must equal the
+    ham_merge winner; intervals chain without gaps or overlaps."""
+    from esgopeta_spark.ham import field_history, ham_merge
+    from esgopeta_spark.plans.catalog import _events_as_updates
+
+    upd = _events_as_updates(spark, "/root/testdata/sf0.001")
+    hist = field_history(upd).collect()
+    merged = {
+        (r["soul"], r["field"]): r["value_number"]
+        for r in ham_merge(upd).collect()
+    }
+    by_key: dict = {}
+    for r in hist:
+        by_key.setdefault((r["soul"], r["field"]), []).append(r)
+    assert set(by_key) == set(merged)
+    for key, versions in by_key.items():
+        versions.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in versions] == list(range(1, len(versions) + 1))
+        for a, b in zip(versions, versions[1:]):
+            assert a["valid_to_ms"] == b["valid_from_ms"]  # gapless chain
+        assert versions[-1]["valid_to_ms"] is None
+        assert versions[-1]["value_number"] == merged[key]  # current == merge
