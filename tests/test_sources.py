@@ -127,3 +127,39 @@ def test_kafka_record_parsing_without_classpath(spark):
     assert out["m1"]["recv_ts"] == datetime.datetime(2024, 1, 1, 0, 0, 0)
     assert out["m2"]["value_number"] == 7.0 and out["m2"]["ack_id"] == "a1"
     assert out["m2"]["recv_ts"] == broker_ts  # broker-time fallback fired
+
+
+def test_read_media_dir_binaryfile(spark, tmp_path):
+    """binaryFile ingest of a mixed media directory: stable path-hash ids,
+    payload-magic kind sniff (codegen, no python UDF), and the result
+    feeds decode_media directly."""
+    import numpy as np
+
+    from esgopeta_spark.operators import codecs
+    from esgopeta_spark.operators.multimodal import decode_media
+    from esgopeta_spark.sources.io import read_media_dir
+
+    d = tmp_path / "media"
+    (d / "sub").mkdir(parents=True)
+    arr = np.stack([np.full((6, 8), v, np.uint8) for v in (10, 20, 30)], axis=-1)
+    (d / "a.png").write_bytes(codecs.encode_png(arr))
+    (d / "b.gif").write_bytes(codecs.encode_gif(arr))
+    (d / "sub" / "c.wav").write_bytes(codecs.encode_wav(np.zeros(160, np.int16), 8000))
+    (d / "sub" / "d.mp4").write_bytes(codecs.encode_mp4_stub(1200, 64, 48))
+    (d / "junk.bin").write_bytes(b"\x00\x01\x02garbage")
+
+    media = read_media_dir(spark, str(d))
+    rows = media.collect()
+    assert len(rows) == 5
+    kinds = sorted(r["kind"] for r in rows)
+    assert kinds == ["audio", "image", "image", "other", "video"]
+    assert len({r["media_id"] for r in rows}) == 5  # stable distinct ids
+    # re-read gives identical ids (path-hash, not listing order)
+    assert {r["media_id"] for r in read_media_dir(spark, str(d)).collect()} == {
+        r["media_id"] for r in rows
+    }
+    dec = {r["format"]: r for r in decode_media(media).collect()}
+    assert dec["png"]["ok"] and (dec["png"]["width"], dec["png"]["height"]) == (8, 6)
+    assert dec["gif"]["ok"] and (dec["gif"]["width"], dec["gif"]["height"]) == (8, 6)
+    assert dec["wav"]["ok"] and dec["wav"]["sample_rate"] == 8000
+    assert not dec["mp4"]["ok"] and dec["mp4"]["duration_ms"] == 1200
