@@ -1,0 +1,68 @@
+"""Declarative data-quality auditing (the Deequ / dbt-test shape, public
+pattern): a pipeline states row-validity predicates over a table and gets
+per-constraint violation counts back.  At 100 TB the only acceptable plan
+is ONE pass: every predicate folds into a single partial-aggregated
+codegen aggregate (conditional sums), never one scan per constraint.
+Referential checks (key exists in a dimension) are the exception — each
+needs its own anti-join — and stay separate by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def constraint_audit(df: DataFrame, constraints: dict[str, Column]) -> DataFrame:
+    """Each constraint maps name -> boolean Column meaning "row is valid";
+    NULL counts as a violation (unknown is not valid).  Returns long form
+    (check_name, n_rows, n_violations, violation_ppm) — one row per
+    constraint, all from ONE scan + ONE 1-row aggregate.
+    """
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_n")] + [
+        F.sum(F.when(cond, F.lit(0)).otherwise(F.lit(1))).cast("bigint").alias(f"_v_{i}")
+        for i, cond in enumerate(constraints.values())
+    ]
+    wide = df.agg(*aggs)
+    names = list(constraints)
+    stack = ", ".join(f"'{n}', _v_{i}" for i, n in enumerate(names))
+    return (
+        wide.select(
+            F.expr(f"stack({len(names)}, {stack}) as (check_name, n_violations)"),
+            F.col("_n").alias("n_rows"),
+        )
+        .select(
+            "check_name",
+            "n_rows",
+            "n_violations",
+            F.expr("CASE WHEN n_rows > 0 THEN (n_violations * 1000000) div n_rows ELSE 0 END")
+            .cast("bigint")
+            .alias("violation_ppm"),
+        )
+    )
+
+
+def referential_audit(
+    fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str, name: str
+) -> DataFrame:
+    """Foreign-key existence check as ONE anti-join + count: rows of
+    ``fact`` whose key has no match in ``dim`` are violations.  Same
+    output shape as ``constraint_audit`` so the two union into one
+    report."""
+    n_rows = fact.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    viol = (
+        fact.select(F.col(fact_key).alias("_k"))
+        .join(dim.select(F.col(dim_key).alias("_k")), "_k", "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+    )
+    return (
+        n_rows.crossJoin(viol)  # two 1-row aggregates
+        .select(
+            F.lit(name).alias("check_name"),
+            "n_rows",
+            "n_violations",
+            F.expr("CASE WHEN n_rows > 0 THEN (n_violations * 1000000) div n_rows ELSE 0 END")
+            .cast("bigint")
+            .alias("violation_ppm"),
+        )
+    )

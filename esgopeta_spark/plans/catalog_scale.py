@@ -815,3 +815,53 @@ def corpus_pack_sequences(spark, sf):
     from esgopeta_spark.operators.text import pack_sequences
 
     return pack_sequences(T(spark, sf, "documents"), window_tokens=2048)
+
+
+@register(
+    "quality_audit_orders",
+    "E4,E2,E3",
+    """
+    WITH base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v0,
+             CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+             CAST(SUM(CASE WHEN o_orderpriority LIKE '_-%' THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+             CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v3
+      FROM orders),
+    long AS (
+      SELECT 'totalprice_positive' AS check_name, n, v0 AS v FROM base
+      UNION ALL SELECT 'status_domain', n, v1 FROM base
+      UNION ALL SELECT 'priority_format', n, v2 FROM base
+      UNION ALL SELECT 'custkey_not_null', n, v3 FROM base
+      UNION ALL
+      SELECT 'custkey_in_customer',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+              LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+              WHERE c.c_custkey IS NULL))
+    SELECT check_name, n AS n_rows, v AS n_violations,
+           CAST(CASE WHEN n > 0 THEN (v * 1000000) // n ELSE 0 END AS BIGINT) AS violation_ppm
+    FROM long
+    """,
+    doc="declarative data-quality audit (operators/quality.py, the Deequ/dbt-test "
+    "shape): four row-validity predicates folded into ONE partial-aggregated scan "
+    "of orders (never one scan per constraint) plus a referential "
+    "custkey-in-customer check as one anti-join; long-form per-constraint "
+    "violation counts with integer ppm rates",
+)
+def quality_audit_orders(spark, sf):
+    from esgopeta_spark.operators.quality import constraint_audit, referential_audit
+
+    o = T(spark, sf, "orders")
+    c = T(spark, sf, "customer")
+    table_checks = constraint_audit(
+        o,
+        {
+            "totalprice_positive": F.col("o_totalprice") > 0,
+            "status_domain": F.col("o_orderstatus").isin("O", "F", "P"),
+            "priority_format": F.col("o_orderpriority").like("_-%"),
+            "custkey_not_null": F.col("o_custkey").isNotNull(),
+        },
+    )
+    ref = referential_audit(o, c, "o_custkey", "c_custkey", "custkey_in_customer")
+    return table_checks.unionByName(ref)

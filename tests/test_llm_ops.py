@@ -540,3 +540,32 @@ def test_pack_sequences_layout(spark):
     # overflow stays visible: 6 tokens in a 5-token window
     assert out[("b", 0)]["tokens_used"] == 6
     assert set(out) == {("a", 0), ("a", 1), ("b", 0)}
+
+
+def test_constraint_audit_counts_and_null_semantics(spark):
+    """NULL predicates count as violations; counts match hand truth; the
+    whole table audit is one aggregate."""
+    from esgopeta_spark.operators.quality import constraint_audit, referential_audit
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, -5.0, "B"), (3, None, "A"), (4, 7.0, None)],
+        "id int, amount double, grade string",
+    )
+    out = {
+        r["check_name"]: r
+        for r in constraint_audit(
+            df,
+            {
+                "amount_positive": F.col("amount") > 0,
+                "grade_domain": F.col("grade").isin("A", "B"),
+            },
+        ).collect()
+    }
+    assert out["amount_positive"]["n_rows"] == 4
+    assert out["amount_positive"]["n_violations"] == 2  # -5 and NULL
+    assert out["grade_domain"]["n_violations"] == 1  # NULL grade
+    assert out["amount_positive"]["violation_ppm"] == 500000
+
+    dim = spark.createDataFrame([(1,), (2,)], "k int")
+    ref = referential_audit(df, dim, "id", "k", "id_in_dim").collect()[0]
+    assert ref["n_rows"] == 4 and ref["n_violations"] == 2  # ids 3, 4 missing
