@@ -470,3 +470,52 @@ def agg_approx_percentile(spark, sf):
         F.approx_percentile("o_totalprice", 0.5, 10000).alias("median_approx"),
         F.approx_percentile("o_totalprice", 0.9, 10000).alias("p90_approx"),
     )
+
+
+@register(
+    "sql_recursive_hierarchy_rollup",
+    "E2,A1",
+    """
+    WITH RECURSIVE
+    edges AS (
+      SELECT 'root' AS parent, 'r' || CAST(r_regionkey AS VARCHAR) AS child FROM region
+      UNION ALL
+      SELECT 'r' || CAST(n_regionkey AS VARCHAR), 'n' || CAST(n_nationkey AS VARCHAR) FROM nation
+      UNION ALL
+      SELECT 'n' || CAST(c_nationkey AS VARCHAR), 'c' || CAST(c_custkey AS VARCHAR) FROM customer),
+    walk AS (
+      SELECT 'root' AS node, 0 AS depth
+      UNION ALL
+      SELECT e.child, w.depth + 1 FROM walk w JOIN edges e ON e.parent = w.node)
+    SELECT CAST(depth AS BIGINT) AS depth, COUNT(*) AS n_nodes
+    FROM walk GROUP BY depth
+    """,
+    doc="recursive SQL executed BY SPARK ITSELF (WITH RECURSIVE landed in Spark "
+    "4.x; UNION ALL body, tree-shaped edges so each node is reached exactly "
+    "once and the recursion terminates without dedup): descend the "
+    "root->region->nation->customer hierarchy and roll up node counts per "
+    "depth.  The engine's declared SQL surface includes recursion — the same "
+    "query text runs on the DuckDB oracle; the iterative DataFrame twins "
+    "(shortest_hops, dup_components) remain the scale path for graphs with "
+    "cycles, where UNION ALL recursion would enumerate paths, not nodes",
+)
+def sql_recursive_hierarchy_rollup(spark, sf):
+    for t in ("region", "nation", "customer"):
+        T(spark, sf, t).createOrReplaceTempView(f"_rcte_{t}")
+    return spark.sql(
+        """
+        WITH RECURSIVE
+        edges AS (
+          SELECT 'root' AS parent, 'r' || CAST(r_regionkey AS STRING) AS child FROM _rcte_region
+          UNION ALL
+          SELECT 'r' || CAST(n_regionkey AS STRING), 'n' || CAST(n_nationkey AS STRING) FROM _rcte_nation
+          UNION ALL
+          SELECT 'n' || CAST(c_nationkey AS STRING), 'c' || CAST(c_custkey AS STRING) FROM _rcte_customer),
+        walk AS (
+          SELECT 'root' AS node, 0 AS depth
+          UNION ALL
+          SELECT e.child, w.depth + 1 FROM walk w JOIN edges e ON e.parent = w.node)
+        SELECT CAST(depth AS BIGINT) AS depth, COUNT(*) AS n_nodes
+        FROM walk GROUP BY depth
+        """
+    )
