@@ -167,9 +167,11 @@ def test_all_registry_entries_analyze(spark):
     Mostly execution-free (.schema only); known exceptions that DO run small
     bounded Spark jobs inside fn() because their semantics need a driver-side
     scalar or replay loop: graph_ttl_tracking (point collect),
-    graph_put_replay (35-put replay with point lookups), and the pagerank /
-    connected-components entries (iterative driver loops).  Wall-clock is
-    bounded by tiny SF_SMOKE inputs."""
+    graph_put_replay (35-put replay with point lookups), the pagerank /
+    connected-components entries (iterative driver loops), and the round-4
+    additions built on those loops — dedup_semantic_kmeans (k-means +
+    components) and graph_bfs_hops_nation0 (per-round frontier emptiness
+    checks).  Wall-clock is bounded by tiny SF_SMOKE inputs."""
     from esgopeta_spark.plans import REGISTRY
 
     failures = []
