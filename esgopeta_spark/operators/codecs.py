@@ -29,6 +29,31 @@ import numpy as np
 # format sniffing
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# quarantine contract: every decode/parse entry point raises ONLY ValueError
+# on malformed input.  The mapInPandas kernels catch ValueError to quarantine
+# poison payloads; any other exception type (struct.error from a truncated
+# header, IndexError from a short buffer, zlib.error from corrupt deflate)
+# would escape the except and KILL THE STAGE — exactly what the quarantine
+# posture exists to prevent.  tests/test_codecs.py fuzzes this contract.
+# ---------------------------------------------------------------------------
+
+
+def _quarantine(fn):
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except ValueError:
+            raise
+        except (struct.error, IndexError, OverflowError, zlib.error, EOFError, TypeError) as exc:
+            raise ValueError(f"malformed payload: {type(exc).__name__}: {exc}") from exc
+
+    return wrapped
+
+
 _MAGICS = [
     (b"BM", "bmp"),
     (b"P6", "ppm"),
@@ -78,6 +103,7 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     return header + info + bytes(rows)
 
 
+@_quarantine
 def decode_bmp(b: bytes) -> np.ndarray:
     """BMP bytes -> (h, w, 3) uint8 RGB.  Supports the 24-bit BI_RGB
     subset this pipeline produces; anything else raises ValueError."""
@@ -108,6 +134,7 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + arr.tobytes()
 
 
+@_quarantine
 def decode_ppm(b: bytes) -> np.ndarray:
     if b[:2] != b"P6":
         raise ValueError("not a P6 PPM")
@@ -147,6 +174,7 @@ def encode_wav(samples: np.ndarray, sample_rate: int, n_channels: int = 1) -> by
     return out
 
 
+@_quarantine
 def decode_wav(b: bytes) -> tuple[np.ndarray, int, int]:
     """WAV bytes -> (int16 samples, sample_rate, n_channels).  PCM16 only."""
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
@@ -236,6 +264,7 @@ def encode_png(arr: np.ndarray, filter_type: int = 0, compress_level: int = 6) -
     )
 
 
+@_quarantine
 def decode_png(b: bytes) -> np.ndarray:
     """PNG bytes -> (h, w, channels) uint8.  Baseline subset: bit depth 8,
     color types 0/2/4/6, no interlacing.  Chunk CRCs are verified; any
@@ -309,7 +338,10 @@ def decode_png(b: bytes) -> np.ndarray:
 
 # baseline JPEG codec lives in its own module (DCT + huffman entropy
 # coding are ~400 lines); re-exported here so callers have one namespace
-from esgopeta_spark.operators.jpeg import decode_jpeg, encode_jpeg  # noqa: E402,F401
+from esgopeta_spark.operators import jpeg as _jpeg  # noqa: E402
+
+decode_jpeg = _quarantine(_jpeg.decode_jpeg)
+encode_jpeg = _jpeg.encode_jpeg
 
 
 def to_rgb(arr: np.ndarray) -> np.ndarray:
@@ -497,6 +529,7 @@ def encode_gif(arr: np.ndarray) -> bytes:
     )
 
 
+@_quarantine
 def decode_gif(b: bytes) -> np.ndarray:
     """GIF87a/89a bytes -> (h, w, 3) uint8 RGB of the FIRST frame."""
     if b[:6] not in (b"GIF87a", b"GIF89a"):
@@ -575,6 +608,7 @@ def decode_gif(b: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+@_quarantine
 def parse_mp4_meta(b: bytes) -> dict:
     """Walk top-level ISO BMFF boxes; pull duration from moov/mvhd and
     track dims from the first moov/trak/tkhd.  Returns
@@ -633,6 +667,7 @@ _MP3_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 32
 _MP3_RATES = [44100, 48000, 32000]
 
 
+@_quarantine
 def parse_mp3_meta(b: bytes) -> dict:
     """Skip any ID3v2 tag, find the first MPEG-1 Layer III frame header,
     and estimate duration from the audio byte count at the header's

@@ -436,3 +436,45 @@ def test_decode_media_container_metadata(spark):
     assert not out[1]["ok"] and out[1]["err"] == "needs-codec"
     assert out[1]["sample_rate"] == 48000 and abs(out[1]["duration_ms"] - 4000) <= 1
     assert not out[2]["ok"] and out[2]["err"].startswith("corrupt:")
+
+
+def test_decoder_quarantine_contract_fuzz():
+    """EVERY decode/parse entry point raises ONLY ValueError on malformed
+    input — any other exception type would escape the kernels' quarantine
+    except-clause and kill the stage.  Seeded fuzz: valid magic + random
+    tail, plus structure-aware truncations of valid payloads."""
+    rng = np.random.default_rng(1234)
+    decoders = {
+        "bmp": codecs.decode_bmp, "ppm": codecs.decode_ppm, "wav": codecs.decode_wav,
+        "png": codecs.decode_png, "jpeg": codecs.decode_jpeg, "gif": codecs.decode_gif,
+        "mp4": codecs.parse_mp4_meta, "mp3": codecs.parse_mp3_meta,
+    }
+    magics = {
+        "bmp": b"BM", "ppm": b"P6", "wav": b"RIFF\x00\x00\x00\x00WAVE",
+        "png": b"\x89PNG\r\n\x1a\n", "jpeg": b"\xff\xd8\xff", "gif": b"GIF89a",
+        "mp4": b"\x00\x00\x00\x18ftyp", "mp3": b"ID3",
+    }
+    arr = _grad_image(9, 7)
+    valid = {
+        "bmp": codecs.encode_bmp(arr), "ppm": codecs.encode_ppm(arr),
+        "wav": codecs.encode_wav(np.zeros(64, np.int16), 8000),
+        "png": codecs.encode_png(arr), "jpeg": codecs.encode_jpeg(arr),
+        "gif": codecs.encode_gif(_pal_image(9, 7, 5)),
+        "mp4": codecs.encode_mp4_stub(1000, 32, 24), "mp3": codecs.encode_mp3_stub(500),
+    }
+    for name, fn in decoders.items():
+        payloads = [
+            magics[name] + rng.integers(0, 256, int(n), dtype=np.uint8).tobytes()
+            for n in rng.integers(0, 300, 150)
+        ]
+        g = valid[name]
+        payloads += [g[:k] for k in range(0, len(g), max(1, len(g) // 40))]  # truncations
+        flipped = bytearray(g)
+        for pos in rng.integers(0, len(g), 30):
+            flipped[pos] ^= 0xFF
+        payloads.append(bytes(flipped))
+        for p in payloads:
+            try:
+                fn(p)
+            except ValueError:
+                pass  # the ONLY permitted failure mode
