@@ -4,7 +4,7 @@
 Prints exactly ONE JSON line:
   {"metric": "headline_queries_total", "value": <sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <float>,
-   "loadavg_1m": <float>, "repeats": <int>}
+   "loadavg_1m": <float>, "cpu_canary_ms": <float>, "repeats": <int>}
 
 Results are materialized through the noop sink (full execution, no
 driver-side collection cost) after a JVM warmup pass.
@@ -63,10 +63,31 @@ HEADLINE = [
 REPEATS = 3
 
 
+def cpu_canary_ms() -> float:
+    """Best-of-3 wall time of a fixed single-thread numpy matmul.
+
+    loadavg only sees THIS container's processes; host-level neighbors
+    (CPU steal) are invisible to it — measured same-code runs differ 30%+
+    while loadavg reads near zero.  A fixed pure-CPU workload exposes the
+    machine's effective speed at bench time: compare canary values across
+    BENCH_r{N}.json files before comparing query wall-times.
+    """
+    import numpy as np
+
+    a = np.ones((512, 512))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (a @ a).sum()
+        best = min(best, time.perf_counter() - t0)
+    return round(best * 1000, 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     load_start = os.getloadavg()[0]
+    canary = cpu_canary_ms()
     spark = get_spark("esgopeta-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -101,6 +122,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "loadavg_1m": round(load_start, 2),
+                "cpu_canary_ms": canary,
                 "repeats": REPEATS,
             }
         )
