@@ -64,13 +64,17 @@ REPEATS = 3
 
 
 def cpu_canary_ms() -> float:
-    """Best-of-3 wall time of a fixed single-thread numpy matmul.
+    """Best-of-3 wall time of a fixed numpy matmul (BLAS-parallel, so it
+    measures the box's effective parallel compute bandwidth — the same
+    resource Spark's 32 local threads contend for).
 
     loadavg only sees THIS container's processes; host-level neighbors
     (CPU steal) are invisible to it — measured same-code runs differ 30%+
     while loadavg reads near zero.  A fixed pure-CPU workload exposes the
     machine's effective speed at bench time: compare canary values across
-    BENCH_r{N}.json files before comparing query wall-times.
+    BENCH_r{N}.json files before comparing query wall-times.  (Canary
+    shifts also reflect BLAS thread-count env changes — the driver runs
+    bench with a fixed environment, so cross-round comparison holds.)
     """
     import numpy as np
 

@@ -48,7 +48,7 @@ def _quarantine(fn):
             return fn(*args, **kwargs)
         except ValueError:
             raise
-        except (struct.error, IndexError, OverflowError, zlib.error, EOFError, TypeError) as exc:
+        except (struct.error, IndexError, KeyError, OverflowError, zlib.error, EOFError, TypeError) as exc:
             raise ValueError(f"malformed payload: {type(exc).__name__}: {exc}") from exc
 
     return wrapped
@@ -190,6 +190,10 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int, int]:
             audio_fmt, n_channels, sample_rate, _, _, bits = struct.unpack_from("<HHIIHH", b, body)
             if audio_fmt != 1 or bits != 16:
                 raise ValueError(f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
+            if n_channels == 0 or sample_rate == 0:
+                # zero channels/rate would surface downstream as
+                # ZeroDivisionError in the kernels — reject here instead
+                raise ValueError("malformed WAV: zero channels or sample rate")
         elif chunk_id == b"data":
             samples = np.frombuffer(b, dtype=np.int16, count=chunk_len // 2, offset=body)
         pos = body + chunk_len + (chunk_len & 1)  # chunks are word-aligned
@@ -642,6 +646,11 @@ def parse_mp4_meta(b: bytes) -> dict:
         for ctype, cs, ce in boxes(b, s, e):
             if ctype == b"mvhd" and ce - cs >= 20:
                 ver = b[cs]
+                if ver == 1 and ce - cs < 32:
+                    # a version-1 mvhd reads through cs+32; a shorter box
+                    # would silently slice into sibling-box bytes and
+                    # fabricate a duration
+                    raise ValueError("truncated version-1 mvhd box")
                 if ver == 1:
                     timescale = int.from_bytes(b[cs + 20 : cs + 24], "big")
                     duration = int.from_bytes(b[cs + 24 : cs + 32], "big")

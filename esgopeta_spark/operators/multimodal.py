@@ -172,11 +172,12 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 def raise_if_real_decode_requested():
     raise NotImplementedError(
-        "decode of mp3/mp4 audio/video requires librosa/ffmpeg, which this "
-        "container does not ship; every IMAGE format (bmp/ppm/png/jpeg) "
-        "plus PCM wav IS implemented from scratch (operators.codecs, "
-        "operators.jpeg) and the mapInPandas kernels below are the "
-        "integration points"
+        "SAMPLE/FRAME decode of mp3/mp4 requires librosa/ffmpeg, which this "
+        "container does not ship (container METADATA is parsed without "
+        "them: codecs.parse_mp4_meta/parse_mp3_meta); every IMAGE format "
+        "(bmp/ppm/png/jpeg/gif) plus PCM wav IS implemented from scratch "
+        "(operators.codecs, operators.jpeg) and the mapInPandas kernels "
+        "below are the integration points"
     )
 
 
@@ -416,10 +417,11 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
 
 
 def resize_media(df: DataFrame, max_side: int = 64, method: str = "bilinear") -> DataFrame:
-    """REAL aspect-preserving resize for bmp/ppm/png/jpeg payloads:
-    decode -> numpy resample -> re-encode in the same format.  Never
-    upscales.  Non-image / undecodable / corrupt rows pass through
-    untouched (ok=false)."""
+    """REAL aspect-preserving resize for bmp/ppm/png/jpeg/gif payloads:
+    decode -> numpy resample -> re-encode in the same format (palette
+    GIF resamples nearest regardless of ``method``).  Never upscales.
+    Non-image / undecodable / corrupt rows pass through untouched
+    (ok=false)."""
     out_schema = "media_id bigint, ok boolean, out_width int, out_height int, payload binary"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -19,13 +19,17 @@ def constraint_audit(df: DataFrame, constraints: dict[str, Column]) -> DataFrame
     (check_name, n_rows, n_violations, violation_ppm) — one row per
     constraint, all from ONE scan + ONE 1-row aggregate.
     """
+    if not constraints:
+        raise ValueError("constraint_audit needs at least one constraint")
     aggs = [F.count(F.lit(1)).cast("bigint").alias("_n")] + [
         F.sum(F.when(cond, F.lit(0)).otherwise(F.lit(1))).cast("bigint").alias(f"_v_{i}")
         for i, cond in enumerate(constraints.values())
     ]
     wide = df.agg(*aggs)
     names = list(constraints)
-    stack = ", ".join(f"'{n}', _v_{i}" for i, n in enumerate(names))
+    # names are spliced into SQL text: escape quotes so a name like
+    # "amount isn't null" cannot break the stack() expression
+    stack = ", ".join("'{}', _v_{}".format(n.replace("'", "''"), i) for i, n in enumerate(names))
     return (
         wide.select(
             F.expr(f"stack({len(names)}, {stack}) as (check_name, n_violations)"),

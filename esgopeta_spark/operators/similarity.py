@@ -572,6 +572,10 @@ def semantic_dedup(
             F.first("_v").alias("_v"),
             F.first("_n").alias("_n"),
         )
+        # the n*k argmax assignment is the operator's costliest stage and
+        # fans out THREE ways (both pair-join sides + the verdict join):
+        # materialize once instead of recomputing per branch
+        .localCheckpoint()
     )
     a = assigned.select(
         F.col("_id").alias("id_a"), "cell", F.col("_v").alias("_va"), F.col("_n").alias("_na")

@@ -159,8 +159,16 @@ def read_media_dir(
         F.xxhash64(F.col("path")).alias("media_id"),
         kind.alias("kind"),
         F.col("content").alias("payload"),
-        F.create_map(
-            F.lit("path"), F.col("path"),
-            F.lit("length"), F.col("length").cast("string"),
-        ).alias("source_meta"),
+        # the exact MEDIA_SCHEMA meta struct the downstream kernels read
+        # (resize_images pdf["meta"], frame_sample_plan meta.duration_ms):
+        # dims/rates are unknown at ingest — decode_media fills them —
+        # but the struct SHAPE must match or those kernels fail
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            fmt.alias("format"),
+        ).alias("meta"),
+        F.col("path").alias("source_path"),
     )

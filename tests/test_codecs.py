@@ -469,10 +469,13 @@ def test_decoder_quarantine_contract_fuzz():
         ]
         g = valid[name]
         payloads += [g[:k] for k in range(0, len(g), max(1, len(g) // 40))]  # truncations
-        flipped = bytearray(g)
-        for pos in rng.integers(0, len(g), 30):
-            flipped[pos] ^= 0xFF
-        payloads.append(bytes(flipped))
+        # INDEPENDENT single-byte flips (a fresh copy per position): the
+        # original cumulative-flip version masked a JPEG KeyError because
+        # earlier flips always failed on earlier markers first
+        for pos in rng.integers(0, len(g), 60):
+            flipped = bytearray(g)
+            flipped[pos] ^= 0x55
+            payloads.append(bytes(flipped))
         for p in payloads:
             try:
                 fn(p)
