@@ -9,9 +9,11 @@ sampling factors to 2x2 incl. 4:2:0, restart markers, per-image
 canonical Huffman on encode), and GIF (from-scratch variable-width LZW,
 87a/89a, interlace).  Compressed AUDIO/VIDEO containers (mp3/mp4) get
 real METADATA parsing (ISO BMFF box walk, MPEG frame-header scan) —
-duration/dims/rates for corpus stats and filtering — while their
-frame/sample DECODE remains behind the needs-codec guard in
-operators.multimodal.
+duration/dims/rates for corpus stats and filtering — and mp4 video
+frames DECODE for real for the Motion-JPEG subset
+(``decode_mjpeg_frames``: sample-table walk + the from-scratch JPEG
+codec per sample); h264/hevc frames and mp3 samples remain behind the
+needs-codec guard in operators.multimodal.
 
 Everything here is plain bytes->ndarray (and back) so the same functions
 run inside Arrow-batched mapInPandas kernels on executors and in local
@@ -750,3 +752,134 @@ def encode_mp3_stub(duration_ms: int, bitrate_kbps: int = 128, sample_rate: int 
     audio_bytes = duration_ms * bitrate_kbps // 8
     id3 = b"ID3\x04\x00\x00\x00\x00\x00\x00"
     return id3 + hdr + bytes(max(0, audio_bytes - 4))
+
+
+def encode_mjpeg_mp4(frames: list, fps: int = 10, quality: int = 85) -> bytes:
+    """Motion-JPEG in ISO BMFF: each video sample is an independent
+    baseline JPEG (encoded by our from-scratch codec), indexed by a real
+    sample table (stsd 'jpeg', stts/stsc/stsz/stco).  The test/fixture
+    twin of ``decode_mjpeg_frames``; one chunk holding all samples."""
+    if not frames:
+        raise ValueError("need at least one frame")
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+    jpegs = [encode_jpeg(f, quality=quality) for f in frames]
+    h, w = frames[0].shape[:2]
+    n = len(jpegs)
+    ftyp = box(b"ftyp", b"isom" + bytes(4) + b"isomiso2")
+    mdat_payload = b"".join(jpegs)
+    chunk_offset = len(ftyp) + 8  # first sample = start of mdat payload
+    duration_ms = n * 1000 // fps
+
+    stsd_entry = box(
+        b"jpeg",
+        bytes(6) + (1).to_bytes(2, "big")  # reserved + data_reference_index
+        + bytes(16)  # pre_defined/reserved
+        + int(w).to_bytes(2, "big") + int(h).to_bytes(2, "big")
+        + bytes(50),  # resolution/frame_count/compressorname/depth boilerplate
+    )
+    stsd = box(b"stsd", bytes(4) + (1).to_bytes(4, "big") + stsd_entry)
+    stts = box(b"stts", bytes(4) + (1).to_bytes(4, "big")
+               + n.to_bytes(4, "big") + (1000 // fps).to_bytes(4, "big"))
+    stsc = box(b"stsc", bytes(4) + (1).to_bytes(4, "big")
+               + (1).to_bytes(4, "big") + n.to_bytes(4, "big") + (1).to_bytes(4, "big"))
+    stsz = box(b"stsz", bytes(4) + (0).to_bytes(4, "big") + n.to_bytes(4, "big")
+               + b"".join(len(j).to_bytes(4, "big") for j in jpegs))
+    stco = box(b"stco", bytes(4) + (1).to_bytes(4, "big") + chunk_offset.to_bytes(4, "big"))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", stbl)
+    mdhd = box(b"mdhd", bytes(12) + (1000).to_bytes(4, "big")
+               + duration_ms.to_bytes(4, "big") + bytes(4))
+    hdlr = box(b"hdlr", bytes(8) + b"vide" + bytes(12) + b"\x00")
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    tkhd = box(b"tkhd", bytes(76) + (int(w) << 16).to_bytes(4, "big")
+               + (int(h) << 16).to_bytes(4, "big"))
+    mvhd = box(b"mvhd", bytes(12) + (1000).to_bytes(4, "big")
+               + duration_ms.to_bytes(4, "big") + bytes(80))
+    moov = box(b"moov", mvhd + box(b"trak", tkhd + mdia))
+    return ftyp + box(b"mdat", mdat_payload) + moov
+
+
+@_quarantine
+def decode_mjpeg_frames(b: bytes, max_frames: int | None = None) -> list:
+    """REAL video frame decode for the Motion-JPEG subset: walk the ISO
+    BMFF sample tables (stsd/stsz/stco/stsc), slice each sample out of
+    mdat, and decode it with the from-scratch JPEG codec.  Raises
+    ValueError for non-MJPEG codecs (h264/hevc stay behind the
+    needs-codec guard) and for any malformed table.  Supports the
+    single-chunk layout ``encode_mjpeg_mp4`` writes plus uniform
+    samples-per-chunk tables."""
+
+    def boxes(buf: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            size = int.from_bytes(buf[pos : pos + 4], "big")
+            btype = buf[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:
+                size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+                hdr = 16
+            if size == 0:
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise ValueError("malformed mp4 box size")
+            yield btype, pos + hdr, pos + size
+            pos += size
+
+    def find(path: list, start: int, end: int):
+        t = path[0]
+        for btype, s, e in boxes(b, start, end):
+            if btype == t:
+                return (s, e) if len(path) == 1 else find(path[1:], s, e)
+        raise ValueError(f"mp4 missing box {t!r}")
+
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF (mp4) payload")
+    moov_s, moov_e = find([b"moov"], 0, len(b))
+    stbl_s, stbl_e = find([b"trak", b"mdia", b"minf", b"stbl"], moov_s, moov_e)
+    tables = {t: (s, e) for t, s, e in boxes(b, stbl_s, stbl_e)}
+    for need in (b"stsd", b"stsz", b"stco"):
+        if need not in tables:
+            raise ValueError(f"mp4 sample table missing {need!r}")
+    s, e = tables[b"stsd"]
+    codec = b[s + 12 : s + 16]
+    if codec != b"jpeg":
+        raise ValueError(f"unsupported video codec {codec!r} (only MJPEG decodes)")
+    s, e = tables[b"stsz"]
+    uniform = int.from_bytes(b[s + 4 : s + 8], "big")
+    n = int.from_bytes(b[s + 8 : s + 12], "big")
+    if uniform:
+        sizes = [uniform] * n
+    else:
+        if e - (s + 12) < 4 * n:
+            raise ValueError("truncated stsz table")
+        sizes = [int.from_bytes(b[s + 12 + 4 * i : s + 16 + 4 * i], "big") for i in range(n)]
+    s, e = tables[b"stco"]
+    n_chunks = int.from_bytes(b[s + 4 : s + 8], "big")
+    if e - (s + 8) < 4 * n_chunks or n_chunks == 0:
+        raise ValueError("truncated stco table")
+    chunk_offsets = [int.from_bytes(b[s + 8 + 4 * i : s + 12 + 4 * i], "big") for i in range(n_chunks)]
+    if n_chunks == 1:
+        per_chunk = n
+    else:
+        if n % n_chunks:
+            raise ValueError("non-uniform sample-to-chunk layout unsupported")
+        per_chunk = n // n_chunks
+    frames = []
+    si = 0
+    for co in chunk_offsets:
+        off = co
+        for _ in range(per_chunk):
+            if si >= n:
+                break
+            size = sizes[si]
+            if off + size > len(b):
+                raise ValueError("sample extends past end of file")
+            frames.append(decode_jpeg(b[off : off + size]))
+            off += size
+            si += 1
+            if max_frames is not None and len(frames) >= max_frames:
+                return frames
+    return frames

@@ -14,8 +14,13 @@ Decode status by format:
   format a real corpus ships — through ``decode_media``,
   ``extract_image_features``, ``extract_audio_features`` and
   ``resize_media``, verified by round-trip tests (tests/test_codecs.py).
-- **Compressed audio/video containers** (mp3/mp4) genuinely require
-  codec libraries this container does not ship; those rows surface
+- **Compressed audio/video containers** (mp3/mp4): container METADATA
+  (duration/dims/rates) parses for real with no codec library
+  (codecs.parse_mp4_meta / parse_mp3_meta), and mp4 video FRAMES decode
+  for real for the Motion-JPEG subset (``sample_video_frames`` slices
+  the sample tables and runs each sample through the from-scratch JPEG
+  codec).  h264/hevc frames and mp3 samples genuinely require codec
+  libraries this container does not ship; those rows surface
   ``ok=false, err='needs-codec'`` and the integration point is
   ``raise_if_real_decode_requested``.  The legacy header-sniff kernels
   (``decode_image_meta``, ``extract_features``) remain as the
@@ -467,5 +472,55 @@ def resize_media(df: DataFrame, max_side: int = 64, method: str = "bilinear") ->
                 enc = encoders[fmt](res)
                 out.append(dict(media_id=mid, ok=True, out_width=ow, out_height=oh, payload=enc))
             yield pd.DataFrame(out)
+
+    return df.mapInPandas(kernel, out_schema)
+
+
+def sample_video_frames(df: DataFrame, max_frames: int = 4) -> DataFrame:
+    """REAL video frame sampling for the Motion-JPEG subset: slice
+    samples out of the mp4 sample tables and decode each with the
+    from-scratch JPEG codec (codecs.decode_mjpeg_frames).  Emits one row
+    per decoded frame with cheap pixel stats; h264/hevc payloads (and
+    any malformed table) quarantine as skipped rows, never a stage kill.
+    Partitioning story matches frame_sample_plan: repartition by
+    media_id upstream for codec locality."""
+    out_schema = (
+        "media_id bigint, frame_idx int, width int, height int, luma_mean_milli bigint"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from esgopeta_spark.operators import codecs
+
+        for pdf in batches:
+            out = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(b) if b is not None else b""
+                if codecs.sniff_format(b) != "mp4":
+                    continue
+                try:
+                    frames = codecs.decode_mjpeg_frames(b, max_frames=max_frames)
+                except ValueError:  # non-MJPEG codec or corrupt table: skip
+                    continue
+                for i, arr in enumerate(frames):
+                    rgb = codecs.to_rgb(arr).astype(np.float64)
+                    luma = rgb @ np.array([0.299, 0.587, 0.114])
+                    out.append(
+                        dict(
+                            media_id=mid, frame_idx=i,
+                            width=arr.shape[1], height=arr.shape[0],
+                            luma_mean_milli=int(round(float(luma.mean()) * 1000)),
+                        )
+                    )
+            yield pd.DataFrame(
+                out if out else {
+                    "media_id": pd.Series([], dtype="int64"),
+                    "frame_idx": pd.Series([], dtype="int32"),
+                    "width": pd.Series([], dtype="int32"),
+                    "height": pd.Series([], dtype="int32"),
+                    "luma_mean_milli": pd.Series([], dtype="int64"),
+                }
+            )
 
     return df.mapInPandas(kernel, out_schema)

@@ -448,11 +448,13 @@ def test_decoder_quarantine_contract_fuzz():
         "bmp": codecs.decode_bmp, "ppm": codecs.decode_ppm, "wav": codecs.decode_wav,
         "png": codecs.decode_png, "jpeg": codecs.decode_jpeg, "gif": codecs.decode_gif,
         "mp4": codecs.parse_mp4_meta, "mp3": codecs.parse_mp3_meta,
+        "mjpeg": codecs.decode_mjpeg_frames,
     }
     magics = {
         "bmp": b"BM", "ppm": b"P6", "wav": b"RIFF\x00\x00\x00\x00WAVE",
         "png": b"\x89PNG\r\n\x1a\n", "jpeg": b"\xff\xd8\xff", "gif": b"GIF89a",
         "mp4": b"\x00\x00\x00\x18ftyp", "mp3": b"ID3",
+        "mjpeg": b"\x00\x00\x00\x18ftyp",
     }
     arr = _grad_image(9, 7)
     valid = {
@@ -461,6 +463,7 @@ def test_decoder_quarantine_contract_fuzz():
         "png": codecs.encode_png(arr), "jpeg": codecs.encode_jpeg(arr),
         "gif": codecs.encode_gif(_pal_image(9, 7, 5)),
         "mp4": codecs.encode_mp4_stub(1000, 32, 24), "mp3": codecs.encode_mp3_stub(500),
+        "mjpeg": codecs.encode_mjpeg_mp4([arr, arr]),
     }
     for name, fn in decoders.items():
         payloads = [
@@ -481,3 +484,54 @@ def test_decoder_quarantine_contract_fuzz():
                 fn(p)
             except ValueError:
                 pass  # the ONLY permitted failure mode
+
+
+def _mjpeg_frames(n=4, w=32, h=24):
+    frames = []
+    for i in range(n):
+        yy, xx = np.mgrid[0:h, 0:w]
+        frames.append(
+            np.stack([(xx * 5 + i * 30) % 256, (yy * 7) % 256, (xx + yy + i * 10) % 256], -1).astype(np.uint8)
+        )
+    return frames
+
+
+def test_mjpeg_mp4_roundtrip_and_guards():
+    frames = _mjpeg_frames()
+    mp4 = codecs.encode_mjpeg_mp4(frames, fps=5)
+    assert codecs.sniff_format(mp4) == "mp4"
+    # the metadata parser and the frame decoder agree on the container
+    meta = codecs.parse_mp4_meta(mp4)
+    assert meta == {"duration_ms": 800, "width": 32, "height": 24}
+    out = codecs.decode_mjpeg_frames(mp4)
+    assert len(out) == 4
+    for a, b in zip(frames, out):
+        assert b.shape == a.shape and _psnr(a, b) > 40  # JPEG-lossy frames
+    assert len(codecs.decode_mjpeg_frames(mp4, max_frames=2)) == 2
+    # metadata-only stub (no sample table) and truncations: ValueError only
+    with pytest.raises(ValueError):
+        codecs.decode_mjpeg_frames(codecs.encode_mp4_stub(1000, 32, 24))
+    for cut in (10, 60, len(mp4) // 2):
+        with pytest.raises(ValueError):
+            codecs.decode_mjpeg_frames(mp4[:cut])
+    # a non-jpeg codec tag must be rejected, not misdecoded
+    swapped = mp4.replace(b"jpeg", b"avc1", 1)
+    with pytest.raises(ValueError):
+        codecs.decode_mjpeg_frames(swapped)
+
+
+def test_sample_video_frames_distributed(spark):
+    from esgopeta_spark.operators.multimodal import MEDIA_SCHEMA, sample_video_frames
+
+    frames = _mjpeg_frames(3, 16, 12)
+    rows = [
+        (0, "video", codecs.encode_mjpeg_mp4(frames, fps=10), (16, 12, None, 300, "mp4")),
+        (1, "video", codecs.encode_mp4_stub(2000, 64, 48), (64, 48, None, 2000, "mp4")),  # h264-ish: skipped
+        (2, "video", b"\x00\x00\x00\x18ftypiso" + bytes(40), (None,) * 4 + ("mp4",)),  # corrupt: skipped
+    ]
+    out = sample_video_frames(spark.createDataFrame(rows, MEDIA_SCHEMA), max_frames=2).collect()
+    got = {(r["media_id"], r["frame_idx"]): r for r in out}
+    assert set(got) == {(0, 0), (0, 1)}  # only the MJPEG row decodes, capped at 2
+    for r in got.values():
+        assert (r["width"], r["height"]) == (16, 12)
+        assert 0 <= r["luma_mean_milli"] <= 255000
