@@ -218,3 +218,56 @@ def multimodal_decode_gif(spark, sf):
             )
 
     return ids.mapInPandas(kernel, out_schema)
+
+
+@register(
+    "multimodal_decode_mjpeg",
+    "G5",
+    None,  # JPEG frame quantization is codec-fidelity, not SQL-expressible;
+    # PSNR + exact-constant-frame behavior pinned in tests/test_codecs.py
+    doc="REAL mp4 video-frame decode (Motion-JPEG subset): per selected doc, "
+    "build a 3-frame MJPEG mp4 with our fixture muxer, walk the sample "
+    "tables, decode every frame with the from-scratch JPEG codec "
+    "(codecs.decode_mjpeg_frames via the sample_video_frames kernel) and "
+    "emit per-frame dims + luma stats.  Same no-shuffle mapInPandas shape "
+    "as the graded PNG/GIF round trips; rows-only because JPEG quantization "
+    "is not SQL-reproducible",
+)
+def multimodal_decode_mjpeg(spark, sf):
+    from esgopeta_spark.operators.multimodal import MEDIA_SCHEMA, sample_video_frames
+    from esgopeta_spark.session import ensure_min_partitions
+
+    ids = T(spark, sf, "documents").filter(F.col("doc_id") % 40 == 0).select("doc_id")
+    ids = ensure_min_partitions(ids)
+    out_schema = "media_id bigint, payload binary, kind string"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from esgopeta_spark.operators import codecs
+
+        for pdf in batches:
+            mids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                h, w = 8 + d % 5, 8 + d % 9
+                yy, xx = np.mgrid[0:h, 0:w]
+                frames = [
+                    np.stack(
+                        [(xx * 3 + d + i * 20) % 256, (yy * 5 + d) % 256, (xx + yy + i) % 256],
+                        axis=-1,
+                    ).astype(np.uint8)
+                    for i in range(3)
+                ]
+                mids.append(d)
+                payloads.append(codecs.encode_mjpeg_mp4(frames, fps=10))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "kind": pd.Series(["video"] * len(mids), dtype="object"),
+                }
+            )
+
+    media = ids.mapInPandas(gen, out_schema)
+    return sample_video_frames(media, max_frames=3).orderBy("media_id", "frame_idx")
