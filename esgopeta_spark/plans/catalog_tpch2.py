@@ -404,3 +404,270 @@ def q15_top_supplier(spark, sf):
         .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", F.col("_rev").cast("double").alias("total_revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Derived partsupp: the testdata ships no partsupp table, which blocked
+# q2/q9/q11/q16/q20 (COVERAGE.md boundary note).  Both engines DERIVE the
+# same relation with dbgen's own supplier-assignment shape (TPC-H spec
+# 4.2.3 / dbgen build.c: part i gets 4 suppliers at stride S/4 + i/S,
+# adapted to this data's 0-based contiguous keys) and deterministic
+# integer availqty/supplycost — every column is exact integer arithmetic,
+# so the derivation is bit-identical cross-engine and the five classic
+# query shapes become expressible as labeled adaptations.
+# ---------------------------------------------------------------------------
+
+_PS_SQL = """
+    scnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM supplier),
+    ps AS (
+      SELECT CAST(p_partkey AS BIGINT) AS ps_partkey,
+             (CAST(p_partkey AS BIGINT) + k.k * (scnt.cnt // 4 + CAST(p_partkey AS BIGINT) // scnt.cnt)) % scnt.cnt AS ps_suppkey,
+             (CAST(p_partkey AS BIGINT) * 7 + k.k * 11) % 9999 + 1 AS ps_availqty,
+             (CAST(p_partkey AS BIGINT) * 13 + k.k * 17) % 99900 + 100 AS ps_supplycost_cent
+      FROM part, scnt, (SELECT UNNEST(range(0, 4)) AS k) k)
+"""
+
+
+def _partsupp(spark, sf):
+    """Spark twin of _PS_SQL: 4 deterministic supplier slots per part."""
+    p = T(spark, sf, "part").select(F.col("p_partkey").cast("bigint").alias("ps_partkey"))
+    scnt = T(spark, sf, "supplier").agg(F.count("*").cast("bigint").alias("_scnt"))
+    return (
+        p.crossJoin(F.broadcast(scnt))  # 1-row scalar, broadcast by construction
+        .select("ps_partkey", "_scnt", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("_k"))
+        .select(
+            "ps_partkey",
+            (
+                (F.col("ps_partkey") + F.col("_k") * (F.expr("_scnt div 4") + F.expr("ps_partkey div _scnt")))
+                % F.col("_scnt")
+            ).alias("ps_suppkey"),
+            ((F.col("ps_partkey") * 7 + F.col("_k") * 11) % 9999 + 1).alias("ps_availqty"),
+            ((F.col("ps_partkey") * 13 + F.col("_k") * 17) % 99900 + 100).alias("ps_supplycost_cent"),
+        )
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    "E3,E4,E2",
+    "WITH " + _PS_SQL + """,
+    costs AS (
+      SELECT ps_partkey, ps_suppkey, ps_supplycost_cent
+      FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    mins AS (SELECT ps_partkey, MIN(ps_supplycost_cent) AS min_cost
+             FROM costs GROUP BY ps_partkey)
+    SELECT p.p_partkey, p.p_brand, p.p_type, s.s_name, n.n_name,
+           CAST(CAST(s.s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS s_acctbal,
+           c.ps_supplycost_cent AS supplycost_cent
+    FROM part p
+    JOIN mins m ON p.p_partkey = m.ps_partkey
+    JOIN costs c ON c.ps_partkey = m.ps_partkey AND c.ps_supplycost_cent = m.min_cost
+    JOIN supplier s ON c.ps_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_size % 5 = 0
+    ORDER BY s_acctbal DESC, n.n_name, s.s_name, p.p_partkey, supplycost_cent
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 shape on the DERIVED partsupp (see _PS_SQL note): cheapest "
+    "in-region supplier per part — per-part MIN + join-back on the min cost, "
+    "dims broadcast; integer-cent costs make the min and the tie join exact; "
+    "ORDER BY is a total order (ties broken to ps_suppkey) under LIMIT",
+)
+def q2_min_cost_supplier(spark, sf):
+    ps = _partsupp(spark, sf)
+    s = T(spark, sf, "supplier")
+    n = T(spark, sf, "nation")
+    r = T(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    p = T(spark, sf, "part").filter(F.col("p_size") % 5 == 0)
+    costs = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost_cent")
+    )
+    mins = costs.groupBy("ps_partkey").agg(F.min("ps_supplycost_cent").alias("_min_cost"))
+    return (
+        p.join(mins, p.p_partkey == mins.ps_partkey)
+        .join(
+            costs.withColumnRenamed("ps_partkey", "_cpk"),
+            (F.col("_cpk") == F.col("p_partkey")) & (F.col("ps_supplycost_cent") == F.col("_min_cost")),
+        )
+        .join(F.broadcast(s), F.col("ps_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select(
+            "p_partkey", "p_brand", "p_type", "s_name", "n_name",
+            money("s_acctbal").cast("double").alias("s_acctbal"),
+            F.col("ps_supplycost_cent").alias("supplycost_cent"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey", "supplycost_cent")
+        .limit(100)
+    )
+
+
+@register(
+    "q9_product_profit",
+    "E3,E4,E8",
+    "WITH " + _PS_SQL + """,
+    joined AS (
+      SELECT n.n_name AS nation, EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+             CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT) AS rev_e4,
+             ps.ps_supplycost_cent * CAST(CAST(l.l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS cost_e4
+      FROM lineitem l
+      JOIN ps ON l.l_partkey = ps.ps_partkey AND l.l_suppkey = ps.ps_suppkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE p.p_type = 'STANDARD')
+    SELECT nation, CAST(o_year AS BIGINT) AS o_year,
+           CAST(SUM(rev_e4 - cost_e4) AS BIGINT) AS profit_e4
+    FROM joined GROUP BY nation, o_year
+    """,
+    doc="TPC-H Q9 shape on the DERIVED partsupp: per-nation per-year product "
+    "profit (discounted revenue minus supply cost) for one part type.  All "
+    "money flows through exact integer 1e-4-currency units (decimal scale-4 "
+    "revenue and cent*centi-quantity cost), so the profit sum is order-free "
+    "and hash-exact; the ps join keeps only lineitems whose (part, supplier) "
+    "pair exists in the derived relation — the documented adaptation",
+)
+def q9_product_profit(spark, sf):
+    ps = _partsupp(spark, sf)
+    li = T(spark, sf, "lineitem")
+    p = T(spark, sf, "part").filter(F.col("p_type") == "STANDARD")
+    s = T(spark, sf, "supplier")
+    n = T(spark, sf, "nation")
+    o = T(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    rev_e4 = (
+        (money("l_extendedprice") * (F.lit(1) - pct("l_discount")) * 10000).cast("bigint")
+    )
+    cost_e4 = F.col("ps_supplycost_cent") * (money("l_quantity") * 100).cast("bigint")
+    return (
+        li.join(ps, (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            (rev_e4 - cost_e4).alias("_pe4"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("_pe4").cast("bigint").alias("profit_e4"))
+    )
+
+
+@register(
+    "q11_important_stock",
+    "E4,E2",
+    "WITH " + _PS_SQL + """,
+    german AS (
+      SELECT ps_partkey, ps_supplycost_cent * ps_availqty AS v_cent
+      FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+      WHERE s_nationkey = 3),
+    tot AS (SELECT CAST(SUM(v_cent) AS BIGINT) AS t FROM german)
+    SELECT g.ps_partkey, CAST(SUM(g.v_cent) AS BIGINT) AS value_cent
+    FROM german g, tot
+    GROUP BY g.ps_partkey, tot.t
+    HAVING CAST(SUM(g.v_cent) AS BIGINT) * 100 > tot.t
+    """,
+    doc="TPC-H Q11 shape on the DERIVED partsupp: per-part inventory value "
+    "held by one nation's suppliers, kept when above 1% of that nation's "
+    "total — the classic agg-vs-global-scalar HAVING.  Integer cent*qty "
+    "values and an integer-scaled threshold (value*100 > total) keep the "
+    "boundary exact (no float fraction, catalog rule 2)",
+)
+def q11_important_stock(spark, sf):
+    ps = _partsupp(spark, sf)
+    s = T(spark, sf, "supplier").filter(F.col("s_nationkey") == 3)
+    german = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .select("ps_partkey", (F.col("ps_supplycost_cent") * F.col("ps_availqty")).alias("_v"))
+    )
+    tot = german.agg(F.sum("_v").cast("bigint").alias("_t"))
+    return (
+        german.groupBy("ps_partkey")
+        .agg(F.sum("_v").cast("bigint").alias("value_cent"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cent") * 100 > F.col("_t"))
+        .select("ps_partkey", "value_cent")
+    )
+
+
+@register(
+    "q16_supplier_cnt",
+    "E4,E2,E3",
+    "WITH " + _PS_SQL + """
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           COUNT(DISTINCT ps.ps_suppkey) AS supplier_cnt
+    FROM ps JOIN part p ON ps.ps_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#45'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND ps.ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    doc="TPC-H Q16 shape on the DERIVED partsupp: distinct supplier counts "
+    "per (brand, type, size) bucket, excluding one brand, a size set, and "
+    "negative-balance suppliers (the complaints NOT-IN adapted to the slim "
+    "schema's columns)",
+)
+def q16_supplier_cnt(spark, sf):
+    ps = _partsupp(spark, sf)
+    p = T(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#45") & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad = T(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("_bad")
+    )
+    return (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(F.broadcast(bad), ps.ps_suppkey == F.col("_bad"), "left_anti")
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size"))
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_excess_availability",
+    "E3,E4,E2",
+    "WITH " + _PS_SQL + """,
+    shipped AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT) AS sq_cent
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey, l_suppkey)
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM ps
+    JOIN shipped q ON ps.ps_partkey = q.l_partkey AND ps.ps_suppkey = q.l_suppkey
+    JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+    WHERE s.s_nationkey = 7
+      AND ps.ps_availqty * 200 > q.sq_cent
+    """,
+    doc="TPC-H Q20 shape on the DERIVED partsupp: suppliers in one nation "
+    "holding more than half a year's shipped quantity of some part "
+    "(availqty*200 > 100*sum(qty), the 0.5 threshold in exact integer "
+    "centi-units); semi-style DISTINCT projection after the availability "
+    "probe join",
+)
+def q20_excess_availability(spark, sf):
+    ps = _partsupp(spark, sf)
+    li = T(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        (F.sum(money("l_quantity")) * 100).cast("bigint").alias("sq_cent")
+    )
+    s = T(spark, sf, "supplier").filter(F.col("s_nationkey") == 7)
+    return (
+        ps.join(shipped, (ps.ps_partkey == shipped.l_partkey) & (ps.ps_suppkey == shipped.l_suppkey))
+        .join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .filter(F.col("ps_availqty") * 200 > F.col("sq_cent"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
