@@ -239,3 +239,17 @@ def test_bfs_round_join_is_equi(spark, sf_dir):
     p = plan_of(REGISTRY["graph_bfs_hops_nation0"].fn(spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_derived_partsupp_queries_join_posture(spark, sf_dir):
+    """The derived-partsupp TPC-H five: dims broadcast, the only
+    nested-loop join is the deliberate 1-row supplier-count scalar
+    (broadcast build), and nothing degenerates into a cartesian."""
+    from esgopeta_spark.plans import REGISTRY
+
+    for name in ("q2_min_cost_supplier", "q9_product_profit", "q20_excess_availability"):
+        p = plan_of(REGISTRY[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in p, name
+        # (formatted explain prints each node twice: tree line + detail header)
+        assert p.count("BroadcastNestedLoopJoin Cross BuildRight") == p.count("BroadcastNestedLoopJoin") // 2, name
+        assert "BroadcastHashJoin" in p, name
