@@ -569,17 +569,20 @@ def q9_product_profit(spark, sf):
       SELECT ps_partkey, ps_supplycost_cent * ps_availqty AS v_cent
       FROM ps JOIN supplier ON ps_suppkey = s_suppkey
       WHERE s_nationkey = 3),
-    tot AS (SELECT CAST(SUM(v_cent) AS BIGINT) AS t FROM german)
+    tot AS (SELECT CAST(SUM(v_cent) AS BIGINT) AS t,
+                   CAST(COUNT(DISTINCT ps_partkey) AS BIGINT) AS np FROM german)
     SELECT g.ps_partkey, CAST(SUM(g.v_cent) AS BIGINT) AS value_cent
     FROM german g, tot
-    GROUP BY g.ps_partkey, tot.t
-    HAVING CAST(SUM(g.v_cent) AS BIGINT) * 100 > tot.t
+    GROUP BY g.ps_partkey, tot.t, tot.np
+    HAVING CAST(SUM(g.v_cent) AS BIGINT) * tot.np > tot.t * 2
     """,
     doc="TPC-H Q11 shape on the DERIVED partsupp: per-part inventory value "
-    "held by one nation's suppliers, kept when above 1% of that nation's "
-    "total — the classic agg-vs-global-scalar HAVING.  Integer cent*qty "
-    "values and an integer-scaled threshold (value*100 > total) keep the "
-    "boundary exact (no float fraction, catalog rule 2)",
+    "held by one nation's suppliers, kept when above 2x the nation's MEAN "
+    "per-part value — the classic agg-vs-global-scalar HAVING.  The spec's "
+    "fixed fraction is SF-scaled (0.0001/SF) precisely because a constant "
+    "threshold empties as the part count grows; value*n_parts > 2*total is "
+    "the scale-free equivalent, and all-integer so the boundary is exact "
+    "(catalog rule 2)",
 )
 def q11_important_stock(spark, sf):
     ps = _partsupp(spark, sf)
@@ -588,12 +591,15 @@ def q11_important_stock(spark, sf):
         ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
         .select("ps_partkey", (F.col("ps_supplycost_cent") * F.col("ps_availqty")).alias("_v"))
     )
-    tot = german.agg(F.sum("_v").cast("bigint").alias("_t"))
+    tot = german.agg(
+        F.sum("_v").cast("bigint").alias("_t"),
+        F.countDistinct("ps_partkey").cast("bigint").alias("_np"),
+    )
     return (
         german.groupBy("ps_partkey")
         .agg(F.sum("_v").cast("bigint").alias("value_cent"))
         .crossJoin(F.broadcast(tot))
-        .filter(F.col("value_cent") * 100 > F.col("_t"))
+        .filter(F.col("value_cent") * F.col("_np") > F.col("_t") * 2)
         .select("ps_partkey", "value_cent")
     )
 
