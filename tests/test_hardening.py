@@ -85,3 +85,39 @@ def test_events_stream_temp_dir_reused(spark):
     read_events_stream(spark, SF_SMOKE)
     read_events_stream(spark, SF_SMOKE)
     assert len(glob.glob(pattern)) == count_after_first  # no new dirs per call
+
+
+def test_parallelism_invariance_of_iterative_ops(spark, sf_dir):
+    """The 1000-executor claim, tested locally: the engine's determinism
+    guarantees are ORDER-FREE integer/decimal reductions, so the riskiest
+    iterative operators must return bit-identical results when the input
+    arrives as 1 partition vs 32.  A failure here means some reduction
+    silently depends on partition order (float sums, first() without
+    ordering) and would flake on a real cluster."""
+    from esgopeta_spark.operators.graph_analytics import pagerank
+    from esgopeta_spark.operators.similarity import semantic_dedup
+    from esgopeta_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+
+    def run_sem(df):
+        return {
+            tuple(r) for r in semantic_dedup(
+                df, dim=64, threshold_micro=400000, init_stride=25, n_iter=1
+            ).collect()
+        }
+
+    assert run_sem(emb.repartition(1)) == run_sem(emb.repartition(32))
+
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey").distinct()
+        .selectExpr("concat('c', o_custkey) as src", "concat('s', l_suppkey) as dst")
+    )
+
+    def run_pr(df):
+        return {(r["node"], r["rank_micro"]) for r in pagerank(df, iterations=3).collect()}
+
+    assert run_pr(edges.repartition(1)) == run_pr(edges.repartition(32))
