@@ -865,3 +865,55 @@ def quality_audit_orders(spark, sf):
     )
     ref = referential_audit(o, c, "o_custkey", "c_custkey", "custkey_in_customer")
     return table_checks.unionByName(ref)
+
+
+def _pack_pipeline_oracle() -> str:
+    from esgopeta_spark.operators.text import TOKEN_REGEX
+
+    return f"""
+    WITH n AS (
+      SELECT doc_id, source,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents),
+    keep AS (  -- stage 1: exact dedup, lowest doc_id per normalized text
+      SELECT MIN(doc_id) AS doc_id FROM n GROUP BY norm),
+    d AS (
+      SELECT n.doc_id, n.source,
+             CASE WHEN length(n.norm) = 0 THEN [] ELSE string_split(n.norm, ' ') END AS words,
+             CAST(len(regexp_extract_all(n.norm, '{TOKEN_REGEX}')) AS BIGINT) AS n_tok
+      FROM n JOIN keep ON n.doc_id = keep.doc_id),
+    g AS (  -- stage 2: quality gate
+      SELECT doc_id, source, n_tok FROM d WHERE len(words) >= 10),
+    c AS (  -- stage 3: id-ordered token cumsum per source
+      SELECT source, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+      FROM g)
+    SELECT source, CAST((cum - n_tok) // 2048 AS BIGINT) AS seq_bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_used,
+           MIN(doc_id) AS first_doc
+    FROM c GROUP BY source, seq_bin
+    """
+
+
+@register(
+    "pipeline_pack_training_shards",
+    "G1,G4,E4,E5",
+    _pack_pipeline_oracle(),
+    doc="the COMPLETE training-data prep chain in one Catalyst plan: exact-"
+    "dedup keepers (G1, sha2 grouping) -> token-count quality gate (G4) -> "
+    "deterministic sequence packing into 2048-token shard windows (per-source "
+    "id-ordered cumsum) -> per-(source, window) rollup.  The semi-join keeper "
+    "prune runs before tokenization, the gate before the window shuffle, so "
+    "each stage's cost tracks its survivor set — the corpus-to-shards "
+    "pipeline a 100 TB run would execute, end to end, hash-exact",
+)
+def pipeline_pack_training_shards(spark, sf):
+    from esgopeta_spark.operators.dedup import exact_dedup
+    from esgopeta_spark.operators.text import pack_sequences, token_count
+
+    d = T(spark, sf, "documents")
+    keepers = exact_dedup(d)
+    survivors = d.join(keepers, "doc_id", "left_semi")
+    gated = survivors.filter(token_count(F.col("text")) >= 10)
+    return pack_sequences(gated, window_tokens=2048)
