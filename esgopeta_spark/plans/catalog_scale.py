@@ -917,3 +917,26 @@ def pipeline_pack_training_shards(spark, sf):
     survivors = d.join(keepers, "doc_id", "left_semi")
     gated = survivors.filter(token_count(F.col("text")) >= 10)
     return pack_sequences(gated, window_tokens=2048)
+
+
+@register(
+    "bpe_vocab_merges",
+    "G4",
+    None,  # the merge sequence is an iterative artifact, not SQL-expressible;
+    # pinned against a pure-python BPE reference in test_llm_ops
+    doc="distributed BPE tokenizer training (operators/bpe.py, Sennrich et "
+    "al. 2016): one corpus scan builds the distinct-word frequency table, "
+    "then each of 10 merge rounds is a pair-count partial-agg shuffle over "
+    "that small table + a deterministic (count DESC, pair ASC) argmax + an "
+    "Arrow merge kernel.  Emits the learned merge sequence (rank, left, "
+    "right, weighted count) — the vocabulary artifact a tokenizer ships; "
+    "rows-only by design, reference-checked in pytest",
+)
+def bpe_vocab_merges(spark, sf):
+    from esgopeta_spark.operators.bpe import bpe_train
+
+    merges = bpe_train(T(spark, sf, "documents"), n_merges=10)
+    return spark.createDataFrame(
+        [(i, l, r, w) for i, (l, r, w) in enumerate(merges)],
+        "rank int, left string, right string, weight bigint",
+    )

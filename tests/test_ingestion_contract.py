@@ -171,7 +171,8 @@ def test_all_registry_entries_analyze(spark):
     connected-components entries (iterative driver loops), and the round-4
     additions built on those loops — dedup_semantic_kmeans (k-means +
     components) and graph_bfs_hops_nation0 (per-round frontier emptiness
-    checks).  Wall-clock is bounded by tiny SF_SMOKE inputs."""
+    checks), plus bpe_vocab_merges (10 merge rounds, each a 1-row argmax
+    collect).  Wall-clock is bounded by tiny SF_SMOKE inputs."""
     from esgopeta_spark.plans import REGISTRY
 
     failures = []

@@ -569,3 +569,57 @@ def test_constraint_audit_counts_and_null_semantics(spark):
     dim = spark.createDataFrame([(1,), (2,)], "k int")
     ref = referential_audit(df, dim, "id", "k", "id_in_dim").collect()[0]
     assert ref["n_rows"] == 4 and ref["n_violations"] == 2  # ids 3, 4 missing
+
+
+def test_bpe_train_matches_python_reference(spark, sf_dir):
+    """The distributed merge sequence must equal a pure-python BPE run on
+    the same word frequencies (deterministic (count DESC, pair ASC)
+    tiebreak), and segment counts must reflect the learned vocabulary."""
+    from collections import Counter
+
+    from esgopeta_spark.operators.bpe import _END, bpe_segment_counts, bpe_train
+
+    docs = read_table(spark, sf_dir, "documents").limit(120)
+    merges = bpe_train(docs, n_merges=12)
+    assert len(merges) == 12
+
+    # python reference on the identical normalized word frequencies
+    freqs = Counter()
+    for r in docs.select("text").collect():
+        for w in " ".join((r["text"] or "").lower().split()).split(" "):
+            if w:
+                freqs[w] += 1
+    words = {w: list(w) + [_END] for w in freqs}
+    want = []
+    for _ in range(12):
+        pc = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += freqs[w]
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if c < 2:
+            break
+        want.append((l, r, c))
+        for w, syms in words.items():
+            i, res = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    res.append(l + r)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            words[w] = res
+    assert merges == want
+
+    counts = {r["doc_id"]: r for r in bpe_segment_counts(docs, merges).collect()}
+    assert len(counts) == docs.count()
+    for r in counts.values():
+        # BPE merges can only shorten: tokens <= chars+words (char-level upper bound)
+        assert 0 < r["n_bpe_tokens"] <= r["n_chars"] + 1 + r["n_bpe_tokens"]
+    # the learned merges actually compress: total tokens < char-level baseline
+    char_level = sum(len(w) + 1 for w, c in freqs.items() for _ in range(c))
+    total = sum(r["n_bpe_tokens"] for r in counts.values())
+    assert total < char_level
