@@ -808,9 +808,11 @@ def decode_mjpeg_frames(b: bytes, max_frames: int | None = None) -> list:
     BMFF sample tables (stsd/stsz/stco/stsc), slice each sample out of
     mdat, and decode it with the from-scratch JPEG codec.  Raises
     ValueError for non-MJPEG codecs (h264/hevc stay behind the
-    needs-codec guard) and for any malformed table.  Supports the
-    single-chunk layout ``encode_mjpeg_mp4`` writes plus uniform
-    samples-per-chunk tables."""
+    needs-codec guard) and for any malformed table.  Scans every trak
+    (real files often list audio first), honors the stsc run-length
+    sample-to-chunk table, and bounds every declared count by the
+    payload size before materializing anything — a poison count must
+    quarantine as ValueError, never allocate."""
 
     def boxes(buf: bytes, start: int, end: int):
         pos = start
@@ -838,38 +840,82 @@ def decode_mjpeg_frames(b: bytes, max_frames: int | None = None) -> list:
     if len(b) < 12 or b[4:8] != b"ftyp":
         raise ValueError("not an ISO BMFF (mp4) payload")
     moov_s, moov_e = find([b"moov"], 0, len(b))
-    stbl_s, stbl_e = find([b"trak", b"mdia", b"minf", b"stbl"], moov_s, moov_e)
-    tables = {t: (s, e) for t, s, e in boxes(b, stbl_s, stbl_e)}
-    for need in (b"stsd", b"stsz", b"stco"):
+    # scan EVERY trak: real MJPEG files often list an audio trak first,
+    # so "first trak" would reject decodable video.  Pick the trak whose
+    # sample description is the 'jpeg' codec.
+    tables = None
+    seen_codecs = []
+    for btype, ts, te in boxes(b, moov_s, moov_e):
+        if btype != b"trak":
+            continue
+        try:
+            stbl_s, stbl_e = find([b"mdia", b"minf", b"stbl"], ts, te)
+        except ValueError:
+            continue
+        cand = {t: (s, e) for t, s, e in boxes(b, stbl_s, stbl_e)}
+        if b"stsd" not in cand:
+            continue
+        s, e = cand[b"stsd"]
+        codec = b[s + 12 : s + 16]
+        seen_codecs.append(codec)
+        if codec == b"jpeg":
+            tables = cand
+            break
+    if tables is None:
+        raise ValueError(f"unsupported video codec(s) {seen_codecs!r} (only MJPEG decodes)")
+    for need in (b"stsz", b"stco"):
         if need not in tables:
             raise ValueError(f"mp4 sample table missing {need!r}")
-    s, e = tables[b"stsd"]
-    codec = b[s + 12 : s + 16]
-    if codec != b"jpeg":
-        raise ValueError(f"unsupported video codec {codec!r} (only MJPEG decodes)")
     s, e = tables[b"stsz"]
     uniform = int.from_bytes(b[s + 4 : s + 8], "big")
     n = int.from_bytes(b[s + 8 : s + 12], "big")
+    # bound declared counts by the PAYLOAD before materializing anything:
+    # a poison 0xFFFFFFFF sample count would otherwise allocate a
+    # multi-GB list (MemoryError escapes the ValueError quarantine)
+    if n == 0 or n > len(b) or (uniform and uniform * n > len(b)):
+        raise ValueError("stsz sample count/size exceeds payload")
     if uniform:
         sizes = [uniform] * n
     else:
         if e - (s + 12) < 4 * n:
             raise ValueError("truncated stsz table")
         sizes = [int.from_bytes(b[s + 12 + 4 * i : s + 16 + 4 * i], "big") for i in range(n)]
+        if sum(sizes) > len(b):
+            raise ValueError("stsz sizes exceed payload")
     s, e = tables[b"stco"]
     n_chunks = int.from_bytes(b[s + 4 : s + 8], "big")
-    if e - (s + 8) < 4 * n_chunks or n_chunks == 0:
+    if n_chunks == 0 or n_chunks > len(b) or e - (s + 8) < 4 * n_chunks:
         raise ValueError("truncated stco table")
     chunk_offsets = [int.from_bytes(b[s + 8 + 4 * i : s + 12 + 4 * i], "big") for i in range(n_chunks)]
-    if n_chunks == 1:
-        per_chunk = n
-    else:
+    # samples-per-chunk from the REAL stsc run-length table: entries of
+    # (first_chunk, samples_per_chunk, _) cover [first_chunk, next_first)
+    if b"stsc" in tables:
+        s, e = tables[b"stsc"]
+        n_ent = int.from_bytes(b[s + 4 : s + 8], "big")
+        if n_ent == 0 or n_ent > len(b) or e - (s + 8) < 12 * n_ent:
+            raise ValueError("truncated stsc table")
+        ent = [
+            (
+                int.from_bytes(b[s + 8 + 12 * i : s + 12 + 12 * i], "big"),
+                int.from_bytes(b[s + 12 + 12 * i : s + 16 + 12 * i], "big"),
+            )
+            for i in range(n_ent)
+        ]
+        if ent[0][0] != 1 or any(a[0] >= bb[0] for a, bb in zip(ent, ent[1:])):
+            raise ValueError("malformed stsc first-chunk sequence")
+        per_chunk_list = []
+        for idx, (first, spc) in enumerate(ent):
+            last = ent[idx + 1][0] - 1 if idx + 1 < len(ent) else n_chunks
+            per_chunk_list += [spc] * (last - first + 1)
+        if len(per_chunk_list) != n_chunks or sum(per_chunk_list) < n:
+            raise ValueError("stsc does not cover the chunk/sample counts")
+    else:  # no stsc: fall back to an even split
         if n % n_chunks:
-            raise ValueError("non-uniform sample-to-chunk layout unsupported")
-        per_chunk = n // n_chunks
+            raise ValueError("missing stsc with non-uniform chunking")
+        per_chunk_list = [n // n_chunks] * n_chunks
     frames = []
     si = 0
-    for co in chunk_offsets:
+    for co, per_chunk in zip(chunk_offsets, per_chunk_list):
         off = co
         for _ in range(per_chunk):
             if si >= n:

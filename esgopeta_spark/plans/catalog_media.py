@@ -234,7 +234,7 @@ def multimodal_decode_gif(spark, sf):
     "is not SQL-reproducible",
 )
 def multimodal_decode_mjpeg(spark, sf):
-    from esgopeta_spark.operators.multimodal import MEDIA_SCHEMA, sample_video_frames
+    from esgopeta_spark.operators.multimodal import sample_video_frames
     from esgopeta_spark.session import ensure_min_partitions
 
     ids = T(spark, sf, "documents").filter(F.col("doc_id") % 40 == 0).select("doc_id")

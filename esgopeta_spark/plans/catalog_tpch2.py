@@ -461,20 +461,21 @@ def _partsupp(spark, sf):
              FROM costs GROUP BY ps_partkey)
     SELECT p.p_partkey, p.p_brand, p.p_type, s.s_name, n.n_name,
            CAST(CAST(s.s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS s_acctbal,
-           c.ps_supplycost_cent AS supplycost_cent
+           c.ps_supplycost_cent AS supplycost_cent,
+           c.ps_suppkey
     FROM part p
     JOIN mins m ON p.p_partkey = m.ps_partkey
     JOIN costs c ON c.ps_partkey = m.ps_partkey AND c.ps_supplycost_cent = m.min_cost
     JOIN supplier s ON c.ps_suppkey = s.s_suppkey
     JOIN nation n ON s.s_nationkey = n.n_nationkey
     WHERE p.p_size % 5 = 0
-    ORDER BY s_acctbal DESC, n.n_name, s.s_name, p.p_partkey, supplycost_cent
+    ORDER BY s_acctbal DESC, n.n_name, s.s_name, p.p_partkey, c.ps_suppkey
     LIMIT 100
     """,
     doc="TPC-H Q2 shape on the DERIVED partsupp (see _PS_SQL note): cheapest "
     "in-region supplier per part — per-part MIN + join-back on the min cost, "
     "dims broadcast; integer-cent costs make the min and the tie join exact; "
-    "ORDER BY is a total order (ties broken to ps_suppkey) under LIMIT",
+    "ORDER BY carries ps_suppkey so the LIMIT cut is a total order by key",
 )
 def q2_min_cost_supplier(spark, sf):
     ps = _partsupp(spark, sf)
@@ -501,8 +502,9 @@ def q2_min_cost_supplier(spark, sf):
             "p_partkey", "p_brand", "p_type", "s_name", "n_name",
             money("s_acctbal").cast("double").alias("s_acctbal"),
             F.col("ps_supplycost_cent").alias("supplycost_cent"),
+            "ps_suppkey",
         )
-        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey", "supplycost_cent")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey", "ps_suppkey")
         .limit(100)
     )
 

@@ -535,3 +535,56 @@ def test_sample_video_frames_distributed(spark):
     for r in got.values():
         assert (r["width"], r["height"]) == (16, 12)
         assert 0 <= r["luma_mean_milli"] <= 255000
+
+
+def _box(t, p):
+    return (8 + len(p)).to_bytes(4, "big") + t + p
+
+
+def test_mjpeg_poison_counts_and_multitrak_and_stsc():
+    frames = _mjpeg_frames(4, 16, 12)
+    good = codecs.encode_mjpeg_mp4(frames, fps=10)
+
+    # 1) poison stsz: uniform size + 0xFFFFFFFF count must quarantine as
+    # ValueError instantly, never allocate a multi-GB list
+    i = good.find(b"stsz")
+    poison = bytearray(good)
+    poison[i + 4 : i + 8] = (1000).to_bytes(4, "big")  # uniform sample size
+    poison[i + 8 : i + 12] = (0xFFFFFFFF).to_bytes(4, "big")
+    with pytest.raises(ValueError):
+        codecs.decode_mjpeg_frames(bytes(poison))
+
+    # 2) audio trak listed FIRST: the scanner must skip to the jpeg trak
+    moov_i = good.find(b"moov") - 4
+    moov_size = int.from_bytes(good[moov_i : moov_i + 4], "big")
+    audio_trak = _box(
+        b"trak",
+        _box(b"mdia", _box(b"minf", _box(b"stbl", _box(
+            b"stsd", bytes(4) + (1).to_bytes(4, "big") + _box(b"sowt", bytes(28))
+        )))),
+    )
+    new_moov_payload = audio_trak + good[moov_i + 8 : moov_i + moov_size]
+    two_trak = good[:moov_i] + _box(b"moov", new_moov_payload)
+    out = codecs.decode_mjpeg_frames(two_trak)
+    assert len(out) == 4 and out[0].shape == frames[0].shape
+
+    # 3) REAL stsc run-length layout: 2 chunks of (3, 1) samples
+    jpegs = [codecs.encode_jpeg(f, quality=85) for f in frames]
+    ftyp = _box(b"ftyp", b"isom" + bytes(4) + b"isomiso2")
+    off1 = len(ftyp) + 8
+    off2 = off1 + sum(len(j) for j in jpegs[:3])
+    stsd = _box(b"stsd", bytes(4) + (1).to_bytes(4, "big") + _box(b"jpeg", bytes(78)))
+    stsc = _box(b"stsc", bytes(4) + (2).to_bytes(4, "big")
+                + (1).to_bytes(4, "big") + (3).to_bytes(4, "big") + (1).to_bytes(4, "big")
+                + (2).to_bytes(4, "big") + (1).to_bytes(4, "big") + (1).to_bytes(4, "big"))
+    stsz = _box(b"stsz", bytes(4) + (0).to_bytes(4, "big") + (4).to_bytes(4, "big")
+                + b"".join(len(j).to_bytes(4, "big") for j in jpegs))
+    stco = _box(b"stco", bytes(4) + (2).to_bytes(4, "big")
+                + off1.to_bytes(4, "big") + off2.to_bytes(4, "big"))
+    stbl = _box(b"stbl", stsd + stsc + stsz + stco)
+    moov = _box(b"moov", _box(b"trak", _box(b"mdia", _box(b"minf", stbl))))
+    multi = ftyp + _box(b"mdat", b"".join(jpegs)) + moov
+    out = codecs.decode_mjpeg_frames(multi)
+    assert len(out) == 4
+    for a, b2 in zip(frames, out):
+        assert b2.shape == a.shape and _psnr(a, b2) > 40

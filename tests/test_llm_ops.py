@@ -617,8 +617,9 @@ def test_bpe_train_matches_python_reference(spark, sf_dir):
     counts = {r["doc_id"]: r for r in bpe_segment_counts(docs, merges).collect()}
     assert len(counts) == docs.count()
     for r in counts.values():
-        # BPE merges can only shorten: tokens <= chars+words (char-level upper bound)
-        assert 0 < r["n_bpe_tokens"] <= r["n_chars"] + 1 + r["n_bpe_tokens"]
+        # char-level upper bound: chars + one end-of-word marker per word,
+        # and words-1 spaces are counted in n_chars -> tokens <= chars + 1
+        assert 0 < r["n_bpe_tokens"] <= r["n_chars"] + 1
     # the learned merges actually compress: total tokens < char-level baseline
     char_level = sum(len(w) + 1 for w, c in freqs.items() for _ in range(c))
     total = sum(r["n_bpe_tokens"] for r in counts.values())

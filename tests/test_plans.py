@@ -247,7 +247,10 @@ def test_derived_partsupp_queries_join_posture(spark, sf_dir):
     (broadcast build), and nothing degenerates into a cartesian."""
     from esgopeta_spark.plans import REGISTRY
 
-    for name in ("q2_min_cost_supplier", "q9_product_profit", "q20_excess_availability"):
+    for name in (
+        "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
+        "q16_supplier_cnt", "q20_excess_availability",
+    ):
         p = plan_of(REGISTRY[name].fn(spark, sf_dir))
         assert "CartesianProduct" not in p, name
         # (formatted explain prints each node twice: tree line + detail header)
