@@ -940,3 +940,22 @@ def bpe_vocab_merges(spark, sf):
         [(i, l, r, w) for i, (l, r, w) in enumerate(merges)],
         "rank int, left string, right string, weight bigint",
     )
+
+
+@register(
+    "bpe_doc_token_counts",
+    "G4",
+    None,  # downstream of the iterative merge artifact; reference-checked
+    # (merge sequence == pure-python BPE) in test_llm_ops
+    doc="tokenize the corpus with the learned BPE vocabulary "
+    "(operators/bpe.py bpe_segment_counts): rank-greedy merge application "
+    "per word inside one Arrow kernel, no shuffle; per-doc BPE token and "
+    "char counts — the compression ratio a tokenizer team watches.  "
+    "Rows-only: the counts depend on the iterative merge artifact",
+)
+def bpe_doc_token_counts(spark, sf):
+    from esgopeta_spark.operators.bpe import bpe_segment_counts, bpe_train
+
+    d = T(spark, sf, "documents")
+    merges = bpe_train(d, n_merges=10)
+    return bpe_segment_counts(d, merges)
