@@ -32,7 +32,8 @@ GRADED_WINDOW = [
     "join_semi_customers_with_orders",
     "join_anti_customers_without_orders",
     "join_theta_quantity_band",
-    "join_cross_region_status",
+    # (cross join demoted to parity-only in r5 — E3 stays 8-deep — to make
+    # room for the r4 flagship LLM ops below, per r4 VERDICT task 1)
     "join_asof_purchase_click",
     "join_range_acctbal_band",
     "skew_salted_join",
@@ -40,7 +41,7 @@ GRADED_WINDOW = [
     # rollup keeps the grouping-sets shape graded — to make room for the
     # G3 scale tier below)
     "agg_rollup_region_nation",
-    "agg_order_stats",
+    # (agg_order_stats demoted to parity-only in r5 — E4 stays 5-deep)
     "agg_median_price",
     "pivot_status_by_priority",
     "unpivot_lineitem_measures",
@@ -52,7 +53,7 @@ GRADED_WINDOW = [
     "sessionize_events_islands",
     # E7 (E6 sort/limit is covered by q3 + win_topk)
     "set_union_big_spenders",
-    "set_except_no_recent",
+    # (set_except_no_recent demoted to parity-only in r5 — E7 held by union)
     # E8 scalar-function batteries
     "str_funcs_customer",
     "date_funcs_orders",
@@ -69,6 +70,7 @@ GRADED_WINDOW = [
     # GraphX-style analytics
     "graph_pagerank_transactions",
     "graph_triangles_coorder",
+    "graph_bfs_hops_nation0",
     # Group F — streaming
     "graph_ham_stream_replay",
     "stream_tumbling_counts",
@@ -79,6 +81,9 @@ GRADED_WINDOW = [
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
     "dedup_embedding_components",
+    # r5: the r4 flagship LLM ops rotated into the gate (hash-exact oracles)
+    "dedup_semantic_kmeans",
+    "dedup_substring_spans",
     "sim_topk_cosine",
     # G3 SCALE tier under the gate (r4): IVF probe join, hash-exact vs DuckDB
     "sim_topk_cosine_ivf",

@@ -29,6 +29,10 @@ REQUIRED_IN_WINDOW = {
     "sessionize_events_islands",  # E5 gaps-and-islands
     "sim_topk_cosine_ivf",  # G3 scale tier (r4: graded, not just the exact oracle tier)
     "multimodal_decode_png",  # G5 real codec round-trip (r4)
+    # r5 rotation (r4 VERDICT task 1): the r4 flagship LLM/graph ops
+    "dedup_semantic_kmeans",  # G2/G3 SemDeDup full pipeline, hash-exact
+    "dedup_substring_spans",  # G1/G2/G4 exact-substring spans (Lee et al.)
+    "graph_bfs_hops_nation0",  # A1/E3 multi-source BFS, recursive-CTE oracle
 }
 
 
