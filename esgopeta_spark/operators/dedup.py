@@ -388,6 +388,7 @@ def dup_components(
     id_b: str = "id_b",
     max_iter: int = 25,
     algorithm: str = "minlabel",
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Cluster near-dup PAIRS into canonical GROUPS: connected components
     by iterative min-label propagation (default), or alternating
@@ -413,24 +414,29 @@ def dup_components(
     compounding plan dominates wall-clock within ~3 iterations (measured:
     3s → 18s → 60s+ per round without truncation; constant ~0.2s with).
     localCheckpoint materializes to executor storage and hands back a
-    leaf plan.  On a real cluster prefer reliable checkpointing
-    (sc.setCheckpointDir + .checkpoint()) so a lost executor doesn't
-    kill the lineage-less frame; same loop shape.  At extreme scale the
-    round body swaps for alternating large-star/small-star
+    leaf plan.  On a real cluster pass ``checkpoint="reliable"``
+    (operators/checkpoint.py: sc.setCheckpointDir + .checkpoint()) so a
+    lost executor doesn't kill the lineage-less frame; same loop shape,
+    identical values (pinned in tests/test_llm_ops.py).  At extreme
+    scale the round body swaps for alternating large-star/small-star
     (``algorithm='star'`` below; same driver loop shape).
     """
+    from esgopeta_spark.operators.checkpoint import materialize
+
     if algorithm == "star":
-        return dup_components_star(pairs, id_a, id_b, max_iter)
+        return dup_components_star(pairs, id_a, id_b, max_iter, checkpoint)
     if algorithm != "minlabel":
         raise ValueError(f"unknown algorithm {algorithm!r} (minlabel|star)")
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = (
-        edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint()
+    edges = materialize(
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct(),
+        checkpoint,
     )
-    labels = (
-        edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id")).localCheckpoint()
+    labels = materialize(
+        edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id")),
+        checkpoint,
     )
     for _ in range(max_iter):
         prop = edges.join(labels, edges["dst"] == labels["id"]).select(
@@ -449,10 +455,10 @@ def dup_components(
                 F.col("n.comp").alias("comp"),
                 (F.col("n.comp") != F.col("o.comp")).alias("_chg"),
             )
-            # lazy: the convergence aggregate below materializes the
-            # checkpoint AND returns the changed flag in ONE job/round
-            .localCheckpoint(eager=False)
         )
+        # lazy: the convergence aggregate below materializes the
+        # checkpoint AND returns the changed flag in ONE job/round
+        merged = materialize(merged, checkpoint, eager=False)
         changed = merged.agg(F.max(F.col("_chg").cast("int")).alias("c")).collect()[0]["c"]
         labels = merged.drop("_chg")
         if not changed:
@@ -461,7 +467,11 @@ def dup_components(
 
 
 def dup_components_star(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Connected components by alternating LARGE-STAR / SMALL-STAR rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -496,13 +506,15 @@ def dup_components_star(
         F.least(F.col(id_a), F.col(id_b)).alias("src"),
         F.greatest(F.col(id_a), F.col(id_b)).alias("dst"),
     ).filter(F.col("src") != F.col("dst"))
-    nodes = (
+    from esgopeta_spark.operators.checkpoint import materialize
+
+    nodes = materialize(
         und.select(F.col("src").alias("id"))
         .unionByName(und.select(F.col("dst").alias("id")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        checkpoint,
     )
-    edges = und.distinct().localCheckpoint()
+    edges = materialize(und.distinct(), checkpoint)
     fingerprint = None
     for _ in range(max_iter):
         # ---- large-star ----
@@ -533,14 +545,15 @@ def dup_components_star(
             F.col("v").alias("_u"), F.col("_mn").alias("_v")
         )
         self_edge = mins2.select(F.col("u").alias("_u"), F.col("_mn").alias("_v"))
-        new_edges = (
+        new_edges = materialize(
             reattached.unionByName(self_edge)
             .where(F.col("_u") != F.col("_v"))
             .select(
                 F.least("_u", "_v").alias("src"), F.greatest("_u", "_v").alias("dst")
             )
-            .distinct()
-            .localCheckpoint(eager=False)
+            .distinct(),
+            checkpoint,
+            eager=False,
         )
         # one action materializes the round AND returns the fingerprint
         # (bit_xor: order-free and overflow-free under ANSI mode, sound on

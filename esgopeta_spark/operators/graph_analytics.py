@@ -139,6 +139,7 @@ def shortest_hops(
     src: str = "src",
     dst: str = "dst",
     node: str = "node",
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Multi-source BFS hop distance (the GraphX ShortestPaths analog,
     Pregel's hello-world) over a DIRECTED edge list; pass the edge union
@@ -157,25 +158,27 @@ def shortest_hops(
     by src and keep the frontier on the same key so each round's join is
     co-located; the visited set stays node-keyed for the anti-join.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint()
-    dist = (
+    from esgopeta_spark.operators.checkpoint import materialize
+
+    e = materialize(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")), checkpoint)
+    dist = materialize(
         sources.select(F.col(node).alias("node"))
         .distinct()
-        .withColumn("hops", F.lit(0).cast("bigint"))
-        .localCheckpoint()
+        .withColumn("hops", F.lit(0).cast("bigint")),
+        checkpoint,
     )
     frontier = dist
     for h in range(1, max_hops + 1):
-        nxt = (
+        nxt = materialize(
             frontier.join(e, frontier.node == e.src)
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(dist.select("node"), "node", "left_anti")
-            .withColumn("hops", F.lit(h).cast("bigint"))
-            .localCheckpoint()
+            .withColumn("hops", F.lit(h).cast("bigint")),
+            checkpoint,
         )
         if nxt.isEmpty():
             break
-        dist = dist.unionByName(nxt).localCheckpoint()
+        dist = materialize(dist.unionByName(nxt), checkpoint)
         frontier = nxt
     return dist

@@ -368,6 +368,7 @@ def kmeans_codebook(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Deterministic spherical k-means for the IVF coarse codebook —
     the trained replacement for the id-strided sample (``topk_cosine_ivf``
@@ -391,10 +392,12 @@ def kmeans_codebook(
     pair stage + one (cell, dim)-keyed partial-agg shuffle of narrow
     integer rows — linear in corpus size, cells*dim rows out.
     """
-    c = (
+    from esgopeta_spark.operators.checkpoint import materialize
+
+    c = materialize(  # read once per iteration, not re-scanned
         corpus.select(F.col(id_col).alias("_vid"), as_double(F.col(vec_col)).alias("_cv"))
-        .withColumn("_cn", norm_unrolled(F.col("_cv"), dim))
-        .localCheckpoint()  # read once per iteration, not re-scanned
+        .withColumn("_cn", norm_unrolled(F.col("_cv"), dim)),
+        checkpoint,
     )
     cents = c.filter(F.col("_vid") % init_stride == 0).select(
         F.col("_vid").alias("cell"), F.col("_cv").alias("centroid")
@@ -434,10 +437,11 @@ def kmeans_codebook(
                 lambda s: s["_mv"],
             ).alias("_new")
         )
-        cents = (
-            cents.join(updated, "cell", "left")
-            .select("cell", F.coalesce("_new", F.col("centroid")).alias("centroid"))
-            .localCheckpoint()
+        cents = materialize(
+            cents.join(updated, "cell", "left").select(
+                "cell", F.coalesce("_new", F.col("centroid")).alias("centroid")
+            ),
+            checkpoint,
         )
     return cents
 
