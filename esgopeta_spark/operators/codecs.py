@@ -4,7 +4,8 @@ The container ships no PIL/librosa/ffmpeg, but every IMAGE format plus
 PCM audio is implemented from scratch on struct + numpy + stdlib:
 BMP (24-bit BI_RGB), PPM (P6), WAV (PCM16), PNG via stdlib ``zlib``
 (baseline non-interlaced: bit depth 8, gray/RGB/gray+alpha/RGBA, all
-five scanline filters), and baseline JPEG (operators.jpeg: SOF0,
+five scanline filters), and JPEG (operators.jpeg: baseline SOF0 and
+progressive SOF2 — spectral selection + successive approximation —
 sampling factors to 2x2 incl. 4:2:0, restart markers, per-image
 canonical Huffman on encode), and GIF (from-scratch variable-width LZW,
 87a/89a, interlace).  Compressed AUDIO/VIDEO containers (mp3/mp4) get
@@ -348,6 +349,7 @@ from esgopeta_spark.operators import jpeg as _jpeg  # noqa: E402
 
 decode_jpeg = _quarantine(_jpeg.decode_jpeg)
 encode_jpeg = _jpeg.encode_jpeg
+encode_jpeg_progressive = _jpeg.encode_jpeg_progressive
 
 
 def to_rgb(arr: np.ndarray) -> np.ndarray:

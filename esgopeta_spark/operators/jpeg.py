@@ -5,11 +5,19 @@ Scope (what a training-data pipeline needs to ingest real images):
 - **decode_jpeg**: baseline sequential DCT JPEGs (SOF0) — 8-bit,
   grayscale or YCbCr, any sampling factors up to 2x2 (so 4:4:4, 4:2:2
   and the ubiquitous 4:2:0 all work), restart markers, multiple
-  DQT/DHT segments, APPn/COM skipping.  Progressive (SOF2) and
-  arithmetic-coded variants raise ValueError (callers quarantine).
+  DQT/DHT segments, APPn/COM skipping — AND progressive JPEGs (SOF2,
+  the most common non-baseline format in real web corpora): spectral
+  selection + successive approximation, DC/AC first and refinement
+  scans, interleaved and single-component scan geometry, EOB runs,
+  per-scan DHT redefinition, restart intervals.  Arithmetic-coded and
+  hierarchical variants raise ValueError (callers quarantine).
 - **encode_jpeg**: baseline 4:4:4 (or single-component grayscale)
   with per-image canonical Huffman tables (written to DHT, as the spec
   allows) and Annex-K quantization tables scaled by ``quality``.
+- **encode_jpeg_progressive**: SOF2 with a libjpeg-style scan script
+  (successive approximation on both DC and AC, per-scan Huffman
+  tables built by a counting pass) — the fixture twin that lets the
+  progressive decoder be round-trip-tested with no external codec.
 
 Everything is numpy + stdlib: the 8x8 DCT/IDCT are exact matrix
 products (C @ block @ C.T), entropy coding is plain Python over numpy
@@ -318,15 +326,9 @@ def _rle_symbols(zz: np.ndarray, prev_dc: int) -> tuple[list[tuple[int, int, int
     return out, dc
 
 
-def encode_jpeg(
-    arr: np.ndarray, quality: int = 85, subsample: bool = False, restart_interval: int = 0
-) -> bytes:
-    """uint8 image -> baseline JFIF bytes.  (h, w) / (h, w, 1) grayscale
-    or (h, w, 3) RGB — 4:4:4 by default, 4:2:0 (2x2-box chroma
-    downsample) with ``subsample=True``; ``restart_interval`` > 0 emits
-    DRI + RSTn markers every that many MCUs (resettable scans, and it
-    exercises the decoder's restart path).  Huffman tables are built per
-    image (canonical, <=16 bits) and written to DHT."""
+def _prepare_blocks(arr: np.ndarray, quality: int, subsample: bool):
+    """uint8 image -> per-component quantized zigzag blocks + geometry
+    (shared by the baseline and progressive encoders)."""
     assert arr.dtype == np.uint8
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -356,7 +358,19 @@ def encode_jpeg(
         tw, th = mcux * 8 * ch, mcuy * 8 * cv
         padded = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
         comp_zz.append(_component_blocks(padded, ql if ci == 0 else qc))
+    return h, w, ncomp, samp, comp_zz, ql, qc, mcux, mcuy
 
+
+def encode_jpeg(
+    arr: np.ndarray, quality: int = 85, subsample: bool = False, restart_interval: int = 0
+) -> bytes:
+    """uint8 image -> baseline JFIF bytes.  (h, w) / (h, w, 1) grayscale
+    or (h, w, 3) RGB — 4:4:4 by default, 4:2:0 (2x2-box chroma
+    downsample) with ``subsample=True``; ``restart_interval`` > 0 emits
+    DRI + RSTn markers every that many MCUs (resettable scans, and it
+    exercises the decoder's restart path).  Huffman tables are built per
+    image (canonical, <=16 bits) and written to DHT."""
+    h, w, ncomp, samp, comp_zz, ql, qc, mcux, mcuy = _prepare_blocks(arr, quality, subsample)
     # walk blocks in interleaved MCU order, building the symbol stream with
     # per-component DC prediction; collect class frequencies as we go
     n_classes = 1 if ncomp == 1 else 2
@@ -434,6 +448,304 @@ def encode_jpeg(
 
 
 # ---------------------------------------------------------------------------
+# progressive encoder
+# ---------------------------------------------------------------------------
+
+
+class _CountSink:
+    """Symbol-frequency collector for the table-building pass."""
+
+    def __init__(self) -> None:
+        self.freq: dict[int, int] = {}
+
+    def sym(self, s: int) -> None:
+        self.freq[s] = self.freq.get(s, 0) + 1
+
+    def bits(self, value: int, size: int) -> None:
+        pass
+
+
+class _WriteSink:
+    """Real emitter: huffman-codes symbols into the shared bit writer."""
+
+    def __init__(self, bw: _BitWriter, codes: dict[int, tuple[int, int]]) -> None:
+        self.bw = bw
+        self.codes = codes
+
+    def sym(self, s: int) -> None:
+        code, ln = self.codes[s]
+        self.bw.write(code, ln)
+
+    def bits(self, value: int, size: int) -> None:
+        if size:
+            self.bw.write(value, size)
+
+
+def _comp_band_grid(comp_zz, samp, ci, mcux, mcuy, w, h, hmax, vmax):
+    """Raster block indices a non-interleaved scan covers for component ci
+    (the un-padded block grid; padding blocks belong to interleave only)."""
+    ch, cv = samp[ci]
+    bw = (-(-(w * ch) // hmax) + 7) // 8
+    bh = (-(-(h * cv) // vmax) + 7) // 8
+    row_blocks = mcux * ch
+    return [by * row_blocks + bx for by in range(bh) for bx in range(bw)]
+
+
+def _emit_dc_scan(sink_for, comp_zz, samp, scan_cis, ah, al, mcux, mcuy, w, h, hmax, vmax):
+    """DC scan body (first pass when ah == 0, refinement otherwise),
+    interleaved when len(scan_cis) > 1."""
+    pred = {ci: 0 for ci in scan_cis}
+
+    def one(ci: int, bi: int) -> None:
+        sink = sink_for(ci)
+        dc = int(comp_zz[ci][bi][0])
+        if ah == 0:
+            t = dc >> al  # arithmetic shift (T.81 G.1.2.1)
+            diff = t - pred[ci]
+            pred[ci] = t
+            size = _category(diff)
+            sink.sym(size)
+            sink.bits(diff if diff >= 0 else diff + (1 << size) - 1, size)
+        else:
+            sink.bits((dc >> al) & 1, 1)
+
+    if len(scan_cis) > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in scan_cis:
+                    ch, cv = samp[ci]
+                    row_blocks = mcux * ch
+                    for v in range(cv):
+                        for hh in range(ch):
+                            one(ci, (my * cv + v) * row_blocks + (mx * ch + hh))
+    else:
+        ci = scan_cis[0]
+        for bi in _comp_band_grid(comp_zz, samp, ci, mcux, mcuy, w, h, hmax, vmax):
+            one(ci, bi)
+
+
+def _emit_ac_first(sink, zz_blocks, block_ids, ss, se, al):
+    """AC first pass for one component: EOB runs + magnitude-shifted
+    values (T.81 G.1.2.2)."""
+    eobrun = 0
+
+    def flush() -> None:
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            sink.sym(r << 4)
+            sink.bits(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for bi in block_ids:
+        zz = zz_blocks[bi]
+        vals = []
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            vals.append(-((-v) >> al) if v < 0 else v >> al)
+        nz = [i for i, v in enumerate(vals) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        r = 0
+        for i in range(nz[-1] + 1):
+            v = vals[i]
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                sink.sym(0xF0)
+                r -= 16
+            size = _category(v)
+            sink.sym((r << 4) | size)
+            sink.bits(v if v >= 0 else v + (1 << size) - 1, size)
+            r = 0
+        if nz[-1] < se - ss:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def _emit_ac_refine(sink, zz_blocks, block_ids, ss, se, al):
+    """AC refinement pass (T.81 G.1.2.3 / libjpeg encode_mcu_AC_refine):
+    newly-significant coefficients as (run, 1) symbols + sign bit, with
+    correction bits for already-significant ones buffered behind the
+    next emitted symbol, and EOB runs carrying their buffered bits."""
+    eobrun = 0
+    pend: list[int] = []  # correction bits owed after the next EOBn symbol
+
+    def flush() -> None:
+        nonlocal eobrun, pend
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            sink.sym(r << 4)
+            sink.bits(eobrun - (1 << r), r)
+            eobrun = 0
+        for bit in pend:
+            sink.bits(bit, 1)
+        pend = []
+
+    for bi in block_ids:
+        zz = zz_blocks[bi]
+        absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+        eob = -1  # index (band-relative) of the last newly-significant coeff
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = i
+        r = 0
+        br: list[int] = []  # correction bits behind the current zero run
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob:
+                flush()
+                sink.sym(0xF0)
+                r -= 16
+                for bit in br:
+                    sink.bits(bit, 1)
+                br = []
+            if t > 1:
+                br.append(t & 1)
+                continue
+            flush()
+            sink.sym((r << 4) | 1)
+            sink.bits(1 if int(zz[ss + i]) > 0 else 0, 1)
+            r = 0
+            for bit in br:
+                sink.bits(bit, 1)
+            br = []
+        if r > 0 or br:
+            eobrun += 1
+            pend.extend(br)
+            if eobrun == 0x7FFF or len(pend) > 930:
+                flush()
+    flush()
+
+
+# libjpeg's default-script shape: DC with one approximation bit, luma AC
+# split into bands with two approximation bits, chroma AC with one.
+# (component indices, Ss, Se, Ah, Al)
+_PROGRESSIVE_SCRIPT_COLOR = [
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+_PROGRESSIVE_SCRIPT_GRAY = [
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 63, 0, 1),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 85, subsample: bool = False, scans=None
+) -> bytes:
+    """uint8 image -> progressive (SOF2) JFIF bytes with a libjpeg-style
+    scan script: spectral selection + successive approximation on both DC
+    and AC.  Each scan gets its own canonical Huffman table (built by a
+    counting pass, written to DHT just before the SOS — table slot 0 is
+    redefined between scans, which the spec allows and real decoders
+    rely on).  ``scans`` overrides the script as a list of
+    (component_indices, Ss, Se, Ah, Al)."""
+    h, w, ncomp, samp, comp_zz, ql, qc, mcux, mcuy = _prepare_blocks(arr, quality, subsample)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    if scans is None:
+        scans = _PROGRESSIVE_SCRIPT_GRAY if ncomp == 1 else _PROGRESSIVE_SCRIPT_COLOR
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, tab in ((0, ql), (1, qc))[: (1 if ncomp == 1 else 2)]:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(
+            int(x) for x in tab[ZIGZAG]
+        )
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0 if ci == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+
+    for scan_cis, ss, se, ah, al in scans:
+        scan_cis = [ci for ci in scan_cis]
+        is_dc = ss == 0
+        needs_huff = not (is_dc and ah > 0)  # DC refinement is raw bits
+        tabs: dict[int, tuple[list[int], list[int]]] = {}
+        if needs_huff:
+            # counting pass: one table slot per component class (0 = luma,
+            # 1 = chroma) for interleaved DC; AC scans have one component
+            counters: dict[int, _CountSink] = {}
+
+            def count_sink(ci: int) -> _CountSink:
+                cls = 0 if ci == 0 else 1
+                if cls not in counters:
+                    counters[cls] = _CountSink()
+                return counters[cls]
+
+            if is_dc:
+                _emit_dc_scan(
+                    count_sink, comp_zz, samp, scan_cis, ah, al, mcux, mcuy, w, h, hmax, vmax
+                )
+            else:
+                ci = scan_cis[0]
+                ids = _comp_band_grid(comp_zz, samp, ci, mcux, mcuy, w, h, hmax, vmax)
+                cs = count_sink(ci)
+                if ah == 0:
+                    _emit_ac_first(cs, comp_zz[ci], ids, ss, se, al)
+                else:
+                    _emit_ac_refine(cs, comp_zz[ci], ids, ss, se, al)
+            for cls, counter in counters.items():
+                tabs[cls] = _build_huffman(counter.freq) if counter.freq else ([0] * 16, [])
+            tc = 0 if is_dc else 1
+            for cls, (bits, huffval) in sorted(tabs.items()):
+                body = bytes([(tc << 4) | cls]) + bytes(bits) + bytes(huffval)
+                out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+        sos = bytes([len(scan_cis)])
+        for ci in scan_cis:
+            cls = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, ((cls << 4) | cls) if needs_huff else 0])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+        bw = _BitWriter()
+        writers = {
+            cls: _WriteSink(bw, _canonical_codes(*t)) for cls, t in tabs.items()
+        }
+        raw = _WriteSink(bw, {})  # DC refinement: bits only, no symbols
+
+        def write_sink(ci: int) -> _WriteSink:
+            return writers.get(0 if ci == 0 else 1, raw)
+
+        if is_dc:
+            _emit_dc_scan(
+                write_sink, comp_zz, samp, scan_cis, ah, al, mcux, mcuy, w, h, hmax, vmax
+            )
+        else:
+            ci = scan_cis[0]
+            ids = _comp_band_grid(comp_zz, samp, ci, mcux, mcuy, w, h, hmax, vmax)
+            ws = write_sink(ci)
+            if ah == 0:
+                _emit_ac_first(ws, comp_zz[ci], ids, ss, se, al)
+            else:
+                _emit_ac_refine(ws, comp_zz[ci], ids, ss, se, al)
+        out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
 
@@ -456,16 +768,22 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
     qtabs: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
+    progressive = False
+    coef: dict[int, np.ndarray] = {}  # comp id -> (n_blocks, 64) zigzag ints
     restart_interval = 0
     while True:
-        if pos + 4 > len(b):
+        if pos + 2 > len(b):
             raise ValueError("truncated JPEG (no SOS)")
         if b[pos] != 0xFF:
             raise ValueError("bad marker alignment")
         marker = b[pos + 1]
         pos += 2
         if marker == 0xD9:
+            if progressive and coef:
+                return _reconstruct_progressive(frame, coef, qtabs)
             raise ValueError("EOI before scan")
+        if pos + 2 > len(b):
+            raise ValueError("truncated JPEG segment header")
         (seglen,) = struct.unpack_from(">H", b, pos)
         seg = b[pos + 2 : pos + seglen]
         if len(seg) != seglen - 2:
@@ -489,7 +807,7 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
                 codes = _canonical_codes(bits, huffval)
                 huff[(tc, th)] = {(ln, code): sym for sym, (code, ln) in codes.items()}
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext. sequential)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline/ext., SOF2 progressive
             prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -498,7 +816,19 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            if marker == 0xC2:
+                progressive = True
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                if hmax > 2 or vmax > 2 or any(c["h"] < 1 or c["v"] < 1 for c in comps):
+                    raise ValueError("sampling factors beyond 2x2 unsupported")
+                if fh == 0 or fw == 0:
+                    raise ValueError("zero-sized frame")
+                mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+                for c in comps:
+                    coef[c["id"]] = np.zeros((mcuy * c["v"] * mcux * c["h"], 64), dtype=np.int32)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG process (SOF{marker - 0xC0})")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
@@ -506,14 +836,235 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
+            if len(seg) < 1 + 2 * ns + 3:
+                raise ValueError("truncated SOS header")
             scan_comps = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan_comps.append({"cs": cs, "td": tt >> 4, "ta": tt & 0xF})
+            if progressive:
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                pos = _decode_progressive_scan(
+                    b, pos + seglen, frame, scan_comps, ss, se, ahal >> 4, ahal & 0xF,
+                    huff, restart_interval, coef,
+                )
+                continue
             pos += seglen
             return _decode_scan(b, pos, frame, scan_comps, qtabs, huff, restart_interval)
         # APPn, COM, anything else: skip
         pos += seglen
+
+
+def _scan_geometry(frame):
+    fh, fw, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcux, mcuy
+
+
+def _refine_nonzero(cf, k, se, p1, m1, reader):
+    """Correction bits for already-nonzero coefficients in cf[k..se]
+    (T.81 G.1.2.3 / libjpeg decode_mcu_AC_refine tail)."""
+    while k <= se:
+        v = int(cf[k])
+        if v != 0 and reader.bit():
+            if (v & p1) == 0:
+                cf[k] = v + (p1 if v >= 0 else m1)
+        k += 1
+
+
+def _decode_progressive_scan(b, pos, frame, scan_comps, ss, se, ah, al, huff, restart_interval, coef):
+    """One SOF2 scan into the per-component zigzag coefficient store;
+    returns the byte position of the next marker."""
+    fh, fw, comps = frame
+    hmax, vmax, mcux, mcuy = _scan_geometry(frame)
+    by_id = {c["id"]: c for c in comps}
+    for sc in scan_comps:
+        if sc["cs"] not in by_id:
+            raise ValueError("scan references unknown component")
+    if ss > se or se > 63 or al > 13 or ah > 13:
+        raise ValueError("bad spectral selection / approximation")
+    reader = _BitReader(b, pos)
+    p1, m1 = 1 << al, -(1 << al)
+
+    if ss == 0:  # ---- DC scan (interleaved or single-component) ----
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+        pred = {sc["cs"]: 0 for sc in scan_comps}
+
+        def dc_block(cf, sc):
+            if ah == 0:  # first pass
+                tab = huff.get((0, sc["td"]))
+                if tab is None:
+                    raise ValueError("missing huffman table")
+                size = _decode_huff(reader, tab)
+                if size > 11:
+                    raise ValueError("DC category out of range")
+                diff = _extend(reader.bits(size), size) if size else 0
+                pred[sc["cs"]] += diff
+                cf[0] = pred[sc["cs"]] << al
+            else:  # refinement: one bit, OR-ed in two's complement
+                if reader.bit():
+                    cf[0] = int(cf[0]) | p1
+
+        if len(scan_comps) > 1:
+            count = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and count and count % restart_interval == 0:
+                        reader.sync_restart()
+                        pred = {sc["cs"]: 0 for sc in scan_comps}
+                    for sc in scan_comps:
+                        c = by_id[sc["cs"]]
+                        row_blocks = mcux * c["h"]
+                        for v in range(c["v"]):
+                            for hh in range(c["h"]):
+                                bi = (my * c["v"] + v) * row_blocks + (mx * c["h"] + hh)
+                                dc_block(coef[c["id"]][bi], sc)
+                    count += 1
+        else:
+            sc = scan_comps[0]
+            c = by_id[sc["cs"]]
+            bw = (-(-(fw * c["h"]) // hmax) + 7) // 8
+            bh = (-(-(fh * c["v"]) // vmax) + 7) // 8
+            row_blocks = mcux * c["h"]
+            count = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart_interval and count and count % restart_interval == 0:
+                        reader.sync_restart()
+                        pred = {sc["cs"]: 0}
+                    dc_block(coef[c["id"]][by * row_blocks + bx], sc)
+                    count += 1
+    else:  # ---- AC scan: single component, non-interleaved ----
+        if len(scan_comps) != 1:
+            raise ValueError("interleaved AC scan is illegal in progressive JPEG")
+        sc = scan_comps[0]
+        c = by_id[sc["cs"]]
+        tab = huff.get((1, sc["ta"]))
+        if tab is None:
+            raise ValueError("missing huffman table")
+        bw = (-(-(fw * c["h"]) // hmax) + 7) // 8
+        bh = (-(-(fh * c["v"]) // vmax) + 7) // 8
+        row_blocks = mcux * c["h"]
+        eobrun = 0
+        count = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and count and count % restart_interval == 0:
+                    reader.sync_restart()
+                    eobrun = 0
+                count += 1
+                cf = coef[c["id"]][by * row_blocks + bx]
+                if ah == 0:  # ---- first pass: EOB runs + shifted values ----
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = _decode_huff(reader, tab)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r != 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += reader.bits(r)
+                                break
+                            k += 16  # ZRL
+                            continue
+                        k += r
+                        if k > se:
+                            raise ValueError("AC coefficient overrun")
+                        cf[k] = _extend(reader.bits(s), s) << al
+                        k += 1
+                else:  # ---- refinement pass ----
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = _decode_huff(reader, tab)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r != 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += reader.bits(r)
+                                    break
+                                newval = 0  # ZRL: skip 16 zero-history coeffs
+                            else:
+                                if s != 1:
+                                    raise ValueError("refinement magnitude > 1")
+                                newval = p1 if reader.bit() else m1
+                            while k <= se:
+                                v = int(cf[k])
+                                if v != 0:
+                                    if reader.bit() and (v & p1) == 0:
+                                        cf[k] = v + (p1 if v >= 0 else m1)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if newval:
+                                if k > se:
+                                    raise ValueError("AC refinement overrun")
+                                cf[k] = newval
+                            k += 1
+                    if eobrun > 0:
+                        _refine_nonzero(cf, k, se, p1, m1, reader)
+                        eobrun -= 1
+    # skip any padding bits, then locate the next marker
+    p = reader.pos
+    n = len(b)
+    while p + 1 < n and not (
+        b[p] == 0xFF and b[p + 1] != 0x00 and not (0xD0 <= b[p + 1] <= 0xD7)
+    ):
+        p += 1
+    if p + 1 >= n:
+        raise ValueError("truncated progressive JPEG (no trailing marker)")
+    return p
+
+
+def _reconstruct_progressive(frame, coef, qtabs):
+    fh, fw, comps = frame
+    hmax, vmax, mcux, mcuy = _scan_geometry(frame)
+    planes = {}
+    for c in comps:
+        q = qtabs.get(c["tq"])
+        if q is None:
+            raise ValueError("missing quant table")
+        zz = coef[c["id"]].astype(np.float64)  # (n_blocks, 64) zigzag
+        blocks = (zz[:, UNZIGZAG] * q.reshape(1, 64)).reshape(-1, 8, 8)
+        pix = np.einsum("xu,nuv,vy->nxy", _C.T, blocks, _C) + 128.0
+        brow, bcol = mcuy * c["v"], mcux * c["h"]
+        planes[c["id"]] = (
+            pix.reshape(brow, bcol, 8, 8).transpose(0, 2, 1, 3).reshape(brow * 8, bcol * 8)
+        )
+    return _planes_to_image(planes, frame)
+
+
+def _planes_to_image(planes, frame):
+    """Upsample each component to full resolution, crop, color-convert."""
+    fh, fw, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    full = []
+    for c in comps:
+        p = planes[c["id"]]
+        if c["h"] < hmax or c["v"] < vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:fh, :fw])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)[:, :, None]
+    if len(full) != 3:
+        raise ValueError(f"unsupported component count {len(full)}")
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    bl = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, bl], axis=-1)), 0, 255).astype(np.uint8)
 
 
 def _decode_scan(b, pos, frame, scan_comps, qtabs, huff, restart_interval):
@@ -575,17 +1126,4 @@ def _decode_scan(b, pos, frame, scan_comps, qtabs, huff, restart_interval):
                         x0 = (mx * c["h"] + hh) * 8
                         planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = pix
             mcu_count += 1
-    # upsample to full resolution and crop
-    full = []
-    for c in comps:
-        p = planes[c["id"]]
-        if c["h"] < hmax or c["v"] < vmax:
-            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
-        full.append(p[:fh, :fw])
-    if len(full) == 1:
-        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)[:, :, None]
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    bl = y + 1.772 * cb
-    return np.clip(np.round(np.stack([r, g, bl], axis=-1)), 0, 255).astype(np.uint8)
+    return _planes_to_image(planes, frame)
