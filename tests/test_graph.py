@@ -207,3 +207,49 @@ def test_scoped_subscribe_live(spark, tmp_path):
     got = spark.sql("select * from sub_out").collect()
     assert len(got) == 1  # only the winning update for the subscribed key
     assert got[0]["value_string"] == "world" and got[0]["state"] == 200.0
+
+
+def test_put_replay_literals_match_testdata(spark, sf_dir):
+    """graph_put_replay's put script is precomputed as literals so the
+    entry analyzes execution-free (r4 VERDICT task 8).  The literals must
+    equal the live nation/region dimension content — if the driver's
+    generator ever renames them, this fails loudly before the gate does."""
+    from pyspark.sql import functions as F
+
+    from esgopeta_spark.plans.catalog_graph2 import _NATION_REGION_SCRIPT
+    from esgopeta_spark.session import read_table
+
+    rows = (
+        read_table(spark, sf_dir, "nation")
+        .join(
+            read_table(spark, sf_dir, "region"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.concat(F.lit("nation:"), F.lower("n_name")).alias("n_comment"),
+            "r_name",
+        )
+        .orderBy("n_nationkey")
+        .collect()
+    )
+    got = [
+        {k: r[k] for k in ("n_nationkey", "n_name", "n_comment", "r_name")} for r in rows
+    ]
+    assert got == _NATION_REGION_SCRIPT
+
+
+def test_put_replay_entry_is_execution_free(spark, sf_dir):
+    """The pure-put fast path (graph._lookup python HAM fold) means the
+    35-put replay builds its result plan without running ANY Spark job."""
+    from esgopeta_spark.plans import REGISTRY
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    ids_before = set(tracker.getJobIdsForGroup(None) or [])
+    df = REGISTRY["graph_put_replay"].fn(spark, sf_dir)
+    _ = df.schema  # analysis only
+    ids_after = set(tracker.getJobIdsForGroup(None) or [])
+    assert ids_after == ids_before, f"put replay ran jobs: {sorted(ids_after - ids_before)}"
