@@ -198,6 +198,11 @@ def field_history(updates: DataFrame) -> DataFrame:
     codegen'd window function over it.  This is the standard
     slowly-changing-dimension shape: the graph's LWW update log becomes
     a queryable history table.
+
+    Every version row carries the FULL value payload (all VALUE_COLUMNS,
+    same as ham_merge exposes for the winner) — string/bool/relation
+    versions keep their values, not just numeric ones (r4 ADVICE: the
+    old value_number-only projection NULLed non-numeric history).
     """
     from pyspark.sql.window import Window
 
@@ -207,7 +212,7 @@ def field_history(updates: DataFrame) -> DataFrame:
     return updates.select(
         "soul",
         "field",
-        "value_number",
+        *VALUE_COLUMNS,
         F.row_number().over(w).alias("version"),
         F.col("state").cast("bigint").alias("valid_from_ms"),
         F.lead(F.col("state").cast("bigint")).over(w).alias("valid_to_ms"),

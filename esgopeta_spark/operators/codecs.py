@@ -545,8 +545,11 @@ def decode_gif(b: bytes) -> np.ndarray:
     if len(b) < 13:
         raise ValueError("truncated GIF header")
     pos = 6
-    pos += 4  # logical screen w/h (frame uses its own descriptor)
+    screen_w = int.from_bytes(b[pos : pos + 2], "little")
+    screen_h = int.from_bytes(b[pos + 2 : pos + 4], "little")
+    pos += 4
     packed = b[pos]
+    bg_index = b[pos + 1]
     pos += 3  # packed, bg color, aspect
     gct = None
     if packed & 0x80:
@@ -566,11 +569,17 @@ def decode_gif(b: bytes) -> np.ndarray:
             continue
         if block != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
-        # image descriptor
+        # image descriptor (left/top offsets matter: optimized real-world
+        # GIFs position the first frame inside a larger logical screen —
+        # r4 ADVICE: ignoring them silently mis-reports geometry)
         if pos + 9 > len(b):
             raise ValueError("truncated image descriptor")
+        left = int.from_bytes(b[pos : pos + 2], "little")
+        top = int.from_bytes(b[pos + 2 : pos + 4], "little")
         w = int.from_bytes(b[pos + 4 : pos + 6], "little")
         h = int.from_bytes(b[pos + 6 : pos + 8], "little")
+        if left + w > screen_w or top + h > screen_h:
+            raise ValueError("GIF frame exceeds logical screen bounds")
         ipacked = b[pos + 8]
         pos += 9
         ct = gct
@@ -603,7 +612,15 @@ def decode_gif(b: bytes) -> np.ndarray:
             de = np.empty_like(idx)
             de[order] = idx
             idx = de
-        return ct[idx]
+        frame = ct[idx]
+        if left == 0 and top == 0 and (w, h) == (screen_w, screen_h):
+            return frame
+        # composite onto the logical screen, background-color filled —
+        # what any stock decoder reports for a positioned first frame
+        bg = ct[bg_index] if gct is not None and bg_index < len(gct) else np.zeros(3, np.uint8)
+        canvas = np.tile(bg.astype(np.uint8), (screen_h, screen_w, 1))
+        canvas[top : top + h, left : left + w] = frame
+        return canvas
     raise ValueError("GIF contains no image frame")
 
 
@@ -683,9 +700,13 @@ _MP3_RATES = [44100, 48000, 32000]
 @_quarantine
 def parse_mp3_meta(b: bytes) -> dict:
     """Skip any ID3v2 tag, find the first MPEG-1 Layer III frame header,
-    and estimate duration from the audio byte count at the header's
-    bitrate (exact for CBR, the dominant corpus case).  Returns
-    {sample_rate, bitrate_kbps, duration_ms}."""
+    and derive duration: from the Xing/Info or VBRI header's frame count
+    when present (the VBR case — r4 ADVICE: the CBR formula is
+    confidently wrong there), else from the audio byte count at the
+    header's bitrate (exact for CBR).  Returns {sample_rate,
+    bitrate_kbps, duration_ms, is_vbr, is_cbr_estimate} —
+    ``is_cbr_estimate`` lets downstream corpus filters discount
+    durations that came from the single-header assumption."""
     pos = 0
     if b[:3] == b"ID3":
         if len(b) < 10:
@@ -706,11 +727,34 @@ def parse_mp3_meta(b: bytes) -> dict:
         ):
             bitrate = _MP3_BITRATES[h[2] >> 4]
             rate = _MP3_RATES[(h[2] >> 2) & 0x03]
+            # MPEG-1 Layer III: 1152 samples per frame; side info is 32
+            # bytes (17 for mono, channel mode bits 11 in byte 3)
+            n_frames = None
+            side = 17 if (h[3] >> 6) == 3 else 32  # mono -> 17
+            xing_off = pos + 4 + side
+            if b[xing_off : xing_off + 4] in (b"Xing", b"Info"):
+                flags = int.from_bytes(b[xing_off + 4 : xing_off + 8], "big")
+                if flags & 0x1 and len(b) >= xing_off + 12:
+                    n_frames = int.from_bytes(b[xing_off + 8 : xing_off + 12], "big")
+            vbri_off = pos + 4 + 32  # VBRI sits at a fixed 32-byte offset
+            if n_frames is None and b[vbri_off : vbri_off + 4] == b"VBRI":
+                if len(b) >= vbri_off + 18:
+                    n_frames = int.from_bytes(b[vbri_off + 14 : vbri_off + 18], "big")
+            if n_frames is not None:
+                return {
+                    "sample_rate": rate,
+                    "bitrate_kbps": bitrate,
+                    "duration_ms": n_frames * 1152 * 1000 // rate,
+                    "is_vbr": True,
+                    "is_cbr_estimate": False,
+                }
             audio_bytes = len(b) - pos
             return {
                 "sample_rate": rate,
                 "bitrate_kbps": bitrate,
                 "duration_ms": audio_bytes * 8 // bitrate,
+                "is_vbr": False,
+                "is_cbr_estimate": True,
             }
         pos += 1
     raise ValueError("no MPEG-1 Layer III frame sync found")

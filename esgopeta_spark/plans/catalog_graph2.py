@@ -348,4 +348,8 @@ def graph_ttl_tracking(spark, sf):
 def graph_field_history_intervals(spark, sf):
     from esgopeta_spark.ham import field_history
 
-    return field_history(_events_as_updates(spark, sf))
+    # field_history carries the full VALUE_COLUMNS payload (r5); this
+    # all-number log projects the numeric value to keep the oracle shape
+    return field_history(_events_as_updates(spark, sf)).select(
+        "soul", "field", "value_number", "version", "valid_from_ms", "valid_to_ms"
+    )

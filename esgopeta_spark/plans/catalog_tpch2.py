@@ -419,20 +419,36 @@ def q15_top_supplier(spark, sf):
 
 _PS_SQL = """
     scnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM supplier),
-    ps AS (
+    ps_raw AS (
       SELECT CAST(p_partkey AS BIGINT) AS ps_partkey,
              (CAST(p_partkey AS BIGINT) + k.k * (scnt.cnt // 4 + CAST(p_partkey AS BIGINT) // scnt.cnt)) % scnt.cnt AS ps_suppkey,
              (CAST(p_partkey AS BIGINT) * 7 + k.k * 11) % 9999 + 1 AS ps_availqty,
-             (CAST(p_partkey AS BIGINT) * 13 + k.k * 17) % 99900 + 100 AS ps_supplycost_cent
-      FROM part, scnt, (SELECT UNNEST(range(0, 4)) AS k) k)
+             (CAST(p_partkey AS BIGINT) * 13 + k.k * 17) % 99900 + 100 AS ps_supplycost_cent,
+             k.k AS slot_k
+      FROM part, scnt, (SELECT UNNEST(range(0, 4)) AS k) k),
+    ps AS (
+      -- dbgen guarantees 4 DISTINCT suppliers per part; the stride can
+      -- collide mod supplier-count when it shares a factor with it, so
+      -- dedup per (part, supplier) keeping the lowest slot (min-k is a
+      -- total order: deterministic, unlike bare DISTINCT-on-subset)
+      SELECT ps_partkey, ps_suppkey, ps_availqty, ps_supplycost_cent
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY ps_partkey, ps_suppkey
+                                         ORDER BY slot_k) AS _rn
+            FROM ps_raw)
+      WHERE _rn = 1)
 """
 
 
 def _partsupp(spark, sf):
-    """Spark twin of _PS_SQL: 4 deterministic supplier slots per part."""
+    """Spark twin of _PS_SQL: 4 deterministic supplier slots per part,
+    deduped per (part, supplier) on the lowest slot — the stride can
+    collide mod supplier-count (r4 ADVICE), and dbgen's real partsupp
+    never repeats a pair."""
+    from pyspark.sql.window import Window
+
     p = T(spark, sf, "part").select(F.col("p_partkey").cast("bigint").alias("ps_partkey"))
     scnt = T(spark, sf, "supplier").agg(F.count("*").cast("bigint").alias("_scnt"))
-    return (
+    raw = (
         p.crossJoin(F.broadcast(scnt))  # 1-row scalar, broadcast by construction
         .select("ps_partkey", "_scnt", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("_k"))
         .select(
@@ -443,7 +459,14 @@ def _partsupp(spark, sf):
             ).alias("ps_suppkey"),
             ((F.col("ps_partkey") * 7 + F.col("_k") * 11) % 9999 + 1).alias("ps_availqty"),
             ((F.col("ps_partkey") * 13 + F.col("_k") * 17) % 99900 + 100).alias("ps_supplycost_cent"),
+            F.col("_k"),
         )
+    )
+    w = Window.partitionBy("ps_partkey", "ps_suppkey").orderBy("_k")
+    return (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("ps_partkey", "ps_suppkey", "ps_availqty", "ps_supplycost_cent")
     )
 
 

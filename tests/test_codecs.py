@@ -658,3 +658,49 @@ def test_mjpeg_poison_counts_and_multitrak_and_stsc():
     assert len(out) == 4
     for a, b2 in zip(frames, out):
         assert b2.shape == a.shape and _psnr(a, b2) > 40
+
+
+def test_gif_positioned_frame_composites_on_screen():
+    """r4 ADVICE: optimized real-world GIFs position the first frame
+    inside a larger logical screen; the decoder must composite onto a
+    bg-filled screen-sized canvas (and reject out-of-bounds frames)."""
+    inner = _pal_image(6, 4, 5)
+    g = bytearray(codecs.encode_gif(inner))
+    # widen the logical screen to 10x9 and move the frame to (3, 2)
+    g[6:8] = (10).to_bytes(2, "little")
+    g[8:10] = (9).to_bytes(2, "little")
+    desc = bytes(g).index(b"\x2c")
+    g[desc + 1 : desc + 3] = (3).to_bytes(2, "little")  # left
+    g[desc + 3 : desc + 5] = (2).to_bytes(2, "little")  # top
+    out = codecs.decode_gif(bytes(g))
+    assert out.shape == (9, 10, 3)
+    assert np.array_equal(out[2:6, 3:9], codecs.decode_gif(codecs.encode_gif(inner)))
+    # background fill = GCT entry 0 everywhere outside the frame
+    bg = out[0, 0]
+    assert np.array_equal(out[8, :], np.tile(bg, (10, 1)))
+    # out-of-bounds frame -> ValueError, not silent garbage
+    g[desc + 1 : desc + 3] = (7).to_bytes(2, "little")  # 7 + 6 > 10
+    with pytest.raises(ValueError):
+        codecs.decode_gif(bytes(g))
+
+
+def test_mp3_vbr_xing_duration():
+    """r4 ADVICE: a Xing/Info (or VBRI) header overrides the CBR duration
+    formula; CBR files are flagged is_cbr_estimate for downstream
+    filters."""
+    cbr = codecs.parse_mp3_meta(codecs.encode_mp3_stub(3000, 128, 44100))
+    assert cbr["is_cbr_estimate"] and not cbr["is_vbr"]
+    assert abs(cbr["duration_ms"] - 3000) <= 1
+
+    # hand-build a VBR stub: frame header (stereo -> 32-byte side info)
+    # + Xing tag with frame count 500 -> 500 * 1152 / 44100 s
+    hdr = bytes([0xFF, 0xFB, (9 << 4) | (0 << 2), 0x00])
+    xing = bytes(32) + b"Xing" + (0x1).to_bytes(4, "big") + (500).to_bytes(4, "big")
+    vbr = codecs.parse_mp3_meta(b"ID3\x04\x00\x00\x00\x00\x00\x00" + hdr + xing + bytes(2000))
+    assert vbr["is_vbr"] and not vbr["is_cbr_estimate"]
+    assert vbr["duration_ms"] == 500 * 1152 * 1000 // 44100
+
+    # VBRI variant (fixed 32-byte offset, frames at +14)
+    vbri = bytes(32) + b"VBRI" + bytes(10) + (250).to_bytes(4, "big")
+    v2 = codecs.parse_mp3_meta(hdr + vbri + bytes(2000))
+    assert v2["is_vbr"] and v2["duration_ms"] == 250 * 1152 * 1000 // 44100

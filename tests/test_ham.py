@@ -288,3 +288,41 @@ def test_field_history_intervals_consistent_with_merge(spark):
             assert a["valid_to_ms"] == b["valid_from_ms"]  # gapless chain
         assert versions[-1]["valid_to_ms"] is None
         assert versions[-1]["value_number"] == merged[key]  # current == merge
+
+
+def test_field_history_carries_nonnumeric_payloads(spark):
+    """r4 ADVICE: history rows of string/bool/relation-valued fields must
+    retain their payload (the old projection surfaced NULL value rows for
+    every non-numeric version)."""
+    from esgopeta_spark.ham import field_history
+    from esgopeta_spark.types import UPDATE_SCHEMA, encode_value
+
+    def u(soul, field, value, state):
+        import datetime
+
+        return {
+            "msg_id": f"{soul}/{field}/{state}", "ack_id": None, "peer_id": "p",
+            "recv_ts": datetime.datetime(2024, 1, 1),
+            "soul": soul, "field": field, **encode_value(value), "state": float(state),
+        }
+
+    log = [
+        u("s", "name", "alice", 100), u("s", "name", "bob", 200),
+        u("s", "flag", True, 100), u("s", "flag", False, 300),
+        u("s", "link", {"#": "other"}, 150),
+        u("s", "n", 1, 100), u("s", "n", 2, 200),
+    ]
+    hist = field_history(spark.createDataFrame(log, UPDATE_SCHEMA)).collect()
+    by = {}
+    for r in hist:
+        by.setdefault(r["field"], []).append(r)
+    names = sorted(by["name"], key=lambda r: r["version"])
+    assert [r["value_string"] for r in names] == ["alice", "bob"]
+    flags = sorted(by["flag"], key=lambda r: r["version"])
+    assert [r["value_bool"] for r in flags] == [True, False]
+    assert by["link"][0]["value_relation"] == "other"
+    ns = sorted(by["n"], key=lambda r: r["version"])
+    assert [r["value_number"] for r in ns] == [1.0, 2.0]
+    # every row still exposes the full VALUE_COLUMNS surface
+    assert {"value_type", "value_number_raw", "value_number", "value_string",
+            "value_bool", "value_relation"} <= set(hist[0].asDict())

@@ -166,13 +166,15 @@ def test_all_registry_entries_analyze(spark):
 
     Mostly execution-free (.schema only); known exceptions that DO run small
     bounded Spark jobs inside fn() because their semantics need a driver-side
-    scalar or replay loop: graph_ttl_tracking (point collect),
-    graph_put_replay (35-put replay with point lookups), the pagerank /
+    scalar or replay loop: graph_ttl_tracking (point collect), the pagerank /
     connected-components entries (iterative driver loops), and the round-4
     additions built on those loops — dedup_semantic_kmeans (k-means +
     components) and graph_bfs_hops_nation0 (per-round frontier emptiness
-    checks), plus bpe_vocab_merges (10 merge rounds, each a 1-row argmax
-    collect).  Wall-clock is bounded by tiny SF_SMOKE inputs."""
+    checks), plus bpe_vocab_merges (batched merge rounds, each a top-K
+    collect).  graph_put_replay left this list in r5: the pure-put fast
+    path makes its 35-put replay execution-free
+    (tests/test_graph.py::test_put_replay_entry_is_execution_free).
+    Wall-clock is bounded by tiny SF_SMOKE inputs."""
     from esgopeta_spark.plans import REGISTRY
 
     failures = []
