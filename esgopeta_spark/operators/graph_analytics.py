@@ -26,6 +26,7 @@ def pagerank(
     iterations: int = 3,
     src: str = "src",
     dst: str = "dst",
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Fixed-iteration PageRank (damping 0.85) over a directed edge list.
 
@@ -52,11 +53,15 @@ def pagerank(
     # localCheckpoint over persist(): the blocks are reclaimed by the
     # ContextCleaner when the result goes out of scope — persist() would
     # pin CacheManager entries for the session
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint()
-    nodes = e.select(F.col("src").alias("node")).union(e.select("dst")).distinct().localCheckpoint()
+    from esgopeta_spark.operators.checkpoint import materialize
+
+    e = materialize(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")), checkpoint)
+    nodes = materialize(
+        e.select(F.col("src").alias("node")).union(e.select("dst")).distinct(), checkpoint
+    )
     deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
     # every iteration re-reads the degree-annotated edges and the node set
-    ed = e.join(deg, "src").localCheckpoint()  # (src, dst, _deg)
+    ed = materialize(e.join(deg, "src"), checkpoint)  # (src, dst, _deg)
     rank = nodes.withColumn("rank_micro", F.lit(1000000).cast("bigint"))
     for _ in range(iterations):
         contrib = (
@@ -182,3 +187,64 @@ def shortest_hops(
         dist = materialize(dist.unionByName(nxt), checkpoint)
         frontier = nxt
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: str = "local",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007, arXiv:0709.2938; the GraphX LabelPropagation analog) over an
+    edge list treated as UNDIRECTED (symmetrized, de-duplicated,
+    self-loops dropped).
+
+    Returns (node, community).  Fully DETERMINISTIC, unlike textbook
+    async LPA: all nodes update simultaneously each round, every node
+    starts as its own label, and a node's next label is its neighbors'
+    most frequent label with ties broken by the SMALLEST label — a total
+    order, so the result is reproducible at any parallelism and
+    expressible as an unrolled SQL oracle (one CTE block per round,
+    catalog entry graph_communities_lpa).
+
+    Plan shape per round: one equi-join of edges against the label
+    relation (shuffle on the neighbor key), one (node, label) partial
+    aggregate, one per-node argmax window — all narrow integer rows.
+    Rounds is a small constant (sync LPA stabilizes in a few rounds;
+    fixed count keeps it oracle-able), each lineage-cut per the
+    ``checkpoint`` knob (operators/checkpoint.py).  At 100 TB:
+    pre-partition edges by the neighbor key so the per-round join
+    co-locates; skew from hub communities flattens because the argmax
+    aggregates before the window.
+    """
+    from pyspark.sql.window import Window
+
+    from esgopeta_spark.operators.checkpoint import materialize
+
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    e = materialize(
+        und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct(),
+        checkpoint,
+    )
+    labels = e.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    w = Window.partitionBy("node").orderBy(F.col("_c").desc(), F.col("label").asc())
+    for _ in range(rounds):
+        gathered = (
+            e.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy(F.col("a").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        labels = materialize(
+            gathered.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "label"),
+            checkpoint,
+        )
+    return labels.select("node", F.col("label").alias("community"))

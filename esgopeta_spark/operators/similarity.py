@@ -15,6 +15,11 @@ Two tiers:
 - **IVF-flat ANN** (``topk_cosine_ivf``) — coarse-quantize into cells via
   a deterministic strided codebook, probe the n nearest cells per query;
   the same equi-join shape with a tunable recall/cost dial.
+- **PQ-ADC** (``pq_encode`` / ``topk_ip_pq``) — the compressed-domain
+  tier (Jégou et al. 2011): vectors become m sub-codes, queries score
+  via broadcast lookup tables without touching the original vectors;
+  optional exact rerank of the top ADC candidates.  All integer
+  micro-unit arithmetic — both stages are DuckDB-hash-exact.
 - **embedding near-dup** (``embedding_dup_pairs_*``) — all-pairs cosine >=
   threshold, exact (quadratic oracle) and LSH-bucketed (linear scale path).
 """
@@ -23,6 +28,7 @@ from __future__ import annotations
 
 import math
 import random
+from typing import Iterator
 
 import numpy as np
 import pandas as pd  # module-level so pandas_udf type hints resolve under PEP 563
@@ -715,4 +721,210 @@ def embedding_dup_pairs_lsh(
         )
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-domain ANN tier
+# ---------------------------------------------------------------------------
+
+
+def pq_encode(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codes (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search", IEEE TPAMI — public):
+    each vector splits into ``m`` subspaces of dim/m components; each
+    sub-vector maps to the id of its nearest sub-centroid, so a 64-dim
+    float vector compresses to ``m`` small codes (16x at m=8/ks=16,
+    64x with float32 vs 8 uint8 codes at m=8/ks=256).
+
+    Returns (id, codes array<int> of length m).  ENGINE-EXACT by
+    construction, so a DuckDB oracle can replicate it bit-for-bit:
+
+    - components quantize to integer micro-units floor(v*1e6+0.5);
+    - sub-codebooks are the sub-vectors of the first ``ks`` corpus ids
+      (deterministic seed codebook — production would refine with
+      kmeans_codebook per subspace, same micro-unit discipline);
+    - assignment = argmin of EXACT int64 squared distance, ties to the
+      smallest centroid id.
+
+    Scale shape: the ks*dim codebook broadcasts inside the Arrow kernel
+    closure (CLAUDE.md: per-row heavy math = pandas kernel, not
+    interpreted HOF folds); the corpus is one mapInPandas pass, never
+    shuffled.  At 100 TB the codebook is still KBs — train once on a
+    sample, encode embarrassingly parallel.
+    """
+    sub = dim // m
+    if sub * m != dim:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    cents = (
+        corpus.filter(F.col(id_col) < ks)
+        .select(
+            F.col(id_col).alias("cid"),
+            F.expr(
+                f"transform(slice({vec_col}, 1, {dim}), x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
+            ).alias("vm"),
+        )
+        .collect()
+    )
+    if len(cents) < ks:
+        raise ValueError(f"corpus must contain ids 0..{ks - 1} for the seed codebook")
+    # (m, ks, sub) int64 codebook, ordered by centroid id
+    cb = np.zeros((m, ks, sub), dtype=np.int64)
+    for r in cents:
+        for s in range(m):
+            cb[s, r["cid"]] = r["vm"][s * sub : (s + 1) * sub]
+
+    out_schema = "id bigint, codes array<int>"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vm = np.stack(
+                [np.asarray(v, dtype=np.int64) for v in pdf["vm"]]
+            ).reshape(len(pdf), m, sub)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                # (n, ks) exact int64 squared distances; argmin ties break
+                # to the smallest cid because argmin returns the first
+                d = ((vm[:, None, s, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = np.argmin(d, axis=1)
+            yield pd.DataFrame({"id": pdf["id"], "codes": list(codes)})
+
+    quant = corpus.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.expr(
+            f"transform(slice({vec_col}, 1, {dim}), x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
+        ).alias("vm"),
+    )
+    return quant.mapInPandas(kernel, out_schema)
+
+
+def topk_ip_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    rerank: int = 0,
+) -> DataFrame:
+    """Top-k inner-product search with PQ asymmetric distance computation
+    (ADC): queries stay exact; each query precomputes one lookup table of
+    dot(q_sub, centroid) per (subspace, centroid), and a corpus vector's
+    approximate score is the sum of m table lookups over its codes —
+    never touching the original vectors.
+
+    Returns (query_id, nbr_id, score_micro2, rank) — scores in exact
+    integer micro^2 units under the same quantization as ``pq_encode``,
+    so the whole pipeline is DuckDB-hash-checkable.  ``rerank`` > 0
+    re-scores the top ``rerank`` ADC candidates per query with the exact
+    inner product and returns the top-k of those (the standard PQ+rerank
+    recipe; recall pinned in tests/test_llm_ops.py).
+
+    Scale shape: codes are one narrow mapInPandas pass over the corpus
+    (pq_encode); query LUTs are (q, m*ks) and BROADCAST; the score stage
+    is an 8-term codegen'd array-lookup sum per (corpus, query) pair with
+    a narrow projection before the per-query top-k window.  The corpus
+    never shuffles until the window, and what shuffles is (id, query,
+    score) — not vectors.  At 100 TB with ks=256/uint8 codes this is the
+    memory-bound tier between IVF cells and exact re-rank.
+    """
+    sub = dim // m
+    codes = pq_encode(corpus, dim, m, ks, id_col, vec_col)
+
+    cents = (
+        corpus.filter(F.col(id_col) < ks)
+        .select(
+            F.col(id_col).alias("cid"),
+            F.expr(
+                f"transform(slice({vec_col}, 1, {dim}), x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
+            ).alias("vm"),
+        )
+        .collect()
+    )
+    cb = np.zeros((m, ks, sub), dtype=np.int64)
+    for r in cents:
+        for s in range(m):
+            cb[s, r["cid"]] = r["vm"][s * sub : (s + 1) * sub]
+
+    lut_schema = "query_id bigint, lut array<bigint>"
+
+    def lut_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            qm = np.stack(
+                [np.asarray(v, dtype=np.int64) for v in pdf["vm"]]
+            ).reshape(len(pdf), m, sub)
+            # (n, m, ks) exact int64 dot tables, flattened row-major
+            luts = np.einsum("nsd,skd->nsk", qm, cb).reshape(len(pdf), m * ks)
+            yield pd.DataFrame({"query_id": pdf["query_id"], "lut": list(luts)})
+
+    qm = queries.select(
+        F.col(query_id_col).cast("bigint").alias("query_id"),
+        F.expr(
+            f"transform(slice({vec_col}, 1, {dim}), x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
+        ).alias("vm"),
+    )
+    luts = qm.mapInPandas(lut_kernel, lut_schema)
+
+    # ADC score: sum of m array lookups, fully codegen'd (1-based
+    # element_at; code s indexes block s of the flattened LUT)
+    score = None
+    for s in range(m):
+        term = F.element_at(
+            F.col("lut"), (F.lit(s * ks + 1) + F.element_at(F.col("codes"), s + 1)).cast("int")
+        )
+        score = term if score is None else score + term
+    pairs = codes.crossJoin(F.broadcast(luts)).select(
+        "query_id",
+        F.col("id").alias("nbr_id"),
+        score.alias("score_micro2"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro2").desc(), F.col("nbr_id").asc()
+    )
+    if not rerank:
+        return (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "nbr_id", "score_micro2", "rank")
+        )
+    cand = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank)
+        .select("query_id", "nbr_id")
+    )
+    c = corpus.select(
+        F.col(id_col).cast("bigint").alias("nbr_id"), as_double(F.col(vec_col)).alias("_cv")
+    )
+    q = queries.select(
+        F.col(query_id_col).cast("bigint").alias("query_id"),
+        as_double(F.col(vec_col)).alias("_qv"),
+    )
+    exact = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "nbr_id")
+        .select(
+            "query_id",
+            "nbr_id",
+            F.floor(dot_unrolled(F.col("_qv"), F.col("_cv"), dim) * 1000000000000.0 + 0.5)
+            .cast("bigint")
+            .alias("score_micro2"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro2").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "score_micro2", "rank")
     )

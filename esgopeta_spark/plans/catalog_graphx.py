@@ -167,3 +167,60 @@ def graph_bfs_hops_nation0(spark, sf):
         .select(F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node"))
     )
     return shortest_hops(edges, seeds, max_hops=4)
+
+
+@register(
+    "graph_communities_lpa",
+    "A1,E3,E4,E5",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    l0 AS (SELECT DISTINCT a AS node, a AS label FROM e),
+    g1 AS (SELECT e.a AS node, l0.label, COUNT(*) AS c
+           FROM e JOIN l0 ON e.b = l0.node GROUP BY 1, 2),
+    l1 AS (SELECT node, label FROM (
+             SELECT node, label,
+                    ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+             FROM g1) WHERE rn = 1),
+    g2 AS (SELECT e.a AS node, l1.label, COUNT(*) AS c
+           FROM e JOIN l1 ON e.b = l1.node GROUP BY 1, 2),
+    l2 AS (SELECT node, label FROM (
+             SELECT node, label,
+                    ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+             FROM g2) WHERE rn = 1),
+    g3 AS (SELECT e.a AS node, l2.label, COUNT(*) AS c
+           FROM e JOIN l2 ON e.b = l2.node GROUP BY 1, 2),
+    l3 AS (SELECT node, label FROM (
+             SELECT node, label,
+                    ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+             FROM g3) WHERE rn = 1)
+    SELECT node, label AS community FROM l3
+    """,
+    doc="synchronous label-propagation community detection (Raghavan et al. "
+    "2007, GraphX LabelPropagation analog) on the recurring co-purchase graph "
+    "(same edge derivation as graph_triangles_coorder), 3 deterministic rounds: "
+    "next label = neighbors' most frequent, ties to the SMALLEST label — a "
+    "total order, so the oracle is the identical recurrence unrolled as one "
+    "CTE block per round.  Per round: one edge⋈label equi-join + one "
+    "(node,label) partial agg + one per-node argmax window "
+    "(operators/graph_analytics.label_propagation)",
+)
+def graph_communities_lpa(spark, sf):
+    from esgopeta_spark.operators.graph_analytics import label_propagation
+
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy(F.col("pa").alias("ea"), F.col("pb").alias("eb"))
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("ea", "eb")
+    )
+    return label_propagation(edges, rounds=3, src="ea", dst="eb")

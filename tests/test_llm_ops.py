@@ -679,3 +679,48 @@ def test_reliable_checkpoint_mode_identical_results(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError):
         dup_components(pairs, checkpoint="ram")
+
+
+def test_pq_adc_recall_and_rerank(spark, sf_dir):
+    """PQ-ADC must find most of the exact top-k (coarse 16-centroid seed
+    codebook — recall bound is modest), and the PQ+rerank recipe must
+    recover nearly all of it; reranked scores are exact inner products."""
+    from esgopeta_spark.operators.similarity import topk_cosine, topk_ip_pq
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # exact INNER-PRODUCT top-k ground truth (self-match included, like PQ)
+    adc = topk_ip_pq(emb, queries, dim=64, k=5, m=8, ks=16)
+    # uniform random 64-dim data is PQ's hard case (no cluster structure,
+    # 16-centroid seed codebook): measured candidate recall 0.6/0.7/0.88
+    # at depth 25/50/100 — rerank depth buys recall, the PQ dial
+    rr = topk_ip_pq(emb, queries, dim=64, k=5, m=8, ks=16, rerank=100)
+
+    import numpy as np
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    truth = {}
+    for qid in [r["query_id"] for r in queries.collect()]:
+        scores = sorted(
+            ((float(vecs[qid] @ v), -i) for i, v in vecs.items()), reverse=True
+        )[:5]
+        truth[qid] = {-i for _, i in scores}
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["nbr_id"])
+        hits = sum(len(got[q] & truth[q]) for q in truth)
+        return hits / (5 * len(truth))
+
+    r_adc, r_rr = recall(adc), recall(rr)
+    assert r_adc >= 0.3, f"raw ADC recall collapsed: {r_adc}"
+    assert r_rr >= 0.8, f"PQ+rerank recall too low: {r_rr}"
+    assert r_rr >= r_adc  # reranking can only help
+    # every query's top hit under rerank matches the exact argmax
+    top1 = {r["query_id"]: r["nbr_id"] for r in rr.filter(F.col("rank") == 1).collect()}
+    for qid, t in truth.items():
+        best = max(t, key=lambda i: (float(vecs[qid] @ vecs[i]), -i))
+        assert top1[qid] == best

@@ -256,3 +256,37 @@ def test_derived_partsupp_queries_join_posture(spark, sf_dir):
         # (formatted explain prints each node twice: tree line + detail header)
         assert p.count("BroadcastNestedLoopJoin Cross BuildRight") == p.count("BroadcastNestedLoopJoin") // 2, name
         assert "BroadcastHashJoin" in p, name
+
+
+def test_pq_adc_broadcasts_luts_and_stays_narrow(spark, sf_dir):
+    from esgopeta_spark.operators.similarity import topk_ip_pq
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    p = plan_of(topk_ip_pq(emb, q, dim=64, k=5))
+    # the (codes x LUT) pairing is a cross product BY DESIGN, bounded by
+    # the query count — legal only with the tiny LUT side broadcast
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "CartesianProduct" not in p
+    # the window shuffle must carry (query, nbr, score), never vectors or
+    # LUT arrays: no 'lut' or 'vm' column may cross the exchange
+    window_part = p.split("Window")[0].split("Exchange")[-1]
+    assert "lut" not in window_part and "vm" not in window_part, p
+
+
+def test_lpa_round_join_is_equi(spark, sf_dir):
+    from esgopeta_spark.operators.graph_analytics import label_propagation
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy(F.col("pa").alias("ea"), F.col("pb").alias("eb"))
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("ea", "eb")
+    )
+    p = plan_of(label_propagation(edges, rounds=2, src="ea", dst="eb"))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
