@@ -311,3 +311,52 @@ def pack_sequences(
         F.sum("n_tok").alias("tokens_used"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+def ngram_commonness(
+    docs: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-statistics quality proxy: how COMMON are a document's word
+    n-grams in the whole corpus?  The integer-exact cousin of CCNet's
+    LM-perplexity filter (Wenzek et al. 2020, arXiv:1911.00359): junk
+    documents (gibberish, random-id boilerplate) score low because their
+    n-grams appear nowhere else; fluent prose scores high.  Staying in
+    raw integer counts instead of log-probabilities keeps the whole
+    pipeline engine-exact (no transcendental ulp drift in the oracle).
+
+    Returns (doc_id, n_grams, sum_freq, mean_freq_c) with mean_freq_c =
+    100 * sum / count under integer floor division.
+
+    Plan: one explode -> global (gram, count) partial-agg shuffle ->
+    join grams back to counts -> per-doc aggregate.  At 100 TB, swap the
+    gram join for a broadcast of the top-K most frequent grams and treat
+    misses as count 1 — rare grams are exactly the ones whose tail you
+    don't need resolved to filter on commonness.
+    """
+    w = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("w"),
+    ).filter(F.size("w") >= n)
+    grams = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(slice(w, 1, size(w) - {n - 1}), (x, i) -> concat_ws(' ', slice(w, i + 1, {n})))"
+            )
+        ).alias("gram"),
+    )
+    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        grams.join(freq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("freq").alias("sum_freq"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "sum_freq",
+            F.expr("sum_freq * 100 div n_grams").alias("mean_freq_c"),
+        )
+    )

@@ -519,3 +519,35 @@ def sql_recursive_hierarchy_rollup(spark, sf):
         FROM walk GROUP BY depth
         """
     )
+
+
+@register(
+    "text_ngram_commonness",
+    "G4",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+      FROM documents),
+    g AS (
+      SELECT doc_id, array_to_string(w[i : i + 1], ' ') AS gram
+      FROM (SELECT doc_id, w, UNNEST(range(1, len(w))) AS i
+            FROM d WHERE len(w) >= 2)),
+    f AS (SELECT gram, COUNT(*) AS freq FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(f.freq) AS BIGINT) AS sum_freq,
+           CAST(SUM(f.freq) * 100 // COUNT(*) AS BIGINT) AS mean_freq_c
+    FROM g JOIN f USING (gram)
+    GROUP BY g.doc_id
+    """,
+    doc="corpus-statistics quality proxy (integer-exact cousin of CCNet's "
+    "LM-perplexity filter, Wenzek et al. 2020): per-doc mean corpus frequency "
+    "of its word bigrams — junk/gibberish docs score low, fluent prose high.  "
+    "One explode -> global gram-count shuffle -> count join -> per-doc agg, "
+    "all exact integer counts (operators/text.ngram_commonness)",
+)
+def text_ngram_commonness(spark, sf):
+    from esgopeta_spark.operators.text import ngram_commonness
+
+    return ngram_commonness(T(spark, sf, "documents"), n=2)
