@@ -85,6 +85,7 @@ class GunGraph:
         # base held unknown data); put scripts are small by nature, so the
         # linear scan is bounded — bulk writes go through streaming/upsert.
         self._pure_put_rows: list[dict] | None = [] if quads is None else None
+        self._pure_put_fold: DataFrame | None = None  # cached quads of the put log
 
     @property
     def quads(self) -> DataFrame:
@@ -95,9 +96,11 @@ class GunGraph:
         eagerly under AQE) is needed.  Otherwise folds any pending put
         frames on first read and caches the folded frame."""
         if self._pure_put_rows:
-            return ham_merge(
-                self.spark.createDataFrame(self._pure_put_rows, QUAD_SCHEMA)
-            )
+            if self._pure_put_fold is None:  # cache per (immutable) graph
+                self._pure_put_fold = ham_merge(
+                    self.spark.createDataFrame(self._pure_put_rows, QUAD_SCHEMA)
+                )
+            return self._pure_put_fold
         if self._pending:
             u = self._base
             for p in self._pending:
@@ -111,6 +114,7 @@ class GunGraph:
         self._base = df
         self._pending = []
         self._pure_put_rows = None  # external frame: unknown content
+        self._pure_put_fold = None
 
     # ------------------------------------------------------------------
     # construction

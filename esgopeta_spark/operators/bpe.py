@@ -20,7 +20,10 @@ runs on the word table alone.  Per round:
 Why the batch is exact (not an approximation).  Accept candidates in
 total order, stopping at the first that (a) shares a symbol with an
 already-accepted pick, or (b) whose concatenated merge string collides
-with an existing symbol; then drop trailing picks whose count does not
+with an existing symbol or with a merge accepted earlier in the SAME
+batch (two symbol-disjoint picks can concatenate identically — ("in",
+"g") vs ("i","ng") — and a new symbol fed by two merges would break the
+created-pair bound below); then drop trailing picks whose count does not
 STRICTLY exceed the first rejected candidate's count (the first pick is
 exempt — a batch of one is classic BPE by definition).  Under those
 rules each accepted pick q_i is exactly what sequential BPE would choose
@@ -169,6 +172,7 @@ def bpe_train(
         complete = len(cands) < room + 1  # fetched the entire pair table
         accepted: list[tuple[str, str, int]] = []
         used: set[str] = set()
+        batch_merged: set[str] = set()  # merge strings accepted THIS round
         tail_w = 0  # count bound on everything a kept pick must outrank
         exhausted = False
         for row in cands:
@@ -180,13 +184,26 @@ def bpe_train(
             if len(accepted) == room:
                 tail_w = w
                 break
+            # the merge-string collision guard must ALSO cover merges
+            # accepted earlier in this same batch: two disjoint picks with
+            # identical concatenations (e.g. ("in","g") and ("i","ng"))
+            # feed the SAME new symbol, so pairs created around it sum
+            # contributions from both merges — the per-pick tail bound no
+            # longer covers them and the sequence could diverge from
+            # batch=1.  Stopping at the second such pick keeps each new
+            # symbol fed by exactly one merge per batch (proof in module
+            # docstring holds).
             if accepted and (
-                left in used or right in used or (left + right) in vocab
+                left in used
+                or right in used
+                or (left + right) in vocab
+                or (left + right) in batch_merged
             ):
                 tail_w = w
                 break
             accepted.append((left, right, w))
             used.update((left, right))
+            batch_merged.add(left + right)
             if (left + right) in vocab:
                 # collision pick: safe alone (it IS the argmax) but later
                 # picks' counts could be boosted by it — end the batch.

@@ -616,8 +616,11 @@ def decode_gif(b: bytes) -> np.ndarray:
         if left == 0 and top == 0 and (w, h) == (screen_w, screen_h):
             return frame
         # composite onto the logical screen, background-color filled —
-        # what any stock decoder reports for a positioned first frame
-        bg = ct[bg_index] if gct is not None and bg_index < len(gct) else np.zeros(3, np.uint8)
+        # what any stock decoder reports for a positioned first frame.
+        # The background index is defined against the GLOBAL color table
+        # (a positioned frame may carry its own local table, which must
+        # not be indexed here)
+        bg = gct[bg_index] if gct is not None and bg_index < len(gct) else np.zeros(3, np.uint8)
         canvas = np.tile(bg.astype(np.uint8), (screen_h, screen_w, 1))
         canvas[top : top + h, left : left + w] = frame
         return canvas
@@ -730,9 +733,15 @@ def parse_mp3_meta(b: bytes) -> dict:
             # MPEG-1 Layer III: 1152 samples per frame; side info is 32
             # bytes (17 for mono, channel mode bits 11 in byte 3)
             n_frames = None
+            is_vbr = False
             side = 17 if (h[3] >> 6) == 3 else 32  # mono -> 17
             xing_off = pos + 4 + side
-            if b[xing_off : xing_off + 4] in (b"Xing", b"Info"):
+            tag = b[xing_off : xing_off + 4]
+            if tag in (b"Xing", b"Info"):
+                # 'Xing' marks VBR; 'Info' is LAME's marker for CBR files
+                # carrying the same frame-count header — duration is exact
+                # either way, but only Xing means variable bitrate
+                is_vbr = tag == b"Xing"
                 flags = int.from_bytes(b[xing_off + 4 : xing_off + 8], "big")
                 if flags & 0x1 and len(b) >= xing_off + 12:
                     n_frames = int.from_bytes(b[xing_off + 8 : xing_off + 12], "big")
@@ -740,12 +749,13 @@ def parse_mp3_meta(b: bytes) -> dict:
             if n_frames is None and b[vbri_off : vbri_off + 4] == b"VBRI":
                 if len(b) >= vbri_off + 18:
                     n_frames = int.from_bytes(b[vbri_off + 14 : vbri_off + 18], "big")
+                    is_vbr = True
             if n_frames is not None:
                 return {
                     "sample_rate": rate,
                     "bitrate_kbps": bitrate,
                     "duration_ms": n_frames * 1152 * 1000 // rate,
-                    "is_vbr": True,
+                    "is_vbr": is_vbr,
                     "is_cbr_estimate": False,
                 }
             audio_bytes = len(b) - pos

@@ -770,6 +770,7 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
     frame = None
     progressive = False
     coef: dict[int, np.ndarray] = {}  # comp id -> (n_blocks, 64) zigzag ints
+    scans_done = 0
     restart_interval = 0
     while True:
         if pos + 2 > len(b):
@@ -779,7 +780,10 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
         marker = b[pos + 1]
         pos += 2
         if marker == 0xD9:
-            if progressive and coef:
+            # at least one decoded scan required: SOF2+EOI with zero scans
+            # would otherwise fabricate an all-gray image from the empty
+            # coefficient store instead of quarantining
+            if progressive and coef and scans_done:
                 return _reconstruct_progressive(frame, coef, qtabs)
             raise ValueError("EOI before scan")
         if pos + 2 > len(b):
@@ -849,6 +853,7 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
                     b, pos + seglen, frame, scan_comps, ss, se, ahal >> 4, ahal & 0xF,
                     huff, restart_interval, coef,
                 )
+                scans_done += 1
                 continue
             pos += seglen
             return _decode_scan(b, pos, frame, scan_comps, qtabs, huff, restart_interval)

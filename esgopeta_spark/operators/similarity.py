@@ -729,6 +729,32 @@ def embedding_dup_pairs_lsh(
 # ---------------------------------------------------------------------------
 
 
+def _pq_micro_expr(vec_col: str, dim: int) -> str:
+    return (
+        f"transform(slice({vec_col}, 1, {dim}), "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
+    )
+
+
+def _pq_seed_codebook(corpus, dim, m, ks, id_col, vec_col) -> "np.ndarray":
+    """(m, ks, dim/m) int64 seed codebook: the micro-quantized sub-vectors
+    of the first ``ks`` corpus ids, ordered by centroid id.  One driver
+    collect of ks rows (KBs at any corpus scale)."""
+    sub = dim // m
+    cents = (
+        corpus.filter(F.col(id_col) < ks)
+        .select(F.col(id_col).alias("cid"), F.expr(_pq_micro_expr(vec_col, dim)).alias("vm"))
+        .collect()
+    )
+    if len(cents) < ks:
+        raise ValueError(f"corpus must contain ids 0..{ks - 1} for the seed codebook")
+    cb = np.zeros((m, ks, sub), dtype=np.int64)
+    for r in cents:
+        for s in range(m):
+            cb[s, r["cid"]] = r["vm"][s * sub : (s + 1) * sub]
+    return cb
+
+
 def pq_encode(
     corpus: DataFrame,
     dim: int,
@@ -736,6 +762,7 @@ def pq_encode(
     ks: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook=None,
 ) -> DataFrame:
     """Product-quantization codes (Jégou et al. 2011, "Product
     Quantization for Nearest Neighbor Search", IEEE TPAMI — public):
@@ -763,23 +790,9 @@ def pq_encode(
     sub = dim // m
     if sub * m != dim:
         raise ValueError(f"dim {dim} not divisible by m {m}")
-    cents = (
-        corpus.filter(F.col(id_col) < ks)
-        .select(
-            F.col(id_col).alias("cid"),
-            F.expr(
-                f"transform(slice({vec_col}, 1, {dim}), x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
-            ).alias("vm"),
-        )
-        .collect()
-    )
-    if len(cents) < ks:
-        raise ValueError(f"corpus must contain ids 0..{ks - 1} for the seed codebook")
-    # (m, ks, sub) int64 codebook, ordered by centroid id
-    cb = np.zeros((m, ks, sub), dtype=np.int64)
-    for r in cents:
-        for s in range(m):
-            cb[s, r["cid"]] = r["vm"][s * sub : (s + 1) * sub]
+    if codebook is None:
+        codebook = _pq_seed_codebook(corpus, dim, m, ks, id_col, vec_col)
+    cb = codebook
 
     out_schema = "id bigint, codes array<int>"
 
@@ -798,9 +811,7 @@ def pq_encode(
 
     quant = corpus.select(
         F.col(id_col).cast("bigint").alias("id"),
-        F.expr(
-            f"transform(slice({vec_col}, 1, {dim}), x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
-        ).alias("vm"),
+        F.expr(_pq_micro_expr(vec_col, dim)).alias("vm"),
     )
     return quant.mapInPandas(kernel, out_schema)
 
@@ -839,22 +850,9 @@ def topk_ip_pq(
     memory-bound tier between IVF cells and exact re-rank.
     """
     sub = dim // m
-    codes = pq_encode(corpus, dim, m, ks, id_col, vec_col)
-
-    cents = (
-        corpus.filter(F.col(id_col) < ks)
-        .select(
-            F.col(id_col).alias("cid"),
-            F.expr(
-                f"transform(slice({vec_col}, 1, {dim}), x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
-            ).alias("vm"),
-        )
-        .collect()
-    )
-    cb = np.zeros((m, ks, sub), dtype=np.int64)
-    for r in cents:
-        for s in range(m):
-            cb[s, r["cid"]] = r["vm"][s * sub : (s + 1) * sub]
+    # ONE codebook collect shared by the encode kernel and the LUT kernel
+    cb = _pq_seed_codebook(corpus, dim, m, ks, id_col, vec_col)
+    codes = pq_encode(corpus, dim, m, ks, id_col, vec_col, codebook=cb)
 
     lut_schema = "query_id bigint, lut array<bigint>"
 
@@ -869,9 +867,7 @@ def topk_ip_pq(
 
     qm = queries.select(
         F.col(query_id_col).cast("bigint").alias("query_id"),
-        F.expr(
-            f"transform(slice({vec_col}, 1, {dim}), x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
-        ).alias("vm"),
+        F.expr(_pq_micro_expr(vec_col, dim)).alias("vm"),
     )
     luts = qm.mapInPandas(lut_kernel, lut_schema)
 

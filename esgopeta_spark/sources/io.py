@@ -97,7 +97,7 @@ def write_quads(quads: DataFrame, path: str, n_buckets: int = DEFAULT_BUCKETS, m
     if mode != "overwrite":
         raise ValueError("write_quads commits whole snapshots; mode must be 'overwrite'")
     prev = load_manifest(path)
-    seq = (prev["seq"] + 1) if prev else 0
+    seq = (prev.get("seq", -1) + 1) if prev else 0  # legacy meta has no seq
     cid = f"c{seq:06d}"
     data_dir = os.path.join(path, "commits", cid, "data")
     (
@@ -122,6 +122,12 @@ def write_quads(quads: DataFrame, path: str, n_buckets: int = DEFAULT_BUCKETS, m
     }
     publish_manifest(path, manifest)
     gc_unreferenced_commits(path, manifest)
+    if prev is not None and "buckets" not in prev:
+        # overwrote a legacy flat-layout store: its root-level bucket dirs
+        # are fully superseded by this snapshot (best-effort cleanup)
+        for d in os.listdir(path):
+            if d.startswith("soul_bucket=") or d == "_pending":
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
 
 def _empty_quads(spark: SparkSession) -> DataFrame:

@@ -69,7 +69,10 @@ def read_pending(spark: SparkSession, store_path: str) -> DataFrame:
             .parquet(os.path.join(store_path, manifest["pending"]))
             .select(*_QUAD_COLS)
         )
-    if manifest is None and os.path.isdir(_pending_dir(store_path)):
+    # legacy: no manifest at all, OR a pre-manifest {"n_buckets": N} one
+    if (manifest is None or "buckets" not in manifest) and os.path.isdir(
+        _pending_dir(store_path)
+    ):
         return spark.read.parquet(_pending_dir(store_path)).select(*_QUAD_COLS)
     return spark.createDataFrame([], QUAD_SCHEMA)
 
@@ -86,6 +89,9 @@ def ham_upsert_batch(
     (batch put) or from foreachBatch (streaming put).  Stage-then-publish:
     nothing under the live manifest changes until the final atomic swap."""
     manifest = load_manifest(store_path)
+    # legacy = pre-manifest layout: flat soul_bucket=* dirs under the
+    # root with a {"n_buckets": N} meta (no "buckets"/"seq"/"pending")
+    legacy = manifest is not None and "buckets" not in manifest
     if manifest is not None and manifest.get("n_buckets"):
         # the modulus is part of the layout; an argument mismatch would
         # scatter souls across inconsistent buckets
@@ -102,7 +108,7 @@ def ham_upsert_batch(
             .select(*_QUAD_COLS)
         )
         incoming = incoming.unionByName(carried)
-    elif manifest is None and os.path.isdir(_pending_dir(store_path)):
+    elif (manifest is None or legacy) and os.path.isdir(_pending_dir(store_path)):
         carried = spark.read.parquet(_pending_dir(store_path)).select(*_QUAD_COLS)
         incoming = incoming.unionByName(carried)
 
@@ -114,16 +120,36 @@ def ham_upsert_batch(
     eligible = eligible.withColumn("soul_bucket", _bucket_expr(n_buckets))
     touched = [int(r["soul_bucket"]) for r in eligible.select("soul_bucket").distinct().collect()]
 
-    seq = (manifest["seq"] + 1) if manifest else 0
+    seq = (manifest["seq"] + 1) if manifest is not None and not legacy else 0
     cid = f"c{seq:06d}"
     commit_rel = f"commits/{cid}"
     commit_dir = os.path.join(store_path, commit_rel)
-    buckets = dict(manifest["buckets"]) if manifest and "buckets" in manifest else {}
+    buckets = dict(manifest["buckets"]) if manifest is not None and not legacy else {}
 
-    if touched:
+    if legacy:
+        # one-time in-place upgrade: fold the ENTIRE flat store into this
+        # first commit so every legacy bucket becomes manifest-addressed
+        # (bucket-local rewrite resumes from the next batch).  The flat
+        # file listing is fixed at analysis, before commits/ exists.
+        existing = spark.read.parquet(store_path).select(*_QUAD_COLS)
+        merged = ham_merge(existing.unionByName(eligible.select(*_QUAD_COLS)))
+        data_dir = os.path.join(commit_dir, "data")
+        (
+            merged.withColumn("soul_bucket", _bucket_expr(n_buckets))
+            .repartition("soul_bucket")
+            .write.mode("overwrite")
+            .partitionBy("soul_bucket")
+            .parquet(data_dir)
+        )
+        buckets = {
+            d.split("=", 1)[1]: f"{commit_rel}/data/{d}"
+            for d in os.listdir(data_dir)
+            if d.startswith("soul_bucket=")
+        }
+    elif touched:
         existing_paths = (
             live_bucket_paths(store_path, manifest, set(touched))
-            if manifest and "buckets" in manifest
+            if manifest is not None
             else []
         )
         if existing_paths:
@@ -157,6 +183,14 @@ def ham_upsert_batch(
     }
     publish_manifest(store_path, new_manifest)
     gc_unreferenced_commits(store_path, new_manifest)
+    if legacy:
+        # the flat layout is fully folded into commit 0 — drop the old
+        # root-level bucket dirs and _pending (best-effort, post-publish)
+        import shutil
+
+        for d in os.listdir(store_path):
+            if d.startswith("soul_bucket=") or d == "_pending":
+                shutil.rmtree(os.path.join(store_path, d), ignore_errors=True)
 
 
 def stream_put(

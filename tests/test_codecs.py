@@ -108,6 +108,12 @@ def test_jpeg_corrupt_and_unsupported_raise_valueerror():
     for bad in cases:
         with pytest.raises(ValueError):
             codecs.decode_jpeg(bad)
+    # SOF2 with ZERO scans must not fabricate an all-gray image: strip
+    # everything between the frame header and EOI from a valid SOF2 file
+    pb = codecs.encode_jpeg_progressive(_grad_image(8, 8))
+    sos = pb.index(b"\xff\xda")
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(pb[:sos] + b"\xff\xd9")
 
 
 def test_jpeg_progressive_roundtrip_identical_to_baseline():
@@ -704,3 +710,9 @@ def test_mp3_vbr_xing_duration():
     vbri = bytes(32) + b"VBRI" + bytes(10) + (250).to_bytes(4, "big")
     v2 = codecs.parse_mp3_meta(hdr + vbri + bytes(2000))
     assert v2["is_vbr"] and v2["duration_ms"] == 250 * 1152 * 1000 // 44100
+
+    # LAME's 'Info' tag marks CBR: exact frame-count duration, NOT vbr
+    info = bytes(32) + b"Info" + (0x1).to_bytes(4, "big") + (500).to_bytes(4, "big")
+    v3 = codecs.parse_mp3_meta(hdr + info + bytes(2000))
+    assert not v3["is_vbr"] and not v3["is_cbr_estimate"]
+    assert v3["duration_ms"] == 500 * 1152 * 1000 // 44100

@@ -649,6 +649,22 @@ def test_bpe_batched_rounds_and_invariance(spark, sf_dir):
     with pytest.raises(ValueError):
         bpe_train_wordtable(docs, n_merges=4, max_words=3)
 
+    # adversarial alphabet for the in-batch merge-string collision guard:
+    # over {a, b}, merges like ("ab","a") and ("a","ba") concatenate to
+    # the same new symbol — accepting both in one batch would let pairs
+    # around "aba" sum contributions from two merges and diverge from
+    # sequential (code-review regression, r5)
+    import random
+
+    rng = random.Random(9)
+    texts = [
+        (i, " ".join("".join(rng.choice("ab") for _ in range(rng.randint(2, 7)))
+                     for _ in range(rng.randint(3, 8))))
+        for i in range(50)
+    ]
+    bdocs = spark.createDataFrame(texts, "doc_id bigint, text string")
+    assert bpe_train(bdocs, n_merges=30, batch=8) == bpe_train_wordtable(bdocs, n_merges=30)
+
 
 def test_reliable_checkpoint_mode_identical_results(spark, sf_dir, tmp_path):
     """The checkpoint="reliable" knob (r4 VERDICT task 4) must produce

@@ -477,3 +477,60 @@ def test_kafka_shaped_stream_parse_and_merge(spark, tmp_path):
     for r in spark.sql("select * from kafka_shape").collect():
         final[(r["soul"], r["field"])] = (r["value_string"], r["state"])
     assert final == {("s1", "f"): ("zz", 100.0), ("s2", "f"): ("w", 200.0)}
+
+
+def test_upsert_upgrades_legacy_flat_store_in_place(spark, tmp_path):
+    """A pre-manifest store (flat soul_bucket=* dirs + {'n_buckets': N}
+    meta + a _pending dir) must upgrade on its first commit: every legacy
+    row stays readable, the legacy pending carry is honored, and the
+    layout becomes manifest-addressed (code-review regression, r5)."""
+    import json
+
+    from esgopeta_spark.ham import ham_merge
+    from esgopeta_spark.sources.io import _bucket_expr, load_manifest, read_quads
+    from esgopeta_spark.streaming.upsert import ham_upsert_batch, read_pending
+
+    store = str(tmp_path / "legacy")
+    old_rows = [q(f"s{i}", "f", f"v{i}", 100, msg=f"m{i}") for i in range(12)]
+    legacy = ham_merge(spark.createDataFrame(old_rows, UPDATE_SCHEMA))
+    (
+        legacy.withColumn("soul_bucket", _bucket_expr(4))
+        .write.mode("overwrite")
+        .partitionBy("soul_bucket")
+        .parquet(store)
+    )
+    with open(os.path.join(store, "_quads_meta.json"), "w") as f:
+        json.dump({"n_buckets": 4}, f)  # the exact pre-r5 meta shape
+    os.makedirs(os.path.join(store, "_pending"))
+    spark.createDataFrame(
+        [q("sfuture", "g", 1, 2_000_000, msg="mf")], UPDATE_SCHEMA
+    ).select(*[f.name for f in QUAD_SCHEMA.fields]).write.mode("overwrite").parquet(
+        os.path.join(store, "_pending")
+    )
+
+    # first commit: one new row + one legacy overwrite; clock still
+    # before the pending row's state so it must carry forward
+    batch = [q("s0", "f", "updated", 200, msg="mn"), q("snew", "f", "n", 150, msg="mo")]
+    ham_upsert_batch(spark, spark.createDataFrame(batch, UPDATE_SCHEMA), store, n_buckets=4, as_of_ms=1e6)
+
+    got = {(r["soul"], r["field"]): r["value_string"] for r in read_quads(spark, store).collect()}
+    want = {(f"s{i}", "f"): f"v{i}" for i in range(1, 12)}
+    want[("s0", "f")] = "updated"
+    want[("snew", "f")] = "n"
+    assert got == want
+    assert {r["soul"] for r in read_pending(spark, store).collect()} == {"sfuture"}
+    m = load_manifest(store)
+    assert "buckets" in m and m["seq"] == 0 and m["n_buckets"] == 4
+    assert not os.path.isdir(os.path.join(store, "_pending"))  # folded + cleaned
+
+    # second commit drains the pending row once the clock passes it
+    ham_upsert_batch(
+        spark,
+        spark.createDataFrame([], UPDATE_SCHEMA),
+        store,
+        n_buckets=4,
+        as_of_ms=3_000_000.0,
+    )
+    got2 = {(r["soul"], r["field"]) for r in read_quads(spark, store).collect()}
+    assert ("sfuture", "g") in got2
+    assert read_pending(spark, store).isEmpty()
