@@ -57,6 +57,11 @@ HEADLINE = [
     # round-4 graded flagships: ANN scale tier + real PNG codec round-trip
     "sim_topk_cosine_ivf",
     "multimodal_decode_png",
+    # round-5 graded flagships: rotated-in LLM ops + PQ tier + LPA
+    "dedup_semantic_kmeans",
+    "dedup_substring_spans",
+    "sim_topk_ip_pq",
+    "graph_communities_lpa",
 ]
 
 

@@ -551,3 +551,38 @@ def text_ngram_commonness(spark, sf):
     from esgopeta_spark.operators.text import ngram_commonness
 
     return ngram_commonness(T(spark, sf, "documents"), n=2)
+
+
+@register(
+    "agg_kmv_distinct_sketch",
+    "E4",
+    """
+    WITH h AS (
+      SELECT DISTINCT o_orderpriority,
+             ((CAST(o_custkey AS BIGINT) * 48271) % 2147483647 * 69621) % 2147483647 + 1 AS hh
+      FROM orders),
+    r AS (
+      SELECT o_orderpriority, hh,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY hh ASC) AS rn
+      FROM h)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(COALESCE(
+             (63 * CAST(2147483647 AS BIGINT))
+                  // MAX(CASE WHEN rn = 64 THEN hh END),
+             COUNT(*)) AS BIGINT) AS est_distinct
+    FROM r WHERE rn <= 64
+    GROUP BY o_orderpriority
+    """,
+    doc="KMV (k-minimum-values) distinct sketch, k=64, per order priority: "
+    "the approximate-distinct whose ENTIRE state is portable integer "
+    "arithmetic (two Lehmer scramble rounds mod 2^31-1, estimate "
+    "(k-1)*M div h_k) "
+    "— unlike HLL it is oracle-hash-exact, and the k-smallest state is "
+    "mergeable so only k values per group cross a shuffle at scale "
+    "(operators/sketches.kmv_distinct; mergeability pinned in pytest)",
+)
+def agg_kmv_distinct_sketch(spark, sf):
+    from esgopeta_spark.operators.sketches import kmv_distinct
+
+    return kmv_distinct(T(spark, sf, "orders"), "o_custkey", ["o_orderpriority"], k=64)

@@ -740,3 +740,35 @@ def test_pq_adc_recall_and_rerank(spark, sf_dir):
     for qid, t in truth.items():
         best = max(t, key=lambda i: (float(vecs[qid] @ vecs[i]), -i))
         assert top1[qid] == best
+
+
+def test_kmv_sketch_accuracy_and_mergeability(spark, sf_dir):
+    """KMV distinct sketch: estimates within the k=64 theoretical error
+    band, exact below k, and the k-smallest state merges by
+    union + re-truncate (the property that makes it a one-shuffle-of-k
+    sketch at scale)."""
+    from esgopeta_spark.operators.sketches import kmv_distinct, kmv_state
+
+    o = read_table(spark, sf_dir, "orders")
+    est = {r["o_orderpriority"]: r for r in
+           kmv_distinct(o, "o_custkey", ["o_orderpriority"], k=64).collect()}
+    exact = {r["o_orderpriority"]: r["n"] for r in
+             o.groupBy("o_orderpriority").agg(F.countDistinct("o_custkey").alias("n")).collect()}
+    for g, n in exact.items():
+        e = est[g]["est_distinct"]
+        if n <= 64:
+            assert e == n, (g, e, n)  # sketch IS the value set
+        else:
+            assert abs(e - n) / n < 0.5, (g, e, n)  # ~1/sqrt(64) band, generous
+
+    # mergeability: state(A ∪ B) == truncate(state(A) ∪ state(B))
+    a = o.filter(F.col("o_orderkey") % 2 == 0)
+    b = o.filter(F.col("o_orderkey") % 2 == 1)
+    whole = {(r["o_orderpriority"], r["kmv_h"]) for r in
+             kmv_state(o, "o_custkey", ["o_orderpriority"], k=64).collect()}
+    parts = {}
+    for part in (a, b):
+        for r in kmv_state(part, "o_custkey", ["o_orderpriority"], k=64).collect():
+            parts.setdefault(r["o_orderpriority"], set()).add(r["kmv_h"])
+    merged = {(g, h) for g, hs in parts.items() for h in sorted(hs)[:64]}
+    assert merged == whole
