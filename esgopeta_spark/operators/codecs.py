@@ -537,9 +537,128 @@ def encode_gif(arr: np.ndarray) -> bytes:
     )
 
 
+def encode_gif_animation(
+    screen_w: int,
+    screen_h: int,
+    patches: list,
+    bg_color=(0, 0, 0),
+) -> bytes:
+    """Multi-frame GIF89a builder (the fixture twin of
+    ``decode_gif_frames``).  ``patches`` is a list of dicts per frame:
+
+    - ``img``: (h, w, 3) uint8 RGB patch
+    - ``left``/``top``: position on the logical screen (default 0)
+    - ``disposal``: 0/1 keep, 2 restore-background, 3 restore-previous
+    - ``transparent``: an RGB tuple within ``img`` whose pixels are
+      marked transparent via the graphic control extension, or None
+
+    One GLOBAL palette holds the union of all patch colors plus the
+    background (<= 256 total; ValueError otherwise), like the
+    single-frame encoder: exact colors, deterministic order."""
+    colors = {tuple(bg_color)}
+    for p in patches:
+        arr = p["img"]
+        assert arr.dtype == np.uint8 and arr.ndim == 3 and arr.shape[2] == 3
+        colors.update(map(tuple, arr.reshape(-1, 3)))
+    palette = sorted(colors)
+    if len(palette) > 256:
+        raise ValueError(f"animation needs <=256 distinct colors, got {len(palette)}")
+    index_of = {c: i for i, c in enumerate(palette)}
+    n_field = 1
+    while (2 << n_field) < len(palette):
+        n_field += 1
+    gct_entries = 2 << n_field
+    gct = b"".join(bytes(c) for c in palette) + b"\x00" * (3 * (gct_entries - len(palette)))
+    min_code_size = max(2, n_field + 1)
+
+    out = bytearray(b"GIF89a")
+    out += screen_w.to_bytes(2, "little") + screen_h.to_bytes(2, "little")
+    out += bytes([0x80 | (n_field << 4) | n_field, index_of[tuple(bg_color)], 0])
+    out += gct
+    for p in patches:
+        arr = p["img"]
+        h, w = arr.shape[:2]
+        left, top = int(p.get("left", 0)), int(p.get("top", 0))
+        disposal = int(p.get("disposal", 0))
+        transparent = p.get("transparent")
+        t_idx = index_of[tuple(transparent)] if transparent is not None else 0
+        gce_packed = (disposal & 0x07) << 2 | (1 if transparent is not None else 0)
+        out += bytes([0x21, 0xF9, 4, gce_packed, 0, 0, t_idx, 0])
+        idx = np.array(
+            [index_of[tuple(px)] for px in arr.reshape(-1, 3)], dtype=np.uint8
+        )
+        lzw = _gif_lzw_encode(idx.tobytes(), min_code_size)
+        out += b"\x2c" + left.to_bytes(2, "little") + top.to_bytes(2, "little")
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+        out += bytes([min_code_size])
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _gif_image_at(b: bytes, pos: int, gct, screen_w: int, screen_h: int):
+    """Decode one image block (descriptor at b[pos]) -> (idx array, ct,
+    left, top, w, h, new pos).  Shared by single-frame and animation
+    decode; honors local color tables, interlace, and screen bounds."""
+    if pos + 9 > len(b):
+        raise ValueError("truncated image descriptor")
+    left = int.from_bytes(b[pos : pos + 2], "little")
+    top = int.from_bytes(b[pos + 2 : pos + 4], "little")
+    w = int.from_bytes(b[pos + 4 : pos + 6], "little")
+    h = int.from_bytes(b[pos + 6 : pos + 8], "little")
+    if left + w > screen_w or top + h > screen_h:
+        raise ValueError("GIF frame exceeds logical screen bounds")
+    ipacked = b[pos + 8]
+    pos += 9
+    ct = gct
+    if ipacked & 0x80:
+        n = 2 << (ipacked & 0x07)
+        ct = np.frombuffer(b, np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+        pos += 3 * n
+    if ct is None:
+        raise ValueError("GIF frame has no color table")
+    if pos >= len(b):
+        raise ValueError("truncated GIF image data")
+    min_code_size = b[pos]
+    pos += 1
+    if not 2 <= min_code_size <= 11:
+        raise ValueError("bad LZW min code size")
+    data = bytearray()
+    while pos < len(b) and b[pos] != 0:
+        ln = b[pos]
+        data += b[pos + 1 : pos + 1 + ln]
+        pos += 1 + ln
+    pos += 1
+    idx = np.frombuffer(_gif_lzw_decode(bytes(data), min_code_size), np.uint8)
+    if len(idx) < w * h:
+        raise ValueError("truncated GIF pixel data")
+    idx = idx[: w * h].reshape(h, w)
+    if idx.max(initial=0) >= len(ct):
+        raise ValueError("palette index out of range")
+    if ipacked & 0x40:  # interlaced: 4-pass row order
+        order = np.concatenate(
+            [np.arange(0, h, 8), np.arange(4, h, 8), np.arange(2, h, 4), np.arange(1, h, 2)]
+        )
+        de = np.empty_like(idx)
+        de[order] = idx
+        idx = de
+    return idx, ct, left, top, w, h, pos
+
+
 @_quarantine
-def decode_gif(b: bytes) -> np.ndarray:
-    """GIF87a/89a bytes -> (h, w, 3) uint8 RGB of the FIRST frame."""
+def decode_gif_frames(b: bytes, max_frames: int | None = None) -> list:
+    """GIF87a/89a bytes -> list of (screen_h, screen_w, 3) uint8 RGB
+    frames, composited per GIF89a animation semantics: graphic-control
+    transparency (transparent pixels leave the canvas untouched) and
+    disposal methods 0/1 (keep), 2 (restore background), 3 (restore
+    previous).  Each returned frame is what a viewer displays at that
+    step — the per-frame decode for the ``frame_sample`` multimodal path
+    (GIF analog of decode_mjpeg_frames).  Left/top offsets composite
+    into the logical screen (r4 ADVICE); the background index reads the
+    GLOBAL color table only."""
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     if len(b) < 13:
@@ -556,75 +675,65 @@ def decode_gif(b: bytes) -> np.ndarray:
         n = 2 << (packed & 0x07)
         gct = np.frombuffer(b, np.uint8, count=3 * n, offset=pos).reshape(n, 3)
         pos += 3 * n
+    bg = gct[bg_index] if gct is not None and bg_index < len(gct) else np.zeros(3, np.uint8)
+    if screen_w * screen_h > 64_000_000:
+        # memory quarantine: a forged header must not allocate a 12 GB
+        # canvas before any frame validates (stock decoders cap likewise)
+        raise ValueError(f"GIF logical screen too large: {screen_w}x{screen_h}")
+    canvas = None  # allocated after the FIRST image block validates
+    frames: list = []
+    transparency: int | None = None
+    disposal = 0
     while pos < len(b):
         block = b[pos]
         pos += 1
         if block == 0x3B:  # trailer
             break
         if block == 0x21:  # extension: label + sub-block chain
+            if pos >= len(b):
+                raise ValueError("truncated GIF extension")
+            label = b[pos]
             pos += 1
+            if label == 0xF9 and pos < len(b) and b[pos] == 4 and pos + 5 <= len(b):
+                gce_packed = b[pos + 1]
+                transparency = b[pos + 4] if gce_packed & 0x01 else None
+                disposal = (gce_packed >> 2) & 0x07
             while pos < len(b) and b[pos] != 0:
                 pos += 1 + b[pos]
             pos += 1
             continue
         if block != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
-        # image descriptor (left/top offsets matter: optimized real-world
-        # GIFs position the first frame inside a larger logical screen —
-        # r4 ADVICE: ignoring them silently mis-reports geometry)
-        if pos + 9 > len(b):
-            raise ValueError("truncated image descriptor")
-        left = int.from_bytes(b[pos : pos + 2], "little")
-        top = int.from_bytes(b[pos + 2 : pos + 4], "little")
-        w = int.from_bytes(b[pos + 4 : pos + 6], "little")
-        h = int.from_bytes(b[pos + 6 : pos + 8], "little")
-        if left + w > screen_w or top + h > screen_h:
-            raise ValueError("GIF frame exceeds logical screen bounds")
-        ipacked = b[pos + 8]
-        pos += 9
-        ct = gct
-        if ipacked & 0x80:
-            n = 2 << (ipacked & 0x07)
-            ct = np.frombuffer(b, np.uint8, count=3 * n, offset=pos).reshape(n, 3)
-            pos += 3 * n
-        if ct is None:
-            raise ValueError("GIF frame has no color table")
-        min_code_size = b[pos]
-        pos += 1
-        if not 2 <= min_code_size <= 11:
-            raise ValueError("bad LZW min code size")
-        data = bytearray()
-        while pos < len(b) and b[pos] != 0:
-            ln = b[pos]
-            data += b[pos + 1 : pos + 1 + ln]
-            pos += 1 + ln
-        pos += 1
-        idx = np.frombuffer(_gif_lzw_decode(bytes(data), min_code_size), np.uint8)
-        if len(idx) < w * h:
-            raise ValueError("truncated GIF pixel data")
-        idx = idx[: w * h].reshape(h, w)
-        if idx.max(initial=0) >= len(ct):
-            raise ValueError("palette index out of range")
-        if ipacked & 0x40:  # interlaced: 4-pass row order
-            order = np.concatenate(
-                [np.arange(0, h, 8), np.arange(4, h, 8), np.arange(2, h, 4), np.arange(1, h, 2)]
-            )
-            de = np.empty_like(idx)
-            de[order] = idx
-            idx = de
-        frame = ct[idx]
-        if left == 0 and top == 0 and (w, h) == (screen_w, screen_h):
-            return frame
-        # composite onto the logical screen, background-color filled —
-        # what any stock decoder reports for a positioned first frame.
-        # The background index is defined against the GLOBAL color table
-        # (a positioned frame may carry its own local table, which must
-        # not be indexed here)
-        bg = gct[bg_index] if gct is not None and bg_index < len(gct) else np.zeros(3, np.uint8)
-        canvas = np.tile(bg.astype(np.uint8), (screen_h, screen_w, 1))
-        canvas[top : top + h, left : left + w] = frame
-        return canvas
-    raise ValueError("GIF contains no image frame")
+        idx, ct, left, top, w, h, pos = _gif_image_at(b, pos, gct, screen_w, screen_h)
+        if canvas is None:
+            canvas = np.tile(bg.astype(np.uint8), (screen_h, screen_w, 1))
+        snapshot = canvas.copy() if disposal == 3 else None
+        region = canvas[top : top + h, left : left + w]
+        pixels = ct[idx]
+        if transparency is not None:
+            mask = idx != transparency
+            region[mask] = pixels[mask]
+        else:
+            region[:] = pixels
+        frames.append(canvas.copy())
+        if max_frames is not None and len(frames) >= max_frames:
+            return frames
+        if disposal == 2:  # restore the frame rect to background
+            canvas[top : top + h, left : left + w] = bg
+        elif disposal == 3 and snapshot is not None:
+            canvas = snapshot
+        transparency = None  # a GCE governs exactly one image
+        disposal = 0
+    if not frames:
+        raise ValueError("GIF contains no image frame")
+    return frames
+
+
+@_quarantine
+def decode_gif(b: bytes) -> np.ndarray:
+    """GIF87a/89a bytes -> (h, w, 3) uint8 RGB of the FIRST displayed
+    frame (the animation walker truncated at one frame)."""
+    return decode_gif_frames.__wrapped__(b, max_frames=1)[0]
 
 
 # ---------------------------------------------------------------------------

@@ -477,13 +477,15 @@ def resize_media(df: DataFrame, max_side: int = 64, method: str = "bilinear") ->
 
 
 def sample_video_frames(df: DataFrame, max_frames: int = 4) -> DataFrame:
-    """REAL video frame sampling for the Motion-JPEG subset: slice
-    samples out of the mp4 sample tables and decode each with the
-    from-scratch JPEG codec (codecs.decode_mjpeg_frames).  Emits one row
-    per decoded frame with cheap pixel stats; h264/hevc payloads (and
-    any malformed table) quarantine as skipped rows, never a stage kill.
-    Partitioning story matches frame_sample_plan: repartition by
-    media_id upstream for codec locality."""
+    """REAL animated-media frame sampling: mp4 Motion-JPEG samples come
+    out of the sample tables and decode with the from-scratch JPEG codec
+    (codecs.decode_mjpeg_frames); GIF animations decode with the
+    compositing walker (codecs.decode_gif_frames — r5: transparency +
+    disposal semantics).  Emits one row per decoded frame with cheap
+    pixel stats; h264/hevc payloads (and any malformed table) quarantine
+    as skipped rows, never a stage kill.  Partitioning story matches
+    frame_sample_plan: repartition by media_id upstream for codec
+    locality."""
     out_schema = (
         "media_id bigint, frame_idx int, width int, height int, luma_mean_milli bigint"
     )
@@ -497,11 +499,15 @@ def sample_video_frames(df: DataFrame, max_frames: int = 4) -> DataFrame:
             out = []
             for mid, b in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(b) if b is not None else b""
-                if codecs.sniff_format(b) != "mp4":
+                fmt = codecs.sniff_format(b)
+                if fmt not in ("mp4", "gif"):
                     continue
                 try:
-                    frames = codecs.decode_mjpeg_frames(b, max_frames=max_frames)
-                except ValueError:  # non-MJPEG codec or corrupt table: skip
+                    if fmt == "gif":
+                        frames = codecs.decode_gif_frames(b, max_frames=max_frames)
+                    else:
+                        frames = codecs.decode_mjpeg_frames(b, max_frames=max_frames)
+                except ValueError:  # non-MJPEG codec or corrupt payload: skip
                     continue
                 for i, arr in enumerate(frames):
                     rgb = codecs.to_rgb(arr).astype(np.float64)

@@ -605,12 +605,23 @@ def test_sample_video_frames_distributed(spark):
         (1, "video", codecs.encode_mp4_stub(2000, 64, 48), (64, 48, None, 2000, "mp4")),  # h264-ish: skipped
         (2, "video", b"\x00\x00\x00\x18ftypiso" + bytes(40), (None,) * 4 + ("mp4",)),  # corrupt: skipped
     ]
+    # r5: GIF animations sample through the same kernel
+    g1 = np.tile(np.array([200, 0, 0], np.uint8), (6, 5, 1))
+    g2 = np.tile(np.array([0, 200, 0], np.uint8), (6, 5, 1))
+    anim = codecs.encode_gif_animation(5, 6, [{"img": g1}, {"img": g2}, {"img": g1}])
+    rows.append((3, "image", anim, (5, 6, None, None, "gif")))
     out = sample_video_frames(spark.createDataFrame(rows, MEDIA_SCHEMA), max_frames=2).collect()
     got = {(r["media_id"], r["frame_idx"]): r for r in out}
-    assert set(got) == {(0, 0), (0, 1)}  # only the MJPEG row decodes, capped at 2
-    for r in got.values():
-        assert (r["width"], r["height"]) == (16, 12)
+    # the MJPEG row and the GIF animation decode, both capped at 2 frames
+    assert set(got) == {(0, 0), (0, 1), (3, 0), (3, 1)}
+    for (mid, _), r in got.items():
+        if mid == 0:
+            assert (r["width"], r["height"]) == (16, 12)
+        else:
+            assert (r["width"], r["height"]) == (5, 6)
         assert 0 <= r["luma_mean_milli"] <= 255000
+    # frame luma differs between the red and green GIF frames
+    assert got[(3, 0)]["luma_mean_milli"] != got[(3, 1)]["luma_mean_milli"]
 
 
 def _box(t, p):
@@ -716,3 +727,41 @@ def test_mp3_vbr_xing_duration():
     v3 = codecs.parse_mp3_meta(hdr + info + bytes(2000))
     assert not v3["is_vbr"] and not v3["is_cbr_estimate"]
     assert v3["duration_ms"] == 500 * 1152 * 1000 // 44100
+
+
+def test_gif_animation_frames_and_disposal():
+    """decode_gif_frames composites per GIF89a animation semantics:
+    transparency leaves the canvas untouched, disposal 2 restores the
+    background rect, disposal 3 restores the previous canvas; the
+    single-frame decode_gif equals the first displayed frame."""
+    red, blue, green, black, white = (255, 0, 0), (0, 0, 255), (0, 255, 0), (0, 0, 0), (255, 255, 255)
+    f1 = np.zeros((8, 10, 3), np.uint8)
+    f1[::2] = red
+    f1[1::2] = blue
+    patch = np.tile(np.array(green, np.uint8), (3, 4, 1))
+    patch[1, 1] = white  # marked transparent below
+    anim = codecs.encode_gif_animation(10, 8, [
+        {"img": f1, "disposal": 1},
+        {"img": patch, "left": 2, "top": 1, "transparent": white, "disposal": 3},
+        {"img": np.tile(np.array(black, np.uint8), (2, 2, 1)), "left": 0, "top": 0, "disposal": 2},
+        {"img": np.tile(np.array(white, np.uint8), (1, 1, 1)), "left": 9, "top": 7},
+    ])
+    frames = codecs.decode_gif_frames(anim)
+    assert len(frames) == 4 and frames[0].shape == (8, 10, 3)
+    assert np.array_equal(frames[0][0, 0], red) and np.array_equal(frames[0][1, 0], blue)
+    # transparency hole: patch(1,1) at canvas (2,3) shows frame-1 content
+    assert np.array_equal(frames[1][1, 2], green)
+    assert np.array_equal(frames[1][2, 3], red)
+    # disposal=3 reverted the patch before frame 3's black square landed
+    assert np.array_equal(frames[2][1, 2], blue)
+    assert np.array_equal(frames[2][0, 0], black)
+    assert np.array_equal(frames[3][7, 9], white)
+    assert np.array_equal(codecs.decode_gif(anim), frames[0])
+    # max_frames truncation
+    assert len(codecs.decode_gif_frames(anim, max_frames=2)) == 2
+    # quarantine: truncated animations raise ValueError only
+    for cut in range(10, len(anim), max(1, len(anim) // 25)):
+        try:
+            codecs.decode_gif_frames(anim[:cut])
+        except ValueError:
+            pass
