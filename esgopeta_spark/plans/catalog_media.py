@@ -271,3 +271,66 @@ def multimodal_decode_mjpeg(spark, sf):
 
     media = ids.mapInPandas(gen, out_schema)
     return sample_video_frames(media, max_frames=3).orderBy("media_id", "frame_idx")
+
+
+@register(
+    "multimodal_decode_jpeg_progressive",
+    "G5",
+    """
+    SELECT doc_id,
+           CAST(8 + doc_id % 11 AS INTEGER) AS width,
+           CAST(8 + doc_id % 5  AS INTEGER) AS height,
+           TRUE AS matches_baseline
+    FROM documents WHERE doc_id % 20 = 15
+    """,
+    doc="REAL progressive-JPEG (SOF2) round trip, graded (r5): per selected "
+    "doc, build the gradient image, encode with the libjpeg-style "
+    "progressive scan script (spectral selection + successive approximation, "
+    "4:2:0 for odd docs), decode through the multi-scan SOF2 path, and "
+    "assert the decode is PIXEL-IDENTICAL to the baseline SOF0 round trip "
+    "of the same image — the coefficients are the same, so a correct "
+    "progressive decoder must reassemble them exactly.  The oracle predicts "
+    "dims + an all-true identity column; any refinement-pass bug flips "
+    "matches_baseline and fails the hash",
+)
+def multimodal_decode_jpeg_progressive(spark, sf):
+    from esgopeta_spark.session import ensure_min_partitions
+
+    ids = T(spark, sf, "documents").filter(F.col("doc_id") % 20 == 15).select("doc_id")
+    ids = ensure_min_partitions(ids)
+    out_schema = "doc_id bigint, width int, height int, matches_baseline boolean"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from esgopeta_spark.operators import codecs
+
+        for pdf in batches:
+            ids_, ws, hs, same = [], [], [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 8 + d % 11, 8 + d % 5
+                yy, xx = np.mgrid[0:h, 0:w]
+                arr = np.stack(
+                    [(xx * 7 + d) % 256, (yy * 5 + 2 * d) % 256, (xx + yy + 3 * d) % 256],
+                    axis=-1,
+                ).astype(np.uint8)
+                sub = d % 2 == 1
+                prog = codecs.decode_jpeg(
+                    codecs.encode_jpeg_progressive(arr, quality=85, subsample=sub)
+                )
+                base = codecs.decode_jpeg(codecs.encode_jpeg(arr, quality=85, subsample=sub))
+                ids_.append(d)
+                ws.append(prog.shape[1])
+                hs.append(prog.shape[0])
+                same.append(bool(np.array_equal(prog, base)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids_, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "matches_baseline": pd.Series(same, dtype="bool"),
+                }
+            )
+
+    return ids.mapInPandas(kernel, out_schema)
