@@ -57,7 +57,8 @@ HEADLINE = [
     # round-4 graded flagships: ANN scale tier + real PNG codec round-trip
     "sim_topk_cosine_ivf",
     "multimodal_decode_png",
-    # round-5 graded flagships: rotated-in LLM ops + PQ tier + LPA
+    # round-5 flagships (all inside the graded window after the r5
+    # rotations): SemDeDup, substring spans, PQ-ADC, LPA communities
     "dedup_semantic_kmeans",
     "dedup_substring_spans",
     "sim_topk_ip_pq",

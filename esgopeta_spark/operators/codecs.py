@@ -560,6 +560,8 @@ def encode_gif_animation(
         arr = p["img"]
         assert arr.dtype == np.uint8 and arr.ndim == 3 and arr.shape[2] == 3
         colors.update(map(tuple, arr.reshape(-1, 3)))
+        if p.get("transparent") is not None:
+            colors.add(tuple(p["transparent"]))  # must own a palette slot
     palette = sorted(colors)
     if len(palette) > 256:
         raise ValueError(f"animation needs <=256 distinct colors, got {len(palette)}")
@@ -707,6 +709,11 @@ def decode_gif_frames(b: bytes, max_frames: int | None = None) -> list:
         idx, ct, left, top, w, h, pos = _gif_image_at(b, pos, gct, screen_w, screen_h)
         if canvas is None:
             canvas = np.tile(bg.astype(np.uint8), (screen_h, screen_w, 1))
+        # total-output budget: a tiny payload declaring a huge screen and
+        # hundreds of 1x1 frames must not OOM via frames.append(copy) —
+        # same quarantine rationale as the single-canvas cap above
+        if (len(frames) + 1) * screen_w * screen_h > 256_000_000:
+            raise ValueError("GIF animation exceeds the decoded-pixel budget")
         snapshot = canvas.copy() if disposal == 3 else None
         region = canvas[top : top + h, left : left + w]
         pixels = ct[idx]

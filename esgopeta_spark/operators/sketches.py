@@ -37,10 +37,14 @@ _A1, _A2 = 48271, 69621  # classic full-period Lehmer multipliers
 
 def kmv_hash(col) -> "F.Column":
     """Deterministic 31-bit hash, 1-based so the estimator never divides
-    by zero.  Two Lehmer scramble rounds keep every intermediate product
-    under 2^62 (no int64 overflow, ANSI-safe) while mixing thoroughly
-    enough for the estimator; identical arithmetic runs in DuckDB."""
-    h1 = (col.cast("bigint") * F.lit(_A1)) % F.lit(KMV_MOD)
+    by zero.  The key is first pmod-ed into [0, M) — without it a key
+    >= 2^63/48271 overflows the first multiply (ANSI throw / silent wrap)
+    and a negative key yields a non-positive "hash"; with it every
+    intermediate product stays under 2^48.  Two Lehmer scramble rounds
+    mix thoroughly enough for the estimator; identical arithmetic runs
+    in DuckDB."""
+    h0 = F.pmod(col.cast("bigint"), F.lit(KMV_MOD))
+    h1 = (h0 * F.lit(_A1)) % F.lit(KMV_MOD)
     return (h1 * F.lit(_A2)) % F.lit(KMV_MOD) + F.lit(1)
 
 

@@ -46,19 +46,19 @@ GRADED_WINDOW = [
     "pivot_status_by_priority",
     "unpivot_lineitem_measures",
     "skew_salted_agg",
-    # E5 windows + sessionization (running-total demoted in r4 — range-30d
-    # keeps the frame-spec shape graded — to make room for G5 PNG below)
+    # E5 windows + sessionization (running-total demoted in r4; range-30d
+    # demoted in r5 — win_topk + sessionize keep the family graded — to
+    # make room for the r5 LPA flagship below)
     "win_topk_orders_per_customer",
-    "win_range_30d_orders",
     "sessionize_events_islands",
     # E7 (E6 sort/limit is covered by q3 + win_topk)
     "set_union_big_spenders",
     # (set_except_no_recent demoted to parity-only in r5 — E7 held by union)
-    # E8 scalar-function batteries
+    # E8 scalar-function batteries (map battery demoted in r5 — E8 stays
+    # 3-deep — to make room for the PQ scale tier below)
     "str_funcs_customer",
     "date_funcs_orders",
     "json_funcs_events",
-    "map_funcs_nation_map",
     # E9 UDF surface
     "udf_pandas_charge",
     # Groups A/B/D — graph core
@@ -71,6 +71,8 @@ GRADED_WINDOW = [
     "graph_pagerank_transactions",
     "graph_triangles_coorder",
     "graph_bfs_hops_nation0",
+    # r5: deterministic LPA community detection (unrolled-CTE oracle)
+    "graph_communities_lpa",
     # Group F — streaming
     "graph_ham_stream_replay",
     "stream_tumbling_counts",
@@ -87,6 +89,8 @@ GRADED_WINDOW = [
     "sim_topk_cosine",
     # G3 SCALE tier under the gate (r4): IVF probe join, hash-exact vs DuckDB
     "sim_topk_cosine_ivf",
+    # r5: PQ asymmetric-distance top-k, hash-exact (compressed-domain tier)
+    "sim_topk_ip_pq",
     # G5 real PNG codec round-trip vs analytic oracle (r4)
     "multimodal_decode_png",
     "text_profile_docs",

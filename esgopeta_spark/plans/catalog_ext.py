@@ -559,7 +559,8 @@ def text_ngram_commonness(spark, sf):
     """
     WITH h AS (
       SELECT DISTINCT o_orderpriority,
-             ((CAST(o_custkey AS BIGINT) * 48271) % 2147483647 * 69621) % 2147483647 + 1 AS hh
+             ((((CAST(o_custkey AS BIGINT) % 2147483647 + 2147483647) % 2147483647)
+               * 48271) % 2147483647 * 69621) % 2147483647 + 1 AS hh
       FROM orders),
     r AS (
       SELECT o_orderpriority, hh,

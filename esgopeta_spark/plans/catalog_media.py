@@ -281,9 +281,9 @@ def multimodal_decode_mjpeg(spark, sf):
            CAST(8 + doc_id % 11 AS INTEGER) AS width,
            CAST(8 + doc_id % 5  AS INTEGER) AS height,
            TRUE AS matches_baseline
-    FROM documents WHERE doc_id % 20 = 15
+    FROM documents WHERE doc_id % 7 = 3
     """,
-    doc="REAL progressive-JPEG (SOF2) round trip, graded (r5): per selected "
+    doc="REAL progressive-JPEG (SOF2) round trip, oracle-checked (r5; post-window parity + pytest): per selected "
     "doc, build the gradient image, encode with the libjpeg-style "
     "progressive scan script (spectral selection + successive approximation, "
     "4:2:0 for odd docs), decode through the multi-scan SOF2 path, and "
@@ -296,7 +296,9 @@ def multimodal_decode_mjpeg(spark, sf):
 def multimodal_decode_jpeg_progressive(spark, sf):
     from esgopeta_spark.session import ensure_min_partitions
 
-    ids = T(spark, sf, "documents").filter(F.col("doc_id") % 20 == 15).select("doc_id")
+    # % 7 == 3 selects BOTH parities (so 4:4:4 and 4:2:0 both run) and
+    # varies doc_id mod 5/11 (every height/width in the formula occurs)
+    ids = T(spark, sf, "documents").filter(F.col("doc_id") % 7 == 3).select("doc_id")
     ids = ensure_min_partitions(ids)
     out_schema = "doc_id bigint, width int, height int, matches_baseline boolean"
 

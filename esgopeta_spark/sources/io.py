@@ -83,6 +83,18 @@ def gc_unreferenced_commits(path: str, manifest: dict) -> None:
             shutil.rmtree(os.path.join(commits_dir, d), ignore_errors=True)
 
 
+def legacy_bucket_dirs(path: str) -> list[str]:
+    """Root-level ``soul_bucket=*`` dirs of a pre-manifest flat store.
+    Readers of legacy stores must target these explicitly: a bare root
+    scan breaks (mixed-depth partition discovery) once any commits/
+    staging tree exists — e.g. after a crashed upgrade attempt."""
+    if not os.path.isdir(path):
+        return []
+    return sorted(
+        os.path.join(path, d) for d in os.listdir(path) if d.startswith("soul_bucket=")
+    )
+
+
 def live_bucket_paths(path: str, manifest: dict, buckets=None) -> list[str]:
     """Absolute live data directories, optionally restricted to a bucket
     subset (point reads / bucket-local rewrite)."""
@@ -138,13 +150,16 @@ def read_quads(spark: SparkSession, path: str, soul: str | None = None) -> DataF
     cols = [f.name for f in QUAD_SCHEMA.fields]
     manifest = load_manifest(path)
     if manifest is None or "buckets" not in manifest:
-        # legacy flat layout (pre-manifest stores): partition-filter pruning
-        df = spark.read.parquet(path)
+        # legacy flat layout (pre-manifest stores).  Explicit leaf dirs,
+        # never a bare root scan: an orphaned commits/ staging tree from
+        # a crashed upgrade must not break reads (mixed-depth discovery)
+        leaf = legacy_bucket_dirs(path)
+        if leaf:
+            df = spark.read.schema(QUAD_SCHEMA).parquet(*leaf)
+        else:
+            df = spark.read.parquet(path)  # unpartitioned legacy write
         if soul is not None:
-            n_buckets = (manifest or {}).get("n_buckets", DEFAULT_BUCKETS)
-            df = df.filter(
-                F.col("soul_bucket") == F.pmod(F.xxhash64(F.lit(soul)), F.lit(n_buckets))
-            ).filter(F.col("soul") == soul)
+            df = df.filter(F.col("soul") == soul)
         return df.select(cols)
     if soul is not None:
         # point read: the manifest resolves the soul's bucket to ONE live

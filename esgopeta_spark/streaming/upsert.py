@@ -44,6 +44,7 @@ from esgopeta_spark.sources.io import (
     DEFAULT_BUCKETS,
     _bucket_expr,
     gc_unreferenced_commits,
+    legacy_bucket_dirs,
     live_bucket_paths,
     load_manifest,
     publish_manifest,
@@ -118,7 +119,13 @@ def ham_upsert_batch(
     deferred = incoming.filter(F.col("state") > F.lit(float(as_of_ms)))
 
     eligible = eligible.withColumn("soul_bucket", _bucket_expr(n_buckets))
-    touched = [int(r["soul_bucket"]) for r in eligible.select("soul_bucket").distinct().collect()]
+    # (the legacy-upgrade branch folds the whole store and doesn't need
+    # the touched set — skip its collect job there)
+    touched = (
+        []
+        if legacy
+        else [int(r["soul_bucket"]) for r in eligible.select("soul_bucket").distinct().collect()]
+    )
 
     seq = (manifest["seq"] + 1) if manifest is not None and not legacy else 0
     cid = f"c{seq:06d}"
@@ -129,9 +136,18 @@ def ham_upsert_batch(
     if legacy:
         # one-time in-place upgrade: fold the ENTIRE flat store into this
         # first commit so every legacy bucket becomes manifest-addressed
-        # (bucket-local rewrite resumes from the next batch).  The flat
-        # file listing is fixed at analysis, before commits/ exists.
-        existing = spark.read.parquet(store_path).select(*_QUAD_COLS)
+        # (bucket-local rewrite resumes from the next batch).  Read the
+        # flat layout via its EXPLICIT leaf dirs, never a bare root scan:
+        # a crashed earlier upgrade attempt may have left an orphaned
+        # commits/ staging tree under the root, and mixed-depth partition
+        # discovery would fail every retry (crash/retry safety).
+        legacy_paths = legacy_bucket_dirs(store_path)
+        if legacy_paths:
+            existing = (
+                spark.read.schema(QUAD_SCHEMA).parquet(*legacy_paths).select(*_QUAD_COLS)
+            )
+        else:
+            existing = spark.createDataFrame([], QUAD_SCHEMA).select(*_QUAD_COLS)
         merged = ham_merge(existing.unionByName(eligible.select(*_QUAD_COLS)))
         data_dir = os.path.join(commit_dir, "data")
         (

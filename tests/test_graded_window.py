@@ -33,6 +33,9 @@ REQUIRED_IN_WINDOW = {
     "dedup_semantic_kmeans",  # G2/G3 SemDeDup full pipeline, hash-exact
     "dedup_substring_spans",  # G1/G2/G4 exact-substring spans (Lee et al.)
     "graph_bfs_hops_nation0",  # A1/E3 multi-source BFS, recursive-CTE oracle
+    # r5 additions built this round, hash-exact at sf0.01
+    "sim_topk_ip_pq",  # G3 PQ-ADC compressed-domain tier
+    "graph_communities_lpa",  # LPA communities, unrolled-CTE oracle
 }
 
 

@@ -756,9 +756,9 @@ def test_kmv_sketch_accuracy_and_mergeability(spark, sf_dir):
              o.groupBy("o_orderpriority").agg(F.countDistinct("o_custkey").alias("n")).collect()}
     for g, n in exact.items():
         e = est[g]["est_distinct"]
-        if n <= 64:
-            assert e == n, (g, e, n)  # sketch IS the value set
-        else:
+        if n < 64:  # strictly below k: the sketch IS the value set
+            assert e == n, (g, e, n)
+        else:  # at or above k the estimator engages
             assert abs(e - n) / n < 0.5, (g, e, n)  # ~1/sqrt(64) band, generous
 
     # mergeability: state(A ∪ B) == truncate(state(A) ∪ state(B))

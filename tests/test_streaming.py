@@ -534,3 +534,49 @@ def test_upsert_upgrades_legacy_flat_store_in_place(spark, tmp_path):
     got2 = {(r["soul"], r["field"]) for r in read_quads(spark, store).collect()}
     assert ("sfuture", "g") in got2
     assert read_pending(spark, store).isEmpty()
+
+
+def test_legacy_upgrade_crash_retry_does_not_brick_store(spark, tmp_path, monkeypatch):
+    """Crash/retry safety of the one-time legacy upgrade (r5 review):
+    dying after the commit-0 staging write but before the manifest swap
+    leaves an orphaned commits/ tree under the legacy root — reads and
+    the retried upgrade must still work (explicit leaf-dir reads, never
+    a bare root scan that trips mixed-depth partition discovery)."""
+    import json
+
+    from esgopeta_spark.ham import ham_merge
+    from esgopeta_spark.sources.io import _bucket_expr, read_quads
+    from esgopeta_spark.streaming import upsert
+    from esgopeta_spark.streaming.upsert import ham_upsert_batch
+
+    store = str(tmp_path / "legacy2")
+    old_rows = [q(f"s{i}", "f", f"v{i}", 100, msg=f"m{i}") for i in range(6)]
+    legacy = ham_merge(spark.createDataFrame(old_rows, UPDATE_SCHEMA))
+    (
+        legacy.withColumn("soul_bucket", _bucket_expr(4))
+        .write.mode("overwrite")
+        .partitionBy("soul_bucket")
+        .parquet(store)
+    )
+    with open(os.path.join(store, "_quads_meta.json"), "w") as f:
+        json.dump({"n_buckets": 4}, f)
+
+    def exploding_publish(path, manifest):
+        raise RuntimeError("killed during upgrade publish")
+
+    monkeypatch.setattr(upsert, "publish_manifest", exploding_publish)
+    batch = [q("s0", "f", "updated", 200, msg="mx")]
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        ham_upsert_batch(spark, spark.createDataFrame(batch, UPDATE_SCHEMA), store, n_buckets=4, as_of_ms=1e6)
+    # orphaned staging exists; the legacy store must still read cleanly
+    assert os.path.isdir(os.path.join(store, "commits"))
+    got = {r["soul"]: r["value_string"] for r in read_quads(spark, store).collect()}
+    assert got == {f"s{i}": f"v{i}" for i in range(6)}
+
+    # retry (foreachBatch at-least-once) completes the upgrade
+    monkeypatch.undo()
+    ham_upsert_batch(spark, spark.createDataFrame(batch, UPDATE_SCHEMA), store, n_buckets=4, as_of_ms=1e6)
+    got2 = {r["soul"]: r["value_string"] for r in read_quads(spark, store).collect()}
+    assert got2 == {**{f"s{i}": f"v{i}" for i in range(1, 6)}, "s0": "updated"}
