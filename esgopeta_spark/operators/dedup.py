@@ -627,6 +627,11 @@ def duplicated_ngram_spans(
     grams = docs.select(
         F.col(id_col).alias("doc_id"), F.posexplode(windows).alias("pos", "gram")
     )
+    # materialize-once discipline: the gram stream feeds BOTH the
+    # shared-gram aggregate and the join-back, and the windowed
+    # slice+concat explode is the dominant cost — recomputing it doubles
+    # the whole query (measured 8-11s -> 5.4s at sf0.1)
+    grams = grams.localCheckpoint()
     shared = (
         grams.groupBy("gram")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
