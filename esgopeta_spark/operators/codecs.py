@@ -817,6 +817,60 @@ _MP3_RATES = [44100, 48000, 32000]
 
 
 @_quarantine
+def parse_id3_tags(b: bytes) -> dict:
+    """ID3v2.3/2.4 TEXT frames -> {title, artist, album, year, genre}
+    (None where absent) — the descriptive metadata an audio corpus
+    catalogs alongside parse_mp3_meta's technical fields.  Reads the
+    syncsafe tag size, walks frames, and decodes the four standard text
+    encodings (latin-1, utf-16 BOM/BE, utf-8).  Undecodable text or a
+    malformed tag raises ValueError (quarantine contract); a payload
+    without an ID3v2 tag returns all-None rather than failing, so the
+    kernel can run on mixed corpora."""
+    out = {"title": None, "artist": None, "album": None, "year": None, "genre": None}
+    if b[:3] != b"ID3" or len(b) < 10:
+        return out
+    major = b[3]
+    size = (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
+    end = min(len(b), 10 + size)
+    pos = 10
+    wanted = {
+        b"TIT2": "title", b"TPE1": "artist", b"TALB": "album",
+        b"TYER": "year", b"TDRC": "year", b"TCON": "genre",
+    }
+    while pos + 10 <= end:
+        fid = b[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        if major >= 4:  # v2.4: syncsafe frame sizes
+            fsz = (b[pos + 4] << 21) | (b[pos + 5] << 14) | (b[pos + 6] << 7) | b[pos + 7]
+        else:
+            fsz = int.from_bytes(b[pos + 4 : pos + 8], "big")
+        body = b[pos + 10 : pos + 10 + fsz]
+        if len(body) != fsz:
+            raise ValueError("truncated ID3 frame")
+        key = wanted.get(fid)
+        if key is not None and body:
+            enc = body[0]
+            text = body[1:]
+            try:
+                if enc == 0:
+                    val = text.decode("latin-1")
+                elif enc == 1:
+                    val = text.decode("utf-16")
+                elif enc == 2:
+                    val = text.decode("utf-16-be")
+                elif enc == 3:
+                    val = text.decode("utf-8")
+                else:
+                    raise ValueError(f"bad ID3 text encoding {enc}")
+            except UnicodeDecodeError as exc:
+                raise ValueError(f"undecodable ID3 text frame: {exc}") from exc
+            out[key] = val.rstrip("\x00") or None
+        pos += 10 + fsz
+    return out
+
+
+@_quarantine
 def parse_mp3_meta(b: bytes) -> dict:
     """Skip any ID3v2 tag, find the first MPEG-1 Layer III frame header,
     and derive duration: from the Xing/Info or VBRI header's frame count
@@ -915,14 +969,43 @@ def encode_mp4_stub(duration_ms: int, width: int | None = None, height: int | No
     )
 
 
-def encode_mp3_stub(duration_ms: int, bitrate_kbps: int = 128, sample_rate: int = 44100) -> bytes:
-    """ID3v2 header + one valid MPEG-1 Layer III frame header + padding
-    sized so the CBR duration estimate equals ``duration_ms``."""
+def encode_id3v2(tags: dict, major: int = 3) -> bytes:
+    """A standalone ID3v2.3/2.4 tag with utf-8 (v2.4) or utf-16 (v2.3)
+    TEXT frames — the fixture twin of ``parse_id3_tags``.  Keys:
+    title/artist/album/year/genre."""
+    frame_ids = {"title": b"TIT2", "artist": b"TPE1", "album": b"TALB",
+                 "year": b"TDRC" if major >= 4 else b"TYER", "genre": b"TCON"}
+    body = bytearray()
+    for key, val in tags.items():
+        fid = frame_ids[key]
+        if major >= 4:
+            payload = b"\x03" + str(val).encode("utf-8")
+        else:
+            payload = b"\x01" + str(val).encode("utf-16")
+        sz = len(payload)
+        if major >= 4:  # syncsafe
+            szb = bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F])
+        else:
+            szb = sz.to_bytes(4, "big")
+        body += fid + szb + b"\x00\x00" + payload
+    total = len(body)
+    hdr = b"ID3" + bytes([major, 0, 0]) + bytes(
+        [(total >> 21) & 0x7F, (total >> 14) & 0x7F, (total >> 7) & 0x7F, total & 0x7F]
+    )
+    return hdr + bytes(body)
+
+
+def encode_mp3_stub(
+    duration_ms: int, bitrate_kbps: int = 128, sample_rate: int = 44100, tags: dict | None = None
+) -> bytes:
+    """ID3v2 header (optionally carrying real text frames) + one valid
+    MPEG-1 Layer III frame header + padding sized so the CBR duration
+    estimate equals ``duration_ms``."""
     bidx = _MP3_BITRATES.index(bitrate_kbps)
     ridx = _MP3_RATES.index(sample_rate)
     hdr = bytes([0xFF, 0xFB, (bidx << 4) | (ridx << 2), 0x00])
     audio_bytes = duration_ms * bitrate_kbps // 8
-    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x00"
+    id3 = encode_id3v2(tags) if tags else b"ID3\x04\x00\x00\x00\x00\x00\x00"
     return id3 + hdr + bytes(max(0, audio_bytes - 4))
 
 

@@ -541,6 +541,16 @@ def test_decoder_quarantine_contract_fuzz():
     decoders["jpeg_progressive"] = codecs.decode_jpeg
     magics["jpeg_progressive"] = b"\xff\xd8\xff"
     valid["jpeg_progressive"] = codecs.encode_jpeg_progressive(arr)
+    # ID3 text-frame parser (r5)
+    decoders["id3"] = codecs.parse_id3_tags
+    magics["id3"] = b"ID3"
+    valid["id3"] = codecs.encode_mp3_stub(500, tags={"title": "t", "artist": "a"})
+    # GIF animation walker (r5): same magic, multi-frame corpus
+    decoders["gif_anim"] = codecs.decode_gif_frames
+    magics["gif_anim"] = b"GIF89a"
+    valid["gif_anim"] = codecs.encode_gif_animation(
+        9, 7, [{"img": _pal_image(9, 7, 5)}, {"img": _pal_image(4, 3, 3), "left": 2, "top": 2}]
+    )
     for name, fn in decoders.items():
         payloads = [
             magics[name] + rng.integers(0, 256, int(n), dtype=np.uint8).tobytes()
@@ -765,3 +775,27 @@ def test_gif_animation_frames_and_disposal():
             codecs.decode_gif_frames(anim[:cut])
         except ValueError:
             pass
+
+
+def test_id3_text_frames_roundtrip():
+    """ID3v2.3 (utf-16) and v2.4 (utf-8, syncsafe frame sizes) text
+    frames round-trip; tag-less payloads return all-None; undecodable
+    text quarantines as ValueError."""
+    tags = {"title": "Über Song", "artist": "Ärtist", "album": "Al–bum", "year": "2021", "genre": "jazz"}
+    for major in (3, 4):
+        payload = codecs.encode_mp3_stub(1000, tags=tags) if major == 3 else (
+            codecs.encode_id3v2(tags, major=4) + b"\xff\xfb\x90\x00" + bytes(500)
+        )
+        got = codecs.parse_id3_tags(payload)
+        assert got == tags, (major, got)
+        # the technical parser still works on the same bytes
+        meta = codecs.parse_mp3_meta(payload)
+        assert meta["sample_rate"] == 44100
+    assert codecs.parse_id3_tags(b"\xff\xfb\x90\x00" + bytes(100)) == {
+        "title": None, "artist": None, "album": None, "year": None, "genre": None
+    }
+    # bad text encoding byte / truncated frame -> ValueError only
+    bad = bytearray(codecs.encode_id3v2({"title": "x"}, major=4))
+    bad[20] = 9  # encoding byte out of range
+    with pytest.raises(ValueError):
+        codecs.parse_id3_tags(bytes(bad))
