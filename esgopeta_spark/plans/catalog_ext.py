@@ -587,3 +587,38 @@ def agg_kmv_distinct_sketch(spark, sf):
     from esgopeta_spark.operators.sketches import kmv_distinct
 
     return kmv_distinct(T(spark, sf, "orders"), "o_custkey", ["o_orderpriority"], k=64)
+
+
+@register(
+    "funnel_view_click_purchase",
+    "E4,E5,G4",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(CAST(epoch_ms(ts) AS BIGINT)) AS t
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, MIN(CAST(epoch_ms(e.ts) AS BIGINT)) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND CAST(epoch_ms(e.ts) AS BIGINT) > s1.t
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, MIN(CAST(epoch_ms(e.ts) AS BIGINT)) AS t
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND CAST(epoch_ms(e.ts) AS BIGINT) > s2.t
+      GROUP BY e.user_id)
+    SELECT 1 AS stage_idx, 'view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+    UNION ALL
+    SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+    """,
+    doc="ordered view->click->purchase funnel conversion (product-analytics "
+    "staple): stage k counts users whose first stage-k event strictly "
+    "follows their first qualifying stage-(k-1) event.  One filtered "
+    "partial-agg pass + narrow (user, ts) join per stage — no windows, no "
+    "arrays, no per-user state (operators/text.funnel_stages)",
+)
+def funnel_view_click_purchase(spark, sf):
+    from esgopeta_spark.operators.text import funnel_stages
+
+    return funnel_stages(T(spark, sf, "events"), ["view", "click", "purchase"])

@@ -772,3 +772,33 @@ def test_kmv_sketch_accuracy_and_mergeability(spark, sf_dir):
             parts.setdefault(r["o_orderpriority"], set()).add(r["kmv_h"])
     merged = {(g, h) for g, hs in parts.items() for h in sorted(hs)[:64]}
     assert merged == whole
+
+
+def test_funnel_requires_stage_order(spark):
+    """Funnel semantics: a user counts at stage k only if their first
+    stage-k event strictly follows their first qualifying stage-(k-1)
+    event — clicking before ever viewing must not convert."""
+    import datetime
+
+    from esgopeta_spark.operators.text import funnel_stages
+
+    def ev(u, t, typ):
+        return (u, datetime.datetime(2024, 1, 1, 0, 0, t), typ)
+
+    rows = [
+        # u1: proper view -> click -> purchase
+        ev(1, 1, "view"), ev(1, 2, "click"), ev(1, 3, "purchase"),
+        # u2: clicked BEFORE viewing, never clicked after -> stops at view
+        ev(2, 1, "click"), ev(2, 2, "view"),
+        # u3: view then click (reaches stage 2), but the only purchase
+        # PRECEDES the click -> never converts at stage 3
+        ev(3, 1, "view"), ev(3, 2, "purchase"), ev(3, 3, "click"),
+        # u4: view only
+        ev(4, 1, "view"),
+        # u5: out-of-order but recovers (click before AND after view)
+        ev(5, 1, "click"), ev(5, 2, "view"), ev(5, 3, "click"), ev(5, 4, "purchase"),
+    ]
+    events = spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_type string")
+    got = {r["stage"]: r["n_users"] for r in funnel_stages(events, ["view", "click", "purchase"]).collect()}
+    # u1/u3/u5 click after viewing; only u1+u5 purchase after that click
+    assert got == {"view": 5, "click": 3, "purchase": 2}
