@@ -818,34 +818,62 @@ _MP3_RATES = [44100, 48000, 32000]
 
 @_quarantine
 def parse_id3_tags(b: bytes) -> dict:
-    """ID3v2.3/2.4 TEXT frames -> {title, artist, album, year, genre}
+    """ID3v2.2/2.3/2.4 TEXT frames -> {title, artist, album, year, genre}
     (None where absent) — the descriptive metadata an audio corpus
     catalogs alongside parse_mp3_meta's technical fields.  Reads the
-    syncsafe tag size, walks frames, and decodes the four standard text
-    encodings (latin-1, utf-16 BOM/BE, utf-8).  Undecodable text or a
-    malformed tag raises ValueError (quarantine contract); a payload
-    without an ID3v2 tag returns all-None rather than failing, so the
-    kernel can run on mixed corpora."""
+    syncsafe tag size, skips the extended header when flagged, walks
+    6-byte (v2.2) or 10-byte (v2.3/2.4) frame headers, and decodes the
+    four standard text encodings (latin-1, utf-16 BOM/BE, utf-8).
+    Undecodable text or a malformed frame raises ValueError (quarantine
+    contract); payloads without an ID3v2 tag, with an unknown tag
+    version, or with the unsynchronisation flag set return all-None
+    rather than failing or mis-walking, so the kernel runs on mixed
+    corpora (Spark surface: operators/multimodal.extract_audio_tags)."""
     out = {"title": None, "artist": None, "album": None, "year": None, "genre": None}
     if b[:3] != b"ID3" or len(b) < 10:
         return out
     major = b[3]
+    flags = b[5]
     size = (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
     end = min(len(b), 10 + size)
     pos = 10
+    if major not in (2, 3, 4) or flags & 0x80:
+        # unknown tag version or unsynchronised content: degrade to
+        # all-None rather than mis-walking the frames (mixed-corpus
+        # promise in the docstring)
+        return out
+    if flags & 0x40 and major >= 3:  # extended header: skip it
+        if pos + 4 > end:
+            return out
+        ext = int.from_bytes(b[pos : pos + 4], "big")
+        if major >= 4:  # v2.4: syncsafe, size INCLUDES the 4 size bytes
+            ext = (b[pos] << 21) | (b[pos + 1] << 14) | (b[pos + 2] << 7) | b[pos + 3]
+            pos += ext
+        else:  # v2.3: size EXCLUDES the 4 size bytes
+            pos += 4 + ext
+    hdr_len = 6 if major == 2 else 10
     wanted = {
         b"TIT2": "title", b"TPE1": "artist", b"TALB": "album",
         b"TYER": "year", b"TDRC": "year", b"TCON": "genre",
+        # v2.2 three-character ids
+        b"TT2": "title", b"TP1": "artist", b"TAL": "album",
+        b"TYE": "year", b"TCO": "genre",
     }
-    while pos + 10 <= end:
-        fid = b[pos : pos + 4]
-        if fid == b"\x00\x00\x00\x00":
-            break  # padding
-        if major >= 4:  # v2.4: syncsafe frame sizes
-            fsz = (b[pos + 4] << 21) | (b[pos + 5] << 14) | (b[pos + 6] << 7) | b[pos + 7]
+    while pos + hdr_len <= end:
+        if major == 2:
+            fid = b[pos : pos + 3]
+            if fid == b"\x00\x00\x00":
+                break  # padding
+            fsz = int.from_bytes(b[pos + 3 : pos + 6], "big")
         else:
-            fsz = int.from_bytes(b[pos + 4 : pos + 8], "big")
-        body = b[pos + 10 : pos + 10 + fsz]
+            fid = b[pos : pos + 4]
+            if fid == b"\x00\x00\x00\x00":
+                break  # padding
+            if major >= 4:  # v2.4: syncsafe frame sizes
+                fsz = (b[pos + 4] << 21) | (b[pos + 5] << 14) | (b[pos + 6] << 7) | b[pos + 7]
+            else:
+                fsz = int.from_bytes(b[pos + 4 : pos + 8], "big")
+        body = b[pos + hdr_len : pos + hdr_len + fsz]
         if len(body) != fsz:
             raise ValueError("truncated ID3 frame")
         key = wanted.get(fid)
@@ -866,7 +894,7 @@ def parse_id3_tags(b: bytes) -> dict:
             except UnicodeDecodeError as exc:
                 raise ValueError(f"undecodable ID3 text frame: {exc}") from exc
             out[key] = val.rstrip("\x00") or None
-        pos += 10 + fsz
+        pos += hdr_len + fsz
     return out
 
 

@@ -595,6 +595,7 @@ def duplicated_ngram_spans(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Verbatim cross-document span detection — the EXACT-substring half
     of training-data dedup (Lee et al. 2022, "Deduplicating Training Data
@@ -630,8 +631,12 @@ def duplicated_ngram_spans(
     # materialize-once discipline: the gram stream feeds BOTH the
     # shared-gram aggregate and the join-back, and the windowed
     # slice+concat explode is the dominant cost — recomputing it doubles
-    # the whole query (measured 8-11s -> 5.4s at sf0.1)
-    grams = grams.localCheckpoint()
+    # the whole query (measured 8-11s -> 5.4s at sf0.1).  Same
+    # checkpoint="local"|"reliable" durability knob as the other
+    # materializing operators (operators/checkpoint.py).
+    from esgopeta_spark.operators.checkpoint import materialize
+
+    grams = materialize(grams, checkpoint)
     shared = (
         grams.groupBy("gram")
         .agg(F.countDistinct("doc_id").alias("n_docs"))

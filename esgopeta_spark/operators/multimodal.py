@@ -530,3 +530,41 @@ def sample_video_frames(df: DataFrame, max_frames: int = 4) -> DataFrame:
             )
 
     return df.mapInPandas(kernel, out_schema)
+
+
+def extract_audio_tags(df: DataFrame) -> DataFrame:
+    """Descriptive audio metadata for the corpus catalog: ID3v2 text
+    frames (title/artist/album/year/genre — codecs.parse_id3_tags)
+    per Arrow batch.  Non-mp3 and tagless payloads yield all-None tag
+    columns with ok=true; genuinely malformed tags quarantine as
+    ok=false + err, never a stage kill (the decode_media contract)."""
+    out_schema = (
+        "media_id bigint, ok boolean, err string, "
+        "title string, artist string, album string, year string, genre string"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from esgopeta_spark.operators import codecs
+
+        for pdf in batches:
+            out = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(b) if b is not None else b""
+                rec = dict(media_id=mid, ok=True, err=None,
+                           title=None, artist=None, album=None, year=None, genre=None)
+                try:
+                    rec.update(codecs.parse_id3_tags(b))
+                except ValueError as exc:
+                    rec.update(ok=False, err=f"corrupt:{exc}"[:200])
+                out.append(rec)
+            yield pd.DataFrame(
+                out if out else {
+                    "media_id": pd.Series([], dtype="int64"),
+                    "ok": pd.Series([], dtype="bool"),
+                    "err": pd.Series([], dtype="object"),
+                    **{c: pd.Series([], dtype="object")
+                       for c in ("title", "artist", "album", "year", "genre")},
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(kernel, out_schema)

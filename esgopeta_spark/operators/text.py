@@ -360,50 +360,3 @@ def ngram_commonness(
             F.expr("sum_freq * 100 div n_grams").alias("mean_freq_c"),
         )
     )
-
-
-def funnel_stages(
-    events: DataFrame,
-    stages: list[str],
-    user_col: str = "user_id",
-    type_col: str = "event_type",
-    ts_col: str = "ts",
-) -> DataFrame:
-    """Ordered-funnel conversion (the product-analytics staple): for each
-    stage k, count users whose FIRST stage-k event strictly follows
-    their first qualifying stage-(k-1) event — i.e. who performed the
-    stages in order.  Returns (stage_idx, stage, n_users), one row per
-    stage, engine-exact (epoch-millisecond integers, MIN aggregates).
-
-    Plan shape: one filtered partial-agg pass per stage (min ts per
-    user), each joined against the previous stage's user set — k narrow
-    (user, ts) shuffles for a k-stage funnel, no windows, no arrays, no
-    per-user state.  At 100 TB pre-partition events by user so every
-    per-stage aggregate and join co-locates.
-    """
-    ts_ms = F.unix_millis(F.col(ts_col))
-    prev = None
-    counts = []
-    for i, stage in enumerate(stages):
-        cur = events.filter(F.col(type_col) == stage).select(
-            F.col(user_col).alias("_u"), ts_ms.alias("_t")
-        )
-        if prev is None:
-            reached = cur.groupBy("_u").agg(F.min("_t").alias("_t"))
-        else:
-            reached = (
-                cur.join(prev.withColumnRenamed("_t", "_pt"), "_u")
-                .filter(F.col("_t") > F.col("_pt"))
-                .groupBy("_u")
-                .agg(F.min("_t").alias("_t"))
-            )
-        counts.append(
-            reached.agg(F.count(F.lit(1)).alias("n_users")).select(
-                F.lit(i + 1).alias("stage_idx"), F.lit(stage).alias("stage"), "n_users"
-            )
-        )
-        prev = reached
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.unionByName(c)
-    return out

@@ -591,7 +591,7 @@ def agg_kmv_distinct_sketch(spark, sf):
 
 @register(
     "funnel_view_click_purchase",
-    "E4,E5,G4",
+    "E4,E5",
     """
     WITH s1 AS (
       SELECT user_id, MIN(CAST(epoch_ms(ts) AS BIGINT)) AS t
@@ -613,12 +613,13 @@ def agg_kmv_distinct_sketch(spark, sf):
     SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
     """,
     doc="ordered view->click->purchase funnel conversion (product-analytics "
-    "staple): stage k counts users whose first stage-k event strictly "
-    "follows their first qualifying stage-(k-1) event.  One filtered "
-    "partial-agg pass + narrow (user, ts) join per stage — no windows, no "
-    "arrays, no per-user state (operators/text.funnel_stages)",
+    "staple): stage k counts users with a stage-k event strictly after "
+    "their earliest qualifying stage-(k-1) event.  One filtered "
+    "partial-agg pass + narrow (user, ts) join per stage, each stage "
+    "lineage-cut — no windows, no arrays, no per-user state "
+    "(operators/funnel.funnel_stages)",
 )
 def funnel_view_click_purchase(spark, sf):
-    from esgopeta_spark.operators.text import funnel_stages
+    from esgopeta_spark.operators.funnel import funnel_stages
 
     return funnel_stages(T(spark, sf, "events"), ["view", "click", "purchase"])

@@ -799,3 +799,46 @@ def test_id3_text_frames_roundtrip():
     bad[20] = 9  # encoding byte out of range
     with pytest.raises(ValueError):
         codecs.parse_id3_tags(bytes(bad))
+
+
+def test_id3_v22_flags_and_spark_surface(spark):
+    """ID3v2.2 (3-char ids, 3-byte sizes), extended headers, and the
+    unsynchronisation degrade; extract_audio_tags is the distributed
+    surface with the quarantine contract."""
+    # hand-built v2.2 tag: TT2 'Hi' latin-1, TP1 'Me'
+    def v22frame(fid, text):
+        payload = b"\x00" + text.encode("latin-1")
+        return fid + len(payload).to_bytes(3, "big") + payload
+    body = v22frame(b"TT2", "Hi") + v22frame(b"TP1", "Me")
+    sz = len(body)
+    tag22 = b"ID3\x02\x00\x00" + bytes(
+        [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]) + body
+    got = codecs.parse_id3_tags(tag22)
+    assert got["title"] == "Hi" and got["artist"] == "Me"
+
+    # v2.3 extended header (flag 0x40, size excludes its own 4 bytes)
+    t = codecs.encode_id3v2({"title": "X"}, major=3)
+    ext = (6).to_bytes(4, "big") + bytes(6)
+    frames = t[10:]
+    sz2 = len(ext) + len(frames)
+    t_ext = b"ID3\x03\x00\x40" + bytes(
+        [(sz2 >> 21) & 0x7F, (sz2 >> 14) & 0x7F, (sz2 >> 7) & 0x7F, sz2 & 0x7F]) + ext + frames
+    assert codecs.parse_id3_tags(t_ext)["title"] == "X"
+
+    # unsynchronisation flag -> all-None degrade, not a mis-walk
+    t_unsync = b"ID3\x03\x00\x80" + t[6:]
+    assert codecs.parse_id3_tags(t_unsync)["title"] is None
+
+    rows = [
+        (1, codecs.encode_mp3_stub(500, tags={"title": "Song", "artist": "A"})),
+        (2, codecs.encode_mp3_stub(500)),  # tagless
+        (3, tag22),  # v2.2
+        (4, None),  # null payload
+    ]
+    out = {r["media_id"]: r for r in
+           __import__("esgopeta_spark.operators.multimodal", fromlist=["extract_audio_tags"])
+           .extract_audio_tags(spark.createDataFrame(rows, "media_id bigint, payload binary")).collect()}
+    assert out[1]["title"] == "Song" and out[1]["artist"] == "A" and out[1]["ok"]
+    assert out[2]["title"] is None and out[2]["ok"]
+    assert out[3]["title"] == "Hi"
+    assert out[4]["ok"] and out[4]["title"] is None

@@ -780,7 +780,7 @@ def test_funnel_requires_stage_order(spark):
     event — clicking before ever viewing must not convert."""
     import datetime
 
-    from esgopeta_spark.operators.text import funnel_stages
+    from esgopeta_spark.operators.funnel import funnel_stages
 
     def ev(u, t, typ):
         return (u, datetime.datetime(2024, 1, 1, 0, 0, t), typ)
