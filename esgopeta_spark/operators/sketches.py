@@ -92,3 +92,114 @@ def kmv_state(df: DataFrame, key_col: str, group_cols: list[str], k: int = 64) -
     hashed = df.select(*group_cols, kmv_hash(F.col(key_col)).alias("kmv_h")).distinct()
     w = Window.partitionBy(*group_cols).orderBy(F.col("kmv_h").asc())
     return hashed.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005, "An improved data stream
+# summary: the count-min sketch and its applications" — public).  The
+# frequency-family companion to KMV's distinct-family sketch: a depth x width
+# grid of counters; every key increments one counter per row (bucket =
+# hash_d(key) mod width); a point estimate is the MIN over rows of the key's
+# counters — always an over-estimate, within eps*N with probability 1-delta
+# for width = e/eps, depth = ln(1/delta).
+#
+# Same portability argument as KMV: counters are exact int64 sums of integer
+# weights and the per-row hash is the same two-step Lehmer scramble (second
+# multiplier offset by the row index), so DuckDB reproduces the whole grid
+# and every estimate bit-for-bit (catalog ``agg_cms_heavy_hitters``).
+#
+# Scale shape: the grid is keyed on (row, bucket) — at most depth*width rows
+# per map partition survive the partial agg, so a 100 TB scan shuffles only
+# depth*width*n_partitions narrow integer rows.  Merge = element-wise counter
+# sum (pinned by the mergeability test in tests/test_llm_ops.py).
+# ---------------------------------------------------------------------------
+
+
+def cms_bucket(col, row: int, width: int) -> "F.Column":
+    """Bucket of ``col`` in sketch row ``row``: the KMV Lehmer scramble
+    with the second multiplier offset by the row index (distinct rows =
+    distinct hash functions from the same full-period family), mod
+    ``width``.  All intermediates stay under 2^48 (pmod bounds the key
+    to 2^31 first) — no overflow on either engine."""
+    h0 = F.pmod(col.cast("bigint"), F.lit(KMV_MOD))
+    h1 = (h0 * F.lit(_A1)) % F.lit(KMV_MOD)
+    h2 = (h1 * F.lit(_A2 + row)) % F.lit(KMV_MOD)
+    return F.pmod(h2, F.lit(width))
+
+
+def cms_state(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str | None = None,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """The mergeable sketch grid: one row per non-empty (cms_row,
+    cms_bucket) cell with its exact int64 counter.  Merge two states by
+    unioning and summing counters per cell."""
+    w = F.col(weight_col).cast("bigint") if weight_col else F.lit(1).cast("bigint")
+    rows = [
+        df.select(
+            F.lit(d).alias("cms_row"),
+            cms_bucket(F.col(key_col), d, width).alias("cms_bucket"),
+            w.alias("_w"),
+        )
+        for d in range(depth)
+    ]
+    grid = rows[0]
+    for r in rows[1:]:
+        grid = grid.unionAll(r)
+    return grid.groupBy("cms_row", "cms_bucket").agg(F.sum("_w").alias("cnt"))
+
+
+def cms_estimates(
+    df: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    weight_col: str | None = None,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-estimate every key in ``keys`` (a one-column DataFrame named
+    ``key_col``) against the sketch of ``df``: est = MIN over rows of the
+    key's bucket counter (missing cell -> 0).  The grid is tiny
+    (<= depth*width rows) and broadcasts; the probe is an equi-join."""
+    grid = cms_state(df, key_col, weight_col, depth, width)
+    probes = keys.select(F.col(key_col)).distinct()
+    probe_rows = [
+        probes.select(
+            key_col,
+            F.lit(d).alias("cms_row"),
+            cms_bucket(F.col(key_col), d, width).alias("cms_bucket"),
+        )
+        for d in range(depth)
+    ]
+    p = probe_rows[0]
+    for r in probe_rows[1:]:
+        p = p.unionAll(r)
+    return (
+        p.join(F.broadcast(grid), ["cms_row", "cms_bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("est_cnt"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    threshold: int,
+    weight_col: str | None = None,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Keys whose CMS estimate meets ``threshold`` — the classic
+    heavy-hitters query.  CMS never under-counts, so every true heavy
+    hitter survives (no false negatives; the accuracy test also bounds
+    the over-count).  The candidate set here is the distinct keys of
+    ``df`` itself (exact, oracle-friendly); at 100 TB the candidate set
+    would be an external/sampled list fed to ``cms_estimates`` — the
+    probe plan is identical either way."""
+    keys = df.select(key_col).distinct()
+    return cms_estimates(df, keys, key_col, weight_col, depth, width).filter(
+        F.col("est_cnt") >= F.lit(int(threshold))
+    )

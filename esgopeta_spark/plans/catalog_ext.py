@@ -623,3 +623,52 @@ def funnel_view_click_purchase(spark, sf):
     from esgopeta_spark.operators.funnel import funnel_stages
 
     return funnel_stages(T(spark, sf, "events"), ["view", "click", "purchase"])
+
+
+@register(
+    "agg_cms_heavy_hitters",
+    "E4,G4",
+    """
+    WITH grid AS (
+      SELECT t.d AS cms_row,
+             (((((CAST(user_id AS BIGINT) % 2147483647 + 2147483647) % 2147483647)
+                * 48271) % 2147483647 * (69621 + t.d)) % 2147483647) % 256 AS cms_bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events CROSS JOIN generate_series(0, 3) t(d)
+      GROUP BY 1, 2),
+    probes AS (
+      SELECT DISTINCT user_id FROM events),
+    p AS (
+      SELECT probes.user_id, t.d AS cms_row,
+             (((((CAST(user_id AS BIGINT) % 2147483647 + 2147483647) % 2147483647)
+                * 48271) % 2147483647 * (69621 + t.d)) % 2147483647) % 256 AS cms_bucket
+      FROM probes CROSS JOIN generate_series(0, 3) t(d)),
+    est AS (
+      SELECT p.user_id,
+             CAST(MIN(COALESCE(grid.cnt, 0)) AS BIGINT) AS est_cnt
+      FROM p LEFT JOIN grid USING (cms_row, cms_bucket)
+      GROUP BY p.user_id)
+    SELECT user_id, est_cnt FROM est
+    WHERE est_cnt >= (SELECT COUNT(*) FROM events) // 100
+    """,
+    doc="Count-Min-sketch heavy hitters (Cormode & Muthukrishnan 2005): "
+    "4x256 exact-int64 counter grid (same Lehmer hash family as the KMV "
+    "sketch, row index offsets the second multiplier), point estimate = "
+    "min over rows, keep users whose estimated event count >= total div "
+    "100 (scale-free threshold).  CMS never under-counts so no true "
+    "heavy hitter is missed; the grid shuffles at most depth*width rows "
+    "per map partition (mergeable: counter sums) and broadcasts to the "
+    "probe join (operators/sketches.cms_estimates; mergeability + "
+    "overcount bounds pinned in pytest)",
+)
+def agg_cms_heavy_hitters(spark, sf):
+    from esgopeta_spark.operators.sketches import cms_estimates
+
+    ev = T(spark, sf, "events")
+    est = cms_estimates(ev, ev.select("user_id"), "user_id", depth=4, width=256)
+    tot = ev.agg(F.count(F.lit(1)).alias("_tot"))
+    return (
+        est.crossJoin(F.broadcast(tot))
+        .filter(F.col("est_cnt") >= F.expr("_tot div 100"))
+        .select("user_id", "est_cnt")
+    )

@@ -4,6 +4,8 @@ joins, approx aggregates."""
 
 from __future__ import annotations
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -802,3 +804,58 @@ def test_funnel_requires_stage_order(spark):
     got = {r["stage"]: r["n_users"] for r in funnel_stages(events, ["view", "click", "purchase"]).collect()}
     # u1/u3/u5 click after viewing; only u1+u5 purchase after that click
     assert got == {"view": 5, "click": 3, "purchase": 2}
+
+
+def test_cms_sketch_no_false_negatives_and_overcount_bound(spark, sf_dir):
+    """Count-Min sketch: every estimate >= the true count (CMS never
+    under-counts), and with a 4x256 grid the total overcount across all
+    keys stays within the eps*N*n_keys expectation band (generous 2x)."""
+    from esgopeta_spark.operators.sketches import cms_estimates
+
+    ev = read_table(spark, sf_dir, "events")
+    est = {r["user_id"]: r["est_cnt"] for r in
+           cms_estimates(ev, ev.select("user_id"), "user_id", depth=4, width=256).collect()}
+    exact = {r["user_id"]: r["n"] for r in
+             ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(est) == set(exact)
+    n_total = sum(exact.values())
+    for u, n in exact.items():
+        assert est[u] >= n, (u, est[u], n)  # the CMS invariant
+        # per-key Markov bound: overcount < e/width * N w.p. ~1 per row,
+        # min over 4 rows makes the tail tiny; allow a generous 2x
+        assert est[u] - n <= 2 * math.e * n_total / 256 + 1, (u, est[u], n)
+
+
+def test_cms_state_merges_by_counter_sum(spark, sf_dir):
+    """Mergeability: the sketch of A ∪ B equals the element-wise counter
+    sum of the sketches of A and B — the property that lets 1000
+    executors each keep a 4x256 grid and combine map-side."""
+    from esgopeta_spark.operators.sketches import cms_state
+
+    ev = read_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    whole = {(r["cms_row"], r["cms_bucket"]): r["cnt"]
+             for r in cms_state(ev, "user_id").collect()}
+    summed: dict = {}
+    for part in (a, b):
+        for r in cms_state(part, "user_id").collect():
+            k = (r["cms_row"], r["cms_bucket"])
+            summed[k] = summed.get(k, 0) + r["cnt"]
+    assert summed == whole
+
+
+def test_cms_weighted_estimates(spark):
+    """Weighted CMS: counters accumulate integer weights, estimates
+    bound the true weighted totals from above."""
+    from esgopeta_spark.operators.sketches import cms_estimates
+
+    rows = [(k, w) for k in range(50) for w in ([3] * (k % 4 + 1))]
+    df = spark.createDataFrame(rows, "k bigint, w bigint")
+    est = {r["k"]: r["est_cnt"] for r in
+           cms_estimates(df, df.select("k"), "k", weight_col="w",
+                         depth=4, width=64).collect()}
+    exact = {r["k"]: r["s"] for r in
+             df.groupBy("k").agg(F.sum("w").alias("s")).collect()}
+    for k, s in exact.items():
+        assert est[k] >= s
