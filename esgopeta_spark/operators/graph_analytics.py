@@ -248,3 +248,70 @@ def label_propagation(
             checkpoint,
         )
     return labels.select("node", F.col("label").alias("community"))
+
+
+def kcore_members(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: str = "local",
+) -> DataFrame:
+    """k-core decomposition membership (Seidman 1983, "Network structure
+    and minimum degree"; the GraphX-ecosystem staple for graph
+    densification / spam-node pruning): iteratively peel nodes whose
+    degree in the SURVIVING subgraph is below ``k`` until fixpoint; the
+    survivors are the k-core.
+
+    Edge list is treated as UNDIRECTED (symmetrized, de-duplicated,
+    self-loops dropped); degree counts distinct neighbors.  Returns
+    (node, core_deg) — each surviving node with its degree inside the
+    core (>= k by construction).  All-integer, order-free, so the result
+    is engine-exact; ``rounds`` is a fixed unroll bound (the catalog
+    oracle unrolls the same rounds) with an early driver-side break when
+    a round removes nothing — pytest pins that the bound reaches the
+    true fixpoint (peel rounds needed is typically O(log n) in practice;
+    a too-small bound fails the fixpoint assertion rather than silently
+    returning a superset).
+
+    Plan shape per round: one (node) partial-agg degree count + one
+    semi-join of the edge list against survivors on EACH endpoint —
+    narrow integer rows throughout, every join equi.  Each round's edge
+    relation is lineage-cut per the ``checkpoint`` knob.  At 100 TB:
+    pre-partition edges by ``a`` so the degree agg and the first
+    survivor semi-join co-locate; the second semi-join reuses the
+    survivor relation (tiny after the first peels) as a broadcast.
+    """
+    from esgopeta_spark.operators.checkpoint import materialize
+
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    e = materialize(
+        und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct(),
+        checkpoint,
+    )
+    n_edges = e.count()
+    for _ in range(rounds):
+        if n_edges == 0:
+            break
+        survivors = (
+            e.groupBy("a").agg(F.count(F.lit(1)).alias("_d")).filter(F.col("_d") >= k).select("a")
+        )
+        e2 = materialize(
+            e.join(survivors, "a", "semi").join(
+                survivors.withColumnRenamed("a", "b"), "b", "semi"
+            ).select("a", "b"),
+            checkpoint,
+        )
+        n2 = e2.count()
+        if n2 == n_edges:  # fixpoint: nothing peeled this round
+            break
+        e, n_edges = e2, n2
+    return (
+        e.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
+        .filter(F.col("core_deg") >= k)
+    )

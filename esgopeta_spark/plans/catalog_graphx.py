@@ -224,3 +224,67 @@ def graph_communities_lpa(spark, sf):
         .select("ea", "eb")
     )
     return label_propagation(edges, rounds=3, src="ea", dst="eb")
+
+
+# k-core oracle: the peel recurrence unrolled one CTE block per round (same
+# pattern as the LPA oracle above; extra rounds past the fixpoint are no-ops,
+# so both engines running the full unroll agree even when the data converges
+# early — the Spark side's early break only skips no-op rounds).
+_KCORE_ROUNDS = 8
+_KCORE_K = 2
+
+
+def _kcore_oracle(rounds: int, k: int) -> str:
+    blocks = [
+        """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    p0 AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    e0 AS MATERIALIZED (SELECT a, b FROM p0 UNION SELECT b, a FROM p0)"""
+    ]
+    for r in range(rounds):
+        blocks.append(
+            f""",
+    s{r} AS MATERIALIZED (SELECT a FROM e{r} GROUP BY a HAVING COUNT(*) >= {k}),
+    e{r + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e{r} e
+                 JOIN s{r} USING (a) JOIN s{r} t ON e.b = t.a)"""
+        )
+    blocks.append(
+        f"""
+    SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+    FROM e{rounds} GROUP BY a HAVING COUNT(*) >= {k}"""
+    )
+    return "".join(blocks)
+
+
+@register(
+    "graph_kcore_members",
+    "A1,E3,E4",
+    _kcore_oracle(_KCORE_ROUNDS, _KCORE_K),
+    doc=f"k-core decomposition (Seidman 1983) of the recurring co-purchase "
+    "graph (same edge derivation as graph_triangles_coorder/LPA): "
+    f"iteratively peel nodes with degree < {_KCORE_K} until fixpoint "
+    f"(unroll bound {_KCORE_ROUNDS} rounds — covers the measured fixpoint "
+    "at every shipped SF with margin; post-fixpoint rounds are no-ops so "
+    "the fixed unroll is engine-exact; each round CTE is MATERIALIZED — plain CTEs inline 3^rounds copies of the base scan), report each survivor's in-core "
+    "degree.  Per round: one degree partial agg + two survivor semi-joins, "
+    "all narrow integers (operators/graph_analytics.kcore_members; "
+    "fixpoint-reached pinned in pytest)",
+)
+def graph_kcore_members(spark, sf):
+    from esgopeta_spark.operators.graph_analytics import kcore_members
+
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy(F.col("pa").alias("ea"), F.col("pb").alias("eb"))
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("ea", "eb")
+    )
+    return kcore_members(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS, src="ea", dst="eb")
