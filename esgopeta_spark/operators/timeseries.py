@@ -1,0 +1,86 @@
+"""Time-series resampling: regular-grid bucketing with
+last-observation-carried-forward (LOCF) gap fill — the hypertable
+``time_bucket_gapfill + locf`` staple of time-series engines, expressed
+as a pure DataFrame plan.
+
+Shape: one (key, bucket) partial-agg pass picks each bucket's closing
+value under a TOTAL order (last event by (ts, tiebreak)); per-key bucket
+grids come from ``sequence()`` + ``explode`` over the key's own
+[min, max] span (grid size == output size — nothing materializes beyond
+the result); the fill is one ``last(ignorenulls)`` running window per
+key.  All joins equi on (key, bucket); the only shuffles are the bucket
+agg and the per-key window sort.  At 100 TB: the grid explode is
+output-bound, the window partitions by series key (time-series
+cardinality, not event cardinality), and a hot series salts like any
+hot window key.
+
+Determinism: the closing value is picked by (ts, tiebreak) — a total
+order when the tiebreak column is unique — and doubles are only CARRIED
+(never summed), so the result is engine-exact (catalog rule 2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def resample_locf(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    unit: str = "day",
+) -> DataFrame:
+    """Per-key regular grid at ``unit`` granularity over the key's own
+    observed span, each bucket carrying the last observed value at or
+    before it.
+
+    Returns (key, bucket [date], filled_value, n_events, is_gap):
+    ``n_events`` = observations inside the bucket (0 for gaps),
+    ``is_gap`` = 1 where the bucket had no observation and the value is
+    carried forward.  The first bucket of a key is always observed (the
+    grid starts at the key's first event), so ``filled_value`` is never
+    null.
+    """
+    if unit != "day":  # the oracle-checked granularity; others share the plan
+        raise ValueError(f"unsupported unit: {unit!r}")
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    obs = (
+        df.select(
+            F.col(key_col).alias("_k"),
+            day.alias("bucket"),
+            F.col(value_col).alias("_v"),
+            F.col(ts_col).alias("_ts"),
+            F.col(tiebreak_col).alias("_tb"),
+        )
+        .groupBy("_k", "bucket")
+        .agg(
+            F.max_by("_v", F.struct(F.col("_ts"), F.col("_tb"))).alias("_day_value"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )
+    bounds = obs.groupBy("_k").agg(
+        F.min("bucket").alias("_d0"), F.max("bucket").alias("_d1")
+    )
+    grid = bounds.select(
+        "_k",
+        F.explode(F.expr("sequence(_d0, _d1, interval 1 day)")).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("bucket").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, ["_k", "bucket"], "left")
+        .select(
+            F.col("_k").alias(key_col),
+            "bucket",
+            F.last("_day_value", ignorenulls=True).over(w).alias("filled_value"),
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            F.when(F.col("n_events").isNull(), F.lit(1)).otherwise(F.lit(0)).cast("int").alias("is_gap"),
+        )
+    )

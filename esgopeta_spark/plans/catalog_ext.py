@@ -672,3 +672,41 @@ def agg_cms_heavy_hitters(spark, sf):
         .filter(F.col("est_cnt") >= F.expr("_tot div 100"))
         .select("user_id", "est_cnt")
     )
+
+
+@register(
+    "ts_gapfill_daily_locf",
+    "E5,F3",
+    """
+    WITH obs AS (
+      SELECT user_id, day, value AS day_value, cnt AS n_events FROM (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)) AS cnt
+        FROM events) WHERE rn = 1),
+    bounds AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM obs GROUP BY user_id),
+    grid AS (
+      SELECT user_id, CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds)
+    SELECT g.user_id,
+           g.day AS bucket,
+           LAST_VALUE(o.day_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+           CAST(COALESCE(o.n_events, 0) AS BIGINT) AS n_events,
+           CAST(CASE WHEN o.day IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_gap
+    FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.day = o.day
+    """,
+    doc="time-series resample + LOCF gap fill (the time_bucket_gapfill/locf "
+    "staple): per-user daily grid over the user's own span, each bucket "
+    "carrying the last observed value at or before it (closing value picked "
+    "under the (ts, event_id) total order; doubles carried, never summed).  "
+    "One bucket partial agg + output-bound sequence/explode grid + one "
+    "last(ignorenulls) running window per series "
+    "(operators/timeseries.resample_locf)",
+)
+def ts_gapfill_daily_locf(spark, sf):
+    from esgopeta_spark.operators.timeseries import resample_locf
+
+    return resample_locf(T(spark, sf, "events"))

@@ -859,3 +859,54 @@ def test_cms_weighted_estimates(spark):
              df.groupBy("k").agg(F.sum("w").alias("s")).collect()}
     for k, s in exact.items():
         assert est[k] >= s
+
+
+def test_resample_locf_fills_gaps_carrying_last_value(spark):
+    """Hand-built series: a 5-day span with observations on days 1, 2, 5
+    must yield a 5-row grid where days 3-4 are gaps carrying day-2's
+    closing value, and the closing value of a multi-event day is the one
+    from the LAST event by (ts, tiebreak)."""
+    import datetime
+
+    from esgopeta_spark.operators.timeseries import resample_locf
+
+    def ev(i, day, hour, v):
+        return (i, datetime.datetime(2024, 3, day, hour), 7, "x", float(v), None)
+
+    rows = [ev(1, 1, 9, 10.0), ev(2, 2, 8, 20.0), ev(3, 2, 15, 25.0), ev(4, 5, 12, 99.0)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    )
+    got = {r["bucket"].day: (r["filled_value"], r["n_events"], r["is_gap"])
+           for r in resample_locf(df).collect()}
+    assert got == {
+        1: (10.0, 1, 0),
+        2: (25.0, 2, 0),  # day 2 closes at the 15:00 event, not the 08:00 one
+        3: (25.0, 0, 1),
+        4: (25.0, 0, 1),
+        5: (99.0, 1, 0),
+    }
+
+
+def test_resample_locf_grid_is_per_key_span(spark):
+    """Each key's grid spans ITS OWN [first, last] day — a key observed on
+    a single day yields exactly one row, untouched by other keys' spans."""
+    import datetime
+
+    from esgopeta_spark.operators.timeseries import resample_locf
+
+    rows = [
+        (1, datetime.datetime(2024, 3, 1), 1, "x", 1.0, None),
+        (2, datetime.datetime(2024, 3, 9), 1, "x", 2.0, None),
+        (3, datetime.datetime(2024, 3, 5), 2, "x", 5.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    )
+    out = resample_locf(df).collect()
+    by_key: dict = {}
+    for r in out:
+        by_key.setdefault(r["user_id"], []).append(r)
+    assert len(by_key[1]) == 9 and len(by_key[2]) == 1
+    assert sum(r["is_gap"] for r in by_key[1]) == 7
+    assert by_key[2][0]["filled_value"] == 5.0 and by_key[2][0]["is_gap"] == 0
