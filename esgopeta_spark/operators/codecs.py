@@ -82,6 +82,8 @@ def sniff_format(b: bytes | None) -> str:
             return name
     if len(b) >= 12 and b[4:8] == b"ftyp":  # ISO BMFF (mp4/mov)
         return "mp4"
+    if len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0:
+        return "mp3"  # MPEG audio frame sync (any layer)
     return "unknown"
 
 
@@ -1212,3 +1214,29 @@ def decode_mjpeg_frames(b: bytes, max_frames: int | None = None) -> list:
             if max_frames is not None and len(frames) >= max_frames:
                 return frames
     return frames
+
+
+# ---------------------------------------------------------------------------
+# MPEG-1 audio Layer I/II SAMPLE decode (operators/mpeg1_audio.py): the
+# former needs-codec guard for compressed audio now only covers Layer III
+# (Huffman/IMDCT out of scope).  Quarantined like every decoder here.
+# ---------------------------------------------------------------------------
+
+
+@_quarantine
+def encode_mpeg1_audio(samples, sample_rate: int, layer: int = 2, bitrate_kbps=None) -> bytes:
+    """Mono int16 PCM -> MPEG-1 Layer I/II frames (see mpeg1_audio.py
+    for the spec-faithful bitstream layout and the documented filterbank
+    / allocation-table deviations)."""
+    from esgopeta_spark.operators import mpeg1_audio
+
+    return mpeg1_audio.encode_mpeg1_audio(samples, sample_rate, layer, bitrate_kbps)
+
+
+@_quarantine
+def decode_mpeg1_audio(b: bytes):
+    """MPEG-1 Layer I/II frames (ID3v2-tagged ok) -> (int16 PCM mono,
+    sample_rate).  Layer III raises ValueError('needs-codec...')."""
+    from esgopeta_spark.operators import mpeg1_audio
+
+    return mpeg1_audio.decode_mpeg1_audio(b)

@@ -19,8 +19,11 @@ Decode status by format:
   (codecs.parse_mp4_meta / parse_mp3_meta), and mp4 video FRAMES decode
   for real for the Motion-JPEG subset (``sample_video_frames`` slices
   the sample tables and runs each sample through the from-scratch JPEG
-  codec).  h264/hevc frames and mp3 samples genuinely require codec
-  libraries this container does not ship; those rows surface
+  codec).  MPEG-1 Layer I/II audio decodes for REAL as of r6
+  (operators/mpeg1_audio.py — spec-shaped bitstream, documented MDCT
+  filterbank deviation); h264/hevc frames and Layer III (mp3 proper)
+  samples genuinely require codec libraries this container does not
+  ship; those rows surface
   ``ok=false, err='needs-codec'`` and the integration point is
   ``raise_if_real_decode_requested``.  The legacy header-sniff kernels
   (``decode_image_meta``, ``extract_features``) remain as the
@@ -195,7 +198,8 @@ def synthetic_media_real(spark, n: int = 64) -> DataFrame:
     """Deterministic corpus of REAL media payloads: BMP, PPM, PNG, JPEG
     and GIF images with a seeded gradient pattern (PNG rows cycle through
     all five scanline filters; JPEG rows alternate 4:4:4 / 4:2:0; GIF
-    rows use a 16-color palette pattern), WAV sine tones, plus
+    rows use a 16-color palette pattern), WAV sine tones (every third
+    audio row instead carries REAL MPEG-1 Layer I/II frames, r6), plus
     MP4-header rows to exercise the needs-codec path."""
     import numpy as np
 
@@ -233,13 +237,29 @@ def synthetic_media_real(spark, n: int = 64) -> DataFrame:
                 payload = codecs.encode_jpeg(arr, quality=90, subsample=i % 8 >= 4)
             rows.append((i, "image", payload, (w, h, None, None, fmt)))
         elif kind == "audio":
-            sr = 8000
-            dur_s = 0.05 + (i % 4) * 0.025
-            t = np.arange(int(sr * dur_s)) / sr
-            freq = 200.0 + 50.0 * (i % 8)
-            samples = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
-            payload = codecs.encode_wav(samples, sr)
-            rows.append((i, "audio", payload, (None, None, sr, int(dur_s * 1000), "wav")))
+            if i % 3 == 2:  # COMPRESSED audio: real MPEG-1 Layer I/II frames
+                sr = 32000
+                layer = 1 if (i // 4) % 2 == 0 else 2  # audio ids are all even
+                spf = 384 if layer == 1 else 1152
+                n_frames = 1 + (i % 4)
+                t = np.arange(spf * n_frames) / sr
+                # 250 Hz multiples give an INTEGER cycle count over both
+                # layers' frame sizes (384n/1152n @ 32 kHz), so the clip ends
+                # on a zero crossing and leakage doesn't smear the spectrum
+                freq = 250.0 * (1 + i % 6)
+                samples = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
+                payload = codecs.encode_mpeg1_audio(samples, sr, layer=layer)
+                rows.append(
+                    (i, "audio", payload, (None, None, sr, len(samples) * 1000 // sr, "mp2"))
+                )
+            else:
+                sr = 8000
+                dur_s = 0.05 + (i % 4) * 0.025
+                t = np.arange(int(sr * dur_s)) / sr
+                freq = 200.0 + 50.0 * (i % 8)
+                samples = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
+                payload = codecs.encode_wav(samples, sr)
+                rows.append((i, "audio", payload, (None, None, sr, int(dur_s * 1000), "wav")))
         else:  # compressed video: structurally-valid mp4 with REAL metadata
             # (moov/mvhd duration, tkhd dims on even rows); frame decode
             # still resolves to needs-codec — only the metadata is real
@@ -301,12 +321,21 @@ def decode_media(df: DataFrame) -> DataFrame:
                             width=meta["width"], height=meta["height"],
                         )
                     elif fmt == "mp3":
-                        meta = codecs.parse_mp3_meta(b)
-                        rec.update(
-                            err="needs-codec",
-                            sample_rate=meta["sample_rate"],
-                            duration_ms=meta["duration_ms"],
-                        )
+                        try:  # Layer I/II: REAL sample decode (r6)
+                            pcm, sr = codecs.decode_mpeg1_audio(b)
+                            rec.update(
+                                ok=True, sample_rate=sr, n_samples=len(pcm),
+                                duration_ms=len(pcm) * 1000 // sr,
+                            )
+                        except ValueError:
+                            # Layer III (or stream this decoder can't carry):
+                            # metadata-only, sample decode stays guarded
+                            meta = codecs.parse_mp3_meta(b)
+                            rec.update(
+                                err="needs-codec",
+                                sample_rate=meta["sample_rate"],
+                                duration_ms=meta["duration_ms"],
+                            )
                     else:
                         rec.update(err=f"undecodable:{fmt}")
                 except ValueError as exc:  # malformed payload: quarantine, don't crash
@@ -369,7 +398,7 @@ def extract_image_features(df: DataFrame) -> DataFrame:
 
 
 def extract_audio_features(df: DataFrame) -> DataFrame:
-    """Real signal statistics from decoded WAV audio: RMS, peak,
+    """Real signal statistics from decoded WAV or MPEG-1 Layer I/II audio: RMS, peak,
     zero-crossing rate, duration, plus spectral shape (dominant
     frequency and spectral centroid from one rfft of the first
     channel) — the cheap features audio-corpus filters threshold on
@@ -388,13 +417,28 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
             out = []
             for mid, b in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(b) if b is not None else b""
-                if codecs.sniff_format(b) != "wav":
-                    continue
-                try:
-                    samples, sr, nch = codecs.decode_wav(b)
-                except ValueError:  # corrupt payload: quarantine, don't crash
+                fmt = codecs.sniff_format(b)
+                if fmt == "wav":
+                    try:
+                        samples, sr, nch = codecs.decode_wav(b)
+                    except ValueError:  # corrupt payload: quarantine, don't crash
+                        continue
+                elif fmt == "mp3":
+                    try:  # Layer I/II sample decode; Layer III -> skip row
+                        samples, sr = codecs.decode_mpeg1_audio(b)
+                        nch = 1
+                    except ValueError:
+                        continue
+                else:
                     continue
                 x = samples.astype(np.float64) / 32768.0
+                # trim trailing near-silence (codec streams are padded to a
+                # frame boundary; the pad is low-level decode noise that
+                # would skew the spectral stats)
+                nz = np.nonzero(np.abs(x) >= 1e-3)[0]
+                if len(nz) and nz[-1] + 1 < len(x):
+                    x = x[: nz[-1] + 1]
+                    samples = samples[: nz[-1] + 1]
                 zc = np.mean(np.abs(np.diff(np.signbit(x)))) if len(x) > 1 else 0.0
                 mono = x[::nch]  # first channel of the interleaved stream
                 dom = cent = 0.0
