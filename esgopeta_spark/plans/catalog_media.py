@@ -336,3 +336,62 @@ def multimodal_decode_jpeg_progressive(spark, sf):
             )
 
     return ids.mapInPandas(kernel, out_schema)
+
+
+@register(
+    "multimodal_decode_mp2_audio",
+    "G5",
+    """
+    SELECT doc_id,
+           CAST(1 + (doc_id // 20) % 2 AS INTEGER) AS layer,
+           CAST(32000 AS INTEGER) AS sample_rate,
+           CAST((2 + doc_id % 3) * (CASE WHEN (doc_id // 20) % 2 = 0
+                                         THEN 384 ELSE 1152 END) AS BIGINT) AS n_samples,
+           TRUE AS fidelity_ok
+    FROM documents WHERE doc_id % 20 = 5
+    """,
+    doc="REAL MPEG-1 audio round trip, graded: per selected doc, synthesize "
+    "a deterministic integer-cycle tone (250 Hz multiples), encode to "
+    "Layer I or II frames (layer alternates by the id's 20-block), decode "
+    "the frames back (operators/mpeg1_audio.py: spec-shaped bitstream, "
+    "waterfilled allocations, MDCT filterbank), emit the decoded sample "
+    "count (analytic: source frames + the tail-pad frame) and a >25 dB "
+    "round-trip SNR flag the oracle asserts TRUE.  Plan: pruned 1-column "
+    "scan -> widened partitions -> one Arrow mapInPandas kernel, no "
+    "shuffle, no collect — the 100 TB shape for per-item media work",
+)
+def multimodal_decode_mp2_audio(spark, sf):
+    from esgopeta_spark.session import ensure_min_partitions
+
+    ids = T(spark, sf, "documents").filter(F.col("doc_id") % 20 == 5).select("doc_id")
+    ids = ensure_min_partitions(ids)
+    out_schema = "doc_id bigint, layer int, sample_rate int, n_samples bigint, fidelity_ok boolean"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from esgopeta_spark.operators import codecs
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                layer = 1 + (d // 20) % 2
+                spf = 384 if layer == 1 else 1152
+                n_src = 1 + d % 3
+                freq = 250.0 * (1 + d % 6)
+                t = np.arange(spf * n_src) / 32000.0
+                pcm = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
+                dec, rate = codecs.decode_mpeg1_audio(
+                    codecs.encode_mpeg1_audio(pcm, 32000, layer=layer)
+                )
+                ref = pcm.astype(np.float64)
+                noise = dec[: len(pcm)].astype(np.float64) - ref
+                snr = 10 * np.log10(ref.dot(ref) / max(noise.dot(noise), 1e-12))
+                out.append(
+                    dict(doc_id=d, layer=layer, sample_rate=rate,
+                         n_samples=len(dec), fidelity_ok=bool(snr > 25.0))
+                )
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(kernel, out_schema)
