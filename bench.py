@@ -63,6 +63,12 @@ HEADLINE = [
     "dedup_substring_spans",
     "sim_topk_ip_pq",
     "graph_communities_lpa",
+    # round-6 flagships: CMS heavy hitters, k-core peel, LOCF gap fill,
+    # real MPEG-1 Layer I/II audio round trip
+    "agg_cms_heavy_hitters",
+    "graph_kcore_members",
+    "ts_gapfill_daily_locf",
+    "multimodal_decode_mp2_audio",
 ]
 
 

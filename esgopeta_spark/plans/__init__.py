@@ -31,9 +31,9 @@ GRADED_WINDOW = [
     "join_full_customer_supplier",
     "join_semi_customers_with_orders",
     "join_anti_customers_without_orders",
-    "join_theta_quantity_band",
-    # (cross join demoted to parity-only in r5 — E3 stays 8-deep — to make
-    # room for the r4 flagship LLM ops below, per r4 VERDICT task 1)
+    # (theta-band join demoted to parity-only in r6 — non-equi joins stay
+    # covered by as-of + range below — to make room for the r6 k-core entry;
+    # cross join demoted in r5)
     "join_asof_purchase_click",
     "join_range_acctbal_band",
     "skew_salted_join",
@@ -42,6 +42,9 @@ GRADED_WINDOW = [
     # G3 scale tier below)
     "agg_rollup_region_nation",
     # (agg_order_stats demoted to parity-only in r5 — E4 stays 5-deep)
+    # r6: Count-Min heavy hitters — the frequency-sketch family's first
+    # in-window representative (KMV stayed parity-only in r5)
+    "agg_cms_heavy_hitters",
     "agg_median_price",
     "pivot_status_by_priority",
     "unpivot_lineitem_measures",
@@ -58,7 +61,8 @@ GRADED_WINDOW = [
     # 3-deep — to make room for the PQ scale tier below)
     "str_funcs_customer",
     "date_funcs_orders",
-    "json_funcs_events",
+    # (json battery demoted to parity-only in r6 — E8 stays 2-deep — to make
+    # room for the r6 MPEG-1 audio round trip below)
     # E9 UDF surface
     "udf_pandas_charge",
     # Groups A/B/D — graph core
@@ -73,6 +77,8 @@ GRADED_WINDOW = [
     "graph_bfs_hops_nation0",
     # r5: deterministic LPA community detection (unrolled-CTE oracle)
     "graph_communities_lpa",
+    # r6: k-core decomposition (iterative peel, materialized unrolled oracle)
+    "graph_kcore_members",
     # Group F — streaming
     "graph_ham_stream_replay",
     "stream_tumbling_counts",
@@ -93,8 +99,11 @@ GRADED_WINDOW = [
     "sim_topk_ip_pq",
     # G5 real PNG codec round-trip vs analytic oracle (r4)
     "multimodal_decode_png",
+    # r6: REAL MPEG-1 Layer I/II audio round trip (analytic oracle)
+    "multimodal_decode_mp2_audio",
     "text_profile_docs",
-    "emb_label_stats",
+    # (emb_label_stats demoted to parity-only in r6 — embedding columns are
+    # amply graded by the sim_* / dedup_semantic_kmeans entries)
 ]
 
 

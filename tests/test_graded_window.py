@@ -36,6 +36,11 @@ REQUIRED_IN_WINDOW = {
     # r5 additions built this round, hash-exact at sf0.01
     "sim_topk_ip_pq",  # G3 PQ-ADC compressed-domain tier
     "graph_communities_lpa",  # LPA communities, unrolled-CTE oracle
+    # r6 additions (emb_label_stats / theta-band join / json battery rotated
+    # out; their families keep in-window representatives)
+    "agg_cms_heavy_hitters",  # E4 frequency-sketch family
+    "graph_kcore_members",  # k-core peel, materialized unrolled oracle
+    "multimodal_decode_mp2_audio",  # G5 real compressed-audio round trip
 }
 
 
