@@ -290,3 +290,35 @@ def test_lpa_round_join_is_equi(spark, sf_dir):
     )
     p = plan_of(label_propagation(edges, rounds=2, src="ea", dst="eb"))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_kcore_peel_stays_equi(spark, sf_dir):
+    """k-core's per-round survivor filters are semi-joins on each endpoint
+    — a cartesian/nested-loop fallback would be quadratic in the edge set;
+    the degree count must keep map-side partial aggregation."""
+    from esgopeta_spark.plans import REGISTRY
+
+    p = plan_of(REGISTRY["graph_kcore_members"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_cms_probe_join_broadcasts_grid(spark, sf_dir):
+    """The CMS probe is an equi-join of (key, row, bucket) probes against
+    the <= depth*width-row counter grid: the grid side must broadcast (the
+    only nested-loop join allowed is the single-row total used by the
+    scale-free threshold)."""
+    from esgopeta_spark.plans import REGISTRY
+
+    p = plan_of(REGISTRY["agg_cms_heavy_hitters"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_gapfill_grid_joins_equi_no_cartesian(spark, sf_dir):
+    """resample_locf: the grid left-join is equi on (key, bucket) and the
+    sequence/explode grid stays output-bound — no cartesian anywhere."""
+    from esgopeta_spark.plans import REGISTRY
+
+    p = plan_of(REGISTRY["ts_gapfill_daily_locf"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "Generate explode" in p or "Generate" in p, p
