@@ -103,6 +103,82 @@ def cosine_prenormed(a: Column, b: Column, na: Column, nb: Column, dim: int) -> 
     return dot_unrolled(a, b, dim) / (na * nb)
 
 
+def assign_cells(
+    df: DataFrame,
+    book_df: DataFrame,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    cell_col: str = "cell",
+    norm_col: str | None = None,
+    book_cell_col: str = "cell",
+    book_vec_col: str = "centroid",
+) -> DataFrame:
+    """Nearest-centroid assignment with a DRIVER-COLLECTED codebook — the
+    MLlib-KMeans shape (cluster centers are bounded driver state shipped
+    into the task closure), replacing the broadcast-join + max_by argmax.
+
+    Why: the join formulation compiles the ~130-term unrolled cosine into
+    whole-stage codegen per stage — measured 1.5-5 s of COMPILE time that
+    dwarfs the math at bench scale and recurs for every argmax stage of
+    an iterative trainer.  This Arrow kernel runs the same n×C argmax as
+    fused numpy with zero codegen.
+
+    BIT-IDENTICAL to the join+max_by version, so every DuckDB oracle
+    hash is unchanged: the per-pair dot accumulates in the same
+    left-to-right element order as ``dot_unrolled`` (one fused numpy op
+    per dimension — each scalar sees the identical IEEE add sequence),
+    norms replicate ``norm_unrolled``, the quotient ``dot / (vn * cn)``
+    matches ``cosine_prenormed``, and ties pick the smallest cell id
+    (codebook sorted ascending, ``argmax`` returns the first maximum)
+    exactly like ``max_by(struct(_sim, -cell))``.  Pinned by
+    tests/test_llm_ops.py::test_assign_cells_matches_join_argmax.
+
+    The codebook collect is O(cells*dim) driver memory — at 100 TB an
+    IVF codebook is ~2^16 x 64 doubles = 32 MB, the standard envelope
+    for driver-held centers; the corpus side never shuffles and never
+    leaves the scan stage.  Returns (id_col, cell_col, vec_col
+    [, norm_col]) with the vector passed through Arrow untouched
+    (doubles are lossless over Arrow).
+    """
+    rows = sorted(
+        book_df.select(book_cell_col, book_vec_col).collect(),
+        key=lambda r: r[book_cell_col],
+    )
+    cells = np.array([r[book_cell_col] for r in rows], dtype=np.int64)
+    cents = np.stack([np.asarray(r[book_vec_col], dtype=np.float64) for r in rows])
+    cacc = cents[:, 0] * cents[:, 0]
+    for d in range(1, dim):
+        cacc = cacc + cents[:, d] * cents[:, d]
+    centn = np.sqrt(cacc)
+    out_schema = f"{id_col} bigint, {cell_col} bigint, {vec_col} array<double>"
+    if norm_col:
+        out_schema += f", {norm_col} double"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            dots = np.multiply.outer(v[:, 0], cents[:, 0])
+            for d in range(1, dim):
+                dots = dots + np.multiply.outer(v[:, d], cents[:, d])
+            vacc = v[:, 0] * v[:, 0]
+            for d in range(1, dim):
+                vacc = vacc + v[:, d] * v[:, d]
+            vn = np.sqrt(vacc)
+            sims = dots / (vn[:, None] * centn[None, :])
+            idx = np.argmax(sims, axis=1)
+            out = pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), cell_col: cells[idx], vec_col: pdf[vec_col]}
+            )
+            if norm_col:
+                out[norm_col] = vn
+            yield out
+
+    return df.select(id_col, vec_col).mapInPandas(kernel, out_schema)
+
+
 def topk_cosine(
     corpus: DataFrame,
     queries: DataFrame,
@@ -306,36 +382,24 @@ def topk_cosine_ivf(
     """
     from esgopeta_spark.session import ensure_min_partitions
 
-    c = (
-        ensure_min_partitions(corpus)
-        .select(F.col(id_col).alias("nbr_id"), as_double(F.col(vec_col)).alias("_cv"))
-        .withColumn("_cn", norm_unrolled(F.col("_cv"), dim))
+    c = ensure_min_partitions(corpus).select(
+        F.col(id_col).alias("nbr_id"), as_double(F.col(vec_col)).alias("_cv")
     )
     cents = (
         corpus.filter(F.col(id_col) % centroid_stride == 0)
         .select(F.col(id_col).alias("_cell"), as_double(F.col(vec_col)).alias("_cent"))
         .withColumn("_centn", norm_unrolled(F.col("_cent"), dim))
     )
-    # argmax-by-aggregation, not a window: the corpus x codebook cross
-    # product never leaves its scan stage — partial max_by combines
-    # map-side, so the shuffle is one narrow row per corpus vector
-    # (vs. shuffling every (vector, centroid) pair through a window).
-    # Norms are hoisted (norm_unrolled): the N×C pair stage computes one
-    # unrolled dot per pair instead of recomputing both norms pairwise.
-    assigned = (
-        c.join(F.broadcast(cents))
-        .withColumn(
-            "_sim",
-            cosine_prenormed(F.col("_cv"), F.col("_cent"), F.col("_cn"), F.col("_centn"), dim),
-        )
-        .groupBy("nbr_id")
-        .agg(
-            F.max_by("_cell", F.struct(F.col("_sim"), (-F.col("_cell")).alias("_nc"))).alias("_cell"),
-            F.first("_cv").alias("_cv"),  # constant per nbr_id
-            F.first("_cn").alias("_cn"),
-        )
-        .select("nbr_id", "_cv", "_cn", "_cell")
-    )
+    # r6: assignment via the driver-collected-codebook Arrow kernel
+    # (assign_cells) — bit-identical to the former broadcast-join +
+    # max_by argmax, without its 1.5-5 s whole-stage-codegen compile of
+    # the unrolled cosine.  Norm comes back from the same kernel
+    # (identical fold order as norm_unrolled), so the corpus projection
+    # needs no unrolled expression at all.
+    assigned = assign_cells(
+        c, cents, dim, "nbr_id", "_cv", cell_col="_cell", norm_col="_cn",
+        book_cell_col="_cell", book_vec_col="_cent",
+    ).select("nbr_id", "_cv", "_cn", "_cell")
     q = queries.select(
         F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
     ).withColumn("_qn", norm_unrolled(F.col("_qv"), dim))
@@ -401,27 +465,17 @@ def kmeans_codebook(
     from esgopeta_spark.operators.checkpoint import materialize
 
     c = materialize(  # read once per iteration, not re-scanned
-        corpus.select(F.col(id_col).alias("_vid"), as_double(F.col(vec_col)).alias("_cv"))
-        .withColumn("_cn", norm_unrolled(F.col("_cv"), dim)),
+        corpus.select(F.col(id_col).alias("_vid"), as_double(F.col(vec_col)).alias("_cv")),
         checkpoint,
     )
     cents = c.filter(F.col("_vid") % init_stride == 0).select(
         F.col("_vid").alias("cell"), F.col("_cv").alias("centroid")
     )
     for _ in range(n_iter):
-        cents_n = cents.withColumn("_centn", norm_unrolled(F.col("centroid"), dim))
-        assigned = (
-            c.join(F.broadcast(cents_n))
-            .withColumn(
-                "_sim",
-                cosine_prenormed(F.col("_cv"), F.col("centroid"), F.col("_cn"), F.col("_centn"), dim),
-            )
-            .groupBy("_vid")
-            .agg(
-                F.max_by("cell", F.struct(F.col("_sim"), (-F.col("cell")).alias("_nc"))).alias("cell"),
-                F.first("_cv").alias("_cv"),
-            )
-        )
+        # r6: driver-collected-codebook Arrow argmax (see assign_cells) —
+        # bit-identical to the former broadcast-join + max_by, without
+        # recompiling the unrolled cosine's codegen every iteration
+        assigned = assign_cells(c, cents, dim, "_vid", "_cv", cell_col="cell")
         comp_means = (
             assigned.select("cell", F.posexplode("_cv").alias("_d", "_v"))
             .select(
@@ -474,25 +528,13 @@ def topk_cosine_ivf_trained(
     cents = book.select(
         F.col("cell").alias("_cell"), F.col("centroid").alias("_cent")
     ).withColumn("_centn", norm_unrolled(F.col("_cent"), dim))
-    c = (
-        ensure_min_partitions(corpus)
-        .select(F.col(id_col).alias("nbr_id"), as_double(F.col(vec_col)).alias("_cv"))
-        .withColumn("_cn", norm_unrolled(F.col("_cv"), dim))
+    c = ensure_min_partitions(corpus).select(
+        F.col(id_col).alias("nbr_id"), as_double(F.col(vec_col)).alias("_cv")
     )
-    assigned = (
-        c.join(F.broadcast(cents))
-        .withColumn(
-            "_sim",
-            cosine_prenormed(F.col("_cv"), F.col("_cent"), F.col("_cn"), F.col("_centn"), dim),
-        )
-        .groupBy("nbr_id")
-        .agg(
-            F.max_by("_cell", F.struct(F.col("_sim"), (-F.col("_cell")).alias("_nc"))).alias("_cell"),
-            F.first("_cv").alias("_cv"),
-            F.first("_cn").alias("_cn"),
-        )
-        .select("nbr_id", "_cv", "_cn", "_cell")
-    )
+    # r6: driver-collected-codebook Arrow argmax (see assign_cells)
+    assigned = assign_cells(
+        c, book, dim, "nbr_id", "_cv", cell_col="_cell", norm_col="_cn",
+    ).select("nbr_id", "_cv", "_cn", "_cell")
     q = queries.select(
         F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
     ).withColumn("_qn", norm_unrolled(F.col("_qv"), dim))
@@ -562,31 +604,17 @@ def semantic_dedup(
     from esgopeta_spark.session import ensure_min_partitions
 
     book = kmeans_codebook(corpus, dim, init_stride, n_iter, id_col, vec_col)
-    cents = book.select(
-        F.col("cell").alias("_cell"), F.col("centroid").alias("_cent")
-    ).withColumn("_centn", norm_unrolled(F.col("_cent"), dim))
-    c = (
-        ensure_min_partitions(corpus)
-        .select(F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v"))
-        .withColumn("_n", norm_unrolled(F.col("_v"), dim))
+    c = ensure_min_partitions(corpus).select(
+        F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v")
     )
-    assigned = (
-        c.join(F.broadcast(cents))
-        .withColumn(
-            "_sim",
-            cosine_prenormed(F.col("_v"), F.col("_cent"), F.col("_n"), F.col("_centn"), dim),
-        )
-        .groupBy("_id")
-        .agg(
-            F.max_by("_cell", F.struct(F.col("_sim"), (-F.col("_cell")).alias("_nc"))).alias("cell"),
-            F.first("_v").alias("_v"),
-            F.first("_n").alias("_n"),
-        )
-        # the n*k argmax assignment is the operator's costliest stage and
-        # fans out THREE ways (both pair-join sides + the verdict join):
-        # materialize once instead of recomputing per branch
-        .localCheckpoint()
-    )
+    # r6: driver-collected-codebook Arrow argmax (see assign_cells); the
+    # kernel also returns the norm (same fold order as norm_unrolled) so
+    # the pair stage's prenormed cosine needs no extra projection.
+    # The assignment fans out THREE ways (both pair-join sides + the
+    # verdict join): materialize once instead of recomputing per branch.
+    assigned = assign_cells(
+        c, book, dim, "_id", "_v", cell_col="cell", norm_col="_n"
+    ).localCheckpoint()
     a = assigned.select(
         F.col("_id").alias("id_a"), "cell", F.col("_v").alias("_va"), F.col("_n").alias("_na")
     )

@@ -910,3 +910,39 @@ def test_resample_locf_grid_is_per_key_span(spark):
     assert len(by_key[1]) == 9 and len(by_key[2]) == 1
     assert sum(r["is_gap"] for r in by_key[1]) == 7
     assert by_key[2][0]["filled_value"] == 5.0 and by_key[2][0]["is_gap"] == 0
+
+
+def test_assign_cells_matches_join_argmax(spark, sf_dir):
+    """The driver-collected-codebook Arrow kernel must be BIT-identical
+    to the broadcast-join + max_by argmax it replaced (same IEEE fold
+    order, same smallest-cell tie-break) — this equality is what keeps
+    every IVF/SemDeDup oracle hash valid."""
+    import struct as st
+
+    from esgopeta_spark.operators.similarity import (
+        as_double, assign_cells, cosine_prenormed, norm_unrolled,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    dim = 64
+    c = emb.select(F.col("vec_id").alias("_id"), as_double(F.col("embedding")).alias("_v")) \
+        .withColumn("_n", norm_unrolled(F.col("_v"), dim))
+    cents = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("cell"), as_double(F.col("embedding")).alias("centroid")
+    )
+    cents_n = cents.withColumn("_centn", norm_unrolled(F.col("centroid"), dim))
+    legacy = (
+        c.join(F.broadcast(cents_n))
+        .withColumn("_sim", cosine_prenormed(F.col("_v"), F.col("centroid"),
+                                             F.col("_n"), F.col("_centn"), dim))
+        .groupBy("_id")
+        .agg(F.max_by("cell", F.struct(F.col("_sim"), (-F.col("cell")).alias("_nc"))).alias("cell"),
+             F.first("_n").alias("_n"))
+    )
+    want = {r["_id"]: (r["cell"], st.pack("<d", r["_n"])) for r in legacy.collect()}
+    got_df = assign_cells(
+        emb.select(F.col("vec_id").alias("_id"), as_double(F.col("embedding")).alias("_v")),
+        cents, dim, "_id", "_v", cell_col="cell", norm_col="_n",
+    )
+    got = {r["_id"]: (r["cell"], st.pack("<d", r["_n"])) for r in got_df.collect()}
+    assert got == want
