@@ -145,6 +145,8 @@ def assign_cells(
         book_df.select(book_cell_col, book_vec_col).collect(),
         key=lambda r: r[book_cell_col],
     )
+    if not rows:
+        raise ValueError("assign_cells: empty codebook (no centroids)")
     cells = np.array([r[book_cell_col] for r in rows], dtype=np.int64)
     cents = np.stack([np.asarray(r[book_vec_col], dtype=np.float64) for r in rows])
     cacc = cents[:, 0] * cents[:, 0]
