@@ -84,3 +84,67 @@ def resample_locf(
             F.when(F.col("n_events").isNull(), F.lit(1)).otherwise(F.lit(0)).cast("int").alias("is_gap"),
         )
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_days: int = 7,
+    z_threshold_micro: int = 2_000_000,
+) -> DataFrame:
+    """Rolling z-score anomaly detection over per-key DAILY totals — the
+    time-series-monitoring staple (spike/drop detection on a trailing
+    baseline).
+
+    Per key and day: total = exact cent sum of ``value_col`` (rule 1 —
+    never a float sum); baseline = the TRAILING ``window_days`` rows
+    (ROWS frame, current day included); z = (x - mean) / sd with
+    mean/sd derived from exact integer cent sums in an IDENTICAL IEEE
+    op sequence on both engines (rule 2), emitted as integer
+    micro-units (rule 3).  Days with fewer than 4 baseline rows or zero
+    variance report NULL z (cold start / constant series are not
+    anomalies).
+
+    Output: (key, day, total_cents, n_base, z_micro, is_anomaly).
+    Plan: one partial-agg shuffle to daily totals (day cardinality, not
+    event cardinality), then one per-key window sort — the window
+    partitions by series key, so a hot key salts like any hot window
+    key at 100 TB.
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    daily = (
+        df.select(F.col(key_col).alias("_k"), day.alias("day"),
+                  F.col(value_col).cast("decimal(12,2)").alias("_v"))
+        .groupBy("_k", "day")
+        .agg((F.sum("_v") * 100).cast("bigint").alias("total_cents"))
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("day").asc())
+        .rowsBetween(-(window_days - 1), Window.currentRow)
+    )
+    stats = daily.select(
+        "_k", "day", "total_cents",
+        F.count(F.lit(1)).over(w).alias("n_base"),
+        F.sum("total_cents").over(w).alias("_s1"),
+        F.sum(F.col("total_cents") * F.col("total_cents")).over(w).alias("_s2"),
+    )
+    # mean/sd in doubles derived from the exact integer sums; the textual
+    # op order below is mirrored verbatim in the oracle SQL
+    mean = F.col("_s1").cast("double") / F.col("n_base").cast("double")
+    var = F.col("_s2").cast("double") / F.col("n_base").cast("double") - mean * mean
+    sd = F.sqrt(var)
+    z = (F.col("total_cents").cast("double") - mean) / sd
+    z_micro = F.when(
+        (F.col("n_base") >= 4) & (var > 0),
+        F.floor(z * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"),
+    )
+    return stats.select(
+        F.col("_k").alias(key_col), "day", "total_cents",
+        F.col("n_base").cast("bigint").alias("n_base"),
+        z_micro.alias("z_micro"),
+        F.when(z_micro.isNotNull() & (F.abs(z_micro) >= F.lit(int(z_threshold_micro))), 1)
+        .otherwise(0).cast("int").alias("is_anomaly"),
+    )

@@ -710,3 +710,76 @@ def ts_gapfill_daily_locf(spark, sf):
     from esgopeta_spark.operators.timeseries import resample_locf
 
     return resample_locf(T(spark, sf, "events"))
+
+
+@register(
+    "ts_anomaly_zscore",
+    "E4,E5",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS total_cents
+      FROM events GROUP BY 1, 2),
+    st AS (
+      SELECT user_id, day, total_cents,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n_base,
+             CAST(SUM(total_cents) OVER w AS BIGINT) AS s1,
+             CAST(SUM(total_cents * total_cents) OVER w AS BIGINT) AS s2
+      FROM daily
+      WINDOW w AS (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+    zs AS (
+      SELECT user_id, day, total_cents, n_base,
+             CASE WHEN n_base >= 4
+                   AND CAST(s2 AS DOUBLE) / CAST(n_base AS DOUBLE)
+                       - (CAST(s1 AS DOUBLE) / CAST(n_base AS DOUBLE))
+                         * (CAST(s1 AS DOUBLE) / CAST(n_base AS DOUBLE)) > 0
+             THEN CAST(floor(
+                    (CAST(total_cents AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n_base AS DOUBLE))
+                    / sqrt(CAST(s2 AS DOUBLE) / CAST(n_base AS DOUBLE)
+                           - (CAST(s1 AS DOUBLE) / CAST(n_base AS DOUBLE))
+                             * (CAST(s1 AS DOUBLE) / CAST(n_base AS DOUBLE)))
+                    * 1000000 + 0.5) AS BIGINT)
+             END AS z_micro
+      FROM st)
+    SELECT user_id, day, total_cents, n_base, z_micro,
+           CAST(CASE WHEN z_micro IS NOT NULL AND abs(z_micro) >= 2000000
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+    FROM zs
+    """,
+    doc="rolling z-score anomaly detection over per-user DAILY spend (the "
+    "time-series-monitoring staple): trailing 7-row baseline, mean/sd "
+    "derived from exact integer cent sums in an identical IEEE op "
+    "sequence both engines (rules 1-3), |z| >= 2 flags.  One daily "
+    "partial agg + one per-key window sort "
+    "(operators/timeseries.rolling_zscore)",
+)
+def ts_anomaly_zscore(spark, sf):
+    from esgopeta_spark.operators.timeseries import rolling_zscore
+
+    return rolling_zscore(T(spark, sf, "events"))
+
+
+@register(
+    "stream_cms_grid_hourly",
+    "F3,E4",
+    """
+    SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS w_start_ms,
+           t.d AS cms_row,
+           (((((CAST(user_id AS BIGINT) % 2147483647 + 2147483647) % 2147483647)
+              * 48271) % 2147483647 * (69621 + t.d)) % 2147483647) % 256 AS cms_bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events CROSS JOIN generate_series(0, 3) t(d)
+    GROUP BY 1, 2, 3
+    """,
+    doc="Count-Min sketch state per hourly event-time window — the "
+    "STREAMING heavy-hitters shape (batch form graded; batch ≡ stream "
+    "over the same function pinned in tests/test_streaming.py): each "
+    "window holds a mergeable 4x256 int64 grid, watermark-bounded "
+    "windowed count agg is the only stateful operator "
+    "(streaming/windows.windowed_cms_state)",
+)
+def stream_cms_grid_hourly(spark, sf):
+    from esgopeta_spark.streaming.windows import windowed_cms_state
+
+    return windowed_cms_state(T(spark, sf, "events"))

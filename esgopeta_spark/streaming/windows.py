@@ -42,3 +42,44 @@ def session_counts(events: DataFrame, gap: str = "30 minutes", ts_col: str = "ts
         .agg(F.count("*").alias("n_events"))
         .select("user_id", F.unix_millis("w.start").alias("session_start_ms"), "n_events")
     )
+
+
+def windowed_cms_state(
+    events: DataFrame,
+    width: str = "1 hour",
+    key_col: str = "user_id",
+    depth: int = 4,
+    n_buckets: int = 256,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Count-Min sketch state PER EVENT-TIME WINDOW — the streaming
+    heavy-hitters shape: each window accumulates a depth x n_buckets
+    int64 counter grid (operators/sketches.cms_bucket — same Lehmer hash
+    family, so the state is exchangeable with the batch sketch); point
+    queries and thresholding run downstream over the tiny grid rows.
+
+    Streaming-safe by construction: the per-row bucket projection is
+    stateless, and the only stateful operator is the windowed count
+    aggregate — watermark-bounded, partial-aggregated map-side, at most
+    depth * n_buckets rows of state per window.  Batch ≡ stream over the
+    same function is pinned in tests/test_streaming.py.
+    """
+    from esgopeta_spark.operators.sketches import cms_bucket
+
+    e = with_watermark(events, ts_col)
+    per_row = [
+        e.select(
+            F.window(ts_col, width).alias("w"),
+            F.lit(d).alias("cms_row"),
+            cms_bucket(F.col(key_col), d, n_buckets).alias("cms_bucket"),
+        )
+        for d in range(depth)
+    ]
+    grid = per_row[0]
+    for r in per_row[1:]:
+        grid = grid.unionByName(r)
+    return (
+        grid.groupBy("w", "cms_row", "cms_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(F.unix_millis("w.start").alias("w_start_ms"), "cms_row", "cms_bucket", "cnt")
+    )

@@ -946,3 +946,39 @@ def test_assign_cells_matches_join_argmax(spark, sf_dir):
     )
     got = {r["_id"]: (r["cell"], st.pack("<d", r["_n"])) for r in got_df.collect()}
     assert got == want
+
+
+def test_rolling_zscore_flags_spike_not_coldstart_or_constant(spark):
+    """Hand series: a flat week then a big spike must flag exactly the
+    spike day; the first 3 days (cold start) and a constant series
+    (zero variance) report NULL z."""
+    import datetime
+
+    from esgopeta_spark.operators.timeseries import rolling_zscore
+
+    rows = []
+    eid = 0
+    # user 1: 9 flat-ish days then a 100x spike on day 10
+    for d in range(1, 10):
+        eid += 1
+        rows.append((eid, datetime.datetime(2024, 4, d, 12), 1, "x", 10.0 + (d % 3), None))
+    eid += 1
+    rows.append((eid, datetime.datetime(2024, 4, 10, 12), 1, "x", 1000.0, None))
+    # user 2: constant value every day -> zero variance, never anomalous
+    for d in range(1, 8):
+        eid += 1
+        rows.append((eid, datetime.datetime(2024, 4, d, 12), 2, "x", 5.0, None))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    )
+    out = {(r["user_id"], r["day"].day): r for r in rolling_zscore(df).collect()}
+    # cold start: days 1-3 of user 1 have < 4 baseline rows -> NULL z
+    for d in (1, 2, 3):
+        assert out[(1, d)]["z_micro"] is None and out[(1, d)]["is_anomaly"] == 0
+    # steady days are not anomalous
+    for d in (4, 5, 6, 7, 8, 9):
+        assert out[(1, d)]["is_anomaly"] == 0, d
+    assert out[(1, 10)]["is_anomaly"] == 1 and out[(1, 10)]["z_micro"] > 2_000_000
+    # constant series: zero variance -> NULL z on every eligible day
+    assert all(out[(2, d)]["z_micro"] is None for d in range(1, 8))
+    assert out[(1, 10)]["total_cents"] == 100000

@@ -580,3 +580,27 @@ def test_legacy_upgrade_crash_retry_does_not_brick_store(spark, tmp_path, monkey
     ham_upsert_batch(spark, spark.createDataFrame(batch, UPDATE_SCHEMA), store, n_buckets=4, as_of_ms=1e6)
     got2 = {r["soul"]: r["value_string"] for r in read_quads(spark, store).collect()}
     assert got2 == {**{f"s{i}": f"v{i}" for i in range(1, 6)}, "s0": "updated"}
+
+
+def test_streaming_cms_grid_matches_batch(spark, sf_dir):
+    """The windowed Count-Min grid (streaming heavy-hitters state) over
+    readStream vs read produces identical (window, row, bucket, cnt)
+    frames — batch ≡ stream over the same function — and the per-window
+    grids sum to the window's event count (every event lands in exactly
+    depth cells)."""
+    from esgopeta_spark.streaming.windows import windowed_cms_state
+
+    static = read_table(spark, sf_dir, "events")
+    stream = read_events_stream(spark, sf_dir)
+    run_stream_to_memory(windowed_cms_state(stream), "cmsgrid", mode="complete")
+    got = {tuple(r) for r in spark.sql("select * from cmsgrid").collect()}
+    want = {tuple(r) for r in windowed_cms_state(static).collect()}
+    assert got == want and got
+    per_window: dict = {}
+    for w, _row, _b, cnt in want:
+        per_window[(w, _row)] = per_window.get((w, _row), 0) + cnt
+    n = static.count()
+    by_row: dict = {}
+    for (w, row), c in per_window.items():
+        by_row[row] = by_row.get(row, 0) + c
+    assert all(v == n for v in by_row.values()), by_row
