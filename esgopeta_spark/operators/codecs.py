@@ -910,13 +910,9 @@ def parse_mp3_meta(b: bytes) -> dict:
     bitrate_kbps, duration_ms, is_vbr, is_cbr_estimate} —
     ``is_cbr_estimate`` lets downstream corpus filters discount
     durations that came from the single-header assumption."""
-    pos = 0
-    if b[:3] == b"ID3":
-        if len(b) < 10:
-            raise ValueError("truncated ID3 header")
-        # syncsafe 28-bit size
-        sz = (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
-        pos = 10 + sz
+    from esgopeta_spark.operators.mpeg1_audio import skip_id3v2
+
+    pos = skip_id3v2(b)  # synchsafe size + v2.4 footer flag
     end = min(len(b), pos + 4096)  # sync must appear near the front
     while pos + 4 <= end:
         h = b[pos : pos + 4]

@@ -29,8 +29,9 @@ check against — see SURVEY.md's media-stub policy):
   mismatched (coarser-selectivity) bank.
 - Layer II uses ONE allocation-table shape (4-bit allocation field for
   every subband, sblimit 30; codes 1/2/3 -> grouped 3/5/9 levels, code
-  c >= 4 -> linear ``2^(c-1) - 1`` levels) instead of the four
-  rate-dependent tables 3-B.2a-d; the encoder waterfills allocations
+  c in 4..14 -> linear ``2^c - 1`` levels, so the ladder is MONOTONE in
+  both cost and resolution) instead of the four rate-dependent tables
+  3-B.2a-d; the encoder waterfills allocations
   per subband by peak level (deterministic greedy), standing in for the
   spec's psychoacoustic SMR loop.
 - quantizer midtread mapping ``dec(c, L) = (2c + 1 - L) / L`` on both
@@ -54,6 +55,7 @@ _GAIN = 8.0  # analysis gain-staging so subband samples sit in the scf range
 
 L1_BITRATES = [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448]
 L2_BITRATES = [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384]
+L3_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
 SAMPLE_RATES = [44100, 48000, 32000]
 
 _SBLIMIT2 = 30  # Layer II coded subbands (simplified single-table shape)
@@ -168,6 +170,19 @@ def _header(layer: int, bitrate_idx: int, rate_idx: int) -> bytes:
     return bytes([b1, b2, b3, b4])
 
 
+def skip_id3v2(b: bytes) -> int:
+    """Offset of the first byte after a leading ID3v2 tag (0 if none).
+    Honors the synchsafe 28-bit size and the v2.4 FOOTER flag (byte 5
+    bit 0x10: a trailing 10-byte '3DI' block the size field excludes).
+    Shared by decode_mpeg1_audio and codecs.parse_mp3_meta."""
+    if b[:3] != b"ID3":
+        return 0
+    if len(b) < 10:
+        raise ValueError("truncated ID3 header")
+    size = (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
+    return 10 + size + (10 if b[5] & 0x10 else 0)
+
+
 def parse_header(h: bytes) -> dict:
     if len(h) < 4 or h[0] != 0xFF or (h[1] & 0xE0) != 0xE0:
         raise ValueError("no MPEG audio sync")
@@ -181,7 +196,7 @@ def parse_header(h: bytes) -> dict:
     if bidx in (0, 15) or ridx == 3:
         raise ValueError("free/bad bitrate or reserved sample rate")
     rate = SAMPLE_RATES[ridx]
-    bitrate = (L1_BITRATES if layer == 1 else L2_BITRATES)[bidx] * 1000
+    bitrate = {1: L1_BITRATES, 2: L2_BITRATES, 3: L3_BITRATES}[layer][bidx] * 1000
     padding = (h[2] >> 1) & 1
     mono = (h[3] >> 6) == 0b11
     if layer == 1:
@@ -252,17 +267,22 @@ def _decode_frame_l1(r: _BitR) -> np.ndarray:
 
 
 def _alloc_cost_l2(code: int) -> int:
-    """Sample bits for one subband (36 samples) at an allocation code."""
+    """Sample bits for one subband (36 samples) at an allocation code.
+    Linear codes carry ``code`` bits/sample (code 4 = 15 levels), so the
+    ladder is strictly monotone in cost AND resolution across the
+    grouped->linear boundary (9 levels/120 bits -> 15 levels/144 bits);
+    a non-monotone step would let the waterfill 'upgrade' a subband to a
+    coarser quantizer."""
     if code == 0:
         return 0
     if code in _GROUPED:
         return 12 * _GROUPED[code][1]
-    return 36 * (code - 1)
+    return 36 * code
 
 
 # effective bits/sample per allocation code (grouped classes are fractional)
 _EFF_BITS = {0: 0.0, 1: 1.585, 2: 2.322, 3: 3.17}
-_EFF_BITS.update({c: float(c - 1) for c in range(4, 15)})
+_EFF_BITS.update({c: float(c) for c in range(4, 15)})
 
 
 def _alloc_l2_waterfill(maxabs: np.ndarray, budget_bits: int) -> np.ndarray:
@@ -353,9 +373,8 @@ def _encode_frame_l2(s: np.ndarray, frame_bytes: int) -> bytes:
                 v = _quant(u, levels)
                 w.put(int(v[0] + levels * v[1] + levels * levels * v[2]), gbits)
             else:
-                n = a - 1
-                for v in _quant(u, (1 << n) - 1):
-                    w.put(int(v), n)
+                for v in _quant(u, (1 << a) - 1):
+                    w.put(int(v), a)
     w.pad_to(frame_bytes - 4)
     return bytes(w.buf)
 
@@ -395,9 +414,8 @@ def _decode_frame_l2(r: _BitR) -> np.ndarray:
                 if v[2] >= levels:
                     raise ValueError("grouped sample code out of range")
             else:
-                n = a - 1
-                levels = (1 << n) - 1
-                v = np.array([r.get(n) for _ in range(3)])
+                levels = (1 << a) - 1
+                v = np.array([r.get(a) for _ in range(3)])
             s[sb, gr * 3 : gr * 3 + 3] = scf[sb, part] * _dequant(v, levels)
     return s
 
@@ -462,11 +480,7 @@ def decode_mpeg1_audio(b: bytes) -> tuple[np.ndarray, int]:
     """A sequence of MPEG-1 Layer I/II frames (optionally after an ID3v2
     tag) -> (mono int16 PCM, sample_rate).  Layer III raises ValueError
     ('needs-codec': the Huffman/IMDCT path is out of scope here)."""
-    pos = 0
-    if b[:3] == b"ID3":
-        if len(b) < 10:
-            raise ValueError("truncated ID3 header")
-        pos = 10 + ((b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9])
+    pos = skip_id3v2(b)
     blocks: list[np.ndarray] = []
     rate = None
     while pos + 4 <= len(b):

@@ -239,14 +239,17 @@ def synthetic_media_real(spark, n: int = 64) -> DataFrame:
         elif kind == "audio":
             if i % 3 == 2:  # COMPRESSED audio: real MPEG-1 Layer I/II frames
                 sr = 32000
-                layer = 1 if (i // 4) % 2 == 0 else 2  # audio ids are all even
+                # compressed-audio rows satisfy i ≡ 2 (mod 12), so i%4 and
+                # i%6 are CONSTANT here — derive all variation from i // 12
+                j = i // 12
+                layer = 1 if j % 2 == 0 else 2
                 spf = 384 if layer == 1 else 1152
-                n_frames = 1 + (i % 4)
+                n_frames = 1 + j % 4
                 t = np.arange(spf * n_frames) / sr
                 # 250 Hz multiples give an INTEGER cycle count over both
                 # layers' frame sizes (384n/1152n @ 32 kHz), so the clip ends
                 # on a zero crossing and leakage doesn't smear the spectrum
-                freq = 250.0 * (1 + i % 6)
+                freq = 250.0 * (1 + j % 6)
                 samples = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
                 payload = codecs.encode_mpeg1_audio(samples, sr, layer=layer)
                 rows.append(
@@ -432,13 +435,15 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
                 else:
                     continue
                 x = samples.astype(np.float64) / 32768.0
-                # trim trailing near-silence (codec streams are padded to a
-                # frame boundary; the pad is low-level decode noise that
-                # would skew the spectral stats)
-                nz = np.nonzero(np.abs(x) >= 1e-3)[0]
-                if len(nz) and nz[-1] + 1 < len(x):
-                    x = x[: nz[-1] + 1]
-                    samples = samples[: nz[-1] + 1]
+                if fmt == "mp3":
+                    # codec streams are frame-padded: trim the trailing
+                    # near-silent pad (low-level decode noise that would
+                    # skew the spectral stats).  WAV payloads keep their
+                    # tail — real trailing silence is signal, not padding.
+                    nz = np.nonzero(np.abs(x) >= 1e-3)[0]
+                    if len(nz) and nz[-1] + 1 < len(x):
+                        x = x[: nz[-1] + 1]
+                        samples = samples[: nz[-1] + 1]
                 zc = np.mean(np.abs(np.diff(np.signbit(x)))) if len(x) > 1 else 0.0
                 mono = x[::nch]  # first channel of the interleaved stream
                 dom = cent = 0.0

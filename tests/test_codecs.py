@@ -299,7 +299,7 @@ def test_audio_features_distributed(spark):
         # generator tones are 200 + 50*(i%8) Hz; rfft peak must land within
         # one bin (clips are 0.05-0.125 s -> bins are 8-20 Hz wide)
         i = r["media_id"]
-        want = 250.0 * (1 + i % 6) if _is_mp2(i) else 200.0 + 50.0 * (i % 8)
+        want = 250.0 * (1 + (i // 12) % 6) if _is_mp2(i) else 200.0 + 50.0 * (i % 8)
         bin_hz = 1000.0 / r["duration_ms"]
         assert abs(r["dominant_hz"] - want) <= bin_hz + 1e-9, (r["media_id"], r["dominant_hz"], want)
         # a pure tone's spectral centroid sits near the tone (leakage skews
@@ -959,3 +959,24 @@ def test_mpeg1_layer3_and_junk_rejected():
     silent = np.zeros(1152, np.int16)
     out, _ = m.decode_mpeg1_audio(m.encode_mpeg1_audio(silent, 32000, layer=2))
     assert np.abs(out).max() == 0
+
+
+def test_mpeg1_alloc_ladder_monotone_and_id3v24_footer():
+    """(a) The Layer II allocation ladder must be strictly monotone in
+    both bit cost and quantizer resolution — a non-monotone step lets
+    the waterfill 'upgrade' into a coarser quantizer.  (b) An ID3v2.4
+    tag with the footer flag adds 10 bytes the size field excludes; the
+    skipper must land on the first audio frame."""
+    from esgopeta_spark.operators import mpeg1_audio as m
+
+    costs = [m._alloc_cost_l2(c) for c in range(15)]
+    assert costs == sorted(costs) and len(set(costs)) == 15
+    levels = [0] + [m._GROUPED[c][0] for c in (1, 2, 3)] + [(1 << c) - 1 for c in range(4, 15)]
+    assert levels == sorted(levels) and len(set(levels)) == 15
+
+    pcm = _tone16(500, 384)
+    frames = m.encode_mpeg1_audio(pcm, 32000, layer=1)
+    hdr = bytearray(b"ID3\x04\x00\x10\x00\x00\x00\x0a")  # v2.4, footer flag, size 10
+    tagged = bytes(hdr) + b"\x00" * 10 + b"3DI\x04\x00\x10\x00\x00\x00\x0a" + frames
+    out, rate = m.decode_mpeg1_audio(tagged)
+    assert rate == 32000 and _snr_db(pcm, out) > 60.0
