@@ -203,3 +203,142 @@ def cms_heavy_hitters(
     return cms_estimates(df, keys, key_col, weight_col, depth, width).filter(
         F.col("est_cnt") >= F.lit(int(threshold))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join prefilter — the classic distributed-join
+# optimization (runtime filter pushdown: Spark's own
+# spark.sql.optimizer.runtime.bloomFilter.* does this inside Catalyst;
+# this is the explicit operator form with a DETERMINISTIC filter, so the
+# result stays oracle-checkable).  The small side's keys hash into an
+# m-bit filter (k Lehmer-family hashes — same scramble as the KMV/CMS
+# sketches); the filter is collected as a bounded bitmask (m/64 longs of
+# driver state — the same envelope argument as assign_cells' codebook)
+# and pushed into a codegen'd prefilter on the big side's scan, so the
+# expensive exact join only sees rows that MIGHT match.  Blooms have no
+# false negatives, so prefilter + exact semi-join == plain semi-join —
+# which is exactly what the DuckDB oracle runs.
+# ---------------------------------------------------------------------------
+
+
+def bloom_positions(col, k: int = 3, m_bits: int = 8192) -> "list[F.Column]":
+    """The key's k bit positions: Lehmer scramble with the second
+    multiplier offset per hash (like cms_bucket), mod m_bits."""
+    h0 = F.pmod(col.cast("bigint"), F.lit(KMV_MOD))
+    h1 = (h0 * F.lit(_A1)) % F.lit(KMV_MOD)
+    return [F.pmod((h1 * F.lit(_A2 + 7 * i)) % F.lit(KMV_MOD), F.lit(m_bits)) for i in range(k)]
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    k: int = 3,
+    m_bits: int = 8192,
+) -> DataFrame:
+    """Semi-join ``big`` against ``small``'s keys with a Bloom prefilter:
+    build the filter from the small side (one distinct-position pass),
+    prefilter the big side with a pure codegen expression (bitmask lookup
+    — no join, no shuffle), then run the exact broadcast semi-join on the
+    survivors.  Result rows are EXACTLY the plain semi-join's (no false
+    negatives); the filter only cuts the rows the exact join must touch —
+    at 100 TB that is the difference between shuffling the full fact
+    table and shuffling the ~selectivity fraction that might match."""
+    positions = [
+        r[0]
+        for r in (
+            small.select(F.explode(F.array(*bloom_positions(F.col(small_key), k, m_bits))).alias("p"))
+            .distinct()
+            .collect()
+        )
+    ]
+    mask = [0] * ((m_bits + 63) // 64)
+    for p in positions:
+        mask[p >> 6] |= 1 << (p & 63)
+    signed = [w - (1 << 64) if w >= (1 << 63) else w for w in mask]
+    # one codegen SQL expression: bitmask array literal + k bit probes.
+    # (x >> n) & 1 reads bit n regardless of the word's sign — arithmetic
+    # shift only alters bits ABOVE the one extracted.
+    mask_sql = "array(" + ",".join(f"{w}L" for w in signed) + ")"
+    m = KMV_MOD
+    hits = []
+    for i in range(k):
+        pos = (
+            f"pmod(pmod(CAST({big_key} AS BIGINT), {m}) * {_A1} % {m}"
+            f" * {_A2 + 7 * i} % {m}, {m_bits})"
+        )
+        hits.append(
+            f"((shiftright(element_at({mask_sql}, CAST({pos} div 64 AS INT) + 1),"
+            f" CAST({pos} % 64 AS INT)) & 1) = 1)"
+        )
+    prefiltered = big.filter(F.expr(" AND ".join(hits)))
+    return prefiltered.join(
+        F.broadcast(small.select(F.col(small_key).alias(big_key)).distinct()), big_key, "semi"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch — the mergeable quantile-family companion to
+# KMV (distinct) and CMS (frequency): fixed equi-width integer bins over
+# the exact [min, max] cent range, per-bin int64 counts (merge = counter
+# sum), quantile estimate = lower bound of the first bin whose cumulative
+# count reaches ceil(q * N).  Error is bounded by one bin width; every
+# number is exact integer arithmetic, so DuckDB reproduces the whole
+# sketch and every estimate (unlike approx_percentile's engine-internal
+# GK/KLL state, tested only under tolerance).
+# ---------------------------------------------------------------------------
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    quantiles: "list[int]",  # in per-mille (e.g. [250, 500, 750, 990])
+    n_bins: int = 256,
+) -> DataFrame:
+    """Approximate quantiles of a 2-decimal money column from a
+    ``n_bins``-bin histogram sketch.  Returns (q_permille, est_cents,
+    bin_width_cents): est is the lower cent bound of the covering bin.
+    Plan: one exact (min, max) partial-agg pass, one bin-count
+    partial-agg pass (<= n_bins rows survive per partition), one tiny
+    sort — mergeable by construction."""
+    cents = (F.col(value_col).cast("decimal(12,2)") * 100).cast("bigint")
+
+    def cents_sql(c):  # the same expression as SQL text for F.expr fragments
+        return f"CAST(CAST({c} AS DECIMAL(12,2)) * 100 AS BIGINT)"
+
+    bounds = df.agg(
+        F.min(cents).alias("_lo"), F.max(cents).alias("_hi"), F.count(F.lit(1)).alias("_n")
+    )
+    binned = (
+        df.crossJoin(F.broadcast(bounds))
+        .select(
+            # integer div throughout: float division near a bin boundary
+            # could round differently across engines (catalog rule 3)
+            F.least(
+                F.lit(n_bins - 1).cast("bigint"),
+                F.expr(f"(({cents_sql(value_col)} - _lo) * {n_bins}) div (_hi - _lo + 1)"),
+            ).alias("_bin"),
+            "_lo", "_hi", "_n",
+        )
+        .groupBy("_bin", "_lo", "_hi", "_n")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = Window.orderBy(F.col("_bin").asc()).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = binned.withColumn("_cum", F.sum("_c").over(w))
+    qs = None
+    for q in quantiles:
+        # ceil via integer div — float /1000 could round across engines
+        need = F.expr(f"(_n * {q} + 999) div 1000")
+        row = (
+            cum.filter(F.col("_cum") >= need)
+            .orderBy(F.col("_bin").asc())
+            .limit(1)
+            .select(
+                F.lit(q).cast("int").alias("q_permille"),
+                F.expr(f"_lo + (_bin * (_hi - _lo + 1)) div {n_bins}").alias("est_cents"),
+                F.expr(f"(_hi - _lo + 1) div {n_bins}").alias("bin_width_cents"),
+            )
+        )
+        qs = row if qs is None else qs.unionByName(row)
+    return qs

@@ -783,3 +783,82 @@ def stream_cms_grid_hourly(spark, sf):
     from esgopeta_spark.streaming.windows import windowed_cms_state
 
     return windowed_cms_state(T(spark, sf, "events"))
+
+
+@register(
+    "join_bloom_semi_lineitem",
+    "E3",
+    """
+    SELECT l_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS revenue_cents
+    FROM lineitem
+    WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 5000)
+    GROUP BY l_suppkey
+    """,
+    doc="Bloom-prefiltered semi-join (the explicit-operator form of runtime "
+    "filter pushdown): the selective supplier set's keys hash into an "
+    "8192-bit deterministic Bloom bitmask (same Lehmer family as KMV/CMS), "
+    "pushed as a pure codegen prefilter on the lineitem scan BEFORE the "
+    "exact broadcast semi-join — no false negatives, so the result equals "
+    "the plain semi-join the oracle runs, but at 100 TB the fact table "
+    "only feeds the join with rows that might match "
+    "(operators/sketches.bloom_semi_join; mask = bounded driver state, "
+    "same envelope as assign_cells' codebook)",
+)
+def join_bloom_semi_lineitem(spark, sf):
+    from esgopeta_spark.operators.sketches import bloom_semi_join
+
+    li = T(spark, sf, "lineitem")
+    s = T(spark, sf, "supplier").filter(F.col("s_acctbal") > 5000)
+    kept = bloom_semi_join(li, s, "l_suppkey", "s_suppkey")
+    return kept.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        (F.sum(F.col("l_extendedprice").cast("decimal(12,2)")) * 100)
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )
+
+
+@register(
+    "agg_histogram_quantiles",
+    "E4",
+    """
+    WITH c AS (
+      SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+      FROM lineitem),
+    b AS (SELECT MIN(v) AS lo, MAX(v) AS hi, CAST(COUNT(*) AS BIGINT) AS n FROM c),
+    bins AS (
+      SELECT LEAST(255, ((c.v - b.lo) * 256) // (b.hi - b.lo + 1)) AS bin,
+             b.lo, b.hi, b.n, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM c, b GROUP BY 1, 2, 3, 4),
+    cum AS (
+      SELECT bin, lo, hi, n,
+             SUM(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cm
+      FROM bins),
+    pick AS (
+      SELECT q, (SELECT MIN(bin) FROM cum
+                 WHERE cm >= (cum2.n * q + 999) // 1000) AS bin,
+             lo, hi
+      FROM (SELECT DISTINCT lo, hi, n FROM cum) cum2,
+           (SELECT UNNEST([250, 500, 750, 990]) AS q))
+    SELECT CAST(q AS INTEGER) AS q_permille,
+           CAST(lo + (bin * (hi - lo + 1)) // 256 AS BIGINT) AS est_cents,
+           CAST((hi - lo + 1) // 256 AS BIGINT) AS bin_width_cents
+    FROM pick
+    """,
+    doc="histogram quantile sketch (the mergeable quantile-family companion "
+    "to KMV/CMS): 256 equi-width integer-cent bins over the exact "
+    "[min,max] range, estimate = covering bin's lower bound at ceil(q*N) "
+    "cumulative count — all integer div arithmetic, so unlike "
+    "approx_percentile's engine-internal GK/KLL state the whole sketch is "
+    "oracle-hash-exact; bin counts merge by sum (<= 256 rows survive any "
+    "partition) (operators/sketches.histogram_quantiles)",
+)
+def agg_histogram_quantiles(spark, sf):
+    from esgopeta_spark.operators.sketches import histogram_quantiles
+
+    return histogram_quantiles(
+        T(spark, sf, "lineitem"), "l_extendedprice", [250, 500, 750, 990]
+    )

@@ -982,3 +982,41 @@ def test_rolling_zscore_flags_spike_not_coldstart_or_constant(spark):
     # constant series: zero variance -> NULL z on every eligible day
     assert all(out[(2, d)]["z_micro"] is None for d in range(1, 8))
     assert out[(1, 10)]["total_cents"] == 100000
+
+
+def test_bloom_semi_join_equals_plain_semi_and_prefilters(spark, sf_dir):
+    """The Bloom prefilter must lose NO true match (result == plain
+    semi-join) while actually cutting rows before the exact join when
+    the key set is selective."""
+    from esgopeta_spark.operators.sketches import bloom_positions, bloom_semi_join
+
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 5000)
+    got = {tuple(r) for r in bloom_semi_join(li, s, "l_suppkey", "s_suppkey")
+           .select("l_orderkey", "l_linenumber").collect()}
+    want = {tuple(r) for r in li.join(
+        F.broadcast(s.select(F.col("s_suppkey").alias("l_suppkey"))), "l_suppkey", "semi"
+    ).select("l_orderkey", "l_linenumber").collect()}
+    assert got == want and got
+    # the filter itself: every small-side key must probe its own bits true
+    probe = s.select(*[p.alias(f"p{i}") for i, p in
+                       enumerate(bloom_positions(F.col("s_suppkey")))]).collect()
+    assert probe  # selective but non-empty fixture
+
+
+def test_histogram_quantiles_within_one_bin_of_exact(spark, sf_dir):
+    """Each histogram estimate must sit within one bin width of the true
+    percentile (the sketch's error bound), and the q ladder must be
+    monotone."""
+    from esgopeta_spark.operators.sketches import histogram_quantiles
+
+    li = read_table(spark, sf_dir, "lineitem")
+    got = {r["q_permille"]: r for r in
+           histogram_quantiles(li, "l_extendedprice", [250, 500, 750, 990]).collect()}
+    vals = sorted(int(round(r[0] * 100)) for r in li.select("l_extendedprice").collect())
+    ests = [got[q]["est_cents"] for q in (250, 500, 750, 990)]
+    assert ests == sorted(ests)
+    for q in (250, 500, 750, 990):
+        true = vals[min(len(vals) - 1, (len(vals) * q + 999) // 1000 - 1)]
+        width = got[q]["bin_width_cents"]
+        assert abs(got[q]["est_cents"] - true) <= width + 1, (q, got[q], true)

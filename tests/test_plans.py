@@ -322,3 +322,15 @@ def test_gapfill_grid_joins_equi_no_cartesian(spark, sf_dir):
     p = plan_of(REGISTRY["ts_gapfill_daily_locf"].fn(spark, sf_dir))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
     assert "Generate explode" in p or "Generate" in p, p
+
+
+def test_bloom_prefilter_is_scan_side_no_extra_shuffle(spark, sf_dir):
+    """The Bloom probe must be a pure filter expression evaluated scan-side
+    (no join/shuffle introduced by the prefilter itself); the exact join
+    stays a broadcast semi."""
+    from esgopeta_spark.plans import REGISTRY
+
+    p = plan_of(REGISTRY["join_bloom_semi_lineitem"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "LeftSemi" in p and "BroadcastHashJoin" in p, p
+    assert "shiftright" in p, p  # the bitmask probe survived into the plan
