@@ -360,3 +360,77 @@ def ngram_commonness(
             F.expr("sum_freq * 100 div n_grams").alias("mean_freq_c"),
         )
     )
+
+
+def domain_affinity(
+    docs: DataFrame,
+    target: Column,
+    n_buckets: int = 512,
+    scale: int = 1_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-shaped domain-affinity scoring (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling",
+    arXiv:2302.03169, public): score every corpus document by how much
+    its hashed-bigram profile looks like a TARGET subset's profile — the
+    data-selection step that upsamples in-domain text before training.
+
+    Deviation from the paper, for oracle-exactness: DSIR weights are
+    products of probability ratios (log-space floats); transcendental
+    logs are NOT identically rounded across engines, so this computes an
+    integer affinity instead — per bigram occurrence,
+    ``target_count[bucket] * scale div raw_count[bucket]`` (the same
+    ratio, micro-scaled and floored), averaged over the doc's grams.
+    Monotone in the same signal; every value is exact int64 arithmetic.
+
+    Buckets: first 8 hex chars of ``md5(gram)`` mod ``n_buckets`` —
+    md5 exists on both engines (same trick as stratified_sample).
+
+    Plan: ONE gram-occurrence projection (posexplode, no shuffle) ->
+    ONE bucket partial agg computing raw + target counts together
+    (<= n_buckets rows survive) -> broadcast ratio table back onto the
+    gram stream -> per-doc partial agg.  Docs with < 2 words have no
+    grams and no output row (affinity over nothing is undefined).
+
+    Returns (id, n_grams, affinity_micro) — threshold or top-k
+    downstream to select the training mix.
+    """
+    from esgopeta_spark.operators.dedup import normalize_text
+
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    grams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    stream = docs.select(
+        F.col(id_col).alias("_id"),
+        target.cast("boolean").alias("_tgt"),
+        F.explode(grams).alias("_g"),
+    ).select(
+        "_id", "_tgt",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("_g")), 1, 8), 16, 10).cast("bigint"),
+            F.lit(n_buckets),
+        ).alias("_b"),
+    )
+    ratios = (
+        stream.groupBy("_b")
+        .agg(
+            F.count(F.lit(1)).alias("_raw"),
+            F.count_if(F.col("_tgt")).alias("_t"),
+        )
+        .select("_b", F.expr(f"_t * {int(scale)} div _raw").alias("_ratio"))
+    )
+    return (
+        stream.join(F.broadcast(ratios), "_b")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.expr("sum(_ratio) div count(1)").cast("bigint").alias("affinity_micro"),
+        )
+        .select(F.col("_id").alias(id_col), "n_grams", "affinity_micro")
+    )

@@ -862,3 +862,41 @@ def agg_histogram_quantiles(spark, sf):
     return histogram_quantiles(
         T(spark, sf, "lineitem"), "l_extendedprice", [250, 500, 750, 990]
     )
+
+
+@register(
+    "text_domain_affinity_dsir",
+    "G4,E4",
+    """
+    WITH n AS (
+      SELECT doc_id, lang = 'de' AS tgt,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents),
+    w AS (SELECT doc_id, tgt, string_split(norm, ' ') AS ws FROM n),
+    g AS (
+      SELECT doc_id, tgt,
+             CAST(CAST(('0x' || substr(md5(array_to_string(ws[i : i + 1], ' ')), 1, 8))
+                  AS UBIGINT) AS BIGINT) % 512 AS b
+      FROM (SELECT doc_id, tgt, ws, UNNEST(range(1, len(ws))) AS i
+            FROM w WHERE len(ws) >= 2)),
+    r AS (
+      SELECT b, (COUNT(*) FILTER (WHERE tgt)) * 1000000 // COUNT(*) AS ratio
+      FROM g GROUP BY b)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(r.ratio) // COUNT(*) AS BIGINT) AS affinity_micro
+    FROM g JOIN r USING (b)
+    GROUP BY g.doc_id
+    """,
+    doc="DSIR-shaped domain-affinity scoring (Xie et al. 2023, "
+    "arXiv:2302.03169): hashed-bigram profile match against the German "
+    "target subset, integer ratio arithmetic standing in for the paper's "
+    "log-space weights (transcendental logs round differently across "
+    "engines — documented deviation).  One gram projection -> one "
+    "<= 512-row bucket agg -> broadcast ratio join -> per-doc agg "
+    "(operators/text.domain_affinity)",
+)
+def text_domain_affinity_dsir(spark, sf):
+    from esgopeta_spark.operators.text import domain_affinity
+
+    return domain_affinity(T(spark, sf, "documents"), F.col("lang") == "de")

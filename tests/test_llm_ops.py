@@ -1020,3 +1020,58 @@ def test_histogram_quantiles_within_one_bin_of_exact(spark, sf_dir):
         true = vals[min(len(vals) - 1, (len(vals) * q + 999) // 1000 - 1)]
         width = got[q]["bin_width_cents"]
         assert abs(got[q]["est_cents"] - true) <= width + 1, (q, got[q], true)
+
+
+def test_domain_affinity_ranks_target_domain_higher(spark, sf_dir):
+    """Sanity of the DSIR-shaped signal: target-language documents must
+    score higher on average than off-target ones (their bigrams hash
+    into buckets dominated by target occurrences), and scores are
+    bounded by the scale."""
+    from esgopeta_spark.operators.text import domain_affinity
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = domain_affinity(docs, F.col("lang") == "de")
+    joined = {r["doc_id"]: r for r in out.join(docs.select("doc_id", "lang"), "doc_id").collect()}
+    de = [r["affinity_micro"] for r in joined.values() if r["lang"] == "de"]
+    other = [r["affinity_micro"] for r in joined.values() if r["lang"] != "de"]
+    assert de and other
+    assert all(0 <= a <= 1_000_000 for a in de + other)
+    # the synthetic corpus shares most vocabulary across langs, so the
+    # separation is real but modest — require a strict mean gap; the
+    # strong-separation property is pinned on the hand corpus below
+    assert sum(de) / len(de) > 1.05 * (sum(other) / len(other))
+
+
+def test_domain_affinity_separates_disjoint_vocabularies(spark):
+    """Hand corpus with DISJOINT vocabularies: target-domain docs must
+    score near the maximum (their buckets are ~purely target) and
+    off-domain docs near the baseline target fraction."""
+    from esgopeta_spark.operators.text import domain_affinity
+
+    med = [f"patient dosage {w} clinical trial outcome" for w in ("alpha", "beta", "gamma")]
+    web = [f"click subscribe {w} channel video stream" for w in ("one", "two", "three", "four")]
+    rows = [(i, t, "med", "s", len(t)) for i, t in enumerate(med)] + [
+        (100 + i, t, "web", "s", len(t)) for i, t in enumerate(web)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    out = {r["doc_id"]: r["affinity_micro"] for r in
+           domain_affinity(docs, F.col("lang") == "med", n_buckets=4096).collect()}
+    med_scores = [out[i] for i in range(3)]
+    web_scores = [out[100 + i] for i in range(4)]
+    assert min(med_scores) > 800_000  # nearly pure target buckets
+    assert max(web_scores) < 200_000  # near the zero-overlap baseline
+
+
+def test_domain_affinity_skips_gramless_docs(spark):
+    """Docs with fewer than 2 words have no bigrams and must produce no
+    affinity row (not a zero row)."""
+    from esgopeta_spark.operators.text import domain_affinity
+
+    docs = spark.createDataFrame(
+        [(1, "hello world again", "en", "s", 17), (2, "one", "en", "s", 3), (3, "", "de", "s", 0)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    out = {r["doc_id"] for r in domain_affinity(docs, F.col("lang") == "de").collect()}
+    assert out == {1}
