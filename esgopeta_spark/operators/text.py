@@ -10,8 +10,13 @@ fingerprints — xxhash64 exists only on the Spark side).
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd  # module-level so pandas_udf type hints resolve under PEP 563
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from esgopeta_spark.operators.dedup import normalize_text
 
@@ -434,3 +439,89 @@ def domain_affinity(
         )
         .select(F.col("_id").alias(id_col), "n_grams", "affinity_micro")
     )
+
+
+def top_terms_tfidf(
+    docs: DataFrame,
+    k: int = 3,
+    scale: int = 1_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k salient terms by an integer-exact TF-IDF
+    variant: ``score = tf * (N * scale div df)`` — term frequency times
+    a micro-scaled inverse document frequency (plain ratio instead of
+    the textbook log-idf: transcendental logs round differently across
+    engines, and the ranking it induces is monotone in the same df for
+    fixed tf).  Ties break by the term string ascending — a total
+    order, so the exact top-k is reproducible anywhere.
+
+    Plan: one word-occurrence projection -> (doc, word) tf partial agg
+    -> word df partial agg (distinct docs per word) -> broadcast df back
+    (vocabulary << corpus) -> per-doc top-k window.  The window
+    partitions by doc id, so it scales with docs, not occurrences.
+
+    Returns (id, term, tf, df, score, rank), rank 1..k.
+    """
+    from esgopeta_spark.operators.dedup import normalize_text
+
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    occ = docs.select(F.col(id_col).alias("_id"), F.explode(words).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = occ.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = occ.select("_id").distinct().agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.partitionBy("_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        tf.join(F.broadcast(df_counts), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.expr(f"tf * ((_n * {int(scale)}) div df)").cast("bigint"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_id").alias(id_col), "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            "score", F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def compression_ratio(
+    docs: DataFrame,
+    level: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document zlib compression ratio — the classic cheap
+    repetitiveness/quality signal (highly templated or repeated text
+    compresses far below natural prose; Gopher/RefinedWeb-style
+    pipelines threshold on it).  Deterministic for a fixed zlib level,
+    so the column is reproducible — but no SQL engine exposes zlib, so
+    the catalog entry is rows-only and the behavior is pinned in pytest.
+
+    Arrow-batched kernel, no shuffle: ratio_micro =
+    ``compressed_len * 1e6 // raw_len`` (integer), raw_len in UTF-8
+    bytes; empty docs report NULL ratio."""
+    out_schema = f"{id_col} bigint, raw_len bigint, compressed_len bigint, ratio_micro bigint"
+
+    def kernel(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import zlib
+
+        for pdf in batches:
+            out = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                raw = (t or "").encode("utf-8")
+                comp = zlib.compress(raw, level)
+                out.append(
+                    dict(
+                        **{id_col: int(i)},
+                        raw_len=len(raw),
+                        compressed_len=len(comp),
+                        ratio_micro=(len(comp) * 1_000_000 // len(raw)) if raw else None,
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, out_schema)

@@ -900,3 +900,56 @@ def text_domain_affinity_dsir(spark, sf):
     from esgopeta_spark.operators.text import domain_affinity
 
     return domain_affinity(T(spark, sf, "documents"), F.col("lang") == "de")
+
+
+@register(
+    "text_top_terms_tfidf",
+    "G4,E5",
+    """
+    WITH occ AS (
+      SELECT doc_id,
+             UNNEST(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+      FROM documents),
+    occ2 AS (SELECT doc_id, term FROM occ WHERE term <> ''),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM occ2 GROUP BY 1, 2),
+    dfc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM occ2),
+    s AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
+             CAST(tf.tf * ((nd.n * 1000000) // dfc.df) AS BIGINT) AS score
+      FROM tf JOIN dfc USING (term), nd),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term ASC) AS rank
+          FROM s)
+    SELECT doc_id, term, tf, df, score, CAST(rank AS INTEGER) AS rank
+    FROM r WHERE rank <= 3
+    """,
+    doc="per-document top-3 salient terms by integer-exact TF-IDF "
+    "(tf * micro-scaled inverse document-frequency RATIO — plain ratio "
+    "instead of log-idf, which is not identically rounded across engines; "
+    "same df-monotone ranking).  Occurrence projection -> (doc,term) tf "
+    "agg -> vocabulary df agg broadcast back -> per-doc top-k window, "
+    "ties broken by term (total order) "
+    "(operators/text.top_terms_tfidf)",
+)
+def text_top_terms_tfidf(spark, sf):
+    from esgopeta_spark.operators.text import top_terms_tfidf
+
+    return top_terms_tfidf(T(spark, sf, "documents"), k=3)
+
+
+@register(
+    "text_compression_ratio",
+    "G4",
+    None,  # zlib exists in no SQL engine: rows-only; behavior pinned in pytest
+    doc="per-document zlib compression ratio (integer micro) — the classic "
+    "repetitiveness/quality signal corpus filters threshold on "
+    "(templated/repeated text compresses far below natural prose).  "
+    "Deterministic at fixed level; Arrow kernel, zero shuffle "
+    "(operators/text.compression_ratio; monotone-repetition property and "
+    "empty-doc NULL pinned in tests/test_llm_ops.py)",
+)
+def text_compression_ratio(spark, sf):
+    from esgopeta_spark.operators.text import compression_ratio
+
+    return compression_ratio(T(spark, sf, "documents"))

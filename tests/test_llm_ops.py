@@ -1075,3 +1075,39 @@ def test_domain_affinity_skips_gramless_docs(spark):
     )
     out = {r["doc_id"] for r in domain_affinity(docs, F.col("lang") == "de").collect()}
     assert out == {1}
+
+
+def test_compression_ratio_orders_repetition_and_handles_empty(spark):
+    """Repeated text must compress harder (lower ratio) than varied
+    text; empty docs report NULL; the column is deterministic across
+    reruns."""
+    from esgopeta_spark.operators.text import compression_ratio
+
+    varied = "the quick brown fox jumps over a lazy dog near riverbank seven times daily"
+    docs = spark.createDataFrame(
+        [(1, "spam " * 200, "en", "s", 1000), (2, (varied + " ") * 14, "en", "s", 1000),
+         (3, "", "en", "s", 0)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    out = {r["doc_id"]: r for r in compression_ratio(docs).collect()}
+    assert out[1]["ratio_micro"] < out[2]["ratio_micro"] < 1_000_000
+    assert out[3]["ratio_micro"] is None and out[3]["raw_len"] == 0
+    rerun = {r["doc_id"]: r["ratio_micro"] for r in compression_ratio(docs).collect()}
+    assert rerun == {k: v["ratio_micro"] for k, v in out.items()}
+
+
+def test_top_terms_tfidf_prefers_rare_terms(spark):
+    """A term unique to one doc must outrank corpus-wide stopwords in
+    that doc's top-k, and rank ties resolve by term order."""
+    from esgopeta_spark.operators.text import top_terms_tfidf
+
+    docs = spark.createDataFrame(
+        [(1, "the cat the dog zymurgy", "en", "s", 10),
+         (2, "the cat the bird", "en", "s", 10),
+         (3, "the dog the bird", "en", "s", 10)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    out = [r for r in top_terms_tfidf(docs, k=2).collect() if r["doc_id"] == 1]
+    assert out[0]["term"] == "zymurgy" and out[0]["df"] == 1  # unique term wins
+    # 'the' appears in every doc (df=3) twice here: idf floor, rank 2 at best
+    assert all(r["term"] != "the" or r["rank"] > 1 for r in out)
