@@ -315,3 +315,65 @@ def kcore_members(
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
         .filter(F.col("core_deg") >= k)
     )
+
+
+def cheapest_path_costs(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    cost: str = "cost",
+    node: str = "node",
+    checkpoint: str = "local",
+) -> DataFrame:
+    """Hop-bounded cheapest-path costs from a source set — the WEIGHTED
+    companion to ``shortest_hops`` (synchronous Bellman-Ford rounds, the
+    Pregel SSSP classic).  Returns (node, cost) where cost is the
+    minimum total edge cost over any path of <= ``max_hops`` edges from
+    any source (sources at 0).  Costs must be non-negative int64 (use
+    cents/micro units); everything stays integer, so the result is
+    engine-exact and the oracle unrolls the same rounds.
+
+    Per round: one equi-join of the current distance relation against
+    the edge list (shuffle on the relax key) + one (node) min partial
+    agg — narrow integer rows; lineage cut per round; early break when a
+    round improves nothing (post-fixpoint rounds are no-ops, so the
+    fixed oracle unroll agrees).  At 100 TB: pre-partition edges by
+    ``src`` so each round's relax join co-locates; unlike the BFS
+    frontier this must re-relax the full distance relation each round
+    (costs can improve after first discovery), which is the documented
+    Bellman-Ford price for weighted paths.
+    """
+    from esgopeta_spark.operators.checkpoint import materialize
+
+    e = materialize(
+        edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(cost).cast("bigint").alias("w")
+        ),
+        checkpoint,
+    )
+    dist = materialize(
+        sources.select(F.col(node).alias("node")).distinct().withColumn(
+            "cost", F.lit(0).cast("bigint")
+        ),
+        checkpoint,
+    )
+    for _ in range(max_hops):
+        cand = (
+            dist.join(e, dist.node == e.src)
+            .select(F.col("dst").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
+        )
+        nxt = materialize(
+            dist.unionByName(cand).groupBy("node").agg(F.min("cost").alias("cost")),
+            checkpoint,
+        )
+        # improved = strictly cheaper or newly reached rows; 0 -> fixpoint
+        improved = nxt.join(
+            dist.withColumnRenamed("cost", "_old"), "node", "left"
+        ).filter(F.col("_old").isNull() | (F.col("cost") < F.col("_old")))
+        n_improved = improved.count()
+        dist = nxt
+        if n_improved == 0:
+            break
+    return dist

@@ -288,3 +288,83 @@ def graph_kcore_members(spark, sf):
         .select("ea", "eb")
     )
     return kcore_members(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS, src="ea", dst="eb")
+
+
+# Bellman-Ford oracle: the relax recurrence unrolled one MATERIALIZED CTE
+# block per round (same pattern as the k-core oracle above; post-fixpoint
+# rounds are no-ops, so the fixed unroll agrees with the Spark side's
+# early break).
+def _bf_oracle(rounds: int) -> str:
+    blocks = [
+        """
+    WITH pairs AS (
+      SELECT o_custkey AS ck, l_suppkey AS sk,
+             CAST(MIN(CAST(l_extendedprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS w
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2),
+    eu AS MATERIALIZED (
+      SELECT 'c' || CAST(ck AS VARCHAR) AS src, 's' || CAST(sk AS VARCHAR) AS dst, w FROM pairs
+      UNION ALL
+      SELECT 's' || CAST(sk AS VARCHAR), 'c' || CAST(ck AS VARCHAR), w FROM pairs),
+    d0 AS MATERIALIZED (
+      SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node, CAST(0 AS BIGINT) AS cost
+      FROM customer WHERE c_nationkey = 0)"""
+    ]
+    for r in range(rounds):
+        blocks.append(
+            f""",
+    d{r + 1} AS MATERIALIZED (
+      SELECT node, MIN(cost) AS cost FROM (
+        SELECT node, cost FROM d{r}
+        UNION ALL
+        SELECT e.dst, d.cost + e.w FROM d{r} d JOIN eu e ON d.node = e.src)
+      GROUP BY node)"""
+        )
+    blocks.append(f"""
+    SELECT node, cost AS cost_cents FROM d{rounds}""")
+    return "".join(blocks)
+
+
+@register(
+    "graph_cheapest_path_nation0",
+    "A1,E3,E4",
+    _bf_oracle(4),
+    doc="hop-bounded cheapest-path costs (synchronous Bellman-Ford, the "
+    "Pregel SSSP classic — the WEIGHTED companion to graph_bfs_hops_nation0) "
+    "from nation-0 customers over the customer<->supplier graph, edge cost "
+    "= the pair's cheapest line-item price in exact cents, 4 relax rounds.  "
+    "All-integer costs are engine-exact; the oracle unrolls the identical "
+    "relax recurrence one MATERIALIZED CTE per round "
+    "(operators/graph_analytics.cheapest_path_costs: per-round equi-join + "
+    "min partial agg, lineage cut, early fixpoint break)",
+)
+def graph_cheapest_path_nation0(spark, sf):
+    from esgopeta_spark.operators.graph_analytics import cheapest_path_costs
+
+    o = T(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(
+            (F.min(F.col("l_extendedprice").cast("decimal(12,2)")) * 100)
+            .cast("bigint")
+            .alias("w")
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+            "w",
+        )
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"), "w").unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w")
+    )
+    seeds = (
+        T(spark, sf, "customer")
+        .filter(F.col("c_nationkey") == 0)
+        .select(F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node"))
+    )
+    return cheapest_path_costs(edges, seeds, max_hops=4, cost="w").select(
+        "node", F.col("cost").alias("cost_cents")
+    )

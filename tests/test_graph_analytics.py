@@ -182,3 +182,28 @@ def test_kcore_fixpoint_reached_on_testdata(spark, sf_dir):
     at12 = {(r["node"], r["core_deg"])
             for r in kcore_members(edges, k=2, rounds=12, src="ea", dst="eb").collect()}
     assert at8 == at12 and at8
+
+
+def test_cheapest_path_costs_vs_python_bellman_ford(spark):
+    """Random weighted digraph: hop-bounded cheapest costs must match a
+    pure-Python Bellman-Ford truncated at the same round count, and the
+    early break must not change the converged answer."""
+    from esgopeta_spark.operators.graph_analytics import cheapest_path_costs
+
+    rng = random.Random(23)
+    n = 30
+    edges = [(rng.randrange(n), rng.randrange(n), rng.randrange(1, 100)) for _ in range(120)]
+    edges = [(a, b, w) for a, b, w in edges if a != b]
+    df = spark.createDataFrame(edges, "src int, dst int, cost int")
+    seeds = spark.createDataFrame([(0,), (1,)], "node int")
+    for hops in (2, 8):
+        got = {r["node"]: r["cost"] for r in
+               cheapest_path_costs(df, seeds, max_hops=hops).collect()}
+        want = {0: 0, 1: 0}
+        for _ in range(hops):
+            nxt = dict(want)
+            for a, b, w in edges:
+                if a in want and want[a] + w < nxt.get(b, float("inf")):
+                    nxt[b] = want[a] + w
+            want = nxt
+        assert got == want, (hops, got, want)
