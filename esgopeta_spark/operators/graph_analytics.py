@@ -359,7 +359,7 @@ def cheapest_path_costs(
         ),
         checkpoint,
     )
-    for _ in range(max_hops):
+    for h in range(max_hops):
         cand = (
             dist.join(e, dist.node == e.src)
             .select(F.col("dst").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
@@ -368,6 +368,9 @@ def cheapest_path_costs(
             dist.unionByName(cand).groupBy("node").agg(F.min("cost").alias("cost")),
             checkpoint,
         )
+        if h == max_hops - 1:  # break decision is moot on the final round:
+            dist = nxt  # don't pay the improved-rows join/count for it
+            break
         # improved = strictly cheaper or newly reached rows; 0 -> fixpoint
         improved = nxt.join(
             dist.withColumnRenamed("cost", "_old"), "node", "left"

@@ -245,10 +245,17 @@ def bloom_semi_join(
     negatives); the filter only cuts the rows the exact join must touch —
     at 100 TB that is the difference between shuffling the full fact
     table and shuffling the ~selectivity fraction that might match."""
+    # NULL keys never match a semi-join on either engine: drop them from
+    # the mask build (a NULL position would crash the bitmask fold), and
+    # the big side's NULL keys fall out of the prefilter naturally (the
+    # probe expression evaluates to NULL -> filtered).
+    small_keys = small.filter(F.col(small_key).isNotNull())
     positions = [
         r[0]
         for r in (
-            small.select(F.explode(F.array(*bloom_positions(F.col(small_key), k, m_bits))).alias("p"))
+            small_keys.select(
+                F.explode(F.array(*bloom_positions(F.col(small_key), k, m_bits))).alias("p")
+            )
             .distinct()
             .collect()
         )
@@ -274,7 +281,7 @@ def bloom_semi_join(
         )
     prefiltered = big.filter(F.expr(" AND ".join(hits)))
     return prefiltered.join(
-        F.broadcast(small.select(F.col(small_key).alias(big_key)).distinct()), big_key, "semi"
+        F.broadcast(small_keys.select(F.col(small_key).alias(big_key)).distinct()), big_key, "semi"
     )
 
 
@@ -307,6 +314,10 @@ def histogram_quantiles(
     def cents_sql(c):  # the same expression as SQL text for F.expr fragments
         return f"CAST(CAST({c} AS DECIMAL(12,2)) * 100 AS BIGINT)"
 
+    # standard quantile semantics ignore NULLs (approx_percentile, DuckDB
+    # quantile); without this they would bin as maximal (least(255, NULL)
+    # = 255 on both engines) AND inflate N
+    df = df.filter(F.col(value_col).isNotNull())
     bounds = df.agg(
         F.min(cents).alias("_lo"), F.max(cents).alias("_hi"), F.count(F.lit(1)).alias("_n")
     )

@@ -392,16 +392,18 @@ def domain_affinity(
     Buckets: first 8 hex chars of ``md5(gram)`` mod ``n_buckets`` —
     md5 exists on both engines (same trick as stratified_sample).
 
-    Plan: ONE gram-occurrence projection (posexplode, no shuffle) ->
-    ONE bucket partial agg computing raw + target counts together
-    (<= n_buckets rows survive) -> broadcast ratio table back onto the
-    gram stream -> per-doc partial agg.  Docs with < 2 words have no
-    grams and no output row (affinity over nothing is undefined).
+    Plan: the gram-occurrence stream (explode + md5, the dominant cost)
+    is MATERIALIZED once — it feeds both the bucket aggregate and the
+    scoring join — then ONE bucket partial agg computes raw + target
+    counts together (<= n_buckets rows survive) and the broadcast ratio
+    table joins back onto the stream for the per-doc partial agg.  Docs
+    with < 2 words have no grams and no output row (affinity over
+    nothing is undefined).
 
     Returns (id, n_grams, affinity_micro) — threshold or top-k
     downstream to select the training mix.
     """
-    from esgopeta_spark.operators.dedup import normalize_text
+    from esgopeta_spark.operators.checkpoint import materialize
 
     words = F.split(normalize_text(F.col(text_col)), " ")
     grams = F.when(
@@ -422,6 +424,7 @@ def domain_affinity(
             F.lit(n_buckets),
         ).alias("_b"),
     )
+    stream = materialize(stream, "local")
     ratios = (
         stream.groupBy("_b")
         .agg(
@@ -463,8 +466,6 @@ def top_terms_tfidf(
 
     Returns (id, term, tf, df, score, rank), rank 1..k.
     """
-    from esgopeta_spark.operators.dedup import normalize_text
-
     words = F.split(normalize_text(F.col(text_col)), " ")
     occ = docs.select(F.col(id_col).alias("_id"), F.explode(words).alias("term")).filter(
         F.col("term") != ""

@@ -826,7 +826,7 @@ def join_bloom_semi_lineitem(spark, sf):
     """
     WITH c AS (
       SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
-      FROM lineitem),
+      FROM lineitem WHERE l_extendedprice IS NOT NULL),
     b AS (SELECT MIN(v) AS lo, MAX(v) AS hi, CAST(COUNT(*) AS BIGINT) AS n FROM c),
     bins AS (
       SELECT LEAST(255, ((c.v - b.lo) * 256) // (b.hi - b.lo + 1)) AS bin,
