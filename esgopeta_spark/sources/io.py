@@ -289,3 +289,29 @@ def read_media_dir(
         ).alias("meta"),
         F.col("path").alias("source_path"),
     )
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a Hive-bucketed managed table: co-partitioned by
+    ``bucket_col`` into ``n_buckets`` files per partition (optionally
+    sorted within buckets).  Two tables bucketed the same way JOIN WITH
+    NO EXCHANGE on the bucket key — the single biggest shuffle
+    eliminator for a repeatedly-joined 100 TB fact/dim pair (the shuffle
+    is paid ONCE at write time, then every downstream join is co-located;
+    pinned by tests/test_sources.py::test_bucketed_join_has_no_exchange).
+
+    Uses ``saveAsTable`` (bucket metadata lives in the session catalog /
+    metastore — plain parquet paths cannot carry it); on a real cluster
+    the warehouse dir + metastore make this durable across sessions.
+    """
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)

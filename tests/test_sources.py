@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from esgopeta_spark.session import read_table
 from esgopeta_spark.sources import read_any, read_quads, write_quads
 from esgopeta_spark.types import QUAD_SCHEMA, encode_value
 
@@ -167,3 +168,39 @@ def test_read_media_dir_binaryfile(spark, tmp_path):
     assert dec["gif"]["ok"] and (dec["gif"]["width"], dec["gif"]["height"]) == (8, 6)
     assert dec["wav"]["ok"] and dec["wav"]["sample_rate"] == 8000
     assert not dec["mp4"]["ok"] and dec["mp4"]["duration_ms"] == 1200
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key must join with ZERO Exchange
+    nodes (the write-once shuffle buys every later join), and the result
+    must match the plain shuffled join."""
+    import re
+
+    from esgopeta_spark.sources.io import write_bucketed_table
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    write_bucketed_table(li, "b_lineitem", "l_orderkey", n_buckets=8)
+    write_bucketed_table(o, "b_orders", "o_orderkey", n_buckets=8)
+    try:
+        bl, bo = spark.table("b_lineitem"), spark.table("b_orders")
+        joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey).groupBy("o_custkey").count()
+        # disable broadcast so the join alone decides the distribution
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            p = joined._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+            )
+            join_section = p.split("HashAggregate")[0]
+            assert not re.search(r"^\(\d+\) Exchange", join_section, re.M), p
+            got = {tuple(r) for r in joined.collect()}
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        want = {tuple(r) for r in
+                li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_custkey").count().collect()}
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
