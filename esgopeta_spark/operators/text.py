@@ -526,3 +526,28 @@ def compression_ratio(
             yield pd.DataFrame(out)
 
     return docs.select(id_col, text_col).mapInPandas(kernel, out_schema)
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic k-per-group sampling — the eval-set / human-review
+    construction primitive (``stratified_sample`` keeps a RATE per
+    stratum; this keeps an exact COUNT).  Rows rank by ``md5(id)`` within
+    their group — a uniform, engine-portable pseudo-random order with the
+    id itself as tiebreak (total order) — and the first k win.  Same
+    corpus, same k => the same sample on any engine, any partitioning,
+    any day.  One window shuffle keyed by group; at 100 TB group
+    cardinality is small, so pre-aggregate pruning (per-partition top-k
+    before the window) is the AQE-free optimization if a group is hot."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .select(group_col, id_col, F.col("sample_rank").cast("int").alias("sample_rank"))
+    )

@@ -953,3 +953,29 @@ def text_compression_ratio(spark, sf):
     from esgopeta_spark.operators.text import compression_ratio
 
     return compression_ratio(T(spark, sf, "documents"))
+
+
+@register(
+    "corpus_sample_k_per_source",
+    "G4,E5",
+    """
+    SELECT source, doc_id, CAST(rn AS INTEGER) AS sample_rank
+    FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                         doc_id ASC) AS rn
+      FROM documents)
+    WHERE rn <= 5
+    """,
+    doc="deterministic 5-per-source corpus sample (eval-set construction): "
+    "rows rank by md5(id) within their stratum — a uniform portable "
+    "pseudo-random order, id tiebreak = total order — so the same corpus "
+    "yields the same sample on any engine or partitioning "
+    "(operators/text.sample_k_per_group; COUNT-exact companion to "
+    "stratified_sample's RATE-based mixing)",
+)
+def corpus_sample_k_per_source(spark, sf):
+    from esgopeta_spark.operators.text import sample_k_per_group
+
+    return sample_k_per_group(T(spark, sf, "documents"), k=5)

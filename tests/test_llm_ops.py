@@ -1123,3 +1123,29 @@ def test_top_terms_tfidf_prefers_rare_terms(spark):
     assert by_rank[1]["term"] == "zymurgy" and by_rank[1]["df"] == 1  # unique term wins
     # 'the' appears in every doc (df=3) twice here: idf floor, rank 2 at best
     assert by_rank[2]["term"] != "the" or by_rank[2]["rank"] > 1
+
+
+def test_sample_k_per_group_exact_count_and_partition_invariant(spark, sf_dir):
+    """Each stratum yields exactly min(k, group size) rows, the sample is
+    identical under different parallelism, and disjoint from rank order
+    by raw id (i.e. genuinely hash-shuffled, not just first-k ids)."""
+    from esgopeta_spark.operators.text import sample_k_per_group
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = sample_k_per_group(docs, k=5)
+    got = {(r["source"], r["doc_id"], r["sample_rank"]) for r in out.collect()}
+    sizes = {r["source"]: r["n"] for r in
+             docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    per_group: dict = {}
+    for s, d, rk in got:
+        per_group.setdefault(s, []).append(rk)
+    for s, ranks in per_group.items():
+        assert sorted(ranks) == list(range(1, min(5, sizes[s]) + 1)), s
+    got2 = {(r["source"], r["doc_id"], r["sample_rank"])
+            for r in sample_k_per_group(docs.repartition(13), k=5).collect()}
+    assert got == got2
+    # not just the lowest ids: at least one group's sample differs from
+    # its k smallest doc_ids (md5 order is effectively random)
+    lowest = {r["source"]: r["ids"] for r in
+              docs.groupBy("source").agg(F.slice(F.array_sort(F.collect_list("doc_id")), 1, 5).alias("ids")).collect()}
+    assert any(set(d for s2, d, _ in got if s2 == s) != set(lowest[s]) for s in per_group)
