@@ -368,3 +368,56 @@ def graph_cheapest_path_nation0(spark, sf):
     return cheapest_path_costs(edges, seeds, max_hops=4, cost="w").select(
         "node", F.col("cost").alias("cost_cents")
     )
+
+
+@register(
+    "graph_hits_transactions",
+    "A1,E3,E4",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    nodes AS (SELECT src AS node FROM pairs UNION SELECT dst FROM pairs),
+    h0 AS (SELECT node, CAST(1 AS BIGINT) AS hub FROM nodes),
+    a1 AS MATERIALIZED (
+      SELECT p.dst AS node, CAST(SUM(h0.hub) AS BIGINT) AS auth
+      FROM pairs p JOIN h0 ON p.src = h0.node GROUP BY p.dst),
+    h1 AS MATERIALIZED (
+      SELECT p.src AS node, CAST(SUM(a1.auth) AS BIGINT) AS hub
+      FROM pairs p JOIN a1 ON p.dst = a1.node GROUP BY p.src),
+    a2 AS MATERIALIZED (
+      SELECT p.dst AS node, CAST(SUM(h1.hub) AS BIGINT) AS auth
+      FROM pairs p JOIN h1 ON p.src = h1.node GROUP BY p.dst),
+    h2 AS MATERIALIZED (
+      SELECT p.src AS node, CAST(SUM(a2.auth) AS BIGINT) AS hub
+      FROM pairs p JOIN a2 ON p.dst = a2.node GROUP BY p.src)
+    SELECT n.node,
+           CAST(COALESCE(h2.hub, 0) AS BIGINT) AS hub_score,
+           CAST(COALESCE(a2.auth, 0) AS BIGINT) AS auth_score
+    FROM nodes n LEFT JOIN h2 ON n.node = h2.node
+                 LEFT JOIN a2 ON n.node = a2.node
+    """,
+    doc="HITS hubs-and-authorities (Kleinberg 1999), 2 UNNORMALIZED integer "
+    "rounds over the directed customer->supplier purchase graph: "
+    "authorities = well-bought suppliers, hubs = broad-basket customers.  "
+    "Dropping the per-round L2 rescale keeps every score exact int64 "
+    "(ranking-invariant at fixed rounds) so the oracle unrolls the same "
+    "recursion (operators/graph_analytics.hits_scores: two equi-join + "
+    "partial-sum stages per round, lineage cut)",
+)
+def graph_hits_transactions(spark, sf):
+    from esgopeta_spark.operators.graph_analytics import hits_scores
+
+    o = T(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+    )
+    return hits_scores(edges, rounds=2)

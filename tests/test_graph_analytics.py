@@ -207,3 +207,35 @@ def test_cheapest_path_costs_vs_python_bellman_ford(spark):
                     nxt[b] = want[a] + w
             want = nxt
         assert got == want, (hops, got, want)
+
+
+def test_hits_scores_vs_python_power_iteration(spark):
+    """Random digraph: unnormalized HITS scores must equal a pure-Python
+    run of the same integer recursion; a bipartite star must make the
+    hub the center and the leaves authorities."""
+    from esgopeta_spark.operators.graph_analytics import hits_scores
+
+    rng = random.Random(31)
+    n = 25
+    edges = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(80)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: (r["hub_score"], r["auth_score"])
+           for r in hits_scores(df, rounds=2).collect()}
+    nodes = {v for e in edges for v in e}
+    hub = {v: 1 for v in nodes}
+    auth = {}
+    for _ in range(2):
+        auth = {}
+        for a, b in edges:
+            auth[b] = auth.get(b, 0) + hub.get(a, 0)
+        hub = {}
+        for a, b in edges:
+            hub[a] = hub.get(a, 0) + auth.get(b, 0)
+    want = {v: (hub.get(v, 0), auth.get(v, 0)) for v in nodes}
+    assert got == want
+
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], "src int, dst int")
+    s = {r["node"]: r for r in hits_scores(star, rounds=2).collect()}
+    assert s[0]["hub_score"] > 0 and s[0]["auth_score"] == 0
+    assert all(s[i]["auth_score"] > 0 and s[i]["hub_score"] == 0 for i in range(1, 6))
