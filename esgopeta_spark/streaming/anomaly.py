@@ -1,0 +1,134 @@
+"""Stateful streaming anomaly detection — the stream twin of
+``operators/timeseries.rolling_zscore`` (r6), and the second custom
+stateful operator beside the HAM merge handler (F5 shape:
+``applyInPandasWithState`` with explicit per-key state).
+
+Per user the state is the accumulated day -> exact-cent-total map (plus
+an update sequence counter); each micro-batch folds the new events in,
+recomputes the trailing-window z-scores with the IDENTICAL float op
+sequence as the batch operator, and emits every (user, day) row whose
+(total, z) changed — update-mode semantics, so the sink is an upsert
+store keyed (user, day) in production and the LAST emission per key is
+the current truth (``upd_seq`` orders emissions for sinks that only
+append; batch ≡ stream over a drained query is pinned in
+tests/test_streaming.py).
+
+Order-insensitive by construction (the state map is a fold of per-day
+sums, and z recomputes from the map), so late/out-of-order events
+converge to the batch answer without watermark coupling — the same
+convergence argument as the HAM handler.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("day_cents_json", StringType()),
+        StructField("upd_seq", LongType()),
+    ]
+)
+
+OUTPUT_SCHEMA = (
+    "user_id bigint, day date, total_cents bigint, n_base bigint, "
+    "z_micro bigint, is_anomaly int, upd_seq bigint"
+)
+
+
+def _make_handler(window_days: int, z_threshold_micro: int):
+    """Per-key handler as a closure (cloudpickle-by-value — see
+    ham_stream._make_handler for why module-level handlers break)."""
+    import json as _json
+    import math as _math
+
+    def _series(day_cents):
+        """Recompute the full rolling series from the day->cents map with
+        the SAME IEEE op sequence as timeseries.rolling_zscore."""
+        days = sorted(day_cents)
+        out = []
+        for i, d in enumerate(days):
+            lo = max(0, i - (window_days - 1))
+            base = [day_cents[x] for x in days[lo : i + 1]]
+            n = len(base)
+            s1 = sum(base)
+            s2 = sum(c * c for c in base)
+            mean = float(s1) / float(n)
+            var = float(s2) / float(n) - mean * mean
+            if n >= 4 and var > 0:
+                z = (float(day_cents[d]) - mean) / _math.sqrt(var)
+                z_micro = int(_math.floor(z * 1000000.0 + 0.5))
+            else:
+                z_micro = None
+            flag = 1 if z_micro is not None and abs(z_micro) >= z_threshold_micro else 0
+            out.append((d, day_cents[d], n, z_micro, flag))
+        return out
+
+    def handler(key, pdfs, gstate):
+        (user,) = key
+        if gstate.exists:
+            st = gstate.get
+            day_cents = {k: int(v) for k, v in _json.loads(st[0]).items()}
+            seq = int(st[1])
+        else:
+            day_cents, seq = {}, 0
+        prev = {r[0]: r for r in _series(day_cents)} if day_cents else {}
+
+        for pdf in pdfs:
+            for rec in pdf.to_dict("records"):
+                d = rec["ts"].floor("D").date().isoformat()
+                cents = int(_math.floor(float(rec["value"]) * 100.0 + 0.5))
+                day_cents[d] = day_cents.get(d, 0) + cents
+
+        seq += 1
+        gstate.update((_json.dumps(day_cents, sort_keys=True), seq))
+
+        changed = [r for r in _series(day_cents) if prev.get(r[0]) != r]
+        if changed:
+            import datetime as _dt
+
+            import pandas as _pd
+
+            yield _pd.DataFrame(
+                [
+                    {
+                        "user_id": user,
+                        "day": _dt.date.fromisoformat(d),
+                        "total_cents": total,
+                        "n_base": n,
+                        "z_micro": z,
+                        "is_anomaly": flag,
+                        "upd_seq": seq,
+                    }
+                    for d, total, n, z, flag in changed
+                ]
+            )
+
+    return handler
+
+
+def streaming_zscore(
+    events: DataFrame,
+    window_days: int = 7,
+    z_threshold_micro: int = 2_000_000,
+) -> DataFrame:
+    """events (ts, user_id, value, ...) -> update-mode stream of per-day
+    rolling z-score rows (see module docstring)."""
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_handler(window_days, z_threshold_micro),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -604,3 +604,71 @@ def test_streaming_cms_grid_matches_batch(spark, sf_dir):
     for (w, row), c in per_window.items():
         by_row[row] = by_row.get(row, 0) + c
     assert all(v == n for v in by_row.values()), by_row
+
+
+def test_streaming_zscore_matches_batch(spark, sf_dir):
+    """The stateful streaming z-score (applyInPandasWithState, update
+    mode) drained over the events table must converge to EXACTLY the
+    batch rolling_zscore rows: for every (user, day) the latest emission
+    (max upd_seq) equals the batch row, bit-for-bit in z_micro."""
+    from esgopeta_spark.operators.timeseries import rolling_zscore
+    from esgopeta_spark.streaming.anomaly import streaming_zscore
+
+    static = read_table(spark, sf_dir, "events")
+    stream = read_events_stream(spark, sf_dir)
+    run_stream_to_memory(streaming_zscore(stream), "zsstream", mode="update")
+    rows = spark.sql("select * from zsstream").collect()
+    latest: dict = {}
+    for r in rows:
+        k = (r["user_id"], r["day"])
+        if k not in latest or r["upd_seq"] > latest[k]["upd_seq"]:
+            latest[k] = r
+    got = {k: (r["total_cents"], r["n_base"], r["z_micro"], r["is_anomaly"])
+           for k, r in latest.items()}
+    want = {(r["user_id"], r["day"]): (r["total_cents"], r["n_base"], r["z_micro"], r["is_anomaly"])
+            for r in rolling_zscore(static).collect()}
+    assert got == want and got
+
+
+def test_streaming_zscore_late_data_converges(spark, tmp_path):
+    """Two micro-batches with the SECOND delivering EARLIER days (late
+    data): the late batch must retro-correct the baseline — final rows
+    equal the batch computation over everything, including flipped
+    anomaly verdicts."""
+    import datetime
+
+    from esgopeta_spark.operators.timeseries import rolling_zscore
+    from esgopeta_spark.streaming.anomaly import streaming_zscore
+
+    def ev(i, day, v):
+        return (i, datetime.datetime(2024, 5, day, 12), 1, "x", float(v), None)
+
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    # batch 1: days 5-9 flat + day 10 spike; batch 2 (LATE): days 1-4 flat
+    b1 = [ev(i, 4 + i, 10.0) for i in range(1, 6)] + [ev(6, 10, 500.0)]
+    b2 = [ev(10 + i, i, 10.0) for i in range(1, 5)]
+    d = str(tmp_path / "late_events")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(d + "/f=1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(d + "/f=2")
+    static = spark.read.option("recursiveFileLookup", "true").parquet(d)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    run_stream_to_memory(streaming_zscore(stream), "zslate", mode="update")
+    rows = spark.sql("select * from zslate").collect()
+    assert len({r["upd_seq"] for r in rows}) >= 2  # really multiple batches
+    latest: dict = {}
+    for r in rows:
+        k = (r["user_id"], r["day"])
+        if k not in latest or r["upd_seq"] > latest[k]["upd_seq"]:
+            latest[k] = r
+    got = {k: (r["total_cents"], r["n_base"], r["z_micro"], r["is_anomaly"])
+           for k, r in latest.items()}
+    want = {(r["user_id"], r["day"]): (r["total_cents"], r["n_base"], r["z_micro"], r["is_anomaly"])
+            for r in rolling_zscore(static).collect()}
+    assert got == want
+    spike = latest[(1, datetime.date(2024, 5, 10))]
+    assert spike["is_anomaly"] == 1
