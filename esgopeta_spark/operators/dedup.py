@@ -613,9 +613,10 @@ def duplicated_ngram_spans(
     (~n_words rows per doc); ONE partial-aggregated shuffle keyed by gram
     computes distinct-doc counts; the surviving shared-gram set is orders
     of magnitude smaller than the gram stream and broadcasts back onto
-    it, so the per-doc rollup is the only other shuffle.  At 100 TB,
-    group on ``sha2(gram, 256)`` (32-byte constant-width key) instead of
-    the gram string to keep shuffle rows narrow; the plan is unchanged.
+    it, so the per-doc rollup is the only other shuffle.  Gram keys are
+    already hashed (md5-60bit, engine-portable) so shuffle rows stay
+    narrow at any scale; swap to ``sha2(gram, 256)`` only if a 10^9-gram
+    corpus pushes the 2^61 collision bound.
     """
     words = F.split(normalize_text(F.col(text_col)), " ")
     windows = F.when(
@@ -625,8 +626,18 @@ def duplicated_ngram_spans(
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # r6: grams shuffle as a 60-bit integer key — the first 15 hex chars
+    # of md5(gram) — instead of the ~50-char gram string: measured 7.8 s
+    # -> 4.6 s at sf0.1 (narrow shuffle rows + integer compares).  md5
+    # exists on BOTH engines, so the oracle groups on the IDENTICAL key
+    # and any hash collision (odds ~n²/2^61) collapses the same pair of
+    # grams on both sides — parity-safe by construction; n_dup_grams
+    # counts distinct keys (== distinct grams up to that collision bound).
     grams = docs.select(
         F.col(id_col).alias("doc_id"), F.posexplode(windows).alias("pos", "gram")
+    ).select(
+        "doc_id", "pos",
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("bigint").alias("gkey"),
     )
     # materialize-once discipline: the gram stream feeds BOTH the
     # shared-gram aggregate and the join-back, and the windowed
@@ -638,17 +649,17 @@ def duplicated_ngram_spans(
 
     grams = materialize(grams, checkpoint)
     shared = (
-        grams.groupBy("gram")
+        grams.groupBy("gkey")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
         .filter(F.col("n_docs") >= F.lit(int(min_docs)))
-        .select("gram")
+        .select("gkey")
     )
     return (
-        grams.join(F.broadcast(shared), "gram")
+        grams.join(F.broadcast(shared), "gkey")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_dup_windows"),
-            F.countDistinct("gram").alias("n_dup_grams"),
+            F.countDistinct("gkey").alias("n_dup_grams"),
             F.min("pos").alias("first_dup_pos"),
         )
     )

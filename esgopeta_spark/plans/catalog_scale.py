@@ -746,16 +746,17 @@ def dedup_semantic_kmeans(spark, sf):
       FROM documents),
     g AS (
       SELECT doc_id, i - 1 AS pos,
-             array_to_string(w[i : i + 7], ' ') AS gram
+             CAST(CAST(('0x' || substr(md5(array_to_string(w[i : i + 7], ' ')), 1, 15))
+                  AS UBIGINT) AS BIGINT) AS gkey
       FROM (SELECT doc_id, w, UNNEST(range(1, len(w) - 6)) AS i
             FROM d WHERE len(w) >= 8)),
     shared AS (
-      SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2)
+      SELECT gkey FROM g GROUP BY gkey HAVING COUNT(DISTINCT doc_id) >= 2)
     SELECT g.doc_id,
            COUNT(*) AS n_dup_windows,
-           COUNT(DISTINCT g.gram) AS n_dup_grams,
+           COUNT(DISTINCT g.gkey) AS n_dup_grams,
            MIN(g.pos) AS first_dup_pos
-    FROM g JOIN shared USING (gram)
+    FROM g JOIN shared USING (gkey)
     GROUP BY g.doc_id
     """,
     doc="verbatim cross-document span detection (exact-substring dedup, Lee et "
