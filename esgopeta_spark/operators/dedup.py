@@ -627,9 +627,11 @@ def duplicated_ngram_spans(
         ),
     ).otherwise(F.array().cast("array<string>"))
     # r6: grams shuffle as a 60-bit integer key — the first 15 hex chars
-    # of md5(gram) — instead of the ~50-char gram string: measured 7.8 s
-    # -> 4.6 s at sf0.1 (narrow shuffle rows + integer compares).  md5
-    # exists on BOTH engines, so the oracle groups on the IDENTICAL key
+    # of md5(gram) — instead of the ~50-char gram string.  Locally this is
+    # NEUTRAL (measured 4.0-4.5 s either way at sf0.1: the windowed
+    # slice+concat explode dominates); the win is at scale, where the two
+    # gram shuffles carry 8-byte integers instead of ~50-char strings.
+    # md5 exists on BOTH engines, so the oracle groups on the IDENTICAL key
     # and any hash collision (odds ~n²/2^61) collapses the same pair of
     # grams on both sides — parity-safe by construction; n_dup_grams
     # counts distinct keys (== distinct grams up to that collision bound).
