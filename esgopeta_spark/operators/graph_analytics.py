@@ -408,12 +408,17 @@ def hits_scores(
     """
     from esgopeta_spark.operators.checkpoint import materialize
 
+    if rounds < 1:
+        raise ValueError("hits_scores needs rounds >= 1")
     e = materialize(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct(), checkpoint
     )
-    hub = e.select(F.col("src").alias("node")).union(e.select("dst")).distinct().withColumn(
-        "hub", F.lit(1).cast("bigint")
+    # node set computed ONCE (a distinct shuffle over the edge relation)
+    # and reused for both the all-ones seed and the final scaffold
+    nodes = materialize(
+        e.select(F.col("src").alias("node")).union(e.select("dst")).distinct(), checkpoint
     )
+    hub = nodes.withColumn("hub", F.lit(1).cast("bigint"))
     auth = None
     for _ in range(rounds):
         auth = materialize(
@@ -428,7 +433,6 @@ def hits_scores(
             .agg(F.sum("auth").alias("hub")),
             checkpoint,
         )
-    nodes = e.select(F.col("src").alias("node")).union(e.select("dst")).distinct()
     return (
         nodes.join(hub, "node", "left")
         .join(auth, "node", "left")

@@ -115,8 +115,13 @@ def rolling_zscore(
     """
     day = F.date_trunc("day", F.col(ts_col)).cast("date")
     daily = (
-        df.select(F.col(key_col).alias("_k"), day.alias("day"),
-                  F.col(value_col).cast("decimal(12,2)").alias("_v"))
+        # null/NaN values carry no signal: drop them up front so an
+        # all-null day vanishes instead of emitting a NULL-total row —
+        # and so the streaming twin (which must skip them row-by-row)
+        # converges to the identical series
+        df.filter(F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col)))
+        .select(F.col(key_col).alias("_k"), day.alias("day"),
+                F.col(value_col).cast("decimal(12,2)").alias("_v"))
         .groupBy("_k", "day")
         .agg((F.sum("_v") * 100).cast("bigint").alias("total_cents"))
     )

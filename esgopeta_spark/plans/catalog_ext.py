@@ -719,7 +719,7 @@ def ts_gapfill_daily_locf(spark, sf):
     WITH daily AS (
       SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
              CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS total_cents
-      FROM events GROUP BY 1, 2),
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY 1, 2),
     st AS (
       SELECT user_id, day, total_cents,
              CAST(COUNT(*) OVER w AS BIGINT) AS n_base,

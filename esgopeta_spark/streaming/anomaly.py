@@ -48,6 +48,8 @@ def _make_handler(window_days: int, z_threshold_micro: int):
     ham_stream._make_handler for why module-level handlers break)."""
     import json as _json
     import math as _math
+    from decimal import ROUND_HALF_UP as _RHU
+    from decimal import Decimal as _Dec
 
     def _series(day_cents):
         """Recompute the full rolling series from the day->cents map with
@@ -83,8 +85,14 @@ def _make_handler(window_days: int, z_threshold_micro: int):
 
         for pdf in pdfs:
             for rec in pdf.to_dict("records"):
+                v = rec["value"]
+                if v is None or (isinstance(v, float) and v != v):
+                    continue  # null/NaN: no signal — matches the batch filter
                 d = rec["ts"].floor("D").date().isoformat()
-                cents = int(_math.floor(float(rec["value"]) * 100.0 + 0.5))
+                # EXACTLY the batch cast: decimal(12,2) HALF_UP on the
+                # double's shortest decimal repr (0.285 -> 29 cents, where
+                # floor(v*100+0.5) would give 28)
+                cents = int(_Dec(repr(float(v))).quantize(_Dec("0.01"), _RHU) * 100)
                 day_cents[d] = day_cents.get(d, 0) + cents
 
         seq += 1

@@ -334,3 +334,14 @@ def test_bloom_prefilter_is_scan_side_no_extra_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
     assert "LeftSemi" in p and "BroadcastHashJoin" in p, p
     assert "shiftright" in p, p  # the bitmask probe survived into the plan
+
+
+def test_hits_joins_equi_no_cartesian(spark, sf_dir):
+    """HITS final scaffold (the per-round gathers sit behind lineage
+    cuts, like kcore's): the node<-hub<-auth joins must stay keyed —
+    no cartesian/nested-loop anywhere in the observable plan."""
+    from esgopeta_spark.plans import REGISTRY
+
+    p = plan_of(REGISTRY["graph_hits_transactions"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p, p

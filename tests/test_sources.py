@@ -186,18 +186,28 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     write_bucketed_table(o, "b_orders", "o_orderkey", n_buckets=8)
     try:
         bl, bo = spark.table("b_lineitem"), spark.table("b_orders")
-        joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey).groupBy("o_custkey").count()
-        # disable broadcast so the join alone decides the distribution
+        join_only = bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+        # disable broadcast so the join alone decides the distribution;
+        # RESTORE the configured value afterwards (unset would fall back
+        # to Spark's 10MB default, not the session's 64MB — leaking a
+        # smaller threshold into later broadcast-posture tests)
+        old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
-            p = joined._jdf.queryExecution().explainString(
-                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-            )
-            join_section = p.split("HashAggregate")[0]
-            assert not re.search(r"^\(\d+\) Exchange", join_section, re.M), p
-            got = {tuple(r) for r in joined.collect()}
+            def n_exchanges(df):
+                p = df._jdf.queryExecution().explainString(
+                    spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+                )
+                return len(re.findall(r"^\(\d+\) Exchange", p, re.M)), p
+            n_b, p_b = n_exchanges(join_only)
+            assert n_b == 0, p_b  # co-located: bucket metadata killed BOTH shuffles
+            # control: the same join over plain parquet MUST shuffle both sides
+            n_plain, p_plain = n_exchanges(li.join(o, li.l_orderkey == o.o_orderkey))
+            assert n_plain >= 2, p_plain
+            got = {tuple(r) for r in
+                   join_only.groupBy("o_custkey").count().collect()}
         finally:
-            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         want = {tuple(r) for r in
                 li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_custkey").count().collect()}
         assert got == want
