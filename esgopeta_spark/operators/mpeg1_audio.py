@@ -478,13 +478,30 @@ def encode_mpeg1_audio(
 
 def decode_mpeg1_audio(b: bytes) -> tuple[np.ndarray, int]:
     """A sequence of MPEG-1 Layer I/II frames (optionally after an ID3v2
-    tag) -> (mono int16 PCM, sample_rate).  Layer III raises ValueError
-    ('needs-codec': the Huffman/IMDCT path is out of scope here)."""
+    tag) -> (mono int16 PCM, sample_rate).  Junk between frames is
+    RESYNCed past (bounded: > 1 MB of non-frame bytes fails) like any
+    production decoder; Layer III raises ValueError ('needs-codec': the
+    Huffman/IMDCT path is out of scope here)."""
     pos = skip_id3v2(b)
     blocks: list[np.ndarray] = []
     rate = None
+    skipped = 0
     while pos + 4 <= len(b):
-        info = parse_header(b[pos : pos + 4])
+        try:
+            info = parse_header(b[pos : pos + 4])
+        except ValueError:
+            # RESYNC (real streams carry junk/padding between frames and
+            # every production decoder scans for the next sync word):
+            # advance to the next 0xFF byte, bounded so a garbage blob
+            # still fails fast instead of crawling byte-by-byte
+            nxt = b.find(b"\xff", pos + 1, pos + 65536)
+            if nxt < 0:
+                break
+            skipped += nxt - pos
+            if skipped > 1 << 20:
+                raise ValueError("lost sync: >1MB of non-frame bytes")
+            pos = nxt
+            continue
         if info["layer"] == 3:
             raise ValueError("needs-codec: MPEG-1 Layer III sample decode")
         if not info["mono"]:

@@ -980,3 +980,21 @@ def test_mpeg1_alloc_ladder_monotone_and_id3v24_footer():
     tagged = bytes(hdr) + b"\x00" * 10 + b"3DI\x04\x00\x10\x00\x00\x00\x0a" + frames
     out, rate = m.decode_mpeg1_audio(tagged)
     assert rate == 32000 and _snr_db(pcm, out) > 60.0
+
+
+def test_mpeg1_decoder_resyncs_past_interframe_junk():
+    """Garbage bytes between valid frames (APE tags, broken padding —
+    ubiquitous in real corpora) must be skipped by sync-scan, recovering
+    every frame; pure garbage still raises."""
+    from esgopeta_spark.operators import mpeg1_audio as m
+
+    pcm = _tone16(500, 384 * 2)
+    clean = m.encode_mpeg1_audio(pcm, 32000, layer=1)
+    fb = 4 * (12 * 448000 // 32000)
+    frames = [clean[i : i + fb] for i in range(0, len(clean), fb)]
+    junky = frames[0] + b"JUNKJUNK\x01\x02" + b"".join(frames[1:])
+    out, rate = m.decode_mpeg1_audio(junky)
+    assert rate == 32000 and len(out) == len(frames) * 384
+    assert _snr_db(pcm, out) > 60.0
+    with pytest.raises(ValueError):
+        m.decode_mpeg1_audio(b"\x00\x11\x22" * 50)

@@ -672,3 +672,37 @@ def test_streaming_zscore_late_data_converges(spark, tmp_path):
     assert got == want
     spike = latest[(1, datetime.date(2024, 5, 10))]
     assert spike["is_anomaly"] == 1
+
+
+def test_streaming_zscore_half_cent_and_null_values_match_batch(spark, tmp_path):
+    """The cent conversion must be the BATCH decimal(12,2) HALF_UP cast
+    (0.285 -> 29 cents, not floor's 28) and null values must be skipped,
+    not crash the handler."""
+    import datetime
+
+    from esgopeta_spark.operators.timeseries import rolling_zscore
+    from esgopeta_spark.streaming.anomaly import streaming_zscore
+
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    rows = [
+        (1, datetime.datetime(2024, 6, 1, 9), 1, "x", 0.285, None),   # half-cent repr
+        (2, datetime.datetime(2024, 6, 2, 9), 1, "x", 10.005, None),  # half-cent repr
+        (3, datetime.datetime(2024, 6, 3, 9), 1, "x", None, None),    # null: skipped
+        (4, datetime.datetime(2024, 6, 3, 10), 1, "x", 5.0, None),
+        (5, datetime.datetime(2024, 6, 4, 9), 1, "x", 7.5, None),
+    ]
+    d = str(tmp_path / "halfcent")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+    static = spark.read.parquet(d)
+    stream = spark.readStream.schema(static.schema).parquet(d)
+    run_stream_to_memory(streaming_zscore(stream), "zshalf", mode="update")
+    latest: dict = {}
+    for r in spark.sql("select * from zshalf").collect():
+        k = (r["user_id"], r["day"])
+        if k not in latest or r["upd_seq"] > latest[k]["upd_seq"]:
+            latest[k] = r
+    got = {k: (r["total_cents"], r["n_base"], r["z_micro"]) for k, r in latest.items()}
+    want = {(r["user_id"], r["day"]): (r["total_cents"], r["n_base"], r["z_micro"])
+            for r in rolling_zscore(static).collect()}
+    assert got == want
+    assert got[(1, datetime.date(2024, 6, 1))][0] == 29  # HALF_UP, not floor
