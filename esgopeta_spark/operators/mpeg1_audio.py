@@ -161,12 +161,12 @@ def _dequant(c: np.ndarray, levels: int) -> np.ndarray:
     return (2.0 * np.asarray(c, dtype=np.float64) + 1.0 - levels) / levels
 
 
-def _header(layer: int, bitrate_idx: int, rate_idx: int) -> bytes:
+def _header(layer: int, bitrate_idx: int, rate_idx: int, nch: int = 1) -> bytes:
     lbits = {1: 0b11, 2: 0b10, 3: 0b01}[layer]
     b1 = 0xFF
     b2 = 0b11100000 | (0b11 << 3) | (lbits << 1) | 1  # version 11 = MPEG-1, no CRC
     b3 = (bitrate_idx << 4) | (rate_idx << 2)
-    b4 = 0b11000000  # mono
+    b4 = 0b11000000 if nch == 1 else 0b00000000  # mono / stereo (mode 00)
     return bytes([b1, b2, b3, b4])
 
 
@@ -198,7 +198,8 @@ def parse_header(h: bytes) -> dict:
     rate = SAMPLE_RATES[ridx]
     bitrate = {1: L1_BITRATES, 2: L2_BITRATES, 3: L3_BITRATES}[layer][bidx] * 1000
     padding = (h[2] >> 1) & 1
-    mono = (h[3] >> 6) == 0b11
+    mode = h[3] >> 6  # 00 stereo, 01 joint, 10 dual, 11 mono
+    mono = mode == 0b11
     if layer == 1:
         n_slots = 12 * bitrate // rate + padding
         frame_bytes = n_slots * 4
@@ -207,6 +208,7 @@ def parse_header(h: bytes) -> dict:
     return dict(
         layer=layer, sample_rate=rate, bitrate=bitrate,
         frame_bytes=frame_bytes, mono=mono, padding=padding,
+        n_channels=1 if mono else 2, joint=mode == 0b01,
     )
 
 
@@ -216,48 +218,57 @@ def parse_header(h: bytes) -> dict:
 
 
 def _encode_frame_l1(s: np.ndarray, frame_bytes: int, n_bits: int) -> bytes:
-    """One Layer I frame from a 32x12 subband block (mono)."""
+    """One Layer I frame from a (nch, 32, 12) subband block.  Channel
+    interleave follows the spec layout: every per-subband field iterates
+    subband-major, channel-minor."""
+    nch = s.shape[0]
     w = _BitW()
-    maxabs = np.abs(s).max(axis=1)
+    maxabs = np.abs(s).max(axis=2)  # (nch, M)
     allocs = np.where(maxabs > _SILENT, n_bits - 1, 0)  # alloc code = bits - 1
     for sb in range(M):
-        w.put(int(allocs[sb]), 4)
-    scf_idx = np.zeros(M, dtype=np.int64)
+        for ch in range(nch):
+            w.put(int(allocs[ch, sb]), 4)
+    scf_idx = np.zeros((nch, M), dtype=np.int64)
     for sb in range(M):
-        if allocs[sb]:
-            scf_idx[sb] = _scf_index(maxabs[sb])
-            w.put(int(scf_idx[sb]), 6)
+        for ch in range(nch):
+            if allocs[ch, sb]:
+                scf_idx[ch, sb] = _scf_index(maxabs[ch, sb])
+                w.put(int(scf_idx[ch, sb]), 6)
     levels = (1 << n_bits) - 1
     codes = np.zeros_like(s, dtype=np.int64)
-    for sb in range(M):
-        if allocs[sb]:
-            codes[sb] = _quant(s[sb] / SF_TABLE[scf_idx[sb]], levels)
+    for ch in range(nch):
+        for sb in range(M):
+            if allocs[ch, sb]:
+                codes[ch, sb] = _quant(s[ch, sb] / SF_TABLE[scf_idx[ch, sb]], levels)
     for t in range(12):  # sample-major interleave (spec layout)
         for sb in range(M):
-            if allocs[sb]:
-                w.put(int(codes[sb, t]), n_bits)
+            for ch in range(nch):
+                if allocs[ch, sb]:
+                    w.put(int(codes[ch, sb, t]), n_bits)
     w.pad_to(frame_bytes - 4)
     return bytes(w.buf)
 
 
-def _decode_frame_l1(r: _BitR) -> np.ndarray:
-    allocs = [r.get(4) for _ in range(M)]
-    if any(a == 15 for a in allocs):
+def _decode_frame_l1(r: _BitR, nch: int = 1) -> np.ndarray:
+    allocs = [[r.get(4) for _ in range(nch)] for _ in range(M)]  # [sb][ch]
+    if any(a == 15 for row in allocs for a in row):
         raise ValueError("forbidden Layer I allocation 15")
-    scf = np.ones(M)
+    scf = np.ones((nch, M))
     for sb in range(M):
-        if allocs[sb]:
-            idx = r.get(6)
-            if idx > 62:
-                raise ValueError("scalefactor index out of range")
-            scf[sb] = SF_TABLE[idx]
-    s = np.zeros((M, 12))
+        for ch in range(nch):
+            if allocs[sb][ch]:
+                idx = r.get(6)
+                if idx > 62:
+                    raise ValueError("scalefactor index out of range")
+                scf[ch, sb] = SF_TABLE[idx]
+    s = np.zeros((nch, M, 12))
     for t in range(12):
         for sb in range(M):
-            a = allocs[sb]
-            if a:
-                n = a + 1
-                s[sb, t] = scf[sb] * _dequant(r.get(n), (1 << n) - 1)
+            for ch in range(nch):
+                a = allocs[sb][ch]
+                if a:
+                    n = a + 1
+                    s[ch, sb, t] = scf[ch, sb] * _dequant(r.get(n), (1 << n) - 1)
     return s
 
 
@@ -293,12 +304,13 @@ def _alloc_l2_waterfill(maxabs: np.ndarray, budget_bits: int) -> np.ndarray:
     index — while the upgrade still fits the frame budget.  Budget
     accounting assumes worst-case 3 scalefactors per active subband, so
     the actual scfsi savings become slack, never overflow."""
-    codes = np.zeros(_SBLIMIT2, dtype=np.int64)
-    spent = 4 * _SBLIMIT2
+    n_slots = len(maxabs)  # sblimit * n_channels flattened entries
+    codes = np.zeros(n_slots, dtype=np.int64)
+    spent = 4 * n_slots
     need = np.where(maxabs > _SILENT, np.log2(np.maximum(maxabs, 1e-30)), -np.inf)
     while True:
         best, best_pri = -1, -np.inf
-        for sb in range(_SBLIMIT2):
+        for sb in range(n_slots):
             c = codes[sb]
             if c >= 14 or need[sb] == -np.inf:
                 continue
@@ -320,108 +332,123 @@ def _alloc_l2_waterfill(maxabs: np.ndarray, budget_bits: int) -> np.ndarray:
 
 
 def _encode_frame_l2(s: np.ndarray, frame_bytes: int) -> bytes:
-    """One Layer II frame from a 32x36 subband block (mono).  Subbands
-    >= sblimit are dropped (spec behavior: not transmitted)."""
+    """One Layer II frame from a (nch, 32, 36) subband block.  Subbands
+    >= sblimit are dropped (spec behavior: not transmitted); channel
+    interleave is subband-major, channel-minor like Layer I."""
+    nch = s.shape[0]
     w = _BitW()
-    s = s[:_SBLIMIT2]
-    maxabs = np.abs(s).max(axis=1)
+    s = s[:, :_SBLIMIT2]
+    maxabs = np.abs(s).max(axis=2)  # (nch, SBLIMIT)
+    flat = maxabs.reshape(-1)  # index = ch * SBLIMIT + sb
     allocs = (
-        _alloc_l2_waterfill(maxabs, (frame_bytes - 4) * 8)
-        if (maxabs > _SILENT).any()
-        else np.zeros(_SBLIMIT2, dtype=np.int64)
-    )
+        _alloc_l2_waterfill(flat, (frame_bytes - 4) * 8)
+        if (flat > _SILENT).any()
+        else np.zeros(nch * _SBLIMIT2, dtype=np.int64)
+    ).reshape(nch, _SBLIMIT2)
     for sb in range(_SBLIMIT2):
-        w.put(int(allocs[sb]), 4)
+        for ch in range(nch):
+            w.put(int(allocs[ch, sb]), 4)
     # per-part scalefactors + scfsi selection
-    part_max = np.stack([np.abs(s[:, p * 12 : (p + 1) * 12]).max(axis=1) for p in range(3)], axis=1)
-    scf_idx = np.zeros((_SBLIMIT2, 3), dtype=np.int64)
-    scfsi = np.zeros(_SBLIMIT2, dtype=np.int64)
+    part_max = np.stack(
+        [np.abs(s[:, :, p * 12 : (p + 1) * 12]).max(axis=2) for p in range(3)], axis=2
+    )  # (nch, SBLIMIT, 3)
+    scf_idx = np.zeros((nch, _SBLIMIT2, 3), dtype=np.int64)
+    scfsi = np.zeros((nch, _SBLIMIT2), dtype=np.int64)
     for sb in range(_SBLIMIT2):
-        if not allocs[sb]:
-            continue
-        scf_idx[sb] = [_scf_index(part_max[sb, p]) for p in range(3)]
-        a, b, c = scf_idx[sb]
-        if a == b == c:
-            scfsi[sb] = 2
-        elif a == b:
-            scfsi[sb] = 1
-        elif b == c:
-            scfsi[sb] = 3
-        w.put(int(scfsi[sb]), 2)
+        for ch in range(nch):
+            if not allocs[ch, sb]:
+                continue
+            scf_idx[ch, sb] = [_scf_index(part_max[ch, sb, p]) for p in range(3)]
+            a, b, c = scf_idx[ch, sb]
+            if a == b == c:
+                scfsi[ch, sb] = 2
+            elif a == b:
+                scfsi[ch, sb] = 1
+            elif b == c:
+                scfsi[ch, sb] = 3
+            w.put(int(scfsi[ch, sb]), 2)
     for sb in range(_SBLIMIT2):
-        if not allocs[sb]:
-            continue
-        a, b, c = (int(v) for v in scf_idx[sb])
-        if scfsi[sb] == 0:
-            w.put(a, 6), w.put(b, 6), w.put(c, 6)
-        elif scfsi[sb] == 1:
-            w.put(a, 6), w.put(c, 6)
-        elif scfsi[sb] == 2:
-            w.put(a, 6)
-        else:
-            w.put(a, 6), w.put(b, 6)
+        for ch in range(nch):
+            if not allocs[ch, sb]:
+                continue
+            a, b, c = (int(v) for v in scf_idx[ch, sb])
+            if scfsi[ch, sb] == 0:
+                w.put(a, 6), w.put(b, 6), w.put(c, 6)
+            elif scfsi[ch, sb] == 1:
+                w.put(a, 6), w.put(c, 6)
+            elif scfsi[ch, sb] == 2:
+                w.put(a, 6)
+            else:
+                w.put(a, 6), w.put(b, 6)
     # samples: 12 granules of 3, grouped codes for the 3/5/9-level classes
     for gr in range(12):
         for sb in range(_SBLIMIT2):
-            a = int(allocs[sb])
-            if not a:
-                continue
-            part = gr // 4
-            u = s[sb, gr * 3 : gr * 3 + 3] / SF_TABLE[scf_idx[sb, part]]
-            if a in _GROUPED:
-                levels, gbits = _GROUPED[a]
-                v = _quant(u, levels)
-                w.put(int(v[0] + levels * v[1] + levels * levels * v[2]), gbits)
-            else:
-                for v in _quant(u, (1 << a) - 1):
-                    w.put(int(v), a)
+            for ch in range(nch):
+                a = int(allocs[ch, sb])
+                if not a:
+                    continue
+                part = gr // 4
+                u = s[ch, sb, gr * 3 : gr * 3 + 3] / SF_TABLE[scf_idx[ch, sb, part]]
+                if a in _GROUPED:
+                    levels, gbits = _GROUPED[a]
+                    v = _quant(u, levels)
+                    w.put(int(v[0] + levels * v[1] + levels * levels * v[2]), gbits)
+                else:
+                    for v in _quant(u, (1 << a) - 1):
+                        w.put(int(v), a)
     w.pad_to(frame_bytes - 4)
     return bytes(w.buf)
 
 
-def _decode_frame_l2(r: _BitR) -> np.ndarray:
-    allocs = [r.get(4) for _ in range(_SBLIMIT2)]
-    scfsi = {sb: r.get(2) for sb in range(_SBLIMIT2) if allocs[sb]}
-    scf = np.ones((_SBLIMIT2, 3))
+def _decode_frame_l2(r: _BitR, nch: int = 1) -> np.ndarray:
+    allocs = [[r.get(4) for _ in range(nch)] for _ in range(_SBLIMIT2)]  # [sb][ch]
+    scfsi = {}
     for sb in range(_SBLIMIT2):
-        if not allocs[sb]:
-            continue
-        si = scfsi[sb]
-        n_scf = {0: 3, 1: 2, 2: 1, 3: 2}[si]
-        idx = [r.get(6) for _ in range(n_scf)]
-        if any(i > 62 for i in idx):
-            raise ValueError("scalefactor index out of range")
-        if si == 0:
-            trip = idx
-        elif si == 1:
-            trip = [idx[0], idx[0], idx[1]]
-        elif si == 2:
-            trip = [idx[0]] * 3
-        else:
-            trip = [idx[0], idx[1], idx[1]]
-        scf[sb] = SF_TABLE[np.array(trip)]
-    s = np.zeros((M, 36))
+        for ch in range(nch):
+            if allocs[sb][ch]:
+                scfsi[(sb, ch)] = r.get(2)
+    scf = np.ones((nch, _SBLIMIT2, 3))
+    for sb in range(_SBLIMIT2):
+        for ch in range(nch):
+            if not allocs[sb][ch]:
+                continue
+            si = scfsi[(sb, ch)]
+            n_scf = {0: 3, 1: 2, 2: 1, 3: 2}[si]
+            idx = [r.get(6) for _ in range(n_scf)]
+            if any(i > 62 for i in idx):
+                raise ValueError("scalefactor index out of range")
+            if si == 0:
+                trip = idx
+            elif si == 1:
+                trip = [idx[0], idx[0], idx[1]]
+            elif si == 2:
+                trip = [idx[0]] * 3
+            else:
+                trip = [idx[0], idx[1], idx[1]]
+            scf[ch, sb] = SF_TABLE[np.array(trip)]
+    s = np.zeros((nch, M, 36))
     for gr in range(12):
         for sb in range(_SBLIMIT2):
-            a = allocs[sb]
-            if not a:
-                continue
-            part = gr // 4
-            if a in _GROUPED:
-                levels, gbits = _GROUPED[a]
-                code = r.get(gbits)
-                v = np.array([code % levels, (code // levels) % levels, code // (levels * levels)])
-                if v[2] >= levels:
-                    raise ValueError("grouped sample code out of range")
-            else:
-                levels = (1 << a) - 1
-                v = np.array([r.get(a) for _ in range(3)])
-            s[sb, gr * 3 : gr * 3 + 3] = scf[sb, part] * _dequant(v, levels)
+            for ch in range(nch):
+                a = allocs[sb][ch]
+                if not a:
+                    continue
+                part = gr // 4
+                if a in _GROUPED:
+                    levels, gbits = _GROUPED[a]
+                    code = r.get(gbits)
+                    v = np.array([code % levels, (code // levels) % levels, code // (levels * levels)])
+                    if v[2] >= levels:
+                        raise ValueError("grouped sample code out of range")
+                else:
+                    levels = (1 << a) - 1
+                    v = np.array([r.get(a) for _ in range(3)])
+                s[ch, sb, gr * 3 : gr * 3 + 3] = scf[ch, sb, part] * _dequant(v, levels)
     return s
 
 
 # ---------------------------------------------------------------------------
-# public entry points (int16 PCM in/out, mono)
+# public entry points (int16 PCM in/out, mono or stereo)
 # ---------------------------------------------------------------------------
 
 
@@ -431,9 +458,11 @@ def encode_mpeg1_audio(
     layer: int = 2,
     bitrate_kbps: int | None = None,
 ) -> bytes:
-    """Mono int16 PCM -> a sequence of MPEG-1 Layer I or II frames.
-    Defaults: Layer I 448 kbps / Layer II 192 kbps (the top mono rates,
-    so the uniform allocation stays high-fidelity)."""
+    """Int16 PCM — mono ``(n,)`` or stereo ``(n, 2)`` (independent
+    channels, mode 00) — to a sequence of MPEG-1 Layer I or II frames.
+    Defaults: Layer I 448 kbps / Layer II 192 kbps (the top rates, so
+    the waterfilled allocation stays high-fidelity; stereo halves the
+    per-channel bit budget — pick the rate accordingly)."""
     if sample_rate not in SAMPLE_RATES:
         raise ValueError(f"unsupported sample rate {sample_rate}")
     if layer not in (1, 2):
@@ -445,28 +474,37 @@ def encode_mpeg1_audio(
     bidx = table.index(bitrate_kbps)
     ridx = SAMPLE_RATES.index(sample_rate)
     x = np.asarray(samples, dtype=np.float64) / 32768.0
+    if x.ndim == 1:
+        chans = [x]
+    elif x.ndim == 2 and x.shape[1] in (1, 2):
+        chans = [x[:, c] for c in range(x.shape[1])]
+    else:
+        raise ValueError("samples must be (n,) mono or (n, 1|2) interleaved")
+    nch = len(chans)
     spf = 384 if layer == 1 else 1152
-    t = -len(x) % spf
+    t = -len(chans[0]) % spf
     if t:
-        x = np.concatenate([x, np.zeros(t)])
-    sub = analyze(x)  # 32 x (len/32 + 1): the +1 tail column carries the
-    # final samples' overlap ramp-out — round UP to a whole frame and pad
-    # with silent columns (dropping it would corrupt the last 32 samples;
-    # the stream is duration-quantized to frame boundaries, as real
-    # encoders' padding also makes it)
-    hdr = _header(layer, bidx, ridx)
+        chans = [np.concatenate([c, np.zeros(t)]) for c in chans]
+    # per-channel analysis; the +1 tail column carries the final samples'
+    # overlap ramp-out — round UP to a whole frame and pad with silent
+    # columns (dropping it would corrupt the last 32 samples; the stream
+    # is duration-quantized to frame boundaries, as real encoders' padding
+    # also makes it)
+    subs = np.stack([analyze(c) for c in chans])  # (nch, 32, cols+1)
+    hdr = _header(layer, bidx, ridx, nch)
     out = bytearray()
     cols = spf // 32
-    n_frames = -(-sub.shape[1] // cols)
-    if n_frames * cols > sub.shape[1]:
-        sub = np.concatenate([sub, np.zeros((M, n_frames * cols - sub.shape[1]))], axis=1)
+    n_frames = -(-subs.shape[2] // cols)
+    if n_frames * cols > subs.shape[2]:
+        pad = np.zeros((nch, M, n_frames * cols - subs.shape[2]))
+        subs = np.concatenate([subs, pad], axis=2)
     for f in range(n_frames):
-        block = sub[:, f * cols : (f + 1) * cols]
+        block = subs[:, :, f * cols : (f + 1) * cols]
         if layer == 1:
             n_slots = 12 * bitrate_kbps * 1000 // sample_rate
             fb = n_slots * 4
-            budget = (fb - 4) * 8 - 4 * M - 6 * M  # worst-case scf spend
-            n_bits = min(15, budget // (12 * M))
+            budget = (fb - 4) * 8 - (4 * M + 6 * M) * nch  # worst-case scf spend
+            n_bits = min(15, budget // (12 * M * nch))
             if n_bits < 2:
                 raise ValueError("bitrate too low for uniform Layer I allocation")
             out += hdr + _encode_frame_l1(block, fb, n_bits)
@@ -478,13 +516,15 @@ def encode_mpeg1_audio(
 
 def decode_mpeg1_audio(b: bytes) -> tuple[np.ndarray, int]:
     """A sequence of MPEG-1 Layer I/II frames (optionally after an ID3v2
-    tag) -> (mono int16 PCM, sample_rate).  Junk between frames is
+    tag) -> (int16 PCM — mono ``(n,)`` or stereo ``(n, 2)`` — and
+    sample_rate).  Junk between frames is
     RESYNCed past (bounded: > 1 MB of non-frame bytes fails) like any
     production decoder; Layer III raises ValueError ('needs-codec': the
     Huffman/IMDCT path is out of scope here)."""
     pos = skip_id3v2(b)
     blocks: list[np.ndarray] = []
     rate = None
+    nch = 1
     skipped = 0
     while pos + 4 <= len(b):
         try:
@@ -504,20 +544,23 @@ def decode_mpeg1_audio(b: bytes) -> tuple[np.ndarray, int]:
             continue
         if info["layer"] == 3:
             raise ValueError("needs-codec: MPEG-1 Layer III sample decode")
-        if not info["mono"]:
-            raise ValueError("only mono MPEG-1 Layer I/II supported")
+        if info["joint"]:
+            raise ValueError("needs-codec: joint-stereo intensity coding")
         if rate is None:
-            rate = info["sample_rate"]
-        elif rate != info["sample_rate"]:
-            raise ValueError("sample rate changes mid-stream")
+            rate, nch = info["sample_rate"], info["n_channels"]
+        elif rate != info["sample_rate"] or nch != info["n_channels"]:
+            raise ValueError("sample rate / channel mode changes mid-stream")
         payload = b[pos + 4 : pos + info["frame_bytes"]]
         if len(payload) < info["frame_bytes"] - 4:
             raise ValueError("truncated final frame")
         r = _BitR(payload)
-        blocks.append(_decode_frame_l1(r) if info["layer"] == 1 else _decode_frame_l2(r))
+        blocks.append(
+            _decode_frame_l1(r, nch) if info["layer"] == 1 else _decode_frame_l2(r, nch)
+        )
         pos += info["frame_bytes"]
     if not blocks:
         raise ValueError("no MPEG audio frames found")
-    sub = np.concatenate(blocks, axis=1)
-    pcm = synthesize(sub, sub.shape[1] * M)
+    sub = np.concatenate(blocks, axis=2)  # (nch, 32, T)
+    chans = [synthesize(sub[c], sub.shape[2] * M) for c in range(nch)]
+    pcm = chans[0] if nch == 1 else np.stack(chans, axis=1)
     return (np.clip(pcm * 32768.0, -32768, 32767)).astype(np.int16), int(rate)
