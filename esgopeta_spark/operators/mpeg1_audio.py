@@ -491,26 +491,37 @@ def encode_mpeg1_audio(
     # is duration-quantized to frame boundaries, as real encoders' padding
     # also makes it)
     subs = np.stack([analyze(c) for c in chans])  # (nch, 32, cols+1)
-    hdr = _header(layer, bidx, ridx, nch)
     out = bytearray()
     cols = spf // 32
     n_frames = -(-subs.shape[2] // cols)
     if n_frames * cols > subs.shape[2]:
         pad = np.zeros((nch, M, n_frames * cols - subs.shape[2]))
         subs = np.concatenate([subs, pad], axis=2)
+    # padding-bit accumulator (spec 2.4.2.3): at rates where
+    # samples_per_frame * bitrate / rate is fractional (44.1 kHz), the
+    # remainder accrues and every ceil'th frame carries one extra slot
+    # with the padding bit set — the stream then carries the EXACT
+    # nominal bitrate instead of floor-truncating it every frame
+    slots_num = (12 if layer == 1 else 144) * bitrate_kbps * 1000
+    rest = 0
     for f in range(n_frames):
         block = subs[:, :, f * cols : (f + 1) * cols]
+        base_slots = slots_num // sample_rate
+        rest += slots_num % sample_rate
+        padding = 1 if rest >= sample_rate else 0
+        rest -= sample_rate if padding else 0
+        hdr4 = bytearray(_header(layer, bidx, ridx, nch))
+        hdr4[2] |= padding << 1
         if layer == 1:
-            n_slots = 12 * bitrate_kbps * 1000 // sample_rate
-            fb = n_slots * 4
+            fb = (base_slots + padding) * 4
             budget = (fb - 4) * 8 - (4 * M + 6 * M) * nch  # worst-case scf spend
             n_bits = min(15, budget // (12 * M * nch))
             if n_bits < 2:
                 raise ValueError("bitrate too low for uniform Layer I allocation")
-            out += hdr + _encode_frame_l1(block, fb, n_bits)
+            out += bytes(hdr4) + _encode_frame_l1(block, fb, n_bits)
         else:
-            fb = 144 * bitrate_kbps * 1000 // sample_rate
-            out += hdr + _encode_frame_l2(block, fb)
+            fb = base_slots + padding
+            out += bytes(hdr4) + _encode_frame_l2(block, fb)
     return bytes(out)
 
 

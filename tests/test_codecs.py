@@ -1022,3 +1022,28 @@ def test_mpeg1_stereo_roundtrip_both_layers():
         spec_l = np.abs(np.fft.rfft(out[: 1152 * 3, 0].astype(float)))
         freqs = np.fft.rfftfreq(1152 * 3, 1 / sr)
         assert abs(freqs[np.argmax(spec_l[1:]) + 1] - 500) < 10
+
+
+def test_mpeg1_441khz_padding_bit_keeps_exact_bitrate():
+    """At 44.1 kHz the per-frame slot count is fractional: the padding
+    accumulator must emit ceil-frames so the whole stream carries the
+    exact nominal bitrate, and the decoder (which honors the padding
+    bit per frame) must still round-trip."""
+    from esgopeta_spark.operators import mpeg1_audio as m
+
+    sr = 44100
+    pcm = (np.sin(2 * np.pi * 441 * np.arange(1152 * 40) / sr) * 12000).astype(np.int16)
+    b = m.encode_mpeg1_audio(pcm, sr, layer=2, bitrate_kbps=192)
+    n_frames = (len(pcm) // 1152) + 1  # + tail-pad frame
+    nominal = n_frames * 144 * 192000 // sr  # exact rational total, floored once
+    assert abs(len(b) - nominal) <= 1, (len(b), nominal)
+    # both padded and unpadded frames must occur
+    sizes = set()
+    pos = 0
+    while pos + 4 <= len(b):
+        info = m.parse_header(b[pos : pos + 4])
+        sizes.add(info["frame_bytes"])
+        pos += info["frame_bytes"]
+    assert len(sizes) == 2, sizes
+    out, rate = m.decode_mpeg1_audio(b)
+    assert rate == sr and _snr_db(pcm, out) > 25.0
