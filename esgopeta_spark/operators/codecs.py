@@ -1221,9 +1221,10 @@ def decode_mjpeg_frames(b: bytes, max_frames: int | None = None) -> list:
 
 @_quarantine
 def encode_mpeg1_audio(samples, sample_rate: int, layer: int = 2, bitrate_kbps=None) -> bytes:
-    """Mono int16 PCM -> MPEG-1 Layer I/II frames (see mpeg1_audio.py
-    for the spec-faithful bitstream layout and the documented filterbank
-    / allocation-table deviations)."""
+    """Int16 PCM — mono ``(n,)`` or stereo ``(n, 2)`` — to MPEG-1 Layer
+    I/II frames (see mpeg1_audio.py for the spec-faithful bitstream
+    layout and the documented filterbank / allocation-table
+    deviations)."""
     from esgopeta_spark.operators import mpeg1_audio
 
     return mpeg1_audio.encode_mpeg1_audio(samples, sample_rate, layer, bitrate_kbps)
@@ -1231,8 +1232,9 @@ def encode_mpeg1_audio(samples, sample_rate: int, layer: int = 2, bitrate_kbps=N
 
 @_quarantine
 def decode_mpeg1_audio(b: bytes):
-    """MPEG-1 Layer I/II frames (ID3v2-tagged ok) -> (int16 PCM mono,
-    sample_rate).  Layer III raises ValueError('needs-codec...')."""
+    """MPEG-1 Layer I/II frames (ID3v2-tagged ok) -> (int16 PCM — mono
+    ``(n,)`` or stereo ``(n, 2)`` — and sample_rate).  Layer III / joint
+    stereo raise ValueError('needs-codec...')."""
     from esgopeta_spark.operators import mpeg1_audio
 
     return mpeg1_audio.decode_mpeg1_audio(b)

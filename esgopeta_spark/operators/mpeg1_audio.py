@@ -503,10 +503,10 @@ def encode_mpeg1_audio(
     # with the padding bit set — the stream then carries the EXACT
     # nominal bitrate instead of floor-truncating it every frame
     slots_num = (12 if layer == 1 else 144) * bitrate_kbps * 1000
+    base_slots = slots_num // sample_rate  # loop-invariant; only rest/padding vary
     rest = 0
     for f in range(n_frames):
         block = subs[:, :, f * cols : (f + 1) * cols]
-        base_slots = slots_num // sample_rate
         rest += slots_num % sample_rate
         padding = 1 if rest >= sample_rate else 0
         rest -= sample_rate if padding else 0

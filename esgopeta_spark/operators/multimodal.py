@@ -429,9 +429,13 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
                 elif fmt == "mp3":
                     try:  # Layer I/II sample decode; Layer III -> skip row
                         samples, sr = codecs.decode_mpeg1_audio(b)
-                        nch = 1
                     except ValueError:
                         continue
+                    if samples.ndim == 2:  # stereo: interleave like WAV
+                        nch = samples.shape[1]
+                        samples = samples.reshape(-1)
+                    else:
+                        nch = 1
                 else:
                     continue
                 x = samples.astype(np.float64) / 32768.0

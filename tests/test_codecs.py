@@ -1047,3 +1047,27 @@ def test_mpeg1_441khz_padding_bit_keeps_exact_bitrate():
     assert len(sizes) == 2, sizes
     out, rate = m.decode_mpeg1_audio(b)
     assert rate == sr and _snr_db(pcm, out) > 25.0
+
+
+def test_audio_features_survive_stereo_mp2(spark):
+    """A stereo Layer II payload must flow through extract_audio_features
+    (interleaved like WAV, first channel drives the spectral stats) —
+    not crash the kernel (quarantine contract)."""
+    from esgopeta_spark.operators import codecs as c
+    from esgopeta_spark.operators.multimodal import MEDIA_SCHEMA, extract_audio_features
+
+    sr = 32000
+    n = 1152 * 3
+    left = np.sin(2 * np.pi * 500 * np.arange(n) / sr) * 12000
+    right = np.sin(2 * np.pi * 1000 * np.arange(n) / sr) * 9000
+    pcm = np.stack([left, right], axis=1).astype(np.int16)
+    payload = c.encode_mpeg1_audio(pcm, sr, layer=2)
+    media = spark.createDataFrame(
+        [(0, "audio", payload, (None, None, sr, n * 1000 // sr, "mp2"))], MEDIA_SCHEMA
+    )
+    rows = extract_audio_features(media).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["duration_ms"] > 0 and 0.1 < r["rms"] < 0.5
+    # first channel (left, 500 Hz) drives the dominant frequency
+    assert abs(r["dominant_hz"] - 500) < 25
