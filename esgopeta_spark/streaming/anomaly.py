@@ -140,3 +140,116 @@ def streaming_zscore(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+LOCF_STATE_SCHEMA = StructType(
+    [
+        StructField("day_state_json", StringType()),
+        StructField("upd_seq", LongType()),
+    ]
+)
+
+LOCF_OUTPUT_SCHEMA = (
+    "user_id bigint, bucket date, filled_value double, n_events bigint, "
+    "is_gap int, upd_seq bigint"
+)
+
+
+def _make_locf_handler():
+    """Per-key LOCF handler (closure, cloudpickle-by-value).  State per
+    user: day -> [ts_nanos, tiebreak, value, n_events] keeping the day's
+    LAST event under the (ts, tiebreak) total order — the same closing
+    value rule as batch ``resample_locf`` — plus the event count."""
+    import json as _json
+
+    def _series(st):
+        import datetime as _dt
+
+        days = sorted(st)
+        if not days:
+            return []
+        d0 = _dt.date.fromisoformat(days[0])
+        d1 = _dt.date.fromisoformat(days[-1])
+        out = []
+        last = None
+        d = d0
+        while d <= d1:
+            k = d.isoformat()
+            if k in st:
+                v = st[k][2]
+                if v is not None:  # batch = last(ignorenulls): a null
+                    last = v       # closing value carries the previous fill
+                out.append((k, last, int(st[k][3]), 0))
+            else:
+                out.append((k, last, 0, 1))
+            d += _dt.timedelta(days=1)
+        return out
+
+    def handler(key, pdfs, gstate):
+        (user,) = key
+        if gstate.exists:
+            raw = gstate.get
+            st = _json.loads(raw[0])
+            seq = int(raw[1])
+        else:
+            st, seq = {}, 0
+        prev = {r[0]: r for r in _series(st)}
+
+        for pdf in pdfs:
+            for rec in pdf.to_dict("records"):
+                ts = rec["ts"]
+                d = ts.floor("D").date().isoformat()
+                cand = [int(ts.value), int(rec["event_id"]), rec["value"]]
+                cur = st.get(d)
+                if cur is None:
+                    st[d] = cand + [1]
+                else:
+                    if (cand[0], cand[1]) > (cur[0], cur[1]):
+                        st[d] = cand + [cur[3] + 1]
+                    else:
+                        cur[3] += 1
+
+        seq += 1
+        gstate.update((_json.dumps(st, sort_keys=True), seq))
+
+        changed = [r for r in _series(st) if prev.get(r[0]) != r]
+        if changed:
+            import datetime as _dt
+
+            import pandas as _pd
+
+            yield _pd.DataFrame(
+                [
+                    {
+                        "user_id": user,
+                        "bucket": _dt.date.fromisoformat(d),
+                        "filled_value": v,
+                        "n_events": n,
+                        "is_gap": g,
+                        "upd_seq": seq,
+                    }
+                    for d, v, n, g in changed
+                ]
+            )
+
+    return handler
+
+
+def streaming_locf(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators/timeseries.resample_locf``: per-user
+    daily grid with last-observation-carried-forward fill, maintained
+    incrementally — late events retro-correct both the closing values
+    and the grid span (the fold keeps the per-day (ts, event_id)-max
+    event, so arrival order never matters).  Update-mode emissions keyed
+    (user, bucket); ``upd_seq`` orders them for append-only sinks."""
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_locf_handler(),
+            outputStructType=LOCF_OUTPUT_SCHEMA,
+            stateStructType=LOCF_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -706,3 +706,67 @@ def test_streaming_zscore_half_cent_and_null_values_match_batch(spark, tmp_path)
             for r in rolling_zscore(static).collect()}
     assert got == want
     assert got[(1, datetime.date(2024, 6, 1))][0] == 29  # HALF_UP, not floor
+
+
+def test_streaming_locf_matches_batch_with_late_data(spark, tmp_path):
+    """Streaming LOCF over two micro-batches (the second delivering
+    EARLIER days) must converge to the batch resample_locf rows exactly —
+    grid span, closing values under the (ts, event_id) order, gap flags."""
+    import datetime
+
+    from esgopeta_spark.operators.timeseries import resample_locf
+    from esgopeta_spark.streaming.anomaly import streaming_locf
+
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    b1 = [
+        (10, datetime.datetime(2024, 7, 5, 9), 1, "x", 50.0, None),
+        (11, datetime.datetime(2024, 7, 5, 15), 1, "x", 55.0, None),  # closes day 5
+        (12, datetime.datetime(2024, 7, 8, 9), 1, "x", 80.0, None),
+    ]
+    b2 = [  # LATE: extends the grid backwards and re-closes day 5
+        (1, datetime.datetime(2024, 7, 1, 9), 1, "x", 10.0, None),
+        (2, datetime.datetime(2024, 7, 5, 16), 1, "x", 60.0, None),
+        (3, datetime.datetime(2024, 7, 2, 9), 2, "x", 7.0, None),
+    ]
+    d = str(tmp_path / "locf_events")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(d + "/f=1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(d + "/f=2")
+    static = spark.read.option("recursiveFileLookup", "true").parquet(d)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    run_stream_to_memory(streaming_locf(stream), "locfstream", mode="update")
+    latest: dict = {}
+    for r in spark.sql("select * from locfstream").collect():
+        k = (r["user_id"], r["bucket"])
+        if k not in latest or r["upd_seq"] > latest[k]["upd_seq"]:
+            latest[k] = r
+    got = {k: (r["filled_value"], r["n_events"], r["is_gap"]) for k, r in latest.items()}
+    want = {(r["user_id"], r["bucket"]): (r["filled_value"], r["n_events"], r["is_gap"])
+            for r in resample_locf(static).collect()}
+    assert got == want and len(got) == 9  # user1 days 1-8, user2 day 2
+    assert got[(1, datetime.date(2024, 7, 5))] == (60.0, 3, 0)  # late re-close
+    assert got[(1, datetime.date(2024, 7, 6))] == (60.0, 0, 1)  # carried gap
+
+
+def test_streaming_locf_full_table_matches_batch(spark, sf_dir):
+    """Drained over the whole events table, streaming LOCF equals batch
+    resample_locf row-for-row."""
+    from esgopeta_spark.operators.timeseries import resample_locf
+    from esgopeta_spark.streaming.anomaly import streaming_locf
+
+    static = read_table(spark, sf_dir, "events")
+    stream = read_events_stream(spark, sf_dir)
+    run_stream_to_memory(streaming_locf(stream), "locffull", mode="update")
+    latest: dict = {}
+    for r in spark.sql("select * from locffull").collect():
+        k = (r["user_id"], r["bucket"])
+        if k not in latest or r["upd_seq"] > latest[k]["upd_seq"]:
+            latest[k] = r
+    got = {k: (r["filled_value"], r["n_events"], r["is_gap"]) for k, r in latest.items()}
+    want = {(r["user_id"], r["bucket"]): (r["filled_value"], r["n_events"], r["is_gap"])
+            for r in resample_locf(static).collect()}
+    assert got == want and got
