@@ -269,7 +269,17 @@ def _bucket_array(vec: Column, all_planes: list[list[list[float]]]) -> Column:
         if len(v) == 0:
             return pd.Series([], dtype=object)
         M = np.stack(v.to_numpy()).astype(np.float64)  # batch x dim
-        signs = (M @ P.T) >= 0.0  # batch x (T*H)
+        # SEQUENTIAL per-element accumulation (not BLAS matmul): each dot
+        # sees the identical left-to-right IEEE add order as a SQL
+        # list_dot_product fold, so the sign at near-zero dots — and
+        # therefore every bucket id — is bit-reproducible by the DuckDB
+        # oracle (r6: sim_topk_cosine_lsh gained a full-pipeline oracle).
+        # Same fused-loop trick as assign_cells; cost is unchanged at
+        # these plane counts.
+        dots = np.multiply.outer(M[:, 0], P[:, 0])
+        for d in range(1, M.shape[1]):
+            dots = dots + np.multiply.outer(M[:, d], P[:, d])
+        signs = dots >= 0.0  # batch x (T*H)
         B = signs.reshape(len(v), n_tables, n_planes).astype(np.int64) @ weights  # batch x T
         return pd.Series(list(B))
 

@@ -1299,11 +1299,73 @@ def sim_topk_cosine(spark, sf):
     )
 
 
+def _lsh_oracle() -> str:
+    """Full-pipeline DuckDB oracle for the hyperplane-LSH entry (r6).
+
+    Possible because every stage is bit-reproducible: the hyperplanes
+    are deterministic constants (inlined below via repr() — shortest
+    decimal repr parses back to the identical double), the bucket dots
+    accumulate in sequential element order on BOTH engines (the Arrow
+    kernel's fused loop == list_dot_product's fold), and the rerank
+    cosine is the same prenormed sequential arithmetic as every other
+    graded similarity entry.  The approximation is in the ALGORITHM
+    (bucketing), not the execution — so the exact candidate set, ranks,
+    and micro-cosines all hash-match."""
+    from esgopeta_spark.operators.similarity import _hyperplanes
+
+    n_tables, n_planes, seed = 4, 6, 42
+    buckets = []
+    for t in range(n_tables):
+        planes = _hyperplanes(64, n_planes, seed + 1000 * t)
+        bits = []
+        for i, p in enumerate(planes):
+            arr = "[" + ",".join(repr(x) for x in p) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, {arr}) >= 0 THEN {2 ** i} ELSE 0 END)"
+            )
+        buckets.append("(" + " + ".join(bits) + ")")
+    ba = "[" + ", ".join(buckets) + "]"
+    return f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cb AS MATERIALIZED (SELECT vec_id, v, {ba} AS ba FROM c),
+    q AS (SELECT vec_id AS query_id, v AS qv, ba AS qba FROM cb WHERE vec_id % 50 = 0),
+    ce AS (SELECT vec_id AS nbr_id, v, ba, t.t AS t, ba[t.t + 1] AS b
+           FROM cb CROSS JOIN generate_series(0, {n_tables - 1}) t(t)),
+    qe AS (SELECT query_id, qv, qba, t.t AS t, qba[t.t + 1] AS b
+           FROM q CROSS JOIN generate_series(0, {n_tables - 1}) t(t)),
+    cand AS (
+      SELECT qe.query_id, ce.nbr_id, qe.qv, ce.v
+      FROM ce JOIN qe ON ce.t = qe.t AND ce.b = qe.b
+      WHERE ce.nbr_id <> qe.query_id
+        AND list_position(list_transform(range(1, {n_tables + 1}),
+                                         i -> ce.ba[i] = qe.qba[i]), true) = qe.t + 1),
+    scored AS (
+      SELECT query_id, nbr_id,
+             list_dot_product(qv, v)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cs
+      FROM cand),
+    r AS (SELECT query_id, nbr_id, cs,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cs DESC, nbr_id ASC) AS rank
+          FROM scored)
+    SELECT query_id, nbr_id,
+           CAST(floor(cs * 1000000 + 0.5) AS BIGINT) AS cosine_micro,
+           CAST(rank AS INTEGER) AS rank
+    FROM r WHERE rank <= 5
+    """
+
+
 @register(
     "sim_topk_cosine_lsh",
     "G3",
-    None,  # approximate by design; pytest measures recall vs exact
-    doc="hyperplane-LSH approximate top-5 cosine (the 100TB path: bucket equi-join, no cross join)",
+    _lsh_oracle(),
+    doc="hyperplane-LSH approximate top-5 cosine (the 100TB path: bucket "
+    "equi-join, no cross join).  r6: FULL-PIPELINE oracle — the plane "
+    "constants inline into the SQL and every dot accumulates in the same "
+    "sequential IEEE order on both engines, so the bucketed candidate "
+    "set, first-match dedup, ranks and micro-cosines hash-match exactly "
+    "(the approximation is the algorithm, not the execution); recall vs "
+    "the exact tier stays pinned in pytest",
 )
 def sim_topk_cosine_lsh(spark, sf):
     from esgopeta_spark.operators.similarity import topk_cosine_lsh

@@ -106,14 +106,53 @@ def dedup_embedding_exact(spark, sf):
     )
 
 
+def _emb_lsh_oracle() -> str:
+    """Full-pipeline DuckDB oracle for the LSH near-dup tier (r6): plane
+    constants inlined via repr(), bucket dots sequential on both engines
+    (see sim_topk_cosine_lsh's oracle for the reproducibility argument)."""
+    from esgopeta_spark.operators.similarity import _hyperplanes
+
+    n_tables, n_planes, seed = 8, 4, 7
+    buckets = []
+    for t in range(n_tables):
+        planes = _hyperplanes(64, n_planes, seed + 1000 * t)
+        bits = []
+        for i, p in enumerate(planes):
+            arr = "[" + ",".join(repr(x) for x in p) + "]"
+            bits.append(f"(CASE WHEN list_dot_product(v, {arr}) >= 0 THEN {2 ** i} ELSE 0 END)")
+        buckets.append("(" + " + ".join(bits) + ")")
+    ba = "[" + ", ".join(buckets) + "]"
+    return f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cb AS MATERIALIZED (SELECT vec_id, v, {ba} AS ba FROM c),
+    ae AS (SELECT vec_id, v, ba, t.t AS t, ba[t.t + 1] AS b
+           FROM cb CROSS JOIN generate_series(0, {n_tables - 1}) t(t)),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+      FROM ae a JOIN ae b ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id
+      WHERE list_position(list_transform(range(1, {n_tables + 1}),
+                                         i -> a.ba[i] = b.ba[i]), true) = a.t + 1),
+    scored AS (
+      SELECT id_a, id_b,
+             list_dot_product(va, vb)
+               / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) AS cs
+      FROM cand)
+    SELECT id_a, id_b, CAST(floor(cs * 1000000 + 0.5) AS BIGINT) AS cosine_micro
+    FROM scored WHERE cs >= 0.4
+    """
+
+
 @register(
     "dedup_embedding_lsh",
     "G2",
-    None,  # approximate candidate generation; pytest measures recall vs exact
+    _emb_lsh_oracle(),
     doc="embedding-cosine near-dup, hyperplane-LSH tier (bucket equi-join self-pair, "
     "exact cosine verify) — the linear-cost 100 TB path for the same predicate; "
     "4 planes x 8 tables sized for this data's 0.4 threshold (arccos(0.4)~66deg -> "
-    "0.16/table -> ~75%% recall; production near-dup thresholds >=0.9 use deeper planes)",
+    "0.16/table -> ~75%% recall; production near-dup thresholds >=0.9 use deeper planes).  "
+    "r6: FULL-PIPELINE oracle (inlined plane constants + sequential-order bucket dots, "
+    "same technique as sim_topk_cosine_lsh) — the bucketed pair set and micro-cosines "
+    "hash-match exactly; recall vs the exact tier stays pinned in pytest",
 )
 def dedup_embedding_lsh(spark, sf):
     from esgopeta_spark.operators.similarity import embedding_dup_pairs_lsh
