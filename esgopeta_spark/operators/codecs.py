@@ -64,7 +64,8 @@ _MAGICS = [
     (b"\x89PNG\r\n\x1a\n", "png"),
     (b"\xff\xd8\xff", "jpeg"),
     (b"ID3", "mp3"),
-    (b"\xff\xfb", "mp3"),
+    # NOTE: no raw \xff\xfb magic — bare frame sync is validated
+    # field-by-field in sniff_format below (r6 ADVICE)
     (b"GIF87a", "gif"),
     (b"GIF89a", "gif"),
 ]
@@ -82,8 +83,20 @@ def sniff_format(b: bytes | None) -> str:
             return name
     if len(b) >= 12 and b[4:8] == b"ftyp":  # ISO BMFF (mp4/mov)
         return "mp4"
-    if len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0:
-        return "mp3"  # MPEG audio frame sync (any layer)
+    # MPEG audio frame sync — the 11-bit sync alone matches ~1/2048 of
+    # random 2-byte pairs, so also require valid (non-reserved) version,
+    # layer, bitrate and sample-rate fields before claiming the family
+    # (r6 ADVICE: random payloads previously misreported as 'mp3')
+    if (
+        len(b) >= 3
+        and b[0] == 0xFF
+        and (b[1] & 0xE0) == 0xE0
+        and (b[1] & 0x18) != 0x08  # version: not reserved
+        and (b[1] & 0x06) != 0x00  # layer: not reserved
+        and (b[2] >> 4) not in (0, 15)  # bitrate: not free/bad
+        and ((b[2] >> 2) & 0x3) != 3  # sample rate: not reserved
+    ):
+        return "mp3"
     return "unknown"
 
 

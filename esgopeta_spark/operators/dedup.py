@@ -596,6 +596,7 @@ def duplicated_ngram_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     checkpoint: str = "local",
+    broadcast_max_rows: int = 4_000_000,
 ) -> DataFrame:
     """Verbatim cross-document span detection — the EXACT-substring half
     of training-data dedup (Lee et al. 2022, "Deduplicating Training Data
@@ -611,9 +612,17 @@ def duplicated_ngram_spans(
 
     Scale shape: one projection explodes each doc into (pos, gram) rows
     (~n_words rows per doc); ONE partial-aggregated shuffle keyed by gram
-    computes distinct-doc counts; the surviving shared-gram set is orders
-    of magnitude smaller than the gram stream and broadcasts back onto
-    it, so the per-doc rollup is the only other shuffle.  Gram keys are
+    computes distinct-doc counts; the surviving shared-gram set joins
+    back onto the gram stream.  That set's size is DATA-DEPENDENT and
+    unbounded — on a templated web corpus with ``min_docs=2`` it can
+    reach billions of rows — so the broadcast hint is SIZE-GATED: the
+    shared set is materialized (it feeds the join anyway), counted, and
+    broadcast only when it holds at most ``broadcast_max_rows`` rows
+    (default 4M ~= 32 MB of 8-byte keys); above that the join falls back
+    to a plain shuffle join, where AQE may still promote a genuinely
+    small side at runtime — the gate removes only the forced-hint OOM
+    path (broadcast hints bypass autoBroadcastJoinThreshold).  Gram keys
+    are
     already hashed (md5-60bit, engine-portable) so shuffle rows stay
     narrow at any scale; swap to ``sha2(gram, 256)`` only if a 10^9-gram
     corpus pushes the 2^61 collision bound.
@@ -656,8 +665,14 @@ def duplicated_ngram_spans(
         .filter(F.col("n_docs") >= F.lit(int(min_docs)))
         .select("gkey")
     )
+    # size-gate the broadcast: shared is data-dependent and unbounded.
+    # Materializing it here is not extra work — the join consumes it next
+    # and the count is O(1) on the materialized blocks.
+    shared = materialize(shared, checkpoint)
+    if shared.count() <= int(broadcast_max_rows):
+        shared = F.broadcast(shared)
     return (
-        grams.join(F.broadcast(shared), "gkey")
+        grams.join(shared, "gkey")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_dup_windows"),

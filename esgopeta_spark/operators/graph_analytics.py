@@ -257,6 +257,7 @@ def kcore_members(
     src: str = "src",
     dst: str = "dst",
     checkpoint: str = "local",
+    require_convergence: bool = True,
 ) -> DataFrame:
     """k-core decomposition membership (Seidman 1983, "Network structure
     and minimum degree"; the GraphX-ecosystem staple for graph
@@ -270,10 +271,12 @@ def kcore_members(
     core (>= k by construction).  All-integer, order-free, so the result
     is engine-exact; ``rounds`` is a fixed unroll bound (the catalog
     oracle unrolls the same rounds) with an early driver-side break when
-    a round removes nothing — pytest pins that the bound reaches the
-    true fixpoint (peel rounds needed is typically O(log n) in practice;
-    a too-small bound fails the fixpoint assertion rather than silently
-    returning a superset).
+    a round removes nothing.  Convergence is ENFORCED in the operator:
+    if the bound exhausts while the last round still peeled edges, the
+    result would be a superset of the true k-core, so the operator
+    raises ValueError (peel rounds needed is typically O(log n) in
+    practice).  Pass ``require_convergence=False`` to instead get the
+    best-effort superset — for interactive exploration only.
 
     Plan shape per round: one (node) partial-agg degree count + one
     semi-join of the edge list against survivors on EACH endpoint —
@@ -294,8 +297,10 @@ def kcore_members(
         checkpoint,
     )
     n_edges = e.count()
+    converged = n_edges == 0
     for _ in range(rounds):
         if n_edges == 0:
+            converged = True
             break
         survivors = (
             e.groupBy("a").agg(F.count(F.lit(1)).alias("_d")).filter(F.col("_d") >= k).select("a")
@@ -308,8 +313,16 @@ def kcore_members(
         )
         n2 = e2.count()
         if n2 == n_edges:  # fixpoint: nothing peeled this round
+            converged = True
             break
         e, n_edges = e2, n2
+    converged = converged or n_edges == 0  # peeled to empty on the final round
+    if not converged and require_convergence:
+        raise ValueError(
+            f"kcore_members did not reach fixpoint within rounds={rounds} "
+            f"({n_edges} edges still peeling); raise the bound — a silent "
+            "return here would be a SUPERSET of the true k-core"
+        )
     return (
         e.groupBy(F.col("a").alias("node"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))

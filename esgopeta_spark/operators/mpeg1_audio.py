@@ -547,7 +547,11 @@ def decode_mpeg1_audio(b: bytes) -> tuple[np.ndarray, int]:
             # still fails fast instead of crawling byte-by-byte
             nxt = b.find(b"\xff", pos + 1, pos + 65536)
             if nxt < 0:
-                break
+                # no sync byte anywhere in the scan window: skip the whole
+                # window (still charged to the 1MB budget) instead of
+                # silently truncating the stream — frames after a >64KB
+                # syncless gap still decode (r6 ADVICE)
+                nxt = min(pos + 65536, len(b))
             skipped += nxt - pos
             if skipped > 1 << 20:
                 raise ValueError("lost sync: >1MB of non-frame bytes")

@@ -153,7 +153,12 @@ def assign_cells(
     for d in range(1, dim):
         cacc = cacc + cents[:, d] * cents[:, d]
     centn = np.sqrt(cacc)
-    out_schema = f"{id_col} bigint, {cell_col} bigint, {vec_col} array<double>"
+    # id type follows the input schema (string ids work, like the join
+    # formulation this replaced — r6 ADVICE); vectors must be non-null
+    # and exactly `dim` wide, checked below with a clear error instead of
+    # an opaque np.stack failure
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, {cell_col} bigint, {vec_col} array<double>"
     if norm_col:
         out_schema += f", {norm_col} double"
 
@@ -161,6 +166,13 @@ def assign_cells(
         for pdf in batches:
             if not len(pdf):
                 continue
+            for x in pdf[vec_col]:
+                if x is None or len(x) != dim:
+                    raise ValueError(
+                        f"assign_cells: null or wrong-length vector in {vec_col!r} "
+                        f"(expected dim={dim}, got "
+                        f"{'null' if x is None else len(x)})"
+                    )
             v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
             dots = np.multiply.outer(v[:, 0], cents[:, 0])
             for d in range(1, dim):

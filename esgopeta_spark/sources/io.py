@@ -254,6 +254,10 @@ def read_media_dir(
     # magic sniff as codegen'd binary-prefix comparisons (the python
     # sniff_format twin) — no Python UDF in the ingest path
     c = F.col("content")
+
+    def _byte_int(col, pos):  # 1-based byte of a binary column as int 0-255
+        return F.conv(F.hex(col.substr(pos, 1)), 16, 10).cast("int")
+
     fmt = (
         F.when(c.substr(1, 8) == F.lit(b"\x89PNG\r\n\x1a\n"), "png")
         .when(c.substr(1, 3) == F.lit(b"\xff\xd8\xff"), "jpeg")
@@ -262,7 +266,19 @@ def read_media_dir(
         .when(c.substr(1, 2) == F.lit(b"P6"), "ppm")
         .when((c.substr(1, 4) == F.lit(b"RIFF")) & (c.substr(9, 4) == F.lit(b"WAVE")), "wav")
         .when(c.substr(1, 3) == F.lit(b"ID3"), "mp3")
-        .when(c.substr(1, 2) == F.lit(b"\xff\xfb"), "mp3")
+        # bare MPEG frame sync, validated field-by-field like the python
+        # sniff_format twin (r6 ADVICE) — byte→int via hex/conv keeps the
+        # nibble checks codegen'd, no UDF: b1 top-3 bits set + version &
+        # layer not reserved; b2 bitrate not free/bad + rate not reserved
+        .when(
+            (c.substr(1, 1) == F.lit(b"\xff"))
+            & (_byte_int(c, 2) >= 224)
+            & ((_byte_int(c, 2) / 8).cast("int") % 4 != 1)
+            & ((_byte_int(c, 2) / 2).cast("int") % 4 != 0)
+            & (_byte_int(c, 3) / 16).cast("int").between(1, 14)
+            & ((_byte_int(c, 3) / 4).cast("int") % 4 != 3),
+            "mp3",
+        )
         .when(c.substr(5, 4) == F.lit(b"ftyp"), "mp4")
         .otherwise("unknown")
     )

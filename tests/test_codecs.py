@@ -183,6 +183,14 @@ def test_sniff_format():
     assert codecs.sniff_format(b"\x00\x00\x00\x18ftypisomxxxx") == "mp4"
     assert codecs.sniff_format(b"ID3\x04xxxx") == "mp3"
     assert codecs.sniff_format(b"") == "empty"
+    # bare frame-sync sniff is validated field-by-field (r6 ADVICE: the
+    # 2-byte sync alone mislabeled arbitrary binaries as mp3)
+    assert codecs.sniff_format(b"\xff\xfb\x90\x00") == "mp3"  # MPEG1 L3 128k/44.1
+    assert codecs.sniff_format(b"\xff\xf9\x90\x00") == "unknown"  # reserved layer
+    assert codecs.sniff_format(b"\xff\xe9\x90\x00") == "unknown"  # reserved version
+    assert codecs.sniff_format(b"\xff\xfb\x00\x00") == "unknown"  # free bitrate
+    assert codecs.sniff_format(b"\xff\xfb\xf0\x00") == "unknown"  # bad bitrate
+    assert codecs.sniff_format(b"\xff\xfb\x9c\x00") == "unknown"  # reserved rate
 
 
 def test_resize_nearest_exact_2x():
@@ -998,6 +1006,17 @@ def test_mpeg1_decoder_resyncs_past_interframe_junk():
     assert _snr_db(pcm, out) > 60.0
     with pytest.raises(ValueError):
         m.decode_mpeg1_audio(b"\x00\x11\x22" * 50)
+    # a SYNCLESS gap wider than the 64KB scan window must not silently
+    # truncate the stream (r6 ADVICE): frames after the gap still decode,
+    # with the gap charged to the 1MB budget
+    gap = frames[0] + b"\x00" * (80 * 1024) + b"".join(frames[1:])
+    out2, rate2 = m.decode_mpeg1_audio(gap)
+    assert rate2 == 32000 and len(out2) == len(frames) * 384
+    assert _snr_db(pcm, out2) > 60.0
+    # and a syncless gap past the 1MB budget fails fast, consistently
+    # with the documented lost-sync contract
+    with pytest.raises(ValueError, match="lost sync"):
+        m.decode_mpeg1_audio(frames[0] + b"\x00" * (1 << 20 | 1 << 19) + frames[1])
 
 
 def test_mpeg1_stereo_roundtrip_both_layers():

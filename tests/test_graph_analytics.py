@@ -239,3 +239,60 @@ def test_hits_scores_vs_python_power_iteration(spark):
     s = {r["node"]: r for r in hits_scores(star, rounds=2).collect()}
     assert s[0]["hub_score"] > 0 and s[0]["auth_score"] == 0
     assert all(s[i]["auth_score"] > 0 and s[i]["hub_score"] == 0 for i in range(1, 6))
+
+
+def test_kcore_raises_on_exhausted_bound_deep_peel(spark):
+    """A long path graph peels only from its endpoints under k=2, so a
+    too-small ``rounds`` bound exhausts before fixpoint: the operator
+    must RAISE (r6 VERDICT "what's wrong" #2 — a silent return would be
+    a superset of the true k-core), and the escape hatch must hand back
+    the labeled best-effort superset instead."""
+    import pytest
+
+    from esgopeta_spark.operators.graph_analytics import kcore_members
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(14)], "src int, dst int"
+    )
+    with pytest.raises(ValueError, match="fixpoint"):
+        kcore_members(path, k=2, rounds=3).collect()
+    # escape hatch: best-effort superset, non-empty (true 2-core is empty)
+    loose = kcore_members(path, k=2, rounds=3, require_convergence=False)
+    assert loose.count() > 0
+    # a sufficient bound converges to the empty 2-core without raising
+    assert kcore_members(path, k=2, rounds=16).count() == 0
+
+
+def test_kcore_and_cheapest_path_reliable_checkpoint(spark, tmp_path):
+    """checkpoint="reliable" end-to-end for the r6 iterative operators
+    (r6 VERDICT task 8): identical results to local mode, with blocks
+    actually written to the registered checkpoint dir."""
+    from esgopeta_spark.operators.graph_analytics import (
+        cheapest_path_costs,
+        kcore_members,
+    )
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+
+    rng = random.Random(41)
+    n = 40
+    und = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(110)})
+    kdf = spark.createDataFrame(und, "src int, dst int")
+    kl = {(r["node"], r["core_deg"]) for r in kcore_members(kdf, k=3, rounds=12).collect()}
+    kr = {(r["node"], r["core_deg"])
+          for r in kcore_members(kdf, k=3, rounds=12, checkpoint="reliable").collect()}
+    assert kl == kr
+
+    wedges = [(a, b, rng.randrange(1, 50)) for a, b in und] + [
+        (b, a, rng.randrange(1, 50)) for a, b in und
+    ]
+    wdf = spark.createDataFrame(wedges, "src int, dst int, cost int")
+    seeds = spark.createDataFrame([(0,), (5,)], "node int")
+    cl = {(r["node"], r["cost"])
+          for r in cheapest_path_costs(wdf, seeds, max_hops=5).collect()}
+    cr = {(r["node"], r["cost"])
+          for r in cheapest_path_costs(wdf, seeds, max_hops=5, checkpoint="reliable").collect()}
+    assert cl == cr and cl
+
+    wrote = any(files for _, _, files in os.walk(tmp_path / "ckpt"))
+    assert wrote, "reliable checkpoint produced no files"

@@ -948,6 +948,32 @@ def test_assign_cells_matches_join_argmax(spark, sf_dir):
     assert got == want
 
 
+def test_assign_cells_string_ids_and_null_vector_guard(spark):
+    """General-operator contract (r6 ADVICE): the output id column must
+    follow the input schema (string ids worked in the join formulation it
+    replaced), and a null or ragged vector must fail with a CLEAR error,
+    not an opaque np.stack shape exception."""
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from esgopeta_spark.operators.similarity import assign_cells
+
+    book = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cell bigint, centroid array<double>"
+    )
+    docs = spark.createDataFrame(
+        [("a", [0.9, 0.1]), ("b", [0.2, 0.8])], "id string, v array<double>"
+    )
+    got = {r["id"]: r["cell"] for r in assign_cells(docs, book, 2, "id", "v").collect()}
+    assert got == {"a": 0, "b": 1}
+
+    bad = spark.createDataFrame([("a", [0.9, 0.1]), ("b", None)], "id string, v array<double>")
+    with pytest.raises(PythonException, match="null or wrong-length vector"):
+        assign_cells(bad, book, 2, "id", "v").collect()
+    ragged = spark.createDataFrame([("a", [0.9, 0.1, 0.3])], "id string, v array<double>")
+    with pytest.raises(PythonException, match="null or wrong-length vector"):
+        assign_cells(ragged, book, 2, "id", "v").collect()
+
+
 def test_rolling_zscore_flags_spike_not_coldstart_or_constant(spark):
     """Hand series: a flat week then a big spike must flag exactly the
     spike day; the first 3 days (cold start) and a constant series

@@ -220,15 +220,40 @@ def test_semantic_dedup_pair_join_is_equi_on_cell(spark, sf_dir):
 
 
 def test_substring_spans_shared_grams_broadcast_back(spark, sf_dir):
-    """The shared-gram set joins back onto the gram stream as a broadcast
-    (it is orders of magnitude smaller); the gram rollup must keep
-    map-side partial aggregation."""
+    """ADAPTIVE posture: at sf0.1 the shared-gram set is small, so the
+    size gate broadcasts it back onto the gram stream; the gram rollup
+    must keep map-side partial aggregation."""
     from esgopeta_spark.plans import REGISTRY
 
     p = plan_of(REGISTRY["dedup_substring_spans"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p
     assert p.count("HashAggregate") >= 4, p  # partial+final for both rollups
+
+
+def test_substring_spans_broadcast_gate_falls_back_to_shuffle(spark):
+    """When the shared-gram set exceeds broadcast_max_rows the forced
+    broadcast hint MUST NOT appear — a data-dependent unbounded relation
+    force-broadcast at 100 TB OOMs the driver (broadcast hints bypass
+    autoBroadcastJoinThreshold).  Forced here via broadcast_max_rows=0 on
+    a synthetic corpus; values must be identical on both paths."""
+    from esgopeta_spark.operators.dedup import duplicated_ngram_spans
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta common tail") for i in range(6)]
+        + [(100 + i, f"unique{i} words only here nothing shared at all {i}") for i in range(4)],
+        "doc_id bigint, text string",
+    )
+    # the hint is injected pre-optimization, so assert on the analyzed
+    # logical plan: no ResolvedHint/UnresolvedHint node may survive
+    gated = duplicated_ngram_spans(docs, n=3, broadcast_max_rows=0)
+    logical = gated._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical, logical
+    hinted = duplicated_ngram_spans(docs, n=3)  # default gate: broadcasts
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+    a = {tuple(r) for r in gated.collect()}
+    b = {tuple(r) for r in hinted.collect()}
+    assert a == b and len(a) > 0
 
 
 def test_bfs_round_join_is_equi(spark, sf_dir):
