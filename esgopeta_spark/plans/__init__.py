@@ -22,14 +22,19 @@ GRADED_WINDOW = [
     # E1/E2 scan + predicates + subqueries
     "scan_filter_project",
     "subquery_scalar_avg",
-    # E3/E4/E6 TPC-H-shaped headliners (+ depth flagship q18)
+    # E3/E4/E6 TPC-H-shaped headliners (depth flagship q18 demoted to
+    # parity-only in r7 — q1+q3 keep the family graded and all 15 TPC-H
+    # depth queries stay parity-checked — to give time-series its first
+    # in-window representative below)
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q18_large_orders",
     # E3 join family — all types
     "join_left_nation_suppliers",
     "join_full_customer_supplier",
-    "join_semi_customers_with_orders",
+    # r7: the plain semi join rotated out for its Bloom-prefiltered scale
+    # twin — still a semi join (family covered), now with the runtime-
+    # filter-pushdown shape the 100 TB plan wants graded
+    "join_bloom_semi_lineitem",
     "join_anti_customers_without_orders",
     # (theta-band join demoted to parity-only in r6 — non-equi joins stay
     # covered by as-of + range below — to make room for the r6 k-core entry;
@@ -45,7 +50,10 @@ GRADED_WINDOW = [
     # r6: Count-Min heavy hitters — the frequency-sketch family's first
     # in-window representative (KMV stayed parity-only in r5)
     "agg_cms_heavy_hitters",
-    "agg_median_price",
+    # r7: exact median rotated out for the mergeable histogram-sketch
+    # quantiles (percentile family stays; the sketch is the shape that
+    # survives 100 TB — single pass, bounded state)
+    "agg_histogram_quantiles",
     "pivot_status_by_priority",
     "unpivot_lineitem_measures",
     "skew_salted_agg",
@@ -74,7 +82,9 @@ GRADED_WINDOW = [
     # GraphX-style analytics
     "graph_pagerank_transactions",
     "graph_triangles_coorder",
-    "graph_bfs_hops_nation0",
+    # r7: unweighted BFS rotated out for its weighted Bellman-Ford
+    # superset (same iterative-frontier family, deeper shape)
+    "graph_cheapest_path_nation0",
     # r5: deterministic LPA community detection (unrolled-CTE oracle)
     "graph_communities_lpa",
     # r6: k-core decomposition (iterative peel, materialized unrolled oracle)
@@ -102,6 +112,10 @@ GRADED_WINDOW = [
     # r6: REAL MPEG-1 Layer I/II audio round trip (analytic oracle)
     "multimodal_decode_mp2_audio",
     "text_profile_docs",
+    # r7: time-series' first in-window representative — daily grid
+    # gap-fill + LOCF (the resample/interpolate family, with the
+    # bit-exact streaming twin behind it in pytest)
+    "ts_gapfill_daily_locf",
     # (emb_label_stats demoted to parity-only in r6 — embedding columns are
     # amply graded by the sim_* / dedup_semantic_kmeans entries)
 ]

@@ -15,7 +15,6 @@ REQUIRED_IN_WINDOW = {
     "join_range_acctbal_band",  # E3 range
     "skew_salted_join",  # skew handling
     "skew_salted_agg",
-    "q18_large_orders",  # TPC-H depth
     "graph_put_replay",  # group B (put + lazy parents)
     "graph_fetch_path",  # group A (fetch path, D1 null-vs-absent)
     "graph_ham_stream_replay",  # F5 oracle twin
@@ -25,14 +24,12 @@ REQUIRED_IN_WINDOW = {
     "dedup_ngram_jaccard",
     "pivot_status_by_priority",  # E4 pivot/unpivot
     "unpivot_lineitem_measures",
-    "agg_median_price",  # E4 percentiles
     "sessionize_events_islands",  # E5 gaps-and-islands
     "sim_topk_cosine_ivf",  # G3 scale tier (r4: graded, not just the exact oracle tier)
     "multimodal_decode_png",  # G5 real codec round-trip (r4)
     # r5 rotation (r4 VERDICT task 1): the r4 flagship LLM/graph ops
     "dedup_semantic_kmeans",  # G2/G3 SemDeDup full pipeline, hash-exact
     "dedup_substring_spans",  # G1/G2/G4 exact-substring spans (Lee et al.)
-    "graph_bfs_hops_nation0",  # A1/E3 multi-source BFS, recursive-CTE oracle
     # r5 additions built this round, hash-exact at sf0.01
     "sim_topk_ip_pq",  # G3 PQ-ADC compressed-domain tier
     "graph_communities_lpa",  # LPA communities, unrolled-CTE oracle
@@ -41,6 +38,15 @@ REQUIRED_IN_WINDOW = {
     "agg_cms_heavy_hitters",  # E4 frequency-sketch family
     "graph_kcore_members",  # k-core peel, materialized unrolled oracle
     "multimodal_decode_mp2_audio",  # G5 real compressed-audio round trip
+    # r7 rotation (r6 VERDICT task 3): hash-exact second-batch flagships
+    # in; q18 (TPC-H depth — q1/q3 + 15 parity TPC-H queries keep the
+    # family), agg_median_price (percentiles stay via the histogram
+    # sketch), plain semi join (Bloom twin IS a semi join) and BFS
+    # (weighted superset graded) rotated to parity-only
+    "join_bloom_semi_lineitem",  # E3 semi + runtime-filter pushdown shape
+    "agg_histogram_quantiles",  # E4 percentiles, mergeable-sketch tier
+    "graph_cheapest_path_nation0",  # weighted Bellman-Ford frontier
+    "ts_gapfill_daily_locf",  # time-series resample/LOCF family
 }
 
 
