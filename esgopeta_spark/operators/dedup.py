@@ -622,8 +622,7 @@ def duplicated_ngram_spans(
     to a plain shuffle join, where AQE may still promote a genuinely
     small side at runtime — the gate removes only the forced-hint OOM
     path (broadcast hints bypass autoBroadcastJoinThreshold).  Gram keys
-    are
-    already hashed (md5-60bit, engine-portable) so shuffle rows stay
+    are already hashed (md5-60bit, engine-portable) so shuffle rows stay
     narrow at any scale; swap to ``sha2(gram, 256)`` only if a 10^9-gram
     corpus pushes the 2^61 collision bound.
     """

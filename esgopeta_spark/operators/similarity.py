@@ -166,13 +166,21 @@ def assign_cells(
         for pdf in batches:
             if not len(pdf):
                 continue
-            for x in pdf[vec_col]:
-                if x is None or len(x) != dim:
-                    raise ValueError(
-                        f"assign_cells: null or wrong-length vector in {vec_col!r} "
-                        f"(expected dim={dim}, got "
-                        f"{'null' if x is None else len(x)})"
-                    )
+            # pandas-level null/length guard (r7 VERDICT nit: the per-row
+            # Python loop cost an interpreted pass over every batch on the
+            # hottest ANN path; .str.len() + isna() keep the check inside
+            # pandas/numpy and only locate the offender on failure)
+            vals = pdf[vec_col]
+            nulls = vals.isna().to_numpy()
+            lens = np.where(nulls, dim, vals.str.len().fillna(dim).to_numpy())
+            bad = nulls | (lens != dim)
+            if bad.any():
+                i = int(np.argmax(bad))
+                raise ValueError(
+                    f"assign_cells: null or wrong-length vector in {vec_col!r} "
+                    f"(expected dim={dim}, got "
+                    f"{'null' if nulls[i] else int(lens[i])})"
+                )
             v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
             dots = np.multiply.outer(v[:, 0], cents[:, 0])
             for d in range(1, dim):

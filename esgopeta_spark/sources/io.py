@@ -224,6 +224,50 @@ def write_any(
     writer.format(fmt).save(path)
 
 
+def sniff_format_expr(c):
+    """Codegen'd Spark twin of :func:`esgopeta_spark.operators.codecs.
+    sniff_format` over a binary column — magic sniff as binary-prefix
+    comparisons, no Python UDF in the ingest path.  When-order mirrors the
+    python twin's precedence exactly (magics, then ISO-BMFF ftyp, then the
+    field-validated bare MPEG frame sync — r7 ADVICE: ordering divergence)
+    and is pinned against the python twin case-by-case in
+    tests/test_sources.py::test_sniff_format_expr_matches_python_twin.
+
+    Differences from the python twin, both collapsing to kind='other':
+    RIFF-non-WAVE reports 'unknown' here vs 'riff-other', and empty
+    payloads report 'unknown' vs 'empty'.
+    """
+    from pyspark.sql import functions as F
+
+    def _byte_int(col, pos):  # 1-based byte of a binary column as int 0-255
+        return F.conv(F.hex(col.substr(pos, 1)), 16, 10).cast("int")
+
+    return (
+        F.when(c.substr(1, 8) == F.lit(b"\x89PNG\r\n\x1a\n"), "png")
+        .when(c.substr(1, 3) == F.lit(b"\xff\xd8\xff"), "jpeg")
+        .when((c.substr(1, 6) == F.lit(b"GIF87a")) | (c.substr(1, 6) == F.lit(b"GIF89a")), "gif")
+        .when(c.substr(1, 2) == F.lit(b"BM"), "bmp")
+        .when(c.substr(1, 2) == F.lit(b"P6"), "ppm")
+        .when((c.substr(1, 4) == F.lit(b"RIFF")) & (c.substr(9, 4) == F.lit(b"WAVE")), "wav")
+        .when(c.substr(1, 3) == F.lit(b"ID3"), "mp3")
+        .when((F.length(c) >= 12) & (c.substr(5, 4) == F.lit(b"ftyp")), "mp4")
+        # bare MPEG frame sync, validated field-by-field like the python
+        # sniff_format twin (r6 ADVICE) — byte→int via hex/conv keeps the
+        # nibble checks codegen'd, no UDF: b1 top-3 bits set + version &
+        # layer not reserved; b2 bitrate not free/bad + rate not reserved
+        .when(
+            (c.substr(1, 1) == F.lit(b"\xff"))
+            & (_byte_int(c, 2) >= 224)
+            & ((_byte_int(c, 2) / 8).cast("int") % 4 != 1)
+            & ((_byte_int(c, 2) / 2).cast("int") % 4 != 0)
+            & (_byte_int(c, 3) / 16).cast("int").between(1, 14)
+            & ((_byte_int(c, 3) / 4).cast("int") % 4 != 3),
+            "mp3",
+        )
+        .otherwise("unknown")
+    )
+
+
 def read_media_dir(
     spark: SparkSession,
     path: str,
@@ -251,37 +295,7 @@ def read_media_dir(
     if recursive:
         reader = reader.option("recursiveFileLookup", "true")
     raw = reader.load(path)
-    # magic sniff as codegen'd binary-prefix comparisons (the python
-    # sniff_format twin) — no Python UDF in the ingest path
-    c = F.col("content")
-
-    def _byte_int(col, pos):  # 1-based byte of a binary column as int 0-255
-        return F.conv(F.hex(col.substr(pos, 1)), 16, 10).cast("int")
-
-    fmt = (
-        F.when(c.substr(1, 8) == F.lit(b"\x89PNG\r\n\x1a\n"), "png")
-        .when(c.substr(1, 3) == F.lit(b"\xff\xd8\xff"), "jpeg")
-        .when((c.substr(1, 6) == F.lit(b"GIF87a")) | (c.substr(1, 6) == F.lit(b"GIF89a")), "gif")
-        .when(c.substr(1, 2) == F.lit(b"BM"), "bmp")
-        .when(c.substr(1, 2) == F.lit(b"P6"), "ppm")
-        .when((c.substr(1, 4) == F.lit(b"RIFF")) & (c.substr(9, 4) == F.lit(b"WAVE")), "wav")
-        .when(c.substr(1, 3) == F.lit(b"ID3"), "mp3")
-        # bare MPEG frame sync, validated field-by-field like the python
-        # sniff_format twin (r6 ADVICE) — byte→int via hex/conv keeps the
-        # nibble checks codegen'd, no UDF: b1 top-3 bits set + version &
-        # layer not reserved; b2 bitrate not free/bad + rate not reserved
-        .when(
-            (c.substr(1, 1) == F.lit(b"\xff"))
-            & (_byte_int(c, 2) >= 224)
-            & ((_byte_int(c, 2) / 8).cast("int") % 4 != 1)
-            & ((_byte_int(c, 2) / 2).cast("int") % 4 != 0)
-            & (_byte_int(c, 3) / 16).cast("int").between(1, 14)
-            & ((_byte_int(c, 3) / 4).cast("int") % 4 != 3),
-            "mp3",
-        )
-        .when(c.substr(5, 4) == F.lit(b"ftyp"), "mp4")
-        .otherwise("unknown")
-    )
+    fmt = sniff_format_expr(F.col("content"))
     kind = (
         F.when(fmt.isin("bmp", "ppm", "png", "jpeg", "gif"), F.lit("image"))
         .when(fmt.isin("wav", "mp3"), F.lit("audio"))

@@ -170,6 +170,57 @@ def test_read_media_dir_binaryfile(spark, tmp_path):
     assert not dec["mp4"]["ok"] and dec["mp4"]["duration_ms"] == 1200
 
 
+def test_sniff_format_expr_matches_python_twin(spark):
+    """Pin the codegen'd Spark sniff chain to the python sniff_format twin
+    byte-pattern by byte-pattern (r7 ADVICE: the bare-frame-sync field
+    validation gained six assertions python-side with no Spark coverage,
+    and the when-order around ftyp had silently diverged)."""
+    import numpy as np
+
+    from esgopeta_spark.operators import codecs
+    from esgopeta_spark.sources.io import sniff_format_expr
+
+    arr = np.stack([np.full((4, 4), v, np.uint8) for v in (10, 20, 30)], axis=-1)
+    payloads = [
+        codecs.encode_bmp(arr),
+        codecs.encode_ppm(arr),
+        codecs.encode_wav(np.zeros(4, np.int16), 8000),
+        codecs.encode_png(arr),
+        codecs.encode_jpeg(arr),
+        codecs.encode_gif(arr),
+        b"\x89PNG\r\n\x1a\nxxxx",
+        b"\xff\xd8\xff\xe0",
+        b"\x00\x00\x00\x18ftypisomxxxx",
+        b"ID3\x04xxxx",
+        # the six frame-sync field-validation cases from test_sniff_format
+        b"\xff\xfb\x90\x00",  # MPEG1 L3 128k/44.1 -> mp3
+        b"\xff\xf9\x90\x00",  # reserved layer -> unknown
+        b"\xff\xe9\x90\x00",  # reserved version -> unknown
+        b"\xff\xfb\x00\x00",  # free bitrate -> unknown
+        b"\xff\xfb\xf0\x00",  # bad bitrate -> unknown
+        b"\xff\xfb\x9c\x00",  # reserved rate -> unknown
+        # ordering: valid frame-sync bytes AND ftyp at offset 4 -> the
+        # python twin says mp4; the Spark chain must agree (r7 ADVICE)
+        b"\xff\xfb\x90\x00ftypisomxxxx",
+        b"RIFFxxxxAVI xxxx",  # riff-other (normalized below)
+        b"\x00\x01\x02garbage",
+        b"\xff",  # too short for the frame-sync field checks
+        b"\xff\xfb",
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "i int, content binary"
+    )
+    got = {
+        r["i"]: r["fmt"]
+        for r in df.select("i", sniff_format_expr(F.col("content")).alias("fmt")).collect()
+    }
+    for i, p in enumerate(payloads):
+        want = codecs.sniff_format(p)
+        if want in ("riff-other", "empty"):  # documented twin divergence
+            want = "unknown"
+        assert got[i] == want, f"payload {i}: spark={got[i]!r} python={want!r}"
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     """Two tables bucketed on the join key must join with ZERO Exchange
     nodes (the write-once shuffle buys every later join), and the result
