@@ -18,7 +18,7 @@ aggregate) — no Python in the candidate-generation hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -626,6 +626,37 @@ def duplicated_ngram_spans(
     narrow at any scale; swap to ``sha2(gram, 256)`` only if a 10^9-gram
     corpus pushes the 2^61 collision bound.
     """
+    grams = _positioned_grams(docs, n, text_col, id_col, checkpoint)
+    shared = _shared_gram_keys(grams, min_docs, checkpoint, broadcast_max_rows)
+    return (
+        grams.join(shared, "gkey")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_windows"),
+            F.countDistinct("gkey").alias("n_dup_grams"),
+            F.min("pos").alias("first_dup_pos"),
+        )
+    )
+
+
+def _positioned_grams(
+    docs: DataFrame, n: int, text_col: str, id_col: str, checkpoint: str
+) -> DataFrame:
+    """(doc_id, pos, gkey) stream of positioned word n-grams, materialized.
+
+    Grams shuffle as a 60-bit integer key — the first 15 hex chars of
+    md5(gram) — instead of the ~50-char gram string (r6; locally NEUTRAL,
+    the win is narrow shuffle rows at scale).  md5 exists on BOTH engines,
+    so oracles group on the IDENTICAL key and any hash collision (odds
+    ~n²/2^61) collapses the same pair of grams on both sides —
+    parity-safe by construction.
+
+    Materialize-once discipline: the gram stream feeds both the
+    shared-gram aggregate and a join-back, and the windowed slice+concat
+    explode is the dominant cost — recomputing it doubles the whole query
+    (measured 8-11s -> 5.4s at sf0.1).  Same checkpoint="local"|"reliable"
+    durability knob as the other materializing operators.
+    """
     words = F.split(normalize_text(F.col(text_col)), " ")
     windows = F.when(
         F.size(words) >= n,
@@ -634,48 +665,163 @@ def duplicated_ngram_spans(
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    # r6: grams shuffle as a 60-bit integer key — the first 15 hex chars
-    # of md5(gram) — instead of the ~50-char gram string.  Locally this is
-    # NEUTRAL (measured 4.0-4.5 s either way at sf0.1: the windowed
-    # slice+concat explode dominates); the win is at scale, where the two
-    # gram shuffles carry 8-byte integers instead of ~50-char strings.
-    # md5 exists on BOTH engines, so the oracle groups on the IDENTICAL key
-    # and any hash collision (odds ~n²/2^61) collapses the same pair of
-    # grams on both sides — parity-safe by construction; n_dup_grams
-    # counts distinct keys (== distinct grams up to that collision bound).
     grams = docs.select(
         F.col(id_col).alias("doc_id"), F.posexplode(windows).alias("pos", "gram")
     ).select(
         "doc_id", "pos",
         F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("bigint").alias("gkey"),
     )
-    # materialize-once discipline: the gram stream feeds BOTH the
-    # shared-gram aggregate and the join-back, and the windowed
-    # slice+concat explode is the dominant cost — recomputing it doubles
-    # the whole query (measured 8-11s -> 5.4s at sf0.1).  Same
-    # checkpoint="local"|"reliable" durability knob as the other
-    # materializing operators (operators/checkpoint.py).
     from esgopeta_spark.operators.checkpoint import materialize
 
-    grams = materialize(grams, checkpoint)
+    return materialize(grams, checkpoint)
+
+
+def _shared_gram_keys(
+    grams: DataFrame, min_docs: int, checkpoint: str, broadcast_max_rows: int
+) -> DataFrame:
+    """gkeys appearing in >= min_docs distinct docs, broadcast size-gated.
+
+    shared is data-dependent and unbounded, so the broadcast hint is
+    applied only under ``broadcast_max_rows`` (forced hints bypass
+    autoBroadcastJoinThreshold — the gate removes the OOM path; the
+    shuffle fallback can still be AQE-promoted).  Materializing it here is
+    not extra work — the join consumes it next and the count is O(1) on
+    the materialized blocks.
+    """
+    from esgopeta_spark.operators.checkpoint import materialize
+
     shared = (
         grams.groupBy("gkey")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
         .filter(F.col("n_docs") >= F.lit(int(min_docs)))
         .select("gkey")
     )
-    # size-gate the broadcast: shared is data-dependent and unbounded.
-    # Materializing it here is not extra work — the join consumes it next
-    # and the count is O(1) on the materialized blocks.
     shared = materialize(shared, checkpoint)
     if shared.count() <= int(broadcast_max_rows):
         shared = F.broadcast(shared)
+    return shared
+
+
+def duplicated_span_ranges(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint: str = "local",
+    broadcast_max_rows: int = 4_000_000,
+) -> DataFrame:
+    """The REMOVAL half of exact-substring dedup (Lee et al. 2022,
+    arXiv:2107.06499): merge overlapping/adjacent duplicated n-gram
+    windows into maximal spans and emit their exact coordinates —
+    ``(doc_id, span_id, start_word, end_word, start_char, end_char,
+    n_windows)`` — where word indices are 0-based positions in the
+    normalized text's whitespace tokens, ``end_*`` are EXCLUSIVE, and
+    char offsets index the NORMALIZED text (lowercased, whitespace
+    collapsed — the canonical form every dedup operator here shares).
+
+    ``duplicated_ngram_spans`` reports per-doc counts; this emits the
+    ranges a cleaning pass consumes (see ``remove_duplicated_spans``).
+
+    Scale shape: the gram stream and shared-gram set are the same
+    size-gated pipeline as ``duplicated_ngram_spans``; the merge step is
+    a classic gaps-and-islands over ONE window partitioned by doc_id
+    (running max of window-ends, island breaks where a window starts past
+    it) — a single extra shuffle keyed by doc, no self-join, no python.
+    Char offsets come from one join back to the docs relation projecting
+    only the word array (column-pruned scan).
+    """
+    grams = _positioned_grams(docs, n, text_col, id_col, checkpoint)
+    shared = _shared_gram_keys(grams, min_docs, checkpoint, broadcast_max_rows)
+    dup = grams.join(shared, "gkey").select("doc_id", "pos")
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(n)).over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = dup.withColumn(
+        "_new", F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    ).withColumn(
+        "span_id", F.sum("_new").over(w_doc.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = islands.groupBy("doc_id", "span_id").agg(
+        F.min("pos").alias("start_word"),
+        (F.max("pos") + F.lit(n)).alias("end_word"),
+        F.count(F.lit(1)).alias("n_windows"),
+    )
+    # char offsets in the normalized text: a prefix of k>0 words spans
+    # length(concat_ws(' ', first k words)) chars; word k starts one
+    # space later.  slice is 1-based; slice(words, 1, 0) = [] so the
+    # start_word=0 case folds into the same expression (length 0, no +1).
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    docw = docs.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
+    sw, ew = F.col("start_word"), F.col("end_word")
     return (
-        grams.join(shared, "gkey")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_dup_windows"),
-            F.countDistinct("gkey").alias("n_dup_grams"),
-            F.min("pos").alias("first_dup_pos"),
+        spans.join(docw, "doc_id")
+        .select(
+            "doc_id",
+            "span_id",
+            sw.cast("bigint").alias("start_word"),
+            ew.cast("bigint").alias("end_word"),
+            F.when(sw == 0, F.lit(0))
+            .otherwise(F.length(F.concat_ws(" ", F.slice(F.col("_w"), 1, sw))) + 1)
+            .cast("bigint")
+            .alias("start_char"),
+            F.length(F.concat_ws(" ", F.slice(F.col("_w"), 1, ew)))
+            .cast("bigint")
+            .alias("end_char"),
+            F.col("n_windows").cast("bigint").alias("n_windows"),
+        )
+    )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint: str = "local",
+    broadcast_max_rows: int = 4_000_000,
+) -> DataFrame:
+    """Apply exact-substring removal: drop every word inside a duplicated
+    span and re-join the survivors — the actual cleaning step of Lee et
+    al. 2022.  One row per input doc: ``(doc_id, clean_text, n_spans,
+    n_removed_words, n_kept_words)`` where clean_text is the normalized
+    text with span words removed (empty string when everything was
+    duplicated; the full normalized text when nothing was).
+
+    Scale shape: spans collapse to ONE bounded array per doc (spans per
+    doc <= n_words / 1, in practice tiny), joined LEFT onto docs so
+    clean docs pass through untouched; the word filter is a JVM-side
+    higher-order ``filter`` with an index lambda over that array — no
+    python, no explode of the full word stream.
+    """
+    spans = duplicated_span_ranges(
+        docs, n, min_docs, text_col, id_col, checkpoint, broadcast_max_rows
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("start_word", "end_word")).alias("_sp"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    base = docs.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
+    sp = F.coalesce(
+        F.col("_sp"),
+        F.array().cast("array<struct<start_word:bigint,end_word:bigint>>"),
+    )
+    kept = F.filter(
+        F.col("_w"),
+        lambda w, i: ~F.exists(
+            sp, lambda s: (i >= s["start_word"]) & (i < s["end_word"])
+        ),
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.concat_ws(" ", kept).alias("clean_text"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
+            (F.size("_w") - F.size(kept)).cast("bigint").alias("n_removed_words"),
+            F.size(kept).cast("bigint").alias("n_kept_words"),
         )
     )

@@ -819,6 +819,112 @@ def dedup_substring_spans(spark, sf):
     )
 
 
+# shared CTE prefix for the two span-extraction oracles: positioned word
+# 8-grams (60-bit md5 keys, identical to the Spark side), shared set,
+# gaps-and-islands merge of overlapping/adjacent windows into spans
+_SPAN_CTES = """
+    WITH d AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+      FROM documents),
+    g AS (
+      SELECT doc_id, i - 1 AS pos,
+             CAST(CAST(('0x' || substr(md5(array_to_string(w[i : i + 7], ' ')), 1, 15))
+                  AS UBIGINT) AS BIGINT) AS gkey
+      FROM (SELECT doc_id, w, UNNEST(range(1, len(w) - 6)) AS i
+            FROM d WHERE len(w) >= 8)),
+    shared AS (
+      SELECT gkey FROM g GROUP BY gkey HAVING COUNT(DISTINCT doc_id) >= 2),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS brk
+      FROM (SELECT g.doc_id, g.pos,
+                   MAX(g.pos + 8) OVER (PARTITION BY g.doc_id ORDER BY g.pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+            FROM g JOIN shared USING (gkey))),
+    sp AS (
+      SELECT doc_id, span_id, MIN(pos) AS start_word, MAX(pos) + 8 AS end_word,
+             COUNT(*) AS n_windows
+      FROM (SELECT doc_id, pos,
+                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+            FROM isl)
+      GROUP BY doc_id, span_id)
+"""
+
+
+@register(
+    "dedup_span_extract",
+    "G1,G2,G4,E5",
+    _SPAN_CTES
+    + """
+    SELECT sp.doc_id, CAST(sp.span_id AS BIGINT) AS span_id,
+           CAST(sp.start_word AS BIGINT) AS start_word,
+           CAST(sp.end_word AS BIGINT) AS end_word,
+           CAST(CASE WHEN sp.start_word = 0 THEN 0
+                ELSE len(array_to_string(d.w[1 : sp.start_word], ' ')) + 1
+                END AS BIGINT) AS start_char,
+           CAST(len(array_to_string(d.w[1 : sp.end_word], ' ')) AS BIGINT) AS end_char,
+           CAST(sp.n_windows AS BIGINT) AS n_windows
+    FROM sp JOIN d USING (doc_id)
+    """,
+    doc="span EXTRACTION for exact-substring dedup (the Lee et al. 2022 "
+    "removal prerequisite, arXiv:2107.06499): overlapping/adjacent duplicated "
+    "8-gram windows merge into maximal (doc_id, start, end) ranges in both "
+    "word and char coordinates of the normalized text — one gaps-and-islands "
+    "window over the dup-position stream, no self-join "
+    "(operators/dedup.py duplicated_span_ranges); integer-exact so the "
+    "DuckDB oracle hash-matches",
+)
+def dedup_span_extract(spark, sf):
+    from esgopeta_spark.operators.dedup import duplicated_span_ranges
+
+    return duplicated_span_ranges(T(spark, sf, "documents"), n=8, min_docs=2)
+
+
+@register(
+    "dedup_span_removal",
+    "G1,G2,G4,E5",
+    _SPAN_CTES
+    + """
+    , wpos AS (
+      SELECT doc_id, i - 1 AS p, w[i] AS word
+      FROM (SELECT doc_id, w, UNNEST(range(1, len(w) + 1)) AS i FROM d)),
+    drop_p AS (
+      SELECT doc_id, UNNEST(range(start_word, end_word)) AS p FROM sp),
+    kept AS (
+      SELECT wpos.doc_id, wpos.p, wpos.word
+      FROM wpos LEFT JOIN drop_p
+        ON wpos.doc_id = drop_p.doc_id AND wpos.p = drop_p.p
+      WHERE drop_p.p IS NULL),
+    agg AS (
+      SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id),
+    spn AS (
+      SELECT doc_id, COUNT(*) AS n_spans,
+             SUM(end_word - start_word) AS n_removed
+      FROM sp GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(agg.clean_text, '') AS clean_text,
+           CAST(COALESCE(spn.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(spn.n_removed, 0) AS BIGINT) AS n_removed_words,
+           CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept_words
+    FROM d LEFT JOIN agg USING (doc_id) LEFT JOIN spn USING (doc_id)
+    """,
+    doc="the exact-substring CLEANING pass (Lee et al. 2022): every word "
+    "inside a duplicated span dropped, survivors re-joined — one row per "
+    "input doc with the cleaned normalized text and removal counts.  Spans "
+    "collapse to one bounded array per doc joined LEFT onto the corpus; the "
+    "word filter is a JVM-side higher-order filter with an index lambda, no "
+    "python and no re-explode (operators/dedup.py remove_duplicated_spans)",
+)
+def dedup_span_removal(spark, sf):
+    from esgopeta_spark.operators.dedup import remove_duplicated_spans
+
+    return remove_duplicated_spans(T(spark, sf, "documents"), n=8, min_docs=2)
+
+
 def _pack_oracle() -> str:
     from esgopeta_spark.operators.text import TOKEN_REGEX
 

@@ -516,6 +516,110 @@ def test_duplicated_ngram_spans_vs_bruteforce(spark):
     assert 3 not in out and 4 not in out
 
 
+def _span_oracle(docs, n=8, min_docs=2):
+    """Pure-python exact-substring span computation: positioned n-grams,
+    shared set, merge overlapping/adjacent windows, char offsets in the
+    normalized text."""
+    from collections import Counter
+
+    norm = {i: " ".join(t.lower().split()) for i, t in docs}
+    words = {i: t.split(" ") for i, t in norm.items()}
+    grams = {
+        i: [" ".join(w[p : p + n]) for p in range(len(w) - n + 1)] if len(w) >= n else []
+        for i, w in words.items()
+    }
+    per_gram = Counter()
+    for i, gs in grams.items():
+        for g in set(gs):
+            per_gram[g] += 1
+    shared = {g for g, c in per_gram.items() if c >= min_docs}
+    spans = {}
+    for i, gs in grams.items():
+        hits = sorted(p for p, g in enumerate(gs) if g in shared)
+        merged = []
+        for p in hits:
+            if merged and p <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], p + n), merged[-1][2] + 1)
+            else:
+                merged.append((p, p + n, 1))
+        out = []
+        for sid, (s, e, nw) in enumerate(merged, start=1):
+            w = words[i]
+            sc = 0 if s == 0 else len(" ".join(w[:s])) + 1
+            ec = len(" ".join(w[:e]))
+            out.append((sid, s, e, sc, ec, nw))
+        spans[i] = out
+    return norm, words, spans
+
+
+def test_duplicated_span_ranges_vs_bruteforce(spark):
+    """Span EXTRACTION (the Lee et al. removal prerequisite): merged
+    (start_word, end_word, start_char, end_char) ranges must equal a
+    pure-python oracle, including overlap+adjacency merging and char
+    offsets into the normalized text."""
+    from esgopeta_spark.operators.dedup import duplicated_span_ranges
+
+    boiler = "all rights reserved this document is provided as is without warranty"
+    tail = "subscribe to our newsletter for more updates and exclusive offers today"
+    docs = [
+        (1, "alpha beta " + boiler + " gamma delta " + tail),
+        (2, boiler + " epsilon zeta eta " + tail),
+        (3, "totally unique words that nobody else shares in any window at all"),
+        (4, "short doc"),
+        # two ABUTTING shared passages -> windows chain into ONE span
+        (5, "intro words here " + boiler + " " + tail + " outro"),
+        (6, "other prefix " + boiler + " " + tail + " different end"),
+    ]
+    got = {}
+    rows = duplicated_span_ranges(
+        spark.createDataFrame(docs, ["doc_id", "text"]), n=8, min_docs=2
+    ).collect()
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append(
+            (r["span_id"], r["start_word"], r["end_word"], r["start_char"],
+             r["end_char"], r["n_windows"])
+        )
+    _, _, want = _span_oracle(docs)
+    for i in want:
+        assert sorted(got.get(i, [])) == want[i], f"doc {i}"
+    # char offsets slice the normalized text to real word boundaries
+    norm, _, spans = _span_oracle(docs)
+    for i, sps in spans.items():
+        for _, s, e, sc, ec, _ in sps:
+            assert norm[i][sc:ec] == " ".join(norm[i].split(" ")[s:e])
+
+
+def test_remove_duplicated_spans_cleans_text(spark):
+    """Cleaning pass: span words removed, survivors re-joined; clean docs
+    pass through; counts agree with the python oracle."""
+    from esgopeta_spark.operators.dedup import remove_duplicated_spans
+
+    boiler = "all rights reserved this document is provided as is without warranty"
+    docs = [
+        (1, "alpha beta " + boiler + " gamma delta"),
+        (2, boiler + " epsilon zeta eta theta iota kappa"),
+        (3, "totally unique words that nobody else shares in any window at all"),
+        (4, "UPPER  Case   whitespace doc"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicated_spans(
+            spark.createDataFrame(docs, ["doc_id", "text"]), n=8, min_docs=2
+        ).collect()
+    }
+    assert len(out) == 4  # one row per input doc, clean ones included
+    norm, words, spans = _span_oracle(docs)
+    for i, t in docs:
+        drop = {p for _, s, e, *_ in spans[i] for p in range(s, e)}
+        kept = [w for p, w in enumerate(words[i]) if p not in drop]
+        assert out[i]["clean_text"] == " ".join(kept)
+        assert out[i]["n_spans"] == len(spans[i])
+        assert out[i]["n_removed_words"] == len(drop)
+        assert out[i]["n_kept_words"] == len(words[i]) - len(drop)
+    assert out[3]["clean_text"] == norm[3]  # untouched, but normalized
+    assert out[4]["clean_text"] == "upper case whitespace doc"
+
+
 def test_pack_sequences_layout(spark):
     """Streaming-packer layout: id-ordered cumsum binning per source;
     a doc goes to the window where it starts; bins are contiguous."""

@@ -256,6 +256,25 @@ def test_substring_spans_broadcast_gate_falls_back_to_shuffle(spark):
     assert a == b and len(a) > 0
 
 
+def test_span_extract_plan_posture(spark, sf_dir):
+    """duplicated_span_ranges adds two join-shaped stages over the gram
+    pipeline (dup-positions x shared gkeys, spans x doc word arrays): both
+    must stay equi — no cartesian — and the islands merge must be a single
+    window, not a self-join.  remove_duplicated_spans folds spans to one
+    array per doc and must also stay cartesian-free."""
+    from esgopeta_spark.plans import REGISTRY
+
+    p = plan_of(REGISTRY["dedup_span_extract"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    import re
+
+    # running-max prev_end + span_id cumsum, counted as distinct plan nodes
+    # (the formatted plan prints each node in both tree and detail sections)
+    assert len(re.findall(r"\(\d+\) Window", p)) == 2, p
+    p2 = plan_of(REGISTRY["dedup_span_removal"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p2 and "BroadcastNestedLoopJoin" not in p2, p2
+
+
 def test_bfs_round_join_is_equi(spark, sf_dir):
     """Each BFS round = frontier(equi-join on src)edges + left-anti visited
     check; neither may degenerate into a nested-loop shape."""
