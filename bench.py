@@ -75,6 +75,9 @@ HEADLINE = [
     "graph_kcore_members",
     "ts_gapfill_daily_locf",
     "multimodal_decode_mp2_audio",
+    # round-8 flagship: REAL MPEG-1 Layer III round trip (Huffman + bit
+    # reservoir + hybrid MDCT); mp2 stays for round-over-round comparability
+    "multimodal_decode_mp3_audio",
 ]
 
 

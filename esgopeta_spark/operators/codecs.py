@@ -10,11 +10,14 @@ sampling factors to 2x2 incl. 4:2:0, restart markers, per-image
 canonical Huffman on encode), and GIF (from-scratch variable-width LZW,
 87a/89a, interlace).  Compressed AUDIO/VIDEO containers (mp3/mp4) get
 real METADATA parsing (ISO BMFF box walk, MPEG frame-header scan) —
-duration/dims/rates for corpus stats and filtering — and mp4 video
-frames DECODE for real for the Motion-JPEG subset
-(``decode_mjpeg_frames``: sample-table walk + the from-scratch JPEG
-codec per sample); h264/hevc frames and mp3 samples remain behind the
-needs-codec guard in operators.multimodal.
+duration/dims/rates for corpus stats and filtering — mp4 video frames
+DECODE for real for the Motion-JPEG subset (``decode_mjpeg_frames``:
+sample-table walk + the from-scratch JPEG codec per sample), and MPEG-1
+audio samples DECODE for real for all three layers
+(operators/mpeg1_audio.py; Layer III incl. Huffman regions, bit
+reservoir, hybrid IMDCT, MS stereo); h264/hevc frames and
+intensity-stereo audio remain behind the needs-codec guard in
+operators.multimodal.
 
 Everything here is plain bytes->ndarray (and back) so the same functions
 run inside Arrow-batched mapInPandas kernels on executors and in local
@@ -762,8 +765,9 @@ def decode_gif(b: bytes) -> np.ndarray:
 # Compressed-container METADATA parsers — mp4 (ISO BMFF box walk) and mp3
 # (frame-header scan).  Pipelines routinely need duration/dims for corpus
 # stats and filtering long before any sample decode; these read the
-# container structure only.  Frame/sample DECODE for these formats stays
-# behind the needs-codec guard.
+# container structure only.  (MPEG-1 audio samples — all three layers —
+# decode for real via decode_mpeg1_audio below; mp4 h264/hevc sample
+# decode stays behind the needs-codec guard.)
 # ---------------------------------------------------------------------------
 
 
@@ -1226,28 +1230,34 @@ def decode_mjpeg_frames(b: bytes, max_frames: int | None = None) -> list:
 
 
 # ---------------------------------------------------------------------------
-# MPEG-1 audio Layer I/II SAMPLE decode (operators/mpeg1_audio.py): the
-# former needs-codec guard for compressed audio now only covers Layer III
-# (Huffman/IMDCT out of scope).  Quarantined like every decoder here.
+# MPEG-1 audio Layer I/II/III SAMPLE decode (operators/mpeg1_audio.py).
+# Quarantined like every decoder here.
 # ---------------------------------------------------------------------------
 
 
 @_quarantine
-def encode_mpeg1_audio(samples, sample_rate: int, layer: int = 2, bitrate_kbps=None) -> bytes:
+def encode_mpeg1_audio(
+    samples, sample_rate: int, layer: int = 2, bitrate_kbps=None,
+    use_short_blocks: bool = False, ms_stereo: bool = False,
+) -> bytes:
     """Int16 PCM — mono ``(n,)`` or stereo ``(n, 2)`` — to MPEG-1 Layer
-    I/II frames (see mpeg1_audio.py for the spec-faithful bitstream
-    layout and the documented filterbank / allocation-table
-    deviations)."""
+    I/II/III frames (see mpeg1_audio.py for the spec-faithful bitstream
+    layout and the documented filterbank / table deviations).  The Layer
+    III flags drive the window-switching schedule and MS joint stereo."""
     from esgopeta_spark.operators import mpeg1_audio
 
-    return mpeg1_audio.encode_mpeg1_audio(samples, sample_rate, layer, bitrate_kbps)
+    return mpeg1_audio.encode_mpeg1_audio(
+        samples, sample_rate, layer, bitrate_kbps,
+        use_short_blocks=use_short_blocks, ms_stereo=ms_stereo,
+    )
 
 
 @_quarantine
 def decode_mpeg1_audio(b: bytes):
-    """MPEG-1 Layer I/II frames (ID3v2-tagged ok) -> (int16 PCM — mono
-    ``(n,)`` or stereo ``(n, 2)`` — and sample_rate).  Layer III / joint
-    stereo raise ValueError('needs-codec...')."""
+    """MPEG-1 Layer I/II/III frames (ID3v2-tagged ok) -> (int16 PCM —
+    mono ``(n,)`` or stereo ``(n, 2)`` — and sample_rate).  Layer III
+    decodes through the bit reservoir + hybrid IMDCT; intensity stereo
+    and Layer I/II joint modes raise ValueError('needs-codec...')."""
     from esgopeta_spark.operators import mpeg1_audio
 
     return mpeg1_audio.decode_mpeg1_audio(b)

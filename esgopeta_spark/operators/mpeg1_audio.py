@@ -1,6 +1,8 @@
-"""From-scratch MPEG-1 audio (ISO/IEC 11172-3) Layer I / Layer II
-subband codec — the real sample-decode path behind the corpus
-pipeline's former ``needs-codec`` guard for compressed audio.
+"""From-scratch MPEG-1 audio (ISO/IEC 11172-3) Layer I / II / III
+codec — the real sample-decode path behind the corpus pipeline's former
+``needs-codec`` guard for compressed audio.  (Layer III — Huffman
+coding, bit reservoir, hybrid MDCT — lives in the "Layer III" section
+below with its own spec-faithfulness/deviation notes.)
 
 What is spec-faithful here (the bitstream layer):
 
@@ -120,6 +122,12 @@ class _BitW:
             self.n -= 8
             self.buf.append((self.acc >> self.n) & 0xFF)
 
+    def extend(self, other: "_BitW"):
+        for byte in other.buf:
+            self.put(byte, 8)
+        if other.n:
+            self.put(other.acc & ((1 << other.n) - 1), other.n)
+
     def pad_to(self, total_bytes: int):
         if self.n:
             self.put(0, 8 - self.n)
@@ -209,6 +217,7 @@ def parse_header(h: bytes) -> dict:
         layer=layer, sample_rate=rate, bitrate=bitrate,
         frame_bytes=frame_bytes, mono=mono, padding=padding,
         n_channels=1 if mono else 2, joint=mode == 0b01,
+        mode_ext=(h[3] >> 4) & 0x3, crc=(h[1] & 1) == 0,
     )
 
 
@@ -448,8 +457,809 @@ def _decode_frame_l2(r: _BitR, nch: int = 1) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# public entry points (int16 PCM in/out, mono or stereo)
+# Layer III (mp3)
+#
+# Spec-faithful (ISO/IEC 11172-3 2.4.1.7 / 2.4.2.7 bitstream layer):
+# side-info layout (main_data_begin, scfsi, and per-granule part2_3_length,
+# big_values, global_gain, scalefac_compress, window-switching block with
+# block_type / mixed_block_flag / subblock_gain, region counts, preflag,
+# scalefac_scale, count1table_select), the bit RESERVOIR (main_data_begin
+# back-pointer into previous frames' main-data areas, 511-byte horizon),
+# scalefactor coding (slen1/slen2 pairs of Table B.8 via scalefac_compress,
+# long 11+10 split, short 6+6 per window, scfsi groups), the big_values /
+# count1 / rzero spectrum partition with linbits escapes and sign bits,
+# count1 table B (4 explicit bits, value = inverted code), requantization
+# ``|ix|^(4/3) * 2^((global_gain-210)/4 - (scalefac_scale+1)/2 *
+# (scalefac + preflag*pretab))`` with ``2^(-2*subblock_gain)`` for short
+# windows, the scalefactor-band edge tables per sample rate, antialias
+# butterflies (the 8 ci coefficients, cs=1/sqrt(1+ci^2), ca=ci*cs), the
+# hybrid filterbank (36/12-point MDCT, sine windows for block types
+# 0/1/2/3, TDAC overlap-add, short-block reordering, frequency inversion
+# of odd samples in odd subbands), and MS joint stereo
+# (mode 01, mode_extension bit 1: l=(m+s)/sqrt2, r=(m-s)/sqrt2).
+#
+# Documented deviations (same policy as the Layer I/II section above —
+# small spec tables are retyped, the large ones are not reproducible
+# here, and no external conformance decoder exists in this container):
+#
+# - Huffman CODE TABLES: the ~4000 codeword bit patterns of Table B.7
+#   are replaced by deterministic canonical Huffman codes built at import
+#   over the SAME alphabets the spec uses ((x, y) pairs with per-table
+#   max value and linbits escape; count1 quadruples for table A) from a
+#   fixed geometric frequency model, ties broken by symbol order.  The
+#   table-select ladder (indices, escape linbits) mirrors the spec's
+#   structure; decoding a third-party stream would need the B.7 patterns
+#   dropped into _HUFF_SPECS.
+# - the encoder's quantization loop is a deterministic one-shot
+#   (global_gain from the granule peak, per-band scalefactors boosting
+#   quiet bands, no psychoacoustic iteration), standing in for the
+#   spec's inner/outer rate loop exactly like the Layer II waterfill.
+# - the synthesis back-end is the shared MDCT filterbank of this module
+#   (see the module docstring), not the 512-tap pseudo-QMF.
 # ---------------------------------------------------------------------------
+
+# scalefactor-band edges (spec Annex B Table B.8 layout; 44.1 / 48 / 32 kHz
+# in SAMPLE_RATES order) — 22 long bands + terminal edge, 13 short + edge
+SFB_LONG = [
+    [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110, 134, 162,
+     196, 238, 288, 342, 418, 576],
+    [0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60, 72, 88, 106, 128, 156,
+     190, 230, 276, 330, 384, 576],
+    [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126, 156, 194,
+     240, 296, 364, 448, 576],
+]
+SFB_SHORT = [
+    [0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192],
+    [0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192],
+    [0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192],
+]
+# preemphasis table, one entry per long scalefactor band (Table B.6)
+PRETAB = [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2, 0]
+# scalefac_compress -> (slen1, slen2) (Table B.8 "slen" columns)
+SLEN = [(0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
+        (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3)]
+# antialias butterfly coefficients: ci -> cs = 1/sqrt(1+ci^2), ca = ci*cs
+_AA_CI = np.array([-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142, -0.0037])
+_AA_CS = 1.0 / np.sqrt(1.0 + _AA_CI * _AA_CI)
+_AA_CA = _AA_CI * _AA_CS
+
+_L3_SPF = 1152  # samples per frame = 2 granules x 18 x 32
+_L3_MAXV = 8191  # largest |ix| (15 + 13-bit linbits escape)
+
+
+def _imdct_mat(n: int) -> np.ndarray:
+    """n/2-line IMDCT basis: out[t] = sum_k X[k] cos(pi/(2n) (2t+1+n/2)(2k+1))."""
+    t = np.arange(n)[:, None]
+    k = np.arange(n // 2)[None, :]
+    return np.cos(np.pi / (2 * n) * (2 * t + 1 + n // 2) * (2 * k + 1))
+
+
+_IMDCT36 = _imdct_mat(36)
+_IMDCT12 = _imdct_mat(12)
+# forward MDCTs scaled so IMDCT(MDCT(x)) + TDAC overlap-add reconstructs x
+_MDCT36 = _IMDCT36.T * (4.0 / 36.0)
+_MDCT12 = _IMDCT12.T * (4.0 / 12.0)
+
+
+def _l3_window(block_type: int) -> np.ndarray:
+    """36-sample window for block types 0/1/3; 12-sample for type 2 (the
+    caller tiles it).  Sine windows per spec 2.4.3.4.10.3."""
+    n = np.arange(36)
+    long_w = np.sin(np.pi / 36 * (n + 0.5))
+    short_w = np.sin(np.pi / 12 * (np.arange(12) + 0.5))
+    if block_type == 0:
+        return long_w
+    if block_type == 2:
+        return short_w
+    w = long_w.copy()
+    if block_type == 1:  # start: long rise, flat, short fall, zero
+        w[18:24] = 1.0
+        w[24:30] = short_w[6:]
+        w[30:] = 0.0
+    else:  # 3, stop: zero, short rise, flat, long fall
+        w[:6] = 0.0
+        w[6:12] = short_w[:6]
+        w[12:18] = 1.0
+    return w
+
+
+_L3_WIN = {bt: _l3_window(bt) for bt in range(4)}
+
+
+# -- canonical Huffman codes (the documented Table B.7 deviation) -----------
+
+
+def _canonical_codes(n_syms: int, weight) -> list[tuple[int, int]]:
+    """Deterministic canonical Huffman code: build lengths with a heap
+    over ``weight(sym)`` (ties by insertion order), then reassign codes
+    canonically by (length, symbol).  Returns [(code, length)] per symbol."""
+    import heapq
+
+    if n_syms == 1:
+        return [(0, 1)]
+    heap = [(float(weight(s)), s, ("leaf", s)) for s in range(n_syms)]
+    heapq.heapify(heap)
+    counter = n_syms
+    while len(heap) > 1:
+        f1, _, t1 = heapq.heappop(heap)
+        f2, _, t2 = heapq.heappop(heap)
+        heapq.heappush(heap, (f1 + f2, counter, ("node", t1, t2)))
+        counter += 1
+    lengths = [0] * n_syms
+    stack = [(heap[0][2], 0)]
+    while stack:
+        t, d = stack.pop()
+        if t[0] == "leaf":
+            lengths[t[1]] = max(1, d)
+        else:
+            stack.append((t[1], d + 1))
+            stack.append((t[2], d + 1))
+    order = sorted(range(n_syms), key=lambda s: (lengths[s], s))
+    out = [(0, 0)] * n_syms
+    code, prev_len = 0, 0
+    for s in order:
+        code <<= lengths[s] - prev_len
+        prev_len = lengths[s]
+        out[s] = (code, lengths[s])
+        code += 1
+    return out
+
+
+class _HuffTable:
+    """One big-values table: (x, y) pair alphabet with ``maxv`` cap and
+    ``linbits`` escape bits for values >= maxv (escape tables use
+    maxv = 15 like the spec's)."""
+
+    def __init__(self, maxv: int, linbits: int):
+        self.maxv = maxv
+        self.linbits = linbits
+        n = maxv + 1
+        codes = _canonical_codes(n * n, lambda s: 2.0 ** (-(s // n + s % n)))
+        self.enc = {(s // n, s % n): c for s, c in enumerate(codes)}
+        self.dec = {c: (s // n, s % n) for s, c in enumerate(codes)}
+        self.max_len = max(l for _, l in codes)
+
+
+# table-select ladder: plain tables cover small maxima, escape tables pair
+# maxv=15 with growing linbits (structure of spec tables 16..31)
+_HUFF_SPECS = {1: (1, 0), 2: (2, 0), 3: (3, 0), 5: (4, 0), 7: (6, 0),
+               9: (8, 0), 13: (15, 0),
+               16: (15, 1), 17: (15, 2), 18: (15, 3), 19: (15, 4),
+               20: (15, 6), 21: (15, 8), 22: (15, 10), 23: (15, 13)}
+_HUFF: dict[int, _HuffTable] = {}
+
+
+def _huff(idx: int) -> _HuffTable:
+    t = _HUFF.get(idx)
+    if t is None:
+        t = _HUFF[idx] = _HuffTable(*_HUFF_SPECS[idx])
+    return t
+
+
+def _pick_table(region_max: int) -> int:
+    """Smallest table covering ``region_max`` (real encoders choose the
+    same way: cheapest table whose range fits the region's peak)."""
+    for idx in (1, 2, 3, 5, 7, 9, 13):
+        if region_max <= _HUFF_SPECS[idx][0]:
+            return idx
+    for idx in (16, 17, 18, 19, 20, 21, 22, 23):
+        if region_max <= 15 + (1 << _HUFF_SPECS[idx][1]) - 1:
+            return idx
+    raise ValueError("spectral value exceeds the 13-linbits escape range")
+
+
+class _Count1A:
+    """count1 table A: canonical code over the 16 (v,w,x,y) quadruples."""
+
+    def __init__(self):
+        codes = _canonical_codes(16, lambda s: 2.0 ** (-bin(s).count("1")))
+        self.enc = dict(enumerate(codes))
+        self.dec = {c: s for s, c in enumerate(codes)}
+
+
+_COUNT1A = _Count1A()
+
+
+def _read_huff(r: "_BitR", dec: dict, max_len: int) -> tuple[int, int] | int:
+    code, length = 0, 0
+    while length <= max_len:
+        code = (code << 1) | r.get(1)
+        length += 1
+        sym = dec.get((code, length))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _short_reorder(ridx: int) -> np.ndarray:
+    """coded-order -> natural-order permutation for short-block granules:
+    coded lines iterate (short sfb, window, freq-in-band); natural lines
+    iterate (subband, window, mdct-line) with freq = sb*6 + line."""
+    edges = SFB_SHORT[ridx]
+    perm = np.empty(576, dtype=np.int64)
+    i = 0
+    for b in range(len(edges) - 1):
+        for w in range(3):
+            for f in range(edges[b], edges[b + 1]):
+                perm[i] = (f // 6) * 18 + w * 6 + (f % 6)
+                i += 1
+    return perm
+
+
+_REORDER = {r: _short_reorder(r) for r in range(3)}
+
+
+def _band_map_long(ridx: int) -> np.ndarray:
+    edges = SFB_LONG[ridx]
+    m = np.empty(576, dtype=np.int64)
+    for b in range(len(edges) - 1):
+        m[edges[b] : edges[b + 1]] = b
+    return m
+
+
+def _band_map_short(ridx: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per CODED line: (short sfb index, window index)."""
+    edges = SFB_SHORT[ridx]
+    band = np.empty(576, dtype=np.int64)
+    win = np.empty(576, dtype=np.int64)
+    i = 0
+    for b in range(len(edges) - 1):
+        for w in range(3):
+            n = edges[b + 1] - edges[b]
+            band[i : i + n] = b
+            win[i : i + n] = w
+            i += n
+    return band, win
+
+
+_BMAP_LONG = {r: _band_map_long(r) for r in range(3)}
+_BMAP_SHORT = {r: _band_map_short(r) for r in range(3)}
+
+# long-block scalefactor slot count per slen group; short uses 6 bands x 3
+_N_SF_LONG = 21  # sfbs 0..20 (the last band has no scalefactor)
+_SCFSI_GROUPS = [(0, 6), (6, 11), (11, 16), (16, 21)]
+
+
+def _sf_multiplier(
+    ridx: int, block_type: int, global_gain: int, scalefac_scale: int,
+    preflag: int, sf: np.ndarray, subblock_gain,
+) -> np.ndarray:
+    """Per-CODED-line requantization multiplier (vectorized)."""
+    step = 0.5 * (scalefac_scale + 1)
+    if block_type == 2:
+        band, win = _BMAP_SHORT[ridx]
+        sbg = np.asarray(subblock_gain, dtype=np.float64)[win]
+        sfv = np.zeros(576)
+        nb = sf.shape[0]  # 12 coded short bands
+        live = band < nb
+        sfv[live] = sf[band[live], win[live]]
+        return np.power(2.0, (global_gain - 210.0 - 8.0 * sbg) / 4.0 - step * sfv)
+    band = _BMAP_LONG[ridx]
+    sfv = np.zeros(576)
+    live = band < _N_SF_LONG
+    pre = np.asarray(PRETAB, dtype=np.float64)
+    sfv[live] = sf[band[live]] + preflag * pre[band[live]]
+    return np.power(2.0, (global_gain - 210.0) / 4.0 - step * sfv)
+
+
+def _write_granule(
+    w: _BitW, ix: np.ndarray, block_type: int, slen1: int, slen2: int,
+    sf: np.ndarray, ridx: int,
+) -> dict:
+    """Scalefactors + Huffman data for one granule-channel into ``w``
+    (CODED-order quantized lines ``ix``).  Returns the side-info params."""
+    start = w.n + 8 * len(w.buf)
+    # part2: scalefactors
+    if block_type == 2:
+        for b in range(12):
+            for wi in range(3):
+                w.put(int(sf[b, wi]), slen1 if b < 6 else slen2)
+    else:
+        for b in range(_N_SF_LONG):
+            w.put(int(sf[b]), slen1 if b < 11 else slen2)
+    # spectrum partition: rzero / count1 quadruples / big_values pairs
+    absix = np.abs(ix)
+    ie = 576
+    while ie >= 2 and absix[ie - 1] == 0 and absix[ie - 2] == 0:
+        ie -= 2
+    c1 = ie
+    while c1 >= 4 and absix[c1 - 4 : c1].max(initial=0) <= 1:
+        c1 -= 4
+    big_values = c1 // 2
+    # regions (long: sfb-edge boundaries at region counts 7/7; short: the
+    # fixed 36-line region0 of window-switching granules)
+    if block_type == 0:
+        edges = SFB_LONG[ridx]
+        r0c, r1c = 7, 7
+        e0 = min(edges[r0c + 1], c1)
+        e1 = min(edges[r0c + r1c + 2], c1)
+    else:
+        r0c, r1c = 7, 7  # fields unused for window switching
+        e0, e1 = min(36, c1), c1
+    bounds = [0, e0, e1, c1]
+    tsel = []
+    for reg in range(3):
+        lo, hi = bounds[reg], bounds[reg + 1]
+        rmax = int(absix[lo:hi].max(initial=0))
+        tsel.append(0 if rmax == 0 else _pick_table(rmax))
+    if block_type != 0:
+        tsel = tsel[:2]
+    for reg, t in enumerate(tsel):
+        lo, hi = bounds[reg], bounds[reg + 1]
+        if t == 0:
+            if absix[lo:hi].max(initial=0) != 0:
+                raise ValueError("table 0 over nonzero region")
+            continue
+        tab = _huff(t)
+        esc = tab.linbits
+        for i in range(lo, hi, 2):
+            x, y = int(absix[i]), int(absix[i + 1])
+            cx, cy = min(x, 15) if esc else x, min(y, 15) if esc else y
+            code, bits = tab.enc[(cx, cy)]
+            w.put(code, bits)
+            for off, (v, c) in enumerate(((x, cx), (y, cy))):
+                if esc and c == 15:
+                    w.put(v - 15, esc)
+                if v != 0:
+                    w.put(1 if ix[i + off] < 0 else 0, 1)
+    # count1: cost-pick table A (canonical) vs B (4 explicit bits, ~code)
+    quads = [(int(absix[i]), int(absix[i + 1]), int(absix[i + 2]), int(absix[i + 3]))
+             for i in range(c1, ie, 4)]
+    cost_a = sum(_COUNT1A.enc[(q[0] << 3) | (q[1] << 2) | (q[2] << 1) | q[3]][1]
+                 for q in quads)
+    use_b = 4 * len(quads) < cost_a
+    for qi, q in enumerate(quads):
+        sym = (q[0] << 3) | (q[1] << 2) | (q[2] << 1) | q[3]
+        if use_b:
+            w.put(~sym & 0xF, 4)
+        else:
+            code, bits = _COUNT1A.enc[sym]
+            w.put(code, bits)
+        base = c1 + 4 * qi
+        for j in range(4):
+            if q[j]:
+                w.put(1 if ix[base + j] < 0 else 0, 1)
+    p23 = w.n + 8 * len(w.buf) - start
+    if p23 > 4095:
+        raise ValueError("granule too dense for a 12-bit part2_3_length")
+    return dict(
+        part2_3_length=p23, big_values=big_values,
+        region0_count=r0c, region1_count=r1c,
+        table_select=tsel + [0] * (3 - len(tsel)),
+        count1table_select=1 if use_b else 0,
+    )
+
+
+def _read_granule(
+    r: _BitR, gr_start: int, g: dict, ridx: int, scfsi: int, prev_sf,
+) -> tuple[np.ndarray, np.ndarray]:
+    """One granule-channel: scalefactors + spectrum from the reservoir
+    reader.  Returns (coded-order xr BEFORE requant multipliers as signed
+    ints, scalefactor array) — requant happens in the caller."""
+    slen1, slen2 = SLEN[g["scalefac_compress"]]
+    bt = g["block_type"] if g["window_switching"] else 0
+    if bt == 2:
+        sf = np.zeros((12, 3), dtype=np.int64)
+        for b in range(12):
+            for wi in range(3):
+                n = slen1 if b < 6 else slen2
+                sf[b, wi] = r.get(n) if n else 0
+    else:
+        sf = np.zeros(_N_SF_LONG, dtype=np.int64)
+        for gi, (lo, hi) in enumerate(_SCFSI_GROUPS):
+            if scfsi & (8 >> gi) and prev_sf is not None:
+                sf[lo:hi] = prev_sf[lo:hi]
+            else:
+                for b in range(lo, hi):
+                    n = slen1 if b < 11 else slen2
+                    sf[b] = r.get(n) if n else 0
+    ix = np.zeros(576, dtype=np.int64)
+    bv2 = 2 * g["big_values"]
+    if bv2 > 576:
+        raise ValueError("big_values exceeds the spectrum")
+    if bt == 0:
+        edges = SFB_LONG[ridx]
+        e0 = min(edges[g["region0_count"] + 1], bv2)
+        e1 = min(edges[min(g["region0_count"] + g["region1_count"] + 2, 22)], bv2)
+    else:
+        e0, e1 = min(36, bv2), bv2
+    bounds = [0, e0, e1, bv2]
+    for reg in range(3):
+        lo, hi = bounds[reg], bounds[reg + 1]
+        t = g["table_select"][reg]
+        if t == 0:
+            continue
+        if t not in _HUFF_SPECS:
+            raise ValueError("reserved Huffman table index")
+        tab = _huff(t)
+        for i in range(lo, hi, 2):
+            x, y = _read_huff(r, tab.dec, tab.max_len)
+            vals = []
+            for v in (x, y):
+                if tab.linbits and v == 15:
+                    v += r.get(tab.linbits)
+                if v:
+                    v = -v if r.get(1) else v
+                vals.append(v)
+            ix[i], ix[i + 1] = vals
+    # count1 region: quadruples until the granule's bit budget is spent
+    p23 = g["part2_3_length"]
+    line = bv2
+    dec_b = g["count1table_select"]
+    while r.pos - gr_start < p23 and line + 4 <= 576:
+        if dec_b:
+            sym = ~r.get(4) & 0xF
+        else:
+            sym = _read_huff(r, _COUNT1A.dec, 19)
+        vals = [(sym >> 3) & 1, (sym >> 2) & 1, (sym >> 1) & 1, sym & 1]
+        for j, v in enumerate(vals):
+            if v:
+                ix[line + j] = -1 if r.get(1) else 1
+        line += 4
+    if r.pos - gr_start > p23:
+        raise ValueError("part2_3_length overrun")
+    r.pos = gr_start + p23  # skip padding/stuffing bits
+    return ix, sf
+
+
+def _antialias(nat: np.ndarray, inverse: bool = False) -> np.ndarray:
+    """Alias-reduction butterflies across the 31 subband boundaries
+    (8 lines each side, rotation by (cs, ca)); ``inverse=True`` is the
+    encoder's transposed rotation."""
+    x = nat.copy()
+    i = np.arange(8)
+    for sb in range(1, M):
+        u = x[sb * 18 - 1 - i].copy()
+        d = x[sb * 18 + i].copy()
+        if inverse:
+            x[sb * 18 - 1 - i] = _AA_CS * u + _AA_CA * d
+            x[sb * 18 + i] = -_AA_CA * u + _AA_CS * d
+        else:
+            x[sb * 18 - 1 - i] = _AA_CS * u - _AA_CA * d
+            x[sb * 18 + i] = _AA_CA * u + _AA_CS * d
+    return x
+
+
+_SQRT2 = np.sqrt(2.0)
+
+
+def _hybrid_mdct_fwd(x36: np.ndarray, bt: int) -> np.ndarray:
+    """(32, 36) windowed subband samples -> 576 natural-order lines."""
+    out = np.empty(576)
+    if bt == 2:
+        for sb in range(M):
+            for w in range(3):
+                seg = x36[sb, 6 + 6 * w : 18 + 6 * w] * _L3_WIN[2]
+                out[sb * 18 + w * 6 : sb * 18 + w * 6 + 6] = _MDCT12 @ seg
+    else:
+        win = _L3_WIN[bt]
+        out[:] = ((x36 * win[None, :]) @ _MDCT36.T).reshape(-1)
+    return out
+
+
+def _hybrid_imdct(nat: np.ndarray, bt: int, overlap_ch: np.ndarray) -> np.ndarray:
+    """576 natural-order lines -> (32, 18) subband samples via windowed
+    IMDCT + TDAC overlap-add; ``overlap_ch`` (32, 18) holds each
+    subband's ramp-out and is updated in place."""
+    x = nat.reshape(M, 18)
+    if bt == 2:
+        y = np.zeros((M, 36))
+        for w in range(3):
+            y[:, 6 + 6 * w : 18 + 6 * w] += (
+                x[:, w * 6 : w * 6 + 6] @ _IMDCT12.T
+            ) * _L3_WIN[2][None, :]
+    else:
+        y = (x @ _IMDCT36.T) * _L3_WIN[bt][None, :]
+    out = y[:, :18] + overlap_ch
+    overlap_ch[:] = y[:, 18:]
+    return out
+
+
+def _quantize_granule(
+    xr: np.ndarray, bt: int, ridx: int, gg_bump: int = 0
+) -> tuple[np.ndarray, int, np.ndarray]:
+    """Deterministic one-shot quantization of CODED-order lines: pick
+    global_gain from the granule peak (largest |ix| <= 8191), boost
+    scalefactor bands sitting >= 2^12 below the peak with positive
+    scalefactors (the -24 offset in half-steps; bounded by the slen caps
+    and so the boosted peak never exceeds the granule peak — boosting
+    EVERY quiet band to full scale would escape-code the leakage floor
+    and blow the 12-bit part2_3_length).  Returns (ix, global_gain, sf)."""
+    absxr = np.abs(xr)
+    gmax = float(absxr.max(initial=0.0))
+    if gmax <= 0.0:
+        if bt == 2:
+            return np.zeros(576, dtype=np.int64), 210, np.zeros((12, 3), dtype=np.int64)
+        return np.zeros(576, dtype=np.int64), 210, np.zeros(_N_SF_LONG, dtype=np.int64)
+    need = gmax / (float(_L3_MAXV) ** (4.0 / 3.0))
+    gg = int(np.clip(210 + np.ceil(4.0 * np.log2(need)) + gg_bump, 0, 255))
+    gain = 2.0 ** ((gg - 210) / 4.0)
+    if bt == 2:
+        band, win = _BMAP_SHORT[ridx]
+        bmax = np.zeros((13, 3))
+        np.maximum.at(bmax, (band, win), absxr)
+        sf = np.zeros((12, 3), dtype=np.int64)
+        live = bmax[:12] > 0
+        caps = np.where(np.arange(12)[:, None] < 6, 15, 7)
+        with np.errstate(divide="ignore"):
+            boost = np.floor(2.0 * np.log2(np.where(live, gmax / bmax[:12], 1.0))) - 24.0
+        sf[live] = np.minimum(caps, np.maximum(0.0, boost)).astype(np.int64)[live]
+        sfv = np.zeros(576)
+        mm = band < 12
+        sfv[mm] = sf[band[mm], win[mm]]
+    else:
+        band = _BMAP_LONG[ridx]
+        bmax = np.zeros(22)
+        np.maximum.at(bmax, band, absxr)
+        sf = np.zeros(_N_SF_LONG, dtype=np.int64)
+        live = bmax[:_N_SF_LONG] > 0
+        caps = np.where(np.arange(_N_SF_LONG) < 11, 15, 7)
+        with np.errstate(divide="ignore"):
+            boost = np.floor(2.0 * np.log2(np.where(live, gmax / bmax[:_N_SF_LONG], 1.0))) - 24.0
+        sf[live] = np.minimum(caps, np.maximum(0.0, boost)).astype(np.int64)[live]
+        sfv = np.zeros(576)
+        mm = band < _N_SF_LONG
+        sfv[mm] = sf[band[mm]]
+    ix = np.rint((absxr * np.power(2.0, 0.5 * sfv) / gain) ** 0.75).astype(np.int64)
+    ix = np.minimum(ix, _L3_MAXV)
+    return np.where(xr < 0, -ix, ix), gg, sf
+
+
+def _encode_l3_stream(
+    subs: np.ndarray, sample_rate: int, bitrate_kbps: int,
+    use_short_blocks: bool = False, ms_stereo: bool = False,
+) -> bytes:
+    """(nch, 32, T) frequency-inverted subband samples -> Layer III frame
+    sequence with a live bit reservoir (main_data_begin back-pointers,
+    stuffing past the 511-byte horizon)."""
+    nch = subs.shape[0]
+    ridx = SAMPLE_RATES.index(sample_rate)
+    bidx = L3_BITRATES.index(bitrate_kbps)
+    # pad so every content column gets its MDCT ramp-out granule
+    t_cols = subs.shape[2]
+    n_frames = -(-(t_cols + 18) // 36)
+    subs = np.concatenate(
+        [subs, np.zeros((nch, M, n_frames * 36 - t_cols))], axis=2
+    )
+    side_bytes = 17 if nch == 1 else 32
+    # frame sizes with the padding-bit accumulator (as for Layer I/II)
+    slots_num = 144 * bitrate_kbps * 1000
+    base_slots = slots_num // sample_rate
+    rest = 0
+    frame_sizes, paddings = [], []
+    for _ in range(n_frames):
+        rest += slots_num % sample_rate
+        pad = 1 if rest >= sample_rate else 0
+        rest -= sample_rate if pad else 0
+        frame_sizes.append(base_slots + pad)
+        paddings.append(pad)
+    caps = [fb - 4 - side_bytes for fb in frame_sizes]
+    if min(caps) <= 0:
+        raise ValueError("bitrate too low for Layer III side info")
+    # encode every frame's main data + side params, with the spec's
+    # rate-control loop, simplified: coarsen global_gain in 8-step (x4
+    # quantizer) bumps until (a) each granule fits its 12-bit
+    # part2_3_length and (b) the whole frame's main data fits its own
+    # capacity plus whatever the bit reservoir currently holds —
+    # transient-dense granules (hard onsets) cannot ship at full 13-bit
+    # resolution, exactly why real encoders carry this loop
+    blobs: list[bytes] = []
+    sides: list[list[dict]] = []
+    placements = []  # (main_data_begin, start_pos)
+    slen1, slen2 = SLEN[15]
+    pos = 0
+    cap_start = 0
+    for f in range(n_frames):
+        # hybrid MDCT once per frame; only quantization re-runs on bumps
+        coded_gr: list[list[np.ndarray]] = []
+        bts: list[int] = []
+        for gr in range(2):
+            g = 2 * f + gr
+            bt = (0, 1, 2, 3)[g % 4] if use_short_blocks else 0
+            lo = g * 18
+            x36 = np.concatenate(
+                [np.zeros((nch, M, 18)) if lo == 0 else subs[:, :, lo - 18 : lo],
+                 subs[:, :, lo : lo + 18]], axis=2,
+            )
+            nats = [_hybrid_mdct_fwd(x36[ch], bt) for ch in range(nch)]
+            if bt != 2:
+                nats = [_antialias(n, inverse=True) for n in nats]
+            if ms_stereo and nch == 2:
+                mid = (nats[0] + nats[1]) / _SQRT2
+                sid = (nats[0] - nats[1]) / _SQRT2
+                nats = [mid, sid]
+            coded_gr.append(
+                [nats[ch][_REORDER[ridx]] if bt == 2 else nats[ch] for ch in range(nch)]
+            )
+            bts.append(bt)
+        frame_bump = 0
+        while True:
+            w = _BitW()
+            frame_side: list[dict] = []
+            for gr in range(2):
+                for ch in range(nch):
+                    gg_bump = frame_bump
+                    while True:
+                        ix, gg, sf = _quantize_granule(coded_gr[gr][ch], bts[gr], ridx, gg_bump)
+                        scratch = _BitW()
+                        try:
+                            params = _write_granule(
+                                scratch, ix, bts[gr], slen1, slen2, sf, ridx
+                            )
+                            break
+                        except ValueError:
+                            if gg_bump > 255:
+                                raise
+                            gg_bump += 8
+                    w.extend(scratch)
+                    params.update(
+                        global_gain=gg, scalefac_compress=15, preflag=0,
+                        scalefac_scale=0, block_type=bts[gr],
+                        window_switching=bts[gr] != 0, subblock_gain=[0, 0, 0],
+                    )
+                    frame_side.append(params)
+            if w.n:
+                w.put(0, 8 - w.n)
+            blob = bytes(w.buf)
+            # reservoir placement: blobs written contiguously into the
+            # capacity stream; stuffing pulls main_data_begin back under
+            # the 511-byte spec limit
+            mdb = cap_start - pos
+            stuff = max(0, mdb - 511)
+            mdb = min(mdb, 511)
+            if pos + stuff + len(blob) <= cap_start + caps[f]:
+                break
+            if frame_bump > 255:
+                raise ValueError("Layer III frame overflow: bitrate too low")
+            frame_bump += 8
+        placements.append((mdb, pos + stuff))
+        pos += stuff + len(blob)
+        cap_start += caps[f]
+        blobs.append(blob)
+        sides.append(frame_side)
+    container = bytearray(cap_start)
+    for f in range(n_frames):
+        container[placements[f][1] : placements[f][1] + len(blobs[f])] = blobs[f]
+    # emit frames: header + side info + container slice
+    out = bytearray()
+    cap_start = 0
+    for f in range(n_frames):
+        hdr = bytearray(_header(3, bidx, ridx, nch))
+        hdr[2] |= paddings[f] << 1
+        if ms_stereo and nch == 2:
+            hdr[3] = (0b01 << 6) | (0b10 << 4)  # joint stereo, MS on
+        sw = _BitW()
+        sw.put(placements[f][0], 9)
+        sw.put(0, 5 if nch == 1 else 3)
+        for _ch in range(nch):
+            sw.put(0, 4)  # scfsi: granule 1 always carries its own scf
+        for gr in range(2):
+            for ch in range(nch):
+                p = sides[f][gr * nch + ch]
+                sw.put(p["part2_3_length"], 12)
+                sw.put(p["big_values"], 9)
+                sw.put(p["global_gain"], 8)
+                sw.put(p["scalefac_compress"], 4)
+                sw.put(1 if p["window_switching"] else 0, 1)
+                if p["window_switching"]:
+                    sw.put(p["block_type"], 2)
+                    sw.put(0, 1)  # mixed_block_flag
+                    for t in p["table_select"][:2]:
+                        sw.put(t, 5)
+                    for sg in p["subblock_gain"]:
+                        sw.put(sg, 3)
+                else:
+                    for t in p["table_select"]:
+                        sw.put(t, 5)
+                    sw.put(p["region0_count"], 4)
+                    sw.put(p["region1_count"], 3)
+                sw.put(p["preflag"], 1)
+                sw.put(p["scalefac_scale"], 1)
+                sw.put(p["count1table_select"], 1)
+        sw.pad_to(side_bytes)
+        out += bytes(hdr) + bytes(sw.buf) + container[cap_start : cap_start + caps[f]]
+        cap_start += caps[f]
+    return bytes(out)
+
+
+class _L3Decoder:
+    """Streaming Layer III frame consumer: bit reservoir, per-subband
+    TDAC overlap, granule pipeline (scalefactors -> Huffman -> requant ->
+    reorder -> MS stereo -> antialias -> hybrid IMDCT)."""
+
+    def __init__(self, nch: int, ridx: int):
+        self.nch, self.ridx = nch, ridx
+        self.res = bytearray()
+        self.overlap = np.zeros((nch, M, 18))
+        self.cols: list[np.ndarray] = []
+
+    def feed(self, payload: bytes, ms: bool) -> None:
+        nch = self.nch
+        side_bytes = 17 if nch == 1 else 32
+        if len(payload) < side_bytes:
+            raise ValueError("truncated Layer III side info")
+        sr = _BitR(payload[:side_bytes])
+        mdb = sr.get(9)
+        sr.get(5 if nch == 1 else 3)
+        scfsi = [sr.get(4) for _ in range(nch)]
+        grs: list[list[dict]] = []
+        for _gr in range(2):
+            row = []
+            for _ch in range(nch):
+                g = dict(
+                    part2_3_length=sr.get(12), big_values=sr.get(9),
+                    global_gain=sr.get(8), scalefac_compress=sr.get(4),
+                    window_switching=sr.get(1),
+                )
+                if g["window_switching"]:
+                    g["block_type"] = sr.get(2)
+                    if g["block_type"] == 0:
+                        raise ValueError("window switching with block_type 0")
+                    if sr.get(1):
+                        raise ValueError("needs-codec: mixed blocks")
+                    g["table_select"] = [sr.get(5), sr.get(5), 0]
+                    g["subblock_gain"] = [sr.get(3) for _ in range(3)]
+                else:
+                    g["block_type"] = 0
+                    g["table_select"] = [sr.get(5) for _ in range(3)]
+                    g["region0_count"] = sr.get(4)
+                    g["region1_count"] = sr.get(3)
+                    g["subblock_gain"] = [0, 0, 0]
+                g["preflag"] = sr.get(1)
+                g["scalefac_scale"] = sr.get(1)
+                g["count1table_select"] = sr.get(1)
+                row.append(g)
+            grs.append(row)
+        base = len(self.res)
+        if mdb > base:
+            raise ValueError("bit reservoir underflow")
+        self.res += payload[side_bytes:]
+        r = _BitR(bytes(self.res[base - mdb :]))
+        sf_gr0: list = [None] * nch
+        for gr in range(2):
+            nats = []
+            bts = []
+            for ch in range(nch):
+                g = grs[gr][ch]
+                gr_start = r.pos
+                ix, sf = _read_granule(
+                    r, gr_start, g, self.ridx,
+                    scfsi[ch] if gr == 1 else 0, sf_gr0[ch],
+                )
+                if gr == 0 and g["block_type"] != 2:
+                    sf_gr0[ch] = sf
+                mult = _sf_multiplier(
+                    self.ridx, g["block_type"], g["global_gain"],
+                    g["scalefac_scale"], g["preflag"], sf, g["subblock_gain"],
+                )
+                xr = np.sign(ix) * np.power(np.abs(ix).astype(np.float64), 4.0 / 3.0) * mult
+                if g["block_type"] == 2:
+                    nat = np.zeros(576)
+                    nat[_REORDER[self.ridx]] = xr
+                else:
+                    nat = xr
+                nats.append(nat)
+                bts.append(g["block_type"])
+            if ms:
+                if nch != 2:
+                    raise ValueError("MS stereo flagged on a mono stream")
+                left = (nats[0] + nats[1]) / _SQRT2
+                right = (nats[0] - nats[1]) / _SQRT2
+                nats = [left, right]
+            out = np.empty((nch, M, 18))
+            for ch in range(nch):
+                nat = nats[ch] if bts[ch] == 2 else _antialias(nats[ch])
+                out[ch] = _hybrid_imdct(nat, bts[ch], self.overlap[ch])
+            self.cols.append(out)
+        if len(self.res) > 511:
+            del self.res[: len(self.res) - 511]
+
+    def finish(self) -> np.ndarray:
+        if not self.cols:
+            raise ValueError("no Layer III granules decoded")
+        sub = np.concatenate(self.cols, axis=2)  # (nch, 32, G*18)
+        sub[:, 1::2, 1::2] *= -1.0  # frequency inversion (global parity)
+        return sub[:, :, 18:]  # trim the one-granule MDCT delay
 
 
 def encode_mpeg1_audio(
@@ -457,18 +1267,26 @@ def encode_mpeg1_audio(
     sample_rate: int,
     layer: int = 2,
     bitrate_kbps: int | None = None,
+    use_short_blocks: bool = False,
+    ms_stereo: bool = False,
 ) -> bytes:
-    """Int16 PCM — mono ``(n,)`` or stereo ``(n, 2)`` (independent
-    channels, mode 00) — to a sequence of MPEG-1 Layer I or II frames.
-    Defaults: Layer I 448 kbps / Layer II 192 kbps (the top rates, so
-    the waterfilled allocation stays high-fidelity; stereo halves the
-    per-channel bit budget — pick the rate accordingly)."""
+    """Int16 PCM — mono ``(n,)`` or stereo ``(n, 2)`` — to a sequence of
+    MPEG-1 Layer I, II or III frames.  Defaults: Layer I 448 kbps /
+    Layer II 192 kbps / Layer III 256 kbps (the top rates, so the
+    deterministic allocation stays high-fidelity; stereo halves the
+    per-channel bit budget — pick the rate accordingly).
+
+    Layer III extras: ``use_short_blocks`` drives the granule block types
+    through the full long/start/short/stop window cycle (exercising every
+    IMDCT window and the short-block reorder path); ``ms_stereo`` encodes
+    a 2-channel input as mid/side joint stereo (mode 01, mode_extension
+    MS bit)."""
     if sample_rate not in SAMPLE_RATES:
         raise ValueError(f"unsupported sample rate {sample_rate}")
-    if layer not in (1, 2):
-        raise ValueError("layer must be 1 or 2")
-    table = L1_BITRATES if layer == 1 else L2_BITRATES
-    bitrate_kbps = bitrate_kbps or (448 if layer == 1 else 192)
+    if layer not in (1, 2, 3):
+        raise ValueError("layer must be 1, 2 or 3")
+    table = {1: L1_BITRATES, 2: L2_BITRATES, 3: L3_BITRATES}[layer]
+    bitrate_kbps = bitrate_kbps or {1: 448, 2: 192, 3: 256}[layer]
     if bitrate_kbps not in table[1:]:
         raise ValueError(f"unsupported bitrate {bitrate_kbps} for layer {layer}")
     bidx = table.index(bitrate_kbps)
@@ -481,6 +1299,17 @@ def encode_mpeg1_audio(
     else:
         raise ValueError("samples must be (n,) mono or (n, 1|2) interleaved")
     nch = len(chans)
+    if layer == 3:
+        l3_subs = np.stack([analyze(c) for c in chans])  # (nch, 32, T+1)
+        # pre-apply the frequency inversion the decoder undoes after its
+        # hybrid IMDCT (odd samples of odd subbands; the decoder's
+        # 18-column delay trim preserves column parity)
+        l3_subs[:, 1::2, 1::2] *= -1.0
+        return _encode_l3_stream(
+            l3_subs, sample_rate, bitrate_kbps,
+            use_short_blocks=use_short_blocks,
+            ms_stereo=ms_stereo and nch == 2,
+        )
     spf = 384 if layer == 1 else 1152
     t = -len(chans[0]) % spf
     if t:
@@ -526,15 +1355,19 @@ def encode_mpeg1_audio(
 
 
 def decode_mpeg1_audio(b: bytes) -> tuple[np.ndarray, int]:
-    """A sequence of MPEG-1 Layer I/II frames (optionally after an ID3v2
-    tag) -> (int16 PCM — mono ``(n,)`` or stereo ``(n, 2)`` — and
-    sample_rate).  Junk between frames is
-    RESYNCed past (bounded: > 1 MB of non-frame bytes fails) like any
-    production decoder; Layer III raises ValueError ('needs-codec': the
-    Huffman/IMDCT path is out of scope here)."""
+    """A sequence of MPEG-1 Layer I/II/III frames (optionally after an
+    ID3v2 tag) -> (int16 PCM — mono ``(n,)`` or stereo ``(n, 2)`` — and
+    sample_rate).  Junk between frames is RESYNCed past (bounded: > 1 MB
+    of non-frame bytes fails) like any production decoder.  Layer III
+    decodes through the bit reservoir + hybrid-IMDCT pipeline
+    (``_L3Decoder``); joint stereo is supported for Layer III MS
+    (mode_extension bit 1); intensity coding and Layer I/II joint modes
+    still raise 'needs-codec'."""
     pos = skip_id3v2(b)
     blocks: list[np.ndarray] = []
+    l3: _L3Decoder | None = None
     rate = None
+    layer0 = None
     nch = 1
     skipped = 0
     while pos + 4 <= len(b):
@@ -557,25 +1390,37 @@ def decode_mpeg1_audio(b: bytes) -> tuple[np.ndarray, int]:
                 raise ValueError("lost sync: >1MB of non-frame bytes")
             pos = nxt
             continue
-        if info["layer"] == 3:
-            raise ValueError("needs-codec: MPEG-1 Layer III sample decode")
         if info["joint"]:
-            raise ValueError("needs-codec: joint-stereo intensity coding")
+            if info["layer"] != 3:
+                raise ValueError("needs-codec: joint-stereo intensity coding")
+            if info["mode_ext"] & 0x1:
+                raise ValueError("needs-codec: Layer III intensity stereo")
         if rate is None:
-            rate, nch = info["sample_rate"], info["n_channels"]
+            rate, nch, layer0 = info["sample_rate"], info["n_channels"], info["layer"]
         elif rate != info["sample_rate"] or nch != info["n_channels"]:
             raise ValueError("sample rate / channel mode changes mid-stream")
-        payload = b[pos + 4 : pos + info["frame_bytes"]]
-        if len(payload) < info["frame_bytes"] - 4:
+        elif (layer0 == 3) != (info["layer"] == 3):
+            raise ValueError("layer changes mid-stream")
+        body_off = 4 + (2 if info["crc"] else 0)
+        payload = b[pos + body_off : pos + info["frame_bytes"]]
+        if len(payload) < info["frame_bytes"] - body_off:
             raise ValueError("truncated final frame")
-        r = _BitR(payload)
-        blocks.append(
-            _decode_frame_l1(r, nch) if info["layer"] == 1 else _decode_frame_l2(r, nch)
-        )
+        if info["layer"] == 3:
+            if l3 is None:
+                l3 = _L3Decoder(nch, SAMPLE_RATES.index(info["sample_rate"]))
+            l3.feed(payload, bool(info["joint"] and info["mode_ext"] & 0x2))
+        else:
+            r = _BitR(payload)
+            blocks.append(
+                _decode_frame_l1(r, nch) if info["layer"] == 1 else _decode_frame_l2(r, nch)
+            )
         pos += info["frame_bytes"]
-    if not blocks:
+    if l3 is not None:
+        sub = l3.finish()
+    elif blocks:
+        sub = np.concatenate(blocks, axis=2)  # (nch, 32, T)
+    else:
         raise ValueError("no MPEG audio frames found")
-    sub = np.concatenate(blocks, axis=2)  # (nch, 32, T)
     chans = [synthesize(sub[c], sub.shape[2] * M) for c in range(nch)]
     pcm = chans[0] if nch == 1 else np.stack(chans, axis=1)
     return (np.clip(pcm * 32768.0, -32768, 32767)).astype(np.int16), int(rate)

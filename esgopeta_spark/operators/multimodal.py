@@ -19,14 +19,16 @@ Decode status by format:
   (codecs.parse_mp4_meta / parse_mp3_meta), and mp4 video FRAMES decode
   for real for the Motion-JPEG subset (``sample_video_frames`` slices
   the sample tables and runs each sample through the from-scratch JPEG
-  codec).  MPEG-1 Layer I/II audio decodes for REAL as of r6
-  (operators/mpeg1_audio.py — spec-shaped bitstream, documented MDCT
-  filterbank deviation); h264/hevc frames and Layer III (mp3 proper)
-  samples genuinely require codec libraries this container does not
-  ship; those rows surface
-  ``ok=false, err='needs-codec'`` and the integration point is
-  ``raise_if_real_decode_requested``.  The legacy header-sniff kernels
-  (``decode_image_meta``, ``extract_features``) remain as the
+  codec).  MPEG-1 audio decodes for REAL: Layers I/II as of r6, Layer
+  III (mp3 proper) as of r8 — side info, bit reservoir, scalefactors,
+  Huffman regions, requantization, antialias, hybrid IMDCT with all four
+  window types, MS joint stereo (operators/mpeg1_audio.py — spec-shaped
+  bitstream, documented MDCT-filterbank and canonical-Huffman-table
+  deviations); h264/hevc frames and intensity-stereo audio genuinely
+  require conformance tables/codecs this container does not ship; those
+  rows surface ``ok=false, err='needs-codec'`` and the integration point
+  is ``raise_if_real_decode_requested``.  The legacy header-sniff
+  kernels (``decode_image_meta``, ``extract_features``) remain as the
   codec-free fallback path.
 
 Malformed payloads NEVER kill a stage: every kernel catches the codec's
@@ -324,15 +326,15 @@ def decode_media(df: DataFrame) -> DataFrame:
                             width=meta["width"], height=meta["height"],
                         )
                     elif fmt == "mp3":
-                        try:  # Layer I/II: REAL sample decode (r6)
+                        try:  # Layer I/II/III: REAL sample decode
                             pcm, sr = codecs.decode_mpeg1_audio(b)
                             rec.update(
                                 ok=True, sample_rate=sr, n_samples=len(pcm),
                                 duration_ms=len(pcm) * 1000 // sr,
                             )
                         except ValueError:
-                            # Layer III (or stream this decoder can't carry):
-                            # metadata-only, sample decode stays guarded
+                            # stream this decoder can't carry (intensity
+                            # stereo, malformed frames): metadata-only
                             meta = codecs.parse_mp3_meta(b)
                             rec.update(
                                 err="needs-codec",
@@ -401,7 +403,7 @@ def extract_image_features(df: DataFrame) -> DataFrame:
 
 
 def extract_audio_features(df: DataFrame) -> DataFrame:
-    """Real signal statistics from decoded WAV or MPEG-1 Layer I/II audio: RMS, peak,
+    """Real signal statistics from decoded WAV or MPEG-1 audio: RMS, peak,
     zero-crossing rate, duration, plus spectral shape (dominant
     frequency and spectral centroid from one rfft of the first
     channel) — the cheap features audio-corpus filters threshold on
@@ -427,7 +429,7 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
                     except ValueError:  # corrupt payload: quarantine, don't crash
                         continue
                 elif fmt == "mp3":
-                    try:  # Layer I/II sample decode; Layer III -> skip row
+                    try:  # MPEG-1 sample decode; undecodable stream -> skip row
                         samples, sr = codecs.decode_mpeg1_audio(b)
                     except ValueError:
                         continue

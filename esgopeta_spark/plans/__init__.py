@@ -109,8 +109,11 @@ GRADED_WINDOW = [
     "sim_topk_ip_pq",
     # G5 real PNG codec round-trip vs analytic oracle (r4)
     "multimodal_decode_png",
-    # r6: REAL MPEG-1 Layer I/II audio round trip (analytic oracle)
-    "multimodal_decode_mp2_audio",
+    # r8: REAL MPEG-1 Layer III (mp3) round trip rotated in for its
+    # Layer I/II sibling (same decoder machinery, strictly deeper: side
+    # info, bit reservoir, Huffman regions, hybrid MDCT, short blocks;
+    # mp2 stays parity-checked beyond the window)
+    "multimodal_decode_mp3_audio",
     "text_profile_docs",
     # r7: time-series' first in-window representative — daily grid
     # gap-fill + LOCF (the resample/interpolate family, with the

@@ -37,7 +37,11 @@ REQUIRED_IN_WINDOW = {
     # out; their families keep in-window representatives)
     "agg_cms_heavy_hitters",  # E4 frequency-sketch family
     "graph_kcore_members",  # k-core peel, materialized unrolled oracle
-    "multimodal_decode_mp2_audio",  # G5 real compressed-audio round trip
+    # r8 rotation (r7 VERDICT task 8): Layer III (mp3) in for its Layer
+    # I/II sibling — same decoder family, strictly deeper machinery (side
+    # info, bit reservoir, Huffman regions, hybrid MDCT, short blocks);
+    # mp2 stays parity-checked beyond the window
+    "multimodal_decode_mp3_audio",  # G5 real compressed-audio round trip
     # r7 rotation (r6 VERDICT task 3): hash-exact second-batch flagships
     # in; q18 (TPC-H depth — q1/q3 + 15 parity TPC-H queries keep the
     # family), agg_median_price (percentiles stay via the histogram
