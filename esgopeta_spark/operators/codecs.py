@@ -15,9 +15,9 @@ DECODE for real for the Motion-JPEG subset (``decode_mjpeg_frames``:
 sample-table walk + the from-scratch JPEG codec per sample), and MPEG-1
 audio samples DECODE for real for all three layers
 (operators/mpeg1_audio.py; Layer III incl. Huffman regions, bit
-reservoir, hybrid IMDCT, MS stereo); h264/hevc frames and
-intensity-stereo audio remain behind the needs-codec guard in
-operators.multimodal.
+reservoir, hybrid IMDCT, MS stereo; Layer I/II incl. intensity joint
+stereo); h264/hevc frames and Layer III intensity remain behind the
+needs-codec guard in operators.multimodal.
 
 Everything here is plain bytes->ndarray (and back) so the same functions
 run inside Arrow-batched mapInPandas kernels on executors and in local
@@ -1239,16 +1239,19 @@ def decode_mjpeg_frames(b: bytes, max_frames: int | None = None) -> list:
 def encode_mpeg1_audio(
     samples, sample_rate: int, layer: int = 2, bitrate_kbps=None,
     use_short_blocks: bool = False, ms_stereo: bool = False,
+    intensity_bound: int | None = None,
 ) -> bytes:
     """Int16 PCM — mono ``(n,)`` or stereo ``(n, 2)`` — to MPEG-1 Layer
     I/II/III frames (see mpeg1_audio.py for the spec-faithful bitstream
     layout and the documented filterbank / table deviations).  The Layer
-    III flags drive the window-switching schedule and MS joint stereo."""
+    III flags drive the window-switching schedule and MS joint stereo;
+    ``intensity_bound`` enables Layer I/II intensity joint stereo."""
     from esgopeta_spark.operators import mpeg1_audio
 
     return mpeg1_audio.encode_mpeg1_audio(
         samples, sample_rate, layer, bitrate_kbps,
         use_short_blocks=use_short_blocks, ms_stereo=ms_stereo,
+        intensity_bound=intensity_bound,
     )
 
 
@@ -1256,8 +1259,9 @@ def encode_mpeg1_audio(
 def decode_mpeg1_audio(b: bytes):
     """MPEG-1 Layer I/II/III frames (ID3v2-tagged ok) -> (int16 PCM —
     mono ``(n,)`` or stereo ``(n, 2)`` — and sample_rate).  Layer III
-    decodes through the bit reservoir + hybrid IMDCT; intensity stereo
-    and Layer I/II joint modes raise ValueError('needs-codec...')."""
+    decodes through the bit reservoir + hybrid IMDCT; Layer I/II joint
+    stereo decodes as intensity (mode_extension bound); only Layer III
+    intensity raises ValueError('needs-codec...')."""
     from esgopeta_spark.operators import mpeg1_audio
 
     return mpeg1_audio.decode_mpeg1_audio(b)

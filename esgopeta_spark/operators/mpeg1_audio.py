@@ -226,40 +226,64 @@ def parse_header(h: bytes) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def _encode_frame_l1(s: np.ndarray, frame_bytes: int, n_bits: int) -> bytes:
+def _encode_frame_l1(s: np.ndarray, frame_bytes: int, n_bits: int, bound: int = M) -> bytes:
     """One Layer I frame from a (nch, 32, 12) subband block.  Channel
     interleave follows the spec layout: every per-subband field iterates
-    subband-major, channel-minor."""
+    subband-major, channel-minor.
+
+    ``bound < 32`` encodes INTENSITY joint stereo (mode 01): subbands
+    >= bound carry ONE allocation and ONE set of sample codes (from the
+    channel mid) but per-channel scalefactors — the decoder rebuilds each
+    channel as shared_samples * own_scalefactor (spec 2.4.2.3, intensity
+    is the only Layer I/II joint mode)."""
     nch = s.shape[0]
     w = _BitW()
     maxabs = np.abs(s).max(axis=2)  # (nch, M)
+    mid = s.mean(axis=0)  # (M, 12) — the shared signal above the bound
+    midmax = np.abs(mid).max(axis=1)
     allocs = np.where(maxabs > _SILENT, n_bits - 1, 0)  # alloc code = bits - 1
+    if bound < M:
+        shared_active = np.where(midmax[bound:] > _SILENT, n_bits - 1, 0)
+        allocs[:, bound:] = shared_active[None, :]
     for sb in range(M):
-        for ch in range(nch):
+        for ch in range(nch if sb < bound else 1):
             w.put(int(allocs[ch, sb]), 4)
     scf_idx = np.zeros((nch, M), dtype=np.int64)
+    mid_scf = np.zeros(M, dtype=np.int64)
     for sb in range(M):
         for ch in range(nch):
             if allocs[ch, sb]:
                 scf_idx[ch, sb] = _scf_index(maxabs[ch, sb])
                 w.put(int(scf_idx[ch, sb]), 6)
+                if sb >= bound:
+                    mid_scf[sb] = _scf_index(midmax[sb])
     levels = (1 << n_bits) - 1
     codes = np.zeros_like(s, dtype=np.int64)
+    mid_codes = np.zeros((M, 12), dtype=np.int64)
     for ch in range(nch):
         for sb in range(M):
             if allocs[ch, sb]:
-                codes[ch, sb] = _quant(s[ch, sb] / SF_TABLE[scf_idx[ch, sb]], levels)
+                if sb >= bound:
+                    mid_codes[sb] = _quant(mid[sb] / SF_TABLE[mid_scf[sb]], levels)
+                else:
+                    codes[ch, sb] = _quant(s[ch, sb] / SF_TABLE[scf_idx[ch, sb]], levels)
     for t in range(12):  # sample-major interleave (spec layout)
         for sb in range(M):
-            for ch in range(nch):
-                if allocs[ch, sb]:
-                    w.put(int(codes[ch, sb, t]), n_bits)
+            if sb < bound:
+                for ch in range(nch):
+                    if allocs[ch, sb]:
+                        w.put(int(codes[ch, sb, t]), n_bits)
+            elif allocs[0, sb]:
+                w.put(int(mid_codes[sb, t]), n_bits)
     w.pad_to(frame_bytes - 4)
     return bytes(w.buf)
 
 
-def _decode_frame_l1(r: _BitR, nch: int = 1) -> np.ndarray:
-    allocs = [[r.get(4) for _ in range(nch)] for _ in range(M)]  # [sb][ch]
+def _decode_frame_l1(r: _BitR, nch: int = 1, bound: int = M) -> np.ndarray:
+    allocs = [
+        [r.get(4)] * nch if sb >= bound else [r.get(4) for _ in range(nch)]
+        for sb in range(M)
+    ]  # [sb][ch]
     if any(a == 15 for row in allocs for a in row):
         raise ValueError("forbidden Layer I allocation 15")
     scf = np.ones((nch, M))
@@ -273,11 +297,19 @@ def _decode_frame_l1(r: _BitR, nch: int = 1) -> np.ndarray:
     s = np.zeros((nch, M, 12))
     for t in range(12):
         for sb in range(M):
-            for ch in range(nch):
-                a = allocs[sb][ch]
-                if a:
+            a = allocs[sb][0]
+            if sb >= bound:
+                if a:  # one shared code, per-channel scalefactor
                     n = a + 1
-                    s[ch, sb, t] = scf[ch, sb] * _dequant(r.get(n), (1 << n) - 1)
+                    v = _dequant(r.get(n), (1 << n) - 1)
+                    for ch in range(nch):
+                        s[ch, sb, t] = scf[ch, sb] * v
+            else:
+                for ch in range(nch):
+                    a = allocs[sb][ch]
+                    if a:
+                        n = a + 1
+                        s[ch, sb, t] = scf[ch, sb] * _dequant(r.get(n), (1 << n) - 1)
     return s
 
 
@@ -305,15 +337,22 @@ _EFF_BITS = {0: 0.0, 1: 1.585, 2: 2.322, 3: 3.17}
 _EFF_BITS.update({c: float(c) for c in range(4, 15)})
 
 
-def _alloc_l2_waterfill(maxabs: np.ndarray, budget_bits: int) -> np.ndarray:
+def _alloc_l2_waterfill(
+    maxabs: np.ndarray, budget_bits: int, scf_overhead=None
+) -> np.ndarray:
     """Deterministic greedy bit allocation (the SMR waterfilling of a real
     Layer II encoder, with subband peak standing in for the psychoacoustic
     SMR): repeatedly upgrade the most under-served active subband —
     highest ``log2(peak) - effective_bits`` , ties to the LOWEST subband
     index — while the upgrade still fits the frame budget.  Budget
-    accounting assumes worst-case 3 scalefactors per active subband, so
-    the actual scfsi savings become slack, never overflow."""
-    n_slots = len(maxabs)  # sblimit * n_channels flattened entries
+    accounting assumes worst-case 3 scalefactors per active subband
+    (``scf_overhead`` bits on first activation, default 20 = scfsi + 3x6;
+    intensity-shared slots pass 40 — both channels' scalefactors ride on
+    one sample allocation), so the actual scfsi savings become slack,
+    never overflow."""
+    n_slots = len(maxabs)  # flattened slot entries (see callers)
+    if scf_overhead is None:
+        scf_overhead = np.full(n_slots, 20, dtype=np.int64)
     codes = np.zeros(n_slots, dtype=np.int64)
     spent = 4 * n_slots
     need = np.where(maxabs > _SILENT, np.log2(np.maximum(maxabs, 1e-30)), -np.inf)
@@ -323,7 +362,9 @@ def _alloc_l2_waterfill(maxabs: np.ndarray, budget_bits: int) -> np.ndarray:
             c = codes[sb]
             if c >= 14 or need[sb] == -np.inf:
                 continue
-            delta = _alloc_cost_l2(c + 1) - _alloc_cost_l2(c) + (20 if c == 0 else 0)
+            delta = _alloc_cost_l2(c + 1) - _alloc_cost_l2(c) + (
+                int(scf_overhead[sb]) if c == 0 else 0
+            )
             if spent + delta > budget_bits:
                 continue
             pri = need[sb] - _EFF_BITS[int(c)]
@@ -334,28 +375,51 @@ def _alloc_l2_waterfill(maxabs: np.ndarray, budget_bits: int) -> np.ndarray:
         codes[best] += 1
         spent += _alloc_cost_l2(codes[best]) - _alloc_cost_l2(codes[best] - 1)
         if codes[best] == 1:
-            spent += 20
+            spent += int(scf_overhead[best])
     if not codes.any() and np.isfinite(need).any():
         raise ValueError("frame too small for any Layer II allocation")
     return codes
 
 
-def _encode_frame_l2(s: np.ndarray, frame_bytes: int) -> bytes:
+def _encode_frame_l2(s: np.ndarray, frame_bytes: int, bound: int = M) -> bytes:
     """One Layer II frame from a (nch, 32, 36) subband block.  Subbands
     >= sblimit are dropped (spec behavior: not transmitted); channel
-    interleave is subband-major, channel-minor like Layer I."""
+    interleave is subband-major, channel-minor like Layer I.
+
+    ``bound < sblimit`` encodes INTENSITY joint stereo (mode 01) exactly
+    like the Layer I twin: subbands >= bound carry one allocation + one
+    sample stream (the channel mid) with per-channel scalefactors."""
     nch = s.shape[0]
     w = _BitW()
     s = s[:, :_SBLIMIT2]
+    bound = min(bound, _SBLIMIT2)
     maxabs = np.abs(s).max(axis=2)  # (nch, SBLIMIT)
-    flat = maxabs.reshape(-1)  # index = ch * SBLIMIT + sb
-    allocs = (
-        _alloc_l2_waterfill(flat, (frame_bytes - 4) * 8)
-        if (flat > _SILENT).any()
-        else np.zeros(nch * _SBLIMIT2, dtype=np.int64)
-    ).reshape(nch, _SBLIMIT2)
+    mid = s.mean(axis=0)  # (SBLIMIT, 36)
+    midmax = np.abs(mid).max(axis=1)
+    # slot map: per-channel slots below the bound, one shared slot above
+    # (its first-activation overhead carries BOTH channels' scalefactors)
+    slot_of = np.zeros((nch, _SBLIMIT2), dtype=np.int64)
+    slots_max: list[float] = []
+    overhead: list[int] = []
     for sb in range(_SBLIMIT2):
-        for ch in range(nch):
+        if sb < bound:
+            for ch in range(nch):
+                slot_of[ch, sb] = len(slots_max)
+                slots_max.append(float(maxabs[ch, sb]))
+                overhead.append(20)
+        else:
+            i = len(slots_max)
+            slot_of[:, sb] = i
+            slots_max.append(float(midmax[sb]))
+            overhead.append(20 * nch)
+    flat = np.array(slots_max)
+    allocs = (
+        _alloc_l2_waterfill(flat, (frame_bytes - 4) * 8, np.array(overhead))
+        if (flat > _SILENT).any()
+        else np.zeros(len(slots_max), dtype=np.int64)
+    )[slot_of]  # back to (nch, SBLIMIT)
+    for sb in range(_SBLIMIT2):
+        for ch in range(nch if sb < bound else 1):
             w.put(int(allocs[ch, sb]), 4)
     # per-part scalefactors + scfsi selection
     part_max = np.stack(
@@ -389,28 +453,47 @@ def _encode_frame_l2(s: np.ndarray, frame_bytes: int) -> bytes:
                 w.put(a, 6)
             else:
                 w.put(a, 6), w.put(b, 6)
-    # samples: 12 granules of 3, grouped codes for the 3/5/9-level classes
+    # samples: 12 granules of 3, grouped codes for the 3/5/9-level classes;
+    # intensity subbands write ONE stream from the mid, normalized by the
+    # mid's own (untransmitted) part scalefactor — the decoder applies
+    # each channel's transmitted scalefactor instead (intensity semantics)
+    mid_scf = np.zeros((_SBLIMIT2, 3), dtype=np.int64)
+    for sb in range(bound, _SBLIMIT2):
+        for p in range(3):
+            mid_scf[sb, p] = _scf_index(np.abs(mid[sb, p * 12 : (p + 1) * 12]).max())
+
+    def _put_group(u: np.ndarray, a: int) -> None:
+        if a in _GROUPED:
+            levels, gbits = _GROUPED[a]
+            v = _quant(u, levels)
+            w.put(int(v[0] + levels * v[1] + levels * levels * v[2]), gbits)
+        else:
+            for v in _quant(u, (1 << a) - 1):
+                w.put(int(v), a)
+
     for gr in range(12):
         for sb in range(_SBLIMIT2):
+            part = gr // 4
+            if sb >= bound:
+                a = int(allocs[0, sb])
+                if a:
+                    _put_group(mid[sb, gr * 3 : gr * 3 + 3] / SF_TABLE[mid_scf[sb, part]], a)
+                continue
             for ch in range(nch):
                 a = int(allocs[ch, sb])
                 if not a:
                     continue
-                part = gr // 4
-                u = s[ch, sb, gr * 3 : gr * 3 + 3] / SF_TABLE[scf_idx[ch, sb, part]]
-                if a in _GROUPED:
-                    levels, gbits = _GROUPED[a]
-                    v = _quant(u, levels)
-                    w.put(int(v[0] + levels * v[1] + levels * levels * v[2]), gbits)
-                else:
-                    for v in _quant(u, (1 << a) - 1):
-                        w.put(int(v), a)
+                _put_group(s[ch, sb, gr * 3 : gr * 3 + 3] / SF_TABLE[scf_idx[ch, sb, part]], a)
     w.pad_to(frame_bytes - 4)
     return bytes(w.buf)
 
 
-def _decode_frame_l2(r: _BitR, nch: int = 1) -> np.ndarray:
-    allocs = [[r.get(4) for _ in range(nch)] for _ in range(_SBLIMIT2)]  # [sb][ch]
+def _decode_frame_l2(r: _BitR, nch: int = 1, bound: int = M) -> np.ndarray:
+    bound = min(bound, _SBLIMIT2)
+    allocs = [
+        [r.get(4)] * nch if sb >= bound else [r.get(4) for _ in range(nch)]
+        for sb in range(_SBLIMIT2)
+    ]  # [sb][ch]
     scfsi = {}
     for sb in range(_SBLIMIT2):
         for ch in range(nch):
@@ -436,22 +519,35 @@ def _decode_frame_l2(r: _BitR, nch: int = 1) -> np.ndarray:
                 trip = [idx[0], idx[1], idx[1]]
             scf[ch, sb] = SF_TABLE[np.array(trip)]
     s = np.zeros((nch, M, 36))
+
+    def _get_group(a: int) -> tuple[np.ndarray, int]:
+        if a in _GROUPED:
+            levels, gbits = _GROUPED[a]
+            code = r.get(gbits)
+            v = np.array([code % levels, (code // levels) % levels, code // (levels * levels)])
+            if v[2] >= levels:
+                raise ValueError("grouped sample code out of range")
+        else:
+            levels = (1 << a) - 1
+            v = np.array([r.get(a) for _ in range(3)])
+        return v, levels
+
     for gr in range(12):
         for sb in range(_SBLIMIT2):
+            part = gr // 4
+            if sb >= bound:
+                a = allocs[sb][0]
+                if a:  # one shared group, per-channel scalefactors
+                    v, levels = _get_group(a)
+                    d = _dequant(v, levels)
+                    for ch in range(nch):
+                        s[ch, sb, gr * 3 : gr * 3 + 3] = scf[ch, sb, part] * d
+                continue
             for ch in range(nch):
                 a = allocs[sb][ch]
                 if not a:
                     continue
-                part = gr // 4
-                if a in _GROUPED:
-                    levels, gbits = _GROUPED[a]
-                    code = r.get(gbits)
-                    v = np.array([code % levels, (code // levels) % levels, code // (levels * levels)])
-                    if v[2] >= levels:
-                        raise ValueError("grouped sample code out of range")
-                else:
-                    levels = (1 << a) - 1
-                    v = np.array([r.get(a) for _ in range(3)])
+                v, levels = _get_group(a)
                 s[ch, sb, gr * 3 : gr * 3 + 3] = scf[ch, sb, part] * _dequant(v, levels)
     return s
 
@@ -1269,6 +1365,7 @@ def encode_mpeg1_audio(
     bitrate_kbps: int | None = None,
     use_short_blocks: bool = False,
     ms_stereo: bool = False,
+    intensity_bound: int | None = None,
 ) -> bytes:
     """Int16 PCM — mono ``(n,)`` or stereo ``(n, 2)`` — to a sequence of
     MPEG-1 Layer I, II or III frames.  Defaults: Layer I 448 kbps /
@@ -1280,7 +1377,15 @@ def encode_mpeg1_audio(
     through the full long/start/short/stop window cycle (exercising every
     IMDCT window and the short-block reorder path); ``ms_stereo`` encodes
     a 2-channel input as mid/side joint stereo (mode 01, mode_extension
-    MS bit)."""
+    MS bit).
+
+    Layer I/II extra: ``intensity_bound`` in {4, 8, 12, 16} encodes a
+    2-channel input as INTENSITY joint stereo (mode 01, mode_extension =
+    (bound-4)/4): subbands >= bound share one sample stream with
+    per-channel scalefactors — the spec's only Layer I/II joint mode.
+    Intensity is LOSSY BY DESIGN above the bound (only each channel's
+    envelope survives); fidelity there depends on inter-channel
+    correlation."""
     if sample_rate not in SAMPLE_RATES:
         raise ValueError(f"unsupported sample rate {sample_rate}")
     if layer not in (1, 2, 3):
@@ -1310,6 +1415,13 @@ def encode_mpeg1_audio(
             use_short_blocks=use_short_blocks,
             ms_stereo=ms_stereo and nch == 2,
         )
+    bound = M
+    if intensity_bound is not None:
+        if nch != 2:
+            raise ValueError("intensity_bound requires 2-channel input")
+        if intensity_bound not in (4, 8, 12, 16):
+            raise ValueError("intensity_bound must be 4, 8, 12 or 16")
+        bound = intensity_bound
     spf = 384 if layer == 1 else 1152
     t = -len(chans[0]) % spf
     if t:
@@ -1341,16 +1453,18 @@ def encode_mpeg1_audio(
         rest -= sample_rate if padding else 0
         hdr4 = bytearray(_header(layer, bidx, ridx, nch))
         hdr4[2] |= padding << 1
+        if bound < M:  # joint stereo, mode_extension encodes the bound
+            hdr4[3] = (0b01 << 6) | (((bound - 4) // 4) << 4)
         if layer == 1:
             fb = (base_slots + padding) * 4
             budget = (fb - 4) * 8 - (4 * M + 6 * M) * nch  # worst-case scf spend
             n_bits = min(15, budget // (12 * M * nch))
             if n_bits < 2:
                 raise ValueError("bitrate too low for uniform Layer I allocation")
-            out += bytes(hdr4) + _encode_frame_l1(block, fb, n_bits)
+            out += bytes(hdr4) + _encode_frame_l1(block, fb, n_bits, bound)
         else:
             fb = base_slots + padding
-            out += bytes(hdr4) + _encode_frame_l2(block, fb)
+            out += bytes(hdr4) + _encode_frame_l2(block, fb, bound)
     return bytes(out)
 
 
@@ -1390,11 +1504,15 @@ def decode_mpeg1_audio(b: bytes) -> tuple[np.ndarray, int]:
                 raise ValueError("lost sync: >1MB of non-frame bytes")
             pos = nxt
             continue
+        bound = M
         if info["joint"]:
-            if info["layer"] != 3:
-                raise ValueError("needs-codec: joint-stereo intensity coding")
-            if info["mode_ext"] & 0x1:
-                raise ValueError("needs-codec: Layer III intensity stereo")
+            if info["layer"] == 3:
+                if info["mode_ext"] & 0x1:
+                    raise ValueError("needs-codec: Layer III intensity stereo")
+            else:
+                # Layer I/II joint = intensity: mode_extension gives the
+                # first shared subband, bound = 4 + mode_ext * 4
+                bound = 4 + info["mode_ext"] * 4
         if rate is None:
             rate, nch, layer0 = info["sample_rate"], info["n_channels"], info["layer"]
         elif rate != info["sample_rate"] or nch != info["n_channels"]:
@@ -1412,7 +1530,9 @@ def decode_mpeg1_audio(b: bytes) -> tuple[np.ndarray, int]:
         else:
             r = _BitR(payload)
             blocks.append(
-                _decode_frame_l1(r, nch) if info["layer"] == 1 else _decode_frame_l2(r, nch)
+                _decode_frame_l1(r, nch, bound)
+                if info["layer"] == 1
+                else _decode_frame_l2(r, nch, bound)
             )
         pos += info["frame_bytes"]
     if l3 is not None:

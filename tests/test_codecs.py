@@ -597,6 +597,13 @@ def test_decoder_quarantine_contract_fuzz():
         _np.stack([_tone, (_tone * 0.7).astype(_np.int16)], axis=1),
         32000, layer=3, use_short_blocks=True, ms_stereo=True,
     )
+    # intensity joint stereo (r8): fuzz the mode-01 shared-subband layout
+    decoders["mp2_l2_intensity"] = codecs.decode_mpeg1_audio
+    magics["mp2_l2_intensity"] = b"\xff\xfd"
+    valid["mp2_l2_intensity"] = codecs.encode_mpeg1_audio(
+        _np.stack([_tone, (_tone * 0.6).astype(_np.int16)], axis=1),
+        32000, layer=2, intensity_bound=8,
+    )
     # GIF animation walker (r5): same magic, multi-frame corpus
     decoders["gif_anim"] = codecs.decode_gif_frames
     magics["gif_anim"] = b"GIF89a"
@@ -1056,6 +1063,44 @@ def test_mpeg1_layer3_stereo_and_ms():
     bad[3] |= 0x10  # set mode_ext intensity bit on frame 0
     with pytest.raises(ValueError, match="needs-codec"):
         m.decode_mpeg1_audio(bytes(bad))
+
+
+def test_mpeg1_intensity_joint_stereo_l1_l2():
+    """Intensity joint stereo (mode 01 — the r7-verdict gap): subbands
+    >= bound share one sample stream with per-channel scalefactors.  On
+    correlated channels (right = 0.6 * left) both layers must round-trip
+    > 20 dB per channel at every legal bound, the wire must carry
+    mode 01 + the bound in mode_extension, and the envelope ratio above
+    the bound must survive (that is ALL intensity preserves there)."""
+    from esgopeta_spark.operators import mpeg1_audio as m
+
+    sr = 32000
+    t = np.arange(1152 * 3)
+    base = (
+        np.sin(2 * np.pi * 440 * t / sr)
+        + 0.3 * np.sin(2 * np.pi * 2500 * t / sr)
+        + 0.2 * np.sin(2 * np.pi * 7000 * t / sr)
+    )
+    st = np.stack([base, 0.6 * base], axis=1)
+    st = (st / np.abs(st).max() * 12000).astype(np.int16)
+    for layer in (1, 2):
+        for bound in (4, 8, 12, 16):
+            b = m.encode_mpeg1_audio(st, sr, layer=layer, intensity_bound=bound)
+            info = m.parse_header(b[:4])
+            assert info["joint"] and info["mode_ext"] == (bound - 4) // 4
+            dec, rate = m.decode_mpeg1_audio(b)
+            assert rate == sr and dec.shape[1] == 2
+            assert _snr_db(st[:, 0], dec[:, 0]) > 20.0
+            assert _snr_db(st[:, 1], dec[:, 1]) > 20.0
+    # envelope: per-channel RMS ratio ~ 0.6 even at the lowest bound
+    dec, _ = m.decode_mpeg1_audio(m.encode_mpeg1_audio(st, sr, layer=2, intensity_bound=4))
+    r = np.sqrt((dec[:, 1].astype(float) ** 2).mean() / (dec[:, 0].astype(float) ** 2).mean())
+    assert 0.5 < r < 0.7
+    # parameter validation
+    with pytest.raises(ValueError, match="2-channel"):
+        m.encode_mpeg1_audio(st[:, 0], sr, layer=2, intensity_bound=8)
+    with pytest.raises(ValueError, match="4, 8, 12 or 16"):
+        m.encode_mpeg1_audio(st, sr, layer=2, intensity_bound=5)
 
 
 def test_mpeg1_layer3_bit_reservoir_live():
