@@ -348,14 +348,16 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit fingerprint into 4
-    16-bit chunks (pigeonhole: hamming<=3 ⇒ at least one chunk equal),
-    equi-join on chunks, verify exact Hamming distance."""
-    from esgopeta_spark.session import ensure_min_partitions
-
-    df = ensure_min_partitions(df)
-    fp = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_fp"))
+def banded_hamming_pairs(
+    fp: DataFrame, max_hamming: int = 3, id_col: str = "_id", fp_col: str = "_fp"
+) -> DataFrame:
+    """Pairs within ``max_hamming`` of a 64-bit fingerprint relation
+    ``(id, fp)``: band the fingerprint into 4 16-bit chunks (pigeonhole:
+    hamming<=3 ⇒ at least one chunk equal), EQUI-join on chunks, verify
+    exact Hamming distance.  Shared by SimHash text near-dup and dHash
+    image near-dup — never all-pairs; the join is bucketed by chunk
+    value, the 100 TB shape."""
+    fp = fp.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"))
     chunks = fp.select(
         "_id",
         "_fp",
@@ -363,10 +365,10 @@ def simhash_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc
             F.array(*[F.struct(F.lit(c).alias("c"), F.shiftright("_fp", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("v")) for c in range(4)])
         ).alias("ch"),
     ).select("_id", "_fp", "ch.c", "ch.v")
-    # materialize: both self-join sides read this, and the SimHash
-    # fingerprint (a 64-wide vote aggregate) is the expensive producer;
-    # localCheckpoint over persist for ContextCleaner reclaim (see
-    # minhash_lsh_candidates)
+    # materialize: both self-join sides read this, and the fingerprint
+    # (a 64-wide vote aggregate / an image decode) is the expensive
+    # producer; localCheckpoint over persist for ContextCleaner reclaim
+    # (see minhash_lsh_candidates)
     chunks = chunks.localCheckpoint()
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
@@ -375,6 +377,16 @@ def simhash_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: 64-bit shingle-vote fingerprint, then
+    the shared banded Hamming equi-join (``banded_hamming_pairs``)."""
+    from esgopeta_spark.session import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
+    fp = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_fp"))
+    return banded_hamming_pairs(fp, max_hamming)
 
 
 # ---------------------------------------------------------------------------

@@ -625,3 +625,116 @@ def extract_audio_tags(df: DataFrame) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(kernel, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# image near-dup: dHash fingerprint + banded Hamming join (G2 for images)
+# ---------------------------------------------------------------------------
+
+
+def decode_image_any(b: bytes):
+    """Sniff + decode any supported image payload to (h, w, 3) uint8 RGB;
+    ValueError for non-image / undecodable payloads (quarantine
+    contract).  Grayscale decodes broadcast to 3 channels."""
+    import numpy as np
+
+    from esgopeta_spark.operators import codecs
+
+    fmt = codecs.sniff_format(b)
+    if fmt == "bmp":
+        arr = codecs.decode_bmp(b)
+    elif fmt == "ppm":
+        arr = codecs.decode_ppm(b)
+    elif fmt == "png":
+        arr = codecs.decode_png(b)
+    elif fmt == "jpeg":
+        arr = codecs.decode_jpeg(b)
+    elif fmt == "gif":
+        arr = codecs.decode_gif(b)
+    else:
+        raise ValueError(f"not a decodable image: {fmt}")
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    elif arr.shape[2] == 4:
+        arr = arr[:, :, :3]
+    elif arr.shape[2] == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    return arr
+
+
+def dhash64(arr) -> int:
+    """64-bit difference hash of an RGB image: integer luma
+    ((77R + 150G + 29B) >> 8 — weights sum to 256, so a uniform
+    brightness shift moves every luma value by exactly the shift),
+    bilinear resize to 9x8, bit (r, c) = luma[r, c+1] > luma[r, c].
+    Horizontal-gradient signs are INVARIANT to brightness shifts and
+    near-invariant to recompression noise — the classic image near-dup
+    fingerprint (public: Krawetz's dHash / pHash family)."""
+    import numpy as np
+
+    from esgopeta_spark.operators import codecs
+
+    a = arr.astype(np.int64)
+    luma = ((77 * a[:, :, 0] + 150 * a[:, :, 1] + 29 * a[:, :, 2]) >> 8).astype(np.float64)
+    # bilinear to 9x8 on UNROUNDED floats (same align-corners=False grid
+    # as codecs.resize_bilinear): a uniform brightness shift then moves
+    # every sampled value by exactly the shift — rounding to uint8 first
+    # would break the invariance at half-integer ties
+    h, w = luma.shape
+    ys = (np.arange(8) + 0.5) * (h / 8) - 0.5
+    xs = (np.arange(9) + 0.5) * (w / 9) - 0.5
+    y0 = np.floor(ys).astype(np.int64).clip(0, h - 1)
+    x0 = np.floor(xs).astype(np.int64).clip(0, w - 1)
+    y1 = (y0 + 1).clip(0, h - 1)
+    x1 = (x0 + 1).clip(0, w - 1)
+    wy = (ys - y0).clip(0.0, 1.0)[:, None]
+    wx = (xs - x0).clip(0.0, 1.0)[None, :]
+    top = luma[y0][:, x0] * (1 - wx) + luma[y0][:, x1] * wx
+    bot = luma[y1][:, x0] * (1 - wx) + luma[y1][:, x1] * wx
+    g = top * (1 - wy) + bot * wy
+    bits = (g[:, 1:] > g[:, :-1]).reshape(-1)  # 8x8 row-major
+    fp = 0
+    for i in range(64):
+        if bits[i]:
+            fp |= 1 << i
+    return fp - (1 << 64) if fp >= 1 << 63 else fp  # two's-complement int64
+
+
+def image_dhash(df: DataFrame, payload_col: str = "payload", id_col: str = "media_id") -> DataFrame:
+    """(id, dhash) fingerprints for an image corpus via one Arrow
+    mapInPandas kernel over the from-scratch decoders — no shuffle, no
+    collect; undecodable/poison payloads are SKIPPED (quarantine), never
+    stage-killing."""
+    out_schema = f"{id_col} bigint, dhash bigint"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for mid, b in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    fps.append(dhash64(decode_image_any(bytes(b) if b is not None else b"")))
+                    ids.append(int(mid))
+                except ValueError:
+                    continue
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype="int64"), "dhash": pd.Series(fps, dtype="int64")}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
+
+
+def image_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Image near-dup pairs: dHash fingerprints -> the SAME banded
+    Hamming equi-join as SimHash text near-dup (dedup.py
+    banded_hamming_pairs: 4x16-bit bands, pigeonhole-complete for
+    hamming<=3, never all-pairs).  Returns (id_a, id_b, hamming)."""
+    from esgopeta_spark.operators.dedup import banded_hamming_pairs
+    from esgopeta_spark.session import ensure_min_partitions
+
+    fp = image_dhash(ensure_min_partitions(df), payload_col, id_col)
+    return banded_hamming_pairs(fp, max_hamming, id_col=id_col, fp_col="dhash")

@@ -461,3 +461,64 @@ def multimodal_decode_mp2_audio(spark, sf):
             yield pd.DataFrame(out)
 
     return ids.mapInPandas(kernel, out_schema)
+
+
+@register(
+    "dedup_image_dhash",
+    "G2,G5",
+    """
+    WITH sel AS (
+      SELECT doc_id, doc_id % 7 AS cls
+      FROM documents WHERE doc_id % 10 = 2)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+    FROM sel a JOIN sel b ON a.cls = b.cls AND a.doc_id < b.doc_id
+    """,
+    doc="IMAGE near-dup (dHash, r8 — G2 dedup extended to the multimodal "
+    "corpus): per selected doc, render a class-determined sinusoid image "
+    "(7 orientation/frequency classes; brightness shifted by the id's "
+    "10-block), encode to REAL PNG bytes, decode + 64-bit dHash "
+    "(float-bilinear 9x8 luma, horizontal gradient signs) in one Arrow "
+    "mapInPandas kernel, then the SAME banded Hamming equi-join as "
+    "SimHash text near-dup (dedup.py banded_hamming_pairs — "
+    "pigeonhole-complete for hamming<=3, never all-pairs).  dHash is "
+    "EXACTLY brightness-invariant (luma weights sum to 256, unrounded "
+    "bilinear), so same-class images pair at hamming 0 across every "
+    "brightness variant and the oracle is the analytic class self-join; "
+    "cross-class fingerprints sit >=16 bits apart (pinned in pytest), so "
+    "no spurious pair can enter under the threshold",
+)
+def dedup_image_dhash(spark, sf):
+    from esgopeta_spark.operators.multimodal import image_dup_pairs
+    from esgopeta_spark.session import ensure_min_partitions
+
+    ids = T(spark, sf, "documents").filter(F.col("doc_id") % 10 == 2).select("doc_id")
+    ids = ensure_min_partitions(ids)
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from esgopeta_spark.operators import codecs
+
+        fxy = [(1, 0), (0, 1), (2, 1), (1, 2), (3, 0), (2, 3), (1, 1)]
+        for pdf in batches:
+            ids_, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                fx, fy = fxy[d % 7]
+                k = (d // 10) % 40
+                yy, xx = np.mgrid[0:24, 0:32]
+                ph = (2 * np.pi * (fx * xx + fy * yy)) / 16.0
+                arr = np.stack(
+                    [90 + 70 * np.sin(ph), 90 + 70 * np.sin(ph + 1.0), 90 + 70 * np.cos(ph)],
+                    axis=-1,
+                )
+                arr = np.clip(np.round(arr), 0, 255).astype(np.uint8)
+                arr = np.clip(arr.astype(np.int64) + k, 0, 255).astype(np.uint8)
+                ids_.append(d)
+                payloads.append(codecs.encode_png(arr, filter_type=d % 5))
+            yield pd.DataFrame({"media_id": pd.Series(ids_, dtype="int64"),
+                                "payload": payloads})
+
+    media = ids.mapInPandas(render, "media_id bigint, payload binary")
+    pairs = image_dup_pairs(media, max_hamming=3)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))

@@ -67,6 +67,93 @@ def test_simhash_finds_planted_dups(spark, sf_dir):
     assert all(r["hamming"] == 0 for r in pairs if r["id_b"] - r["id_a"] == 200000)
 
 
+def test_image_dhash_near_dup_pairs_vs_bruteforce(spark):
+    """Image near-dup (G2 for images, r8): dHash over REAL encoded
+    payloads + the shared banded Hamming equi-join must find EXACTLY the
+    brute-force pairs at hamming<=3 (the 4x16 banding is
+    pigeonhole-complete there), brightness-shifted copies must pair at
+    hamming 0 (dHash invariance), and poison payloads are skipped."""
+    import numpy as np
+
+    from esgopeta_spark.operators import codecs
+    from esgopeta_spark.operators.multimodal import dhash64, decode_image_any, image_dup_pairs
+
+    def img(cls, k):
+        yy, xx = np.mgrid[0:24, 0:32]
+        fx, fy = [(1, 0), (0, 1), (2, 1), (1, 2), (3, 0)][cls]
+        ph = (2 * np.pi * (fx * xx + fy * yy)) / 16.0
+        arr = np.stack(
+            [90 + 70 * np.sin(ph), 90 + 70 * np.sin(ph + 1.0), 90 + 70 * np.cos(ph)],
+            axis=-1,
+        )
+        arr = np.clip(np.round(arr), 0, 255).astype(np.uint8)
+        return np.clip(arr.astype(np.int64) + k, 0, 255).astype(np.uint8)
+
+    rows, local_fp = [], {}
+    for i in range(20):
+        cls, k = i % 5, (i // 5) * 9
+        fmt = ("png", "bmp", "ppm", "jpeg")[i % 4]  # mixed formats decode alike
+        enc = {"png": codecs.encode_png, "bmp": codecs.encode_bmp,
+               "ppm": codecs.encode_ppm, "jpeg": lambda a: codecs.encode_jpeg(a, quality=95)}[fmt]
+        payload = enc(img(cls, k))
+        rows.append((i, payload))
+        local_fp[i] = dhash64(decode_image_any(payload))
+    rows.append((99, b"\x00garbage-not-an-image"))  # skipped, not fatal
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in image_dup_pairs(df, max_hamming=3).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    want = {
+        (a, b): ham(local_fp[a], local_fp[b])
+        for a in local_fp for b in local_fp
+        if a < b and ham(local_fp[a], local_fp[b]) <= 3
+    }
+    assert got == want
+    # brightness-shifted same-class PNG/PPM twins must be hamming-0 pairs
+    # (0 and 10 are cls 0: png k=0 and ppm k=18)
+    assert got.get((0, 10)) == 0
+    assert not any(99 in p for p in got)
+
+
+def test_image_dhash_entry_classes_separated():
+    """Pin the dedup_image_dhash oracle's soundness argument: the 7
+    sinusoid classes' fingerprints sit >= 16 Hamming bits apart (so no
+    cross-class pair can enter under max_hamming=3) and every brightness
+    shift k in 0..39 leaves each class fingerprint IDENTICAL (so the
+    analytic class self-join is exactly the hamming-0 pair set)."""
+    import itertools
+
+    import numpy as np
+
+    from esgopeta_spark.operators.multimodal import dhash64
+
+    fxy = [(1, 0), (0, 1), (2, 1), (1, 2), (3, 0), (2, 3), (1, 1)]
+
+    def img(cls, k):
+        yy, xx = np.mgrid[0:24, 0:32]
+        fx, fy = fxy[cls]
+        ph = (2 * np.pi * (fx * xx + fy * yy)) / 16.0
+        arr = np.stack(
+            [90 + 70 * np.sin(ph), 90 + 70 * np.sin(ph + 1.0), 90 + 70 * np.cos(ph)],
+            axis=-1,
+        )
+        arr = np.clip(np.round(arr), 0, 255).astype(np.uint8)
+        return np.clip(arr.astype(np.int64) + k, 0, 255).astype(np.uint8)
+
+    fps = {}
+    for cls in range(7):
+        base = dhash64(img(cls, 0))
+        assert all(dhash64(img(cls, k)) == base for k in range(40)), cls
+        fps[cls] = base
+    dmin = min(
+        bin((fps[a] ^ fps[b]) & (2**64 - 1)).count("1")
+        for a, b in itertools.combinations(range(7), 2)
+    )
+    assert dmin >= 16, dmin
+
+
 def test_lsh_cosine_recall(spark, sf_dir):
     from esgopeta_spark.operators.similarity import topk_cosine, topk_cosine_lsh
 

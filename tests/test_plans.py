@@ -256,6 +256,16 @@ def test_substring_spans_broadcast_gate_falls_back_to_shuffle(spark):
     assert a == b and len(a) > 0
 
 
+def test_image_dhash_plan_posture(spark, sf_dir):
+    """Image near-dup must join on the banded-chunk EQUI keys (shared
+    banded_hamming_pairs path) — no cartesian, no nested-loop join."""
+    from esgopeta_spark.plans import REGISTRY
+
+    p = plan_of(REGISTRY["dedup_image_dhash"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p, p
+
+
 def test_span_extract_plan_posture(spark, sf_dir):
     """duplicated_span_ranges adds two join-shaped stages over the gram
     pipeline (dup-positions x shared gkeys, spans x doc word arrays): both
