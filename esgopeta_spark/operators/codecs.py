@@ -15,9 +15,9 @@ DECODE for real for the Motion-JPEG subset (``decode_mjpeg_frames``:
 sample-table walk + the from-scratch JPEG codec per sample), and MPEG-1
 audio samples DECODE for real for all three layers
 (operators/mpeg1_audio.py; Layer III incl. Huffman regions, bit
-reservoir, hybrid IMDCT, MS stereo; Layer I/II incl. intensity joint
-stereo); h264/hevc frames and Layer III intensity remain behind the
-needs-codec guard in operators.multimodal.
+reservoir, hybrid IMDCT, MS + intensity joint stereo; Layer I/II incl.
+intensity); only h264/hevc frames remain behind the needs-codec guard
+in operators.multimodal.
 
 Everything here is plain bytes->ndarray (and back) so the same functions
 run inside Arrow-batched mapInPandas kernels on executors and in local
@@ -1259,9 +1259,9 @@ def encode_mpeg1_audio(
 def decode_mpeg1_audio(b: bytes):
     """MPEG-1 Layer I/II/III frames (ID3v2-tagged ok) -> (int16 PCM —
     mono ``(n,)`` or stereo ``(n, 2)`` — and sample_rate).  Layer III
-    decodes through the bit reservoir + hybrid IMDCT; Layer I/II joint
-    stereo decodes as intensity (mode_extension bound); only Layer III
-    intensity raises ValueError('needs-codec...')."""
+    decodes through the bit reservoir + hybrid IMDCT with MS and
+    intensity joint stereo; Layer I/II joint stereo decodes as intensity
+    (mode_extension bound).  Every MPEG-1 audio mode now decodes."""
     from esgopeta_spark.operators import mpeg1_audio
 
     return mpeg1_audio.decode_mpeg1_audio(b)

@@ -928,10 +928,12 @@ def _write_granule(
 
 def _read_granule(
     r: _BitR, gr_start: int, g: dict, ridx: int, scfsi: int, prev_sf,
-) -> tuple[np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, int]:
     """One granule-channel: scalefactors + spectrum from the reservoir
     reader.  Returns (coded-order xr BEFORE requant multipliers as signed
-    ints, scalefactor array) — requant happens in the caller."""
+    ints, scalefactor array, spectrum end = first rzero line) — requant
+    happens in the caller; the spectrum end drives the intensity-stereo
+    band boundary."""
     slen1, slen2 = SLEN[g["scalefac_compress"]]
     bt = g["block_type"] if g["window_switching"] else 0
     if bt == 2:
@@ -995,7 +997,54 @@ def _read_granule(
     if r.pos - gr_start > p23:
         raise ValueError("part2_3_length overrun")
     r.pos = gr_start + p23  # skip padding/stuffing bits
-    return ix, sf
+    return ix, sf, line
+
+
+def _intensity_bands(ridx: int, bt: int):
+    """Coded-order (start, end, is_pos_source_band) triples per
+    scalefactor band, for intensity-stereo processing.  Long blocks:
+    21+1 bands over SFB_LONG edges (the terminal band reuses band 20's
+    position, spec Table B.8 note); short: (band, window) cells over
+    3*SFB_SHORT edges, terminal band reusing band 11's."""
+    out = []
+    if bt == 2:
+        edges = SFB_SHORT[ridx]
+        for b in range(len(edges) - 1):
+            width = edges[b + 1] - edges[b]
+            for w in range(3):
+                lo = 3 * edges[b] + w * width
+                out.append((lo, lo + width, (min(b, 11), w)))
+    else:
+        edges = SFB_LONG[ridx]
+        for b in range(len(edges) - 1):
+            out.append((edges[b], edges[b + 1], min(b, 20)))
+    return out
+
+
+def _intensity_decode(
+    xr_l: np.ndarray, xr_r: np.ndarray, sf_r: np.ndarray, right_end: int,
+    ridx: int, bt: int,
+) -> None:
+    """Apply Layer III intensity stereo IN PLACE (coded order): for every
+    scalefactor band wholly above the right channel's spectrum end, the
+    left channel carries the combined signal and the right channel's
+    scalefactor slot carries the position is_pos (0..6; 7 = escape, band
+    stays stereo): ratio = tan(is_pos*pi/12), l = x*ratio/(1+ratio),
+    r = x/(1+ratio); is_pos = 6 puts everything left (tan -> inf)."""
+    for lo, hi, src in _intensity_bands(ridx, bt):
+        if lo < right_end:
+            continue
+        p = int(sf_r[src] if bt != 2 else sf_r[src[0], src[1]])
+        if p == 7:
+            continue
+        x = xr_l[lo:hi].copy()  # copy: the in-place left write below must
+        # not feed the right split (view aliasing)
+        if p == 6:
+            xr_r[lo:hi] = 0.0
+            continue
+        ratio = np.tan(p * np.pi / 12.0)
+        xr_l[lo:hi] = x * (ratio / (1.0 + ratio))
+        xr_r[lo:hi] = x * (1.0 / (1.0 + ratio))
 
 
 def _antialias(nat: np.ndarray, inverse: bool = False) -> np.ndarray:
@@ -1101,9 +1150,43 @@ def _quantize_granule(
     return np.where(xr < 0, -ix, ix), gg, sf
 
 
+def _intensity_encode(
+    xl: np.ndarray, xr: np.ndarray, ridx: int, bt: int
+) -> tuple[dict, int]:
+    """Encoder half of Layer III intensity stereo, IN PLACE on
+    coded-order spectra: above the start band (long sfb 8 / short band 5)
+    the left channel takes the combined signal l+r (the decoder's
+    ratio/(1+ratio) + 1/(1+ratio) split sums back to exactly x), the
+    right channel is zeroed, and each band's position
+    is_pos = round(atan2(sum|l|, sum|r|) * 12/pi) (0..6) is returned for
+    the right channel's scalefactor slots.  Terminal bands (long 21,
+    short 12) fold into the previous band's position, mirroring the
+    decoder's source-band sharing."""
+    start_band = 5 if bt == 2 else 8
+    edges = (SFB_SHORT if bt == 2 else SFB_LONG)[ridx]
+    start_line = (3 if bt == 2 else 1) * edges[start_band]
+    acc: dict = {}
+    for lo, hi, src in _intensity_bands(ridx, bt):
+        if lo < start_line:
+            continue
+        el = float(np.abs(xl[lo:hi]).sum())
+        er = float(np.abs(xr[lo:hi]).sum())
+        a = acc.setdefault(src, [0.0, 0.0])
+        a[0] += el
+        a[1] += er
+        xl[lo:hi] = xl[lo:hi] + xr[lo:hi]
+        xr[lo:hi] = 0.0
+    ipos = {
+        src: int(np.clip(np.round(np.arctan2(el, er) * 12.0 / np.pi), 0, 6))
+        for src, (el, er) in acc.items()
+    }
+    return ipos, start_line
+
+
 def _encode_l3_stream(
     subs: np.ndarray, sample_rate: int, bitrate_kbps: int,
     use_short_blocks: bool = False, ms_stereo: bool = False,
+    intensity_stereo: bool = False,
 ) -> bytes:
     """(nch, 32, T) frequency-inverted subband samples -> Layer III frame
     sequence with a live bit reservoir (main_data_begin back-pointers,
@@ -1148,6 +1231,7 @@ def _encode_l3_stream(
     for f in range(n_frames):
         # hybrid MDCT once per frame; only quantization re-runs on bumps
         coded_gr: list[list[np.ndarray]] = []
+        ipos_gr: list[tuple[dict, int]] = []
         bts: list[int] = []
         for gr in range(2):
             g = 2 * f + gr
@@ -1160,13 +1244,21 @@ def _encode_l3_stream(
             nats = [_hybrid_mdct_fwd(x36[ch], bt) for ch in range(nch)]
             if bt != 2:
                 nats = [_antialias(n, inverse=True) for n in nats]
+            # stereo transforms in CODED order, mirroring the decoder:
+            # intensity first (left takes l+r above the start band), then
+            # MS only BELOW the intensity region (mode_ext=3 semantics)
+            codeds = [nats[ch][_REORDER[ridx]] if bt == 2 else nats[ch] for ch in range(nch)]
+            lim = 576
+            if intensity_stereo and nch == 2:
+                ipos, istart = _intensity_encode(codeds[0], codeds[1], ridx, bt)
+                ipos_gr.append((ipos, istart))
+                lim = istart
             if ms_stereo and nch == 2:
-                mid = (nats[0] + nats[1]) / _SQRT2
-                sid = (nats[0] - nats[1]) / _SQRT2
-                nats = [mid, sid]
-            coded_gr.append(
-                [nats[ch][_REORDER[ridx]] if bt == 2 else nats[ch] for ch in range(nch)]
-            )
+                mid = (codeds[0][:lim] + codeds[1][:lim]) / _SQRT2
+                sid = (codeds[0][:lim] - codeds[1][:lim]) / _SQRT2
+                codeds[0][:lim] = mid
+                codeds[1][:lim] = sid
+            coded_gr.append(codeds)
             bts.append(bt)
         frame_bump = 0
         while True:
@@ -1177,6 +1269,34 @@ def _encode_l3_stream(
                     gg_bump = frame_bump
                     while True:
                         ix, gg, sf = _quantize_granule(coded_gr[gr][ch], bts[gr], ridx, gg_bump)
+                        if intensity_stereo and nch == 2 and ch == 1:
+                            # right channel's scalefactor slots above its
+                            # spectrum end carry intensity positions (or
+                            # the is_pos=7 escape for the gap between its
+                            # rzero start and the intensity start band)
+                            ipos, istart = ipos_gr[gr]
+                            absr = np.abs(ix)
+                            ie = 576
+                            while ie >= 2 and absr[ie - 1] == 0 and absr[ie - 2] == 0:
+                                ie -= 2
+                            if ms_stereo and ie < istart:
+                                # mode_ext=3 alignment: the decoder's MS
+                                # region ends at the side channel's
+                                # spectrum end — pad the side spectrum to
+                                # the intensity start band (one quantum
+                                # in one line) so both regions meet at
+                                # istart and no MS-coded band falls into
+                                # the is_pos=7 escape gap
+                                ix[istart - 1] = 1
+                                ie = istart
+                            for lo, _hi, src in _intensity_bands(ridx, bts[gr]):
+                                if lo < ie:
+                                    continue
+                                v = ipos[src] if lo >= istart else 7
+                                if bts[gr] == 2:
+                                    sf[src[0], src[1]] = v
+                                else:
+                                    sf[src] = v
                         scratch = _BitW()
                         try:
                             params = _write_granule(
@@ -1222,8 +1342,9 @@ def _encode_l3_stream(
     for f in range(n_frames):
         hdr = bytearray(_header(3, bidx, ridx, nch))
         hdr[2] |= paddings[f] << 1
-        if ms_stereo and nch == 2:
-            hdr[3] = (0b01 << 6) | (0b10 << 4)  # joint stereo, MS on
+        if (ms_stereo or intensity_stereo) and nch == 2:
+            mode_ext = (0b10 if ms_stereo else 0) | (0b01 if intensity_stereo else 0)
+            hdr[3] = (0b01 << 6) | (mode_ext << 4)  # joint stereo
         sw = _BitW()
         sw.put(placements[f][0], 9)
         sw.put(0, 5 if nch == 1 else 3)
@@ -1269,7 +1390,7 @@ class _L3Decoder:
         self.overlap = np.zeros((nch, M, 18))
         self.cols: list[np.ndarray] = []
 
-    def feed(self, payload: bytes, ms: bool) -> None:
+    def feed(self, payload: bytes, ms: bool, intensity: bool = False) -> None:
         nch = self.nch
         side_bytes = 17 if nch == 1 else 32
         if len(payload) < side_bytes:
@@ -1313,12 +1434,11 @@ class _L3Decoder:
         r = _BitR(bytes(self.res[base - mdb :]))
         sf_gr0: list = [None] * nch
         for gr in range(2):
-            nats = []
-            bts = []
+            xrs, sfs, ends, bts = [], [], [], []
             for ch in range(nch):
                 g = grs[gr][ch]
                 gr_start = r.pos
-                ix, sf = _read_granule(
+                ix, sf, end = _read_granule(
                     r, gr_start, g, self.ridx,
                     scfsi[ch] if gr == 1 else 0, sf_gr0[ch],
                 )
@@ -1329,22 +1449,45 @@ class _L3Decoder:
                     g["scalefac_scale"], g["preflag"], sf, g["subblock_gain"],
                 )
                 xr = np.sign(ix) * np.power(np.abs(ix).astype(np.float64), 4.0 / 3.0) * mult
-                if g["block_type"] == 2:
-                    nat = np.zeros(576)
-                    nat[_REORDER[self.ridx]] = xr
-                else:
-                    nat = xr
-                nats.append(nat)
+                xrs.append(xr)
+                sfs.append(sf)
+                ends.append(end)
                 bts.append(g["block_type"])
-            if ms:
-                if nch != 2:
-                    raise ValueError("MS stereo flagged on a mono stream")
-                left = (nats[0] + nats[1]) / _SQRT2
-                right = (nats[0] - nats[1]) / _SQRT2
-                nats = [left, right]
+            # stereo processing in CODED order (MS is permutation-
+            # invariant; intensity bands are contiguous in coded order)
+            if (ms or intensity) and nch != 2:
+                raise ValueError("joint-stereo flags on a mono stream")
+            if intensity and bts[0] != bts[1]:
+                raise ValueError("intensity stereo with differing block types")
+            if intensity:
+                # MS (when also flagged, mode_ext=3) applies only BELOW
+                # the intensity region; intensity bands hold the combined
+                # signal directly in the left channel.  (Simplification
+                # vs spec: is_pos=7 escape bands inside the region stay
+                # as-transmitted rather than MS-decoded.)
+                isb = min(
+                    (lo for lo, _hi, _s in _intensity_bands(self.ridx, bts[0])
+                     if lo >= ends[1]),
+                    default=576,
+                )
+                if ms:
+                    mid = xrs[0][:isb].copy()
+                    sid = xrs[1][:isb].copy()
+                    xrs[0][:isb] = (mid + sid) / _SQRT2
+                    xrs[1][:isb] = (mid - sid) / _SQRT2
+                _intensity_decode(
+                    xrs[0], xrs[1], sfs[1], ends[1], self.ridx, bts[0]
+                )
+            elif ms:
+                mid, sid = xrs
+                xrs = [(mid + sid) / _SQRT2, (mid - sid) / _SQRT2]
             out = np.empty((nch, M, 18))
             for ch in range(nch):
-                nat = nats[ch] if bts[ch] == 2 else _antialias(nats[ch])
+                if bts[ch] == 2:
+                    nat = np.zeros(576)
+                    nat[_REORDER[self.ridx]] = xrs[ch]
+                else:
+                    nat = _antialias(xrs[ch])
                 out[ch] = _hybrid_imdct(nat, bts[ch], self.overlap[ch])
             self.cols.append(out)
         if len(self.res) > 511:
@@ -1379,10 +1522,16 @@ def encode_mpeg1_audio(
     a 2-channel input as mid/side joint stereo (mode 01, mode_extension
     MS bit).
 
-    Layer I/II extra: ``intensity_bound`` in {4, 8, 12, 16} encodes a
-    2-channel input as INTENSITY joint stereo (mode 01, mode_extension =
-    (bound-4)/4): subbands >= bound share one sample stream with
-    per-channel scalefactors — the spec's only Layer I/II joint mode.
+    ``intensity_bound`` encodes a 2-channel input with INTENSITY joint
+    stereo.  Layer I/II: the value in {4, 8, 12, 16} is the first shared
+    subband (mode 01, mode_extension = (bound-4)/4) — subbands >= bound
+    share one sample stream with per-channel scalefactors, the spec's
+    only Layer I/II joint mode.  Layer III: any non-None value turns on
+    intensity for the fixed start band (long sfb 8 / short band 5); the
+    intensity region carries the combined signal in the left channel and
+    positions is_pos = atan2-quantized channel ratios in the right
+    channel's scalefactor slots (mode_extension bit 0; composable with
+    ``ms_stereo`` = mode_ext 3, MS below the intensity region).
     Intensity is LOSSY BY DESIGN above the bound (only each channel's
     envelope survives); fidelity there depends on inter-channel
     correlation."""
@@ -1405,6 +1554,8 @@ def encode_mpeg1_audio(
         raise ValueError("samples must be (n,) mono or (n, 1|2) interleaved")
     nch = len(chans)
     if layer == 3:
+        if intensity_bound is not None and nch != 2:
+            raise ValueError("intensity_bound requires 2-channel input")
         l3_subs = np.stack([analyze(c) for c in chans])  # (nch, 32, T+1)
         # pre-apply the frequency inversion the decoder undoes after its
         # hybrid IMDCT (odd samples of odd subbands; the decoder's
@@ -1414,6 +1565,7 @@ def encode_mpeg1_audio(
             l3_subs, sample_rate, bitrate_kbps,
             use_short_blocks=use_short_blocks,
             ms_stereo=ms_stereo and nch == 2,
+            intensity_stereo=intensity_bound is not None and nch == 2,
         )
     bound = M
     if intensity_bound is not None:
@@ -1474,9 +1626,11 @@ def decode_mpeg1_audio(b: bytes) -> tuple[np.ndarray, int]:
     sample_rate).  Junk between frames is RESYNCed past (bounded: > 1 MB
     of non-frame bytes fails) like any production decoder.  Layer III
     decodes through the bit reservoir + hybrid-IMDCT pipeline
-    (``_L3Decoder``); joint stereo is supported for Layer III MS
-    (mode_extension bit 1); intensity coding and Layer I/II joint modes
-    still raise 'needs-codec'."""
+    (``_L3Decoder``) with full joint-stereo support: MS (mode_extension
+    bit 1), intensity (bit 0: per-band is_pos ratio split above the
+    right channel's spectrum end, is_pos=7 escape), and the combined
+    mode_ext=3 (MS below the intensity region); Layer I/II joint modes
+    decode as intensity over the mode_extension subband bound."""
     pos = skip_id3v2(b)
     blocks: list[np.ndarray] = []
     l3: _L3Decoder | None = None
@@ -1505,14 +1659,10 @@ def decode_mpeg1_audio(b: bytes) -> tuple[np.ndarray, int]:
             pos = nxt
             continue
         bound = M
-        if info["joint"]:
-            if info["layer"] == 3:
-                if info["mode_ext"] & 0x1:
-                    raise ValueError("needs-codec: Layer III intensity stereo")
-            else:
-                # Layer I/II joint = intensity: mode_extension gives the
-                # first shared subband, bound = 4 + mode_ext * 4
-                bound = 4 + info["mode_ext"] * 4
+        if info["joint"] and info["layer"] != 3:
+            # Layer I/II joint = intensity: mode_extension gives the
+            # first shared subband, bound = 4 + mode_ext * 4
+            bound = 4 + info["mode_ext"] * 4
         if rate is None:
             rate, nch, layer0 = info["sample_rate"], info["n_channels"], info["layer"]
         elif rate != info["sample_rate"] or nch != info["n_channels"]:
@@ -1526,7 +1676,11 @@ def decode_mpeg1_audio(b: bytes) -> tuple[np.ndarray, int]:
         if info["layer"] == 3:
             if l3 is None:
                 l3 = _L3Decoder(nch, SAMPLE_RATES.index(info["sample_rate"]))
-            l3.feed(payload, bool(info["joint"] and info["mode_ext"] & 0x2))
+            l3.feed(
+                payload,
+                ms=bool(info["joint"] and info["mode_ext"] & 0x2),
+                intensity=bool(info["joint"] and info["mode_ext"] & 0x1),
+            )
         else:
             r = _BitR(payload)
             blocks.append(

@@ -24,11 +24,12 @@ Decode status by format:
   Huffman regions, requantization, antialias, hybrid IMDCT with all four
   window types, MS joint stereo (operators/mpeg1_audio.py — spec-shaped
   bitstream, documented MDCT-filterbank and canonical-Huffman-table
-  deviations), including Layer I/II INTENSITY joint stereo (mode 01,
-  shared sample stream + per-channel scalefactors above the
-  mode_extension bound); h264/hevc frames and Layer III intensity
-  genuinely require conformance tables/codecs this container does not
-  ship; those rows surface ``ok=false, err='needs-codec'`` and the
+  deviations), including INTENSITY joint stereo for all three layers
+  (Layer I/II: shared sample stream + per-channel scalefactors above the
+  mode_extension subband bound; Layer III: per-band is_pos ratio split
+  with the is_pos=7 escape, composable with MS); only h264/hevc frames
+  genuinely require codecs this container does not ship; those rows
+  surface ``ok=false, err='needs-codec'`` and the
   integration point is ``raise_if_real_decode_requested``.  The legacy header-sniff
   kernels (``decode_image_meta``, ``extract_features``) remain as the
   codec-free fallback path.

@@ -598,11 +598,18 @@ def test_decoder_quarantine_contract_fuzz():
         32000, layer=3, use_short_blocks=True, ms_stereo=True,
     )
     # intensity joint stereo (r8): fuzz the mode-01 shared-subband layout
+    # (Layer II) and the Layer III is_pos/escape scalefactor slots
     decoders["mp2_l2_intensity"] = codecs.decode_mpeg1_audio
     magics["mp2_l2_intensity"] = b"\xff\xfd"
     valid["mp2_l2_intensity"] = codecs.encode_mpeg1_audio(
         _np.stack([_tone, (_tone * 0.6).astype(_np.int16)], axis=1),
         32000, layer=2, intensity_bound=8,
+    )
+    decoders["mp3_l3_intensity"] = codecs.decode_mpeg1_audio
+    magics["mp3_l3_intensity"] = b"\xff\xfb"
+    valid["mp3_l3_intensity"] = codecs.encode_mpeg1_audio(
+        _np.stack([_tone, (_tone * 0.6).astype(_np.int16)], axis=1),
+        32000, layer=3, intensity_bound=1,
     )
     # GIF animation walker (r5): same magic, multi-frame corpus
     decoders["gif_anim"] = codecs.decode_gif_frames
@@ -1058,11 +1065,42 @@ def test_mpeg1_layer3_stereo_and_ms():
     out, _ = m.decode_mpeg1_audio(ms)
     assert _snr_db(st[:, 0], out[:, 0]) > 25.0 and _snr_db(st[:, 1], out[:, 1]) > 25.0
 
-    # intensity bit set -> needs-codec (decoder reads mode_ext)
-    bad = bytearray(ms)
-    bad[3] |= 0x10  # set mode_ext intensity bit on frame 0
-    with pytest.raises(ValueError, match="needs-codec"):
-        m.decode_mpeg1_audio(bytes(bad))
+
+def test_mpeg1_layer3_intensity_stereo():
+    """Layer III intensity stereo (r8 — the last audio needs-codec guard
+    closed): above the fixed start band the left channel carries the
+    combined signal and the right channel's scalefactor slots carry
+    is_pos ratio positions (tan(p*pi/12) split; 7 = escape).  Correlated
+    channels must round-trip > 25 dB per channel in every combination of
+    window schedule and MS (mode_ext 1 and 3), and the wire must carry
+    the intensity bit."""
+    from esgopeta_spark.operators import mpeg1_audio as m
+
+    sr = 44100
+    t = np.arange(1152 * 3)
+    base = (
+        np.sin(2 * np.pi * 440 * t / sr)
+        + 0.3 * np.sin(2 * np.pi * 3000 * t / sr)
+        + 0.25 * np.sin(2 * np.pi * 9000 * t / sr)
+    )
+    st = np.stack([base, 0.6 * base], axis=1)
+    st = (st / np.abs(st).max() * 12000).astype(np.int16)
+    for short in (False, True):
+        for ms in (False, True):
+            b = m.encode_mpeg1_audio(
+                st, sr, layer=3, intensity_bound=1, ms_stereo=ms, use_short_blocks=short
+            )
+            info = m.parse_header(b[:4])
+            assert info["joint"] and info["mode_ext"] == (3 if ms else 1)
+            dec, rate = m.decode_mpeg1_audio(b)
+            assert rate == sr
+            assert _snr_db(st[:, 0], dec[:, 0]) > 25.0, (short, ms)
+            assert _snr_db(st[:, 1], dec[:, 1]) > 25.0, (short, ms)
+    # envelope above the bound: per-channel RMS ratio survives (that is
+    # what intensity preserves)
+    dec, _ = m.decode_mpeg1_audio(m.encode_mpeg1_audio(st, sr, layer=3, intensity_bound=1))
+    r = np.sqrt((dec[:, 1].astype(float) ** 2).mean() / (dec[:, 0].astype(float) ** 2).mean())
+    assert 0.5 < r < 0.7
 
 
 def test_mpeg1_intensity_joint_stereo_l1_l2():
