@@ -522,3 +522,69 @@ def dedup_image_dhash(spark, sf):
     media = ids.mapInPandas(render, "media_id bigint, payload binary")
     pairs = image_dup_pairs(media, max_hamming=3)
     return pairs.select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
+
+
+@register(
+    "dedup_audio_fingerprint",
+    "G2,G5",
+    """
+    WITH sel AS (
+      SELECT doc_id, (doc_id // 10) % 6 AS cls
+      FROM documents WHERE doc_id % 10 = 4)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sel a JOIN sel b ON a.cls = b.cls AND a.doc_id < b.doc_id
+    """,
+    doc="AUDIO near-dup (r8 — G2 dedup extended to audio): per selected "
+    "doc, synthesize a class-determined AM tone mix (6 classes), encode "
+    "to WAV / MPEG-1 Layer II / Layer III by the id's variant (WAV "
+    "variants also gain-halved), decode through the from-scratch codecs "
+    "and compute a 64-bit spectral difference-hash (temporal band-energy "
+    "gradient signs, chromaprint-style) in one Arrow mapInPandas kernel, "
+    "then the shared banded Hamming equi-join (banded_hamming_pairs).  "
+    "The hash is EXACTLY gain-invariant and, measured, within hamming 1 "
+    "across this module's lossy codecs, so same-class variants always "
+    "pair under the threshold and the oracle is the analytic class "
+    "self-join; cross-class fingerprints sit >= 18 bits apart (pinned in "
+    "pytest) so no spurious pair can enter.  The pair list (not the "
+    "per-pair distance) is the graded output — codec requantization "
+    "may legitimately move a near-tie gradient bit",
+)
+def dedup_audio_fingerprint(spark, sf):
+    from esgopeta_spark.operators.multimodal import audio_dup_pairs
+    from esgopeta_spark.session import ensure_min_partitions
+
+    ids = T(spark, sf, "documents").filter(F.col("doc_id") % 10 == 4).select("doc_id")
+    ids = ensure_min_partitions(ids)
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from esgopeta_spark.operators import codecs
+
+        cls_params = [(300, 2100, 3.0), (450, 1600, 5.0), (600, 3000, 2.0),
+                      (250, 5000, 4.0), (800, 1200, 7.0), (350, 4200, 6.0)]
+        for pdf in batches:
+            ids_, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                m = d // 10
+                f1, f2, am = cls_params[m % 6]
+                fmt, k = (m // 6) % 3, (m // 18) % 3
+                t = np.arange(17 * 512)
+                env = 1.0 + 0.5 * np.sin(2 * np.pi * am * t / 32000)
+                x = env * (np.sin(2 * np.pi * f1 * t / 32000)
+                           + 0.6 * np.sin(2 * np.pi * f2 * t / 32000))
+                base = (np.round(x / np.abs(x).max() * 3000) * 4).astype(np.int64)
+                if fmt == 0:  # WAV, exact power-of-two gain variants
+                    pay = codecs.encode_wav((base >> k).astype(np.int16), 32000)
+                else:  # MPEG-1 Layer II / III round trip feeds the hash
+                    pay = codecs.encode_mpeg1_audio(
+                        base.astype(np.int16), 32000, layer=2 if fmt == 1 else 3
+                    )
+                ids_.append(d)
+                payloads.append(pay)
+            yield pd.DataFrame({"media_id": pd.Series(ids_, dtype="int64"),
+                                "payload": payloads})
+
+    media = ids.mapInPandas(render, "media_id bigint, payload binary")
+    return audio_dup_pairs(media, max_hamming=3).select("id_a", "id_b")

@@ -154,6 +154,103 @@ def test_image_dhash_entry_classes_separated():
     assert dmin >= 16, dmin
 
 
+def test_audio_fingerprint_near_dup_pairs_vs_bruteforce(spark):
+    """Audio near-dup (G2 for audio, r8): spectral difference-hash over
+    REAL encoded payloads (WAV + MPEG-1 L2/L3) + the shared banded
+    Hamming join must find EXACTLY the brute-force pairs at hamming<=3;
+    the same clip re-encoded lossily or gain-halved must pair with its
+    original; poison payloads are skipped."""
+    import numpy as np
+
+    from esgopeta_spark.operators import codecs
+    from esgopeta_spark.operators.multimodal import (
+        audio_dup_pairs,
+        audio_fp64,
+        decode_audio_any,
+    )
+
+    def clip(cls):
+        t = np.arange(17 * 512)
+        f1, f2, am = [(300, 2100, 3.0), (450, 1600, 5.0), (600, 3000, 2.0)][cls]
+        env = 1.0 + 0.5 * np.sin(2 * np.pi * am * t / 32000)
+        x = env * (np.sin(2 * np.pi * f1 * t / 32000) + 0.6 * np.sin(2 * np.pi * f2 * t / 32000))
+        return (np.round(x / np.abs(x).max() * 3000) * 4).astype(np.int64)
+
+    rows, local_fp = [], {}
+    i = 0
+    for cls in range(3):
+        base = clip(cls)
+        variants = [
+            codecs.encode_wav(base.astype(np.int16), 32000),
+            codecs.encode_wav((base >> 1).astype(np.int16), 32000),  # half volume
+            codecs.encode_mpeg1_audio(base.astype(np.int16), 32000, layer=2),
+            codecs.encode_mpeg1_audio(base.astype(np.int16), 32000, layer=3),
+        ]
+        for pay in variants:
+            rows.append((i, pay))
+            local_fp[i] = audio_fp64(decode_audio_any(pay)[0])
+            i += 1
+    rows.append((99, b"\x00not-audio"))
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    got = {(r["id_a"], r["id_b"]) for r in audio_dup_pairs(df, max_hamming=3).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    want = {
+        (a, b) for a in local_fp for b in local_fp
+        if a < b and ham(local_fp[a], local_fp[b]) <= 3
+    }
+    assert got == want
+    # every same-class variant quad is fully paired (6 pairs per class)
+    for cls in range(3):
+        ids = range(cls * 4, cls * 4 + 4)
+        assert all((a, b) in got for a in ids for b in ids if a < b), cls
+    assert not any(99 in p for p in got)
+
+
+def test_audio_fingerprint_entry_classes_separated():
+    """Pin the dedup_audio_fingerprint oracle's soundness argument: the 6
+    tone-mix classes sit >= 18 Hamming bits apart, exact power-of-two
+    gain leaves the hash IDENTICAL, and this module's lossy codecs move
+    it by at most 1 bit — so same-class variants always pair under
+    hamming<=3 and cross-class pairs are impossible."""
+    import itertools
+
+    import numpy as np
+
+    from esgopeta_spark.operators import codecs
+    from esgopeta_spark.operators.multimodal import audio_fp64, decode_audio_any
+
+    cls_params = [(300, 2100, 3.0), (450, 1600, 5.0), (600, 3000, 2.0),
+                  (250, 5000, 4.0), (800, 1200, 7.0), (350, 4200, 6.0)]
+
+    def base(cls):
+        t = np.arange(17 * 512)
+        f1, f2, am = cls_params[cls]
+        env = 1.0 + 0.5 * np.sin(2 * np.pi * am * t / 32000)
+        x = env * (np.sin(2 * np.pi * f1 * t / 32000) + 0.6 * np.sin(2 * np.pi * f2 * t / 32000))
+        return (np.round(x / np.abs(x).max() * 3000) * 4).astype(np.int64)
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    fps = {}
+    for cls in range(6):
+        b = base(cls)
+        f0 = audio_fp64(b.astype(np.float64))
+        assert audio_fp64((b >> 1).astype(np.float64)) == f0  # exact gain invariance
+        assert audio_fp64((b >> 2).astype(np.float64)) == f0
+        for layer in (2, 3):
+            dec, _ = decode_audio_any(
+                codecs.encode_mpeg1_audio(b.astype(np.int16), 32000, layer=layer)
+            )
+            assert ham(audio_fp64(dec), f0) <= 1, (cls, layer)
+        fps[cls] = f0
+    dmin = min(ham(fps[a], fps[b]) for a, b in itertools.combinations(range(6), 2))
+    assert dmin >= 18, dmin
+
+
 def test_lsh_cosine_recall(spark, sf_dir):
     from esgopeta_spark.operators.similarity import topk_cosine, topk_cosine_lsh
 

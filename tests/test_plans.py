@@ -257,13 +257,14 @@ def test_substring_spans_broadcast_gate_falls_back_to_shuffle(spark):
 
 
 def test_image_dhash_plan_posture(spark, sf_dir):
-    """Image near-dup must join on the banded-chunk EQUI keys (shared
-    banded_hamming_pairs path) — no cartesian, no nested-loop join."""
+    """Image and audio near-dup must join on the banded-chunk EQUI keys
+    (shared banded_hamming_pairs path) — no cartesian, no nested-loop."""
     from esgopeta_spark.plans import REGISTRY
 
-    p = plan_of(REGISTRY["dedup_image_dhash"].fn(spark, sf_dir))
-    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
-    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p, p
+    for entry in ("dedup_image_dhash", "dedup_audio_fingerprint"):
+        p = plan_of(REGISTRY[entry].fn(spark, sf_dir))
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+        assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p, p
 
 
 def test_span_extract_plan_posture(spark, sf_dir):
