@@ -588,3 +588,71 @@ def dedup_audio_fingerprint(spark, sf):
 
     media = ids.mapInPandas(render, "media_id bigint, payload binary")
     return audio_dup_pairs(media, max_hamming=3).select("id_a", "id_b")
+
+
+@register(
+    "dedup_video_shared_frames",
+    "G2,G5",
+    """
+    WITH sel AS (
+      SELECT doc_id, (doc_id // 10) % 6 AS j
+      FROM documents WHERE doc_id % 10 = 6)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(CASE WHEN a.j = b.j THEN 3 ELSE 2 END AS BIGINT) AS n_shared_frames
+    FROM sel a JOIN sel b
+      ON a.doc_id < b.doc_id AND ((a.j - b.j + 6) % 6) IN (0, 1, 5)
+    """,
+    doc="VIDEO near-dup (r8 — G2 dedup across the last modality): per "
+    "selected doc, build a REAL 3-frame Motion-JPEG mp4 whose frames walk "
+    "a 6-pattern cycle (video j holds patterns j, j+1, j+2 — adjacent "
+    "videos share footage), decode via the sample-table walk + JPEG "
+    "codec, dHash every frame, then pair videos sharing >= 2 distinct "
+    "frame fingerprints: one equi-self-join on the 64-bit hash + a "
+    "per-pair distinct count, never all-pairs.  JPEG encode/decode is "
+    "deterministic, so equal patterns give equal fingerprints and the "
+    "oracle is the analytic cycle-adjacency join (same j: 3 shared, "
+    "j+-1: 2, j+-2: 1 -> filtered); the 6 pattern hashes sit >= 16 bits "
+    "apart (pinned in pytest)",
+)
+def dedup_video_shared_frames(spark, sf):
+    from esgopeta_spark.operators.multimodal import video_dup_pairs
+    from esgopeta_spark.session import ensure_min_partitions
+
+    ids = T(spark, sf, "documents").filter(F.col("doc_id") % 10 == 6).select("doc_id")
+    ids = ensure_min_partitions(ids)
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from esgopeta_spark.operators import codecs
+
+        fxy = [(1, 0), (0, 1), (2, 1), (1, 2), (3, 0), (2, 3)]
+
+        def pat(j):
+            yy, xx = np.mgrid[0:24, 0:32]
+            fx, fy = fxy[j]
+            ph = (2 * np.pi * (fx * xx + fy * yy)) / 16.0
+            arr = np.stack(
+                [90 + 70 * np.sin(ph), 90 + 70 * np.sin(ph + 1.0), 90 + 70 * np.cos(ph)],
+                axis=-1,
+            )
+            return np.clip(np.round(arr), 0, 255).astype(np.uint8)
+
+        for pdf in batches:
+            ids_, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                j = (d // 10) % 6
+                vid = codecs.encode_mjpeg_mp4(
+                    [pat(j), pat((j + 1) % 6), pat((j + 2) % 6)], quality=85
+                )
+                ids_.append(d)
+                payloads.append(vid)
+            yield pd.DataFrame({"media_id": pd.Series(ids_, dtype="int64"),
+                                "payload": payloads})
+
+    media = ids.mapInPandas(render, "media_id bigint, payload binary")
+    pairs = video_dup_pairs(media, min_shared_frames=2)
+    return pairs.select(
+        "id_a", "id_b", F.col("n_shared_frames").cast("bigint").alias("n_shared_frames")
+    )

@@ -209,6 +209,44 @@ def test_audio_fingerprint_near_dup_pairs_vs_bruteforce(spark):
     assert not any(99 in p for p in got)
 
 
+def test_video_shared_frame_pairs_vs_bruteforce(spark):
+    """Video near-dup (G2 for video, r8): per-frame dHash over REAL
+    MJPEG-mp4 payloads + the shared-frame equi-join must find exactly
+    the videos sharing >= 2 distinct frame fingerprints, with the right
+    DISTINCT counts (a repeated frame is one fingerprint); junk is
+    skipped."""
+    import numpy as np
+
+    from esgopeta_spark.operators import codecs
+    from esgopeta_spark.operators.multimodal import video_dup_pairs
+
+    def pat(j):
+        yy, xx = np.mgrid[0:24, 0:32]
+        fx, fy = [(1, 0), (0, 1), (2, 1), (1, 2)][j]
+        ph = (2 * np.pi * (fx * xx + fy * yy)) / 16.0
+        arr = np.stack(
+            [90 + 70 * np.sin(ph), 90 + 70 * np.sin(ph + 1.0), 90 + 70 * np.cos(ph)],
+            axis=-1,
+        )
+        return np.clip(np.round(arr), 0, 255).astype(np.uint8)
+
+    rows = [
+        (0, codecs.encode_mjpeg_mp4([pat(0), pat(1), pat(2)])),
+        (1, codecs.encode_mjpeg_mp4([pat(1), pat(2), pat(3)])),  # shares 2 with 0
+        (2, codecs.encode_mjpeg_mp4([pat(2), pat(3), pat(0)])),  # shares 2 w/0, 3 w/1? no: {2,3,0}&{0,1,2}=2, &{1,2,3}=2
+        (3, codecs.encode_mjpeg_mp4([pat(3), pat(3), pat(3)])),  # 1 distinct frame
+        (99, b"junk-not-a-video"),
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    got = {(r["id_a"], r["id_b"]): r["n_shared_frames"]
+           for r in video_dup_pairs(df, min_shared_frames=2).collect()}
+    assert got == {(0, 1): 2, (0, 2): 2, (1, 2): 2}
+    # count pairs at threshold 1: video 3 shares one frame with 1 and 2
+    got1 = {(r["id_a"], r["id_b"]): r["n_shared_frames"]
+            for r in video_dup_pairs(df, min_shared_frames=1).collect()}
+    assert got1[(1, 3)] == 1 and got1[(2, 3)] == 1 and (0, 3) not in got1
+
+
 def test_audio_fingerprint_entry_classes_separated():
     """Pin the dedup_audio_fingerprint oracle's soundness argument: the 6
     tone-mix classes sit >= 18 Hamming bits apart, exact power-of-two
