@@ -154,6 +154,57 @@ def test_image_dhash_entry_classes_separated():
     assert dmin >= 16, dmin
 
 
+def test_phash_textured_invariance_and_pairs(spark):
+    """pHash (DCT perceptual hash): on TEXTURED images it is bit-stable
+    under uniform brightness shifts (integerized-coefficient median
+    compare), within hamming<=3 of the original after JPEG
+    recompression, and well-separated across distinct textures; the
+    image_dup_pairs method='phash' path joins through the same banded
+    machinery."""
+    import numpy as np
+
+    from esgopeta_spark.operators import codecs
+    from esgopeta_spark.operators.multimodal import image_dup_pairs, phash64
+
+    rng = np.random.default_rng(7)
+    # textured bases: smoothed random fields (dense DCT spectra — the
+    # regime pHash is built for)
+    def textured(seed):
+        r = np.random.default_rng(seed).uniform(0, 1, (28, 36))
+        k = np.ones((5, 5)) / 25.0
+        sm = np.zeros_like(r)
+        for dy in range(-2, 3):
+            for dx in range(-2, 3):
+                sm += np.roll(np.roll(r, dy, 0), dx, 1) / 25.0
+        g = ((sm - sm.min()) / (sm.max() - sm.min()) * 160 + 20).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    for seed in range(5):
+        base = textured(seed)
+        f0 = phash64(base)
+        for k in (5, 17, 40):
+            shifted = np.clip(base.astype(np.int64) + k, 0, 255).astype(np.uint8)
+            assert phash64(shifted) == f0, (seed, k)
+        jp = codecs.decode_jpeg(codecs.encode_jpeg(base, quality=90))
+        assert ham(phash64(jp), f0) <= 3, seed
+    fps = [phash64(textured(s)) for s in range(8)]
+    assert min(
+        ham(a, b) for i, a in enumerate(fps) for b in fps[i + 1 :]
+    ) > 10  # distinct textures stay far apart
+
+    rows = [
+        (0, codecs.encode_png(textured(0))),
+        (1, codecs.encode_jpeg(textured(0), quality=90)),  # near-dup of 0
+        (2, codecs.encode_png(textured(3))),
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    got = {(r["id_a"], r["id_b"]) for r in image_dup_pairs(df, max_hamming=3, method="phash").collect()}
+    assert got == {(0, 1)}
+
+
 def test_audio_fingerprint_near_dup_pairs_vs_bruteforce(spark):
     """Audio near-dup (G2 for audio, r8): spectral difference-hash over
     REAL encoded payloads (WAV + MPEG-1 L2/L3) + the shared banded
