@@ -656,3 +656,55 @@ def dedup_video_shared_frames(spark, sf):
     return pairs.select(
         "id_a", "id_b", F.col("n_shared_frames").cast("bigint").alias("n_shared_frames")
     )
+
+
+@register(
+    "dedup_cdc_file_pairs",
+    "G1,G2",
+    """
+    WITH sel AS (
+      SELECT doc_id, (doc_id // 10) % 5 AS cls
+      FROM documents WHERE doc_id % 10 = 8)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sel a JOIN sel b ON a.cls = b.cls AND a.doc_id < b.doc_id
+    """,
+    doc="content-defined-chunking file near-dup (r8; FastCDC-style gear "
+    "hash, Xia et al. ATC'16): per selected doc, build a binary payload "
+    "with a unique random prefix + a 4 KB class-shared region, chunk it "
+    "with the vectorized rolling gear hash (operators/cdc.py — boundary "
+    "where the window hash's top log2(avg) bits are zero, min/avg/max "
+    "64/256/1024), then pair docs sharing >= 3 distinct sha256 chunk "
+    "hashes via one hash equi-self-join.  CDC boundaries RESYNCHRONIZE "
+    "after the unique prefix, so every same-class pair shares the "
+    "shared-region chunks (measured all-docs intersection >= 5 per "
+    "class across the sf0.1 id range) and random cross-class content "
+    "shares none — the oracle is the analytic class self-join",
+)
+def dedup_cdc_file_pairs(spark, sf):
+    from esgopeta_spark.operators.cdc import cdc_file_pairs
+    from esgopeta_spark.session import ensure_min_partitions
+
+    ids = T(spark, sf, "documents").filter(F.col("doc_id") % 10 == 8).select("doc_id")
+    ids = ensure_min_partitions(ids)
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids_, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                cls = (d // 10) % 5
+                shared = np.random.default_rng(1000 + cls).integers(
+                    0, 256, 4096, dtype=np.uint8
+                ).tobytes()
+                prefix = np.random.default_rng(d).integers(
+                    0, 256, 1024 + (d % 7) * 256, dtype=np.uint8
+                ).tobytes()
+                ids_.append(d)
+                payloads.append(prefix + shared)
+            yield pd.DataFrame({"doc_id": pd.Series(ids_, dtype="int64"),
+                                "payload": payloads})
+
+    media = ids.mapInPandas(render, "doc_id bigint, payload binary")
+    return cdc_file_pairs(media, min_shared_chunks=3).select("id_a", "id_b")

@@ -154,6 +154,68 @@ def test_image_dhash_entry_classes_separated():
     assert dmin >= 16, dmin
 
 
+def test_cdc_chunking_properties(spark):
+    """Content-defined chunking (r8): (a) the vectorized gear hash
+    equals the sequential recurrence; (b) sizes respect min/avg/max and
+    the mean tracks avg; (c) THE CDC property — boundaries after an
+    insertion resynchronize exactly; (d) cdc_chunk_table +
+    cdc_dedup_stats find cross-doc shared regions and account savings;
+    (e) cdc_file_pairs pairs docs sharing a region and nothing else."""
+    import hashlib
+
+    import numpy as np
+
+    from esgopeta_spark.operators import cdc
+
+    rng = np.random.default_rng(9)
+    data = rng.integers(0, 256, 30000, dtype=np.uint8).tobytes()
+    # (a) closed form == recurrence (after the 64-byte window fills)
+    seq, hs = 0, []
+    for byte in data[:300]:
+        seq = ((seq << 1) + int(cdc._GEAR[byte])) & (2**64 - 1)
+        hs.append(seq)
+    hv = cdc._gear_hashes(np.frombuffer(data[:300], np.uint8))
+    assert all(int(hv[i]) == hs[i] for i in range(cdc._WINDOW - 1, 300))
+    # (b) sizes
+    ends = cdc.cdc_boundaries(data)
+    sizes = np.diff([0] + ends)
+    assert ends[-1] == len(data)
+    assert sizes.min() >= 64 or ends.index(int(ends[-1])) == len(ends) - 1  # tail may be short
+    assert all(s <= 1024 for s in sizes)
+    assert 150 < sizes[:-1].mean() < 500  # tracks avg_size=256
+    # (c) resync after insertion
+    edited = data[:1000] + b"XYZ" + data[1000:]
+    t1 = {e for e in ends if e > 1100}
+    t2 = {e - 3 for e in cdc.cdc_boundaries(edited) if e > 1100}
+    assert t1 == t2
+    # (d)+(e) shared region across different docs
+    shared = rng.integers(0, 256, 6000, dtype=np.uint8).tobytes()
+    docs = [
+        (1, rng.integers(0, 256, 2000, dtype=np.uint8).tobytes() + shared),
+        (2, rng.integers(0, 256, 3500, dtype=np.uint8).tobytes() + shared),
+        (3, rng.integers(0, 256, 4000, dtype=np.uint8).tobytes()),  # unrelated
+        (4, None),  # null payload skipped
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, payload binary")
+    stats = cdc.cdc_dedup_stats(df).collect()
+    dup = [r for r in stats if r["n_copies"] > 1]
+    assert dup and all(r["n_docs"] == 2 and r["keeper_id"] == 1 for r in dup)
+    assert sum(r["dedup_savings_bytes"] for r in dup) > 3000  # most of the 6KB region
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared_chunks"]
+             for r in cdc.cdc_file_pairs(df, min_shared_chunks=3).collect()}
+    assert set(pairs) == {(1, 2)} and pairs[(1, 2)] >= 3
+    # chunk table offsets/hashes agree with a local recompute for doc 1
+    ct = sorted(
+        (r["chunk_idx"], r["offset"], r["length"], r["chunk_hash"])
+        for r in cdc.cdc_chunk_table(df).collect() if r["doc_id"] == 1
+    )
+    payload = docs[0][1]
+    s0 = 0
+    for i, e in enumerate(cdc.cdc_boundaries(payload)):
+        assert ct[i] == (i, s0, e - s0, hashlib.sha256(payload[s0:e]).hexdigest())
+        s0 = e
+
+
 def test_phash_textured_invariance_and_pairs(spark):
     """pHash (DCT perceptual hash): on TEXTURED images it is bit-stable
     under uniform brightness shifts (integerized-coefficient median

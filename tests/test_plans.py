@@ -261,7 +261,8 @@ def test_image_dhash_plan_posture(spark, sf_dir):
     (shared banded_hamming_pairs path) — no cartesian, no nested-loop."""
     from esgopeta_spark.plans import REGISTRY
 
-    for entry in ("dedup_image_dhash", "dedup_audio_fingerprint", "dedup_video_shared_frames"):
+    for entry in ("dedup_image_dhash", "dedup_audio_fingerprint",
+                  "dedup_video_shared_frames", "dedup_cdc_file_pairs"):
         p = plan_of(REGISTRY[entry].fn(spark, sf_dir))
         assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
         assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p, p
