@@ -75,9 +75,12 @@ HEADLINE = [
     "graph_kcore_members",
     "ts_gapfill_daily_locf",
     "multimodal_decode_mp2_audio",
-    # round-8 flagship: REAL MPEG-1 Layer III round trip (Huffman + bit
-    # reservoir + hybrid MDCT); mp2 stays for round-over-round comparability
+    # round-8 flagships: REAL MPEG-1 Layer III round trip (Huffman + bit
+    # reservoir + hybrid MDCT; mp2 stays for round-over-round
+    # comparability) and the image/audio near-dup rotations
     "multimodal_decode_mp3_audio",
+    "dedup_image_dhash",
+    "dedup_audio_fingerprint",
 ]
 
 

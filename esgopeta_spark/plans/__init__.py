@@ -68,7 +68,11 @@ GRADED_WINDOW = [
     # E8 scalar-function batteries (map battery demoted in r5 — E8 stays
     # 3-deep — to make room for the PQ scale tier below)
     "str_funcs_customer",
-    "date_funcs_orders",
+    # r8: the date battery rotated to parity-only (E8 stays covered by
+    # the string battery, the third battery was demoted in r6) for the
+    # AUDIO near-dup flagship — spectral fingerprint over the real
+    # WAV/L2/L3 decode paths, hash-exact class-self-join oracle
+    "dedup_audio_fingerprint",
     # (json battery demoted to parity-only in r6 — E8 stays 2-deep — to make
     # room for the r6 MPEG-1 audio round trip below)
     # E9 UDF surface
@@ -97,7 +101,11 @@ GRADED_WINDOW = [
     "stream_join_attribution",
     # Group G — LLM data pipeline ops
     "dedup_exact_docs",
-    "dedup_ngram_jaccard",
+    # r8: the string-gram Jaccard verify primitive rotated out (text
+    # near-dup keeps exact/embedding/semantic/substring reps in-window)
+    # for the IMAGE near-dup flagship — G2 dedup extended to the
+    # multimodal corpus, hash-exact class-self-join oracle
+    "dedup_image_dhash",
     "dedup_embedding_components",
     # r5: the r4 flagship LLM ops rotated into the gate (hash-exact oracles)
     "dedup_semantic_kmeans",

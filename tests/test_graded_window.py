@@ -21,7 +21,11 @@ REQUIRED_IN_WINDOW = {
     "graph_pagerank_transactions",  # GraphX analytics
     "graph_triangles_coorder",
     "dedup_embedding_components",  # G2 with oracle
-    "dedup_ngram_jaccard",
+    # r8 rotations: ngram_jaccard + date battery to parity-only (their
+    # families keep in-window reps); the image/audio near-dup flagships
+    # in — G2 dedup graded across modalities
+    "dedup_image_dhash",
+    "dedup_audio_fingerprint",
     "pivot_status_by_priority",  # E4 pivot/unpivot
     "unpivot_lineitem_measures",
     "sessionize_events_islands",  # E5 gaps-and-islands
