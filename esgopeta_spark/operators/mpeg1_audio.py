@@ -571,8 +571,12 @@ def _decode_frame_l2(r: _BitR, nch: int = 1, bound: int = M) -> np.ndarray:
 # butterflies (the 8 ci coefficients, cs=1/sqrt(1+ci^2), ca=ci*cs), the
 # hybrid filterbank (36/12-point MDCT, sine windows for block types
 # 0/1/2/3, TDAC overlap-add, short-block reordering, frequency inversion
-# of odd samples in odd subbands), and MS joint stereo
-# (mode 01, mode_extension bit 1: l=(m+s)/sqrt2, r=(m-s)/sqrt2).
+# of odd samples in odd subbands), MS joint stereo
+# (mode 01, mode_extension bit 1: l=(m+s)/sqrt2, r=(m-s)/sqrt2), and
+# INTENSITY joint stereo (mode_extension bit 0: per-scalefactor-band
+# is_pos positions in the right channel's scalefactor slots above its
+# spectrum end, ratio = tan(is_pos*pi/12), is_pos=7 escape; mode_ext=3
+# composes MS below the intensity region).
 #
 # Documented deviations (same policy as the Layer I/II section above —
 # small spec tables are retyped, the large ones are not reproducible
