@@ -458,6 +458,44 @@ if HAVE_HYPOTHESIS:
         assert dec.shape == arr.shape
         assert _psnr(arr, dec) > (20.0 if not subsample else 8.0)
 
+    @settings(max_examples=12, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=1152 * 2 + 17),
+        layer=st.sampled_from([1, 2, 3]),
+        ridx=st.integers(min_value=0, max_value=2),
+        stereo=st.booleans(),
+        short=st.booleans(),
+        data=st.data(),
+    )
+    def test_mpeg1_roundtrip_structural_property(n, layer, ridx, stereo, short, data):
+        """ARBITRARY int16 PCM (worst-case noise, impulses, rail-to-rail)
+        must encode+decode through every layer without an exception —
+        the rate loop absorbs transient-dense granules — and the decoded
+        length must match each layer's analytic frame arithmetic."""
+        from esgopeta_spark.operators import mpeg1_audio as m
+
+        shape = (n, 2) if stereo else (n,)
+        pcm = data.draw(arrays(np.int16, shape))
+        sr = m.SAMPLE_RATES[ridx]
+        kw = {"use_short_blocks": short} if layer == 3 else {}
+        out, rate = m.decode_mpeg1_audio(
+            m.encode_mpeg1_audio(pcm, sr, layer=layer, **kw)
+        )
+        assert rate == sr and out.dtype == np.int16
+        if stereo:
+            assert out.ndim == 2 and out.shape[1] == 2
+        n_dec = len(out)
+        if layer == 3:
+            t_cols = -(-n // 32) + 1
+            f = -(-(t_cols + 18) // 36)
+            assert n_dec == f * 1152 - 576
+        else:
+            spf = 384 if layer == 1 else 1152
+            n2 = n + (-n % spf)
+            cols = 12 if layer == 1 else 36
+            frames = -(-(n2 // 32 + 1) // cols)
+            assert n_dec == frames * spf
+
     @settings(max_examples=25, deadline=None)
     @given(
         n=st.integers(min_value=0, max_value=4000),
