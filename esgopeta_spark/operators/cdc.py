@@ -183,6 +183,8 @@ def cdc_file_pairs(
             & (F.col("a._id") < F.col("b._id")),
         )
         .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.countDistinct(F.col("a.chunk_hash")).alias("n_shared_chunks"))
+        # plain count: both join sides are already .distinct() on
+        # (id, hash) — see video_dup_pairs (r8 review)
+        .agg(F.count(F.lit(1)).alias("n_shared_chunks"))
         .filter(F.col("n_shared_chunks") >= F.lit(int(min_shared_chunks)))
     )

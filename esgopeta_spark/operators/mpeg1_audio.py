@@ -1571,6 +1571,8 @@ def encode_mpeg1_audio(
             ms_stereo=ms_stereo and nch == 2,
             intensity_stereo=intensity_bound is not None and nch == 2,
         )
+    if use_short_blocks or ms_stereo:
+        raise ValueError("use_short_blocks/ms_stereo are Layer III options")
     bound = M
     if intensity_bound is not None:
         if nch != 2:

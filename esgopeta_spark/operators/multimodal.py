@@ -336,8 +336,9 @@ def decode_media(df: DataFrame) -> DataFrame:
                                 duration_ms=len(pcm) * 1000 // sr,
                             )
                         except ValueError:
-                            # stream this decoder can't carry (intensity
-                            # stereo, malformed frames): metadata-only
+                            # stream this decoder can't carry (malformed
+                            # frames; every MPEG-1 audio mode decodes as
+                            # of r8): metadata-only
                             meta = codecs.parse_mp3_meta(b)
                             rec.update(
                                 err="needs-codec",
@@ -654,13 +655,10 @@ def decode_image_any(b: bytes):
         arr = codecs.decode_gif(b)
     else:
         raise ValueError(f"not a decodable image: {fmt}")
-    if arr.ndim == 2:
-        arr = np.stack([arr] * 3, axis=-1)
-    elif arr.shape[2] == 4:
-        arr = arr[:, :, :3]
-    elif arr.shape[2] == 1:
-        arr = np.repeat(arr, 3, axis=2)
-    return arr
+    # codecs.to_rgb covers every decode shape incl. (h, w, 2) gray+alpha
+    # — an ad-hoc normalization here once missed that case and leaked an
+    # IndexError past the ValueError-only quarantine (r8 review)
+    return codecs.to_rgb(arr)
 
 
 def _luma_resized(arr, out_w: int, out_h: int):
@@ -960,6 +958,9 @@ def video_dup_pairs(
     return (
         a.join(b, (F.col("a.dhash") == F.col("b.dhash")) & (F.col("a._id") < F.col("b._id")))
         .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.countDistinct(F.col("a.dhash")).alias("n_shared_frames"))
+        # plain count: both join sides are already .distinct() on
+        # (id, hash), so per-group hashes are unique — countDistinct
+        # would pay per-group dedup-set state for nothing (r8 review)
+        .agg(F.count(F.lit(1)).alias("n_shared_frames"))
         .filter(F.col("n_shared_frames") >= F.lit(int(min_shared_frames)))
     )

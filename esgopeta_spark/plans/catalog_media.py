@@ -108,7 +108,7 @@ def multimodal_decode_jpeg(spark, sf):
     """,
     doc="REAL PNG round trip, graded: per selected doc, build the "
     "deterministic gradient image, encode_png (stdlib zlib; scanline "
-    "filter = doc_id % 5, so all five filters are exercised across the "
+    "filter = (doc_id // 10) %% 5, so all five filters are exercised across the "
     "corpus), decode_png, emit decoded dims + integer pixel sum; the "
     "oracle computes the same sums analytically.  Plan: pruned 1-column "
     "scan -> widened partitions -> one Arrow mapInPandas kernel, no "
@@ -136,7 +136,9 @@ def multimodal_decode_png(spark, sf):
                     [(xx * 7 + d) % 256, (yy * 5 + 2 * d) % 256, (xx + yy + 3 * d) % 256],
                     axis=-1,
                 ).astype(np.uint8)
-                back = codecs.decode_png(codecs.encode_png(arr, filter_type=d % 5))
+                # (d // 10) % 5: selected ids are all ≡0 (mod 20), so d % 5
+                # would pin ONE filter — the 20-block index walks all five
+                back = codecs.decode_png(codecs.encode_png(arr, filter_type=(d // 10) % 5))
                 ids_.append(d)
                 ws.append(back.shape[1])
                 hs.append(back.shape[0])

@@ -249,6 +249,11 @@ def sniff_format_expr(c):
         .when(c.substr(1, 2) == F.lit(b"BM"), "bmp")
         .when(c.substr(1, 2) == F.lit(b"P6"), "ppm")
         .when((c.substr(1, 4) == F.lit(b"RIFF")) & (c.substr(9, 4) == F.lit(b"WAVE")), "wav")
+        # RIFF-non-WAVE must TERMINATE here like the python twin's
+        # 'riff-other' (normalized to unknown): without this arm an AVI
+        # whose little-endian size bytes spell 'ftyp' would fall through
+        # to the mp4 branch (r8 review)
+        .when(c.substr(1, 4) == F.lit(b"RIFF"), "unknown")
         .when(c.substr(1, 3) == F.lit(b"ID3"), "mp3")
         .when((F.length(c) >= 12) & (c.substr(5, 4) == F.lit(b"ftyp")), "mp4")
         # bare MPEG frame sync, validated field-by-field like the python

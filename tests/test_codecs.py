@@ -1084,7 +1084,7 @@ def test_mpeg1_layer3_window_switching_and_noise():
 def test_mpeg1_layer3_stereo_and_ms():
     """Independent-channel stereo (mode 00) and MS joint stereo (mode 01,
     mode_extension MS bit) both round-trip; the MS header flags must be
-    on the wire; intensity flag still raises needs-codec."""
+    on the wire.  (Intensity is covered by its own test below.)"""
     from esgopeta_spark.operators import mpeg1_audio as m
 
     sr = 44100

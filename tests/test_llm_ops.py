@@ -99,6 +99,11 @@ def test_image_dhash_near_dup_pairs_vs_bruteforce(spark):
         rows.append((i, payload))
         local_fp[i] = dhash64(decode_image_any(payload))
     rows.append((99, b"\x00garbage-not-an-image"))  # skipped, not fatal
+    # gray+alpha PNG: (h, w, 2) decode shape must normalize through
+    # codecs.to_rgb, not leak an IndexError past the quarantine (r8 review)
+    ga = np.dstack([img(0, 0)[:, :, 0], np.full((24, 32), 200, np.uint8)])
+    rows.append((50, codecs.encode_png(ga)))
+    local_fp[50] = dhash64(decode_image_any(codecs.encode_png(ga)))
     df = spark.createDataFrame(rows, "media_id bigint, payload binary")
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in image_dup_pairs(df, max_hamming=3).collect()}
 
@@ -358,6 +363,53 @@ def test_video_shared_frame_pairs_vs_bruteforce(spark):
     got1 = {(r["id_a"], r["id_b"]): r["n_shared_frames"]
             for r in video_dup_pairs(df, min_shared_frames=1).collect()}
     assert got1[(1, 3)] == 1 and got1[(2, 3)] == 1 and (0, 3) not in got1
+
+
+def test_video_entry_frame_hashes_separated_post_jpeg():
+    """Pin the dedup_video_shared_frames oracle's soundness argument on
+    the hashes that actually feed the join — dHash of the JPEG(q85)
+    ROUND-TRIPPED frames, not the raw arrays: the 6 cycle patterns must
+    produce exactly 6 distinct frame fingerprints >= 8 bits apart after
+    the lossy encode, and the fingerprints must be stable across videos
+    (frame j of video j equals frame 0 of video j-1 etc.)."""
+    import itertools
+
+    import numpy as np
+
+    from esgopeta_spark.operators import codecs
+    from esgopeta_spark.operators.multimodal import dhash64
+
+    fxy = [(1, 0), (0, 1), (2, 1), (1, 2), (3, 0), (2, 3)]
+
+    def pat(j):
+        yy, xx = np.mgrid[0:24, 0:32]
+        fx, fy = fxy[j]
+        ph = (2 * np.pi * (fx * xx + fy * yy)) / 16.0
+        arr = np.stack(
+            [90 + 70 * np.sin(ph), 90 + 70 * np.sin(ph + 1.0), 90 + 70 * np.cos(ph)],
+            axis=-1,
+        )
+        return np.clip(np.round(arr), 0, 255).astype(np.uint8)
+
+    hashes = {}
+    for j in range(6):
+        vid = codecs.encode_mjpeg_mp4([pat(j), pat((j + 1) % 6), pat((j + 2) % 6)], quality=85)
+        frames = codecs.decode_mjpeg_frames(vid)
+        hashes[j] = [dhash64(f) for f in frames]
+    # cross-video stability: shared patterns give identical hashes
+    for j in range(6):
+        assert hashes[j][1] == hashes[(j + 1) % 6][0]
+        assert hashes[j][2] == hashes[(j + 2) % 6][0]
+    # per-video distinctness + global separation
+    distinct = {h for v in hashes.values() for h in v}
+    assert len(distinct) == 6
+    for j in range(6):
+        assert len(set(hashes[j])) == 3
+    dmin = min(
+        bin((a ^ b) & (2**64 - 1)).count("1")
+        for a, b in itertools.combinations(distinct, 2)
+    )
+    assert dmin >= 8, dmin
 
 
 def test_audio_fingerprint_entry_classes_separated():

@@ -203,6 +203,10 @@ def test_sniff_format_expr_matches_python_twin(spark):
         # python twin says mp4; the Spark chain must agree (r7 ADVICE)
         b"\xff\xfb\x90\x00ftypisomxxxx",
         b"RIFFxxxxAVI xxxx",  # riff-other (normalized below)
+        # RIFF whose little-endian size bytes spell 'ftyp': the python
+        # twin short-circuits to riff-other; the Spark chain must NOT
+        # fall through to the mp4 branch (r8 review)
+        b"RIFFftypisomxxxx",
         b"\x00\x01\x02garbage",
         b"\xff",  # too short for the frame-sync field checks
         b"\xff\xfb",
