@@ -710,3 +710,39 @@ def dedup_cdc_file_pairs(spark, sf):
 
     media = ids.mapInPandas(render, "doc_id bigint, payload binary")
     return cdc_file_pairs(media, min_shared_chunks=3).select("id_a", "id_b")
+
+
+@register(
+    "dedup_media_keepers",
+    "G1,G2,G5",
+    """
+    WITH sel AS (
+      SELECT doc_id, doc_id % 7 AS cls
+      FROM documents WHERE doc_id % 10 = 2)
+    SELECT s.doc_id AS id,
+           MIN(s2.doc_id) AS keeper,
+           CAST(s.doc_id > MIN(s2.doc_id) AS BOOLEAN) AS is_dup
+    FROM sel s JOIN sel s2 ON s.cls = s2.cls
+    GROUP BY s.doc_id
+    """,
+    doc="END-TO-END media dedup resolution (r8): the image dHash pair "
+    "stream feeds the same pair->components->keepers machinery as text "
+    "near-dup (dedup.py dup_components min-label propagation + "
+    "dedup_keepers): one verdict row per image — its canonical keeper "
+    "(smallest id in its duplicate cluster) and an is_dup flag.  Every "
+    "same-class image pairs at hamming 0 (brightness-invariant dHash, "
+    "pinned), so each class forms ONE component and the oracle is the "
+    "analytic per-class min id.  This is the row a 100 TB dedup pass "
+    "actually writes back",
+)
+def dedup_media_keepers(spark, sf):
+    from esgopeta_spark.operators.dedup import dedup_keepers
+    from esgopeta_spark.plans.catalog import REGISTRY
+
+    # reuse the graded dHash entry's corpus + pair pipeline, then resolve
+    pairs = REGISTRY["dedup_image_dhash"].fn(spark, sf).select("id_a", "id_b")
+    ids = T(spark, sf, "documents").filter(F.col("doc_id") % 10 == 2).select("doc_id")
+    out = dedup_keepers(ids, pairs, id_col="doc_id")
+    return out.select(
+        "id", "keeper", (F.col("id") > F.col("keeper")).alias("is_dup")
+    )
