@@ -1,0 +1,133 @@
+"""Multi-pattern text matching (blocklist filtering) — the corpus-scale
+"drop documents containing any banned phrase" pass every production
+training pipeline runs (toxic phrase lists, boilerplate markers, site
+templates).  A naive per-phrase scan costs O(P * N); the Aho-Corasick
+automaton (public classic, CACM 1975) matches ALL phrases in ONE pass
+over the text, O(N + matches), independent of the list size.
+
+Scale shape: the automaton builds once on the driver (phrase lists are
+KB-to-MB — the standard broadcast-dimension envelope) and ships to
+executors inside the Arrow kernel closure; matching is one mapInPandas
+pass, no shuffle, no collect.  Match semantics: EVERY occurrence counts,
+including overlapping and nested ones (automaton suffix links surface
+them all) — the DuckDB oracle mirrors this with a position scan.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from esgopeta_spark.operators.dedup import normalize_text
+
+
+class AhoCorasick:
+    """From-scratch Aho-Corasick automaton: goto trie + BFS failure
+    links + output sets (phrase indices, reported at every end
+    position, overlapping and nested matches included)."""
+
+    def __init__(self, phrases: list[str]):
+        if not phrases:
+            raise ValueError("empty phrase list")
+        self.phrases = list(phrases)
+        self.goto: list[dict[str, int]] = [{}]
+        self.out: list[list[int]] = [[]]
+        self.fail: list[int] = [0]
+        for pi, p in enumerate(self.phrases):
+            if not p:
+                raise ValueError("empty phrase")
+            s = 0
+            for ch in p:
+                nxt = self.goto[s].get(ch)
+                if nxt is None:
+                    nxt = len(self.goto)
+                    self.goto[s][ch] = nxt
+                    self.goto.append({})
+                    self.out.append([])
+                    self.fail.append(0)
+                s = nxt
+            self.out[s].append(pi)
+        q = deque()
+        for ch, s in self.goto[0].items():
+            q.append(s)  # depth-1 states fail to root
+        while q:
+            s = q.popleft()
+            for ch, t in self.goto[s].items():
+                q.append(t)
+                f = self.fail[s]
+                while f and ch not in self.goto[f]:
+                    f = self.fail[f]
+                self.fail[t] = self.goto[f].get(ch, 0) if self.goto[f].get(ch, 0) != t else 0
+                self.out[t] = self.out[t] + self.out[self.fail[t]]
+
+    def finditer(self, text: str):
+        """Yield (end_pos_exclusive, phrase_idx) for every occurrence."""
+        s = 0
+        for i, ch in enumerate(text):
+            while s and ch not in self.goto[s]:
+                s = self.fail[s]
+            s = self.goto[s].get(ch, 0)
+            for pi in self.out[s]:
+                yield i + 1, pi
+
+
+def blocklist_hits(
+    docs: DataFrame,
+    phrases: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc blocklist accounting over the NORMALIZED text (lowercase,
+    collapsed whitespace — phrases are normalized the same way): one row
+    per input doc with total occurrence count (overlapping included),
+    distinct phrases hit, and the first hit's character offset (-1 when
+    clean)."""
+    norm_phrases = [" ".join(p.lower().split()) for p in phrases]
+    ac = AhoCorasick(norm_phrases)
+    out_schema = (
+        f"{id_col} bigint, n_hits bigint, n_phrases bigint, first_hit_pos bigint"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                t = " ".join((text or "").lower().split())
+                n_hits, seen, first = 0, set(), -1
+                for end, pi in ac.finditer(t):
+                    n_hits += 1
+                    seen.add(pi)
+                    start = end - len(ac.phrases[pi])
+                    if first < 0 or start < first:
+                        first = start
+                rows.append((int(did), n_hits, len(seen), first))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "n_hits", "n_phrases", "first_hit_pos"]
+            ).astype("int64")
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, out_schema)
+
+
+def filter_blocklisted(
+    docs: DataFrame,
+    phrases: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hits: int = 0,
+) -> DataFrame:
+    """Keep docs with at most ``max_hits`` blocklist occurrences (the
+    actual corpus-cleaning filter); joins the hit counts back so the
+    original columns pass through untouched."""
+    hits = blocklist_hits(docs, phrases, text_col, id_col).select(
+        id_col, "n_hits"
+    )
+    return (
+        docs.join(hits, id_col, "left")
+        .filter(F.coalesce(F.col("n_hits"), F.lit(0)) <= F.lit(int(max_hits)))
+        .drop("n_hits")
+    )

@@ -746,3 +746,45 @@ def dedup_media_keepers(spark, sf):
     return out.select(
         "id", "keeper", (F.col("id") > F.col("keeper")).alias("is_dup")
     )
+
+
+_BLOCKLIST = ["table value", "fast key", "scan slow", "the line", "value part", "agg"]
+
+
+@register(
+    "text_blocklist_hits",
+    "G4,E2",
+    """
+    WITH d AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      FROM documents WHERE doc_id % 10 = 1),
+    ph AS (SELECT * FROM (VALUES ('table value'), ('fast key'), ('scan slow'),
+                                 ('the line'), ('value part'), ('agg')) AS v(p)),
+    hits AS (
+      SELECT d.doc_id, ph.p, u.i AS pos
+      FROM d, ph, UNNEST(range(1, len(d.t) - len(ph.p) + 2)) AS u(i)
+      WHERE substr(d.t, u.i, len(ph.p)) = ph.p)
+    SELECT d.doc_id,
+           CAST(COUNT(h.p) AS BIGINT) AS n_hits,
+           CAST(COUNT(DISTINCT h.p) AS BIGINT) AS n_phrases,
+           CAST(COALESCE(MIN(h.pos) - 1, -1) AS BIGINT) AS first_hit_pos
+    FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    GROUP BY d.doc_id
+    """,
+    doc="multi-pattern blocklist accounting (r8; Aho-Corasick, CACM'75 "
+    "classic): per selected doc, count EVERY occurrence of a 6-phrase "
+    "blocklist in the normalized text — overlapping and nested matches "
+    "included — plus distinct phrases hit and the first hit offset.  The "
+    "automaton (operators/matching.py, from-scratch goto/fail/output "
+    "construction) matches the whole list in ONE pass per doc, "
+    "independent of list size — the corpus-cleaning shape for KB-to-MB "
+    "banned-phrase lists broadcast to executors; the oracle mirrors the "
+    "all-occurrences semantics with a position scan.  Plan: one "
+    "mapInPandas pass, no shuffle, no collect",
+)
+def text_blocklist_hits(spark, sf):
+    from esgopeta_spark.operators.matching import blocklist_hits
+    from esgopeta_spark.session import ensure_min_partitions
+
+    docs = T(spark, sf, "documents").filter(F.col("doc_id") % 10 == 1)
+    return blocklist_hits(ensure_min_partitions(docs), _BLOCKLIST)

@@ -159,6 +159,55 @@ def test_image_dhash_entry_classes_separated():
     assert dmin >= 16, dmin
 
 
+def test_aho_corasick_blocklist(spark):
+    """Multi-pattern blocklist matching (r8): the from-scratch
+    Aho-Corasick automaton must report EVERY occurrence (overlapping,
+    nested, phrase-inside-phrase — the classic 'ushers' case) exactly
+    like a brute-force position scan; blocklist_hits aggregates per doc
+    over normalized text; filter_blocklisted keeps only clean docs with
+    original columns intact."""
+    from esgopeta_spark.operators.matching import (
+        AhoCorasick,
+        blocklist_hits,
+        filter_blocklisted,
+    )
+
+    # automaton == brute force on adversarial pattern sets
+    for phrases, text in [
+        (["aba", "ba", "abab"], "ababab"),
+        (["he", "she", "his", "hers"], "ushers and his shed"),
+        (["aa", "aaa"], "aaaaa"),
+        (["x"], "no hits here at all"),
+    ]:
+        ac = AhoCorasick(phrases)
+        got = sorted((e - len(phrases[p]), phrases[p]) for e, p in ac.finditer(text))
+        want = sorted(
+            (i, p) for p in phrases for i in range(len(text)) if text[i : i + len(p)] == p
+        )
+        assert got == want, (phrases, text)
+
+    docs = spark.createDataFrame(
+        [
+            (1, "THE  bad   Phrase appears: bad phrase twice, bad phrase!"),
+            (2, "a totally clean document"),
+            (3, "overlap overlap overlap"),
+            (4, None),  # null text = clean
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in blocklist_hits(docs, ["bad phrase", "overlap ove"]).collect()}
+    assert len(out) == 4
+    # normalized text of doc 1: 'the bad phrase appears: bad phrase twice, bad phrase!'
+    assert out[1]["n_hits"] == 3 and out[1]["n_phrases"] == 1 and out[1]["first_hit_pos"] == 4
+    assert out[2]["n_hits"] == 0 and out[2]["first_hit_pos"] == -1
+    assert out[3]["n_hits"] == 2  # overlapping 'overlap ove' at 0 and 8
+    assert out[4]["n_hits"] == 0
+    kept = {r["doc_id"] for r in filter_blocklisted(docs, ["bad phrase", "overlap ove"]).collect()}
+    assert kept == {2, 4}
+    cols = filter_blocklisted(docs, ["bad phrase"]).columns
+    assert cols == ["doc_id", "text"]  # originals pass through
+
+
 def test_cdc_chunking_properties(spark):
     """Content-defined chunking (r8): (a) the vectorized gear hash
     equals the sequential recurrence; (b) sizes respect min/avg/max and
