@@ -788,3 +788,49 @@ def text_blocklist_hits(spark, sf):
 
     docs = T(spark, sf, "documents").filter(F.col("doc_id") % 10 == 1)
     return blocklist_hits(ensure_min_partitions(docs), _BLOCKLIST)
+
+
+@register(
+    "unigram_vocab",
+    "G4",
+    None,  # iterative EM artifact, not SQL-expressible; the distributed
+    # trainer is pinned BIT-IDENTICAL to a pure-python reference in
+    # test_llm_ops (test_unigram_train_matches_pure_python_reference)
+    doc="unigram-LM tokenizer training (r8; SentencePiece-style, Kudo "
+    "2018 arXiv:1804.10959 — the OTHER production tokenizer family next "
+    "to BPE): substring seeding + hard-EM Viterbi rounds + count-rank "
+    "pruning over the one-scan word table (operators/unigram.py); emits "
+    "the learned vocabulary (piece, viterbi_count, logprob).  Every EM "
+    "round is one Arrow Viterbi pass with the bounded vocab in the "
+    "kernel closure + one integer partial-agg shuffle — round cost "
+    "independent of corpus size after the first scan.  Rows-only by "
+    "design, reference-twin-checked in pytest",
+)
+def unigram_vocab(spark, sf):
+    from esgopeta_spark.operators.unigram import unigram_train
+
+    vocab = unigram_train(
+        T(spark, sf, "documents"), vocab_size=200, seed_size=1000, n_iters=3
+    )
+    return spark.createDataFrame(
+        [(i, p, c, lp) for i, (p, c, lp) in enumerate(vocab)],
+        "rank int, piece string, viterbi_count bigint, logprob double",
+    )
+
+
+@register(
+    "unigram_doc_token_counts",
+    "G4",
+    None,  # downstream of the iterative vocabulary artifact
+    doc="tokenize the corpus with the learned unigram vocabulary "
+    "(operators/unigram.py unigram_segment_counts): per-doc Viterbi "
+    "token and char counts in one Arrow pass, no shuffle — the "
+    "apply-side twin of bpe_doc_token_counts, so the two tokenizer "
+    "families' compression is directly comparable on the same corpus",
+)
+def unigram_doc_token_counts(spark, sf):
+    from esgopeta_spark.operators.unigram import unigram_segment_counts, unigram_train
+
+    d = T(spark, sf, "documents")
+    vocab = unigram_train(d, vocab_size=200, seed_size=1000, n_iters=3)
+    return unigram_segment_counts(d, vocab)

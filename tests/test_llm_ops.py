@@ -159,6 +159,105 @@ def test_image_dhash_entry_classes_separated():
     assert dmin >= 16, dmin
 
 
+def test_unigram_train_matches_pure_python_reference(spark, sf_dir):
+    """Unigram-LM tokenizer training (r8, SentencePiece-style hard-EM):
+    the DISTRIBUTED trainer must produce the exact vocabulary —
+    pieces, Viterbi counts and log-probs — of an independent pure-python
+    implementation run on the collected word table (integer count
+    aggregation is order-free, Viterbi DP is deterministic, so the two
+    must be identical, not merely close)."""
+    import math
+    from collections import Counter
+
+    from esgopeta_spark.operators.unigram import (
+        _MAX_PIECE,
+        unigram_train,
+        viterbi_segment,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").limit(120)
+    got = unigram_train(docs, vocab_size=150, seed_size=800, n_iters=3)
+
+    # --- pure-python reference (independent loop, same algorithm) ---
+    rows = (
+        docs.select(F.explode(F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w").count().collect()
+    )
+    wt = {r["w"]: r["count"] for r in rows}
+    seed = Counter()
+    for w, n in wt.items():
+        for i in range(len(w)):
+            for l in range(1, min(_MAX_PIECE, len(w) - i) + 1):
+                seed[w[i : i + l]] += n
+    top = dict(sorted(seed.items(), key=lambda kv: (-kv[1], kv[0]))[:800])
+    for p, c in seed.items():
+        if len(p) == 1:
+            top.setdefault(p, c)
+    chars = {p for p in top if len(p) == 1}
+    total = sum(top.values())
+    logp = {p: math.log(c / total) for p, c in top.items()}
+    counts = dict(top)
+    for _ in range(3):
+        c2 = Counter()
+        for w, n in wt.items():
+            for piece in viterbi_segment(w, logp):
+                c2[piece] += n
+        counts = dict(c2)
+        for ch in chars:
+            counts.setdefault(ch, 1)
+        total = sum(counts.values())
+        logp = {p: math.log(c / total) for p, c in counts.items()}
+        keep = max(150, int(len(logp) * 0.75))
+        if len(logp) > keep:
+            ranked = sorted(logp, key=lambda p: (-counts.get(p, 0), p))
+            kept = set(ranked[:keep]) | chars
+            logp = {p: lp for p, lp in logp.items() if p in kept}
+            counts = {p: counts.get(p, 1) for p in logp}
+    ranked = sorted(logp, key=lambda p: (-counts.get(p, 0), p))
+    kept = set(ranked[:150]) | chars
+    total = sum(counts.get(p, 1) for p in kept)
+    want = sorted(
+        ((p, counts.get(p, 1), math.log(counts.get(p, 1) / total)) for p in kept),
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert got == want  # piece-for-piece, count-for-count, logprob-for-logprob
+
+
+def test_unigram_segmentation_properties(spark, sf_dir):
+    """Viterbi segmentation invariants: every training word segments;
+    concatenation reconstructs the word; token count never exceeds char
+    count; frequent whole words become single pieces; the apply-side
+    kernel's totals match per-word recomputation."""
+    from esgopeta_spark.operators.unigram import (
+        unigram_segment_counts,
+        unigram_train,
+        viterbi_segment,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").limit(150)
+    vocab = unigram_train(docs, vocab_size=120, seed_size=600, n_iters=2)
+    logp = {p: lp for p, _c, lp in vocab}
+    words = {
+        r["w"]
+        for r in docs.select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+        ).filter(F.col("w") != "").distinct().collect()
+    }
+    for w in words:
+        segs = viterbi_segment(w, logp)
+        assert "".join(segs) == w and 1 <= len(segs) <= len(w)
+    # the corpus's frequent words are single pieces
+    by_count = sorted(vocab, key=lambda t: -t[1])[:10]
+    assert any(len(p) >= 4 for p, _c, _l in by_count)
+    out = unigram_segment_counts(docs.limit(10), vocab).collect()
+    for r in out:
+        text = docs.filter(F.col("doc_id") == r["doc_id"]).collect()[0]["text"]
+        t = " ".join(text.lower().split())
+        want = sum(len(viterbi_segment(w, logp)) for w in t.split(" ") if w)
+        assert r["n_unigram_tokens"] == want and r["n_chars"] == len(t)
+
+
 def test_aho_corasick_blocklist(spark):
     """Multi-pattern blocklist matching (r8): the from-scratch
     Aho-Corasick automaton must report EVERY occurrence (overlapping,
