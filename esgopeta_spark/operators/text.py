@@ -551,3 +551,98 @@ def sample_k_per_group(
         .filter(F.col("sample_rank") <= k)
         .select(group_col, id_col, F.col("sample_rank").cast("int").alias("sample_rank"))
     )
+
+
+def lm_backoff_scores(
+    train: DataFrame,
+    score: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    backoff_milli: int = 400,
+) -> DataFrame:
+    """N-gram LM familiarity scoring with STUPID BACKOFF (Brants et al.
+    2007, public) — the CCNet-style "how much does this doc look like
+    the reference corpus" quality filter: train trigram/bigram/unigram
+    counts on ``train``, score every token of ``score`` (from its third
+    token on, where a full trigram context exists) as
+
+        s = c(w1w2w3)/c(w1w2)                 when the trigram is known
+          = 0.4 * c(w2w3)/c(w2)               bigram backoff
+          = 0.4^2 * (c(w3)+1)/(N+V)           add-1 unigram backoff
+
+    in INTEGER MILLI units (a//b at each level — engine-exact; libm
+    ln()/perplexity would flake cross-engine hashes, see the catalog
+    determinism rules), then aggregates per doc: token count, score sum,
+    and how often each backoff level fired — the decision inputs of an
+    LM-familiarity corpus filter.
+
+    Scale shape: token trigrams come from TWO lead() windows per doc (no
+    self-join); the count tables join in by n-gram key — small reference
+    LMs broadcast, full-corpus LMs shuffle on the key, both fine; the
+    totals row is a deferred 1-row aggregate cross-joined in (not a
+    driver collect)."""
+    from pyspark.sql.window import Window as W
+
+    def grams(df):
+        tok = df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(words(F.col(text_col))).alias("pos", "w3"),
+        )
+        win = W.partitionBy("_id").orderBy("pos")
+        return tok.select(
+            "_id", "pos", "w3",
+            F.lag("w3", 1).over(win).alias("w2"),
+            F.lag("w3", 2).over(win).alias("w1"),
+        )
+
+    tg = grams(train)
+    tri = tg.filter(F.col("w1").isNotNull()).groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("c3")
+    )
+    bi = tg.filter(F.col("w2").isNotNull()).groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).alias("c23")
+    )
+    uni = tg.groupBy("w3").agg(F.count(F.lit(1)).alias("c1"))
+    bi_ctx = uni.select(F.col("w3").alias("w2"), F.col("c1").alias("c2"))
+    tri_ctx = bi.select(
+        F.col("w2").alias("w1"), F.col("w3").alias("w2"), F.col("c23").alias("c12")
+    )
+    totals = uni.agg(
+        F.sum("c1").alias("n_tokens"), F.count(F.lit(1)).alias("v_types")
+    )
+
+    sg = grams(score).filter(F.col("w1").isNotNull())
+    j = (
+        sg.join(tri, ["w1", "w2", "w3"], "left")
+        .join(tri_ctx, ["w1", "w2"], "left")
+        .join(bi, ["w2", "w3"], "left")
+        .join(bi_ctx, ["w2"], "left")
+        .join(uni, ["w3"], "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    bm = int(backoff_milli)
+    # INTEGER div at every level (Spark `div` == DuckDB `//`): double
+    # division + floor can land one ulp below an exact integer ratio and
+    # floor to k-1 on one engine only
+    s_milli = F.expr(
+        f"""CASE WHEN c3 IS NOT NULL THEN (c3 * 1000) div c12
+                 WHEN c23 IS NOT NULL THEN ({bm} * ((c23 * 1000) div c2)) div 1000
+                 ELSE ({bm} * {bm} * (((coalesce(c1, 0) + 1) * 1000)
+                       div (n_tokens + v_types))) div 1000000 END"""
+    )
+    level = (
+        F.when(F.col("c3").isNotNull(), F.lit(0))
+        .when(F.col("c23").isNotNull(), F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    return (
+        j.select(F.col("_id").alias(id_col), s_milli.alias("_s"), level.alias("_lvl"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum("_s").cast("bigint").alias("score_sum_milli"),
+            F.sum((F.col("_lvl") == 0).cast("int")).cast("bigint").alias("n_trigram_hits"),
+            F.sum((F.col("_lvl") == 1).cast("int")).cast("bigint").alias("n_bigram_backoffs"),
+            F.sum((F.col("_lvl") == 2).cast("int")).cast("bigint").alias("n_unigram_backoffs"),
+        )
+    )

@@ -834,3 +834,71 @@ def unigram_doc_token_counts(spark, sf):
     d = T(spark, sf, "documents")
     vocab = unigram_train(d, vocab_size=200, seed_size=1000, n_iters=3)
     return unigram_segment_counts(d, vocab)
+
+
+@register(
+    "text_lm_familiarity_backoff",
+    "G4,E3,E5",
+    """
+    WITH n AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents),
+    tok AS (
+      SELECT doc_id, i AS pos, ws[i] AS w3,
+             CASE WHEN i >= 2 THEN ws[i - 1] END AS w2,
+             CASE WHEN i >= 3 THEN ws[i - 2] END AS w1
+      FROM (SELECT doc_id, string_split(norm, ' ') AS ws
+            FROM n WHERE length(norm) > 0),
+           UNNEST(range(1, len(ws) + 1)) AS u(i)),
+    train AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
+    scorut AS (SELECT * FROM tok WHERE doc_id % 2 = 1 AND w1 IS NOT NULL),
+    tri AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM train WHERE w1 IS NOT NULL
+            GROUP BY w1, w2, w3),
+    bi AS (SELECT w2, w3, COUNT(*) AS c23 FROM train WHERE w2 IS NOT NULL
+           GROUP BY w2, w3),
+    uni AS (SELECT w3, COUNT(*) AS c1 FROM train GROUP BY w3),
+    tot AS (SELECT SUM(c1) AS n_tokens, COUNT(*) AS v_types FROM uni),
+    sc AS (
+      SELECT s.doc_id,
+             CASE WHEN tri.c3 IS NOT NULL THEN (tri.c3 * 1000) // bctx.c12
+                  WHEN bi.c23 IS NOT NULL THEN (400 * ((bi.c23 * 1000) // uctx.c2)) // 1000
+                  ELSE (400 * 400 * (((COALESCE(uni.c1, 0) + 1) * 1000)
+                        // (tot.n_tokens + tot.v_types))) // 1000000 END AS s,
+             CASE WHEN tri.c3 IS NOT NULL THEN 0
+                  WHEN bi.c23 IS NOT NULL THEN 1 ELSE 2 END AS lvl
+      FROM scorut s
+      LEFT JOIN tri ON s.w1 = tri.w1 AND s.w2 = tri.w2 AND s.w3 = tri.w3
+      LEFT JOIN (SELECT w2 AS bw1, w3 AS bw2, c23 AS c12 FROM bi) bctx
+             ON s.w1 = bctx.bw1 AND s.w2 = bctx.bw2
+      LEFT JOIN bi ON s.w2 = bi.w2 AND s.w3 = bi.w3
+      LEFT JOIN (SELECT w3 AS uw, c1 AS c2 FROM uni) uctx ON s.w2 = uctx.uw
+      LEFT JOIN uni ON s.w3 = uni.w3
+      CROSS JOIN tot)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST(SUM(s) AS BIGINT) AS score_sum_milli,
+           CAST(SUM(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_trigram_hits,
+           CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bigram_backoffs,
+           CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_unigram_backoffs
+    FROM sc GROUP BY doc_id
+    """,
+    doc="n-gram LM familiarity scoring with STUPID BACKOFF (Brants et al. "
+    "2007; the CCNet-shaped 'does this doc look like the reference "
+    "corpus' quality filter, r8): trigram/bigram/unigram counts train on "
+    "the even-id half of the corpus, every odd-id doc's tokens (with full "
+    "trigram context) score as c3/c12, 0.4*c23/c2, or 0.4^2*add-1-unigram "
+    "— in INTEGER MILLI units (a div b at every level; libm ln() "
+    "perplexity would flake cross-engine hashes, catalog rule) — and "
+    "aggregate per doc with per-backoff-level counts.  Plan: two lag() "
+    "windows build the gram stream (no self-join), count tables join by "
+    "n-gram key (broadcast here, shuffle for full-corpus LMs), totals as "
+    "a deferred 1-row broadcast cross join; operators/text.py "
+    "lm_backoff_scores",
+)
+def text_lm_familiarity_backoff(spark, sf):
+    from esgopeta_spark.operators.text import lm_backoff_scores
+
+    d = T(spark, sf, "documents")
+    return lm_backoff_scores(
+        d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1)
+    )

@@ -159,6 +159,41 @@ def test_image_dhash_entry_classes_separated():
     assert dmin >= 16, dmin
 
 
+def test_lm_backoff_scores_hand_fixture(spark):
+    """Stupid-backoff scoring on a hand-computable fixture: every token
+    of the scored doc exercises a different backoff level and the
+    integer-milli scores match pencil-and-paper exactly."""
+    from esgopeta_spark.operators.text import lm_backoff_scores
+
+    train = spark.createDataFrame(
+        [(0, "a b c a b c a b d")], "doc_id bigint, text string"
+    )
+    # train grams: trigrams: abc x2, bca, cab, abd; bigrams: ab x3, bc x2,
+    # ca, cd? no: pairs: ab,bc,ca,ab,bc,ca,ab,bd -> ab:3 bc:2 ca:2 bd:1
+    # unigrams: a:3 b:3 c:2 d:1 (N=9, V=4)
+    score = spark.createDataFrame(
+        [(1, "a b c"),      # token 'c' with ctx (a,b): trigram abc known: c3=2, c12(ab)=3 -> 2000//3 = 666
+         (3, "c a b")],     # token 'b' with ctx (c,a): trigram cab x2, c12(ca)=2 -> 1000
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in lm_backoff_scores(train, score).collect()}
+    assert out[1]["n_scored"] == 1 and out[1]["score_sum_milli"] == 666
+    assert out[1]["n_trigram_hits"] == 1
+    assert out[3]["score_sum_milli"] == 1000
+    # bigram backoff: ctx (b,a) unseen as trigram-prefix? score 'a x b':
+    s2 = spark.createDataFrame([(5, "b c b")], "doc_id bigint, text string")
+    # token 'b' ctx (b,c): trigram bcb unseen; bigram (c,b)? 'cb' not in
+    # train -> unigram backoff: ((c1(b)=3)+1)*1000 // (9+4) = 307 ->
+    # 400*400*307 // 1e6 = 49
+    out2 = lm_backoff_scores(train, s2).collect()[0]
+    assert out2["n_unigram_backoffs"] == 1 and out2["score_sum_milli"] == 49
+    s3 = spark.createDataFrame([(7, "a a b")], "doc_id bigint, text string")
+    # token 'b' ctx (a,a): trigram aab unseen; bigram (a,b): c23=3,
+    # c2(a)=3 -> 1000; 400*1000//1000 = 400
+    out3 = lm_backoff_scores(train, s3).collect()[0]
+    assert out3["n_bigram_backoffs"] == 1 and out3["score_sum_milli"] == 400
+
+
 def test_unigram_train_matches_pure_python_reference(spark, sf_dir):
     """Unigram-LM tokenizer training (r8, SentencePiece-style hard-EM):
     the DISTRIBUTED trainer must produce the exact vocabulary —

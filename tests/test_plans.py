@@ -268,6 +268,21 @@ def test_image_dhash_plan_posture(spark, sf_dir):
         assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p, p
 
 
+def test_lm_backoff_plan_posture(spark, sf_dir):
+    """The LM familiarity scorer is 5 equi joins against the count
+    tables + a 1-row totals cross join — no cartesian over data, no
+    nested loop beyond the deliberate single-row broadcast."""
+    from esgopeta_spark.plans import REGISTRY
+
+    import re
+
+    p = plan_of(REGISTRY["text_lm_familiarity_backoff"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    # the only nested-loop node allowed is the 1-row totals cross join
+    # (formatted plans print each node in both tree and detail sections)
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) <= 1, p
+
+
 def test_span_extract_plan_posture(spark, sf_dir):
     """duplicated_span_ranges adds two join-shaped stages over the gram
     pipeline (dup-positions x shared gkeys, spans x doc word arrays): both
