@@ -7,8 +7,10 @@ BMP (24-bit BI_RGB), PPM (P6), WAV (PCM16), PNG via stdlib ``zlib``
 five scanline filters), and JPEG (operators.jpeg: baseline SOF0 and
 progressive SOF2 — spectral selection + successive approximation —
 sampling factors to 2x2 incl. 4:2:0, restart markers, per-image
-canonical Huffman on encode), and GIF (from-scratch variable-width LZW,
-87a/89a, interlace).  Compressed AUDIO/VIDEO containers (mp3/mp4) get
+canonical Huffman on encode), GIF (from-scratch variable-width LZW,
+87a/89a, interlace), and TIFF (baseline 6.0 subset: II/MM byte orders,
+8-bit gray incl. min-is-white and RGB, strip layout, Compression 1 and
+PackBits RLE).  Compressed AUDIO/VIDEO containers (mp3/mp4) get
 real METADATA parsing (ISO BMFF box walk, MPEG frame-header scan) —
 duration/dims/rates for corpus stats and filtering — mp4 video frames
 DECODE for real for the Motion-JPEG subset (``decode_mjpeg_frames``:
@@ -67,13 +69,15 @@ _MAGICS = [
     (b"\x89PNG\r\n\x1a\n", "png"),
     (b"\xff\xd8\xff", "jpeg"),
     (b"ID3", "mp3"),
+    (b"II*\x00", "tiff"),
+    (b"MM\x00*", "tiff"),
     # NOTE: no raw \xff\xfb magic — bare frame sync is validated
     # field-by-field in sniff_format below (r6 ADVICE)
     (b"GIF87a", "gif"),
     (b"GIF89a", "gif"),
 ]
 
-DECODABLE = {"bmp", "ppm", "wav", "png", "jpeg", "gif"}
+DECODABLE = {"bmp", "ppm", "wav", "png", "jpeg", "gif", "tiff"}
 
 
 def sniff_format(b: bytes | None) -> str:
@@ -759,6 +763,236 @@ def decode_gif(b: bytes) -> np.ndarray:
     """GIF87a/89a bytes -> (h, w, 3) uint8 RGB of the FIRST displayed
     frame (the animation walker truncated at one frame)."""
     return decode_gif_frames.__wrapped__(b, max_frames=1)[0]
+
+
+# ---------------------------------------------------------------------------
+# TIFF — baseline 6.0 subset: both byte orders (II/MM), 8-bit gray
+# (photometric 0/1) and RGB, strip layout (single or multi-strip),
+# Compression 1 (none) and 32773 (PackBits).  The scanned-document
+# format real corpora still ship; tiles, LZW and other photometrics
+# raise ValueError (quarantined like everything here).
+# ---------------------------------------------------------------------------
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    """Apple PackBits RLE (public, TIFF spec section 9), one row."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)  # -(run-1) as unsigned
+            out.append(row[i])
+            i += run
+            continue
+        lit = i
+        while (
+            i < n
+            and i - lit < 128
+            and not (i + 1 < n and row[i + 1] == row[i] and (i + 2 < n and row[i + 2] == row[i]))
+        ):
+            i += 1
+        out.append(i - lit - 1)
+        out += row[lit:i]
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while len(out) < expected:
+        if i >= len(data):
+            raise ValueError("truncated PackBits stream")
+        n = data[i]
+        i += 1
+        if n < 128:
+            if i + n + 1 > len(data):
+                raise ValueError("PackBits literal overruns strip")
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= len(data):
+                raise ValueError("PackBits run overruns strip")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op per spec
+    if len(out) != expected:
+        raise ValueError("PackBits output length mismatch")
+    return bytes(out)
+
+
+def encode_tiff(
+    arr: np.ndarray,
+    big_endian: bool = False,
+    packbits: bool = False,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """(h, w, 3) RGB or (h, w) gray uint8 -> baseline TIFF bytes."""
+    assert arr.dtype == np.uint8
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    spp = 1 if gray else 3
+    e = ">" if big_endian else "<"
+    rps = rows_per_strip or h
+    strips = []
+    for y0 in range(0, h, rps):
+        block = arr[y0 : y0 + rps]
+        raw = block.tobytes()
+        if packbits:
+            rows = [block[i].tobytes() for i in range(block.shape[0])]
+            raw = b"".join(_packbits_encode(r) for r in rows)
+        strips.append(raw)
+    n_strips = len(strips)
+
+    def entry(tag, typ, count, value_bytes):
+        return struct.pack(f"{e}HHI", tag, typ, count) + value_bytes
+
+    # layout: 8-byte header, IFD, extra arrays, strip data
+    n_entries = 10
+    ifd_size = 2 + n_entries * 12 + 4
+    extra_off = 8 + ifd_size
+    extra = bytearray()
+
+    def short_val(v):
+        return struct.pack(f"{e}HH", v, 0)
+
+    def long_val(v):
+        return struct.pack(f"{e}I", v)
+
+    if gray:
+        bps_val = short_val(8)
+        bps_entry = (258, 3, 1, bps_val)
+    else:
+        bps_entry = (258, 3, 3, long_val(extra_off + len(extra)))
+        extra += struct.pack(f"{e}HHH", 8, 8, 8)
+    if n_strips == 1:
+        so_entry_placeholder = (273, 4, 1, None)
+        sbc_entry = (279, 4, 1, long_val(len(strips[0])))
+    else:
+        so_entry_placeholder = (273, 4, n_strips, None)
+        sbc_entry = (279, 4, n_strips, long_val(extra_off + len(extra)))
+        extra += b"".join(struct.pack(f"{e}I", len(sdat)) for sdat in strips)
+    # strip offsets array (needs data start): reserve extra space now
+    if n_strips > 1:
+        so_arr_off = extra_off + len(extra)
+        extra += b"\x00" * (4 * n_strips)
+    data_off = extra_off + len(extra)
+    offs = []
+    pos = data_off
+    for sdat in strips:
+        offs.append(pos)
+        pos += len(sdat)
+    if n_strips == 1:
+        so_entry = (273, 4, 1, long_val(offs[0]))
+    else:
+        so_entry = (273, 4, n_strips, long_val(so_arr_off))
+        extra[so_arr_off - extra_off : so_arr_off - extra_off + 4 * n_strips] = b"".join(
+            struct.pack(f"{e}I", o) for o in offs
+        )
+    entries = sorted(
+        [
+            (256, 3, 1, short_val(w)),
+            (257, 3, 1, short_val(h)),
+            bps_entry,
+            (259, 3, 1, short_val(32773 if packbits else 1)),
+            (262, 3, 1, short_val(1 if gray else 2)),  # BlackIsZero / RGB
+            so_entry,
+            (277, 3, 1, short_val(spp)),
+            (278, 3, 1, short_val(min(rps, h))),
+            sbc_entry,
+            (282, 3, 1, short_val(72)),  # XResolution placeholder (SHORT ok for our reader)
+        ]
+    )
+    out = bytearray()
+    out += (b"MM\x00*" if big_endian else b"II*\x00") + struct.pack(f"{e}I", 8)
+    out += struct.pack(f"{e}H", n_entries)
+    for tag, typ, count, vb in entries:
+        out += entry(tag, typ, count, vb)
+    out += struct.pack(f"{e}I", 0)  # next IFD
+    out += extra
+    for sdat in strips:
+        out += sdat
+    return bytes(out)
+
+
+@_quarantine
+def decode_tiff(b: bytes) -> np.ndarray:
+    """Baseline TIFF -> (h, w, 3) RGB or (h, w) gray uint8.  Supports
+    II/MM, 8-bit gray (photometric 0 min-is-white inverted, 1) and RGB,
+    strips, Compression 1/32773; anything else raises ValueError."""
+    if b[:4] == b"II*\x00":
+        e = "<"
+    elif b[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF")
+    (ifd_off,) = struct.unpack_from(f"{e}I", b, 4)
+    (n_entries,) = struct.unpack_from(f"{e}H", b, ifd_off)
+    tags: dict[int, tuple[int, int, int]] = {}
+    for i in range(n_entries):
+        off = ifd_off + 2 + i * 12
+        tag, typ, count = struct.unpack_from(f"{e}HHI", b, off)
+        (raw,) = struct.unpack_from(f"{e}I", b, off + 8)
+        tags[tag] = (typ, count, off + 8, raw)
+
+    def values(tag, default=None):
+        if tag not in tags:
+            if default is None:
+                raise ValueError(f"missing TIFF tag {tag}")
+            return default
+        typ, count, vpos, raw = tags[tag]
+        size = {3: 2, 4: 4}.get(typ)
+        if size is None:
+            raise ValueError(f"unsupported TIFF tag type {typ}")
+        total = size * count
+        base = vpos if total <= 4 else raw
+        if base + total > len(b):
+            raise ValueError("TIFF tag data out of bounds")
+        fmt = "H" if typ == 3 else "I"
+        return list(struct.unpack_from(f"{e}{count}{fmt}", b, base))
+
+    w = values(256)[0]
+    h = values(257)[0]
+    comp = values(259, [1])[0]
+    photo = values(262)[0]
+    spp = values(277, [1])[0]
+    bps = values(258, [8])
+    rps = values(278, [h])[0] or h
+    offs = values(273)
+    counts = values(279)
+    if comp not in (1, 32773):
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    if photo not in (0, 1, 2):
+        raise ValueError(f"unsupported TIFF photometric {photo}")
+    if any(v != 8 for v in bps) or spp not in (1, 3):
+        raise ValueError("only 8-bit gray/RGB TIFF supported")
+    if (photo == 2) != (spp == 3):
+        raise ValueError("TIFF photometric/samples mismatch")
+    if w <= 0 or h <= 0 or w * h > (1 << 26):
+        raise ValueError("bad TIFF dimensions")
+    if len(offs) != len(counts):
+        raise ValueError("strip offsets/counts mismatch")
+    raw = bytearray()
+    rows_done = 0
+    for si, (o, c) in enumerate(zip(offs, counts)):
+        if o + c > len(b):
+            raise ValueError("TIFF strip out of bounds")
+        strip_rows = min(rps, h - rows_done)
+        expected = strip_rows * w * spp
+        data = bytes(b[o : o + c])
+        raw += _packbits_decode(data, expected) if comp == 32773 else data
+        if comp == 1 and c < expected:
+            raise ValueError("truncated TIFF strip")
+        rows_done += strip_rows
+    if rows_done < h or len(raw) < h * w * spp:
+        raise ValueError("TIFF strips cover fewer rows than ImageLength")
+    arr = np.frombuffer(bytes(raw), dtype=np.uint8, count=h * w * spp)
+    arr = arr.reshape(h, w, spp) if spp == 3 else arr.reshape(h, w)
+    if photo == 0:  # min-is-white
+        arr = 255 - arr
+    return arr
 
 
 # ---------------------------------------------------------------------------

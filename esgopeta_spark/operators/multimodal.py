@@ -303,13 +303,14 @@ def decode_media(df: DataFrame) -> DataFrame:
                     width=None, height=None, sample_rate=None, n_samples=None, duration_ms=None,
                 )
                 try:
-                    if fmt in ("bmp", "ppm", "png", "jpeg", "gif"):
+                    if fmt in ("bmp", "ppm", "png", "jpeg", "gif", "tiff"):
                         arr = {
                             "bmp": codecs.decode_bmp,
                             "ppm": codecs.decode_ppm,
                             "png": codecs.decode_png,
                             "jpeg": codecs.decode_jpeg,
                             "gif": codecs.decode_gif,
+                            "tiff": codecs.decode_tiff,
                         }[fmt](b)
                         rec.update(ok=True, width=arr.shape[1], height=arr.shape[0])
                     elif fmt == "wav":
@@ -653,6 +654,8 @@ def decode_image_any(b: bytes):
         arr = codecs.decode_jpeg(b)
     elif fmt == "gif":
         arr = codecs.decode_gif(b)
+    elif fmt == "tiff":
+        arr = codecs.decode_tiff(b)
     else:
         raise ValueError(f"not a decodable image: {fmt}")
     # codecs.to_rgb covers every decode shape incl. (h, w, 2) gray+alpha

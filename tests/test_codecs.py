@@ -183,6 +183,8 @@ def test_sniff_format():
     assert codecs.sniff_format(b"\x00\x00\x00\x18ftypisomxxxx") == "mp4"
     assert codecs.sniff_format(b"ID3\x04xxxx") == "mp3"
     assert codecs.sniff_format(b"") == "empty"
+    assert codecs.sniff_format(codecs.encode_tiff(arr)) == "tiff"
+    assert codecs.sniff_format(codecs.encode_tiff(arr, big_endian=True)) == "tiff"
     # bare frame-sync sniff is validated field-by-field (r6 ADVICE: the
     # 2-byte sync alone mislabeled arbitrary binaries as mp3)
     assert codecs.sniff_format(b"\xff\xfb\x90\x00") == "mp3"  # MPEG1 L3 128k/44.1
@@ -191,6 +193,58 @@ def test_sniff_format():
     assert codecs.sniff_format(b"\xff\xfb\x00\x00") == "unknown"  # free bitrate
     assert codecs.sniff_format(b"\xff\xfb\xf0\x00") == "unknown"  # bad bitrate
     assert codecs.sniff_format(b"\xff\xfb\x9c\x00") == "unknown"  # reserved rate
+
+
+def test_tiff_roundtrip_matrix():
+    """Baseline TIFF (r8): RGB + gray, both byte orders, single and
+    multi-strip, Compression 1 and PackBits — every combination must
+    round-trip bit-exactly; PackBits genuinely compresses runs; the
+    min-is-white photometric inverts on decode."""
+    rng = np.random.default_rng(4)
+    rgb = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, (9, 5), dtype=np.uint8)
+    for be in (False, True):
+        for pb in (False, True):
+            for rps in (None, 4):
+                for arr in (rgb, gray):
+                    enc = codecs.encode_tiff(arr, big_endian=be, packbits=pb, rows_per_strip=rps)
+                    assert codecs.sniff_format(enc) == "tiff"
+                    assert np.array_equal(codecs.decode_tiff(enc), arr), (be, pb, rps, arr.shape)
+    flat = np.zeros((32, 64, 3), np.uint8)
+    assert len(codecs.encode_tiff(flat, packbits=True)) < len(codecs.encode_tiff(flat)) / 10
+    # photometric 0 (min-is-white): patch the tag value and expect inversion
+    enc = bytearray(codecs.encode_tiff(gray))
+    idx = enc.find((262).to_bytes(2, "little"))
+    assert idx > 0 and enc[idx + 8] == 1
+    enc[idx + 8] = 0
+    assert np.array_equal(codecs.decode_tiff(bytes(enc)), 255 - gray)
+
+
+def test_tiff_guards():
+    """Unsupported variants raise ValueError (quarantine contract): LZW
+    compression, palette photometric, 16-bit samples, out-of-bounds
+    strips, forged giant dimensions."""
+    gray = np.arange(20, dtype=np.uint8).reshape(4, 5)
+    enc = codecs.encode_tiff(gray)
+
+    def patched(tag, new_val):
+        b = bytearray(enc)
+        idx = b.find(tag.to_bytes(2, "little"))
+        b[idx + 8 : idx + 10] = new_val.to_bytes(2, "little")
+        return bytes(b)
+
+    with pytest.raises(ValueError, match="compression"):
+        codecs.decode_tiff(patched(259, 5))  # LZW
+    with pytest.raises(ValueError, match="photometric"):
+        codecs.decode_tiff(patched(262, 3))  # palette
+    with pytest.raises(ValueError, match="8-bit"):
+        codecs.decode_tiff(patched(258, 16))
+    with pytest.raises(ValueError, match="dimensions"):
+        codecs.decode_tiff(patched(256, 0))
+    with pytest.raises(ValueError):
+        codecs.decode_tiff(enc[:40])  # truncated IFD/strips
+    with pytest.raises(ValueError, match="not a TIFF"):
+        codecs.decode_tiff(b"II\x00\x00garbage")
 
 
 def test_resize_nearest_exact_2x():
@@ -607,6 +661,9 @@ def test_decoder_quarantine_contract_fuzz():
     }
     # progressive JPEG shares the decode entry point: fuzz it as a second
     # jpeg corpus (truncations + flips of an SOF2 stream)
+    decoders["tiff"] = codecs.decode_tiff
+    magics["tiff"] = b"II*\x00"
+    valid["tiff"] = codecs.encode_tiff(arr, packbits=True, rows_per_strip=3)
     decoders["jpeg_progressive"] = codecs.decode_jpeg
     magics["jpeg_progressive"] = b"\xff\xd8\xff"
     valid["jpeg_progressive"] = codecs.encode_jpeg_progressive(arr)

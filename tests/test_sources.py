@@ -152,13 +152,14 @@ def test_read_media_dir_binaryfile(spark, tmp_path):
     (d / "sub" / "c.wav").write_bytes(codecs.encode_wav(np.zeros(160, np.int16), 8000))
     (d / "sub" / "d.mp4").write_bytes(codecs.encode_mp4_stub(1200, 64, 48))
     (d / "junk.bin").write_bytes(b"\x00\x01\x02garbage")
+    (d / "e.tiff").write_bytes(codecs.encode_tiff(arr, packbits=True))
 
     media = read_media_dir(spark, str(d))
     rows = media.collect()
-    assert len(rows) == 5
+    assert len(rows) == 6
     kinds = sorted(r["kind"] for r in rows)
-    assert kinds == ["audio", "image", "image", "other", "video"]
-    assert len({r["media_id"] for r in rows}) == 5  # stable distinct ids
+    assert kinds == ["audio", "image", "image", "image", "other", "video"]
+    assert len({r["media_id"] for r in rows}) == 6  # stable distinct ids
     # re-read gives identical ids (path-hash, not listing order)
     assert {r["media_id"] for r in read_media_dir(spark, str(d)).collect()} == {
         r["media_id"] for r in rows
@@ -167,6 +168,7 @@ def test_read_media_dir_binaryfile(spark, tmp_path):
     assert dec["png"]["ok"] and (dec["png"]["width"], dec["png"]["height"]) == (8, 6)
     assert dec["gif"]["ok"] and (dec["gif"]["width"], dec["gif"]["height"]) == (8, 6)
     assert dec["wav"]["ok"] and dec["wav"]["sample_rate"] == 8000
+    assert dec["tiff"]["ok"] and (dec["tiff"]["width"], dec["tiff"]["height"]) == (8, 6)
     assert not dec["mp4"]["ok"] and dec["mp4"]["duration_ms"] == 1200
 
 
@@ -188,6 +190,8 @@ def test_sniff_format_expr_matches_python_twin(spark):
         codecs.encode_png(arr),
         codecs.encode_jpeg(arr),
         codecs.encode_gif(arr),
+        codecs.encode_tiff(arr),
+        codecs.encode_tiff(arr, big_endian=True),
         b"\x89PNG\r\n\x1a\nxxxx",
         b"\xff\xd8\xff\xe0",
         b"\x00\x00\x00\x18ftypisomxxxx",
