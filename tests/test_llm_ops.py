@@ -1159,6 +1159,85 @@ def test_duplicated_span_ranges_vs_bruteforce(spark):
             assert norm[i][sc:ec] == " ".join(norm[i].split(" ")[s:e])
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+
+    @settings(max_examples=6, deadline=None)
+    @given(data=st.data())
+    def test_duplicated_span_ranges_property(spark, data):
+        """Hypothesis sweep of the span extractor: random small-vocab
+        corpora (which produce heavy accidental n-gram sharing, unlike
+        the planted fixtures) must match the pure-python oracle on every
+        span boundary in word AND char coordinates."""
+        from esgopeta_spark.operators.dedup import duplicated_span_ranges
+
+        vocab = ["aa", "b", "ccc", "dd", "e"]
+        docs = []
+        n_docs = data.draw(st.integers(min_value=2, max_value=5))
+        for i in range(n_docs):
+            n_words = data.draw(st.integers(min_value=0, max_value=24))
+            words_ = [data.draw(st.sampled_from(vocab)) for _ in range(n_words)]
+            docs.append((i, " ".join(words_)))
+        n = 3
+        got: dict = {}
+        rows = duplicated_span_ranges(
+            spark.createDataFrame(docs, ["doc_id", "text"]), n=n, min_docs=2
+        ).collect()
+        for r in rows:
+            got.setdefault(r["doc_id"], []).append(
+                (r["span_id"], r["start_word"], r["end_word"],
+                 r["start_char"], r["end_char"], r["n_windows"])
+            )
+        _, _, want = _span_oracle(docs, n=n)
+        for i in want:
+            assert sorted(got.get(i, [])) == want[i], (i, docs)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(min_value=0, max_value=4000),
+        edit_pos=st.integers(min_value=0, max_value=3999),
+        data=st.data(),
+    )
+    def test_cdc_boundaries_property(n, edit_pos, data):
+        """Hypothesis sweep of CDC chunking: chunks always partition the
+        input exactly within [min(=tail-exempt), max] size bounds, and
+        inserting bytes anywhere re-synchronizes every boundary beyond
+        the edit's influence window."""
+        import numpy as np
+
+        from esgopeta_spark.operators.cdc import cdc_boundaries
+
+        seed = data.draw(st.integers(min_value=0, max_value=2**31))
+        payload = np.random.default_rng(seed).integers(0, 256, n, dtype=np.uint8).tobytes()
+        ends = cdc_boundaries(payload)
+        assert (ends[-1] if ends else 0) == len(payload)
+        sizes = [b - a for a, b in zip([0] + ends, ends)]
+        assert all(s <= 1024 for s in sizes)
+        assert all(s >= 64 for s in sizes[:-1])  # only the tail may be short
+        if n > edit_pos:
+            ins = data.draw(st.binary(min_size=1, max_size=5))
+            edited = payload[:edit_pos] + ins + payload[edit_pos:]
+            e2 = cdc_boundaries(edited)
+            # the TRUE invariant: once both walks land on a common
+            # boundary after the edit, every later boundary is identical
+            # (same suffix, same deterministic walk).  A hard "resync
+            # within K bytes" bound does NOT hold in general — max-size
+            # force-cuts can phase-lock through candidate-free stretches.
+            t1 = {e for e in ends if e > edit_pos + len(ins) + 64}
+            t2 = {e - len(ins) for e in e2 if e > edit_pos + len(ins) + 64}
+            common = sorted(t1 & t2)
+            if common:
+                sync = common[0]
+                assert {e for e in t1 if e >= sync} == {e for e in t2 if e >= sync}
+
+
 def test_remove_duplicated_spans_cleans_text(spark):
     """Cleaning pass: span words removed, survivors re-joined; clean docs
     pass through; counts agree with the python oracle."""
