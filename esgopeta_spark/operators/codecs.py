@@ -9,8 +9,8 @@ progressive SOF2 — spectral selection + successive approximation —
 sampling factors to 2x2 incl. 4:2:0, restart markers, per-image
 canonical Huffman on encode), GIF (from-scratch variable-width LZW,
 87a/89a, interlace), and TIFF (baseline 6.0 subset: II/MM byte orders,
-8-bit gray incl. min-is-white and RGB, strip layout, Compression 1 and
-PackBits RLE).  Compressed AUDIO/VIDEO containers (mp3/mp4) get
+8-bit gray incl. min-is-white and RGB, strip layout, Compression 1,
+PackBits RLE and LZW with the Predictor-2 horizontal differencing).  Compressed AUDIO/VIDEO containers (mp3/mp4) get
 real METADATA parsing (ISO BMFF box walk, MPEG frame-header scan) —
 duration/dims/rates for corpus stats and filtering — mp4 video frames
 DECODE for real for the Motion-JPEG subset (``decode_mjpeg_frames``:
@@ -768,8 +768,9 @@ def decode_gif(b: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # TIFF — baseline 6.0 subset: both byte orders (II/MM), 8-bit gray
 # (photometric 0/1) and RGB, strip layout (single or multi-strip),
-# Compression 1 (none) and 32773 (PackBits).  The scanned-document
-# format real corpora still ship; tiles, LZW and other photometrics
+# Compression 1 (none), 5 (LZW, spec early-change) and 32773 (PackBits),
+# Predictor 1/2 (horizontal differencing).  The scanned-document format
+# real corpora still ship; tiles and other photometrics/compressions
 # raise ValueError (quarantined like everything here).
 # ---------------------------------------------------------------------------
 
@@ -823,14 +824,119 @@ def _packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF LZW (spec section 13): MSB-first variable-width codes,
+    Clear=256 / EOI=257, table growth from 258, EARLY code-width change
+    (width bumps when the NEXT code to be written reaches 2^w - 1)."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, width: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    put(256, width)  # leading Clear per spec
+    w = b""
+    for byte in data:
+        c = bytes([byte])
+        if w + c in table:
+            w += c
+            continue
+        put(table[w], width)
+        table[w + c] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:  # early change
+            width += 1
+        if next_code >= 4094:
+            put(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = c
+    if w:
+        put(table[w], width)
+    put(257, width)  # EOI
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """Inverse of _tiff_lzw_encode, bounded by ``expected`` output bytes."""
+    out = bytearray()
+    pos = 0  # bit position
+
+    def get(width: int) -> int:
+        nonlocal pos
+        v = 0
+        for _ in range(width):
+            byte = pos >> 3
+            if byte >= len(data):
+                raise ValueError("truncated TIFF LZW stream")
+            v = (v << 1) | ((data[byte] >> (7 - (pos & 7))) & 1)
+            pos += 1
+        return v
+
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    while len(out) < expected:
+        code = get(width)
+        if code == 257:  # EOI
+            break
+        if code == 256:  # Clear
+            table = table[:258]
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad first TIFF LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("TIFF LZW code out of range")
+        out += entry
+        prev = entry
+        # early change mirrors the encoder: the decoder's table lags the
+        # encoder's next_code by ONE entry (the encoder registers w+c as
+        # it emits; the decoder registers on the NEXT code), so the bump
+        # point is 2^w - 2 here vs the encoder's 2^w - 1
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    if len(out) < expected:
+        raise ValueError("TIFF LZW output shorter than strip")
+    return bytes(out[:expected])
+
+
 def encode_tiff(
     arr: np.ndarray,
     big_endian: bool = False,
     packbits: bool = False,
     rows_per_strip: int | None = None,
+    lzw: bool = False,
+    predictor: bool = False,
 ) -> bytes:
-    """(h, w, 3) RGB or (h, w) gray uint8 -> baseline TIFF bytes."""
+    """(h, w, 3) RGB or (h, w) gray uint8 -> baseline TIFF bytes.
+    ``lzw`` selects Compression 5 (mutually exclusive with packbits);
+    ``predictor`` applies horizontal differencing (tag 317 = 2, the
+    standard LZW companion) before compression."""
     assert arr.dtype == np.uint8
+    if packbits and lzw:
+        raise ValueError("pick one of packbits/lzw")
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
     spp = 1 if gray else 3
@@ -839,10 +945,17 @@ def encode_tiff(
     strips = []
     for y0 in range(0, h, rps):
         block = arr[y0 : y0 + rps]
+        if predictor:  # horizontal differencing per row, per channel
+            bi = block.reshape(block.shape[0], w, spp).astype(np.int16)
+            d = bi.copy()
+            d[:, 1:, :] = (bi[:, 1:, :] - bi[:, :-1, :]) % 256
+            block = d.astype(np.uint8).reshape(block.shape)
         raw = block.tobytes()
         if packbits:
             rows = [block[i].tobytes() for i in range(block.shape[0])]
             raw = b"".join(_packbits_encode(r) for r in rows)
+        elif lzw:
+            raw = _tiff_lzw_encode(raw)
         strips.append(raw)
     n_strips = len(strips)
 
@@ -896,13 +1009,13 @@ def encode_tiff(
             (256, 3, 1, short_val(w)),
             (257, 3, 1, short_val(h)),
             bps_entry,
-            (259, 3, 1, short_val(32773 if packbits else 1)),
+            (259, 3, 1, short_val(32773 if packbits else (5 if lzw else 1))),
             (262, 3, 1, short_val(1 if gray else 2)),  # BlackIsZero / RGB
             so_entry,
             (277, 3, 1, short_val(spp)),
             (278, 3, 1, short_val(min(rps, h))),
             sbc_entry,
-            (282, 3, 1, short_val(72)),  # XResolution placeholder (SHORT ok for our reader)
+            (317, 3, 1, short_val(2 if predictor else 1)),
         ]
     )
     out = bytearray()
@@ -921,7 +1034,9 @@ def encode_tiff(
 def decode_tiff(b: bytes) -> np.ndarray:
     """Baseline TIFF -> (h, w, 3) RGB or (h, w) gray uint8.  Supports
     II/MM, 8-bit gray (photometric 0 min-is-white inverted, 1) and RGB,
-    strips, Compression 1/32773; anything else raises ValueError."""
+    strips, Compression 1/5 (LZW, early-change)/32773 (PackBits) with
+    Predictor 1/2 (horizontal differencing); anything else raises
+    ValueError."""
     if b[:4] == b"II*\x00":
         e = "<"
     elif b[:4] == b"MM\x00*":
@@ -962,8 +1077,11 @@ def decode_tiff(b: bytes) -> np.ndarray:
     rps = values(278, [h])[0] or h
     offs = values(273)
     counts = values(279)
-    if comp not in (1, 32773):
+    pred = values(317, [1])[0]
+    if comp not in (1, 5, 32773):
         raise ValueError(f"unsupported TIFF compression {comp}")
+    if pred not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {pred}")
     if photo not in (0, 1, 2):
         raise ValueError(f"unsupported TIFF photometric {photo}")
     if any(v != 8 for v in bps) or spp not in (1, 3):
@@ -982,9 +1100,19 @@ def decode_tiff(b: bytes) -> np.ndarray:
         strip_rows = min(rps, h - rows_done)
         expected = strip_rows * w * spp
         data = bytes(b[o : o + c])
-        raw += _packbits_decode(data, expected) if comp == 32773 else data
-        if comp == 1 and c < expected:
-            raise ValueError("truncated TIFF strip")
+        if comp == 32773:
+            chunk = _packbits_decode(data, expected)
+        elif comp == 5:
+            chunk = _tiff_lzw_decode(data, expected)
+        else:
+            chunk = data
+            if c < expected:
+                raise ValueError("truncated TIFF strip")
+        if pred == 2:  # undo horizontal differencing per row/channel
+            a2_ = np.frombuffer(chunk, dtype=np.uint8, count=expected)
+            a2_ = a2_.reshape(strip_rows, w, spp).astype(np.uint32)
+            chunk = (np.cumsum(a2_, axis=1) % 256).astype(np.uint8).tobytes()
+        raw += chunk
         rows_done += strip_rows
     if rows_done < h or len(raw) < h * w * spp:
         raise ValueError("TIFF strips cover fewer rows than ImageLength")

@@ -204,14 +204,21 @@ def test_tiff_roundtrip_matrix():
     rgb = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
     gray = rng.integers(0, 256, (9, 5), dtype=np.uint8)
     for be in (False, True):
-        for pb in (False, True):
+        for comp in ({}, {"packbits": True}, {"lzw": True}, {"lzw": True, "predictor": True},
+                     {"packbits": True, "predictor": True}, {"predictor": True}):
             for rps in (None, 4):
                 for arr in (rgb, gray):
-                    enc = codecs.encode_tiff(arr, big_endian=be, packbits=pb, rows_per_strip=rps)
+                    enc = codecs.encode_tiff(arr, big_endian=be, rows_per_strip=rps, **comp)
                     assert codecs.sniff_format(enc) == "tiff"
-                    assert np.array_equal(codecs.decode_tiff(enc), arr), (be, pb, rps, arr.shape)
+                    assert np.array_equal(codecs.decode_tiff(enc), arr), (be, comp, rps, arr.shape)
     flat = np.zeros((32, 64, 3), np.uint8)
     assert len(codecs.encode_tiff(flat, packbits=True)) < len(codecs.encode_tiff(flat)) / 10
+    # LZW with early-change width growth + the horizontal-differencing
+    # predictor: the predictor must shrink smooth gradients substantially
+    grad = np.tile(np.arange(64, dtype=np.uint8), (20, 1))
+    a_ = len(codecs.encode_tiff(grad, lzw=True))
+    b_ = len(codecs.encode_tiff(grad, lzw=True, predictor=True))
+    assert b_ < a_ / 2, (a_, b_)
     # photometric 0 (min-is-white): patch the tag value and expect inversion
     enc = bytearray(codecs.encode_tiff(gray))
     idx = enc.find((262).to_bytes(2, "little"))
@@ -234,7 +241,9 @@ def test_tiff_guards():
         return bytes(b)
 
     with pytest.raises(ValueError, match="compression"):
-        codecs.decode_tiff(patched(259, 5))  # LZW
+        codecs.decode_tiff(patched(259, 7))  # JPEG-in-TIFF
+    with pytest.raises(ValueError, match="predictor"):
+        codecs.decode_tiff(patched(317, 3))  # floating-point predictor
     with pytest.raises(ValueError, match="photometric"):
         codecs.decode_tiff(patched(262, 3))  # palette
     with pytest.raises(ValueError, match="8-bit"):
@@ -664,6 +673,9 @@ def test_decoder_quarantine_contract_fuzz():
     decoders["tiff"] = codecs.decode_tiff
     magics["tiff"] = b"II*\x00"
     valid["tiff"] = codecs.encode_tiff(arr, packbits=True, rows_per_strip=3)
+    decoders["tiff_lzw"] = codecs.decode_tiff
+    magics["tiff_lzw"] = b"MM\x00*"
+    valid["tiff_lzw"] = codecs.encode_tiff(arr, big_endian=True, lzw=True, predictor=True)
     decoders["jpeg_progressive"] = codecs.decode_jpeg
     magics["jpeg_progressive"] = b"\xff\xd8\xff"
     valid["jpeg_progressive"] = codecs.encode_jpeg_progressive(arr)
