@@ -285,10 +285,11 @@ DECODED_SCHEMA = (
 
 
 def decode_media(df: DataFrame) -> DataFrame:
-    """REAL decode of bmp/ppm/png/jpeg/wav payloads per Arrow batch;
-    formats needing an external codec (mp3/mp4) surface ok=false,
-    err='needs-codec' instead of failing the job (at 100 TB a poison
-    payload must never kill the stage)."""
+    """REAL decode of bmp/ppm/png/jpeg/gif/tiff image and wav/mpeg-audio
+    payloads per Arrow batch; formats needing an external codec
+    (h264/hevc video samples) surface ok=false, err='needs-codec'
+    instead of failing the job (at 100 TB a poison payload must never
+    kill the stage)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from esgopeta_spark.operators import codecs
