@@ -70,3 +70,24 @@ def referential_audit(
             .alias("violation_ppm"),
         )
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame, quasi_cols: list, k: int = 5
+) -> DataFrame:
+    """k-anonymity check over a set of quasi-identifier columns (public
+    privacy notion, Sweeney 2002): every combination of quasi-identifier
+    values shared by FEWER than ``k`` rows re-identifies those rows —
+    the release/training-data privacy audit run before publishing any
+    per-person table.  Returns one row per VIOLATING equivalence class
+    (the quasi values + its size); empty result = the table is
+    k-anonymous under these columns.
+
+    Scale shape: one partial-agg shuffle on the quasi tuple — identical
+    to any groupBy count; the violating-class output is bounded by the
+    number of small classes, which is what the auditor reads."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .filter(F.col("class_size") < F.lit(int(k)))
+    )

@@ -902,3 +902,41 @@ def text_lm_familiarity_backoff(spark, sf):
     return lm_backoff_scores(
         d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1)
     )
+
+
+@register(
+    "quality_k_anonymity",
+    "G4,E4,E2",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal) AS BIGINT) // 2000 AS balance_band,
+           CAST(COUNT(*) AS BIGINT) AS class_size
+    FROM customer
+    GROUP BY 1, 2, 3
+    HAVING COUNT(*) < 5
+    """,
+    doc="k-anonymity audit (Sweeney 2002, the release-privacy check a "
+    "training-data pipeline runs before publishing per-person tables, "
+    "r8): every (nation, market segment, coarse balance band) "
+    "equivalence class smaller than k=5 re-identifies its members — one "
+    "row per violating class with its size (operators/quality.py "
+    "k_anonymity_audit).  Banding is integer-exact (floor to whole "
+    "dollars, then integer division; Spark's double->bigint cast and "
+    "DuckDB's integer // BOTH truncate toward zero, verified on the "
+    "negative-balance rows).  Plan: "
+    "one partial-agg shuffle on the quasi tuple, violation filter after "
+    "the final aggregate",
+)
+def quality_k_anonymity(spark, sf):
+    from esgopeta_spark.operators.quality import k_anonymity_audit
+
+    c = T(spark, sf, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.floor("c_acctbal").cast("bigint") / F.lit(2000)).cast("bigint").alias("balance_band"),
+    )
+    out = k_anonymity_audit(c, ["c_nationkey", "c_mktsegment", "balance_band"], k=5)
+    return out.select(
+        "c_nationkey", "c_mktsegment", "balance_band",
+        F.col("class_size").cast("bigint").alias("class_size"),
+    )

@@ -1928,3 +1928,16 @@ def test_sample_k_per_group_exact_count_and_partition_invariant(spark, sf_dir):
     lowest = {r["source"]: r["ids"] for r in
               docs.groupBy("source").agg(F.slice(F.array_sort(F.collect_list("doc_id")), 1, 5).alias("ids")).collect()}
     assert any(set(d for s2, d, _ in got if s2 == s) != set(lowest[s]) for s in per_group)
+
+
+def test_k_anonymity_audit(spark):
+    """k-anonymity: exactly the equivalence classes smaller than k are
+    reported, with their sizes; a k-anonymous table yields zero rows."""
+    from esgopeta_spark.operators.quality import k_anonymity_audit
+
+    rows = [("a", 1)] * 5 + [("a", 2)] * 2 + [("b", 1)] * 1
+    df = spark.createDataFrame(rows, "seg string, band int")
+    got = {(r["seg"], r["band"]): r["class_size"]
+           for r in k_anonymity_audit(df, ["seg", "band"], k=5).collect()}
+    assert got == {("a", 2): 2, ("b", 1): 1}
+    assert k_anonymity_audit(df, ["seg", "band"], k=1).count() == 0
