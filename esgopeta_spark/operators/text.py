@@ -646,3 +646,62 @@ def lm_backoff_scores(
             F.sum((F.col("_lvl") == 2).cast("int")).cast("bigint").alias("n_unigram_backoffs"),
         )
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_count: int = 2,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Corpus-wide LINE/PARAGRAPH dedup — the C4 "discard repeated spans,
+    keep one occurrence" / CCNet paragraph-dedup cleaning step (public:
+    Raffel et al. 2020 §2.2; Wenzek et al. 2020 §3.1).  Split every doc
+    on the literal separator ``sep``, count each exact line across the
+    WHOLE corpus, and drop repeats: with ``keep_first=True`` (C4
+    semantics) the first occurrence in (doc_id, position) order survives
+    and later occurrences of any line seen >= min_count times are
+    removed; with ``keep_first=False`` (CCNet-strict) EVERY occurrence
+    of such a line is dropped.  Empty lines are exempt (structure, not
+    content).  Returns one row per input doc — docs whose every line was
+    a duplicate survive with clean_text = '' (a downstream length filter
+    decides their fate, not this operator) — plus kept/removed counts.
+
+    Scale shape: ONE shuffle keyed by the line string (the corpus-wide
+    count and the first-occurrence row_number ride the same window
+    partitioning; the ordered spec adds a sort, not an exchange), then
+    one groupBy doc_id to reassemble — no joins, no collect, state
+    bounded by per-key occurrence lists.  At 100 TB, window on
+    xxhash64(line) instead of the raw string to shrink shuffle bytes
+    (kept raw here so the DuckDB oracle is string-exact), and salt the
+    empty/boilerplate keys if a single line dominates a partition."""
+    import re as _re
+
+    lines = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep), -1)).alias("_pos", "_line"),
+    )
+    w_line = Window.partitionBy("_line")
+    cnt = F.count(F.lit(1)).over(w_line)
+    dup = cnt >= F.lit(int(min_count))
+    if keep_first:
+        occ = F.row_number().over(w_line.orderBy(F.col("_id").asc(), F.col("_pos").asc()))
+        dup = dup & (occ > 1)
+    removed = ((F.col("_line") != F.lit("")) & dup).cast("int")
+    flagged = lines.select("_id", "_pos", "_line", removed.alias("_rm"))
+    kept_sorted = F.array_sort(
+        F.collect_list(F.when(F.col("_rm") == 0, F.struct("_pos", "_line")))
+    )
+    return (
+        flagged.groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(kept_sorted, lambda x: x["_line"]), sep
+            ).alias("clean_text"),
+            F.sum(F.lit(1) - F.col("_rm")).cast("bigint").alias("n_kept"),
+            F.sum("_rm").cast("bigint").alias("n_removed"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )

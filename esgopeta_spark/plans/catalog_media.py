@@ -940,3 +940,52 @@ def quality_k_anonymity(spark, sf):
         "c_nationkey", "c_mktsegment", "balance_band",
         F.col("class_size").cast("bigint").alias("class_size"),
     )
+
+
+@register(
+    "dedup_lines_c4",
+    "G1,G4,E5",
+    r"""
+    WITH lined AS (
+      SELECT doc_id, regexp_replace(text, '((\S+ ){7}\S+) ', '\1' || chr(10), 'g') AS t
+      FROM documents
+    ), lines AS (
+      SELECT doc_id,
+             unnest(string_split(t, chr(10))) AS line,
+             generate_subscripts(string_split(t, chr(10)), 1) AS pos
+      FROM lined
+    ), flagged AS (
+      SELECT doc_id, pos, line,
+             CASE WHEN line <> ''
+                       AND COUNT(*) OVER (PARTITION BY line) >= 2
+                       AND ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) > 1
+                  THEN 1 ELSE 0 END AS removed
+      FROM lines
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN removed = 0 THEN line END, chr(10) ORDER BY pos), '')
+             AS clean_text,
+           CAST(SUM(1 - removed) AS BIGINT) AS n_kept,
+           CAST(SUM(removed) AS BIGINT) AS n_removed
+    FROM flagged GROUP BY doc_id
+    """,
+    doc="corpus-wide line dedup, C4 keep-first semantics (Raffel et al. "
+    "2020 §2.2 'discard all but one of any three-sentence span'; CCNet "
+    "paragraph dedup, r8): the synthetic corpus has no newlines, so the "
+    "entry first injects line structure — a newline after every 8th "
+    "word via one regexp_replace both engines run identically (leftmost "
+    "non-overlapping, Java $1 == RE2 \\1) — then drops every repeated "
+    "occurrence of an exact line corpus-wide, keeping the first in "
+    "(doc_id, pos) order, and reassembles the cleaned text per doc.  "
+    "String-exact output => hash-exact oracle.  Plan: one shuffle on "
+    "the line key (count + row_number share the partitioning), one "
+    "groupBy doc_id reassembly — no joins; operators/text.py line_dedup",
+)
+def dedup_lines_c4(spark, sf):
+    from esgopeta_spark.operators.text import line_dedup
+
+    d = T(spark, sf, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", r"((\S+ ){7}\S+) ", "$1\n").alias("text"),
+    )
+    return line_dedup(d).select("doc_id", "clean_text", "n_kept", "n_removed")

@@ -1941,3 +1941,81 @@ def test_k_anonymity_audit(spark):
            for r in k_anonymity_audit(df, ["seg", "band"], k=5).collect()}
     assert got == {("a", 2): 2, ("b", 1): 1}
     assert k_anonymity_audit(df, ["seg", "band"], k=1).count() == 0
+
+
+def test_line_dedup_keep_first_and_drop_all(spark):
+    """C4 keep-first: the first (doc_id, pos) occurrence of a repeated
+    line survives, later ones are removed; CCNet drop-all removes every
+    occurrence; empty lines are exempt; a fully-duplicated doc survives
+    with clean_text = ''."""
+    from esgopeta_spark.operators.text import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\n\ncommon line\nunique one"),
+            (2, "common line\nother text"),
+            (3, "common line"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    # doc 1 holds the first occurrence of 'common line' (doc order) and
+    # keeps its empty line verbatim
+    assert got[1]["clean_text"] == "alpha beta\n\ncommon line\nunique one"
+    assert (got[1]["n_kept"], got[1]["n_removed"]) == (4, 0)
+    assert got[2]["clean_text"] == "other text"
+    assert (got[2]["n_kept"], got[2]["n_removed"]) == (1, 1)
+    assert got[3]["clean_text"] == ""
+    assert (got[3]["n_kept"], got[3]["n_removed"]) == (0, 1)
+    # the empty doc splits to one empty line — exempt, kept
+    assert got[4]["clean_text"] == "" and got[4]["n_removed"] == 0
+
+    strict = {r["doc_id"]: r for r in line_dedup(docs, keep_first=False).collect()}
+    assert strict[1]["clean_text"] == "alpha beta\n\nunique one"
+    assert strict[1]["n_removed"] == 1
+    assert strict[2]["clean_text"] == "other text"
+    assert strict[3]["clean_text"] == ""
+    # min_count above the max multiplicity removes nothing
+    untouched = {r["doc_id"]: r["n_removed"] for r in line_dedup(docs, min_count=4).collect()}
+    assert set(untouched.values()) == {0}
+
+
+def test_line_dedup_matches_brute_force(spark):
+    """Keep-first line dedup agrees with a driver-side brute force on a
+    seeded random corpus (repeated lines drawn from a tiny pool)."""
+    import random
+
+    from esgopeta_spark.operators.text import line_dedup
+
+    rng = random.Random(78)
+    pool = [f"dup line {i}" for i in range(6)]
+    rows = []
+    for d in range(40):
+        lines = [
+            rng.choice(pool) if rng.random() < 0.4 else f"uniq {d} {j}"
+            for j in range(rng.randint(1, 7))
+        ]
+        rows.append((d, "\n".join(lines)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    seen, expect = set(), {}
+    for d, text in rows:
+        kept, removed = [], 0
+        for line in text.split("\n"):
+            if line != "" and line in seen:
+                removed += 1
+            else:
+                kept.append(line)
+                if line != "":
+                    seen.add(line)
+        expect[d] = ("\n".join(kept), len(kept), removed)
+
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+        for r in line_dedup(docs).collect()
+    }
+    assert got == expect
+    # plan posture: window + reassembly only — no join anywhere
+    plan = line_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
