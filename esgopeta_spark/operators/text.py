@@ -705,3 +705,130 @@ def line_dedup(
         )
         .withColumnRenamed("_id", id_col)
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mwl_milli: int = 3_000,
+    max_mwl_milli: int = 10_000,
+    min_alpha_milli: int = 800,
+    min_stop_hits: int = 2,
+    max_dup3_milli: int = 300,
+) -> DataFrame:
+    """Gopher-style quality-rule battery (Rae et al. 2021 §A1.1.2, the
+    public rule set behind most corpus filters): per doc, the measured
+    statistics AND one boolean flag per rule — word-count bounds, mean
+    word length in [3,10], >=80% of words containing a letter, >=2
+    distinct English stopwords, and duplicate-3-gram fraction <= 30% —
+    plus ``keep`` = all rules pass.  Unlike the scalar quality_score,
+    the flags say WHICH rule rejected a doc, which is what corpus-filter
+    debugging actually needs.
+
+    Determinism: every ratio is INTEGER MILLI units (a*1000 div b, no
+    double division — catalog rule), so thresholds compare engine-exact.
+    Scale shape: one codegen projection per doc, no shuffle, no UDF —
+    word-char totals come from length arithmetic on the normalized
+    string (not a fold), letter-bearing words from one regexp_count;
+    only the 3-gram build is an interpreted HOF (same cost class as
+    repetition_profile; the 100 TB swap is an Arrow kernel)."""
+    norm = normalize_text(F.col(text_col))
+    w = words(F.col(text_col))
+    n = F.size(w)
+    total_chars = F.when(n > 0, F.length(norm) - (n - F.lit(1))).otherwise(F.lit(0))
+    alpha_cnt = F.regexp_count(norm, F.lit(r"[^ ]*[a-zA-Z][^ ]*"))
+    sw = F.array(*[F.lit(x) for x in STOPWORDS["en"]])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(w), sw))
+    m = F.greatest(n - F.lit(2), F.lit(0))
+    grams = F.when(
+        m > 0,
+        F.transform(F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+                    lambda i: F.concat_ws(" ", F.slice(w, i, 3))),
+    ).otherwise(F.array().cast("array<string>"))
+    dup_cnt = F.size(grams) - F.size(F.array_distinct(grams))
+    base = df.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_words"),
+        total_chars.cast("bigint").alias("_chars"),
+        alpha_cnt.cast("bigint").alias("_alpha"),
+        stop_hits.cast("bigint").alias("stop_hits"),
+        m.cast("bigint").alias("_ng"),
+        dup_cnt.cast("bigint").alias("_dup"),
+    )
+    milli = base.select(
+        id_col, "n_words", "stop_hits",
+        F.expr("CASE WHEN n_words > 0 THEN (_chars * 1000) div n_words ELSE 0 END")
+        .cast("bigint").alias("mwl_milli"),
+        F.expr("CASE WHEN n_words > 0 THEN (_alpha * 1000) div n_words ELSE 0 END")
+        .cast("bigint").alias("alpha_milli"),
+        F.expr("CASE WHEN _ng > 0 THEN (_dup * 1000) div _ng ELSE 0 END")
+        .cast("bigint").alias("dup3_milli"),
+    )
+    r_words = (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+    r_mwl = (F.col("mwl_milli") >= min_mwl_milli) & (F.col("mwl_milli") <= max_mwl_milli)
+    r_alpha = F.col("alpha_milli") >= min_alpha_milli
+    r_stop = F.col("stop_hits") >= min_stop_hits
+    r_rep = F.col("dup3_milli") <= max_dup3_milli
+    return milli.select(
+        id_col, "n_words", "mwl_milli", "alpha_milli", "stop_hits", "dup3_milli",
+        r_words.cast("int").alias("r_word_count"),
+        r_mwl.cast("int").alias("r_mean_word_len"),
+        r_alpha.cast("int").alias("r_alpha_words"),
+        r_stop.cast("int").alias("r_stopwords"),
+        r_rep.cast("int").alias("r_repetition"),
+        (r_words & r_mwl & r_alpha & r_stop & r_rep).cast("int").alias("keep"),
+    )
+
+
+def split_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple = (("train", 0.8), ("val", 0.1), ("test", 0.1)),
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic train/val/test SPLIT + output-SHARD assignment — the
+    last step of a training-data pipeline before the writer fan-out.
+    The split label is a pure function of the row id: the first 8 hex
+    chars of md5(id) as a uniform integer draw in [0, 16^8), compared to
+    INTEGER cumulative-weight thresholds (floor(cum_w * 16^8) — no
+    doubles cross an engine boundary); the shard is the NEXT 8 hex chars
+    mod n_shards (independent of the split draw, so shards stay uniform
+    within every split); the ordinal is the row's dense 1-based rank
+    within its (split, shard) file in (md5, id) order — a stable,
+    engine-portable write order.  Same corpus, same weights => the same
+    assignment on any engine, any partitioning, any rerun; adding docs
+    never moves an existing doc between splits (the eval-contamination
+    guarantee hash-splits exist for).
+
+    Scale shape: the split/shard columns are one codegen projection; the
+    ordinal is one window shuffle keyed by (split, shard) — at 100 TB
+    key the window by (split, shard, file_group) if single shards exceed
+    a task, or drop the ordinal column entirely (writers that don't need
+    a dense in-file order don't pay the shuffle)."""
+    names = [nm for nm, _ in weights]
+    total = 16 ** 8
+    acc = 0.0
+    cuts = []
+    for _, wt in weights[:-1]:
+        acc += float(wt)
+        cuts.append(min(int(acc * total), total))
+    h = F.md5(F.col(id_col).cast("string"))
+    d1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    d2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")
+    label = F.lit(names[-1])
+    for nm, cut in reversed(list(zip(names[:-1], cuts))):
+        label = F.when(d1 < F.lit(cut), F.lit(nm)).otherwise(label)
+    assigned = df.select(
+        F.col(id_col),
+        label.alias("split"),
+        (d2 % F.lit(int(n_shards))).cast("int").alias("shard"),
+        h.alias("_h"),
+    )
+    w = Window.partitionBy("split", "shard").orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    return assigned.select(
+        id_col, "split", "shard",
+        F.row_number().over(w).cast("bigint").alias("ordinal"),
+    )

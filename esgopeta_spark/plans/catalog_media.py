@@ -989,3 +989,107 @@ def dedup_lines_c4(spark, sf):
         F.regexp_replace("text", r"((\S+ ){7}\S+) ", "$1\n").alias("text"),
     )
     return line_dedup(d).select("doc_id", "clean_text", "n_kept", "n_removed")
+
+
+@register(
+    "text_gopher_rules",
+    "G4,E2",
+    r"""
+    WITH n AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      FROM documents
+    ), w AS (
+      SELECT doc_id, norm,
+             CASE WHEN length(norm) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(norm, ' ') END AS ws
+      FROM n
+    ), b AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CASE WHEN len(ws) > 0 THEN length(norm) - (len(ws) - 1) ELSE 0 END AS chars,
+             CAST(len(regexp_extract_all(norm, '[^ ]*[a-zA-Z][^ ]*')) AS BIGINT) AS alpha,
+             CAST(len(list_intersect(list_distinct(ws),
+                  ['the','and','of','to','in','is','that','it','for','was'])) AS BIGINT)
+               AS stop_hits,
+             CAST(greatest(len(ws) - 2, 0) AS BIGINT) AS ng,
+             CAST(greatest(len(ws) - 2, 0) AS BIGINT)
+               - CAST(len(list_distinct([array_to_string(ws[i : i + 2], ' ')
+                                         for i in range(1, len(ws) - 1)])) AS BIGINT) AS dup
+      FROM w
+    ), m AS (
+      SELECT doc_id, n_words, stop_hits,
+             CAST(CASE WHEN n_words > 0 THEN (chars * 1000) // n_words ELSE 0 END AS BIGINT)
+               AS mwl_milli,
+             CAST(CASE WHEN n_words > 0 THEN (alpha * 1000) // n_words ELSE 0 END AS BIGINT)
+               AS alpha_milli,
+             CAST(CASE WHEN ng > 0 THEN (dup * 1000) // ng ELSE 0 END AS BIGINT) AS dup3_milli
+      FROM b
+    )
+    SELECT doc_id, n_words, mwl_milli, alpha_milli, stop_hits, dup3_milli,
+           CAST(n_words >= 50 AND n_words <= 100000 AS INTEGER) AS r_word_count,
+           CAST(mwl_milli >= 3000 AND mwl_milli <= 10000 AS INTEGER) AS r_mean_word_len,
+           CAST(alpha_milli >= 800 AS INTEGER) AS r_alpha_words,
+           CAST(stop_hits >= 1 AS INTEGER) AS r_stopwords,
+           CAST(dup3_milli <= 300 AS INTEGER) AS r_repetition,
+           CAST(n_words >= 50 AND n_words <= 100000
+                AND mwl_milli >= 3000 AND mwl_milli <= 10000
+                AND alpha_milli >= 800 AND stop_hits >= 1
+                AND dup3_milli <= 300 AS INTEGER) AS keep
+    FROM m
+    """,
+    doc="Gopher quality-rule battery (Rae et al. 2021 §A1.1.2, r8): per "
+    "doc the measured stats and one flag per rule — word-count bounds, "
+    "mean word length in [3,10], >=80% letter-bearing words, stopword "
+    "presence (>=1 here; the corpus vocabulary carries few), duplicate "
+    "3-gram fraction <= 30% — plus keep = all pass.  Every ratio is "
+    "INTEGER MILLI (a*1000 div b both engines); word chars come from "
+    "normalized-length arithmetic, letter words from one regexp_count "
+    "(Java == RE2 leftmost non-overlapping; the pattern cannot span the "
+    "space separator).  Plan: single codegen projection, no shuffle; "
+    "operators/text.py gopher_rules",
+)
+def text_gopher_rules(spark, sf):
+    from esgopeta_spark.operators.text import gopher_rules
+
+    return gopher_rules(T(spark, sf, "documents"), min_stop_hits=1)
+
+
+@register(
+    "split_train_shards",
+    "G4,E5",
+    r"""
+    WITH d AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+    ), s AS (
+      SELECT doc_id, h,
+             CAST(CAST(('0x' || substr(h, 1, 8)) AS UBIGINT) AS BIGINT) AS d1,
+             CAST(CAST(('0x' || substr(h, 9, 8)) AS UBIGINT) AS BIGINT) AS d2
+      FROM d
+    ), a AS (
+      SELECT doc_id, h,
+             CASE WHEN d1 < 3435973836 THEN 'train'
+                  WHEN d1 < 3865470566 THEN 'val'
+                  ELSE 'test' END AS split,
+             CAST(d2 % 8 AS INTEGER) AS shard
+      FROM s
+    )
+    SELECT doc_id, split, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY split, shard ORDER BY h ASC, doc_id ASC)
+                AS BIGINT) AS ordinal
+    FROM a
+    """,
+    doc="deterministic train/val/test split + writer-shard assignment "
+    "(the standard hash-split guaranteeing a doc never migrates between "
+    "splits as the corpus grows, r8): split from the first 8 md5 hex "
+    "chars as an integer draw vs integer cumulative thresholds "
+    "(floor(0.8*16^8)=3435973836, floor(0.9*16^8)=3865470566 — no "
+    "doubles cross the engine boundary), shard from the NEXT 8 hex "
+    "chars mod 8 (independent draw => uniform shards within each "
+    "split), ordinal = dense rank within (split, shard) in (md5, id) "
+    "order.  Plan: codegen projection + one window shuffle on (split, "
+    "shard); operators/text.py split_shards",
+)
+def split_train_shards(spark, sf):
+    from esgopeta_spark.operators.text import split_shards
+
+    return split_shards(T(spark, sf, "documents"))

@@ -2019,3 +2019,96 @@ def test_line_dedup_matches_brute_force(spark):
     # plan posture: window + reassembly only — no join anywhere
     plan = line_dedup(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_gopher_rules_matches_brute_force(spark):
+    """Gopher battery stats and flags agree with a driver-side brute
+    force (integer-milli arithmetic) on docs engineered to trip each
+    rule separately."""
+    from esgopeta_spark.operators.text import gopher_rules
+
+    rows = [
+        (1, "the of " + " ".join(f"word{i}xy" for i in range(58))),  # passes all
+        (2, "short doc"),                                        # word count
+        (3, " ".join(["supercalifragilisticexpialidocious"] * 60)),  # mwl + dup
+        (4, " ".join(["12345 9876"] * 30)),                      # alpha
+        (5, "zebra quark violin " * 20),                         # stopwords + dup
+        (6, ""),                                                 # empty
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    import re
+
+    expect = {}
+    for d, text in rows:
+        norm = re.sub(r"\s+", " ", text.lower().strip())
+        ws = norm.split(" ") if norm else []
+        n = len(ws)
+        chars = (len(norm) - (n - 1)) if n else 0
+        alpha = sum(1 for x in ws if re.search("[a-z]", x))
+        stop = len(set(ws) & {"the", "and", "of", "to", "in", "is", "that", "it", "for", "was"})
+        grams = [" ".join(ws[i : i + 3]) for i in range(max(n - 2, 0))]
+        ng, dup = len(grams), len(grams) - len(set(grams))
+        mwl = (chars * 1000) // n if n else 0
+        al = (alpha * 1000) // n if n else 0
+        d3 = (dup * 1000) // ng if ng else 0
+        f = (
+            int(50 <= n <= 100_000), int(3000 <= mwl <= 10_000),
+            int(al >= 800), int(stop >= 2), int(d3 <= 300),
+        )
+        expect[d] = (n, mwl, al, stop, d3) + f + (int(all(f)),)
+
+    got = {
+        r["doc_id"]: (
+            r["n_words"], r["mwl_milli"], r["alpha_milli"], r["stop_hits"], r["dup3_milli"],
+            r["r_word_count"], r["r_mean_word_len"], r["r_alpha_words"],
+            r["r_stopwords"], r["r_repetition"], r["keep"],
+        )
+        for r in gopher_rules(docs).collect()
+    }
+    assert got == expect
+    # each rule actually fired somewhere and doc 1 survives
+    assert got[1][-1] == 1
+    assert got[2][5] == 0 and got[3][6] == 0 and got[4][7] == 0 and got[5][8] == 0
+
+
+def test_split_shards_deterministic_and_stable(spark):
+    """Split/shard/ordinal agree with a hashlib brute force; assignments
+    are stable under corpus growth (a doc never migrates); ordinals are
+    dense 1..k within each (split, shard)."""
+    import hashlib
+
+    from esgopeta_spark.operators.text import split_shards
+
+    ids = list(range(300))
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["doc_id"]: (r["split"], r["shard"], r["ordinal"])
+           for r in split_shards(docs).collect()}
+
+    t1, t2 = 3435973836, 3865470566
+    expect_sr = {}
+    for i in ids:
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        d1, d2 = int(h[:8], 16), int(h[8:16], 16)
+        split = "train" if d1 < t1 else ("val" if d1 < t2 else "test")
+        expect_sr[i] = (split, d2 % 8, h)
+    # ordinals: rank by (md5, id) within (split, shard)
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for i, (s, sh, h) in expect_sr.items():
+        groups[(s, sh)].append((h, i))
+    expect = {}
+    for key, members in groups.items():
+        for rank, (_, i) in enumerate(sorted(members), 1):
+            expect[i] = (key[0], key[1], rank)
+    assert got == expect
+    # proportions in the right neighborhood for 300 uniform draws
+    from collections import Counter
+
+    c = Counter(s for s, _, _ in got.values())
+    assert 0.7 * 300 < c["train"] < 0.9 * 300 and c["val"] > 0 and c["test"] > 0
+    # growth stability: halving the corpus changes no surviving assignment
+    half = split_shards(spark.createDataFrame([(i,) for i in ids[:150]], "doc_id long"))
+    for r in half.collect():
+        assert got[r["doc_id"]][:2] == (r["split"], r["shard"])
