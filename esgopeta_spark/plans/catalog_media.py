@@ -1093,3 +1093,109 @@ def split_train_shards(spark, sf):
     from esgopeta_spark.operators.text import split_shards
 
     return split_shards(T(spark, sf, "documents"))
+
+
+@register(
+    "pipeline_clean_gate_split",
+    "G1,G4,E3,E4",
+    r"""
+    WITH lined AS (
+      SELECT doc_id, regexp_replace(text, '((\S+ ){7}\S+) ', '\1' || chr(10), 'g') AS t
+      FROM documents
+    ), lines AS (
+      SELECT doc_id,
+             unnest(string_split(t, chr(10))) AS line,
+             generate_subscripts(string_split(t, chr(10)), 1) AS pos
+      FROM lined
+    ), flagged AS (
+      SELECT doc_id, pos, line,
+             CASE WHEN line <> ''
+                       AND COUNT(*) OVER (PARTITION BY line) >= 2
+                       AND ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) > 1
+                  THEN 1 ELSE 0 END AS removed
+      FROM lines
+    ), cleaned AS (
+      SELECT doc_id,
+             COALESCE(string_agg(CASE WHEN removed = 0 THEN line END, chr(10) ORDER BY pos), '')
+               AS clean_text
+      FROM flagged GROUP BY doc_id
+    ), n AS (
+      SELECT doc_id, regexp_replace(lower(trim(clean_text)), '\s+', ' ', 'g') AS norm
+      FROM cleaned
+    ), w AS (
+      SELECT doc_id, norm,
+             CASE WHEN length(norm) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(norm, ' ') END AS ws
+      FROM n
+    ), b AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CASE WHEN len(ws) > 0 THEN length(norm) - (len(ws) - 1) ELSE 0 END AS chars,
+             CAST(len(regexp_extract_all(norm, '[^ ]*[a-zA-Z][^ ]*')) AS BIGINT) AS alpha,
+             CAST(len(list_intersect(list_distinct(ws),
+                  ['the','and','of','to','in','is','that','it','for','was'])) AS BIGINT)
+               AS stop_hits,
+             CAST(greatest(len(ws) - 2, 0) AS BIGINT) AS ng,
+             CAST(greatest(len(ws) - 2, 0) AS BIGINT)
+               - CAST(len(list_distinct([array_to_string(ws[i : i + 2], ' ')
+                                         for i in range(1, len(ws) - 1)])) AS BIGINT) AS dup
+      FROM w
+    ), m AS (
+      SELECT doc_id, n_words, stop_hits,
+             CAST(CASE WHEN n_words > 0 THEN (chars * 1000) // n_words ELSE 0 END AS BIGINT)
+               AS mwl_milli,
+             CAST(CASE WHEN n_words > 0 THEN (alpha * 1000) // n_words ELSE 0 END AS BIGINT)
+               AS alpha_milli,
+             CAST(CASE WHEN ng > 0 THEN (dup * 1000) // ng ELSE 0 END AS BIGINT) AS dup3_milli
+      FROM b
+    ), kept AS (
+      SELECT doc_id, n_words FROM m
+      WHERE n_words >= 50 AND n_words <= 100000
+        AND mwl_milli >= 3000 AND mwl_milli <= 10000
+        AND alpha_milli >= 800 AND stop_hits >= 1 AND dup3_milli <= 300
+    ), assigned AS (
+      SELECT k.doc_id, k.n_words,
+             CASE WHEN CAST(CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) AS BIGINT) < 3435973836 THEN 'train'
+                  WHEN CAST(CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) AS BIGINT) < 3865470566 THEN 'val'
+                  ELSE 'test' END AS split,
+             CAST(CAST(CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 9, 8))
+                  AS UBIGINT) AS BIGINT) % 8 AS INTEGER) AS shard
+      FROM kept k
+    )
+    SELECT split, shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS sum_words
+    FROM assigned GROUP BY split, shard
+    """,
+    doc="end-to-end training-data prep tail in ONE Catalyst plan (late "
+    "r8): corpus-wide C4 line dedup -> Gopher rule gate (keep only) -> "
+    "deterministic split/shard assignment -> per (split, shard) doc and "
+    "word rollup.  Composes the three late-r8 operators exactly as a "
+    "real pipeline would, proving they fuse: the dedup window, the gate "
+    "projection, the md5 split, and the final partial-agg all plan "
+    "together with no collect between stages.  Plan: line-key window "
+    "shuffle -> reassembly groupBy -> codegen gate + split projection "
+    "-> one final shuffle on (split, shard); operators/text.py "
+    "line_dedup + gopher_rules + split_shards",
+)
+def pipeline_clean_gate_split(spark, sf):
+    from esgopeta_spark.operators.text import gopher_rules, line_dedup, split_shards
+
+    d = T(spark, sf, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", r"((\S+ ){7}\S+) ", "$1\n").alias("text"),
+    )
+    cleaned = line_dedup(d).select("doc_id", F.col("clean_text").alias("text"))
+    gated = gopher_rules(cleaned, min_stop_hits=1).filter(F.col("keep") == 1)
+    shards = split_shards(gated.select("doc_id"))
+    return (
+        gated.select("doc_id", "n_words")
+        .join(shards, "doc_id")
+        .groupBy("split", "shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("sum_words"),
+        )
+    )

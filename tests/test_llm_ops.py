@@ -2112,3 +2112,39 @@ def test_split_shards_deterministic_and_stable(spark):
     half = split_shards(spark.createDataFrame([(i,) for i in ids[:150]], "doc_id long"))
     for r in half.collect():
         assert got[r["doc_id"]][:2] == (r["split"], r["shard"])
+
+
+def test_pipeline_clean_gate_split_composes(spark):
+    """The fused prep-tail entry equals composing the three operators
+    step by step, and its physical plan has no cartesian product."""
+    from esgopeta_spark.operators.text import gopher_rules, line_dedup, split_shards
+    from esgopeta_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    out = REGISTRY["pipeline_clean_gate_split"].fn(spark, sf)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+    got = {(r["split"], r["shard"]): (r["n_docs"], r["sum_words"]) for r in out.collect()}
+
+    import pyspark.sql.functions as F
+
+    from esgopeta_spark.session import read_table
+
+    d = read_table(spark, sf, "documents").select(
+        "doc_id", F.regexp_replace("text", r"((\S+ ){7}\S+) ", "$1\n").alias("text")
+    )
+    cleaned = line_dedup(d).select("doc_id", F.col("clean_text").alias("text"))
+    gated = gopher_rules(cleaned, min_stop_hits=1).filter(F.col("keep") == 1)
+    stats = {r["doc_id"]: r["n_words"] for r in gated.select("doc_id", "n_words").collect()}
+    assign = {r["doc_id"]: (r["split"], r["shard"])
+              for r in split_shards(gated.select("doc_id")).collect()}
+    from collections import defaultdict
+
+    expect = defaultdict(lambda: [0, 0])
+    for doc, nw in stats.items():
+        k = assign[doc]
+        expect[k][0] += 1
+        expect[k][1] += nw
+    assert got == {k: tuple(v) for k, v in expect.items()}
+    assert sum(v[0] for v in got.values()) > 0
