@@ -730,11 +730,15 @@ def gopher_rules(
 
     Determinism: every ratio is INTEGER MILLI units (a*1000 div b, no
     double division — catalog rule), so thresholds compare engine-exact.
-    Scale shape: one codegen projection per doc, no shuffle, no UDF —
-    word-char totals come from length arithmetic on the normalized
-    string (not a fold), letter-bearing words from one regexp_count;
-    only the 3-gram build is an interpreted HOF (same cost class as
-    repetition_profile; the 100 TB swap is an Arrow kernel)."""
+    Scale shape: fully JVM codegen, no UDF, no interpreted HOF — the
+    per-doc scalars are one projection (word-char totals from length
+    arithmetic on the normalized string, letter-bearing words from one
+    regexp_count), and the duplicate-3-gram stat rides the lag-window
+    GRAM STREAM (posexplode + two lag() like lm_backoff_scores; an
+    interpreted transform/slice HOF measured 12.6 s on 5000 sf0.1 docs
+    vs ~1 s for this shape) aggregated back per doc — the explode,
+    window, and groupBy all key on the doc id, so it is one shuffle
+    with exchange reuse, linear in corpus tokens at 100 TB."""
     norm = normalize_text(F.col(text_col))
     w = words(F.col(text_col))
     n = F.size(w)
@@ -742,21 +746,34 @@ def gopher_rules(
     alpha_cnt = F.regexp_count(norm, F.lit(r"[^ ]*[a-zA-Z][^ ]*"))
     sw = F.array(*[F.lit(x) for x in STOPWORDS["en"]])
     stop_hits = F.size(F.array_intersect(F.array_distinct(w), sw))
-    m = F.greatest(n - F.lit(2), F.lit(0))
-    grams = F.when(
-        m > 0,
-        F.transform(F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
-                    lambda i: F.concat_ws(" ", F.slice(w, i, 3))),
-    ).otherwise(F.array().cast("array<string>"))
-    dup_cnt = F.size(grams) - F.size(F.array_distinct(grams))
-    base = df.select(
+    scalars = df.select(
         F.col(id_col),
         n.cast("bigint").alias("n_words"),
         total_chars.cast("bigint").alias("_chars"),
         alpha_cnt.cast("bigint").alias("_alpha"),
         stop_hits.cast("bigint").alias("stop_hits"),
-        m.cast("bigint").alias("_ng"),
-        dup_cnt.cast("bigint").alias("_dup"),
+        w.alias("_w"),
+    )
+    tok = scalars.select(
+        id_col, "n_words", "_chars", "_alpha", "stop_hits",
+        F.posexplode_outer("_w").alias("_pos", "_w3"),
+    )
+    win = Window.partitionBy(id_col).orderBy("_pos")
+    gram = F.when(
+        F.lag("_w3", 2).over(win).isNotNull(),
+        F.concat_ws(" ", F.lag("_w3", 2).over(win), F.lag("_w3", 1).over(win), F.col("_w3")),
+    )
+    base = (
+        tok.select(id_col, "n_words", "_chars", "_alpha", "stop_hits", gram.alias("_gram"))
+        .groupBy(id_col)
+        .agg(
+            F.first("n_words").alias("n_words"),
+            F.first("_chars").alias("_chars"),
+            F.first("_alpha").alias("_alpha"),
+            F.first("stop_hits").alias("stop_hits"),
+            F.count("_gram").cast("bigint").alias("_ng"),
+            (F.count("_gram") - F.count_distinct(F.col("_gram"))).cast("bigint").alias("_dup"),
+        )
     )
     milli = base.select(
         id_col, "n_words", "stop_hits",
@@ -803,6 +820,11 @@ def split_shards(
     never moves an existing doc between splits (the eval-contamination
     guarantee hash-splits exist for).
 
+    Every input column passes through (so downstream stages never join
+    back on the id to recover their payload — a composed pipeline keeps
+    ONE lineage instead of recomputing its upstream on both sides of a
+    self-join), with split/shard/ordinal appended.
+
     Scale shape: the split/shard columns are one codegen projection; the
     ordinal is one window shuffle keyed by (split, shard) — at 100 TB
     key the window by (split, shard, file_group) if single shards exceed
@@ -822,13 +844,13 @@ def split_shards(
     for nm, cut in reversed(list(zip(names[:-1], cuts))):
         label = F.when(d1 < F.lit(cut), F.lit(nm)).otherwise(label)
     assigned = df.select(
-        F.col(id_col),
+        "*",
         label.alias("split"),
         (d2 % F.lit(int(n_shards))).cast("int").alias("shard"),
         h.alias("_h"),
     )
     w = Window.partitionBy("split", "shard").orderBy(F.col("_h").asc(), F.col(id_col).asc())
     return assigned.select(
-        id_col, "split", "shard",
+        *df.columns, "split", "shard",
         F.row_number().over(w).cast("bigint").alias("ordinal"),
     )

