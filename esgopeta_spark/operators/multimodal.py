@@ -30,9 +30,9 @@ Decode status by format:
   with the is_pos=7 escape, composable with MS); only h264/hevc frames
   genuinely require codecs this container does not ship; those rows
   surface ``ok=false, err='needs-codec'`` and the
-  integration point is ``raise_if_real_decode_requested``.  The legacy header-sniff
-  kernels (``decode_image_meta``, ``extract_features``) remain as the
-  codec-free fallback path.
+  integration point is ``raise_if_real_decode_requested``.  (The r1-era
+  header-sniff stub kernels were retired in r9 — every format they
+  sniffed now has a real decoder behind ``decode_media``.)
 
 Malformed payloads NEVER kill a stage: every kernel catches the codec's
 ValueError and quarantines (or skips) the row — at 100 TB a single
@@ -71,108 +71,11 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
-def synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake corpus: PNG-like headers + pseudo-payload bytes.
-    Stands in for a real binary-column table in tests."""
-    rows = []
-    for i in range(n):
-        payload = b"\x89PNG\r\n\x1a\n" + bytes([(i * 7 + j) % 256 for j in range(128)])
-        rows.append(
-            (i, "image", payload, (32 + i % 8, 32 + (i // 8) % 8, None, None, "png"))
-        )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
-
-
-def decode_image_meta(df: DataFrame) -> DataFrame:
-    """mapInPandas kernel: sniff payload magic + sizes per Arrow batch.
-
-    Real decode (PIL.Image.open) would replace the body marked below; the
-    iterator shape, schema, and batch flow are production-real.
-    """
-    out_schema = "media_id bigint, format_sniffed string, payload_bytes int, is_png boolean"
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = pdf["payload"]
-            # --- STUB KERNEL: header sniff only; a real codec goes here ---
-            is_png = payloads.map(lambda b: b is not None and bytes(b[:8]) == b"\x89PNG\r\n\x1a\n")
-            fmt = is_png.map(lambda p: "png" if p else "unknown")
-            nbytes = payloads.map(lambda b: len(b) if b is not None else 0)
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "format_sniffed": fmt,
-                    "payload_bytes": nbytes.astype("int32"),
-                    "is_png": is_png,
-                }
-            )
-
-    return df.mapInPandas(kernel, out_schema)
-
-
-def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
-    """Deterministic FAKE feature extractor (marked; a CNN/CLIP encoder
-    would replace the body): hashes payload bytes into a float vector.
-    Proves the binary -> array<float> pipeline shape at scale."""
-    out_schema = f"media_id bigint, feature array<float>"
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        for pdf in batches:
-            feats = []
-            for b in pdf["payload"]:
-                raw = np.frombuffer(bytes(b or b""), dtype=np.uint8)
-                # --- STUB KERNEL: deterministic fold into `dim` buckets ---
-                acc = np.zeros(dim, dtype=np.float64)
-                if raw.size:
-                    idx = np.arange(raw.size) % dim
-                    np.add.at(acc, idx, raw)
-                    acc = acc / max(raw.size, 1)
-                feats.append(acc.astype(np.float32).tolist())
-            yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
-
-    return df.mapInPandas(kernel, out_schema)
-
-
-def resize_images(df: DataFrame, max_side: int = 224) -> DataFrame:
-    """mapInPandas resize kernel: aspect-preserving target dimensions are
-    computed for real (the part a pipeline plans partitioning and memory
-    around); the pixel resample itself is the stubbed codec step — the
-    payload passes through unchanged, where PIL's ``Image.resize`` would
-    produce the re-encoded bytes.
-    """
-    out_schema = (
-        "media_id bigint, width int, height int, out_width int, out_height int, payload binary"
-    )
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            w = pdf["meta"].map(lambda m: m["width"] or 0)
-            h = pdf["meta"].map(lambda m: m["height"] or 0)
-            scale = (max_side / pd.concat([w, h], axis=1).max(axis=1).clip(lower=1)).clip(upper=1.0)
-            ow = (w * scale).round().astype("int32").clip(lower=1)
-            oh = (h * scale).round().astype("int32").clip(lower=1)
-            # --- STUB KERNEL: real resample (PIL Image.resize) goes here ---
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "width": w.astype("int32"),
-                    "height": h.astype("int32"),
-                    "out_width": ow,
-                    "out_height": oh,
-                    "payload": pdf["payload"],
-                }
-            )
-
-    return df.mapInPandas(kernel, out_schema)
-
-
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: explode timestamps to sample without
-    decoding (decode itself is the stubbed kernel above).  Shows the
-    partitioning story: one row per (video, frame_ts), repartitionable by
-    media_id for codec locality."""
+    decoding (``sample_video_frames`` does the real per-sample decode).
+    Shows the partitioning story: one row per (video, frame_ts),
+    repartitionable by media_id for codec locality."""
     return (
         df.filter(F.col("kind") == "video")
         .withColumn(

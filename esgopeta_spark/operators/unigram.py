@@ -86,13 +86,17 @@ def _seed_counts(wt: DataFrame, seed_size: int) -> list[tuple[str, int]]:
         wt.mapInPandas(kernel, "piece string, c bigint")
         .groupBy("piece")
         .agg(F.sum("c").alias("c"))
+        .cache()  # materialize ONCE: two collects below share the scan+shuffle
     )
-    rows = agg.orderBy(F.col("c").desc(), F.col("piece")).limit(
-        int(seed_size)
-    ).collect()
-    seed = {r["piece"]: int(r["c"]) for r in rows}
-    for r in agg.filter(F.length("piece") == 1).collect():  # protect chars
-        seed.setdefault(r["piece"], int(r["c"]))
+    try:
+        rows = agg.orderBy(F.col("c").desc(), F.col("piece")).limit(
+            int(seed_size)
+        ).collect()
+        seed = {r["piece"]: int(r["c"]) for r in rows}
+        for r in agg.filter(F.length("piece") == 1).collect():  # protect chars
+            seed.setdefault(r["piece"], int(r["c"]))
+    finally:
+        agg.unpersist()
     return sorted(seed.items())
 
 
@@ -172,7 +176,13 @@ def unigram_segment_counts(
 ) -> DataFrame:
     """Tokenize every document with a learned unigram vocabulary and
     report per-doc token counts + compression vs raw characters — the
-    apply-side twin of bpe_segment_counts, one Arrow pass, no shuffle."""
+    apply-side twin of bpe_segment_counts, one Arrow pass, no shuffle.
+
+    Quarantine posture (house rule for per-row kernels): a document
+    containing a character outside the trained alphabet would raise
+    ValueError from viterbi_segment and kill the whole stage; instead
+    such docs get NULL token counts (n_chars still reported) so one
+    poison row never takes down the job."""
     logp = {p: lp for p, _c, lp in vocab}
     out_schema = "doc_id bigint, n_unigram_tokens bigint, n_chars bigint"
 
@@ -183,12 +193,17 @@ def unigram_segment_counts(
                 t = " ".join((text or "").lower().split())
                 words = [w for w in t.split(" ") if w]
                 ids.append(int(did))
-                toks.append(sum(len(viterbi_segment(w, logp)) for w in words))
+                try:
+                    toks.append(
+                        sum(len(viterbi_segment(w, logp)) for w in words)
+                    )
+                except ValueError:  # char outside vocab: quarantine the doc
+                    toks.append(None)
                 chars_.append(len(t))
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
-                    "n_unigram_tokens": pd.Series(toks, dtype="int64"),
+                    "n_unigram_tokens": pd.Series(toks, dtype="Int64"),
                     "n_chars": pd.Series(chars_, dtype="int64"),
                 }
             )

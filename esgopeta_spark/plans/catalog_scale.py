@@ -545,27 +545,38 @@ def set_exceptall_multiline_orders(spark, sf):
 @register(
     "multimodal_features",
     "G5",
-    None,  # mapInPandas decode/feature kernels are not SQL-expressible; pytest checks
-    # determinism + schema (test_llm_ops multimodal_pipeline)
-    doc="multimodal binary-column pipeline: synthetic PNG-like media -> mapInPandas "
-    "header-sniff decode (stub kernel, real batch plumbing) -> deterministic feature "
-    "fold to array<float> -> join + stable projection",
+    None,  # mapInPandas decode/feature kernels are not SQL-expressible; the
+    # pixel-feature math is pytest-oracled (test_llm_ops multimodal_pipeline:
+    # analytic gradient-image means; codec round-trips in test_codecs)
+    doc="multimodal binary-column pipeline on the REAL decode path (r9: stub "
+    "kernels retired): deterministic bmp/ppm/png/jpeg/gif corpus -> "
+    "decode_media (from-scratch codecs) -> extract_image_features pixel "
+    "statistics (channel means, luma mean/std, edge energy) -> join + "
+    "micro-unit projection",
 )
 def multimodal_features(spark, sf):
-    from esgopeta_spark.operators.multimodal import decode_image_meta, extract_features, synthetic_media
+    from esgopeta_spark.operators.multimodal import (
+        decode_media,
+        extract_image_features,
+        synthetic_media_real,
+    )
 
-    media = synthetic_media(spark, 64)
-    meta = decode_image_meta(media)
-    feats = extract_features(media, dim=16)
+    media = synthetic_media_real(spark, 64)
+    decoded = decode_media(media).filter(F.col("ok") & F.col("width").isNotNull())
+    feats = extract_image_features(media)
     return (
-        meta.join(feats, "media_id")
+        decoded.join(feats, "media_id")
         .select(
             "media_id",
-            "format_sniffed",
-            "payload_bytes",
-            F.floor(F.element_at("feature", 1).cast("double") * 1000000.0 + 0.5)
+            "format",
+            "width",
+            "height",
+            F.floor(F.element_at("feature", 4).cast("double") * 1000000.0 + 0.5)
             .cast("bigint")
-            .alias("f0_micro"),
+            .alias("luma_mean_micro"),
+            F.floor(F.element_at("feature", 6).cast("double") * 1000000.0 + 0.5)
+            .cast("bigint")
+            .alias("edge_energy_micro"),
         )
         .orderBy("media_id")
     )

@@ -313,7 +313,7 @@ def read_media_dir(
         kind.alias("kind"),
         F.col("content").alias("payload"),
         # the exact MEDIA_SCHEMA meta struct the downstream kernels read
-        # (resize_images pdf["meta"], frame_sample_plan meta.duration_ms):
+        # (resize_media decode path, frame_sample_plan meta.duration_ms):
         # dims/rates are unknown at ingest — decode_media fills them —
         # but the struct SHAPE must match or those kernels fail
         F.struct(

@@ -293,6 +293,27 @@ def test_unigram_segmentation_properties(spark, sf_dir):
         assert r["n_unigram_tokens"] == want and r["n_chars"] == len(t)
 
 
+def test_unigram_segment_counts_quarantines_oov_docs(spark):
+    """r9 (advice): a doc containing a character OUTSIDE the trained
+    alphabet must not kill the stage — it gets NULL token counts (the
+    media-kernel quarantine posture) while other docs score normally."""
+    from esgopeta_spark.operators.unigram import unigram_train, unigram_segment_counts
+
+    train = spark.createDataFrame(
+        [(i, "abc cab bca") for i in range(4)], "doc_id long, text string"
+    )
+    vocab = unigram_train(train, vocab_size=20, seed_size=50, n_iters=1)
+    apply_docs = spark.createDataFrame(
+        [(1, "abc abc"), (2, "ZZZ outside vocab"), (3, "cab")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in unigram_segment_counts(apply_docs, vocab).collect()}
+    assert got[1]["n_unigram_tokens"] is not None and got[1]["n_chars"] == 7
+    assert got[2]["n_unigram_tokens"] is None  # quarantined, not crashed
+    assert got[2]["n_chars"] == len("zzz outside vocab")
+    assert got[3]["n_unigram_tokens"] is not None
+
+
 def test_aho_corasick_blocklist(spark):
     """Multi-pattern blocklist matching (r8): the from-scratch
     Aho-Corasick automaton must report EVERY occurrence (overlapping,
@@ -340,6 +361,14 @@ def test_aho_corasick_blocklist(spark):
     assert kept == {2, 4}
     cols = filter_blocklisted(docs, ["bad phrase"]).columns
     assert cols == ["doc_id", "text"]  # originals pass through
+    # r9 (advice): single lineage — the filter is one Arrow pass, no
+    # self-join recomputing the docs subtree on both sides
+    fplan = filter_blocklisted(docs, ["bad phrase"])._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in fplan
+    # r9 (advice): raw phrases that NORMALIZE identically count once
+    once = {r["doc_id"]: r["n_hits"]
+            for r in blocklist_hits(docs, ["bad phrase", "BAD   phrase"]).collect()}
+    assert once[1] == 3
 
 
 def test_cdc_chunking_properties(spark):
@@ -688,34 +717,47 @@ def test_range_join(spark):
 
 
 def test_multimodal_pipeline(spark):
-    from esgopeta_spark.operators.multimodal import decode_image_meta, extract_features, synthetic_media
+    """r9: the multimodal_features registry entry rides the REAL decode
+    path (stub kernels retired) — pin its join shape + feature
+    determinism end-to-end."""
+    from esgopeta_spark.plans import REGISTRY
 
-    media = synthetic_media(spark, 32)
-    meta = decode_image_meta(media).collect()
-    assert len(meta) == 32 and all(r["is_png"] for r in meta)
-    assert all(r["payload_bytes"] == 136 for r in meta)
-    feats = extract_features(media, dim=16).collect()
-    assert len(feats) == 32 and all(len(r["feature"]) == 16 for r in feats)
-    # determinism: same payload -> same features
-    f0 = [r["feature"] for r in feats if r["media_id"] == 0][0]
-    feats2 = extract_features(media, dim=16).collect()
-    f0b = [r["feature"] for r in feats2 if r["media_id"] == 0][0]
-    assert f0 == f0b
+    out = REGISTRY["multimodal_features"].fn(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    # 64 media rows, every other one an image (i%4 in {0,1}) -> 32 images
+    assert len(rows) == 32
+    assert {r["format"] for r in rows} == {"bmp", "ppm", "png", "jpeg", "gif"}
+    assert all(r["width"] >= 16 and r["height"] >= 12 for r in rows)
+    # luma mean of an 8-bit image in [0, 255] micro-units; real pixels -> nonzero
+    assert all(0 < r["luma_mean_micro"] < 255_000_000 for r in rows)
+    rows2 = REGISTRY["multimodal_features"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
 
 
 def test_multimodal_resize_dims(spark):
-    from esgopeta_spark.operators.multimodal import resize_images, synthetic_media
+    """Real resize path: aspect preserved, never upscaled, payload
+    re-encoded in the SAME format and still decodable at the new size."""
+    from esgopeta_spark.operators.multimodal import (
+        decode_image_any,
+        resize_media,
+        synthetic_media_real,
+    )
 
-    media = synthetic_media(spark, 16)
-    out = {r["media_id"]: r for r in resize_images(media, max_side=16).collect()}
-    assert len(out) == 16
-    for r in out.values():
-        # aspect preserved within rounding; never upscaled; payload intact
-        assert max(r["out_width"], r["out_height"]) <= 16
-        assert abs(r["out_width"] / r["out_height"] - r["width"] / r["height"]) < 0.2
-        assert bytes(r["payload"])[:8] == b"\x89PNG\r\n\x1a\n"
-    big = resize_images(media, max_side=4096).collect()
-    assert all(r["out_width"] == r["width"] and r["out_height"] == r["height"] for r in big)
+    media = synthetic_media_real(spark, 16).filter("kind = 'image'")
+    src = {r["media_id"]: r["meta"] for r in media.select("media_id", "meta").collect()}
+    out = {r["media_id"]: r for r in resize_media(media, max_side=8).collect()}
+    assert len(out) == len(src) and all(r["ok"] for r in out.values())
+    for mid, r in out.items():
+        w, h = src[mid]["width"], src[mid]["height"]
+        assert max(r["out_width"], r["out_height"]) <= 8
+        assert abs(r["out_width"] / r["out_height"] - w / h) < 0.35
+        arr = decode_image_any(bytes(r["payload"]))
+        assert arr.shape[:2] == (r["out_height"], r["out_width"])
+    big = resize_media(media, max_side=4096).collect()
+    assert all(
+        (r["out_width"], r["out_height"]) == (src[r["media_id"]]["width"], src[r["media_id"]]["height"])
+        for r in big
+    )
 
 
 def test_approx_count_distinct_tolerance(spark, sf_dir):
@@ -2021,6 +2063,56 @@ def test_line_dedup_matches_brute_force(spark):
     assert "Join" not in plan
 
 
+def test_line_dedup_hardening_variants_bit_identical(spark):
+    """r9 (verdict #4): the 100 TB hardening flags — xxhash64 window keys
+    and the skew-safe partial-agg+join shape — produce BIT-IDENTICAL
+    results to the default raw-string window path, on a corpus with a
+    dominant hot line (the case the flags exist for)."""
+    import random
+
+    from esgopeta_spark.operators.text import line_dedup
+
+    rng = random.Random(91)
+    rows = []
+    for d in range(60):
+        lines = []
+        for j in range(rng.randint(1, 8)):
+            r = rng.random()
+            if r < 0.5:
+                lines.append("HOT boilerplate footer")  # dominant key
+            elif r < 0.6:
+                lines.append("")
+            elif r < 0.75:
+                lines.append(f"dup {rng.randint(0, 3)}")
+            else:
+                lines.append(f"uniq {d} {j}")
+        rows.append((d, "\n".join(lines)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def snap(df):
+        return sorted(
+            (r["doc_id"], r["clean_text"], r["n_kept"], r["n_removed"])
+            for r in df.collect()
+        )
+
+    for keep_first in (True, False):
+        base = snap(line_dedup(docs, keep_first=keep_first))
+        assert snap(line_dedup(docs, keep_first=keep_first, hash_keys=True)) == base
+        for hk in (False, True):
+            assert snap(
+                line_dedup(docs, keep_first=keep_first, hash_keys=hk, skew_safe=True)
+            ) == base
+
+    # plan posture: hash_keys windows on xxhash64, not the raw line;
+    # skew_safe has NO window over the line key — partial agg + equi join
+    hplan = line_dedup(docs, hash_keys=True)._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in hplan
+    splan = line_dedup(docs, skew_safe=True)._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" not in splan
+    assert "CartesianProduct" not in splan and "BroadcastNestedLoop" not in splan
+    assert "HashAggregate" in splan or "SortAggregate" in splan
+
+
 def test_gopher_rules_matches_brute_force(spark):
     """Gopher battery stats and flags agree with a driver-side brute
     force (integer-milli arithmetic) on docs engineered to trip each
@@ -2112,6 +2204,19 @@ def test_split_shards_deterministic_and_stable(spark):
     half = split_shards(spark.createDataFrame([(i,) for i in ids[:150]], "doc_id long"))
     for r in half.collect():
         assert got[r["doc_id"]][:2] == (r["split"], r["shard"])
+
+
+def test_split_shards_rejects_colliding_columns(spark):
+    """r9 (advice): appended column names colliding with input columns
+    raise a clear ValueError instead of producing ambiguous plans."""
+    import pytest
+
+    from esgopeta_spark.operators.text import split_shards
+
+    for bad in ("split", "shard", "ordinal", "_h"):
+        df = spark.createDataFrame([(1, "x")], f"doc_id long, {bad} string")
+        with pytest.raises(ValueError, match=bad):
+            split_shards(df)
 
 
 def test_pipeline_clean_gate_split_composes(spark):
