@@ -6,11 +6,13 @@ Prints exactly ONE JSON line:
    "queries": {name: sec, ...}, "sf": <float>, "loadavg_1m": <float>,
    "cpu_canary_ms": <float>, "contaminated": <bool>, "repeats": <int>}
 
-A run does not START until the box is idle (loadavg-1m <= 1.5 AND cpu
-canary <= 2.5 ms), polling up to 5 minutes; if the box never settles the
-run proceeds but self-labels "contaminated": true (r7 VERDICT: the gate
-used to be a caption, and a loaded-box recording manufactured a phantom
-9% regression).
+A run does not START until the box is idle (loadavg-1m AND loadavg-5m
+<= 1.5 AND cpu canary <= 2.5 ms), polling up to 8 minutes; if the box
+never settles the run proceeds but self-labels "contaminated": true (r7
+VERDICT: the gate used to be a caption, and a loaded-box recording
+manufactured a phantom 9% regression; r8: the 1m-only gate let a 5m/15m
+load tail inflate 12 queries ~1.2x).  The canary re-runs after every
+query; a busy canary re-times that query once ("midrun_retries").
 
 Results are materialized through the noop sink (full execution, no
 driver-side collection cost) after a JVM warmup pass.
@@ -115,28 +117,38 @@ def cpu_canary_ms() -> float:
 # canary 3.6 ms and manufactured a phantom 9% regression).  A timing run
 # only starts once the box looks idle; after MAX_WAIT_S we proceed anyway
 # (the driver must get a record) but self-label "contaminated": true.
+#
+# r9 (verdict #1/#5): BENCH_r08 passed the 1m-loadavg gate yet read ~1.2x
+# an idle rerun — the 1m average had settled while the 5m/15m tail (2.4+)
+# still bled into the early queries.  Two fixes: (a) the start gate now
+# also requires loadavg-5m <= LOADAVG5_MAX, (b) the canary re-runs AFTER
+# every query's timing; a busy canary invalidates that timing, waits for
+# idle, and re-times the query once (recorded in "midrun_retries").
 CANARY_MAX_MS = 2.5
 LOADAVG_MAX = 1.5
-MAX_WAIT_S = 300
+LOADAVG5_MAX = 1.5
+MAX_WAIT_S = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT_S", "480"))
 WAIT_STEP_S = 20
 
 
-def wait_for_idle_box() -> tuple[float, float, bool]:
-    """Poll until loadavg-1m and the cpu canary are under the gates.
+def wait_for_idle_box(max_wait_s: int = MAX_WAIT_S) -> tuple[float, float, bool]:
+    """Poll until loadavg-1m, loadavg-5m and the cpu canary are under the
+    gates.
 
     Returns (loadavg_1m, canary_ms, contaminated) from the LAST poll — the
     values that actually preceded the timed run.
     """
-    deadline = time.monotonic() + MAX_WAIT_S
+    deadline = time.monotonic() + max_wait_s
     while True:
-        load = os.getloadavg()[0]
+        load, load5 = os.getloadavg()[:2]
         canary = cpu_canary_ms()
-        if canary <= CANARY_MAX_MS and load <= LOADAVG_MAX:
+        if canary <= CANARY_MAX_MS and load <= LOADAVG_MAX and load5 <= LOADAVG5_MAX:
             return load, canary, False
         if time.monotonic() >= deadline:
             return load, canary, True
         print(
-            f"# bench: box busy (loadavg {load:.2f}, canary {canary:.2f} ms); waiting",
+            f"# bench: box busy (loadavg {load:.2f}/{load5:.2f}, "
+            f"canary {canary:.2f} ms); waiting",
             file=sys.stderr,
         )
         time.sleep(WAIT_STEP_S)
@@ -154,9 +166,7 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = REGISTRY[name].fn
+    def time_query(fn) -> float:
         # best-of-REPEATS: the box hosts periodic external work whose ~45s
         # stalls otherwise land on whichever query is running (measured:
         # outliers move between queries across runs while warm-path times
@@ -168,6 +178,22 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
             # release intra-query persists so one query's cache doesn't skew the next
             spark.catalog.clearCache()
+        return best
+
+    timings: dict[str, float] = {}
+    midrun_retries: list[str] = []
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        best = time_query(fn)
+        # r9: re-check the canary AFTER the timing; if external load crept
+        # in mid-run, this query's numbers are suspect — wait for idle and
+        # re-time once (keep the min: a spike can only inflate)
+        if not contaminated and cpu_canary_ms() > CANARY_MAX_MS:
+            print(f"# bench: canary busy after {name}; re-timing", file=sys.stderr)
+            midrun_retries.append(name)
+            _, _, still_busy = wait_for_idle_box(max_wait_s=120)
+            best = min(best, time_query(fn))
+            contaminated = contaminated or still_busy
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
@@ -182,6 +208,7 @@ def main() -> None:
                 "loadavg_1m": round(load_start, 2),
                 "cpu_canary_ms": canary,
                 "contaminated": contaminated,
+                "midrun_retries": midrun_retries,
                 "repeats": REPEATS,
             }
         )
