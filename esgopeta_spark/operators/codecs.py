@@ -1601,19 +1601,20 @@ def decode_mjpeg_frames(b: bytes, max_frames: int | None = None) -> list:
 def encode_mpeg1_audio(
     samples, sample_rate: int, layer: int = 2, bitrate_kbps=None,
     use_short_blocks: bool = False, ms_stereo: bool = False,
-    intensity_bound: int | None = None,
+    intensity_bound: int | None = None, mixed_blocks: bool = False,
 ) -> bytes:
     """Int16 PCM — mono ``(n,)`` or stereo ``(n, 2)`` — to MPEG-1 Layer
     I/II/III frames (see mpeg1_audio.py for the spec-faithful bitstream
     layout and the documented filterbank / table deviations).  The Layer
-    III flags drive the window-switching schedule and MS joint stereo;
+    III flags drive the window-switching schedule (``mixed_blocks``
+    upgrades its short granules to mixed blocks) and MS joint stereo;
     ``intensity_bound`` enables Layer I/II intensity joint stereo."""
     from esgopeta_spark.operators import mpeg1_audio
 
     return mpeg1_audio.encode_mpeg1_audio(
         samples, sample_rate, layer, bitrate_kbps,
         use_short_blocks=use_short_blocks, ms_stereo=ms_stereo,
-        intensity_bound=intensity_bound,
+        intensity_bound=intensity_bound, mixed_blocks=mixed_blocks,
     )
 
 

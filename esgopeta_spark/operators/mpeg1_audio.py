@@ -558,7 +558,9 @@ def _decode_frame_l2(r: _BitR, nch: int = 1, bound: int = M) -> np.ndarray:
 # Spec-faithful (ISO/IEC 11172-3 2.4.1.7 / 2.4.2.7 bitstream layer):
 # side-info layout (main_data_begin, scfsi, and per-granule part2_3_length,
 # big_values, global_gain, scalefac_compress, window-switching block with
-# block_type / mixed_block_flag / subblock_gain, region counts, preflag,
+# block_type / mixed_block_flag (r9: MIXED blocks decode+encode — low two
+# subbands long-coded, short bands 3+ above, the flag live on every
+# window-switching granule) / subblock_gain, region counts, preflag,
 # scalefac_scale, count1table_select), the bit RESERVOIR (main_data_begin
 # back-pointer into previous frames' main-data areas, 511-byte horizon),
 # scalefactor coding (slen1/slen2 pairs of Table B.8 via scalefac_compress,
@@ -582,14 +584,17 @@ def _decode_frame_l2(r: _BitR, nch: int = 1, bound: int = M) -> np.ndarray:
 # small spec tables are retyped, the large ones are not reproducible
 # here, and no external conformance decoder exists in this container):
 #
-# - Huffman CODE TABLES: the ~4000 codeword bit patterns of Table B.7
-#   are replaced by deterministic canonical Huffman codes built at import
-#   over the SAME alphabets the spec uses ((x, y) pairs with per-table
-#   max value and linbits escape; count1 quadruples for table A) from a
-#   fixed geometric frequency model, ties broken by symbol order.  The
-#   table-select ladder (indices, escape linbits) mirrors the spec's
-#   structure; decoding a third-party stream would need the B.7 patterns
-#   dropped into _HUFF_SPECS.
+# - Huffman CODE TABLES (narrowed in r9): the table_select index space,
+#   per-table alphabet shapes, shared 16/24 code tables with the spec
+#   linbits ladders, reserved indices, and the escape rule are now
+#   spec-exact, and tables 1-3 carry the literal Table B.7 codewords
+#   (validated prefix-free + Kraft-complete).  The remaining large
+#   tables default to deterministic canonical codes over the spec
+#   alphabets — so a stream from this encoder round-trips, but a
+#   third-party stream selecting those tables does NOT decode until the
+#   literal B.7 data is supplied via ``load_spec_tables`` (see the long
+#   comment above that function for why unvalidatable recall is not
+#   inlined).  ``huffman_provenance()`` reports the live table map.
 # - the encoder's quantization loop is a deterministic one-shot
 #   (global_gain from the granule peak, per-band scalefactors boosting
 #   quiet bands, no psychoacoustic iteration), standing in for the
@@ -666,7 +671,29 @@ def _l3_window(block_type: int) -> np.ndarray:
 _L3_WIN = {bt: _l3_window(bt) for bt in range(4)}
 
 
-# -- canonical Huffman codes (the documented Table B.7 deviation) -----------
+# -- Huffman code tables (the documented Table B.7 deviation, narrowed) -----
+#
+# r9: the table MACHINERY is now spec-exact — the full table_select index
+# space 0..31 with the spec's alphabet shape per table (t1: 2x2, t2/3:
+# 3x3, t5/6: 4x4, t7/8/9: 6x6, t10/11/12: 8x8, t13/15/16/24: 16x16),
+# indices 16..23 sharing code table 16 and 24..31 sharing code table 24
+# with the spec linbits ladders {1,2,3,4,6,8,10,13} / {4,5,6,7,8,9,11,13},
+# indices 4 and 14 reserved (ValueError), and the escape rule (value 15
+# extends by linbits) exactly as 11172-3 2.4.2.7 defines.  What remains
+# dialect is the CODEWORD BIT PATTERNS of the large tables: tables 1-3
+# carry the literal spec codes (retyped from Table B.7 and validated
+# prefix-free + Kraft-complete below); every other table defaults to a
+# deterministic canonical code over the spec alphabet.  The ~1,300
+# remaining spec codewords are NOT inlined because no authoritative copy
+# exists in this container and structural validation cannot catch a
+# misremembered same-length code permutation — a wrong table that passes
+# every in-repo check would masquerade as conformance (strictly worse
+# than a documented deviation).  ``load_spec_tables`` is the one-call
+# injection point: hand it {table_id: [(x, y, hlen, hcod), ...]} for
+# tables 5..13, 15, 16, 24 (+ 'count1A') from a trusted copy of the spec
+# and this decoder consumes real-world streams; the data is validated
+# (prefix-free, Kraft-complete, full alphabet) before installation.
+# ``huffman_provenance()`` reports which tables carry spec codes.
 
 
 def _canonical_codes(n_syms: int, weight) -> list[tuple[int, int]]:
@@ -705,56 +732,161 @@ def _canonical_codes(n_syms: int, weight) -> list[tuple[int, int]]:
     return out
 
 
+# spec alphabet side length per distinct code table (Table B.7 shapes)
+_B7_XLEN = {1: 2, 2: 3, 3: 3, 5: 4, 6: 4, 7: 6, 8: 6, 9: 6,
+            10: 8, 11: 8, 12: 8, 13: 16, 15: 16, 16: 16, 24: 16}
+# table_select index -> (code table id, linbits): 16..23 share code table
+# 16, 24..31 share code table 24; 0 = no table (all-zero region), 4 and
+# 14 are reserved
+_INDEX_MAP: dict[int, tuple[int, int]] = {
+    i: (i, 0) for i in (1, 2, 3, 5, 6, 7, 8, 9, 10, 11, 12, 13, 15)
+}
+for _o, _lb in enumerate((1, 2, 3, 4, 6, 8, 10, 13)):
+    _INDEX_MAP[16 + _o] = (16, _lb)
+for _o, _lb in enumerate((4, 5, 6, 7, 8, 9, 11, 13)):
+    _INDEX_MAP[24 + _o] = (24, _lb)
+
+# literal ISO 11172-3 Table B.7 codeword data (retyped spec data — public
+# standard tables, validated below): {table_id: [(x, y, hlen, hcod)]}
+_SPEC_DATA: dict[object, list[tuple]] = {
+    1: [(0, 0, 1, 0b1), (0, 1, 3, 0b001), (1, 0, 2, 0b01), (1, 1, 3, 0b000)],
+    2: [(0, 0, 1, 0b1), (0, 1, 3, 0b010), (0, 2, 6, 0b000001),
+        (1, 0, 3, 0b011), (1, 1, 3, 0b001), (1, 2, 5, 0b00001),
+        (2, 0, 5, 0b00011), (2, 1, 5, 0b00010), (2, 2, 6, 0b000000)],
+    3: [(0, 0, 2, 0b11), (0, 1, 2, 0b10), (0, 2, 6, 0b000001),
+        (1, 0, 3, 0b001), (1, 1, 2, 0b01), (1, 2, 5, 0b00001),
+        (2, 0, 5, 0b00011), (2, 1, 5, 0b00010), (2, 2, 6, 0b000000)],
+}
+
+
+def _validate_code_table(entries: list[tuple], n_syms: int) -> None:
+    """A usable Huffman table must cover the whole alphabet with a
+    prefix-free, Kraft-COMPLETE code (every B.7 table is complete —
+    sum(2^-len) == 1 — so completeness is a strong retyping checksum;
+    it cannot catch a same-length code permutation, which is exactly why
+    unvalidatable recall is not inlined)."""
+    if len(entries) != n_syms:
+        raise ValueError(f"expected {n_syms} codewords, got {len(entries)}")
+    seen_sym, codes = set(), []
+    for e in entries:
+        sym, hlen, hcod = e[:-2], e[-2], e[-1]
+        if not (0 < hlen <= 19) or not (0 <= hcod < (1 << hlen)):
+            raise ValueError(f"bad codeword {e}")
+        if sym in seen_sym:
+            raise ValueError(f"duplicate symbol {sym}")
+        seen_sym.add(sym)
+        codes.append((hcod, hlen))
+    if len(set(codes)) != len(codes):
+        raise ValueError("duplicate codeword")
+    for c1, l1 in codes:
+        for c2, l2 in codes:
+            if l1 < l2 and (c2 >> (l2 - l1)) == c1:
+                raise ValueError(f"{c1:0{l1}b} is a prefix of {c2:0{l2}b}")
+    kraft = sum(2.0 ** -l for _, l in codes)
+    if abs(kraft - 1.0) > 1e-12:
+        raise ValueError(f"code not Kraft-complete (sum 2^-len = {kraft})")
+
+
+for _tid, _entries in _SPEC_DATA.items():
+    _validate_code_table(_entries, _B7_XLEN[_tid] ** 2)
+
+
 class _HuffTable:
-    """One big-values table: (x, y) pair alphabet with ``maxv`` cap and
-    ``linbits`` escape bits for values >= maxv (escape tables use
-    maxv = 15 like the spec's)."""
+    """One big-values code table over the spec alphabet (square, side
+    ``_B7_XLEN[tid]``): literal spec codewords when ``_SPEC_DATA`` has
+    them, else the deterministic canonical dialect.  ``linbits`` lives on
+    the table_select INDEX, not the code table — ``_huff`` clones the
+    shared 16/24 tables per index with the right escape width."""
 
-    def __init__(self, maxv: int, linbits: int):
-        self.maxv = maxv
+    def __init__(self, tid: int, linbits: int):
+        n = _B7_XLEN[tid]
+        self.maxv = n - 1
         self.linbits = linbits
-        n = maxv + 1
-        codes = _canonical_codes(n * n, lambda s: 2.0 ** (-(s // n + s % n)))
-        self.enc = {(s // n, s % n): c for s, c in enumerate(codes)}
-        self.dec = {c: (s // n, s % n) for s, c in enumerate(codes)}
-        self.max_len = max(l for _, l in codes)
+        data = _SPEC_DATA.get(tid)
+        if data is not None:
+            self.enc = {(x, y): (c, l) for x, y, l, c in data}
+            self.spec = True
+        else:
+            codes = _canonical_codes(n * n, lambda s: 2.0 ** (-(s // n + s % n)))
+            self.enc = {(s // n, s % n): c for s, c in enumerate(codes)}
+            self.spec = False
+        self.dec = {c: xy for xy, c in self.enc.items()}
+        self.max_len = max(l for _, l in self.enc.values())
 
 
-# table-select ladder: plain tables cover small maxima, escape tables pair
-# maxv=15 with growing linbits (structure of spec tables 16..31)
-_HUFF_SPECS = {1: (1, 0), 2: (2, 0), 3: (3, 0), 5: (4, 0), 7: (6, 0),
-               9: (8, 0), 13: (15, 0),
-               16: (15, 1), 17: (15, 2), 18: (15, 3), 19: (15, 4),
-               20: (15, 6), 21: (15, 8), 22: (15, 10), 23: (15, 13)}
 _HUFF: dict[int, _HuffTable] = {}
 
 
 def _huff(idx: int) -> _HuffTable:
     t = _HUFF.get(idx)
     if t is None:
-        t = _HUFF[idx] = _HuffTable(*_HUFF_SPECS[idx])
+        if idx not in _INDEX_MAP:
+            raise ValueError(f"reserved Huffman table index {idx}")
+        t = _HUFF[idx] = _HuffTable(*_INDEX_MAP[idx])
     return t
+
+
+def load_spec_tables(tables: dict) -> None:
+    """Install literal Table B.7 codeword data from a trusted copy of the
+    spec: ``{table_id: [(x, y, hlen, hcod), ...]}`` for any of the code
+    tables 1..13/15/16/24, plus ``'count1A': [(sym, hlen, hcod), ...]``
+    (16 quadruple symbols, sym = v<<3|w<<2|x<<1|y).  Each table is
+    validated (full alphabet, prefix-free, Kraft-complete) before
+    installation; the built-table cache is cleared so every subsequent
+    encode AND decode uses the new codes (the encoder twin then emits
+    spec-table streams)."""
+    staged = {}
+    for tid, entries in tables.items():
+        if tid == "count1A":
+            _validate_code_table(entries, 16)
+        elif tid in _B7_XLEN:
+            _validate_code_table(entries, _B7_XLEN[tid] ** 2)
+        else:
+            raise ValueError(f"unknown code table id {tid!r}")
+        staged[tid] = list(entries)
+    _SPEC_DATA.update(staged)
+    _HUFF.clear()
+    global _COUNT1A
+    _COUNT1A = _Count1A()
+
+
+def huffman_provenance() -> dict:
+    """{table_id: 'iso-b7' | 'canonical-dialect'} for every code table —
+    the honest conformance map (a stream is real-world decodable iff
+    every table it selects reads 'iso-b7')."""
+    out = {tid: ("iso-b7" if tid in _SPEC_DATA else "canonical-dialect")
+           for tid in _B7_XLEN}
+    out["count1A"] = "iso-b7" if "count1A" in _SPEC_DATA else "canonical-dialect"
+    return out
 
 
 def _pick_table(region_max: int) -> int:
     """Smallest table covering ``region_max`` (real encoders choose the
-    same way: cheapest table whose range fits the region's peak)."""
-    for idx in (1, 2, 3, 5, 7, 9, 13):
-        if region_max <= _HUFF_SPECS[idx][0]:
+    same way: cheapest table whose range fits the region's peak).  Spec
+    alphabet maxima: t1 covers 1, t2 2, t5 3, t7 5, t10 7, t13 15;
+    larger values escape through the 16..23 linbits ladder."""
+    for idx in (1, 2, 5, 7, 10, 13):
+        if region_max <= _huff(idx).maxv:
             return idx
     for idx in (16, 17, 18, 19, 20, 21, 22, 23):
-        if region_max <= 15 + (1 << _HUFF_SPECS[idx][1]) - 1:
+        if region_max <= 15 + (1 << _INDEX_MAP[idx][1]) - 1:
             return idx
     raise ValueError("spectral value exceeds the 13-linbits escape range")
 
 
 class _Count1A:
-    """count1 table A: canonical code over the 16 (v,w,x,y) quadruples."""
+    """count1 table A over the 16 (v,w,x,y) quadruples: literal spec
+    codes when injected via ``load_spec_tables``, else canonical."""
 
     def __init__(self):
-        codes = _canonical_codes(16, lambda s: 2.0 ** (-bin(s).count("1")))
-        self.enc = dict(enumerate(codes))
-        self.dec = {c: s for s, c in enumerate(codes)}
+        data = _SPEC_DATA.get("count1A")
+        if data is not None:
+            self.enc = {sym: (c, l) for sym, l, c in data}
+        else:
+            codes = _canonical_codes(16, lambda s: 2.0 ** (-bin(s).count("1")))
+            self.enc = dict(enumerate(codes))
+        self.dec = {c: s for s, c in self.enc.items()}
+        self.max_len = max(l for _, l in self.enc.values())
 
 
 _COUNT1A = _Count1A()
@@ -789,6 +921,27 @@ def _short_reorder(ridx: int) -> np.ndarray:
 _REORDER = {r: _short_reorder(r) for r in range(3)}
 
 
+def _mixed_reorder(ridx: int) -> np.ndarray:
+    """coded-order -> natural-order permutation for MIXED granules
+    (block_type 2 + mixed_block_flag): coded lines 0..35 are the LONG
+    region (subbands 0-1, identity), coded 36+ iterate (short sfb >= 3,
+    window, freq-in-band).  3*SFB_SHORT[.][3] == 36 at every MPEG-1
+    rate, so the regions tile exactly."""
+    edges = SFB_SHORT[ridx]
+    perm = np.empty(576, dtype=np.int64)
+    perm[:36] = np.arange(36)
+    i = 36
+    for b in range(3, len(edges) - 1):
+        for w in range(3):
+            for f in range(edges[b], edges[b + 1]):
+                perm[i] = (f // 6) * 18 + w * 6 + (f % 6)
+                i += 1
+    return perm
+
+
+_REORDER_MIXED = {r: _mixed_reorder(r) for r in range(3)}
+
+
 def _band_map_long(ridx: int) -> np.ndarray:
     edges = SFB_LONG[ridx]
     m = np.empty(576, dtype=np.int64)
@@ -812,8 +965,27 @@ def _band_map_short(ridx: int) -> tuple[np.ndarray, np.ndarray]:
     return band, win
 
 
+def _band_map_mixed(ridx: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per CODED line of a mixed granule: (band, window).  Lines < 36
+    carry LONG band indices 0..7 (window slot unused); lines >= 36 carry
+    short (band 3..12, window)."""
+    edges = SFB_SHORT[ridx]
+    band = np.empty(576, dtype=np.int64)
+    win = np.zeros(576, dtype=np.int64)
+    band[:36] = _band_map_long(ridx)[:36]
+    i = 36
+    for b in range(3, len(edges) - 1):
+        for w in range(3):
+            n = edges[b + 1] - edges[b]
+            band[i : i + n] = b
+            win[i : i + n] = w
+            i += n
+    return band, win
+
+
 _BMAP_LONG = {r: _band_map_long(r) for r in range(3)}
 _BMAP_SHORT = {r: _band_map_short(r) for r in range(3)}
+_BMAP_MIXED = {r: _band_map_mixed(r) for r in range(3)}
 
 # long-block scalefactor slot count per slen group; short uses 6 bands x 3
 _N_SF_LONG = 21  # sfbs 0..20 (the last band has no scalefactor)
@@ -822,10 +994,32 @@ _SCFSI_GROUPS = [(0, 6), (6, 11), (11, 16), (16, 21)]
 
 def _sf_multiplier(
     ridx: int, block_type: int, global_gain: int, scalefac_scale: int,
-    preflag: int, sf: np.ndarray, subblock_gain,
+    preflag: int, sf, subblock_gain, mixed: bool = False,
 ) -> np.ndarray:
-    """Per-CODED-line requantization multiplier (vectorized)."""
+    """Per-CODED-line requantization multiplier (vectorized).  For MIXED
+    granules ``sf`` is the composite ``(sf_long8, sf_short12x3)``: the
+    long region (lines < 36) uses the long formula with preflag/pretab
+    over bands 0..7, the short region uses subblock gains + short
+    scalefactors over bands 3..11."""
     step = 0.5 * (scalefac_scale + 1)
+    if block_type == 2 and mixed:
+        sfl, sfs = sf
+        band, win = _BMAP_MIXED[ridx]
+        out = np.empty(576)
+        pre = np.asarray(PRETAB, dtype=np.float64)
+        lb = band[:36]
+        out[:36] = np.power(
+            2.0, (global_gain - 210.0) / 4.0 - step * (sfl[lb] + preflag * pre[lb])
+        )
+        sbg = np.asarray(subblock_gain, dtype=np.float64)[win[36:]]
+        sb_band = band[36:]
+        sfv = np.zeros(540)
+        live = sb_band < 12
+        sfv[live] = sfs[sb_band[live], win[36:][live]]
+        out[36:] = np.power(
+            2.0, (global_gain - 210.0 - 8.0 * sbg) / 4.0 - step * sfv
+        )
+        return out
     if block_type == 2:
         band, win = _BMAP_SHORT[ridx]
         sbg = np.asarray(subblock_gain, dtype=np.float64)[win]
@@ -844,13 +1038,23 @@ def _sf_multiplier(
 
 def _write_granule(
     w: _BitW, ix: np.ndarray, block_type: int, slen1: int, slen2: int,
-    sf: np.ndarray, ridx: int,
+    sf, ridx: int, mixed: bool = False,
 ) -> dict:
     """Scalefactors + Huffman data for one granule-channel into ``w``
-    (CODED-order quantized lines ``ix``).  Returns the side-info params."""
+    (CODED-order quantized lines ``ix``).  Returns the side-info params.
+    Mixed granules write the spec's 17*slen1 + 18*slen2 scalefactor
+    layout: long bands 0..7 (slen1), then short bands 3..5 (slen1) and
+    6..11 (slen2) per window."""
     start = w.n + 8 * len(w.buf)
     # part2: scalefactors
-    if block_type == 2:
+    if block_type == 2 and mixed:
+        sfl, sfs = sf
+        for b in range(8):
+            w.put(int(sfl[b]), slen1)
+        for b in range(3, 12):
+            for wi in range(3):
+                w.put(int(sfs[b, wi]), slen1 if b < 6 else slen2)
+    elif block_type == 2:
         for b in range(12):
             for wi in range(3):
                 w.put(int(sf[b, wi]), slen1 if b < 6 else slen2)
@@ -940,7 +1144,17 @@ def _read_granule(
     band boundary."""
     slen1, slen2 = SLEN[g["scalefac_compress"]]
     bt = g["block_type"] if g["window_switching"] else 0
-    if bt == 2:
+    if bt == 2 and g.get("mixed"):
+        sfl = np.zeros(8, dtype=np.int64)
+        sfs = np.zeros((12, 3), dtype=np.int64)
+        for b in range(8):
+            sfl[b] = r.get(slen1) if slen1 else 0
+        for b in range(3, 12):
+            for wi in range(3):
+                n = slen1 if b < 6 else slen2
+                sfs[b, wi] = r.get(n) if n else 0
+        sf = (sfl, sfs)
+    elif bt == 2:
         sf = np.zeros((12, 3), dtype=np.int64)
         for b in range(12):
             for wi in range(3):
@@ -971,7 +1185,7 @@ def _read_granule(
         t = g["table_select"][reg]
         if t == 0:
             continue
-        if t not in _HUFF_SPECS:
+        if t not in _INDEX_MAP:
             raise ValueError("reserved Huffman table index")
         tab = _huff(t)
         for i in range(lo, hi, 2):
@@ -992,7 +1206,7 @@ def _read_granule(
         if dec_b:
             sym = ~r.get(4) & 0xF
         else:
-            sym = _read_huff(r, _COUNT1A.dec, 19)
+            sym = _read_huff(r, _COUNT1A.dec, _COUNT1A.max_len)
         vals = [(sym >> 3) & 1, (sym >> 2) & 1, (sym >> 1) & 1, sym & 1]
         for j, v in enumerate(vals):
             if v:
@@ -1051,13 +1265,15 @@ def _intensity_decode(
         xr_r[lo:hi] = x * (1.0 / (1.0 + ratio))
 
 
-def _antialias(nat: np.ndarray, inverse: bool = False) -> np.ndarray:
-    """Alias-reduction butterflies across the 31 subband boundaries
-    (8 lines each side, rotation by (cs, ca)); ``inverse=True`` is the
-    encoder's transposed rotation."""
+def _antialias(nat: np.ndarray, inverse: bool = False, boundaries: int = M - 1) -> np.ndarray:
+    """Alias-reduction butterflies across subband boundaries (8 lines
+    each side, rotation by (cs, ca)); ``inverse=True`` is the encoder's
+    transposed rotation.  ``boundaries=1`` is the MIXED-block case: alias
+    reduction applies only between the two long-coded subbands (a short
+    block sits on the sb1/sb2 boundary, spec 2.4.3.4.10.1)."""
     x = nat.copy()
     i = np.arange(8)
-    for sb in range(1, M):
+    for sb in range(1, boundaries + 1):
         u = x[sb * 18 - 1 - i].copy()
         d = x[sb * 18 + i].copy()
         if inverse:
@@ -1072,41 +1288,55 @@ def _antialias(nat: np.ndarray, inverse: bool = False) -> np.ndarray:
 _SQRT2 = np.sqrt(2.0)
 
 
-def _hybrid_mdct_fwd(x36: np.ndarray, bt: int) -> np.ndarray:
-    """(32, 36) windowed subband samples -> 576 natural-order lines."""
+def _hybrid_mdct_fwd(x36: np.ndarray, bt: int, mixed: bool = False) -> np.ndarray:
+    """(32, 36) windowed subband samples -> 576 natural-order lines.
+    Mixed granules run the LONG transform on subbands 0-1 and the short
+    transform on 2..31 (spec 2.4.3.4.10.3 mixed_block_flag)."""
     out = np.empty(576)
     if bt == 2:
-        for sb in range(M):
+        lo_sb = 2 if mixed else 0
+        if mixed:
+            out[:36] = ((x36[:2] * _L3_WIN[0][None, :]) @ _MDCT36.T).reshape(-1)
+        for sb in range(lo_sb, M):
             for w in range(3):
                 seg = x36[sb, 6 + 6 * w : 18 + 6 * w] * _L3_WIN[2]
                 out[sb * 18 + w * 6 : sb * 18 + w * 6 + 6] = _MDCT12 @ seg
     else:
-        win = _L3_WIN[bt]
-        out[:] = ((x36 * win[None, :]) @ _MDCT36.T).reshape(-1)
+        win = np.broadcast_to(_L3_WIN[bt], (M, 36)).copy()
+        if mixed and bt != 0:  # mixed start/stop: subbands 0-1 stay type-0
+            win[:2] = _L3_WIN[0]
+        out[:] = ((x36 * win) @ _MDCT36.T).reshape(-1)
     return out
 
 
-def _hybrid_imdct(nat: np.ndarray, bt: int, overlap_ch: np.ndarray) -> np.ndarray:
+def _hybrid_imdct(
+    nat: np.ndarray, bt: int, overlap_ch: np.ndarray, mixed: bool = False
+) -> np.ndarray:
     """576 natural-order lines -> (32, 18) subband samples via windowed
     IMDCT + TDAC overlap-add; ``overlap_ch`` (32, 18) holds each
     subband's ramp-out and is updated in place."""
     x = nat.reshape(M, 18)
     if bt == 2:
         y = np.zeros((M, 36))
+        lo_sb = 2 if mixed else 0
+        if mixed:
+            y[:2] = (x[:2] @ _IMDCT36.T) * _L3_WIN[0][None, :]
         for w in range(3):
-            y[:, 6 + 6 * w : 18 + 6 * w] += (
-                x[:, w * 6 : w * 6 + 6] @ _IMDCT12.T
+            y[lo_sb:, 6 + 6 * w : 18 + 6 * w] += (
+                x[lo_sb:, w * 6 : w * 6 + 6] @ _IMDCT12.T
             ) * _L3_WIN[2][None, :]
     else:
         y = (x @ _IMDCT36.T) * _L3_WIN[bt][None, :]
+        if mixed and bt != 0:  # mixed start/stop: subbands 0-1 stay type-0
+            y[:2] = (x[:2] @ _IMDCT36.T) * _L3_WIN[0][None, :]
     out = y[:, :18] + overlap_ch
     overlap_ch[:] = y[:, 18:]
     return out
 
 
 def _quantize_granule(
-    xr: np.ndarray, bt: int, ridx: int, gg_bump: int = 0
-) -> tuple[np.ndarray, int, np.ndarray]:
+    xr: np.ndarray, bt: int, ridx: int, gg_bump: int = 0, mixed: bool = False
+) -> tuple[np.ndarray, int, object]:
     """Deterministic one-shot quantization of CODED-order lines: pick
     global_gain from the granule peak (largest |ix| <= 8191), boost
     scalefactor bands sitting >= 2^12 below the peak with positive
@@ -1117,12 +1347,42 @@ def _quantize_granule(
     absxr = np.abs(xr)
     gmax = float(absxr.max(initial=0.0))
     if gmax <= 0.0:
+        if bt == 2 and mixed:
+            return (
+                np.zeros(576, dtype=np.int64), 210,
+                (np.zeros(8, dtype=np.int64), np.zeros((12, 3), dtype=np.int64)),
+            )
         if bt == 2:
             return np.zeros(576, dtype=np.int64), 210, np.zeros((12, 3), dtype=np.int64)
         return np.zeros(576, dtype=np.int64), 210, np.zeros(_N_SF_LONG, dtype=np.int64)
     need = gmax / (float(_L3_MAXV) ** (4.0 / 3.0))
     gg = int(np.clip(210 + np.ceil(4.0 * np.log2(need)) + gg_bump, 0, 255))
     gain = 2.0 ** ((gg - 210) / 4.0)
+    if bt == 2 and mixed:
+        band, win = _BMAP_MIXED[ridx]
+        # long region: bands 0..7, slen1 cap 15; short 3..5 cap 15, 6..11 cap 7
+        bmax_l = np.zeros(8)
+        np.maximum.at(bmax_l, band[:36], absxr[:36])
+        sfl = np.zeros(8, dtype=np.int64)
+        live = bmax_l > 0
+        with np.errstate(divide="ignore"):
+            boost = np.floor(2.0 * np.log2(np.where(live, gmax / bmax_l, 1.0))) - 24.0
+        sfl[live] = np.minimum(15, np.maximum(0.0, boost)).astype(np.int64)[live]
+        bmax_s = np.zeros((13, 3))
+        np.maximum.at(bmax_s, (band[36:], win[36:]), absxr[36:])
+        sfs = np.zeros((12, 3), dtype=np.int64)
+        live_s = bmax_s[:12] > 0
+        caps = np.where(np.arange(12)[:, None] < 6, 15, 7)
+        with np.errstate(divide="ignore"):
+            boost = np.floor(2.0 * np.log2(np.where(live_s, gmax / bmax_s[:12], 1.0))) - 24.0
+        sfs[live_s] = np.minimum(caps, np.maximum(0.0, boost)).astype(np.int64)[live_s]
+        sfv = np.zeros(576)
+        sfv[:36] = sfl[band[:36]]
+        mm = band[36:] < 12
+        sfv[36:][mm] = sfs[band[36:][mm], win[36:][mm]]
+        ix = np.rint((absxr * np.power(2.0, 0.5 * sfv) / gain) ** 0.75).astype(np.int64)
+        ix = np.minimum(ix, _L3_MAXV)
+        return np.where(xr < 0, -ix, ix), gg, (sfl, sfs)
     if bt == 2:
         band, win = _BMAP_SHORT[ridx]
         bmax = np.zeros((13, 3))
@@ -1190,12 +1450,14 @@ def _intensity_encode(
 def _encode_l3_stream(
     subs: np.ndarray, sample_rate: int, bitrate_kbps: int,
     use_short_blocks: bool = False, ms_stereo: bool = False,
-    intensity_stereo: bool = False,
+    intensity_stereo: bool = False, mixed_blocks: bool = False,
 ) -> bytes:
     """(nch, 32, T) frequency-inverted subband samples -> Layer III frame
     sequence with a live bit reservoir (main_data_begin back-pointers,
     stuffing past the 511-byte horizon)."""
     nch = subs.shape[0]
+    if intensity_stereo and mixed_blocks:
+        raise ValueError("intensity stereo with mixed blocks is unsupported")
     ridx = SAMPLE_RATES.index(sample_rate)
     bidx = L3_BITRATES.index(bitrate_kbps)
     # pad so every content column gets its MDCT ramp-out granule
@@ -1237,21 +1499,29 @@ def _encode_l3_stream(
         coded_gr: list[list[np.ndarray]] = []
         ipos_gr: list[tuple[dict, int]] = []
         bts: list[int] = []
+        mixeds: list[bool] = []
         for gr in range(2):
             g = 2 * f + gr
             bt = (0, 1, 2, 3)[g % 4] if use_short_blocks else 0
+            # mixed mode flags EVERY window-switching granule: subbands 0-1
+            # keep type-0 windows across the start/short/stop cycle, so the
+            # low-band TDAC seam against neighboring long granules is exact
+            mixed = mixed_blocks and bt != 0
             lo = g * 18
             x36 = np.concatenate(
                 [np.zeros((nch, M, 18)) if lo == 0 else subs[:, :, lo - 18 : lo],
                  subs[:, :, lo : lo + 18]], axis=2,
             )
-            nats = [_hybrid_mdct_fwd(x36[ch], bt) for ch in range(nch)]
+            nats = [_hybrid_mdct_fwd(x36[ch], bt, mixed) for ch in range(nch)]
             if bt != 2:
                 nats = [_antialias(n, inverse=True) for n in nats]
+            elif mixed:  # alias reduction spans only the long sb0/sb1 boundary
+                nats = [_antialias(n, inverse=True, boundaries=1) for n in nats]
             # stereo transforms in CODED order, mirroring the decoder:
             # intensity first (left takes l+r above the start band), then
             # MS only BELOW the intensity region (mode_ext=3 semantics)
-            codeds = [nats[ch][_REORDER[ridx]] if bt == 2 else nats[ch] for ch in range(nch)]
+            perm = (_REORDER_MIXED if mixed else _REORDER)[ridx]
+            codeds = [nats[ch][perm] if bt == 2 else nats[ch] for ch in range(nch)]
             lim = 576
             if intensity_stereo and nch == 2:
                 ipos, istart = _intensity_encode(codeds[0], codeds[1], ridx, bt)
@@ -1264,6 +1534,7 @@ def _encode_l3_stream(
                 codeds[1][:lim] = sid
             coded_gr.append(codeds)
             bts.append(bt)
+            mixeds.append(mixed)
         frame_bump = 0
         while True:
             w = _BitW()
@@ -1272,7 +1543,9 @@ def _encode_l3_stream(
                 for ch in range(nch):
                     gg_bump = frame_bump
                     while True:
-                        ix, gg, sf = _quantize_granule(coded_gr[gr][ch], bts[gr], ridx, gg_bump)
+                        ix, gg, sf = _quantize_granule(
+                            coded_gr[gr][ch], bts[gr], ridx, gg_bump, mixeds[gr]
+                        )
                         if intensity_stereo and nch == 2 and ch == 1:
                             # right channel's scalefactor slots above its
                             # spectrum end carry intensity positions (or
@@ -1304,7 +1577,8 @@ def _encode_l3_stream(
                         scratch = _BitW()
                         try:
                             params = _write_granule(
-                                scratch, ix, bts[gr], slen1, slen2, sf, ridx
+                                scratch, ix, bts[gr], slen1, slen2, sf, ridx,
+                                mixeds[gr],
                             )
                             break
                         except ValueError:
@@ -1316,6 +1590,7 @@ def _encode_l3_stream(
                         global_gain=gg, scalefac_compress=15, preflag=0,
                         scalefac_scale=0, block_type=bts[gr],
                         window_switching=bts[gr] != 0, subblock_gain=[0, 0, 0],
+                        mixed=mixeds[gr],
                     )
                     frame_side.append(params)
             if w.n:
@@ -1364,7 +1639,7 @@ def _encode_l3_stream(
                 sw.put(1 if p["window_switching"] else 0, 1)
                 if p["window_switching"]:
                     sw.put(p["block_type"], 2)
-                    sw.put(0, 1)  # mixed_block_flag
+                    sw.put(1 if p.get("mixed") else 0, 1)  # mixed_block_flag
                     for t in p["table_select"][:2]:
                         sw.put(t, 5)
                     for sg in p["subblock_gain"]:
@@ -1416,12 +1691,18 @@ class _L3Decoder:
                     g["block_type"] = sr.get(2)
                     if g["block_type"] == 0:
                         raise ValueError("window switching with block_type 0")
-                    if sr.get(1):
-                        raise ValueError("needs-codec: mixed blocks")
+                    # mixed_block_flag is valid for every window-switching
+                    # block_type: subbands 0-1 keep NORMAL (type 0) windows
+                    # through the whole start/short/stop cycle (that is what
+                    # makes the low-band TDAC seam exact); for bt 1/3 only
+                    # the filterbank windows change — the coding layout
+                    # stays long
+                    g["mixed"] = bool(sr.get(1))
                     g["table_select"] = [sr.get(5), sr.get(5), 0]
                     g["subblock_gain"] = [sr.get(3) for _ in range(3)]
                 else:
                     g["block_type"] = 0
+                    g["mixed"] = False
                     g["table_select"] = [sr.get(5) for _ in range(3)]
                     g["region0_count"] = sr.get(4)
                     g["region1_count"] = sr.get(3)
@@ -1438,7 +1719,7 @@ class _L3Decoder:
         r = _BitR(bytes(self.res[base - mdb :]))
         sf_gr0: list = [None] * nch
         for gr in range(2):
-            xrs, sfs, ends, bts = [], [], [], []
+            xrs, sfs, ends, bts, mixeds = [], [], [], [], []
             for ch in range(nch):
                 g = grs[gr][ch]
                 gr_start = r.pos
@@ -1451,18 +1732,22 @@ class _L3Decoder:
                 mult = _sf_multiplier(
                     self.ridx, g["block_type"], g["global_gain"],
                     g["scalefac_scale"], g["preflag"], sf, g["subblock_gain"],
+                    g["mixed"],
                 )
                 xr = np.sign(ix) * np.power(np.abs(ix).astype(np.float64), 4.0 / 3.0) * mult
                 xrs.append(xr)
                 sfs.append(sf)
                 ends.append(end)
                 bts.append(g["block_type"])
+                mixeds.append(g["mixed"])
             # stereo processing in CODED order (MS is permutation-
             # invariant; intensity bands are contiguous in coded order)
             if (ms or intensity) and nch != 2:
                 raise ValueError("joint-stereo flags on a mono stream")
             if intensity and bts[0] != bts[1]:
                 raise ValueError("intensity stereo with differing block types")
+            if intensity and any(mixeds):
+                raise ValueError("intensity stereo with mixed blocks is unsupported")
             if intensity:
                 # MS (when also flagged, mode_ext=3) applies only BELOW
                 # the intensity region; intensity bands hold the combined
@@ -1489,10 +1774,13 @@ class _L3Decoder:
             for ch in range(nch):
                 if bts[ch] == 2:
                     nat = np.zeros(576)
-                    nat[_REORDER[self.ridx]] = xrs[ch]
+                    perm = (_REORDER_MIXED if mixeds[ch] else _REORDER)[self.ridx]
+                    nat[perm] = xrs[ch]
+                    if mixeds[ch]:  # alias reduction on the long sb0/sb1 boundary
+                        nat = _antialias(nat, boundaries=1)
                 else:
                     nat = _antialias(xrs[ch])
-                out[ch] = _hybrid_imdct(nat, bts[ch], self.overlap[ch])
+                out[ch] = _hybrid_imdct(nat, bts[ch], self.overlap[ch], mixeds[ch])
             self.cols.append(out)
         if len(self.res) > 511:
             del self.res[: len(self.res) - 511]
@@ -1513,6 +1801,7 @@ def encode_mpeg1_audio(
     use_short_blocks: bool = False,
     ms_stereo: bool = False,
     intensity_bound: int | None = None,
+    mixed_blocks: bool = False,
 ) -> bytes:
     """Int16 PCM — mono ``(n,)`` or stereo ``(n, 2)`` — to a sequence of
     MPEG-1 Layer I, II or III frames.  Defaults: Layer I 448 kbps /
@@ -1522,7 +1811,11 @@ def encode_mpeg1_audio(
 
     Layer III extras: ``use_short_blocks`` drives the granule block types
     through the full long/start/short/stop window cycle (exercising every
-    IMDCT window and the short-block reorder path); ``ms_stereo`` encodes
+    IMDCT window and the short-block reorder path); ``mixed_blocks``
+    (r9) upgrades the cycle's short granules to MIXED blocks
+    (block_type 2 + mixed_block_flag: subbands 0-1 long-coded with long
+    sfbs 0..7, the rest short-coded from short band 3 — the spec's
+    transient mode that keeps bass resolution); ``ms_stereo`` encodes
     a 2-channel input as mid/side joint stereo (mode 01, mode_extension
     MS bit).
 
@@ -1570,9 +1863,10 @@ def encode_mpeg1_audio(
             use_short_blocks=use_short_blocks,
             ms_stereo=ms_stereo and nch == 2,
             intensity_stereo=intensity_bound is not None and nch == 2,
+            mixed_blocks=mixed_blocks,
         )
-    if use_short_blocks or ms_stereo:
-        raise ValueError("use_short_blocks/ms_stereo are Layer III options")
+    if use_short_blocks or ms_stereo or mixed_blocks:
+        raise ValueError("use_short_blocks/ms_stereo/mixed_blocks are Layer III options")
     bound = M
     if intensity_bound is not None:
         if nch != 2:

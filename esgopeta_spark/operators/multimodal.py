@@ -20,11 +20,15 @@ Decode status by format:
   for real for the Motion-JPEG subset (``sample_video_frames`` slices
   the sample tables and runs each sample through the from-scratch JPEG
   codec).  MPEG-1 audio decodes for REAL: Layers I/II as of r6, Layer
-  III (mp3 proper) as of r8 — side info, bit reservoir, scalefactors,
-  Huffman regions, requantization, antialias, hybrid IMDCT with all four
-  window types, MS joint stereo (operators/mpeg1_audio.py — spec-shaped
-  bitstream, documented MDCT-filterbank and canonical-Huffman-table
-  deviations), including INTENSITY joint stereo for all three layers
+  III (mp3 proper) as of r8, MIXED blocks as of r9 — side info, bit
+  reservoir, scalefactors, Huffman regions, requantization, antialias,
+  hybrid IMDCT with all four window types, MS joint stereo
+  (operators/mpeg1_audio.py — spec-shaped bitstream, documented
+  MDCT-filterbank and large-Huffman-table deviations: this module's OWN
+  streams round-trip bit-true, but a third-party mp3 selecting the
+  large tables needs literal Table B.7 data injected via
+  mpeg1_audio.load_spec_tables — see huffman_provenance()),
+  including INTENSITY joint stereo for all three layers
   (Layer I/II: shared sample stream + per-channel scalefactors above the
   mode_extension subband bound; Layer III: per-band is_pos ratio split
   with the is_pos=7 escape, composable with MS); only h264/hevc frames

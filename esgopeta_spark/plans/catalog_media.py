@@ -356,7 +356,9 @@ def multimodal_decode_jpeg_progressive(spark, sf):
     doc="REAL MPEG-1 Layer III (mp3) round trip, graded: per selected doc, "
     "synthesize a deterministic tone, encode to Layer III frames (side info, "
     "bit reservoir, Huffman-coded big_values/count1 regions, hybrid MDCT; "
-    "window-switching schedule alternates by the id's 20-block), decode "
+    "window-switching schedule alternates by the id's 20-block, and every "
+    "other short-block doc upgrades to MIXED blocks — r9: block_type 2 + "
+    "mixed_block_flag, subbands 0-1 long-coded), decode "
     "back (operators/mpeg1_audio.py) and emit the decoded sample count "
     "(analytic: k source frames + the MDCT-delay/ramp-out padding = "
     "k*1152 + 576) and a >30 dB round-trip SNR flag the oracle asserts "
@@ -386,12 +388,14 @@ def multimodal_decode_mp3_audio(spark, sf):
                 rate = mpeg1_audio.SAMPLE_RATES[d % 3]
                 n_src = 1 + d % 3
                 short = (d // 20) % 2 == 1
+                mixed = short and (d // 40) % 2 == 1  # r9: exercise mixed blocks
                 freq = 250.0 * (1 + d % 6)
                 t = np.arange(1152 * n_src) / rate
                 pcm = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
                 dec, r2 = codecs.decode_mpeg1_audio(
                     codecs.encode_mpeg1_audio(
-                        pcm, rate, layer=3, use_short_blocks=short
+                        pcm, rate, layer=3, use_short_blocks=short,
+                        mixed_blocks=mixed,
                     )
                 )
                 ref = pcm.astype(np.float64)
