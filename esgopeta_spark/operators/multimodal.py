@@ -709,27 +709,79 @@ def image_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _onset_start(x, hop: int = 32, rel_milli: int = 50) -> int:
+    """Sample index of the first ``hop``-sample window whose ENERGY
+    reaches ``rel_milli``/1000 of the loudest window — the offset-
+    normalized anchor that makes the fingerprint below shift-robust.
+    The threshold is RELATIVE, so gain scaling cannot move the anchor;
+    codec leakage/pre-echo in a silence-padded lead-in sits orders of
+    magnitude under 5% of the loudest window and is skipped."""
+    import numpy as np
+
+    n = len(x) - len(x) % hop
+    if n <= 0:
+        return 0
+    e = (x[:n].reshape(-1, hop) ** 2).sum(axis=1)
+    emax = float(e.max())
+    if emax <= 0.0:
+        return 0
+    idx = np.nonzero(e >= emax * (rel_milli / 1000.0))[0]
+    return int(idx[0]) * hop if len(idx) else 0
+
+
+def _fp_band_edges(nbins: int, nbands: int):
+    """Log-spaced band edges over rfft bins [1, nbins) (bin 0 = DC,
+    excluded), deduplicated and padded so exactly nbands bands exist."""
+    import numpy as np
+
+    e = np.unique(np.round(np.geomspace(1, nbins, nbands + 1)).astype(np.int64))
+    i = 1
+    while len(e) < nbands + 1:
+        e = np.unique(np.append(e, e[-1] + i))
+        i += 1
+    return e[: nbands + 1]
+
+
 def audio_fp64(samples) -> int:
-    """64-bit spectral difference-hash of decoded PCM (chromaprint-style,
-    public technique): mono-ize, frame the first 17x512 samples, per
-    frame take 4 log-spaced FFT band energies, bit (t, b) =
-    E[t+1][b] > E[t][b] — the temporal energy-gradient signs.  EXACTLY
-    invariant to power-of-two gain (energies scale by one common factor;
-    comparisons are unchanged) and, measured, robust to this module's
-    MPEG-1 codecs at hamming 0 — the audio twin of image dHash."""
+    """64-bit SPECTRAL-PROFILE hash of decoded PCM, shift-robust by
+    construction (r9 redesign, verdict #3 — the r8 temporal-gradient
+    hash over fixed offset-0 frames never paired a copy with trimmed
+    silence or a different encoder delay, and measured 15+ bit drift
+    under a 4-sample misalignment): mono-ize, anchor at the signal ONSET
+    (first 32-sample window reaching 5% of the peak window energy — a
+    RELATIVE threshold, so gain cannot move the anchor), split the next
+    4x2048 samples into Hann-windowed segments (Hann kills the
+    rectangular-window leakage that made band energies misalignment-
+    sensitive), take 17 log-spaced band energies per segment, integerize
+    to per-segment micro-units (tie-hardening house rule: empty bands
+    quantize to equal zeros instead of comparing FFT noise), and emit
+    the 16 FREQUENCY-gradient signs per segment (bit (s, b) =
+    E[s][b+1] > E[s][b]) — spectral shape x coarse time structure.
+    Measured on the 6-class oracle corpus: hamming 0 under +-5000-sample
+    shifts AND through this module's MPEG-1 codecs (incl. both at once),
+    EXACTLY invariant to power-of-two gain, cross-class min distance 12
+    (tests/test_llm_ops.py test_audio_fingerprint_shift_robust,
+    test_audio_fingerprint_entry_classes_separated)."""
     import numpy as np
 
     x = np.asarray(samples, dtype=np.float64)
     if x.ndim == 2:
         x = x.mean(axis=1)
-    need = 17 * 512
+    x = x[_onset_start(x):]
+    n_seg, seg = 4, 2048
+    need = n_seg * seg
     if len(x) < need:
         x = np.concatenate([x, np.zeros(need - len(x))])
-    frames = x[:need].reshape(17, 512)
-    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
-    bands = [(1, 8), (8, 24), (24, 72), (72, 257)]
-    e = np.stack([spec[:, a:b].sum(axis=1) for a, b in bands], axis=1)  # 17x4
-    bits = (e[1:] > e[:-1]).reshape(-1)  # 64
+    segs = x[:need].reshape(n_seg, seg) * np.hanning(seg)[None, :]
+    spec = np.abs(np.fft.rfft(segs, axis=1)) ** 2
+    edges = _fp_band_edges(spec.shape[1], 17)
+    e = np.stack(
+        [spec[:, edges[i] : edges[i + 1]].sum(axis=1) for i in range(17)], axis=1
+    )  # 4x17
+    tot = e.sum(axis=1, keepdims=True)
+    tot[tot <= 0.0] = 1.0
+    e = np.floor(e / tot * 1_000_000)  # integerize: ties become exact zeros
+    bits = (e[:, 1:] > e[:, :-1]).reshape(-1)  # 4*16 = 64
     fp = 0
     for i in range(64):
         if bits[i]:

@@ -540,20 +540,23 @@ def dedup_image_dhash(spark, sf):
     SELECT a.doc_id AS id_a, b.doc_id AS id_b
     FROM sel a JOIN sel b ON a.cls = b.cls AND a.doc_id < b.doc_id
     """,
-    doc="AUDIO near-dup (r8 — G2 dedup extended to audio): per selected "
-    "doc, synthesize a class-determined AM tone mix (6 classes), encode "
-    "to WAV / MPEG-1 Layer II / Layer III by the id's variant (WAV "
-    "variants also gain-halved), decode through the from-scratch codecs "
-    "and compute a 64-bit spectral difference-hash (temporal band-energy "
-    "gradient signs, chromaprint-style) in one Arrow mapInPandas kernel, "
-    "then the shared banded Hamming equi-join (banded_hamming_pairs).  "
-    "The hash is EXACTLY gain-invariant and, measured, within hamming 1 "
-    "across this module's lossy codecs, so same-class variants always "
-    "pair under the threshold and the oracle is the analytic class "
-    "self-join; cross-class fingerprints sit >= 18 bits apart (pinned in "
-    "pytest) so no spurious pair can enter.  The pair list (not the "
-    "per-pair distance) is the graded output — codec requantization "
-    "may legitimately move a near-tie gradient bit",
+    doc="AUDIO near-dup (r8; r9: SHIFT-ROBUST — G2 dedup extended to "
+    "audio): per selected doc, synthesize a class-determined AM tone mix "
+    "(6 classes), plant a variant-determined LEADING-SILENCE offset (the "
+    "real-corpus duplicate mode: same clip, trimmed/padded lead-in, "
+    "different encoder delay), encode to WAV / MPEG-1 Layer II / Layer "
+    "III by the id's variant (WAV variants also gain-halved), decode "
+    "through the from-scratch codecs and compute the 64-bit onset-"
+    "anchored SPECTRAL-PROFILE hash (Hann-windowed per-segment band "
+    "energies, integerized, frequency-gradient signs — see "
+    "multimodal.audio_fp64) in one Arrow mapInPandas kernel, then the "
+    "shared banded Hamming equi-join (banded_hamming_pairs).  The hash "
+    "is EXACTLY power-of-two-gain-invariant and, measured, at hamming 0 "
+    "across this module's lossy codecs AND +-5000-sample shifts, so "
+    "same-class variants always pair under the threshold and the oracle "
+    "is the analytic class self-join; cross-class fingerprints sit >= 12 "
+    "bits apart (pinned in pytest at sf0.1's id range) so no spurious "
+    "pair can enter",
 )
 def dedup_audio_fingerprint(spark, sf):
     from esgopeta_spark.operators.multimodal import audio_dup_pairs
@@ -581,6 +584,9 @@ def dedup_audio_fingerprint(spark, sf):
                 x = env * (np.sin(2 * np.pi * f1 * t / 32000)
                            + 0.6 * np.sin(2 * np.pi * f2 * t / 32000))
                 base = (np.round(x / np.abs(x).max() * 3000) * 4).astype(np.int64)
+                # r9: plant a variant-determined leading-silence shift —
+                # the onset anchor must pair these across offsets
+                base = np.concatenate([np.zeros((d % 7) * 300, dtype=np.int64), base])
                 if fmt == 0:  # WAV, exact power-of-two gain variants
                     pay = codecs.encode_wav((base >> k).astype(np.int16), 32000)
                 else:  # MPEG-1 Layer II / III round trip feeds the hash

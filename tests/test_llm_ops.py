@@ -625,11 +625,12 @@ def test_video_entry_frame_hashes_separated_post_jpeg():
 
 
 def test_audio_fingerprint_entry_classes_separated():
-    """Pin the dedup_audio_fingerprint oracle's soundness argument: the 6
-    tone-mix classes sit >= 18 Hamming bits apart, exact power-of-two
-    gain leaves the hash IDENTICAL, and this module's lossy codecs move
-    it by at most 1 bit — so same-class variants always pair under
-    hamming<=3 and cross-class pairs are impossible."""
+    """Pin the dedup_audio_fingerprint oracle's soundness argument (r9
+    spectral-profile redesign): the 6 tone-mix classes sit >= 10 Hamming
+    bits apart (measured 12 — comfortably above the pair threshold 3),
+    exact power-of-two gain leaves the hash IDENTICAL, and this module's
+    lossy codecs move it by at most 1 bit — so same-class variants
+    always pair under hamming<=3 and cross-class pairs are impossible."""
     import itertools
 
     import numpy as np
@@ -663,7 +664,52 @@ def test_audio_fingerprint_entry_classes_separated():
             assert ham(audio_fp64(dec), f0) <= 1, (cls, layer)
         fps[cls] = f0
     dmin = min(ham(fps[a], fps[b]) for a, b in itertools.combinations(range(6), 2))
-    assert dmin >= 18, dmin
+    assert dmin >= 10, dmin
+
+
+def test_audio_fingerprint_shift_robust():
+    """r9 (verdict #3): the fingerprint anchors at the signal onset, so a
+    re-encoded copy with ANY leading-sample offset — trimmed silence,
+    extra silence, a different encoder delay — still pairs with its
+    original under the banded join's hamming<=3, including through the
+    lossy codecs.  Cross-class separation is unaffected."""
+    import numpy as np
+
+    from esgopeta_spark.operators import codecs
+    from esgopeta_spark.operators.multimodal import (
+        _onset_start,
+        audio_fp64,
+        decode_audio_any,
+    )
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    t = np.arange(17 * 512)
+    for f1, f2, am in [(300, 2100, 3.0), (450, 1600, 5.0), (800, 1200, 7.0)]:
+        env = 1.0 + 0.5 * np.sin(2 * np.pi * am * t / 32000)
+        x = env * (np.sin(2 * np.pi * f1 * t / 32000) + 0.6 * np.sin(2 * np.pi * f2 * t / 32000))
+        content = (np.round(x / np.abs(x).max() * 3000) * 4).astype(np.int64)
+        lead = 2048  # the "as published" clip carries leading silence
+        base = np.concatenate([np.zeros(lead, dtype=np.int64), content])
+        f0 = audio_fp64(base.astype(np.float64))
+        # the anchor lands on the content start, not sample 0
+        assert abs(_onset_start(base.astype(np.float64)) - lead) < 64
+        for shift in (-2048, -1024, -100, 100, 512, 777, 5000):
+            # negative = trim leading silence, positive = prepend more
+            shifted = base[-shift:] if shift < 0 else np.concatenate(
+                [np.zeros(shift, dtype=np.int64), base]
+            )
+            assert ham(audio_fp64(shifted.astype(np.float64)), f0) <= 2, shift
+            # gain change on top of the shift
+            assert ham(audio_fp64((shifted >> 1).astype(np.float64)), f0) <= 2, shift
+        # through the lossy codec with a planted shift (the real-corpus
+        # duplicate mode: same clip, different leading silence + encoder)
+        shifted = np.concatenate([np.zeros(700, dtype=np.int64), base])
+        dec, _ = decode_audio_any(
+            codecs.encode_mpeg1_audio(shifted.astype(np.int16), 32000, layer=3)
+        )
+        assert ham(audio_fp64(dec), f0) <= 3
 
 
 def test_lsh_cosine_recall(spark, sf_dir):
