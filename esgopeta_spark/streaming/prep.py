@@ -1,0 +1,218 @@
+"""Streaming twins of the r8 prep-tail operators (r9, verdict #7) —
+extends the house discipline (every batch cleaning op gets a
+batch≡stream twin, as CMS/z-score/LOCF did in r6) to ``text.line_dedup``
+and ``text.gopher_rules`` so a streaming ingest can clean incrementally.
+
+``streaming_gopher_rules`` is STATELESS: every Gopher statistic is a
+pure function of one document, so the twin is a single Arrow
+``mapInPandas`` pass over the stream.  All outputs are INTEGER (milli
+units, counts, flags), so batch≡stream equality is exact integer
+equality — pinned in tests/test_streaming.py.  (The Python kernel
+mirrors the batch operator's Java-regex tokenization; the corpus
+contract is ASCII-whitespace text, which both engines split
+identically.)
+
+``streaming_line_dedup`` is STATEFUL (``applyInPandasWithState`` keyed
+by the line string): corpus-wide line dedup needs the line's global
+count and first occurrence.  The state per line is BOUNDED by
+``min_count``: while count < min_count every occurrence's verdict may
+still flip (kept -> removed at the crossing), so those are tracked;
+once the count crosses, later arrivals are decided instantly and only
+the FIRST occurrence (keep_first mode) can ever flip again (a
+smaller-(doc,pos) arrival steals firstness — the batch operator's
+"first" is min(doc_id, pos), not arrival order, so the twin converges
+to the batch answer under ANY arrival order).  Flips re-emit the
+occurrence with a higher ``upd_seq`` — update-mode semantics: the LAST
+emission per (doc_id, pos) is the truth, exactly like the z-score twin.
+
+Scale shape: one shuffle keyed by the line (the streaming state-store
+partitioning — the same key the batch window shuffles on), per-key
+state O(min_count), emissions O(new occurrences + flips).  At 100 TB
+key the explode on xxhash64(line) first to shrink state-store bytes,
+mirroring the batch operator's ``hash_keys`` flag.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+LINE_DEDUP_STATE_SCHEMA = StructType(
+    [
+        StructField("count", LongType()),
+        StructField("tracked_json", StringType()),
+        StructField("upd_seq", LongType()),
+    ]
+)
+
+LINE_DEDUP_OUTPUT_SCHEMA = (
+    "line string, doc_id bigint, pos int, removed int, upd_seq bigint"
+)
+
+
+def _make_line_handler(min_count: int, keep_first: bool):
+    """Per-line handler (closure, cloudpickle-by-value — see
+    ham_stream._make_handler for why module-level handlers break)."""
+    import json as _json
+
+    mc = int(min_count)
+
+    def handler(key, pdfs, gstate):
+        (line,) = key
+        new = []
+        for pdf in pdfs:
+            for rec in pdf.to_dict("records"):
+                new.append((int(rec["_id"]), int(rec["_pos"])))
+        if not new:
+            return
+        import pandas as _pd
+
+        if line == "":  # structure, not content: exempt, stateless
+            yield _pd.DataFrame(
+                [
+                    {"line": line, "doc_id": d, "pos": p, "removed": 0, "upd_seq": 1}
+                    for d, p in new
+                ]
+            )
+            return
+        if gstate.exists:
+            st = gstate.get
+            count = int(st[0])
+            tracked = [tuple(o) for o in _json.loads(st[1])]
+            seq = int(st[2])
+        else:
+            count, tracked, seq = 0, [], 0
+        # previous verdicts of tracked occurrences (derivable, not stored):
+        # below the crossing everything is kept; above it only the tracked
+        # first is kept (keep_first) / nothing tracked remains (drop-all)
+        first_prev = min(tracked) if tracked else None
+        prev = {
+            o: 0 if count < mc or (keep_first and o == first_prev) else 1
+            for o in tracked
+        }
+        count2 = count + len(new)
+        pool = tracked + sorted(new)
+        first2 = min(pool)
+        if count2 < mc:
+            tracked2 = pool  # every verdict may still flip: keep tracking
+        elif keep_first:
+            tracked2 = [first2]  # only firstness can flip now
+        else:
+            tracked2 = []  # drop-all: removed is final once crossed
+        verdict = {
+            o: 0 if count2 < mc or (keep_first and o == first2) else 1
+            for o in pool
+        }
+        seq += 1
+        gstate.update((count2, _json.dumps(tracked2), seq))
+        rows = [
+            {"line": line, "doc_id": d, "pos": p, "removed": v, "upd_seq": seq}
+            for (d, p), v in sorted(verdict.items())
+            if (d, p) not in prev or prev[(d, p)] != v
+        ]
+        if rows:
+            yield _pd.DataFrame(rows)
+
+    return handler
+
+
+def streaming_line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_count: int = 2,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Streaming docs (id, text) -> update-mode stream of per-occurrence
+    line verdicts (see module docstring).  Reassembling clean_text is a
+    downstream concern: keep the max-upd_seq row per (doc_id, pos), join
+    kept lines in pos order — tests/test_streaming.py does exactly that
+    and pins bit-equality with the batch operator."""
+    import re as _re
+
+    lines = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep), -1)).alias(
+            "_pos", "_line"
+        ),
+    )
+    return lines.groupBy("_line").applyInPandasWithState(
+        _make_line_handler(min_count, keep_first),
+        outputStructType=LINE_DEDUP_OUTPUT_SCHEMA,
+        stateStructType=LINE_DEDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+GOPHER_OUTPUT_SCHEMA = (
+    "doc_id bigint, n_words bigint, mwl_milli bigint, alpha_milli bigint, "
+    "stop_hits bigint, dup3_milli bigint, r_word_count int, "
+    "r_mean_word_len int, r_alpha_words int, r_stopwords int, "
+    "r_repetition int, keep int"
+)
+
+
+def streaming_gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mwl_milli: int = 3_000,
+    max_mwl_milli: int = 10_000,
+    min_alpha_milli: int = 800,
+    min_stop_hits: int = 2,
+    max_dup3_milli: int = 300,
+) -> DataFrame:
+    """Stateless streaming twin of ``text.gopher_rules``: identical
+    integer-milli statistics and flags, one Arrow pass, no state, no
+    shuffle — append-mode safe.  Works on batch DataFrames too (the
+    batch≡stream pytest runs it both ways)."""
+    import re as _re
+
+    from esgopeta_spark.operators.text import STOPWORDS
+
+    stop_set = frozenset(STOPWORDS["en"])
+    letter = _re.compile(r"[a-zA-Z]")
+
+    def kernel(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                norm = _re.sub(r"\s+", " ", (text or "").lower().strip())
+                ws = norm.split(" ") if norm else []
+                n = len(ws)
+                chars = (len(norm) - (n - 1)) if n else 0
+                alpha = sum(1 for w in ws if letter.search(w))
+                stop = len(stop_set.intersection(ws))
+                ng = max(n - 2, 0)
+                dup = ng - len({" ".join(ws[i : i + 3]) for i in range(ng)}) if ng else 0
+                mwl = (chars * 1000) // n if n else 0
+                al = (alpha * 1000) // n if n else 0
+                d3 = (dup * 1000) // ng if ng else 0
+                f = (
+                    int(min_words <= n <= max_words),
+                    int(min_mwl_milli <= mwl <= max_mwl_milli),
+                    int(al >= min_alpha_milli),
+                    int(stop >= min_stop_hits),
+                    int(d3 <= max_dup3_milli),
+                )
+                rows.append(
+                    (int(did), n, mwl, al, stop, d3) + f + (int(all(f)),)
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "n_words", "mwl_milli", "alpha_milli", "stop_hits",
+                    "dup3_milli", "r_word_count", "r_mean_word_len",
+                    "r_alpha_words", "r_stopwords", "r_repetition", "keep",
+                ],
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, GOPHER_OUTPUT_SCHEMA)

@@ -770,3 +770,114 @@ def test_streaming_locf_full_table_matches_batch(spark, sf_dir):
     want = {(r["user_id"], r["bucket"]): (r["filled_value"], r["n_events"], r["is_gap"])
             for r in resample_locf(static).collect()}
     assert got == want and got
+
+
+def test_streaming_line_dedup_matches_batch(spark, tmp_path):
+    """r9 (verdict #7): the stateful line-dedup twin, drained over a
+    skewed corpus split into micro-batches, must converge to EXACTLY the
+    batch operator's verdicts — for both keep_first modes and for BOTH
+    arrival orders (reverse order forces the retroactive re-emission
+    paths: kept->removed at the min_count crossing and first-stealing
+    by a smaller (doc, pos))."""
+    import random
+
+    from esgopeta_spark.operators.text import line_dedup
+    from esgopeta_spark.streaming.prep import streaming_line_dedup
+
+    rng = random.Random(37)
+    rows = []
+    for d in range(30):
+        lines = []
+        for j in range(rng.randint(1, 6)):
+            r = rng.random()
+            if r < 0.45:
+                lines.append("HOT boilerplate")
+            elif r < 0.55:
+                lines.append("")
+            elif r < 0.7:
+                lines.append(f"dup {rng.randint(0, 2)}")
+            else:
+                lines.append(f"uniq {d} {j}")
+        rows.append((d, "\n".join(lines)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    case = 0
+    for keep_first in (True, False):
+        want = {
+            r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+            for r in line_dedup(docs, keep_first=keep_first).collect()
+        }
+        for order in ("fwd", "rev"):
+            case += 1
+            d = str(tmp_path / f"ld{case}")
+            os.makedirs(d)
+            half = [r for r in rows if r[0] < 15], [r for r in rows if r[0] >= 15]
+            first, second = half if order == "fwd" else half[::-1]
+            spark.createDataFrame(first, "doc_id long, text string").coalesce(
+                1
+            ).write.parquet(d + "/b1")
+            spark.createDataFrame(second, "doc_id long, text string").coalesce(
+                1
+            ).write.parquet(d + "/b2")
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .option("recursiveFileLookup", "true")
+                .parquet(d)
+            )
+            run_stream_to_memory(
+                streaming_line_dedup(stream, keep_first=keep_first),
+                f"ldstream{case}",
+                mode="update",
+            )
+            latest: dict = {}
+            for r in spark.sql(f"select * from ldstream{case}").collect():
+                k = (r["doc_id"], r["pos"])
+                if k not in latest or r["upd_seq"] > latest[k]["upd_seq"]:
+                    latest[k] = r
+            # reassemble per doc from the final per-occurrence verdicts
+            got: dict = {}
+            by_doc: dict = {}
+            for (doc, pos), r in latest.items():
+                by_doc.setdefault(doc, []).append((pos, r["line"], r["removed"]))
+            for doc, occ in by_doc.items():
+                occ.sort()
+                kept = [line for _p, line, rm in occ if rm == 0]
+                got[doc] = ("\n".join(kept), len(kept), sum(rm for _p, _l, rm in occ))
+            assert got == want, (keep_first, order)
+
+
+def test_streaming_gopher_rules_matches_batch(spark, sf_dir, tmp_path):
+    """r9 (verdict #7): the stateless Gopher twin over a drained stream
+    of REAL documents equals the batch operator integer-for-integer
+    (every output is integer milli/count/flag, so equality is exact)."""
+    from esgopeta_spark.operators.text import gopher_rules
+    from esgopeta_spark.streaming.prep import streaming_gopher_rules
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text").limit(80)
+
+    def snap(df):
+        return {r["doc_id"]: tuple(r)[1:] for r in df.collect()}
+
+    want = snap(gopher_rules(docs))
+    # twin applied to the SAME batch frame: identical
+    assert snap(streaming_gopher_rules(docs)) == want
+    # twin over a drained file stream: identical
+    d = str(tmp_path / "gopher")
+    os.makedirs(d)
+    half = docs.limit(40)
+    rest = docs.exceptAll(half)
+    half.coalesce(1).write.parquet(d + "/b1")
+    rest.coalesce(1).write.parquet(d + "/b2")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    run_stream_to_memory(streaming_gopher_rules(stream), "gopherstream", mode="append")
+    got = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in spark.sql("select * from gopherstream").collect()
+    }
+    assert got == want and len(got) == 80
