@@ -227,6 +227,100 @@ def test_tiff_roundtrip_matrix():
     assert np.array_equal(codecs.decode_tiff(bytes(enc)), 255 - gray)
 
 
+def test_tiff_lzw_independent_fixture():
+    """r9 (advice): the LZW early-change bitstream was validated only by
+    self round-trip — a mirrored encoder/decoder bug would pass.  This
+    pins decode_tiff against an INDEPENDENT derivation: (a) a frozen
+    literal fixture whose 45-bit code stream (Clear, 10, 258, 10, EOI at
+    9 bits MSB-first) is hand-derived from TIFF 6.0 §13 in the comment
+    below, wrapped in a hand-built IFD; (b) a second mini-encoder written
+    in a different formulation (bit-string concatenation, tuple table)
+    applying the spec rules directly, exercised ACROSS the 9->10-bit
+    early-change boundary.  (No libtiff/PIL exists in this container, so
+    the derivation is in-repo but independent of codecs.py's
+    implementation; a shared spec-rule misreading remains the residual
+    risk and is documented.)"""
+    import struct
+
+    # (a) frozen fixture: 4x1 gray, Compression 5, Predictor 2.
+    # pixels [10,20,30,40] -> residuals [10,10,10,10] -> LZW walk:
+    #   Clear(256); w=10; 10,10 new -> emit 10, add 258; (10,10)=258 in
+    #   table -> w=258; (10,10,10) new -> emit 258, add 259; emit w=10;
+    #   EOI(257).  All 9-bit: 100000000 000001010 100000010 000001010
+    #   100000001 + pad = 80 02 a0 40 a8 08.
+    fixture = bytes.fromhex(
+        "49492a00080000000a00"
+        "0001030001000000040000000101030001000000010000000201030001000000"
+        "0800000003010300010000000500000006010300010000000100000011010400"
+        "0100000086000000150103000100000001000000160103000100000001000000"
+        "1701040001000000060000003d010300010000000200000000000000"
+        "8002a040a808"
+    )
+    arr = codecs.decode_tiff(fixture)
+    assert arr.tolist() == [[10, 20, 30, 40]]
+    # the repo encoder emits the IDENTICAL code stream for this strip —
+    # the dialect agrees with the hand derivation, not just with itself
+    assert codecs._tiff_lzw_encode(bytes([10, 10, 10, 10])) == fixture[-6:]
+
+    # (b) independent mini-encoder, spec rules only: MSB-first variable
+    # width, Clear=256/EOI=257, new entries from 258, width bump when the
+    # next code to assign reaches 2^w - 1 (TIFF early change)
+    def spec_lzw(data: bytes) -> bytes:
+        bits = ""
+        table = {(i,): i for i in range(256)}
+        nxt, width = 258, 9
+        bits += format(256, "09b")
+        w: tuple = ()
+        for byte in data:
+            cand = w + (byte,)
+            if cand in table:
+                w = cand
+                continue
+            bits += format(table[w], f"0{width}b")
+            table[cand] = nxt
+            nxt += 1
+            if nxt == (1 << width) - 1 and width < 12:
+                width += 1
+            w = (byte,)
+        if w:
+            bits += format(table[w], f"0{width}b")
+        bits += format(257, f"0{width}b")
+        bits += "0" * (-len(bits) % 8)
+        return bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+
+    def wrap_tiff(lzw: bytes, width: int, height: int) -> bytes:
+        def sv(v):
+            return struct.pack("<HH", v, 0)
+
+        def lv(v):
+            return struct.pack("<I", v)
+
+        n = 10
+        data_off = 8 + 2 + n * 12 + 4
+        entries = sorted(
+            [
+                (256, 3, 1, sv(width)), (257, 3, 1, sv(height)),
+                (258, 3, 1, sv(8)), (259, 3, 1, sv(5)), (262, 3, 1, sv(1)),
+                (273, 4, 1, lv(data_off)), (277, 3, 1, sv(1)),
+                (278, 3, 1, sv(height)), (279, 4, 1, lv(len(lzw))),
+                (317, 3, 1, sv(1)),  # no predictor here
+            ]
+        )
+        out = b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", n)
+        for t, ty, c, vb in entries:
+            out += struct.pack("<HHI", t, ty, c) + vb
+        return out + struct.pack("<I", 0) + lzw
+
+    # 256 distinct bytes push next_code past the 9-bit early-change
+    # boundary (511); the tail decodes at 10 bits
+    payload = bytes(range(256)) + bytes([7] * 24)
+    arr2 = codecs.decode_tiff(wrap_tiff(spec_lzw(payload), len(payload), 1))
+    assert arr2.tolist() == [list(payload)]
+    # and the repo encoder agrees with the independent derivation across
+    # the boundary byte-for-byte
+    assert codecs._tiff_lzw_encode(payload) == spec_lzw(payload)
+
+
 def test_tiff_guards():
     """Unsupported variants raise ValueError (quarantine contract): LZW
     compression, palette photometric, 16-bit samples, out-of-bounds
