@@ -1,0 +1,230 @@
+"""Targeted data selection for pretraining corpora (SURVEY.md §2 G4
+family): DSIR-style hashed n-gram importance weighting (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling", public
+NeurIPS paper) — score every raw document by how much its hashed-bigram
+profile looks like a TARGET corpus, then keep the top-k.
+
+The paper's importance weight is  log w(doc) = Σ_b c_b · (ln p̂_b − ln q̂_b)
+over hashed n-gram buckets b (c_b = the doc's bucket counts, p̂/q̂ the
+add-1-smoothed target/raw bucket distributions).  Transcendental ln is
+NOT identically rounded across engines (the catalog determinism rules),
+so this module computes the log terms with an ENGINE-EXACT integer
+milli-log2: normalize the integer operand to Q20 fixed point and run the
+classic shift-and-square algorithm (10 squaring steps → 10 fractional
+bits) in pure int64 arithmetic — bit-identical in Spark and DuckDB, and
+log2 ∝ ln, so the paper's ranking is preserved up to the documented
+~2-milli quantization (pinned in tests/test_llm_ops.py).
+
+Scale shape: one lag-window bigram stream per corpus (no self-join), two
+bounded groupBys onto ≤``buckets`` rows, the λ table (≤``buckets`` rows)
+broadcast into the per-doc bucket counts, one final per-doc groupBy.  No
+collect, no cartesian, nothing all-pairs; the only data-proportional
+stages are the gram stream and the doc-keyed aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from esgopeta_spark.operators.text import words
+
+#: Q20 fixed point: the mantissa lives in [2^20, 2^21).
+_FX = 20
+#: fractional log2 bits extracted by shift-and-square.
+_FRAC_BITS = 10
+
+
+def with_milli_log2(df: DataFrame, vcol: str, out: str) -> DataFrame:
+    """Append ``out`` = milli-log2 of the positive-int64 column ``vcol``,
+    computed engine-exactly in integer arithmetic (no libm):
+
+      e = bitlen(v) - 1                       (integer part of log2)
+      m = v normalized into [2^20, 2^21)      (Q20 mantissa)
+      10× shift-and-square: m←m²>>20, emitting one fractional bit per
+      step (≥2^21 ⇒ bit 1, halve), MSB first into f ∈ [0, 1024)
+      out = 1000·e + (1000·f) div 1024
+
+    Floor-biased by construction: out ∈ [1000·log2(v) − 2.5, 1000·log2(v)]
+    (mantissa truncation + 10-bit fraction floor + milli floor), which the
+    tests pin.  The identical integer recurrence is emitted as the DuckDB
+    oracle by :func:`milli_log2_sql`."""
+    two_fx1 = 1 << (_FX + 1)
+    d = df.select(
+        "*",
+        (F.length(F.expr(f"bin({vcol})")) - 1).cast("bigint").alias("_e"),
+        F.expr(
+            f"CASE WHEN length(bin({vcol})) - 1 >= {_FX} "
+            f"THEN shiftright({vcol}, length(bin({vcol})) - 1 - {_FX}) "
+            f"ELSE shiftleft({vcol}, {_FX} - (length(bin({vcol})) - 1)) END"
+        ).cast("bigint").alias("_m"),
+        F.lit(0).cast("bigint").alias("_f"),
+    )
+    for _ in range(_FRAC_BITS):
+        d = d.select(
+            *[c for c in d.columns if c not in ("_m", "_f")],
+            F.expr(
+                f"CASE WHEN shiftright(_m * _m, {_FX}) >= {two_fx1} "
+                f"THEN shiftright(shiftright(_m * _m, {_FX}), 1) "
+                f"ELSE shiftright(_m * _m, {_FX}) END"
+            ).alias("_m"),
+            F.expr(
+                f"_f * 2 + CASE WHEN shiftright(_m * _m, {_FX}) >= {two_fx1} "
+                f"THEN 1 ELSE 0 END"
+            ).alias("_f"),
+        )
+    return d.select(
+        *[c for c in df.columns],
+        F.expr(f"_e * 1000 + (_f * 1000) div {1 << _FRAC_BITS}")
+        .cast("bigint")
+        .alias(out),
+    )
+
+
+def milli_log2_sql(vals_cte: str, keys: str, vcol: str, out_cte: str, out: str) -> str:
+    """DuckDB CTE chain computing the same integer milli-log2 recurrence
+    as :func:`with_milli_log2` over CTE ``vals_cte`` (columns ``keys`` +
+    positive-int64 ``vcol``); emits CTE ``out_cte`` with ``keys`` + ``out``.
+    Returned string starts with a comma (appends to an open WITH list)."""
+    two_fx1 = 1 << (_FX + 1)
+    parts = [
+        f""", _ml0 AS (
+      SELECT {keys},
+             CAST(length(bin({vcol})) - 1 AS BIGINT) AS e,
+             CAST(CASE WHEN length(bin({vcol})) - 1 >= {_FX}
+                  THEN {vcol} >> (length(bin({vcol})) - 1 - {_FX})
+                  ELSE {vcol} << ({_FX} - (length(bin({vcol})) - 1)) END AS BIGINT) AS m,
+             CAST(0 AS BIGINT) AS f
+      FROM {vals_cte})"""
+    ]
+    for i in range(1, _FRAC_BITS + 1):
+        parts.append(
+            f""", _ml{i} AS (
+      SELECT {keys}, e,
+             CASE WHEN ((m * m) >> {_FX}) >= {two_fx1}
+                  THEN ((m * m) >> {_FX}) >> 1 ELSE (m * m) >> {_FX} END AS m,
+             f * 2 + CASE WHEN ((m * m) >> {_FX}) >= {two_fx1} THEN 1 ELSE 0 END AS f
+      FROM _ml{i - 1})"""
+        )
+    parts.append(
+        f""", {out_cte} AS (
+      SELECT {keys}, e * 1000 + (f * 1000) // {1 << _FRAC_BITS} AS {out}
+      FROM _ml{_FRAC_BITS})"""
+    )
+    return "".join(parts)
+
+
+def hash_bucket(gram: Column, buckets: int) -> Column:
+    """md5-derived feature bucket (md5 exists identically in both engines;
+    xxhash64 is Spark-only — the MinHash lesson)."""
+    return (
+        F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("bigint") % buckets
+    )
+
+
+def hashed_bigram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Per-doc hashed-bigram bucket counts (id, bucket, c) — the DSIR
+    feature map.  One posexplode + one lag window per corpus (the house
+    gram-stream shape; no HOF folds), then a (doc, bucket) groupBy."""
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(words(F.col(text_col))).alias("pos", "w2"),
+    )
+    win = Window.partitionBy("_id").orderBy("pos")
+    grams = (
+        tok.select("_id", "pos", "w2", F.lag("w2", 1).over(win).alias("w1"))
+        .filter(F.col("w1").isNotNull())
+        .select("_id", F.concat_ws(" ", "w1", "w2").alias("gram"))
+    )
+    return (
+        grams.select("_id", hash_bucket(F.col("gram"), buckets).alias("bucket"))
+        .groupBy("_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def dsir_scores(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Score every ``raw`` doc (with ≥1 bigram) by the DSIR importance
+    weight  score_milli = Σ_b c_b · λ_b  with
+    λ_b = [mlog2(p_b+1) − mlog2(P+B)] − [mlog2(q_b+1) − mlog2(Q+B)]
+    (milli-log2 of the add-1-smoothed target/raw probability ratio; the
+    four log terms are computed separately so no intermediate product
+    can overflow int64 at any corpus size).  Output: id, n_grams,
+    score_milli — higher = more target-like."""
+    docb = hashed_bigram_counts(raw, text_col, id_col, buckets)
+    q = docb.groupBy("bucket").agg(F.sum("c").alias("qc"))
+    p = (
+        hashed_bigram_counts(target, text_col, id_col, buckets)
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("pc"))
+    )
+    qtot = q.agg((F.sum("qc") + F.lit(buckets)).cast("bigint").alias("v"))
+    ptot = p.agg((F.sum("pc") + F.lit(buckets)).cast("bigint").alias("v"))
+
+    ml_q = with_milli_log2(
+        q.select("bucket", (F.col("qc") + 1).cast("bigint").alias("v")), "v", "ml"
+    ).select("bucket", F.col("ml").alias("ml_q"))
+    ml_p = with_milli_log2(
+        p.select("bucket", (F.col("pc") + 1).cast("bigint").alias("v")), "v", "ml"
+    ).select("bucket", F.col("ml").alias("ml_p"))
+    ml_qtot = with_milli_log2(qtot, "v", "ml").select(F.col("ml").alias("ml_qtot"))
+    ml_ptot = with_milli_log2(ptot, "v", "ml").select(F.col("ml").alias("ml_ptot"))
+
+    # λ table: every RAW bucket; absent target buckets contribute
+    # mlog2(0+1) = 0 exactly, so a left join + coalesce(ml_p, 0) is the
+    # smoothed value, not an approximation.
+    lam = (
+        ml_q.join(ml_p, "bucket", "left")
+        .crossJoin(F.broadcast(ml_qtot))
+        .crossJoin(F.broadcast(ml_ptot))
+        .select(
+            "bucket",
+            (
+                (F.coalesce(F.col("ml_p"), F.lit(0)) - F.col("ml_ptot"))
+                - (F.col("ml_q") - F.col("ml_qtot"))
+            ).cast("bigint").alias("lam_milli"),
+        )
+    )
+    return (
+        docb.join(F.broadcast(lam), "bucket")
+        .groupBy("_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_grams"),
+            F.sum(F.col("c") * F.col("lam_milli")).cast("bigint").alias("score_milli"),
+        )
+        .select(F.col("_id").alias(id_col), "n_grams", "score_milli")
+    )
+
+
+def dsir_topk(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Deterministic DSIR selection: top-k raw docs by importance score
+    (score DESC, id ASC — unique total order, catalog rule 4).  The
+    paper's Gumbel-noise resampling variant is a randomized smoothing of
+    exactly this ranking; the deterministic top-k is the reproducible
+    form a pipeline wants."""
+    s = dsir_scores(raw, target, text_col, id_col, buckets)
+    win = Window.orderBy(F.col("score_milli").desc(), F.col(id_col).asc())
+    return (
+        s.select("*", F.row_number().over(win).alias("sel_rank"))
+        .filter(F.col("sel_rank") <= k)
+        .select(id_col, "n_grams", "score_milli", F.col("sel_rank").cast("int").alias("sel_rank"))
+    )

@@ -2299,3 +2299,115 @@ def test_pipeline_clean_gate_split_composes(spark):
         expect[k][1] += nw
     assert got == {k: tuple(v) for k, v in expect.items()}
     assert sum(v[0] for v in got.values()) > 0
+
+
+# --- DSIR importance selection (r9) ---------------------------------------
+
+
+def test_milli_log2_matches_float_log2(spark):
+    """The engine-exact shift-and-square milli-log2 must sit within its
+    documented floor-biased band of the true log2: mantissa truncation +
+    10-bit fraction floor + milli floor => ml in [1000*log2(v) - 2.5, 1000*log2(v)]."""
+    import math
+    import random
+
+    from esgopeta_spark.operators.selection import with_milli_log2
+
+    rng = random.Random(99)
+    vals = [1, 2, 3, 1023, 1024, 1025, (1 << 20) - 1, 1 << 20, (1 << 41) - 7] + [
+        rng.randrange(1, 10**12) for _ in range(500)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v: long")
+    for r in with_milli_log2(df, "v", "ml").collect():
+        err = r["ml"] - 1000.0 * math.log2(r["v"])
+        assert -2.5 <= err <= 1e-6, (r["v"], r["ml"], err)
+
+
+def test_dsir_scores_recover_planted_target_pool(spark):
+    """DSIR separation on a planted two-vocabulary corpus: docs drawn from
+    the target pool's vocabulary must ALL outscore docs from the other
+    pool, and top-k selection must return only target-pool docs."""
+    import random
+
+    from esgopeta_spark.operators.selection import dsir_scores, dsir_topk
+
+    rng = random.Random(7)
+    pool_a = [f"alpha{i}" for i in range(30)]
+    pool_b = [f"beta{i}" for i in range(30)]
+    docs = [
+        (d, " ".join(rng.choice(pool_a if d < 20 else pool_b) for _ in range(60)))
+        for d in range(40)
+    ]
+    raw = spark.createDataFrame(docs, "doc_id: long, text: string")
+    target = raw.filter("doc_id < 5")
+
+    rows = dsir_scores(raw, target).collect()
+    assert len(rows) == 40
+    a = [r["score_milli"] for r in rows if r["doc_id"] < 20]
+    b = [r["score_milli"] for r in rows if r["doc_id"] >= 20]
+    assert min(a) > max(b), (min(a), max(b))
+
+    top = dsir_topk(raw, target, 10).collect()
+    assert sorted(r["sel_rank"] for r in top) == list(range(1, 11))
+    assert all(r["doc_id"] < 20 for r in top)
+
+
+def test_dsir_score_is_log_importance_weight(spark):
+    """The integer score tracks the paper's float log-importance weight:
+    score_milli/1000 must match sum_b c_b*(log2 p_hat - log2 q_hat)
+    computed in float64, within the documented milli-log2 quantization
+    (2.5 milli per log term, two terms per gram)."""
+    import math
+    import random
+    from collections import Counter
+
+    from esgopeta_spark.operators.selection import dsir_scores
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(50)]
+    docs = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randrange(5, 40))))
+        for d in range(30)
+    ]
+    raw = spark.createDataFrame(docs, "doc_id: long, text: string")
+    target = raw.filter("doc_id % 3 = 0")
+
+    B = 1024
+
+    def buckets(text):
+        ws = text.split()
+        out = Counter()
+        import hashlib
+
+        for i in range(len(ws) - 1):
+            g = ws[i] + " " + ws[i + 1]
+            out[int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B] += 1
+        return out
+
+    qc = Counter()
+    pc = Counter()
+    per_doc = {}
+    for d, text in docs:
+        c = buckets(text)
+        per_doc[d] = c
+        qc.update(c)
+        if d % 3 == 0:
+            pc.update(c)
+    Q = sum(qc.values()) + B
+    P = sum(pc.values()) + B
+    expect = {
+        d: sum(
+            c
+            * (
+                (math.log2(pc[b] + 1) - math.log2(P))
+                - (math.log2(qc[b] + 1) - math.log2(Q))
+            )
+            for b, c in cnts.items()
+        )
+        for d, cnts in per_doc.items()
+    }
+    got = {r["doc_id"]: r["score_milli"] for r in dsir_scores(raw, target).collect()}
+    for d, s in got.items():
+        n_grams = sum(per_doc[d].values())
+        tol = 2.5 * 4 * n_grams / 1000.0  # 4 quantized log terms per gram
+        assert abs(s / 1000.0 - expect[d]) <= tol, (d, s / 1000.0, expect[d], tol)

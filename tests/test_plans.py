@@ -416,3 +416,17 @@ def test_hits_joins_equi_no_cartesian(spark, sf_dir):
     p = plan_of(REGISTRY["graph_hits_transactions"].fn(spark, sf_dir))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p, p
+
+
+def test_dsir_plan_posture(spark, sf_dir):
+    """DSIR scoring: the lambda table (<=1024 rows) must broadcast into
+    the per-doc bucket counts; the only nested-loop nodes allowed are the
+    two 1-row totals cross joins; no cartesian over data."""
+    import re
+
+    from esgopeta_spark.plans import REGISTRY
+
+    p = plan_of(REGISTRY["select_dsir_scores"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) <= 2, p
+    assert "BroadcastHashJoin" in p, p
