@@ -216,3 +216,126 @@ def streaming_gopher_rules(
             )
 
     return docs.select(id_col, text_col).mapInPandas(kernel, GOPHER_OUTPUT_SCHEMA)
+
+
+# --- r9: streaming twins for the selection/writer tail ---------------------
+
+SPLIT_SHARDS_STATE_SCHEMA = StructType(
+    [
+        StructField("count", LongType()),
+        StructField("keys_json", StringType()),
+        StructField("upd_seq", LongType()),
+    ]
+)
+
+SPLIT_SHARDS_OUTPUT_SCHEMA = (
+    "split string, shard int, doc_id bigint, ordinal bigint, upd_seq bigint"
+)
+
+
+def _make_shard_handler(exact: bool):
+    """Per-(split, shard) ordinal assigner.  ``exact=False``: bounded
+    state (one counter), ordinals in arrival order — the production
+    writer shape.  ``exact=True``: state carries the group's sorted
+    (md5, id) keys so late arrivals shift later ordinals, which re-emit
+    with a higher upd_seq (last emission wins) — converges bit-exactly
+    to the batch (md5, id)-order ordinal under ANY arrival order; state
+    is O(group), the contract twin, not the 100 TB shape."""
+    import json as _json
+
+    def handler(key, pdfs, gstate):
+        split, shard = key
+        new = []
+        for pdf in pdfs:
+            for rec in pdf.to_dict("records"):
+                new.append((str(rec["_h"]), int(rec["_id"])))
+        if not new:
+            return
+        import pandas as _pd
+
+        if gstate.exists:
+            st = gstate.get
+            count, keys, seq = int(st[0]), _json.loads(st[1]), int(st[2])
+        else:
+            count, keys, seq = 0, [], 0
+        seq += 1
+        if not exact:
+            rows = [
+                {"split": split, "shard": int(shard), "doc_id": did,
+                 "ordinal": count + i + 1, "upd_seq": seq}
+                for i, (_h, did) in enumerate(sorted(new))
+            ]
+            gstate.update((count + len(new), "[]", seq))
+            yield _pd.DataFrame(rows)
+            return
+        prev = {int(did): i + 1 for i, (_h, did) in enumerate(keys)}
+        keys2 = sorted([tuple(k) for k in keys] + new)
+        gstate.update((len(keys2), _json.dumps(keys2), seq))
+        rows = [
+            {"split": split, "shard": int(shard), "doc_id": did,
+             "ordinal": i + 1, "upd_seq": seq}
+            for i, (_h, did) in enumerate(keys2)
+            if prev.get(did) != i + 1
+        ]
+        if rows:
+            yield _pd.DataFrame(rows)
+
+    return handler
+
+
+def streaming_split_shards(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple = (("train", 0.8), ("val", 0.1), ("test", 0.1)),
+    n_shards: int = 8,
+    exact: bool = False,
+) -> DataFrame:
+    """Streaming twin of ``text.split_shards``: the split/shard columns
+    are the SAME codegen md5 projection (stateless, bit-equal to batch
+    by construction); the in-shard ordinal is the stateful part — see
+    ``_make_shard_handler`` for the two modes.  Update-mode stream of
+    (split, shard, doc_id, ordinal, upd_seq); take the max-upd_seq row
+    per doc."""
+    names = [nm for nm, _ in weights]
+    total = 16 ** 8
+    acc = 0.0
+    cuts = []
+    for _, wt in weights[:-1]:
+        acc += float(wt)
+        cuts.append(min(int(acc * total), total))
+    h = F.md5(F.col(id_col).cast("string"))
+    d1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    d2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")
+    label = F.lit(names[-1])
+    for nm, cut in reversed(list(zip(names[:-1], cuts))):
+        label = F.when(d1 < F.lit(cut), F.lit(nm)).otherwise(label)
+    assigned = docs.select(
+        F.col(id_col).alias("_id"),
+        label.alias("split"),
+        (d2 % F.lit(int(n_shards))).cast("int").alias("shard"),
+        h.alias("_h"),
+    )
+    return assigned.groupBy("split", "shard").applyInPandasWithState(
+        _make_shard_handler(exact),
+        outputStructType=SPLIT_SHARDS_OUTPUT_SCHEMA,
+        stateStructType=SPLIT_SHARDS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_blocklist_hits(
+    docs: DataFrame,
+    phrases: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming twin of ``matching.blocklist_hits`` — which is already a
+    single stateless Arrow mapInPandas pass (the Aho-Corasick automaton
+    rides the closure), so the twin IS the batch operator applied to a
+    streaming DataFrame: per-doc verdicts are pure functions of one doc,
+    append-mode safe, bit-equal to batch by construction (pinned in
+    tests/test_streaming.py)."""
+    from esgopeta_spark.operators.matching import blocklist_hits
+
+    return blocklist_hits(docs, phrases, text_col=text_col, id_col=id_col)

@@ -881,3 +881,98 @@ def test_streaming_gopher_rules_matches_batch(spark, sf_dir, tmp_path):
         for r in spark.sql("select * from gopherstream").collect()
     }
     assert got == want and len(got) == 80
+
+
+def test_streaming_split_shards_exact_matches_batch(spark, tmp_path):
+    """Exact-mode streaming ordinals must converge to the batch (md5,
+    id)-order ranks under multi-batch arrival; split/shard are bit-equal
+    by construction (same codegen projection)."""
+    from esgopeta_spark.operators.text import split_shards
+    from esgopeta_spark.streaming.prep import streaming_split_shards
+
+    ids = list(range(200))
+    # two micro-batches with interleaved ids (arrival order != id order)
+    (spark.createDataFrame([(i,) for i in ids if i % 2 == 0], "doc_id: long")
+     .coalesce(1).write.mode("overwrite").json(str(tmp_path / "in") + "/b0"))
+    (spark.createDataFrame([(i,) for i in ids if i % 2 == 1], "doc_id: long")
+     .coalesce(1).write.mode("overwrite").json(str(tmp_path / "in") + "/b1"))
+    stream = (
+        spark.readStream.schema("doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "in") + "/*")
+    )
+    run_stream_to_memory(
+        streaming_split_shards(stream, exact=True), "shardstream", mode="update"
+    )
+    rows = spark.sql(
+        """SELECT split, shard, doc_id, ordinal FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY upd_seq DESC, ordinal DESC) AS rn
+             FROM shardstream) WHERE rn = 1"""
+    ).collect()
+    got = {r["doc_id"]: (r["split"], r["shard"], r["ordinal"]) for r in rows}
+    want = {
+        r["doc_id"]: (r["split"], r["shard"], r["ordinal"])
+        for r in split_shards(
+            spark.createDataFrame([(i,) for i in ids], "doc_id: long")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_streaming_split_shards_arrival_mode_bounded_state(spark, tmp_path):
+    """Arrival-mode (production) twin: split/shard bit-equal to batch;
+    per-(split, shard) ordinals are the dense set {1..n} in arrival
+    order (bounded counter state, no re-emissions)."""
+    from collections import defaultdict
+
+    from esgopeta_spark.operators.text import split_shards
+    from esgopeta_spark.streaming.prep import streaming_split_shards
+
+    ids = list(range(150))
+    (spark.createDataFrame([(i,) for i in ids], "doc_id: long")
+     .coalesce(1).write.mode("overwrite").json(str(tmp_path / "in2")))
+    stream = spark.readStream.schema("doc_id long").json(str(tmp_path / "in2"))
+    run_stream_to_memory(
+        streaming_split_shards(stream), "shardstream2", mode="update"
+    )
+    rows = spark.sql("SELECT * FROM shardstream2").collect()
+    assert len(rows) == len(ids)  # exactly one emission per doc
+    want = {
+        r["doc_id"]: (r["split"], r["shard"])
+        for r in split_shards(
+            spark.createDataFrame([(i,) for i in ids], "doc_id: long")
+        ).collect()
+    }
+    groups = defaultdict(list)
+    for r in rows:
+        assert (r["split"], r["shard"]) == want[r["doc_id"]]
+        groups[(r["split"], r["shard"])].append(r["ordinal"])
+    for k, ords in groups.items():
+        assert sorted(ords) == list(range(1, len(ords) + 1)), (k, sorted(ords))
+
+
+def test_streaming_blocklist_matches_batch(spark, sf_dir, tmp_path):
+    """The blocklist scorer is stateless; the streaming twin must be
+    bit-equal to the batch operator on the same docs."""
+    from esgopeta_spark.operators.matching import blocklist_hits
+    from esgopeta_spark.streaming.prep import streaming_blocklist_hits
+
+    phrases = ["merge batch", "the line", "value table part"]
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    want = {
+        r["doc_id"]: (r["n_hits"], r["n_phrases"], r["first_hit_pos"])
+        for r in blocklist_hits(docs, phrases).collect()
+    }
+    docs.coalesce(2).write.mode("overwrite").parquet(str(tmp_path / "docs"))
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(tmp_path / "docs"))
+    run_stream_to_memory(
+        streaming_blocklist_hits(stream, phrases), "blockstream", mode="append"
+    )
+    got = {
+        r["doc_id"]: (r["n_hits"], r["n_phrases"], r["first_hit_pos"])
+        for r in spark.sql("SELECT * FROM blockstream").collect()
+    }
+    assert got == want
