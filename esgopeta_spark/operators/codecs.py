@@ -71,13 +71,14 @@ _MAGICS = [
     (b"ID3", "mp3"),
     (b"II*\x00", "tiff"),
     (b"MM\x00*", "tiff"),
+    (b"fLaC", "flac"),
     # NOTE: no raw \xff\xfb magic — bare frame sync is validated
     # field-by-field in sniff_format below (r6 ADVICE)
     (b"GIF87a", "gif"),
     (b"GIF89a", "gif"),
 ]
 
-DECODABLE = {"bmp", "ppm", "wav", "png", "jpeg", "gif", "tiff"}
+DECODABLE = {"bmp", "ppm", "wav", "png", "jpeg", "gif", "tiff", "flac"}
 
 
 def sniff_format(b: bytes | None) -> str:
@@ -372,6 +373,13 @@ from esgopeta_spark.operators import jpeg as _jpeg  # noqa: E402
 decode_jpeg = _quarantine(_jpeg.decode_jpeg)
 encode_jpeg = _jpeg.encode_jpeg
 encode_jpeg_progressive = _jpeg.encode_jpeg_progressive
+
+# FLAC lossless audio lives in its own module (bit-level Rice/LPC machinery);
+# same one-namespace re-export + quarantine as JPEG
+from esgopeta_spark.operators import flac as _flac  # noqa: E402
+
+decode_flac = _quarantine(_flac.decode_flac)
+encode_flac = _flac.encode_flac
 
 
 def to_rgb(arr: np.ndarray) -> np.ndarray:

@@ -227,6 +227,12 @@ def decode_media(df: DataFrame) -> DataFrame:
                             ok=True, sample_rate=sr, n_samples=len(samples) // nch,
                             duration_ms=int(1000 * len(samples) / (sr * nch)),
                         )
+                    elif fmt == "flac":
+                        arr, sr, _bps = codecs.decode_flac(b)
+                        rec.update(
+                            ok=True, sample_rate=sr, n_samples=arr.shape[0],
+                            duration_ms=arr.shape[0] * 1000 // sr,
+                        )
                     elif fmt == "mp4":
                         # container METADATA is parseable without any codec:
                         # box walk pulls duration + track dims; only frame

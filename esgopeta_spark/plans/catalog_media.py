@@ -1207,3 +1207,93 @@ def pipeline_clean_gate_split(spark, sf):
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_words").cast("bigint").alias("sum_words"),
     )
+
+
+@register(
+    "multimodal_decode_flac",
+    "G5",
+    """
+    WITH sel AS (
+      SELECT doc_id, 4000 + (doc_id % 4) * 1000 AS n, doc_id % 2 = 0 AS stereo
+      FROM documents WHERE doc_id % 20 = 9
+    ), sums AS (
+      SELECT doc_id, n, stereo,
+             sum(((doc_id * 7919 + i * 104729) % 30000) - 15000) AS s1,
+             sum(((doc_id * 104729 + i * 7919) % 30000) - 15000) AS s2
+      FROM sel JOIN (SELECT range AS i FROM range(0, 8000)) t ON i < n
+      GROUP BY doc_id, n, stereo
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN stereo THEN 2 ELSE 1 END AS INTEGER) AS channels,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(s1 + CASE WHEN stereo THEN s2 ELSE 0 END AS BIGINT) AS sample_sum,
+           TRUE AS lossless_ok
+    FROM sums
+    """,
+    doc="REAL FLAC lossless round trip with an EXACT-VALUE oracle: per "
+    "selected doc, synthesize a deterministic integer signal "
+    "s1(i) = ((id*7919 + i*104729) %% 30000) - 15000 (plus a swapped-"
+    "constant channel 2 on even ids), encode to FLAC (operators/flac.py: "
+    "stereo-mode/bps/block-size/Rice2/LPC all cycled by id so every "
+    "decoder path is exercised), decode back, and emit the decoded "
+    "sample SUM — which the oracle recomputes in closed form over a "
+    "range() series WITHOUT any codec, because lossless decode must "
+    "reproduce the samples bit-for-bit (the strongest oracle shape any "
+    "media entry has: value-exact, not just structural).  lossless_ok "
+    "pins bit-equality with the source signal Spark-side.  Plan: pruned "
+    "1-column scan -> widened partitions -> one Arrow mapInPandas "
+    "kernel, no shuffle, no collect",
+)
+def multimodal_decode_flac(spark, sf):
+    from esgopeta_spark.session import ensure_min_partitions
+
+    ids = T(spark, sf, "documents").filter(F.col("doc_id") % 20 == 9).select("doc_id")
+    ids = ensure_min_partitions(ids)
+    out_schema = (
+        "doc_id bigint, channels int, n_samples bigint, sample_sum bigint, "
+        "lossless_ok boolean"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from esgopeta_spark.operators import codecs
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 4000 + (d % 4) * 1000
+                i = np.arange(n, dtype=np.int64)
+                s1 = (d * 7919 + i * 104729) % 30000 - 15000
+                stereo = d % 2 == 0
+                if stereo:
+                    s2 = (d * 104729 + i * 7919) % 30000 - 15000
+                    sig = np.stack([s1, s2], axis=1).astype(np.int32)
+                else:
+                    sig = s1[:, None].astype(np.int32)
+                mode = ("auto", "independent", "ls", "rs", "ms")[d % 5]
+                blob = codecs.encode_flac(
+                    sig,
+                    sample_rate=(8000, 44100, 12345)[d % 3],
+                    bps=(16, 24)[(d // 20) % 2],
+                    block_size=(4096, 1000, 192)[(d // 40) % 3],
+                    stereo_mode=mode if stereo else "independent",
+                    use_lpc=(d // 60) % 2 == 0,
+                    rice2=(d // 80) % 2 == 1,
+                )
+                dec, sr, bps = codecs.decode_flac(blob)
+                out.append(
+                    dict(
+                        doc_id=d,
+                        channels=dec.shape[1],
+                        n_samples=dec.shape[0],
+                        sample_sum=int(dec.astype(np.int64).sum()),
+                        lossless_ok=bool(
+                            np.array_equal(dec.astype(np.int64), sig.astype(np.int64))
+                        ),
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(kernel, out_schema)

@@ -825,6 +825,17 @@ def test_decoder_quarantine_contract_fuzz():
     valid["gif_anim"] = codecs.encode_gif_animation(
         9, 7, [{"img": _pal_image(9, 7, 5)}, {"img": _pal_image(4, 3, 3), "left": 2, "top": 2}]
     )
+    # FLAC (r9): fuzz the Rice/LPC/stereo-decorrelation bit machinery over
+    # a mono-LPC corpus and a mid/side + Rice2 stereo corpus
+    decoders["flac"] = codecs.decode_flac
+    magics["flac"] = b"fLaC"
+    valid["flac"] = codecs.encode_flac(_tone.astype(_np.int32), 8000, block_size=256)
+    decoders["flac_ms"] = codecs.decode_flac
+    magics["flac_ms"] = b"fLaC"
+    valid["flac_ms"] = codecs.encode_flac(
+        _np.stack([_tone, (_tone * 0.7).astype(_np.int16)], axis=1).astype(_np.int32),
+        8000, block_size=256, stereo_mode="ms", rice2=True,
+    )
     for name, fn in decoders.items():
         payloads = [
             magics[name] + rng.integers(0, 256, int(n), dtype=np.uint8).tobytes()
@@ -1636,3 +1647,186 @@ def test_audio_features_survive_stereo_mp2(spark):
     assert r["duration_ms"] > 0 and 0.1 < r["rms"] < 0.5
     # first channel (left, 500 Hz) drives the dominant frequency
     assert abs(r["dominant_hz"] - 500) < 25
+
+
+# --- FLAC lossless audio (r9) ----------------------------------------------
+
+
+def _flac_rt(x, sr=44100, **kw):
+    from esgopeta_spark.operators import codecs
+
+    x = np.asarray(x)
+    blob = codecs.encode_flac(x, sr, **kw)
+    dec, sr2, _bps = codecs.decode_flac(blob)
+    x2 = x[:, None] if x.ndim == 1 else x
+    assert sr2 == sr
+    assert np.array_equal(dec.astype(np.int64), x2.astype(np.int64))
+    return blob
+
+
+def test_flac_roundtrip_matrix():
+    """decode(encode(x)) bit-identical across signal shapes, stereo
+    modes, sample widths, block sizes (incl. partial last blocks),
+    Rice/Rice2, LPC on/off, wasted bits."""
+    rng = np.random.default_rng(7)
+    n = 6000
+    sine = (15000 * np.sin(np.arange(n) * 0.04)).astype(np.int32)
+    noise = rng.integers(-32768, 32768, n).astype(np.int32)
+    for x in (np.zeros(n, np.int32), np.full(n, -3000, np.int32), sine, noise,
+              (sine >> 5 << 5), np.array([7], np.int32)):
+        _flac_rt(x)
+    left = sine
+    right = (sine + rng.integers(-80, 80, n)).astype(np.int32)
+    st = np.stack([left, right], 1)
+    for mode in ("auto", "independent", "ls", "rs", "ms"):
+        _flac_rt(st, stereo_mode=mode)
+    _flac_rt(rng.integers(-128, 128, 777).astype(np.int32), bps=8, block_size=192)
+    _flac_rt(rng.integers(-2048, 2048, 500).astype(np.int32), bps=12)
+    _flac_rt(rng.integers(-2**19, 2**19, 2000).astype(np.int32), bps=20, rice2=True)
+    _flac_rt(rng.integers(-2**23, 2**23, 3000).astype(np.int32), bps=24, block_size=1000)
+    _flac_rt(sine, use_lpc=False)
+    _flac_rt(sine, partition_order=0)
+    _flac_rt(sine, sr=12345)      # 16-bit Hz header form
+    _flac_rt(sine, sr=123450)     # tens-of-Hz header form
+    _flac_rt(rng.integers(-3000, 3000, (2000, 4)).astype(np.int32))  # 4ch
+
+
+def test_flac_compresses_predictable_signals():
+    """The point of the codec: predictable audio must come out far
+    smaller than raw; white noise must stay ~raw (lossless bound)."""
+    n = 20000
+    sine = (15000 * np.sin(np.arange(n) * 0.03)).astype(np.int32)
+    blob = _flac_rt(sine)
+    assert len(blob) < n * 2 * 0.35, len(blob)
+    rng = np.random.default_rng(5)
+    noise = rng.integers(-32768, 32768, n).astype(np.int32)
+    blob = _flac_rt(noise)
+    assert len(blob) < n * 2 * 1.10, len(blob)
+
+
+def test_flac_corruption_detected():
+    """CRC-8/CRC-16/MD5 must catch byte corruption as ValueError, and a
+    flip anywhere must never escape as another exception type."""
+    from esgopeta_spark.operators import codecs
+
+    sine = (9000 * np.sin(np.arange(4000) * 0.05)).astype(np.int32)
+    good = codecs.encode_flac(sine, 8000, block_size=256)
+    import random
+
+    rnd = random.Random(11)
+    caught = 0
+    for _ in range(400):
+        bad = bytearray(good)
+        bad[rnd.randrange(len(bad))] ^= 1 << rnd.randrange(8)
+        try:
+            codecs.decode_flac(bytes(bad))
+        except ValueError:
+            caught += 1
+    # nearly every flip must be detected (CRCs + MD5 + structure checks);
+    # the rare survivable flips live in ignored header padding
+    assert caught > 350, caught
+
+
+def test_flac_spec_fixture_hand_assembled():
+    """Pin the decoder against a stream assembled BY HAND from the spec
+    text (RFC 9639) — never touching the encoder — with CRCs computed by
+    an INDEPENDENT bit-serial implementation, so a mirrored
+    encoder/decoder bug cannot self-validate (the TIFF-LZW lesson).
+    Stream: STREAMINFO + one 192-sample frame, constant subframe 42,
+    then a second hand stream with a FIXED order-1 subframe."""
+    import hashlib
+
+    from esgopeta_spark.operators import codecs
+
+    def crc_bitserial(data, poly, width):  # independent: bit-serial division
+        reg = 0
+        for byte in data:
+            for k in range(7, -1, -1):
+                bit = (byte >> k) & 1
+                top = (reg >> (width - 1)) & 1
+                reg = ((reg << 1) | bit) & ((1 << width) - 1)
+                if top:
+                    reg ^= poly & ((1 << width) - 1)
+        for _ in range(width):  # flush
+            top = (reg >> (width - 1)) & 1
+            reg = (reg << 1) & ((1 << width) - 1)
+            if top:
+                reg ^= poly & ((1 << width) - 1)
+        return reg
+
+    def streaminfo(n_samples, md5):
+        si = bytearray(34)
+        si[0:2] = (192).to_bytes(2, "big")
+        si[2:4] = (192).to_bytes(2, "big")
+        si[10] = (8000 >> 12) & 0xFF           # sample rate 20 bits
+        si[11] = (8000 >> 4) & 0xFF
+        si[12] = ((8000 & 0xF) << 4) | (0 << 1) | 0   # 1 channel, bps-1=15 -> high bit 0
+        si[13] = (15 << 4) | 0                  # bps-1 low nibble, total hi
+        si[14:18] = int(n_samples).to_bytes(4, "big")
+        si[18:34] = md5
+        return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + bytes(si)
+
+    # frame 1: constant subframe, value 42
+    samples = np.full(192, 42, np.int64)
+    md5 = hashlib.md5(samples.astype("<i2").tobytes()).digest()
+    hdr = bytes([0xFF, 0xF8,            # sync(14) + reserved 0 + fixed blocking
+                 (0x1 << 4) | 0x4,      # blocksize code 0001 (192), sr code 0100 (8000)
+                 (0x0 << 4) | (0x4 << 1) | 0,  # channels 0000, sample size 100 (16), reserved
+                 0x00])                 # UTF-8 frame number 0
+    hdr += bytes([crc_bitserial(hdr, 0x07, 8)])
+    body = hdr + bytes([0x00])          # pad(1)+type 000000+wasted 0 -> 0x00
+    body += (42).to_bytes(2, "big")     # constant value, 16 bits
+    body += crc_bitserial(body, 0x8005, 16).to_bytes(2, "big")
+    dec, sr, bps = codecs.decode_flac(streaminfo(192, md5) + body)
+    assert sr == 8000 and bps == 16
+    assert np.array_equal(dec[:, 0], samples)
+
+    # frame 2 stream: FIXED order-1, warmup 5, residuals all zero
+    # (rice param 0 -> each zero residual is a single '1' bit)
+    samples2 = np.full(192, 5, np.int64)
+    md5b = hashlib.md5(samples2.astype("<i2").tobytes()).digest()
+    body2 = bytearray(hdr)              # same header (same id/codes) incl. crc8
+    bits = "0" + "001001" + "0"         # pad + subframe type FIXED order 1 + no wasted
+    bits += format(5 & 0xFFFF, "016b")  # warmup sample
+    bits += "00" + "0000"               # residual method 00, partition order 0
+    bits += "0000"                      # rice parameter 0
+    bits += "1" * 191                   # 191 zero residuals, unary-coded
+    bits += "0" * (-len(bits) % 8)      # byte alignment
+    body2 += int(bits, 2).to_bytes(len(bits) // 8, "big")
+    body2 += crc_bitserial(bytes(body2), 0x8005, 16).to_bytes(2, "big")
+    dec2, _, _ = codecs.decode_flac(streaminfo(192, md5b) + bytes(body2))
+    assert np.array_equal(dec2[:, 0], samples2)
+
+
+def test_flac_md5_catches_silent_misdecode():
+    """A stream whose frames decode structurally but whose STREAMINFO
+    MD5 disagrees must be rejected (the end-to-end audio integrity
+    pin)."""
+    from esgopeta_spark.operators import codecs
+
+    sine = (9000 * np.sin(np.arange(2000) * 0.05)).astype(np.int32)
+    good = bytearray(codecs.encode_flac(sine, 8000))
+    good[8 + 4 + 18] ^= 0xFF  # flip a byte inside the STREAMINFO md5 field
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="MD5"):
+        codecs.decode_flac(bytes(good))
+
+
+def test_flac_in_decode_media(spark):
+    """decode_media sniffs and decodes FLAC rows alongside the other
+    audio formats; corrupt FLAC rows quarantine instead of failing."""
+    from esgopeta_spark.operators import codecs
+    from esgopeta_spark.operators.multimodal import decode_media
+
+    sine = (9000 * np.sin(np.arange(1600) * 0.05)).astype(np.int32)
+    blob = codecs.encode_flac(sine, 8000)
+    bad = bytearray(blob)
+    bad[len(bad) // 2] ^= 0xFF
+    df = spark.createDataFrame(
+        [(1, bytes(blob)), (2, bytes(bad))], "media_id: long, payload: binary"
+    )
+    rows = {r["media_id"]: r for r in decode_media(df).collect()}
+    assert rows[1]["ok"] and rows[1]["format"] == "flac"
+    assert rows[1]["n_samples"] == 1600 and rows[1]["sample_rate"] == 8000
+    assert not rows[2]["ok"] and rows[2]["err"].startswith("corrupt:")
