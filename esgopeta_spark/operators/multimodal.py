@@ -808,6 +808,9 @@ def decode_audio_any(b: bytes):
         return samples, sr
     if fmt == "mp3":
         return codecs.decode_mpeg1_audio(b)
+    if fmt == "flac":
+        arr, sr, _bps = codecs.decode_flac(b)
+        return (arr[:, 0] if arr.shape[1] == 1 else arr), sr
     raise ValueError(f"not a decodable audio payload: {fmt}")
 
 

@@ -2411,3 +2411,32 @@ def test_dsir_score_is_log_importance_weight(spark):
         n_grams = sum(per_doc[d].values())
         tol = 2.5 * 4 * n_grams / 1000.0  # 4 quantized log terms per gram
         assert abs(s / 1000.0 - expect[d]) <= tol, (d, s / 1000.0, expect[d], tol)
+
+
+def test_audio_dedup_pairs_flac_with_wav_original(spark):
+    """A FLAC re-encode of a WAV clip is LOSSLESS, so its spectral
+    fingerprint must match the original's exactly (0 bits), and the
+    banded pair join must pair them; an unrelated clip must not pair."""
+    import numpy as np
+
+    from esgopeta_spark.operators import codecs
+    from esgopeta_spark.operators.multimodal import audio_dup_pairs, audio_fp64
+
+    sr = 8000
+    t = np.arange(12000)
+    clip = (9000 * np.sin(2 * np.pi * 440 * t / sr)
+            + 3000 * np.sin(2 * np.pi * 1310 * t / sr)).astype(np.int16)
+    other = (9000 * np.sin(2 * np.pi * 700 * t / sr)).astype(np.int16)
+    assert audio_fp64(clip.astype(np.float64)) == audio_fp64(
+        codecs.decode_flac(codecs.encode_flac(clip.astype(np.int32), sr))[0][:, 0]
+        .astype(np.float64)
+    )
+    rows = [
+        (1, codecs.encode_wav(clip, sr)),
+        (2, codecs.encode_flac(clip.astype(np.int32), sr)),
+        (3, codecs.encode_flac(other.astype(np.int32), sr, rice2=True)),
+    ]
+    df = spark.createDataFrame(rows, "media_id: long, payload: binary")
+    pairs = {(r["id_a"], r["id_b"]) for r in audio_dup_pairs(df).collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
