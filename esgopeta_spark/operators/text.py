@@ -900,3 +900,145 @@ def split_shards(
         *df.columns, "split", "shard",
         F.row_number().over(w).cast("bigint").alias("ordinal"),
     )
+
+
+def entropy_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Information-theoretic quality signals per doc, ENGINE-EXACT:
+    unigram Shannon entropy (milli-bits/token) and KL divergence from
+    the corpus unigram distribution (milli-bits/token) — the classic
+    "gibberish scores low-entropy, off-domain scores high-KL" filter
+    pair.  Logs use the integer shift-and-square milli-log2
+    (operators/selection.py), so no libm ln crosses the engine boundary:
+
+      H(doc)  = mlog2(n) − (Σ_w c_w·mlog2(c_w)) div n
+      KL(doc‖corpus) = mlog2(N) − mlog2(n)
+                       − (Σ_w c_w·(mlog2(C_w) − mlog2(c_w))) div n
+
+    (c = doc term count, n = doc tokens, C/N = corpus counts; identities
+    hold because Σc = n.  The Σ is kept in the NON-NEGATIVE orientation
+    — mlog2 is monotone, c ≤ C — because integer division of negatives
+    is the one place Spark ``div`` (truncate) and DuckDB ``//`` (floor)
+    disagree.)  Floor-biased log quantization (≤2.5 milli per term) is
+    the documented, deterministic surrogate.
+
+    Scale shape: one (doc, word) groupBy, one word-keyed corpus
+    aggregate joined back by word, one per-doc aggregate; the milli-log2
+    chains are pure codegen projections that fuse into the surrounding
+    stages.  No collect (corpus totals are a broadcast 1-row cross
+    join)."""
+    from esgopeta_spark.operators.selection import with_milli_log2
+
+    tok = df.select(
+        F.col(id_col).alias("_id"), F.explode(words(F.col(text_col))).alias("w")
+    )
+    wc = tok.groupBy("_id", "w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cw = wc.groupBy("w").agg(F.sum("c").cast("bigint").alias("cw"))
+    tot = cw.agg(F.sum("cw").cast("bigint").alias("n_corpus"))
+
+    wc = with_milli_log2(wc, "c", "mlc")
+    cw = with_milli_log2(cw, "cw", "mlcw").select("w", "mlcw")
+    tot = with_milli_log2(tot, "n_corpus", "mln_corpus").select("mln_corpus")
+
+    per_doc = (
+        wc.join(cw, "w")
+        .groupBy("_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum(F.col("c") * F.col("mlc")).cast("bigint").alias("_scm"),
+            F.sum(F.col("c") * (F.col("mlcw") - F.col("mlc")))
+            .cast("bigint")
+            .alias("_skl"),
+        )
+    )
+    per_doc = with_milli_log2(per_doc, "n_tokens", "mln")
+    return per_doc.crossJoin(F.broadcast(tot)).select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        "n_types",
+        (F.col("mln") - F.expr("_scm div n_tokens")).cast("bigint").alias("entropy_milli"),
+        (
+            F.col("mln_corpus") - F.col("mln") - F.expr("_skl div n_tokens")
+        ).cast("bigint").alias("kl_corpus_milli"),
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1_milli: int = 1200,
+    b_milli: int = 750,
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Sparck Jones, public) with a
+    REAL log idf — engine-exact via integer milli-log2 (the earlier
+    tf-idf battery had to ship an integer-ratio idf surrogate because
+    transcendental logs flake cross-engine; the shift-and-square log2
+    removes that limitation):
+
+      idf_milli(t) = mlog2(N_docs + 1) − mlog2(df_t + 1)
+      tf_part_milli = (c·(k1+1000)·1000) div (c·1000 + (k1·B) div 1000)
+        with B = 1000 − b + (b·dl·1000) div avgdl_milli   (length norm)
+      score_milli(doc) = Σ_t (idf_milli·tf_part_milli) div 1000
+
+    avgdl_milli = (N_tokens·1000) div N_docs.  Every division is integer
+    ``div`` on both engines.  Output: one row per (doc, matched term)
+    aggregated to doc score + matched-term count.
+
+    Scale shape: term filter hits the (doc, word) counts before any
+    join; doc-frequency and totals are bounded aggregates (broadcast);
+    one per-doc aggregate."""
+    from esgopeta_spark.operators.selection import with_milli_log2
+
+    terms = [t.lower() for t in dict.fromkeys(query_terms)]
+    tok = df.select(
+        F.col(id_col).alias("_id"), F.explode(words(F.col(text_col))).alias("w")
+    )
+    dl = tok.groupBy("_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    totals = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("(sum(dl) * 1000) div count(1)").cast("bigint").alias("avgdl_milli"),
+    )
+    wc = (
+        tok.filter(F.col("w").isin(terms))
+        .groupBy("_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    dfreq = wc.groupBy("w").agg((F.count(F.lit(1)) + 1).cast("bigint").alias("df1"))
+    dfreq = with_milli_log2(dfreq, "df1", "mldf").select("w", "mldf")
+    ndocs = totals.select((F.col("n_docs") + 1).alias("nd1"), "avgdl_milli")
+    ndocs = with_milli_log2(ndocs, "nd1", "mlnd")
+
+    k1 = int(k1_milli)
+    b = int(b_milli)
+    scored = (
+        wc.join(dl, "_id")
+        .join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "_id",
+            "w",
+            (F.col("mlnd") - F.col("mldf")).alias("idf_milli"),
+            F.expr(
+                f"(c * ({k1} + 1000) * 1000) div (c * 1000 + "
+                f"({k1} * (1000 - {b} + ({b} * dl * 1000) div avgdl_milli)) div 1000)"
+            ).alias("tf_milli"),
+        )
+        .select(
+            "_id", "w",
+            F.expr("(idf_milli * tf_milli) div 1000").cast("bigint").alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matched_terms"),
+            F.sum("s").cast("bigint").alias("score_milli"),
+        )
+        .select(F.col("_id").alias(id_col), "n_matched_terms", "score_milli")
+    )

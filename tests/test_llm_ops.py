@@ -2440,3 +2440,49 @@ def test_audio_dedup_pairs_flac_with_wav_original(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in audio_dup_pairs(df).collect()}
     assert (1, 2) in pairs
     assert not any(3 in p for p in pairs)
+
+
+def test_entropy_profile_known_distributions(spark):
+    """Entropy pins: all-distinct doc -> H = log2(n); single repeated
+    word -> H = 0; corpus-typical doc -> small KL, all-rare-words doc ->
+    larger KL than a typical one."""
+    import math
+
+    from esgopeta_spark.operators.text import entropy_profile
+
+    common = " ".join(["the cat sat on the mat"] * 20)  # corpus-dominant words
+    docs = [
+        (0, " ".join(f"u{i}" for i in range(16))),   # 16 distinct tokens
+        (1, " ".join(["same"] * 32)),                # zero entropy
+        (2, "the cat sat on the mat " * 10),         # typical
+        (3, " ".join(f"rare{i}" for i in range(8)) + " " + common),
+    ] + [(10 + i, common) for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    got = {r["doc_id"]: r for r in entropy_profile(df).collect()}
+    assert abs(got[0]["entropy_milli"] / 1000 - math.log2(16)) < 0.01
+    assert got[1]["entropy_milli"] == 0
+    assert got[0]["n_types"] == 16 and got[1]["n_types"] == 1
+    assert got[2]["kl_corpus_milli"] < got[3]["kl_corpus_milli"]
+
+
+def test_bm25_ranks_term_rich_docs(spark):
+    """BM25 pins: a doc saturated in the query terms outranks one with a
+    single mention; docs without any query term don't appear; a rare
+    term outweighs a ubiquitous one (idf)."""
+    from esgopeta_spark.operators.text import bm25_scores
+
+    filler = " ".join(f"w{i}" for i in range(30))
+    docs = [
+        (0, "needle haystack needle needle " + filler),
+        (1, "needle " + filler),
+        (2, filler),
+        (3, "haystack " + filler),
+    ] + [(10 + i, "haystack " + filler) for i in range(10)]  # haystack is common
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    got = {r["doc_id"]: r for r in bm25_scores(df, ["needle", "haystack"]).collect()}
+    assert 2 not in got
+    assert got[0]["n_matched_terms"] == 2
+    assert got[0]["score_milli"] > got[1]["score_milli"] > 0
+    # idf: 'needle' appears in 2 docs, 'haystack' in 12 -> needle-only
+    # beats haystack-only at equal tf
+    assert got[1]["score_milli"] > got[3]["score_milli"]

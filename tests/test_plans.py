@@ -430,3 +430,19 @@ def test_dsir_plan_posture(spark, sf_dir):
     assert "CartesianProduct" not in p, p
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) <= 2, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_entropy_bm25_plan_posture(spark, sf_dir):
+    """Entropy/KL: word-keyed corpus join stays equi (no cartesian
+    beyond the 1-row totals); BM25: the term filter must reach below the
+    (doc,word) aggregate and the df/totals sides broadcast."""
+    import re
+
+    from esgopeta_spark.plans import REGISTRY
+
+    p = plan_of(REGISTRY["text_entropy_kl_profile"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) <= 1, p
+    p = plan_of(REGISTRY["text_bm25_retrieval"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
