@@ -149,20 +149,19 @@ def hashed_bigram_counts(
     )
 
 
-def dsir_scores(
+def dsir_lambda(
     raw: DataFrame,
     target: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     buckets: int = 1024,
 ) -> DataFrame:
-    """Score every ``raw`` doc (with ≥1 bigram) by the DSIR importance
-    weight  score_milli = Σ_b c_b · λ_b  with
+    """The trained DSIR model: per-bucket importance term
     λ_b = [mlog2(p_b+1) − mlog2(P+B)] − [mlog2(q_b+1) − mlog2(Q+B)]
     (milli-log2 of the add-1-smoothed target/raw probability ratio; the
     four log terms are computed separately so no intermediate product
-    can overflow int64 at any corpus size).  Output: id, n_grams,
-    score_milli — higher = more target-like."""
+    can overflow int64 at any corpus size).  ≤``buckets`` rows — the
+    artifact a scorer broadcasts, batch or streaming."""
     docb = hashed_bigram_counts(raw, text_col, id_col, buckets)
     q = docb.groupBy("bucket").agg(F.sum("c").alias("qc"))
     p = (
@@ -185,7 +184,7 @@ def dsir_scores(
     # λ table: every RAW bucket; absent target buckets contribute
     # mlog2(0+1) = 0 exactly, so a left join + coalesce(ml_p, 0) is the
     # smoothed value, not an approximation.
-    lam = (
+    return (
         ml_q.join(ml_p, "bucket", "left")
         .crossJoin(F.broadcast(ml_qtot))
         .crossJoin(F.broadcast(ml_ptot))
@@ -197,6 +196,20 @@ def dsir_scores(
             ).cast("bigint").alias("lam_milli"),
         )
     )
+
+
+def dsir_scores(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Score every ``raw`` doc (with ≥1 bigram) by the DSIR importance
+    weight  score_milli = Σ_b c_b · λ_b  (λ from :func:`dsir_lambda`).
+    Output: id, n_grams, score_milli — higher = more target-like."""
+    docb = hashed_bigram_counts(raw, text_col, id_col, buckets)
+    lam = dsir_lambda(raw, target, text_col, id_col, buckets)
     return (
         docb.join(F.broadcast(lam), "bucket")
         .groupBy("_id")

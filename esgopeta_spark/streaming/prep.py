@@ -339,3 +339,59 @@ def streaming_blocklist_hits(
     from esgopeta_spark.operators.matching import blocklist_hits
 
     return blocklist_hits(docs, phrases, text_col=text_col, id_col=id_col)
+
+
+def streaming_dsir_scores(
+    docs: DataFrame,
+    lam_rows: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Streaming twin of ``selection.dsir_scores`` for the deployment
+    shape that actually occurs: the λ model is TRAINED OFFLINE on a
+    batch corpus (``selection.dsir_lambda`` → collect the ≤1024-row
+    table once) and incoming docs are scored as they arrive.  The lag
+    window the batch gram stream uses is unsupported on streams, so the
+    twin is one stateless Arrow pass with the λ dict in the closure —
+    append-mode safe, bit-equal to batch scoring by construction
+    (identical integer arithmetic; md5 bucketing matches Spark's md5 of
+    the same UTF-8 text).  ``lam_rows``: iterable of (bucket, lam_milli)
+    or Rows.  Docs with no bigram are dropped, like batch."""
+    import hashlib as _hashlib
+    import re as _re
+
+    lam = {}
+    for r in lam_rows:
+        if isinstance(r, (tuple, list)):
+            b, v = r
+        else:  # pyspark Row
+            b, v = r["bucket"], r["lam_milli"]
+        lam[int(b)] = int(v)
+    B = int(buckets)
+
+    def kernel(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                norm = _re.sub(r"\s+", " ", (text or "").lower().strip())
+                ws = norm.split(" ") if norm else []
+                if len(ws) < 2:
+                    continue
+                n_grams = 0
+                score = 0
+                for i in range(len(ws) - 1):
+                    g = ws[i] + " " + ws[i + 1]
+                    b = int(_hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+                    n_grams += 1
+                    score += lam.get(b, 0)
+                rows.append({id_col: int(did), "n_grams": n_grams,
+                             "score_milli": score})
+            if rows:
+                yield _pd.DataFrame(rows)
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, f"{id_col} bigint, n_grams bigint, score_milli bigint"
+    )

@@ -976,3 +976,33 @@ def test_streaming_blocklist_matches_batch(spark, sf_dir, tmp_path):
         for r in spark.sql("SELECT * FROM blockstream").collect()
     }
     assert got == want
+
+
+def test_streaming_dsir_scores_match_batch(spark, sf_dir, tmp_path):
+    """Train λ on the batch corpus, score the same docs as a stream:
+    per-doc scores must be bit-equal to the batch scorer."""
+    from esgopeta_spark.operators.selection import dsir_lambda, dsir_scores
+    from esgopeta_spark.streaming.prep import streaming_dsir_scores
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    target = docs.filter("lang = 'en'")
+    lam_rows = dsir_lambda(docs, target).collect()
+    want = {
+        r["doc_id"]: (r["n_grams"], r["score_milli"])
+        for r in dsir_scores(docs, target).collect()
+    }
+    docs.select("doc_id", "text").coalesce(2).write.mode("overwrite").parquet(
+        str(tmp_path / "docs")
+    )
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(tmp_path / "docs"))
+    run_stream_to_memory(
+        streaming_dsir_scores(stream, [(r["bucket"], r["lam_milli"]) for r in lam_rows]),
+        "dsirstream", mode="append",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["score_milli"])
+        for r in spark.sql("SELECT * FROM dsirstream").collect()
+    }
+    assert got == want
