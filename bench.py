@@ -83,6 +83,12 @@ HEADLINE = [
     "multimodal_decode_mp3_audio",
     "dedup_image_dhash",
     "dedup_audio_fingerprint",
+    # round-9 flagships: FLAC lossless round trip (exact-sum oracle),
+    # DSIR importance selection, entropy/KL quality signals (both on the
+    # engine-exact integer milli-log2)
+    "multimodal_decode_flac",
+    "select_dsir_scores",
+    "text_entropy_kl_profile",
 ]
 
 
