@@ -164,6 +164,52 @@ def minhash_signature_np(num_hashes: int = 64, seed: int = 2026):
     return pandas_udf(_minhash, ArrayType(LongType()))
 
 
+def banded_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    vectorized: bool = True,
+) -> DataFrame:
+    """(_id, band, bh) banded MinHash signature rows — the stateless
+    projection shared by the batch self-join (minhash_lsh_candidates)
+    and the streaming bucket handler (streaming/dedup.py): shingle
+    hashes and band hashes are JVM xxhash64, the k-family min-fold is
+    the Arrow numpy kernel, so batch and stream produce bit-identical
+    keys.  Works on batch AND streaming DataFrames (no window, no
+    checkpoint here)."""
+    rows = num_hashes // bands
+    if vectorized:
+        base = df.select(
+            F.col(id_col).alias("_id"),
+            shingle_hashes(F.col(text_col), shingle_n).alias("_base"),
+        )
+        sig = base.select("_id", minhash_signature_np(num_hashes)(F.col("_base")).alias("_sig"))
+    else:
+        sig = df.select(
+            F.col(id_col).alias("_id"),
+            minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias("_sig"),
+        )
+    return sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        # xxhash64 is variadic: hash the band's signature rows
+                        # directly as longs — no per-row string materialization
+                        F.xxhash64(*[F.element_at("_sig", b * rows + r + 1) for r in range(rows)]).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bh")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -193,34 +239,7 @@ def minhash_lsh_candidates(
     from esgopeta_spark.session import ensure_min_partitions
 
     df = ensure_min_partitions(df)
-    rows = num_hashes // bands
-    if vectorized:
-        base = df.select(
-            F.col(id_col).alias("_id"),
-            shingle_hashes(F.col(text_col), shingle_n).alias("_base"),
-        )
-        sig = base.select("_id", minhash_signature_np(num_hashes)(F.col("_base")).alias("_sig"))
-    else:
-        sig = df.select(
-            F.col(id_col).alias("_id"),
-            minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias("_sig"),
-        )
-    banded = sig.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        # xxhash64 is variadic: hash the band's signature rows
-                        # directly as longs — no per-row string materialization
-                        F.xxhash64(*[F.element_at("_sig", b * rows + r + 1) for r in range(rows)]).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("_id", "bb.band", "bb.bh")
+    banded = banded_signatures(df, text_col, id_col, num_hashes, bands, shingle_n, vectorized)
     banded = banded.localCheckpoint()
     a = banded.alias("a")
     b = banded.alias("b")

@@ -1,0 +1,116 @@
+"""Streaming near-duplicate detection (r9): MinHash-LSH over a document
+stream — every arriving doc is checked against the ENTIRE history seen
+so far, the way a production ingest dedupes against its corpus.
+
+The batch pipeline's candidate generation is already stream-safe: the
+shingle/band hashing is JVM xxhash64 and the k-family min-fold is an
+Arrow pandas_udf, all stateless projections (`dedup.banded_signatures`
+is shared by both paths, so batch and stream produce bit-identical band
+keys).  Only the pair step changes shape: the batch self-join becomes a
+stateful bucket handler (`applyInPandasWithState` keyed by
+(band, band_hash)) whose state is the sorted id list of every doc seen
+in that bucket; a new arrival emits (old, new) pairs against the
+resident ids plus the new-vs-new pairs, so each colliding pair is
+emitted exactly once per bucket — the union over buckets equals the
+batch candidate set under ANY arrival order (pinned in
+tests/test_streaming.py).  A pair colliding in several bands is emitted
+once per band, like the batch join before its ``distinct()``; dedupe
+downstream (``dropDuplicates`` with a watermark, or the consumer's
+upsert) — noted per the no-silent-caps rule.
+
+Scale shape: the state store IS the corpus index — Σ_bucket |ids| =
+bands × n_docs longs, exactly what any streaming dedup service keeps
+(RocksDB state store on a real cluster); the per-bucket emission is
+linear in collisions, never all-pairs.  Hot buckets (boilerplate
+shingle profiles) concentrate state exactly like hot keys in the batch
+join — cap them with ``max_bucket`` (emission stops, a capped marker
+row is emitted once so the cap is VISIBLE, not silent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupStateTimeout
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+MINHASH_STATE_SCHEMA = StructType(
+    [
+        StructField("ids_json", StringType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+MINHASH_PAIRS_SCHEMA = "band int, bh bigint, id_a bigint, id_b bigint"
+
+
+def _make_bucket_handler(max_bucket: int):
+    import json as _json
+
+    def handler(key, pdfs, gstate):
+        band, bh = key
+        new = []
+        for pdf in pdfs:
+            new.extend(int(v) for v in pdf["_id"])
+        if not new:
+            return
+        import pandas as _pd
+
+        if gstate.exists:
+            st = gstate.get
+            ids = _json.loads(st[0])
+            n_seen = int(st[1])
+        else:
+            ids, n_seen = [], 0
+        new = sorted(set(new) - set(ids))
+        prior_overflow = n_seen > len(ids)
+        if max_bucket > 0:
+            admit = new[: max(max_bucket - len(ids), 0)]
+        else:
+            admit = new
+        rows = []
+        for i, b in enumerate(admit):
+            for a in ids:
+                rows.append({"band": int(band), "bh": int(bh),
+                             "id_a": min(a, b), "id_b": max(a, b)})
+            for a in admit[:i]:
+                rows.append({"band": int(band), "bh": int(bh),
+                             "id_a": a, "id_b": b})
+        if len(admit) < len(new) and not prior_overflow:
+            # cap crossed NOW: one visible marker row (id_a = -1), so the
+            # truncation is observable, never silent
+            rows.append({"band": int(band), "bh": int(bh),
+                         "id_a": -1, "id_b": len(ids) + len(new)})
+        ids = sorted(set(ids) | set(admit))
+        gstate.update((_json.dumps(ids), n_seen + len(new)))
+        if rows:
+            yield _pd.DataFrame(rows)
+
+    return handler
+
+
+def streaming_minhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket: int = 0,
+) -> DataFrame:
+    """Streaming docs (id, text) -> append stream of LSH candidate pairs
+    (band, bh, id_a, id_b) with id_a < id_b; see module docstring.
+    ``max_bucket`` > 0 stops pair emission for buckets beyond that many
+    resident docs (hot-bucket guard) and emits a single (id_a=-1,
+    id_b=bucket_size) marker row instead."""
+    from esgopeta_spark.operators.dedup import banded_signatures
+
+    banded = banded_signatures(
+        docs, text_col, id_col, num_hashes, bands, shingle_n, vectorized=True
+    )
+    return banded.groupBy("band", "bh").applyInPandasWithState(
+        _make_bucket_handler(max_bucket),
+        outputStructType=MINHASH_PAIRS_SCHEMA,
+        stateStructType=MINHASH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

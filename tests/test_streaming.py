@@ -1006,3 +1006,68 @@ def test_streaming_dsir_scores_match_batch(spark, sf_dir, tmp_path):
         for r in spark.sql("SELECT * FROM dsirstream").collect()
     }
     assert got == want
+
+
+def test_streaming_minhash_pairs_match_batch(spark, sf_dir, tmp_path):
+    """Streaming LSH candidates over multi-batch arrival must equal the
+    batch minhash_lsh_candidates pair set (the stateless signature
+    pipeline is literally shared; this pins the stateful bucket
+    handler)."""
+    from esgopeta_spark.operators.dedup import minhash_lsh_candidates
+    from esgopeta_spark.streaming.dedup import streaming_minhash_pairs
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # plant near-dups across batch boundaries: clones of real docs with
+    # one word changed, ids offset by 10000
+    base = [(r["doc_id"], r["text"]) for r in d.limit(30).collect()]
+    clones = [
+        (did + 10000, "zzz " + text.split(" ", 1)[1] if " " in text else text)
+        for did, text in base[:12]
+    ]
+    all_docs = base + clones
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            spark.createDataFrame(all_docs, "doc_id: long, text: string")
+        ).collect()
+    }
+    assert want, "fixture must produce at least one candidate pair"
+    # originals in batch 0, clones in batch 1 -> every cross pair is
+    # discovered against state, not within one micro-batch
+    (spark.createDataFrame(base, "doc_id: long, text: string")
+     .coalesce(1).write.mode("overwrite").json(str(tmp_path / "in") + "/b0"))
+    (spark.createDataFrame(clones, "doc_id: long, text: string")
+     .coalesce(1).write.mode("overwrite").json(str(tmp_path / "in") + "/b1"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "in") + "/*")
+    )
+    run_stream_to_memory(
+        streaming_minhash_pairs(stream), "lshstream", mode="append"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.sql("SELECT DISTINCT id_a, id_b FROM lshstream").collect()
+    }
+    assert got == want
+
+
+def test_streaming_minhash_hot_bucket_cap_is_visible(spark, tmp_path):
+    """max_bucket stops quadratic emission on a boilerplate bucket and
+    emits the visible marker row instead of silently truncating."""
+    from esgopeta_spark.streaming.dedup import streaming_minhash_pairs
+
+    docs = [(i, "exact same boilerplate text repeated everywhere") for i in range(30)]
+    (spark.createDataFrame(docs, "doc_id: long, text: string")
+     .coalesce(1).write.mode("overwrite").json(str(tmp_path / "inh")))
+    stream = spark.readStream.schema("doc_id long, text string").json(str(tmp_path / "inh"))
+    run_stream_to_memory(
+        streaming_minhash_pairs(stream, max_bucket=5), "lshcap", mode="append"
+    )
+    rows = spark.sql("SELECT * FROM lshcap").collect()
+    markers = [r for r in rows if r["id_a"] == -1]
+    pairs = [r for r in rows if r["id_a"] >= 0]
+    assert markers, "cap must emit a visible marker"
+    # 30 identical docs, cap 5: far fewer than the 30*29/2 per-band pairs
+    assert len(pairs) < 16 * 60
