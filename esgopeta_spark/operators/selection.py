@@ -241,3 +241,51 @@ def dsir_topk(
         .filter(F.col("sel_rank") <= k)
         .select(id_col, "n_grams", "score_milli", F.col("sel_rank").cast("int").alias("sel_rank"))
     )
+
+
+def domain_weights(
+    docs: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain mixture reweighting, DoReMi-shaped (Xie et al. 2023,
+    "Doremi: Optimizing Data Mixtures" — public): upweight the domains
+    the reference distribution explains WORST.  DoReMi's excess loss
+    needs a trained proxy model; the engine-side one-shot analogue is
+    per-domain divergence from the corpus unigram distribution — the KL
+    term `entropy_profile` already computes per doc, aggregated per
+    domain and normalized to parts-per-million sampling weights:
+
+      weight_ppm(s) = (Σ_docs∈s max(kl, 0) · 1e6) div Σ_all max(kl, 0)
+
+    (clamped at 0 per doc: the milli-log2 quantization can dip a
+    near-zero KL slightly negative, and integer division of negatives
+    is the one Spark/DuckDB divergence).  Σ weights ≤ 1e6 by flooring.
+
+    Scale shape: the entropy pipeline (one (doc,word) groupBy + word
+    join + per-doc agg) feeds a per-doc row set joined to a 2-column
+    pruned (id, domain) projection — dimension-shaped, the heavy
+    lineage is not duplicated — then one bounded per-domain aggregate
+    and a broadcast 1-row total."""
+    from esgopeta_spark.operators.text import entropy_profile
+
+    kl = entropy_profile(docs, text_col, id_col).select(
+        id_col, F.greatest(F.col("kl_corpus_milli"), F.lit(0)).alias("_kl")
+    )
+    dim = docs.select(id_col, domain_col)
+    per_dom = (
+        kl.join(dim, id_col)
+        .groupBy(domain_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_kl").cast("bigint").alias("sum_kl_milli"),
+        )
+    )
+    tot = per_dom.agg(F.sum("sum_kl_milli").cast("bigint").alias("_tot"))
+    return per_dom.crossJoin(F.broadcast(tot)).select(
+        domain_col,
+        "n_docs",
+        "sum_kl_milli",
+        F.expr("(sum_kl_milli * 1000000) div _tot").cast("bigint").alias("weight_ppm"),
+    )

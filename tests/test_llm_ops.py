@@ -2486,3 +2486,36 @@ def test_bm25_ranks_term_rich_docs(spark):
     # idf: 'needle' appears in 2 docs, 'haystack' in 12 -> needle-only
     # beats haystack-only at equal tf
     assert got[1]["score_milli"] > got[3]["score_milli"]
+
+
+def test_domain_weights_upweight_divergent_domain(spark):
+    """A domain whose vocabulary diverges from the corpus gets the
+    larger sampling weight; weights are ppm-normalized (sum <= 1e6,
+    floor) and cover every domain."""
+    import random
+
+    from esgopeta_spark.operators.selection import domain_weights
+
+    rng = random.Random(3)
+    common = [f"c{i}" for i in range(20)]
+    weird = [f"x{i}" for i in range(20)]
+    docs = (
+        [(i, " ".join(rng.choice(common) for _ in range(40)), "mainstream")
+         for i in range(30)]
+        + [(100 + i, " ".join(rng.choice(weird) for _ in range(40)), "fringe")
+           for i in range(5)]
+    )
+    df = spark.createDataFrame(docs, "doc_id: long, text: string, source: string")
+    got = {r["source"]: r for r in domain_weights(df).collect()}
+    assert set(got) == {"mainstream", "fringe"}
+    assert got["fringe"]["n_docs"] == 5 and got["mainstream"]["n_docs"] == 30
+    # the weight is KL MASS (domain size x divergence — a sampling
+    # weight over docs); the per-doc divergence signal is the MEAN,
+    # which must rank the off-distribution domain far higher (the 30
+    # mainstream docs carry ~0.3 bits/doc of sampling-noise KL, so
+    # their summed mass legitimately rivals 5 fringe docs)
+    mean_f = got["fringe"]["sum_kl_milli"] / got["fringe"]["n_docs"]
+    mean_m = got["mainstream"]["sum_kl_milli"] / got["mainstream"]["n_docs"]
+    assert mean_f > 3 * mean_m, (mean_f, mean_m)
+    assert all(r["weight_ppm"] > 0 for r in got.values())
+    assert sum(r["weight_ppm"] for r in got.values()) <= 1_000_000
