@@ -111,13 +111,21 @@ GRADED_WINDOW = [
     # r5: the r4 flagship LLM ops rotated into the gate (hash-exact oracles)
     "dedup_semantic_kmeans",
     "dedup_substring_spans",
-    "sim_topk_cosine",
+    # r9: the exact cosine tier rotated to parity-only (G3 keeps the
+    # deeper IVF + PQ tiers graded) for the DSIR importance-selection
+    # flagship — the targeted-data-selection family's first in-window
+    # representative, hash-exact on the engine-exact integer milli-log2
+    "select_dsir_scores",
     # G3 SCALE tier under the gate (r4): IVF probe join, hash-exact vs DuckDB
     "sim_topk_cosine_ivf",
     # r5: PQ asymmetric-distance top-k, hash-exact (compressed-domain tier)
     "sim_topk_ip_pq",
-    # G5 real PNG codec round-trip vs analytic oracle (r4)
-    "multimodal_decode_png",
+    # r9: the PNG round trip rotated to parity-only (the real image
+    # decode path stays graded through dedup_image_dhash, which runs the
+    # PNG decoder on every row) for the FLAC lossless round trip — the
+    # strongest oracle shape in the media family: DuckDB recomputes the
+    # exact decoded-sample SUM in closed form, no codec involved
+    "multimodal_decode_flac",
     # r8: REAL MPEG-1 Layer III (mp3) round trip rotated in for its
     # Layer I/II sibling (same decoder machinery, strictly deeper: side
     # info, bit reservoir, Huffman regions, hybrid MDCT, short blocks;

@@ -30,7 +30,11 @@ REQUIRED_IN_WINDOW = {
     "unpivot_lineitem_measures",
     "sessionize_events_islands",  # E5 gaps-and-islands
     "sim_topk_cosine_ivf",  # G3 scale tier (r4: graded, not just the exact oracle tier)
-    "multimodal_decode_png",  # G5 real codec round-trip (r4)
+    # r9 rotations: png -> parity (image decode stays graded via
+    # dedup_image_dhash's PNG path), exact cosine -> parity (IVF/PQ keep
+    # G3); FLAC's value-exact oracle and the DSIR selection family in
+    "multimodal_decode_flac",  # G5 lossless round trip, closed-form sum oracle
+    "select_dsir_scores",  # G4 targeted data selection (milli-log2)
     # r5 rotation (r4 VERDICT task 1): the r4 flagship LLM/graph ops
     "dedup_semantic_kmeans",  # G2/G3 SemDeDup full pipeline, hash-exact
     "dedup_substring_spans",  # G1/G2/G4 exact-substring spans (Lee et al.)
