@@ -88,6 +88,15 @@ def sniff_format(b: bytes | None) -> str:
         if b[: len(magic)] == magic:
             if name == "wav" and b[8:12] != b"WAVE":
                 return "riff-other"
+            if name == "mp3" and len(b) >= 10:
+                # an ID3v2 envelope wraps mp3 AND (in the wild,
+                # nonstandard but common) FLAC: peek past the synchsafe
+                # tag size to classify by the real payload
+                size = ((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14) | \
+                       ((b[8] & 0x7F) << 7) | (b[9] & 0x7F)
+                off = 10 + size + (10 if len(b) > 5 and b[5] & 0x10 else 0)
+                if b[off : off + 4] == b"fLaC":
+                    return "flac"
             return name
     if len(b) >= 12 and b[4:8] == b"ftyp":  # ISO BMFF (mp4/mov)
         return "mp4"

@@ -293,6 +293,15 @@ def decode_flac(data: bytes):
     """FLAC bytes -> (samples int32 array [n, channels], sample_rate,
     bits_per_sample).  Raises ValueError on any malformed structure,
     CRC mismatch, or (when checkable) STREAMINFO-MD5 mismatch."""
+    # real-corpus tolerance: strip a leading ID3v2 envelope (synchsafe
+    # size + optional footer) and a trailing 128-byte ID3v1 block —
+    # nonstandard around FLAC but common in scraped audio
+    if data[:3] == b"ID3" and len(data) >= 10:
+        size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) | \
+               ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+        data = data[10 + size + (10 if data[5] & 0x10 else 0):]
+    if len(data) >= 128 and data[-128:-125] == b"TAG":
+        data = data[:-128]
     if len(data) < 42 or data[:4] != b"fLaC":
         raise ValueError("not a FLAC stream")
     pos = 4

@@ -1830,3 +1830,22 @@ def test_flac_in_decode_media(spark):
     assert rows[1]["ok"] and rows[1]["format"] == "flac"
     assert rows[1]["n_samples"] == 1600 and rows[1]["sample_rate"] == 8000
     assert not rows[2]["ok"] and rows[2]["err"].startswith("corrupt:")
+
+
+def test_flac_id3_wrapped_stream_decodes():
+    """Real scraped corpora wrap FLAC in ID3 envelopes (nonstandard but
+    common): sniff must classify by the payload behind the synchsafe
+    header, and decode must strip ID3v2 front + ID3v1 tail."""
+    from esgopeta_spark.operators import codecs
+
+    sine = (9000 * np.sin(np.arange(2000) * 0.05)).astype(np.int32)
+    core = codecs.encode_flac(sine, 8000)
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 20]) + b"\x00" * 20
+    wrapped = id3 + core + b"TAG" + b"\x00" * 125
+    assert codecs.sniff_format(wrapped) == "flac"
+    dec, sr, _ = codecs.decode_flac(wrapped)
+    assert sr == 8000 and np.array_equal(dec[:, 0], sine)
+    # an ID3-wrapped MP3 must still sniff as mp3
+    tone = (np.sin(2 * np.pi * 440 * np.arange(1152) / 32000) * 9000).astype(np.int16)
+    mp3 = id3 + codecs.encode_mpeg1_audio(tone, 32000, layer=3)
+    assert codecs.sniff_format(mp3) == "mp3"
