@@ -455,3 +455,69 @@ def hits_scores(
             F.coalesce("auth", F.lit(0)).cast("bigint").alias("auth_score"),
         )
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    checkpoint: str = "local",
+) -> DataFrame:
+    """Personalized PageRank (damping 0.85): the teleport mass lands on
+    the SEED set only, so ranks measure proximity to the seeds — the
+    GraphX-personalized-variant shape used for 'similar to these'
+    expansion.  Integer micro-units with floor division (engine-exact,
+    order-free), same discipline as :func:`pagerank`:
+
+        teleport(v∈S) = (150000 · |V|) DIV |S|      else 0
+        r0(v∈S)       = (1000000 · |V|) DIV |S|     else 0
+        rank'(v)      = teleport(v) + (85 · Σ_u→v rank(u) DIV deg(u)) DIV 100
+
+    (total mass scaled by |V| so values are comparable to the uniform
+    variant; |V| and |S| ride a broadcast 1-row aggregate, no collect).
+
+    Plan shape: identical per-round joins to pagerank (shuffle on src,
+    sum-shuffle on dst) plus one broadcast seed-flag join on the node
+    set; fixed iteration count, materialized edge pipeline."""
+    from esgopeta_spark.operators.checkpoint import materialize
+
+    e = materialize(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")), checkpoint)
+    nodes = materialize(
+        e.select(F.col("src").alias("node")).union(e.select("dst")).distinct(), checkpoint
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    ed = materialize(e.join(deg, "src"), checkpoint)
+    sd = seeds.select(F.col(seed_col).alias("node")).distinct()
+    flagged = materialize(
+        nodes.join(F.broadcast(sd.withColumn("_is_seed", F.lit(1))), "node", "left")
+        .select("node", F.coalesce(F.col("_is_seed"), F.lit(0)).alias("_is_seed")),
+        checkpoint,
+    )
+    tot = flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_nv"),
+        F.sum("_is_seed").cast("bigint").alias("_ns"),
+    )
+    base = flagged.crossJoin(F.broadcast(tot))
+    rank = base.select(
+        "node", "_is_seed", "_nv", "_ns",
+        F.expr("CASE WHEN _is_seed = 1 THEN (1000000 * _nv) DIV _ns ELSE 0 END")
+        .cast("bigint").alias("rank_micro"),
+    )
+    for _ in range(iterations):
+        contrib = (
+            ed.join(rank.select("node", "rank_micro"), ed.src == F.col("node"))
+            .select("dst", F.expr("rank_micro DIV _deg").alias("_c"))
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        rank = base.join(contrib, base.node == contrib.dst, "left").select(
+            "node", "_is_seed", "_nv", "_ns",
+            (
+                F.expr("CASE WHEN _is_seed = 1 THEN (150000 * _nv) DIV _ns ELSE 0 END")
+                + F.expr("(85 * coalesce(_in, 0)) DIV 100")
+            ).cast("bigint").alias("rank_micro"),
+        )
+    return rank.select("node", "rank_micro")

@@ -421,3 +421,71 @@ def graph_hits_transactions(spark, sf):
         )
     )
     return hits_scores(edges, rounds=2)
+
+
+_PPR_ITER_SQL = """
+    pi{i} AS (
+      SELECT ed.dst, SUM(pr{p}.r // ed.d) AS s
+      FROM ed JOIN pr{p} ON ed.src = pr{p}.node GROUP BY ed.dst),
+    pr{i} AS (
+      SELECT f.node,
+             CAST(CASE WHEN f.is_seed = 1 THEN (150000 * t.nv) // t.ns ELSE 0 END
+                  + (85 * COALESCE(pi{i}.s, 0)) // 100 AS BIGINT) AS r
+      FROM flagged f CROSS JOIN tot t LEFT JOIN pi{i} ON f.node = pi{i}.dst)
+"""
+
+
+@register(
+    "graph_ppr_seeded",
+    "A1,E3,E4",
+    "WITH edges AS ("
+    + _PR_EDGES_SQL
+    + """),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    ed AS (SELECT e.src, e.dst, d.d FROM edges e JOIN deg d ON e.src = d.src),
+    flagged AS (
+      SELECT node,
+             CASE WHEN node LIKE 'c%'
+                       AND CAST(substr(node, 2) AS BIGINT) % 7 = 0
+                  THEN 1 ELSE 0 END AS is_seed
+      FROM nodes),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv,
+                   CAST(SUM(is_seed) AS BIGINT) AS ns FROM flagged),
+    pr0 AS (
+      SELECT f.node,
+             CAST(CASE WHEN f.is_seed = 1 THEN (1000000 * t.nv) // t.ns
+                       ELSE 0 END AS BIGINT) AS r
+      FROM flagged f CROSS JOIN tot t),
+    """
+    + ",".join(_PPR_ITER_SQL.format(i=i, p=i - 1) for i in (1, 2, 3))
+    + """
+    SELECT node, r AS rank_micro FROM pr3
+    """,
+    doc="3-iteration PERSONALIZED PageRank over the customer->supplier "
+    "transaction graph: teleport mass lands only on the seed customers "
+    "(custkey % 7 = 0), so ranks measure proximity to the seed cohort — "
+    "the 'expand from these known-good nodes' query.  Integer micro "
+    "units, |V|/|S| via a broadcast 1-row aggregate, floor division "
+    "everywhere (operators/graph_analytics.personalized_pagerank)",
+)
+def graph_ppr_seeded(spark, sf):
+    from esgopeta_spark.operators.graph_analytics import personalized_pagerank
+
+    o = T(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+    )
+    seeds = (
+        T(spark, sf, "customer")
+        .filter(F.col("c_custkey") % 7 == 0)
+        .select(F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node"))
+    )
+    return personalized_pagerank(edges, seeds, iterations=3)

@@ -2519,3 +2519,31 @@ def test_domain_weights_upweight_divergent_domain(spark):
     assert mean_f > 3 * mean_m, (mean_f, mean_m)
     assert all(r["weight_ppm"] > 0 for r in got.values())
     assert sum(r["weight_ppm"] for r in got.values()) <= 1_000_000
+
+
+def test_personalized_pagerank_concentrates_on_seed_neighborhood(spark):
+    """PPR sanity on a two-community graph: with seeds in community A,
+    every A node outranks every B node; with uniform seeds (all nodes)
+    the ranks match plain pagerank exactly (same integer recurrence)."""
+    from esgopeta_spark.operators.graph_analytics import pagerank, personalized_pagerank
+
+    edges = []
+    for base in ("a", "b"):
+        for i in range(5):
+            for j in range(5):
+                if i != j:
+                    edges.append((f"{base}{i}", f"{base}{j}"))
+    edges.append(("a0", "b0"))  # one weak bridge
+    e = spark.createDataFrame(edges, "src: string, dst: string")
+    seeds = spark.createDataFrame([(f"a{i}",) for i in range(5)], "node: string")
+    ppr = {r["node"]: r["rank_micro"] for r in personalized_pagerank(e, seeds).collect()}
+    a = [v for k, v in ppr.items() if k.startswith("a")]
+    b = [v for k, v in ppr.items() if k.startswith("b")]
+    assert min(a) > max(b), (min(a), max(b))
+
+    allnodes = spark.createDataFrame(
+        [(f"{c}{i}",) for c in "ab" for i in range(5)], "node: string"
+    )
+    uni = {r["node"]: r["rank_micro"] for r in personalized_pagerank(e, allnodes).collect()}
+    plain = {r["node"]: r["rank_micro"] for r in pagerank(e).collect()}
+    assert uni == plain
