@@ -289,3 +289,47 @@ def domain_weights(
         "sum_kl_milli",
         F.expr("(sum_kl_milli * 1000000) div _tot").cast("bigint").alias("weight_ppm"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, public): each row gets priority u^(1/w) with u drawn
+    from md5(id) — keep the k largest priorities.  In integer arithmetic
+    (engine-exact, reproducible on any engine/partitioning/rerun):
+
+        u   = first 8 md5 hex chars of the id, as int + 1  (1..2^32)
+        key = ((32000 − mlog2(u)) · 1000000) div w         (≥ 0)
+
+    keep the k SMALLEST keys (key ∝ −log2(u)/w, so smallest key ⇔
+    largest u^(1/w); ties broken by id — rule 4 unique total order).
+    Weights are positive integers (floor at 1).  The subtraction is
+    oriented non-negative (mlog2(u) ≤ 32000 for u ≤ 2^32) because
+    integer division of negatives is where Spark div and DuckDB //
+    disagree.
+
+    Scale shape: one codegen projection + one global top-k (rank window
+    under LIMIT) — the same shape as every deterministic selector here;
+    at 100 TB swap the global window for a per-partition top-k
+    pre-prune, semantics unchanged."""
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint") + 1
+    )
+    w = F.greatest(F.col(weight_col).cast("bigint"), F.lit(1))
+    base = df.select(F.col(id_col), w.alias("_w"), u.alias("_u"))
+    keyed = with_milli_log2(base, "_u", "_ml").select(
+        id_col,
+        F.col("_w").alias("weight"),
+        F.expr("((32000 - _ml) * 1000000) div _w").cast("bigint").alias("es_key"),
+    )
+    win = Window.orderBy(F.col("es_key").asc(), F.col(id_col).asc())
+    return (
+        keyed.select("*", F.row_number().over(win).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= k)
+        .select(id_col, "weight", "es_key", F.col("sample_rank").cast("int").alias("sample_rank"))
+    )

@@ -2547,3 +2547,30 @@ def test_personalized_pagerank_concentrates_on_seed_neighborhood(spark):
     uni = {r["node"]: r["rank_micro"] for r in personalized_pagerank(e, allnodes).collect()}
     plain = {r["node"]: r["rank_micro"] for r in pagerank(e).collect()}
     assert uni == plain
+
+
+def test_weighted_sample_properties(spark):
+    """ES weighted sampling pins: (1) heavier class overrepresented vs
+    its count share; (2) raising one doc's weight can only improve its
+    key (monotone inclusion); (3) deterministic across reruns and
+    partitionings."""
+    from esgopeta_spark.operators.selection import weighted_sample
+
+    rows = [(i, 9 if i % 10 == 0 else 1) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id: long, w: long")
+    got = weighted_sample(df, 100, "w").collect()
+    heavy = sum(1 for r in got if r["doc_id"] % 10 == 0)
+    # heavy docs are 10% of rows but 50% of total weight; the sample
+    # share must sit far above the count share
+    assert heavy > 25, heavy
+
+    keys1 = {r["doc_id"]: r["es_key"] for r in got}
+    df2 = spark.createDataFrame(
+        [(i, 90 if i == 1015 else w) for i, w in rows], "doc_id: long, w: long"
+    )
+    got2 = {r["doc_id"]: r["es_key"] for r in weighted_sample(df2, 2000, "w").collect()}
+    for d, k1 in keys1.items():
+        if d != 1015:
+            assert got2[d] == k1  # others' keys untouched
+    rep = weighted_sample(df.repartition(13), 100, "w").collect()
+    assert {r["doc_id"] for r in rep} == {r["doc_id"] for r in got}
