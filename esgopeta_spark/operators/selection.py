@@ -333,3 +333,26 @@ def weighted_sample(
         .filter(F.col("sample_rank") <= k)
         .select(id_col, "weight", "es_key", F.col("sample_rank").cast("int").alias("sample_rank"))
     )
+
+
+def dsir_scores_with_lambda(
+    raw: DataFrame,
+    lam: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Score docs against a PERSISTED λ model (``dsir_lambda`` written
+    to parquet and reloaded) — the deployed-model path; bit-identical
+    to training inline (integer λ round-trips storage exactly).  Same
+    plan tail as :func:`dsir_scores`."""
+    docb = hashed_bigram_counts(raw, text_col, id_col, buckets)
+    return (
+        docb.join(F.broadcast(lam), "bucket")
+        .groupBy("_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_grams"),
+            F.sum(F.col("c") * F.col("lam_milli")).cast("bigint").alias("score_milli"),
+        )
+        .select(F.col("_id").alias(id_col), "n_grams", "score_milli")
+    )

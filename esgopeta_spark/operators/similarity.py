@@ -549,14 +549,23 @@ def topk_cosine_ivf_trained(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat top-k over a k-means-TRAINED codebook: the full
     production shape (train -> assign -> probe), deterministic end-to-end
     so it remains oracle-checkable.  Same probe/assign plan as
-    ``topk_cosine_ivf``; only the codebook differs."""
+    ``topk_cosine_ivf``; only the codebook differs.
+
+    ``codebook``: a previously trained (cell, centroid) frame — e.g.
+    ``kmeans_codebook(...)`` written to parquet and reloaded — to skip
+    the training pass; bit-identical results to training inline
+    (array<double> round-trips parquet exactly; pinned in
+    tests/test_llm_ops.py model-persistence test)."""
     from esgopeta_spark.session import ensure_min_partitions
 
-    book = kmeans_codebook(corpus, dim, init_stride, n_iter, id_col, vec_col)
+    book = codebook if codebook is not None else kmeans_codebook(
+        corpus, dim, init_stride, n_iter, id_col, vec_col
+    )
     cents = book.select(
         F.col("cell").alias("_cell"), F.col("centroid").alias("_cent")
     ).withColumn("_centn", norm_unrolled(F.col("_cent"), dim))

@@ -2574,3 +2574,43 @@ def test_weighted_sample_properties(spark):
             assert got2[d] == k1  # others' keys untouched
     rep = weighted_sample(df.repartition(13), 100, "w").collect()
     assert {r["doc_id"] for r in rep} == {r["doc_id"] for r in got}
+
+
+def test_model_persistence_roundtrips_exactly(spark, sf_dir, tmp_path):
+    """Trained artifacts written to parquet and reloaded must reproduce
+    the inline pipelines bit-exactly: the DSIR λ table (integer) and the
+    IVF k-means codebook (array<double> — parquet round-trips doubles
+    exactly)."""
+    from esgopeta_spark.operators.selection import (
+        dsir_lambda,
+        dsir_scores,
+        dsir_scores_with_lambda,
+    )
+    from esgopeta_spark.operators.similarity import (
+        kmeans_codebook,
+        topk_cosine_ivf_trained,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    target = docs.filter("lang = 'en'")
+    lam = dsir_lambda(docs, target)
+    lam.write.mode("overwrite").parquet(str(tmp_path / "lam"))
+    reloaded = spark.read.parquet(str(tmp_path / "lam"))
+    want = {tuple(r) for r in dsir_scores(docs, target).collect()}
+    got = {tuple(r) for r in dsir_scores_with_lambda(docs, reloaded).collect()}
+    assert got == want
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    queries = emb.filter("vec_id % 50 = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    book = kmeans_codebook(emb, dim)
+    book.write.mode("overwrite").parquet(str(tmp_path / "book"))
+    book2 = spark.read.parquet(str(tmp_path / "book"))
+    inline = {tuple(r) for r in topk_cosine_ivf_trained(emb, queries, dim).collect()}
+    loaded = {
+        tuple(r)
+        for r in topk_cosine_ivf_trained(emb, queries, dim, codebook=book2).collect()
+    }
+    assert loaded == inline
