@@ -114,3 +114,115 @@ def streaming_minhash_pairs(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HAMMING_STATE_SCHEMA = StructType(
+    [
+        StructField("rows_json", StringType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+HAMMING_PAIRS_SCHEMA = "id_a bigint, id_b bigint, hamming int"
+
+
+def _make_hamming_handler(max_hamming: int, max_bucket: int):
+    import json as _json
+
+    def handler(key, pdfs, gstate):
+        new = []
+        for pdf in pdfs:
+            new.extend((int(i), int(f)) for i, f in zip(pdf["_id"], pdf["_fp"]))
+        if not new:
+            return
+        import pandas as _pd
+
+        if gstate.exists:
+            st = gstate.get
+            res = [tuple(r) for r in _json.loads(st[0])]
+            n_seen = int(st[1])
+        else:
+            res, n_seen = [], 0
+        seen_ids = {i for i, _ in res}
+        new = sorted({(i, f) for i, f in new if i not in seen_ids})
+        prior_overflow = n_seen > len(res)
+        admit = new[: max(max_bucket - len(res), 0)] if max_bucket > 0 else new
+        rows = []
+        for i, (b, bf) in enumerate(admit):
+            for a, af in res + admit[:i]:
+                d = bin((af ^ bf) & ((1 << 64) - 1)).count("1")
+                if d <= max_hamming:
+                    rows.append({"id_a": min(a, b), "id_b": max(a, b), "hamming": d})
+        if len(admit) < len(new) and not prior_overflow:
+            rows.append({"id_a": -1, "id_b": len(res) + len(new), "hamming": -1})
+        gstate.update((_json.dumps(sorted(set(res) | set(admit))), n_seen + len(new)))
+        if rows:
+            yield _pd.DataFrame(rows)
+
+    return handler
+
+
+def streaming_hamming_pairs(
+    fps: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "_id",
+    fp_col: str = "_fp",
+    max_bucket: int = 0,
+) -> DataFrame:
+    """Streaming twin of ``dedup.banded_hamming_pairs`` for ANY 64-bit
+    fingerprint stream (SimHash text, dHash images, spectral audio —
+    the whole shared Hamming family): band each fingerprint into the
+    same 4×16-bit pigeonhole chunks, key the state store by
+    (chunk, value), keep (id, fp) residents per bucket, and emit
+    EXACT-verified pairs (hamming ≤ ``max_hamming``) as later members
+    arrive.  Distinct-set of emissions equals the batch operator's
+    output under any arrival order (a pair within distance d ≤ 3 shares
+    ≥1 chunk, so some bucket sees both members) — pinned in
+    tests/test_streaming.py.  Same visible hot-bucket cap contract as
+    ``streaming_minhash_pairs`` (marker row id_a=-1, hamming=-1)."""
+    from pyspark.sql import functions as F
+
+    chunks = fps.select(
+        F.col(id_col).alias("_id"),
+        F.col(fp_col).alias("_fp"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.shiftright(F.col(fp_col), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("v"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("_id", "_fp", "ch.c", "ch.v")
+    return chunks.groupBy("c", "v").applyInPandasWithState(
+        _make_hamming_handler(max_hamming, max_bucket),
+        outputStructType=HAMMING_PAIRS_SCHEMA,
+        stateStructType=HAMMING_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int = 0,
+) -> DataFrame:
+    """SimHash near-dup over a document stream: the 64-bit fingerprint
+    is the batch expression (`dedup.simhash64`, codegen — stream-safe),
+    pairs via :func:`streaming_hamming_pairs`."""
+    from pyspark.sql import functions as F
+
+    from esgopeta_spark.operators.dedup import simhash64
+
+    fp = docs.select(
+        F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_fp")
+    )
+    return streaming_hamming_pairs(fp, max_hamming, max_bucket=max_bucket)

@@ -1071,3 +1071,42 @@ def test_streaming_minhash_hot_bucket_cap_is_visible(spark, tmp_path):
     assert markers, "cap must emit a visible marker"
     # 30 identical docs, cap 5: far fewer than the 30*29/2 per-band pairs
     assert len(pairs) < 16 * 60
+
+
+def test_streaming_simhash_pairs_match_batch(spark, sf_dir, tmp_path):
+    """Streaming Hamming-family near-dup must equal the batch
+    banded_hamming_pairs output (verified pairs incl. distances) with
+    the near-dups split across micro-batches."""
+    from esgopeta_spark.operators.dedup import simhash_candidates
+    from esgopeta_spark.streaming.dedup import streaming_simhash_pairs
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = [(r["doc_id"], r["text"]) for r in d.limit(25).collect()]
+    clones = [(did + 10000, text + " tail") for did, text in base[:10]]
+    all_docs = base + clones
+    want = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_candidates(
+            spark.createDataFrame(all_docs, "doc_id: long, text: string")
+        ).collect()
+    }
+    assert want, "fixture must produce at least one near-dup pair"
+    (spark.createDataFrame(base, "doc_id: long, text: string")
+     .coalesce(1).write.mode("overwrite").json(str(tmp_path / "in") + "/b0"))
+    (spark.createDataFrame(clones, "doc_id: long, text: string")
+     .coalesce(1).write.mode("overwrite").json(str(tmp_path / "in") + "/b1"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "in") + "/*")
+    )
+    run_stream_to_memory(
+        streaming_simhash_pairs(stream), "shstream", mode="append"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in spark.sql(
+            "SELECT DISTINCT id_a, id_b, hamming FROM shstream WHERE id_a >= 0"
+        ).collect()
+    }
+    assert got == want
