@@ -356,8 +356,11 @@ def streaming_dsir_scores(
     twin is one stateless Arrow pass with the λ dict in the closure —
     append-mode safe, bit-equal to batch scoring by construction
     (identical integer arithmetic; md5 bucketing matches Spark's md5 of
-    the same UTF-8 text).  ``lam_rows``: iterable of (bucket, lam_milli)
-    or Rows.  Docs with no bigram are dropped, like batch."""
+    the same UTF-8 text; the normalization mirror shares
+    streaming_gopher_rules' contract — ASCII-whitespace/-case text,
+    where Python re and Java regex agree).  ``lam_rows``: iterable of
+    (bucket, lam_milli) or Rows.  Docs with no bigram are dropped, like
+    batch."""
     import hashlib as _hashlib
     import re as _re
 
