@@ -211,29 +211,60 @@ def encode_wav(samples: np.ndarray, sample_rate: int, n_channels: int = 1) -> by
 
 @_quarantine
 def decode_wav(b: bytes) -> tuple[np.ndarray, int, int]:
-    """WAV bytes -> (int16 samples, sample_rate, n_channels).  PCM16 only."""
+    """WAV bytes -> (int16 samples, sample_rate, n_channels).
+
+    Real-corpus coverage (r9 — was PCM16-only): integer PCM at
+    8 (unsigned) / 16 / 24 / 32 bits, IEEE float32 (fmt 3), and
+    WAVE_FORMAT_EXTENSIBLE (fmt 0xFFFE, resolved by the SubFormat
+    GUID's leading code).  Everything normalizes to the int16 contract
+    the downstream kernels consume (shift/scale — the fingerprints are
+    gain-invariant, so normalization is lossless for dedup purposes)."""
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
     sample_rate = n_channels = None
-    samples = None
+    audio_fmt = bits = None
+    raw = None
     while pos + 8 <= len(b):
         chunk_id = b[pos : pos + 4]
         chunk_len = struct.unpack_from("<I", b, pos + 4)[0]
         body = pos + 8
         if chunk_id == b"fmt ":
             audio_fmt, n_channels, sample_rate, _, _, bits = struct.unpack_from("<HHIIHH", b, body)
-            if audio_fmt != 1 or bits != 16:
+            if audio_fmt == 0xFFFE:  # EXTENSIBLE: real format in SubFormat GUID
+                if chunk_len < 40:
+                    raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
+                audio_fmt = struct.unpack_from("<H", b, body + 24)[0]
+            if (audio_fmt, bits) not in (
+                (1, 8), (1, 16), (1, 24), (1, 32), (3, 32),
+            ):
                 raise ValueError(f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
             if n_channels == 0 or sample_rate == 0:
                 # zero channels/rate would surface downstream as
                 # ZeroDivisionError in the kernels — reject here instead
                 raise ValueError("malformed WAV: zero channels or sample rate")
         elif chunk_id == b"data":
-            samples = np.frombuffer(b, dtype=np.int16, count=chunk_len // 2, offset=body)
+            raw = b[body : body + chunk_len]
         pos = body + chunk_len + (chunk_len & 1)  # chunks are word-aligned
-    if sample_rate is None or samples is None:
+    if sample_rate is None or raw is None:
         raise ValueError("missing fmt/data chunk")
+    if audio_fmt == 3:  # IEEE float32 in [-1, 1]
+        f = np.frombuffer(raw, dtype="<f4", count=len(raw) // 4)
+        if not np.all(np.isfinite(f)):
+            raise ValueError("non-finite float WAV samples")
+        samples = np.clip(f * 32767.0, -32768, 32767).astype(np.int16)
+    elif bits == 8:  # unsigned, midpoint 128
+        samples = ((np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128) << 8)
+    elif bits == 16:
+        samples = np.frombuffer(raw, dtype="<i2", count=len(raw) // 2)
+    elif bits == 24:  # packed LE triplets, sign-extend then take the top 16
+        n = len(raw) // 3
+        tri = np.frombuffer(raw, dtype=np.uint8, count=n * 3).reshape(n, 3).astype(np.int32)
+        v = tri[:, 0] | (tri[:, 1] << 8) | (tri[:, 2] << 16)
+        v = np.where(v & 0x800000, v - (1 << 24), v)
+        samples = (v >> 8).astype(np.int16)
+    else:  # 32-bit int
+        samples = (np.frombuffer(raw, dtype="<i4", count=len(raw) // 4) >> 16).astype(np.int16)
     return samples, sample_rate, n_channels
 
 
@@ -263,17 +294,16 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
-def encode_png(arr: np.ndarray, filter_type: int = 0, compress_level: int = 6) -> bytes:
-    """uint8 image -> PNG bytes.  (h, w) or (h, w, 1) -> grayscale,
-    (h, w, 2) -> gray+alpha, (h, w, 3) -> RGB, (h, w, 4) -> RGBA.
-    ``filter_type`` applies one PNG scanline filter to every row (0-4) —
-    handy for exercising every unfilter path in round-trip tests."""
-    assert arr.dtype == np.uint8
-    if arr.ndim == 2:
-        arr = arr[:, :, None]
+_ADAM7 = [  # (x0, y0, dx, dy) per pass, spec order
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_filter_rows(arr: np.ndarray, filter_type: int) -> bytes:
+    """Apply one scanline filter to every row of a (sub-)image; returns
+    the filter-byte-prefixed scanline bytes."""
     h, w, ch = arr.shape
-    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     a16 = arr.astype(np.int16)
     left = np.zeros_like(a16)
     left[:, 1:] = a16[:, :-1]
@@ -294,7 +324,37 @@ def encode_png(arr: np.ndarray, filter_type: int = 0, compress_level: int = 6) -
     else:
         raise ValueError(f"bad filter_type {filter_type}")
     filt = (filt % 256).astype(np.uint8).reshape(h, w * ch)
-    raw = np.concatenate([np.full((h, 1), filter_type, np.uint8), filt], axis=1).tobytes()
+    return np.concatenate(
+        [np.full((h, 1), filter_type, np.uint8), filt], axis=1
+    ).tobytes()
+
+
+def encode_png(
+    arr: np.ndarray,
+    filter_type: int = 0,
+    compress_level: int = 6,
+    interlace: bool = False,
+) -> bytes:
+    """uint8 image -> PNG bytes.  (h, w) or (h, w, 1) -> grayscale,
+    (h, w, 2) -> gray+alpha, (h, w, 3) -> RGB, (h, w, 4) -> RGBA.
+    ``filter_type`` applies one PNG scanline filter to every row (0-4) —
+    handy for exercising every unfilter path in round-trip tests.
+    ``interlace`` emits Adam7 (each pass filtered independently, per
+    spec)."""
+    assert arr.dtype == np.uint8
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0)
+    if interlace:
+        raw = b"".join(
+            _png_filter_rows(arr[y0::dy, x0::dx], filter_type)
+            for x0, y0, dx, dy in _ADAM7
+            if arr[y0::dy, x0::dx].size
+        )
+    else:
+        raw = _png_filter_rows(arr, filter_type)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -303,42 +363,29 @@ def encode_png(arr: np.ndarray, filter_type: int = 0, compress_level: int = 6) -
     )
 
 
-@_quarantine
-def decode_png(b: bytes) -> np.ndarray:
-    """PNG bytes -> (h, w, channels) uint8.  Baseline subset: bit depth 8,
-    color types 0/2/4/6, no interlacing.  Chunk CRCs are verified; any
-    malformation raises ValueError (callers quarantine, never crash)."""
-    if b[: len(_PNG_SIG)] != _PNG_SIG:
-        raise ValueError("not a PNG")
-    pos, ihdr, idat = len(_PNG_SIG), None, []
-    while pos + 8 <= len(b):
-        (length,) = struct.unpack_from(">I", b, pos)
-        ctype = b[pos + 4 : pos + 8]
-        data = b[pos + 8 : pos + 8 + length]
-        if len(data) != length or pos + 12 + length > len(b):
-            raise ValueError("truncated chunk")
-        (crc,) = struct.unpack_from(">I", b, pos + 8 + length)
-        if crc != (zlib.crc32(ctype + data) & 0xFFFFFFFF):
-            raise ValueError(f"bad CRC in {ctype!r}")
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
-        elif ctype == b"IDAT":
-            idat.append(data)
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length
-    if ihdr is None or not idat:
-        raise ValueError("missing IHDR/IDAT")
-    w, h, depth, color_type, comp, filt_method, interlace = ihdr
-    if depth != 8 or comp != 0 or filt_method != 0 or interlace != 0 or color_type not in _PNG_CHANNELS:
-        raise ValueError(
-            f"unsupported PNG variant (depth={depth}, color={color_type}, interlace={interlace})"
-        )
-    ch = _PNG_CHANNELS[color_type]
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error as exc:
-        raise ValueError(f"bad IDAT stream: {exc}") from exc
+def encode_png_palette(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """(h, w) uint8 index plane + (n<=256, 3) palette -> paletted
+    (color type 3) PNG — the fixture twin for the PLTE decode path."""
+    assert indices.dtype == np.uint8 and palette.ndim == 2 and palette.shape[1] == 3
+    if int(indices.max(initial=0)) >= palette.shape[0]:
+        raise ValueError("index exceeds palette")
+    h, w = indices.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    raw = _png_filter_rows(indices[:, :, None], 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
+    """Unfilter one (sub-)image: ``h`` scanlines of 1 filter byte +
+    ``w*ch`` samples -> (h, w, ch) uint8.  All five scanline filters."""
     stride = 1 + w * ch
     if len(raw) != h * stride:
         raise ValueError("IDAT length mismatch")
@@ -372,6 +419,75 @@ def decode_png(b: bytes) -> np.ndarray:
             raise ValueError(f"bad scanline filter {ftype}")
         prev = recon.astype(np.int16)
         out[y] = recon.astype(np.uint8)
+    return out
+
+
+@_quarantine
+def decode_png(b: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, channels) uint8.  Bit depth 8, color types
+    0/2/3 (paletted -> expanded to RGB)/4/6, non-interlaced AND Adam7
+    interlaced (r9).  Chunk CRCs are verified; any malformation raises
+    ValueError (callers quarantine, never crash)."""
+    if b[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, ihdr, idat, plte = len(_PNG_SIG), None, [], None
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(b):
+            raise ValueError("truncated chunk")
+        (crc,) = struct.unpack_from(">I", b, pos + 8 + length)
+        if crc != (zlib.crc32(ctype + data) & 0xFFFFFFFF):
+            raise ValueError(f"bad CRC in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            if length % 3 or length == 0 or length > 256 * 3:
+                raise ValueError("bad PLTE length")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt_method, interlace = ihdr
+    paletted = color_type == 3
+    if (depth != 8 or comp != 0 or filt_method != 0 or interlace not in (0, 1)
+            or (color_type not in _PNG_CHANNELS and not paletted)):
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color={color_type}, interlace={interlace})"
+        )
+    ch = 1 if paletted else _PNG_CHANNELS[color_type]
+    if paletted and plte is None:
+        raise ValueError("paletted PNG without PLTE")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"bad IDAT stream: {exc}") from exc
+    if interlace == 0:
+        out = _png_unfilter(raw, w, h, ch)
+    else:  # Adam7: 7 independently-filtered sub-images scattered to grid
+        out = np.zeros((h, w, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            need = ph * (1 + pw * ch)
+            sub = _png_unfilter(raw[off : off + need], pw, ph, ch)
+            off += need
+            out[y0::dy, x0::dx] = sub
+        if off != len(raw):
+            raise ValueError("IDAT length mismatch")
+    if paletted:
+        idx = out[:, :, 0]
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            raise ValueError("palette index out of range")
+        out = plte[idx]
     return out
 
 

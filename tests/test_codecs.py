@@ -1849,3 +1849,99 @@ def test_flac_id3_wrapped_stream_decodes():
     tone = (np.sin(2 * np.pi * 440 * np.arange(1152) / 32000) * 9000).astype(np.int16)
     mp3 = id3 + codecs.encode_mpeg1_audio(tone, 32000, layer=3)
     assert codecs.sniff_format(mp3) == "mp3"
+
+
+def test_wav_depth_variants_decode():
+    """Real-corpus WAV shapes (r9 — was PCM16-only): 8-bit unsigned,
+    24-bit packed, 32-bit int, float32, and WAVE_FORMAT_EXTENSIBLE all
+    decode to the int16 contract with the expected normalization; a
+    16-bit clip and its 24-bit/float re-renders fingerprint-match."""
+    import struct as st
+
+    from esgopeta_spark.operators import codecs
+    from esgopeta_spark.operators.multimodal import audio_fp64
+
+    sr = 8000
+    t = np.arange(8192)
+    clip16 = (9000 * np.sin(2 * np.pi * 440 * t / sr)).astype(np.int16)
+
+    def wav(fmt_tag, bits, payload, extensible=False):
+        if extensible:
+            fmt = st.pack("<HHIIHHH", 0xFFFE, 1, sr, sr * bits // 8, bits // 8, bits, 22)
+            # extension: validBits(2) + channelMask(4) + SubFormat GUID(16)
+            fmt += st.pack("<HI", bits, 0) + st.pack("<H", fmt_tag) + b"\x00" * 14
+        else:
+            fmt = st.pack("<HHIIHH", fmt_tag, 1, sr, sr * bits // 8, bits // 8, bits)
+        body = (b"fmt " + st.pack("<I", len(fmt)) + fmt
+                + b"data" + st.pack("<I", len(payload)) + payload)
+        return b"RIFF" + st.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    p24 = b"".join(
+        int((int(v) << 8) & 0xFFFFFF).to_bytes(3, "little") for v in clip16
+    )
+    s24, r24, _ = codecs.decode_wav(wav(1, 24, p24))
+    assert r24 == sr and np.array_equal(s24, clip16)
+
+    f32 = (clip16.astype(np.float32) / 32767.0).astype("<f4").tobytes()
+    sf, _, _ = codecs.decode_wav(wav(3, 32, f32))
+    assert np.max(np.abs(sf.astype(np.int32) - clip16.astype(np.int32))) <= 1
+
+    s32, _, _ = codecs.decode_wav(wav(1, 32, (clip16.astype("<i4") << 16).tobytes()))
+    assert np.array_equal(s32, clip16)
+
+    u8 = ((clip16.astype(np.int32) >> 8) + 128).astype(np.uint8).tobytes()
+    s8, _, _ = codecs.decode_wav(wav(1, 8, u8))
+    assert np.array_equal(s8, (clip16 >> 8) << 8)
+
+    sx, _, _ = codecs.decode_wav(wav(1, 24, p24, extensible=True))
+    assert np.array_equal(sx, clip16)
+
+    # dedup realism: a 24-bit re-render of the same audio fingerprints
+    # identically to the 16-bit original (gain/precision-invariant)
+    assert audio_fp64(clip16.astype(np.float64)) == audio_fp64(s24.astype(np.float64))
+
+
+def test_png_adam7_and_palette(spark):
+    """Real-corpus PNG shapes (r9): Adam7 interlace round-trips
+    pixel-identical across every filter type and channel count; paletted
+    (color type 3) expands through PLTE; corrupt palettes and truncated
+    interlaced streams quarantine as ValueError; dHash is
+    interlace-invariant (same pixels => same fingerprint)."""
+    rng = np.random.default_rng(9)
+    from esgopeta_spark.operators import codecs
+    from esgopeta_spark.operators.multimodal import dhash64
+
+    for shape in [(13, 9, 3), (8, 8, 1), (17, 23, 4), (1, 1, 3), (7, 1, 2)]:
+        a = rng.integers(0, 256, shape, dtype=np.uint8)
+        for ft in range(5):
+            b = codecs.encode_png(a, filter_type=ft, interlace=True)
+            assert np.array_equal(codecs.decode_png(b), a)
+    a = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    assert dhash64(codecs.decode_png(codecs.encode_png(a))) == dhash64(
+        codecs.decode_png(codecs.encode_png(a, interlace=True))
+    )
+    idx = rng.integers(0, 16, (11, 14), dtype=np.uint8)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    dec = codecs.decode_png(codecs.encode_png_palette(idx, pal))
+    assert np.array_equal(dec, pal[idx])
+    import pytest as _pytest
+
+    # hand-assemble a paletted PNG whose indices exceed its PLTE (the
+    # encoder refuses to produce one, so bypass it)
+    import struct as st
+    import zlib as zl
+
+    ihdr = st.pack(">IIBBBBB", 14, 11, 8, 3, 0, 0, 0)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(11))
+    bad = (
+        codecs._PNG_SIG
+        + codecs._png_chunk(b"IHDR", ihdr)
+        + codecs._png_chunk(b"PLTE", pal[:8].tobytes())
+        + codecs._png_chunk(b"IDAT", zl.compress(raw))
+        + codecs._png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError):
+        codecs.decode_png(bad)
+    g = codecs.encode_png(a, interlace=True)
+    with _pytest.raises(ValueError):
+        codecs.decode_png(g[:-40])
