@@ -1761,3 +1761,128 @@ def decode_mpeg1_audio(b: bytes):
     from esgopeta_spark.operators import mpeg1_audio
 
     return mpeg1_audio.decode_mpeg1_audio(b)
+
+
+# ---------------------------------------------------------------------------
+# EXIF (JPEG APP1) — orientation + camera text tags.  Phone cameras store
+# rotated pixels plus an Orientation tag; a dedup pipeline that ignores it
+# treats the same photo as 4 different images.
+# ---------------------------------------------------------------------------
+
+_EXIF_TAGS = {0x0112: "orientation", 0x010F: "make", 0x0110: "model",
+              0x0132: "datetime"}
+
+
+@_quarantine
+def parse_exif(b: bytes) -> dict:
+    """JPEG bytes -> {orientation, make, model, datetime} from the APP1
+    Exif segment's IFD0 (None where absent; orientation validated to
+    1..8).  Walks JPEG segments like the decoder, then the TIFF
+    structure inside APP1 (II/MM byte orders, SHORT + ASCII tag types).
+    Raises ValueError only for structurally malformed payloads; a JPEG
+    simply WITHOUT Exif returns all-None."""
+    out = {v: None for v in _EXIF_TAGS.values()}
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    seg = None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("bad segment marker")
+        marker = b[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xDA:  # SOS: entropy data, no more tables
+            break
+        (ln,) = struct.unpack_from(">H", b, pos + 2)
+        if marker == 0xE1 and b[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            seg = b[pos + 10 : pos + 2 + ln]
+            break
+        pos += 2 + ln
+    if seg is None:
+        return out
+    if len(seg) < 8:
+        raise ValueError("truncated Exif TIFF header")
+    bo = {b"II": "<", b"MM": ">"}.get(seg[:2])
+    if bo is None or struct.unpack_from(bo + "H", seg, 2)[0] != 42:
+        raise ValueError("bad Exif TIFF header")
+    (ifd_off,) = struct.unpack_from(bo + "I", seg, 4)
+    if ifd_off + 2 > len(seg):
+        raise ValueError("bad IFD0 offset")
+    (n,) = struct.unpack_from(bo + "H", seg, ifd_off)
+    for i in range(n):
+        e = ifd_off + 2 + 12 * i
+        if e + 12 > len(seg):
+            raise ValueError("truncated IFD entry")
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", seg, e)
+        name = _EXIF_TAGS.get(tag)
+        if name is None:
+            continue
+        if typ == 3 and cnt == 1:  # SHORT
+            v = struct.unpack_from(bo + "H", seg, e + 8)[0]
+            if name == "orientation":
+                if not 1 <= v <= 8:
+                    raise ValueError(f"invalid Exif orientation {v}")
+                out[name] = v
+        elif typ == 2:  # ASCII, NUL-terminated; inline when <= 4 bytes
+            off = e + 8 if cnt <= 4 else struct.unpack_from(bo + "I", seg, e + 8)[0]
+            if off + cnt > len(seg):
+                raise ValueError("ASCII tag out of bounds")
+            raw = seg[off : off + cnt].split(b"\x00", 1)[0]
+            try:
+                out[name] = raw.decode("ascii")
+            except UnicodeDecodeError as exc:
+                raise ValueError("non-ascii Exif text tag") from exc
+    return out
+
+
+def add_exif_orientation(jpeg: bytes, orientation: int, make: str | None = None) -> bytes:
+    """Splice a minimal APP1 Exif segment (Orientation + optional Make)
+    right after SOI — the fixture twin for :func:`parse_exif`."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    if not 1 <= orientation <= 8:
+        raise ValueError("orientation must be 1..8")
+    entries = [struct.pack("<HHIHH", 0x0112, 3, 1, orientation, 0)]
+    tail = b""
+    if make is not None:
+        mb = make.encode("ascii") + b"\x00"
+        # value offset is from the TIFF header start; header(8) + count(2)
+        # + entries + next-IFD(4)
+        val_off = 8 + 2 + 12 * 2 + 4
+        if len(mb) <= 4:
+            entries.append(struct.pack("<HHI4s", 0x010F, 2, len(mb), mb.ljust(4, b"\x00")))
+        else:
+            entries.append(struct.pack("<HHII", 0x010F, 2, len(mb), val_off))
+            tail = mb
+    tiff = (b"II" + struct.pack("<HI", 42, 8)
+            + struct.pack("<H", len(entries)) + b"".join(entries)
+            + struct.pack("<I", 0) + tail)
+    app1 = b"Exif\x00\x00" + tiff
+    seg = b"\xff\xe1" + struct.pack(">H", len(app1) + 2) + app1
+    return jpeg[:2] + seg + jpeg[2:]
+
+
+def apply_exif_orientation(arr: np.ndarray, orientation: int | None) -> np.ndarray:
+    """Transform STORED pixels into the upright image per the Exif
+    orientation tag (1 = already upright).  The transform pairs are the
+    spec's: 2 mirror, 3 rotate 180, 4 vertical mirror, 5 transpose,
+    6 rotate 90 CW, 7 transverse, 8 rotate 90 CCW."""
+    if orientation in (None, 1):
+        return arr
+    if orientation == 2:
+        return arr[:, ::-1]
+    if orientation == 3:
+        return arr[::-1, ::-1]
+    if orientation == 4:
+        return arr[::-1]
+    if orientation == 5:
+        return np.swapaxes(arr, 0, 1)
+    if orientation == 6:
+        return np.rot90(arr, k=-1)
+    if orientation == 7:
+        return np.rot90(arr[:, ::-1], k=-1)
+    if orientation == 8:
+        return np.rot90(arr, k=1)
+    raise ValueError(f"invalid Exif orientation {orientation}")

@@ -566,6 +566,16 @@ def decode_image_any(b: bytes):
         arr = codecs.decode_png(b)
     elif fmt == "jpeg":
         arr = codecs.decode_jpeg(b)
+        # orientation-normalize (r9): phone cameras store rotated pixels
+        # + an Exif Orientation tag, so the SAME photo ships as up to 8
+        # pixel layouts — uprighting here makes every fingerprint
+        # downstream metadata-rotation-invariant.  A malformed Exif
+        # segment must not poison an otherwise-decodable image: fall
+        # back to the stored layout.
+        try:
+            arr = codecs.apply_exif_orientation(arr, codecs.parse_exif(b)["orientation"])
+        except ValueError:
+            pass
     elif fmt == "gif":
         arr = codecs.decode_gif(b)
     elif fmt == "tiff":

@@ -1945,3 +1945,52 @@ def test_png_adam7_and_palette(spark):
     g = codecs.encode_png(a, interlace=True)
     with _pytest.raises(ValueError):
         codecs.decode_png(g[:-40])
+
+
+def test_exif_orientation_roundtrip_and_dedup(spark):
+    """EXIF (r9): parse/splice round-trip for orientation + Make; the
+    apply/inverse group closes for all 8 orientations; and the dedup
+    payoff — a camera-rotated copy (rotated pixels + orientation tag)
+    pairs with its upright original through image_dup_pairs, while the
+    SAME rotation without the tag does not."""
+    from esgopeta_spark.operators import codecs
+    from esgopeta_spark.operators.multimodal import decode_image_any, image_dup_pairs
+
+    rng = np.random.default_rng(4)
+    # textured, not a plain gradient: a gradient's horizontal-sign dHash
+    # can survive rotation unchanged (all-ones), which would make the
+    # no-tag control vacuous
+    coarse = rng.integers(0, 256, (6, 8, 3)).astype(np.float64)
+    upright = np.clip(
+        np.kron(coarse, np.ones((8, 8, 1))) + rng.normal(0, 6, (48, 64, 3)), 0, 255
+    ).astype(np.uint8)
+    base = codecs.encode_jpeg(upright, quality=95)
+    tagged = codecs.add_exif_orientation(base, 6, make="UnitCam")
+    meta = codecs.parse_exif(tagged)
+    assert meta["orientation"] == 6 and meta["make"] == "UnitCam"
+    assert codecs.parse_exif(base)["orientation"] is None
+
+    inv = {6: 8, 8: 6}
+    for o in range(1, 9):
+        stored = codecs.apply_exif_orientation(upright, inv.get(o, o))
+        assert np.array_equal(codecs.apply_exif_orientation(stored, o), upright)
+
+    # camera-style rotated copy: stored = rot90 CCW (orientation-6 inverse)
+    stored = codecs.apply_exif_orientation(upright, 8).copy()
+    rotated_jpeg = codecs.add_exif_orientation(
+        codecs.encode_jpeg(stored, quality=95), 6
+    )
+    up = decode_image_any(rotated_jpeg)
+    assert up.shape == upright.shape  # uprighted, not 64x48
+    other = rng.integers(0, 256, upright.shape, dtype=np.uint8)
+    rows = [
+        (1, codecs.encode_jpeg(upright, quality=95)),
+        (2, rotated_jpeg),
+        (3, codecs.encode_jpeg(stored, quality=95)),  # rotated, NO tag
+        (4, codecs.encode_jpeg(other, quality=95)),
+    ]
+    df = spark.createDataFrame(rows, "media_id: long, payload: binary")
+    pairs = {(r["id_a"], r["id_b"]) for r in image_dup_pairs(df).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    assert not any(4 in p for p in pairs)
