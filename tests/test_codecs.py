@@ -825,6 +825,12 @@ def test_decoder_quarantine_contract_fuzz():
     valid["gif_anim"] = codecs.encode_gif_animation(
         9, 7, [{"img": _pal_image(9, 7, 5)}, {"img": _pal_image(4, 3, 3), "left": 2, "top": 2}]
     )
+    # EXIF (r9): fuzz the APP1 TIFF-IFD walk
+    decoders["exif"] = codecs.parse_exif
+    magics["exif"] = b"\xff\xd8\xff"
+    valid["exif"] = codecs.add_exif_orientation(
+        codecs.encode_jpeg(arr), 6, make="FuzzCam"
+    )
     # FLAC (r9): fuzz the Rice/LPC/stereo-decorrelation bit machinery over
     # a mono-LPC corpus and a mid/side + Rice2 stereo corpus
     decoders["flac"] = codecs.decode_flac

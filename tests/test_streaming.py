@@ -1110,3 +1110,59 @@ def test_streaming_simhash_pairs_match_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_media_dedup_end_to_end(spark, tmp_path):
+    """The streaming Hamming twin covers MEDIA fingerprints too: a
+    payload stream (WAV originals in batch 0, FLAC/volume re-encodes in
+    batch 1) through the stateless audio_fingerprint kernel and
+    streaming_hamming_pairs must produce exactly the batch
+    audio_dup_pairs verdicts, with every cross-codec pair discovered
+    against state."""
+    import numpy as np
+
+    from esgopeta_spark.operators import codecs
+    from esgopeta_spark.operators.multimodal import audio_dup_pairs, audio_fingerprint
+    from esgopeta_spark.streaming.dedup import streaming_hamming_pairs
+
+    sr = 8000
+    t = np.arange(12000)
+    clips = [
+        (9000 * np.sin(2 * np.pi * f * t / sr)
+         + 3000 * np.sin(2 * np.pi * (3 * f) * t / sr)).astype(np.int16)
+        for f in (330, 440, 550)
+    ]
+    originals = [(i, codecs.encode_wav(c, sr)) for i, c in enumerate(clips)]
+    reencodes = [
+        (100 + i, codecs.encode_flac(c.astype(np.int32), sr))
+        for i, c in enumerate(clips[:2])
+    ] + [(200, codecs.encode_wav((clips[2] // 2).astype(np.int16), sr))]
+    all_media = originals + reencodes
+    batch_df = spark.createDataFrame(all_media, "media_id: long, payload: binary")
+    want = {
+        (r["id_a"], r["id_b"], r["hamming"]) for r in audio_dup_pairs(batch_df).collect()
+    }
+    assert {(0, 100), (1, 101), (2, 200)} <= {(a, b) for a, b, _ in want}
+
+    (spark.createDataFrame(originals, "media_id: long, payload: binary")
+     .coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "m") + "/b0"))
+    (spark.createDataFrame(reencodes, "media_id: long, payload: binary")
+     .coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "m") + "/b1"))
+    stream = (
+        spark.readStream.schema("media_id long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "m") + "/*")
+    )
+    fp = audio_fingerprint(stream).select(
+        F.col("media_id").alias("_id"), F.col("afp").alias("_fp")
+    )
+    run_stream_to_memory(
+        streaming_hamming_pairs(fp), "mediapairs", mode="append"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in spark.sql(
+            "SELECT DISTINCT id_a, id_b, hamming FROM mediapairs WHERE id_a >= 0"
+        ).collect()
+    }
+    assert got == want
