@@ -155,14 +155,20 @@ def dsir_lambda(
     text_col: str = "text",
     id_col: str = "doc_id",
     buckets: int = 1024,
+    docb: DataFrame | None = None,
 ) -> DataFrame:
     """The trained DSIR model: per-bucket importance term
     λ_b = [mlog2(p_b+1) − mlog2(P+B)] − [mlog2(q_b+1) − mlog2(Q+B)]
     (milli-log2 of the add-1-smoothed target/raw probability ratio; the
     four log terms are computed separately so no intermediate product
     can overflow int64 at any corpus size).  ≤``buckets`` rows — the
-    artifact a scorer broadcasts, batch or streaming."""
-    docb = hashed_bigram_counts(raw, text_col, id_col, buckets)
+    artifact a scorer broadcasts, batch or streaming.
+
+    ``docb``: optionally pass precomputed ``hashed_bigram_counts(raw)``
+    so a caller that also consumes the per-doc counts (``dsir_scores``)
+    computes the gram stream once."""
+    if docb is None:
+        docb = hashed_bigram_counts(raw, text_col, id_col, buckets)
     q = docb.groupBy("bucket").agg(F.sum("c").alias("qc"))
     p = (
         hashed_bigram_counts(target, text_col, id_col, buckets)
@@ -207,9 +213,17 @@ def dsir_scores(
 ) -> DataFrame:
     """Score every ``raw`` doc (with ≥1 bigram) by the DSIR importance
     weight  score_milli = Σ_b c_b · λ_b  (λ from :func:`dsir_lambda`).
-    Output: id, n_grams, score_milli — higher = more target-like."""
-    docb = hashed_bigram_counts(raw, text_col, id_col, buckets)
-    lam = dsir_lambda(raw, target, text_col, id_col, buckets)
+    Output: id, n_grams, score_milli — higher = more target-like.
+
+    The per-doc bucket counts feed BOTH the λ training branch (via its
+    q aggregate, under a broadcast boundary) and the scoring join;
+    Spark's ReuseExchange does not bridge the broadcast, so without a
+    cut the corpus gram stream is computed twice (the banded_signatures
+    lesson; A/B probe tools/dsir_ab_probe.py: 1.16× at sf0.1, and at
+    real scale the recompute is a full second pass over the corpus).
+    localCheckpoint docb once; values are bit-identical."""
+    docb = hashed_bigram_counts(raw, text_col, id_col, buckets).localCheckpoint()
+    lam = dsir_lambda(raw, target, text_col, id_col, buckets, docb=docb)
     return (
         docb.join(F.broadcast(lam), "bucket")
         .groupBy("_id")
