@@ -349,6 +349,144 @@ def weighted_sample(
     )
 
 
+def perplexity_buckets(
+    train: DataFrame,
+    score: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020, public): score every doc against a reference LM, then split
+    each language into equal head/middle/tail thirds by score rank —
+    the bucket a doc lands in is the CCNet quality tier that downstream
+    samplers key on.  CCNet ranks by Kneser-Ney perplexity ascending
+    (lower = better); the engine's familiarity score
+    (``text.lm_backoff_scores``, integer milli) is oriented higher =
+    better, so head = highest per-token mean score.  Bucketing is
+    ``ntile`` over a UNIQUE total order (mean DESC, id ASC — catalog
+    rule 4), so tiers are reproducible on any engine or partitioning.
+
+    Output: (id, lang, n_scored, mean_score_milli, ppl_bucket 1-based,
+    bucket_label head/middle/tail for the 3-bucket default).
+
+    Scale shape: the LM scoring pipeline (two lag windows + count-key
+    joins), a 2-column dimension join for the language, then ONE
+    per-language window — languages partition the ntile, so no global
+    sort; a skewed mega-language is the same single-key pressure as any
+    global rank and takes the same per-partition pre-prune if needed."""
+    from esgopeta_spark.operators.text import lm_backoff_scores
+
+    s = lm_backoff_scores(train, score, text_col, id_col)
+    dim = score.select(id_col, lang_col)
+    scored = s.join(dim, id_col).select(
+        id_col,
+        lang_col,
+        "n_scored",
+        # n_scored >= 1 by construction (only docs with >=1 full trigram
+        # context emit rows); both operands non-negative -> div safe
+        F.expr("score_sum_milli div n_scored").cast("bigint").alias(
+            "mean_score_milli"
+        ),
+    )
+    win = Window.partitionBy(lang_col).orderBy(
+        F.col("mean_score_milli").desc(), F.col(id_col).asc()
+    )
+    bucketed = scored.select(
+        "*", F.ntile(n_buckets).over(win).cast("int").alias("ppl_bucket")
+    )
+    b = F.col("ppl_bucket")
+    label = (
+        F.when(b == 1, F.lit("head"))
+        .when(b == n_buckets, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+        if n_buckets == 3
+        else F.concat(F.lit("b"), b.cast("string"))
+    )
+    return bucketed.select("*", label.alias("bucket_label"))
+
+
+def mul_ppm_sql(x: str, ppm: str, div: str = "div") -> str:
+    """SQL fragment for the exact (x * ppm) div 1e6 on int64 WITHOUT the
+    intermediate product (corpus token counts * ppm overflows int64 at
+    ~2e13 tokens — i.e. exactly the 100 TB regime): split x = q*1e6 + r,
+    then q*ppm + (r*ppm) div 1e6 is the same floor, and r*ppm < 1e12.
+    Both operands non-negative (div/% agree across engines only there).
+    ``div``: the integer-division operator — "div" (Spark), "//"
+    (DuckDB); the rest of the text is engine-identical."""
+    return (
+        f"(({x}) {div} 1000000) * ({ppm})"
+        f" + ((({x}) % 1000000) * ({ppm})) {div} 1000000"
+    )
+
+
+def mixture_materialize(
+    docs: DataFrame,
+    weights: DataFrame,
+    frac_ppm: int = 500_000,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Materialize a training mixture under a token budget: given
+    per-domain sampling weights (ppm, e.g. from :func:`domain_weights`)
+    and a global budget of ``frac_ppm`` of the corpus tokens, select
+    docs per domain in a deterministic md5 shuffle order until that
+    domain's token budget is filled — the step that turns DoReMi-style
+    mixture WEIGHTS into an actual document SELECTION.
+
+      budget_d   = ((total_tokens · frac_ppm) div 1e6 · weight_ppm) div 1e6
+      pick_order = first 8 md5 hex chars of the id (uniform shuffle,
+                   reproducible on any engine/partitioning/rerun)
+      keep doc   ⇔ running Σ n_tokens (pick_order ASC, id ASC) ≤ budget_d
+
+    Greedy prefix packing: the budget is never exceeded; a doc larger
+    than the remaining budget ends its domain's intake.  All integer —
+    the ppm products use the overflow-free split form (:func:`mul_ppm_sql`)
+    so the math is exact at any corpus size.
+
+    Scale shape: one 1-row total (broadcast), one bounded weights join
+    (broadcast), then a single per-domain running-sum window — domains
+    partition the sort; no global ordering, no self-join; the heavy doc
+    relation is traversed once."""
+    total = docs.agg(F.sum(F.col(tokens_col)).cast("bigint").alias("_tot"))
+    u = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    base = docs.select(
+        F.col(domain_col),
+        F.col(id_col),
+        F.col(tokens_col).cast("bigint").alias("n_tokens"),
+        u.alias("pick_order"),
+    )
+    w = weights.select(domain_col, "weight_ppm")
+    budget = F.expr(
+        mul_ppm_sql(mul_ppm_sql("_tot", str(int(frac_ppm))), "weight_ppm")
+    ).cast("bigint")
+    budgeted = (
+        base.join(F.broadcast(w), domain_col)
+        .crossJoin(F.broadcast(total))
+        .select("*", budget.alias("budget_tokens"))
+        .drop("_tot")
+    )
+    win = (
+        Window.partitionBy(domain_col)
+        .orderBy(F.col("pick_order").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        budgeted.select(
+            "*", F.sum("n_tokens").over(win).cast("bigint").alias("cum_tokens")
+        )
+        .filter(F.col("cum_tokens") <= F.col("budget_tokens"))
+        .select(
+            domain_col, id_col, "n_tokens", "pick_order", "cum_tokens",
+            "budget_tokens",
+        )
+    )
+
+
 def dsir_scores_with_lambda(
     raw: DataFrame,
     lam: DataFrame,

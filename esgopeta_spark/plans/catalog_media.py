@@ -846,10 +846,11 @@ def unigram_doc_token_counts(spark, sf):
     return unigram_segment_counts(d, vocab)
 
 
-@register(
-    "text_lm_familiarity_backoff",
-    "G4,E3,E5",
-    """
+# Shared oracle prelude for the stupid-backoff LM family: trains
+# trigram/bigram/unigram counts on the even-id half of the corpus,
+# scores every odd-id doc token with full trigram context, aggregates
+# per doc (CTE `per_doc`).  Integer milli at every level.
+_LM_BACKOFF_CTES = """
     WITH n AS (
       SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
       FROM documents),
@@ -883,14 +884,26 @@ def unigram_doc_token_counts(spark, sf):
       LEFT JOIN bi ON s.w2 = bi.w2 AND s.w3 = bi.w3
       LEFT JOIN (SELECT w3 AS uw, c1 AS c2 FROM uni) uctx ON s.w2 = uctx.uw
       LEFT JOIN uni ON s.w3 = uni.w3
-      CROSS JOIN tot)
-    SELECT doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_scored,
-           CAST(SUM(s) AS BIGINT) AS score_sum_milli,
-           CAST(SUM(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_trigram_hits,
-           CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bigram_backoffs,
-           CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_unigram_backoffs
-    FROM sc GROUP BY doc_id
+      CROSS JOIN tot),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_scored,
+             CAST(SUM(s) AS BIGINT) AS score_sum_milli,
+             CAST(SUM(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_trigram_hits,
+             CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bigram_backoffs,
+             CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_unigram_backoffs
+      FROM sc GROUP BY doc_id)
+    """
+
+
+@register(
+    "text_lm_familiarity_backoff",
+    "G4,E3,E5",
+    _LM_BACKOFF_CTES
+    + """
+    SELECT doc_id, n_scored, score_sum_milli, n_trigram_hits,
+           n_bigram_backoffs, n_unigram_backoffs
+    FROM per_doc
     """,
     doc="n-gram LM familiarity scoring with STUPID BACKOFF (Brants et al. "
     "2007; the CCNet-shaped 'does this doc look like the reference "
@@ -910,6 +923,40 @@ def text_lm_familiarity_backoff(spark, sf):
 
     d = T(spark, sf, "documents")
     return lm_backoff_scores(
+        d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1)
+    )
+
+
+@register(
+    "select_perplexity_buckets",
+    "G4,E5",
+    _LM_BACKOFF_CTES
+    + """
+    , mb AS (
+      SELECT p.doc_id, d.lang, p.n_scored,
+             CAST(p.score_sum_milli // p.n_scored AS BIGINT) AS mean_score_milli
+      FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id)
+    SELECT doc_id, lang, n_scored, mean_score_milli,
+           CAST(NTILE(3) OVER w AS INTEGER) AS ppl_bucket,
+           CASE NTILE(3) OVER w WHEN 1 THEN 'head' WHEN 3 THEN 'tail'
+                ELSE 'middle' END AS bucket_label
+    FROM mb
+    WINDOW w AS (PARTITION BY lang ORDER BY mean_score_milli DESC, doc_id ASC)
+    """,
+    doc="CCNet-style per-language perplexity bucketing (Wenzek et al. "
+    "2020): every scored doc lands in the head/middle/tail third of its "
+    "language by per-token LM familiarity (ntile over mean DESC, id ASC "
+    "— unique total order, rule 4; CCNet ranks perplexity ascending, the "
+    "integer-milli familiarity score is the same tiering oriented higher "
+    "= better).  Plan: the backoff scoring pipeline + a 2-column lang "
+    "dim join + ONE per-language ntile window (no global sort); "
+    "operators/selection.py perplexity_buckets",
+)
+def select_perplexity_buckets(spark, sf):
+    from esgopeta_spark.operators.selection import perplexity_buckets
+
+    d = T(spark, sf, "documents")
+    return perplexity_buckets(
         d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1)
     )
 

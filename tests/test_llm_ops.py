@@ -2614,3 +2614,97 @@ def test_model_persistence_roundtrips_exactly(spark, sf_dir, tmp_path):
         for r in topk_cosine_ivf_trained(emb, queries, dim, codebook=book2).collect()
     }
     assert loaded == inline
+
+
+def test_perplexity_buckets_tiering_sound(spark, sf_dir):
+    """CCNet bucket soundness: within every language the buckets are an
+    ordered tiering (min head score >= max middle >= ... ), sizes differ
+    by at most 1 (ntile contract), labels map 1/2/3 -> head/middle/tail,
+    and the assignment is partitioning-invariant."""
+    from esgopeta_spark.operators.selection import perplexity_buckets
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    train = d.filter("doc_id % 2 = 0")
+    score = d.filter("doc_id % 2 = 1")
+    rows = perplexity_buckets(train, score).collect()
+    assert rows
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        sizes = {}
+        for r in rs:
+            sizes[r["ppl_bucket"]] = sizes.get(r["ppl_bucket"], 0) + 1
+            assert r["bucket_label"] == {1: "head", 2: "middle", 3: "tail"}[
+                r["ppl_bucket"]
+            ]
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (lang, sizes)
+        for b in range(1, 3):
+            if b in sizes and b + 1 in sizes:
+                lo = min(r["mean_score_milli"] for r in rs if r["ppl_bucket"] == b)
+                hi = max(
+                    r["mean_score_milli"] for r in rs if r["ppl_bucket"] == b + 1
+                )
+                assert lo >= hi, (lang, b, lo, hi)
+    rep = perplexity_buckets(train.repartition(17), score.repartition(13)).collect()
+    assert {(r["doc_id"], r["ppl_bucket"]) for r in rep} == {
+        (r["doc_id"], r["ppl_bucket"]) for r in rows
+    }
+
+
+def test_mixture_materialize_budget_and_determinism(spark, sf_dir):
+    """Token-budget mixture: per-domain token sums never exceed the
+    domain budget, the budget formula matches exact python ints
+    (overflow-free split form), selection order is the md5 shuffle
+    prefix, and the output is partitioning-invariant."""
+    from esgopeta_spark.operators.selection import (
+        domain_weights,
+        mixture_materialize,
+    )
+    from esgopeta_spark.operators.text import token_count
+
+    d = read_table(spark, sf_dir, "documents")
+    w = domain_weights(d)
+    toks = d.select("source", "doc_id", token_count(F.col("text")).alias("n_tokens"))
+    out = mixture_materialize(toks, w).collect()
+    assert out
+
+    total = toks.agg(F.sum("n_tokens")).first()[0]
+    wmap = {r["source"]: r["weight_ppm"] for r in w.collect()}
+    half = (total // 10**6) * 500000 + ((total % 10**6) * 500000) // 10**6
+    by_dom: dict = {}
+    for r in out:
+        by_dom.setdefault(r["source"], []).append(r)
+    for src, rs in by_dom.items():
+        want_budget = (half // 10**6) * wmap[src] + (
+            (half % 10**6) * wmap[src]
+        ) // 10**6
+        assert all(r["budget_tokens"] == want_budget for r in rs)
+        assert sum(r["n_tokens"] for r in rs) <= want_budget
+        assert max(r["cum_tokens"] for r in rs) <= want_budget
+        # greedy prefix: selected ids are exactly the maximal prefix of
+        # the md5 shuffle order whose running sum fits
+        ordered = sorted(
+            toks.filter(F.col("source") == src).collect(),
+            key=lambda r: (
+                int(
+                    __import__("hashlib")
+                    .md5(str(r["doc_id"]).encode())
+                    .hexdigest()[:8],
+                    16,
+                ),
+                r["doc_id"],
+            ),
+        )
+        cum, want_ids = 0, set()
+        for r in ordered:
+            cum += r["n_tokens"]
+            if cum > want_budget:
+                break
+            want_ids.add(r["doc_id"])
+        assert {r["doc_id"] for r in rs} == want_ids
+
+    rep = mixture_materialize(toks.repartition(19), w).collect()
+    assert {(r["doc_id"], r["cum_tokens"]) for r in rep} == {
+        (r["doc_id"], r["cum_tokens"]) for r in out
+    }

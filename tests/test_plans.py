@@ -446,3 +446,34 @@ def test_entropy_bm25_plan_posture(spark, sf_dir):
     p = plan_of(REGISTRY["text_bm25_retrieval"].fn(spark, sf_dir))
     assert "CartesianProduct" not in p, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_perplexity_buckets_plan_posture(spark, sf_dir):
+    """CCNet bucketing: LM count joins stay equi; the only nested-loop
+    node allowed is the 1-row totals cross join; the ntile runs as a
+    per-language window (no global sort node feeding a single task from
+    a cartesian)."""
+    import re
+
+    from esgopeta_spark.plans import REGISTRY
+
+    p = plan_of(REGISTRY["select_perplexity_buckets"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) <= 1, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_mixture_materialize_plan_posture(spark, sf_dir):
+    """Token-budget mixture: weights and totals broadcast (the only
+    nested-loop nodes are the bounded 1-row totals cross joins — the
+    entropy pipeline's N, the domain-weight total, and the corpus token
+    total); exactly one running-sum window; no cartesian over data."""
+    import re
+
+    from esgopeta_spark.plans import REGISTRY
+
+    p = plan_of(REGISTRY["select_mixture_materialize"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) <= 4, p
+    assert "BroadcastHashJoin" in p, p
+    assert len(re.findall(r"\(\d+\) Window", p)) == 1, p
