@@ -305,6 +305,30 @@ def domain_weights(
     )
 
 
+def weighted_sample_keys(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The Efraimidis-Spirakis priority projection shared by the batch
+    sampler (:func:`weighted_sample`) and its streaming reservoir twin
+    (``streaming.prep.streaming_weighted_sample``): (id, weight, es_key)
+    with the integer key ((32000 − mlog2(u)) · 1e6) div w, u from
+    md5(id).  Pure codegen (md5 + the shift-and-square log chain) —
+    stateless, stream-safe, bit-equal on any engine/partitioning."""
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint") + 1
+    )
+    w = F.greatest(F.col(weight_col).cast("bigint"), F.lit(1))
+    base = df.select(F.col(id_col), w.alias("_w"), u.alias("_u"))
+    return with_milli_log2(base, "_u", "_ml").select(
+        id_col,
+        F.col("_w").alias("weight"),
+        F.expr("((32000 - _ml) * 1000000) div _w").cast("bigint").alias("es_key"),
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     k: int,
@@ -330,17 +354,7 @@ def weighted_sample(
     under LIMIT) — the same shape as every deterministic selector here;
     at 100 TB swap the global window for a per-partition top-k
     pre-prune, semantics unchanged."""
-    u = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
-        .cast("bigint") + 1
-    )
-    w = F.greatest(F.col(weight_col).cast("bigint"), F.lit(1))
-    base = df.select(F.col(id_col), w.alias("_w"), u.alias("_u"))
-    keyed = with_milli_log2(base, "_u", "_ml").select(
-        id_col,
-        F.col("_w").alias("weight"),
-        F.expr("((32000 - _ml) * 1000000) div _w").cast("bigint").alias("es_key"),
-    )
+    keyed = weighted_sample_keys(df, weight_col, id_col)
     win = Window.orderBy(F.col("es_key").asc(), F.col(id_col).asc())
     return (
         keyed.select("*", F.row_number().over(win).alias("sample_rank"))

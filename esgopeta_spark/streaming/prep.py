@@ -398,3 +398,102 @@ def streaming_dsir_scores(
     return docs.select(id_col, text_col).mapInPandas(
         kernel, f"{id_col} bigint, n_grams bigint, score_milli bigint"
     )
+
+
+RESERVOIR_STATE_SCHEMA = StructType(
+    [
+        StructField("keys_json", StringType()),
+        StructField("upd_seq", LongType()),
+    ]
+)
+
+RESERVOIR_OUTPUT_SCHEMA = (
+    "doc_id bigint, weight bigint, es_key bigint, sample_rank int, "
+    "upd_seq bigint"
+)
+
+
+def _make_reservoir_handler(k: int):
+    """Global A-Res reservoir (Efraimidis-Spirakis): state = the k
+    smallest (es_key, id, weight) triples seen so far.  Because es_key
+    is a deterministic pure function of (id, weight), the reservoir
+    after the last batch equals the batch top-k under ANY arrival
+    order.  When membership or ranks change, the FULL k-row snapshot
+    re-emits with a higher upd_seq — update-mode semantics: the rows of
+    the max upd_seq are the sample (stale rows from older snapshots are
+    superseded wholesale; an evicted id simply never appears in the
+    latest snapshot)."""
+    import json as _json
+
+    def handler(key, pdfs, gstate):
+        import pandas as _pd
+
+        new = []
+        for pdf in pdfs:
+            for rec in pdf.to_dict("records"):
+                new.append(
+                    (int(rec["es_key"]), int(rec["doc_id"]), int(rec["weight"]))
+                )
+        if not new:
+            return
+        if gstate.exists:
+            st = gstate.get
+            keys, seq = _json.loads(st[0]), int(st[1])
+        else:
+            keys, seq = [], 0
+        merged = sorted({tuple(t) for t in keys} | set(new))[: int(k)]
+        if merged == [tuple(t) for t in keys]:
+            return
+        seq += 1
+        gstate.update((_json.dumps(merged), seq))
+        yield _pd.DataFrame(
+            [
+                {
+                    "doc_id": did,
+                    "weight": w,
+                    "es_key": ek,
+                    "sample_rank": i + 1,
+                    "upd_seq": seq,
+                }
+                for i, (ek, did, w) in enumerate(merged)
+            ]
+        )
+
+    return handler
+
+
+def streaming_weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming twin of ``selection.weighted_sample``: the A-Res
+    reservoir form of deterministic Efraimidis-Spirakis sampling.  The
+    priority projection is the SHARED batch codegen
+    (``selection.weighted_sample_keys`` — md5 + shift-and-square log
+    chain, stateless on streams); the stateful part is one global
+    reservoir of the k smallest keys, snapshot-re-emitted on change.
+
+    Converges bit-exactly to the batch sample under any arrival order
+    (es_key is a pure function of the row) — pinned in
+    tests/test_streaming.py.
+
+    Scale shape: state is O(k) and bounded; all rows funnel through ONE
+    state key — the contract twin, not the 100 TB shape.  At scale,
+    pre-prune per partition (each executor keeps its local k smallest —
+    a stateless aggregate) and reservoir only the ≤ P·k survivors,
+    semantics unchanged; the single-key merge then sees k rows per
+    partition per batch, not the corpus."""
+    from esgopeta_spark.operators.selection import weighted_sample_keys
+
+    keyed = weighted_sample_keys(docs, weight_col, id_col).select(
+        F.col(id_col).alias("doc_id"), "weight", "es_key", F.lit(0).alias("_g")
+    )
+    return keyed.groupBy("_g").applyInPandasWithState(
+        _make_reservoir_handler(k),
+        outputStructType=RESERVOIR_OUTPUT_SCHEMA,
+        stateStructType=RESERVOIR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

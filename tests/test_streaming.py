@@ -1166,3 +1166,36 @@ def test_streaming_media_dedup_end_to_end(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_weighted_sample_matches_batch(spark, sf_dir, tmp_path):
+    """A-Res reservoir twin: the max-upd_seq snapshot after draining the
+    stream must equal the batch Efraimidis-Spirakis sample bit-exactly,
+    under multi-batch arrival (maxFilesPerTrigger=1 over 3 files)."""
+    from esgopeta_spark.operators.selection import weighted_sample
+    from esgopeta_spark.operators.text import token_count
+    from esgopeta_spark.streaming.prep import streaming_weighted_sample
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    want = {
+        (r["doc_id"], r["weight"], r["es_key"], r["sample_rank"])
+        for r in weighted_sample(d, 25, "n_tokens").collect()
+    }
+    d.coalesce(3).write.mode("overwrite").parquet(str(tmp_path / "docs"))
+    stream = spark.readStream.schema("doc_id long, n_tokens long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(tmp_path / "docs"))
+    run_stream_to_memory(
+        streaming_weighted_sample(stream, 25, "n_tokens"), "wsamplestream"
+    )
+    rows = spark.sql("SELECT * FROM wsamplestream").collect()
+    assert rows
+    last = max(r["upd_seq"] for r in rows)
+    got = {
+        (r["doc_id"], r["weight"], r["es_key"], r["sample_rank"])
+        for r in rows
+        if r["upd_seq"] == last
+    }
+    assert got == want
