@@ -52,6 +52,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -914,6 +915,58 @@ def video_frame_hashes(
             )
 
     return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
+
+
+def video_scene_stats(
+    df: DataFrame,
+    cut_hamming: int = 8,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_frames: int = 8,
+) -> DataFrame:
+    """Scene-change detection over the per-frame fingerprint stream: a
+    CUT is a consecutive-frame pair whose dHash Hamming distance exceeds
+    ``cut_hamming`` (within a scene the perceptual hash drifts a few
+    bits; across a hard cut it jumps — the classic shot-boundary
+    heuristic on a 64-bit perceptual hash).  Returns per video
+    (id, n_frames, n_cuts, n_scenes = n_cuts + 1, max_cut_hamming).
+
+    A training pipeline uses this for frame-sampling (one keyframe per
+    scene beats uniform sampling) and for flagging slideshow/static
+    videos (n_scenes == 1).
+
+    Scale shape: the decode kernel is the shared ``video_frame_hashes``
+    Arrow pass; the cut detection is ONE lag window partitioned by
+    video (frames per video are bounded by ``max_frames``, so no skew),
+    then a per-video aggregate — no joins, nothing all-pairs."""
+    fh = video_frame_hashes(df, payload_col, id_col, max_frames)
+    win = Window.partitionBy(id_col).orderBy("frame_idx")
+    d = fh.select(
+        id_col,
+        "dhash",
+        F.lag("dhash").over(win).alias("_prev"),
+    )
+    ham = F.when(
+        F.col("_prev").isNull(), F.lit(None)
+    ).otherwise(F.bit_count(F.expr("_prev ^ dhash")))
+    return (
+        d.select(id_col, ham.alias("_ham"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+            F.sum(
+                (F.col("_ham") > F.lit(int(cut_hamming))).cast("int")
+            ).cast("bigint").alias("n_cuts"),
+            F.max("_ham").cast("bigint").alias("max_cut_hamming"),
+        )
+        .select(
+            id_col,
+            "n_frames",
+            F.coalesce(F.col("n_cuts"), F.lit(0)).alias("n_cuts"),
+            (F.coalesce(F.col("n_cuts"), F.lit(0)) + 1).alias("n_scenes"),
+            "max_cut_hamming",
+        )
+    )
 
 
 def video_dup_pairs(

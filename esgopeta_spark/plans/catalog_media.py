@@ -671,6 +671,78 @@ def dedup_video_shared_frames(spark, sf):
 
 
 @register(
+    "multimodal_video_scenes",
+    "G5,E5",
+    """
+    SELECT doc_id AS media_id,
+           CAST(4 AS BIGINT) AS n_frames,
+           CAST((doc_id // 10) % 3 AS BIGINT) AS n_cuts,
+           CAST((doc_id // 10) % 3 + 1 AS BIGINT) AS n_scenes
+    FROM documents WHERE doc_id % 10 = 3
+    """,
+    doc="video scene-change detection (r9): per selected doc, build a "
+    "REAL 4-frame Motion-JPEG mp4 with a KNOWN number of hard cuts "
+    "((doc_id div 10) mod 3 — frames repeat a sinusoid pattern within a "
+    "scene and switch patterns at each cut), decode via the sample-table "
+    "walk + JPEG codec, dHash every frame, flag a cut where consecutive "
+    "frames' Hamming distance > 8.  JPEG encode/decode is deterministic "
+    "so within-scene distance is exactly 0 and the cross-pattern "
+    "separation >= 16 bits survives the JPEG round-trip (both pinned in "
+    "tests/test_llm_ops.py test_video_scene_stats_known_cuts).  Plan: "
+    "one Arrow decode pass, ONE bounded per-video lag window, one "
+    "per-video aggregate — no joins; operators/multimodal.py "
+    "video_scene_stats",
+)
+def multimodal_video_scenes(spark, sf):
+    from esgopeta_spark.operators.multimodal import video_scene_stats
+    from esgopeta_spark.session import ensure_min_partitions
+
+    ids = T(spark, sf, "documents").filter(F.col("doc_id") % 10 == 3).select("doc_id")
+    ids = ensure_min_partitions(ids)
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from esgopeta_spark.operators import codecs
+
+        fxy = [(1, 0), (0, 1), (2, 1), (1, 2), (3, 0), (2, 3)]
+
+        def pat(j):
+            yy, xx = np.mgrid[0:24, 0:32]
+            fx, fy = fxy[j]
+            ph = (2 * np.pi * (fx * xx + fy * yy)) / 16.0
+            arr = np.stack(
+                [90 + 70 * np.sin(ph), 90 + 70 * np.sin(ph + 1.0), 90 + 70 * np.cos(ph)],
+                axis=-1,
+            )
+            return np.clip(np.round(arr), 0, 255).astype(np.uint8)
+
+        # c cuts in 4 frames: cut positions by class — 0: none,
+        # 1: after frame 1, 2: after frames 0 and 2
+        cut_sets = [set(), {1}, {0, 2}]
+        for pdf in batches:
+            ids_, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                c = (d // 10) % 3
+                frames, p = [], 0
+                for i in range(4):
+                    frames.append(pat(p))
+                    if i in cut_sets[c]:
+                        p += 1
+                vid = codecs.encode_mjpeg_mp4(frames, quality=85)
+                ids_.append(d)
+                payloads.append(vid)
+            yield pd.DataFrame({"media_id": pd.Series(ids_, dtype="int64"),
+                                "payload": payloads})
+
+    media = ids.mapInPandas(render, "media_id bigint, payload binary")
+    return video_scene_stats(media, cut_hamming=8).select(
+        "media_id", "n_frames", "n_cuts", "n_scenes"
+    )
+
+
+@register(
     "dedup_cdc_file_pairs",
     "G1,G2",
     """

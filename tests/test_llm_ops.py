@@ -2708,3 +2708,67 @@ def test_mixture_materialize_budget_and_determinism(spark, sf_dir):
     assert {(r["doc_id"], r["cum_tokens"]) for r in rep} == {
         (r["doc_id"], r["cum_tokens"]) for r in out
     }
+
+
+def test_video_scene_stats_known_cuts(spark, sf_dir):
+    """Pin the multimodal_video_scenes oracle's soundness argument
+    THROUGH the JPEG round-trip: identical patterns decode to identical
+    frames (within-scene Hamming distance exactly 0) and the 6 sinusoid
+    patterns' decoded dHashes sit >= 16 bits apart (far above the
+    cut_hamming=8 threshold); then the operator reproduces the planted
+    cut counts on real MJPEG payloads."""
+    import itertools
+
+    import numpy as np
+
+    from esgopeta_spark.operators import codecs
+    from esgopeta_spark.operators.multimodal import dhash64, video_scene_stats
+
+    fxy = [(1, 0), (0, 1), (2, 1), (1, 2), (3, 0), (2, 3)]
+
+    def pat(j):
+        yy, xx = np.mgrid[0:24, 0:32]
+        fx, fy = fxy[j]
+        ph = (2 * np.pi * (fx * xx + fy * yy)) / 16.0
+        arr = np.stack(
+            [90 + 70 * np.sin(ph), 90 + 70 * np.sin(ph + 1.0), 90 + 70 * np.cos(ph)],
+            axis=-1,
+        )
+        return np.clip(np.round(arr), 0, 255).astype(np.uint8)
+
+    # decoded-frame hashes: through encode_mjpeg_mp4 + the frame walk
+    fps = {}
+    for j in range(6):
+        vid = codecs.encode_mjpeg_mp4([pat(j), pat(j)], quality=85)
+        frames = codecs.decode_mjpeg_frames(vid, max_frames=8)
+        hs = [dhash64(f["img"] if isinstance(f, dict) else f) for f in frames]
+        assert len(hs) == 2 and hs[0] == hs[1], j  # within-scene: exactly 0
+        fps[j] = hs[0]
+    dmin = min(
+        bin((fps[a] ^ fps[b]) & (2**64 - 1)).count("1")
+        for a, b in itertools.combinations(range(6), 2)
+    )
+    assert dmin >= 16, dmin
+
+    rows = []
+    for mid, cut_set in [(10, set()), (20, {1}), (30, {0, 2})]:
+        frames, p = [], 0
+        for i in range(4):
+            frames.append(pat(p))
+            if i in cut_set:
+                p += 1
+        rows.append((mid, bytearray(codecs.encode_mjpeg_mp4(frames, quality=85)),
+                     len(cut_set)))
+    media = spark.createDataFrame(
+        [(m, bytes(b)) for m, b, _ in rows], "media_id long, payload binary"
+    )
+    got = {r["media_id"]: (r["n_frames"], r["n_cuts"], r["n_scenes"],
+                           r["max_cut_hamming"])
+           for r in video_scene_stats(media, cut_hamming=8).collect()}
+    for mid, _, c in rows:
+        nf, nc, ns, mx = got[mid]
+        assert (nf, nc, ns) == (4, c, c + 1), (mid, got[mid])
+        if c == 0:
+            assert mx == 0
+        else:
+            assert mx >= 16
