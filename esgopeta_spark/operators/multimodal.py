@@ -703,6 +703,64 @@ def image_dhash(
     return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
 
 
+def image_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Per-image INTEGER quality statistics over the from-scratch
+    decoders — the signals an image-corpus filter keys on: dimensions,
+    gray sum / sum-of-squares (brightness, contrast), horizontal and
+    vertical gradient energy (sharpness; near-zero = flat/blurred or
+    synthetic fill), and mean gray in milli units.
+
+      gray    = (r + g + b) div 3 per pixel (exact integer)
+      edge_h  = Σ |gray[r, c+1] − gray[r, c]|
+      edge_v  = Σ |gray[r+1, c] − gray[r, c]|
+      mean_gray_milli = (sum_gray · 1000) div (width · height)
+
+    Every statistic is an exact int64 (no float leaves the kernel), so
+    through a LOSSLESS codec (PNG/BMP/PPM) the values are closed-form
+    computable from the planted pixels — the FLAC-style strong oracle
+    shape.  Undecodable/poison payloads are skipped (quarantine).
+
+    Scale shape: one Arrow mapInPandas decode pass, no shuffle, no
+    collect — cost is the codec, proportional to rows."""
+    out_schema = (
+        f"{id_col} bigint, width int, height int, sum_gray bigint, "
+        "sum_gray_sq bigint, edge_h bigint, edge_v bigint, "
+        "mean_gray_milli bigint"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    arr = decode_image_any(bytes(b) if b is not None else b"")
+                except ValueError:
+                    continue
+                g = arr.astype(np.int64).sum(axis=-1) // 3
+                h, w = g.shape
+                s = int(g.sum())
+                rows.append(
+                    {
+                        id_col: int(mid),
+                        "width": w,
+                        "height": h,
+                        "sum_gray": s,
+                        "sum_gray_sq": int((g * g).sum()),
+                        "edge_h": int(np.abs(np.diff(g, axis=1)).sum()),
+                        "edge_v": int(np.abs(np.diff(g, axis=0)).sum()),
+                        "mean_gray_milli": (s * 1000) // (w * h),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
+
+
 def image_dup_pairs(
     df: DataFrame,
     max_hamming: int = 3,

@@ -1042,3 +1042,104 @@ def bm25_scores(
         )
         .select(F.col("_id").alias(id_col), "n_matched_terms", "score_milli")
     )
+
+
+def c4_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4-style line and page filters (Raffel et al. 2020 §2.2, the
+    public rule set behind the Colossal Clean Crawled Corpus) — the
+    OTHER classic rule battery next to :func:`gopher_rules`, aimed at
+    web-crawl artifacts rather than fluency: per doc,
+
+      n_lines, n_kept_lines   line KEPT iff it ends in terminal
+                              punctuation (. ! ? \"), has >=
+                              ``min_line_words`` words, and does not
+                              mention 'javascript'
+      n_sentences             terminal-punctuation chars in the text
+                              (C4's >= 3-sentence page gate uses this
+                              count as its sentence proxy)
+      n_policy_lines          lines carrying boilerplate policy phrases
+                              ('terms of use', 'privacy policy',
+                              'cookie policy', 'uses cookies')
+      has_lorem_ipsum,        page-level poison markers (placeholder
+      has_brace               text; '{' = code/templating leak)
+      keep                    the C4 page gate: >= ``min_sentences``
+                              sentences, no lorem ipsum, no brace
+
+    (C4's bad-word list and 3-sentence-span dedup are separate
+    operators here: ``matching.blocklist_hits`` and ``line_dedup``.)
+
+    Determinism: every statistic is an integer count or 0/1 flag —
+    nothing crosses the engine boundary as a float.  The phrase checks
+    are literal substring positions (no regex dialect exposure); the
+    word split mirrors the corpus contract (ASCII whitespace).
+
+    Scale shape: fully JVM codegen — ONE posexplode on the line split,
+    per-line stats as one projection, one doc-keyed aggregate.  The
+    page-level markers are computed per line and OR-folded in the same
+    aggregate (a literal phrase cannot span a line break), so there is
+    no doc-scalar branch to re-join — single lineage, one shuffle."""
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("_line"),
+    )
+    lw = F.lower(F.col("_line"))
+    normline = F.trim(F.regexp_replace(lw, r"\s+", " "))
+    nw = (
+        F.when(F.length(normline) == 0, F.lit(0))
+        .otherwise(F.size(F.split(normline, " ")))
+        .cast("bigint")
+    )
+    terminal = F.substring(F.rtrim(F.col("_line")), -1, 1).isin(
+        ".", "!", "?", '"'
+    ).cast("int")
+    has_js = (F.instr(lw, "javascript") > 0).cast("int")
+    policy = (
+        (F.instr(lw, "terms of use") > 0)
+        | (F.instr(lw, "privacy policy") > 0)
+        | (F.instr(lw, "cookie policy") > 0)
+        | (F.instr(lw, "uses cookies") > 0)
+    ).cast("int")
+    sent = (
+        F.length(F.col("_line")) - F.length(F.translate(F.col("_line"), ".!?", ""))
+    ).cast("bigint")
+    lorem = (F.instr(lw, "lorem ipsum") > 0).cast("int")
+    brace = (F.instr(F.col("_line"), "{") > 0).cast("int")
+    per_line = lines.select(
+        "_id",
+        nw.alias("_nw"),
+        terminal.alias("_term"),
+        has_js.alias("_js"),
+        policy.alias("_pol"),
+        sent.alias("_sent"),
+        lorem.alias("_lor"),
+        brace.alias("_br"),
+    )
+    kept = (
+        (F.col("_term") == 1)
+        & (F.col("_nw") >= F.lit(int(min_line_words)))
+        & (F.col("_js") == 0)
+    ).cast("int")
+    agg = (
+        per_line.select("*", kept.alias("_keep"))
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("_keep").cast("bigint").alias("n_kept_lines"),
+            F.sum("_sent").cast("bigint").alias("n_sentences"),
+            F.sum("_pol").cast("bigint").alias("n_policy_lines"),
+            F.max("_lor").cast("int").alias("has_lorem_ipsum"),
+            F.max("_br").cast("int").alias("has_brace"),
+        )
+    )
+    keep = (
+        (F.col("n_sentences") >= F.lit(int(min_sentences)))
+        & (F.col("has_lorem_ipsum") == 0)
+        & (F.col("has_brace") == 0)
+    ).cast("int")
+    return agg.select(F.col("_id").alias(id_col), *agg.columns[1:], keep.alias("keep"))

@@ -1184,6 +1184,141 @@ def text_gopher_rules(spark, sf):
 
 
 @register(
+    "multimodal_image_stats",
+    "G5,E2",
+    """
+    WITH sel AS (
+      SELECT doc_id, (doc_id // 10) % 4 AS c
+      FROM documents WHERE doc_id % 10 = 7)
+    SELECT doc_id AS media_id,
+           CAST(32 AS INTEGER) AS width, CAST(24 AS INTEGER) AS height,
+           CAST(CASE c WHEN 0 THEN 76800 WHEN 1 THEN 153600
+                       ELSE 76800 END AS BIGINT) AS sum_gray,
+           CAST(CASE c WHEN 0 THEN 7680000 WHEN 1 THEN 30720000
+                       ELSE 15360000 END AS BIGINT) AS sum_gray_sq,
+           CAST(CASE c WHEN 2 THEN 148800 ELSE 0 END AS BIGINT) AS edge_h,
+           CAST(CASE c WHEN 3 THEN 147200 ELSE 0 END AS BIGINT) AS edge_v,
+           CAST(CASE c WHEN 1 THEN 200000 ELSE 100000 END AS BIGINT)
+             AS mean_gray_milli
+    FROM sel
+    """,
+    doc="per-image integer quality statistics (r9): brightness (gray "
+    "sum), contrast (sum of squares), sharpness (horizontal/vertical "
+    "gradient energy) over the from-scratch decoders — the image-corpus "
+    "filter signals.  Per selected doc, render one of 4 planted classes "
+    "(uniform 100, uniform 200, 0/200 vertical stripes, 0/200 horizontal "
+    "stripes) through a REAL PNG encode/decode round-trip; PNG is "
+    "lossless and every statistic is exact int64, so the oracle is the "
+    "CLOSED-FORM pixel arithmetic (the FLAC-style strong-oracle shape: "
+    "value-exact, not class-structural).  32x24: uniform sum=v*768, "
+    "stripes half-half sum=200*384, edge_h=24 rows*31 steps*200, "
+    "edge_v=32 cols*23 steps*200.  Plan: one Arrow decode pass, no "
+    "shuffle; operators/multimodal.py image_stats",
+)
+def multimodal_image_stats(spark, sf):
+    from esgopeta_spark.operators.multimodal import image_stats
+    from esgopeta_spark.session import ensure_min_partitions
+
+    ids = T(spark, sf, "documents").filter(F.col("doc_id") % 10 == 7).select("doc_id")
+    ids = ensure_min_partitions(ids)
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from esgopeta_spark.operators import codecs
+
+        def img(c):
+            if c == 0:
+                g = np.full((24, 32), 100, dtype=np.uint8)
+            elif c == 1:
+                g = np.full((24, 32), 200, dtype=np.uint8)
+            elif c == 2:
+                g = np.tile(
+                    np.array([0, 200], dtype=np.uint8), 16
+                )[None, :].repeat(24, axis=0)
+            else:
+                g = np.tile(
+                    np.array([0, 200], dtype=np.uint8), 12
+                )[:, None].repeat(32, axis=1)
+            return np.stack([g, g, g], axis=-1)
+
+        for pdf in batches:
+            ids_, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                payloads.append(codecs.encode_png(img((d // 10) % 4)))
+                ids_.append(d)
+            yield pd.DataFrame({"media_id": pd.Series(ids_, dtype="int64"),
+                                "payload": payloads})
+
+    media = ids.mapInPandas(render, "media_id bigint, payload binary")
+    return image_stats(media)
+
+
+@register(
+    "text_c4_rules",
+    "G4,E2",
+    r"""
+    WITH ln AS (
+      SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+      FROM documents
+    ), st AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(regexp_replace(lower(line), '\s+', ' ', 'g'))) = 0
+                  THEN 0
+                  ELSE len(string_split(
+                         trim(regexp_replace(lower(line), '\s+', ' ', 'g')), ' '))
+             END AS nw,
+             CASE WHEN right(rtrim(line), 1) IN ('.', '!', '?', '"')
+                  THEN 1 ELSE 0 END AS term,
+             CASE WHEN position('javascript' IN lower(line)) > 0
+                  THEN 1 ELSE 0 END AS js,
+             CASE WHEN position('terms of use' IN lower(line)) > 0
+                    OR position('privacy policy' IN lower(line)) > 0
+                    OR position('cookie policy' IN lower(line)) > 0
+                    OR position('uses cookies' IN lower(line)) > 0
+                  THEN 1 ELSE 0 END AS pol,
+             CAST(length(line) - length(translate(line, '.!?', '')) AS BIGINT) AS sent,
+             CASE WHEN position('lorem ipsum' IN lower(line)) > 0
+                  THEN 1 ELSE 0 END AS lor,
+             CASE WHEN position('{' IN line) > 0 THEN 1 ELSE 0 END AS br
+      FROM ln
+    ), agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN term = 1 AND nw >= 5 AND js = 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_lines,
+             CAST(sum(sent) AS BIGINT) AS n_sentences,
+             CAST(sum(pol) AS BIGINT) AS n_policy_lines,
+             CAST(max(lor) AS INTEGER) AS has_lorem_ipsum,
+             CAST(max(br) AS INTEGER) AS has_brace
+      FROM st GROUP BY doc_id
+    )
+    SELECT doc_id, n_lines, n_kept_lines, n_sentences, n_policy_lines,
+           has_lorem_ipsum, has_brace,
+           CAST(CASE WHEN n_sentences >= 3 AND has_lorem_ipsum = 0
+                      AND has_brace = 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM agg
+    """,
+    doc="C4 line/page filter battery (Raffel et al. 2020 §2.2, r9) — the "
+    "web-crawl-artifact complement to the Gopher fluency rules: per doc, "
+    "kept-line count (terminal punctuation + >=5 words + no "
+    "'javascript'), sentence-terminator count (the >=3-sentence page "
+    "gate's proxy), policy-boilerplate line count, lorem-ipsum/brace "
+    "poison flags, and the C4 page keep verdict.  Every statistic is an "
+    "integer count or 0/1 flag; phrase checks are literal substring "
+    "positions (no regex dialect crosses the engine boundary).  Plan: "
+    "ONE posexplode line split + one doc-keyed aggregate, page markers "
+    "OR-folded in the same aggregate (no doc-scalar re-join — single "
+    "lineage); operators/text.py c4_rules",
+)
+def text_c4_rules(spark, sf):
+    from esgopeta_spark.operators.text import c4_rules
+
+    return c4_rules(T(spark, sf, "documents"))
+
+
+@register(
     "split_train_shards",
     "G4,E5",
     r"""

@@ -497,3 +497,67 @@ def streaming_weighted_sample(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+C4_OUTPUT_SCHEMA = (
+    "doc_id bigint, n_lines bigint, n_kept_lines bigint, n_sentences bigint, "
+    "n_policy_lines bigint, has_lorem_ipsum int, has_brace int, keep int"
+)
+
+
+def streaming_c4_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """Stateless streaming twin of ``text.c4_rules``: every C4 statistic
+    is a pure function of one document, so the twin is one Arrow pass —
+    no state, no shuffle, append-mode safe.  The Python kernel mirrors
+    the batch semantics exactly: split on '\\n' keeping trailing
+    empties, per-line stats on the space-normalized lowercase line,
+    rtrim = SPACES ONLY (Spark/DuckDB rtrim default — not Python
+    ``rstrip()``, which eats tabs), literal substring phrase checks.
+    Batch≡stream integer equality pinned in tests/test_streaming.py."""
+    import re as _re
+
+    _POLICY = ("terms of use", "privacy policy", "cookie policy", "uses cookies")
+
+    def kernel(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                n_lines = n_kept = n_sent = n_pol = lor = br = 0
+                for line in (text or "").split("\n"):
+                    n_lines += 1
+                    lw = line.lower()
+                    norm = _re.sub(r"\s+", " ", lw).strip()
+                    nw = len(norm.split(" ")) if norm else 0
+                    rl = line.rstrip(" ")
+                    term = bool(rl) and rl[-1] in '.!?"'
+                    js = "javascript" in lw
+                    if term and nw >= min_line_words and not js:
+                        n_kept += 1
+                    n_sent += sum(line.count(c) for c in ".!?")
+                    if any(p in lw for p in _POLICY):
+                        n_pol += 1
+                    if "lorem ipsum" in lw:
+                        lor = 1
+                    if "{" in line:
+                        br = 1
+                keep = int(n_sent >= min_sentences and not lor and not br)
+                rows.append(
+                    (int(did), n_lines, n_kept, n_sent, n_pol, lor, br, keep)
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "n_lines", "n_kept_lines", "n_sentences",
+                    "n_policy_lines", "has_lorem_ipsum", "has_brace", "keep",
+                ],
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, C4_OUTPUT_SCHEMA)

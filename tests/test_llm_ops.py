@@ -2772,3 +2772,110 @@ def test_video_scene_stats_known_cuts(spark, sf_dir):
             assert mx == 0
         else:
             assert mx >= 16
+
+
+def test_c4_rules_hand_fixture(spark):
+    """Planted lines with known verdicts: kept-line rule (terminal punct
+    + >=5 words + no 'javascript'), sentence proxy, policy lines, page
+    poison flags, and the page keep gate."""
+    from esgopeta_spark.operators.text import c4_rules
+
+    docs = spark.createDataFrame(
+        [
+            # clean page: 3 kept lines, >=3 sentences -> keep
+            (1, "The quick brown fox jumps high.\n"
+                "A second proper sentence stands here!\n"
+                "Is this a third full sentence?"),
+            # short lines / no terminal punct / javascript -> 0 kept;
+            # only 1 sentence terminator -> page dropped
+            (2, "too short.\n"
+                "this line has no terminal punctuation at all\n"
+                "please enable JavaScript to view this page."),
+            # lorem ipsum + brace poison; policy boilerplate
+            (3, "Lorem ipsum dolor sit amet, consectetur adipiscing elit.\n"
+                "function f() { return 1; }\n"
+                "See our privacy policy and terms of use for details.\n"
+                "This page uses cookies. More real sentences follow here."),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in c4_rules(docs).collect()}
+    assert got[1]["n_lines"] == 3 and got[1]["n_kept_lines"] == 3
+    assert got[1]["n_sentences"] == 3 and got[1]["keep"] == 1
+    assert got[1]["has_lorem_ipsum"] == 0 and got[1]["has_brace"] == 0
+    # doc 2: line 1 too short, line 2 no terminal punct, line 3 has
+    # 'javascript' (case-insensitive)
+    assert got[2]["n_kept_lines"] == 0
+    assert got[2]["n_sentences"] == 2  # 'short.' + 'page.'
+    assert got[2]["keep"] == 0
+    assert got[3]["has_lorem_ipsum"] == 1 and got[3]["has_brace"] == 1
+    assert got[3]["n_policy_lines"] == 2
+    assert got[3]["keep"] == 0  # poison flags override sentence count
+
+
+def test_c4_rules_stream_twin_matches_batch(spark, sf_dir, tmp_path):
+    """The stateless Arrow twin must be integer-equal to the batch
+    operator on the real corpus, run as an actual stream."""
+    from esgopeta_spark.operators.text import c4_rules
+    from esgopeta_spark.streaming.prep import streaming_c4_rules
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    want = {tuple(r) for r in c4_rules(docs).collect()}
+    docs.coalesce(2).write.mode("overwrite").parquet(str(tmp_path / "docs"))
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(tmp_path / "docs"))
+    query = (
+        streaming_c4_rules(stream)
+        .writeStream.format("memory")
+        .queryName("c4stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert query.awaitTermination(180)
+    finally:
+        query.stop()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM c4stream").collect()}
+    assert got == want
+
+
+def test_image_stats_closed_form(spark):
+    """image_stats through a lossless PNG round-trip must equal exact
+    pixel arithmetic; poison payloads are skipped (quarantine)."""
+    import numpy as np
+
+    from esgopeta_spark.operators import codecs
+    from esgopeta_spark.operators.multimodal import image_stats
+
+    g = np.tile(np.array([0, 200], dtype=np.uint8), 16)[None, :].repeat(24, axis=0)
+    rgb = np.stack([g, g, g], axis=-1)
+    rows = [
+        (1, codecs.encode_png(np.full((24, 32, 3), 100, dtype=np.uint8))),
+        (2, codecs.encode_png(rgb)),
+        (3, b"\x89PNG\r\n\x1a\nGARBAGE"),  # poison: skipped, not fatal
+    ]
+    media = spark.createDataFrame(
+        [(m, bytes(b)) for m, b in rows], "media_id long, payload binary"
+    )
+    got = {r["media_id"]: r.asDict() for r in image_stats(media).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["sum_gray"] == 100 * 768 and got[1]["edge_h"] == 0
+    assert got[1]["sum_gray_sq"] == 100 * 100 * 768
+    assert got[1]["mean_gray_milli"] == 100000
+    assert got[2]["sum_gray"] == 200 * 384
+    assert got[2]["edge_h"] == 24 * 31 * 200 and got[2]["edge_v"] == 0
+    # a non-uniform NATURAL image: stats equal numpy on the raw pixels
+    yy, xx = np.mgrid[0:24, 0:32]
+    arr = np.clip(
+        np.round(90 + 70 * np.sin((2 * np.pi * (xx + 2 * yy)) / 16.0)), 0, 255
+    ).astype(np.uint8)
+    rgb2 = np.stack([arr, arr, arr], axis=-1)
+    media2 = spark.createDataFrame(
+        [(9, codecs.encode_png(rgb2))], "media_id long, payload binary"
+    )
+    r = image_stats(media2).collect()[0]
+    gq = arr.astype(np.int64) * 3 // 3
+    assert r["sum_gray"] == int(gq.sum())
+    assert r["edge_v"] == int(np.abs(np.diff(gq, axis=0)).sum())
