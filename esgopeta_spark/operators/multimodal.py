@@ -883,6 +883,72 @@ def decode_audio_any(b: bytes):
     raise ValueError(f"not a decodable audio payload: {fmt}")
 
 
+def audio_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    quiet_milli: int = 10,
+) -> DataFrame:
+    """Per-clip INTEGER loudness/quality statistics over the
+    from-scratch audio decoders — the audio-corpus filter signals:
+
+      n_samples, sample_rate
+      sum_abs, sum_sq          loudness / energy (int64-exact)
+      peak                     max |sample|
+      n_clipped                samples at full scale (|s| >= 32767 —
+                               hard-clipping detector)
+      n_quiet                  samples with |s| <= 32767·quiet_milli
+                               div 1000 (silence-ratio numerator)
+      mean_abs_milli           (sum_abs · 1000) div n_samples
+
+    Every statistic is exact int64 on the decoded int16 stream, so
+    through a LOSSLESS codec (WAV, FLAC) the values are closed-form
+    computable from planted waveforms — the strong-oracle shape
+    ``image_stats`` uses.  Undecodable/poison payloads are skipped
+    (quarantine).  Multichannel clips count every channel-sample.
+
+    Scale shape: one Arrow mapInPandas decode pass, no shuffle."""
+    out_schema = (
+        f"{id_col} bigint, n_samples bigint, sample_rate int, "
+        "sum_abs bigint, sum_sq bigint, peak bigint, n_clipped bigint, "
+        "n_quiet bigint, mean_abs_milli bigint"
+    )
+    thr = (32767 * int(quiet_milli)) // 1000
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    samples, sr = decode_audio_any(bytes(b) if b is not None else b"")
+                except ValueError:
+                    continue
+                a = np.abs(samples.astype(np.int64).reshape(-1))
+                n = int(a.size)
+                if n == 0:
+                    continue
+                sa = int(a.sum())
+                rows.append(
+                    {
+                        id_col: int(mid),
+                        "n_samples": n,
+                        "sample_rate": int(sr),
+                        "sum_abs": sa,
+                        "sum_sq": int((a * a).sum()),
+                        "peak": int(a.max()),
+                        "n_clipped": int((a >= 32767).sum()),
+                        "n_quiet": int((a <= thr).sum()),
+                        "mean_abs_milli": (sa * 1000) // n,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
+
+
 def audio_fingerprint(df: DataFrame, payload_col: str = "payload", id_col: str = "media_id") -> DataFrame:
     """(id, afp) fingerprints for an audio corpus via one Arrow
     mapInPandas kernel over the from-scratch decoders (WAV + all MPEG-1

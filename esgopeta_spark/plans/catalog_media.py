@@ -1184,6 +1184,78 @@ def text_gopher_rules(spark, sf):
 
 
 @register(
+    "multimodal_audio_stats",
+    "G5,E2",
+    """
+    WITH sel AS (
+      SELECT doc_id, (doc_id // 10) % 4 AS c
+      FROM documents WHERE doc_id % 10 = 9)
+    SELECT doc_id AS media_id,
+           CAST(4096 AS BIGINT) AS n_samples,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(CASE c WHEN 0 THEN 0 WHEN 1 THEN 134213632
+                       WHEN 2 THEN 67108864 ELSE 8386560 END AS BIGINT)
+             AS sum_abs,
+           CAST(CASE c WHEN 0 THEN 0 WHEN 1 THEN 4397778079744
+                       WHEN 2 THEN 1099511627776 ELSE 22898104320 END AS BIGINT)
+             AS sum_sq,
+           CAST(CASE c WHEN 0 THEN 0 WHEN 1 THEN 32767
+                       WHEN 2 THEN 16384 ELSE 4095 END AS BIGINT) AS peak,
+           CAST(CASE c WHEN 1 THEN 4096 ELSE 0 END AS BIGINT) AS n_clipped,
+           CAST(CASE c WHEN 0 THEN 4096 WHEN 3 THEN 328 ELSE 0 END AS BIGINT)
+             AS n_quiet,
+           CAST(CASE c WHEN 0 THEN 0 WHEN 1 THEN 32767000
+                       WHEN 2 THEN 16384000 ELSE 2047500 END AS BIGINT)
+             AS mean_abs_milli
+    FROM sel
+    """,
+    doc="per-clip integer loudness/quality statistics (r9): energy, "
+    "peak, hard-clipping and silence counters over the from-scratch "
+    "audio decoders.  Per selected doc, render one of 4 planted 4096-"
+    "sample mono waveforms (silence, full-scale +/-32767 square = all "
+    "clipped, half-scale square, 0..4095 sawtooth) through a REAL WAV "
+    "round-trip; WAV PCM16 is lossless and every statistic exact int64, "
+    "so the oracle is CLOSED-FORM waveform arithmetic (sum |k| and "
+    "sum k^2 over the ramp, full-scale counts).  Plan: one Arrow decode "
+    "pass, no shuffle; operators/multimodal.py audio_stats",
+)
+def multimodal_audio_stats(spark, sf):
+    from esgopeta_spark.operators.multimodal import audio_stats
+    from esgopeta_spark.session import ensure_min_partitions
+
+    ids = T(spark, sf, "documents").filter(F.col("doc_id") % 10 == 9).select("doc_id")
+    ids = ensure_min_partitions(ids)
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from esgopeta_spark.operators import codecs
+
+        def wave(c):
+            if c == 0:
+                s = np.zeros(4096, dtype=np.int16)
+            elif c == 1:
+                s = np.tile(np.array([32767, -32767], dtype=np.int16), 2048)
+            elif c == 2:
+                s = np.tile(np.array([16384, -16384], dtype=np.int16), 2048)
+            else:
+                s = np.arange(4096, dtype=np.int16)
+            return codecs.encode_wav(s, 8000)
+
+        for pdf in batches:
+            ids_, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                payloads.append(wave((d // 10) % 4))
+                ids_.append(d)
+            yield pd.DataFrame({"media_id": pd.Series(ids_, dtype="int64"),
+                                "payload": payloads})
+
+    media = ids.mapInPandas(render, "media_id bigint, payload binary")
+    return audio_stats(media)
+
+
+@register(
     "multimodal_image_stats",
     "G5,E2",
     """

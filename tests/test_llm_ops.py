@@ -2879,3 +2879,35 @@ def test_image_stats_closed_form(spark):
     gq = arr.astype(np.int64) * 3 // 3
     assert r["sum_gray"] == int(gq.sum())
     assert r["edge_v"] == int(np.abs(np.diff(gq, axis=0)).sum())
+
+
+def test_audio_stats_closed_form(spark):
+    """audio_stats through lossless WAV and FLAC round-trips must equal
+    exact waveform arithmetic; poison payloads are skipped."""
+    import numpy as np
+
+    from esgopeta_spark.operators import codecs
+    from esgopeta_spark.operators.multimodal import audio_stats
+
+    saw = np.arange(4096, dtype=np.int16)
+    sq = np.tile(np.array([32767, -32767], dtype=np.int16), 2048)
+    rows = [
+        (1, codecs.encode_wav(sq, 8000)),
+        (2, codecs.encode_wav(saw, 8000)),
+        (3, codecs.encode_flac(saw.reshape(-1, 1), 8000)),  # lossless too
+        (4, b"RIFFxxxxWAVEgarbage"),  # poison: skipped
+    ]
+    media = spark.createDataFrame(
+        [(m, bytes(b)) for m, b in rows], "media_id long, payload binary"
+    )
+    got = {r["media_id"]: r.asDict() for r in audio_stats(media).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["n_clipped"] == 4096 and got[1]["peak"] == 32767
+    assert got[1]["sum_sq"] == 4096 * 32767 * 32767
+    want_abs = int(np.abs(saw.astype(np.int64)).sum())
+    for m in (2, 3):  # WAV and FLAC agree exactly (both lossless)
+        assert got[m]["sum_abs"] == want_abs
+        assert got[m]["sum_sq"] == int((saw.astype(np.int64) ** 2).sum())
+        assert got[m]["peak"] == 4095 and got[m]["n_clipped"] == 0
+        assert got[m]["n_quiet"] == 328
+        assert got[m]["mean_abs_milli"] == (want_abs * 1000) // 4096
