@@ -1199,3 +1199,30 @@ def test_streaming_weighted_sample_matches_batch(spark, sf_dir, tmp_path):
         if r["upd_seq"] == last
     }
     assert got == want
+
+
+def test_streaming_stats_kernels_run_as_is(spark, sf_dir, tmp_path):
+    """House rule: stateless Arrow kernels run on streams AS-IS (share
+    the batch operator, don't mirror it).  Pin it for the r9 stats
+    kernels: image_stats on a binary-payload stream equals the batch
+    run bit-exactly."""
+    import numpy as np
+
+    from esgopeta_spark.operators import codecs
+    from esgopeta_spark.operators.multimodal import image_stats
+
+    rows = []
+    for i in range(6):
+        g = np.full((8, 8, 3), 40 * i, dtype=np.uint8)
+        rows.append((i, codecs.encode_png(g)))
+    spark.createDataFrame(rows, "media_id long, payload binary").coalesce(
+        2
+    ).write.mode("overwrite").parquet(str(tmp_path / "media"))
+    batch = spark.read.parquet(str(tmp_path / "media"))
+    want = {tuple(r) for r in image_stats(batch).collect()}
+    stream = spark.readStream.schema("media_id long, payload binary").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(tmp_path / "media"))
+    run_stream_to_memory(image_stats(stream), "imstats", mode="append")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM imstats").collect()}
+    assert got == want
