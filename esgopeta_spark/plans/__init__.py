@@ -41,7 +41,10 @@ GRADED_WINDOW = [
     # covered by as-of + range below — to make room for the r6 k-core entry;
     # cross join demoted in r5)
     "join_asof_purchase_click",
-    "join_range_acctbal_band",
+    # r9 late rotation: the range join demoted to parity-only (non-equi
+    # joins stay covered by as-of above; the range entry keeps its
+    # parity check and plan audit) for the CCNet perplexity-bucket
+    # flagship below
     "skew_salted_join",
     # E4 aggregation family (cube variant demoted to parity-only in r4 —
     # rollup keeps the grouping-sets shape graded — to make room for the
@@ -56,7 +59,8 @@ GRADED_WINDOW = [
     # survives 100 TB — single pass, bounded state)
     "agg_histogram_quantiles",
     "pivot_status_by_priority",
-    "unpivot_lineitem_measures",
+    # r9 late rotation: unpivot demoted to parity-only (pivot keeps the
+    # reshape family graded) for the image-stats strong-oracle entry
     "skew_salted_agg",
     # E5 windows + sessionization (running-total demoted in r4; range-30d
     # demoted in r5 — win_topk + sessionize keep the family graded — to
@@ -116,6 +120,10 @@ GRADED_WINDOW = [
     # flagship — the targeted-data-selection family's first in-window
     # representative, hash-exact on the engine-exact integer milli-log2
     "select_dsir_scores",
+    # r9 late: CCNet per-language perplexity bucketing — the selection
+    # pipeline's quality-tier step, ntile over a unique total order on
+    # the backoff-LM familiarity score (shared oracle CTE chain)
+    "select_perplexity_buckets",
     # G3 SCALE tier under the gate (r4): IVF probe join, hash-exact vs DuckDB
     "sim_topk_cosine_ivf",
     # r5: PQ asymmetric-distance top-k, hash-exact (compressed-domain tier)
@@ -126,6 +134,10 @@ GRADED_WINDOW = [
     # strongest oracle shape in the media family: DuckDB recomputes the
     # exact decoded-sample SUM in closed form, no codec involved
     "multimodal_decode_flac",
+    # r9 late: per-image integer quality statistics — PNG is lossless so
+    # the oracle is closed-form pixel arithmetic (the same value-exact
+    # oracle shape as FLAC, on the image side)
+    "multimodal_image_stats",
     # r8: REAL MPEG-1 Layer III (mp3) round trip rotated in for its
     # Layer I/II sibling (same decoder machinery, strictly deeper: side
     # info, bit reservoir, Huffman regions, hybrid MDCT, short blocks;

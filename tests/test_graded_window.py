@@ -11,8 +11,9 @@ from esgopeta_spark.plans import GRADED_WINDOW, REGISTRY
 
 REQUIRED_IN_WINDOW = {
     # one flagship per §2 family the verdict called out as invisible in r1/r2
-    "join_asof_purchase_click",  # E3 as-of
-    "join_range_acctbal_band",  # E3 range
+    "join_asof_purchase_click",  # E3 as-of (non-equi family rep; the
+    # range join rotated to parity-only in late r9 for the CCNet
+    # perplexity-bucket flagship)
     "skew_salted_join",  # skew handling
     "skew_salted_agg",
     "graph_put_replay",  # group B (put + lazy parents)
@@ -26,8 +27,8 @@ REQUIRED_IN_WINDOW = {
     # in — G2 dedup graded across modalities
     "dedup_image_dhash",
     "dedup_audio_fingerprint",
-    "pivot_status_by_priority",  # E4 pivot/unpivot
-    "unpivot_lineitem_measures",
+    "pivot_status_by_priority",  # E4 pivot (unpivot rotated to
+    # parity-only in late r9 for the image-stats strong-oracle entry)
     "sessionize_events_islands",  # E5 gaps-and-islands
     "sim_topk_cosine_ivf",  # G3 scale tier (r4: graded, not just the exact oracle tier)
     # r9 rotations: png -> parity (image decode stays graded via
@@ -35,6 +36,10 @@ REQUIRED_IN_WINDOW = {
     # G3); FLAC's value-exact oracle and the DSIR selection family in
     "multimodal_decode_flac",  # G5 lossless round trip, closed-form sum oracle
     "select_dsir_scores",  # G4 targeted data selection (milli-log2)
+    # r9 late rotations: range join + unpivot to parity-only (families
+    # keep in-window reps via as-of + pivot)
+    "select_perplexity_buckets",  # G4 CCNet quality tiers (ntile, shared LM oracle)
+    "multimodal_image_stats",  # G5 closed-form pixel-arithmetic oracle
     # r5 rotation (r4 VERDICT task 1): the r4 flagship LLM/graph ops
     "dedup_semantic_kmeans",  # G2/G3 SemDeDup full pipeline, hash-exact
     "dedup_substring_spans",  # G1/G2/G4 exact-substring spans (Lee et al.)
