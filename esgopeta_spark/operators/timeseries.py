@@ -153,3 +153,69 @@ def rolling_zscore(
         F.when(z_micro.isNotNull() & (F.abs(z_micro) >= F.lit(int(z_threshold_micro))), 1)
         .otherwise(0).cast("int").alias("is_anomaly"),
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha_milli: int = 300,
+) -> DataFrame:
+    """Exponentially-weighted moving average over per-key DAILY totals —
+    the trend-smoothing staple next to :func:`rolling_zscore`'s spike
+    detector — in EXACT integer arithmetic:
+
+        s_1 = x_1
+        s_t = (alpha·x_t + (1000 − alpha)·s_{t−1}) floordiv 1000
+
+    The recursion has no closed window form, so the Spark side runs it
+    as ONE Arrow ``applyInPandas`` per series key over the daily totals
+    (series length = distinct days — bounded, not event cardinality)
+    and the oracle runs the identical recurrence as a DuckDB RECURSIVE
+    CTE.  Both sides FLOOR the division (Python ``//`` and DuckDB
+    ``//``; Spark's ``div`` would truncate toward zero on negatives,
+    which is why the kernel is Python, not a SQL expression — the
+    daily totals can be negative).
+
+    Output: (key, day, total_cents, ewma_cents, dev_cents = x − s).
+
+    Scale shape: one partial-agg shuffle to daily totals (day
+    cardinality), then one grouped Arrow pass partitioned by series
+    key; a hot key costs one task of O(its days), same as any per-key
+    window."""
+    import pandas as pd
+
+    alpha = int(alpha_milli)
+    beta = 1000 - alpha
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    daily = (
+        df.filter(F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col)))
+        .select(
+            F.col(key_col).cast("bigint").alias("_k"),
+            day.alias("day"),
+            F.col(value_col).cast("decimal(12,2)").alias("_v"),
+        )
+        .groupBy("_k", "day")
+        .agg((F.sum("_v") * 100).cast("bigint").alias("total_cents"))
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        s = None
+        out = []
+        for x in pdf["total_cents"]:
+            x = int(x)
+            s = x if s is None else (alpha * x + beta * s) // 1000
+            out.append(s)
+        pdf["ewma_cents"] = pd.Series(out, dtype="int64")
+        pdf["dev_cents"] = pdf["total_cents"] - pdf["ewma_cents"]
+        return pdf.rename(columns={"_k": key_col})[
+            [key_col, "day", "total_cents", "ewma_cents", "dev_cents"]
+        ]
+
+    return daily.groupBy("_k").applyInPandas(
+        fn,
+        f"{key_col} bigint, day date, total_cents bigint, "
+        "ewma_cents bigint, dev_cents bigint",
+    )

@@ -761,6 +761,46 @@ def ts_anomaly_zscore(spark, sf):
 
 
 @register(
+    "ts_ewma_daily",
+    "E4,E5,E9",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT CAST(user_id AS BIGINT) AS user_id,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS total_cents
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY 1, 2),
+    seq AS (
+      SELECT user_id, day, total_cents,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM daily),
+    ew AS (
+      SELECT user_id, day, total_cents, rn, total_cents AS ewma_cents
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT seq.user_id, seq.day, seq.total_cents, seq.rn,
+             CAST((300 * seq.total_cents + 700 * ew.ewma_cents) // 1000 AS BIGINT)
+      FROM seq JOIN ew ON seq.user_id = ew.user_id AND seq.rn = ew.rn + 1)
+    SELECT user_id, day, total_cents, ewma_cents,
+           CAST(total_cents - ewma_cents AS BIGINT) AS dev_cents
+    FROM ew
+    """,
+    doc="exponentially-weighted moving average over per-user daily spend "
+    "(alpha=0.3) in EXACT integer arithmetic: s_t = (300*x_t + 700*s_{t-1}) "
+    "floordiv 1000 — the trend-smoothing staple next to the z-score spike "
+    "detector.  The recursion has no closed window form: Spark runs ONE "
+    "Arrow applyInPandas per series key (Python // floors), the oracle the "
+    "identical recurrence as a RECURSIVE CTE (DuckDB // floors — Spark SQL "
+    "div would diverge on negative totals, hence the Python kernel).  One "
+    "daily partial agg + one grouped Arrow pass "
+    "(operators/timeseries.ewma_smooth)",
+)
+def ts_ewma_daily(spark, sf):
+    from esgopeta_spark.operators.timeseries import ewma_smooth
+
+    return ewma_smooth(T(spark, sf, "events"))
+
+
+@register(
     "stream_cms_grid_hourly",
     "F3,E4",
     """

@@ -253,3 +253,105 @@ def streaming_locf(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("day_cents_json", StringType()),
+        StructField("upd_seq", LongType()),
+    ]
+)
+
+EWMA_OUTPUT_SCHEMA = (
+    "user_id bigint, day date, total_cents bigint, ewma_cents bigint, "
+    "dev_cents bigint, upd_seq bigint"
+)
+
+
+def _make_ewma_handler(alpha_milli: int):
+    """Per-key EWMA handler (closure, cloudpickle-by-value).  State per
+    user: the day -> exact-cent-total map; each batch folds new events
+    in and recomputes the integer recursion over the full series
+    (s_t = (alpha·x_t + (1000−alpha)·s_{t−1}) floordiv 1000 — identical
+    to batch ``timeseries.ewma_smooth``), so late/out-of-order arrivals
+    retro-correct every downstream smoothed value and the stream
+    converges to the batch answer under ANY arrival order."""
+    import json as _json
+    from decimal import ROUND_HALF_UP as _RHU
+    from decimal import Decimal as _Dec
+
+    alpha = int(alpha_milli)
+    beta = 1000 - alpha
+
+    def _series(day_cents):
+        days = sorted(day_cents)
+        out = []
+        s = None
+        for d in days:
+            x = day_cents[d]
+            s = x if s is None else (alpha * x + beta * s) // 1000
+            out.append((d, x, s, x - s))
+        return out
+
+    def handler(key, pdfs, gstate):
+        (user,) = key
+        if gstate.exists:
+            st = gstate.get
+            day_cents = {k: int(v) for k, v in _json.loads(st[0]).items()}
+            seq = int(st[1])
+        else:
+            day_cents, seq = {}, 0
+        prev = {r[0]: r for r in _series(day_cents)} if day_cents else {}
+
+        for pdf in pdfs:
+            for rec in pdf.to_dict("records"):
+                v = rec["value"]
+                if v is None or (isinstance(v, float) and v != v):
+                    continue  # null/NaN: matches the batch filter
+                d = rec["ts"].floor("D").date().isoformat()
+                cents = int(_Dec(repr(float(v))).quantize(_Dec("0.01"), _RHU) * 100)
+                day_cents[d] = day_cents.get(d, 0) + cents
+
+        seq += 1
+        gstate.update((_json.dumps(day_cents, sort_keys=True), seq))
+
+        changed = [r for r in _series(day_cents) if prev.get(r[0]) != r]
+        if changed:
+            import datetime as _dt
+
+            import pandas as _pd
+
+            yield _pd.DataFrame(
+                [
+                    {
+                        "user_id": user,
+                        "day": _dt.date.fromisoformat(d),
+                        "total_cents": x,
+                        "ewma_cents": s,
+                        "dev_cents": dev,
+                        "upd_seq": seq,
+                    }
+                    for d, x, s, dev in changed
+                ]
+            )
+
+    return handler
+
+
+def streaming_ewma(events: DataFrame, alpha_milli: int = 300) -> DataFrame:
+    """Streaming twin of ``operators/timeseries.ewma_smooth``: per-user
+    daily EWMA maintained incrementally; a late day re-smooths the whole
+    suffix (the recursion depends on every prior day), which is exactly
+    what the changed-row re-emissions carry.  Update-mode keyed
+    (user, day); ``upd_seq`` orders emissions for append-only sinks."""
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_ewma_handler(alpha_milli),
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1226,3 +1226,68 @@ def test_streaming_stats_kernels_run_as_is(spark, sf_dir, tmp_path):
     run_stream_to_memory(image_stats(stream), "imstats", mode="append")
     got = {tuple(r) for r in spark.sql("SELECT * FROM imstats").collect()}
     assert got == want
+
+
+def test_streaming_ewma_matches_batch(spark, sf_dir):
+    """The stateful streaming EWMA drained over the events table must
+    converge to EXACTLY the batch ewma_smooth rows (integer recursion,
+    bit-for-bit) — latest emission per (user, day) wins."""
+    from esgopeta_spark.operators.timeseries import ewma_smooth
+    from esgopeta_spark.streaming.anomaly import streaming_ewma
+
+    static = read_table(spark, sf_dir, "events")
+    stream = read_events_stream(spark, sf_dir)
+    run_stream_to_memory(streaming_ewma(stream), "ewmastream", mode="update")
+    rows = spark.sql("select * from ewmastream").collect()
+    latest: dict = {}
+    for r in rows:
+        k = (r["user_id"], r["day"])
+        if k not in latest or r["upd_seq"] > latest[k]["upd_seq"]:
+            latest[k] = r
+    got = {k: (r["total_cents"], r["ewma_cents"], r["dev_cents"])
+           for k, r in latest.items()}
+    want = {(r["user_id"], r["day"]): (r["total_cents"], r["ewma_cents"], r["dev_cents"])
+            for r in ewma_smooth(static).collect()}
+    assert got == want and got
+
+
+def test_streaming_ewma_late_day_resmooths_suffix(spark, tmp_path):
+    """A late EARLIER day changes s_1 and therefore every downstream
+    smoothed value: the re-emissions must retro-correct the whole
+    suffix to the batch answer."""
+    import datetime
+
+    from esgopeta_spark.operators.timeseries import ewma_smooth
+    from esgopeta_spark.streaming.anomaly import streaming_ewma
+
+    def ev(i, day, v):
+        return (i, datetime.datetime(2024, 5, day, 12), 1, "x", float(v), None)
+
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    b1 = [ev(i, 9 + i, 10.0 * i) for i in range(1, 5)]
+    b2 = [ev(9, 2, 500.0)]  # LATE: an earlier day with a big value
+    d = str(tmp_path / "late_ewma")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(d + "/f=1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(d + "/f=2")
+    static = spark.read.option("recursiveFileLookup", "true").parquet(d)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    run_stream_to_memory(streaming_ewma(stream), "ewmalate", mode="update")
+    rows = spark.sql("select * from ewmalate").collect()
+    latest: dict = {}
+    for r in rows:
+        k = (r["user_id"], r["day"])
+        if k not in latest or r["upd_seq"] > latest[k]["upd_seq"]:
+            latest[k] = r
+    got = {k: (r["total_cents"], r["ewma_cents"]) for k, r in latest.items()}
+    want = {(r["user_id"], r["day"]): (r["total_cents"], r["ewma_cents"])
+            for r in ewma_smooth(static).collect()}
+    assert got == want
+    # the late day must actually have re-smoothed the suffix: every day
+    # after it re-emitted with a higher upd_seq than its first emission
+    seqs = sorted({r["upd_seq"] for r in rows})
+    assert len(seqs) >= 2
