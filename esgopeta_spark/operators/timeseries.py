@@ -173,10 +173,11 @@ def ewma_smooth(
     as ONE Arrow ``applyInPandas`` per series key over the daily totals
     (series length = distinct days — bounded, not event cardinality)
     and the oracle runs the identical recurrence as a DuckDB RECURSIVE
-    CTE.  Both sides FLOOR the division (Python ``//`` and DuckDB
-    ``//``; Spark's ``div`` would truncate toward zero on negatives,
-    which is why the kernel is Python, not a SQL expression — the
-    daily totals can be negative).
+    CTE.  Division semantics (r9-measured): Python ``//`` FLOORS;
+    Spark ``div`` and DuckDB ``//`` both truncate toward zero — so for
+    the possibly-negative numerators here the oracle floors explicitly
+    via ``(n - ((n % 1000 + 1000) % 1000)) // 1000`` (exact: the
+    adjusted numerator is divisible, so truncation equals floor).
 
     Output: (key, day, total_cents, ewma_cents, dev_cents = x − s).
 
@@ -218,4 +219,80 @@ def ewma_smooth(
         fn,
         f"{key_col} bigint, day date, total_cents bigint, "
         "ewma_cents bigint, dev_cents bigint",
+    )
+
+
+def holt_trend(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha_milli: int = 300,
+    beta_milli: int = 100,
+) -> DataFrame:
+    """Holt's double-exponential smoothing (level + trend) over per-key
+    DAILY totals — the one-step-ahead forecasting staple above
+    :func:`ewma_smooth` — in EXACT integer arithmetic:
+
+        l_1 = x_1,  b_1 = 0
+        l_t = (α·x_t + (1000−α)·(l_{t−1} + b_{t−1})) floordiv 1000
+        b_t = (β·(l_t − l_{t−1}) + (1000−β)·b_{t−1}) floordiv 1000
+
+    forecast_next = l_t + b_t (the value the model predicts for the
+    NEXT day — join it against the realized next day for residual
+    monitoring).  Same engine-exactness argument as ewma_smooth: the
+    coupled recursion runs as one Arrow ``applyInPandas`` per series on
+    the Spark side and as the identical RECURSIVE CTE in the oracle —
+    with the oracle's divisions floored via the non-negative-mod idiom,
+    because level deltas and trends go negative routinely and DuckDB's
+    integer ``//`` truncates there while Python ``//`` floors (this
+    entry is what exposed the divergence; see ewma_smooth).
+
+    Output: (key, day, total_cents, level_cents, trend_cents,
+    forecast_next_cents).
+
+    Scale shape: one daily partial-agg shuffle + one grouped Arrow pass
+    partitioned by series key — identical to ewma_smooth."""
+    import pandas as pd
+
+    a = int(alpha_milli)
+    b_ = int(beta_milli)
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    daily = (
+        df.filter(F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col)))
+        .select(
+            F.col(key_col).cast("bigint").alias("_k"),
+            day.alias("day"),
+            F.col(value_col).cast("decimal(12,2)").alias("_v"),
+        )
+        .groupBy("_k", "day")
+        .agg((F.sum("_v") * 100).cast("bigint").alias("total_cents"))
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        lev = tr = None
+        levs, trs = [], []
+        for x in pdf["total_cents"]:
+            x = int(x)
+            if lev is None:
+                lev, tr = x, 0
+            else:
+                prev = lev
+                lev = (a * x + (1000 - a) * (lev + tr)) // 1000
+                tr = (b_ * (lev - prev) + (1000 - b_) * tr) // 1000
+            levs.append(lev)
+            trs.append(tr)
+        pdf["level_cents"] = pd.Series(levs, dtype="int64")
+        pdf["trend_cents"] = pd.Series(trs, dtype="int64")
+        pdf["forecast_next_cents"] = pdf["level_cents"] + pdf["trend_cents"]
+        return pdf.rename(columns={"_k": key_col})[
+            [key_col, "day", "total_cents", "level_cents", "trend_cents",
+             "forecast_next_cents"]
+        ]
+
+    return daily.groupBy("_k").applyInPandas(
+        fn,
+        f"{key_col} bigint, day date, total_cents bigint, level_cents bigint, "
+        "trend_cents bigint, forecast_next_cents bigint",
     )

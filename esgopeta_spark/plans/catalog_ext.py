@@ -777,8 +777,14 @@ def ts_anomaly_zscore(spark, sf):
       SELECT user_id, day, total_cents, rn, total_cents AS ewma_cents
       FROM seq WHERE rn = 1
       UNION ALL
+      -- FLOOR division (Python // in the Spark-side kernel): DuckDB's
+      -- integer // TRUNCATES toward zero on negatives (measured:
+      -- -5355//10 = -535), so subtract the non-negative mod first —
+      -- the numerator becomes exactly divisible and trunc == floor
       SELECT seq.user_id, seq.day, seq.total_cents, seq.rn,
-             CAST((300 * seq.total_cents + 700 * ew.ewma_cents) // 1000 AS BIGINT)
+             CAST(((300 * seq.total_cents + 700 * ew.ewma_cents)
+                   - (((300 * seq.total_cents + 700 * ew.ewma_cents) % 1000
+                       + 1000) % 1000)) // 1000 AS BIGINT)
       FROM seq JOIN ew ON seq.user_id = ew.user_id AND seq.rn = ew.rn + 1)
     SELECT user_id, day, total_cents, ewma_cents,
            CAST(total_cents - ewma_cents AS BIGINT) AS dev_cents
@@ -788,9 +794,10 @@ def ts_anomaly_zscore(spark, sf):
     "(alpha=0.3) in EXACT integer arithmetic: s_t = (300*x_t + 700*s_{t-1}) "
     "floordiv 1000 — the trend-smoothing staple next to the z-score spike "
     "detector.  The recursion has no closed window form: Spark runs ONE "
-    "Arrow applyInPandas per series key (Python // floors), the oracle the "
-    "identical recurrence as a RECURSIVE CTE (DuckDB // floors — Spark SQL "
-    "div would diverge on negative totals, hence the Python kernel).  One "
+    "Arrow applyInPandas per series key (Python // FLOORS), the oracle the "
+    "identical recurrence as a RECURSIVE CTE with division floored via the "
+    "non-negative-mod idiom (DuckDB integer // truncates on negatives, "
+    "r9-measured).  One "
     "daily partial agg + one grouped Arrow pass "
     "(operators/timeseries.ewma_smooth)",
 )
@@ -798,6 +805,61 @@ def ts_ewma_daily(spark, sf):
     from esgopeta_spark.operators.timeseries import ewma_smooth
 
     return ewma_smooth(T(spark, sf, "events"))
+
+
+@register(
+    "ts_holt_trend_daily",
+    "E4,E5,E9",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT CAST(user_id AS BIGINT) AS user_id,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS total_cents
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY 1, 2),
+    seq AS (
+      SELECT user_id, day, total_cents,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM daily),
+    hw AS (
+      SELECT user_id, day, total_cents, rn,
+             total_cents AS level_cents, CAST(0 AS BIGINT) AS trend_cents
+      FROM seq WHERE rn = 1
+      UNION ALL
+      -- FLOOR division via the non-negative-mod idiom (see ts_ewma_daily:
+      -- DuckDB integer // truncates on negatives, the kernel floors);
+      -- the level lands in a derived table so the trend update reads it
+      SELECT user_id, day, total_cents, rn, lvl,
+             CAST(((100 * (lvl - prev_level) + 900 * prev_trend)
+                   - (((100 * (lvl - prev_level) + 900 * prev_trend) % 1000
+                       + 1000) % 1000)) // 1000 AS BIGINT)
+      FROM (
+        SELECT seq.user_id, seq.day, seq.total_cents, seq.rn,
+               hw.level_cents AS prev_level, hw.trend_cents AS prev_trend,
+               CAST(((300 * seq.total_cents
+                      + 700 * (hw.level_cents + hw.trend_cents))
+                     - (((300 * seq.total_cents
+                          + 700 * (hw.level_cents + hw.trend_cents)) % 1000
+                         + 1000) % 1000)) // 1000 AS BIGINT) AS lvl
+        FROM seq JOIN hw ON seq.user_id = hw.user_id AND seq.rn = hw.rn + 1) s)
+    SELECT user_id, day, total_cents, level_cents, trend_cents,
+           CAST(level_cents + trend_cents AS BIGINT) AS forecast_next_cents
+    FROM hw
+    """,
+    doc="Holt double-exponential smoothing over per-user daily spend "
+    "(alpha=0.3, beta=0.1) in EXACT integer arithmetic — level + trend "
+    "coupled recursion, forecast_next = level + trend (the one-step-ahead "
+    "prediction for residual monitoring).  Same discipline as ts_ewma_daily: "
+    "one grouped Arrow pass per series vs the identical RECURSIVE CTE, "
+    "oracle divisions floored via the non-negative-mod idiom (trends go "
+    "negative routinely; DuckDB // truncates there while Python // floors — "
+    "this entry exposed the divergence).  One daily partial agg + one "
+    "grouped Arrow pass "
+    "(operators/timeseries.holt_trend)",
+)
+def ts_holt_trend_daily(spark, sf):
+    from esgopeta_spark.operators.timeseries import holt_trend
+
+    return holt_trend(T(spark, sf, "events"))
 
 
 @register(

@@ -2911,3 +2911,37 @@ def test_audio_stats_closed_form(spark):
         assert got[m]["peak"] == 4095 and got[m]["n_clipped"] == 0
         assert got[m]["n_quiet"] == 328
         assert got[m]["mean_abs_milli"] == (want_abs * 1000) // 4096
+
+
+def test_holt_trend_negative_trend_floor_semantics(spark):
+    """A declining series drives the trend negative — the regime where
+    Python // (floors) and DuckDB/Spark integer division (truncates)
+    disagree; the operator must match a pure-python floor reference,
+    and negative trends must actually occur (else the pin is vacuous)."""
+    import datetime
+
+    from esgopeta_spark.operators.timeseries import holt_trend
+
+    rows = [
+        (i, datetime.datetime(2024, 3, 1 + i, 12), 7, "x", float(v), None)
+        for i, v in enumerate([100.0, 80.0, 55.0, 31.0, 18.0, 9.0, 3.0])
+    ]
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        str(r["day"]): (r["total_cents"], r["level_cents"], r["trend_cents"])
+        for r in holt_trend(df).collect()
+    }
+    lev = tr = None
+    want = {}
+    for i, v in enumerate([100.0, 80.0, 55.0, 31.0, 18.0, 9.0, 3.0]):
+        x = int(v * 100)
+        if lev is None:
+            lev, tr = x, 0
+        else:
+            prev = lev
+            lev = (300 * x + 700 * (lev + tr)) // 1000
+            tr = (100 * (lev - prev) + 900 * tr) // 1000
+        want[f"2024-03-0{1 + i}"] = (x, lev, tr)
+    assert got == want
+    assert any(t < 0 for _, _, t in want.values())
