@@ -355,3 +355,101 @@ def streaming_ewma(events: DataFrame, alpha_milli: int = 300) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+HOLT_OUTPUT_SCHEMA = (
+    "user_id bigint, day date, total_cents bigint, level_cents bigint, "
+    "trend_cents bigint, forecast_next_cents bigint, upd_seq bigint"
+)
+
+
+def _make_holt_handler(alpha_milli: int, beta_milli: int):
+    """Per-key Holt handler — same convergent day->cents state as the
+    EWMA handler, recomputing the coupled level/trend recursion over the
+    full series each batch (floor division, identical to batch
+    ``timeseries.holt_trend``)."""
+    import json as _json
+    from decimal import ROUND_HALF_UP as _RHU
+    from decimal import Decimal as _Dec
+
+    a = int(alpha_milli)
+    b_ = int(beta_milli)
+
+    def _series(day_cents):
+        days = sorted(day_cents)
+        out = []
+        lev = tr = None
+        for d in days:
+            x = day_cents[d]
+            if lev is None:
+                lev, tr = x, 0
+            else:
+                prev = lev
+                lev = (a * x + (1000 - a) * (lev + tr)) // 1000
+                tr = (b_ * (lev - prev) + (1000 - b_) * tr) // 1000
+            out.append((d, x, lev, tr, lev + tr))
+        return out
+
+    def handler(key, pdfs, gstate):
+        (user,) = key
+        if gstate.exists:
+            st = gstate.get
+            day_cents = {k: int(v) for k, v in _json.loads(st[0]).items()}
+            seq = int(st[1])
+        else:
+            day_cents, seq = {}, 0
+        prev = {r[0]: r for r in _series(day_cents)} if day_cents else {}
+
+        for pdf in pdfs:
+            for rec in pdf.to_dict("records"):
+                v = rec["value"]
+                if v is None or (isinstance(v, float) and v != v):
+                    continue
+                d = rec["ts"].floor("D").date().isoformat()
+                cents = int(_Dec(repr(float(v))).quantize(_Dec("0.01"), _RHU) * 100)
+                day_cents[d] = day_cents.get(d, 0) + cents
+
+        seq += 1
+        gstate.update((_json.dumps(day_cents, sort_keys=True), seq))
+
+        changed = [r for r in _series(day_cents) if prev.get(r[0]) != r]
+        if changed:
+            import datetime as _dt
+
+            import pandas as _pd
+
+            yield _pd.DataFrame(
+                [
+                    {
+                        "user_id": user,
+                        "day": _dt.date.fromisoformat(d),
+                        "total_cents": x,
+                        "level_cents": lv,
+                        "trend_cents": t,
+                        "forecast_next_cents": fc,
+                        "upd_seq": seq,
+                    }
+                    for d, x, lv, t, fc in changed
+                ]
+            )
+
+    return handler
+
+
+def streaming_holt(
+    events: DataFrame, alpha_milli: int = 300, beta_milli: int = 100
+) -> DataFrame:
+    """Streaming twin of ``operators/timeseries.holt_trend`` — the EWMA
+    twin's convergence argument verbatim (late days re-smooth the
+    suffix); update-mode keyed (user, day)."""
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_holt_handler(alpha_milli, beta_milli),
+            outputStructType=HOLT_OUTPUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

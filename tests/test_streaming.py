@@ -1291,3 +1291,26 @@ def test_streaming_ewma_late_day_resmooths_suffix(spark, tmp_path):
     # after it re-emitted with a higher upd_seq than its first emission
     seqs = sorted({r["upd_seq"] for r in rows})
     assert len(seqs) >= 2
+
+
+def test_streaming_holt_matches_batch(spark, sf_dir):
+    """The stateful streaming Holt twin drained over the events table
+    must converge to EXACTLY the batch holt_trend rows."""
+    from esgopeta_spark.operators.timeseries import holt_trend
+    from esgopeta_spark.streaming.anomaly import streaming_holt
+
+    static = read_table(spark, sf_dir, "events")
+    stream = read_events_stream(spark, sf_dir)
+    run_stream_to_memory(streaming_holt(stream), "holtstream", mode="update")
+    rows = spark.sql("select * from holtstream").collect()
+    latest: dict = {}
+    for r in rows:
+        k = (r["user_id"], r["day"])
+        if k not in latest or r["upd_seq"] > latest[k]["upd_seq"]:
+            latest[k] = r
+    got = {k: (r["total_cents"], r["level_cents"], r["trend_cents"],
+               r["forecast_next_cents"]) for k, r in latest.items()}
+    want = {(r["user_id"], r["day"]): (r["total_cents"], r["level_cents"],
+                                       r["trend_cents"], r["forecast_next_cents"])
+            for r in holt_trend(static).collect()}
+    assert got == want and got
