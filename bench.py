@@ -166,6 +166,56 @@ def wait_for_idle_box(max_wait_s: int = MAX_WAIT_S) -> tuple[float, float, bool]
         time.sleep(WAIT_STEP_S)
 
 
+def _total_busy_jiffies() -> int:
+    """Busy jiffies across all cores (/proc/stat cpu line, idle+iowait
+    excluded)."""
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    return sum(vals) - vals[3] - vals[4]
+
+
+def _subtree_jiffies() -> int:
+    """utime+stime summed over THIS process and every descendant (the
+    Spark JVM and its python workers are children) — one /proc walk."""
+    me = os.getpid()
+    children: dict[int, list[int]] = {}
+    cpu: dict[int, int] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                s = f.read()
+        except OSError:
+            continue
+        rest = s[s.rindex(")") + 2:].split()
+        pid = int(d)
+        cpu[pid] = int(rest[11]) + int(rest[12])
+        children.setdefault(int(rest[1]), []).append(pid)
+    total = 0
+    stack, seen = [me], set()
+    while stack:
+        p = stack.pop()
+        if p in seen:
+            continue
+        seen.add(p)
+        total += cpu.get(p, 0)
+        stack.extend(children.get(p, []))
+    return total
+
+
+# External-CPU contamination detector (late r9): the 1-thread canary
+# catches a BUSY instant between queries but misses multi-core external
+# work burning DURING a query on this 32-thread box (three runs read a
+# uniform ~1.3x with clean canaries).  Around each timing attempt we
+# diff total busy jiffies against our own process subtree's jiffies —
+# the remainder is external CPU.  A query whose best attempt ran beside
+# more than EXT_CORES_MAX cores of external work is re-timed once and
+# the run self-labels via "external_core_s" either way.
+EXT_CORES_MAX = 0.5
+_HZ = os.sysconf("SC_CLK_TCK")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -178,35 +228,51 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
-    def time_query(fn) -> float:
+    def time_query(fn) -> tuple[float, float]:
         # best-of-REPEATS: the box hosts periodic external work whose ~45s
         # stalls otherwise land on whichever query is running (measured:
         # outliers move between queries across runs while warm-path times
-        # are stable); r3 showed best-of-2 is not enough under sustained load
-        best = float("inf")
+        # are stable); r3 showed best-of-2 is not enough under sustained load.
+        # Returns (best wall seconds, external core-seconds DURING that
+        # best attempt).
+        best, best_ext = float("inf"), 0.0
         for _ in range(REPEATS):
+            j0, s0 = _total_busy_jiffies(), _subtree_jiffies()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            ext = max(0, (_total_busy_jiffies() - j0) - (_subtree_jiffies() - s0)) / _HZ
+            if dt < best:
+                best, best_ext = dt, ext
             # release intra-query persists so one query's cache doesn't skew the next
             spark.catalog.clearCache()
-        return best
+        return best, best_ext
 
     timings: dict[str, float] = {}
     midrun_retries: list[str] = []
+    external_core_s = 0.0
     for name in HEADLINE:
         fn = REGISTRY[name].fn
-        best = time_query(fn)
-        # r9: re-check the canary AFTER the timing; if external load crept
-        # in mid-run, this query's numbers are suspect — wait for idle and
-        # re-time once (keep the min: a spike can only inflate)
-        if not contaminated and cpu_canary_ms() > CANARY_MAX_MS:
-            print(f"# bench: canary busy after {name}; re-timing", file=sys.stderr)
+        best, ext = time_query(fn)
+        # r9: re-check the canary AND the external-CPU meter AFTER the
+        # timing; if external load crept in mid-run, this query's numbers
+        # are suspect — wait for idle and re-time once (keep the min: a
+        # spike can only inflate)
+        ext_busy = ext > EXT_CORES_MAX * best
+        if not contaminated and (cpu_canary_ms() > CANARY_MAX_MS or ext_busy):
+            print(
+                f"# bench: {'external CPU' if ext_busy else 'canary'} busy "
+                f"after {name} (ext {ext:.2f} core-s / {best:.2f} s); re-timing",
+                file=sys.stderr,
+            )
             midrun_retries.append(name)
             _, _, still_busy = wait_for_idle_box(max_wait_s=120)
-            best = min(best, time_query(fn))
+            best2, ext2 = time_query(fn)
+            if best2 < best:
+                best, ext = best2, ext2
             contaminated = contaminated or still_busy
         timings[name] = round(best, 3)
+        external_core_s += ext
 
     total = round(sum(timings.values()), 3)
     print(
@@ -221,6 +287,7 @@ def main() -> None:
                 "cpu_canary_ms": canary,
                 "contaminated": contaminated,
                 "midrun_retries": midrun_retries,
+                "external_core_s": round(external_core_s, 2),
                 "repeats": REPEATS,
             }
         )
