@@ -384,8 +384,20 @@ def encode_png_palette(indices: np.ndarray, palette: np.ndarray) -> bytes:
 
 
 def _png_unfilter(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
-    """Unfilter one (sub-)image: ``h`` scanlines of 1 filter byte +
-    ``w*ch`` samples -> (h, w, ch) uint8.  All five scanline filters."""
+    """Unfilter one 8-bit-depth (sub-)image: ``h`` scanlines of 1 filter
+    byte + ``w*ch`` samples -> (h, w, ch) uint8."""
+    return _png_unfilter_units(raw, w, h, ch)
+
+
+def _png_unfilter_units(raw: bytes, n_units: int, h: int, bpp: int) -> np.ndarray:
+    """Unfilter ``h`` scanlines of 1 filter byte + ``n_units * bpp``
+    bytes -> (h, n_units, bpp) uint8.  Per the PNG spec the filters
+    operate BYTEWISE with a left-neighbor distance of bpp bytes
+    (bpp = ceil(channels * depth / 8), floored at 1) — so one body
+    serves every bit depth: 8-bit runs with (w, ch), 16-bit with
+    (w, 2*ch), and sub-byte depths with (row_bytes, 1).  All five
+    scanline filters."""
+    w, ch = n_units, bpp
     stride = 1 + w * ch
     if len(raw) != h * stride:
         raise ValueError("IDAT length mismatch")
@@ -424,10 +436,13 @@ def _png_unfilter(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
 
 @_quarantine
 def decode_png(b: bytes) -> np.ndarray:
-    """PNG bytes -> (h, w, channels) uint8.  Bit depth 8, color types
-    0/2/3 (paletted -> expanded to RGB)/4/6, non-interlaced AND Adam7
-    interlaced (r9).  Chunk CRCs are verified; any malformation raises
-    ValueError (callers quarantine, never crash)."""
+    """PNG bytes -> (h, w, channels) uint8.  Color types 0/2/3
+    (paletted -> expanded to RGB)/4/6; bit depths 8 (non-interlaced AND
+    Adam7), 16 (high byte -> uint8 contract), and 1/2/4 for
+    grayscale/paletted (late r9 — old-web icons and photography scans
+    are exactly these).  Sub-byte and 16-bit interlaced stay guarded.
+    Chunk CRCs are verified; any malformation raises ValueError
+    (callers quarantine, never crash)."""
     if b[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos, ihdr, idat, plte = len(_PNG_SIG), None, [], None
@@ -455,8 +470,16 @@ def decode_png(b: bytes) -> np.ndarray:
         raise ValueError("missing IHDR/IDAT")
     w, h, depth, color_type, comp, filt_method, interlace = ihdr
     paletted = color_type == 3
-    if (depth != 8 or comp != 0 or filt_method != 0 or interlace not in (0, 1)
-            or (color_type not in _PNG_CHANNELS and not paletted)):
+    # legal (depth, color) combinations per the spec: sub-byte depths
+    # only for grayscale and paletted; 16-bit for everything but palette
+    depth_ok = (
+        depth == 8
+        or (depth == 16 and color_type in (0, 2, 4, 6))
+        or (depth in (1, 2, 4) and color_type in (0, 3))
+    )
+    if (not depth_ok or comp != 0 or filt_method != 0 or interlace not in (0, 1)
+            or (color_type not in _PNG_CHANNELS and not paletted)
+            or (interlace == 1 and depth != 8)):
         raise ValueError(
             f"unsupported PNG variant (depth={depth}, color={color_type}, interlace={interlace})"
         )
@@ -467,7 +490,23 @@ def decode_png(b: bytes) -> np.ndarray:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as exc:
         raise ValueError(f"bad IDAT stream: {exc}") from exc
-    if interlace == 0:
+    if depth == 16:
+        # filters run bytewise with bpp = 2*ch; the engine contract is
+        # uint8, so take each sample's HIGH byte (big-endian per spec —
+        # the standard fast 16->8 path, within 1 of round(v/257))
+        wide = _png_unfilter_units(raw, w, h, 2 * ch)
+        out = wide.reshape(h, w, ch, 2)[:, :, :, 0]
+    elif depth in (1, 2, 4):
+        row_bytes = (w * depth + 7) // 8
+        packed = _png_unfilter_units(raw, row_bytes, h, 1).reshape(h, row_bytes)
+        bits = np.unpackbits(packed, axis=1)[:, : w * depth]
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        idx = (bits.reshape(h, w, depth) * weights).sum(axis=2).astype(np.uint8)
+        if paletted:
+            out = idx[:, :, None]
+        else:  # grayscale: exact spec scaling (255/(2^d - 1) is integral)
+            out = (idx * np.uint8(255 // ((1 << depth) - 1)))[:, :, None]
+    elif interlace == 0:
         out = _png_unfilter(raw, w, h, ch)
     else:  # Adam7: 7 independently-filtered sub-images scattered to grid
         out = np.zeros((h, w, ch), dtype=np.uint8)

@@ -2000,3 +2000,94 @@ def test_exif_orientation_roundtrip_and_dedup(spark):
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
     assert not any(4 in p for p in pairs)
+
+
+def _png_chunk(t: bytes, d: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return struct.pack(">I", len(d)) + t + d + struct.pack(
+        ">I", zlib.crc32(t + d) & 0xFFFFFFFF
+    )
+
+
+def _png_file(w, h, depth, color_type, raw_scanlines, plte=b""):
+    import struct
+    import zlib
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    out = sig + _png_chunk(b"IHDR", ihdr)
+    if plte:
+        out += _png_chunk(b"PLTE", plte)
+    out += _png_chunk(b"IDAT", zlib.compress(raw_scanlines))
+    return out + _png_chunk(b"IEND", b"")
+
+
+def test_png_16bit_gray_and_rgb_decode():
+    """Hand-built spec fixtures: 16-bit samples are big-endian; the
+    decoder's uint8 contract takes the HIGH byte.  A Sub-filtered row
+    exercises the bpp=2*ch left-neighbor distance."""
+    import struct
+
+    import numpy as np
+
+    from esgopeta_spark.operators import codecs
+
+    # 3x2 16-bit grayscale, filter 0 rows: samples chosen so high bytes
+    # form a recognizable gradient
+    samples = [[0x0102, 0x8040, 0xFFFE], [0x4000, 0x00FF, 0xC0C0]]
+    rows = b""
+    for r in samples:
+        rows += b"\x00" + b"".join(struct.pack(">H", v) for v in r)
+    arr = codecs.decode_png(_png_file(3, 2, 16, 0, rows))
+    assert arr.shape == (2, 3, 1)
+    assert arr[:, :, 0].tolist() == [[0x01, 0x80, 0xFF], [0x40, 0x00, 0xC0]]
+
+    # 2x1 16-bit RGB with a Sub filter (type 1): raw = pixel1 bytes,
+    # then pixel2 - pixel1 bytewise mod 256 at distance bpp=6
+    p1 = struct.pack(">HHH", 0x1100, 0x2200, 0x3300)
+    p2 = struct.pack(">HHH", 0x1500, 0x2700, 0x3F00)
+    delta = bytes((b2 - b1) % 256 for b1, b2 in zip(p1, p2))
+    arr = codecs.decode_png(_png_file(2, 1, 16, 2, b"\x01" + p1 + delta))
+    assert arr.shape == (1, 2, 3)
+    assert arr[0, 0].tolist() == [0x11, 0x22, 0x33]
+    assert arr[0, 1].tolist() == [0x15, 0x27, 0x3F]
+
+
+def test_png_subbyte_depths_decode():
+    """1/2/4-bit grayscale scale exactly (255/(2^d-1) is integral);
+    4-bit palette indices expand through PLTE; rows are bit-packed
+    MSB-first with row padding."""
+    import numpy as np
+
+    from esgopeta_spark.operators import codecs
+
+    # 1-bit gray, 10x2 checkerboard rows: 10 bits -> 2 bytes per row
+    # row A: 1010101010 -> 0xAA, 0x80; row B inverted -> 0x55, 0x40
+    raw = b"\x00\xaa\x80" + b"\x00\x55\x40"
+    arr = codecs.decode_png(_png_file(10, 2, 1, 0, raw))
+    assert arr.shape == (2, 10, 1)
+    assert arr[0, :, 0].tolist() == [255, 0] * 5
+    assert arr[1, :, 0].tolist() == [0, 255] * 5
+
+    # 2-bit gray 5x1: values 0,1,2,3,2 -> bits 00 01 10 11 10 packed
+    # into 0b00011011, 0b10000000
+    arr = codecs.decode_png(_png_file(5, 1, 2, 0, b"\x00\x1b\x80"))
+    assert arr[0, :, 0].tolist() == [0, 85, 170, 255, 170]
+
+    # 4-bit paletted 3x2: indices (0,5,15 / 7,0,5), palette 16 colors
+    plte = bytes(v for i in range(16) for v in (i * 16, 255 - i * 16, i))
+    rows = b"\x00\x05\xf0" + b"\x00\x70\x50"
+    arr = codecs.decode_png(_png_file(3, 2, 4, 3, rows, plte=plte))
+    assert arr.shape == (2, 3, 3)
+    assert arr[0, 0].tolist() == [0, 255, 0]
+    assert arr[0, 1].tolist() == [80, 175, 5]
+    assert arr[0, 2].tolist() == [240, 15, 15]
+    assert arr[1, 0].tolist() == [112, 143, 7]
+    # palette index out of range still quarantines
+    import pytest
+
+    small_plte = bytes(v for i in range(8) for v in (i, i, i))
+    with pytest.raises(ValueError):
+        codecs.decode_png(_png_file(3, 2, 4, 3, rows, plte=small_plte))
