@@ -170,9 +170,9 @@ def ewma_smooth(
         s_t = (alpha·x_t + (1000 − alpha)·s_{t−1}) floordiv 1000
 
     The recursion has no closed window form, so the Spark side runs it
-    as ONE Arrow ``applyInPandas`` per series key over the daily totals
-    (series length = distinct days — bounded, not event cardinality)
-    and the oracle runs the identical recurrence as a DuckDB RECURSIVE
+    as ONE Arrow ``mapInPandas`` pass over key-sorted partitions of the
+    daily totals (per-group applyInPandas measured ~4 ms of pandas
+    overhead per series — 6 s of a 7 s sf0.1 wall) and the oracle runs the identical recurrence as a DuckDB RECURSIVE
     CTE.  Division semantics (r9-measured): Python ``//`` FLOORS;
     Spark ``div`` and DuckDB ``//`` both truncate toward zero — so for
     the possibly-negative numerators here the oracle floors explicitly
@@ -182,9 +182,9 @@ def ewma_smooth(
     Output: (key, day, total_cents, ewma_cents, dev_cents = x − s).
 
     Scale shape: one partial-agg shuffle to daily totals (day
-    cardinality), then one grouped Arrow pass partitioned by series
-    key; a hot key costs one task of O(its days), same as any per-key
-    window."""
+    cardinality), then one repartition-by-key + in-partition sort and a
+    single Arrow pass; a hot key costs one task of O(its days), same as
+    any per-key window."""
     import pandas as pd
 
     alpha = int(alpha_milli)
@@ -201,22 +201,43 @@ def ewma_smooth(
         .agg((F.sum("_v") * 100).cast("bigint").alias("total_cents"))
     )
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("day").reset_index(drop=True)
-        s = None
-        out = []
-        for x in pdf["total_cents"]:
-            x = int(x)
-            s = x if s is None else (alpha * x + beta * s) // 1000
-            out.append(s)
-        pdf["ewma_cents"] = pd.Series(out, dtype="int64")
-        pdf["dev_cents"] = pdf["total_cents"] - pdf["ewma_cents"]
-        return pdf.rename(columns={"_k": key_col})[
-            [key_col, "day", "total_cents", "ewma_cents", "dev_cents"]
-        ]
+    # One mapInPandas over key-sorted partitions instead of per-group
+    # applyInPandas: 1500 groups cost ~4 ms of pandas overhead EACH
+    # (measured 6 s of the 7 s sf0.1 wall), while one pass over the
+    # same rows is ~0.1 s.  repartition(key) puts every key in one
+    # partition; sortWithinPartitions makes its days contiguous and
+    # ordered; the kernel carries (key, s) across Arrow batch
+    # boundaries, so a key straddling two batches continues exactly.
+    part = daily.repartition("_k").sortWithinPartitions("_k", "day")
 
-    return daily.groupBy("_k").applyInPandas(
-        fn,
+    def kernel(batches):
+        cur, s = None, None
+        for pdf in batches:
+            ks, days, xs, ss = [], [], [], []
+            for k, d, x in zip(pdf["_k"], pdf["day"], pdf["total_cents"]):
+                k, x = int(k), int(x)
+                if k != cur:
+                    cur, s = k, None
+                s = x if s is None else (alpha * x + beta * s) // 1000
+                ks.append(k)
+                days.append(d)
+                xs.append(x)
+                ss.append(s)
+            if ks:
+                yield pd.DataFrame(
+                    {
+                        key_col: pd.Series(ks, dtype="int64"),
+                        "day": days,
+                        "total_cents": pd.Series(xs, dtype="int64"),
+                        "ewma_cents": pd.Series(ss, dtype="int64"),
+                        "dev_cents": pd.Series(
+                            [x - s for x, s in zip(xs, ss)], dtype="int64"
+                        ),
+                    }
+                )
+
+    return part.mapInPandas(
+        kernel,
         f"{key_col} bigint, day date, total_cents bigint, "
         "ewma_cents bigint, dev_cents bigint",
     )
@@ -241,8 +262,8 @@ def holt_trend(
     forecast_next = l_t + b_t (the value the model predicts for the
     NEXT day — join it against the realized next day for residual
     monitoring).  Same engine-exactness argument as ewma_smooth: the
-    coupled recursion runs as one Arrow ``applyInPandas`` per series on
-    the Spark side and as the identical RECURSIVE CTE in the oracle —
+    coupled recursion runs as one key-sorted Arrow ``mapInPandas`` pass
+    on the Spark side and as the identical RECURSIVE CTE in the oracle —
     with the oracle's divisions floored via the non-negative-mod idiom,
     because level deltas and trends go negative routinely and DuckDB's
     integer ``//`` truncates there while Python ``//`` floors (this
@@ -251,8 +272,8 @@ def holt_trend(
     Output: (key, day, total_cents, level_cents, trend_cents,
     forecast_next_cents).
 
-    Scale shape: one daily partial-agg shuffle + one grouped Arrow pass
-    partitioned by series key — identical to ewma_smooth."""
+    Scale shape: one daily partial-agg shuffle + one key-sorted Arrow
+    pass — identical to ewma_smooth."""
     import pandas as pd
 
     a = int(alpha_milli)
@@ -269,30 +290,46 @@ def holt_trend(
         .agg((F.sum("_v") * 100).cast("bigint").alias("total_cents"))
     )
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("day").reset_index(drop=True)
-        lev = tr = None
-        levs, trs = [], []
-        for x in pdf["total_cents"]:
-            x = int(x)
-            if lev is None:
-                lev, tr = x, 0
-            else:
-                prev = lev
-                lev = (a * x + (1000 - a) * (lev + tr)) // 1000
-                tr = (b_ * (lev - prev) + (1000 - b_) * tr) // 1000
-            levs.append(lev)
-            trs.append(tr)
-        pdf["level_cents"] = pd.Series(levs, dtype="int64")
-        pdf["trend_cents"] = pd.Series(trs, dtype="int64")
-        pdf["forecast_next_cents"] = pdf["level_cents"] + pdf["trend_cents"]
-        return pdf.rename(columns={"_k": key_col})[
-            [key_col, "day", "total_cents", "level_cents", "trend_cents",
-             "forecast_next_cents"]
-        ]
+    # Same single-pass shape as ewma_smooth (see the measured rationale
+    # there): one mapInPandas over key-sorted partitions, per-key state
+    # carried across Arrow batch boundaries.
+    part = daily.repartition("_k").sortWithinPartitions("_k", "day")
 
-    return daily.groupBy("_k").applyInPandas(
-        fn,
+    def kernel(batches):
+        cur, lev, tr = None, None, 0
+        for pdf in batches:
+            ks, days, xs, levs, trs = [], [], [], [], []
+            for k, d, x in zip(pdf["_k"], pdf["day"], pdf["total_cents"]):
+                k, x = int(k), int(x)
+                if k != cur:
+                    cur, lev, tr = k, None, 0
+                if lev is None:
+                    lev, tr = x, 0
+                else:
+                    prev = lev
+                    lev = (a * x + (1000 - a) * (lev + tr)) // 1000
+                    tr = (b_ * (lev - prev) + (1000 - b_) * tr) // 1000
+                ks.append(k)
+                days.append(d)
+                xs.append(x)
+                levs.append(lev)
+                trs.append(tr)
+            if ks:
+                yield pd.DataFrame(
+                    {
+                        key_col: pd.Series(ks, dtype="int64"),
+                        "day": days,
+                        "total_cents": pd.Series(xs, dtype="int64"),
+                        "level_cents": pd.Series(levs, dtype="int64"),
+                        "trend_cents": pd.Series(trs, dtype="int64"),
+                        "forecast_next_cents": pd.Series(
+                            [lv + t for lv, t in zip(levs, trs)], dtype="int64"
+                        ),
+                    }
+                )
+
+    return part.mapInPandas(
+        kernel,
         f"{key_col} bigint, day date, total_cents bigint, level_cents bigint, "
         "trend_cents bigint, forecast_next_cents bigint",
     )
