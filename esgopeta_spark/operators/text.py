@@ -553,6 +553,43 @@ def sample_k_per_group(
     )
 
 
+def lm_backoff_tables(
+    train: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """The trained stupid-backoff model as four DataFrames — the
+    artifact a deployment persists and a stream scorer loads: ``tri``
+    (w1,w2,w3,c3), ``bi`` (w2,w3,c23), ``uni`` (w3,c1), ``totals``
+    (n_tokens, v_types).  Identical aggregation plan to the training
+    half of :func:`lm_backoff_scores` (pinned transitively:
+    tests/test_streaming.py scores a stream against these tables and
+    matches the inline batch scorer bit-for-bit)."""
+    from pyspark.sql.window import Window as W
+
+    tok = train.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(words(F.col(text_col))).alias("pos", "w3"),
+    )
+    win = W.partitionBy("_id").orderBy("pos")
+    tg = tok.select(
+        "_id", "pos", "w3",
+        F.lag("w3", 1).over(win).alias("w2"),
+        F.lag("w3", 2).over(win).alias("w1"),
+    )
+    tri = tg.filter(F.col("w1").isNotNull()).groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("c3")
+    )
+    bi = tg.filter(F.col("w2").isNotNull()).groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).alias("c23")
+    )
+    uni = tg.groupBy("w3").agg(F.count(F.lit(1)).alias("c1"))
+    totals = uni.agg(
+        F.sum("c1").alias("n_tokens"), F.count(F.lit(1)).alias("v_types")
+    )
+    return {"tri": tri, "bi": bi, "uni": uni, "totals": totals}
+
+
 def lm_backoff_scores(
     train: DataFrame,
     score: DataFrame,

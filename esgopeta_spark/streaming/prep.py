@@ -561,3 +561,76 @@ def streaming_c4_rules(
             )
 
     return docs.select(id_col, text_col).mapInPandas(kernel, C4_OUTPUT_SCHEMA)
+
+
+def streaming_lm_scores(
+    docs: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    backoff_milli: int = 400,
+) -> DataFrame:
+    """Streaming twin of ``text.lm_backoff_scores`` for the CCNet
+    deployment shape: the stupid-backoff model is TRAINED OFFLINE
+    (``text.lm_backoff_tables`` → collect / reload the count tables)
+    and incoming docs are scored statelessly as they arrive — one Arrow
+    pass with the model dicts in the closure, append-mode safe,
+    bit-equal to batch by construction (identical integer arithmetic;
+    the tokenization mirror shares streaming_gopher_rules' corpus
+    contract).  ``model``: dict with "tri" {(w1,w2,w3): c3},
+    "bi" {(w2,w3): c23}, "uni" {w: c1}, "n_tokens", "v_types" —
+    bounded by the reference-corpus vocabulary (CCNet trains on a
+    bounded target corpus, not the crawl).  Docs without a full trigram
+    context are dropped, like batch."""
+    import re as _re
+
+    tri = dict(model["tri"])
+    bi = dict(model["bi"])
+    uni = dict(model["uni"])
+    n_tokens = int(model["n_tokens"])
+    v_types = int(model["v_types"])
+    bm = int(backoff_milli)
+
+    def kernel(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                norm = _re.sub(r"\s+", " ", (text or "").lower().strip())
+                ws = norm.split(" ") if norm else []
+                if len(ws) < 3:
+                    continue
+                n_scored = ssum = l0 = l1 = l2 = 0
+                for i in range(2, len(ws)):
+                    w1, w2, w3 = ws[i - 2], ws[i - 1], ws[i]
+                    c3 = tri.get((w1, w2, w3))
+                    if c3 is not None:
+                        s = (c3 * 1000) // bi[(w1, w2)]
+                        l0 += 1
+                    else:
+                        c23 = bi.get((w2, w3))
+                        if c23 is not None:
+                            s = (bm * ((c23 * 1000) // uni[w2])) // 1000
+                            l1 += 1
+                        else:
+                            c1 = uni.get(w3, 0)
+                            s = (bm * bm * (((c1 + 1) * 1000)
+                                 // (n_tokens + v_types))) // 1000000
+                            l2 += 1
+                    n_scored += 1
+                    ssum += s
+                rows.append({id_col: int(did), "n_scored": n_scored,
+                             "score_sum_milli": ssum,
+                             "n_trigram_hits": l0,
+                             "n_bigram_backoffs": l1,
+                             "n_unigram_backoffs": l2})
+            if rows:
+                yield _pd.DataFrame(rows)
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel,
+        f"{id_col} bigint, n_scored bigint, score_sum_milli bigint, "
+        "n_trigram_hits bigint, n_bigram_backoffs bigint, "
+        "n_unigram_backoffs bigint",
+    )

@@ -1314,3 +1314,44 @@ def test_streaming_holt_matches_batch(spark, sf_dir):
                                        r["trend_cents"], r["forecast_next_cents"])
             for r in holt_trend(static).collect()}
     assert got == want and got
+
+
+def test_streaming_lm_scores_match_batch(spark, sf_dir, tmp_path):
+    """Train the stupid-backoff tables on the even-id half (offline
+    model), score the odd half as a stream: per-doc integer scores and
+    backoff-level counts must be bit-equal to the inline batch scorer."""
+    from esgopeta_spark.operators.text import lm_backoff_scores, lm_backoff_tables
+    from esgopeta_spark.streaming.prep import streaming_lm_scores
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter("doc_id % 2 = 0")
+    score = docs.filter("doc_id % 2 = 1")
+    want = {tuple(r) for r in lm_backoff_scores(train, score).collect()}
+
+    t = lm_backoff_tables(train)
+    tot = t["totals"].first()
+    model = {
+        "tri": {(r["w1"], r["w2"], r["w3"]): r["c3"] for r in t["tri"].collect()},
+        "bi": {(r["w2"], r["w3"]): r["c23"] for r in t["bi"].collect()},
+        "uni": {r["w3"]: r["c1"] for r in t["uni"].collect()},
+        "n_tokens": tot["n_tokens"],
+        "v_types": tot["v_types"],
+    }
+    score.coalesce(2).write.mode("overwrite").parquet(str(tmp_path / "docs"))
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(tmp_path / "docs"))
+    query = (
+        streaming_lm_scores(stream, model)
+        .writeStream.format("memory")
+        .queryName("lmstream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert query.awaitTermination(180)
+    finally:
+        query.stop()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM lmstream").collect()}
+    assert got == want and got
