@@ -957,22 +957,30 @@ def entropy_profile(
 
     (c = doc term count, n = doc tokens, C/N = corpus counts; identities
     hold because Σc = n.  The Σ is kept in the NON-NEGATIVE orientation
-    — mlog2 is monotone, c ≤ C — because integer division of negatives
-    is the one place Spark ``div`` (truncate) and DuckDB ``//`` (floor)
-    disagree.)  Floor-biased log quantization (≤2.5 milli per term) is
-    the documented, deterministic surrogate.
+    — mlog2 is monotone, c ≤ C — the house posture for integer division:
+    on non-negatives every engine and Python agree; on negatives Python
+    ``//`` floors while Spark ``div``/DuckDB ``//`` truncate,
+    r9-measured.)  Floor-biased log quantization (≤2.5 milli per term)
+    is the documented, deterministic surrogate.
 
     Scale shape: one (doc, word) groupBy, one word-keyed corpus
     aggregate joined back by word, one per-doc aggregate; the milli-log2
     chains are pure codegen projections that fuse into the surrounding
     stages.  No collect (corpus totals are a broadcast 1-row cross
-    join)."""
+    join).  The (doc, word) counts feed THREE consumers (the corpus
+    aggregate, the totals row, and the join probe side) across broadcast
+    boundaries ReuseExchange does not bridge, so without a cut the
+    scan + explode + shuffle runs ~3x (the DSIR/banded_signatures
+    lesson; measured 1.32x at sf0.1 idle, and at real scale the
+    recompute is two extra corpus passes) — localCheckpoint once,
+    values bit-identical."""
     from esgopeta_spark.operators.selection import with_milli_log2
 
     tok = df.select(
         F.col(id_col).alias("_id"), F.explode(words(F.col(text_col))).alias("w")
     )
     wc = tok.groupBy("_id", "w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wc = wc.localCheckpoint()
     cw = wc.groupBy("w").agg(F.sum("c").cast("bigint").alias("cw"))
     tot = cw.agg(F.sum("cw").cast("bigint").alias("n_corpus"))
 

@@ -477,3 +477,18 @@ def test_mixture_materialize_plan_posture(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) <= 4, p
     assert "BroadcastHashJoin" in p, p
     assert len(re.findall(r"\(\d+\) Window", p)) == 1, p
+
+
+def test_keyed_recursion_plan_posture(spark, sf_dir):
+    """EWMA/Holt: exactly ONE daily partial-agg shuffle plus ONE
+    repartition-by-key (the single Arrow pass rides it), one in-partition
+    sort, one scan — no per-group operator, no window, no join."""
+    import re
+
+    from esgopeta_spark.plans import REGISTRY
+
+    for name in ("ts_ewma_daily", "ts_holt_trend_daily"):
+        p = plan_of(REGISTRY[name].fn(spark, sf_dir))
+        assert len(re.findall(r"\(\d+\) Exchange", p)) == 2, (name, p)
+        assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, (name, p)
+        assert "Join" not in p and "Window" not in p, (name, p)
