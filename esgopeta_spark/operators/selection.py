@@ -464,16 +464,20 @@ def mixture_materialize(
     (broadcast), then a single per-domain running-sum window — domains
     partition the sort; no global ordering, no self-join; the heavy doc
     relation is traversed once."""
-    total = docs.agg(F.sum(F.col(tokens_col)).cast("bigint").alias("_tot"))
     u = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
     ).cast("bigint")
+    # the doc-level base feeds BOTH the corpus-total aggregate and the
+    # budget join; cut it once so the (possibly expensive) tokens_col
+    # expression — token_count parses the full text — runs one pass,
+    # and derive the total FROM the base (the entropy/LM lesson)
     base = docs.select(
         F.col(domain_col),
         F.col(id_col),
         F.col(tokens_col).cast("bigint").alias("n_tokens"),
         u.alias("pick_order"),
-    )
+    ).localCheckpoint()
+    total = base.agg(F.sum("n_tokens").cast("bigint").alias("_tot"))
     w = weights.select(domain_col, "weight_ppm")
     budget = F.expr(
         mul_ppm_sql(mul_ppm_sql("_tot", str(int(frac_ppm))), "weight_ppm")
