@@ -67,17 +67,18 @@ def windowed_cms_state(
     from esgopeta_spark.operators.sketches import cms_bucket
 
     e = with_watermark(events, ts_col)
-    per_row = [
-        e.select(
-            F.window(ts_col, width).alias("w"),
-            F.lit(d).alias("cms_row"),
-            cms_bucket(F.col(key_col), d, n_buckets).alias("cms_bucket"),
-        )
-        for d in range(depth)
-    ]
-    grid = per_row[0]
-    for r in per_row[1:]:
-        grid = grid.unionByName(r)
+    # one pass with an exploded depth column (the batch cms_state shape)
+    # instead of a union of per-row selects — on a stream the union also
+    # multiplied the source
+    grid = e.select(
+        F.window(ts_col, width).alias("w"),
+        F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("cms_row"),
+        F.col(key_col).alias("_k"),
+    ).select(
+        "w",
+        "cms_row",
+        cms_bucket(F.col("_k"), F.col("cms_row"), n_buckets).alias("cms_bucket"),
+    )
     return (
         grid.groupBy("w", "cms_row", "cms_bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
