@@ -274,6 +274,11 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text", 
         F.col(id_col).alias("_jid"),
         F.array_distinct(shingle_hashes(F.col(text_col), n)).alias("_sh"),
     )
+    # the shingle relation feeds BOTH pair sides; without a cut the
+    # semi-join + shingling recomputes per side (the DSIR/entropy/LM
+    # lesson; 1.13x at sf0.1 idle where candidates are few — at real
+    # scale the recompute doubles the verify stage)
+    sh = sh.localCheckpoint()
     out = (
         df_pairs.join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
         .join(sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
