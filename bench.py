@@ -4,15 +4,21 @@
 Prints exactly ONE JSON line:
   {"metric": "headline_queries_total", "value": <sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <float>, "loadavg_1m": <float>,
-   "cpu_canary_ms": <float>, "contaminated": <bool>, "repeats": <int>}
+   "cpu_canary_ms": <float>, "contaminated": <bool>,
+   "external_core_s": <float>, "repeats": <int>}
 
-A run does not START until the box is idle (loadavg-1m AND loadavg-5m
-<= 1.5 AND cpu canary <= 2.5 ms), polling up to 8 minutes; if the box
-never settles the run proceeds but self-labels "contaminated": true (r7
-VERDICT: the gate used to be a caption, and a loaded-box recording
-manufactured a phantom 9% regression; r8: the 1m-only gate let a 5m/15m
-load tail inflate 12 queries ~1.2x).  The canary re-runs after every
-query; a busy canary re-times that query once ("midrun_retries").
+A run does not START until the box is idle (loadavg-1m <= 0.6 AND
+loadavg-5m <= 0.8 AND cpu canary <= 2.5 ms — measured-idle thresholds),
+polling up to 10 minutes; if the box never settles the run proceeds but
+self-labels "contaminated": true (r7 VERDICT: the gate used to be a
+caption, and a loaded-box recording manufactured a phantom 9%
+regression; r8: the 1m-only gate let a 5m/15m load tail inflate 12
+queries ~1.2x).  The canary re-runs after every query; a busy canary or
+a query timed beside >0.5 external CPU cores re-times that query once
+("midrun_retries").  "external_core_s" totals the external CPU
+(all-core busy jiffies minus our own process subtree) that burned
+DURING the kept timing attempts — the quantitative contamination
+label the 1-thread canary cannot provide on a 32-thread box.
 
 Results are materialized through the noop sink (full execution, no
 driver-side collection cost) after a JVM warmup pass.
