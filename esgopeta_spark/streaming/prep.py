@@ -634,3 +634,71 @@ def streaming_lm_scores(
         "n_trigram_hits bigint, n_bigram_backoffs bigint, "
         "n_unigram_backoffs bigint",
     )
+
+
+def streaming_video_scenes(
+    media: DataFrame,
+    cut_hamming: int = 8,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_frames: int = 8,
+) -> DataFrame:
+    """Streaming twin of ``multimodal.video_scene_stats``: every scene
+    statistic is a pure function of ONE payload row (all frames live in
+    the same video), so the twin decodes, hashes, and counts cuts inside
+    a single stateless Arrow pass — no frame explode, no lag window, no
+    shuffle; append-mode safe.  Bit-equal to the batch operator by
+    construction (same decoders, same dHash, same threshold) — pinned in
+    tests/test_streaming.py.  Poison payloads are skipped (quarantine)."""
+
+    def kernel(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        from esgopeta_spark.operators import codecs
+        from esgopeta_spark.operators.multimodal import dhash64
+
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(b) if b is not None else b""
+                fmt = codecs.sniff_format(b)
+                try:
+                    if fmt == "gif":
+                        frames = codecs.decode_gif_frames(b, max_frames=max_frames)
+                    elif fmt == "mp4":
+                        frames = codecs.decode_mjpeg_frames(b, max_frames=max_frames)
+                    else:
+                        continue
+                except ValueError:
+                    continue
+                hs = []
+                for fr in frames:
+                    arr = fr["img"] if isinstance(fr, dict) else fr
+                    if arr.ndim == 2:
+                        arr = _np.stack([arr] * 3, axis=-1)
+                    hs.append(dhash64(arr))
+                if not hs:
+                    continue
+                hams = [
+                    bin((a ^ b2) & (2**64 - 1)).count("1")
+                    for a, b2 in zip(hs, hs[1:])
+                ]
+                n_cuts = sum(1 for h in hams if h > int(cut_hamming))
+                rows.append(
+                    {
+                        id_col: int(mid),
+                        "n_frames": len(hs),
+                        "n_cuts": n_cuts,
+                        "n_scenes": n_cuts + 1,
+                        "max_cut_hamming": max(hams) if hams else None,
+                    }
+                )
+            if rows:
+                yield _pd.DataFrame(rows)
+
+    return media.select(id_col, payload_col).mapInPandas(
+        kernel,
+        f"{id_col} bigint, n_frames bigint, n_cuts bigint, n_scenes bigint, "
+        "max_cut_hamming bigint",
+    )

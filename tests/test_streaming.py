@@ -1355,3 +1355,47 @@ def test_streaming_lm_scores_match_batch(spark, sf_dir, tmp_path):
         query.stop()
     got = {tuple(r) for r in spark.sql("SELECT * FROM lmstream").collect()}
     assert got == want and got
+
+
+def test_streaming_video_scenes_matches_batch(spark, tmp_path):
+    """The single-kernel stream twin (no frame explode, no lag window)
+    must equal the batch window form bit-for-bit on real MJPEG payloads
+    with planted cuts, run as an actual multi-batch stream."""
+    import numpy as np
+
+    from esgopeta_spark.operators import codecs
+    from esgopeta_spark.operators.multimodal import video_scene_stats
+    from esgopeta_spark.streaming.prep import streaming_video_scenes
+
+    fxy = [(1, 0), (0, 1), (2, 1), (1, 2), (3, 0), (2, 3)]
+
+    def pat(j):
+        yy, xx = np.mgrid[0:24, 0:32]
+        fx, fy = fxy[j]
+        ph = (2 * np.pi * (fx * xx + fy * yy)) / 16.0
+        arr = np.stack(
+            [90 + 70 * np.sin(ph), 90 + 70 * np.sin(ph + 1.0), 90 + 70 * np.cos(ph)],
+            axis=-1,
+        )
+        return np.clip(np.round(arr), 0, 255).astype(np.uint8)
+
+    rows = []
+    for mid, cut_set in [(1, set()), (2, {1}), (3, {0, 2}), (4, {0, 1, 2})]:
+        frames, p = [], 0
+        for i in range(4):
+            frames.append(pat(p))
+            if i in cut_set:
+                p += 1
+        rows.append((mid, bytes(codecs.encode_mjpeg_mp4(frames, quality=85))))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    want = {tuple(r) for r in video_scene_stats(media, cut_hamming=8).collect()}
+
+    media.coalesce(2).write.mode("overwrite").parquet(str(tmp_path / "vids"))
+    stream = spark.readStream.schema("media_id long, payload binary").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(tmp_path / "vids"))
+    run_stream_to_memory(
+        streaming_video_scenes(stream, cut_hamming=8), "vscenes", mode="append"
+    )
+    got = {tuple(r) for r in spark.sql("SELECT * FROM vscenes").collect()}
+    assert got == want and got
