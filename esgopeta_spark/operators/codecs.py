@@ -445,7 +445,7 @@ def decode_png(b: bytes) -> np.ndarray:
     (callers quarantine, never crash)."""
     if b[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG")
-    pos, ihdr, idat, plte = len(_PNG_SIG), None, [], None
+    pos, ihdr, idat, plte, trns = len(_PNG_SIG), None, [], None, None
     while pos + 8 <= len(b):
         (length,) = struct.unpack_from(">I", b, pos)
         ctype = b[pos + 4 : pos + 8]
@@ -461,6 +461,8 @@ def decode_png(b: bytes) -> np.ndarray:
             if length % 3 or length == 0 or length > 256 * 3:
                 raise ValueError("bad PLTE length")
             plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(data, dtype=np.uint8)
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -526,7 +528,22 @@ def decode_png(b: bytes) -> np.ndarray:
         idx = out[:, :, 0]
         if int(idx.max(initial=0)) >= plte.shape[0]:
             raise ValueError("palette index out of range")
-        out = plte[idx]
+        if trns is not None:
+            # paletted transparency (the old-web PNG staple): tRNS holds
+            # per-palette-entry alpha, shorter tables pad opaque (255)
+            if trns.shape[0] > plte.shape[0]:
+                raise ValueError("tRNS longer than palette")
+            alpha = np.full(plte.shape[0], 255, dtype=np.uint8)
+            alpha[: trns.shape[0]] = trns
+            out = np.concatenate(
+                [plte[idx], alpha[idx][:, :, None]], axis=2
+            )
+        else:
+            out = plte[idx]
+    # tRNS for gray/RGB color types (a single transparent sample VALUE
+    # at source bit depth) stays ignored — alpha is dropped there, the
+    # documented uint8 contract; the paletted form above is the one
+    # real corpora lean on
     return out
 
 

@@ -2091,3 +2091,40 @@ def test_png_subbyte_depths_decode():
     small_plte = bytes(v for i in range(8) for v in (i, i, i))
     with pytest.raises(ValueError):
         codecs.decode_png(_png_file(3, 2, 4, 3, rows, plte=small_plte))
+
+
+def test_png_palette_trns_alpha():
+    """Paletted PNG with tRNS decodes to RGBA: per-entry alphas apply by
+    index, entries past the tRNS table pad opaque, an over-long tRNS
+    quarantines, and to_rgb still yields the palette colors."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from esgopeta_spark.operators import codecs
+
+    plte = bytes(v for i in range(4) for v in (i * 60, 255 - i * 60, i))
+    # 4x1, depth 8 palette: indices 0..3; tRNS covers entries 0..1
+    rows = b"\x00" + bytes([0, 1, 2, 3])
+
+    def with_trns(trns):
+        sig = b"\x89PNG\r\n\x1a\n"
+        ihdr = struct.pack(">IIBBBBB", 4, 1, 8, 3, 0, 0, 0)
+        out = sig + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"PLTE", plte)
+        if trns is not None:
+            out += _png_chunk(b"tRNS", trns)
+        out += _png_chunk(b"IDAT", zlib.compress(rows))
+        return out + _png_chunk(b"IEND", b"")
+
+    arr = codecs.decode_png(with_trns(bytes([10, 200])))
+    assert arr.shape == (1, 4, 4)
+    assert arr[0, :, 3].tolist() == [10, 200, 255, 255]
+    assert arr[0, 2, :3].tolist() == [120, 135, 2]
+    assert codecs.to_rgb(arr)[0, 1].tolist() == [60, 195, 1]
+    # no tRNS: plain RGB as before
+    assert codecs.decode_png(with_trns(None)).shape == (1, 4, 3)
+    # tRNS longer than the palette: malformed -> quarantine
+    with pytest.raises(ValueError):
+        codecs.decode_png(with_trns(bytes([1, 2, 3, 4, 5])))
