@@ -842,6 +842,44 @@ def test_decoder_quarantine_contract_fuzz():
         _np.stack([_tone, (_tone * 0.7).astype(_np.int16)], axis=1).astype(_np.int32),
         8000, block_size=256, stereo_mode="ms", rice2=True,
     )
+    # PNG depth variants (late r9): 16-bit gray, sub-byte paletted with
+    # tRNS, 1-bit gray — hand-built spec streams join the fuzz corpus so
+    # the new unfilter/bit-unpack/alpha paths inherit the contract
+    import struct as _struct
+    import zlib as _zlib
+
+    def _pchunk(t, d):
+        return _struct.pack(">I", len(d)) + t + d + _struct.pack(
+            ">I", _zlib.crc32(t + d) & 0xFFFFFFFF
+        )
+
+    _sig = b"\x89PNG\r\n\x1a\n"
+    _rows16 = b"".join(
+        b"\x00" + bytes(int(v) for v in row)
+        for row in rng.integers(0, 256, (5, 6))
+    )
+    valid["png16"] = (
+        _sig + _pchunk(b"IHDR", _struct.pack(">IIBBBBB", 3, 5, 16, 0, 0, 0, 0))
+        + _pchunk(b"IDAT", _zlib.compress(_rows16)) + _pchunk(b"IEND", b"")
+    )
+    decoders["png16"] = codecs.decode_png
+    magics["png16"] = _sig
+    _plte = bytes(v for i in range(16) for v in (i * 16, 255 - i * 16, i))
+    valid["png4_trns"] = (
+        _sig + _pchunk(b"IHDR", _struct.pack(">IIBBBBB", 3, 2, 4, 3, 0, 0, 0))
+        + _pchunk(b"PLTE", _plte) + _pchunk(b"tRNS", bytes([0, 128, 255]))
+        + _pchunk(b"IDAT", _zlib.compress(b"\x00\x05\xf0\x00\x70\x50"))
+        + _pchunk(b"IEND", b"")
+    )
+    decoders["png4_trns"] = codecs.decode_png
+    magics["png4_trns"] = _sig
+    valid["png1"] = (
+        _sig + _pchunk(b"IHDR", _struct.pack(">IIBBBBB", 10, 2, 1, 0, 0, 0, 0))
+        + _pchunk(b"IDAT", _zlib.compress(b"\x00\xaa\x80\x00\x55\x40"))
+        + _pchunk(b"IEND", b"")
+    )
+    decoders["png1"] = codecs.decode_png
+    magics["png1"] = _sig
     for name, fn in decoders.items():
         payloads = [
             magics[name] + rng.integers(0, 256, int(n), dtype=np.uint8).tobytes()
