@@ -14,7 +14,9 @@ PackBits RLE and LZW with the Predictor-2 horizontal differencing).  Compressed 
 real METADATA parsing (ISO BMFF box walk, MPEG frame-header scan) —
 duration/dims/rates for corpus stats and filtering — mp4 video frames
 DECODE for real for the Motion-JPEG subset (``decode_mjpeg_frames``:
-sample-table walk + the from-scratch JPEG codec per sample), and MPEG-1
+sample-table walk + the from-scratch JPEG codec per sample), FLAC
+decodes for real (operators/flac.py: all subframe types, all fixed and
+LPC orders, Rice partitions, CRC-verified), and MPEG-1
 audio samples DECODE for real for all three layers
 (operators/mpeg1_audio.py; Layer III incl. Huffman regions, bit
 reservoir, hybrid IMDCT, MS + intensity joint stereo; Layer I/II incl.
@@ -334,19 +336,29 @@ def encode_png(
     filter_type: int = 0,
     compress_level: int = 6,
     interlace: bool = False,
+    transparent: tuple | None = None,
 ) -> bytes:
     """uint8 image -> PNG bytes.  (h, w) or (h, w, 1) -> grayscale,
     (h, w, 2) -> gray+alpha, (h, w, 3) -> RGB, (h, w, 4) -> RGBA.
     ``filter_type`` applies one PNG scanline filter to every row (0-4) —
     handy for exercising every unfilter path in round-trip tests.
     ``interlace`` emits Adam7 (each pass filtered independently, per
-    spec)."""
+    spec).  ``transparent`` (gray/RGB only: a tuple of one/three sample
+    values) emits the single-transparent-value tRNS chunk — the fixture
+    twin for the gray/RGB alpha-expansion decode path."""
     assert arr.dtype == np.uint8
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, ch = arr.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0)
+    trns_chunk = b""
+    if transparent is not None:
+        if ch not in (1, 3) or len(transparent) != ch:
+            raise ValueError("tRNS encode needs gray/RGB input and one value per sample")
+        trns_chunk = _png_chunk(
+            b"tRNS", b"".join(struct.pack(">H", int(v) & 0xFF) for v in transparent)
+        )
     if interlace:
         raw = b"".join(
             _png_filter_rows(arr[y0::dy, x0::dx], filter_type)
@@ -358,6 +370,7 @@ def encode_png(
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
+        + trns_chunk
         + _png_chunk(b"IDAT", zlib.compress(raw, compress_level))
         + _png_chunk(b"IEND", b"")
     )
@@ -540,10 +553,25 @@ def decode_png(b: bytes) -> np.ndarray:
             )
         else:
             out = plte[idx]
-    # tRNS for gray/RGB color types (a single transparent sample VALUE
-    # at source bit depth) stays ignored — alpha is dropped there, the
-    # documented uint8 contract; the paletted form above is the one
-    # real corpora lean on
+    elif trns is not None and color_type in (0, 2):
+        # gray/RGB tRNS (one transparent sample VALUE, 16-bit BE per
+        # sample, least-significant bits used below depth 16) expands to
+        # a real alpha channel, same as the paletted path — a
+        # transparent background must not decode opaque and pair
+        # visually-distinct images in dedup.  At depth 16 the compare
+        # runs on the kept HIGH byte (the documented uint8 contract).
+        if trns.shape[0] != 2 * ch:
+            raise ValueError("bad tRNS length for color type")
+        vals = [int(trns[2 * i]) << 8 | int(trns[2 * i + 1]) for i in range(ch)]
+        if depth == 16:
+            key = [v >> 8 for v in vals]
+        else:
+            m = (1 << depth) - 1
+            key = [(v & m) * (255 // m) for v in vals]
+        mask = (out == np.array(key, dtype=np.uint8)).all(axis=2)
+        out = np.concatenate(
+            [out, np.where(mask, 0, 255).astype(np.uint8)[:, :, None]], axis=2
+        )
     return out
 
 

@@ -33,8 +33,7 @@ Decode status by format:
   mode_extension subband bound; Layer III: per-band is_pos ratio split
   with the is_pos=7 escape, composable with MS); only h264/hevc frames
   genuinely require codecs this container does not ship; those rows
-  surface ``ok=false, err='needs-codec'`` and the
-  integration point is ``raise_if_real_decode_requested``.  (The r1-era
+  surface ``ok=false, err='needs-codec'``.  (The r1-era
   header-sniff stub kernels were retired in r9 — every format they
   sniffed now has a real decoder behind ``decode_media``.)
 
@@ -88,17 +87,6 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.explode(F.sequence(F.lit(0), F.coalesce(F.col("meta.duration_ms"), F.lit(0)), F.lit(every_ms))),
         )
         .select("media_id", "frame_ts_ms")
-    )
-
-
-def raise_if_real_decode_requested():
-    raise NotImplementedError(
-        "SAMPLE/FRAME decode of mp3/mp4 requires librosa/ffmpeg, which this "
-        "container does not ship (container METADATA is parsed without "
-        "them: codecs.parse_mp4_meta/parse_mp3_meta); every IMAGE format "
-        "(bmp/ppm/png/jpeg/gif) plus PCM wav IS implemented from scratch "
-        "(operators.codecs, operators.jpeg) and the mapInPandas kernels "
-        "below are the integration points"
     )
 
 

@@ -1039,25 +1039,28 @@ def bm25_scores(
     ``div`` on both engines.  Output: one row per (doc, matched term)
     aggregated to doc score + matched-term count.
 
-    Scale shape: term filter hits the (doc, word) counts before any
-    join; doc-frequency and totals are bounded aggregates (broadcast);
-    one per-doc aggregate."""
+    Scale shape: ONE corpus-wide (doc, word) groupBy, checkpointed once
+    (it feeds three consumers — dl, totals, the matched-term counts —
+    across broadcast boundaries ReuseExchange does not bridge; the
+    entropy_profile lesson), then dl and the term filter are cheap
+    re-aggregates of that compact relation; doc-frequency and totals are
+    bounded aggregates (broadcast); one per-doc aggregate."""
     from esgopeta_spark.operators.selection import with_milli_log2
 
     terms = [t.lower() for t in dict.fromkeys(query_terms)]
     tok = df.select(
         F.col(id_col).alias("_id"), F.explode(words(F.col(text_col))).alias("w")
     )
-    dl = tok.groupBy("_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    wc_all = tok.groupBy("_id", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wc_all = wc_all.localCheckpoint()
+    dl = wc_all.groupBy("_id").agg(F.sum("c").cast("bigint").alias("dl"))
     totals = dl.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.expr("(sum(dl) * 1000) div count(1)").cast("bigint").alias("avgdl_milli"),
     )
-    wc = (
-        tok.filter(F.col("w").isin(terms))
-        .groupBy("_id", "w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    )
+    wc = wc_all.filter(F.col("w").isin(terms))
     dfreq = wc.groupBy("w").agg((F.count(F.lit(1)) + 1).cast("bigint").alias("df1"))
     dfreq = with_milli_log2(dfreq, "df1", "mldf").select("w", "mldf")
     ndocs = totals.select((F.col("n_docs") + 1).alias("nd1"), "avgdl_milli")

@@ -23,8 +23,12 @@ bands × n_docs longs, exactly what any streaming dedup service keeps
 (RocksDB state store on a real cluster); the per-bucket emission is
 linear in collisions, never all-pairs.  Hot buckets (boilerplate
 shingle profiles) concentrate state exactly like hot keys in the batch
-join — cap them with ``max_bucket`` (emission stops, a capped marker
-row is emitted once so the cap is VISIBLE, not silent).
+join — cap them with ``max_bucket`` (emission stops; a capped marker
+row is re-emitted on EVERY batch that drops docs so the cap stays
+VISIBLE for the stream's whole life, never silent).  For a
+months-long production stream, ``max_age`` bounds the state store by
+evicting residents older than that many bucket arrivals
+(LRU-by-resident-age) — again with a visible per-eviction marker row.
 """
 
 from __future__ import annotations
@@ -43,7 +47,7 @@ MINHASH_STATE_SCHEMA = StructType(
 MINHASH_PAIRS_SCHEMA = "band int, bh bigint, id_a bigint, id_b bigint"
 
 
-def _make_bucket_handler(max_bucket: int):
+def _make_bucket_handler(max_bucket: int, max_age: int = 0):
     import json as _json
 
     def handler(key, pdfs, gstate):
@@ -57,17 +61,31 @@ def _make_bucket_handler(max_bucket: int):
 
         if gstate.exists:
             st = gstate.get
-            ids = _json.loads(st[0])
+            # residents are [id, admit_seq] pairs; admit_seq is the bucket's
+            # logical clock (n_seen at admission) used for age eviction
+            res = [(int(r[0]), int(r[1])) for r in _json.loads(st[0])]
             n_seen = int(st[1])
         else:
-            ids, n_seen = [], 0
-        new = sorted(set(new) - set(ids))
-        prior_overflow = n_seen > len(ids)
+            res, n_seen = [], 0
+        resident_ids = {i for i, _ in res}
+        new = sorted(set(new) - resident_ids)
+        n_total = n_seen + len(new)
+        rows = []
+        if max_age > 0:
+            # LRU-by-resident-age: evict residents admitted more than
+            # max_age arrivals ago — bounds state for a long-running
+            # stream; the eviction is VISIBLE (id_a = -2 marker with the
+            # evicted count), never silent
+            kept = [(i, s) for i, s in res if s >= n_total - max_age]
+            if len(kept) < len(res):
+                rows.append({"band": int(band), "bh": int(bh),
+                             "id_a": -2, "id_b": len(res) - len(kept)})
+            res = kept
+        ids = [i for i, _ in res]
         if max_bucket > 0:
             admit = new[: max(max_bucket - len(ids), 0)]
         else:
             admit = new
-        rows = []
         for i, b in enumerate(admit):
             for a in ids:
                 rows.append({"band": int(band), "bh": int(bh),
@@ -75,13 +93,15 @@ def _make_bucket_handler(max_bucket: int):
             for a in admit[:i]:
                 rows.append({"band": int(band), "bh": int(bh),
                              "id_a": a, "id_b": b})
-        if len(admit) < len(new) and not prior_overflow:
-            # cap crossed NOW: one visible marker row (id_a = -1), so the
-            # truncation is observable, never silent
+        if len(admit) < len(new):
+            # this batch dropped docs: re-emit the visible marker row
+            # (id_a = -1, id_b = running bucket total) on EVERY dropping
+            # batch — never only the first crossing — so the truncation
+            # stays observable for the stream's whole life
             rows.append({"band": int(band), "bh": int(bh),
-                         "id_a": -1, "id_b": len(ids) + len(new)})
-        ids = sorted(set(ids) | set(admit))
-        gstate.update((_json.dumps(ids), n_seen + len(new)))
+                         "id_a": -1, "id_b": n_total})
+        res = sorted(set(res) | {(b, n_total) for b in admit})
+        gstate.update((_json.dumps(res), n_total))
         if rows:
             yield _pd.DataFrame(rows)
 
@@ -96,19 +116,25 @@ def streaming_minhash_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     max_bucket: int = 0,
+    max_age: int = 0,
 ) -> DataFrame:
     """Streaming docs (id, text) -> append stream of LSH candidate pairs
     (band, bh, id_a, id_b) with id_a < id_b; see module docstring.
     ``max_bucket`` > 0 stops pair emission for buckets beyond that many
-    resident docs (hot-bucket guard) and emits a single (id_a=-1,
-    id_b=bucket_size) marker row instead."""
+    resident docs (hot-bucket guard) and emits an (id_a=-1,
+    id_b=running_bucket_total) marker row on every batch that drops
+    docs.  ``max_age`` > 0 evicts residents admitted more than that many
+    bucket arrivals ago (LRU-by-resident-age — bounds the state store
+    for a months-long production stream); each eviction emits a visible
+    (id_a=-2, id_b=n_evicted) marker row.  Defaults keep the exact
+    batch≡stream contract (no cap, no eviction)."""
     from esgopeta_spark.operators.dedup import banded_signatures
 
     banded = banded_signatures(
         docs, text_col, id_col, num_hashes, bands, shingle_n, vectorized=True
     )
     return banded.groupBy("band", "bh").applyInPandasWithState(
-        _make_bucket_handler(max_bucket),
+        _make_bucket_handler(max_bucket, max_age),
         outputStructType=MINHASH_PAIRS_SCHEMA,
         stateStructType=MINHASH_STATE_SCHEMA,
         outputMode="append",
@@ -126,7 +152,7 @@ HAMMING_STATE_SCHEMA = StructType(
 HAMMING_PAIRS_SCHEMA = "id_a bigint, id_b bigint, hamming int"
 
 
-def _make_hamming_handler(max_hamming: int, max_bucket: int):
+def _make_hamming_handler(max_hamming: int, max_bucket: int, max_age: int = 0):
     import json as _json
 
     def handler(key, pdfs, gstate):
@@ -139,23 +165,38 @@ def _make_hamming_handler(max_hamming: int, max_bucket: int):
 
         if gstate.exists:
             st = gstate.get
-            res = [tuple(r) for r in _json.loads(st[0])]
+            # residents are [id, fp, admit_seq] triples (see
+            # _make_bucket_handler for the admit_seq age-eviction clock)
+            res = [(int(r[0]), int(r[1]), int(r[2])) for r in _json.loads(st[0])]
             n_seen = int(st[1])
         else:
             res, n_seen = [], 0
-        seen_ids = {i for i, _ in res}
+        seen_ids = {i for i, _, _ in res}
         new = sorted({(i, f) for i, f in new if i not in seen_ids})
-        prior_overflow = n_seen > len(res)
-        admit = new[: max(max_bucket - len(res), 0)] if max_bucket > 0 else new
+        n_total = n_seen + len(new)
         rows = []
+        if max_age > 0:
+            kept = [t for t in res if t[2] >= n_total - max_age]
+            if len(kept) < len(res):
+                rows.append({"id_a": -2, "id_b": len(res) - len(kept),
+                             "hamming": -2})
+            res = kept
+        admit = new[: max(max_bucket - len(res), 0)] if max_bucket > 0 else new
         for i, (b, bf) in enumerate(admit):
-            for a, af in res + admit[:i]:
+            for a, af, _s in res:
                 d = bin((af ^ bf) & ((1 << 64) - 1)).count("1")
                 if d <= max_hamming:
                     rows.append({"id_a": min(a, b), "id_b": max(a, b), "hamming": d})
-        if len(admit) < len(new) and not prior_overflow:
-            rows.append({"id_a": -1, "id_b": len(res) + len(new), "hamming": -1})
-        gstate.update((_json.dumps(sorted(set(res) | set(admit))), n_seen + len(new)))
+            for a, af in admit[:i]:
+                d = bin((af ^ bf) & ((1 << 64) - 1)).count("1")
+                if d <= max_hamming:
+                    rows.append({"id_a": min(a, b), "id_b": max(a, b), "hamming": d})
+        if len(admit) < len(new):
+            # marker re-emitted on EVERY dropping batch (see
+            # _make_bucket_handler)
+            rows.append({"id_a": -1, "id_b": n_total, "hamming": -1})
+        res = sorted(set(res) | {(i, f, n_total) for i, f in admit})
+        gstate.update((_json.dumps(res), n_total))
         if rows:
             yield _pd.DataFrame(rows)
 
@@ -168,6 +209,7 @@ def streaming_hamming_pairs(
     id_col: str = "_id",
     fp_col: str = "_fp",
     max_bucket: int = 0,
+    max_age: int = 0,
 ) -> DataFrame:
     """Streaming twin of ``dedup.banded_hamming_pairs`` for ANY 64-bit
     fingerprint stream (SimHash text, dHash images, spectral audio —
@@ -178,8 +220,10 @@ def streaming_hamming_pairs(
     arrive.  Distinct-set of emissions equals the batch operator's
     output under any arrival order (a pair within distance d ≤ 3 shares
     ≥1 chunk, so some bucket sees both members) — pinned in
-    tests/test_streaming.py.  Same visible hot-bucket cap contract as
-    ``streaming_minhash_pairs`` (marker row id_a=-1, hamming=-1)."""
+    tests/test_streaming.py.  Same visible hot-bucket cap (marker row
+    id_a=-1, hamming=-1, re-emitted per dropping batch) and
+    ``max_age`` eviction (marker id_a=-2, hamming=-2) contracts as
+    ``streaming_minhash_pairs``."""
     from pyspark.sql import functions as F
 
     chunks = fps.select(
@@ -200,7 +244,7 @@ def streaming_hamming_pairs(
         ).alias("ch"),
     ).select("_id", "_fp", "ch.c", "ch.v")
     return chunks.groupBy("c", "v").applyInPandasWithState(
-        _make_hamming_handler(max_hamming, max_bucket),
+        _make_hamming_handler(max_hamming, max_bucket, max_age),
         outputStructType=HAMMING_PAIRS_SCHEMA,
         stateStructType=HAMMING_STATE_SCHEMA,
         outputMode="append",
@@ -214,6 +258,7 @@ def streaming_simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_bucket: int = 0,
+    max_age: int = 0,
 ) -> DataFrame:
     """SimHash near-dup over a document stream: the 64-bit fingerprint
     is the batch expression (`dedup.simhash64`, codegen — stream-safe),
@@ -225,4 +270,6 @@ def streaming_simhash_pairs(
     fp = docs.select(
         F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_fp")
     )
-    return streaming_hamming_pairs(fp, max_hamming, max_bucket=max_bucket)
+    return streaming_hamming_pairs(
+        fp, max_hamming, max_bucket=max_bucket, max_age=max_age
+    )

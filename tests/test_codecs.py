@@ -2166,3 +2166,48 @@ def test_png_palette_trns_alpha():
     # tRNS longer than the palette: malformed -> quarantine
     with pytest.raises(ValueError):
         codecs.decode_png(with_trns(bytes([1, 2, 3, 4, 5])))
+
+
+def test_png_gray_rgb_trns_expands_alpha():
+    """Gray/RGB tRNS (single transparent sample VALUE) expands to a real
+    alpha channel — transparent-background pixels must not decode opaque
+    and pair visually-distinct images in dedup (r9 ADVICE).  Round-trip
+    through the encode_png twin, plus malformed-length quarantine."""
+    import numpy as np
+    import pytest
+
+    from esgopeta_spark.operators import codecs
+
+    # RGB: (7, 7, 7) is the transparent background
+    rgb = np.zeros((2, 3, 3), dtype=np.uint8)
+    rgb[0, 0] = [7, 7, 7]
+    rgb[1, 2] = [7, 7, 7]
+    rgb[0, 1] = [7, 7, 8]  # near-miss must stay opaque
+    arr = codecs.decode_png(codecs.encode_png(rgb, transparent=(7, 7, 7)))
+    assert arr.shape == (2, 3, 4)
+    assert (arr[:, :, :3] == rgb).all()
+    assert arr[:, :, 3].tolist() == [[0, 255, 255], [255, 255, 0]]
+
+    # grayscale: value 200 transparent
+    g = np.array([[200, 0], [13, 200]], dtype=np.uint8)
+    garr = codecs.decode_png(codecs.encode_png(g, transparent=(200,)))
+    assert garr.shape == (2, 2, 2)
+    assert (garr[:, :, 0] == g).all()
+    assert garr[:, :, 1].tolist() == [[0, 255], [255, 0]]
+
+    # no tRNS: channel count unchanged
+    assert codecs.decode_png(codecs.encode_png(rgb)).shape == (2, 3, 3)
+    # wrong tRNS length for the color type: malformed -> quarantine
+    import struct
+    import zlib as _z
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0)
+    raw = b"\x00" + bytes([5, 6])
+    bad = (
+        sig + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"tRNS", bytes([0, 1, 0, 2]))  # gray needs 2 bytes, not 4
+        + _png_chunk(b"IDAT", _z.compress(raw)) + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        codecs.decode_png(bad)

@@ -1073,6 +1073,76 @@ def test_streaming_minhash_hot_bucket_cap_is_visible(spark, tmp_path):
     assert len(pairs) < 16 * 60
 
 
+def test_streaming_minhash_cap_marker_reemitted_every_dropping_batch(
+    spark, tmp_path
+):
+    """The hot-bucket cap marker must appear on EVERY batch that drops
+    docs, not only the first crossing — a long-running capped stream
+    stays observably capped (r9 ADVICE)."""
+    from esgopeta_spark.streaming.dedup import streaming_minhash_pairs
+
+    text = "exact same boilerplate text repeated everywhere"
+    b0 = [(i, text) for i in range(15)]
+    b1 = [(i, text) for i in range(15, 30)]
+    (spark.createDataFrame(b0, "doc_id: long, text: string")
+     .coalesce(1).write.mode("overwrite").json(str(tmp_path / "inr") + "/b0"))
+    (spark.createDataFrame(b1, "doc_id: long, text: string")
+     .coalesce(1).write.mode("overwrite").json(str(tmp_path / "inr") + "/b1"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "inr") + "/*")
+    )
+    run_stream_to_memory(
+        streaming_minhash_pairs(stream, max_bucket=5), "lshreemit", mode="append"
+    )
+    marker_totals = {
+        r["id_b"]
+        for r in spark.sql("SELECT * FROM lshreemit WHERE id_a = -1").collect()
+    }
+    # batch 0 crosses the cap at bucket total 15; batch 1 drops all 15
+    # of its docs and must RE-emit the marker at total 30
+    assert 15 in marker_totals, "first-crossing marker missing"
+    assert 30 in marker_totals, "subsequent dropping batch must re-emit marker"
+
+
+def test_streaming_minhash_max_age_evicts_stale_resident(spark, tmp_path):
+    """max_age bounds the state store: a resident admitted beyond the
+    age window is evicted (so a late near-dup of it no longer pairs)
+    and the eviction is VISIBLE via the id_a=-2 marker row."""
+    from esgopeta_spark.streaming.dedup import streaming_minhash_pairs
+
+    text = "exact same boilerplate text repeated everywhere"
+    b0 = [(i, text) for i in range(10)]          # stale residents
+    b1 = [(i, text) for i in range(100, 120)]    # 20 arrivals age them out
+    (spark.createDataFrame(b0, "doc_id: long, text: string")
+     .coalesce(1).write.mode("overwrite").json(str(tmp_path / "inev") + "/b0"))
+    (spark.createDataFrame(b1, "doc_id: long, text: string")
+     .coalesce(1).write.mode("overwrite").json(str(tmp_path / "inev") + "/b1"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "inev") + "/*")
+    )
+    # b0 residents carry admit_seq=10; batch 1 brings n_total to 30, so
+    # max_age=15 puts the cutoff at 15 > 10 and evicts all of b0
+    run_stream_to_memory(
+        streaming_minhash_pairs(stream, max_age=15), "lshevict", mode="append"
+    )
+    rows = spark.sql("SELECT * FROM lshevict").collect()
+    evict_markers = [r for r in rows if r["id_a"] == -2]
+    pairs = {(r["id_a"], r["id_b"]) for r in rows if r["id_a"] >= 0}
+    assert evict_markers, "eviction must emit the visible id_a=-2 marker"
+    assert all(r["id_b"] == 10 for r in evict_markers), (
+        "marker id_b must carry the evicted-resident count"
+    )
+    # evicted b0 residents no longer pair against b1 arrivals...
+    assert not any(a < 100 <= b for a, b in pairs)
+    # ...but b1-internal pairs survive, and batch 0 paired normally
+    assert any(a >= 100 and b >= 100 for a, b in pairs)
+    assert any(a < 10 and b < 10 for a, b in pairs)
+
+
 def test_streaming_simhash_pairs_match_batch(spark, sf_dir, tmp_path):
     """Streaming Hamming-family near-dup must equal the batch
     banded_hamming_pairs output (verified pairs incl. distances) with
