@@ -6,6 +6,7 @@ import esgopeta_spark.plans.catalog_graphx  # noqa: F401  (GraphX-style analytic
 import esgopeta_spark.plans.catalog_graph2  # noqa: F401  (put replay, fetch path, streaming-HAM oracle twin)
 import esgopeta_spark.plans.catalog_media  # noqa: F401  (G5: real PNG round-trip vs analytic oracle)
 import esgopeta_spark.plans.catalog_select  # noqa: F401  (G4 depth: DSIR importance selection)
+import esgopeta_spark.plans.catalog_web  # noqa: F401  (r10 crawl front-end: HTML->text, URL canonical dedup)
 
 # ---------------------------------------------------------------------------
 # Graded-window ordering.  The driver grades the FIRST 50 registered entries

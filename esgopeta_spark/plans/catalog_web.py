@@ -1,0 +1,175 @@
+"""Catalog entries for the crawl front-end (G4 — r10): HTML->text
+extraction and URL canonicalization + dedup, the stage every real
+pretraining pipeline starts with (C4 §2.1, CCNet §3).
+
+Oracle strategy is the FLAC encoder-twin pattern: the Spark side
+synthesizes a deterministic fixture (page / URL-variant set) from the
+corpus in pure codegen, runs the REAL kernel over it, and DuckDB
+recomputes the expected output in closed form from the source text —
+hash-exact with no HTML/URL machinery on the oracle side.  The kernels'
+general behavior (malformed markup, entity matrix, canonicalization
+matrix, fuzz no-raise) is pinned separately in tests/test_web.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from esgopeta_spark.plans.catalog import T, register
+
+# closed-form expected extraction: title line, collapsed corpus text
+# (dropped when empty), the constant entity fixture line, a length
+# trailer — everything else on the synthesized page (script/style
+# content, nav/footer boilerplate, comments) must be dropped by the
+# extractor or the hash mismatches
+_HTML_EXTRACT_SQL = r"""
+    WITH c AS (
+      SELECT doc_id,
+             trim(regexp_replace(coalesce(text, ''), '[ \t\n\r\f\v]+', ' ', 'g')) AS t,
+             length(coalesce(text, '')) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           'Doc ' || doc_id || chr(10)
+           || CASE WHEN t = '' THEN '' ELSE t || chr(10) END
+           || 'Q&A — café €5 <em> ☺ ©' || chr(10)
+           || 'Length: ' || n AS clean_text,
+           CAST(CASE WHEN t = '' THEN 3 ELSE 4 END AS INTEGER) AS n_lines
+    FROM c
+"""
+
+
+@register(
+    "text_html_extract",
+    "G4",
+    _HTML_EXTRACT_SQL,
+    doc="crawl front-end: WET-style HTML->text extraction (r10) — "
+    "synthesize a fixture page per doc in codegen (title, script/style "
+    "with adversarial quoted markup, nav/footer boilerplate, a comment "
+    "wrapping fake tags, a quoted '>' attribute, the escaped corpus "
+    "text, an entity matrix line), then run the REAL single-pass "
+    "extractor kernel: comment/doctype strip, raw-text element drop, "
+    "boilerplate-subtree drop, block segmentation to lines, named + "
+    "numeric entity decode (windows-1252 C1 remap), ASCII whitespace "
+    "collapse.  Oracle recomputes the expected clean text in closed "
+    "form from documents.text (encoder-twin pattern).  Plan: one "
+    "codegen synth projection + one Arrow kernel, shuffle-free; "
+    "operators/web.py extract_html_text",
+)
+def text_html_extract(spark, sf):
+    from esgopeta_spark.operators.web import html_extract, synth_html
+
+    d = T(spark, sf, "documents").select(
+        "doc_id",
+        synth_html(F.col("doc_id"), F.coalesce(F.col("text"), F.lit(""))).alias("html"),
+    )
+    return html_extract(d)
+
+
+@register(
+    "web_url_canonical_dedup",
+    "G1,G4",
+    r"""
+    SELECT 'https://site' || (doc_id % 40) || '.example.com/articles/' || doc_id
+             || '?page=' || (doc_id % 7) AS url_canon,
+           CAST(5 AS BIGINT) AS n_variants,
+           doc_id
+    FROM documents
+    """,
+    doc="URL canonicalization + URL-level dedup (r10): five codegen "
+    "syntactic variants per doc (uppercase scheme/host + default port "
+    "+ fragment, tracking params, percent-encoded unreserved char, "
+    "param reorder + empty segment) must all canonicalize to the seed "
+    "the oracle recomputes in closed form; exact-dup groups by the "
+    "canonical key (count + min doc id per group — the keeper shape "
+    "of dedup_exact_docs).  Plan: codegen variant explode + Arrow "
+    "kernel + one groupBy shuffle on the canonical key; "
+    "operators/web.py canonicalize_url",
+)
+def web_url_canonical_dedup(spark, sf):
+    from esgopeta_spark.operators.web import synth_url_variants, url_canonicalize
+
+    d = T(spark, sf, "documents").select(
+        "doc_id", F.explode(synth_url_variants(F.col("doc_id"))).alias("url")
+    )
+    return (
+        url_canonicalize(d)
+        .groupBy("url_canon")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+            F.min("doc_id").cast("bigint").alias("doc_id"),
+        )
+    )
+
+
+# closed-form n_chars of the extracted page: 36 fixed chars ('Doc ' = 4,
+# two joining newlines = 2, entity line = 22, 'Length: ' = 8) + the id
+# and length digit widths + the collapsed text and its newline when
+# non-empty — then the exact split_train_shards md5 assignment
+_HTML_SHARDS_SQL = r"""
+    WITH c AS (
+      SELECT doc_id,
+             trim(regexp_replace(coalesce(text, ''), '[ \t\n\r\f\v]+', ' ', 'g')) AS t,
+             length(coalesce(text, '')) AS n
+      FROM documents
+    ), ext AS (
+      SELECT doc_id,
+             CAST(36 + length(CAST(doc_id AS VARCHAR))
+                  + CASE WHEN t = '' THEN 0 ELSE length(t) + 1 END
+                  + length(CAST(n AS VARCHAR)) AS BIGINT) AS n_chars
+      FROM c
+    ), gated AS (
+      SELECT doc_id, n_chars FROM ext WHERE n_chars >= 160
+    ), s AS (
+      SELECT doc_id, n_chars,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT) AS BIGINT) AS d1,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))
+                  AS UBIGINT) AS BIGINT) AS d2
+      FROM gated
+    ), a AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN d1 < 3435973836 THEN 'train'
+                  WHEN d1 < 3865470566 THEN 'val'
+                  ELSE 'test' END AS split,
+             CAST(d2 % 8 AS INTEGER) AS shard
+      FROM s
+    )
+    SELECT split, shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM a GROUP BY split, shard
+"""
+
+
+@register(
+    "pipeline_html_to_shards",
+    "G4,E5",
+    _HTML_SHARDS_SQL,
+    doc="fused crawl-to-writer pipeline (r10 capstone): HTML synth "
+    "(codegen) -> REAL extraction kernel -> length gate on the clean "
+    "text -> deterministic md5 split/shard -> per (split, shard) "
+    "rollup, ONE Catalyst lineage over one documents scan — the page a "
+    "crawler hands you becomes writer-sharded training text in a "
+    "single plan.  Oracle composes the extraction closed form with the "
+    "split_train_shards SQL.  Plan: codegen synth + one Arrow kernel + "
+    "codegen gate/split + one final shuffle on (split, shard); "
+    "operators/web.py + operators/text.py split_shards",
+)
+def pipeline_html_to_shards(spark, sf):
+    from esgopeta_spark.operators.text import split_shards
+    from esgopeta_spark.operators.web import html_extract, synth_html
+
+    d = T(spark, sf, "documents").select(
+        "doc_id",
+        synth_html(F.col("doc_id"), F.coalesce(F.col("text"), F.lit(""))).alias("html"),
+    )
+    ext = html_extract(d).select(
+        "doc_id", F.length("clean_text").cast("bigint").alias("n_chars")
+    )
+    gated = ext.filter(F.col("n_chars") >= 160)
+    sharded = split_shards(gated)
+    return sharded.groupBy("split", "shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )

@@ -1,0 +1,254 @@
+"""Crawl front-end (operators/web.py): HTML->text extraction and URL
+canonicalization.  The graded entries prove the encoder-twin round trip
+hash-exact; these tests pin the kernels' GENERAL behavior — adversarial
+markup, the entity matrix, the canonicalization matrix, fuzz no-raise
+totality, and the batch≡stream contract for the stateless projections.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from esgopeta_spark.operators.web import (
+    canonicalize_url,
+    decode_entities,
+    extract_html_text,
+)
+
+
+# ---------------------------------------------------------------------------
+# extractor unit matrix
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "html,want",
+    [
+        # block segmentation: one line per block element, inline tags fuse
+        ("<p>a<b>b</b>c</p><p>d</p>", "abc\nd"),
+        ("<h1>Title</h1><div>body <em>em</em> text</div>", "Title\nbody em text"),
+        ("line1<br>line2<br/>line3", "line1\nline2\nline3"),
+        ("<ul><li>one</li><li>two</li></ul>", "one\ntwo"),
+        ("<table><tr><td>a</td><td>b</td></tr></table>", "a\nb"),
+        # raw-text elements: content dropped wholesale, incl. fake markup
+        ('<script>var s = "</div><p>x</p>"; if (1 < 2) {}</script>after', "after"),
+        ("<style>p > a { color: red }</style>text", "text"),
+        ("<textarea><p>not text</p></textarea>kept", "kept"),
+        ("<SCRIPT>case insensitive</SCRIPT>ok", "ok"),
+        # boilerplate subtrees dropped, nesting respected
+        ("<nav>Home | About</nav><p>content</p>", "content"),
+        ("<header><nav>double</nav>still header</header><p>x</p>", "x"),
+        ("<nav><nav>inner</nav>outer tail</nav><p>y</p>", "y"),
+        ("<footer>© 2026</footer><aside>ads</aside>body", "body"),
+        # comments / doctype / PI dropped, incl. markup inside comments
+        ("<!DOCTYPE html><p>a</p>", "a"),
+        ("<!-- <p>not text</p> -->real", "real"),
+        ("<?xml version='1.0'?>text", "text"),
+        # quoted '>' inside attributes does not end the tag
+        ('<div data-x="a > b">inside</div>', "inside"),
+        ("<div data-x='1>2' class=\"q\">t</div>", "t"),
+        # literal '<' in text survives; unterminated constructs drop tail
+        ("5 < 6 is true", "5 < 6 is true"),
+        ("<p>kept</p><!-- unterminated", "kept"),
+        ("<p>kept</p><script>never closed", "kept"),
+        ("<p>kept</p><div unterminated", "kept"),
+        # whitespace collapse + empty-line drop
+        ("<p>  a \t b \n c  </p><p>   </p><p>d</p>", "a b c\nd"),
+        # title is text; head chrome is not
+        ('<head><title>T</title><meta charset="x"><link href="y"></head>Z', "T\nZ"),
+        # entities in flow text
+        ("<p>fish &amp; chips &lt;3</p>", "fish & chips <3"),
+        ("<p>&#65;&#x42;c</p>", "ABc"),
+        # empty / tagless inputs
+        ("", ""),
+        ("just text", "just text"),
+    ],
+)
+def test_extract_matrix(html, want):
+    assert extract_html_text(html) == want
+
+
+def test_decode_entities_matrix():
+    assert decode_entities("&amp;&lt;&gt;&quot;&apos;") == "&<>\"'"
+    assert decode_entities("&nbsp;x") == " x"
+    assert decode_entities("&copy; &euro; &mdash;") == "© € —"
+    # numeric: decimal, hex, windows-1252 C1 remap
+    assert decode_entities("&#8364;") == "€"
+    assert decode_entities("&#x20AC;") == "€"
+    assert decode_entities("&#150;") == "–"  # 0x96 -> U+2013 via cp1252
+    assert decode_entities("&#147;quote&#148;") == "“quote”"
+    # invalid -> U+FFFD per HTML5
+    assert decode_entities("&#0;&#x110000;&#xD800;") == "���"
+    # unknown names and bare '&' stay literal
+    assert decode_entities("&bogus; & &noSemicolonEver") == "&bogus; & &noSemicolonEver"
+    # no-entity fast path
+    assert decode_entities("plain") == "plain"
+
+
+def test_extract_is_total_fuzz():
+    """The extractor is a TOTAL function: any string — random bytes,
+    truncated/mutated fixture pages — returns a str, never raises (at
+    100 TB a poison page costs its own text, not the stage)."""
+    rng = random.Random(0xC0FFEE)
+    base = (
+        '<html><head><title>T</title><script>x<y</script></head><body>'
+        '<nav>n</nav><!-- c --><div a="q>b"><p>body &amp; &#65; text</p>'
+        "</div><footer>f</footer></body></html>"
+    )
+    for trial in range(300):
+        kind = trial % 3
+        if kind == 0:  # random printable garbage heavy on <>&;="'
+            s = "".join(
+                rng.choice('<>&;="\'ab c/!?#-\n\t%') for _ in range(rng.randrange(0, 120))
+            )
+        elif kind == 1:  # truncate the fixture anywhere
+            s = base[: rng.randrange(0, len(base))]
+        else:  # random single-char mutations
+            b = list(base)
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] = rng.choice('<>&;="\'\x00\xff')
+            s = "".join(b)
+        out = extract_html_text(s)
+        assert isinstance(out, str)
+        assert "\n\n" not in out  # no empty lines ever
+    # random raw bytes decoded permissively
+    for _ in range(100):
+        raw = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 200)))
+        assert isinstance(extract_html_text(raw.decode("latin-1")), str)
+
+
+# ---------------------------------------------------------------------------
+# canonicalization matrix
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "url,want",
+    [
+        # case, default port, fragment
+        ("HTTP://Example.COM/Path", "http://example.com/Path"),
+        ("https://example.com:443/x", "https://example.com/x"),
+        ("http://example.com:80/x", "http://example.com/x"),
+        ("http://example.com:8080/x", "http://example.com:8080/x"),
+        ("https://example.com/x#frag", "https://example.com/x"),
+        ("https://example.com.:443/x#a#b", "https://example.com/x"),
+        # empty path -> '/'
+        ("https://example.com", "https://example.com/"),
+        ("https://example.com?a=1", "https://example.com/?a=1"),
+        # tracking params out, order sorted, empty segments dropped
+        (
+            "https://e.com/p?utm_source=x&b=2&utm_campaign=y&a=1",
+            "https://e.com/p?a=1&b=2",
+        ),
+        ("https://e.com/p?fbclid=123&gclid=9", "https://e.com/p"),
+        ("https://e.com/p?b=2&&a=1&", "https://e.com/p?a=1&b=2"),
+        ("https://e.com/p?", "https://e.com/p"),
+        # valueless keys keep their form; '=' presence is significant
+        ("https://e.com/p?flag&a=", "https://e.com/p?a=&flag"),
+        # percent normalization: unreserved decodes, others uppercase hex
+        ("https://e.com/%61%2Fb", "https://e.com/a%2Fb"),
+        ("https://e.com/a%2fb?k=%7e%41", "https://e.com/a%2Fb?k=~A"),
+        ("https://e.com/%zz", "https://e.com/%zz"),  # bad escape stays
+        # non-URL strings pass through trimmed, never raise
+        ("not a url", "not a url"),
+        ("  spaced  ", "spaced"),
+        ("", ""),
+        ("mailto:x@y.com", "mailto:x@y.com"),
+    ],
+)
+def test_canonicalize_matrix(url, want):
+    assert canonicalize_url(url) == want
+
+
+def test_canonicalize_idempotent_fuzz():
+    """canonicalize(canonicalize(u)) == canonicalize(u) — a canonical
+    form that isn't a fixed point silently splits dedup groups."""
+    rng = random.Random(0xBEEF)
+    pieces = ["https://", "HTTP://", "Ex.COM", ":443", ":80", ":8080", "/a/B",
+              "/%61", "%2f", "?a=1", "&utm_source=x", "&b=%7E", "#f", "&", "?",
+              "."]
+    for _ in range(300):
+        u = "".join(rng.choice(pieces) for _ in range(rng.randrange(1, 8)))
+        c = canonicalize_url(u)
+        assert canonicalize_url(c) == c, u
+
+
+# ---------------------------------------------------------------------------
+# batch ≡ stream (stateless projections shared, not mirrored)
+# ---------------------------------------------------------------------------
+
+
+def test_html_extract_stream_twin(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from esgopeta_spark.operators.web import html_extract, synth_html
+
+    docs = [(i, f"doc {i} body text with <angles> & amp") for i in range(20)]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string").select(
+        "doc_id", synth_html(F.col("doc_id"), F.col("text")).alias("html")
+    )
+    want = {(r["doc_id"], r["clean_text"], r["n_lines"]) for r in html_extract(df).collect()}
+
+    df.coalesce(1).write.mode("overwrite").json(str(tmp_path / "html_in"))
+    stream = spark.readStream.schema("doc_id long, html string").json(
+        str(tmp_path / "html_in")
+    )
+    q = (
+        html_extract(stream)
+        .writeStream.format("memory")
+        .queryName("htmlstream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {
+        (r["doc_id"], r["clean_text"], r["n_lines"])
+        for r in spark.sql("SELECT * FROM htmlstream").collect()
+    }
+    assert got == want
+
+
+def test_url_canonicalize_stream_twin(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from esgopeta_spark.operators.web import synth_url_variants, url_canonicalize
+
+    df = spark.range(15).select(
+        F.col("id").alias("doc_id"),
+        F.explode(synth_url_variants(F.col("id"))).alias("url"),
+    )
+    want = {(r["url"], r["url_canon"]) for r in url_canonicalize(df).collect()}
+    # every doc's five variants collapse to ONE canonical form
+    by_doc = {}
+    for u, c in want:
+        by_doc.setdefault(c, set()).add(u)
+    assert all(len(v) == 5 for v in by_doc.values())
+
+    df.coalesce(1).write.mode("overwrite").json(str(tmp_path / "url_in"))
+    stream = spark.readStream.schema("doc_id long, url string").json(
+        str(tmp_path / "url_in")
+    )
+    q = (
+        url_canonicalize(stream)
+        .select("url", "url_canon")
+        .writeStream.format("memory")
+        .queryName("urlstream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {
+        (r["url"], r["url_canon"])
+        for r in spark.sql("SELECT * FROM urlstream").collect()
+    }
+    assert got == want
