@@ -373,20 +373,30 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 def banded_hamming_pairs(
-    fp: DataFrame, max_hamming: int = 3, id_col: str = "_id", fp_col: str = "_fp"
+    fp: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "_id",
+    fp_col: str = "_fp",
+    chunk_bits: int = 16,
+    n_chunks: int = 4,
 ) -> DataFrame:
-    """Pairs within ``max_hamming`` of a 64-bit fingerprint relation
-    ``(id, fp)``: band the fingerprint into 4 16-bit chunks (pigeonhole:
-    hamming<=3 ⇒ at least one chunk equal), EQUI-join on chunks, verify
-    exact Hamming distance.  Shared by SimHash text near-dup and dHash
-    image near-dup — never all-pairs; the join is bucketed by chunk
-    value, the 100 TB shape."""
+    """Pairs within ``max_hamming`` of a fingerprint relation
+    ``(id, fp)``: band the fingerprint into ``n_chunks`` chunks of
+    ``chunk_bits`` bits, EQUI-join on chunks, verify exact Hamming
+    distance.  Pigeonhole guarantees FULL recall only while
+    max_hamming < n_chunks; larger thresholds keep the banded shape but
+    only surface pairs sharing some chunk (the documented trade the
+    existing hamming=6 SimHash entry makes).  Shared by SimHash text
+    near-dup and dHash image near-dup (64-bit, 4x16) and the 32-bit
+    portable SimHash (4x8) — never all-pairs; the join is bucketed by
+    chunk value, the 100 TB shape."""
+    mask = (1 << chunk_bits) - 1
     fp = fp.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"))
     chunks = fp.select(
         "_id",
         "_fp",
         F.explode(
-            F.array(*[F.struct(F.lit(c).alias("c"), F.shiftright("_fp", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("v")) for c in range(4)])
+            F.array(*[F.struct(F.lit(c).alias("c"), F.shiftright("_fp", c * chunk_bits).bitwiseAND(F.lit(mask)).alias("v")) for c in range(n_chunks)])
         ).alias("ch"),
     ).select("_id", "_fp", "ch.c", "ch.v")
     # materialize: both self-join sides read this, and the fingerprint
@@ -411,6 +421,252 @@ def simhash_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc
     df = ensure_min_partitions(df)
     fp = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_fp"))
     return banded_hamming_pairs(fp, max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# portable-hash variants (r10): md5-derived lanes instead of xxhash64, so
+# DuckDB can recompute the IDENTICAL signatures/fingerprints and the
+# entries get hash-exact oracles.  xxhash64 stays the production path
+# (cheaper JVM hash); these prove the LSH machinery cross-engine and
+# serve engines without xxhash64.  Recall parity between the two hash
+# families is pinned in tests/test_llm_ops.py.
+# ---------------------------------------------------------------------------
+
+PORTABLE_P = (1 << 61) - 1  # Mersenne prime; (a*g + b) % P stays < 2^63
+
+
+def md5_hash32(col: Column) -> Column:
+    """First 8 md5 hex chars as a BIGINT in [0, 2^32) — the md5 trick
+    every split/fingerprint oracle uses, now as the gram/word hash."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def portable_lane_consts(k: int, seed: int = 2026) -> tuple[list[int], list[int]]:
+    """Deterministic (A, B) hash-family constants shared by the Spark
+    expressions and the generated oracle SQL.  A < 2^30 keeps A*g < 2^62
+    for 32-bit g, so a*g + b never overflows int64 on either engine."""
+    x, consts = seed, []
+    for _ in range(2 * k):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        consts.append(x)
+    A = [1 + (consts[2 * i] % ((1 << 30) - 1)) for i in range(k)]
+    B = [consts[2 * i + 1] % PORTABLE_P for i in range(k)]
+    return A, B
+
+
+def portable_minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(_id, band, bh) banded MinHash rows on md5-derived lanes: gram
+    hash g = md5_hash32(gram string), lane k = min((A_k*g + B_k) % P),
+    band hash = md5 of the '_'-joined lane values.  Docs with no
+    full-length gram are EXCLUDED (an empty shingle set must not pair —
+    the r4 lesson; the sentinel signature would bucket all short docs
+    together).  The gram-hash array is checkpointed once so the k lane
+    mins iterate a materialized array instead of re-hashing grams per
+    lane."""
+    A, B = portable_lane_consts(num_hashes)
+    rows = num_hashes // bands
+    ghs = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(shingles(F.col(text_col), shingle_n), md5_hash32).alias("_ghs"),
+    ).filter(F.size("_ghs") > 0)
+    ghs = ghs.localCheckpoint()
+
+    def _lane(k: int) -> Column:
+        # bind the lane constants OUTSIDE the HOF lambda: pyspark treats a
+        # two-parameter lambda as (value, index), so a k=k default would
+        # receive the index Column
+        a, b = F.lit(A[k]), F.lit(B[k])
+        return F.array_min(
+            F.transform(F.col("_ghs"), lambda g: (a * g + b) % F.lit(PORTABLE_P))
+        ).alias(f"_m{k}")
+
+    lanes = ghs.select("_id", *[_lane(k) for k in range(num_hashes)])
+    return lanes.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws("_", *[F.col(f"_m{b * rows + r}") for r in range(rows)])
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bh")
+
+
+def minhash_lsh_candidates_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Portable-hash twin of ``minhash_lsh_candidates`` — identical
+    banded equi-join shape, md5 lanes, hash-exact DuckDB oracle
+    (``portable_minhash_pairs_sql`` emits the same computation)."""
+    banded = portable_minhash_bands(df, text_col, id_col, num_hashes, bands, shingle_n)
+    banded = banded.localCheckpoint()
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def portable_minhash_pairs_sql(
+    num_hashes: int = 16, bands: int = 4, shingle_n: int = 3, table: str = "documents"
+) -> str:
+    """DuckDB oracle for ``minhash_lsh_candidates_portable``: the SAME
+    normalization, gram build, md5 gram hash, (A*g+B)%P lane mins, band
+    md5, and banded self-join — generated from the shared constants so
+    the two engines run one computation."""
+    A, B = portable_lane_consts(num_hashes)
+    rows = num_hashes // bands
+    mins = ",\n             ".join(
+        f"MIN(({A[k]} * g + {B[k]}) % {PORTABLE_P}) AS m{k}" for k in range(num_hashes)
+    )
+    bhs = ",\n             ".join(
+        "md5("
+        + " || '_' || ".join(f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows))
+        + f") AS bh{b}"
+        for b in range(bands)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, bh{b} AS bh FROM bh" for b in range(bands)
+    )
+    return f"""
+    WITH nd AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM {table}
+    ), w AS (
+      SELECT doc_id, CASE WHEN length(norm) = 0 THEN CAST([] AS VARCHAR[])
+                          ELSE string_split(norm, ' ') END AS ws
+      FROM nd
+    ), gr AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(ws[i : i + {shingle_n - 1}], ' ')
+                                   for i in range(1, len(ws) - {shingle_n - 2})])) AS gram
+      FROM w WHERE len(ws) >= {shingle_n}
+    ), gh AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(gram), 1, 8)) AS UBIGINT) AS BIGINT) AS g
+      FROM gr
+    ), l AS (
+      SELECT doc_id, {mins}
+      FROM gh GROUP BY doc_id
+    ), bh AS (
+      SELECT doc_id, {bhs} FROM l
+    ), br AS (
+      {band_rows}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM br a JOIN br b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    """
+
+
+def simhash32_portable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(_id, _fp) 32-bit portable SimHash: per-word md5_hash32 votes
+    weighted by the word's count, fingerprint bit = vote sign.  One
+    (doc, word) groupBy then ONE per-doc aggregate of 32 conditional
+    sums — fully codegen, no Python.  Docs with no word are excluded
+    (same no-content-no-pair posture as the portable MinHash)."""
+    wc = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .select("_id", md5_hash32(F.col("w")).alias("h"), "c")
+    )
+    votes = wc.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, F.col("c")).otherwise(
+                    -F.col("c")
+                )
+            ).alias(f"_v{b}")
+            for b in range(32)
+        ]
+    )
+    fp = F.lit(0).cast("bigint")
+    for b in range(32):
+        fp = fp + F.when(F.col(f"_v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("bigint")
+    return votes.select("_id", fp.alias("_fp"))
+
+
+def simhash_candidates_portable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Portable-hash twin of ``simhash_candidates``: 32-bit md5-vote
+    fingerprint, banded Hamming equi-join on 4x8-bit chunks (pigeonhole
+    full recall for hamming <= 3)."""
+    fp = simhash32_portable(df, text_col, id_col)
+    return banded_hamming_pairs(fp, max_hamming, chunk_bits=8, n_chunks=4).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def portable_simhash_pairs_sql(max_hamming: int = 3, table: str = "documents") -> str:
+    """DuckDB oracle for ``simhash_candidates_portable`` — same word
+    counts, md5 bit votes, fingerprint fold, 4x8 chunk join, exact
+    bit_count verify."""
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN (h & {1 << b}) <> 0 THEN c ELSE -c END) AS v{b}"
+        for b in range(32)
+    )
+    fold = "\n               + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)" for b in range(32)
+    )
+    return f"""
+    WITH nd AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM {table}
+    ), wrd AS (
+      SELECT doc_id, unnest(string_split(norm, ' ')) AS w FROM nd
+    ), wc AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(w), 1, 8)) AS UBIGINT) AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS c
+      FROM wrd WHERE w <> '' GROUP BY doc_id, w
+    ), v AS (
+      SELECT doc_id, {votes}
+      FROM wc GROUP BY doc_id
+    ), fp AS (
+      SELECT doc_id,
+             {fold} AS fp
+      FROM v
+    ), ch AS (
+      SELECT doc_id, fp, c, (fp >> (8 * c)) & 255 AS val
+      FROM fp, (SELECT unnest([0, 1, 2, 3]) AS c)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+    FROM ch a JOIN ch b ON a.c = b.c AND a.val = b.val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+    """
 
 
 # ---------------------------------------------------------------------------

@@ -1236,6 +1236,57 @@ def dedup_simhash_pairs(spark, sf):
     return simhash_candidates(d, max_hamming=6).orderBy("id_a", "id_b")
 
 
+def _portable_minhash_oracle():
+    from esgopeta_spark.operators.dedup import portable_minhash_pairs_sql
+
+    return portable_minhash_pairs_sql()
+
+
+def _portable_simhash_oracle():
+    from esgopeta_spark.operators.dedup import portable_simhash_pairs_sql
+
+    return portable_simhash_pairs_sql()
+
+
+@register(
+    "dedup_minhash_pairs_portable",
+    "G2",
+    _portable_minhash_oracle(),
+    doc="portable-hash MinHash-LSH candidate pairs (r10): md5-derived "
+    "32-bit gram hashes + (A*g+B) mod (2^61-1) lane mins + md5 band "
+    "keys, so DuckDB recomputes the IDENTICAL signatures and the LSH "
+    "machinery itself is hash-exact cross-engine (the xxhash64 twin "
+    "dedup_minhash_pairs stays the cheaper production path; recall "
+    "parity between the two hash families pinned in pytest).  Plan: "
+    "same banded equi self-join as the production path, checkpointed "
+    "signature relation, never all-pairs; operators/dedup.py "
+    "minhash_lsh_candidates_portable",
+)
+def dedup_minhash_pairs_portable(spark, sf):
+    from esgopeta_spark.operators.dedup import minhash_lsh_candidates_portable
+
+    return minhash_lsh_candidates_portable(T(spark, sf, "documents"))
+
+
+@register(
+    "dedup_simhash_pairs_portable",
+    "G2",
+    _portable_simhash_oracle(),
+    doc="portable-hash SimHash near-dup pairs (r10): 32-bit fingerprint "
+    "from md5 word-hash bit votes weighted by term count, banded "
+    "Hamming equi-join on 4x8-bit chunks (full pigeonhole recall at "
+    "hamming <= 3), exact bit_count verify — the whole "
+    "fingerprint+banding pipeline recomputed by DuckDB, hash-exact.  "
+    "Plan: one (doc, word) groupBy + one 32-sum per-doc aggregate "
+    "(codegen) + the chunk-bucketed self-join; operators/dedup.py "
+    "simhash_candidates_portable",
+)
+def dedup_simhash_pairs_portable(spark, sf):
+    from esgopeta_spark.operators.dedup import simhash_candidates_portable
+
+    return simhash_candidates_portable(T(spark, sf, "documents"))
+
+
 @register(
     "text_profile_docs",
     "G4",

@@ -41,6 +41,49 @@ def test_minhash_lsh_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.9, f"LSH recall {recall}"
 
 
+def test_minhash_portable_recall_parity(spark, sf_dir):
+    """The md5-lane portable MinHash (r10 — exists so the oracle can be
+    hash-exact) must keep the xxhash64 path's recall: both candidate
+    generators, verified by the same exact Jaccard, recover the true
+    pair set at >= 0.9 recall; exact copies are always found (Jaccard 1
+    survives any LSH banding)."""
+    from esgopeta_spark.operators.dedup import (
+        brute_force_jaccard_pairs,
+        minhash_lsh_candidates_portable,
+        ngram_jaccard,
+    )
+
+    docs = docs_with_near_dups(spark, sf_dir)
+    truth = {
+        (r["id_a"], r["id_b"]) for r in brute_force_jaccard_pairs(docs, threshold=0.7).collect()
+    }
+    assert truth
+    cands = minhash_lsh_candidates_portable(docs)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard(cands, docs).filter("jaccard >= 0.7").collect()
+    }
+    assert got.issubset(truth)
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"portable LSH recall {recall}"
+    exact = {p for p in truth if p[1] - p[0] == 200000}
+    assert exact <= got, "exact copies must always collide in every band"
+
+
+def test_simhash_portable_finds_exact_copies(spark, sf_dir):
+    """Portable 32-bit SimHash twin: exact copies fingerprint
+    identically (hamming 0) and every emitted pair respects the
+    threshold; the 4x8 banding is pigeonhole-complete at hamming<=3."""
+    from esgopeta_spark.operators.dedup import simhash_candidates_portable
+
+    docs = docs_with_near_dups(spark, sf_dir)
+    pairs = simhash_candidates_portable(docs, max_hamming=3).collect()
+    found_exact = {p for p in {(r["id_a"], r["id_b"]) for r in pairs} if p[1] - p[0] == 200000}
+    assert len(found_exact) == 5
+    assert all(0 <= r["hamming"] <= 3 for r in pairs)
+    assert all(r["hamming"] == 0 for r in pairs if r["id_b"] - r["id_a"] == 200000)
+
+
 def test_exact_dedup_keeps_lowest_id(spark, sf_dir):
     from esgopeta_spark.operators.dedup import exact_dedup, exact_dup_groups
 
