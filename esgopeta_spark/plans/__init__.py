@@ -30,9 +30,10 @@ GRADED_WINDOW = [
     # in-window representative below)
     "q1_pricing_summary",
     "q3_shipping_priority",
-    # E3 join family — all types
+    # E3 join family — all types (full-outer rotated to parity-only in
+    # r10 — the family stays 5-deep in-window: left, Bloom-semi, anti,
+    # as-of, skew-salted — for the crawl front-end flagships below)
     "join_left_nation_suppliers",
-    "join_full_customer_supplier",
     # r7: the plain semi join rotated out for its Bloom-prefiltered scale
     # twin — still a semi join (family covered), now with the runtime-
     # filter-pushdown shape the 100 TB plan wants graded
@@ -60,9 +61,10 @@ GRADED_WINDOW = [
     # survives 100 TB — single pass, bounded state)
     "agg_histogram_quantiles",
     "pivot_status_by_priority",
-    # r9 late rotation: unpivot demoted to parity-only (pivot keeps the
-    # reshape family graded) for the image-stats strong-oracle entry
-    "skew_salted_agg",
+    # (r9 late: unpivot demoted to parity-only — pivot keeps the reshape
+    # family graded — for the image-stats strong-oracle entry; r10:
+    # skew_salted_agg demoted — skew handling stays graded via
+    # skew_salted_join — for the selection-pipeline terminal step below)
     # E5 windows + sessionization (running-total demoted in r4; range-30d
     # demoted in r5 — win_topk + sessionize keep the family graded — to
     # make room for the r5 LPA flagship below)
@@ -97,8 +99,9 @@ GRADED_WINDOW = [
     "graph_cheapest_path_nation0",
     # r5: deterministic LPA community detection (unrolled-CTE oracle)
     "graph_communities_lpa",
-    # r6: k-core decomposition (iterative peel, materialized unrolled oracle)
-    "graph_kcore_members",
+    # (r10: k-core demoted to parity-only — graph analytics stays 4-deep
+    # in-window: pagerank, triangles, cheapest-path, LPA — for the
+    # URL-dedup flagship below)
     # Group F — streaming
     "graph_ham_stream_replay",
     "stream_tumbling_counts",
@@ -125,10 +128,13 @@ GRADED_WINDOW = [
     # pipeline's quality-tier step, ntile over a unique total order on
     # the backoff-LM familiarity score (shared oracle CTE chain)
     "select_perplexity_buckets",
-    # G3 SCALE tier under the gate (r4): IVF probe join, hash-exact vs DuckDB
+    # r10: the selection pipeline's terminal step — DoReMi weights to an
+    # actual token-budget document selection (overflow-free ppm products)
+    "select_mixture_materialize",
+    # G3 SCALE tier under the gate (r4): IVF probe join, hash-exact vs
+    # DuckDB (r10: the PQ tier rotated to parity-only — G3 stays graded
+    # via IVF — for the HTML-extraction flagship below)
     "sim_topk_cosine_ivf",
-    # r5: PQ asymmetric-distance top-k, hash-exact (compressed-domain tier)
-    "sim_topk_ip_pq",
     # r9: the PNG round trip rotated to parity-only (the real image
     # decode path stays graded through dedup_image_dhash, which runs the
     # PNG decoder on every row) for the FLAC lossless round trip — the
@@ -145,10 +151,19 @@ GRADED_WINDOW = [
     # mp2 stays parity-checked beyond the window)
     "multimodal_decode_mp3_audio",
     "text_profile_docs",
+    # r10: the crawl front-end — where a real pretraining pipeline
+    # STARTS (C4 §2.1, CCNet §3): WET-style HTML->text extraction with
+    # the encoder-twin closed-form oracle, and URL canonicalization +
+    # URL-level exact-dup groups
+    "text_html_extract",
+    "web_url_canonical_dedup",
     # r7: time-series' first in-window representative — daily grid
     # gap-fill + LOCF (the resample/interpolate family, with the
     # bit-exact streaming twin behind it in pytest)
     "ts_gapfill_daily_locf",
+    # r10: the keyed-recursion family's graded representative — EWMA on
+    # the daily grid (recursive-CTE oracle, integer milli state)
+    "ts_ewma_daily",
     # (emb_label_stats demoted to parity-only in r6 — embedding columns are
     # amply graded by the sim_* / dedup_semantic_kmeans entries)
 ]

@@ -14,8 +14,8 @@ REQUIRED_IN_WINDOW = {
     "join_asof_purchase_click",  # E3 as-of (non-equi family rep; the
     # range join rotated to parity-only in late r9 for the CCNet
     # perplexity-bucket flagship)
-    "skew_salted_join",  # skew handling
-    "skew_salted_agg",
+    "skew_salted_join",  # skew handling (the agg twin rotated to
+    # parity-only in r10 for the selection-pipeline terminal step)
     "graph_put_replay",  # group B (put + lazy parents)
     "graph_fetch_path",  # group A (fetch path, D1 null-vs-absent)
     "graph_ham_stream_replay",  # F5 oracle twin
@@ -43,13 +43,21 @@ REQUIRED_IN_WINDOW = {
     # r5 rotation (r4 VERDICT task 1): the r4 flagship LLM/graph ops
     "dedup_semantic_kmeans",  # G2/G3 SemDeDup full pipeline, hash-exact
     "dedup_substring_spans",  # G1/G2/G4 exact-substring spans (Lee et al.)
-    # r5 additions built this round, hash-exact at sf0.01
-    "sim_topk_ip_pq",  # G3 PQ-ADC compressed-domain tier
+    # (r10 rotations: sim_topk_ip_pq -> parity (G3 stays via IVF),
+    # graph_kcore_members -> parity (graph analytics stays 4-deep),
+    # join_full_customer_supplier -> parity (E3 stays 5-deep),
+    # skew_salted_agg -> parity (skew stays via the join twin) — making
+    # room for the crawl front-end + selection/time-series depth below)
     "graph_communities_lpa",  # LPA communities, unrolled-CTE oracle
     # r6 additions (emb_label_stats / theta-band join / json battery rotated
     # out; their families keep in-window representatives)
     "agg_cms_heavy_hitters",  # E4 frequency-sketch family
-    "graph_kcore_members",  # k-core peel, materialized unrolled oracle
+    # r10 additions: the crawl front-end (where real pipelines start)
+    # and the late-r9 families' graded representatives
+    "text_html_extract",  # G4 HTML->text, encoder-twin closed-form oracle
+    "web_url_canonical_dedup",  # G1/G4 URL canonicalization + dedup
+    "ts_ewma_daily",  # keyed-recursion family (recursive-CTE oracle)
+    "select_mixture_materialize",  # selection-pipeline terminal step
     # r8 rotation (r7 VERDICT task 8): Layer III (mp3) in for its Layer
     # I/II sibling — same decoder family, strictly deeper machinery (side
     # info, bit reservoir, Huffman regions, hybrid MDCT, short blocks);
