@@ -1345,6 +1345,80 @@ def test_mpeg1_layer3_huffman_table_machinery():
     assert m.huffman_provenance()["count1A"] == "canonical-dialect"
 
 
+def test_mpeg1_l3_big_values_table_injection_end_to_end():
+    """r10 (r9 verdict #6): prove the Table B.7 injection path on a
+    BIG-VALUES table, end to end — install a validated ALTERNATE code
+    for table 7 (same spec alphabet/shape; stand-in data proving the
+    mechanism, NOT a conformance claim), confirm ``huffman_provenance``
+    flips, confirm granule bitstreams are written under the injected
+    code (bits differ from the canonical dialect, and a
+    canonical-dialect reader no longer decodes them), and a full PCM
+    stream round-trips — so a trusted full B.7 copy drops in with zero
+    code change."""
+    from esgopeta_spark.operators import mpeg1_audio as m
+
+    def granule_roundtrip(ix):
+        w = m._BitW()
+        side = m._write_granule(
+            w, ix, 0, 0, 0, np.zeros(m._N_SF_LONG, dtype=np.int64), 0
+        )
+        if w.n:
+            w.put(0, 8 - w.n)
+        payload = bytes(w.buf)
+        side.update(scalefac_compress=0, window_switching=0, block_type=0)
+        got, _sf, _end = m._read_granule(m._BitR(payload), 0, side, 0, 0, None)
+        return side, payload, got
+
+    # a granule whose two big-values regions both peak at 5 -> table 7
+    rng = np.random.default_rng(7)
+    ix = np.zeros(576, dtype=np.int64)
+    ix[:96] = rng.integers(-3, 4, 96)
+    ix[0] = 5
+    ix[40] = 5
+    ix[92:96] = 2  # keep the tail out of the count1 region
+
+    side, payload_canon, got = granule_roundtrip(ix)
+    assert side["table_select"][:2] == [7, 7], "fixture must select table 7"
+    assert (got == ix).all()
+    assert m.huffman_provenance()[7] == "canonical-dialect"
+
+    # a VALID alternate code over the same 6x6 alphabet with different
+    # lengths than the default dialect (weight biased 2:1 toward x)
+    codes = m._canonical_codes(36, lambda s: 2.0 ** (-(2 * (s // 6) + s % 6)))
+    entries = [(s // 6, s % 6, l, c) for s, (c, l) in enumerate(codes)]
+    alt_enc = {(x, y): (c, l) for x, y, l, c in entries}
+    assert alt_enc != m._huff(7).enc, "alternate table must actually differ"
+
+    snapshot = dict(m._SPEC_DATA)
+    try:
+        m.load_spec_tables({7: entries})
+        assert m.huffman_provenance()[7] == "iso-b7"
+        side2, payload_alt, got2 = granule_roundtrip(ix)
+        assert side2["table_select"][:2] == [7, 7]
+        assert (got2 == ix).all(), "injected-table stream must decode"
+        assert payload_alt != payload_canon, "injected code must reach the wire"
+        # a full PCM stream still round-trips under the injected table
+        pcm = _tone16(440, 1152 * 2, 44100)
+        out, _ = m.decode_mpeg1_audio(m.encode_mpeg1_audio(pcm, 44100, layer=3))
+        assert _snr_db(pcm, out) > 40.0
+    finally:
+        m._SPEC_DATA.clear()
+        m._SPEC_DATA.update(snapshot)
+        m._HUFF.clear()
+        m._COUNT1A = m._Count1A()
+    assert m.huffman_provenance()[7] == "canonical-dialect"
+    # dialect sensitivity: the injected-dialect payload does NOT decode
+    # under the restored canonical tables (wrong bits or a hard error) —
+    # exactly why a real mp3 needs the literal B.7 data injected
+    try:
+        got3, _sf, _end = m._read_granule(
+            m._BitR(payload_alt), 0, dict(side2), 0, 0, None
+        )
+        assert not (got3 == ix).all()
+    except ValueError:
+        pass
+
+
 def test_mpeg1_layer3_window_switching_and_noise():
     """The long/start/short/stop window cycle (every IMDCT window shape,
     the short-block reorder path, subblock scalefactors) must round-trip
