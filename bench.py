@@ -95,6 +95,15 @@ HEADLINE = [
     "multimodal_decode_flac",
     "select_dsir_scores",
     "text_entropy_kl_profile",
+    # round-10 flagships: the crawl front-end (HTML->text extraction,
+    # URL canonicalization + dedup, the fused crawl-to-writer pipeline)
+    # and the newly-graded late-r9 families (keyed recursion, selection
+    # terminal step)
+    "text_html_extract",
+    "web_url_canonical_dedup",
+    "pipeline_html_to_shards",
+    "ts_ewma_daily",
+    "select_mixture_materialize",
 ]
 
 

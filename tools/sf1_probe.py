@@ -25,7 +25,10 @@ Two pitfalls this probe's earlier drafts hit, kept here as doctrine:
    verbatim in a disjoint vocabulary — gram-group structure is EXACTLY
    real, replicated 10x, with zero cross-copy matches by construction.
 
-Usage: python tools/sf1_probe.py   (writes /tmp/sfsynth-*/, prints JSON)
+Usage: python tools/sf1_probe.py [entry ...]
+(writes /tmp/sfsynth-*/, prints JSON; default entries = the span
+family; r10 runs it for the gram-stream family too —
+select_dsir_scores, text_entropy_kl_profile, text_bm25_retrieval)
 """
 
 from __future__ import annotations
@@ -42,7 +45,9 @@ from bench import cpu_canary_ms, wait_for_idle_box  # noqa: E402
 from esgopeta_spark.plans import REGISTRY  # noqa: E402
 from esgopeta_spark.session import get_spark  # noqa: E402
 
-ENTRIES = ["dedup_substring_spans", "dedup_span_extract", "dedup_span_removal"]
+ENTRIES = sys.argv[1:] or [
+    "dedup_substring_spans", "dedup_span_extract", "dedup_span_removal"
+]
 BASE = "/tmp/sfsynth"
 N_TILES = 10  # sf0.1 x 10 = sf1-equivalent
 REPEATS = 2
