@@ -294,6 +294,27 @@ def escape_html_text(col: F.Column) -> F.Column:
     return F.replace(c, F.lit(">"), F.lit("&gt;"))
 
 
+# the fixture page's literal chunks — shared by the codegen builder AND
+# the SQL generator below, so the oracle reconstructs the page
+# byte-identically from one source of truth
+_PAGE_HEAD = "<html><head><title>Doc "
+_PAGE_MID1 = (
+    '</title><meta charset="utf-8">'
+    '<script type="text/javascript">var s = "</div> <p>not text</p>";'
+    ' if (1 < 2) { s += "&amp;"; }</script>'
+    "<style>p > a { color: #fff; }</style></head>"
+    '<body><nav><ul><li><a href="/">Home</a></li>'
+    '<li><a href="/about?a=1&amp;b=2">About</a></li></ul></nav>'
+    "<!-- boilerplate <p>comment</p> -->"
+    '<div id="main" data-note="a > b"><p>'
+)
+_PAGE_MID2 = "</p>" + ENTITY_LINE_HTML + "<p>Length: "
+_PAGE_TAIL = (
+    "</p></div><footer>&copy; 2026 Example &middot; "
+    '<a href="#terms">Terms</a></footer></body></html>'
+)
+
+
 def synth_html(doc_id_col: F.Column, text_col: F.Column) -> F.Column:
     """Deterministic fixture page per doc, pure codegen: title carrying
     the doc id, script/style with adversarial content (a quoted
@@ -303,25 +324,31 @@ def synth_html(doc_id_col: F.Column, text_col: F.Column) -> F.Column:
     ``extract_html_text`` must exercise every drop/segment/decode rule
     to reproduce the oracle's closed-form expectation."""
     return F.concat(
-        F.lit("<html><head><title>Doc "),
+        F.lit(_PAGE_HEAD),
         doc_id_col.cast("string"),
-        F.lit(
-            '</title><meta charset="utf-8">'
-            '<script type="text/javascript">var s = "</div> <p>not text</p>";'
-            ' if (1 < 2) { s += "&amp;"; }</script>'
-            "<style>p > a { color: #fff; }</style></head>"
-            '<body><nav><ul><li><a href="/">Home</a></li>'
-            '<li><a href="/about?a=1&amp;b=2">About</a></li></ul></nav>'
-            "<!-- boilerplate <p>comment</p> -->"
-            '<div id="main" data-note="a > b"><p>'
-        ),
+        F.lit(_PAGE_MID1),
         escape_html_text(text_col),
-        F.lit("</p>" + ENTITY_LINE_HTML + "<p>Length: "),
+        F.lit(_PAGE_MID2),
         F.length(text_col).cast("string"),
-        F.lit(
-            "</p></div><footer>&copy; 2026 Example &middot; "
-            '<a href="#terms">Terms</a></footer></body></html>'
-        ),
+        F.lit(_PAGE_TAIL),
+    )
+
+
+def synth_html_sql(text_expr: str = "coalesce(text, '')", id_expr: str = "doc_id") -> str:
+    """DuckDB expression reconstructing ``synth_html``'s page string
+    byte-identically (built from the same literal chunks), so an oracle
+    can take md5/octet_length of the exact payload."""
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    esc = (
+        f"replace(replace(replace({text_expr}, '&', '&amp;'),"
+        " '<', '&lt;'), '>', '&gt;')"
+    )
+    return (
+        f"{q(_PAGE_HEAD)} || {id_expr} || {q(_PAGE_MID1)} || {esc} || "
+        f"{q(_PAGE_MID2)} || length({text_expr}) || {q(_PAGE_TAIL)}"
     )
 
 
@@ -411,6 +438,279 @@ def url_canonicalize(
         return s.map(lambda u: canonicalize_url(u) if isinstance(u, str) else "")
 
     return df.withColumn(out_col, _canon(F.col(url_col)))
+
+
+def extract_links(html: str) -> list[str]:
+    """All ``href`` values of ``<a>`` tags, document order, duplicates
+    kept (the link-graph edge multiplicity is real signal).  Uses the
+    same quote-aware tag scanner as the extractor; total on any str.
+    Links inside dropped subtrees (nav menus) ARE returned — a link
+    graph wants the page's full out-edges even where the TEXT is
+    boilerplate."""
+    out: list[str] = []
+    lower = html.lower()
+    i, n = 0, len(html)
+    while True:
+        i = lower.find("<a", i)
+        if i < 0:
+            break
+        j = i + 2
+        if j < n and (html[j].isalnum() or html[j] in "-:"):
+            i = j  # <abbr>, <article>, ... — not an anchor
+            continue
+        # scan to '>' respecting quotes, collecting attributes
+        q, e = None, j
+        while e < n:
+            c = html[e]
+            if q:
+                if c == q:
+                    q = None
+            elif c in "\"'":
+                q = c
+            elif c == ">":
+                break
+            e += 1
+        if e >= n:
+            break  # unterminated tag: no link (matches the extractor)
+        attrs = html[j:e]
+        m = re.search(
+            r"""href\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", attrs, re.IGNORECASE
+        )
+        if m:
+            # attribute values carry character references ('&amp;' is the
+            # CORRECT way to write '&' in an href) — decode them
+            out.append(decode_entities(m.group(2) or m.group(3) or m.group(4) or ""))
+        i = e + 1 if e < n else n
+    return out
+
+
+def remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4: resolve ``.`` / ``..`` segments in a path."""
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if out and out[-1] != "":
+                out.pop()
+                if not out:
+                    out = [""]
+        else:
+            out.append(seg)
+    # preserve a trailing slash for trailing '.'/'..'
+    if path.endswith(("/.", "/..")) and (not out or out[-1] != ""):
+        out.append("")
+    res = "/".join(out)
+    if path.startswith("/") and not res.startswith("/"):
+        res = "/" + res
+    return res
+
+
+def resolve_url(base: str, href: str) -> str:
+    """RFC 3986 §5.2 relative resolution (strict): absolute hrefs pass
+    through, ``//host`` takes the base scheme, ``/path`` the base
+    origin, relative paths merge with the base path's directory,
+    ``?query`` keeps the base path, ``#frag`` keeps base path+query.
+    Dot segments removed.  A base that doesn't parse returns the href
+    unchanged (total, never raises)."""
+    m = _URL_RE.match(base.strip())
+    if m is None:
+        return href
+    b_scheme, b_host, b_path, b_query = m.groups()
+    h = href.strip()
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", h):
+        return h  # absolute (any scheme)
+    frag = ""
+    if "#" in h:
+        h, _, frag_body = h.partition("#")
+        frag = "#" + frag_body
+    if h.startswith("//"):
+        return b_scheme + ":" + h + frag
+    if not h:
+        return (
+            b_scheme + "://" + b_host + (b_path or "/")
+            + (("?" + b_query) if b_query else "") + frag
+        )
+    if h.startswith("/"):
+        path, _, query = h.partition("?")
+        return (
+            b_scheme + "://" + b_host + remove_dot_segments(path)
+            + (("?" + query) if query else "") + frag
+        )
+    if h.startswith("?"):
+        return b_scheme + "://" + b_host + (b_path or "/") + h + frag
+    # relative path: merge with the base path's directory
+    path, _, query = h.partition("?")
+    base_dir = (b_path or "/").rpartition("/")[0] + "/"
+    return (
+        b_scheme + "://" + b_host + remove_dot_segments(base_dir + path)
+        + (("?" + query) if query else "") + frag
+    )
+
+
+def link_edges(
+    df: DataFrame,
+    html_col: str = "html",
+    base_col: str = "base_url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, base, html) -> one row per out-link: (id, href, url_canon)
+    where url_canon = canonicalize(resolve(base, href)) — the crawl
+    frontier / link-graph edge projection.  One Arrow kernel emitting
+    the resolved array, then a codegen explode; stateless (stream-safe)."""
+
+    @F.pandas_udf("array<struct<href: string, url: string>>")
+    def _links(html: pd.Series, base: pd.Series) -> pd.Series:
+        def one(h, b):
+            if not isinstance(h, str):
+                return []
+            b = b if isinstance(b, str) else ""
+            return [
+                {"href": l, "url": canonicalize_url(resolve_url(b, l))}
+                for l in extract_links(h)
+            ]
+
+        return pd.Series([one(h, b) for h, b in zip(html, base)])
+
+    return (
+        df.select(
+            F.col(id_col), F.explode(_links(F.col(html_col), F.col(base_col))).alias("lk")
+        )
+        .select(id_col, "lk.href", F.col("lk.url").alias("url_canon"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# WARC record framing (ISO 28500 — the Common Crawl container)
+# ---------------------------------------------------------------------------
+
+
+def build_warc_record(
+    uri: str, payload: bytes, rec_type: str = "response", rec_id: str = ""
+) -> bytes:
+    """One WARC/1.0 record: version line, named headers, CRLFCRLF,
+    payload, CRLFCRLF terminator.  The encoder twin for ``parse_warc``
+    (records concatenate into a .warc file).  Deterministic: no clock —
+    WARC-Date must be supplied via rec_id-style fields by callers that
+    need one (the fixtures pin a constant)."""
+    head = (
+        "WARC/1.0\r\n"
+        f"WARC-Type: {rec_type}\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        + (f"WARC-Record-ID: {rec_id}\r\n" if rec_id else "")
+        + f"Content-Length: {len(payload)}\r\n"
+        "\r\n"
+    )
+    return head.encode("utf-8") + payload + b"\r\n\r\n"
+
+
+def parse_warc(blob: bytes) -> list[dict]:
+    """Parse concatenated WARC/1.0 records: returns one dict per record
+    with ``type``, ``uri``, ``length`` (declared Content-Length) and
+    ``payload`` (exactly that many bytes — binary-safe: payload bytes
+    are never scanned for markers, the declared length frames them, per
+    ISO 28500).  Malformed framing raises ValueError (callers
+    quarantine)."""
+    out: list[dict] = []
+    i, n = 0, len(blob)
+    while i < n:
+        if blob[i : i + 2] == b"\r\n":  # tolerate extra blank lines
+            i += 2
+            continue
+        if not blob.startswith(b"WARC/", i):
+            raise ValueError(f"not a WARC record at offset {i}")
+        hdr_end = blob.find(b"\r\n\r\n", i)
+        if hdr_end < 0:
+            raise ValueError("unterminated WARC header")
+        lines = blob[i:hdr_end].decode("utf-8", "replace").split("\r\n")
+        if not lines[0].startswith("WARC/1."):
+            raise ValueError(f"unsupported WARC version {lines[0]!r}")
+        hdrs = {}
+        for ln in lines[1:]:
+            k, sep, v = ln.partition(":")
+            if not sep:
+                raise ValueError(f"malformed WARC header line {ln!r}")
+            hdrs[k.strip().lower()] = v.strip()
+        try:
+            length = int(hdrs["content-length"])
+        except (KeyError, ValueError) as exc:
+            raise ValueError("missing/bad Content-Length") from exc
+        body_start = hdr_end + 4
+        if body_start + length > n:
+            raise ValueError("truncated WARC payload")
+        payload = blob[body_start : body_start + length]
+        if blob[body_start + length : body_start + length + 4] != b"\r\n\r\n":
+            raise ValueError("missing WARC record terminator")
+        out.append(
+            {
+                "type": hdrs.get("warc-type", ""),
+                "uri": hdrs.get("warc-target-uri", ""),
+                "length": length,
+                "payload": payload,
+            }
+        )
+        i = body_start + length + 4
+    return out
+
+
+def warc_build(
+    df: DataFrame,
+    uri_col: str = "uri",
+    text_col: str = "html",
+    out_col: str = "warc",
+) -> DataFrame:
+    """Append a single-record WARC blob framing ``text_col``'s UTF-8
+    bytes as a response for ``uri_col`` — the encoder-twin Arrow kernel
+    for ``warc_extract``."""
+
+    @F.pandas_udf("binary")
+    def _build(uri: pd.Series, txt: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                build_warc_record(
+                    u if isinstance(u, str) else "",
+                    (t if isinstance(t, str) else "").encode("utf-8"),
+                )
+                for u, t in zip(uri, txt)
+            ]
+        )
+
+    return df.withColumn(out_col, _build(F.col(uri_col), F.col(text_col)))
+
+
+def warc_extract(
+    df: DataFrame, blob_col: str = "warc", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, warc-bytes) -> one row per record: (id, rec_type, uri,
+    content_length, payload_md5) via an Arrow kernel; malformed blobs
+    quarantine to a single (id, 'error', <msg>, -1, '') row — a poison
+    record costs itself, not the stage."""
+    import hashlib
+
+    @F.pandas_udf("array<struct<rec_type: string, uri: string, content_length: bigint, payload_md5: string>>")
+    def _parse(s: pd.Series) -> pd.Series:
+        def one(b):
+            try:
+                recs = parse_warc(bytes(b) if b is not None else b"")
+            except ValueError as exc:
+                return [{"rec_type": "error", "uri": str(exc)[:80],
+                         "content_length": -1, "payload_md5": ""}]
+            return [
+                {
+                    "rec_type": r["type"],
+                    "uri": r["uri"],
+                    "content_length": r["length"],
+                    "payload_md5": hashlib.md5(r["payload"]).hexdigest(),
+                }
+                for r in recs
+            ]
+
+        return pd.Series([one(b) for b in s])
+
+    return (
+        df.select(F.col(id_col), F.explode(_parse(F.col(blob_col))).alias("r"))
+        .select(id_col, "r.rec_type", "r.uri", "r.content_length", "r.payload_md5")
+    )
 
 
 def synth_url_variants(doc_id_col: F.Column) -> F.Column:

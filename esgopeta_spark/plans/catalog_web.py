@@ -173,3 +173,118 @@ def pipeline_html_to_shards(spark, sf):
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
     )
+
+
+def _seed_url(doc_id):
+    return F.concat(
+        F.lit("https://site"), (doc_id % 40).cast("string"),
+        F.lit(".example.com/articles/"), doc_id.cast("string"),
+        F.lit("?page="), (doc_id % 7).cast("string"),
+    )
+
+
+_SEED_SQL = ("'https://site' || (doc_id % 40) || '.example.com/articles/' || doc_id"
+             " || '?page=' || (doc_id % 7)")
+
+
+@register(
+    "web_link_graph",
+    "G4,A1",
+    rf"""
+    WITH d AS (SELECT doc_id, doc_id % 40 AS h FROM documents)
+    SELECT doc_id, '/top/t' || (doc_id % 11) AS href,
+           'https://site' || h || '.example.com/top/t' || (doc_id % 11) AS url_canon
+    FROM d
+    UNION ALL
+    SELECT doc_id, '../other/' || (doc_id % 13) || '.html',
+           'https://site' || h || '.example.com/other/' || (doc_id % 13) || '.html'
+    FROM d
+    UNION ALL
+    SELECT doc_id, '//cdn' || (doc_id % 5) || '.example.org/img/' || doc_id,
+           'https://cdn' || (doc_id % 5) || '.example.org/img/' || doc_id
+    FROM d
+    UNION ALL
+    SELECT doc_id, '?page=' || ((doc_id + 1) % 7),
+           'https://site' || h || '.example.com/articles/' || doc_id
+             || '?page=' || ((doc_id + 1) % 7)
+    FROM d
+    UNION ALL
+    SELECT doc_id,
+           'HTTPS://SITE' || ((doc_id + 1) % 40) || '.EXAMPLE.COM:443/articles/'
+             || (doc_id + 1) || '#x',
+           'https://site' || ((doc_id + 1) % 40) || '.example.com/articles/'
+             || (doc_id + 1)
+    FROM d
+    """,
+    doc="link-graph edge extraction (r10): per doc, a codegen fixture "
+    "page with one out-link of every RFC 3986 resolution kind "
+    "(root-relative, dotted relative, scheme-relative, query-only, "
+    "absolute-with-junk), extracted by the quote-aware anchor scanner, "
+    "resolved against the page's base URL (strict §5.2 incl. "
+    "dot-segment removal) and canonicalized — the crawl-frontier "
+    "projection.  Oracle recomputes all five resolved canonical edges "
+    "in closed form.  Plan: one codegen synth + one Arrow kernel + "
+    "explode, shuffle-free; operators/web.py resolve_url/link_edges",
+)
+def web_link_graph(spark, sf):
+    from esgopeta_spark.operators.web import link_edges
+
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit('<p><a href="/top/t'), (did % 11).cast("string"),
+        F.lit('">a</a><a href="../other/'), (did % 13).cast("string"),
+        F.lit('.html">b</a><a href="//cdn'), (did % 5).cast("string"),
+        F.lit(".example.org/img/"), did.cast("string"),
+        F.lit('">c</a><a href="?page='), ((did + 1) % 7).cast("string"),
+        F.lit('">d</a><a href="HTTPS://SITE'), ((did + 1) % 40).cast("string"),
+        F.lit(".EXAMPLE.COM:443/articles/"), (did + 1).cast("string"),
+        F.lit('#x">e</a></p>'),
+    )
+    d = T(spark, sf, "documents").select(
+        "doc_id", _seed_url(did).alias("base_url"), html.alias("html")
+    )
+    return link_edges(d)
+
+
+def _warc_oracle():
+    from esgopeta_spark.operators.web import synth_html_sql
+
+    return f"""
+    WITH p AS (
+      SELECT doc_id, {synth_html_sql()} AS page FROM documents
+    )
+    SELECT doc_id, 'response' AS rec_type,
+           {_SEED_SQL} AS uri,
+           CAST(octet_length(encode(page)) AS BIGINT) AS content_length,
+           md5(page) AS payload_md5
+    FROM p
+    """
+
+
+@register(
+    "web_warc_extract",
+    "G4,E1",
+    _warc_oracle(),
+    doc="WARC record framing round trip (r10 — the Common Crawl "
+    "container, ISO 28500): per doc, frame the fixture page's UTF-8 "
+    "bytes as a WARC/1.0 response record (encoder twin), then parse the "
+    "blob back — declared Content-Length framing, binary-safe payloads "
+    "(never scanned for markers), header map, record terminator.  The "
+    "oracle reconstructs the page string byte-identically from the "
+    "shared literal chunks (synth_html_sql) and takes octet_length + "
+    "md5 of it, so a single flipped payload byte anywhere in the "
+    "build->frame->parse->hash chain mismatches.  Malformed blobs "
+    "quarantine to a visible error row.  Plan: two Arrow kernels over "
+    "one scan, shuffle-free; operators/web.py build_warc_record/"
+    "parse_warc",
+)
+def web_warc_extract(spark, sf):
+    from esgopeta_spark.operators.web import synth_html, warc_build, warc_extract
+
+    did = F.col("doc_id")
+    d = T(spark, sf, "documents").select(
+        "doc_id",
+        _seed_url(did).alias("uri"),
+        synth_html(did, F.coalesce(F.col("text"), F.lit(""))).alias("html"),
+    )
+    return warc_extract(warc_build(d))

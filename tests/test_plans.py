@@ -268,6 +268,37 @@ def test_image_dhash_plan_posture(spark, sf_dir):
         assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p, p
 
 
+def test_portable_pairs_plan_posture(spark, sf_dir):
+    """The r10 portable-hash near-dup twins must keep the production
+    paths' join shape: equi self-join on (band, bh) / (chunk, value) —
+    no cartesian, no nested loop."""
+    from esgopeta_spark.plans import REGISTRY
+
+    for entry in ("dedup_minhash_pairs_portable", "dedup_simhash_pairs_portable"):
+        p = plan_of(REGISTRY[entry].fn(spark, sf_dir))
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+        assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p, p
+
+
+def test_html_extract_plan_posture(spark, sf_dir):
+    """The crawl front-end entries are projection/aggregate shaped: the
+    extraction is one Arrow kernel over one documents scan (no join at
+    all), the URL dedup is one groupBy after the variant explode, and
+    the fused pipeline adds only the split window + final rollup — no
+    join node anywhere, ONE scan each."""
+    import re
+
+    from esgopeta_spark.plans import REGISTRY
+
+    for entry in ("text_html_extract", "web_url_canonical_dedup",
+                  "pipeline_html_to_shards"):
+        p = plan_of(REGISTRY[entry].fn(spark, sf_dir))
+        assert "Join" not in p and "CartesianProduct" not in p, (entry, p)
+        # one scan node (formatted plans list each node in both the tree
+        # and the numbered detail section; count the detail form)
+        assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, (entry, p)
+
+
 def test_lm_backoff_plan_posture(spark, sf_dir):
     """The LM familiarity scorer is 5 equi joins against the count
     tables + a 1-row totals cross join — no cartesian over data, no

@@ -176,6 +176,99 @@ def test_canonicalize_idempotent_fuzz():
 
 
 # ---------------------------------------------------------------------------
+# link extraction + RFC 3986 resolution
+# ---------------------------------------------------------------------------
+
+
+def test_extract_links_matrix():
+    from esgopeta_spark.operators.web import extract_links
+
+    html = (
+        '<nav><a href="/">Home</a><a href = "/about?a=1&amp;b=2">A</a></nav>'
+        "<p><a href='../up/x.html'>rel</a> <a href=bare.html>b</a> "
+        '<a data-x="no">no href</a> <a href="//cdn.ex.com/z">proto</a> '
+        '<a href="?p=2">q</a> <abbr>not-an-anchor</abbr>'
+        '<article href="/nope">not either</article></p>'
+    )
+    # entity references in attributes decode; non-<a> tags ignored;
+    # href-less anchors skipped; document order, duplicates kept
+    assert extract_links(html) == [
+        "/", "/about?a=1&b=2", "../up/x.html", "bare.html", "//cdn.ex.com/z", "?p=2"
+    ]
+    assert extract_links("") == []
+    assert extract_links("<a href='unterminated") == []
+    assert extract_links('<a href="x">1</a><a href="x">2</a>') == ["x", "x"]
+
+
+@pytest.mark.parametrize(
+    "href,want",
+    [
+        ("https://other.com/abs", "https://other.com/abs"),
+        ("//cdn.ex.com/z", "https://cdn.ex.com/z"),
+        ("/top/x", "https://h.com/top/x"),
+        ("../up.html", "https://h.com/a/up.html"),
+        ("./same.html", "https://h.com/a/b/same.html"),
+        ("plain.html", "https://h.com/a/b/plain.html"),
+        ("a/../../../x", "https://h.com/x"),  # over-popping clamps at root
+        ("?p=9", "https://h.com/a/b/c?p=9"),
+        ("#frag", "https://h.com/a/b/c?q=1#frag"),
+        ("", "https://h.com/a/b/c?q=1"),
+        ("mailto:x@y.z", "mailto:x@y.z"),
+    ],
+)
+def test_resolve_url_matrix(href, want):
+    from esgopeta_spark.operators.web import resolve_url
+
+    assert resolve_url("https://h.com/a/b/c?q=1", href) == want
+
+
+def test_resolve_url_total():
+    from esgopeta_spark.operators.web import resolve_url
+
+    assert resolve_url("not a base", "/x") == "/x"  # unparseable base
+    assert resolve_url("https://h.com", "x") == "https://h.com/x"
+
+
+# ---------------------------------------------------------------------------
+# WARC framing
+# ---------------------------------------------------------------------------
+
+
+def test_warc_roundtrip_binary_safe():
+    """Payload bytes are framed by declared Content-Length, never
+    scanned — a payload containing the record separator must survive."""
+    from esgopeta_spark.operators.web import build_warc_record, parse_warc
+
+    evil = b"hello\r\n\r\nWARC/1.0\r\n\r\nworld" + bytes(range(256))
+    blob = (
+        build_warc_record("https://x.com/1", evil)
+        + build_warc_record("https://x.com/2", b"", rec_type="resource")
+    )
+    recs = parse_warc(blob)
+    assert [r["uri"] for r in recs] == ["https://x.com/1", "https://x.com/2"]
+    assert recs[0]["payload"] == evil
+    assert recs[1]["type"] == "resource" and recs[1]["length"] == 0
+
+
+def test_warc_malformed_quarantines():
+    import pytest as _pytest
+
+    from esgopeta_spark.operators.web import build_warc_record, parse_warc
+
+    good = build_warc_record("https://x.com/1", b"abc")
+    for bad in [
+        b"NOPE",                                  # no magic
+        good[:20],                                # unterminated header
+        good[:-2],                                # missing terminator
+        good.replace(b"Content-Length: 3", b"Content-Length: zz"),
+        good.replace(b"Content-Length: 3", b"Content-Length: 99"),
+        good.replace(b"WARC/1.0", b"WARC/9.9"),
+    ]:
+        with _pytest.raises(ValueError):
+            parse_warc(bad)
+
+
+# ---------------------------------------------------------------------------
 # batch ≡ stream (stateless projections shared, not mirrored)
 # ---------------------------------------------------------------------------
 
