@@ -158,9 +158,13 @@ def decode_entities(s: str) -> str:
     return "".join(out)
 
 
-def extract_html_text(html: str) -> str:
-    """HTML -> WET-style plain text: one line per block element,
-    entities decoded, whitespace collapsed, boilerplate subtrees and
+def extract_html_blocks(html: str) -> list[tuple[str, str]]:
+    """HTML -> list of (block_text, anchor_text) — one entry per
+    non-empty text line (block-element segmentation), with the portion
+    of the line that sat inside ``<a>`` elements collapsed separately
+    (the jusText/trafilatura link-density signal: boilerplate blocks —
+    menus, tag clouds, pagination — are mostly anchor text).  Entities
+    decoded, ASCII whitespace collapsed, boilerplate subtrees and
     raw-text element content dropped.  TOTAL on any str input — a
     malformed page degrades (tail after an unterminated construct is
     dropped; a stray ``<`` is literal text), it never raises."""
@@ -168,25 +172,34 @@ def extract_html_text(html: str) -> str:
     lower = html.lower()
     i = 0
     drop = 0  # nesting depth of _DROP_SUBTREE elements
+    anchor = 0  # nesting depth of <a> elements
     buf: list[str] = []
-    lines: list[str] = []
+    abuf: list[str] = []
+    blocks: list[tuple[str, str]] = []
 
     def flush() -> None:
         if not buf:
+            abuf.clear()
             return
         line = _WS_RUN.sub(" ", decode_entities("".join(buf))).strip(" ")
+        atext = _WS_RUN.sub(" ", decode_entities("".join(abuf))).strip(" ")
         buf.clear()
+        abuf.clear()
         if line:
-            lines.append(line)
+            blocks.append((line, atext))
 
     while i < n:
         lt = html.find("<", i)
         if lt < 0:
             if drop == 0:
                 buf.append(html[i:])
+                if anchor:
+                    abuf.append(html[i:])
             break
         if lt > i and drop == 0:
             buf.append(html[i:lt])
+            if anchor:
+                abuf.append(html[i:lt])
         i = lt
         nxt = html[i + 1 : i + 2]
         if nxt == "!":
@@ -204,6 +217,8 @@ def extract_html_text(html: str) -> str:
         if not (nxt.isalpha() or nxt == "/"):
             if drop == 0:
                 buf.append("<")  # literal '<' in text (incl. '<' at EOF)
+                if anchor:
+                    abuf.append("<")
             i += 1
             continue
         closing = nxt == "/"
@@ -245,11 +260,24 @@ def extract_html_text(html: str) -> str:
             elif not self_closing:
                 drop += 1
             continue
+        if name == "a":
+            if closing:
+                anchor = max(anchor - 1, 0)
+            elif not self_closing:
+                anchor += 1
+            continue
         if name in _BLOCK:
             flush()
-        # inline elements (a, b, span, em, ...): no line break, no text
+            anchor = 0  # block boundary closes any dangling anchor
+        # inline elements (b, span, em, ...): no line break, no text
     flush()
-    return "\n".join(lines)
+    return blocks
+
+
+def extract_html_text(html: str) -> str:
+    """HTML -> WET-style plain text: one line per block element (the
+    block walker above), lines joined by newlines."""
+    return "\n".join(b[0] for b in extract_html_blocks(html))
 
 
 def html_extract(
@@ -273,6 +301,56 @@ def html_extract(
         .otherwise(F.size(F.split(F.col("clean_text"), "\n", -1)))
         .cast("int")
         .alias("n_lines"),
+    )
+
+
+def html_blocks(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, html) -> one row per text block: (id, block_idx, block_text,
+    n_words, anchor_milli) where anchor_milli is the jusText-style link
+    density (chars inside <a> per 1000 line chars, integer div).  One
+    Arrow kernel + posexplode; the density/word math is codegen."""
+
+    @F.pandas_udf("array<struct<text: string, atext: string>>")
+    def _blocks(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda h: [
+                {"text": t, "atext": a} for t, a in extract_html_blocks(h)
+            ]
+            if isinstance(h, str)
+            else []
+        )
+
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(_blocks(F.col(html_col))).alias("block_idx", "_b"),
+    )
+    return ex.select(
+        id_col,
+        F.col("block_idx").cast("int").alias("block_idx"),
+        F.col("_b.text").alias("block_text"),
+        F.size(F.split(F.col("_b.text"), " ", -1)).cast("int").alias("n_words"),
+        F.expr("(length(_b.atext) * 1000) div length(_b.text)")
+        .cast("bigint")
+        .alias("anchor_milli"),
+    )
+
+
+def classify_blocks(
+    blocks: DataFrame, min_words: int = 8, max_anchor_milli: int = 333
+) -> DataFrame:
+    """Append the jusText-core block class: 'short' (below the word
+    floor), 'boilerplate' (link density above the ceiling — menus, tag
+    clouds, pagination), else 'content'.  (Full jusText also scores
+    stopword density and smooths by neighbors; length + link density
+    are its two load-bearing signals and keep the classifier a pure
+    codegen projection.)"""
+    return blocks.withColumn(
+        "cls",
+        F.when(F.col("n_words") < min_words, F.lit("short"))
+        .when(F.col("anchor_milli") > max_anchor_milli, F.lit("boilerplate"))
+        .otherwise(F.lit("content")),
     )
 
 

@@ -175,6 +175,74 @@ def pipeline_html_to_shards(spark, sf):
     )
 
 
+_FARM_HTML = (
+    '<p><a href="/1">quick link</a> <a href="/2">another link</a> '
+    '<a href="/3">more links</a> <a href="/4">final link</a></p>'
+)
+_FARM_TEXT = "quick link another link more links final link"
+
+
+@register(
+    "text_html_main_content",
+    "G4",
+    r"""
+    WITH c AS (
+      SELECT doc_id,
+             trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g')) AS t,
+             length(CAST(doc_id AS VARCHAR)) AS L
+      FROM documents WHERE trim(text) <> ''
+    )
+    SELECT doc_id, CAST(0 AS INTEGER) AS block_idx, t AS block_text,
+           CAST(len(string_split(t, ' ')) AS INTEGER) AS n_words,
+           CAST(0 AS BIGINT) AS anchor_milli,
+           CASE WHEN len(string_split(t, ' ')) < 8 THEN 'short'
+                ELSE 'content' END AS cls
+    FROM c
+    UNION ALL
+    SELECT doc_id, 1, 'quick link another link more links final link',
+           8, 933, 'boilerplate'
+    FROM c
+    UNION ALL
+    SELECT doc_id, 2,
+           'see ref ' || doc_id || ' for more details about this topic here',
+           10, ((4 + L) * 1000) // (47 + L), 'content'
+    FROM c
+    """,
+    doc="main-content block scoring (r10 — the jusText core signals, "
+    "Pomikalek 2011): the block walker tracks per-line anchor text, so "
+    "each block gets a link density (anchor chars per 1000 line chars, "
+    "integer div) and a word count; classification = short / "
+    "boilerplate (link-dense menus, tag clouds) / content, pure "
+    "codegen.  Fixture page per doc: nav (dropped), the corpus text "
+    "paragraph (anchor-free), a literal 8-word link farm (933 milli -> "
+    "boilerplate), and a mixed paragraph whose density the oracle "
+    "recomputes in closed form from the doc-id digit width.  Plan: one "
+    "Arrow kernel + posexplode + codegen classify, shuffle-free; "
+    "operators/web.py extract_html_blocks/classify_blocks",
+)
+def text_html_main_content(spark, sf):
+    from esgopeta_spark.operators.web import (
+        classify_blocks,
+        escape_html_text,
+        html_blocks,
+    )
+
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body><nav><a href="/">Home</a></nav><p>'),
+        escape_html_text(F.col("text")),
+        F.lit("</p>" + _FARM_HTML + '<p>see <a href="/r">ref '),
+        did.cast("string"),
+        F.lit("</a> for more details about this topic here</p></body></html>"),
+    )
+    d = (
+        T(spark, sf, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select("doc_id", html.alias("html"))
+    )
+    return classify_blocks(html_blocks(d))
+
+
 def _seed_url(doc_id):
     return F.concat(
         F.lit("https://site"), (doc_id % 40).cast("string"),

@@ -175,6 +175,42 @@ def test_canonicalize_idempotent_fuzz():
         assert canonicalize_url(c) == c, u
 
 
+def test_extract_html_blocks_anchor_tracking():
+    """The block walker's per-line anchor text drives the jusText link
+    density: fully-anchored lines score ~1000 milli, anchor-free lines
+    0, mixed lines the exact char ratio; anchors never leak across
+    block boundaries; nested/unbalanced anchors clamp."""
+    from esgopeta_spark.operators.web import extract_html_blocks
+
+    blocks = extract_html_blocks(
+        '<p>plain words only</p>'
+        '<p><a href="/1">quick link</a> <a href="/2">another link</a></p>'
+        '<p>see <a href="/r">ref 7</a> for details</p>'
+        '<p><a href="/x">dangling anchor<p>next block clean</p>'
+        '<p><a><a>double</a>still anchored</a>out</p>'
+    )
+    texts = [t for t, _ in blocks]
+    assert texts == [
+        "plain words only",
+        "quick link another link",
+        "see ref 7 for details",
+        "dangling anchor",
+        "next block clean",
+        "doublestill anchoredout",
+    ]
+    atexts = [a for _, a in blocks]
+    assert atexts[0] == ""
+    assert atexts[1] == "quick linkanother link"  # fragments concatenate
+    assert atexts[2] == "ref 7"
+    assert atexts[3] == "dangling anchor"
+    assert atexts[4] == ""  # block boundary closed the dangling anchor
+    assert atexts[5] == "doublestill anchored"  # unbalanced </a> clamps
+    # extract_html_text is exactly the block texts joined
+    from esgopeta_spark.operators.web import extract_html_text
+
+    assert extract_html_text("<p>a</p><p>b</p>") == "a\nb"
+
+
 # ---------------------------------------------------------------------------
 # link extraction + RFC 3986 resolution
 # ---------------------------------------------------------------------------
