@@ -791,6 +791,115 @@ def warc_extract(
     )
 
 
+def sniff_payload(b: bytes) -> str:
+    """Content-type sniff for crawl payloads: the media magic table
+    (operators/codecs.sniff_format) first, then a markup check — a
+    crawler cannot trust Content-Type headers, it routes on bytes."""
+    from esgopeta_spark.operators import codecs
+
+    kind = codecs.sniff_format(b)
+    if kind in ("unknown", "empty"):
+        head = bytes(b[:256]).lstrip().lower()
+        if head.startswith((b"<!doctype", b"<html", b"<head", b"<body", b"<?xml")):
+            return "html"
+    return kind
+
+
+def warc_route(
+    df: DataFrame, blob_col: str = "warc", id_col: str = "doc_id"
+) -> DataFrame:
+    """Parse WARC records, sniff each payload's real type, and run the
+    matching decoder — the crawl-side fan-in to the media codec stack:
+    html -> extract_html_text (stat = clean-text chars), png/bmp/ppm/
+    gif -> image decode (stat = width*height), wav/flac -> audio decode
+    (stat = n_samples); anything else passes through with stat = -1.
+    Poison payloads quarantine per-record ('error' kind), never the
+    stage.  One Arrow kernel per partition batch, shuffle-free."""
+    from esgopeta_spark.operators import codecs
+
+    @F.pandas_udf("array<struct<uri: string, kind: string, stat: bigint>>")
+    def _route(s: pd.Series) -> pd.Series:
+        image = {"png": codecs.decode_png, "bmp": codecs.decode_bmp,
+                 "ppm": codecs.decode_ppm, "gif": codecs.decode_gif,
+                 "tiff": codecs.decode_tiff, "jpeg": codecs.decode_jpeg}
+
+        def one_record(r):
+            kind = sniff_payload(r["payload"])
+            try:
+                if kind == "html":
+                    stat = len(extract_html_text(r["payload"].decode("utf-8", "replace")))
+                elif kind in image:
+                    arr = image[kind](r["payload"])
+                    stat = int(arr.shape[0]) * int(arr.shape[1])
+                elif kind == "wav":
+                    samples, _sr, _ch = codecs.decode_wav(r["payload"])
+                    stat = int(samples.shape[0])
+                elif kind == "flac":
+                    samples, _sr, _ch = codecs.decode_flac(r["payload"])
+                    stat = int(samples.shape[0])
+                else:
+                    stat = -1
+                return {"uri": r["uri"], "kind": kind, "stat": stat}
+            except ValueError:
+                return {"uri": r["uri"], "kind": "error", "stat": -1}
+
+        def one(b):
+            try:
+                recs = parse_warc(bytes(b) if b is not None else b"")
+            except ValueError as exc:
+                return [{"uri": str(exc)[:80], "kind": "error", "stat": -1}]
+            return [one_record(r) for r in recs]
+
+        return pd.Series([one(b) for b in s])
+
+    return (
+        df.select(F.col(id_col), F.explode(_route(F.col(blob_col))).alias("r"))
+        .select(id_col, "r.uri", "r.kind", "r.stat")
+    )
+
+
+def synth_mixed_warc(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    uri_col: str = "uri",
+    out_col: str = "warc",
+) -> DataFrame:
+    """Fixture twin for ``warc_route``: per row, frame ONE payload by
+    id mod 3 — the html string's UTF-8 bytes, a deterministic gray PNG
+    (w = 3 + id%5, h = 2 + id%7, pixel = (x+y+id) mod 256), or a
+    deterministic WAV tone (500 + (id%11)*16 samples) — as a WARC
+    response record, so the route stats have closed forms."""
+    import numpy as np
+
+    from esgopeta_spark.operators import codecs
+
+    @F.pandas_udf("binary")
+    def _build(did: pd.Series, html: pd.Series, uri: pd.Series) -> pd.Series:
+        out = []
+        for i, h, u in zip(did, html, uri):
+            i = int(i)
+            k = i % 3
+            if k == 0:
+                payload = (h if isinstance(h, str) else "").encode("utf-8")
+            elif k == 1:
+                w, ht = 3 + i % 5, 2 + i % 7
+                y, x = np.mgrid[0:ht, 0:w]
+                payload = codecs.encode_png(((x + y + i) % 256).astype(np.uint8))
+            else:
+                n = 500 + (i % 11) * 16
+                t = np.arange(n)
+                payload = codecs.encode_wav(
+                    (1000 * np.sin(t * 0.05 + i)).astype(np.int16), 8000
+                )
+            out.append(build_warc_record(u if isinstance(u, str) else "", payload))
+        return pd.Series(out)
+
+    return df.withColumn(
+        out_col, _build(F.col(id_col), F.col(html_col), F.col(uri_col))
+    )
+
+
 def synth_url_variants(doc_id_col: F.Column) -> F.Column:
     """Five syntactic variants of one canonical resource per doc, pure
     codegen — uppercase scheme/host + default port + fragment, tracking

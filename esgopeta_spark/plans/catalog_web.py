@@ -356,3 +356,48 @@ def web_warc_extract(spark, sf):
         synth_html(did, F.coalesce(F.col("text"), F.lit(""))).alias("html"),
     )
     return warc_extract(warc_build(d))
+
+
+@register(
+    "web_warc_route",
+    "G4,G5,E1",
+    rf"""
+    WITH c AS (
+      SELECT doc_id,
+             trim(regexp_replace(coalesce(text, ''), '[ \t\n\r\f\v]+', ' ', 'g')) AS t,
+             length(coalesce(text, '')) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           {_SEED_SQL} AS uri,
+           CASE doc_id % 3 WHEN 0 THEN 'html' WHEN 1 THEN 'png' ELSE 'wav' END AS kind,
+           CAST(CASE doc_id % 3
+                WHEN 0 THEN 36 + length(CAST(doc_id AS VARCHAR))
+                            + CASE WHEN t = '' THEN 0 ELSE length(t) + 1 END
+                            + length(CAST(n AS VARCHAR))
+                WHEN 1 THEN (3 + doc_id % 5) * (2 + doc_id % 7)
+                ELSE 500 + (doc_id % 11) * 16 END AS BIGINT) AS stat
+    FROM c
+    """,
+    doc="content-type routing over a mixed WARC corpus (r10): a crawler "
+    "cannot trust Content-Type headers, so each parsed record's payload "
+    "is sniffed on BYTES (the media magic table + a markup check) and "
+    "routed to the matching from-scratch decoder — html -> the "
+    "extraction kernel (stat = clean-text chars), png -> image decode "
+    "(stat = w*h), wav -> audio decode (stat = n_samples) — the "
+    "crawl-side fan-in to the media codec stack.  The fixture frames "
+    "one payload kind per doc (id mod 3) with closed-form stats; "
+    "poison payloads quarantine per-record.  Plan: two Arrow kernels "
+    "over one scan, shuffle-free; operators/web.py "
+    "sniff_payload/warc_route",
+)
+def web_warc_route(spark, sf):
+    from esgopeta_spark.operators.web import synth_html, synth_mixed_warc, warc_route
+
+    did = F.col("doc_id")
+    d = T(spark, sf, "documents").select(
+        "doc_id",
+        _seed_url(did).alias("uri"),
+        synth_html(did, F.coalesce(F.col("text"), F.lit(""))).alias("html"),
+    )
+    return warc_route(synth_mixed_warc(d))

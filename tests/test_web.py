@@ -286,6 +286,47 @@ def test_warc_roundtrip_binary_safe():
     assert recs[1]["type"] == "resource" and recs[1]["length"] == 0
 
 
+def test_sniff_payload_routes_on_bytes():
+    import numpy as np
+
+    from esgopeta_spark.operators import codecs
+    from esgopeta_spark.operators.web import sniff_payload
+
+    assert sniff_payload(b"<!DOCTYPE html><html>x</html>") == "html"
+    assert sniff_payload(b"  \n<html><body>y") == "html"
+    assert sniff_payload(b"<?xml version='1.0'?><feed/>") == "html"
+    assert sniff_payload(codecs.encode_png(np.zeros((2, 2), np.uint8))) == "png"
+    assert sniff_payload(
+        codecs.encode_wav(np.zeros(16, np.int16), 8000)
+    ) == "wav"
+    assert sniff_payload(b"just plain text") == "unknown"
+    assert sniff_payload(b"") == "empty"
+
+
+def test_warc_route_quarantines_poison_payload(spark):
+    """A PNG payload with a flipped byte must cost ONE error row, not
+    the stage; well-formed records around it still route."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from esgopeta_spark.operators import codecs
+    from esgopeta_spark.operators.web import build_warc_record, warc_route
+
+    png = codecs.encode_png(np.full((3, 4), 7, np.uint8))
+    poison = png[:20] + bytes([png[20] ^ 0xFF]) + png[21:]  # corrupt IHDR crc
+    blob = (
+        build_warc_record("u1", b"<html><p>eight words of clean body text here</p>")
+        + build_warc_record("u2", poison)
+        + build_warc_record("u3", png)
+    )
+    df = spark.createDataFrame([(1, blob)], "doc_id: long, warc: binary")
+    rows = {r["uri"]: (r["kind"], r["stat"]) for r in warc_route(df).collect()}
+    assert rows["u1"][0] == "html" and rows["u1"][1] > 0
+    assert rows["u2"] == ("error", -1)
+    assert rows["u3"] == ("png", 12)
+
+
 def test_warc_malformed_quarantines():
     import pytest as _pytest
 
