@@ -659,6 +659,108 @@ def link_edges(
 
 
 # ---------------------------------------------------------------------------
+# robots.txt (RFC 9309) — crawl-frontier politeness filter
+# ---------------------------------------------------------------------------
+
+
+def parse_robots(text: str) -> list[tuple[str, str, str]]:
+    """robots.txt -> [(agent, 'allow'|'disallow', pattern)] rule rows.
+    RFC 9309 grouping: consecutive User-agent lines open a group whose
+    rules apply to every listed agent; comments (#) and unknown
+    directives are ignored; agents lowercase.  Total on any str."""
+    rules: list[tuple[str, str, str]] = []
+    agents: list[str] = []
+    last_was_agent = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, sep, val = line.partition(":")
+        if not sep:
+            continue
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not last_was_agent:
+                agents = []
+            agents.append(val.lower())
+            last_was_agent = True
+            continue
+        last_was_agent = False
+        if key in ("allow", "disallow"):
+            for a in agents:
+                rules.append((a, key, val))
+    return rules
+
+
+def _robots_pattern_matches(pattern: str, path: str) -> bool:
+    """RFC 9309 path matching: literal prefix with '*' wildcards and an
+    optional '$' end anchor."""
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    rx = ".*".join(re.escape(p) for p in pattern.split("*"))
+    return re.match(rx + ("$" if anchored else ""), path) is not None
+
+
+def robots_allows(rules: list[tuple[str, str, str]], agent: str, path: str) -> bool:
+    """RFC 9309 decision: pick the group for the LONGEST matching agent
+    token ('*' as fallback), then among that group's rules matching the
+    path take the longest pattern — Allow wins length ties.  No group /
+    no matching rule => allowed."""
+    agent = agent.lower()
+    best_agent, best_len = None, -1
+    for a, _, _ in rules:
+        if a == "*":
+            if best_agent is None:
+                best_agent, best_len = "*", -1
+        elif a in agent and len(a) > best_len:
+            best_agent, best_len = a, len(a)
+    if best_agent is None:
+        return True
+    verdict, verdict_len, verdict_allow = True, -1, False
+    for a, kind, pattern in rules:
+        if a != best_agent:
+            continue
+        if pattern == "":
+            # empty Disallow = allow everything (a rule of length 0)
+            continue
+        if _robots_pattern_matches(pattern, path):
+            is_allow = kind == "allow"
+            plen = len(pattern)
+            if plen > verdict_len or (plen == verdict_len and is_allow and not verdict_allow):
+                verdict, verdict_len, verdict_allow = is_allow, plen, is_allow
+    return verdict
+
+
+def robots_filter(
+    df: DataFrame,
+    robots_col: str = "robots",
+    path_col: str = "path",
+    agent: str = "esgopeta",
+    out_col: str = "allowed",
+) -> DataFrame:
+    """Append the RFC 9309 crawl verdict (1/0) for ``path_col`` under
+    ``robots_col``'s robots.txt — the frontier politeness gate.  One
+    Arrow kernel; stateless (stream-safe)."""
+
+    @F.pandas_udf("int")
+    def _allowed(robots: pd.Series, path: pd.Series) -> pd.Series:
+        cache: dict[str, list] = {}
+
+        def one(r, p):
+            r = r if isinstance(r, str) else ""
+            rules = cache.get(r)
+            if rules is None:
+                rules = cache[r] = parse_robots(r)
+            return 1 if robots_allows(rules, agent, p if isinstance(p, str) else "") else 0
+
+        return pd.Series([one(r, p) for r, p in zip(robots, path)])
+
+    return df.withColumn(out_col, _allowed(F.col(robots_col), F.col(path_col)))
+
+
+# ---------------------------------------------------------------------------
 # WARC record framing (ISO 28500 — the Common Crawl container)
 # ---------------------------------------------------------------------------
 

@@ -401,3 +401,57 @@ def web_warc_route(spark, sf):
         synth_html(did, F.coalesce(F.col("text"), F.lit(""))).alias("html"),
     )
     return warc_route(synth_mixed_warc(d))
+
+
+_ROBOTS_EVEN = (
+    "# fixture robots\n"
+    "User-agent: *\n"
+    "Disallow: /private/\n"
+    "Allow: /private/pub\n"
+    "Disallow: /articles/*7$\n"
+)
+_ROBOTS_ODD = (
+    "User-agent: esgopeta\n"
+    "Disallow: /articles/\n"
+    "\n"
+    "User-agent: *\n"
+    "Disallow:\n"
+)
+
+
+@register(
+    "web_robots_filter",
+    "G4",
+    r"""
+    SELECT doc_id,
+           'site' || (doc_id % 40) || '.example.com' AS host,
+           '/articles/' || doc_id AS path,
+           CAST(CASE WHEN (doc_id % 40) % 2 = 1 THEN 0
+                     WHEN doc_id % 10 = 7 THEN 0
+                     ELSE 1 END AS INTEGER) AS allowed
+    FROM documents
+    """,
+    doc="robots.txt crawl-frontier gate (r10, RFC 9309): per host a "
+    "fixture robots file — even hosts give every agent a wildcard+"
+    "anchor rule battery (Disallow /articles/*7$ so article ids ending "
+    "in 7 are blocked), odd hosts block this crawler's SPECIFIC agent "
+    "group while allowing everyone else (longest-agent-match grouping) "
+    "— evaluated by the real parser/matcher (group selection, "
+    "longest-pattern precedence, Allow tie-break, '*'/'$' patterns, "
+    "comments, empty-Disallow).  Oracle recomputes the verdict in "
+    "closed form from the id arithmetic.  Plan: one Arrow kernel with "
+    "a per-batch parsed-rules cache, shuffle-free; operators/web.py "
+    "parse_robots/robots_allows",
+)
+def web_robots_filter(spark, sf):
+    from esgopeta_spark.operators.web import robots_filter
+
+    did = F.col("doc_id")
+    h = did % 40
+    d = T(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(F.lit("site"), h.cast("string"), F.lit(".example.com")).alias("host"),
+        F.concat(F.lit("/articles/"), did.cast("string")).alias("path"),
+        F.when(h % 2 == 0, F.lit(_ROBOTS_EVEN)).otherwise(F.lit(_ROBOTS_ODD)).alias("robots"),
+    )
+    return robots_filter(d).drop("robots")

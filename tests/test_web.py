@@ -286,6 +286,50 @@ def test_warc_roundtrip_binary_safe():
     assert recs[1]["type"] == "resource" and recs[1]["length"] == 0
 
 
+def test_robots_rfc9309_matrix():
+    """RFC 9309 semantics: agent-group selection (longest match, '*'
+    fallback, multi-agent groups), longest-pattern precedence with
+    Allow winning ties, '*'/'$' patterns, comments, empty Disallow,
+    unknown directives ignored."""
+    from esgopeta_spark.operators.web import parse_robots, robots_allows
+
+    txt = (
+        "# comment\n"
+        "User-agent: megabot\n"
+        "User-agent: esgopeta\n"
+        "Disallow: /private/\n"
+        "Allow: /private/pub\n"
+        "Crawl-delay: 10\n"  # unknown directive: ignored
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /\n"
+    )
+    rules = parse_robots(txt)
+    # multi-agent group: both agents got both rules
+    assert ("megabot", "disallow", "/private/") in rules
+    assert ("esgopeta", "allow", "/private/pub") in rules
+    # our group: /private/ blocked, /private/pub allowed (longer Allow)
+    assert not robots_allows(rules, "esgopeta", "/private/x")
+    assert robots_allows(rules, "esgopeta", "/private/pub1")
+    assert robots_allows(rules, "esgopeta", "/open")
+    # other agents fall through to the '*' group: everything blocked
+    assert not robots_allows(rules, "randombot", "/open")
+    # agent token is a substring match of the product token
+    assert not robots_allows(rules, "esgopeta/2.0 (+https://x)", "/private/x")
+
+    wild = parse_robots("User-agent: *\nDisallow: /a/*7$\nAllow: /a/17$\n")
+    assert not robots_allows(wild, "any", "/a/27")
+    assert robots_allows(wild, "any", "/a/17")  # equal length -> Allow wins
+    assert robots_allows(wild, "any", "/a/271")  # '$' anchors
+    assert robots_allows(wild, "any", "/b/7")
+    # empty Disallow allows everything; empty rules allow everything
+    assert robots_allows(parse_robots("User-agent: *\nDisallow:\n"), "x", "/any")
+    assert robots_allows(parse_robots(""), "x", "/any")
+    # Allow/Disallow of equal length: Allow wins
+    tie = parse_robots("User-agent: *\nDisallow: /abc\nAllow: /ab*\n")
+    assert robots_allows(tie, "x", "/abc")
+
+
 def test_sniff_payload_routes_on_bytes():
     import numpy as np
 
