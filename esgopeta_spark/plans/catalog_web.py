@@ -455,3 +455,52 @@ def web_robots_filter(spark, sf):
         F.when(h % 2 == 0, F.lit(_ROBOTS_EVEN)).otherwise(F.lit(_ROBOTS_ODD)).alias("robots"),
     )
     return robots_filter(d).drop("robots")
+
+
+@register(
+    "web_crawl_schedule",
+    "G4,E5",
+    r"""
+    WITH f AS (
+      SELECT doc_id,
+             'site' || (doc_id % 40) || '.example.com' AS host,
+             'https://site' || (doc_id % 40) || '.example.com/articles/' || doc_id
+               || '?page=' || (doc_id % 7) AS url_canon
+      FROM documents
+    ), r AS (
+      SELECT doc_id, host, url_canon,
+             ROW_NUMBER() OVER (PARTITION BY host ORDER BY url_canon, doc_id) AS rn
+      FROM f
+    )
+    SELECT doc_id, host, url_canon,
+           CAST((rn - 1) // 4 AS BIGINT) AS fetch_wave,
+           CAST((rn - 1) % 4 AS INTEGER) AS slot
+    FROM r
+    """,
+    doc="per-host politeness scheduling (r10 — the step after the "
+    "frontier): a crawler may hold at most K=4 in-flight fetches per "
+    "host, so frontier URLs get a deterministic (fetch_wave, slot) by "
+    "dense per-host rank in (url, id) order — wave w fetches the "
+    "host's URLs 4w..4w+3.  Pure codegen: one window shuffle keyed by "
+    "host (at 100 TB the frontier partitions BY HOST anyway for "
+    "connection reuse, so the window rides the natural partitioning; "
+    "skewed mega-hosts are bounded because each host's wave count is "
+    "its URL count / K, trivially spillable).  Oracle runs the same "
+    "rank arithmetic",
+)
+def web_crawl_schedule(spark, sf):
+    from pyspark.sql.window import Window
+
+    did = F.col("doc_id")
+    f = T(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(F.lit("site"), (did % 40).cast("string"), F.lit(".example.com")).alias("host"),
+        _seed_url(did).alias("url_canon"),
+    )
+    w = Window.partitionBy("host").orderBy(F.col("url_canon").asc(), F.col("doc_id").asc())
+    rn = F.row_number().over(w) - 1
+    return f.select(
+        "doc_id", "host", "url_canon",
+        (rn / 4).cast("bigint").alias("fetch_wave"),
+        (rn % 4).cast("int").alias("slot"),
+    )

@@ -428,6 +428,51 @@ def test_html_extract_stream_twin(spark, tmp_path):
     assert got == want
 
 
+def test_warc_route_stream_twin(spark, tmp_path):
+    """End-to-end streaming crawl ingestion: WARC blobs arrive on a
+    stream, records are parsed, payloads sniffed and routed to the
+    decoders — the whole chain is stateless Arrow kernels, so the
+    stream shares the batch projection and must emit identical rows."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from esgopeta_spark.operators import codecs
+    from esgopeta_spark.operators.web import build_warc_record, warc_route
+
+    rows = []
+    for i in range(12):
+        if i % 3 == 0:
+            payload = f"<html><body><p>doc {i} body text</p></body></html>".encode()
+        elif i % 3 == 1:
+            payload = codecs.encode_png(np.full((2, 3), i % 256, np.uint8))
+        else:
+            payload = codecs.encode_wav(np.zeros(64 + i, np.int16), 8000)
+        rows.append((i, build_warc_record(f"https://h{i}.com/", payload)))
+    df = spark.createDataFrame(rows, "doc_id: long, warc: binary")
+    want = {tuple(r) for r in warc_route(df).collect()}
+    assert {r[2] for r in want} == {"html", "png", "wav"}
+
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "warc_in"))
+    stream = spark.readStream.schema("doc_id long, warc binary").parquet(
+        str(tmp_path / "warc_in")
+    )
+    q = (
+        warc_route(stream)
+        .writeStream.format("memory")
+        .queryName("warcstream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM warcstream").collect()}
+    assert got == want
+
+
 def test_url_canonicalize_stream_twin(spark, tmp_path):
     from pyspark.sql import functions as F
 
