@@ -833,6 +833,59 @@ def parse_warc(blob: bytes) -> list[dict]:
     return out
 
 
+def parse_http_response(payload: bytes) -> tuple[int, dict, bytes]:
+    """A WARC ``response`` record's payload is a FULL HTTP message
+    (status line + headers + body), not a bare document — split it:
+    returns (status, lowercased-header dict, body bytes).  Tolerates
+    bare-LF header endings (seen in old crawls).  A payload that does
+    not start with ``HTTP/`` is returned as (0, {}, payload) — some
+    archives store bare bodies; total, never raises on that path.
+    Chunked transfer-encoding is de-chunked (archives usually store it
+    verbatim); a malformed chunk framing raises ValueError (callers
+    quarantine)."""
+    if not payload.startswith(b"HTTP/"):
+        return 0, {}, payload
+    sep, hlen = b"\r\n\r\n", 4
+    end = payload.find(sep)
+    lf_end = payload.find(b"\n\n")
+    if end < 0 or (0 <= lf_end < end):
+        sep, hlen, end = b"\n\n", 2, lf_end
+    if end < 0:
+        return 0, {}, payload  # header never ends: treat as bare bytes
+    head = payload[:end].decode("latin-1")
+    lines = head.replace("\r\n", "\n").split("\n")
+    parts = lines[0].split(None, 2)
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        return 0, {}, payload
+    headers: dict[str, str] = {}
+    for ln in lines[1:]:
+        k, s, v = ln.partition(":")
+        if s:
+            headers[k.strip().lower()] = v.strip()
+    body = payload[end + hlen :]
+    if headers.get("transfer-encoding", "").lower() == "chunked":
+        out, i, n = [], 0, len(body)
+        while True:
+            eol = body.find(b"\r\n", i)
+            if eol < 0:
+                raise ValueError("bad chunk size line")
+            try:
+                size = int(body[i:eol].split(b";")[0], 16)
+            except ValueError as exc:
+                raise ValueError("bad chunk size") from exc
+            i = eol + 2
+            if size == 0:
+                break
+            if i + size > n:
+                raise ValueError("truncated chunk")
+            out.append(body[i : i + size])
+            i += size + 2  # skip the chunk's trailing CRLF
+        body = b"".join(out)
+    return status, headers, body
+
+
 def warc_build(
     df: DataFrame,
     uri_col: str = "uri",
@@ -910,53 +963,61 @@ def sniff_payload(b: bytes) -> str:
 def warc_route(
     df: DataFrame, blob_col: str = "warc", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Parse WARC records, sniff each payload's real type, and run the
-    matching decoder — the crawl-side fan-in to the media codec stack:
-    html -> extract_html_text (stat = clean-text chars), png/bmp/ppm/
-    gif -> image decode (stat = width*height), wav/flac -> audio decode
-    (stat = n_samples); anything else passes through with stat = -1.
-    Poison payloads quarantine per-record ('error' kind), never the
-    stage.  One Arrow kernel per partition batch, shuffle-free."""
+    """Parse WARC records, unwrap the HTTP message a ``response``
+    payload really is (status line + headers + body, de-chunked —
+    Common Crawl stores the full message), sniff the BODY's real type,
+    and run the matching decoder — the crawl-side fan-in to the media
+    codec stack: html -> extract_html_text (stat = clean-text chars),
+    png/bmp/ppm/gif/tiff/jpeg -> image decode (stat = width*height),
+    wav/flac -> audio decode (stat = n_samples); anything else passes
+    through with stat = -1.  ``status`` is the HTTP status (0 for a
+    bare-body record).  Poison payloads quarantine per-record ('error'
+    kind), never the stage.  One Arrow kernel per partition batch,
+    shuffle-free."""
     from esgopeta_spark.operators import codecs
 
-    @F.pandas_udf("array<struct<uri: string, kind: string, stat: bigint>>")
+    @F.pandas_udf(
+        "array<struct<uri: string, kind: string, status: int, stat: bigint>>"
+    )
     def _route(s: pd.Series) -> pd.Series:
         image = {"png": codecs.decode_png, "bmp": codecs.decode_bmp,
                  "ppm": codecs.decode_ppm, "gif": codecs.decode_gif,
                  "tiff": codecs.decode_tiff, "jpeg": codecs.decode_jpeg}
 
         def one_record(r):
-            kind = sniff_payload(r["payload"])
             try:
+                status, _hdrs, body = parse_http_response(r["payload"])
+                kind = sniff_payload(body)
                 if kind == "html":
-                    stat = len(extract_html_text(r["payload"].decode("utf-8", "replace")))
+                    stat = len(extract_html_text(body.decode("utf-8", "replace")))
                 elif kind in image:
-                    arr = image[kind](r["payload"])
+                    arr = image[kind](body)
                     stat = int(arr.shape[0]) * int(arr.shape[1])
                 elif kind == "wav":
-                    samples, _sr, _ch = codecs.decode_wav(r["payload"])
+                    samples, _sr, _ch = codecs.decode_wav(body)
                     stat = int(samples.shape[0])
                 elif kind == "flac":
-                    samples, _sr, _ch = codecs.decode_flac(r["payload"])
+                    samples, _sr, _ch = codecs.decode_flac(body)
                     stat = int(samples.shape[0])
                 else:
                     stat = -1
-                return {"uri": r["uri"], "kind": kind, "stat": stat}
+                return {"uri": r["uri"], "kind": kind, "status": status, "stat": stat}
             except ValueError:
-                return {"uri": r["uri"], "kind": "error", "stat": -1}
+                return {"uri": r["uri"], "kind": "error", "status": -1, "stat": -1}
 
         def one(b):
             try:
                 recs = parse_warc(bytes(b) if b is not None else b"")
             except ValueError as exc:
-                return [{"uri": str(exc)[:80], "kind": "error", "stat": -1}]
+                return [{"uri": str(exc)[:80], "kind": "error",
+                         "status": -1, "stat": -1}]
             return [one_record(r) for r in recs]
 
         return pd.Series([one(b) for b in s])
 
     return (
         df.select(F.col(id_col), F.explode(_route(F.col(blob_col))).alias("r"))
-        .select(id_col, "r.uri", "r.kind", "r.stat")
+        .select(id_col, "r.uri", "r.kind", "r.status", "r.stat")
     )
 
 
@@ -968,10 +1029,12 @@ def synth_mixed_warc(
     out_col: str = "warc",
 ) -> DataFrame:
     """Fixture twin for ``warc_route``: per row, frame ONE payload by
-    id mod 3 — the html string's UTF-8 bytes, a deterministic gray PNG
-    (w = 3 + id%5, h = 2 + id%7, pixel = (x+y+id) mod 256), or a
-    deterministic WAV tone (500 + (id%11)*16 samples) — as a WARC
-    response record, so the route stats have closed forms."""
+    id mod 3 — the html string's UTF-8 bytes (every SIXTH doc wrapped
+    in a full HTTP/1.1 200 message, the shape Common Crawl actually
+    stores), a deterministic gray PNG (w = 3 + id%5, h = 2 + id%7,
+    pixel = (x+y+id) mod 256), or a deterministic WAV tone
+    (500 + (id%11)*16 samples) — as a WARC response record, so the
+    route stats have closed forms."""
     import numpy as np
 
     from esgopeta_spark.operators import codecs
@@ -984,6 +1047,12 @@ def synth_mixed_warc(
             k = i % 3
             if k == 0:
                 payload = (h if isinstance(h, str) else "").encode("utf-8")
+                if i % 6 == 0:
+                    payload = (
+                        b"HTTP/1.1 200 OK\r\n"
+                        b"Content-Type: text/html; charset=utf-8\r\n"
+                        b"Server: fixture\r\n\r\n"
+                    ) + payload
             elif k == 1:
                 w, ht = 3 + i % 5, 2 + i % 7
                 y, x = np.mgrid[0:ht, 0:w]

@@ -371,6 +371,7 @@ def web_warc_extract(spark, sf):
     SELECT doc_id,
            {_SEED_SQL} AS uri,
            CASE doc_id % 3 WHEN 0 THEN 'html' WHEN 1 THEN 'png' ELSE 'wav' END AS kind,
+           CAST(CASE WHEN doc_id % 6 = 0 THEN 200 ELSE 0 END AS INTEGER) AS status,
            CAST(CASE doc_id % 3
                 WHEN 0 THEN 36 + length(CAST(doc_id AS VARCHAR))
                             + CASE WHEN t = '' THEN 0 ELSE length(t) + 1 END
@@ -379,17 +380,18 @@ def web_warc_extract(spark, sf):
                 ELSE 500 + (doc_id % 11) * 16 END AS BIGINT) AS stat
     FROM c
     """,
-    doc="content-type routing over a mixed WARC corpus (r10): a crawler "
-    "cannot trust Content-Type headers, so each parsed record's payload "
-    "is sniffed on BYTES (the media magic table + a markup check) and "
-    "routed to the matching from-scratch decoder — html -> the "
-    "extraction kernel (stat = clean-text chars), png -> image decode "
-    "(stat = w*h), wav -> audio decode (stat = n_samples) — the "
-    "crawl-side fan-in to the media codec stack.  The fixture frames "
-    "one payload kind per doc (id mod 3) with closed-form stats; "
-    "poison payloads quarantine per-record.  Plan: two Arrow kernels "
-    "over one scan, shuffle-free; operators/web.py "
-    "sniff_payload/warc_route",
+    doc="content-type routing over a mixed WARC corpus (r10): each "
+    "parsed record's payload is first unwrapped as the HTTP message a "
+    "response record really stores (status line + headers + body, "
+    "de-chunked — every sixth fixture doc ships the full HTTP/1.1 "
+    "envelope), then the BODY is sniffed on bytes (a crawler cannot "
+    "trust Content-Type) and routed to the matching from-scratch "
+    "decoder — html -> the extraction kernel (stat = clean-text "
+    "chars), png -> image decode (stat = w*h), wav -> audio decode "
+    "(stat = n_samples) — the crawl-side fan-in to the media codec "
+    "stack.  Poison payloads quarantine per-record.  Plan: two Arrow "
+    "kernels over one scan, shuffle-free; operators/web.py "
+    "parse_http_response/sniff_payload/warc_route",
 )
 def web_warc_route(spark, sf):
     from esgopeta_spark.operators.web import synth_html, synth_mixed_warc, warc_route

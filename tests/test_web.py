@@ -347,6 +347,47 @@ def test_sniff_payload_routes_on_bytes():
     assert sniff_payload(b"") == "empty"
 
 
+def test_parse_http_response_matrix():
+    """WARC response payloads are full HTTP messages: status + headers
+    split off, chunked bodies de-chunked, bare-LF header endings
+    tolerated, non-HTTP payloads passed through as bare bodies."""
+    import pytest as _pytest
+
+    from esgopeta_spark.operators.web import parse_http_response
+
+    st, hdrs, body = parse_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+        b"X-Thing: a:b\r\n\r\n<html>x</html>"
+    )
+    assert st == 200 and body == b"<html>x</html>"
+    assert hdrs["content-type"] == "text/html; charset=utf-8"
+    assert hdrs["x-thing"] == "a:b"  # header values keep their colons
+    # bare-LF endings (old crawls)
+    st, _h, body = parse_http_response(b"HTTP/1.0 404 Not Found\nA: b\n\nmissing")
+    assert st == 404 and body == b"missing"
+    # chunked transfer-encoding de-chunks (sizes hex, extensions ignored)
+    st, _h, body = parse_http_response(
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"4\r\nWiki\r\n5;ext=1\r\npedia\r\n0\r\n\r\n"
+    )
+    assert st == 200 and body == b"Wikipedia"
+    # bare bodies pass through untouched
+    assert parse_http_response(b"<html>bare</html>") == (0, {}, b"<html>bare</html>")
+    assert parse_http_response(b"") == (0, {}, b"")
+    # malformed status line: treated as bare bytes, not an error
+    raw = b"HTTP/1.1 xx\r\n\r\nz"
+    assert parse_http_response(raw) == (0, {}, raw)
+    # malformed chunk framing quarantines
+    with _pytest.raises(ValueError):
+        parse_http_response(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nzz\r\nx"
+        )
+    with _pytest.raises(ValueError):
+        parse_http_response(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nff\r\nshort"
+        )
+
+
 def test_warc_route_quarantines_poison_payload(spark):
     """A PNG payload with a flipped byte must cost ONE error row, not
     the stage; well-formed records around it still route."""
