@@ -784,13 +784,51 @@ def build_warc_record(
     return head.encode("utf-8") + payload + b"\r\n\r\n"
 
 
+def gzip_members(blob: bytes) -> list[bytes]:
+    """Split and decompress CONCATENATED gzip members — the .warc.gz
+    layout (Common Crawl compresses each record as its own member so
+    readers can seek by byte offset).  Truncated/garbage members raise
+    ValueError (callers quarantine)."""
+    import zlib as _zlib
+
+    out: list[bytes] = []
+    i, n = 0, len(blob)
+    while i < n:
+        d = _zlib.decompressobj(wbits=31)
+        try:
+            out.append(d.decompress(blob[i:]))
+        except _zlib.error as exc:
+            raise ValueError(f"bad gzip member at offset {i}: {exc}") from exc
+        if not d.eof:
+            raise ValueError(f"truncated gzip member at offset {i}")
+        i = n - len(d.unused_data)
+    return out
+
+
+def gzip_record(data: bytes) -> bytes:
+    """One deterministic gzip member (mtime pinned to 0 — no clock in a
+    fixture path) — the encoder twin for ``gzip_members``."""
+    import gzip as _gzip
+
+    return _gzip.compress(data, mtime=0)
+
+
+def maybe_gunzip_warc(blob: bytes) -> bytes:
+    """.warc.gz blobs (gzip magic) decompress to the concatenated
+    records; plain .warc bytes pass through."""
+    if blob[:2] == b"\x1f\x8b":
+        return b"".join(gzip_members(blob))
+    return blob
+
+
 def parse_warc(blob: bytes) -> list[dict]:
     """Parse concatenated WARC/1.0 records: returns one dict per record
-    with ``type``, ``uri``, ``length`` (declared Content-Length) and
+    with ``type``, ``uri``, ``length`` (declared Content-Length),
     ``payload`` (exactly that many bytes — binary-safe: payload bytes
     are never scanned for markers, the declared length frames them, per
-    ISO 28500).  Malformed framing raises ValueError (callers
-    quarantine)."""
+    ISO 28500), plus ``offset``/``reclen`` (the record's byte position
+    and total framed size — the CDX index fields).  Malformed framing
+    raises ValueError (callers quarantine)."""
     out: list[dict] = []
     i, n = 0, len(blob)
     while i < n:
@@ -821,15 +859,18 @@ def parse_warc(blob: bytes) -> list[dict]:
         payload = blob[body_start : body_start + length]
         if blob[body_start + length : body_start + length + 4] != b"\r\n\r\n":
             raise ValueError("missing WARC record terminator")
+        rec_start = i
+        i = body_start + length + 4
         out.append(
             {
                 "type": hdrs.get("warc-type", ""),
                 "uri": hdrs.get("warc-target-uri", ""),
                 "length": length,
                 "payload": payload,
+                "offset": rec_start,
+                "reclen": i - rec_start,
             }
         )
-        i = body_start + length + 4
     return out
 
 
@@ -924,7 +965,7 @@ def warc_extract(
     def _parse(s: pd.Series) -> pd.Series:
         def one(b):
             try:
-                recs = parse_warc(bytes(b) if b is not None else b"")
+                recs = parse_warc(maybe_gunzip_warc(bytes(b) if b is not None else b""))
             except ValueError as exc:
                 return [{"rec_type": "error", "uri": str(exc)[:80],
                          "content_length": -1, "payload_md5": ""}]
@@ -986,10 +1027,14 @@ def warc_route(
 
         def one_record(r):
             try:
-                status, _hdrs, body = parse_http_response(r["payload"])
+                status, hdrs, body = parse_http_response(r["payload"])
                 kind = sniff_payload(body)
                 if kind == "html":
-                    stat = len(extract_html_text(body.decode("utf-8", "replace")))
+                    try:
+                        text = body.decode(charset_of(hdrs), "replace")
+                    except LookupError:  # unknown charset label
+                        text = body.decode("utf-8", "replace")
+                    stat = len(extract_html_text(text))
                 elif kind in image:
                     arr = image[kind](body)
                     stat = int(arr.shape[0]) * int(arr.shape[1])
@@ -1007,7 +1052,7 @@ def warc_route(
 
         def one(b):
             try:
-                recs = parse_warc(bytes(b) if b is not None else b"")
+                recs = parse_warc(maybe_gunzip_warc(bytes(b) if b is not None else b""))
             except ValueError as exc:
                 return [{"uri": str(exc)[:80], "kind": "error",
                          "status": -1, "stat": -1}]
@@ -1018,6 +1063,66 @@ def warc_route(
     return (
         df.select(F.col(id_col), F.explode(_route(F.col(blob_col))).alias("r"))
         .select(id_col, "r.uri", "r.kind", "r.status", "r.stat")
+    )
+
+
+def surt_key(url: str) -> str:
+    """Sort-friendly URI Reordering Transform of the CANONICAL url —
+    the Common Crawl CDX index key: host labels reversed and
+    comma-joined, then ')' + path[?query] (scheme dropped; the
+    canonicalizer already lowercased and stripped ports/fragments/
+    tracking params).  Unparseable strings return canonical-as-is."""
+    c = canonicalize_url(url)
+    m = _URL_RE.match(c)
+    if m is None:
+        return c
+    _scheme, hostport, path, query = m.groups()
+    host = hostport.partition(":")[0]
+    key = ",".join(reversed(host.split("."))) + ")" + (path or "/")
+    if query:
+        key += "?" + query
+    return key
+
+
+def charset_of(headers: dict, default: str = "utf-8") -> str:
+    """charset= parameter of a Content-Type header (lowercased), or the
+    default; unknown names fall back at decode time."""
+    m = re.search(r"charset=([\w.:-]+)", headers.get("content-type", ""), re.I)
+    return m.group(1).lower() if m else default
+
+
+def cdx_index(
+    df: DataFrame,
+    blob_col: str = "warc",
+    group_col: str = "grp",
+) -> DataFrame:
+    """Multi-record WARC blobs -> CDX-style index rows: one row per
+    record with (grp, urlkey = SURT of the record URI, uri, offset,
+    reclen) — the seekable-archive index Common Crawl publishes next to
+    every .warc.gz.  Transparent for gzipped blobs (offsets then index
+    the DECOMPRESSED stream).  One Arrow kernel, shuffle-free."""
+
+    @F.pandas_udf(
+        "array<struct<urlkey: string, uri: string, offset: bigint, reclen: bigint>>"
+    )
+    def _index(s: pd.Series) -> pd.Series:
+        def one(b):
+            try:
+                recs = parse_warc(maybe_gunzip_warc(bytes(b) if b is not None else b""))
+            except ValueError as exc:
+                return [{"urlkey": "error", "uri": str(exc)[:80],
+                         "offset": -1, "reclen": -1}]
+            return [
+                {"urlkey": surt_key(r["uri"]), "uri": r["uri"],
+                 "offset": r["offset"], "reclen": r["reclen"]}
+                for r in recs
+            ]
+
+        return pd.Series([one(b) for b in s])
+
+    return (
+        df.select(F.col(group_col), F.explode(_index(F.col(blob_col))).alias("r"))
+        .select(group_col, "r.urlkey", "r.uri", "r.offset", "r.reclen")
     )
 
 

@@ -13,6 +13,8 @@ matrix, fuzz no-raise) is pinned separately in tests/test_web.py.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf type hints resolve under PEP 563
+
 from pyspark.sql import functions as F
 
 from esgopeta_spark.plans.catalog import T, register
@@ -506,3 +508,79 @@ def web_crawl_schedule(spark, sf):
         (rn / 4).cast("bigint").alias("fetch_wave"),
         (rn % 4).cast("int").alias("slot"),
     )
+
+
+@register(
+    "web_cdx_index",
+    "G4,E1,E5",
+    r"""
+    WITH p AS (
+      SELECT doc_id, doc_id // 4 AS grp,
+             'https://site' || (doc_id % 40) || '.example.com/articles/' || doc_id
+               || '?page=' || (doc_id % 7) AS uri,
+             'com,example,site' || (doc_id % 40) || ')/articles/' || doc_id
+               || '?page=' || (doc_id % 7) AS urlkey,
+             octet_length(encode('<html><head><title>Doc ' || doc_id || '</title><meta charset="utf-8"><script type="text/javascript">var s = "</div> <p>not text</p>"; if (1 < 2) { s += "&amp;"; }</script><style>p > a { color: #fff; }</style></head><body><nav><ul><li><a href="/">Home</a></li><li><a href="/about?a=1&amp;b=2">About</a></li></ul></nav><!-- boilerplate <p>comment</p> --><div id="main" data-note="a > b"><p>' || replace(replace(replace(coalesce(text, ''), '&', '&amp;'), '<', '&lt;'), '>', '&gt;') || '</p><p>Q&amp;A &mdash; caf&eacute; &#8364;5 &lt;em&gt; &#x263A; &copy;</p><p>Length: ' || length(coalesce(text, '')) || '</p></div><footer>&copy; 2026 Example &middot; <a href="#terms">Terms</a></footer></body></html>')) AS paylen
+      FROM documents
+    ), r AS (
+      SELECT doc_id, grp, uri, urlkey,
+             CAST(74 + length(uri) + length(CAST(paylen AS VARCHAR)) + paylen
+                  AS BIGINT) AS reclen
+      FROM p
+    )
+    SELECT grp, urlkey, uri,
+           CAST(SUM(reclen) OVER (PARTITION BY grp ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - reclen
+                AS BIGINT) AS offset,
+           reclen
+    FROM r
+    """,
+    doc="CDX-style archive index (r10 — the seekable index Common Crawl "
+    "publishes next to every .warc.gz): four docs' response records "
+    "concatenate into one WARC blob per group (EVEN groups compressed "
+    "as per-record gzip members, the .warc.gz layout — gzip_members "
+    "splits them; offsets index the decompressed stream so both "
+    "layouts share one closed form), then one kernel emits (urlkey = "
+    "SURT of the canonical URI, uri, offset, reclen) per record.  The "
+    "oracle recomputes record sizes from the framing arithmetic "
+    "(74 + len(uri) + content-length digits + payload bytes) and "
+    "offsets as a per-group running sum.  Plan: one (grp) groupBy + "
+    "two kernels, no join; operators/web.py "
+    "surt_key/gzip_members/cdx_index",
+)
+def web_cdx_index(spark, sf):
+    from esgopeta_spark.operators.web import (
+        build_warc_record,
+        cdx_index,
+        gzip_record,
+        synth_html,
+    )
+
+    did = F.col("doc_id")
+    d = T(spark, sf, "documents").select(
+        "doc_id",
+        F.expr("doc_id div 4").alias("grp"),
+        _seed_url(did).alias("uri"),
+        synth_html(did, F.coalesce(F.col("text"), F.lit(""))).alias("html"),
+    )
+    g = d.groupBy("grp").agg(
+        F.sort_array(
+            F.collect_list(F.struct("doc_id", "uri", "html"))
+        ).alias("ms")
+    )
+
+    @F.pandas_udf("binary")
+    def _build(grp: pd.Series, ms: pd.Series) -> pd.Series:
+        out = []
+        for gv, members in zip(grp, ms):
+            recs = [
+                build_warc_record(m["uri"], m["html"].encode("utf-8"))
+                for m in members
+            ]
+            if int(gv) % 2 == 0:  # .warc.gz layout: one gzip member per record
+                out.append(b"".join(gzip_record(r) for r in recs))
+            else:
+                out.append(b"".join(recs))
+        return pd.Series(out)
+
+    return cdx_index(g.select("grp", _build(F.col("grp"), F.col("ms")).alias("warc")))

@@ -412,6 +412,66 @@ def test_warc_route_quarantines_poison_payload(spark):
     assert rows["u3"] == ("png", 12)
 
 
+def test_gzip_members_and_transparent_parse():
+    """.warc.gz layout: one gzip member per record; gzip_members splits
+    concatenated members, the parsers auto-detect the magic, offsets
+    index the decompressed stream; truncated/garbage members raise."""
+    import pytest as _pytest
+
+    from esgopeta_spark.operators.web import (
+        build_warc_record,
+        gzip_members,
+        gzip_record,
+        maybe_gunzip_warc,
+        parse_warc,
+    )
+
+    r1 = build_warc_record("https://x.com/1", b"abc")
+    r2 = build_warc_record("https://x.com/2", bytes(range(64)))
+    gz = gzip_record(r1) + gzip_record(r2)
+    assert gzip_members(gz) == [r1, r2]
+    assert maybe_gunzip_warc(gz) == r1 + r2
+    assert maybe_gunzip_warc(r1) == r1  # plain bytes pass through
+    recs = parse_warc(maybe_gunzip_warc(gz))
+    assert [r["uri"] for r in recs] == ["https://x.com/1", "https://x.com/2"]
+    assert recs[0]["offset"] == 0 and recs[1]["offset"] == recs[0]["reclen"]
+    assert recs[1]["offset"] + recs[1]["reclen"] == len(r1 + r2)
+    # deterministic compression (mtime pinned)
+    assert gzip_record(r1) == gzip_record(r1)
+    with _pytest.raises(ValueError):
+        gzip_members(gz[: len(gzip_record(r1)) + 5])
+    with _pytest.raises(ValueError):
+        gzip_members(b"\x1f\x8bgarbage")
+
+
+def test_surt_key_matrix():
+    from esgopeta_spark.operators.web import surt_key
+
+    assert surt_key("https://site7.example.com/articles/1?page=2") == (
+        "com,example,site7)/articles/1?page=2"
+    )
+    # canonicalization composes: case/port/fragment/tracking collapse first
+    assert surt_key("HTTPS://WWW.Ex.COM:443/A/b#f?x") == "com,ex,www)/A/b"
+    assert surt_key("http://h.com") == "com,h)/"
+    assert surt_key("not a url") == "not a url"
+
+
+def test_charset_of_and_route_decode():
+    from esgopeta_spark.operators.web import charset_of, parse_http_response
+
+    assert charset_of({"content-type": "text/html; charset=ISO-8859-1"}) == "iso-8859-1"
+    assert charset_of({"content-type": "text/html"}) == "utf-8"
+    assert charset_of({}) == "utf-8"
+    # a latin-1 page unwraps and decodes per its declared charset
+    body = "<p>café</p>".encode("latin-1")
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=latin-1\r\n\r\n" + body
+    )
+    st, hdrs, got = parse_http_response(payload)
+    assert st == 200 and got == body
+    assert got.decode(charset_of(hdrs)) == "<p>café</p>"
+
+
 def test_warc_malformed_quarantines():
     import pytest as _pytest
 
