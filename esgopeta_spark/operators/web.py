@@ -1066,6 +1066,45 @@ def warc_route(
     )
 
 
+def warc_html_text(
+    df: DataFrame, blob_col: str = "warc", id_col: str = "doc_id"
+) -> DataFrame:
+    """WARC blobs -> one row per record whose (HTTP-unwrapped) payload
+    sniffs as html: (id, uri, clean_text) — the ingest head of the full
+    crawl-to-shards pipeline.  Non-html records and poison payloads are
+    simply dropped (the route/extract entries report them; the corpus
+    pipeline wants the text).  One Arrow kernel; gz-transparent."""
+
+    @F.pandas_udf("array<struct<uri: string, clean_text: string>>")
+    def _text(s: pd.Series) -> pd.Series:
+        def one(b):
+            try:
+                recs = parse_warc(maybe_gunzip_warc(bytes(b) if b is not None else b""))
+            except ValueError:
+                return []
+            out = []
+            for r in recs:
+                try:
+                    _st, hdrs, body = parse_http_response(r["payload"])
+                    if sniff_payload(body) != "html":
+                        continue
+                    try:
+                        text = body.decode(charset_of(hdrs), "replace")
+                    except LookupError:
+                        text = body.decode("utf-8", "replace")
+                    out.append({"uri": r["uri"], "clean_text": extract_html_text(text)})
+                except ValueError:
+                    continue
+            return out
+
+        return pd.Series([one(b) for b in s])
+
+    return (
+        df.select(F.col(id_col), F.explode(_text(F.col(blob_col))).alias("r"))
+        .select(id_col, "r.uri", "r.clean_text")
+    )
+
+
 def surt_key(url: str) -> str:
     """Sort-friendly URI Reordering Transform of the CANONICAL url —
     the Common Crawl CDX index key: host labels reversed and

@@ -177,11 +177,12 @@ def pipeline_html_to_shards(spark, sf):
     )
 
 
+# extracts to "quick link another link more links final link": 8 words,
+# 42 anchor chars over 45 line chars = 933 milli (the oracle literal)
 _FARM_HTML = (
     '<p><a href="/1">quick link</a> <a href="/2">another link</a> '
     '<a href="/3">more links</a> <a href="/4">final link</a></p>'
 )
-_FARM_TEXT = "quick link another link more links final link"
 
 
 @register(
@@ -584,3 +585,47 @@ def web_cdx_index(spark, sf):
         return pd.Series(out)
 
     return cdx_index(g.select("grp", _build(F.col("grp"), F.col("ms")).alias("warc")))
+
+
+@register(
+    "pipeline_crawl_to_shards",
+    "G4,G5,E5",
+    _HTML_SHARDS_SQL.replace(
+        "FROM documents", "FROM documents WHERE doc_id % 3 = 0"
+    ),
+    doc="the FULL crawl-to-writer capstone in ONE Catalyst lineage "
+    "(r10): mixed .warc bytes (html every third doc, every sixth "
+    "HTTP/1.1-wrapped; png/wav otherwise) -> record parse + HTTP unwrap "
+    "+ byte sniff + HTML extraction in one kernel (non-html records "
+    "drop) -> length gate -> deterministic md5 split/shard -> per "
+    "(split, shard) rollup.  Raw crawl bytes become writer-sharded "
+    "training text in a single plan; the oracle is the "
+    "pipeline_html_to_shards closed form restricted to the html "
+    "residue class.  Plan: two Arrow kernels + codegen gate/split + "
+    "one final shuffle; operators/web.py warc_html_text + "
+    "operators/text.py split_shards",
+)
+def pipeline_crawl_to_shards(spark, sf):
+    from esgopeta_spark.operators.text import split_shards
+    from esgopeta_spark.operators.web import (
+        synth_html,
+        synth_mixed_warc,
+        warc_html_text,
+    )
+
+    did = F.col("doc_id")
+    d = T(spark, sf, "documents").select(
+        "doc_id",
+        _seed_url(did).alias("uri"),
+        synth_html(did, F.coalesce(F.col("text"), F.lit(""))).alias("html"),
+    )
+    texts = warc_html_text(synth_mixed_warc(d))
+    ext = texts.select(
+        "doc_id", F.length("clean_text").cast("bigint").alias("n_chars")
+    )
+    gated = ext.filter(F.col("n_chars") >= 160)
+    sharded = split_shards(gated)
+    return sharded.groupBy("split", "shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
