@@ -211,6 +211,33 @@ def test_extract_html_blocks_anchor_tracking():
     assert extract_html_text("<p>a</p><p>b</p>") == "a\nb"
 
 
+def test_extract_pathological_inputs_stay_linear():
+    """The walker's scans are all forward-moving — megabyte-scale
+    pathological pages (tag soup, lone '<'s, entity storms, unclosed
+    comments) must complete in linear-ish time.  This pin exists so a
+    future 'small fix' cannot quietly reintroduce an O(n^2) rescan: at
+    100 TB a quadratic extractor is a dead stage, not a slow one."""
+    import time
+
+    from esgopeta_spark.operators.web import extract_html_text
+
+    cases = [
+        "<" * 1_000_000,
+        "<a " * 300_000,
+        "&amp;" * 200_000,
+        "&nosemi" * 150_000,
+        "<p>x</p>" * 150_000,
+        "<!--" + "y" * 1_000_000,
+        "<div " + "a='b' " * 150_000 + ">t</div>",
+    ]
+    t0 = time.perf_counter()
+    for s in cases:
+        out = extract_html_text(s)
+        assert isinstance(out, str)
+    took = time.perf_counter() - t0
+    assert took < 20.0, f"pathological extraction took {took:.1f}s"
+
+
 # ---------------------------------------------------------------------------
 # link extraction + RFC 3986 resolution
 # ---------------------------------------------------------------------------
