@@ -104,6 +104,9 @@ HEADLINE = [
     "pipeline_html_to_shards",
     "ts_ewma_daily",
     "select_mixture_materialize",
+    # the r10 capstone: raw mixed WARC bytes -> HTTP unwrap -> sniff ->
+    # extract -> gate -> split/shard rollup, one lineage
+    "pipeline_crawl_to_shards",
 ]
 
 
