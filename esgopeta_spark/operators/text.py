@@ -34,6 +34,26 @@ STOPWORDS = {
 TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
+def unicode_nfc(col: Column) -> Column:
+    """Unicode NFC normalization (UAX #15) as an Arrow kernel — the
+    step a real pipeline runs BEFORE any fingerprint/dedup so 'café'
+    composed and decomposed hash identically.  The oracle twin is
+    DuckDB's ICU ``nfc_normalize`` — a genuinely INDEPENDENT second
+    implementation (Python unicodedata vs ICU, both UAX #15), the
+    strongest oracle shape in the repo after the closed forms."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if isinstance(t, str) else t
+        )
+
+    return _nfc(col)
+
+
 def words(col: Column) -> Column:
     """Whitespace tokens of normalized text (empty text -> empty array)."""
     n = normalize_text(col)

@@ -629,3 +629,45 @@ def pipeline_crawl_to_shards(spark, sf):
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
     )
+
+
+@register(
+    "text_unicode_nfc",
+    "G4",
+    r"""
+    WITH f AS (
+      SELECT doc_id,
+             'Cafe' || chr(769) || ' ' || coalesce(text, '') || ' A'
+               || chr(778) || ' ne' || chr(769) || 'e' AS raw
+      FROM documents
+    )
+    SELECT doc_id, nfc_normalize(raw) AS nfc_text,
+           CAST(length(raw) AS BIGINT) AS n_before,
+           CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_after
+    FROM f
+    """,
+    doc="Unicode NFC normalization (r10, UAX #15) — run before any "
+    "fingerprint/dedup so composed and decomposed forms hash "
+    "identically.  The fixture plants combining acute/ring sequences "
+    "around the corpus text; the Spark side normalizes with Python's "
+    "unicodedata, the oracle with DuckDB's ICU nfc_normalize — two "
+    "INDEPENDENT UAX #15 implementations must agree byte-for-byte "
+    "(restricted to stable Latin combining sequences, so Unicode "
+    "version drift cannot split them).  Plan: one Arrow kernel, "
+    "shuffle-free; operators/text.py unicode_nfc",
+)
+def text_unicode_nfc(spark, sf):
+    from esgopeta_spark.operators.text import unicode_nfc
+
+    raw = F.concat(
+        F.lit("Cafe\u0301 "),  # decomposed: e + combining acute
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" A\u030a ne\u0301e"),  # A + ring, e + acute
+    )
+    d = T(spark, sf, "documents").select("doc_id", raw.alias("raw"))
+    return d.select(
+        "doc_id",
+        unicode_nfc(F.col("raw")).alias("nfc_text"),
+        F.length("raw").cast("bigint").alias("n_before"),
+        F.length(unicode_nfc(F.col("raw"))).cast("bigint").alias("n_after"),
+    )
