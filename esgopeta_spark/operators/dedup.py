@@ -669,6 +669,105 @@ def portable_simhash_pairs_sql(max_hamming: int = 3, table: str = "documents") -
     """
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "title",
+    id_col: str = "doc_id",
+    max_dist: int = 2,
+) -> DataFrame:
+    """All pairs within Levenshtein distance ``max_dist`` — the
+    PassJoin partition pigeonhole (Li et al. 2011, public): split each
+    string into k+1 even segments; if edit(s,t) <= k, at least one
+    segment of s is untouched by every edit and appears VERBATIM in t,
+    shifted by at most k positions.  So the INDEX side emits its own
+    (segment_ordinal, own_length, segment) keys and the PROBE side
+    emits, for every candidate indexed length within +-k of its own and
+    every shift in [-k, k], the same-shaped substring keys — an EQUI
+    join on short string keys, never all-pairs.  Candidates are then
+    verified with the exact ``F.levenshtein`` (JVM codegen; the oracle
+    verifies with DuckDB's independent implementation).  Returns
+    (id_a, id_b, dist), id_a < id_b — exact and COMPLETE for strings of
+    length >= k+1 (every segment nonempty, so the pigeonhole holds);
+    shorter strings are EXCLUDED (an untouched segment of a length-2
+    string can be the empty string, which matches nothing — route
+    degenerate strings through exact_dedup instead).
+
+    Scale shape: (2k+1)^2 * (k+1) probe keys per row (75 at k=2) of
+    ~|s|/(k+1) chars, one equi shuffle, distinct on candidate pairs,
+    then the verify projection — linear in candidates.  The base
+    relation feeds both join sides: checkpointed once."""
+    k = int(max_dist)
+    nparts = k + 1
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_t"),
+        F.length(text_col).cast("bigint").alias("_L"),
+    ).filter(F.length(text_col) >= F.lit(nparts))
+    base = base.localCheckpoint()
+
+    def seg(i: int, ell, t, shift: int = 0):
+        # substring of t shaped like segment i of a length-`ell` string,
+        # shifted; Column.substr is 1-based
+        start = F.floor((ell * F.lit(i)) / F.lit(nparts)).cast("int")
+        nxt = F.floor((ell * F.lit(i + 1)) / F.lit(nparts)).cast("int")
+        plen = nxt - start
+        return start + F.lit(shift), plen, t.substr(start + F.lit(shift) + F.lit(1), plen)
+
+    idx = base.select(
+        "_id", "_t", "_L",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("i"), F.col("_L").alias("ell"),
+                    seg(i, F.col("_L"), F.col("_t"))[2].alias("p"),
+                )
+                for i in range(nparts)
+            ])
+        ).alias("key"),
+    ).select("_id", "_t", "_L", "key.i", "key.ell", "key.p")
+
+    probe_structs = []
+    for o in range(-k, k + 1):
+        ell = F.col("_L") + F.lit(o)
+        for i in range(nparts):
+            for d in range(-k, k + 1):
+                start, plen, sub = seg(i, ell, F.col("_t"), d)
+                probe_structs.append(
+                    F.struct(
+                        F.lit(i).alias("i"), ell.alias("ell"),
+                        # clamp invalid extractions to NULL so they never join
+                        F.when(
+                            (start >= 0) & (plen > 0) & (start + plen <= F.col("_L")),
+                            sub,
+                        ).alias("p"),
+                    )
+                )
+    probe = base.select(
+        "_id", "_t", "_L", F.explode(F.array(*probe_structs)).alias("key")
+    ).select("_id", "_t", "_L", "key.i", "key.ell", "key.p").filter(F.col("p").isNotNull())
+
+    cands = (
+        idx.alias("a")
+        .join(
+            probe.alias("b"),
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.ell") == F.col("b.ell"))
+            & (F.col("a.p") == F.col("b.p"))
+            & (F.col("a._id") != F.col("b._id")),
+        )
+        .select(
+            F.least(F.col("a._id"), F.col("b._id")).alias("id_a"),
+            F.greatest(F.col("a._id"), F.col("b._id")).alias("id_b"),
+            F.when(F.col("a._id") < F.col("b._id"), F.col("a._t")).otherwise(F.col("b._t")).alias("t_a"),
+            F.when(F.col("a._id") < F.col("b._id"), F.col("b._t")).otherwise(F.col("a._t")).alias("t_b"),
+        )
+        .distinct()
+    )
+    return cands.select(
+        "id_a", "id_b", F.levenshtein("t_a", "t_b").cast("int").alias("dist")
+    ).filter(F.col("dist") <= k)
+
+
 # ---------------------------------------------------------------------------
 # pair -> group clustering (connected components)
 # ---------------------------------------------------------------------------

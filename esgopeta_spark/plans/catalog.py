@@ -1288,6 +1288,53 @@ def dedup_simhash_pairs_portable(spark, sf):
 
 
 @register(
+    "dedup_fuzzy_titles",
+    "G2,E3",
+    r"""
+    WITH tdocs AS (
+      SELECT doc_id, 'quarterly report number ' || (doc_id % 1000) ||
+             CASE doc_id % 7 WHEN 0 THEN ' xx' WHEN 1 THEN ' x' ELSE '' END AS title
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.title, b.title) AS INTEGER) AS dist
+    FROM tdocs a JOIN tdocs b
+      ON a.doc_id < b.doc_id
+     AND abs(length(a.title) - length(b.title)) <= 2
+     AND levenshtein(a.title, b.title) <= 2
+    """,
+    doc="edit-distance fuzzy join (r10 — PassJoin partition pigeonhole, "
+    "Li et al. 2011): all title pairs within Levenshtein distance 2 via "
+    "an EQUI join on (segment ordinal, indexed length, segment string) "
+    "keys — one side indexes its own 3 even segments, the other probes "
+    "every +-2-shifted same-shaped substring for every candidate length "
+    "— then exact-verified with F.levenshtein.  The ORACLE is the "
+    "brute-force cross join with DuckDB's independent levenshtein, so "
+    "the hash compare proves BOTH full recall of the banding AND "
+    "agreement of two edit-distance implementations.  Fixture titles "
+    "share a long base with number + suffix variants (28k true pairs at "
+    "sf0.01).  Plan: checkpointed base, 75 probe keys/row, one equi "
+    "shuffle + distinct + verify projection — never all-pairs; "
+    "operators/dedup.py edit_distance_pairs",
+)
+def dedup_fuzzy_titles(spark, sf):
+    from esgopeta_spark.operators.dedup import edit_distance_pairs
+
+    did = F.col("doc_id")
+    titles = T(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("quarterly report number "),
+            (did % 1000).cast("string"),
+            F.when(did % 7 == 0, F.lit(" xx"))
+            .when(did % 7 == 1, F.lit(" x"))
+            .otherwise(F.lit("")),
+        ).alias("title"),
+    )
+    return edit_distance_pairs(titles)
+
+
+@register(
     "text_profile_docs",
     "G4",
     None,  # oracle SQL set in _TEXT_PROFILE_ORACLE below (long); see module bottom

@@ -84,6 +84,55 @@ def test_simhash_portable_finds_exact_copies(spark, sf_dir):
     assert all(r["hamming"] == 0 for r in pairs if r["id_b"] - r["id_a"] == 200000)
 
 
+def test_edit_distance_pairs_vs_bruteforce(spark):
+    """The PassJoin partition join must equal brute-force Levenshtein
+    exactly (recall AND precision) on an adversarial mini-corpus:
+    substitutions/insertions/deletions at every segment position,
+    unicode text, near-misses at distance 3, and long-disjoint
+    strings."""
+    from pyspark.sql import functions as F
+
+    from esgopeta_spark.operators.dedup import edit_distance_pairs
+
+    titles = [
+        "the quick brown fox jumps",      # base
+        "the quick brown fox jumpss",     # +1 at end
+        "Xhe quick brown fox jumps",      # sub at segment 0
+        "the quick brXwn fox jumps",      # sub at segment 1
+        "the quick brown fox juXps",      # sub at segment 2
+        "the quick brown fox ju",         # -3: distance 3, must NOT pair w/ base
+        "thequick brown fox jumps",       # -1 in segment 0
+        "café résumé naïve touché",       # unicode base
+        "cafe résumé naïve touché",       # 1 sub (é->e)
+        "completely different words here",
+    ]
+    rows = [(i, t) for i, t in enumerate(titles)]
+    df = spark.createDataFrame(rows, "doc_id: long, title: string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_pairs(df).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    want = {}
+    for i in range(len(titles)):
+        for j in range(i + 1, len(titles)):
+            d = lev(titles[i], titles[j])
+            if d <= 2:
+                want[(i, j)] = d
+    assert want, "fixture must contain true pairs"
+    assert got == want
+    assert (0, 5) not in got  # the distance-3 near-miss stays out
+
+
 def test_exact_dedup_keeps_lowest_id(spark, sf_dir):
     from esgopeta_spark.operators.dedup import exact_dedup, exact_dup_groups
 

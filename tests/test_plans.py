@@ -274,7 +274,8 @@ def test_portable_pairs_plan_posture(spark, sf_dir):
     no cartesian, no nested loop."""
     from esgopeta_spark.plans import REGISTRY
 
-    for entry in ("dedup_minhash_pairs_portable", "dedup_simhash_pairs_portable"):
+    for entry in ("dedup_minhash_pairs_portable", "dedup_simhash_pairs_portable",
+                  "dedup_fuzzy_titles"):
         p = plan_of(REGISTRY[entry].fn(spark, sf_dir))
         assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
         assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p, p
