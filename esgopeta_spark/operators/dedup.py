@@ -669,6 +669,64 @@ def portable_simhash_pairs_sql(max_hamming: int = 3, table: str = "documents") -
     """
 
 
+def edit_distance_keys(
+    df: DataFrame,
+    text_col: str = "title",
+    id_col: str = "doc_id",
+    max_dist: int = 2,
+) -> DataFrame:
+    """The PassJoin key projection shared by the batch self-join and
+    the streaming bucket handler: one row per (role, i, ell, p, _id,
+    _t) where role 1 = the string's own k+1 even segments (index side)
+    and role 2 = every +-k-shifted same-shaped substring for every
+    candidate indexed length (probe side).  Pure codegen, stream-safe
+    (no checkpoint here); strings shorter than k+1 are excluded (see
+    ``edit_distance_pairs``)."""
+    k = int(max_dist)
+    nparts = k + 1
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_t"),
+        F.length(text_col).cast("bigint").alias("_L"),
+    ).filter(F.length(text_col) >= F.lit(nparts))
+
+    def seg(i: int, ell, t, shift: int = 0):
+        # substring of t shaped like segment i of a length-`ell` string,
+        # shifted; Column.substr is 1-based
+        start = F.floor((ell * F.lit(i)) / F.lit(nparts)).cast("int")
+        nxt = F.floor((ell * F.lit(i + 1)) / F.lit(nparts)).cast("int")
+        plen = nxt - start
+        return start + F.lit(shift), plen, t.substr(start + F.lit(shift) + F.lit(1), plen)
+
+    structs = [
+        F.struct(
+            F.lit(1).alias("role"), F.lit(i).alias("i"), F.col("_L").alias("ell"),
+            seg(i, F.col("_L"), F.col("_t"))[2].alias("p"),
+        )
+        for i in range(nparts)
+    ]
+    for o in range(-k, k + 1):
+        ell = F.col("_L") + F.lit(o)
+        for i in range(nparts):
+            for d in range(-k, k + 1):
+                start, plen, sub = seg(i, ell, F.col("_t"), d)
+                structs.append(
+                    F.struct(
+                        F.lit(2).alias("role"), F.lit(i).alias("i"), ell.alias("ell"),
+                        # clamp invalid extractions to NULL so they never join
+                        F.when(
+                            (start >= 0) & (plen > 0) & (start + plen <= F.col("_L")),
+                            sub,
+                        ).alias("p"),
+                    )
+                )
+    return (
+        base.select("_id", "_t", F.explode(F.array(*structs)).alias("key"))
+        .select("_id", "_t", "key.role", "key.i", "key.ell", "key.p")
+        .filter(F.col("p").isNotNull())
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     text_col: str = "title",
@@ -696,55 +754,11 @@ def edit_distance_pairs(
     ~|s|/(k+1) chars, one equi shuffle, distinct on candidate pairs,
     then the verify projection — linear in candidates.  The base
     relation feeds both join sides: checkpointed once."""
+    keyed = edit_distance_keys(df, text_col, id_col, max_dist)
+    keyed = keyed.localCheckpoint()
     k = int(max_dist)
-    nparts = k + 1
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(text_col).alias("_t"),
-        F.length(text_col).cast("bigint").alias("_L"),
-    ).filter(F.length(text_col) >= F.lit(nparts))
-    base = base.localCheckpoint()
-
-    def seg(i: int, ell, t, shift: int = 0):
-        # substring of t shaped like segment i of a length-`ell` string,
-        # shifted; Column.substr is 1-based
-        start = F.floor((ell * F.lit(i)) / F.lit(nparts)).cast("int")
-        nxt = F.floor((ell * F.lit(i + 1)) / F.lit(nparts)).cast("int")
-        plen = nxt - start
-        return start + F.lit(shift), plen, t.substr(start + F.lit(shift) + F.lit(1), plen)
-
-    idx = base.select(
-        "_id", "_t", "_L",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("i"), F.col("_L").alias("ell"),
-                    seg(i, F.col("_L"), F.col("_t"))[2].alias("p"),
-                )
-                for i in range(nparts)
-            ])
-        ).alias("key"),
-    ).select("_id", "_t", "_L", "key.i", "key.ell", "key.p")
-
-    probe_structs = []
-    for o in range(-k, k + 1):
-        ell = F.col("_L") + F.lit(o)
-        for i in range(nparts):
-            for d in range(-k, k + 1):
-                start, plen, sub = seg(i, ell, F.col("_t"), d)
-                probe_structs.append(
-                    F.struct(
-                        F.lit(i).alias("i"), ell.alias("ell"),
-                        # clamp invalid extractions to NULL so they never join
-                        F.when(
-                            (start >= 0) & (plen > 0) & (start + plen <= F.col("_L")),
-                            sub,
-                        ).alias("p"),
-                    )
-                )
-    probe = base.select(
-        "_id", "_t", "_L", F.explode(F.array(*probe_structs)).alias("key")
-    ).select("_id", "_t", "_L", "key.i", "key.ell", "key.p").filter(F.col("p").isNotNull())
+    idx = keyed.filter(F.col("role") == 1)
+    probe = keyed.filter(F.col("role") == 2)
 
     cands = (
         idx.alias("a")

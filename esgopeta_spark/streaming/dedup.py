@@ -273,3 +273,105 @@ def streaming_simhash_pairs(
     return streaming_hamming_pairs(
         fp, max_hamming, max_bucket=max_bucket, max_age=max_age
     )
+
+
+EDIT_STATE_SCHEMA = StructType(
+    [
+        StructField("rows_json", StringType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+EDIT_PAIRS_SCHEMA = "id_a bigint, id_b bigint, dist int"
+
+
+def _make_edit_handler(max_dist: int, max_bucket: int):
+    import json as _json
+
+    def _lev(a: str, b: str) -> int:
+        if abs(len(a) - len(b)) > max_dist:
+            return max_dist + 1
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    def handler(key, pdfs, gstate):
+        # rows: (_id, _t, role); a doc may appear with both roles in one
+        # bucket (its own o=0/d=0 probe key equals its index key)
+        new: dict[int, tuple[str, int]] = {}
+        for pdf in pdfs:
+            for i, t, r in zip(pdf["_id"], pdf["_t"], pdf["role"]):
+                i = int(i)
+                prev = new.get(i)
+                new[i] = (t, (prev[1] if prev else 0) | int(r))
+        if not new:
+            return
+        import pandas as _pd
+
+        if gstate.exists:
+            st = gstate.get
+            res = {int(k): (v[0], int(v[1])) for k, v in _json.loads(st[0]).items()}
+            n_seen = int(st[1])
+        else:
+            res, n_seen = {}, 0
+        new = {i: v for i, v in new.items() if i not in res}
+        n_total = n_seen + len(new)
+        admit_n = max(max_bucket - len(res), 0) if max_bucket > 0 else len(new)
+        admit = dict(sorted(new.items())[:admit_n])
+        rows = []
+
+        def emit(ia, ta, ra, ib, tb, rb):
+            # a pair needs complementary roles (index meets probe)
+            if not ((ra & 1 and rb & 2) or (ra & 2 and rb & 1)):
+                return
+            d = _lev(ta, tb)
+            if d <= max_dist:
+                rows.append({"id_a": min(ia, ib), "id_b": max(ia, ib), "dist": d})
+
+        admitted = list(admit.items())
+        for j, (ib, (tb, rb)) in enumerate(admitted):
+            for ia, (ta, ra) in res.items():
+                emit(ia, ta, ra, ib, tb, rb)
+            for ia, (ta, ra) in admitted[:j]:
+                emit(ia, ta, ra, ib, tb, rb)
+        if len(admit) < len(new):
+            rows.append({"id_a": -1, "id_b": n_total, "dist": -1})
+        res.update(admit)
+        gstate.update((_json.dumps(res), n_total))
+        if rows:
+            yield _pd.DataFrame(rows)
+
+    return handler
+
+
+def streaming_edit_pairs(
+    docs: DataFrame,
+    text_col: str = "title",
+    id_col: str = "doc_id",
+    max_dist: int = 2,
+    max_bucket: int = 0,
+) -> DataFrame:
+    """Streaming twin of ``dedup.edit_distance_pairs`` (the PassJoin
+    fuzzy join): the batch key projection is shared verbatim
+    (``edit_distance_keys`` — stateless codegen), the self-join becomes
+    a stateful bucket handler keyed by (i, ell, p) whose residents are
+    (id, title, rolemask); arrivals pair against residents with
+    complementary roles and verify exact Levenshtein in the handler.
+    Distinct-set of emissions equals the batch output under any arrival
+    order (pinned in tests/test_streaming.py); a pair colliding in
+    several buckets is emitted once per bucket, like the batch join
+    before its distinct().  Same visible hot-bucket cap contract as the
+    MinHash twin (id_a=-1 marker, re-emitted per dropping batch)."""
+    from esgopeta_spark.operators.dedup import edit_distance_keys
+
+    keyed = edit_distance_keys(docs, text_col, id_col, max_dist)
+    return keyed.groupBy("i", "ell", "p").applyInPandasWithState(
+        _make_edit_handler(max_dist, max_bucket),
+        outputStructType=EDIT_PAIRS_SCHEMA,
+        stateStructType=EDIT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

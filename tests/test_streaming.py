@@ -1143,6 +1143,53 @@ def test_streaming_minhash_max_age_evicts_stale_resident(spark, tmp_path):
     assert any(a < 10 and b < 10 for a, b in pairs)
 
 
+def test_streaming_edit_pairs_match_batch(spark, tmp_path):
+    """Streaming PassJoin fuzzy pairs over multi-batch arrival must
+    equal the batch edit_distance_pairs output (the stateless key
+    projection is literally shared; this pins the stateful bucket
+    handler incl. the role-complementarity rule and the in-handler
+    Levenshtein verify) — near-dups planted ACROSS the batch boundary."""
+    from esgopeta_spark.operators.dedup import edit_distance_pairs
+    from esgopeta_spark.streaming.dedup import streaming_edit_pairs
+
+    base = [
+        (i, f"annual report volume {i % 9} draft")
+        for i in range(18)
+    ]
+    # cross-batch near-dups: same volume number, 1-2 edits
+    clones = [
+        (i + 1000, f"annual report volume {i % 9} drafX")
+        for i in range(9)
+    ] + [
+        (i + 2000, f"annual report volume {i % 9} draft x")
+        for i in range(4)
+    ]
+    all_docs = base + clones
+    df = spark.createDataFrame(all_docs, "doc_id: long, title: string")
+    want = {tuple(r) for r in edit_distance_pairs(df).collect()}
+    assert want, "fixture must produce true fuzzy pairs"
+
+    (spark.createDataFrame(base, "doc_id: long, title: string")
+     .coalesce(1).write.mode("overwrite").json(str(tmp_path / "ed") + "/b0"))
+    (spark.createDataFrame(clones, "doc_id: long, title: string")
+     .coalesce(1).write.mode("overwrite").json(str(tmp_path / "ed") + "/b1"))
+    stream = (
+        spark.readStream.schema("doc_id long, title string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "ed") + "/*")
+    )
+    run_stream_to_memory(
+        streaming_edit_pairs(stream), "editstream", mode="append"
+    )
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT DISTINCT id_a, id_b, dist FROM editstream WHERE id_a >= 0"
+        ).collect()
+    }
+    assert got == want
+
+
 def test_streaming_simhash_pairs_match_batch(spark, sf_dir, tmp_path):
     """Streaming Hamming-family near-dup must equal the batch
     banded_hamming_pairs output (verified pairs incl. distances) with
