@@ -601,6 +601,52 @@ def test_warc_route_stream_twin(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_url_dedup_first_wins(spark, tmp_path):
+    """Ingest-time URL-level dedup: canonicalize on the stream (shared
+    stateless kernel) then dropDuplicates on the canonical key — the
+    first syntactic variant of each resource survives, later refetches
+    of the same resource drop, across micro-batches."""
+    from pyspark.sql import functions as F
+
+    from esgopeta_spark.operators.web import synth_url_variants, url_canonicalize
+
+    b0 = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(synth_url_variants(F.col("id")), 1).alias("url"),
+    )
+    # batch 1: DIFFERENT variants of the same 10 resources + 5 new ones
+    b1 = spark.range(15).select(
+        (F.col("id") + 100).alias("doc_id"),
+        F.element_at(synth_url_variants(F.col("id")), 2).alias("url"),
+    )
+    (b0.coalesce(1).write.mode("overwrite").json(str(tmp_path / "ud") + "/b0"))
+    (b1.coalesce(1).write.mode("overwrite").json(str(tmp_path / "ud") + "/b1"))
+    stream = (
+        spark.readStream.schema("doc_id long, url string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "ud") + "/*")
+    )
+    q = (
+        url_canonicalize(stream)
+        .dropDuplicates(["url_canon"])
+        .writeStream.format("memory")
+        .queryName("urldedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT doc_id, url_canon FROM urldedup").collect()
+    assert len(rows) == 15  # 10 resources + 5 genuinely new
+    # the 10 shared resources kept their FIRST (batch-0) fetcher id
+    by_canon = {r["url_canon"]: r["doc_id"] for r in rows}
+    assert sum(1 for v in by_canon.values() if v < 100) == 10
+    assert sum(1 for v in by_canon.values() if v >= 100) == 5
+
+
 def test_url_canonicalize_stream_twin(spark, tmp_path):
     from pyspark.sql import functions as F
 
