@@ -753,7 +753,18 @@ def edit_distance_pairs(
     Scale shape: (2k+1)^2 * (k+1) probe keys per row (75 at k=2) of
     ~|s|/(k+1) chars, one equi shuffle, distinct on candidate pairs,
     then the verify projection — linear in candidates.  The base
-    relation feeds both join sides: checkpointed once."""
+    relation feeds both join sides: checkpointed once.
+
+    SKEW CAVEAT (r10-measured): a segment whose content is
+    CORPUS-CONSTANT (boilerplate prefixes — 'quarterly report ...' on
+    every title) is a useless signature: its bucket holds the whole
+    length class and the candidate set degenerates toward all-pairs
+    (31x growth sf0.01->sf0.1 on a shared-prefix fixture vs 2.2x on a
+    diverse one — SCALE.md r10).  The operator stays EXACT either way;
+    on real corpora with boilerplate title families, strip the shared
+    prefix first (one codegen projection) or derive segment boundaries
+    from corpus statistics — the same hot-key discipline as
+    line_dedup."""
     keyed = edit_distance_keys(df, text_col, id_col, max_dist)
     keyed = keyed.localCheckpoint()
     k = int(max_dist)

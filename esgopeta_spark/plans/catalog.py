@@ -1292,8 +1292,12 @@ def dedup_simhash_pairs_portable(spark, sf):
     "G2,E3",
     r"""
     WITH tdocs AS (
-      SELECT doc_id, 'quarterly report number ' || (doc_id % 1000) ||
-             CASE doc_id % 7 WHEN 0 THEN ' xx' WHEN 1 THEN ' x' ELSE '' END AS title
+      SELECT doc_id,
+             'sec ' || ((doc_id // 7) % 1000) || ' item ' || ((doc_id // 7) % 997)
+               || ' rev ' || ((doc_id // 7) % 991) ||
+             CASE doc_id % 7 WHEN 0 THEN '' WHEN 1 THEN ' x' WHEN 2 THEN ' xx'
+                  WHEN 3 THEN ' y' WHEN 4 THEN ' yy' WHEN 5 THEN ' z'
+                  ELSE ' zz' END AS title
       FROM documents
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1311,23 +1315,32 @@ def dedup_simhash_pairs_portable(spark, sf):
     "— then exact-verified with F.levenshtein.  The ORACLE is the "
     "brute-force cross join with DuckDB's independent levenshtein, so "
     "the hash compare proves BOTH full recall of the banding AND "
-    "agreement of two edit-distance implementations.  Fixture titles "
-    "share a long base with number + suffix variants (28k true pairs at "
-    "sf0.01).  Plan: checkpointed base, 75 probe keys/row, one equi "
-    "shuffle + distinct + verify projection — never all-pairs; "
-    "operators/dedup.py edit_distance_pairs",
+    "agreement of two edit-distance implementations.  Fixture: groups "
+    "of 7 docs share three group-derived numbers spread across all "
+    "three segments (every segment stays a SELECTIVE signature — the "
+    "r10-measured corpus-constant-prefix pathology is documented in "
+    "the operator docstring and SCALE.md) with 7 near-suffix variants.  "
+    "Plan: checkpointed base, 75 probe keys/row, one equi shuffle + "
+    "distinct + verify projection — never all-pairs on selective "
+    "segments; operators/dedup.py edit_distance_pairs",
 )
 def dedup_fuzzy_titles(spark, sf):
     from esgopeta_spark.operators.dedup import edit_distance_pairs
 
     did = F.col("doc_id")
+    g = F.expr("doc_id div 7")
     titles = T(spark, sf, "documents").select(
         "doc_id",
         F.concat(
-            F.lit("quarterly report number "),
-            (did % 1000).cast("string"),
-            F.when(did % 7 == 0, F.lit(" xx"))
-            .when(did % 7 == 1, F.lit(" x"))
+            F.lit("sec "), (g % 1000).cast("string"),
+            F.lit(" item "), (g % 997).cast("string"),
+            F.lit(" rev "), (g % 991).cast("string"),
+            F.when(did % 7 == 1, F.lit(" x"))
+            .when(did % 7 == 2, F.lit(" xx"))
+            .when(did % 7 == 3, F.lit(" y"))
+            .when(did % 7 == 4, F.lit(" yy"))
+            .when(did % 7 == 5, F.lit(" z"))
+            .when(did % 7 == 6, F.lit(" zz"))
             .otherwise(F.lit("")),
         ).alias("title"),
     )
