@@ -54,6 +54,34 @@ def unicode_nfc(col: Column) -> Column:
     return _nfc(col)
 
 
+def fold_accents(col: Column) -> Column:
+    """Aggressive dedup-key folding: NFD-decompose, drop combining
+    marks (category Mn), lowercase — 'Crème Brûlée' and 'creme brulee'
+    get one exact-dedup key, the multilingual-corpus companion to
+    :func:`unicode_nfc`.  Non-decomposable letters (ß, ø, æ) pass
+    through, matching the oracle twin ``lower(strip_accents(s))`` —
+    another genuinely independent implementation pair (Python
+    unicodedata NFD walk vs DuckDB ICU unaccent)."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _fold(s: pd.Series) -> pd.Series:
+        def one(t):
+            if not isinstance(t, str):
+                return t
+            return "".join(
+                c
+                for c in unicodedata.normalize("NFD", t)
+                if unicodedata.category(c) != "Mn"
+            ).lower()
+
+        return s.map(one)
+
+    return _fold(col)
+
+
 def words(col: Column) -> Column:
     """Whitespace tokens of normalized text (empty text -> empty array)."""
     n = normalize_text(col)

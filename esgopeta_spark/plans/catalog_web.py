@@ -671,3 +671,45 @@ def text_unicode_nfc(spark, sf):
         F.length("raw").cast("bigint").alias("n_before"),
         F.length(unicode_nfc(F.col("raw"))).cast("bigint").alias("n_after"),
     )
+
+
+@register(
+    "text_fold_accents",
+    "G1,G4",
+    r"""
+    WITH f AS (
+      SELECT doc_id,
+             'Cre' || chr(768) || 'me BRU' || chr(770) || 'LE' || chr(769)
+               || 'E ' || coalesce(text, '') || ' n' || chr(771) || 'ono '
+               || chr(223) || ' ' || chr(248) AS raw
+      FROM documents
+    )
+    SELECT doc_id, lower(strip_accents(raw)) AS folded,
+           CAST(length(raw) AS BIGINT) AS n_before,
+           CAST(length(lower(strip_accents(raw))) AS BIGINT) AS n_after
+    FROM f
+    """,
+    doc="accent-fold dedup keys (r10): NFD-decompose + drop combining "
+    "marks + lowercase, so 'Crème Brûlée' and 'creme brulee' share one "
+    "exact-dedup key — the multilingual companion to text_unicode_nfc, "
+    "with the same independent-implementation oracle shape: Python's "
+    "unicodedata NFD walk vs DuckDB's ICU strip_accents must agree "
+    "byte-for-byte (fixture plants decomposed combining sequences AND "
+    "the non-decomposable pass-through cases ss/oe).  Plan: one Arrow "
+    "kernel, shuffle-free; operators/text.py fold_accents",
+)
+def text_fold_accents(spark, sf):
+    from esgopeta_spark.operators.text import fold_accents
+
+    raw = F.concat(
+        F.lit("Cre\u0300me BRU\u0302LE\u0301E "),  # decomposed grave/circumflex/acute
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" n\u0303ono \u00df \u00f8"),  # combining tilde; ss/oe stay
+    )
+    d = T(spark, sf, "documents").select("doc_id", raw.alias("raw"))
+    return d.select(
+        "doc_id",
+        fold_accents(F.col("raw")).alias("folded"),
+        F.length("raw").cast("bigint").alias("n_before"),
+        F.length(fold_accents(F.col("raw"))).cast("bigint").alias("n_after"),
+    )
