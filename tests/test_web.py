@@ -647,6 +647,79 @@ def test_streaming_url_dedup_first_wins(spark, tmp_path):
     assert sum(1 for v in by_canon.values() if v >= 100) == 5
 
 
+def test_streaming_crawl_chain_matches_batch(spark, tmp_path):
+    """The FULL crawl chain on a stream: WARC blobs -> warc_html_text
+    (stateless fused kernel) -> length gate -> the streaming split/
+    shard twin.  Per-doc (split, shard) assignments must equal the
+    batch pipeline's for the gated html docs, with records arriving
+    over two micro-batches."""
+    from pyspark.sql import functions as F
+
+    from esgopeta_spark.operators.text import split_shards
+    from esgopeta_spark.operators.web import (
+        build_warc_record,
+        warc_html_text,
+    )
+    from esgopeta_spark.streaming.prep import streaming_split_shards
+
+    def blob(i):
+        if i % 3 == 0:
+            body = (
+                f"<html><body><p>document {i} carries a long enough body "
+                f"paragraph to clear the gate threshold</p></body></html>"
+            ).encode()
+        else:
+            body = b"\x89PNG\r\n\x1a\nnot really"  # non-html: dropped
+        return (i, build_warc_record(f"https://h{i}.com/", body))
+
+    rows = [blob(i) for i in range(24)]
+    df = spark.createDataFrame(rows, "doc_id: long, warc: binary")
+    batch_gated = (
+        warc_html_text(df)
+        .filter(F.length("clean_text") >= 40)
+        .select("doc_id")
+    )
+    want = {
+        (r["doc_id"], r["split"], r["shard"])
+        for r in split_shards(batch_gated).collect()
+    }
+    assert want and len(want) == 8  # the id%3==0 docs
+
+    (spark.createDataFrame(rows[:12], "doc_id: long, warc: binary")
+     .coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "cc") + "/b0"))
+    (spark.createDataFrame(rows[12:], "doc_id: long, warc: binary")
+     .coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "cc") + "/b1"))
+    stream = (
+        spark.readStream.schema("doc_id long, warc binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "cc") + "/*")
+    )
+    gated = (
+        warc_html_text(stream)
+        .filter(F.length("clean_text") >= 40)
+        .select("doc_id")
+    )
+    q = (
+        streaming_split_shards(gated)
+        .writeStream.format("memory")
+        .queryName("crawlchain")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180)
+    finally:
+        q.stop()
+    got = {
+        (r["doc_id"], r["split"], r["shard"])
+        for r in spark.sql(
+            "SELECT doc_id, split, shard FROM crawlchain"
+        ).collect()
+    }
+    assert got == want
+
+
 def test_url_canonicalize_stream_twin(spark, tmp_path):
     from pyspark.sql import functions as F
 
