@@ -713,3 +713,46 @@ def text_fold_accents(spark, sf):
         F.length("raw").cast("bigint").alias("n_before"),
         F.length(fold_accents(F.col("raw"))).cast("bigint").alias("n_after"),
     )
+
+
+@register(
+    "web_host_profile",
+    "G4,E4",
+    r"""
+    WITH d AS (
+      SELECT 'site' || (doc_id % 40) || '.example.com' AS host,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      FROM documents
+    )
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT norm) AS BIGINT) AS n_unique,
+           CAST(SUM(CASE WHEN len(string_split(norm, ' ')) >= 40
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+           CAST(SUM(len(string_split(norm, ' '))) AS BIGINT) AS sum_words
+    FROM d GROUP BY host
+    """,
+    doc="per-host corpus statistics (r10): doc count, distinct "
+    "normalized texts (the intra-host dup signal), long-doc count and "
+    "token volume per host — the aggregate every web pipeline computes "
+    "to drop whole spam/boilerplate domains before per-doc filtering "
+    "(CCNet/RefinedWeb-style domain triage).  Plan: one codegen "
+    "projection + one partial-aggregated groupBy on host (the crawl's "
+    "natural key); the distinct-text count is host-keyed, never "
+    "global",
+)
+def web_host_profile(spark, sf):
+    from esgopeta_spark.operators.dedup import normalize_text
+
+    did = F.col("doc_id")
+    d = T(spark, sf, "documents").select(
+        F.concat(F.lit("site"), (did % 40).cast("string"), F.lit(".example.com")).alias("host"),
+        normalize_text(F.col("text")).alias("norm"),
+    )
+    words = F.size(F.split(F.col("norm"), " "))
+    return d.groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("norm").cast("bigint").alias("n_unique"),
+        F.sum(F.when(words >= 40, 1).otherwise(0)).cast("bigint").alias("n_long"),
+        F.sum(words).cast("bigint").alias("sum_words"),
+    )
