@@ -702,3 +702,81 @@ def streaming_video_scenes(
         f"{id_col} bigint, n_frames bigint, n_cuts bigint, n_scenes bigint, "
         "max_cut_hamming bigint",
     )
+
+
+def streaming_nb_predict(
+    docs: DataFrame,
+    model_rows: list,
+    cls_rows: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Streaming twin of ``classify.nb_predict`` for the deployment
+    shape that occurs in practice: the NB model is TRAINED OFFLINE
+    (``classify.nb_train`` → collect the two bounded tables once) and
+    incoming docs are classified as they arrive — the CCNet langid-gate
+    shape.  One stateless Arrow pass with the model dicts in the
+    closure: append-mode safe, bit-equal to the batch scorer by
+    construction (identical integer arithmetic, md5 bucketing matches
+    Spark's md5 of the same UTF-8 text, argmax tie-break = score DESC
+    then label ASC; the normalization mirror shares
+    streaming_dsir_scores' ASCII-whitespace contract).
+
+    ``model_rows``: (label, bucket, lw_milli) tuples or Rows;
+    ``cls_rows``: (label, prior_milli, denom_milli) tuples or Rows."""
+    import hashlib as _hashlib
+    import re as _re
+
+    lw = {}
+    for r in model_rows:
+        if isinstance(r, (tuple, list)):
+            lab, b, v = r
+        else:
+            lab, b, v = r["label"], r["bucket"], r["lw_milli"]
+        lw[(lab, int(b))] = int(v)
+    cls = {}
+    for r in cls_rows:
+        if isinstance(r, (tuple, list)):
+            lab, pr, dn = r
+        else:
+            lab, pr, dn = r["label"], r["prior_milli"], r["denom_milli"]
+        cls[lab] = (int(pr), int(dn))
+    B = int(buckets)
+
+    def kernel(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                norm = _re.sub(r"\s+", " ", (text or "").lower().strip())
+                ws = norm.split(" ") if norm else []
+                counts = {}
+                for w in ws:
+                    b = int(_hashlib.md5(w.encode()).hexdigest()[:8], 16) % B
+                    counts[b] = counts.get(b, 0) + 1
+                best = None
+                for lab in sorted(cls):
+                    pr, dn = cls[lab]
+                    s = pr - len(ws) * dn
+                    for b, c in counts.items():
+                        s += c * lw.get((lab, b), 0)
+                    if best is None or s > best[1]:
+                        best = (lab, s)
+                if best is not None:
+                    rows.append(
+                        {
+                            id_col: int(did),
+                            "pred_label": best[0],
+                            "score_milli": best[1],
+                            "n_tokens": len(ws),
+                        }
+                    )
+            if rows:
+                yield _pd.DataFrame(rows)
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel,
+        f"{id_col} bigint, pred_label string, score_milli bigint, n_tokens bigint",
+    )

@@ -527,3 +527,18 @@ def test_keyed_recursion_plan_posture(spark, sf_dir):
         assert len(re.findall(r"\(\d+\) Exchange", p)) == 2, (name, p)
         assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, (name, p)
         assert "Join" not in p and "Window" not in p, (name, p)
+
+
+def test_nb_classifier_plan_posture(spark, sf_dir):
+    """NB language-ID: the model (C*B-bounded) must broadcast-hash-join
+    into the per-doc bucket counts; the only nested-loop nodes allowed
+    are the two bounded-side broadcasts (1-row doc total in training,
+    C-row class grid in scoring); no cartesian over data."""
+    import re
+
+    from esgopeta_spark.plans import REGISTRY
+
+    p = plan_of(REGISTRY["select_nb_langid"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) <= 2, p
+    assert "BroadcastHashJoin" in p, p

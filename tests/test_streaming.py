@@ -1516,3 +1516,34 @@ def test_streaming_video_scenes_matches_batch(spark, tmp_path):
     )
     got = {tuple(r) for r in spark.sql("SELECT * FROM vscenes").collect()}
     assert got == want and got
+
+
+def test_streaming_nb_predict_matches_batch(spark, sf_dir, tmp_path):
+    """Train the NB model on the batch corpus (even docs), classify the
+    odd docs as a stream: per-doc predictions must be bit-equal to the
+    batch argmax scorer."""
+    from esgopeta_spark.operators.classify import nb_predict, nb_train
+    from esgopeta_spark.streaming.prep import streaming_nb_predict
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    model, cls = nb_train(docs.filter("doc_id % 2 = 0"))
+    odd = docs.filter("doc_id % 2 = 1")
+    want = {
+        r["doc_id"]: (r["pred_label"], r["score_milli"], r["n_tokens"])
+        for r in nb_predict(odd, model, cls).collect()
+    }
+    odd.select("doc_id", "text").coalesce(2).write.mode("overwrite").parquet(
+        str(tmp_path / "docs")
+    )
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(tmp_path / "docs"))
+    run_stream_to_memory(
+        streaming_nb_predict(stream, model.collect(), cls.collect()),
+        "nbstream", mode="append",
+    )
+    got = {
+        r["doc_id"]: (r["pred_label"], r["score_milli"], r["n_tokens"])
+        for r in spark.sql("SELECT * FROM nbstream").collect()
+    }
+    assert got == want
