@@ -107,6 +107,9 @@ HEADLINE = [
     # the r10 capstone: raw mixed WARC bytes -> HTTP unwrap -> sniff ->
     # extract -> gate -> split/shard rollup, one lineage
     "pipeline_crawl_to_shards",
+    # late-r10: the trained-classifier curation stage (NB language-ID,
+    # engine-exact integer-log train->score->argmax)
+    "select_nb_langid",
 ]
 
 
