@@ -1237,3 +1237,120 @@ def synth_url_variants(doc_id_col: F.Column) -> F.Column:
         F.concat(F.lit("https://site"), sid, F.lit(".example.com/articles/"),
                  did, F.lit("?utm_campaign=x&page="), pg, F.lit("&")),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sitemaps (sitemaps.org protocol — the crawl frontier's seed source)
+# ---------------------------------------------------------------------------
+
+_SM_BLOCK_RX = re.compile(r"<(url|sitemap)\b[^>]*>(.*?)</\1\s*>", re.I | re.S)
+_SM_LOC_RX = re.compile(r"<loc\b[^>]*>(.*?)</loc", re.I | re.S)
+_SM_LASTMOD_RX = re.compile(r"<lastmod\b[^>]*>(.*?)</lastmod", re.I | re.S)
+_SM_PRIORITY_RX = re.compile(r"<priority\b[^>]*>(.*?)</priority", re.I | re.S)
+_SM_DATE_RX = re.compile(r"^\d{4}-\d{2}-\d{2}")
+_SM_PRI_VAL_RX = re.compile(r"^(\d+)(?:\.(\d+))?$")
+
+
+def _priority_milli(s: str) -> int:
+    """Sitemap <priority> (0.0–1.0 decimal string) as integer milli —
+    parsed digit-wise, never through a float (0.8*1000 is not exactly
+    800 in binary).  Absent/malformed -> the protocol default 0.5;
+    out-of-range clamps."""
+    m = _SM_PRI_VAL_RX.match((s or "").strip())
+    if m is None:
+        return 500
+    v = int(m.group(1)) * 1000 + int((m.group(2) or "")[:3].ljust(3, "0"))
+    return 0 if v < 0 else (1000 if v > 1000 else v)
+
+
+def parse_sitemap(text: str) -> list[tuple[str, str, str, int]]:
+    """sitemap.xml -> [(kind, loc, lastmod, priority_milli)] in document
+    order; kind is 'url' (<urlset> entry) or 'sitemap' (<sitemapindex>
+    entry — the recursion frontier).  A scanning parser in the house
+    extractor style (sitemaps are machine-written, but crawled ones are
+    still wild): case-insensitive tags, <loc> entity-decoded + trimmed,
+    entries without a loc dropped, <lastmod> kept as its leading
+    YYYY-MM-DD if present (else ''), <priority> via
+    :func:`_priority_milli`.  Total on any str — malformed input
+    degrades to fewer entries, never raises."""
+    out: list[tuple[str, str, str, int]] = []
+    if not isinstance(text, str):
+        return out
+    for m in _SM_BLOCK_RX.finditer(text):
+        kind, body = m.group(1).lower(), m.group(2)
+        locm = _SM_LOC_RX.search(body)
+        if locm is None:
+            continue
+        loc = decode_entities(locm.group(1)).strip()
+        if not loc:
+            continue
+        lm = _SM_LASTMOD_RX.search(body)
+        lastmod = ""
+        if lm is not None:
+            dm = _SM_DATE_RX.match(lm.group(1).strip())
+            if dm is not None:
+                lastmod = dm.group(0)
+        pm = _SM_PRIORITY_RX.search(body)
+        pri = _priority_milli(pm.group(1)) if pm is not None else 500
+        out.append((kind, loc, lastmod, pri))
+    return out
+
+
+def sitemap_entries(
+    df: DataFrame, xml_col: str = "sitemap_xml", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, entries[]) — parsed sitemap entries as an array column the
+    caller posexplodes (the link_edges shape).  One stateless Arrow
+    kernel; batch and streams share it."""
+
+    @F.pandas_udf(
+        "array<struct<kind: string, loc: string, lastmod: string, priority_milli: int>>"
+    )
+    def _entries(xml: pd.Series) -> pd.Series:
+        return xml.map(parse_sitemap)
+
+    return df.select(F.col(id_col), _entries(F.col(xml_col)).alias("entries"))
+
+
+def synth_sitemap(doc_id_col: F.Column) -> F.Column:
+    """Deterministic fixture sitemap per doc, pure codegen (the
+    encoder-twin pattern): docs with id % 5 == 0 are a <sitemapindex>
+    (two child sitemaps, lastmod on the first only); all others a
+    <urlset> with two <url> entries — the first carries an entity-
+    escaped query (&amp;), uppercase scheme/host + default port (so the
+    frontier chain exercises canonicalization), a lastmod and a
+    priority '0.{id%10}'; the second is a bare whitespace-padded loc
+    (defaults: lastmod '', priority 500).  The oracle recomputes every
+    parsed field in closed form from the id arithmetic."""
+    did = doc_id_col.cast("string")
+    sid = (doc_id_col % F.lit(40)).cast("string")
+    pg = (doc_id_col % F.lit(7)).cast("string")
+    mm = F.lpad(((doc_id_col % F.lit(12)) + 1).cast("string"), 2, "0")
+    dd = F.lpad(((doc_id_col % F.lit(28)) + 1).cast("string"), 2, "0")
+    pri = (doc_id_col % F.lit(10)).cast("string")
+    host_uc = F.concat(F.lit("SITE"), sid, F.lit(".EXAMPLE.COM:443"))
+    host = F.concat(F.lit("site"), sid, F.lit(".example.com"))
+    urlset = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?>\n'
+              '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+              " <url><loc>HTTPS://"),
+        host_uc,
+        F.lit("/articles/"), did, F.lit("?page="), pg,
+        F.lit("&amp;ref=sm</loc>\n  <lastmod>2024-"), mm, F.lit("-"), dd,
+        F.lit("T09:30:00+00:00</lastmod>\n  <priority>0."), pri,
+        F.lit("</priority>\n </url>\n <url>\n  <loc>\n    https://"),
+        host,
+        F.lit("/a/"), did,
+        F.lit("\n  </loc>\n </url>\n</urlset>\n"),
+    )
+    index = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?>\n'
+              '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+              " <sitemap><loc>https://"),
+        host,
+        F.lit("/sitemap1.xml</loc><lastmod>2024-"), mm, F.lit("-"), dd,
+        F.lit("</lastmod></sitemap>\n <sitemap><loc>https://"),
+        host,
+        F.lit("/sitemap2.xml</loc></sitemap>\n</sitemapindex>\n"),
+    )
+    return F.when(doc_id_col % 5 == 0, index).otherwise(urlset)

@@ -756,3 +756,161 @@ def web_host_profile(spark, sf):
         F.sum(F.when(words >= 40, 1).otherwise(0)).cast("bigint").alias("n_long"),
         F.sum(words).cast("bigint").alias("sum_words"),
     )
+
+
+# --- sitemaps (late-r10): the frontier's seed source ------------------------
+
+
+@register(
+    "web_sitemap_extract",
+    "G4",
+    r"""
+    WITH b AS (
+      SELECT doc_id,
+             doc_id % 40 AS h, doc_id % 7 AS pg,
+             lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') AS mm,
+             lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS dd,
+             doc_id % 10 AS pr
+      FROM documents
+    ), e AS (
+      SELECT doc_id, 0 AS ord, 'sitemap' AS kind,
+             'https://site' || h || '.example.com/sitemap1.xml' AS loc,
+             '2024-' || mm || '-' || dd AS lastmod, 500 AS priority_milli
+      FROM b WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id, 1, 'sitemap',
+             'https://site' || h || '.example.com/sitemap2.xml', '', 500
+      FROM b WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id, 0, 'url',
+             'HTTPS://SITE' || h || '.EXAMPLE.COM:443/articles/' || doc_id
+               || '?page=' || pg || '&ref=sm',
+             '2024-' || mm || '-' || dd, pr * 100
+      FROM b WHERE doc_id % 5 <> 0
+      UNION ALL
+      SELECT doc_id, 1, 'url',
+             'https://site' || h || '.example.com/a/' || doc_id, '', 500
+      FROM b WHERE doc_id % 5 <> 0
+    )
+    SELECT doc_id, CAST(ord AS INTEGER) AS ord, kind, loc, lastmod,
+           CAST(priority_milli AS INTEGER) AS priority_milli
+    FROM e
+    """,
+    doc="sitemap.xml parsing (late-r10, sitemaps.org protocol — the "
+    "frontier's seed source completing robots+scheduling): synthesize a "
+    "fixture sitemap per doc in codegen (docs with id%5==0 a "
+    "<sitemapindex>, others a <urlset> with an entity-escaped loc, "
+    "lastmod, decimal priority, plus a bare whitespace-padded loc), "
+    "then run the REAL scanning parser: case-insensitive url/sitemap "
+    "blocks, loc entity-decode+trim, lastmod leading YYYY-MM-DD, "
+    "priority parsed digit-wise to integer milli (never through a "
+    "float), protocol defaults.  Oracle recomputes every parsed field "
+    "in closed form from the id arithmetic (encoder-twin pattern).  "
+    "Plan: one codegen synth + one Arrow kernel + posexplode, "
+    "shuffle-free; operators/web.py parse_sitemap",
+)
+def web_sitemap_extract(spark, sf):
+    from esgopeta_spark.operators.web import sitemap_entries, synth_sitemap
+
+    d = T(spark, sf, "documents").select(
+        "doc_id", synth_sitemap(F.col("doc_id")).alias("sitemap_xml")
+    )
+    return (
+        sitemap_entries(d)
+        .select("doc_id", F.posexplode("entries").alias("ord", "ent"))
+        .select(
+            "doc_id",
+            F.col("ord").cast("int").alias("ord"),
+            F.col("ent.kind").alias("kind"),
+            F.col("ent.loc").alias("loc"),
+            F.col("ent.lastmod").alias("lastmod"),
+            F.col("ent.priority_milli").alias("priority_milli"),
+        )
+    )
+
+
+@register(
+    "pipeline_crawl_frontier",
+    "G4,E5",
+    r"""
+    WITH b AS (
+      SELECT doc_id, doc_id % 40 AS h, doc_id % 7 AS pg
+      FROM documents WHERE doc_id % 5 <> 0
+    ), u AS (
+      SELECT doc_id, 'site' || h || '.example.com' AS host,
+             'https://site' || h || '.example.com/articles/' || doc_id
+               || '?page=' || pg || '&ref=sm' AS url_canon
+      FROM b WHERE h % 2 = 0 AND doc_id % 10 <> 7
+      UNION ALL
+      SELECT doc_id, 'site' || h || '.example.com',
+             'https://site' || h || '.example.com/a/' || doc_id
+      FROM b
+    ), r AS (
+      SELECT doc_id, host, url_canon,
+             ROW_NUMBER() OVER (PARTITION BY host
+                                ORDER BY url_canon, doc_id) AS rn
+      FROM u
+    )
+    SELECT doc_id, host, url_canon,
+           CAST((rn - 1) // 4 AS BIGINT) AS fetch_wave,
+           CAST((rn - 1) % 4 AS INTEGER) AS slot
+    FROM r
+    """,
+    doc="fused crawl FRONTIER pipeline (late-r10): sitemap parse -> url "
+    "entries -> canonicalization (the synth's uppercase scheme/host + "
+    ":443 + entity-escaped query must collapse to the closed-form "
+    "canonical) -> RFC 9309 robots gate on the host/path DERIVED FROM "
+    "the canonical url (even hosts' *7$ article block, odd hosts' "
+    "agent-group /articles/ block — the /a/ entries pass both) -> "
+    "per-host politeness (fetch_wave, slot), ONE lineage.  The "
+    "discovery half of the crawl loop, joining pipeline_crawl_to_shards "
+    "(the ingest half).  Plan: synth + two Arrow kernels + explode, "
+    "then exactly one shuffle — the host-keyed schedule window, the "
+    "frontier's natural 100 TB partitioning; operators/web.py "
+    "parse_sitemap/canonicalize_url/robots_allows",
+)
+def pipeline_crawl_frontier(spark, sf):
+    from pyspark.sql.window import Window
+
+    from esgopeta_spark.operators.web import (
+        robots_filter,
+        sitemap_entries,
+        synth_sitemap,
+        url_canonicalize,
+    )
+
+    did = F.col("doc_id")
+    d = T(spark, sf, "documents").select(
+        "doc_id", synth_sitemap(did).alias("sitemap_xml")
+    )
+    urls = (
+        sitemap_entries(d)
+        .select("doc_id", F.explode("entries").alias("ent"))
+        .filter(F.col("ent.kind") == "url")
+        .select("doc_id", F.col("ent.loc").alias("url"))
+    )
+    u = url_canonicalize(urls).select(
+        "doc_id",
+        "url_canon",
+        F.regexp_extract("url_canon", r"^[a-z]+://([^/]+)", 1).alias("host"),
+        F.regexp_extract("url_canon", r"^[a-z]+://[^/]+([^?#]*)", 1).alias("path"),
+        F.when((F.col("doc_id") % 40) % 2 == 0, F.lit(_ROBOTS_EVEN))
+        .otherwise(F.lit(_ROBOTS_ODD))
+        .alias("robots"),
+    )
+    allowed = (
+        robots_filter(u)
+        .filter(F.col("allowed") == 1)
+        .select("doc_id", "host", "url_canon")
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("url_canon").asc(), F.col("doc_id").asc()
+    )
+    rn = F.row_number().over(w) - 1
+    return allowed.select(
+        "doc_id",
+        "host",
+        "url_canon",
+        (rn / 4).cast("bigint").alias("fetch_wave"),
+        (rn % 4).cast("int").alias("slot"),
+    )

@@ -758,3 +758,97 @@ def test_url_canonicalize_stream_twin(spark, tmp_path):
         for r in spark.sql("SELECT * FROM urlstream").collect()
     }
     assert got == want
+
+
+def test_parse_sitemap_matrix():
+    """sitemaps.org parsing: urlset/sitemapindex blocks, entity-decoded
+    trimmed locs, lastmod date prefix, digit-wise priority milli,
+    protocol defaults, loc-less entries dropped."""
+    from esgopeta_spark.operators.web import _priority_milli, parse_sitemap
+
+    got = parse_sitemap(
+        '<?xml version="1.0"?><urlset xmlns="x">\n'
+        "<url><loc> https://a.com/p?x=1&amp;y=2 </loc>"
+        "<lastmod>2024-03-09T12:00:00+00:00</lastmod>"
+        "<priority>0.8</priority></url>\n"
+        "<URL><LOC>https://b.com/</LOC></URL>\n"
+        "<url><lastmod>2024-01-01</lastmod></url>\n"  # no loc -> dropped
+        "<url><loc></loc></url></urlset>"  # empty loc -> dropped
+    )
+    assert got == [
+        ("url", "https://a.com/p?x=1&y=2", "2024-03-09", 800),
+        ("url", "https://b.com/", "", 500),
+    ]
+    assert parse_sitemap(
+        "<sitemapindex><sitemap><loc>https://a.com/s1.xml</loc>"
+        "<lastmod>bogus</lastmod></sitemap></sitemapindex>"
+    ) == [("sitemap", "https://a.com/s1.xml", "", 500)]
+    # priority: digit-wise (never through a float), clamped, defaulted
+    assert _priority_milli("0.8") == 800
+    assert _priority_milli("0.123456") == 123
+    assert _priority_milli("1.0") == 1000
+    assert _priority_milli("7") == 1000
+    assert _priority_milli("") == 500
+    assert _priority_milli("high") == 500
+
+
+def test_parse_sitemap_total_fuzz():
+    """parse_sitemap is TOTAL: random garbage, truncations, and
+    mutations of a valid sitemap return a list, never raise."""
+    import random
+
+    from esgopeta_spark.operators.web import parse_sitemap
+
+    rng = random.Random(0x51733)
+    base = (
+        '<urlset><url><loc>https://a.com/?q=1&amp;r=2</loc>'
+        "<lastmod>2024-05-06</lastmod><priority>0.5</priority></url>"
+        "<url><loc>https://b.com/x</loc></url></urlset>"
+    )
+    for trial in range(300):
+        kind = trial % 3
+        if kind == 0:
+            s = "".join(
+                rng.choice('<>&;="\'ab c/!?#-\n\t%') for _ in range(rng.randrange(0, 120))
+            )
+        elif kind == 1:
+            s = base[: rng.randrange(0, len(base))]
+        else:
+            b = list(base)
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] = rng.choice('<>&;x "')
+            s = "".join(b)
+        out = parse_sitemap(s)
+        assert isinstance(out, list)
+        for kind_, loc, lastmod, pri in out:
+            assert kind_ in ("url", "sitemap") and isinstance(loc, str)
+            assert isinstance(lastmod, str) and 0 <= pri <= 1000
+
+
+def test_crawl_frontier_chain_semantics(spark, sf_dir):
+    """The fused frontier entry's gate logic end-to-end on real parsed
+    urls: /articles/ ids ending in 7 blocked on even hosts, ALL
+    /articles/ blocked for this agent on odd hosts, /a/ passes both;
+    every url canonical (lowercase scheme/host, :443 stripped, entity
+    decoded); waves pack 4 slots per host."""
+    from esgopeta_spark.plans import REGISTRY
+
+    rows = REGISTRY["pipeline_crawl_frontier"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        url, did = r["url_canon"], r["doc_id"]
+        h = did % 40
+        assert url.startswith("https://site") and ":443" not in url
+        assert "&amp;" not in url and "EXAMPLE" not in url
+        if "/articles/" in url:
+            assert h % 2 == 0 and did % 10 != 7, r
+        else:
+            assert f"/a/{did}" in url, r
+        assert 0 <= r["slot"] < 4
+    # wave packing: per host, slot counts fill 4 before a new wave opens
+    per_host: dict = {}
+    for r in rows:
+        per_host.setdefault(r["host"], []).append((r["fetch_wave"], r["slot"]))
+    for host, ws in per_host.items():
+        n = len(ws)
+        assert sorted(ws) == [(i // 4, i % 4) for i in range(n)], host
