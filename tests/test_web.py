@@ -852,3 +852,35 @@ def test_crawl_frontier_chain_semantics(spark, sf_dir):
     for host, ws in per_host.items():
         n = len(ws)
         assert sorted(ws) == [(i // 4, i % 4) for i in range(n)], host
+
+
+def test_sitemap_entries_stream_twin(spark, tmp_path):
+    """sitemap_entries is a stateless Arrow kernel, so the stream twin
+    IS the batch operator on a streaming frame — parsed entry arrays
+    bit-equal to batch over multi-file arrival."""
+    from pyspark.sql import functions as F
+
+    from esgopeta_spark.operators.web import sitemap_entries, synth_sitemap
+
+    d = spark.range(0, 40).select(
+        F.col("id").alias("doc_id"), synth_sitemap(F.col("id")).alias("sitemap_xml")
+    )
+    want = {r["doc_id"]: r["entries"] for r in sitemap_entries(d).collect()}
+    d.coalesce(2).write.mode("overwrite").parquet(str(tmp_path / "sm"))
+    stream = spark.readStream.schema("doc_id long, sitemap_xml string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(tmp_path / "sm"))
+    q = (
+        sitemap_entries(stream)
+        .writeStream.format("memory")
+        .queryName("smstream")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["doc_id"]: r["entries"]
+        for r in spark.sql("SELECT * FROM smstream").collect()
+    }
+    assert got == want
