@@ -1354,3 +1354,151 @@ def synth_sitemap(doc_id_col: F.Column) -> F.Column:
         F.lit("/sitemap2.xml</loc></sitemap>\n</sitemapindex>\n"),
     )
     return F.when(doc_id_col % 5 == 0, index).otherwise(urlset)
+
+
+# ---------------------------------------------------------------------------
+# Anchor text (the classic per-target relevance/quality signal)
+# ---------------------------------------------------------------------------
+
+
+def _strip_tags_collapse(s: str) -> str:
+    """Inner-markup -> text: drop <...> tags (quote-aware, same scan as
+    the extractor), entity-decode, collapse ASCII whitespace."""
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "<":
+            q = None
+            i += 1
+            while i < n:
+                ch = s[i]
+                if q:
+                    if ch == q:
+                        q = None
+                elif ch in "\"'":
+                    q = ch
+                elif ch == ">":
+                    break
+                i += 1
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return re.sub(r"[ \t\n\r\f\v]+", " ", decode_entities("".join(out))).strip()
+
+
+def extract_anchors(html: str) -> list[tuple[str, str]]:
+    """(href, anchor_text) pairs, document order — href exactly as
+    :func:`extract_links` reports it (same scanner, same multiplicity,
+    pinned in pytest), anchor_text = the inner markup up to the next
+    ``</a`` with tags stripped, entities decoded, ASCII whitespace
+    collapsed ('' for unterminated anchors).  The scan position
+    advances past the OPEN tag only (matching extract_links), so a
+    nested anchor still yields its own entry; the outer's text then
+    includes the nested text — the browser auto-close approximation,
+    documented.  Total on any str."""
+    out: list[tuple[str, str]] = []
+    lower = html.lower()
+    i, n = 0, len(html)
+    while True:
+        i = lower.find("<a", i)
+        if i < 0:
+            break
+        j = i + 2
+        if j < n and (html[j].isalnum() or html[j] in "-:"):
+            i = j
+            continue
+        q, e = None, j
+        while e < n:
+            c = html[e]
+            if q:
+                if c == q:
+                    q = None
+            elif c in "\"'":
+                q = c
+            elif c == ">":
+                break
+            e += 1
+        if e >= n:
+            break
+        attrs = html[j:e]
+        m = re.search(
+            r"""href\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", attrs, re.IGNORECASE
+        )
+        if m:
+            href = decode_entities(m.group(2) or m.group(3) or m.group(4) or "")
+            close = lower.find("</a", e + 1)
+            text = _strip_tags_collapse(html[e + 1 : close]) if close >= 0 else ""
+            out.append((href, text))
+        i = e + 1
+    return out
+
+
+def anchor_edges(
+    df: DataFrame,
+    html_col: str = "html",
+    base_col: str = "base_url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, base, html) -> one row per out-link with its anchor text:
+    (id, href, url_canon, atext) — the link_edges projection plus the
+    per-edge relevance signal.  One Arrow kernel + codegen explode;
+    stateless (stream-safe)."""
+
+    @F.pandas_udf("array<struct<href: string, url: string, atext: string>>")
+    def _anchors(html: pd.Series, base: pd.Series) -> pd.Series:
+        def one(h, b):
+            if not isinstance(h, str):
+                return []
+            b = b if isinstance(b, str) else ""
+            return [
+                {"href": l, "url": canonicalize_url(resolve_url(b, l)), "atext": t}
+                for l, t in extract_anchors(h)
+            ]
+
+        return pd.Series([one(h, b) for h, b in zip(html, base)])
+
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(_anchors(F.col(html_col), F.col(base_col))).alias("lk"),
+        )
+        .select(id_col, "lk.href", F.col("lk.url").alias("url_canon"),
+                F.col("lk.atext").alias("atext"))
+    )
+
+
+def anchor_target_profile(edges: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-target anchor profile over an (id, url_canon, atext) edge
+    table: in-link count, distinct source docs, total anchor tokens,
+    and the modal anchor text (count DESC, text ASC — deterministic).
+    Two aggregations + one window, ALL keyed by url_canon, so the
+    shuffle exchange is planned once and reused — the natural
+    per-target partitioning a 100 TB link table would already have.
+    The edge relation feeds BOTH aggregates, and the two exchanges
+    differ, so without a cut the extraction kernel runs twice (the
+    banded_signatures / dsir_scores lesson): localCheckpoint it once —
+    values bit-identical."""
+    from pyspark.sql.window import Window
+
+    edges = edges.localCheckpoint()
+    prof = edges.groupBy("url_canon").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_links"),
+        F.countDistinct(id_col).cast("bigint").alias("n_src"),
+        F.sum(
+            F.when(F.length("atext") == 0, F.lit(0)).otherwise(
+                F.size(F.split("atext", " "))
+            )
+        ).cast("bigint").alias("anchor_tokens"),
+    )
+    tops = edges.groupBy("url_canon", "atext").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("url_canon").orderBy(
+        F.col("c").desc(), F.col("atext").asc()
+    )
+    top1 = (
+        tops.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("url_canon", F.col("atext").alias("top_anchor"))
+    )
+    return prof.join(top1, "url_canon")

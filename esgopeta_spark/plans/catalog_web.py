@@ -914,3 +914,78 @@ def pipeline_crawl_frontier(spark, sf):
         (rn / 4).cast("bigint").alias("fetch_wave"),
         (rn % 4).cast("int").alias("slot"),
     )
+
+
+@register(
+    "web_anchor_profile",
+    "G4,E4",
+    r"""
+    WITH d AS (
+      SELECT doc_id, doc_id % 40 AS h, doc_id % 11 AS k, doc_id % 13 AS m
+      FROM documents
+    ), e AS (
+      SELECT doc_id,
+             'https://site' || h || '.example.com/top/t' || k AS url_canon,
+             CASE WHEN doc_id % 2 = 0 THEN 'Topic ' || k || ' guide'
+                  ELSE 'Topic ' || k || ' q&a' END AS atext
+      FROM d
+      UNION ALL
+      SELECT doc_id,
+             'https://site' || h || '.example.com/other/' || m || '.html',
+             'other ' || m
+      FROM d
+    ), prof AS (
+      SELECT url_canon,
+             CAST(count(*) AS BIGINT) AS n_links,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_src,
+             CAST(sum(CASE WHEN atext = '' THEN 0
+                           ELSE len(string_split(atext, ' ')) END) AS BIGINT)
+               AS anchor_tokens
+      FROM e GROUP BY url_canon
+    ), tops AS (
+      SELECT url_canon, atext, count(*) AS c FROM e GROUP BY url_canon, atext
+    ), top1 AS (
+      SELECT url_canon, atext AS top_anchor,
+             ROW_NUMBER() OVER (PARTITION BY url_canon
+                                ORDER BY c DESC, atext ASC) AS rn
+      FROM tops
+    )
+    SELECT prof.url_canon, prof.n_links, prof.n_src, prof.anchor_tokens,
+           top1.top_anchor
+    FROM prof JOIN top1 USING (url_canon) WHERE top1.rn = 1
+    """,
+    doc="per-target anchor-text profiles (late-r10) — the classic web "
+    "relevance/quality signal (in-degree + what the web CALLS a page): "
+    "synthesize a fixture page per doc whose two anchors carry nested "
+    "tags, an entity (&amp;), raw whitespace, and a parity-split text "
+    "variant; run the REAL anchor scanner (href multiplicity identical "
+    "to extract_links, inner text tag-stripped/entity-decoded/"
+    "collapsed), resolve+canonicalize each edge, then aggregate per "
+    "target: in-link count, distinct sources, total anchor tokens, "
+    "modal anchor text (count DESC, text ASC).  Oracle rebuilds the "
+    "edge table from the id arithmetic in closed form and aggregates "
+    "identically.  Plan: one kernel explode localCheckpointed once "
+    "(dual-consumer lesson), both aggregates + the modal window keyed "
+    "by url_canon; operators/web.py extract_anchors/"
+    "anchor_target_profile",
+)
+def web_anchor_profile(spark, sf):
+    from esgopeta_spark.operators.web import anchor_edges, anchor_target_profile
+
+    did = F.col("doc_id")
+    k = (did % 11).cast("string")
+    m = (did % 13).cast("string")
+    html = F.concat(
+        F.lit('<div><a href="/top/t'), k, F.lit('">Topic <b>'), k,
+        F.when(did % 2 == 0, F.lit("</b> guide")).otherwise(
+            F.lit("</b>\n q&amp;a")
+        ),
+        F.lit('</a><a href="../other/'), m,
+        F.lit('.html">  other\n '), m, F.lit(" </a></div>"),
+    )
+    d = T(spark, sf, "documents").select(
+        "doc_id", _seed_url(did).alias("base_url"), html.alias("html")
+    )
+    return anchor_target_profile(anchor_edges(d)).select(
+        "url_canon", "n_links", "n_src", "anchor_tokens", "top_anchor"
+    )

@@ -543,3 +543,20 @@ def test_nb_classifier_plan_posture(spark, sf_dir):
     assert "CartesianProduct" not in p, p
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) <= 2, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_anchor_profile_plan_posture(spark, sf_dir):
+    """Anchor-target profiles: the extraction kernel must run ONCE (the
+    dual-consumer edge relation is localCheckpointed — both branches
+    scan the same RDD), the modal-anchor window carries a
+    WindowGroupLimit (rank pushdown, no full per-target sort spill),
+    and the profile/modal join stays equi — no cartesian, no BNLJ."""
+    import re
+
+    from esgopeta_spark.plans import REGISTRY
+
+    p = plan_of(REGISTRY["web_anchor_profile"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    rdds = re.findall(r"MapPartitionsRDD\[\d+\]", p)
+    assert len(rdds) == 2 and len(set(rdds)) == 1, rdds
+    assert "WindowGroupLimit" in p, p

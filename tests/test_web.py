@@ -884,3 +884,59 @@ def test_sitemap_entries_stream_twin(spark, tmp_path):
         for r in spark.sql("SELECT * FROM smstream").collect()
     }
     assert got == want
+
+
+def test_extract_anchors_matrix():
+    """Anchor scanner: href multiplicity IDENTICAL to extract_links
+    (same scanner — pinned), inner text tag-stripped (quote-aware),
+    entity-decoded, whitespace-collapsed; unterminated anchors keep the
+    edge with '' text; nested anchors auto-close at the first </a>."""
+    from esgopeta_spark.operators.web import extract_anchors, extract_links
+
+    h = (
+        '<p><a href="/x?a=1&amp;b=2">Topic <b>7</b>\n q&amp;a</a>'
+        "<a href='y'>t</a><a href=z>open"
+    )
+    got = extract_anchors(h)
+    assert got == [("/x?a=1&b=2", "Topic 7 q&a"), ("y", "t"), ("z", "")]
+    assert [a for a, _ in got] == extract_links(h)
+    assert extract_anchors('<a href="/o"> nest <a href="/i">in</a> tail </a>') == [
+        ("/o", "nest in"),
+        ("/i", "in"),
+    ]
+    # tags with quoted '>' inside the inner markup don't split the text
+    assert extract_anchors('<a href="/q"><img alt="x>y">see</a>') == [("/q", "see")]
+    # <abbr>/<article> are not anchors
+    assert extract_anchors("<abbr>x</abbr><article>y</article>") == []
+
+
+def test_extract_anchors_total_fuzz():
+    """extract_anchors is TOTAL and href-consistent with extract_links
+    on garbage, truncations, and mutations."""
+    import random
+
+    from esgopeta_spark.operators.web import extract_anchors, extract_links
+
+    rng = random.Random(0xA4C402)
+    base = (
+        '<div><a href="/top/t3">Topic <b>3</b> q&amp;a</a>'
+        '<a href="../other/5.html">  other\n 5 </a></div>'
+    )
+    for trial in range(300):
+        kind = trial % 3
+        if kind == 0:
+            s = "".join(
+                rng.choice('<>&;="\'ab c/!?#-\n\t%') for _ in range(rng.randrange(0, 120))
+            )
+        elif kind == 1:
+            s = base[: rng.randrange(0, len(base))]
+        else:
+            b = list(base)
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] = rng.choice('<>&;x "')
+            s = "".join(b)
+        got = extract_anchors(s)
+        assert [a for a, _ in got] == extract_links(s)
+        for href, text in got:
+            assert isinstance(href, str) and isinstance(text, str)
+            assert "\n" not in text and "  " not in text
