@@ -1502,3 +1502,113 @@ def anchor_target_profile(edges: DataFrame, id_col: str = "doc_id") -> DataFrame
         .select("url_canon", F.col("atext").alias("top_anchor"))
     )
     return prof.join(top1, "url_canon")
+
+
+# ---------------------------------------------------------------------------
+# Image-caption pairs (LAION-shaped multimodal training-data harvest)
+# ---------------------------------------------------------------------------
+
+_IMG_SRC_RX = re.compile(
+    r"""src\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE
+)
+_IMG_ALT_RX = re.compile(
+    r"""alt\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE
+)
+
+
+def extract_image_refs(html: str) -> list[tuple[str, str]]:
+    """(src, alt_text) of every ``<img>`` tag, document order — the
+    LAION-style multimodal pair harvest.  Same quote-aware tag scan as
+    the anchor/extractor family; src entity-decoded (hrefs and srcs
+    legally carry &amp;), alt entity-decoded + ASCII-whitespace
+    collapsed ('' when absent); tags without a src are skipped
+    (nothing to pair).  Total on any str."""
+    out: list[tuple[str, str]] = []
+    lower = html.lower()
+    i, n = 0, len(html)
+    while True:
+        i = lower.find("<img", i)
+        if i < 0:
+            break
+        j = i + 4
+        if j < n and (html[j].isalnum() or html[j] in "-:"):
+            i = j
+            continue
+        q, e = None, j
+        while e < n:
+            c = html[e]
+            if q:
+                if c == q:
+                    q = None
+            elif c in "\"'":
+                q = c
+            elif c == ">":
+                break
+            e += 1
+        if e >= n:
+            break
+        attrs = html[j:e]
+        m = _IMG_SRC_RX.search(attrs)
+        if m:
+            src = decode_entities(m.group(2) or m.group(3) or m.group(4) or "")
+            am = _IMG_ALT_RX.search(attrs)
+            alt = ""
+            if am:
+                alt = re.sub(
+                    r"[ \t\n\r\f\v]+",
+                    " ",
+                    decode_entities(am.group(2) or am.group(3) or am.group(4) or ""),
+                ).strip()
+            if src:
+                out.append((src, alt))
+        i = e + 1
+    return out
+
+
+def image_caption_pairs(
+    df: DataFrame,
+    html_col: str = "html",
+    base_col: str = "base_url",
+    id_col: str = "doc_id",
+    min_alt_tokens: int = 0,
+) -> DataFrame:
+    """(id, base, html) -> one row per <img>: (id, img_url, alt,
+    alt_tokens) with src resolved against the page base and
+    canonicalized — the (image URL, caption) candidate table a
+    multimodal pipeline fetches and CLIP-filters downstream.
+    ``min_alt_tokens`` > 0 applies the LAION-style caption gate (drop
+    pairs whose alt text is too short to supervise anything); the gate
+    is a codegen filter AFTER the kernel so Catalyst fuses it into the
+    same stage.  One Arrow kernel + explode; stateless (stream-safe)."""
+
+    @F.pandas_udf("array<struct<url: string, alt: string>>")
+    def _imgs(html: pd.Series, base: pd.Series) -> pd.Series:
+        def one(h, b):
+            if not isinstance(h, str):
+                return []
+            b = b if isinstance(b, str) else ""
+            return [
+                {"url": canonicalize_url(resolve_url(b, s)), "alt": a}
+                for s, a in extract_image_refs(h)
+            ]
+
+        return pd.Series([one(h, b) for h, b in zip(html, base)])
+
+    pairs = (
+        df.select(
+            F.col(id_col),
+            F.explode(_imgs(F.col(html_col), F.col(base_col))).alias("im"),
+        )
+        .select(
+            id_col,
+            F.col("im.url").alias("img_url"),
+            F.col("im.alt").alias("alt"),
+            F.when(F.length("im.alt") == 0, F.lit(0))
+            .otherwise(F.size(F.split("im.alt", " ")))
+            .cast("int")
+            .alias("alt_tokens"),
+        )
+    )
+    if min_alt_tokens > 0:
+        pairs = pairs.filter(F.col("alt_tokens") >= min_alt_tokens)
+    return pairs

@@ -989,3 +989,59 @@ def web_anchor_profile(spark, sf):
     return anchor_target_profile(anchor_edges(d)).select(
         "url_canon", "n_links", "n_src", "anchor_tokens", "top_anchor"
     )
+
+
+@register(
+    "web_image_captions",
+    "G4,G5",
+    r"""
+    WITH d AS (
+      SELECT doc_id, doc_id % 40 AS h, doc_id % 9 AS r, doc_id % 7 AS m
+      FROM documents
+    )
+    SELECT doc_id,
+           'https://site' || h || '.example.com/img/' || doc_id
+             || '.png?s=2&v=1' AS img_url,
+           'Red fox ' || r AS alt,
+           CAST(3 AS INTEGER) AS alt_tokens
+    FROM d
+    UNION ALL
+    SELECT doc_id,
+           'https://site' || h || '.example.com/articles/thumb/' || m || '.jpg',
+           'small icon',
+           CAST(2 AS INTEGER)
+    FROM d WHERE doc_id % 2 = 0
+    """,
+    doc="image-caption pair harvest (late-r10, the LAION-shaped "
+    "multimodal curation stage): synthesize a fixture page per doc "
+    "with three <img> tags — entity-escaped query src + raw-whitespace "
+    "alt, a relative src with a parity-split short alt, a scheme-"
+    "relative src with NO alt — run the REAL quote-aware img scanner, "
+    "resolve+canonicalize each src against the page base, and apply "
+    "the caption gate (alt_tokens >= 2: the no-alt and 1-token pairs "
+    "drop — too short to supervise).  Oracle recomputes the surviving "
+    "(img_url, alt, alt_tokens) pairs in closed form from the id "
+    "arithmetic.  Plan: one codegen synth + one Arrow kernel + "
+    "explode + fused codegen gate, shuffle-free; operators/web.py "
+    "extract_image_refs/image_caption_pairs",
+)
+def web_image_captions(spark, sf):
+    from esgopeta_spark.operators.web import image_caption_pairs
+
+    did = F.col("doc_id")
+    r = (did % 9).cast("string")
+    m = (did % 7).cast("string")
+    c = (did % 5).cast("string")
+    html = F.concat(
+        F.lit('<figure><img src="/img/'), did.cast("string"),
+        F.lit('.png?v=1&amp;s=2" alt="Red  fox\n '), r,
+        F.lit('"></figure><img alt="'),
+        F.when(did % 2 == 0, F.lit("small icon")).otherwise(F.lit("icon")),
+        F.lit('" src="thumb/'), m,
+        F.lit('.jpg"><img src="//cdn'), c,
+        F.lit(".example.org/i/"), did.cast("string"), F.lit('.webp">'),
+    )
+    d = T(spark, sf, "documents").select(
+        "doc_id", _seed_url(did).alias("base_url"), html.alias("html")
+    )
+    return image_caption_pairs(d, min_alt_tokens=2)

@@ -940,3 +940,35 @@ def test_extract_anchors_total_fuzz():
         for href, text in got:
             assert isinstance(href, str) and isinstance(text, str)
             assert "\n" not in text and "  " not in text
+
+
+def test_extract_image_refs_matrix_and_fuzz():
+    """<img> scanner: quote-aware attrs, entity-decoded src, collapsed
+    alt, srcless/empty-src tags skipped, altless tags keep '' — and
+    total on garbage/truncations."""
+    import random
+
+    from esgopeta_spark.operators.web import extract_image_refs
+
+    h = (
+        '<img src="/a.png?x=1&amp;y=2" alt="A  red\n fox">'
+        '<img alt=noquote src=b.jpg><img src=""><img alt="only alt">'
+        '<IMG SRC="/c.gif"><img data-x="y>z" src="/d.png" alt=\'q&amp;a\'>'
+    )
+    assert extract_image_refs(h) == [
+        ("/a.png?x=1&y=2", "A red fox"),
+        ("b.jpg", "noquote"),
+        ("/c.gif", ""),
+        ("/d.png", "q&a"),
+    ]
+    rng = random.Random(0x1A60)
+    for trial in range(200):
+        if trial % 2 == 0:
+            s = "".join(
+                rng.choice('<>&;="\'img src alt/\n\t') for _ in range(rng.randrange(0, 100))
+            )
+        else:
+            s = h[: rng.randrange(0, len(h))]
+        for src, alt in extract_image_refs(s):
+            assert isinstance(src, str) and src != ""
+            assert isinstance(alt, str) and "\n" not in alt
