@@ -108,8 +108,10 @@ HEADLINE = [
     # extract -> gate -> split/shard rollup, one lineage
     "pipeline_crawl_to_shards",
     # late-r10: the trained-classifier curation stage (NB language-ID,
-    # engine-exact integer-log train->score->argmax)
+    # engine-exact integer-log train->score->argmax) and the crawl
+    # DISCOVERY capstone (sitemap -> canonicalize -> robots -> politeness)
     "select_nb_langid",
+    "pipeline_crawl_frontier",
 ]
 
 
