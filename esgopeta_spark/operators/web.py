@@ -1612,3 +1612,94 @@ def image_caption_pairs(
     if min_alt_tokens > 0:
         pairs = pairs.filter(F.col("alt_tokens") >= min_alt_tokens)
     return pairs
+
+
+def warc_caption_media_rows(
+    df: DataFrame, blob_col: str = "warc", id_col: str = "doc_id"
+) -> DataFrame:
+    """Tagged multimodal rows from raw WARC bytes: html records yield
+    one 'cap' row per <img> (caption url resolved against the RECORD
+    uri + canonicalized, alt text), image records yield one 'img' row
+    (canonical uri, decoded width/height, int64 pixel sum via the
+    from-scratch codecs).  Poison records quarantine per-record
+    (ValueError only — the codecs contract), never the stage.  One
+    Arrow kernel + explode; stateless."""
+    from esgopeta_spark.operators import codecs
+
+    @F.pandas_udf(
+        "array<struct<kind: string, url: string, alt: string, w: int, h: int, px: bigint>>"
+    )
+    def _rows(s: pd.Series) -> pd.Series:
+        image = {"png": codecs.decode_png, "bmp": codecs.decode_bmp,
+                 "ppm": codecs.decode_ppm, "gif": codecs.decode_gif,
+                 "tiff": codecs.decode_tiff, "jpeg": codecs.decode_jpeg}
+
+        def one_record(r):
+            out = []
+            try:
+                _status, hdrs, body = parse_http_response(r["payload"])
+                kind = sniff_payload(body)
+                if kind == "html":
+                    try:
+                        text = body.decode(charset_of(hdrs), "replace")
+                    except LookupError:
+                        text = body.decode("utf-8", "replace")
+                    for src, alt in extract_image_refs(text):
+                        out.append(
+                            {"kind": "cap",
+                             "url": canonicalize_url(resolve_url(r["uri"], src)),
+                             "alt": alt, "w": -1, "h": -1, "px": -1}
+                        )
+                elif kind in image:
+                    arr = image[kind](body)
+                    out.append(
+                        {"kind": "img", "url": canonicalize_url(r["uri"]),
+                         "alt": "", "w": int(arr.shape[1]), "h": int(arr.shape[0]),
+                         "px": int(arr.astype("int64").sum())}
+                    )
+            except ValueError:
+                pass  # poison record costs itself, not the stage
+            return out
+
+        def one(b):
+            try:
+                recs = parse_warc(maybe_gunzip_warc(bytes(b) if b is not None else b""))
+            except ValueError:
+                return []
+            rows = []
+            for r in recs:
+                rows.extend(one_record(r))
+            return rows
+
+        return pd.Series([one(b) for b in s])
+
+    return (
+        df.select(F.col(id_col), F.explode(_rows(F.col(blob_col))).alias("r"))
+        .select(id_col, "r.kind", "r.url", "r.alt", "r.w", "r.h", "r.px")
+    )
+
+
+def caption_media_pairs(
+    df: DataFrame, blob_col: str = "warc", id_col: str = "doc_id"
+) -> DataFrame:
+    """Raw WARC bytes -> (caption, decoded image) training pairs: the
+    'cap' rows (from html records) equi-join the 'img' rows (from image
+    records) on the canonical image URL — the LAION-shaped multimodal
+    curation capstone running entirely on this repo's scanners and
+    codecs.  The tagged relation feeds both join sides, so it is
+    localCheckpointed once (the anchor-profile lesson); the join is a
+    plain url-equi hash join — at 100 TB both sides partition by the
+    image URL, the key the fetch store is addressed by anyway."""
+    rows = warc_caption_media_rows(df, blob_col, id_col).localCheckpoint()
+    caps = rows.filter(F.col("kind") == "cap").select(
+        id_col, F.col("url").alias("img_url"), "alt"
+    )
+    imgs = rows.filter(F.col("kind") == "img").select(
+        F.col("url").alias("img_url"),
+        F.col("w").alias("width"),
+        F.col("h").alias("height"),
+        F.col("px").alias("px_sum"),
+    )
+    return caps.join(imgs, "img_url").select(
+        id_col, "img_url", "alt", "width", "height", "px_sum"
+    )

@@ -1045,3 +1045,73 @@ def web_image_captions(spark, sf):
         "doc_id", _seed_url(did).alias("base_url"), html.alias("html")
     )
     return image_caption_pairs(d, min_alt_tokens=2)
+
+
+@register(
+    "pipeline_multimodal_pairs",
+    "G4,G5",
+    r"""
+    WITH b AS (
+      SELECT doc_id,
+             doc_id % 40 AS h40,
+             3 + doc_id % 5 AS w,
+             2 + doc_id % 7 AS ht,
+             doc_id % 240 AS c
+      FROM documents
+    )
+    SELECT doc_id,
+           'https://site' || h40 || '.example.com/img/' || doc_id || '.png'
+             AS img_url,
+           'fig ' || (doc_id % 9) || ' caption' AS alt,
+           CAST(w AS INTEGER) AS width,
+           CAST(ht AS INTEGER) AS height,
+           CAST(w * ht * c + ht * (w * (w - 1)) // 2
+                + w * (ht * (ht - 1)) // 2 AS BIGINT) AS px_sum
+    FROM b
+    """,
+    doc="multimodal curation capstone (late-r10): raw WARC bytes -> "
+    "(caption, decoded image) training pairs — per doc the fixture "
+    "blob frames TWO records (the html page whose <img> points at the "
+    "image, and the PNG itself at that url), then the REAL chain runs: "
+    "WARC parse -> HTTP unwrap -> byte sniff -> html records through "
+    "the img scanner (src resolved against the RECORD uri, "
+    "canonicalized) / image records through the from-scratch PNG "
+    "decoder (width/height/int64 pixel sum) -> url-equi join = the "
+    "LAION-shaped pair table.  Pixels are (x + y + id%240), bounded "
+    "<256, so the oracle recomputes the decoded pixel sum in closed "
+    "form: w*h*c + h*C(w,2) + w*C(h,2).  Plan: one kernel "
+    "localCheckpointed once feeding both join sides, one url-equi "
+    "hash join, no cartesian; operators/web.py caption_media_pairs",
+)
+def pipeline_multimodal_pairs(spark, sf):
+    import numpy as np
+
+    from esgopeta_spark.operators import codecs
+    from esgopeta_spark.operators.web import build_warc_record, caption_media_pairs
+
+    @F.pandas_udf("binary")
+    def _synth(did: pd.Series) -> pd.Series:
+        out = []
+        for i in did:
+            i = int(i)
+            h40, w, ht, c = i % 40, 3 + i % 5, 2 + i % 7, i % 240
+            page_uri = (
+                f"https://site{h40}.example.com/articles/{i}?page={i % 7}"
+            )
+            img_uri = f"https://site{h40}.example.com/img/{i}.png"
+            html = (
+                f"<!DOCTYPE html><p>doc {i}</p>"
+                f'<img src="/img/{i}.png" alt="fig {i % 9} caption">'
+            ).encode("utf-8")
+            y, x = np.mgrid[0:ht, 0:w]
+            png = codecs.encode_png((x + y + c).astype(np.uint8))
+            out.append(
+                build_warc_record(page_uri, html)
+                + build_warc_record(img_uri, png)
+            )
+        return pd.Series(out)
+
+    d = T(spark, sf, "documents").select(
+        "doc_id", _synth(F.col("doc_id")).alias("warc")
+    )
+    return caption_media_pairs(d)

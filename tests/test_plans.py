@@ -561,3 +561,17 @@ def test_anchor_profile_plan_posture(spark, sf_dir):
     rdds = re.findall(r"MapPartitionsRDD\[\d+\]", p)
     assert len(rdds) == 2 and len(set(rdds)) == 1, rdds
     assert "WindowGroupLimit" in p, p
+
+
+def test_multimodal_pairs_plan_posture(spark, sf_dir):
+    """Caption/media pair capstone: ONE kernel RDD (localCheckpointed)
+    feeds both join sides, and the pair join is url-equi — no
+    cartesian, no BNLJ."""
+    import re
+
+    from esgopeta_spark.plans import REGISTRY
+
+    p = plan_of(REGISTRY["pipeline_multimodal_pairs"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    rdds = re.findall(r"MapPartitionsRDD\[\d+\]", p)
+    assert len(rdds) == 2 and len(set(rdds)) == 1, rdds

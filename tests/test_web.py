@@ -972,3 +972,37 @@ def test_extract_image_refs_matrix_and_fuzz():
         for src, alt in extract_image_refs(s):
             assert isinstance(src, str) and src != ""
             assert isinstance(alt, str) and "\n" not in alt
+
+
+def test_caption_media_pairs_quarantine_and_join(spark):
+    """Poison records (truncated PNG, garbage blob) cost themselves,
+    never the stage; surviving html+image records pair on the canonical
+    url with real decoded stats."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from esgopeta_spark.operators import codecs
+    from esgopeta_spark.operators.web import build_warc_record, caption_media_pairs
+
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    png = codecs.encode_png(img)
+    html = (
+        b'<!DOCTYPE html><img src="/i/1.png" alt="a tiny ramp">'
+        b'<img src="/i/2.png" alt="no image record">'
+    )
+    good = build_warc_record("https://h.example.com/page", html) + build_warc_record(
+        "https://h.example.com/i/1.png", png
+    )
+    poison = build_warc_record("https://h.example.com/i/1.png", png[:20])
+    rows = caption_media_pairs(
+        spark.createDataFrame(
+            [(1, bytearray(good)), (2, bytearray(poison)), (3, bytearray(b"junk"))],
+            "doc_id bigint, warc binary",
+        )
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["img_url"] == "https://h.example.com/i/1.png"
+    assert r["alt"] == "a tiny ramp"
+    assert (r["width"], r["height"]) == (4, 3)
+    assert r["px_sum"] == int(img.sum())
