@@ -995,7 +995,17 @@ def sniff_payload(b: bytes) -> str:
 
     kind = codecs.sniff_format(b)
     if kind in ("unknown", "empty"):
-        head = bytes(b[:256]).lstrip().lower()
+        head = bytes(b[:256])
+        # BOM-aware markup check (HTML5 prescan): a utf-8 BOM hides the
+        # '<' from a prefix test, and utf-16 interleaves NULs into it
+        if head[:3] == b"\xef\xbb\xbf":
+            head = head[3:]
+        elif head[:2] in (b"\xff\xfe", b"\xfe\xff"):
+            try:
+                head = head.decode("utf-16", "ignore").encode("utf-8", "replace")
+            except ValueError:
+                pass
+        head = head.lstrip().lower()
         if head.startswith((b"<!doctype", b"<html", b"<head", b"<body", b"<?xml")):
             return "html"
     return kind
@@ -1030,10 +1040,7 @@ def warc_route(
                 status, hdrs, body = parse_http_response(r["payload"])
                 kind = sniff_payload(body)
                 if kind == "html":
-                    try:
-                        text = body.decode(charset_of(hdrs), "replace")
-                    except LookupError:  # unknown charset label
-                        text = body.decode("utf-8", "replace")
+                    text = decode_html_bytes(body, hdrs)
                     stat = len(extract_html_text(text))
                 elif kind in image:
                     arr = image[kind](body)
@@ -1088,10 +1095,7 @@ def warc_html_text(
                     _st, hdrs, body = parse_http_response(r["payload"])
                     if sniff_payload(body) != "html":
                         continue
-                    try:
-                        text = body.decode(charset_of(hdrs), "replace")
-                    except LookupError:
-                        text = body.decode("utf-8", "replace")
+                    text = decode_html_bytes(body, hdrs)
                     out.append({"uri": r["uri"], "clean_text": extract_html_text(text)})
                 except ValueError:
                     continue
@@ -1128,6 +1132,53 @@ def charset_of(headers: dict, default: str = "utf-8") -> str:
     default; unknown names fall back at decode time."""
     m = re.search(r"charset=([\w.:-]+)", headers.get("content-type", ""), re.I)
     return m.group(1).lower() if m else default
+
+
+#: WHATWG-style label normalization for the sniffed subset this module
+#: handles: the latin-1 family IS windows-1252 on the real web (the
+#: HTML5 rule), and a meta can never declare utf-16 (the prescan that
+#: would read it is ASCII-based), so those labels mean utf-8.
+_CHARSET_ALIASES = {
+    "utf8": "utf-8",
+    "latin-1": "windows-1252", "latin1": "windows-1252",
+    "iso-8859-1": "windows-1252", "iso8859-1": "windows-1252",
+    "ascii": "windows-1252", "us-ascii": "windows-1252",
+    "cp1252": "windows-1252",
+    "utf-16": "utf-8", "utf-16le": "utf-8", "utf-16be": "utf-8",
+}
+
+
+def sniff_charset(body: bytes, headers: dict | None = None) -> str:
+    """HTML5-style charset determination for a crawl payload, in
+    precedence order: BOM (utf-8 / either utf-16, stripped by the
+    returned codec) > Content-Type header charset > <meta charset> /
+    http-equiv prescan over the first 1024 bytes > utf-8 default.
+    Labels normalized via the WHATWG-style alias map."""
+    b = bytes(body[:1024])
+    if b[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig"
+    if b[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16"
+    if headers:
+        m = re.search(r"charset=([\w.:-]+)", headers.get("content-type", ""), re.I)
+        if m:
+            lab = m.group(1).lower()
+            return _CHARSET_ALIASES.get(lab, lab)
+    m = re.search(rb"""<meta[^>]{0,200}?charset\s*=\s*["']?([\w.:-]+)""", b, re.I)
+    if m:
+        lab = m.group(1).decode("ascii", "replace").lower()
+        return _CHARSET_ALIASES.get(lab, lab)
+    return "utf-8"
+
+
+def decode_html_bytes(body: bytes, headers: dict | None = None) -> str:
+    """Decode crawl html bytes by the sniffed charset; an unknown label
+    falls back to utf-8.  Total."""
+    enc = sniff_charset(body, headers)
+    try:
+        return bytes(body).decode(enc, "replace")
+    except LookupError:
+        return bytes(body).decode("utf-8", "replace")
 
 
 def cdx_index(
@@ -1640,10 +1691,7 @@ def warc_caption_media_rows(
                 _status, hdrs, body = parse_http_response(r["payload"])
                 kind = sniff_payload(body)
                 if kind == "html":
-                    try:
-                        text = body.decode(charset_of(hdrs), "replace")
-                    except LookupError:
-                        text = body.decode("utf-8", "replace")
+                    text = decode_html_bytes(body, hdrs)
                     for src, alt in extract_image_refs(text):
                         out.append(
                             {"kind": "cap",

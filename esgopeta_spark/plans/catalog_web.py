@@ -1115,3 +1115,68 @@ def pipeline_multimodal_pairs(spark, sf):
         "doc_id", _synth(F.col("doc_id")).alias("warc")
     )
     return caption_media_pairs(d)
+
+
+@register(
+    "web_charset_route",
+    "G4",
+    r"""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'windows-1252'
+                           WHEN 1 THEN 'utf-16'
+                           ELSE 'utf-8-sig' END AS enc,
+           'café ' || doc_id || ' — naïve' AS clean_text,
+           CAST(length('café ' || doc_id || ' — naïve') AS BIGINT) AS n_chars
+    FROM documents
+    """,
+    doc="charset-sniffed decode through the crawl chain (late-r10, the "
+    "HTML5 prescan): the SAME non-ASCII page per doc is framed as a "
+    "WARC record in one of three wire encodings by id%3 — "
+    "windows-1252 declared only by <meta charset=latin-1> (the WHATWG "
+    "alias), utf-16 declared only by its BOM (NUL-interleaved markup; "
+    "the r10 sniffer reads it through the BOM), utf-8-sig (BOM + "
+    "meta) — and every variant must decode to the IDENTICAL clean "
+    "text; a missed charset turns the accents into replacement chars "
+    "and the hash fails.  Oracle is the expected text in closed form.  "
+    "Plan: one synth kernel + the warc_html_text kernel, shuffle-free; "
+    "operators/web.py sniff_charset/decode_html_bytes",
+)
+def web_charset_route(spark, sf):
+    from esgopeta_spark.operators.web import build_warc_record, warc_html_text
+
+    @F.pandas_udf("binary")
+    def _synth(did: pd.Series) -> pd.Series:
+        out = []
+        for i in did:
+            i = int(i)
+            body = f"café {i} — naïve"
+            if i % 3 == 0:
+                page = (
+                    '<!DOCTYPE html><meta charset="latin-1">'
+                    f"<p>{body}</p>"
+                ).encode("windows-1252")
+            elif i % 3 == 1:
+                page = f"<!DOCTYPE html><p>{body}</p>".encode("utf-16")
+            else:
+                page = (
+                    '<!DOCTYPE html><meta charset="utf-8">'
+                    f"<p>{body}</p>"
+                ).encode("utf-8-sig")
+            out.append(
+                build_warc_record(f"https://site{i % 40}.example.com/c/{i}", page)
+            )
+        return pd.Series(out)
+
+    d = T(spark, sf, "documents").select(
+        "doc_id", _synth(F.col("doc_id")).alias("warc")
+    )
+    did = F.col("doc_id")
+    return warc_html_text(d).select(
+        "doc_id",
+        F.when(did % 3 == 0, F.lit("windows-1252"))
+        .when(did % 3 == 1, F.lit("utf-16"))
+        .otherwise(F.lit("utf-8-sig"))
+        .alias("enc"),
+        "clean_text",
+        F.length("clean_text").cast("bigint").alias("n_chars"),
+    )

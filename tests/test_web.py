@@ -1006,3 +1006,41 @@ def test_caption_media_pairs_quarantine_and_join(spark):
     assert r["alt"] == "a tiny ramp"
     assert (r["width"], r["height"]) == (4, 3)
     assert r["px_sum"] == int(img.sum())
+
+
+def test_sniff_charset_matrix():
+    """HTML5-style charset precedence: BOM > header > meta prescan >
+    utf-8; WHATWG aliasing (latin-1 family -> windows-1252, meta can
+    never declare utf-16); unknown labels fall back at decode."""
+    from esgopeta_spark.operators.web import decode_html_bytes, sniff_charset, sniff_payload
+
+    page = '<!DOCTYPE html><meta charset="latin-1"><p>café — naïve</p>'
+    w = page.encode("windows-1252")
+    assert sniff_charset(w) == "windows-1252"
+    assert decode_html_bytes(w) == page
+    # BOM beats everything; the codec strips it
+    u8s = page.encode("utf-8-sig")
+    assert sniff_charset(u8s) == "utf-8-sig"
+    assert decode_html_bytes(u8s) == page
+    u16 = page.encode("utf-16")
+    assert sniff_charset(u16) == "utf-16"
+    assert decode_html_bytes(u16) == page
+    # header beats meta
+    assert (
+        sniff_charset(w, {"content-type": "text/html; charset=ISO-8859-1"})
+        == "windows-1252"
+    )
+    assert sniff_charset(b"<html>x", {"content-type": "text/html; charset=UTF-8"}) == "utf-8"
+    # meta http-equiv form carries charset= inside content
+    he = b'<meta http-equiv="Content-Type" content="text/html; charset=cp1252">'
+    assert sniff_charset(he) == "windows-1252"
+    # meta claiming utf-16 is a lie by construction -> utf-8
+    assert sniff_charset(b'<meta charset="utf-16">') == "utf-8"
+    # unknown label passes through and decode falls back, total
+    assert sniff_charset(b'<meta charset="x-bogus-enc">') == "x-bogus-enc"
+    assert isinstance(decode_html_bytes(b'<meta charset="x-bogus-enc">abc'), str)
+    # default
+    assert sniff_charset(b"<p>plain</p>") == "utf-8"
+    # BOM'd markup now sniffs as html (the prescan rationale)
+    assert sniff_payload(u16) == "html"
+    assert sniff_payload(u8s) == "html"
