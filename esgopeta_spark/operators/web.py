@@ -1751,3 +1751,95 @@ def caption_media_pairs(
     return caps.join(imgs, "img_url").select(
         id_col, "img_url", "alt", "width", "height", "px_sum"
     )
+
+
+# ---------------------------------------------------------------------------
+# Syndication feeds (RSS 2.0 / Atom — the discovery trio's third leg)
+# ---------------------------------------------------------------------------
+
+_FEED_ITEM_RX = re.compile(r"<(item|entry)\b[^>]*>(.*?)</\1\s*>", re.I | re.S)
+_FEED_TITLE_RX = re.compile(r"<title\b[^>]*>(.*?)</title", re.I | re.S)
+_FEED_LINK_TEXT_RX = re.compile(r"<link\b[^>]*>(.*?)</link", re.I | re.S)
+_FEED_LINK_HREF_RX = re.compile(
+    r"""<link\b[^>]*?href\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", re.I | re.S
+)
+_FEED_PUBDATE_RX = re.compile(r"<pubDate\b[^>]*>(.*?)</pubDate", re.I | re.S)
+_FEED_UPDATED_RX = re.compile(r"<updated\b[^>]*>(.*?)</updated", re.I | re.S)
+_RFC822_DATE_RX = re.compile(
+    r"(\d{1,2})\s+(Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]*\s+(\d{4})",
+    re.I,
+)
+_MONTHS = {m: i + 1 for i, m in enumerate(
+    ["jan", "feb", "mar", "apr", "may", "jun",
+     "jul", "aug", "sep", "oct", "nov", "dec"])}
+
+
+def _feed_date(s: str) -> str:
+    """Normalize a feed timestamp to YYYY-MM-DD: ISO strings keep their
+    leading date, RFC 822 ('Tue, 05 Mar 2024 09:30:00 GMT') is mapped
+    through the month table.  Unparseable -> ''."""
+    s = s.strip()
+    m = _SM_DATE_RX.match(s)
+    if m is not None:
+        return m.group(0)
+    m = _RFC822_DATE_RX.search(s)
+    if m is not None:
+        return f"{int(m.group(3)):04d}-{_MONTHS[m.group(2).lower()]:02d}-{int(m.group(1)):02d}"
+    return ""
+
+
+def parse_feed(text: str) -> list[tuple[str, str, str, str]]:
+    """RSS 2.0 / Atom feed -> [(kind, title, link, published)] in
+    document order; kind is 'rss' (<item>) or 'atom' (<entry>).  Same
+    scanning-parser family as parse_sitemap: titles entity-decoded +
+    whitespace-collapsed, links entity-decoded (RSS <link>text</link>
+    inner text, Atom <link href=...> attribute — checked in that
+    order per entry), dates normalized to YYYY-MM-DD (ISO prefix or
+    RFC 822 via the month table), entries without a link dropped
+    (nothing to crawl).  Links are NOT resolved/canonicalized here —
+    that is the frontier's job (link_edges discipline).  Total on any
+    str."""
+    out: list[tuple[str, str, str, str]] = []
+    if not isinstance(text, str):
+        return out
+    for m in _FEED_ITEM_RX.finditer(text):
+        kind = "rss" if m.group(1).lower() == "item" else "atom"
+        body = m.group(2)
+        link = ""
+        lm = _FEED_LINK_TEXT_RX.search(body)
+        if lm is not None and lm.group(1).strip():
+            link = decode_entities(lm.group(1)).strip()
+        else:
+            hm = _FEED_LINK_HREF_RX.search(body)
+            if hm is not None:
+                link = decode_entities(
+                    hm.group(2) or hm.group(3) or hm.group(4) or ""
+                ).strip()
+        if not link:
+            continue
+        tm = _FEED_TITLE_RX.search(body)
+        title = ""
+        if tm is not None:
+            title = re.sub(
+                r"[ \t\n\r\f\v]+", " ", decode_entities(tm.group(1))
+            ).strip()
+        dm = _FEED_PUBDATE_RX.search(body) or _FEED_UPDATED_RX.search(body)
+        published = _feed_date(dm.group(1)) if dm is not None else ""
+        out.append((kind, title, link, published))
+    return out
+
+
+def feed_entries(
+    df: DataFrame, xml_col: str = "feed_xml", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, entries[]) — parsed feed entries as an array column the
+    caller posexplodes (the sitemap_entries shape).  One stateless
+    Arrow kernel; batch and streams share it."""
+
+    @F.pandas_udf(
+        "array<struct<kind: string, title: string, link: string, published: string>>"
+    )
+    def _entries(xml: pd.Series) -> pd.Series:
+        return xml.map(parse_feed)
+
+    return df.select(F.col(id_col), _entries(F.col(xml_col)).alias("entries"))

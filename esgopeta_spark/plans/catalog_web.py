@@ -1180,3 +1180,98 @@ def web_charset_route(spark, sf):
         "clean_text",
         F.length("clean_text").cast("bigint").alias("n_chars"),
     )
+
+
+@register(
+    "web_feed_extract",
+    "G4",
+    r"""
+    WITH b AS (
+      SELECT doc_id, doc_id % 40 AS h,
+             lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') AS mm,
+             lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS dd
+      FROM documents
+    ), e AS (
+      SELECT doc_id, 0 AS ord, 'rss' AS kind,
+             'Post ' || doc_id || ' & more' AS title,
+             'https://site' || h || '.example.com/articles/' || doc_id AS link,
+             '2024-' || mm || '-' || dd AS published
+      FROM b WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, 1, 'rss', 'second post',
+             'https://site' || h || '.example.com/a/' || doc_id, ''
+      FROM b WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, 0, 'atom', 'Entry ' || doc_id,
+             'https://site' || h || '.example.com/articles/' || doc_id,
+             '2024-' || mm || '-' || dd
+      FROM b WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id, 1, 'atom', 'alt', '/a/' || doc_id, ''
+      FROM b WHERE doc_id % 2 = 1
+    )
+    SELECT doc_id, CAST(ord AS INTEGER) AS ord, kind, title, link, published
+    FROM e
+    """,
+    doc="RSS 2.0 / Atom feed parsing (late-r10 — the discovery trio's "
+    "third leg beside sitemaps and the link graph): even docs "
+    "synthesize an RSS channel (entity-escaped title, text <link>, "
+    "RFC 822 pubDate mapped through the month table, a dateless "
+    "whitespace-padded second item, a linkless item that must drop), "
+    "odd docs an Atom feed (<link href> attribute form incl. a "
+    "rel=alternate relative href, ISO updated).  The REAL scanning "
+    "parser normalizes every date to YYYY-MM-DD; the oracle recomputes "
+    "all fields in closed form from the id arithmetic.  Plan: one "
+    "codegen synth + one Arrow kernel + posexplode, shuffle-free; "
+    "operators/web.py parse_feed",
+)
+def web_feed_extract(spark, sf):
+    from esgopeta_spark.operators.web import feed_entries
+
+    did = F.col("doc_id")
+    sid = (did % 40).cast("string")
+    ds = did.cast("string")
+    mm = F.lpad(((did % 12) + 1).cast("string"), 2, "0")
+    dd = F.lpad(((did % 28) + 1).cast("string"), 2, "0")
+    mon = F.element_at(
+        F.array(*[F.lit(m) for m in
+                  ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+                   "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]]),
+        ((did % 12) + 1).cast("int"),
+    )
+    rss = F.concat(
+        F.lit("<rss><channel>\n <item><title>Post "), ds,
+        F.lit(" &amp; more</title><link>https://site"), sid,
+        F.lit(".example.com/articles/"), ds,
+        F.lit("</link><pubDate>Tue, "), dd, F.lit(" "), mon,
+        F.lit(" 2024 09:30:00 GMT</pubDate></item>\n <item><title> second  "
+              "post </title><link>https://site"), sid,
+        F.lit(".example.com/a/"), ds,
+        F.lit("</link></item>\n <item><title>no link</title></item>\n"
+              "</channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom">\n <entry><title>'
+              "Entry "), ds,
+        F.lit('</title><link href="https://site'), sid,
+        F.lit(".example.com/articles/"), ds,
+        F.lit('"/><updated>2024-'), mm, F.lit("-"), dd,
+        F.lit('T09:30:00Z</updated></entry>\n <entry><title>alt</title>'
+              '<link rel="alternate" href="/a/'), ds,
+        F.lit('"/></entry>\n</feed>'),
+    )
+    d = T(spark, sf, "documents").select(
+        "doc_id", F.when(did % 2 == 0, rss).otherwise(atom).alias("feed_xml")
+    )
+    return (
+        feed_entries(d)
+        .select("doc_id", F.posexplode("entries").alias("ord", "ent"))
+        .select(
+            "doc_id",
+            F.col("ord").cast("int").alias("ord"),
+            F.col("ent.kind").alias("kind"),
+            F.col("ent.title").alias("title"),
+            F.col("ent.link").alias("link"),
+            F.col("ent.published").alias("published"),
+        )
+    )

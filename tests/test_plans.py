@@ -297,7 +297,7 @@ def test_html_extract_plan_posture(spark, sf_dir):
                   "text_html_main_content", "web_robots_filter",
                   "web_crawl_schedule", "web_cdx_index",
                   "web_sitemap_extract", "pipeline_crawl_frontier",
-                  "web_image_captions", "web_charset_route"):
+                  "web_image_captions", "web_charset_route", "web_feed_extract"):
         p = plan_of(REGISTRY[entry].fn(spark, sf_dir))
         assert "Join" not in p and "CartesianProduct" not in p, (entry, p)
         # one scan node (formatted plans list each node in both the tree

@@ -1044,3 +1044,50 @@ def test_sniff_charset_matrix():
     # BOM'd markup now sniffs as html (the prescan rationale)
     assert sniff_payload(u16) == "html"
     assert sniff_payload(u8s) == "html"
+
+
+def test_parse_feed_matrix_and_fuzz():
+    """Feed parsing: RSS text-link + RFC822 date, Atom href-link + ISO
+    date, entity/whitespace normalization, linkless entries dropped —
+    and totality on garbage/truncations."""
+    import random
+
+    from esgopeta_spark.operators.web import parse_feed
+
+    rss = (
+        "<rss><channel><item><title>Post 7 &amp; more</title>"
+        "<link>https://a.com/p/7</link>"
+        "<pubDate>Tue, 5 Mar 2024 09:30:00 GMT</pubDate></item>"
+        "<item><title> second  post </title><link>https://a.com/a/7</link>"
+        "</item><item><title>no link</title></item></channel></rss>"
+    )
+    assert parse_feed(rss) == [
+        ("rss", "Post 7 & more", "https://a.com/p/7", "2024-03-05"),
+        ("rss", "second post", "https://a.com/a/7", ""),
+    ]
+    atom = (
+        '<feed><entry><title>Entry 8</title><link href="https://a.com/p/8"/>'
+        "<updated>2024-04-06T09:30:00Z</updated></entry>"
+        '<entry><title>alt</title><link rel="alternate" href="/a/8"/>'
+        "</entry></feed>"
+    )
+    assert parse_feed(atom) == [
+        ("atom", "Entry 8", "https://a.com/p/8", "2024-04-06"),
+        ("atom", "alt", "/a/8", ""),
+    ]
+    # unparseable dates degrade to '' — never raise
+    assert parse_feed(
+        "<item><link>x</link><pubDate>whenever</pubDate></item>"
+    ) == [("rss", "", "x", "")]
+    rng = random.Random(0xFEED)
+    base = rss + atom
+    for trial in range(300):
+        if trial % 2 == 0:
+            s = "".join(
+                rng.choice('<>&;="\'item entry/\n\t') for _ in range(rng.randrange(0, 120))
+            )
+        else:
+            s = base[: rng.randrange(0, len(base))]
+        for kind, title, link, pub in parse_feed(s):
+            assert kind in ("rss", "atom") and link != ""
+            assert "\n" not in title and (pub == "" or len(pub) == 10)
