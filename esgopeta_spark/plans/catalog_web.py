@@ -1275,3 +1275,103 @@ def web_feed_extract(spark, sf):
             F.col("ent.published").alias("published"),
         )
     )
+
+
+@register(
+    "web_recrawl_schedule",
+    "G4,E5",
+    r"""
+    WITH b AS (
+      SELECT doc_id, doc_id % 40 AS h,
+             lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') AS mm,
+             lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS dd
+      FROM documents
+    ), e AS (
+      SELECT doc_id, 'site' || h || '.example.com' AS host,
+             'https://site' || h || '.example.com/articles/' || doc_id AS link,
+             CAST(date_diff('day', CAST('2024-' || mm || '-' || dd AS DATE),
+                            DATE '2025-01-01') AS BIGINT) AS stale_days
+      FROM b
+      UNION ALL
+      SELECT doc_id, 'site' || h || '.example.com',
+             'https://site' || h || '.example.com/a/' || doc_id,
+             CAST(9999 AS BIGINT)
+      FROM b WHERE doc_id % 2 = 0
+    ), r AS (
+      SELECT doc_id, host, link, stale_days,
+             ROW_NUMBER() OVER (PARTITION BY host
+                                ORDER BY stale_days DESC, link ASC) AS rn
+      FROM e
+    )
+    SELECT doc_id, host, link, stale_days,
+           CAST((rn - 1) // 4 AS BIGINT) AS fetch_wave,
+           CAST((rn - 1) % 4 AS INTEGER) AS slot
+    FROM r
+    """,
+    doc="freshness-aware recrawl scheduling (late-r10 — the frontier "
+    "policy that closes the crawl loop): parse the fixture feeds with "
+    "the REAL parser, keep absolute links, compute integer staleness "
+    "days against the fixed corpus reference date 2025-01-01 (dateless "
+    "entries = never-seen discoveries = staleness 9999, crawled "
+    "first), then per-host politeness waves ordered most-stale-first "
+    "(stale DESC, link ASC — unique total order).  Calendar arithmetic "
+    "is exact in both engines, so the oracle recomputes staleness from "
+    "the same closed-form dates.  Plan: one Arrow parse kernel + "
+    "explode, then exactly one shuffle — the host-keyed window, the "
+    "frontier's natural partitioning; operators/web.py parse_feed",
+)
+def web_recrawl_schedule(spark, sf):
+    from pyspark.sql.window import Window
+
+    from esgopeta_spark.operators.web import feed_entries
+
+    did = F.col("doc_id")
+    sid = (did % 40).cast("string")
+    ds = did.cast("string")
+    mm = F.lpad(((did % 12) + 1).cast("string"), 2, "0")
+    dd = F.lpad(((did % 28) + 1).cast("string"), 2, "0")
+    rss = F.concat(
+        F.lit("<rss><channel><item><title>p</title><link>https://site"), sid,
+        F.lit(".example.com/articles/"), ds,
+        F.lit("</link><pubDate>2024-"), mm, F.lit("-"), dd,
+        F.lit("</pubDate></item><item><title>n</title><link>https://site"),
+        sid, F.lit(".example.com/a/"), ds,
+        F.lit("</link></item></channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit('<feed><entry><title>e</title><link href="https://site'), sid,
+        F.lit(".example.com/articles/"), ds,
+        F.lit('"/><updated>2024-'), mm, F.lit("-"), dd,
+        F.lit("T09:30:00Z</updated></entry></feed>"),
+    )
+    d = T(spark, sf, "documents").select(
+        "doc_id", F.when(did % 2 == 0, rss).otherwise(atom).alias("feed_xml")
+    )
+    ents = (
+        feed_entries(d)
+        .select("doc_id", F.explode("entries").alias("ent"))
+        .select(
+            "doc_id",
+            F.col("ent.link").alias("link"),
+            F.col("ent.published").alias("published"),
+        )
+        .filter(F.col("link").startswith("https://"))
+    )
+    e = ents.select(
+        "doc_id",
+        F.regexp_extract("link", r"^https://([^/]+)", 1).alias("host"),
+        "link",
+        F.when(F.col("published") == "", F.lit(9999))
+        .otherwise(F.datediff(F.lit("2025-01-01"), F.col("published")))
+        .cast("bigint")
+        .alias("stale_days"),
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("stale_days").desc(), F.col("link").asc()
+    )
+    rn = F.row_number().over(w) - 1
+    return e.select(
+        "doc_id", "host", "link", "stale_days",
+        (rn / 4).cast("bigint").alias("fetch_wave"),
+        (rn % 4).cast("int").alias("slot"),
+    )

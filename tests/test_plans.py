@@ -575,3 +575,16 @@ def test_multimodal_pairs_plan_posture(spark, sf_dir):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
     rdds = re.findall(r"MapPartitionsRDD\[\d+\]", p)
     assert len(rdds) == 2 and len(set(rdds)) == 1, rdds
+
+
+def test_recrawl_schedule_plan_posture(spark, sf_dir):
+    """Freshness recrawl scheduling: one Arrow parse kernel, then
+    exactly one exchange — the host-keyed window; no join at all."""
+    import re
+
+    from esgopeta_spark.plans import REGISTRY
+
+    p = plan_of(REGISTRY["web_recrawl_schedule"].fn(spark, sf_dir))
+    assert "Join" not in p and "CartesianProduct" not in p, p
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+    assert n_exchanges == 1, p
