@@ -1148,12 +1148,53 @@ _CHARSET_ALIASES = {
 }
 
 
+_HTML_COMMENT_RX = re.compile(rb"<!--.*?(?:-->|$)", re.S)
+_META_TAG_RX = re.compile(rb"<meta\b([^>]{0,500})", re.I)
+_META_ATTR_RX = re.compile(
+    rb"""([A-Za-z][\w-]*)\s*(?:=\s*("([^"]*)"|'([^']*)'|([^\s"'>]*)))?"""
+)
+_CONTENT_CHARSET_RX = re.compile(rb"""charset\s*=\s*["']?([\w.:-]+)""", re.I)
+
+
+def _prescan_meta_charset(b: bytes) -> bytes | None:
+    """WHATWG-prescan-shaped <meta> charset extraction: comment spans
+    are skipped, each <meta> tag's ATTRIBUTES are parsed (first
+    occurrence wins, per spec), and only a real ``charset`` attribute —
+    or a ``charset=`` inside the ``content`` value of an
+    http-equiv=content-type tag — declares the encoding.  A stray
+    'charset=' in some other attribute value (<meta name=x content=
+    "see charset=shift_jis docs">) no longer counts."""
+    b = _HTML_COMMENT_RX.sub(b"", b)
+    for m in _META_TAG_RX.finditer(b):
+        attrs: dict[bytes, bytes] = {}
+        for am in _META_ATTR_RX.finditer(m.group(1)):
+            name = am.group(1).lower()
+            if not name or name in attrs:
+                continue
+            if am.group(3) is not None:
+                val = am.group(3)
+            elif am.group(4) is not None:
+                val = am.group(4)
+            else:
+                val = am.group(5) or b""
+            attrs[name] = val
+        if attrs.get(b"charset"):
+            return attrs[b"charset"]
+        if attrs.get(b"http-equiv", b"").strip().lower() == b"content-type":
+            cm = _CONTENT_CHARSET_RX.search(attrs.get(b"content", b""))
+            if cm:
+                return cm.group(1)
+    return None
+
+
 def sniff_charset(body: bytes, headers: dict | None = None) -> str:
     """HTML5-style charset determination for a crawl payload, in
     precedence order: BOM (utf-8 / either utf-16, stripped by the
     returned codec) > Content-Type header charset > <meta charset> /
-    http-equiv prescan over the first 1024 bytes > utf-8 default.
-    Labels normalized via the WHATWG-style alias map."""
+    http-equiv prescan over the first 1024 bytes (attribute-aware:
+    comments skipped, only a charset ATTRIBUTE or the content value of
+    an http-equiv=content-type meta counts) > utf-8 default.  Labels
+    normalized via the WHATWG-style alias map."""
     b = bytes(body[:1024])
     if b[:3] == b"\xef\xbb\xbf":
         return "utf-8-sig"
@@ -1164,9 +1205,9 @@ def sniff_charset(body: bytes, headers: dict | None = None) -> str:
         if m:
             lab = m.group(1).lower()
             return _CHARSET_ALIASES.get(lab, lab)
-    m = re.search(rb"""<meta[^>]{0,200}?charset\s*=\s*["']?([\w.:-]+)""", b, re.I)
-    if m:
-        lab = m.group(1).decode("ascii", "replace").lower()
+    raw = _prescan_meta_charset(b)
+    if raw:
+        lab = raw.decode("ascii", "replace").lower()
         return _CHARSET_ALIASES.get(lab, lab)
     return "utf-8"
 
@@ -1479,7 +1520,19 @@ def extract_anchors(html: str) -> list[tuple[str, str]]:
         )
         if m:
             href = decode_entities(m.group(2) or m.group(3) or m.group(4) or "")
-            close = lower.find("</a", e + 1)
+            # find the true </a> close: "</a" also prefixes </abbr>,
+            # </article>, </aside>, ... — mirror the open-tag name check
+            # (the char after must NOT continue a tag name)
+            close = e + 1
+            while True:
+                close = lower.find("</a", close)
+                if close < 0:
+                    break
+                nc = lower[close + 3 : close + 4]
+                if nc and (nc.isalnum() or nc in "-:"):
+                    close += 3
+                    continue
+                break
             text = _strip_tags_collapse(html[e + 1 : close]) if close >= 0 else ""
             out.append((href, text))
         i = e + 1

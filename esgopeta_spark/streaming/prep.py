@@ -39,6 +39,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
+def _batch_norm(text) -> str:
+    """EXACT Python mirror of the batch normalizer
+    ``dedup.normalize_text`` = ``regexp_replace(lower(trim(col)),
+    '\\s+', ' ')``: strip ONLY spaces (Spark ``trim`` does not eat
+    tabs/newlines), then collapse the Java-regex ``\\s`` class
+    ``[ \\t\\n\\x0b\\f\\r]`` — NOT Python ``\\s``, which also matches
+    Unicode whitespace Java's ASCII-only class keeps (r10 ADVICE: the
+    old ``.strip()`` + ``\\s`` mirror diverged from batch on leading
+    tabs and NBSP).  Bit-equality with batch ``text.words`` follows:
+    split the result on ' ' when non-empty."""
+    import re as _re
+
+    return _re.sub(r"[ \t\n\x0b\f\r]+", " ", (text or "").strip(" ").lower())
+
+
 LINE_DEDUP_STATE_SCHEMA = StructType(
     [
         StructField("count", LongType()),
@@ -185,7 +200,7 @@ def streaming_gopher_rules(
         for pdf in batches:
             rows = []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                norm = _re.sub(r"\s+", " ", (text or "").lower().strip())
+                norm = _batch_norm(text)
                 ws = norm.split(" ") if norm else []
                 n = len(ws)
                 chars = (len(norm) - (n - 1)) if n else 0
@@ -356,9 +371,9 @@ def streaming_dsir_scores(
     twin is one stateless Arrow pass with the λ dict in the closure —
     append-mode safe, bit-equal to batch scoring by construction
     (identical integer arithmetic; md5 bucketing matches Spark's md5 of
-    the same UTF-8 text; the normalization mirror shares
-    streaming_gopher_rules' contract — ASCII-whitespace/-case text,
-    where Python re and Java regex agree).  ``lam_rows``: iterable of
+    the same UTF-8 text; the normalization mirror ``_batch_norm``
+    replicates batch ``regexp_replace(lower(trim(col)), '\\s+', ' ')``
+    exactly — space-only trim, ASCII-only whitespace class).  ``lam_rows``: iterable of
     (bucket, lam_milli) or Rows.  Docs with no bigram are dropped, like
     batch."""
     import hashlib as _hashlib
@@ -379,7 +394,7 @@ def streaming_dsir_scores(
         for pdf in batches:
             rows = []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                norm = _re.sub(r"\s+", " ", (text or "").lower().strip())
+                norm = _batch_norm(text)
                 ws = norm.split(" ") if norm else []
                 if len(ws) < 2:
                     continue
@@ -597,7 +612,7 @@ def streaming_lm_scores(
         for pdf in batches:
             rows = []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                norm = _re.sub(r"\s+", " ", (text or "").lower().strip())
+                norm = _batch_norm(text)
                 ws = norm.split(" ") if norm else []
                 if len(ws) < 3:
                     continue
@@ -720,8 +735,8 @@ def streaming_nb_predict(
     closure: append-mode safe, bit-equal to the batch scorer by
     construction (identical integer arithmetic, md5 bucketing matches
     Spark's md5 of the same UTF-8 text, argmax tie-break = score DESC
-    then label ASC; the normalization mirror shares
-    streaming_dsir_scores' ASCII-whitespace contract).
+    then label ASC; the normalization mirror ``_batch_norm`` replicates
+    ``regexp_replace(lower(trim(col)), '\\s+', ' ')`` exactly).
 
     ``model_rows``: (label, bucket, lw_milli) tuples or Rows;
     ``cls_rows``: (label, prior_milli, denom_milli) tuples or Rows."""
@@ -750,7 +765,7 @@ def streaming_nb_predict(
         for pdf in batches:
             rows = []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                norm = _re.sub(r"\s+", " ", (text or "").lower().strip())
+                norm = _batch_norm(text)
                 ws = norm.split(" ") if norm else []
                 counts = {}
                 for w in ws:

@@ -1518,6 +1518,32 @@ def test_streaming_video_scenes_matches_batch(spark, tmp_path):
     assert got == want and got
 
 
+def test_batch_norm_mirror_exact(spark):
+    """r10 ADVICE #2: the streaming twins' normalization mirror must be
+    bit-equal to batch ``normalize_text`` even on leading tabs (Spark
+    trim strips only spaces) and Unicode whitespace (Java \\s is
+    ASCII-only, Python \\s is not) — the two divergences of the old
+    ``.strip()`` + ``\\s`` mirror."""
+    from esgopeta_spark.operators.dedup import normalize_text
+    from esgopeta_spark.streaming.prep import _batch_norm
+
+    cases = [
+        "\tTabbed Start",
+        "  spaces  only  ",
+        "nb sp and em-space",
+        "\nnewline lead",
+        "mixed \t\n innerruns",
+        "",
+        "ONE",
+        "   ",
+    ]
+    df = spark.createDataFrame([(s,) for s in cases], "t string")
+    got_batch = [
+        r["n"] for r in df.select(normalize_text(F.col("t")).alias("n")).collect()
+    ]
+    assert got_batch == [_batch_norm(s) for s in cases]
+
+
 def test_streaming_nb_predict_matches_batch(spark, sf_dir, tmp_path):
     """Train the NB model on the batch corpus (even docs), classify the
     odd docs as a stream: per-doc predictions must be bit-equal to the

@@ -910,6 +910,21 @@ def test_extract_anchors_matrix():
     assert extract_anchors("<abbr>x</abbr><article>y</article>") == []
 
 
+def test_extract_anchors_close_not_truncated_by_abbr():
+    """r10 ADVICE #1: the close scan must not accept </abbr>, </aside>,
+    </article>, ... as the anchor terminator — the char after '</a'
+    continuing a tag name means it is some OTHER element's close."""
+    from esgopeta_spark.operators.web import extract_anchors
+
+    h = '<a href="/x">see <abbr title="q">IBM</abbr> history</a>'
+    assert extract_anchors(h) == [("/x", "see IBM history")]
+    h2 = '<a href="/y">in an <aside>note</aside> and <article>body</article> end</a>'
+    assert extract_anchors(h2) == [("/y", "in an note and body end")]
+    # a genuinely unterminated anchor still yields '' even when a
+    # non-anchor </a-prefixed close follows
+    assert extract_anchors('<a href="/z">tail <abbr>x</abbr>') == [("/z", "")]
+
+
 def test_extract_anchors_total_fuzz():
     """extract_anchors is TOTAL and href-consistent with extract_links
     on garbage, truncations, and mutations."""
@@ -1044,6 +1059,41 @@ def test_sniff_charset_matrix():
     # BOM'd markup now sniffs as html (the prescan rationale)
     assert sniff_payload(u16) == "html"
     assert sniff_payload(u8s) == "html"
+
+
+def test_sniff_charset_prescan_structure_aware():
+    """r10 ADVICE #3: a 'charset=' that is NOT a real declaration must
+    not win the prescan — non-declaration attribute values and
+    commented-out metas are skipped; real forms still work."""
+    from esgopeta_spark.operators.web import sniff_charset
+
+    # charset= inside an unrelated attribute value (no http-equiv)
+    assert (
+        sniff_charset(b'<meta name="x" content="see charset=shift_jis docs"><p>t</p>')
+        == "utf-8"
+    )
+    # commented-out meta in the first 1024 bytes
+    assert (
+        sniff_charset(b'<!-- <meta charset="koi8-r"> --><p>t</p>') == "utf-8"
+    )
+    # a comment before the REAL meta doesn't hide it
+    assert (
+        sniff_charset(b'<!-- note --><meta charset="cp1252">') == "windows-1252"
+    )
+    # http-equiv form still carries charset inside content
+    assert (
+        sniff_charset(
+            b'<meta http-equiv="content-type" content="text/html; charset=latin1">'
+        )
+        == "windows-1252"
+    )
+    # unquoted attribute forms
+    assert sniff_charset(b"<meta charset=utf-8>") == "utf-8"
+    # first meta with a real declaration wins over later ones
+    assert (
+        sniff_charset(b'<meta name=a content="charset=bogus"><meta charset=cp1252>')
+        == "windows-1252"
+    )
 
 
 def test_parse_feed_matrix_and_fuzz():
