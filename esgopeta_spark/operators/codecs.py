@@ -78,6 +78,7 @@ _MAGICS = [
     # field-by-field in sniff_format below (r6 ADVICE)
     (b"GIF87a", "gif"),
     (b"GIF89a", "gif"),
+    (b"%PDF-", "pdf"),  # r11: routed to operators/pdf.extract_pdf_text
 ]
 
 DECODABLE = {"bmp", "ppm", "wav", "png", "jpeg", "gif", "tiff", "flac"}

@@ -1,0 +1,724 @@
+"""Bounded from-scratch PDF text extraction (G4/G5 — r11, verdict #1):
+the second-largest text format in real crawl corpora after HTML
+(science/books-heavy pretraining mixes lean on it; the C4/CCNet lineage
+this repo cites is html+pdf).  Closes the last big ingest gap of the
+r10 crawl loop: a ``%PDF`` body used to sniff ``unknown`` and drop.
+
+Subset implemented (PDF 1.x, ISO 32000-1 — from the public spec, like
+the PNG/FLAC/MPEG decoders):
+
+- object model: dictionaries, arrays, names (``#xx`` escapes), literal
+  strings (all eight escapes, octal, line continuations, nested
+  parens), hex strings, numbers, booleans, null, indirect references
+- classic xref tables with subsections and ``/Prev`` chains (newest
+  entry wins — incremental updates resolve correctly); a damaged or
+  missing xref falls back to a linear ``N G obj`` scan (real-world
+  tolerance; xref STREAMS are out of the bounded subset and land on
+  the same fallback)
+- streams with ``/Length`` (direct or indirect) and filters: none,
+  ``/FlateDecode`` (stdlib zlib, like the PNG path),
+  ``/ASCIIHexDecode``; filter chains as name-or-array
+- page tree walk (``/Root -> /Pages -> /Kids`` recursion, cycle-guarded,
+  inherited ``/Contents`` not supported — pages carry their own), page
+  content streams concatenated per page
+- content-stream text operators: ``BT/ET``, ``Tj``, ``TJ`` (strings
+  shown, kerning numbers ignored), ``'`` and ``"`` (implicit ``T*``),
+  ``Td``/``TD`` (a vertical move breaks the line), ``T*``, ``Tm`` (a
+  new text matrix breaks the line); ``Tf/TL/Tc/Tw/Tz/Ts/Tr`` consume
+  operands only
+- string bytes decode as UTF-16BE when BOM-prefixed, else WinAnsi
+  (cp1252; the five undefined bytes -> U+FFFD) — the bounded single-
+  byte-font contract, documented
+
+Text assembly: shown strings append VERBATIM to the current line (no
+whitespace collapsing — unlike the HTML extractor, PDF strings are the
+typeset text), line-break operators flush, empty lines drop, pages and
+lines join with ``\\n``.  Verbatim passthrough is what gives the oracle
+its closed form.
+
+TOTAL: ``extract_pdf_text`` raises ValueError ONLY (the codecs
+quarantine contract — struct/Index/Key/zlib/... converted); the
+DataFrame op quarantines per row so a poison PDF costs its own text,
+never the stage.  Fuzz-pinned in tests/test_pdf.py.
+
+Oracle strategy (encoder-twin, the synth_html/FLAC pattern):
+``build_pdf`` synthesizes a deterministic two-page fixture PDF per doc
+FROM the corpus text — page 1 carries a ``Doc <id>`` title line and the
+escaped text (FlateDecode-compressed for even ids), page 2 a ``TJ``
+array line with an INDIRECT /Length and an ``'``-shown trailer — and
+DuckDB recomputes the expected extraction in closed form from
+documents.text (no PDF machinery oracle-side).
+
+Reference parity note: the reference engine (cretz/esgopeta) has no
+document-parsing surface; this is mandated LLM-pipeline scope
+(VERDICT.md r10 "Next round" #1).
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+import zlib
+
+import pandas as pd  # module-level so pandas_udf type hints resolve under PEP 563
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+_NUM_RX = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_OBJ_HEAD_RX = re.compile(rb"(\d{1,10})\s+(\d{1,5})\s+obj\b")
+
+
+class _Name(str):
+    """PDF name object — a str subclass so dict keys hash naturally."""
+
+    __slots__ = ()
+
+
+class _Ref:
+    """Indirect reference ``num gen R``."""
+
+    __slots__ = ("num", "gen")
+
+    def __init__(self, num: int, gen: int) -> None:
+        self.num = num
+        self.gen = gen
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"{self.num} {self.gen} R"
+
+
+def _skip_ws(b: bytes, i: int) -> int:
+    n = len(b)
+    while i < n:
+        c = b[i]
+        if c in _WS:
+            i += 1
+        elif c == 0x25:  # '%' comment to EOL
+            while i < n and b[i] not in (0x0A, 0x0D):
+                i += 1
+        else:
+            break
+    return i
+
+
+def _parse_name(b: bytes, i: int) -> tuple[_Name, int]:
+    # b[i] == '/'
+    i += 1
+    out = bytearray()
+    n = len(b)
+    while i < n:
+        c = b[i]
+        if c in _WS or c in _DELIM:
+            break
+        if c == 0x23 and i + 2 < n:  # '#xx'
+            try:
+                out.append(int(b[i + 1 : i + 3], 16))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(c)
+        i += 1
+    return _Name(out.decode("latin-1")), i
+
+
+_STR_ESC = {
+    0x6E: b"\n", 0x72: b"\r", 0x74: b"\t", 0x62: b"\b", 0x66: b"\f",
+    0x28: b"(", 0x29: b")", 0x5C: b"\\",
+}
+
+
+def _parse_literal_string(b: bytes, i: int) -> tuple[bytes, int]:
+    # b[i] == '('
+    i += 1
+    out = bytearray()
+    depth = 1
+    n = len(b)
+    while i < n:
+        c = b[i]
+        if c == 0x5C:  # backslash
+            if i + 1 >= n:
+                break
+            e = b[i + 1]
+            if e in _STR_ESC:
+                out += _STR_ESC[e]
+                i += 2
+            elif 0x30 <= e <= 0x37:  # octal, 1-3 digits
+                j = i + 1
+                o = 0
+                while j < n and j < i + 4 and 0x30 <= b[j] <= 0x37:
+                    o = o * 8 + (b[j] - 0x30)
+                    j += 1
+                out.append(o & 0xFF)
+                i = j
+            elif e in (0x0A, 0x0D):  # line continuation
+                i += 2
+                if e == 0x0D and i < n and b[i] == 0x0A:
+                    i += 1
+            else:  # unknown escape: the char stands alone
+                out.append(e)
+                i += 2
+            continue
+        if c == 0x28:
+            depth += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return bytes(out), i + 1
+        elif c == 0x0D:  # EOL normalization inside strings (spec 7.3.4.2)
+            out.append(0x0A)
+            i += 1
+            if i < n and b[i] == 0x0A:
+                i += 1
+            continue
+        out.append(c)
+        i += 1
+    raise ValueError("unterminated literal string")
+
+
+def _parse_hex_string(b: bytes, i: int) -> tuple[bytes, int]:
+    # b[i] == '<' (and b[i+1] != '<')
+    e = b.find(b">", i + 1)
+    if e < 0:
+        raise ValueError("unterminated hex string")
+    hx = bytes(c for c in b[i + 1 : e] if c not in _WS)
+    if len(hx) % 2:
+        hx += b"0"
+    try:
+        return bytes.fromhex(hx.decode("ascii")), e + 1
+    except (ValueError, UnicodeDecodeError) as exc:
+        raise ValueError(f"bad hex string: {exc}") from exc
+
+
+def _parse_object(b: bytes, i: int):
+    """One PDF object at i -> (obj, next_i).  Raises ValueError on
+    malformed input (quarantined by callers)."""
+    i = _skip_ws(b, i)
+    n = len(b)
+    if i >= n:
+        raise ValueError("unexpected end of data")
+    c = b[i]
+    if c == 0x2F:  # /Name
+        return _parse_name(b, i)
+    if c == 0x28:  # (string)
+        return _parse_literal_string(b, i)
+    if c == 0x3C:  # < — dict or hex string
+        if b[i + 1 : i + 2] == b"<":
+            i += 2
+            d: dict = {}
+            while True:
+                i = _skip_ws(b, i)
+                if b[i : i + 2] == b">>":
+                    return d, i + 2
+                if i >= n or b[i] != 0x2F:
+                    raise ValueError("dict key is not a name")
+                k, i = _parse_name(b, i)
+                v, i = _parse_object(b, i)
+                d[k] = v
+        return _parse_hex_string(b, i)
+    if c == 0x5B:  # [ array ]
+        i += 1
+        arr: list = []
+        while True:
+            i = _skip_ws(b, i)
+            if i >= n:
+                raise ValueError("unterminated array")
+            if b[i] == 0x5D:
+                return arr, i + 1
+            v, i = _parse_object(b, i)
+            arr.append(v)
+    m = _NUM_RX.match(b, i)
+    if m is not None:
+        tok = m.group(0)
+        j = m.end()
+        if b"." not in tok:
+            # int int R  -> indirect reference
+            k = _skip_ws(b, j)
+            m2 = _NUM_RX.match(b, k)
+            if m2 is not None and b"." not in m2.group(0):
+                k2 = _skip_ws(b, m2.end())
+                if b[k2 : k2 + 1] == b"R" and (
+                    k2 + 1 >= n or b[k2 + 1] in _WS or b[k2 + 1] in _DELIM
+                ):
+                    return _Ref(int(tok), int(m2.group(0))), k2 + 1
+            return int(tok), j
+        return float(tok), j
+    for kw, val in ((b"true", True), (b"false", False), (b"null", None)):
+        if b[i : i + len(kw)] == kw:
+            return val, i + len(kw)
+    raise ValueError(f"unparsable object at offset {i}: {b[i:i+16]!r}")
+
+
+class _PdfDoc:
+    """Parsed PDF file: object offsets (xref walk or fallback scan),
+    lazy object loads with stream extraction, reference resolution."""
+
+    MAX_XREF_CHAIN = 16
+    MAX_OBJECTS = 100_000
+
+    def __init__(self, data: bytes) -> None:
+        self.b = data
+        self.offsets: dict[int, int] = {}
+        self.trailer: dict = {}
+        self._cache: dict[int, tuple[object, bytes | None]] = {}
+        start = data.find(b"%PDF-", 0, 1024)
+        if start < 0:
+            raise ValueError("missing %PDF header")
+        self._load_xref()
+
+    def _load_xref(self) -> None:
+        b = self.b
+        sx = b.rfind(b"startxref")
+        ok = False
+        if sx >= 0:
+            m = _NUM_RX.match(b, _skip_ws(b, sx + 9))
+            if m is not None:
+                ok = self._walk_xref(int(m.group(0)))
+        if not ok:
+            self._fallback_scan()
+        if not self.offsets:
+            raise ValueError("no objects found")
+
+    def _walk_xref(self, off: int) -> bool:
+        b = self.b
+        seen: set[int] = set()
+        for _ in range(self.MAX_XREF_CHAIN):
+            if off in seen or off < 0 or off >= len(b):
+                return False
+            seen.add(off)
+            i = _skip_ws(b, off)
+            if b[i : i + 4] != b"xref":
+                return False  # xref stream or garbage -> fallback
+            i = _skip_ws(b, i + 4)
+            while True:
+                m = _NUM_RX.match(b, i)
+                if m is None:
+                    break  # 'trailer'
+                first = int(m.group(0))
+                m2 = _NUM_RX.match(b, _skip_ws(b, m.end()))
+                if m2 is None:
+                    return False
+                count = int(m2.group(0))
+                if count > self.MAX_OBJECTS:
+                    raise ValueError("xref subsection too large")
+                i = _skip_ws(b, m2.end())
+                for k in range(count):
+                    ent = b[i : i + 20]
+                    if len(ent) < 18:
+                        return False
+                    try:
+                        eoff = int(ent[0:10])
+                    except ValueError:
+                        return False
+                    kind = ent[17:18]
+                    num = first + k
+                    # newest-first walk: first seen wins
+                    if kind == b"n" and num not in self.offsets:
+                        self.offsets[num] = eoff
+                    i += 20  # spec-fixed entry width; malformed -> fallback
+                i = _skip_ws(b, i)
+            if b[i : i + 7] != b"trailer":
+                return False
+            tr, _ = _parse_object(b, i + 7)
+            if not isinstance(tr, dict):
+                return False
+            for k, v in tr.items():
+                self.trailer.setdefault(k, v)
+            prev = tr.get("Prev")
+            if prev is None:
+                return True
+            off = int(prev)
+        return True
+
+    def _fallback_scan(self) -> None:
+        """Linear ``N G obj`` scan — newest (last) definition wins, the
+        incremental-update order on disk; also recovers the trailer (or
+        a /Root-bearing catalog) when the xref was unusable."""
+        self.offsets = {}
+        for m in _OBJ_HEAD_RX.finditer(self.b):
+            self.offsets[int(m.group(1))] = m.start()
+        if "Root" not in self.trailer:
+            t = self.b.rfind(b"trailer")
+            if t >= 0:
+                try:
+                    tr, _ = _parse_object(self.b, t + 7)
+                    if isinstance(tr, dict):
+                        self.trailer.update(tr)
+                except ValueError:
+                    pass
+        if "Root" not in self.trailer:
+            for num in sorted(self.offsets):
+                try:
+                    obj, _ = self.get_object(num)
+                except ValueError:
+                    continue
+                if isinstance(obj, dict) and obj.get("Type") == "Catalog":
+                    self.trailer["Root"] = _Ref(num, 0)
+                    break
+
+    def get_object(self, num: int) -> tuple[object, bytes | None]:
+        if num in self._cache:
+            return self._cache[num]
+        off = self.offsets.get(num)
+        if off is None:
+            raise ValueError(f"unresolved object {num}")
+        b = self.b
+        m = _OBJ_HEAD_RX.match(b, _skip_ws(b, off))
+        if m is None or int(m.group(1)) != num:
+            raise ValueError(f"object {num} not at its xref offset")
+        obj, i = _parse_object(b, m.end())
+        raw: bytes | None = None
+        i = _skip_ws(b, i)
+        if b[i : i + 6] == b"stream":
+            i += 6
+            if b[i : i + 2] == b"\r\n":
+                i += 2
+            elif b[i : i + 1] == b"\n":
+                i += 1
+            if not isinstance(obj, dict):
+                raise ValueError("stream without a dict")
+            length = self.resolve(obj.get("Length"))
+            if not isinstance(length, int) or length < 0 or i + length > len(b):
+                raise ValueError("bad stream /Length")
+            raw = b[i : i + length]
+            tail = _skip_ws(b, i + length)
+            if b[tail : tail + 9] != b"endstream":
+                raise ValueError("missing endstream")
+        self._cache[num] = (obj, raw)
+        return obj, raw
+
+    def resolve(self, obj, depth: int = 0):
+        while isinstance(obj, _Ref):
+            if depth > 32:
+                raise ValueError("reference chain too deep")
+            obj, _ = self.get_object(obj.num)
+            depth += 1
+        return obj
+
+    def stream_data(self, obj: dict, raw: bytes) -> bytes:
+        filters = self.resolve(obj.get("Filter"))
+        if filters is None:
+            chain: list = []
+        elif isinstance(filters, list):
+            chain = [self.resolve(f) for f in filters]
+        else:
+            chain = [filters]
+        data = raw
+        for f in chain:
+            if f == "FlateDecode":
+                try:
+                    data = zlib.decompress(data)
+                except zlib.error as exc:
+                    raise ValueError(f"bad FlateDecode stream: {exc}") from exc
+            elif f == "ASCIIHexDecode":
+                body = data.split(b">", 1)[0]
+                hx = bytes(c for c in body if c not in _WS)
+                if len(hx) % 2:
+                    hx += b"0"
+                try:
+                    data = bytes.fromhex(hx.decode("ascii"))
+                except (ValueError, UnicodeDecodeError) as exc:
+                    raise ValueError(f"bad ASCIIHexDecode: {exc}") from exc
+            else:
+                raise ValueError(f"unsupported stream filter {f!r}")
+        return data
+
+
+# WinAnsi ≈ cp1252 with the five undefined bytes -> U+FFFD (bounded
+# single-byte-font contract; a real font /Differences array is out of
+# the subset)
+_WINANSI = "".join(
+    bytes([i]).decode("cp1252") if bytes([i]).decode("cp1252", "ignore") else "�"
+    for i in range(256)
+)
+_WINANSI_HIGH = {i: _WINANSI[i] for i in range(128, 256)}
+
+
+def _decode_pdf_string(raw: bytes) -> str:
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be", "replace")
+    return raw.decode("latin-1").translate(_WINANSI_HIGH)
+
+
+# text-showing / text-positioning operator arities (operands consumed)
+_TEXT_OPS_IGNORED = {
+    b"Tf": 2, b"TL": 1, b"Tc": 1, b"Tw": 1, b"Tz": 1, b"Ts": 1, b"Tr": 1,
+}
+_OP_RX = re.compile(rb"[A-Za-z'\"][A-Za-z0-9*'\"]*")
+
+
+def _content_text_lines(data: bytes) -> list[str]:
+    """Interpret one page's (concatenated) content streams: shown
+    strings append verbatim to the current line; Td/TD with a vertical
+    move, T*, Tm, ' and \" break the line; ET flushes.  Non-text
+    operators and their operands are skipped (operand stack discipline:
+    operands collect until any operator token)."""
+    lines: list[str] = []
+    buf: list[str] = []
+    stack: list = []
+    i, n = 0, len(data)
+
+    def flush() -> None:
+        line = "".join(buf)
+        buf.clear()
+        if line:
+            lines.append(line)
+
+    def show(v) -> None:
+        if isinstance(v, bytes):
+            buf.append(_decode_pdf_string(v))
+
+    while i < n:
+        i = _skip_ws(data, i)
+        if i >= n:
+            break
+        c = data[i]
+        if c == 0x2F or c == 0x28 or c == 0x3C or c == 0x5B or (
+            0x30 <= c <= 0x39 or c in (0x2B, 0x2D, 0x2E)
+        ):
+            try:
+                v, i = _parse_object(data, i)
+            except ValueError:
+                break  # malformed operand: drop the tail (total)
+            stack.append(v)
+            continue
+        m = _OP_RX.match(data, i)
+        if m is None:
+            i += 1  # stray byte: skip (total)
+            continue
+        op = m.group(0)
+        i = m.end()
+        if op == b"Tj":
+            if stack:
+                show(stack[-1])
+        elif op == b"TJ":
+            if stack and isinstance(stack[-1], list):
+                for el in stack[-1]:
+                    show(el)
+        elif op == b"'":
+            flush()
+            if stack:
+                show(stack[-1])
+        elif op == b'"':
+            flush()
+            if stack:
+                show(stack[-1])
+        elif op in (b"Td", b"TD"):
+            if len(stack) >= 2 and isinstance(stack[-1], (int, float)) and stack[-1] != 0:
+                flush()
+        elif op in (b"T*", b"Tm"):
+            flush()
+        elif op == b"ET":
+            flush()
+        elif op == b"BI":
+            # inline image: skip to EI (bounded subset — no decode)
+            e = data.find(b"EI", i)
+            i = n if e < 0 else e + 2
+        stack.clear()
+    flush()
+    return lines
+
+
+def _page_leaves(doc: _PdfDoc) -> list[dict]:
+    root = doc.resolve(doc.trailer.get("Root"))
+    if not isinstance(root, dict):
+        raise ValueError("missing /Root catalog")
+    pages = doc.resolve(root.get("Pages"))
+    out: list[dict] = []
+    seen: set[int] = set()
+
+    def walk(node, depth: int) -> None:
+        if depth > 64 or len(out) > 10_000:
+            raise ValueError("page tree too deep/large")
+        node = doc.resolve(node)
+        if not isinstance(node, dict):
+            return
+        t = node.get("Type")
+        if t == "Page":
+            out.append(node)
+            return
+        kids = doc.resolve(node.get("Kids"))
+        if isinstance(kids, list):
+            for k in kids:
+                if isinstance(k, _Ref):
+                    if k.num in seen:
+                        continue  # cycle guard
+                    seen.add(k.num)
+                walk(k, depth + 1)
+
+    walk(pages, 0)
+    return out
+
+
+def _page_content(doc: _PdfDoc, page: dict) -> bytes:
+    contents = page.get("Contents")
+    refs = contents if isinstance(contents, list) else [contents]
+    parts: list[bytes] = []
+    for r in refs:
+        if r is None:
+            continue
+        if isinstance(r, _Ref):
+            obj, raw = doc.get_object(r.num)
+        else:
+            obj, raw = r, None
+        if raw is None:
+            continue
+        if isinstance(obj, dict):
+            parts.append(doc.stream_data(obj, raw))
+    return b"\n".join(parts)
+
+
+def _extract_pages(data: bytes) -> list[str]:
+    """PDF bytes -> one text string per non-empty page.  Raises
+    ValueError ONLY (quarantine contract: every incidental exception
+    type converts — the codecs discipline)."""
+    try:
+        doc = _PdfDoc(bytes(data) if data is not None else b"")
+        page_texts: list[str] = []
+        for page in _page_leaves(doc):
+            lines = _content_text_lines(_page_content(doc, page))
+            if lines:
+                page_texts.append("\n".join(lines))
+        return page_texts
+    except ValueError:
+        raise
+    except (struct.error, IndexError, KeyError, OverflowError, zlib.error,
+            EOFError, TypeError, AttributeError, RecursionError,
+            UnicodeDecodeError, MemoryError) as exc:
+        raise ValueError(f"malformed pdf: {type(exc).__name__}: {exc}") from exc
+
+
+def extract_pdf_text(data: bytes) -> str:
+    """PDF bytes -> plain text: one line per text-operator line, lines
+    and pages joined with newlines (see module docstring for the exact
+    subset).  Raises ValueError ONLY on malformed input (quarantine
+    contract)."""
+    return "\n".join(_extract_pages(data))
+
+
+# ---------------------------------------------------------------------------
+# Encoder twin
+# ---------------------------------------------------------------------------
+
+_PDF_ESC = {ord("\\"): "\\\\", ord("("): "\\(", ord(")"): "\\)",
+            ord("\n"): "\\n", ord("\r"): "\\r", ord("\t"): "\\t"}
+
+
+def _pdf_string(s: str) -> bytes:
+    """Text -> literal-string bytes (WinAnsi forward map; chars outside
+    cp1252 -> '?')."""
+    return s.translate(_PDF_ESC).encode("cp1252", "replace")
+
+
+def build_pdf(doc_id: int, text: str) -> bytes:
+    """Deterministic two-page fixture PDF (the encoder twin for
+    ``extract_pdf_text``): page 1 shows 'Doc <id>' then the corpus text
+    (content stream FlateDecode-compressed for even ids — exercises the
+    stdlib-zlib filter path), page 2 shows a TJ-array 'Length: <n>'
+    line under an INDIRECT /Length and an ``'``-shown 'End.' trailer.
+    Real xref table + trailer.  Expected extraction, closed form:
+    ``Doc <id>\\n[<text>\\n]Length: <n>\\nEnd.``"""
+    tid = str(int(doc_id))
+    t = text if isinstance(text, str) else ""
+    c1 = (
+        b"BT /F1 12 Tf 72 720 Td (Doc " + tid.encode("ascii")
+        + b") Tj 0 -14 TD (" + _pdf_string(t) + b") Tj ET"
+    )
+    filter1 = b""
+    if int(doc_id) % 2 == 0:
+        c1 = zlib.compress(c1, 6)
+        filter1 = b" /Filter /FlateDecode"
+    c2 = (
+        b"BT /F1 10 Tf 72 720 Td [(Length: ) (" + str(len(t)).encode("ascii")
+        + b")] TJ (End.) ' ET"
+    )
+    objs: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 7 0 R >> >> /Contents 4 0 R >>"),
+        4: (b"<< /Length " + str(len(c1)).encode("ascii") + filter1
+            + b" >>\nstream\n" + c1 + b"\nendstream"),
+        5: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 7 0 R >> >> /Contents 6 0 R >>"),
+        6: b"<< /Length 8 0 R >>\nstream\n" + c2 + b"\nendstream",
+        7: (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding /WinAnsiEncoding >>"),
+        8: str(len(c2)).encode("ascii"),
+    }
+    out = bytearray(b"%PDF-1.4\n%\xc2\xa5\xc2\xb1\n")  # binary-marker comment
+    offsets: dict[int, int] = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += str(num).encode("ascii") + b" 0 obj\n" + objs[num] + b"\nendobj\n"
+    xref_off = len(out)
+    out += b"xref\n0 " + str(len(objs) + 1).encode("ascii") + b"\n"
+    out += b"0000000000 65535 f \n"
+    for num in sorted(objs):
+        out += f"{offsets[num]:010d} 00000 n \n".encode("ascii")
+    out += (
+        b"trailer\n<< /Size " + str(len(objs) + 1).encode("ascii")
+        + b" /Root 1 0 R >>\nstartxref\n" + str(xref_off).encode("ascii")
+        + b"\n%%EOF\n"
+    )
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# DataFrame ops
+# ---------------------------------------------------------------------------
+
+
+def synth_pdf(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    out_col: str = "pdf",
+) -> DataFrame:
+    """Append the fixture PDF built from (id, text) — the encoder-twin
+    Arrow kernel (the synth_mixed_warc shape)."""
+
+    @F.pandas_udf("binary")
+    def _build(did: pd.Series, txt: pd.Series) -> pd.Series:
+        return pd.Series(
+            [build_pdf(int(i), t if isinstance(t, str) else "")
+             for i, t in zip(did, txt)]
+        )
+
+    return df.withColumn(out_col, _build(F.col(id_col), F.col(text_col)))
+
+
+def pdf_extract(
+    df: DataFrame, pdf_col: str = "pdf", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, pdf-bytes) -> (id, pdf_text, n_lines, n_pages) via one
+    Arrow kernel; a poison PDF quarantines to ('', -1, -1) — it costs
+    its own row, never the stage.  n_lines is a codegen split-size so
+    only the extraction pays Python.  Stateless projection — runs on
+    streams AS-IS (share, don't mirror)."""
+
+    @F.pandas_udf("struct<text: string, n_pages: int>")
+    def _extract(s: pd.Series) -> pd.DataFrame:
+        texts, pages = [], []
+        for b in s:
+            try:
+                pts = _extract_pages(b)
+                texts.append("\n".join(pts))
+                pages.append(len(pts))
+            except ValueError:
+                texts.append("")
+                pages.append(-1)
+        return pd.DataFrame({"text": texts, "n_pages": pages})
+
+    out = df.select(F.col(id_col), _extract(F.col(pdf_col)).alias("_e"))
+    return out.select(
+        id_col,
+        F.col("_e.text").alias("pdf_text"),
+        F.when(F.col("_e.n_pages") < 0, F.lit(-1))
+        .when(F.col("_e.text") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.col("_e.text"), "\n", -1)))
+        .cast("int")
+        .alias("n_lines"),
+        F.col("_e.n_pages").alias("n_pages"),
+    )

@@ -1026,6 +1026,7 @@ def warc_route(
     kind), never the stage.  One Arrow kernel per partition batch,
     shuffle-free."""
     from esgopeta_spark.operators import codecs
+    from esgopeta_spark.operators.pdf import extract_pdf_text
 
     @F.pandas_udf(
         "array<struct<uri: string, kind: string, status: int, stat: bigint>>"
@@ -1042,6 +1043,8 @@ def warc_route(
                 if kind == "html":
                     text = decode_html_bytes(body, hdrs)
                     stat = len(extract_html_text(text))
+                elif kind == "pdf":
+                    stat = len(extract_pdf_text(body))
                 elif kind in image:
                     arr = image[kind](body)
                     stat = int(arr.shape[0]) * int(arr.shape[1])
@@ -1106,6 +1109,51 @@ def warc_html_text(
     return (
         df.select(F.col(id_col), F.explode(_text(F.col(blob_col))).alias("r"))
         .select(id_col, "r.uri", "r.clean_text")
+    )
+
+
+def warc_doc_text(
+    df: DataFrame, blob_col: str = "warc", id_col: str = "doc_id"
+) -> DataFrame:
+    """WARC blobs -> one row per record whose (HTTP-unwrapped) payload
+    sniffs as a TEXT DOCUMENT — html via the extraction kernel OR
+    (r11) pdf via the from-scratch bounded PDF parser: (id, uri, kind,
+    clean_text).  The html+pdf superset of :func:`warc_html_text` — a
+    real pretraining corpus ingests both (C4/CCNet lineage is html;
+    science/books-heavy mixes lean on pdf).  Non-document records and
+    poison payloads drop (route/extract entries report them; the
+    corpus pipeline wants the text).  One Arrow kernel; gz-transparent;
+    stateless (stream-safe)."""
+    from esgopeta_spark.operators.pdf import extract_pdf_text
+
+    @F.pandas_udf("array<struct<uri: string, kind: string, clean_text: string>>")
+    def _text(s: pd.Series) -> pd.Series:
+        def one(b):
+            try:
+                recs = parse_warc(maybe_gunzip_warc(bytes(b) if b is not None else b""))
+            except ValueError:
+                return []
+            out = []
+            for r in recs:
+                try:
+                    _st, hdrs, body = parse_http_response(r["payload"])
+                    kind = sniff_payload(body)
+                    if kind == "html":
+                        text = extract_html_text(decode_html_bytes(body, hdrs))
+                    elif kind == "pdf":
+                        text = extract_pdf_text(body)
+                    else:
+                        continue
+                    out.append({"uri": r["uri"], "kind": kind, "clean_text": text})
+                except ValueError:
+                    continue
+            return out
+
+        return pd.Series([one(b) for b in s])
+
+    return (
+        df.select(F.col(id_col), F.explode(_text(F.col(blob_col))).alias("r"))
+        .select(id_col, "r.uri", "r.kind", "r.clean_text")
     )
 
 
@@ -1263,27 +1311,33 @@ def synth_mixed_warc(
     html_col: str = "html",
     uri_col: str = "uri",
     out_col: str = "warc",
+    text_col: str = "text",
 ) -> DataFrame:
     """Fixture twin for ``warc_route``: per row, frame ONE payload by
-    id mod 3 — the html string's UTF-8 bytes (every SIXTH doc wrapped
+    id mod 4 — the html string's UTF-8 bytes (every EIGHTH doc wrapped
     in a full HTTP/1.1 200 message, the shape Common Crawl actually
     stores), a deterministic gray PNG (w = 3 + id%5, h = 2 + id%7,
-    pixel = (x+y+id) mod 256), or a deterministic WAV tone
-    (500 + (id%11)*16 samples) — as a WARC response record, so the
-    route stats have closed forms."""
+    pixel = (x+y+id) mod 256), a deterministic WAV tone
+    (500 + (id%11)*16 samples), or (r11) the two-page fixture PDF built
+    from the html column's EMBEDDED corpus text — as a WARC response
+    record, so the route stats have closed forms.  The pdf branch takes
+    a separate ``text_col`` (raw corpus text; pdf strings are verbatim,
+    not html-escaped)."""
     import numpy as np
 
     from esgopeta_spark.operators import codecs
+    from esgopeta_spark.operators.pdf import build_pdf
 
     @F.pandas_udf("binary")
-    def _build(did: pd.Series, html: pd.Series, uri: pd.Series) -> pd.Series:
+    def _build(did: pd.Series, html: pd.Series, uri: pd.Series,
+               txt: pd.Series) -> pd.Series:
         out = []
-        for i, h, u in zip(did, html, uri):
+        for i, h, u, t in zip(did, html, uri, txt):
             i = int(i)
-            k = i % 3
+            k = i % 4
             if k == 0:
                 payload = (h if isinstance(h, str) else "").encode("utf-8")
-                if i % 6 == 0:
+                if i % 8 == 0:
                     payload = (
                         b"HTTP/1.1 200 OK\r\n"
                         b"Content-Type: text/html; charset=utf-8\r\n"
@@ -1293,17 +1347,21 @@ def synth_mixed_warc(
                 w, ht = 3 + i % 5, 2 + i % 7
                 y, x = np.mgrid[0:ht, 0:w]
                 payload = codecs.encode_png(((x + y + i) % 256).astype(np.uint8))
-            else:
+            elif k == 2:
                 n = 500 + (i % 11) * 16
-                t = np.arange(n)
+                tt = np.arange(n)
                 payload = codecs.encode_wav(
-                    (1000 * np.sin(t * 0.05 + i)).astype(np.int16), 8000
+                    (1000 * np.sin(tt * 0.05 + i)).astype(np.int16), 8000
                 )
+            else:
+                payload = build_pdf(i, t if isinstance(t, str) else "")
             out.append(build_warc_record(u if isinstance(u, str) else "", payload))
         return pd.Series(out)
 
     return df.withColumn(
-        out_col, _build(F.col(id_col), F.col(html_col), F.col(uri_col))
+        out_col,
+        _build(F.col(id_col), F.col(html_col), F.col(uri_col),
+               F.col(text_col)),
     )
 
 

@@ -373,28 +373,35 @@ def web_warc_extract(spark, sf):
     )
     SELECT doc_id,
            {_SEED_SQL} AS uri,
-           CASE doc_id % 3 WHEN 0 THEN 'html' WHEN 1 THEN 'png' ELSE 'wav' END AS kind,
-           CAST(CASE WHEN doc_id % 6 = 0 THEN 200 ELSE 0 END AS INTEGER) AS status,
-           CAST(CASE doc_id % 3
+           CASE doc_id % 4 WHEN 0 THEN 'html' WHEN 1 THEN 'png'
+                           WHEN 2 THEN 'wav' ELSE 'pdf' END AS kind,
+           CAST(CASE WHEN doc_id % 8 = 0 THEN 200 ELSE 0 END AS INTEGER) AS status,
+           CAST(CASE doc_id % 4
                 WHEN 0 THEN 36 + length(CAST(doc_id AS VARCHAR))
                             + CASE WHEN t = '' THEN 0 ELSE length(t) + 1 END
                             + length(CAST(n AS VARCHAR))
                 WHEN 1 THEN (3 + doc_id % 5) * (2 + doc_id % 7)
-                ELSE 500 + (doc_id % 11) * 16 END AS BIGINT) AS stat
+                WHEN 2 THEN 500 + (doc_id % 11) * 16
+                ELSE 18 + length(CAST(doc_id AS VARCHAR))
+                        + length(CAST(n AS VARCHAR))
+                        + CASE WHEN n > 0 THEN n + 1 ELSE 0 END
+                END AS BIGINT) AS stat
     FROM c
     """,
-    doc="content-type routing over a mixed WARC corpus (r10): each "
-    "parsed record's payload is first unwrapped as the HTTP message a "
-    "response record really stores (status line + headers + body, "
-    "de-chunked — every sixth fixture doc ships the full HTTP/1.1 "
-    "envelope), then the BODY is sniffed on bytes (a crawler cannot "
-    "trust Content-Type) and routed to the matching from-scratch "
+    doc="content-type routing over a mixed WARC corpus (r10; pdf r11): "
+    "each parsed record's payload is first unwrapped as the HTTP "
+    "message a response record really stores (status line + headers + "
+    "body, de-chunked — every eighth fixture doc ships the full "
+    "HTTP/1.1 envelope), then the BODY is sniffed on bytes (a crawler "
+    "cannot trust Content-Type) and routed to the matching from-scratch "
     "decoder — html -> the extraction kernel (stat = clean-text "
     "chars), png -> image decode (stat = w*h), wav -> audio decode "
-    "(stat = n_samples) — the crawl-side fan-in to the media codec "
-    "stack.  Poison payloads quarantine per-record.  Plan: two Arrow "
-    "kernels over one scan, shuffle-free; operators/web.py "
-    "parse_http_response/sniff_payload/warc_route",
+    "(stat = n_samples), pdf -> the bounded PDF parser (stat = "
+    "extracted chars, closed form 18 + digits + text+1) — the "
+    "crawl-side fan-in to the media codec stack.  Poison payloads "
+    "quarantine per-record.  Plan: two Arrow kernels over one scan, "
+    "shuffle-free; operators/web.py parse_http_response/sniff_payload/"
+    "warc_route + operators/pdf.py extract_pdf_text",
 )
 def web_warc_route(spark, sf):
     from esgopeta_spark.operators.web import synth_html, synth_mixed_warc, warc_route
@@ -404,6 +411,7 @@ def web_warc_route(spark, sf):
         "doc_id",
         _seed_url(did).alias("uri"),
         synth_html(did, F.coalesce(F.col("text"), F.lit(""))).alias("html"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
     )
     return warc_route(synth_mixed_warc(d))
 
@@ -587,30 +595,76 @@ def web_cdx_index(spark, sf):
     return cdx_index(g.select("grp", _build(F.col("grp"), F.col("ms")).alias("warc")))
 
 
+# closed-form n_chars of the two text-document residue classes of the
+# id%4 mixed-warc fixture: html (the pipeline_html_to_shards form) and
+# pdf (18 fixed chars: 'Doc '=4 + 3 joining newlines + 'Length: '=8 +
+# 'End.'=4 − 1 trailing... = 'Doc '+id+NL [+text+NL] +'Length: '+n+NL
+# +'End.' = 4+1+8+1+4 = 18 + digit widths + text+1 when non-empty)
+_CRAWL_SHARDS_SQL = r"""
+    WITH c AS (
+      SELECT doc_id,
+             trim(regexp_replace(coalesce(text, ''), '[ \t\n\r\f\v]+', ' ', 'g')) AS t,
+             length(coalesce(text, '')) AS n
+      FROM documents
+    ), ext AS (
+      SELECT doc_id,
+             CAST(36 + length(CAST(doc_id AS VARCHAR))
+                  + CASE WHEN t = '' THEN 0 ELSE length(t) + 1 END
+                  + length(CAST(n AS VARCHAR)) AS BIGINT) AS n_chars
+      FROM c WHERE doc_id % 4 = 0
+      UNION ALL
+      SELECT doc_id,
+             CAST(18 + length(CAST(doc_id AS VARCHAR))
+                  + length(CAST(n AS VARCHAR))
+                  + CASE WHEN n > 0 THEN n + 1 ELSE 0 END AS BIGINT)
+      FROM c WHERE doc_id % 4 = 3
+    ), gated AS (
+      SELECT doc_id, n_chars FROM ext WHERE n_chars >= 160
+    ), s AS (
+      SELECT doc_id, n_chars,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT) AS BIGINT) AS d1,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))
+                  AS UBIGINT) AS BIGINT) AS d2
+      FROM gated
+    ), a AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN d1 < 3435973836 THEN 'train'
+                  WHEN d1 < 3865470566 THEN 'val'
+                  ELSE 'test' END AS split,
+             CAST(d2 % 8 AS INTEGER) AS shard
+      FROM s
+    )
+    SELECT split, shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM a GROUP BY split, shard
+"""
+
+
 @register(
     "pipeline_crawl_to_shards",
     "G4,G5,E5",
-    _HTML_SHARDS_SQL.replace(
-        "FROM documents", "FROM documents WHERE doc_id % 3 = 0"
-    ),
+    _CRAWL_SHARDS_SQL,
     doc="the FULL crawl-to-writer capstone in ONE Catalyst lineage "
-    "(r10): mixed .warc bytes (html every third doc, every sixth "
-    "HTTP/1.1-wrapped; png/wav otherwise) -> record parse + HTTP unwrap "
-    "+ byte sniff + HTML extraction in one kernel (non-html records "
-    "drop) -> length gate -> deterministic md5 split/shard -> per "
-    "(split, shard) rollup.  Raw crawl bytes become writer-sharded "
-    "training text in a single plan; the oracle is the "
-    "pipeline_html_to_shards closed form restricted to the html "
-    "residue class.  Plan: two Arrow kernels + codegen gate/split + "
-    "one final shuffle; operators/web.py warc_html_text + "
-    "operators/text.py split_shards",
+    "(r10; pdf r11): mixed .warc bytes (html every fourth doc, every "
+    "eighth HTTP/1.1-wrapped; png/wav/PDF otherwise) -> record parse + "
+    "HTTP unwrap + byte sniff + text extraction in one kernel — html "
+    "via the extraction kernel AND pdf via the bounded from-scratch "
+    "PDF parser (non-document records drop) -> length gate -> "
+    "deterministic md5 split/shard -> per (split, shard) rollup.  Raw "
+    "crawl bytes become writer-sharded training text in a single plan; "
+    "the oracle unions the html and pdf closed forms over their "
+    "residue classes.  Plan: two Arrow kernels + codegen gate/split + "
+    "one final shuffle; operators/web.py warc_doc_text + "
+    "operators/pdf.py + operators/text.py split_shards",
 )
 def pipeline_crawl_to_shards(spark, sf):
     from esgopeta_spark.operators.text import split_shards
     from esgopeta_spark.operators.web import (
         synth_html,
         synth_mixed_warc,
-        warc_html_text,
+        warc_doc_text,
     )
 
     did = F.col("doc_id")
@@ -618,8 +672,9 @@ def pipeline_crawl_to_shards(spark, sf):
         "doc_id",
         _seed_url(did).alias("uri"),
         synth_html(did, F.coalesce(F.col("text"), F.lit(""))).alias("html"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
     )
-    texts = warc_html_text(synth_mixed_warc(d))
+    texts = warc_doc_text(synth_mixed_warc(d))
     ext = texts.select(
         "doc_id", F.length("clean_text").cast("bigint").alias("n_chars")
     )
@@ -629,6 +684,45 @@ def pipeline_crawl_to_shards(spark, sf):
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
     )
+
+
+@register(
+    "text_pdf_extract",
+    "G4,G5",
+    r"""
+    WITH c AS (
+      SELECT doc_id, coalesce(text, '') AS t, length(coalesce(text, '')) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           'Doc ' || doc_id || chr(10)
+           || CASE WHEN t = '' THEN '' ELSE t || chr(10) END
+           || 'Length: ' || n || chr(10) || 'End.' AS pdf_text,
+           CAST(CASE WHEN t = '' THEN 3 ELSE 4 END AS INTEGER) AS n_lines,
+           CAST(2 AS INTEGER) AS n_pages
+    FROM c
+    """,
+    doc="crawl front-end: bounded from-scratch PDF text extraction "
+    "(r11, verdict #1 — the second-largest text format in real crawl "
+    "corpora): synthesize a deterministic two-page fixture PDF per doc "
+    "in an encoder-twin Arrow kernel (real xref table, page tree, "
+    "escaped literal strings; page-1 content stream FlateDecode-"
+    "compressed via stdlib zlib for even ids, page 2 under an INDIRECT "
+    "/Length with a TJ array and an ' operator), then run the REAL "
+    "parser: xref walk, object model, filter decode, page-tree "
+    "recursion, BT/ET text-operator interpretation (strings verbatim — "
+    "unlike html, PDF strings ARE the typeset text).  Oracle "
+    "recomputes the expected extraction in closed form from "
+    "documents.text.  Plan: two Arrow kernels over one scan, "
+    "shuffle-free; operators/pdf.py build_pdf/extract_pdf_text",
+)
+def text_pdf_extract(spark, sf):
+    from esgopeta_spark.operators.pdf import pdf_extract, synth_pdf
+
+    d = T(spark, sf, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    return pdf_extract(synth_pdf(d))
 
 
 @register(

@@ -248,6 +248,7 @@ def sniff_format_expr(c):
         .when((c.substr(1, 6) == F.lit(b"GIF87a")) | (c.substr(1, 6) == F.lit(b"GIF89a")), "gif")
         .when(c.substr(1, 2) == F.lit(b"BM"), "bmp")
         .when(c.substr(1, 2) == F.lit(b"P6"), "ppm")
+        .when(c.substr(1, 5) == F.lit(b"%PDF-"), "pdf")
         .when((c.substr(1, 4) == F.lit(b"II*\x00")) | (c.substr(1, 4) == F.lit(b"MM\x00*")), "tiff")
         .when((c.substr(1, 4) == F.lit(b"RIFF")) & (c.substr(9, 4) == F.lit(b"WAVE")), "wav")
         # RIFF-non-WAVE must TERMINATE here like the python twin's

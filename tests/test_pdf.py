@@ -1,0 +1,293 @@
+"""Bounded PDF text extraction (r11): object model, xref walk +
+incremental updates + fallback scan, stream filters, page tree,
+content-stream text operators, the encoder-twin round trip, the
+quarantine/fuzz contract, crawl-chain routing, and the stateless
+streaming pin."""
+
+from __future__ import annotations
+
+import random
+import zlib
+
+import pytest
+
+from esgopeta_spark.operators.pdf import (
+    _parse_object,
+    build_pdf,
+    extract_pdf_text,
+    pdf_extract,
+    synth_pdf,
+)
+
+
+# ---------------------------------------------------------------------------
+# object model
+# ---------------------------------------------------------------------------
+
+
+def test_parse_object_matrix():
+    obj, _ = _parse_object(b" << /A 1 /B [2 3.5 (s) /N] /C << /D true >> >>", 0)
+    assert obj == {"A": 1, "B": [2, 3.5, b"s", "N"], "C": {"D": True}}
+    # names with #xx escapes
+    obj, _ = _parse_object(b"/Name#20with#2Fslash", 0)
+    assert obj == "Name with/slash"
+    # indirect references vs plain ints
+    obj, _ = _parse_object(b"[1 0 R 2 3 4 1 R]", 0)
+    assert [repr(o) for o in obj] == ["1 0 R", "2", "3", "4 1 R"]
+    # literal string escapes: all eight, octal (1-3 digits), nesting,
+    # line continuation, CR normalization
+    obj, _ = _parse_object(rb"(a\(b\)c \\ \n\t\r\b\f \101\41\7 (nested) )", 0)
+    assert obj == b"a(b)c \\ \n\t\r\x08\x0c A!\x07 (nested) "
+    obj, _ = _parse_object(b"(line\\\ncont)", 0)
+    assert obj == b"linecont"
+    obj, _ = _parse_object(b"(cr\rhere\r\ntoo)", 0)
+    assert obj == b"cr\nhere\ntoo"
+    # hex strings: whitespace tolerated, odd length pads 0
+    obj, _ = _parse_object(b"<41 4243>", 0)
+    assert obj == b"ABC"
+    obj, _ = _parse_object(b"<414>", 0)
+    assert obj == b"A@"
+    # booleans / null / floats
+    assert _parse_object(b" true", 0)[0] is True
+    assert _parse_object(b"null", 0)[0] is None
+    assert _parse_object(b"-1.5", 0)[0] == -1.5
+    # comments are whitespace
+    assert _parse_object(b"% note\n 42", 0)[0] == 42
+
+
+def test_parse_object_malformed_raises_valueerror():
+    for bad in [b"", b"(unterminated", b"<zz>", b"<< /K >>", b"[1 2",
+                b"<< 1 2 >>", b"}"]:
+        with pytest.raises(ValueError):
+            _parse_object(bad, 0)
+
+
+# ---------------------------------------------------------------------------
+# encoder-twin round trip
+# ---------------------------------------------------------------------------
+
+
+def test_build_extract_round_trip_matrix():
+    cases = [
+        (0, "hello world"),            # even: FlateDecode path
+        (1, "odd uncompressed"),
+        (2, ""),                        # empty text: line drops
+        (3, "with (parens) and \\ backslash"),
+        (4, "tab\there and\nnewline"),  # escapes survive verbatim
+        (7, "café naïve — dash"),       # cp1252 round trip (WinAnsi)
+        (123456, "x" * 2000),           # long text
+    ]
+    for i, t in cases:
+        got = extract_pdf_text(build_pdf(i, t))
+        want = f"Doc {i}\n" + (t + "\n" if t else "") + f"Length: {len(t)}\nEnd."
+        assert got == want, (i, got[:80])
+
+
+def test_pdf_structure_features():
+    """The fixture really exercises the claimed structure: compressed
+    page-1 stream for even ids, indirect /Length on page 2, a real
+    xref table the parser resolves (no fallback scan needed)."""
+    even, odd = build_pdf(2, "abc"), build_pdf(3, "abc")
+    assert b"/Filter /FlateDecode" in even and b"/Filter" not in odd
+    assert b"/Length 8 0 R" in even  # indirect length
+    # corrupting the startxref number only (forcing the fallback scan)
+    # must NOT change the answer — both paths resolve the same objects
+    i = even.rfind(b"startxref")
+    broken = even[:i] + b"startxref\n999999999\n%%EOF\n"
+    assert extract_pdf_text(broken) == extract_pdf_text(even)
+
+
+def test_incremental_update_newest_wins():
+    """An appended body (incremental update: new object 4, new xref
+    with /Prev to the old one) must shadow the original page content —
+    the xref walk is newest-first."""
+    base = build_pdf(1, "original text")
+    c1 = b"BT /F1 12 Tf 72 720 Td (Doc 1) Tj 0 -14 TD (updated text) Tj ET"
+    upd = bytearray(base)
+    off4 = len(upd)
+    upd += (b"4 0 obj\n<< /Length " + str(len(c1)).encode()
+            + b" >>\nstream\n" + c1 + b"\nendstream\nendobj\n")
+    old_xref = base.rfind(b"xref\n")
+    new_xref = len(upd)
+    upd += (b"xref\n0 1\n0000000000 65535 f \n4 1\n"
+            + f"{off4:010d} 00000 n \n".encode()
+            + b"trailer\n<< /Size 9 /Root 1 0 R /Prev "
+            + str(old_xref).encode() + b" >>\nstartxref\n"
+            + str(new_xref).encode() + b"\n%%EOF\n")
+    got = extract_pdf_text(bytes(upd))
+    assert got == "Doc 1\nupdated text\nLength: 13\nEnd."
+
+
+def test_asciihex_filter_and_utf16_strings():
+    c1 = b"BT (plain) Tj T* <FEFF04100411> Tj ET"
+    hexed = c1.hex().encode("ascii") + b">"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(hexed)).encode()
+        + b" /Filter [/ASCIIHexDecode] >>\nstream\n" + hexed
+        + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"  # no xref: fallback scan
+    )
+    # the hex string shows the UTF-16BE text (BOM-prefixed) as cyrillic
+    assert extract_pdf_text(pdf) == "plain\nАБ"
+
+
+def test_multi_stream_page_and_tj_kerning():
+    """A /Contents ARRAY concatenates streams; TJ ignores kerning
+    numbers between strings; Tm and ' break lines."""
+    s1 = b"BT [(ker) -120 (ned)] TJ"
+    s2 = b"1 0 0 1 72 700 Tm (second) Tj (third) ' ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(s1)).encode() + b" >>\nstream\n"
+        + s1 + b"\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Length " + str(len(s2)).encode() + b" >>\nstream\n"
+        + s2 + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert extract_pdf_text(pdf) == "kerned\nsecond\nthird"
+
+
+def test_page_tree_cycle_guard_and_missing_root():
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [2 0 R 3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R >>\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert extract_pdf_text(pdf) == ""  # self-kid skipped, page empty
+    with pytest.raises(ValueError):
+        extract_pdf_text(b"%PDF-1.4\n1 0 obj\n<< >>\nendobj\n%%EOF\n")
+    with pytest.raises(ValueError):
+        extract_pdf_text(b"not a pdf at all")
+
+
+# ---------------------------------------------------------------------------
+# quarantine / fuzz contract
+# ---------------------------------------------------------------------------
+
+
+def test_pdf_quarantine_contract_fuzz():
+    """Seeded byte flips / truncations / splices over real fixture
+    bytes: extract_pdf_text returns a str or raises ValueError — never
+    any other exception type (the codecs quarantine contract)."""
+    rng = random.Random(0x9DF11)
+    base = build_pdf(6, "fuzz corpus text body with some length to it")
+    for trial in range(400):
+        b = bytearray(base)
+        kind = trial % 4
+        if kind == 0:
+            for _ in range(rng.randrange(1, 8)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        elif kind == 1:
+            b = b[: rng.randrange(1, len(b))]
+        elif kind == 2:
+            i = rng.randrange(len(b))
+            b = b[:i] + bytes(rng.randrange(256) for _ in range(16)) + b[i:]
+        else:
+            # corrupt the zlib stream specifically
+            i = base.find(b"stream\n") + 7
+            b[i + rng.randrange(10)] ^= 0xFF
+        try:
+            out = extract_pdf_text(bytes(b))
+            assert isinstance(out, str)
+        except ValueError:
+            pass
+
+
+def test_pdf_extract_df_quarantines_per_row(spark):
+    rows = [
+        (1, build_pdf(1, "good text")),
+        (2, b"%PDF-1.4 then garbage with no objects"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, pdf: binary")
+    got = {r["doc_id"]: (r["pdf_text"], r["n_lines"], r["n_pages"])
+           for r in pdf_extract(df).collect()}
+    assert got[1] == ("Doc 1\ngood text\nLength: 9\nEnd.", 4, 2)
+    assert got[2] == ("", -1, -1)
+    assert got[3] == ("", -1, -1)
+
+
+# ---------------------------------------------------------------------------
+# crawl-chain routing
+# ---------------------------------------------------------------------------
+
+
+def test_warc_route_and_doc_text_cover_pdf(spark):
+    from esgopeta_spark.operators.codecs import sniff_format
+    from esgopeta_spark.operators.web import (
+        build_warc_record,
+        warc_doc_text,
+        warc_route,
+    )
+
+    assert sniff_format(b"%PDF-1.7\n") == "pdf"
+    pdf = build_pdf(9, "routed body")
+    html = b"<!DOCTYPE html><html><body><p>page text here</p></body></html>"
+    rows = [
+        (1, build_warc_record("https://a.com/doc.pdf", pdf)),
+        (2, build_warc_record("https://a.com/page.html", html)),
+        (3, build_warc_record("https://a.com/bin", b"\x00\x01\x02 opaque")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, warc: binary")
+    routed = {r["doc_id"]: (r["kind"], r["stat"]) for r in warc_route(df).collect()}
+    want_text = "Doc 9\nrouted body\nLength: 11\nEnd."
+    assert routed[1] == ("pdf", len(want_text))
+    assert routed[2][0] == "html"
+    assert routed[3] == ("unknown", -1)
+    texts = {r["doc_id"]: (r["kind"], r["clean_text"])
+             for r in warc_doc_text(df).collect()}
+    assert texts[1] == ("pdf", want_text)
+    assert texts[2] == ("html", "page text here")
+    assert 3 not in texts  # non-document records drop
+
+
+# ---------------------------------------------------------------------------
+# streaming pin (stateless: share the batch projection, don't mirror)
+# ---------------------------------------------------------------------------
+
+
+def test_pdf_extract_stream_twin(spark, tmp_path):
+    rows = [(i, build_pdf(i, f"stream doc {i} body")) for i in range(8)]
+    rows.append((99, b"%PDF- poison"))
+    df = spark.createDataFrame(rows, "doc_id: long, pdf: binary")
+    want = {tuple(r) for r in pdf_extract(df).collect()}
+    df.coalesce(2).write.mode("overwrite").parquet(str(tmp_path / "pdfs"))
+    stream = spark.readStream.schema("doc_id long, pdf binary").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(tmp_path / "pdfs"))
+    q = (
+        pdf_extract(stream)
+        .writeStream.format("memory")
+        .queryName("pdfstream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180)
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM pdfstream").collect()}
+    assert got == want and len(got) == 9
+
+
+def test_synth_pdf_matches_python_encoder(spark):
+    """The Arrow synth kernel is byte-identical to the local encoder
+    (one source of truth for the fixture)."""
+    import pandas as pd  # noqa: F401
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta ( ) \\"), (7, "")], "doc_id: long, text: string"
+    )
+    got = {r["doc_id"]: bytes(r["pdf"]) for r in synth_pdf(df).collect()}
+    for i, t in [(1, "alpha"), (2, "beta ( ) \\"), (7, "")]:
+        assert got[i] == build_pdf(i, t)

@@ -211,6 +211,8 @@ def test_sniff_format_expr_matches_python_twin(spark):
         # twin short-circuits to riff-other; the Spark chain must NOT
         # fall through to the mp4 branch (r8 review)
         b"RIFFftypisomxxxx",
+        b"%PDF-1.4 fixture head",  # r11: pdf routed to extract_pdf_text
+        b"%PDF",  # truncated magic -> unknown
         b"\x00\x01\x02garbage",
         b"\xff",  # too short for the frame-sync field checks
         b"\xff\xfb",
