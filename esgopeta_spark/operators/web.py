@@ -1390,6 +1390,190 @@ def synth_url_variants(doc_id_col: F.Column) -> F.Column:
 
 
 # ---------------------------------------------------------------------------
+# HTTP redirects (r11, verdict #4): real WARCs are ~20-30% redirects;
+# URL-level dedup and frontier scheduling must collapse the chains
+# ---------------------------------------------------------------------------
+
+
+def warc_redirect_edges(
+    df: DataFrame, blob_col: str = "warc", id_col: str = "doc_id"
+) -> DataFrame:
+    """WARC blobs -> one row per 3xx response record carrying a
+    ``Location`` header: (id, src_url, dst_url, status) with src = the
+    canonicalized record URI and dst = Location RESOLVED against the
+    record URI (RFC 3986 §5.2 — Location is legally relative) then
+    canonicalized.  Non-redirect records and poison payloads drop (the
+    route entry reports them).  One Arrow kernel; gz-transparent;
+    stateless (stream-safe)."""
+
+    @F.pandas_udf("array<struct<src: string, dst: string, status: int>>")
+    def _edges(s: pd.Series) -> pd.Series:
+        def one(b):
+            try:
+                recs = parse_warc(maybe_gunzip_warc(bytes(b) if b is not None else b""))
+            except ValueError:
+                return []
+            out = []
+            for r in recs:
+                try:
+                    status, hdrs, _body = parse_http_response(r["payload"])
+                    if not 300 <= status < 400:
+                        continue
+                    loc = hdrs.get("location", "")
+                    if not loc:
+                        continue
+                    out.append(
+                        {
+                            "src": canonicalize_url(r["uri"]),
+                            "dst": canonicalize_url(resolve_url(r["uri"], loc)),
+                            "status": status,
+                        }
+                    )
+                except ValueError:
+                    continue
+            return out
+
+        return pd.Series([one(b) for b in s])
+
+    return (
+        df.select(F.col(id_col), F.explode(_edges(F.col(blob_col))).alias("r"))
+        .select(id_col, F.col("r.src").alias("src_url"),
+                F.col("r.dst").alias("dst_url"), F.col("r.status").alias("status"))
+    )
+
+
+def collapse_redirects(
+    edges: DataFrame,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    max_hops: int = 8,
+) -> DataFrame:
+    """(src, dst) redirect edges -> (src, final_url, hops, resolved):
+    every src mapped to its chain's final NON-REDIRECTING target.
+    Chains longer than ``max_hops`` and cycles emit a VISIBLE marker
+    row (final_url = '', hops = -1, resolved = 0) — never a silent
+    drop (the streaming-dedup marker discipline).
+
+    Pointer doubling: ceil(log2(max_hops)) self-joins — each round
+    composes the map with itself, so an 8-hop chain resolves in 3
+    rounds, not 8.  Every join is url-EQUI on the canonical key (the
+    partitioning a 100 TB redirect table would already have); the map
+    is localCheckpointed per round (iterative-loop rule: without the
+    cut Catalyst re-analyzes a doubling plan tree).  Duplicate edges
+    for one src (revisits) resolve deterministically to min(dst)."""
+    m = (
+        edges.groupBy(F.col(src_col).alias("src"))
+        .agg(F.min(dst_col).alias("cur"))
+        .withColumn("hops", F.lit(1).cast("bigint"))
+        .localCheckpoint()
+    )
+    rounds = max(1, (int(max_hops) - 1).bit_length())  # ceil(log2(max_hops))
+    for _ in range(rounds):
+        nxt = m.select(
+            F.col("src").alias("_s"), F.col("cur").alias("_c"),
+            F.col("hops").alias("_h"),
+        )
+        m = (
+            m.join(nxt, m["cur"] == nxt["_s"], "left")
+            .select(
+                "src",
+                F.coalesce("_c", "cur").alias("cur"),
+                (F.col("hops") + F.coalesce("_h", F.lit(0))).alias("hops"),
+            )
+            .localCheckpoint()
+        )
+    # a cur that is still somebody's src did not terminate within
+    # 2^rounds hops: cycle or over-cap chain -> marker
+    srcs = m.select(F.col("src").alias("_src")).withColumn("_open", F.lit(1))
+    out = m.join(srcs, m["cur"] == srcs["_src"], "left")
+    resolved = (F.col("_open").isNull() & (F.col("hops") <= int(max_hops))).cast("int")
+    return out.select(
+        F.col("src").alias(src_col),
+        F.when(resolved == 1, F.col("cur")).otherwise(F.lit("")).alias("final_url"),
+        F.when(resolved == 1, F.col("hops")).otherwise(F.lit(-1)).cast("bigint").alias("hops"),
+        resolved.alias("resolved"),
+    )
+
+
+def synth_redirect_warc(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "warc"
+) -> DataFrame:
+    """Encoder twin for the redirect chain: per doc, one WARC blob
+    holding a 301 chain r0 -> r1 -> ... -> r{L-1} -> final of length
+    L = 1 + id%4 (Location alternates absolute-uppercase-host /
+    absolute-path / relative forms, so resolve+canonicalize do real
+    work), plus — for id%5==0 — a two-record cycle c0 <-> c1 (the
+    marker-row class).  Closed forms: src k resolves to .../final in
+    L-k hops; cycle rows are unresolved markers."""
+
+    @F.pandas_udf("binary")
+    def _build(did: pd.Series) -> pd.Series:
+        out = []
+        for i in did:
+            i = int(i)
+            host = f"site{i % 40}.example.com"
+            base = f"https://{host}/r/{i}/"
+            L = 1 + i % 4
+            recs = []
+            for k in range(L):
+                nxt = f"{k + 1}" if k + 1 < L else "final"
+                # alternate Location forms: absolute w/ uppercase host +
+                # default port, absolute-path, bare relative
+                if k % 3 == 0:
+                    loc = f"HTTPS://{host.upper()}:443/r/{i}/{nxt}"
+                elif k % 3 == 1:
+                    loc = f"/r/{i}/{nxt}"
+                else:
+                    loc = nxt  # relative to the base directory
+                payload = (
+                    f"HTTP/1.1 301 Moved Permanently\r\n"
+                    f"Location: {loc}\r\n"
+                    f"Server: fixture\r\n\r\n"
+                ).encode("ascii")
+                recs.append(build_warc_record(base + str(k), payload))
+            if i % 5 == 0:
+                for a, b in ((0, 1), (1, 0)):
+                    payload = (
+                        f"HTTP/1.1 302 Found\r\nLocation: /r/{i}/c{b}\r\n\r\n"
+                    ).encode("ascii")
+                    recs.append(build_warc_record(base + f"c{a}", payload))
+            out.append(b"".join(recs))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _build(F.col(id_col)))
+
+
+def synth_frontier_redirect_warc(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "warc"
+) -> DataFrame:
+    """Encoder twin for the frontier's redirect-collapse stage: per
+    doc, a TWO-hop 301 chain rooted at the frontier's own ``/a/<id>``
+    URL — ``/a/<id> -> /a/<id>/m -> /a/<id>/final`` (absolute-path then
+    relative Location forms).  Closed form: the head collapses to
+    ``.../a/<id>/final`` in 2 hops."""
+
+    @F.pandas_udf("binary")
+    def _build(did: pd.Series) -> pd.Series:
+        out = []
+        for i in did:
+            i = int(i)
+            host = f"site{i % 40}.example.com"
+            u0 = f"https://{host}/a/{i}"
+            r1 = build_warc_record(
+                u0,
+                (f"HTTP/1.1 301 Moved Permanently\r\nLocation: /a/{i}/m\r\n\r\n").encode(),
+            )
+            r2 = build_warc_record(
+                f"https://{host}/a/{i}/m",
+                b"HTTP/1.1 301 Moved Permanently\r\nLocation: final\r\n\r\n",
+            )
+            out.append(r1 + r2)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _build(F.col(id_col)))
+
+
+# ---------------------------------------------------------------------------
 # Sitemaps (sitemaps.org protocol — the crawl frontier's seed source)
 # ---------------------------------------------------------------------------
 

@@ -281,12 +281,26 @@ def test_portable_pairs_plan_posture(spark, sf_dir):
         assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p, p
 
 
+def test_redirect_collapse_plan_posture(spark, sf_dir):
+    """The r11 redirect entries: every pointer-doubling round and the
+    frontier's map application are url-EQUI joins on the canonical key
+    — no cartesian, no nested loop anywhere in either lineage."""
+    from esgopeta_spark.plans import REGISTRY
+
+    for entry in ("web_redirect_resolve", "pipeline_crawl_frontier"):
+        p = plan_of(REGISTRY[entry].fn(spark, sf_dir))
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+        assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p, p
+
+
 def test_html_extract_plan_posture(spark, sf_dir):
     """The crawl front-end entries are projection/aggregate shaped: the
     extraction is one Arrow kernel over one documents scan (no join at
     all), the URL dedup is one groupBy after the variant explode, and
     the fused pipeline adds only the split window + final rollup — no
-    join node anywhere, ONE scan each."""
+    join node anywhere, ONE scan each.  (pipeline_crawl_frontier moved
+    to the redirect-collapse audit in r11: it now carries the url-equi
+    redirect map join by design.)"""
     import re
 
     from esgopeta_spark.plans import REGISTRY
@@ -296,7 +310,7 @@ def test_html_extract_plan_posture(spark, sf_dir):
                   "web_warc_extract", "web_warc_route",
                   "text_html_main_content", "web_robots_filter",
                   "web_crawl_schedule", "web_cdx_index",
-                  "web_sitemap_extract", "pipeline_crawl_frontier",
+                  "web_sitemap_extract",
                   "web_image_captions", "web_charset_route", "web_feed_extract"):
         p = plan_of(REGISTRY[entry].fn(spark, sf_dir))
         assert "Join" not in p and "CartesianProduct" not in p, (entry, p)

@@ -1023,6 +1023,93 @@ def test_caption_media_pairs_quarantine_and_join(spark):
     assert r["px_sum"] == int(img.sum())
 
 
+def test_warc_redirect_edges_matrix(spark):
+    """3xx records yield resolved+canonicalized (src, dst) edges;
+    non-3xx and Location-less records drop; relative and
+    uppercase-host Location forms normalize."""
+    from esgopeta_spark.operators.web import build_warc_record, warc_redirect_edges
+
+    def http(status, loc=None):
+        h = f"HTTP/1.1 {status} X\r\n"
+        if loc is not None:
+            h += f"Location: {loc}\r\n"
+        return (h + "\r\n").encode()
+
+    rows = [
+        (1, build_warc_record("https://a.com/x/1", http(301, "/y/2"))),
+        (2, build_warc_record("https://a.com/x/1", http(302, "next"))),
+        (3, build_warc_record("https://a.com/x/1", http(307, "HTTPS://B.COM:443/z"))),
+        (4, build_warc_record("https://a.com/x/1", http(200))),
+        (5, build_warc_record("https://a.com/x/1", http(301))),  # no Location
+        (6, build_warc_record("https://a.com/x/1", b"bare body, not http")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, warc: binary")
+    got = {r["doc_id"]: (r["src_url"], r["dst_url"], r["status"])
+           for r in warc_redirect_edges(df).collect()}
+    assert got == {
+        1: ("https://a.com/x/1", "https://a.com/y/2", 301),
+        2: ("https://a.com/x/1", "https://a.com/x/next", 302),
+        3: ("https://a.com/x/1", "https://b.com/z", 307),
+    }
+
+
+def test_collapse_redirects_chains_cycles_and_cap(spark):
+    """Pointer doubling resolves every suffix of an 8-hop chain (the
+    cap); a 9-hop head, a 2-cycle, and a self-loop emit visible marker
+    rows; duplicate src edges resolve via min(dst)."""
+    from esgopeta_spark.operators.web import collapse_redirects
+
+    edges = [(f"u{i}", f"u{i+1}") for i in range(9)]  # u0..u8 -> 9 hops
+    edges += [("c0", "c1"), ("c1", "c0"), ("self", "self")]
+    edges += [("dup", "zz"), ("dup", "aa")]  # min -> aa
+    df = spark.createDataFrame(edges, "src_url: string, dst_url: string")
+    got = {r["src_url"]: (r["final_url"], r["hops"], r["resolved"])
+           for r in collapse_redirects(df, max_hops=8).collect()}
+    assert got["u0"] == ("", -1, 0)  # 9 hops > cap: marker, not a drop
+    for i in range(1, 9):
+        assert got[f"u{i}"] == ("u9", 9 - i, 1)
+    assert got["c0"] == ("", -1, 0) and got["c1"] == ("", -1, 0)
+    assert got["self"] == ("", -1, 0)
+    assert got["dup"] == ("aa", 1, 1)
+    assert len(got) == 13
+
+
+def test_warc_redirect_edges_stream_twin(spark, tmp_path):
+    """Edge extraction is stateless — the batch projection runs on a
+    stream AS-IS (share, don't mirror)."""
+    from esgopeta_spark.operators.web import (
+        build_warc_record,
+        warc_redirect_edges,
+    )
+
+    rows = [
+        (i, build_warc_record(
+            f"https://h{i}.com/p", f"HTTP/1.1 301 M\r\nLocation: /q{i}\r\n\r\n".encode()
+        ))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, warc: binary")
+    want = {tuple(r) for r in warc_redirect_edges(df).collect()}
+    df.coalesce(2).write.mode("overwrite").parquet(str(tmp_path / "redir"))
+    stream = spark.readStream.schema("doc_id long, warc binary").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(tmp_path / "redir"))
+    q = (
+        warc_redirect_edges(stream)
+        .writeStream.format("memory")
+        .queryName("redirstream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180)
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM redirstream").collect()}
+    assert got == want and len(got) == 6
+
+
 def test_sniff_charset_matrix():
     """HTML5-style charset precedence: BOM > header > meta prescan >
     utf-8; WHATWG aliasing (latin-1 family -> windows-1252, meta can
