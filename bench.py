@@ -3,22 +3,36 @@
 
 Prints exactly ONE JSON line:
   {"metric": "headline_queries_total", "value": <sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <float>, "loadavg_1m": <float>,
-   "cpu_canary_ms": <float>, "contaminated": <bool>,
+   "queries": {name: sec, ...}, "ext_core_s": {name: core_s, ...},
+   "sf": <float>, "loadavg_1m": <float>, "cpu_canary_ms": <float>,
+   "contaminated": <bool>, "start_gate_timeout": <bool>,
+   "midrun_retries": [name, ...], "dirty_queries": [name, ...],
    "external_core_s": <float>, "repeats": <int>}
 
 A run does not START until the box is idle (loadavg-1m <= 0.6 AND
 loadavg-5m <= 0.8 AND cpu canary <= 2.5 ms — measured-idle thresholds),
 polling up to 10 minutes; if the box never settles the run proceeds but
-self-labels "contaminated": true (r7 VERDICT: the gate used to be a
+self-labels "start_gate_timeout" (r7 VERDICT: the gate used to be a
 caption, and a loaded-box recording manufactured a phantom 9%
 regression; r8: the 1m-only gate let a 5m/15m load tail inflate 12
-queries ~1.2x).  The canary re-runs after every query; a busy canary or
-a query timed beside >0.5 external CPU cores re-times that query once
-("midrun_retries").  "external_core_s" totals the external CPU
-(all-core busy jiffies minus our own process subtree) that burned
-DURING the kept timing attempts — the quantitative contamination
-label the 1-thread canary cannot provide on a 32-thread box.
+queries ~1.2x).
+
+r11 (verdict #2 — two consecutive recorded rounds self-labeled
+contaminated under sustained neighbor noise): per-query BOUNDED
+ACCEPTANCE.  Each query is timed in best-of-REPEATS rounds; an attempt
+is CLEAN when it ran beside <= 0.5 external CPU cores (all-core busy
+jiffies minus our own process subtree — steal time included, so host
+neighbors count).  A query with no clean attempt waits for idle and
+re-times, up to ACCEPT_ROUNDS total rounds ("midrun_retries" lists each
+retry); the recorded time is the fastest CLEAN attempt (falling back to
+the fastest overall only if no attempt ever came clean — those queries
+are listed in "dirty_queries" and the run labels "contaminated").
+"ext_core_s" records per query the external CPU beside the KEPT
+attempt, so a reader can adjudicate any single number; "contaminated"
+is now a per-query-evidence verdict, not a whole-run caption — a run
+that starts on a busy box but lands every query beside an idle window
+is recorded clean, which is exactly what the r10 drift adjudication
+needed and could not have.
 
 Results are materialized through the noop sink (full execution, no
 driver-side collection cost) after a JVM warmup pass.
@@ -112,6 +126,11 @@ HEADLINE = [
     # DISCOVERY capstone (sitemap -> canonicalize -> robots -> politeness)
     "select_nb_langid",
     "pipeline_crawl_frontier",
+    # round-11 flagships: bounded PDF extraction (the crawl loop's last
+    # big ingest format) and HTTP redirect resolution + chain collapse
+    # (pipeline_crawl_frontier above also gained the redirect stage)
+    "text_pdf_extract",
+    "web_redirect_resolve",
 ]
 
 
@@ -236,13 +255,16 @@ def _subtree_jiffies() -> int:
 # more than EXT_CORES_MAX cores of external work is re-timed once and
 # the run self-labels via "external_core_s" either way.
 EXT_CORES_MAX = 0.5
+# r11 bounded acceptance: total best-of-REPEATS rounds a query may take
+# to land a clean attempt before it is recorded dirty
+ACCEPT_ROUNDS = 3
 _HZ = os.sysconf("SC_CLK_TCK")
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    load_start, canary, contaminated = wait_for_idle_box()
+    load_start, canary, start_gate_timeout = wait_for_idle_box()
     spark = get_spark("esgopeta-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -251,50 +273,58 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
-    def time_query(fn) -> tuple[float, float]:
-        # best-of-REPEATS: the box hosts periodic external work whose ~45s
-        # stalls otherwise land on whichever query is running (measured:
-        # outliers move between queries across runs while warm-path times
-        # are stable); r3 showed best-of-2 is not enough under sustained load.
-        # Returns (best wall seconds, external core-seconds DURING that
-        # best attempt).
-        best, best_ext = float("inf"), 0.0
+    def timing_round(fn) -> list[tuple[float, float]]:
+        # best-of-REPEATS per round: the box hosts periodic external work
+        # whose ~45s stalls otherwise land on whichever query is running
+        # (measured: outliers move between queries across runs while
+        # warm-path times are stable).  Returns every (wall seconds,
+        # external core-seconds DURING that attempt) pair.
+        out: list[tuple[float, float]] = []
         for _ in range(REPEATS):
             j0, s0 = _total_busy_jiffies(), _subtree_jiffies()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             dt = time.perf_counter() - t0
             ext = max(0, (_total_busy_jiffies() - j0) - (_subtree_jiffies() - s0)) / _HZ
-            if dt < best:
-                best, best_ext = dt, ext
+            out.append((dt, ext))
             # release intra-query persists so one query's cache doesn't skew the next
             spark.catalog.clearCache()
-        return best, best_ext
+        return out
 
     timings: dict[str, float] = {}
+    ext_map: dict[str, float] = {}
     midrun_retries: list[str] = []
+    dirty_queries: list[str] = []
     external_core_s = 0.0
     for name in HEADLINE:
         fn = REGISTRY[name].fn
-        best, ext = time_query(fn)
-        # r9: re-check the canary AND the external-CPU meter AFTER the
-        # timing; if external load crept in mid-run, this query's numbers
-        # are suspect — wait for idle and re-time once (keep the min: a
-        # spike can only inflate)
-        ext_busy = ext > EXT_CORES_MAX * best
-        if not contaminated and (cpu_canary_ms() > CANARY_MAX_MS or ext_busy):
-            print(
-                f"# bench: {'external CPU' if ext_busy else 'canary'} busy "
-                f"after {name} (ext {ext:.2f} core-s / {best:.2f} s); re-timing",
-                file=sys.stderr,
-            )
-            midrun_retries.append(name)
-            _, _, still_busy = wait_for_idle_box(max_wait_s=120)
-            best2, ext2 = time_query(fn)
-            if best2 < best:
-                best, ext = best2, ext2
-            contaminated = contaminated or still_busy
+        attempts: list[tuple[float, float]] = []
+        clean: list[tuple[float, float]] = []
+        for rnd in range(ACCEPT_ROUNDS):
+            attempts += timing_round(fn)
+            # clean = ran beside <= EXT_CORES_MAX external cores; a busy
+            # canary right after the round forces one more round even
+            # with ext-clean attempts (instant evidence of a neighbor),
+            # but ext-clean attempts are never retroactively discarded
+            clean = [a for a in attempts if a[1] <= EXT_CORES_MAX * a[0]]
+            if clean and cpu_canary_ms() <= CANARY_MAX_MS:
+                break
+            if rnd + 1 < ACCEPT_ROUNDS:
+                b = min(attempts, key=lambda a: a[0])
+                print(
+                    f"# bench: {'canary busy' if clean else 'no clean attempt'} "
+                    f"after {name} (best ext {b[1]:.2f} core-s / {b[0]:.2f} s); "
+                    f"waiting for idle and re-timing",
+                    file=sys.stderr,
+                )
+                midrun_retries.append(name)
+                wait_for_idle_box(max_wait_s=120)
+        pool = clean or attempts
+        if not clean:
+            dirty_queries.append(name)
+        best, ext = min(pool, key=lambda a: a[0])
         timings[name] = round(best, 3)
+        ext_map[name] = round(ext, 2)
         external_core_s += ext
 
     total = round(sum(timings.values()), 3)
@@ -305,11 +335,16 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "ext_core_s": ext_map,
                 "sf": sf,
                 "loadavg_1m": round(load_start, 2),
                 "cpu_canary_ms": canary,
-                "contaminated": contaminated,
+                # per-query-evidence verdict: contaminated only when some
+                # query never produced a clean attempt within the cap
+                "contaminated": bool(dirty_queries),
+                "start_gate_timeout": start_gate_timeout,
                 "midrun_retries": midrun_retries,
+                "dirty_queries": dirty_queries,
                 "external_core_s": round(external_core_s, 2),
                 "repeats": REPEATS,
             }

@@ -31,9 +31,9 @@ GRADED_WINDOW = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     # E3 join family — all types (full-outer rotated to parity-only in
-    # r10 — the family stays 5-deep in-window: left, Bloom-semi, anti,
-    # as-of, skew-salted — for the crawl front-end flagships below)
-    "join_left_nation_suppliers",
+    # r10; the plain LEFT join rotated in r11 — the family stays 4-deep
+    # in-window: Bloom-semi, anti, as-of, skew-salted, all richer
+    # shapes — for the r11 crawl/PDF flagships below)
     # r7: the plain semi join rotated out for its Bloom-prefiltered scale
     # twin — still a semi join (family covered), now with the runtime-
     # filter-pushdown shape the 100 TB plan wants graded
@@ -94,9 +94,9 @@ GRADED_WINDOW = [
     # GraphX-style analytics
     "graph_pagerank_transactions",
     "graph_triangles_coorder",
-    # r7: unweighted BFS rotated out for its weighted Bellman-Ford
-    # superset (same iterative-frontier family, deeper shape)
-    "graph_cheapest_path_nation0",
+    # (r11: cheapest-path rotated to parity-only — iterative-frontier
+    # algorithms stay graded via pagerank + LPA — for the r11 redirect
+    # flagship below)
     # r5: deterministic LPA community detection (unrolled-CTE oracle)
     "graph_communities_lpa",
     # (r10: k-core demoted to parity-only — graph analytics stays 4-deep
@@ -135,12 +135,10 @@ GRADED_WINDOW = [
     # DuckDB (r10: the PQ tier rotated to parity-only — G3 stays graded
     # via IVF — for the HTML-extraction flagship below)
     "sim_topk_cosine_ivf",
-    # r9: the PNG round trip rotated to parity-only (the real image
-    # decode path stays graded through dedup_image_dhash, which runs the
-    # PNG decoder on every row) for the FLAC lossless round trip — the
-    # strongest oracle shape in the media family: DuckDB recomputes the
-    # exact decoded-sample SUM in closed form, no codec involved
-    "multimodal_decode_flac",
+    # (r11: the FLAC round trip rotated to parity-only — the media
+    # family stays graded via the image-stats value-exact oracle and the
+    # strictly-deeper mp3 decode — for the trained-classifier flagship
+    # below)
     # r9 late: per-image integer quality statistics — PNG is lossless so
     # the oracle is closed-form pixel arithmetic (the same value-exact
     # oracle shape as FLAC, on the image side)
@@ -157,10 +155,21 @@ GRADED_WINDOW = [
     # URL-level exact-dup groups
     "text_html_extract",
     "web_url_canonical_dedup",
-    # r7: time-series' first in-window representative — daily grid
-    # gap-fill + LOCF (the resample/interpolate family, with the
-    # bit-exact streaming twin behind it in pytest)
-    "ts_gapfill_daily_locf",
+    # r11: the last big raw-corpus text format — bounded from-scratch
+    # PDF extraction (xref walk, FlateDecode, BT/ET text operators) with
+    # the encoder-twin closed-form oracle
+    "text_pdf_extract",
+    # r11: HTTP redirect resolution + pointer-doubling chain collapse
+    # (real WARCs are 20-30% redirects; markers for cycles/over-cap)
+    "web_redirect_resolve",
+    # r11: the crawl-to-writer capstone graded — raw mixed WARC bytes ->
+    # HTTP unwrap -> sniff -> html+pdf extraction -> gate -> split/shard
+    "pipeline_crawl_to_shards",
+    # r11: the trained-classifier curation stage graded — NB language-ID
+    # train->score->argmax on the engine-exact integer milli-log2
+    "select_nb_langid",
+    # (r11: gap-fill/LOCF rotated to parity-only — time-series stays
+    # graded via the EWMA keyed-recursion entry below)
     # r10: the keyed-recursion family's graded representative — EWMA on
     # the daily grid (recursive-CTE oracle, integer milli state)
     "ts_ewma_daily",

@@ -33,8 +33,8 @@ REQUIRED_IN_WINDOW = {
     "sim_topk_cosine_ivf",  # G3 scale tier (r4: graded, not just the exact oracle tier)
     # r9 rotations: png -> parity (image decode stays graded via
     # dedup_image_dhash's PNG path), exact cosine -> parity (IVF/PQ keep
-    # G3); FLAC's value-exact oracle and the DSIR selection family in
-    "multimodal_decode_flac",  # G5 lossless round trip, closed-form sum oracle
+    # G3); r11: FLAC -> parity (media stays graded via the image-stats
+    # value-exact oracle + the strictly-deeper mp3 decode)
     "select_dsir_scores",  # G4 targeted data selection (milli-log2)
     # r9 late rotations: range join + unpivot to parity-only (families
     # keep in-window reps via as-of + pivot)
@@ -70,8 +70,16 @@ REQUIRED_IN_WINDOW = {
     # (weighted superset graded) rotated to parity-only
     "join_bloom_semi_lineitem",  # E3 semi + runtime-filter pushdown shape
     "agg_histogram_quantiles",  # E4 percentiles, mergeable-sketch tier
-    "graph_cheapest_path_nation0",  # weighted Bellman-Ford frontier
-    "ts_gapfill_daily_locf",  # time-series resample/LOCF family
+    # (r11 rotations: cheapest-path -> parity — iterative-frontier stays
+    # graded via pagerank + LPA; gap-fill/LOCF -> parity — time-series
+    # stays graded via ts_ewma_daily; left join -> parity — E3 stays
+    # 4-deep with richer shapes; FLAC -> parity as noted above)
+    # r11 additions: the crawl loop's last ingest gap + the round's
+    # capstones
+    "text_pdf_extract",  # G4/G5 bounded PDF parser, encoder-twin oracle
+    "web_redirect_resolve",  # G1/G4 redirect chains, visible markers
+    "pipeline_crawl_to_shards",  # crawl capstone: warc -> html+pdf -> shards
+    "select_nb_langid",  # trained-classifier curation (NB, milli-log2)
 }
 
 
