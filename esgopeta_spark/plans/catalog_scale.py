@@ -1208,3 +1208,96 @@ def sim_topk_ip_pq(spark, sf):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return topk_ip_pq(emb, queries, dim=64, k=5, m=8, ks=16)
+
+
+@register(
+    "sim_topk_ivfpq",
+    "G3",
+    "WITH "
+    + """c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(floor(x*1000000+0.5) AS BIGINT)) AS vmfull
+           FROM embeddings),
+    cents AS (SELECT vec_id AS cell, v AS cv FROM c0 WHERE vec_id % 25 = 0),
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT c0.vec_id, cents.cell,
+               ROW_NUMBER() OVER (PARTITION BY c0.vec_id ORDER BY
+                 list_dot_product(c0.v, cents.cv)
+                   / (sqrt(list_dot_product(c0.v, c0.v)) * sqrt(list_dot_product(cents.cv, cents.cv))) DESC,
+                 cents.cell ASC) AS rn
+        FROM c0 CROSS JOIN cents) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv, vmfull AS qm
+          FROM c0 WHERE vec_id % 50 = 0),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT q.query_id, cents.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 list_dot_product(q.qv, cents.cv)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cents.cv, cents.cv))) DESC,
+                 cents.cell ASC) AS rk
+        FROM q CROSS JOIN cents) WHERE rk <= 3),
+    c AS (SELECT vec_id, vmfull AS vm FROM c0),
+    cent AS (SELECT vec_id AS cid, vmfull AS vm FROM c0 WHERE vec_id < 16),
+    s AS (SELECT UNNEST(range(0, 8)) AS s),
+    d AS (SELECT c.vec_id, s.s, cent.cid, """
+    + _PQ_DIST_TERMS
+    + """ AS dist
+          FROM c CROSS JOIN s CROSS JOIN cent),
+    code AS (SELECT vec_id, s, cid FROM (
+               SELECT vec_id, s, cid,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                         ORDER BY dist ASC, cid ASC) AS rn
+               FROM d) WHERE rn = 1),
+    lut AS (SELECT q2.query_id, s.s, cent.cid, """
+    + " + ".join(f"q2.qm[s.s*8+{i}]*cent.vm[s.s*8+{i}]" for i in range(1, 9))
+    + """ AS dotv
+            FROM (SELECT query_id, qm FROM q) q2 CROSS JOIN s CROSS JOIN cent),
+    adc AS (SELECT p.query_id, a.vec_id AS nbr_id,
+                   CAST(SUM(l.dotv) AS BIGINT) AS score
+            FROM probes p
+            JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+            JOIN code ON code.vec_id = a.vec_id
+            JOIN lut l ON l.query_id = p.query_id AND l.s = code.s AND l.cid = code.cid
+            GROUP BY 1, 2),
+    cand AS (SELECT query_id, nbr_id FROM (
+               SELECT query_id, nbr_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, nbr_id ASC) AS rk
+               FROM adc) WHERE rk <= 20),
+    ex AS (SELECT cand.query_id, cand.nbr_id,
+                  CAST(floor(list_dot_product(q.qv, cv.v) * 1000000000000 + 0.5) AS BIGINT) AS ip_micro12
+           FROM cand JOIN q USING (query_id)
+           JOIN c0 cv ON cv.vec_id = cand.nbr_id)
+    SELECT query_id, nbr_id, ip_micro12, rank FROM (
+      SELECT query_id, nbr_id, ip_micro12,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY ip_micro12 DESC, nbr_id ASC) AS rank
+      FROM ex) WHERE rank <= 5
+    """,
+    doc="IVF-PQ composed ANN (r11, verdict #5 — the billion-vector "
+    "layout): coarse IVF cell probe (bit-exact float-fold argmax "
+    "against the broadcast strided codebook, n_probe=3) narrows the "
+    "corpus, PQ asymmetric distance ranks WITHIN the probed cells from "
+    "the compressed codes (exact int64 micro-unit LUT sums), and the "
+    "top-20 ADC candidates rerank by exact inner product (micro^12 "
+    "floor) to the final top-5.  Both component tiers are already "
+    "graded (sim_topk_cosine_ivf, sim_topk_ip_pq); the composition "
+    "keeps every stage engine-exact so the full pipeline hash-matches.  "
+    "Plan: two shuffle-free Arrow corpus passes + id-equi pairing, "
+    "broadcast per-query probe/LUT rows, CELL-equi ADC join (the key a "
+    "billion-vector index partitions by), narrow projection before the "
+    "windows, vectors re-touched only rerank-deep; "
+    "operators/similarity.py topk_ip_ivfpq",
+)
+def sim_topk_ivfpq(spark, sf):
+    from esgopeta_spark.operators.similarity import topk_ip_ivfpq
+
+    emb = T(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return topk_ip_ivfpq(
+        emb, queries, dim=64, k=5, m=8, ks=16,
+        centroid_stride=25, n_probe=3, rerank=20,
+    )

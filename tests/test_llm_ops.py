@@ -3037,3 +3037,48 @@ def test_holt_trend_negative_trend_floor_semantics(spark):
         want[f"2024-03-0{1 + i}"] = (x, lev, tr)
     assert got == want
     assert any(t < 0 for _, _, t in want.values())
+
+
+def test_ivfpq_recall_and_dials(spark, sf_dir):
+    """IVF-PQ composed tier (r11): recall vs the exact inner-product
+    top-k (self excluded) holds a floor at the graded dials on uniform
+    random data — PQ/IVF's hard case — and deepening both dials
+    (n_probe, rerank) buys recall, the IVF-PQ dial behavior.  Measured
+    at sf0.001: 0.64 at probe3/rerank20, 0.82 at probe6/rerank50."""
+    import numpy as np
+
+    from esgopeta_spark.operators.similarity import topk_ip_ivfpq
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    truth = {}
+    for qid in [r["query_id"] for r in queries.collect()]:
+        scores = sorted(
+            ((float(vecs[qid] @ v), -i) for i, v in vecs.items() if i != qid),
+            reverse=True,
+        )[:5]
+        truth[qid] = {-i for _, i in scores}
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["nbr_id"])
+        return sum(len(got.get(q, set()) & truth[q]) for q in truth) / (5 * len(truth))
+
+    base = topk_ip_ivfpq(emb, queries, dim=64, k=5, m=8, ks=16,
+                         centroid_stride=25, n_probe=3, rerank=20)
+    deep = topk_ip_ivfpq(emb, queries, dim=64, k=5, m=8, ks=16,
+                         centroid_stride=25, n_probe=6, rerank=50)
+    r1, r2 = recall(base), recall(deep)
+    assert r1 >= 0.4, f"IVF-PQ recall collapsed at graded dials: {r1}"
+    # widening both dials can only help modulo ADC-pool displacement at
+    # the candidate boundary; allow a small tolerance
+    assert r2 >= r1 - 0.1, f"deeper dials lost recall: {r1} -> {r2}"
+    # reranked scores are EXACT inner products (micro^12 floor)
+    for r in base.filter(F.col("rank") == 1).collect():
+        want = int(np.floor(float(vecs[r["query_id"]] @ vecs[r["nbr_id"]]) * 1e12 + 0.5))
+        assert abs(r["ip_micro12"] - want) <= 1  # fold-order ulp slack

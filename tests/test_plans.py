@@ -281,6 +281,25 @@ def test_portable_pairs_plan_posture(spark, sf_dir):
         assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p, p
 
 
+def test_ivfpq_plan_posture(spark, sf_dir):
+    """The r11 composed IVF-PQ tier: the ADC stage joins on the CELL
+    equi key with the per-query probe/LUT side broadcast; no cartesian,
+    no nested loop anywhere in the lineage."""
+    from esgopeta_spark.plans import REGISTRY
+
+    import re
+
+    p = plan_of(REGISTRY["sim_topk_ivfpq"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    # the ONLY nested loop allowed is the deliberate queries x bounded-
+    # codebook probe (the same shape the graded IVF tier carries); the
+    # corpus-touching joins must all be hash-equi (formatted plans list
+    # each node in the tree AND the numbered detail section — count the
+    # detail form)
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) <= 1, p
+    assert "BroadcastHashJoin" in p, p
+
+
 def test_redirect_collapse_plan_posture(spark, sf_dir):
     """The r11 redirect entries: every pointer-doubling round and the
     frontier's map application are url-EQUI joins on the canonical key
