@@ -674,57 +674,95 @@ def edit_distance_keys(
     text_col: str = "title",
     id_col: str = "doc_id",
     max_dist: int = 2,
+    lcp: int = 0,
 ) -> DataFrame:
     """The PassJoin key projection shared by the batch self-join and
     the streaming bucket handler: one row per (role, i, ell, p, _id,
-    _t) where role 1 = the string's own k+1 even segments (index side)
-    and role 2 = every +-k-shifted same-shaped substring for every
-    candidate indexed length (probe side).  Pure codegen, stream-safe
-    (no checkpoint here); strings shorter than k+1 are excluded (see
-    ``edit_distance_pairs``)."""
+    _t) where role 1 = the string's own k+1 segments (index side) and
+    role 2 = every +-k-shifted same-shaped substring for every
+    candidate indexed length (probe side).  Stream-safe (no checkpoint
+    here); strings shorter than lcp + k+1 are excluded (see
+    ``edit_distance_pairs``).
+
+    r11 shape (verdict #7): the keys come from ONE posexplode over a
+    literal (role, i, o, d) parameter array with a single shared
+    substring expression — not the former (2k+1)^2(k+1)+k+1 unrolled
+    struct hull, whose ~7 s of whole-stage-codegen compile was the
+    entry's flat fixed floor (the n-gram posexplode lesson).  Emitted
+    keys are IDENTICAL.
+
+    ``lcp`` (verdict #6): a corpus-constant prefix of that length is
+    folded INTO segment 0 — segment boundaries even-split the SUFFIX
+    [lcp, L) and segment 0 extends left to position 0 — so no segment
+    lies wholly inside the boilerplate and every key keeps
+    distinguishing content (the r10-measured 31x pathology: a
+    corpus-constant segment's bucket degenerates toward all-pairs).
+    The pigeonhole argument is boundary-agnostic — any partition into
+    k+1 segments works as long as index and probe share the shape
+    function — so recall stays COMPLETE and the output exact for any
+    lcp; lcp=0 reproduces the classic even split bit-for-bit."""
     k = int(max_dist)
     nparts = k + 1
+    lcp = int(lcp)
     base = df.select(
         F.col(id_col).alias("_id"),
         F.col(text_col).alias("_t"),
         F.length(text_col).cast("bigint").alias("_L"),
-    ).filter(F.length(text_col) >= F.lit(nparts))
+    ).filter(F.length(text_col) >= F.lit(lcp + nparts))
 
-    def seg(i: int, ell, t, shift: int = 0):
-        # substring of t shaped like segment i of a length-`ell` string,
-        # shifted; Column.substr is 1-based
-        start = F.floor((ell * F.lit(i)) / F.lit(nparts)).cast("int")
-        nxt = F.floor((ell * F.lit(i + 1)) / F.lit(nparts)).cast("int")
-        plen = nxt - start
-        return start + F.lit(shift), plen, t.substr(start + F.lit(shift) + F.lit(1), plen)
-
-    structs = [
-        F.struct(
-            F.lit(1).alias("role"), F.lit(i).alias("i"), F.col("_L").alias("ell"),
-            seg(i, F.col("_L"), F.col("_t"))[2].alias("p"),
-        )
+    params = [(1, i, 0, 0) for i in range(nparts)] + [
+        (2, i, o, d)
+        for o in range(-k, k + 1)
         for i in range(nparts)
+        for d in range(-k, k + 1)
     ]
-    for o in range(-k, k + 1):
-        ell = F.col("_L") + F.lit(o)
-        for i in range(nparts):
-            for d in range(-k, k + 1):
-                start, plen, sub = seg(i, ell, F.col("_t"), d)
-                structs.append(
-                    F.struct(
-                        F.lit(2).alias("role"), F.lit(i).alias("i"), ell.alias("ell"),
-                        # clamp invalid extractions to NULL so they never join
-                        F.when(
-                            (start >= 0) & (plen > 0) & (start + plen <= F.col("_L")),
-                            sub,
-                        ).alias("p"),
-                    )
-                )
+    params_sql = "array(" + ",".join(
+        f"named_struct('role',{r},'i',{i},'o',{o},'d',{d})"
+        for r, i, o, d in params
+    ) + ")"
+    ex = base.select(
+        "_id", "_t", "_L", F.explode(F.expr(params_sql)).alias("_prm")
+    ).select(
+        "_id", "_t", "_L",
+        F.col("_prm.role").alias("role"), F.col("_prm.i").alias("i"),
+        F.col("_prm.o").alias("_o"), F.col("_prm.d").alias("_d"),
+    )
+    ell = F.col("_L") + F.col("_o")  # role 1 has o=0: ell = own length
+    suf = ell - F.lit(lcp)
+    su_i = F.floor((suf * F.col("i")) / F.lit(nparts)).cast("int")
+    su_i1 = F.floor((suf * (F.col("i") + 1)) / F.lit(nparts)).cast("int")
+    start = (
+        F.when(F.col("i") == 0, F.lit(0)).otherwise(F.lit(lcp) + su_i)
+        + F.col("_d")
+    ).cast("int")
+    plen = (
+        su_i1 - su_i + F.when(F.col("i") == 0, F.lit(lcp)).otherwise(F.lit(0))
+    ).cast("int")
+    p = F.when(
+        (start >= 0) & (plen > 0) & (start + plen <= F.col("_L")),
+        F.col("_t").substr(start + F.lit(1), plen),
+    )
     return (
-        base.select("_id", "_t", F.explode(F.array(*structs)).alias("key"))
-        .select("_id", "_t", "key.role", "key.i", "key.ell", "key.p")
+        ex.select("_id", "_t", "role", "i", ell.alias("ell"), p.alias("p"))
         .filter(F.col("p").isNotNull())
     )
+
+
+def corpus_lcp(df: DataFrame, text_col: str) -> int:
+    """Length of the longest common prefix shared by EVERY string in
+    the column — computed from one (min, max) aggregate: the common
+    prefix of all strings equals the common prefix of the
+    lexicographic extremes.  One 1-row collect (bounded driver state,
+    the codebook discipline); NULLs ignored."""
+    row = df.select(
+        F.min(text_col).alias("lo"), F.max(text_col).alias("hi")
+    ).collect()[0]
+    lo, hi = row["lo"] or "", row["hi"] or ""
+    n = min(len(lo), len(hi))
+    i = 0
+    while i < n and lo[i] == hi[i]:
+        i += 1
+    return i
 
 
 def edit_distance_pairs(
@@ -732,6 +770,7 @@ def edit_distance_pairs(
     text_col: str = "title",
     id_col: str = "doc_id",
     max_dist: int = 2,
+    lcp: int | str = "auto",
 ) -> DataFrame:
     """All pairs within Levenshtein distance ``max_dist`` — the
     PassJoin partition pigeonhole (Li et al. 2011, public): split each
@@ -755,17 +794,31 @@ def edit_distance_pairs(
     then the verify projection — linear in candidates.  The base
     relation feeds both join sides: checkpointed once.
 
-    SKEW CAVEAT (r10-measured): a segment whose content is
-    CORPUS-CONSTANT (boilerplate prefixes — 'quarterly report ...' on
-    every title) is a useless signature: its bucket holds the whole
-    length class and the candidate set degenerates toward all-pairs
-    (31x growth sf0.01->sf0.1 on a shared-prefix fixture vs 2.2x on a
-    diverse one — SCALE.md r10).  The operator stays EXACT either way;
-    on real corpora with boilerplate title families, strip the shared
-    prefix first (one codegen projection) or derive segment boundaries
-    from corpus statistics — the same hot-key discipline as
-    line_dedup."""
-    keyed = edit_distance_keys(df, text_col, id_col, max_dist)
+    SKEW CAVEAT (r10-measured), AUTOMATED in r11 (verdict #6): a
+    segment whose content is CORPUS-CONSTANT (boilerplate prefixes —
+    'quarterly report ...' on every title) is a useless signature: its
+    bucket holds the whole length class and the candidate set
+    degenerates toward all-pairs (31x growth sf0.01->sf0.1 on a
+    shared-prefix fixture vs 2.2x on a diverse one — SCALE.md r10).
+    ``lcp="auto"`` (default) measures the corpus-wide common prefix
+    from one (min, max) aggregate and folds it into segment 0's
+    boundary (see ``edit_distance_keys``) so every segment keeps
+    distinguishing content; recall stays complete (the pigeonhole is
+    boundary-agnostic) and the output identical — only the candidate
+    volume changes.  The auto statistic is corpus-GLOBAL: one outlier
+    title without the boilerplate zeroes it (then behavior = classic
+    even split); per-FAMILY boilerplate needs an upstream grouping
+    projection, the line_dedup hot-key discipline.  Pass ``lcp=0`` to
+    force the classic split (the streaming twin's default — a stream
+    cannot see corpus statistics; compute offline and pass in, the NB
+    model pattern)."""
+    k_ = int(max_dist)
+    if lcp == "auto":
+        mn = df.select(F.min(F.length(text_col)).alias("m")).collect()[0]["m"]
+        lcp = 0 if mn is None else max(
+            0, min(corpus_lcp(df, text_col), int(mn) - (k_ + 1))
+        )
+    keyed = edit_distance_keys(df, text_col, id_col, max_dist, lcp=int(lcp))
     keyed = keyed.localCheckpoint()
     k = int(max_dist)
     idx = keyed.filter(F.col("role") == 1)

@@ -3082,3 +3082,69 @@ def test_ivfpq_recall_and_dials(spark, sf_dir):
     for r in base.filter(F.col("rank") == 1).collect():
         want = int(np.floor(float(vecs[r["query_id"]] @ vecs[r["nbr_id"]]) * 1e12 + 0.5))
         assert abs(r["ip_micro12"] - want) <= 1  # fold-order ulp slack
+
+
+def test_passjoin_auto_lcp_exact_on_boilerplate_prefix(spark, sf_dir):
+    """r11 (verdict #6): the corpus-constant-prefix pathology fixture —
+    every title opens with the same 58-char boilerplate — must still
+    produce the EXACT brute-force pair set under lcp='auto' (the
+    pigeonhole is boundary-agnostic), with the prefix folded into
+    segment 0 so no segment key is corpus-constant.  (Perf: this
+    fixture measured 288 s at sf0.1 under the classic even split —
+    SCALE.md r10 — and 5.4 s under auto-lcp.)"""
+    import duckdb
+
+    from esgopeta_spark.operators.dedup import corpus_lcp, edit_distance_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    g = F.expr("doc_id div 7")
+    did = F.col("doc_id")
+    t = d.select("doc_id", F.concat(
+        F.lit("quarterly financial report for fiscal period sec item rev "),
+        (g % 1000).cast("string"), F.lit("-"), (g % 997).cast("string"),
+        F.lit("-"), (g % 991).cast("string"),
+        F.when(did % 7 == 1, F.lit(" x")).when(did % 7 == 2, F.lit(" xx"))
+        .when(did % 7 == 3, F.lit(" y")).when(did % 7 == 4, F.lit(" yy"))
+        .when(did % 7 == 5, F.lit(" z")).when(did % 7 == 6, F.lit(" zz"))
+        .otherwise(F.lit("")),
+    ).alias("title"))
+    assert corpus_lcp(t, "title") == 58
+    got = {(r["id_a"], r["id_b"], r["dist"])
+           for r in edit_distance_pairs(t).collect()}
+    con = duckdb.connect()
+    con.register("tdocs", t.toPandas())
+    want = {tuple(r) for r in con.execute(
+        "SELECT a.doc_id, b.doc_id, CAST(levenshtein(a.title, b.title) AS INT) "
+        "FROM tdocs a JOIN tdocs b ON a.doc_id < b.doc_id "
+        "AND levenshtein(a.title, b.title) <= 2"
+    ).fetchall()}
+    assert got == want and got
+
+
+def test_corpus_lcp_and_lcp_boundary_cases(spark):
+    """corpus_lcp = LCP(lexicographic min, max); edit_distance_pairs is
+    exact for ANY forced lcp (boundary-agnostic pigeonhole), including
+    the degenerate lcp that leaves a 1-char suffix per segment."""
+    from esgopeta_spark.operators.dedup import corpus_lcp, edit_distance_pairs
+
+    rows = [(1, "prefix-alpha"), (2, "prefix-alphb"), (3, "prefix-beta"),
+            (4, "prefix-alphaxx"), (5, "prefix-")]
+    df = spark.createDataFrame(rows, "doc_id: long, title: string")
+    assert corpus_lcp(df, "title") == 7
+    want = None
+    # auto clamps to min_len - (k+1) = 7 - 3 = 4; any forced lcp <= 4
+    # must give the identical pair set
+    for lcp in ["auto", 0, 1, 4]:
+        got = {(r["id_a"], r["id_b"], r["dist"])
+               for r in edit_distance_pairs(df, lcp=lcp).collect()}
+        if want is None:
+            want = got
+        assert got == want, (lcp, got, want)
+    assert (1, 2, 1) in want and (1, 4, 2) in want
+    # outlier kills the global statistic (documented): lcp -> 0, still exact
+    df2 = spark.createDataFrame(rows + [(9, "zzz-outlier")],
+                                "doc_id: long, title: string")
+    assert corpus_lcp(df2, "title") == 0
+    got2 = {(r["id_a"], r["id_b"], r["dist"])
+            for r in edit_distance_pairs(df2, lcp="auto").collect()}
+    assert want <= got2
