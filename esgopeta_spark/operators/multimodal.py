@@ -583,10 +583,29 @@ def _luma_resized(arr, out_w: int, out_h: int):
     shift) bilinear-resized on UNROUNDED floats (same align-corners=False
     grid as codecs.resize_bilinear): the shift then moves every sampled
     value by exactly the shift — rounding to uint8 first would break the
-    invariance at half-integer ties."""
+    invariance at half-integer ties.
+
+    r11 (closing the r9 tRNS ADVICE end to end): alpha channels (gray+A
+    / RGBA — PNG color types 4/6 and tRNS-expanded decodes) COMPOSITE
+    over white before luma, integer-exact c' = (c*a + 255*(255-a) +
+    127) // 255 — a transparent background must hash as the background
+    it renders as, not as the arbitrary RGB values under it, or
+    visually-distinct images pair in dHash/pHash dedup.  Fully-opaque
+    alpha is a no-op (c' == c exactly), so RGB fixtures and opaque RGBA
+    hash identically; 1-channel gray replicates (256*g >> 8 == g)."""
     import numpy as np
 
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    ch = arr.shape[2]
     a = arr.astype(np.int64)
+    if ch in (2, 4):
+        al = a[:, :, ch - 1]
+        rgb = (a[:, :, : ch - 1] * al[:, :, None]
+               + 255 * (255 - al)[:, :, None] + 127) // 255
+        a = np.concatenate([rgb] * (3 if ch == 2 else 1), axis=2)
+    elif ch == 1:
+        a = np.concatenate([a, a, a], axis=2)
     luma = ((77 * a[:, :, 0] + 150 * a[:, :, 1] + 29 * a[:, :, 2]) >> 8).astype(np.float64)
     h, w = luma.shape
     ys = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5

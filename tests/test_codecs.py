@@ -2285,3 +2285,42 @@ def test_png_gray_rgb_trns_expands_alpha():
     )
     with pytest.raises(ValueError):
         codecs.decode_png(bad)
+
+
+def test_dhash_composites_alpha_over_white():
+    """Closing the r9 tRNS ADVICE end to end (r11): the fingerprint path
+    must SEE transparency.  A tRNS PNG whose hidden under-background RGB
+    values spell one pattern and whose VISIBLE rendering is another must
+    hash as the rendering — not pair with an image of the hidden
+    pattern; fully-opaque alpha is a bitwise no-op vs plain RGB."""
+    import numpy as np
+
+    from esgopeta_spark.operators import codecs
+    from esgopeta_spark.operators.multimodal import dhash64, phash64
+
+    rng = np.random.default_rng(0xA11A)
+    base = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    # make (9,9,9) the "background" value on the right half
+    attack = base.copy()
+    attack[:, 16:] = [9, 9, 9]
+    # transparent version: same bytes, right half marked transparent
+    t = codecs.decode_png(codecs.encode_png(attack, transparent=(9, 9, 9)))
+    assert t.shape[2] == 4 and (t[:, 16:, 3] == 0).all()
+    # visually, t renders as attack-left + WHITE-right: it must NOT hash
+    # like the opaque attack image (the r9 pairing bug)...
+    assert dhash64(t) != dhash64(attack)
+    # ...and must hash exactly like the composited rendering
+    rendered = attack.copy()
+    rendered[:, 16:] = 255
+    assert dhash64(t) == dhash64(rendered)
+    assert phash64(t) == phash64(rendered)
+    # fully-opaque RGBA == RGB, bit for bit
+    rgba = np.concatenate(
+        [base, np.full((24, 32, 1), 255, dtype=np.uint8)], axis=2
+    )
+    assert dhash64(rgba) == dhash64(base)
+    assert phash64(rgba) == phash64(base)
+    # gray+alpha composites too; plain gray replicates exactly
+    g = rng.integers(0, 256, (24, 32), dtype=np.uint8)
+    ga = np.stack([g, np.full_like(g, 255)], axis=-1)
+    assert dhash64(ga) == dhash64(np.stack([g, g, g], axis=-1))
