@@ -2324,3 +2324,74 @@ def test_dhash_composites_alpha_over_white():
     g = rng.integers(0, 256, (24, 32), dtype=np.uint8)
     ga = np.stack([g, np.full_like(g, 255)], axis=-1)
     assert dhash64(ga) == dhash64(np.stack([g, g, g], axis=-1))
+
+
+def test_mpeg1_l3_linbits_table_injection_end_to_end():
+    """r11 (r10 verdict #9): prove the Table B.7 injection path on the
+    16..23 LINBITS family — the escape-carrying large tables real mp3s
+    lean on, which the r10 harness (table 7, count1A) did not exercise.
+    Install a validated ALTERNATE 16x16 code for shared code table 16
+    (fixed 8-bit codes — prefix-free and Kraft-complete; stand-in data
+    proving the mechanism, NOT a conformance claim), confirm provenance
+    flips, confirm a granule whose regions peak ABOVE 15 (value 40 ->
+    linbits-6 select index 20, escape extension on the wire) is written
+    under the injected code, decodes exactly, and no longer decodes
+    under the restored canonical dialect."""
+    from esgopeta_spark.operators import mpeg1_audio as m
+
+    def granule_roundtrip(ix):
+        w = m._BitW()
+        side = m._write_granule(
+            w, ix, 0, 0, 0, np.zeros(m._N_SF_LONG, dtype=np.int64), 0
+        )
+        if w.n:
+            w.put(0, 8 - w.n)
+        payload = bytes(w.buf)
+        side.update(scalefac_compress=0, window_switching=0, block_type=0)
+        got, _sf, _end = m._read_granule(m._BitR(payload), 0, side, 0, 0, None)
+        return side, payload, got
+
+    rng = np.random.default_rng(16)
+    ix = np.zeros(576, dtype=np.int64)
+    ix[:96] = rng.integers(-9, 10, 96)
+    ix[0] = 40   # > 15: forces the linbits escape ladder
+    ix[40] = -40
+    ix[92:96] = 2
+    side, payload_canon, got = granule_roundtrip(ix)
+    assert side["table_select"][0] in range(16, 24), side["table_select"]
+    assert m._INDEX_MAP[side["table_select"][0]][0] == 16
+    assert m._INDEX_MAP[side["table_select"][0]][1] >= 5  # covers 40
+    assert (got == ix).all()
+    assert m.huffman_provenance()[16] == "canonical-dialect"
+
+    # alternate code over the 16x16 alphabet: fixed 8-bit codes — valid
+    # (complete), reviewably tiny, and certainly not the default dialect
+    entries = [(s // 16, s % 16, 8, s) for s in range(256)]
+    snapshot = dict(m._SPEC_DATA)
+    try:
+        m.load_spec_tables({16: entries})
+        assert m.huffman_provenance()[16] == "iso-b7"
+        assert m.huffman_provenance()[24] == "canonical-dialect"  # untouched
+        side2, payload_alt, got2 = granule_roundtrip(ix)
+        assert side2["table_select"][0] in range(16, 24)
+        assert (got2 == ix).all(), "escape values must survive the injected code"
+        assert payload_alt != payload_canon, "injected code must reach the wire"
+        # a full PCM stream still round-trips under the injected table
+        pcm = _tone16(440, 1152 * 2, 44100)
+        out, _ = m.decode_mpeg1_audio(m.encode_mpeg1_audio(pcm, 44100, layer=3))
+        assert _snr_db(pcm, out) > 40.0
+    finally:
+        m._SPEC_DATA.clear()
+        m._SPEC_DATA.update(snapshot)
+        m._HUFF.clear()
+        m._COUNT1A = m._Count1A()
+    assert m.huffman_provenance()[16] == "canonical-dialect"
+    # dialect sensitivity, the linbits edition: the injected-dialect
+    # payload must NOT decode to ix under the restored canonical tables
+    try:
+        got3, _sf, _end = m._read_granule(
+            m._BitR(payload_alt), 0, dict(side2), 0, 0, None
+        )
+        assert not (got3 == ix).all()
+    except ValueError:
+        pass
