@@ -11,10 +11,14 @@ the PNG/FLAC/MPEG decoders):
   strings (all eight escapes, octal, line continuations, nested
   parens), hex strings, numbers, booleans, null, indirect references
 - classic xref tables with subsections and ``/Prev`` chains (newest
-  entry wins — incremental updates resolve correctly); a damaged or
-  missing xref falls back to a linear ``N G obj`` scan (real-world
-  tolerance; xref STREAMS are out of the bounded subset and land on
-  the same fallback)
+  entry wins — incremental updates resolve correctly); XREF STREAMS
+  (PDF 1.5+, /Type /XRef: /W field widths, /Index subsections, /Prev
+  chains, FlateDecode with the PNG Up/Sub/None row predictors) and
+  OBJECT STREAMS (/Type /ObjStm packed objects — where most post-2005
+  PDFs keep their page tree); a damaged or missing xref falls back to
+  a linear ``N G obj`` scan (real-world tolerance — though ObjStm
+  members are reachable only through a working xref, like real
+  repair tools)
 - streams with ``/Length`` (direct or indirect) and filters: none,
   ``/FlateDecode`` (stdlib zlib, like the PNG path),
   ``/ASCIIHexDecode``; filter chains as name-or-array
@@ -252,9 +256,65 @@ def _parse_object(b: bytes, i: int):
     raise ValueError(f"unparsable object at offset {i}: {b[i:i+16]!r}")
 
 
+def _apply_predictor(data: bytes, predictor: int, columns: int) -> bytes:
+    """Undo the /DecodeParms predictor on a decoded stream: PNG row
+    predictors (>= 10: each row = 1 filter byte + ``columns`` data
+    bytes, filters None/Sub/Up/Average/Paeth at bpp=1 — xref streams in
+    the wild are nearly always Up) or passthrough for predictor 1.
+    TIFF predictor 2 at 8-bit single-component = byte-wise horizontal
+    differencing."""
+    if predictor <= 1:
+        return data
+    if columns <= 0:
+        raise ValueError("bad predictor columns")
+    if predictor == 2:
+        out = bytearray(data)
+        for r0 in range(0, len(out) - columns + 1, columns):
+            for c in range(1, columns):
+                out[r0 + c] = (out[r0 + c] + out[r0 + c - 1]) & 0xFF
+        return bytes(out)
+    if predictor < 10:
+        raise ValueError(f"unsupported predictor {predictor}")
+    rowlen = columns + 1
+    if len(data) % rowlen:
+        raise ValueError("predictor data not a whole number of rows")
+    out = bytearray()
+    prev = bytearray(columns)
+    for r0 in range(0, len(data), rowlen):
+        ft = data[r0]
+        row = bytearray(data[r0 + 1 : r0 + rowlen])
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub (bpp = 1)
+            for c in range(1, columns):
+                row[c] = (row[c] + row[c - 1]) & 0xFF
+        elif ft == 2:  # Up
+            for c in range(columns):
+                row[c] = (row[c] + prev[c]) & 0xFF
+        elif ft == 3:  # Average
+            for c in range(columns):
+                left = row[c - 1] if c else 0
+                row[c] = (row[c] + ((left + prev[c]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for c in range(columns):
+                a = row[c - 1] if c else 0
+                bb = prev[c]
+                cc = prev[c - 1] if c else 0
+                p = a + bb - cc
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else cc)
+                row[c] = (row[c] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG predictor row type {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
 class _PdfDoc:
-    """Parsed PDF file: object offsets (xref walk or fallback scan),
-    lazy object loads with stream extraction, reference resolution."""
+    """Parsed PDF file: object offsets (classic xref / xref-stream walk
+    or fallback scan), object-stream membership, lazy object loads with
+    stream extraction, reference resolution."""
 
     MAX_XREF_CHAIN = 16
     MAX_OBJECTS = 100_000
@@ -262,6 +322,7 @@ class _PdfDoc:
     def __init__(self, data: bytes) -> None:
         self.b = data
         self.offsets: dict[int, int] = {}
+        self.objstm: dict[int, tuple[int, int]] = {}  # num -> (container, idx)
         self.trailer: dict = {}
         self._cache: dict[int, tuple[object, bytes | None]] = {}
         start = data.find(b"%PDF-", 0, 1024)
@@ -290,54 +351,141 @@ class _PdfDoc:
                 return False
             seen.add(off)
             i = _skip_ws(b, off)
-            if b[i : i + 4] != b"xref":
-                return False  # xref stream or garbage -> fallback
-            i = _skip_ws(b, i + 4)
-            while True:
-                m = _NUM_RX.match(b, i)
-                if m is None:
-                    break  # 'trailer'
-                first = int(m.group(0))
-                m2 = _NUM_RX.match(b, _skip_ws(b, m.end()))
-                if m2 is None:
-                    return False
-                count = int(m2.group(0))
-                if count > self.MAX_OBJECTS:
-                    raise ValueError("xref subsection too large")
-                i = _skip_ws(b, m2.end())
-                for k in range(count):
-                    ent = b[i : i + 20]
-                    if len(ent) < 18:
-                        return False
-                    try:
-                        eoff = int(ent[0:10])
-                    except ValueError:
-                        return False
-                    kind = ent[17:18]
-                    num = first + k
-                    # newest-first walk: first seen wins
-                    if kind == b"n" and num not in self.offsets:
-                        self.offsets[num] = eoff
-                    i += 20  # spec-fixed entry width; malformed -> fallback
-                i = _skip_ws(b, i)
-            if b[i : i + 7] != b"trailer":
+            if b[i : i + 4] == b"xref":
+                prev = self._read_classic_section(i)
+            else:
+                prev = self._read_xref_stream(i)  # PDF 1.5+ xref stream
+            if prev is False:
                 return False
-            tr, _ = _parse_object(b, i + 7)
-            if not isinstance(tr, dict):
-                return False
-            for k, v in tr.items():
-                self.trailer.setdefault(k, v)
-            prev = tr.get("Prev")
             if prev is None:
                 return True
             off = int(prev)
         return True
 
+    def _read_classic_section(self, i: int):
+        """Classic xref table at i.  Returns the /Prev offset, None when
+        the chain ends, or False on malformed input (-> fallback)."""
+        b = self.b
+        i = _skip_ws(b, i + 4)
+        while True:
+            m = _NUM_RX.match(b, i)
+            if m is None:
+                break  # 'trailer'
+            first = int(m.group(0))
+            m2 = _NUM_RX.match(b, _skip_ws(b, m.end()))
+            if m2 is None:
+                return False
+            count = int(m2.group(0))
+            if count > self.MAX_OBJECTS:
+                raise ValueError("xref subsection too large")
+            i = _skip_ws(b, m2.end())
+            for k in range(count):
+                ent = b[i : i + 20]
+                if len(ent) < 18:
+                    return False
+                try:
+                    eoff = int(ent[0:10])
+                except ValueError:
+                    return False
+                kind = ent[17:18]
+                num = first + k
+                # newest-first walk: first seen wins
+                if kind == b"n" and num not in self.offsets and num not in self.objstm:
+                    self.offsets[num] = eoff
+                i += 20  # spec-fixed entry width; malformed -> fallback
+            i = _skip_ws(b, i)
+        if b[i : i + 7] != b"trailer":
+            return False
+        tr, _ = _parse_object(b, i + 7)
+        if not isinstance(tr, dict):
+            return False
+        for k, v in tr.items():
+            self.trailer.setdefault(k, v)
+        return tr.get("Prev")
+
+    def _read_xref_stream(self, i: int):
+        """PDF 1.5 xref STREAM at i (an ``N G obj`` whose dict is /Type
+        /XRef): /W field widths, /Index subsections, FlateDecode +
+        PNG-predictor rows, type-1 offset and type-2 (container, idx)
+        entries.  Returns /Prev, None, or False like the classic
+        reader."""
+        b = self.b
+        m = _OBJ_HEAD_RX.match(b, _skip_ws(b, i))
+        if m is None:
+            return False
+        try:
+            obj, j = _parse_object(b, m.end())
+        except ValueError:
+            return False
+        if not isinstance(obj, dict) or obj.get("Type") != "XRef":
+            return False
+        j = _skip_ws(b, j)
+        if b[j : j + 6] != b"stream":
+            return False
+        j += 6
+        if b[j : j + 2] == b"\r\n":
+            j += 2
+        elif b[j : j + 1] == b"\n":
+            j += 1
+        length = obj.get("Length")
+        if not isinstance(length, int) or length < 0 or j + length > len(b):
+            return False  # xref-stream /Length must be direct (spec)
+        try:
+            data = self.stream_data(obj, b[j : j + length])
+        except ValueError:
+            return False
+        w = obj.get("W")
+        if not (isinstance(w, list) and len(w) == 3
+                and all(isinstance(x, int) and 0 <= x <= 8 for x in w)):
+            return False
+        size = obj.get("Size")
+        index = obj.get("Index", [0, size if isinstance(size, int) else 0])
+        if not (isinstance(index, list) and len(index) % 2 == 0):
+            return False
+        rw = sum(w)
+        if rw == 0:
+            return False
+        pos = 0
+
+        def field(buf, o, width, default):
+            if width == 0:
+                return default
+            return int.from_bytes(buf[o : o + width], "big")
+
+        for si in range(0, len(index), 2):
+            first, count = int(index[si]), int(index[si + 1])
+            if count > self.MAX_OBJECTS:
+                raise ValueError("xref stream subsection too large")
+            for k in range(count):
+                row = data[pos : pos + rw]
+                if len(row) < rw:
+                    return False
+                pos += rw
+                t = field(row, 0, w[0], 1)
+                f2 = field(row, w[0], w[1], 0)
+                f3 = field(row, w[0] + w[1], w[2], 0)
+                num = first + k
+                if num in self.offsets or num in self.objstm:
+                    continue  # newest-first: first seen wins
+                if t == 1:
+                    self.offsets[num] = f2
+                elif t == 2:
+                    self.objstm[num] = (f2, f3)
+        for k, v in obj.items():
+            if k not in ("Type", "W", "Index", "Length", "Filter",
+                         "DecodeParms", "Prev"):
+                self.trailer.setdefault(k, v)
+        return obj.get("Prev")
+
     def _fallback_scan(self) -> None:
         """Linear ``N G obj`` scan — newest (last) definition wins, the
         incremental-update order on disk; also recovers the trailer (or
-        a /Root-bearing catalog) when the xref was unusable."""
+        a /Root-bearing catalog) when the xref was unusable.  ObjStm
+        members are NOT recoverable this way (they live inside
+        compressed streams) — like real repair tools, packed objects
+        need a working xref."""
         self.offsets = {}
+        self.objstm = {}
         for m in _OBJ_HEAD_RX.finditer(self.b):
             self.offsets[int(m.group(1))] = m.start()
         if "Root" not in self.trailer:
@@ -361,6 +509,9 @@ class _PdfDoc:
 
     def get_object(self, num: int) -> tuple[object, bytes | None]:
         if num in self._cache:
+            return self._cache[num]
+        if num in self.objstm:
+            self._cache[num] = (self._objstm_member(num), None)
             return self._cache[num]
         off = self.offsets.get(num)
         if off is None:
@@ -390,6 +541,42 @@ class _PdfDoc:
         self._cache[num] = (obj, raw)
         return obj, raw
 
+    def _objstm_member(self, num: int):
+        """Load a packed object from its /Type /ObjStm container (PDF
+        1.5): decompressed stream = N (objnum, offset) header pairs,
+        then the objects at /First + offset — no obj/endobj wrappers,
+        no nested streams."""
+        container, idx = self.objstm[num]
+        if container == num:
+            raise ValueError("object stream contains itself")
+        cobj, craw = self.get_object(container)
+        if not isinstance(cobj, dict) or cobj.get("Type") != "ObjStm" or craw is None:
+            raise ValueError(f"object {container} is not an ObjStm")
+        data = self.stream_data(cobj, craw)
+        n = self.resolve(cobj.get("N"))
+        first = self.resolve(cobj.get("First"))
+        if not isinstance(n, int) or not isinstance(first, int) or not (
+            0 <= idx < n
+        ):
+            raise ValueError("bad ObjStm header")
+        i = 0
+        pairs = []
+        for _ in range(n):
+            i = _skip_ws(data, i)
+            m1 = _NUM_RX.match(data, i)
+            if m1 is None:
+                raise ValueError("bad ObjStm pair table")
+            m2 = _NUM_RX.match(data, _skip_ws(data, m1.end()))
+            if m2 is None:
+                raise ValueError("bad ObjStm pair table")
+            pairs.append((int(m1.group(0)), int(m2.group(0))))
+            i = m2.end()
+        onum, ooff = pairs[idx]
+        if onum != num:
+            raise ValueError(f"ObjStm slot {idx} holds {onum}, not {num}")
+        obj, _ = _parse_object(data, first + ooff)
+        return obj
+
     def resolve(self, obj, depth: int = 0):
         while isinstance(obj, _Ref):
             if depth > 32:
@@ -400,19 +587,31 @@ class _PdfDoc:
 
     def stream_data(self, obj: dict, raw: bytes) -> bytes:
         filters = self.resolve(obj.get("Filter"))
+        parms = self.resolve(obj.get("DecodeParms"))
         if filters is None:
             chain: list = []
+            parms_chain: list = []
         elif isinstance(filters, list):
             chain = [self.resolve(f) for f in filters]
+            parms_chain = [self.resolve(p) for p in parms] if isinstance(
+                parms, list
+            ) else [parms] + [None] * (len(chain) - 1)
         else:
             chain = [filters]
+            parms_chain = [parms]
         data = raw
-        for f in chain:
+        for f, pp in zip(chain, parms_chain):
             if f == "FlateDecode":
                 try:
                     data = zlib.decompress(data)
                 except zlib.error as exc:
                     raise ValueError(f"bad FlateDecode stream: {exc}") from exc
+                if isinstance(pp, dict):
+                    data = _apply_predictor(
+                        data,
+                        int(self.resolve(pp.get("Predictor", 1)) or 1),
+                        int(self.resolve(pp.get("Columns", 1)) or 1),
+                    )
             elif f == "ASCIIHexDecode":
                 body = data.split(b">", 1)[0]
                 hx = bytes(c for c in body if c not in _WS)
@@ -613,22 +812,33 @@ def _pdf_string(s: str) -> bytes:
     return s.translate(_PDF_ESC).encode("cp1252", "replace")
 
 
-def build_pdf(doc_id: int, text: str) -> bytes:
+def build_pdf(doc_id: int, text: str, modern: bool | None = None) -> bytes:
     """Deterministic two-page fixture PDF (the encoder twin for
     ``extract_pdf_text``): page 1 shows 'Doc <id>' then the corpus text
     (content stream FlateDecode-compressed for even ids — exercises the
     stdlib-zlib filter path), page 2 shows a TJ-array 'Length: <n>'
     line under an INDIRECT /Length and an ``'``-shown 'End.' trailer.
-    Real xref table + trailer.  Expected extraction, closed form:
-    ``Doc <id>\\n[<text>\\n]Length: <n>\\nEnd.``"""
-    tid = str(int(doc_id))
+    Expected extraction, closed form (layout-independent):
+    ``Doc <id>\\n[<text>\\n]Length: <n>\\nEnd.``
+
+    ``modern`` (default: ids with id%3==1 — so the graded fixture
+    exercises BOTH file layouts under one oracle): the PDF 1.5 layout
+    most post-2005 PDFs use — the catalog/pages/page/font/length
+    objects packed into a FlateDecode /Type /ObjStm container and a
+    /Type /XRef cross-reference STREAM (W [1 3 1], PNG Up predictor,
+    type-2 entries) instead of the classic table; page 2's indirect
+    /Length then resolves THROUGH the object stream."""
+    did = int(doc_id)
+    if modern is None:
+        modern = did % 3 == 1
+    tid = str(did)
     t = text if isinstance(text, str) else ""
     c1 = (
         b"BT /F1 12 Tf 72 720 Td (Doc " + tid.encode("ascii")
         + b") Tj 0 -14 TD (" + _pdf_string(t) + b") Tj ET"
     )
     filter1 = b""
-    if int(doc_id) % 2 == 0:
+    if did % 2 == 0:
         c1 = zlib.compress(c1, 6)
         filter1 = b" /Filter /FlateDecode"
     c2 = (
@@ -649,20 +859,70 @@ def build_pdf(doc_id: int, text: str) -> bytes:
             b"/Encoding /WinAnsiEncoding >>"),
         8: str(len(c2)).encode("ascii"),
     }
-    out = bytearray(b"%PDF-1.4\n%\xc2\xa5\xc2\xb1\n")  # binary-marker comment
-    offsets: dict[int, int] = {}
-    for num in sorted(objs):
+    if not modern:
+        out = bytearray(b"%PDF-1.4\n%\xc2\xa5\xc2\xb1\n")  # binary marker
+        offsets: dict[int, int] = {}
+        for num in sorted(objs):
+            offsets[num] = len(out)
+            out += str(num).encode("ascii") + b" 0 obj\n" + objs[num] + b"\nendobj\n"
+        xref_off = len(out)
+        out += b"xref\n0 " + str(len(objs) + 1).encode("ascii") + b"\n"
+        out += b"0000000000 65535 f \n"
+        for num in sorted(objs):
+            out += f"{offsets[num]:010d} 00000 n \n".encode("ascii")
+        out += (
+            b"trailer\n<< /Size " + str(len(objs) + 1).encode("ascii")
+            + b" /Root 1 0 R >>\nstartxref\n" + str(xref_off).encode("ascii")
+            + b"\n%%EOF\n"
+        )
+        return bytes(out)
+
+    # --- PDF 1.5 layout: ObjStm(9) + xref stream(10) ------------------
+    packed = [1, 2, 3, 5, 7, 8]  # no streams -> packable
+    bodies = [objs[n] for n in packed]
+    offs, pos = [], 0
+    for body in bodies:
+        offs.append(pos)
+        pos += len(body) + 1
+    header = " ".join(f"{n} {o}" for n, o in zip(packed, offs)).encode("ascii")
+    payload = header + b"\n" + b"\n".join(bodies) + b"\n"
+    first = len(header) + 1
+    zpayload = zlib.compress(payload, 6)
+    objstm = (
+        b"<< /Type /ObjStm /N " + str(len(packed)).encode("ascii")
+        + b" /First " + str(first).encode("ascii")
+        + b" /Length " + str(len(zpayload)).encode("ascii")
+        + b" /Filter /FlateDecode >>\nstream\n" + zpayload + b"\nendstream"
+    )
+    out = bytearray(b"%PDF-1.5\n%\xc2\xa5\xc2\xb1\n")
+    offsets = {}
+    for num in (4, 6, 9):
         offsets[num] = len(out)
-        out += str(num).encode("ascii") + b" 0 obj\n" + objs[num] + b"\nendobj\n"
-    xref_off = len(out)
-    out += b"xref\n0 " + str(len(objs) + 1).encode("ascii") + b"\n"
-    out += b"0000000000 65535 f \n"
-    for num in sorted(objs):
-        out += f"{offsets[num]:010d} 00000 n \n".encode("ascii")
+        body = objstm if num == 9 else objs[num]
+        out += str(num).encode("ascii") + b" 0 obj\n" + body + b"\nendobj\n"
+    offsets[10] = len(out)
+    # rows: (type:1, field2:3, field3:1), PNG Up predictor over 4 columns
+    rows = [(0, 0, 255)]
+    for num in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10):
+        if num in offsets:
+            rows.append((1, offsets[num], 0))
+        else:
+            rows.append((2, 9, packed.index(num)))
+    raw_rows = [bytes([t]) + f2.to_bytes(3, "big") + bytes([f3])
+                for t, f2, f3 in rows]
+    filtered = bytearray()
+    prev = bytes(5)
+    for row in raw_rows:
+        filtered += bytes([2]) + bytes((row[c] - prev[c]) & 0xFF for c in range(5))
+        prev = row
+    zx = zlib.compress(bytes(filtered), 6)
     out += (
-        b"trailer\n<< /Size " + str(len(objs) + 1).encode("ascii")
-        + b" /Root 1 0 R >>\nstartxref\n" + str(xref_off).encode("ascii")
-        + b"\n%%EOF\n"
+        b"10 0 obj\n<< /Type /XRef /Size 11 /Root 1 0 R /W [1 3 1] "
+        b"/Index [0 11] /Filter /FlateDecode "
+        b"/DecodeParms << /Predictor 12 /Columns 5 >> /Length "
+        + str(len(zx)).encode("ascii") + b" >>\nstream\n" + zx
+        + b"\nendstream\nendobj\nstartxref\n"
+        + str(offsets[10]).encode("ascii") + b"\n%%EOF\n"
     )
     return bytes(out)
 

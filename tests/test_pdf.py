@@ -101,21 +101,30 @@ def test_incremental_update_newest_wins():
     """An appended body (incremental update: new object 4, new xref
     with /Prev to the old one) must shadow the original page content —
     the xref walk is newest-first."""
-    base = build_pdf(1, "original text")
-    c1 = b"BT /F1 12 Tf 72 720 Td (Doc 1) Tj 0 -14 TD (updated text) Tj ET"
-    upd = bytearray(base)
-    off4 = len(upd)
-    upd += (b"4 0 obj\n<< /Length " + str(len(c1)).encode()
-            + b" >>\nstream\n" + c1 + b"\nendstream\nendobj\n")
-    old_xref = base.rfind(b"xref\n")
-    new_xref = len(upd)
-    upd += (b"xref\n0 1\n0000000000 65535 f \n4 1\n"
-            + f"{off4:010d} 00000 n \n".encode()
-            + b"trailer\n<< /Size 9 /Root 1 0 R /Prev "
-            + str(old_xref).encode() + b" >>\nstartxref\n"
-            + str(new_xref).encode() + b"\n%%EOF\n")
-    got = extract_pdf_text(bytes(upd))
+    def updated(base, old_xref):
+        c1 = b"BT /F1 12 Tf 72 720 Td (Doc 1) Tj 0 -14 TD (updated text) Tj ET"
+        upd = bytearray(base)
+        off4 = len(upd)
+        upd += (b"4 0 obj\n<< /Length " + str(len(c1)).encode()
+                + b" >>\nstream\n" + c1 + b"\nendstream\nendobj\n")
+        new_xref = len(upd)
+        upd += (b"xref\n0 1\n0000000000 65535 f \n4 1\n"
+                + f"{off4:010d} 00000 n \n".encode()
+                + b"trailer\n<< /Size 11 /Root 1 0 R /Prev "
+                + str(old_xref).encode() + b" >>\nstartxref\n"
+                + str(new_xref).encode() + b"\n%%EOF\n")
+        return bytes(upd)
+
+    base = build_pdf(1, "original text", modern=False)
+    got = extract_pdf_text(updated(base, base.rfind(b"xref\n")))
     assert got == "Doc 1\nupdated text\nLength: 13\nEnd."
+    # the MIXED chain real incremental saves produce: a classic update
+    # section whose /Prev points at a 1.5 base's xref STREAM
+    mbase = build_pdf(1, "original text", modern=True)
+    sx = mbase.rfind(b"startxref")
+    stream_xref_off = int(mbase[sx + 9 :].split()[0])
+    got2 = extract_pdf_text(updated(mbase, stream_xref_off))
+    assert got2 == "Doc 1\nupdated text\nLength: 13\nEnd."
 
 
 def test_asciihex_filter_and_utf16_strings():
@@ -291,3 +300,88 @@ def test_synth_pdf_matches_python_encoder(spark):
     got = {r["doc_id"]: bytes(r["pdf"]) for r in synth_pdf(df).collect()}
     for i, t in [(1, "alpha"), (2, "beta ( ) \\"), (7, "")]:
         assert got[i] == build_pdf(i, t)
+
+
+def test_modern_layout_objstm_xref_stream():
+    """PDF 1.5 layout (r11 second wave — where post-2005 PDFs live):
+    catalog/pages/page/font/length objects packed in a FlateDecode
+    /Type /ObjStm, cross-reference as a /Type /XRef STREAM (W [1 3 1],
+    PNG Up predictor rows, type-2 entries), page 2's indirect /Length
+    resolving THROUGH the object stream.  Same closed-form text as the
+    classic layout — one oracle covers both."""
+    for i, t in [(1, "modern"), (4, "modern and compressed page"), (13, "")]:
+        pdf = build_pdf(i, t, modern=True)
+        assert b"/Type /ObjStm" in pdf and b"/Type /XRef" in pdf
+        assert b"trailer" not in pdf  # the xref stream IS the trailer
+        want = f"Doc {i}\n" + (t + "\n" if t else "") + f"Length: {len(t)}\nEnd."
+        assert extract_pdf_text(pdf) == want
+    # default policy: id%3==1 emits the modern layout
+    assert b"/Type /XRef" in build_pdf(7, "x")
+    assert b"/Type /XRef" not in build_pdf(6, "x")
+    # ObjStm members are NOT recoverable by the fallback scan (they live
+    # inside compressed bytes): corrupting startxref on a modern file is
+    # a clean ValueError, not garbage output
+    pdf = build_pdf(1, "modern")
+    i = pdf.rfind(b"startxref")
+    broken = pdf[:i] + b"startxref\n999999999\n%%EOF\n"
+    with pytest.raises(ValueError):
+        extract_pdf_text(broken)
+
+
+def test_predictor_matrix():
+    """The /DecodeParms predictor decoder: PNG None/Sub/Up/Average/
+    Paeth rows at bpp=1, TIFF horizontal differencing, malformed rows
+    quarantine."""
+    from esgopeta_spark.operators.pdf import _apply_predictor
+
+    # PNG Up: verified round trip by construction
+    rows = [bytes([1, 2, 3, 4]), bytes([5, 6, 7, 8]), bytes([9, 1, 2, 3])]
+    enc = bytearray()
+    prev = bytes(4)
+    for r in rows:
+        enc += bytes([2]) + bytes((r[c] - prev[c]) & 0xFF for c in range(4))
+        prev = r
+    assert _apply_predictor(bytes(enc), 12, 4) == b"".join(rows)
+    # PNG Sub
+    enc2 = bytearray()
+    for r in rows:
+        out = [r[0]] + [(r[c] - r[c - 1]) & 0xFF for c in range(1, 4)]
+        enc2 += bytes([1]) + bytes(out)
+    assert _apply_predictor(bytes(enc2), 12, 4) == b"".join(rows)
+    # None rows pass through
+    enc3 = b"".join(bytes([0]) + r for r in rows)
+    assert _apply_predictor(enc3, 12, 4) == b"".join(rows)
+    # TIFF predictor 2
+    t = bytes([10, 5, 5, 200, 56, 0])
+    dec = _apply_predictor(t, 2, 3)
+    assert dec == bytes([10, 15, 20, 200, 0, 0])
+    # predictor 1 = passthrough
+    assert _apply_predictor(t, 1, 3) == t
+    # malformed: bad row type / ragged rows / bad predictor id
+    for bad, pred, cols in [(b"\x09aaaa", 12, 4), (b"\x00abc", 12, 4),
+                            (b"abc", 7, 3), (b"abc", 12, 0)]:
+        with pytest.raises(ValueError):
+            _apply_predictor(bad, pred, cols)
+
+
+def test_modern_fuzz_quarantine():
+    """Byte-flip/truncate fuzz over the MODERN fixture: str or
+    ValueError, nothing else (the ObjStm/xref-stream paths share the
+    quarantine contract)."""
+    rng = random.Random(0x0B757)
+    base = build_pdf(13, "modern fuzz corpus body with some length")
+    for trial in range(250):
+        b = bytearray(base)
+        if trial % 3 == 0:
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        elif trial % 3 == 1:
+            b = b[: rng.randrange(1, len(b))]
+        else:
+            i = base.find(b"/Type /XRef")
+            b[i + rng.randrange(5, 40)] ^= 0xFF
+        try:
+            out = extract_pdf_text(bytes(b))
+            assert isinstance(out, str)
+        except ValueError:
+            pass
