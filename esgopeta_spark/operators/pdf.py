@@ -798,6 +798,73 @@ def extract_pdf_text(data: bytes) -> str:
     return "\n".join(_extract_pages(data))
 
 
+_PDF_DATE_RX = re.compile(r"D:(\d{4})(\d{2})?(\d{2})?")
+
+
+def extract_pdf_info(data: bytes) -> dict:
+    """PDF bytes -> document metadata from the trailer /Info dictionary
+    (§14.3.3 — the provenance fields a corpus pipeline mines: titles for
+    dedup keys, dates for freshness): ``title``, ``author`` (decoded
+    strings, '' when absent) plus ``created`` as YYYY-MM-DD from the
+    ``D:YYYYMMDD...`` CreationDate prefix ('' when absent/unparseable —
+    the feed-date normalization discipline) and ``n_pages``.  Raises
+    ValueError ONLY (quarantine contract)."""
+    try:
+        doc = _PdfDoc(bytes(data) if data is not None else b"")
+        n_pages = len(_page_leaves(doc))
+        info = doc.resolve(doc.trailer.get("Info"))
+        out = {"title": "", "author": "", "created": "", "n_pages": n_pages}
+        if isinstance(info, dict):
+            for field, key in (("title", "Title"), ("author", "Author")):
+                v = doc.resolve(info.get(key))
+                if isinstance(v, bytes):
+                    out[field] = _decode_pdf_string(v)
+            d = doc.resolve(info.get("CreationDate"))
+            if isinstance(d, bytes):
+                m = _PDF_DATE_RX.match(_decode_pdf_string(d))
+                if m is not None:
+                    out["created"] = (
+                        f"{m.group(1)}-{m.group(2) or '01'}-{m.group(3) or '01'}"
+                    )
+        return out
+    except ValueError:
+        raise
+    except (struct.error, IndexError, KeyError, OverflowError, zlib.error,
+            EOFError, TypeError, AttributeError, RecursionError,
+            UnicodeDecodeError, MemoryError) as exc:
+        raise ValueError(f"malformed pdf: {type(exc).__name__}: {exc}") from exc
+
+
+def pdf_info(
+    df: DataFrame, pdf_col: str = "pdf", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, pdf-bytes) -> (id, title, author, created, n_pages) via one
+    Arrow kernel; poison PDFs quarantine to ('', '', '', -1).
+    Stateless projection — runs on streams AS-IS."""
+
+    @F.pandas_udf(
+        "struct<title: string, author: string, created: string, n_pages: int>"
+    )
+    def _info(s: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in s:
+            try:
+                rows.append(extract_pdf_info(b))
+            except ValueError:
+                rows.append({"title": "", "author": "", "created": "",
+                             "n_pages": -1})
+        return pd.DataFrame(rows)
+
+    out = df.select(F.col(id_col), _info(F.col(pdf_col)).alias("_i"))
+    return out.select(
+        id_col,
+        F.col("_i.title").alias("title"),
+        F.col("_i.author").alias("author"),
+        F.col("_i.created").alias("created"),
+        F.col("_i.n_pages").alias("n_pages"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Encoder twin
 # ---------------------------------------------------------------------------
@@ -845,6 +912,17 @@ def build_pdf(doc_id: int, text: str, modern: bool | None = None) -> bytes:
         b"BT /F1 10 Tf 72 720 Td [(Length: ) (" + str(len(t)).encode("ascii")
         + b")] TJ (End.) ' ET"
     )
+    # /Info document metadata: title carries the corpus text's first
+    # words (the dedup key real pipelines mine), deterministic
+    # CreationDate from the id (D: prefix per §7.9.4)
+    first_words = " ".join(t.split(" ")[:4]) if t else ""
+    info = (
+        b"<< /Title (Doc " + tid.encode("ascii")
+        + ((b": " + _pdf_string(first_words)) if first_words else b"")
+        + b") /Author (corpus) /CreationDate (D:2024"
+        + f"{did % 12 + 1:02d}{did % 28 + 1:02d}".encode("ascii")
+        + b"093000Z) >>"
+    )
     objs: dict[int, bytes] = {
         1: b"<< /Type /Catalog /Pages 2 0 R >>",
         2: b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>",
@@ -858,6 +936,7 @@ def build_pdf(doc_id: int, text: str, modern: bool | None = None) -> bytes:
         7: (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
             b"/Encoding /WinAnsiEncoding >>"),
         8: str(len(c2)).encode("ascii"),
+        11: info,
     }
     if not modern:
         out = bytearray(b"%PDF-1.4\n%\xc2\xa5\xc2\xb1\n")  # binary marker
@@ -866,19 +945,21 @@ def build_pdf(doc_id: int, text: str, modern: bool | None = None) -> bytes:
             offsets[num] = len(out)
             out += str(num).encode("ascii") + b" 0 obj\n" + objs[num] + b"\nendobj\n"
         xref_off = len(out)
-        out += b"xref\n0 " + str(len(objs) + 1).encode("ascii") + b"\n"
-        out += b"0000000000 65535 f \n"
-        for num in sorted(objs):
+        out += b"xref\n"
+        # two subsections (0..8 and 11) — exercises subsection handling
+        out += b"0 9\n0000000000 65535 f \n"
+        for num in range(1, 9):
             out += f"{offsets[num]:010d} 00000 n \n".encode("ascii")
+        out += b"11 1\n" + f"{offsets[11]:010d} 00000 n \n".encode("ascii")
         out += (
-            b"trailer\n<< /Size " + str(len(objs) + 1).encode("ascii")
-            + b" /Root 1 0 R >>\nstartxref\n" + str(xref_off).encode("ascii")
+            b"trailer\n<< /Size 12 /Root 1 0 R /Info 11 0 R"
+            b" >>\nstartxref\n" + str(xref_off).encode("ascii")
             + b"\n%%EOF\n"
         )
         return bytes(out)
 
     # --- PDF 1.5 layout: ObjStm(9) + xref stream(10) ------------------
-    packed = [1, 2, 3, 5, 7, 8]  # no streams -> packable
+    packed = [1, 2, 3, 5, 7, 8, 11]  # no streams -> packable
     bodies = [objs[n] for n in packed]
     offs, pos = [], 0
     for body in bodies:
@@ -901,9 +982,9 @@ def build_pdf(doc_id: int, text: str, modern: bool | None = None) -> bytes:
         body = objstm if num == 9 else objs[num]
         out += str(num).encode("ascii") + b" 0 obj\n" + body + b"\nendobj\n"
     offsets[10] = len(out)
-    # rows: (type:1, field2:3, field3:1), PNG Up predictor over 4 columns
+    # rows: (type:1, field2:3, field3:1), PNG Up predictor over 5 columns
     rows = [(0, 0, 255)]
-    for num in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10):
+    for num in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11):
         if num in offsets:
             rows.append((1, offsets[num], 0))
         else:
@@ -917,8 +998,8 @@ def build_pdf(doc_id: int, text: str, modern: bool | None = None) -> bytes:
         prev = row
     zx = zlib.compress(bytes(filtered), 6)
     out += (
-        b"10 0 obj\n<< /Type /XRef /Size 11 /Root 1 0 R /W [1 3 1] "
-        b"/Index [0 11] /Filter /FlateDecode "
+        b"10 0 obj\n<< /Type /XRef /Size 12 /Root 1 0 R /Info 11 0 R "
+        b"/W [1 3 1] /Index [0 12] /Filter /FlateDecode "
         b"/DecodeParms << /Predictor 12 /Columns 5 >> /Length "
         + str(len(zx)).encode("ascii") + b" >>\nstream\n" + zx
         + b"\nendstream\nendobj\nstartxref\n"

@@ -779,6 +779,45 @@ def text_pdf_extract(spark, sf):
 
 
 @register(
+    "text_pdf_metadata",
+    "G4,G5",
+    r"""
+    WITH c AS (
+      SELECT doc_id, coalesce(text, '') AS t FROM documents
+    )
+    SELECT doc_id,
+           'Doc ' || doc_id
+             || CASE WHEN t = '' THEN ''
+                ELSE ': ' || array_to_string(list_slice(string_split(t, ' '), 1, 4), ' ')
+                END AS title,
+           'corpus' AS author,
+           '2024-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+                   || '-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS created,
+           CAST(2 AS INTEGER) AS n_pages
+    FROM c
+    """,
+    doc="PDF document metadata (r11 second wave — the provenance fields "
+    "a corpus pipeline mines: titles for dedup keys, dates for "
+    "freshness): the fixture PDFs carry a trailer /Info dictionary "
+    "(classic layout: a second xref SUBSECTION; modern layout: packed "
+    "in the ObjStm and referenced from the xref STREAM dict), and "
+    "extract_pdf_info walks trailer -> /Info -> Title/Author/"
+    "CreationDate with the D:YYYYMMDD date normalized to YYYY-MM-DD "
+    "(the feed-date discipline).  Oracle recomputes every field in "
+    "closed form from documents.text + id arithmetic.  Plan: two Arrow "
+    "kernels over one scan, shuffle-free; operators/pdf.py "
+    "extract_pdf_info",
+)
+def text_pdf_metadata(spark, sf):
+    from esgopeta_spark.operators.pdf import pdf_info, synth_pdf
+
+    d = T(spark, sf, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    return pdf_info(synth_pdf(d))
+
+
+@register(
     "text_unicode_nfc",
     "G4",
     r"""

@@ -385,3 +385,42 @@ def test_modern_fuzz_quarantine():
             assert isinstance(out, str)
         except ValueError:
             pass
+
+
+def test_extract_pdf_info_matrix():
+    """/Info metadata: both layouts carry it (classic: second xref
+    subsection; modern: ObjStm member referenced from the xref-stream
+    dict); date prefix normalizes; absent /Info degrades to ''."""
+    from esgopeta_spark.operators.pdf import extract_pdf_info
+
+    for modern in (False, True):
+        info = extract_pdf_info(build_pdf(14, "alpha beta gamma delta epsilon",
+                                          modern=modern))
+        assert info == {"title": "Doc 14: alpha beta gamma delta",
+                        "author": "corpus", "created": "2024-03-15",
+                        "n_pages": 2}, (modern, info)
+    assert extract_pdf_info(build_pdf(5, ""))["title"] == "Doc 5"
+    # hand-built file without /Info: fields empty, pages counted
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R >>\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert extract_pdf_info(pdf) == {"title": "", "author": "",
+                                     "created": "", "n_pages": 1}
+    with pytest.raises(ValueError):
+        extract_pdf_info(b"junk, not a pdf")
+
+
+def test_pdf_info_df_quarantines(spark):
+    from esgopeta_spark.operators.pdf import pdf_info
+
+    rows = [(1, build_pdf(1, "good words here now")), (2, b"%PDF- junk"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id: long, pdf: binary")
+    got = {r["doc_id"]: (r["title"], r["author"], r["created"], r["n_pages"])
+           for r in pdf_info(df).collect()}
+    assert got[1] == ("Doc 1: good words here now", "corpus", "2024-02-02", 2)
+    assert got[2] == ("", "", "", -1)
+    assert got[3] == ("", "", "", -1)
