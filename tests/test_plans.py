@@ -330,7 +330,8 @@ def test_html_extract_plan_posture(spark, sf_dir):
                   "text_html_main_content", "web_robots_filter",
                   "web_crawl_schedule", "web_cdx_index",
                   "web_sitemap_extract",
-                  "web_image_captions", "web_charset_route", "web_feed_extract"):
+                  "web_image_captions", "web_charset_route", "web_feed_extract",
+                  "text_pdf_extract", "text_pdf_metadata"):
         p = plan_of(REGISTRY[entry].fn(spark, sf_dir))
         assert "Join" not in p and "CartesianProduct" not in p, (entry, p)
         # one scan node (formatted plans list each node in both the tree
