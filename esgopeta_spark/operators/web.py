@@ -664,10 +664,14 @@ def link_edges(
 
 
 def parse_robots(text: str) -> list[tuple[str, str, str]]:
-    """robots.txt -> [(agent, 'allow'|'disallow', pattern)] rule rows.
-    RFC 9309 grouping: consecutive User-agent lines open a group whose
-    rules apply to every listed agent; comments (#) and unknown
-    directives are ignored; agents lowercase.  Total on any str."""
+    """robots.txt -> [(agent, 'allow'|'disallow'|'crawl-delay', value)]
+    rule rows.  RFC 9309 grouping: consecutive User-agent lines open a
+    group whose rules apply to every listed agent; comments (#) and
+    unknown directives are ignored; agents lowercase.  ``crawl-delay``
+    (r11 — not in RFC 9309 but honored by real crawlers and emitted by
+    real sites) rides the same grouping with its seconds value kept as
+    the raw string (:func:`crawl_delay_milli` parses it digit-wise).
+    Total on any str."""
     rules: list[tuple[str, str, str]] = []
     agents: list[str] = []
     last_was_agent = False
@@ -687,10 +691,40 @@ def parse_robots(text: str) -> list[tuple[str, str, str]]:
             last_was_agent = True
             continue
         last_was_agent = False
-        if key in ("allow", "disallow"):
+        if key in ("allow", "disallow", "crawl-delay"):
             for a in agents:
                 rules.append((a, key, val))
     return rules
+
+
+_DELAY_VAL_RX = re.compile(r"^(\d+)(?:\.(\d+))?$")
+
+
+def crawl_delay_milli(
+    rules: list[tuple[str, str, str]], agent: str, default: int = 0
+) -> int:
+    """Crawl-delay for ``agent`` as integer MILLIseconds — same
+    longest-matching-agent group choice as :func:`robots_allows`,
+    fractional seconds parsed digit-wise (the priority_milli
+    discipline: '0.5'*1000 must be exactly 500, never through a
+    float).  Absent/malformed -> ``default``."""
+    agent = agent.lower()
+    best_agent, best_len = None, -1
+    for a, _, _ in rules:
+        if a == "*":
+            if best_agent is None:
+                best_agent, best_len = "*", -1
+        elif a in agent and len(a) > best_len:
+            best_agent, best_len = a, len(a)
+    if best_agent is None:
+        return default
+    for a, kind, val in rules:
+        if a == best_agent and kind == "crawl-delay":
+            m = _DELAY_VAL_RX.match(val)
+            if m is None:
+                return default
+            return int(m.group(1)) * 1000 + int((m.group(2) or "")[:3].ljust(3, "0"))
+    return default
 
 
 def _robots_pattern_matches(pattern: str, path: str) -> bool:
@@ -720,7 +754,7 @@ def robots_allows(rules: list[tuple[str, str, str]], agent: str, path: str) -> b
         return True
     verdict, verdict_len, verdict_allow = True, -1, False
     for a, kind, pattern in rules:
-        if a != best_agent:
+        if a != best_agent or kind not in ("allow", "disallow"):
             continue
         if pattern == "":
             # empty Disallow = allow everything (a rule of length 0)
@@ -1541,6 +1575,92 @@ def synth_redirect_warc(
         return pd.Series(out)
 
     return df.withColumn(out_col, _build(F.col(id_col)))
+
+
+def robots_delay(
+    df: DataFrame,
+    robots_col: str = "robots",
+    agent: str = "esgopeta",
+    out_col: str = "delay_milli",
+    default: int = 0,
+) -> DataFrame:
+    """Append the agent's Crawl-delay (integer milliseconds, digit-wise
+    parse) from ``robots_col`` — the per-host politeness spacing the
+    scheduler multiplies fetch waves by.  One Arrow kernel with a
+    per-batch parsed-rules cache (robots files repeat per host);
+    stateless (stream-safe)."""
+
+    @F.pandas_udf("bigint")
+    def _delay(robots: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+
+        def one(r):
+            r = r if isinstance(r, str) else ""
+            v = cache.get(r)
+            if v is None:
+                v = cache[r] = crawl_delay_milli(parse_robots(r), agent, default)
+            return v
+
+        return pd.Series([one(r) for r in robots])
+
+    return df.withColumn(out_col, _delay(F.col(robots_col)))
+
+
+# ---------------------------------------------------------------------------
+# HTTP revalidation (conditional GET planning — the recrawl loop's
+# bandwidth saver: a 304 costs headers, a 200 costs the body)
+# ---------------------------------------------------------------------------
+
+
+def warc_revalidation_plan(
+    df: DataFrame, blob_col: str = "warc", id_col: str = "doc_id"
+) -> DataFrame:
+    """WARC blobs -> one row per 2xx response record with its cache
+    validators: (id, url_canon, etag, last_modified, mode) where mode
+    is the conditional-GET plan — 'if-none-match' when an ETag exists
+    (strongest validator wins, RFC 9110 §13.1.2), else
+    'if-modified-since' when Last-Modified parses to a date, else
+    'unconditional'.  last_modified normalizes RFC-822-style dates to
+    YYYY-MM-DD via the shared feed-date table ('' when absent).
+    Non-2xx records and poison payloads drop (the route entry reports
+    them).  One Arrow kernel; gz-transparent; stateless."""
+
+    @F.pandas_udf(
+        "array<struct<url: string, etag: string, last_modified: string, mode: string>>"
+    )
+    def _plan(s: pd.Series) -> pd.Series:
+        def one(b):
+            try:
+                recs = parse_warc(maybe_gunzip_warc(bytes(b) if b is not None else b""))
+            except ValueError:
+                return []
+            out = []
+            for r in recs:
+                try:
+                    status, hdrs, _body = parse_http_response(r["payload"])
+                    if not 200 <= status < 300:
+                        continue
+                    etag = hdrs.get("etag", "").strip()
+                    lm = _feed_date(hdrs.get("last-modified", ""))
+                    mode = (
+                        "if-none-match" if etag
+                        else ("if-modified-since" if lm else "unconditional")
+                    )
+                    out.append(
+                        {"url": canonicalize_url(r["uri"]), "etag": etag,
+                         "last_modified": lm, "mode": mode}
+                    )
+                except ValueError:
+                    continue
+            return out
+
+        return pd.Series([one(b) for b in s])
+
+    return (
+        df.select(F.col(id_col), F.explode(_plan(F.col(blob_col))).alias("r"))
+        .select(id_col, F.col("r.url").alias("url_canon"), "r.etag",
+                F.col("r.last_modified").alias("last_modified"), "r.mode")
+    )
 
 
 def synth_frontier_redirect_warc(

@@ -778,6 +778,136 @@ def text_pdf_extract(spark, sf):
     return pdf_extract(synth_pdf(d))
 
 
+_MONTH_NAMES = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+                "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+
+
+@register(
+    "web_revalidation_plan",
+    "G4",
+    r"""
+    WITH b AS (SELECT doc_id, doc_id % 12 AS mm, doc_id % 28 + 1 AS dd
+               FROM documents WHERE doc_id % 5 <> 4)
+    SELECT doc_id,
+           'https://site' || (doc_id % 40) || '.example.com/articles/' || doc_id
+             AS url_canon,
+           CASE WHEN doc_id % 3 = 0 THEN '"v' || doc_id || '"' ELSE '' END AS etag,
+           CASE WHEN doc_id % 3 = 2 THEN ''
+                ELSE '2024-' || lpad(CAST(mm + 1 AS VARCHAR), 2, '0')
+                       || '-' || lpad(CAST(dd AS VARCHAR), 2, '0') END
+             AS last_modified,
+           CASE doc_id % 3 WHEN 0 THEN 'if-none-match'
+                WHEN 1 THEN 'if-modified-since'
+                ELSE 'unconditional' END AS mode
+    FROM b
+    """,
+    doc="HTTP revalidation planning (r11 — the recrawl loop's bandwidth "
+    "saver: a 304 costs headers, a 200 costs the body): per fixture "
+    "doc, a WARC 200 response whose cache validators vary by residue "
+    "(ETag + Last-Modified / Last-Modified only / neither; every fifth "
+    "doc a 404 that must drop), parsed by the REAL chain — WARC -> "
+    "HTTP unwrap -> header extraction -> RFC 9110 strongest-validator "
+    "choice (If-None-Match beats If-Modified-Since) with RFC-822 dates "
+    "normalized through the shared feed month table.  Oracle "
+    "recomputes every field in closed form.  Plan: one synth + one "
+    "parse Arrow kernel over one scan, shuffle-free; operators/web.py "
+    "warc_revalidation_plan",
+)
+def web_revalidation_plan(spark, sf):
+    from esgopeta_spark.operators.web import build_warc_record, warc_revalidation_plan
+
+    @F.pandas_udf("binary")
+    def _synth(did: pd.Series) -> pd.Series:
+        out = []
+        for i in did:
+            i = int(i)
+            uri = f"https://site{i % 40}.example.com/articles/{i}"
+            if i % 5 == 4:
+                payload = b"HTTP/1.1 404 Not Found\r\nContent-Length: 0\r\n\r\n"
+            else:
+                hdrs = ""
+                if i % 3 == 0:
+                    hdrs += f'ETag: "v{i}"\r\n'
+                if i % 3 != 2:
+                    mon = _MONTH_NAMES[i % 12]
+                    hdrs += (f"Last-Modified: Wed, {i % 28 + 1:02d} {mon} 2024 "
+                             "10:00:00 GMT\r\n")
+                payload = (
+                    "HTTP/1.1 200 OK\r\n" + hdrs + "Server: fixture\r\n\r\nbody"
+                ).encode("ascii")
+            out.append(build_warc_record(uri, payload))
+        return pd.Series(out)
+
+    d = T(spark, sf, "documents").select(
+        "doc_id", _synth(F.col("doc_id")).alias("warc")
+    )
+    return warc_revalidation_plan(d)
+
+
+@register(
+    "web_politeness_delay",
+    "G4",
+    r"""
+    WITH b AS (
+      SELECT doc_id, doc_id % 40 AS h FROM documents
+    ), d AS (
+      SELECT doc_id, h,
+             'https://site' || h || '.example.com/articles/' || doc_id AS url,
+             CAST(CASE h % 3 WHEN 0 THEN (h % 7) * 1000
+                  WHEN 1 THEN (h % 7) * 1000 + 250
+                  ELSE 0 END AS BIGINT) AS delay_milli
+      FROM b
+    ), r AS (
+      SELECT doc_id, h, url, delay_milli,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY url, doc_id) AS rn
+      FROM d
+    )
+    SELECT doc_id, 'site' || h || '.example.com' AS host, url AS url_canon,
+           delay_milli,
+           CAST((rn - 1) * delay_milli AS BIGINT) AS next_fetch_milli
+    FROM r
+    """,
+    doc="Crawl-delay politeness scheduling (r11): per-host robots.txt "
+    "fixtures carry integer, fractional ('N.25' — parsed digit-wise to "
+    "milli, never through a float), and absent Crawl-delay directives; "
+    "the REAL parser extracts the agent group's delay and the schedule "
+    "spaces each host's fetches by it (next_fetch = wave * delay).  "
+    "Oracle recomputes delay and spacing in closed form.  Plan: one "
+    "Arrow parse kernel (per-batch rules cache — 40 distinct robots "
+    "files) + exactly ONE shuffle, the host-keyed schedule window; "
+    "operators/web.py crawl_delay_milli/robots_delay",
+)
+def web_politeness_delay(spark, sf):
+    from pyspark.sql.window import Window
+
+    from esgopeta_spark.operators.web import robots_delay
+
+    h = F.col("doc_id") % 40
+    robots = F.concat(
+        F.lit("# fixture\nUser-agent: esgopeta\n"),
+        F.when(h % 3 == 0, F.concat(F.lit("Crawl-delay: "), (h % 7).cast("string"), F.lit("\n")))
+        .when(h % 3 == 1, F.concat(F.lit("Crawl-delay: "), (h % 7).cast("string"), F.lit(".25\n")))
+        .otherwise(F.lit("")),
+        F.lit("Disallow: /private/\n"),
+    )
+    d = T(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(F.lit("site"), h.cast("string"), F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit("https://site"), h.cast("string"), F.lit(".example.com/articles/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url_canon"),
+        robots.alias("robots"),
+    )
+    withd = robots_delay(d).drop("robots")
+    w = Window.partitionBy("host").orderBy(F.col("url_canon").asc(), F.col("doc_id").asc())
+    rn = F.row_number().over(w) - 1
+    return withd.select(
+        "doc_id", "host", "url_canon", "delay_milli",
+        (rn * F.col("delay_milli")).cast("bigint").alias("next_fetch_milli"),
+    )
+
+
 @register(
     "text_pdf_metadata",
     "G4,G5",

@@ -1110,6 +1110,67 @@ def test_warc_redirect_edges_stream_twin(spark, tmp_path):
     assert got == want and len(got) == 6
 
 
+def test_crawl_delay_matrix():
+    """Crawl-delay: agent-group choice mirrors robots_allows (longest
+    matching agent, '*' fallback), digit-wise fractional parse, absent/
+    malformed -> default, and delay rows never leak into allow/disallow
+    verdicts."""
+    from esgopeta_spark.operators.web import (
+        crawl_delay_milli,
+        parse_robots,
+        robots_allows,
+    )
+
+    txt = (
+        "User-agent: *\nCrawl-delay: 10\nDisallow: /private/\n\n"
+        "User-agent: esgopeta\nCrawl-delay: 0.5\nDisallow: /slow/\n"
+    )
+    rules = parse_robots(txt)
+    assert crawl_delay_milli(rules, "esgopeta-bot/1.0") == 500
+    assert crawl_delay_milli(rules, "otherbot") == 10_000
+    # digit-wise: 0.5 -> exactly 500, 1.25 -> 1250, over-precision trims
+    r2 = parse_robots("User-agent: *\nCrawl-delay: 1.2509\n")
+    assert crawl_delay_milli(r2, "any") == 1250
+    # absent / malformed -> default
+    assert crawl_delay_milli(parse_robots("User-agent: *\nDisallow:\n"), "x", 7) == 7
+    assert crawl_delay_milli(parse_robots("User-agent: *\nCrawl-delay: soon\n"), "x") == 0
+    assert crawl_delay_milli([], "x", 3) == 3
+    # the delay row is NOT a path rule: verdicts unchanged
+    assert robots_allows(rules, "esgopeta", "/fine") is True
+    assert robots_allows(rules, "esgopeta", "/slow/x") is False
+    assert robots_allows(rules, "otherbot", "/private/x") is False
+
+
+def test_warc_revalidation_plan_matrix(spark):
+    """Validator extraction + RFC 9110 strongest-validator choice:
+    ETag beats Last-Modified; RFC-822 dates normalize; non-2xx and
+    validator-less records plan correctly; poison drops."""
+    from esgopeta_spark.operators.web import build_warc_record, warc_revalidation_plan
+
+    def resp(status, hdrs=""):
+        return (f"HTTP/1.1 {status} X\r\n" + hdrs + "\r\nbody").encode()
+
+    rows = [
+        (1, build_warc_record("https://a.com/1", resp(200,
+            'ETag: "abc"\r\nLast-Modified: Tue, 05 Mar 2024 09:30:00 GMT\r\n'))),
+        (2, build_warc_record("https://a.com/2", resp(200,
+            "Last-Modified: Tue, 05 Mar 2024 09:30:00 GMT\r\n"))),
+        (3, build_warc_record("https://a.com/3", resp(200))),
+        (4, build_warc_record("https://a.com/4", resp(404, 'ETag: "x"\r\n'))),
+        (5, build_warc_record("https://a.com/5", resp(200,
+            "Last-Modified: not a date\r\n"))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, warc: binary")
+    got = {r["doc_id"]: (r["etag"], r["last_modified"], r["mode"])
+           for r in warc_revalidation_plan(df).collect()}
+    assert got == {
+        1: ('"abc"', "2024-03-05", "if-none-match"),
+        2: ("", "2024-03-05", "if-modified-since"),
+        3: ("", "", "unconditional"),
+        5: ("", "", "unconditional"),  # unparseable date: no validator
+    }
+
+
 def test_sniff_charset_matrix():
     """HTML5-style charset precedence: BOM > header > meta prescan >
     utf-8; WHATWG aliasing (latin-1 family -> windows-1252, meta can
