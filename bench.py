@@ -22,8 +22,10 @@ contaminated under sustained neighbor noise): per-query BOUNDED
 ACCEPTANCE.  Each query is timed in best-of-REPEATS rounds; an attempt
 is CLEAN when it ran beside <= 0.5 external CPU cores (all-core busy
 jiffies minus our own process subtree — steal time included, so host
-neighbors count).  A query with no clean attempt waits for idle and
-re-times, up to ACCEPT_ROUNDS total rounds ("midrun_retries" lists each
+neighbors count; the ext meter is the ONLY per-query judge — the canary
+and loadavg cannot tell a neighbor from the bench's own thread tail).
+A query with no clean attempt settles RETRY_SETTLE_S and re-times, up
+to ACCEPT_ROUNDS total rounds ("midrun_retries" lists each
 retry); the recorded time is the fastest CLEAN attempt (falling back to
 the fastest overall only if no attempt ever came clean — those queries
 are listed in "dirty_queries" and the run labels "contaminated").
@@ -256,8 +258,10 @@ def _subtree_jiffies() -> int:
 # the run self-labels via "external_core_s" either way.
 EXT_CORES_MAX = 0.5
 # r11 bounded acceptance: total best-of-REPEATS rounds a query may take
-# to land a clean attempt before it is recorded dirty
+# to land a clean attempt before it is recorded dirty, and the fixed
+# settle between rounds (NOT loadavg-gated — see the loop comment)
 ACCEPT_ROUNDS = 3
+RETRY_SETTLE_S = 15
 _HZ = os.sysconf("SC_CLK_TCK")
 
 
@@ -302,23 +306,28 @@ def main() -> None:
         clean: list[tuple[float, float]] = []
         for rnd in range(ACCEPT_ROUNDS):
             attempts += timing_round(fn)
-            # clean = ran beside <= EXT_CORES_MAX external cores; a busy
-            # canary right after the round forces one more round even
-            # with ext-clean attempts (instant evidence of a neighbor),
-            # but ext-clean attempts are never retroactively discarded
+            # clean = ran beside <= EXT_CORES_MAX external cores.  The
+            # ext meter (all-core busy jiffies minus OUR process
+            # subtree) is the only per-query judge: the canary and the
+            # loadavg gates cannot distinguish a neighbor from the
+            # bench's own 32-thread tail, so using them here deadlocks
+            # the retry path against our own decaying load (r11-hit:
+            # a 5-minute bench ran 40+ minutes of self-inflicted
+            # idle-waits).  The canary stays in the START gate, where
+            # nothing of ours has run yet.
             clean = [a for a in attempts if a[1] <= EXT_CORES_MAX * a[0]]
-            if clean and cpu_canary_ms() <= CANARY_MAX_MS:
+            if clean:
                 break
             if rnd + 1 < ACCEPT_ROUNDS:
                 b = min(attempts, key=lambda a: a[0])
                 print(
-                    f"# bench: {'canary busy' if clean else 'no clean attempt'} "
-                    f"after {name} (best ext {b[1]:.2f} core-s / {b[0]:.2f} s); "
-                    f"waiting for idle and re-timing",
+                    f"# bench: no clean attempt for {name} "
+                    f"(best ext {b[1]:.2f} core-s / {b[0]:.2f} s); "
+                    f"settling {RETRY_SETTLE_S}s and re-timing",
                     file=sys.stderr,
                 )
                 midrun_retries.append(name)
-                wait_for_idle_box(max_wait_s=120)
+                time.sleep(RETRY_SETTLE_S)
         pool = clean or attempts
         if not clean:
             dirty_queries.append(name)
