@@ -1289,3 +1289,58 @@ def test_parse_feed_matrix_and_fuzz():
         for kind, title, link, pub in parse_feed(s):
             assert kind in ("rss", "atom") and link != ""
             assert "\n" not in title and (pub == "" or len(pub) == 10)
+
+
+def test_revalidation_and_delay_stream_twins(spark, tmp_path):
+    """The r11 stateless crawl kernels run on streams AS-IS (share the
+    batch projection, don't mirror): revalidation planning and
+    robots-delay extraction, multi-batch arrival."""
+    from esgopeta_spark.operators.web import (
+        build_warc_record,
+        robots_delay,
+        warc_revalidation_plan,
+    )
+
+    rows = [
+        (i, build_warc_record(
+            f"https://h{i}.com/p",
+            (f'HTTP/1.1 200 OK\r\nETag: "e{i}"\r\n\r\nbody').encode(),
+        ))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, warc: binary")
+    want = {tuple(r) for r in warc_revalidation_plan(df).collect()}
+    df.coalesce(2).write.mode("overwrite").parquet(str(tmp_path / "reval"))
+    stream = spark.readStream.schema("doc_id long, warc binary").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(tmp_path / "reval"))
+    q = (
+        warc_revalidation_plan(stream)
+        .writeStream.format("memory").queryName("revalstream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    try:
+        assert q.awaitTermination(180)
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM revalstream").collect()}
+    assert got == want and len(got) == 6
+
+    drows = [(i, f"User-agent: *\nCrawl-delay: {i}.5\n") for i in range(4)]
+    ddf = spark.createDataFrame(drows, "doc_id: long, robots: string")
+    wantd = {tuple(r) for r in robots_delay(ddf).collect()}
+    ddf.coalesce(2).write.mode("overwrite").parquet(str(tmp_path / "delays"))
+    dstream = spark.readStream.schema("doc_id long, robots string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(tmp_path / "delays"))
+    q2 = (
+        robots_delay(dstream)
+        .writeStream.format("memory").queryName("delaystream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    try:
+        assert q2.awaitTermination(180)
+    finally:
+        q2.stop()
+    gotd = {tuple(r) for r in spark.sql("SELECT * FROM delaystream").collect()}
+    assert gotd == wantd and {r[2] for r in gotd} == {500, 1500, 2500, 3500}
