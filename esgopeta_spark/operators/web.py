@@ -1423,6 +1423,42 @@ def synth_url_variants(doc_id_col: F.Column) -> F.Column:
     )
 
 
+def url_features(df: DataFrame, url_col: str = "url_canon") -> DataFrame:
+    """Append the URL-shape quality features RefinedWeb/fineweb-style
+    curation filters on (Penedo et al. 2023 §3.1 use URL blocklists and
+    shape heuristics before any content model): path depth (segments),
+    path/query lengths, digit count in the path (session-id / paginated
+    sludge), query-param count, and a hyphen count (keyword-stuffed
+    slugs) — ALL pure codegen over the canonical url, no kernel.  The
+    gate itself stays the caller's policy; these are the signals."""
+    path = F.regexp_extract(F.col(url_col), r"^[a-z]+://[^/]+([^?#]*)", 1)
+    query = F.regexp_extract(F.col(url_col), r"\?(.*)$", 1)
+    return (
+        df.withColumn("path_len", F.length(path).cast("int"))
+        .withColumn(
+            "path_depth",
+            F.when(path == "/", F.lit(0))
+            .otherwise(F.size(F.split(path, "/", -1)) - 1)
+            .cast("int"),
+        )
+        .withColumn(
+            "path_digits",
+            (F.length(path) - F.length(F.regexp_replace(path, r"[0-9]", ""))).cast("int"),
+        )
+        .withColumn(
+            "path_hyphens",
+            (F.length(path) - F.length(F.regexp_replace(path, r"-", ""))).cast("int"),
+        )
+        .withColumn("query_len", F.length(query).cast("int"))
+        .withColumn(
+            "n_params",
+            F.when(query == "", F.lit(0))
+            .otherwise(F.size(F.split(query, "&", -1)))
+            .cast("int"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # HTTP redirects (r11, verdict #4): real WARCs are ~20-30% redirects;
 # URL-level dedup and frontier scheduling must collapse the chains
@@ -1808,6 +1844,93 @@ def synth_sitemap(doc_id_col: F.Column) -> F.Column:
         F.lit("/sitemap2.xml</loc></sitemap>\n</sitemapindex>\n"),
     )
     return F.when(doc_id_col % 5 == 0, index).otherwise(urlset)
+
+
+def expand_sitemap_frontier(
+    seeds: DataFrame,
+    store: DataFrame,
+    url_col: str = "url",
+    xml_col: str = "xml",
+    max_depth: int = 2,
+) -> DataFrame:
+    """Recursive <sitemapindex> expansion (r11 — the discovery loop's
+    unexpanded edge: real site sitemaps are index trees, sometimes
+    cyclic, sometimes dangling): starting from seed sitemap urls,
+    repeatedly join the frontier against the fetch ``store`` (url ->
+    xml — at 100 TB the fetched-sitemaps table, keyed by the canonical
+    url it is addressed by anyway), parse with the REAL scanning
+    parser, emit page entries, and push newly-discovered child
+    sitemaps (canonicalized) into the next round's frontier.
+
+    Returns (loc, kind, lastmod, priority_milli, depth) where kind is
+    'page' (a <urlset> entry; depth = the parse round that found it),
+    'unfetched' (a child sitemap missing from the store — VISIBLE, the
+    marker discipline), or 'depth-capped' (a child beyond ``max_depth``
+    rounds — visible, never silently dropped).  Cycles and re-listed
+    sitemaps dedup against the accumulated seen set (no row: not new
+    work, exactly like dedup keepers).
+
+    Scale shape: ``max_depth``+1 bounded rounds (real trees are 2-3
+    deep), each ONE url-equi join against the store + one Arrow parse
+    kernel; frontier and seen are localCheckpointed per round (the
+    iterative-loop rule); no driver-side row inspection at all — empty
+    frontiers simply produce empty parts."""
+    out_schema = ("loc string, kind string, lastmod string, "
+                  "priority_milli int, depth int")
+    empty = seeds.sparkSession.createDataFrame([], out_schema)
+    st = store.select(F.col(url_col).alias("_u"), F.col(xml_col).alias("_x"))
+    frontier = (
+        seeds.select(F.col(url_col).alias("_u")).distinct()
+        .withColumn("_d", F.lit(0)).localCheckpoint()
+    )
+    seen = frontier.select("_u").localCheckpoint()
+    parts: list[DataFrame] = [empty]
+    for d in range(int(max_depth) + 1):
+        joined = frontier.join(st, "_u", "left")
+        parts.append(
+            joined.filter(F.col("_x").isNull()).select(
+                F.col("_u").alias("loc"), F.lit("unfetched").alias("kind"),
+                F.lit("").alias("lastmod"), F.lit(-1).cast("int").alias("priority_milli"),
+                F.col("_d").cast("int").alias("depth"),
+            )
+        )
+        ent = (
+            sitemap_entries(
+                joined.filter(F.col("_x").isNotNull()).select("_u", "_d", "_x"),
+                xml_col="_x", id_col="_d",
+            )
+            .select("_d", F.explode("entries").alias("e"))
+        )
+        parts.append(
+            ent.filter(F.col("e.kind") == "url").select(
+                F.col("e.loc").alias("loc"), F.lit("page").alias("kind"),
+                F.col("e.lastmod").alias("lastmod"),
+                F.col("e.priority_milli").cast("int").alias("priority_milli"),
+                F.col("_d").cast("int").alias("depth"),
+            )
+        )
+        kids = url_canonicalize(
+            ent.filter(F.col("e.kind") == "sitemap")
+            .select(F.col("e.loc").alias("url"), (F.col("_d") + 1).alias("_d")),
+            url_col="url", out_col="_u",
+        ).select("_u", "_d").distinct()
+        nxt = kids.join(seen, "_u", "left_anti").localCheckpoint()
+        if d == int(max_depth):
+            parts.append(
+                nxt.select(
+                    F.col("_u").alias("loc"), F.lit("depth-capped").alias("kind"),
+                    F.lit("").alias("lastmod"),
+                    F.lit(-1).cast("int").alias("priority_milli"),
+                    F.col("_d").cast("int").alias("depth"),
+                )
+            )
+        else:
+            frontier = nxt
+            seen = seen.unionByName(nxt.select("_u")).distinct().localCheckpoint()
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -778,6 +778,162 @@ def text_pdf_extract(spark, sf):
     return pdf_extract(synth_pdf(d))
 
 
+@register(
+    "web_url_features",
+    "G4",
+    r"""
+    WITH b AS (
+      SELECT doc_id, doc_id % 40 AS h, doc_id % 7 AS pg,
+             doc_id % 5 AS extra
+      FROM documents
+    )
+    SELECT doc_id,
+           'https://site' || h || '.example.com/articles/sec-' || extra
+             || '-rev/' || doc_id || CASE WHEN extra = 0 THEN '/' ELSE '' END
+             || '?page=' || pg
+             || CASE WHEN doc_id % 3 = 0 THEN '&session=' || doc_id * 7919
+                ELSE '' END AS url_canon,
+           CAST(length('/articles/sec-' || extra || '-rev/' || doc_id
+                || CASE WHEN extra = 0 THEN '/' ELSE '' END) AS INTEGER) AS path_len,
+           CAST(CASE WHEN extra = 0 THEN 4 ELSE 3 END AS INTEGER) AS path_depth,
+           CAST(1 + length(CAST(doc_id AS VARCHAR)) AS INTEGER) AS path_digits,
+           CAST(2 AS INTEGER) AS path_hyphens,
+           CAST(length('page=' || pg)
+                + CASE WHEN doc_id % 3 = 0
+                  THEN length('&session=' || doc_id * 7919) ELSE 0 END
+                AS INTEGER) AS query_len,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INTEGER) AS n_params
+    FROM b
+    """,
+    doc="URL-shape quality features (r11 — the RefinedWeb/fineweb "
+    "curation signals computed BEFORE any content model: path "
+    "depth/length, digit count in the path — session-id/paginated "
+    "sludge — hyphenated-slug count, query length and param count), "
+    "ALL pure codegen over the canonical url, no kernel, no shuffle.  "
+    "Fixture urls vary depth (trailing slash), digits (the id + "
+    "session param for every third doc) and hyphens; the oracle "
+    "recomputes every feature in closed form.  Plan: one scan + one "
+    "codegen projection; operators/web.py url_features",
+)
+def web_url_features(spark, sf):
+    from esgopeta_spark.operators.web import url_features
+
+    did = F.col("doc_id")
+    h = (did % 40).cast("string")
+    extra = (did % 5).cast("string")
+    url = F.concat(
+        F.lit("https://site"), h, F.lit(".example.com/articles/sec-"), extra,
+        F.lit("-rev/"), did.cast("string"),
+        F.when(did % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?page="), (did % 7).cast("string"),
+        F.when(did % 3 == 0,
+               F.concat(F.lit("&session="), (did * 7919).cast("string")))
+        .otherwise(F.lit("")),
+    )
+    d = T(spark, sf, "documents").select("doc_id", url.alias("url_canon"))
+    return url_features(d)
+
+
+@register(
+    "pipeline_sitemap_recursion",
+    "G4",
+    r"""
+    WITH b AS (
+      SELECT doc_id, doc_id % 40 AS h,
+             lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') AS mm,
+             lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS dd
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT 'https://site' || h || '.example.com/a/' || doc_id || '?x=1' AS loc,
+           'page' AS kind, '2024-' || mm || '-' || dd AS lastmod,
+           CAST((doc_id % 10) * 100 AS INTEGER) AS priority_milli,
+           CAST(1 AS INTEGER) AS depth
+    FROM b
+    UNION ALL
+    SELECT 'https://site' || h || '.example.com/b/' || doc_id,
+           'page', '', CAST(500 AS INTEGER), CAST(1 AS INTEGER)
+    FROM b
+    UNION ALL
+    SELECT 'https://site' || h || '.example.com/sm/' || doc_id || '/missing.xml',
+           'unfetched', '', CAST(-1 AS INTEGER), CAST(2 AS INTEGER)
+    FROM b
+    UNION ALL
+    SELECT 'https://site' || h || '.example.com/sm/' || doc_id || '/4.xml',
+           'depth-capped', '', CAST(-1 AS INTEGER), CAST(3 AS INTEGER)
+    FROM b
+    """,
+    doc="recursive sitemap-index expansion (r11 — real site sitemaps "
+    "are index TREES, sometimes cyclic, sometimes dangling): per "
+    "id%5==0 doc the fixture store holds a root <sitemapindex> (one "
+    "child listed uppercase+:443 so canonicalization must fold it), a "
+    "<urlset> child with two pages, a second index child listing a "
+    "grandchild index, a MISSING sitemap, and the ROOT AGAIN (the "
+    "cycle), and a great-grandchild beyond the depth cap.  "
+    "expand_sitemap_frontier walks it: pages emit with the parse-round "
+    "depth; the missing child emits a VISIBLE 'unfetched' marker; the "
+    "over-cap child a VISIBLE 'depth-capped' marker; the cycle dedups "
+    "against the seen set (no row — not new work).  Oracle recomputes "
+    "all four row classes in closed form.  Plan: max_depth+1 bounded "
+    "rounds, each ONE url-equi store join + one Arrow parse kernel, "
+    "frontier/seen localCheckpointed per round; operators/web.py "
+    "expand_sitemap_frontier",
+)
+def pipeline_sitemap_recursion(spark, sf):
+    from esgopeta_spark.operators.web import expand_sitemap_frontier
+
+    did = F.col("doc_id")
+    h = (did % 40).cast("string")
+    ds = did.cast("string")
+    host = F.concat(F.lit("site"), h, F.lit(".example.com"))
+    base = F.concat(F.lit("https://"), host, F.lit("/sm/"), ds, F.lit("/"))
+    mm = F.lpad(((did % 12) + 1).cast("string"), 2, "0")
+    dd = F.lpad(((did % 28) + 1).cast("string"), 2, "0")
+    pri = (did % 10).cast("string")
+    sm = lambda loc: F.concat(F.lit("<sitemap><loc>"), loc, F.lit("</loc></sitemap>"))  # noqa: E731
+    root_xml = F.concat(
+        F.lit("<sitemapindex>"),
+        sm(F.concat(F.lit("HTTPS://SITE"), h, F.lit(".EXAMPLE.COM:443/sm/"), ds, F.lit("/1.xml"))),
+        sm(F.concat(base, F.lit("2.xml"))),
+        F.lit("</sitemapindex>"),
+    )
+    c1_xml = F.concat(
+        F.lit("<urlset><url><loc>https://"), host, F.lit("/a/"), ds,
+        F.lit("?x=1</loc><lastmod>2024-"), mm, F.lit("-"), dd,
+        F.lit("</lastmod><priority>0."), pri,
+        F.lit("</priority></url><url><loc>https://"), host, F.lit("/b/"), ds,
+        F.lit("</loc></url></urlset>"),
+    )
+    c2_xml = F.concat(
+        F.lit("<sitemapindex>"),
+        sm(F.concat(base, F.lit("3.xml"))),
+        sm(F.concat(base, F.lit("missing.xml"))),
+        sm(F.concat(base, F.lit("root.xml"))),  # the cycle
+        F.lit("</sitemapindex>"),
+    )
+    c3_xml = F.concat(
+        F.lit("<sitemapindex>"), sm(F.concat(base, F.lit("4.xml"))),
+        F.lit("</sitemapindex>"),
+    )
+    c4_xml = F.concat(
+        F.lit("<urlset><url><loc>https://"), host, F.lit("/never/"), ds,
+        F.lit("</loc></url></urlset>"),
+    )
+    d = T(spark, sf, "documents").filter(did % 5 == 0)
+    store = d.select(
+        F.explode(
+            F.array(
+                F.struct(F.concat(base, F.lit("root.xml")).alias("url"), root_xml.alias("xml")),
+                F.struct(F.concat(base, F.lit("1.xml")).alias("url"), c1_xml.alias("xml")),
+                F.struct(F.concat(base, F.lit("2.xml")).alias("url"), c2_xml.alias("xml")),
+                F.struct(F.concat(base, F.lit("3.xml")).alias("url"), c3_xml.alias("xml")),
+                F.struct(F.concat(base, F.lit("4.xml")).alias("url"), c4_xml.alias("xml")),
+            )
+        ).alias("s")
+    ).select("s.url", "s.xml")
+    seeds = d.select(F.concat(base, F.lit("root.xml")).alias("url"))
+    return expand_sitemap_frontier(seeds, store, max_depth=2)
+
+
 _MONTH_NAMES = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
                 "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
 

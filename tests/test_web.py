@@ -1344,3 +1344,39 @@ def test_revalidation_and_delay_stream_twins(spark, tmp_path):
         q2.stop()
     gotd = {tuple(r) for r in spark.sql("SELECT * FROM delaystream").collect()}
     assert gotd == wantd and {r[2] for r in gotd} == {500, 1500, 2500, 3500}
+
+
+def test_expand_sitemap_frontier_edge_cases(spark):
+    """Recursion edge cases beyond the fixture entry: seed missing from
+    the store (unfetched at depth 0), max_depth=0 (children cap
+    immediately), a two-node sitemap cycle (each parsed once, no dup
+    rows, no hang), and duplicate child listings dedup."""
+    from esgopeta_spark.operators.web import expand_sitemap_frontier
+
+    store = spark.createDataFrame(
+        [
+            ("https://h.com/a.xml",
+             "<sitemapindex><sitemap><loc>https://h.com/b.xml</loc></sitemap>"
+             "<sitemap><loc>https://h.com/b.xml</loc></sitemap></sitemapindex>"),
+            ("https://h.com/b.xml",
+             "<sitemapindex><sitemap><loc>https://h.com/a.xml</loc></sitemap>"
+             "</sitemapindex>"
+             "<urlset><url><loc>https://h.com/p1</loc></url></urlset>"),
+        ],
+        "url: string, xml: string",
+    )
+    seeds = spark.createDataFrame([("https://h.com/a.xml",),
+                                   ("https://h.com/nope.xml",)], "url: string")
+    got = {tuple(r) for r in
+           expand_sitemap_frontier(seeds, store, max_depth=3).collect()}
+    assert got == {
+        ("https://h.com/nope.xml", "unfetched", "", -1, 0),
+        ("https://h.com/p1", "page", "", 500, 1),
+        # a.xml re-listed by b.xml: seen -> no second parse, no row
+    }
+    # max_depth=0: the root parses, its children cap visibly
+    got0 = {tuple(r) for r in
+            expand_sitemap_frontier(
+                seeds.filter("url like '%a.xml'"), store, max_depth=0
+            ).collect()}
+    assert got0 == {("https://h.com/b.xml", "depth-capped", "", -1, 1)}
