@@ -281,6 +281,15 @@ def test_portable_pairs_plan_posture(spark, sf_dir):
         assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p, p
 
 
+def test_sitemap_recursion_plan_posture(spark, sf_dir):
+    """The r11 recursive sitemap expansion: every store probe and the
+    seen anti-join are url-EQUI joins; no cartesian, no nested loop."""
+    from esgopeta_spark.plans import REGISTRY
+
+    p = plan_of(REGISTRY["pipeline_sitemap_recursion"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
 def test_ivfpq_plan_posture(spark, sf_dir):
     """The r11 composed IVF-PQ tier: the ADC stage joins on the CELL
     equi key with the per-query probe/LUT side broadcast; no cartesian,
