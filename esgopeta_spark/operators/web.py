@@ -697,6 +697,27 @@ def parse_robots(text: str) -> list[tuple[str, str, str]]:
     return rules
 
 
+def robots_sitemaps(text: str) -> list[str]:
+    """``Sitemap:`` directives of a robots.txt, document order — per
+    the sitemaps.org protocol these live OUTSIDE agent groups (they
+    apply to every crawler), so this is a plain line scan: case-
+    insensitive key, comments stripped, values trimmed, empties
+    dropped.  THE seed source for :func:`expand_sitemap_frontier` —
+    robots.txt is where real crawlers find a site's sitemaps.  Total
+    on any str."""
+    out: list[str] = []
+    if not isinstance(text, str):
+        return out
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        key, sep, val = line.partition(":")
+        if sep and key.strip().lower() == "sitemap":
+            val = val.strip()
+            if val:
+                out.append(val)
+    return out
+
+
 _DELAY_VAL_RX = re.compile(r"^(\d+)(?:\.(\d+))?$")
 
 
@@ -1611,6 +1632,21 @@ def synth_redirect_warc(
         return pd.Series(out)
 
     return df.withColumn(out_col, _build(F.col(id_col)))
+
+
+def robots_sitemap_seeds(
+    df: DataFrame, robots_col: str = "robots", out_col: str = "url"
+) -> DataFrame:
+    """One row per ``Sitemap:`` directive across the robots column —
+    the discovery loop's seed projection (feed it to
+    ``expand_sitemap_frontier``).  One stateless Arrow kernel +
+    explode."""
+
+    @F.pandas_udf("array<string>")
+    def _maps(robots: pd.Series) -> pd.Series:
+        return robots.map(robots_sitemaps)
+
+    return df.select(F.explode(_maps(F.col(robots_col))).alias(out_col))
 
 
 def robots_delay(

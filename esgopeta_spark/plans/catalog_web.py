@@ -872,14 +872,21 @@ def web_url_features(spark, sf):
     "expand_sitemap_frontier walks it: pages emit with the parse-round "
     "depth; the missing child emits a VISIBLE 'unfetched' marker; the "
     "over-cap child a VISIBLE 'depth-capped' marker; the cycle dedups "
-    "against the seen set (no row — not new work).  Oracle recomputes "
-    "all four row classes in closed form.  Plan: max_depth+1 bounded "
-    "rounds, each ONE url-equi store join + one Arrow parse kernel, "
-    "frontier/seen localCheckpointed per round; operators/web.py "
-    "expand_sitemap_frontier",
+    "against the seen set (no row — not new work).  The SEEDS come "
+    "from the fixture's robots.txt Sitemap: directives (the "
+    "sitemaps.org discovery path — robots.txt is where real crawlers "
+    "find a site's sitemaps; duplicate directives dedup, comments "
+    "strip).  Oracle recomputes all four row classes in closed form.  "
+    "Plan: one seed kernel, then max_depth+1 bounded rounds, each ONE "
+    "url-equi store join + one Arrow parse kernel, frontier/seen "
+    "localCheckpointed per round; operators/web.py "
+    "robots_sitemaps/expand_sitemap_frontier",
 )
 def pipeline_sitemap_recursion(spark, sf):
-    from esgopeta_spark.operators.web import expand_sitemap_frontier
+    from esgopeta_spark.operators.web import (
+        expand_sitemap_frontier,
+        robots_sitemap_seeds,
+    )
 
     did = F.col("doc_id")
     h = (did % 40).cast("string")
@@ -930,7 +937,13 @@ def pipeline_sitemap_recursion(spark, sf):
             )
         ).alias("s")
     ).select("s.url", "s.xml")
-    seeds = d.select(F.concat(base, F.lit("root.xml")).alias("url"))
+    robots = F.concat(
+        F.lit("# corpus robots\nUser-agent: *\nDisallow: /private/\n"
+              "Sitemap: "),
+        base, F.lit("root.xml\n# a comment line\nSITEMAP: "),
+        base, F.lit("root.xml\n"),  # duplicate directive: seeds dedup
+    )
+    seeds = robots_sitemap_seeds(d.select(robots.alias("robots")))
     return expand_sitemap_frontier(seeds, store, max_depth=2)
 
 

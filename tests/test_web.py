@@ -1380,3 +1380,23 @@ def test_expand_sitemap_frontier_edge_cases(spark):
                 seeds.filter("url like '%a.xml'"), store, max_depth=0
             ).collect()}
     assert got0 == {("https://h.com/b.xml", "depth-capped", "", -1, 1)}
+
+
+def test_robots_sitemaps_matrix():
+    """Sitemap: directives live outside agent groups: case-insensitive
+    key, comments stripped, empties dropped, order kept; the URL's own
+    colon survives the key split."""
+    from esgopeta_spark.operators.web import robots_sitemaps
+
+    txt = (
+        "# header\nUser-agent: *\nDisallow: /x\n"
+        "Sitemap: https://h.com/a.xml\n"
+        "sitemap:https://h.com/b.xml   \n"
+        "SITEMAP: \n"  # empty value: dropped
+        "Sitemap: https://h.com/c.xml # trailing comment\n"
+    )
+    assert robots_sitemaps(txt) == [
+        "https://h.com/a.xml", "https://h.com/b.xml", "https://h.com/c.xml"
+    ]
+    assert robots_sitemaps("") == []
+    assert robots_sitemaps("no directives here") == []
