@@ -1883,3 +1883,118 @@ def web_recrawl_schedule(spark, sf):
         (rn / 4).cast("bigint").alias("fetch_wave"),
         (rn % 4).cast("int").alias("slot"),
     )
+
+
+@register(
+    "pipeline_recrawl_politeness",
+    "G4,E5",
+    r"""
+    WITH b AS (
+      SELECT doc_id, doc_id % 40 AS h,
+             lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') AS mm,
+             lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS dd
+      FROM documents
+    ), e AS (
+      SELECT doc_id, h, 'site' || h || '.example.com' AS host,
+             'https://site' || h || '.example.com/articles/' || doc_id AS link,
+             CAST(date_diff('day', CAST('2024-' || mm || '-' || dd AS DATE),
+                            DATE '2025-01-01') AS BIGINT) AS stale_days
+      FROM b
+      UNION ALL
+      SELECT doc_id, h, 'site' || h || '.example.com',
+             'https://site' || h || '.example.com/a/' || doc_id,
+             CAST(9999 AS BIGINT)
+      FROM b WHERE doc_id % 2 = 0
+    ), r AS (
+      SELECT doc_id, host, link, stale_days,
+             CAST(CASE h % 3 WHEN 0 THEN (h % 7) * 1000
+                  WHEN 1 THEN (h % 7) * 1000 + 250
+                  ELSE 0 END AS BIGINT) AS delay_milli,
+             ROW_NUMBER() OVER (PARTITION BY host
+                                ORDER BY stale_days DESC, link ASC) AS rn
+      FROM e
+    )
+    SELECT doc_id, host, link, stale_days, delay_milli,
+           CAST((rn - 1) // 4 AS BIGINT) AS fetch_wave,
+           CAST(((rn - 1) // 4) * delay_milli AS BIGINT) AS next_fetch_milli
+    FROM r
+    """,
+    doc="the full recrawl POLICY in one lineage (r11 capstone of the "
+    "second wave): feed parse -> staleness days (dateless = never-seen "
+    "= crawled first) -> per-host most-stale-first waves -> each "
+    "host's waves SPACED by its own robots.txt Crawl-delay (the REAL "
+    "parser against per-host fixtures with integer, fractional, and "
+    "absent delays) — next_fetch_milli = fetch_wave * delay_milli, the "
+    "actual dispatch timestamp a polite recrawler queues.  Composes "
+    "web_recrawl_schedule (freshness) with web_politeness_delay "
+    "(spacing); the oracle recomputes staleness, delay, and dispatch "
+    "in closed form.  Plan: one feed-parse kernel + one robots-delay "
+    "kernel (40-entry rules cache) + exactly ONE shuffle, the "
+    "host-keyed window — the frontier's natural partitioning; "
+    "operators/web.py parse_feed/crawl_delay_milli",
+)
+def pipeline_recrawl_politeness(spark, sf):
+    from pyspark.sql.window import Window
+
+    from esgopeta_spark.operators.web import feed_entries, robots_delay
+
+    did = F.col("doc_id")
+    sid = (did % 40).cast("string")
+    ds = did.cast("string")
+    mm = F.lpad(((did % 12) + 1).cast("string"), 2, "0")
+    dd = F.lpad(((did % 28) + 1).cast("string"), 2, "0")
+    rss = F.concat(
+        F.lit("<rss><channel><item><title>p</title><link>https://site"), sid,
+        F.lit(".example.com/articles/"), ds,
+        F.lit("</link><pubDate>2024-"), mm, F.lit("-"), dd,
+        F.lit("</pubDate></item><item><title>n</title><link>https://site"),
+        sid, F.lit(".example.com/a/"), ds,
+        F.lit("</link></item></channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit('<feed><entry><title>e</title><link href="https://site'), sid,
+        F.lit(".example.com/articles/"), ds,
+        F.lit('"/><updated>2024-'), mm, F.lit("-"), dd,
+        F.lit("T09:30:00Z</updated></entry></feed>"),
+    )
+    d = T(spark, sf, "documents").select(
+        "doc_id", F.when(did % 2 == 0, rss).otherwise(atom).alias("feed_xml")
+    )
+    ents = (
+        feed_entries(d)
+        .select("doc_id", F.explode("entries").alias("ent"))
+        .select(
+            "doc_id",
+            F.col("ent.link").alias("link"),
+            F.col("ent.published").alias("published"),
+        )
+        .filter(F.col("link").startswith("https://"))
+    )
+    h = F.regexp_extract("link", r"^https://site(\d+)\.", 1).cast("int")
+    robots = F.concat(
+        F.lit("User-agent: esgopeta\n"),
+        F.when(h % 3 == 0, F.concat(F.lit("Crawl-delay: "), (h % 7).cast("string"), F.lit("\n")))
+        .when(h % 3 == 1, F.concat(F.lit("Crawl-delay: "), (h % 7).cast("string"), F.lit(".25\n")))
+        .otherwise(F.lit("")),
+        F.lit("Disallow: /private/\n"),
+    )
+    e = ents.select(
+        "doc_id",
+        F.regexp_extract("link", r"^https://([^/]+)", 1).alias("host"),
+        "link",
+        F.when(F.col("published") == "", F.lit(9999))
+        .otherwise(F.datediff(F.lit("2025-01-01"), F.col("published")))
+        .cast("bigint")
+        .alias("stale_days"),
+        robots.alias("robots"),
+    )
+    e = robots_delay(e).drop("robots")
+    w = Window.partitionBy("host").orderBy(
+        F.col("stale_days").desc(), F.col("link").asc()
+    )
+    wave = ((F.row_number().over(w) - 1) / 4).cast("bigint")
+    return e.select(
+        "doc_id", "host", "link", "stale_days", "delay_milli",
+        wave.alias("fetch_wave"),
+        (wave * F.col("delay_milli")).cast("bigint").alias("next_fetch_milli"),
+    )
