@@ -961,7 +961,7 @@ def parse_http_response(payload: bytes) -> tuple[int, dict, bytes]:
         if s:
             headers[k.strip().lower()] = v.strip()
     body = payload[end + hlen :]
-    if headers.get("transfer-encoding", "").lower() == "chunked":
+    if "chunked" in headers.get("transfer-encoding", "").lower():
         out, i, n = [], 0, len(body)
         while True:
             eol = body.find(b"\r\n", i)
@@ -979,7 +979,187 @@ def parse_http_response(payload: bytes) -> tuple[int, dict, bytes]:
             out.append(body[i : i + size])
             i += size + 2  # skip the chunk's trailing CRLF
         body = b"".join(out)
+    enc = headers.get("content-encoding", "").lower()
+    if enc:
+        body = decode_content_encoding(enc, body)
     return status, headers, body
+
+
+def decode_content_encoding(enc: str, body: bytes) -> bytes:
+    """HTTP ``Content-Encoding`` unwrap (RFC 9110 §8.4.1) — the layer
+    between de-chunking and charset decode that ~half of real crawl
+    responses carry: ``gzip``/``x-gzip`` (RFC 1952), ``deflate`` (the
+    RFC 1950 zlib wrapper the spec means, with the raw-RFC-1951
+    fallback misconfigured servers actually send — a well-known interop
+    bug every browser tolerates), ``identity``/empty pass-through.  A
+    comma list applies codings right-to-left (the header names them in
+    the order APPLIED, so the last-listed coding is the outermost).
+    Unknown codings (br/zstd — no decoder in this environment) and
+    corrupt streams raise ValueError: at 100 TB an undecodable body
+    must quarantine to its own visible error row, never pass garbage
+    bytes downstream as if they were the document."""
+    import zlib as _zlib
+
+    for coding in reversed([c.strip() for c in enc.split(",")]):
+        if coding in ("", "identity"):
+            continue
+        if coding in ("gzip", "x-gzip"):
+            try:
+                body = _zlib.decompress(body, wbits=31)
+            except _zlib.error as exc:
+                raise ValueError(f"bad gzip body: {exc}") from exc
+        elif coding == "deflate":
+            try:
+                body = _zlib.decompress(body)  # zlib-wrapped (the RFC meaning)
+            except _zlib.error:
+                try:
+                    body = _zlib.decompress(body, wbits=-15)  # raw: server bug
+                except _zlib.error as exc:
+                    raise ValueError(f"bad deflate body: {exc}") from exc
+        else:
+            raise ValueError(f"unsupported content-encoding {coding!r}")
+    return body
+
+
+def encode_content_body(coding: str, data: bytes) -> bytes:
+    """Encoder twin for :func:`decode_content_encoding` — deterministic
+    (no clock, fixed level): ``gzip`` via the mtime-0 member builder,
+    ``deflate`` the zlib wrapper, ``deflate-raw`` the headerless
+    RFC 1951 stream real misconfigured servers emit (its header still
+    says ``deflate``), ``identity`` pass-through."""
+    import zlib as _zlib
+
+    if coding == "gzip":
+        return gzip_record(data)
+    if coding == "deflate":
+        return _zlib.compress(data)
+    if coding == "deflate-raw":
+        c = _zlib.compressobj(wbits=-15)
+        return c.compress(data) + c.flush()
+    if coding == "identity":
+        return data
+    raise ValueError(f"unknown fixture coding {coding!r}")
+
+
+def _chunk_body(data: bytes, size: int = 1024) -> bytes:
+    """Chunked transfer framing for fixtures: hex size line, chunk,
+    CRLF, terminated by the zero chunk."""
+    out = []
+    for i in range(0, len(data), size):
+        part = data[i : i + size]
+        out.append(f"{len(part):x}".encode() + b"\r\n" + part + b"\r\n")
+    out.append(b"0\r\n\r\n")
+    return b"".join(out)
+
+
+# fixture row classes for the content-encoding entry: header value,
+# body coding actually applied, chunked framing — class 2 is the
+# raw-deflate server bug (header still says deflate), class 3 layers
+# chunked transfer framing OVER a gzip body (the real wire shape:
+# Transfer-Encoding applies outside Content-Encoding)
+_ENC_CLASSES = [
+    ("gzip", "gzip", False),
+    ("deflate", "deflate", False),
+    ("deflate", "deflate-raw", False),
+    ("gzip", "gzip", True),
+]
+
+
+def synth_encoded_warc(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    uri_col: str = "uri",
+    page_col: str = "page",
+    out_col: str = "warc",
+) -> DataFrame:
+    """Encoder-twin fixture for the Content-Encoding entry: per doc,
+    frame the page's UTF-8 bytes as a FULL HTTP/1.1 200 message whose
+    body is compressed per the doc's ``_ENC_CLASSES[doc_id % 4]`` row
+    class (and chunk-framed where the class says so), inside one
+    WARC/1.0 response record.  Every byte downstream of the page string
+    is produced by the twin encoders the decoder must invert."""
+
+    @F.pandas_udf("binary")
+    def _build(did: pd.Series, uri: pd.Series, page: pd.Series) -> pd.Series:
+        def one(d, u, p):
+            hdr_enc, coding, chunked = _ENC_CLASSES[int(d) % 4]
+            body = encode_content_body(
+                coding, (p if isinstance(p, str) else "").encode("utf-8")
+            )
+            head = [
+                "HTTP/1.1 200 OK",
+                "Content-Type: text/html; charset=utf-8",
+                f"Content-Encoding: {hdr_enc}",
+            ]
+            if chunked:
+                head.append("Transfer-Encoding: chunked")
+                body = _chunk_body(body, 777)
+            else:
+                head.append(f"Content-Length: {len(body)}")
+            payload = ("\r\n".join(head) + "\r\n\r\n").encode("latin-1") + body
+            return build_warc_record(u if isinstance(u, str) else "", payload)
+
+        return pd.Series(
+            [one(d, u, p) for d, u, p in zip(did, uri, page)]
+        )
+
+    return df.withColumn(
+        out_col, _build(F.col(id_col), F.col(uri_col), F.col(page_col))
+    )
+
+
+def http_unwrap_digest(
+    df: DataFrame, blob_col: str = "warc", id_col: str = "doc_id"
+) -> DataFrame:
+    """WARC blob -> (status, content_encoding header, de-chunked +
+    content-decoded + charset-decoded page digest) per record — the
+    observable proof the HTTP unwrap layer inverted the wire encodings
+    exactly: ``page_md5``/``n_chars`` are over the RECOVERED page
+    string, so one wrong byte anywhere in gunzip/inflate/de-chunk/
+    charset mismatches the closed-form oracle.  Poison records
+    quarantine to a visible error row.  One Arrow kernel, shuffle-free;
+    stateless (stream-safe)."""
+
+    @F.pandas_udf(
+        "array<struct<uri: string, status: int, content_encoding: string,"
+        " page_md5: string, n_chars: bigint>>"
+    )
+    def _digest(s: pd.Series) -> pd.Series:
+        import hashlib
+
+        def one(b):
+            try:
+                recs = parse_warc(maybe_gunzip_warc(bytes(b) if b is not None else b""))
+            except ValueError as exc:
+                return [{"uri": str(exc)[:80], "status": -1,
+                         "content_encoding": "error", "page_md5": "",
+                         "n_chars": -1}]
+            out = []
+            for r in recs:
+                try:
+                    status, hdrs, body = parse_http_response(r["payload"])
+                    page = decode_html_bytes(body, hdrs)
+                    out.append({
+                        "uri": r["uri"], "status": status,
+                        "content_encoding": hdrs.get("content-encoding",
+                                                     "identity"),
+                        "page_md5": hashlib.md5(
+                            page.encode("utf-8")).hexdigest(),
+                        "n_chars": len(page),
+                    })
+                except ValueError:
+                    out.append({"uri": r["uri"], "status": -1,
+                                "content_encoding": "error",
+                                "page_md5": "", "n_chars": -1})
+            return out
+
+        return pd.Series([one(b) for b in s])
+
+    return (
+        df.select(F.col(id_col), F.explode(_digest(F.col(blob_col))).alias("r"))
+        .select(id_col, "r.uri", "r.status", "r.content_encoding",
+                "r.page_md5", "r.n_chars")
+    )
 
 
 def warc_build(

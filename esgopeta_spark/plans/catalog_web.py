@@ -1998,3 +1998,60 @@ def pipeline_recrawl_politeness(spark, sf):
         wave.alias("fetch_wave"),
         (wave * F.col("delay_milli")).cast("bigint").alias("next_fetch_milli"),
     )
+
+
+def _content_encoding_oracle():
+    from esgopeta_spark.operators.web import synth_html_sql
+
+    return rf"""
+    WITH p AS (
+      SELECT doc_id, {synth_html_sql()} AS page FROM documents
+    )
+    SELECT doc_id,
+           {_SEED_SQL} AS uri,
+           CAST(200 AS INTEGER) AS status,
+           CASE WHEN doc_id % 4 IN (1, 2) THEN 'deflate' ELSE 'gzip' END
+             AS content_encoding,
+           md5(page) AS page_md5,
+           CAST(length(page) AS BIGINT) AS n_chars
+    FROM p
+    """
+
+
+@register(
+    "web_content_encoding",
+    "G4,E1",
+    _content_encoding_oracle(),
+    doc="HTTP Content-Encoding unwrap (r11 third wave — ~half of real "
+    "crawl responses arrive compressed on the wire, RFC 9110 §8.4.1): "
+    "per doc, the encoder twin frames the fixture page as a full "
+    "HTTP/1.1 message whose body is gzip (id%4=0), zlib-wrapped "
+    "deflate (=1), RAW deflate under a 'deflate' header — the "
+    "misconfigured-server interop bug every browser tolerates (=2), or "
+    "chunk-framed gzip — Transfer-Encoding layered OUTSIDE "
+    "Content-Encoding, the real wire order (=3), inside one WARC "
+    "record; then the REAL chain (WARC parse -> HTTP unwrap: de-chunk "
+    "-> content-decode -> charset decode) must recover the page string "
+    "byte-exactly.  md5+length are over the RECOVERED page, so one "
+    "wrong byte in any layer mismatches the closed-form oracle "
+    "(synth_html_sql rebuilds the page from shared literal chunks).  "
+    "Unknown codings (br/zstd) and corrupt streams quarantine to "
+    "visible error rows (pinned in tests/test_web.py).  Plan: two "
+    "Arrow kernels over one scan, shuffle-free; stateless "
+    "(stream-safe); operators/web.py decode_content_encoding/"
+    "http_unwrap_digest",
+)
+def web_content_encoding(spark, sf):
+    from esgopeta_spark.operators.web import (
+        http_unwrap_digest,
+        synth_encoded_warc,
+        synth_html,
+    )
+
+    did = F.col("doc_id")
+    d = T(spark, sf, "documents").select(
+        "doc_id",
+        _seed_url(did).alias("uri"),
+        synth_html(did, F.coalesce(F.col("text"), F.lit(""))).alias("page"),
+    )
+    return http_unwrap_digest(synth_encoded_warc(d))

