@@ -562,6 +562,87 @@ def extract_links(html: str) -> list[str]:
     return out
 
 
+def extract_canonical(html: str) -> str:
+    """The page's ``<link rel=canonical>`` href — the site-declared
+    dedup key (Google's canonicalization contract; RFC 6596).  First
+    matching link in document order wins (the WHATWG rule for repeated
+    metadata); ``rel`` is a case-insensitive space-separated token list
+    so ``rel="alternate canonical"`` matches; attribute quoting/case
+    follow the same quote-aware scanner as the anchor extractor;
+    character references in the href decode.  Returns '' when the page
+    declares nothing.  Total on any str."""
+    lower = html.lower()
+    i, n = 0, len(html)
+    while True:
+        i = lower.find("<link", i)
+        if i < 0:
+            return ""
+        j = i + 5
+        if j < n and (html[j].isalnum() or html[j] in "-:"):
+            i = j
+            continue
+        q, e = None, j
+        while e < n:
+            c = html[e]
+            if q:
+                if c == q:
+                    q = None
+            elif c in "\"'":
+                q = c
+            elif c == ">":
+                break
+            e += 1
+        if e >= n:
+            return ""  # unterminated tag drops the tail
+        attrs = html[j:e]
+        rel = re.search(
+            r"""rel\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", attrs, re.IGNORECASE
+        )
+        tokens = (
+            (rel.group(2) or rel.group(3) or rel.group(4) or "").lower().split()
+            if rel
+            else []
+        )
+        if "canonical" in tokens:
+            href = re.search(
+                r"""href\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""",
+                attrs,
+                re.IGNORECASE,
+            )
+            if href:
+                return decode_entities(
+                    href.group(2) or href.group(3) or href.group(4) or ""
+                )
+            return ""  # canonical link without href: declares nothing
+        i = e + 1
+
+
+def canonical_hints(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url_canon",
+    out_col: str = "canonical_url",
+) -> DataFrame:
+    """Append the site-declared canonical URL: extract the page's
+    rel=canonical href, resolve it against the page URL (RFC 3986
+    §5.2), canonicalize; a page declaring nothing is its own canonical
+    (the fallback every dedup pipeline uses).  Stateless Arrow kernel —
+    batch and streams share this projection."""
+
+    @F.pandas_udf("string")
+    def _canon(html: pd.Series, url: pd.Series) -> pd.Series:
+        def one(h, u):
+            u = u if isinstance(u, str) else ""
+            href = extract_canonical(h if isinstance(h, str) else "")
+            if not href:
+                return canonicalize_url(u)
+            return canonicalize_url(resolve_url(u, href))
+
+        return pd.Series([one(h, u) for h, u in zip(html, url)])
+
+    return df.withColumn(out_col, _canon(F.col(html_col), F.col(url_col)))
+
+
 def remove_dot_segments(path: str) -> str:
     """RFC 3986 §5.2.4: resolve ``.`` / ``..`` segments in a path."""
     out: list[str] = []

@@ -2055,3 +2055,75 @@ def web_content_encoding(spark, sf):
         synth_html(did, F.coalesce(F.col("text"), F.lit(""))).alias("page"),
     )
     return http_unwrap_digest(synth_encoded_warc(d))
+
+
+@register(
+    "web_canonical_hints",
+    "G1,G4",
+    r"""
+    WITH b AS (SELECT doc_id, doc_id % 40 AS h FROM documents),
+    c AS (
+      SELECT doc_id,
+        'https://site' || h || '.example.com/articles/' || doc_id
+          || '?page=' || (doc_id % 7) AS url_canon,
+        CASE WHEN doc_id % 4 = 3
+             THEN 'https://site' || h || '.example.com/articles/' || doc_id
+                  || '?page=' || (doc_id % 7)
+             ELSE 'https://site' || h || '.example.com/canon/c'
+                  || (doc_id % 9) || '?v=1' END AS canonical_url,
+        CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END AS INTEGER) AS is_self
+      FROM b
+    )
+    SELECT doc_id, url_canon, canonical_url, is_self,
+           COUNT(*) OVER (PARTITION BY canonical_url) AS group_size
+    FROM c
+    """,
+    doc="rel=canonical dedup hints (r11 third wave — the SITE-declared "
+    "canonical key, RFC 6596; real pipelines fold it into URL-level "
+    "dedup beside redirects): per doc a fixture head with a stylesheet "
+    "link first (must not match), an adversarial canonical link for "
+    "id%4!=3 (uppercase tag/attrs, single quotes, multi-token "
+    "rel='alternate CANONICAL', an &amp; entity and a utm_ param in "
+    "the href), and a SECOND canonical link that must lose (first "
+    "wins, the WHATWG repeated-metadata rule).  The real kernel "
+    "extracts, resolves against the page URL, canonicalizes (entity "
+    "decode + tracking-param strip verified by the hash), falls back "
+    "to self for undeclared pages, and counts each canonical group — "
+    "the dedup collapse a 100 TB crawl keys on.  Oracle recomputes "
+    "every canonical target and group size in closed form.  Plan: one "
+    "Arrow kernel + ONE window shuffle on the canonical key (the "
+    "natural partitioning of the dedup that follows); stateless "
+    "projection (stream-safe); operators/web.py extract_canonical/"
+    "canonical_hints",
+)
+def web_canonical_hints(spark, sf):
+    from pyspark.sql import Window
+
+    from esgopeta_spark.operators.web import canonical_hints
+
+    did = F.col("doc_id")
+    canon_link = F.when(
+        did % 4 != 3,
+        F.concat(
+            F.lit("<LINK REL='alternate CANONICAL' HREF='/canon/c"),
+            (did % 9).cast("string"),
+            F.lit("?v=1&amp;utm_source=fixture'>"
+                  '<link rel="canonical" href="/WRONG">'),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<html><head><link rel="stylesheet" href="/s.css">'),
+        canon_link,
+        F.lit("</head><body>x</body></html>"),
+    )
+    d = T(spark, sf, "documents").select(
+        "doc_id", _seed_url(did).alias("url_canon"), html.alias("html")
+    )
+    out = canonical_hints(d).drop("html")
+    return out.select(
+        "doc_id", "url_canon", "canonical_url",
+        (F.col("canonical_url") == F.col("url_canon"))
+        .cast("int").alias("is_self"),
+        F.count("*").over(Window.partitionBy("canonical_url"))
+        .alias("group_size"),
+    )

@@ -1538,3 +1538,69 @@ def test_http_unwrap_digest_stream_twin(spark, tmp_path):
         q.stop()
     got = {tuple(r) for r in spark.sql("SELECT * FROM encstream").collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# rel=canonical hints (r11 third wave)
+# ---------------------------------------------------------------------------
+
+
+def test_extract_canonical_matrix():
+    """The WHATWG/RFC 6596 corners: token-list rel (any case, any
+    order), quote styles, entity decode, first-wins, non-canonical
+    links skipped, <linkfoo> non-tags skipped, href-less canonical
+    declares nothing, unterminated tag drops the tail; total on
+    garbage."""
+    from esgopeta_spark.operators.web import extract_canonical
+
+    assert extract_canonical(
+        '<link rel="stylesheet" href="/s.css">'
+        "<LINK REL='alternate CANONICAL' HREF='/c?a=1&amp;b=2'>"
+        '<link rel="canonical" href="/WRONG">'
+    ) == "/c?a=1&b=2"
+    assert extract_canonical('<link rel=canonical href=/bare>') == "/bare"
+    assert extract_canonical('<link href="/x" rel="Canonical">') == "/x"
+    assert extract_canonical('<linkfoo rel="canonical" href="/n">') == ""
+    assert extract_canonical('<link rel="canonicalish" href="/n">') == ""
+    assert extract_canonical('<link rel="canonical">') == ""
+    assert extract_canonical('<link rel="canonical" href="/u"') == ""  # unterminated
+    assert extract_canonical("") == ""
+    assert extract_canonical("<p>no links</p>") == ""
+    # quoted '>' inside an attribute must not terminate the tag
+    assert extract_canonical(
+        '<link data-x="a>b" rel="canonical" href="/q">'
+    ) == "/q"
+
+
+def test_canonical_hints_stream_twin(spark, tmp_path):
+    """canonical_hints is a stateless projection: stream run matches
+    batch bit-for-bit, including the self-canonical fallback and
+    RFC 3986 relative resolution against the page URL."""
+    from pyspark.sql import functions as F
+
+    from esgopeta_spark.operators.web import canonical_hints
+
+    rows = [
+        (0, "https://h.com/a/b?x=1", '<link rel="canonical" href="../c">'),
+        (1, "https://h.com/a/b", ""),  # declares nothing -> self
+        (2, "https://h.com/d", '<link rel="canonical" href="//cdn.h.com/e?utm_k=1">'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, url_canon: string, html: string")
+    want = {tuple(r) for r in canonical_hints(df).collect()}
+    assert ("https://h.com/c" in {r[3] for r in want}
+            and "https://h.com/a/b" in {r[3] for r in want}
+            and "https://cdn.h.com/e" in {r[3] for r in want})
+
+    df.coalesce(1).write.mode("overwrite").json(str(tmp_path / "canon_in"))
+    stream = spark.readStream.schema(df.schema).json(str(tmp_path / "canon_in"))
+    q = (
+        canonical_hints(stream)
+        .writeStream.format("memory").queryName("canonstream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM canonstream").collect()}
+    assert got == want
