@@ -518,14 +518,16 @@ def url_canonicalize(
     return df.withColumn(out_col, _canon(F.col(url_col)))
 
 
-def extract_links(html: str) -> list[str]:
-    """All ``href`` values of ``<a>`` tags, document order, duplicates
-    kept (the link-graph edge multiplicity is real signal).  Uses the
-    same quote-aware tag scanner as the extractor; total on any str.
-    Links inside dropped subtrees (nav menus) ARE returned — a link
-    graph wants the page's full out-edges even where the TEXT is
+def extract_links_rel(html: str) -> list[tuple[str, int]]:
+    """All ``<a>`` hrefs in document order with their ``rel=nofollow``
+    flag (1 when the anchor's rel token list carries ``nofollow`` or
+    its SEO cousins ``ugc``/``sponsored`` — rel-attributes every polite
+    link-graph builder honors), duplicates kept (edge multiplicity is
+    real signal).  Quote-aware tag scanner; total on any str.  Links
+    inside dropped subtrees (nav menus) ARE returned — a link graph
+    wants the page's full out-edges even where the TEXT is
     boilerplate."""
-    out: list[str] = []
+    out: list[tuple[str, int]] = []
     lower = html.lower()
     i, n = 0, len(html)
     while True:
@@ -555,11 +557,154 @@ def extract_links(html: str) -> list[str]:
             r"""href\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", attrs, re.IGNORECASE
         )
         if m:
+            rel = re.search(
+                r"""rel\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""",
+                attrs,
+                re.IGNORECASE,
+            )
+            tokens = (
+                (rel.group(2) or rel.group(3) or rel.group(4) or "")
+                .lower()
+                .split()
+                if rel
+                else []
+            )
+            nofollow = int(
+                bool({"nofollow", "ugc", "sponsored"} & set(tokens))
+            )
             # attribute values carry character references ('&amp;' is the
             # CORRECT way to write '&' in an href) — decode them
-            out.append(decode_entities(m.group(2) or m.group(3) or m.group(4) or ""))
+            out.append(
+                (
+                    decode_entities(
+                        m.group(2) or m.group(3) or m.group(4) or ""
+                    ),
+                    nofollow,
+                )
+            )
         i = e + 1 if e < n else n
     return out
+
+
+def extract_links(html: str) -> list[str]:
+    """All ``<a>`` hrefs, document order, duplicates kept — the
+    rel-blind view of :func:`extract_links_rel` (one scanner, two
+    projections)."""
+    return [h for h, _nf in extract_links_rel(html)]
+
+
+def meta_robots(html: str) -> tuple[int, int]:
+    """(noindex, nofollow) from the page's ``<meta name=robots>`` tags
+    — the robots META standard every indexer honors: directives are a
+    comma-separated case-insensitive token list; ``none`` means
+    ``noindex, nofollow``; multiple robots metas UNION (the
+    most-restrictive-wins crawler rule); name matching is exact
+    ``robots`` (a ``googlebot``-scoped meta is for someone else).
+    Total on any str."""
+    noindex = nofollow = 0
+    lower = html.lower()
+    i, n = 0, len(html)
+    while True:
+        i = lower.find("<meta", i)
+        if i < 0:
+            break
+        j = i + 5
+        if j < n and (html[j].isalnum() or html[j] in "-:"):
+            i = j
+            continue
+        q, e = None, j
+        while e < n:
+            c = html[e]
+            if q:
+                if c == q:
+                    q = None
+            elif c in "\"'":
+                q = c
+            elif c == ">":
+                break
+            e += 1
+        if e >= n:
+            break  # unterminated tag drops the tail
+        attrs = html[j:e]
+        name = re.search(
+            r"""name\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", attrs, re.IGNORECASE
+        )
+        if name and (
+            (name.group(2) or name.group(3) or name.group(4) or "")
+            .strip()
+            .lower()
+            == "robots"
+        ):
+            content = re.search(
+                r"""content\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""",
+                attrs,
+                re.IGNORECASE,
+            )
+            tokens = {
+                t.strip()
+                for t in (
+                    content.group(2) or content.group(3) or content.group(4) or ""
+                )
+                .lower()
+                .split(",")
+            } if content else set()
+            if "none" in tokens:
+                noindex = nofollow = 1
+            if "noindex" in tokens:
+                noindex = 1
+            if "nofollow" in tokens:
+                nofollow = 1
+        i = e + 1
+    return noindex, nofollow
+
+
+def policy_link_edges(
+    df: DataFrame,
+    html_col: str = "html",
+    base_col: str = "base_url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Link-graph edges under crawl POLICY: every out-edge resolved and
+    canonicalized (as :func:`link_edges`) plus the three flags that
+    gate what a polite crawler/indexer does with it — the page's meta
+    robots (noindex, nofollow) and the anchor's own rel=nofollow —
+    fused into ``follow`` (edge eligible for frontier expansion: page
+    AND anchor allow it).  Page-level flags ride every edge so the
+    downstream groupBy needs no second join.  One Arrow kernel +
+    explode, shuffle-free; stateless (stream-safe)."""
+
+    @F.pandas_udf(
+        "array<struct<href: string, url_canon: string, anchor_nofollow: int,"
+        " page_noindex: int, page_nofollow: int>>"
+    )
+    def _edges(html: pd.Series, base: pd.Series) -> pd.Series:
+        def one(h, b):
+            h = h if isinstance(h, str) else ""
+            b = b if isinstance(b, str) else ""
+            ni, nf = meta_robots(h)
+            return [
+                {
+                    "href": href,
+                    "url_canon": canonicalize_url(resolve_url(b, href)),
+                    "anchor_nofollow": anf,
+                    "page_noindex": ni,
+                    "page_nofollow": nf,
+                }
+                for href, anf in extract_links_rel(h)
+            ]
+
+        return pd.Series([one(h, b) for h, b in zip(html, base)])
+
+    return (
+        df.select(F.col(id_col), F.explode(_edges(F.col(html_col), F.col(base_col))).alias("e"))
+        .select(
+            id_col, "e.href", "e.url_canon", "e.anchor_nofollow",
+            "e.page_noindex", "e.page_nofollow",
+            (
+                (F.col("e.page_nofollow") == 0) & (F.col("e.anchor_nofollow") == 0)
+            ).cast("int").alias("follow"),
+        )
+    )
 
 
 def extract_canonical(html: str) -> str:

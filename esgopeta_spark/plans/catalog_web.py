@@ -2127,3 +2127,66 @@ def web_canonical_hints(spark, sf):
         F.count("*").over(Window.partitionBy("canonical_url"))
         .alias("group_size"),
     )
+
+
+@register(
+    "web_robots_policy",
+    "G4,A1",
+    r"""
+    WITH b AS (
+      SELECT doc_id, doc_id % 40 AS h, doc_id % 4 AS m FROM documents
+    )
+    SELECT doc_id, '/f' || (doc_id % 11) AS href,
+           'https://site' || h || '.example.com/f' || (doc_id % 11) AS url_canon,
+           CAST(0 AS INTEGER) AS anchor_nofollow,
+           CAST(CASE WHEN m IN (1, 3) THEN 1 ELSE 0 END AS INTEGER) AS page_noindex,
+           CAST(CASE WHEN m IN (2, 3) THEN 1 ELSE 0 END AS INTEGER) AS page_nofollow,
+           CAST(CASE WHEN m IN (2, 3) THEN 0 ELSE 1 END AS INTEGER) AS follow
+    FROM b
+    UNION ALL
+    SELECT doc_id, '/n' || (doc_id % 13),
+           'https://site' || h || '.example.com/n' || (doc_id % 13),
+           CAST(1 AS INTEGER),
+           CAST(CASE WHEN m IN (1, 3) THEN 1 ELSE 0 END AS INTEGER),
+           CAST(CASE WHEN m IN (2, 3) THEN 1 ELSE 0 END AS INTEGER),
+           CAST(0 AS INTEGER)
+    FROM b
+    """,
+    doc="robots META + rel=nofollow link policy (r11 third wave — the "
+    "two in-page directives every polite crawler/indexer honors "
+    "beside robots.txt): per doc a fixture page whose meta robots "
+    "class cycles none-declared / NOINDEX / 'nofollow , x' (case + "
+    "whitespace + comma-list) / none (= both), plus a googlebot-scoped "
+    "decoy meta that must NOT match, one plain anchor and one "
+    "rel='UGC nofollow' anchor (token list, any case).  The real "
+    "kernel extracts edges with their anchor flags, unions "
+    "most-restrictive across metas, resolves + canonicalizes, and "
+    "fuses the frontier-eligibility verdict (follow = page AND anchor "
+    "allow).  Oracle recomputes both edges per doc in closed form.  "
+    "Plan: one Arrow kernel + explode, shuffle-free; stateless "
+    "(stream-safe); operators/web.py meta_robots/extract_links_rel/"
+    "policy_link_edges",
+)
+def web_robots_policy(spark, sf):
+    from esgopeta_spark.operators.web import policy_link_edges
+
+    did = F.col("doc_id")
+    m = did % 4
+    meta = (
+        F.when(m == 1, F.lit('<meta name="robots" content="NOINDEX">'))
+        .when(m == 2, F.lit("<META NAME='robots' CONTENT='nofollow , x'>"))
+        .when(m == 3, F.lit('<meta name="robots" content="none">'))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit('<html><head><meta name="googlebot" content="noindex">'),
+        meta,
+        F.lit('</head><body><a href="/f'), (did % 11).cast("string"),
+        F.lit('">a</a><a rel="UGC nofollow" href="/n'),
+        (did % 13).cast("string"),
+        F.lit('">b</a></body></html>'),
+    )
+    d = T(spark, sf, "documents").select(
+        "doc_id", _seed_url(did).alias("base_url"), html.alias("html")
+    )
+    return policy_link_edges(d)

@@ -1604,3 +1604,77 @@ def test_canonical_hints_stream_twin(spark, tmp_path):
         q.stop()
     got = {tuple(r) for r in spark.sql("SELECT * FROM canonstream").collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# robots META + rel=nofollow policy (r11 third wave)
+# ---------------------------------------------------------------------------
+
+
+def test_meta_robots_matrix():
+    from esgopeta_spark.operators.web import meta_robots
+
+    assert meta_robots("") == (0, 0)
+    assert meta_robots('<meta name="robots" content="noindex">') == (1, 0)
+    assert meta_robots("<META NAME='robots' CONTENT='NOFOLLOW , x'>") == (0, 1)
+    assert meta_robots('<meta name="robots" content="none">') == (1, 1)
+    assert meta_robots('<meta name="robots" content="noindex,nofollow">') == (1, 1)
+    # union across tags (most-restrictive wins)
+    assert meta_robots(
+        '<meta name="robots" content="noindex">'
+        '<meta name="robots" content="nofollow">'
+    ) == (1, 1)
+    # scoped metas are for someone else; name must be exactly robots
+    assert meta_robots('<meta name="googlebot" content="noindex">') == (0, 0)
+    assert meta_robots('<meta name="robotsx" content="noindex">') == (0, 0)
+    # quoted '>' does not end the tag; unterminated tag drops the tail
+    assert meta_robots('<meta data-x="a>b" name="robots" content="none">') == (1, 1)
+    assert meta_robots('<meta name="robots" content="none"') == (0, 0)
+    # a content-less robots meta declares nothing
+    assert meta_robots('<meta name="robots">') == (0, 0)
+
+
+def test_extract_links_rel_flags_and_blind_view():
+    from esgopeta_spark.operators.web import extract_links, extract_links_rel
+
+    html = (
+        '<a href="/a">x</a>'
+        '<a rel="nofollow" href="/b">y</a>'
+        "<a rel='UGC sponsored' href='/c'>z</a>"
+        '<a rel="author" href="/d">w</a>'
+        '<abbr rel="nofollow">not a link</abbr>'
+    )
+    assert extract_links_rel(html) == [
+        ("/a", 0), ("/b", 1), ("/c", 1), ("/d", 0)
+    ]
+    # the rel-blind view is the same scanner (refactor guard)
+    assert extract_links(html) == ["/a", "/b", "/c", "/d"]
+
+
+def test_policy_link_edges_stream_twin(spark, tmp_path):
+    from esgopeta_spark.operators.web import policy_link_edges
+
+    rows = [
+        (0, "https://h.com/", '<a href="/f">a</a><a rel="nofollow" href="/n">b</a>'),
+        (1, "https://h.com/",
+         '<meta name="robots" content="none"><a href="/f">a</a>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, base_url: string, html: string")
+    want = {tuple(r) for r in policy_link_edges(df).collect()}
+    assert ((0, "/f", "https://h.com/f", 0, 0, 0, 1) in want
+            and (0, "/n", "https://h.com/n", 1, 0, 0, 0) in want
+            and (1, "/f", "https://h.com/f", 0, 1, 1, 0) in want)
+
+    df.coalesce(1).write.mode("overwrite").json(str(tmp_path / "pol_in"))
+    stream = spark.readStream.schema(df.schema).json(str(tmp_path / "pol_in"))
+    q = (
+        policy_link_edges(stream)
+        .writeStream.format("memory").queryName("polstream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM polstream").collect()}
+    assert got == want
