@@ -1618,6 +1618,63 @@ def warc_doc_text(
     )
 
 
+def host_template_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    text_col: str = "text",
+    min_frac_milli: int = 500,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Host-level TEMPLATE line removal (the CCNet-lineage boilerplate
+    cut that per-page extraction can't make): a line appearing in at
+    least ``min_frac_milli``/1000 of a host's documents (and in at
+    least ``min_docs`` of them — small hosts carry no evidence) is
+    site furniture (copyright banners, nav crumbs, cookie notices),
+    not content, and is removed from every page of that host.  Counts
+    are per-DOCUMENT (a line repeated within one page is one vote) and
+    the threshold is integer milli arithmetic — no float boundary can
+    disagree with the oracle.  All codegen, no Python: posexplode ->
+    one (host, line)-keyed aggregate -> broadcast the (small)
+    boilerplate set back -> one doc-keyed regroup that reassembles the
+    cleaned text in line order.  Exactly two shuffles, both on the
+    keys a 100 TB corpus partitions by anyway (host, doc); the
+    template set per host is bounded by template size, so the
+    broadcast holds at any corpus scale."""
+    lines = df.select(
+        F.col(id_col), F.col(host_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    host_docs = df.groupBy(host_col).agg(F.count("*").alias("host_docs"))
+    line_docs = lines.groupBy(host_col, "line").agg(
+        F.countDistinct(id_col).alias("line_docs")
+    )
+    bp = (
+        line_docs.join(F.broadcast(host_docs), host_col)
+        .where(
+            (F.col("line_docs") >= F.lit(min_docs))
+            & (F.col("line_docs") * 1000 >= F.lit(min_frac_milli) * F.col("host_docs"))
+        )
+        .select(host_col, "line", F.lit(1).alias("is_bp"))
+    )
+    flagged = lines.join(F.broadcast(bp), [host_col, "line"], "left")
+    kept = F.when(F.col("is_bp").isNull(), F.struct("pos", "line"))
+    return (
+        flagged.groupBy(id_col, host_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(F.coalesce(F.col("is_bp"), F.lit(0))).cast("bigint")
+            .alias("n_dropped"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda x: x["line"]
+                ),
+            ).alias("clean_text"),
+        )
+    )
+
+
 def surt_key(url: str) -> str:
     """Sort-friendly URI Reordering Transform of the CANONICAL url —
     the Common Crawl CDX index key: host labels reversed and

@@ -2190,3 +2190,68 @@ def web_robots_policy(spark, sf):
         "doc_id", _seed_url(did).alias("base_url"), html.alias("html")
     )
     return policy_link_edges(d)
+
+
+@register(
+    "web_template_lines",
+    "G4,G1,E4",
+    r"""
+    WITH d AS (
+      SELECT doc_id, 'site' || (doc_id % 40) AS host,
+             '(c) 2026 site' || (doc_id % 40) || ' - all rights reserved'
+             || chr(10) || coalesce(text, '') || chr(10)
+             || 'home | about | contact site' || (doc_id % 40) AS t
+      FROM documents
+    ), l AS (
+      SELECT doc_id, host,
+             unnest(string_split(t, chr(10))) AS line,
+             unnest(range(0, len(string_split(t, chr(10))))) AS pos
+      FROM d
+    ), hd AS (
+      SELECT host, COUNT(*) AS host_docs FROM d GROUP BY host
+    ), ld AS (
+      SELECT host, line, COUNT(DISTINCT doc_id) AS line_docs
+      FROM l GROUP BY host, line
+    ), bp AS (
+      SELECT ld.host, ld.line
+      FROM ld JOIN hd USING (host)
+      WHERE line_docs >= 3 AND line_docs * 1000 >= 500 * host_docs
+    )
+    SELECT l.doc_id, l.host,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(*) FILTER (WHERE bp.line IS NOT NULL) AS BIGINT)
+             AS n_dropped,
+           coalesce(string_agg(CASE WHEN bp.line IS NULL THEN l.line END,
+                               chr(10) ORDER BY l.pos), '') AS clean_text
+    FROM l LEFT JOIN bp ON l.host = bp.host AND l.line = bp.line
+    GROUP BY l.doc_id, l.host
+    """,
+    doc="host-template boilerplate line removal (r11 third wave — the "
+    "CCNet-lineage cut per-page extraction cannot make: site furniture "
+    "is only visible ACROSS a host's pages): fixture wraps every doc "
+    "in a per-host copyright banner and nav-crumb line; a line in "
+    ">=50% (integer milli threshold) AND >=3 of a host's docs is "
+    "template and is removed from every page, votes counted "
+    "per-document.  Corpus-text lines that happen to repeat across a "
+    "host (e.g. empty texts) are dropped by the SAME data-driven rule "
+    "on both sides — the oracle runs the identical computation, so "
+    "the hash proves threshold, vote counting, and line-order "
+    "reassembly exactly.  Plan: all codegen (no Python), two shuffles "
+    "on the natural keys (host+line aggregate, doc regroup), template "
+    "set broadcast back — bounded by template size at any corpus "
+    "scale; operators/web.py host_template_lines",
+)
+def web_template_lines(spark, sf):
+    from esgopeta_spark.operators.web import host_template_lines
+
+    did = F.col("doc_id")
+    h = (did % 40).cast("string")
+    text = F.concat(
+        F.lit("(c) 2026 site"), h, F.lit(" - all rights reserved\n"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("\nhome | about | contact site"), h,
+    )
+    d = T(spark, sf, "documents").select(
+        "doc_id", F.concat(F.lit("site"), h).alias("host"), text.alias("text")
+    )
+    return host_template_lines(d)

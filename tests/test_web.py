@@ -1678,3 +1678,55 @@ def test_policy_link_edges_stream_twin(spark, tmp_path):
         q.stop()
     got = {tuple(r) for r in spark.sql("SELECT * FROM polstream").collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# host-template line removal (r11 third wave)
+# ---------------------------------------------------------------------------
+
+
+def test_host_template_lines_semantics(spark):
+    """The evidence rules, pinned at the boundary: per-DOC votes (a
+    line repeated inside one page is one vote), the >=50% milli
+    threshold is inclusive, min_docs gates small hosts, removal keeps
+    line order, and a doc whose every line is template cleans to ''."""
+    from esgopeta_spark.operators.web import host_template_lines
+
+    rows = [
+        # host A, 6 docs: 'tpl' in all 6 (removed), 'half' in exactly
+        # 3 of 6 (3 votes >= min_docs AND 3*1000 = 500*6 -> the
+        # threshold is INCLUSIVE, removed), body lines unique (kept)
+        (0, "A", "tpl\nhalf\nbody zero"),
+        (1, "A", "tpl\nhalf\nbody one"),
+        (2, "A", "tpl\ntpl\nhalf\nbody two"),  # in-doc repeat: 1 vote
+        (3, "A", "tpl"),                         # all-template doc -> ''
+        (6, "A", "tpl\nbody six"),
+        (7, "A", "tpl\nbody seven"),
+        # host B, 2 docs < min_docs: nothing removed however frequent
+        (4, "B", "tpl\nbody four"),
+        (5, "B", "tpl\nbody five"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, host: string, text: string")
+    got = {r["doc_id"]: (r["n_lines"], r["n_dropped"], r["clean_text"])
+           for r in host_template_lines(df).collect()}
+    assert got[0] == (3, 2, "body zero")
+    assert got[1] == (3, 2, "body one")
+    assert got[2] == (4, 3, "body two")           # both tpl copies dropped
+    assert got[3] == (1, 1, "")                    # visible empty, not missing
+    assert got[6] == (2, 1, "body six")
+    assert got[7] == (2, 1, "body seven")
+    assert got[4] == (2, 0, "tpl\nbody four")      # min_docs gate
+    assert got[5] == (2, 0, "tpl\nbody five")
+
+
+def test_template_lines_plan_posture(spark, sf_dir):
+    """All-codegen: the template set and host counts come back as
+    BROADCAST equi joins (bounded by template size at any corpus
+    scale); no cartesian, no nested loop, no Python in the lineage."""
+    from esgopeta_spark.plans import REGISTRY
+    from tests.test_plans import plan_of
+
+    p = plan_of(REGISTRY["web_template_lines"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
