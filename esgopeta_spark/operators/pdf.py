@@ -865,6 +865,71 @@ def pdf_info(
     )
 
 
+def extract_pdf_links(data: bytes) -> list[str]:
+    """PDF out-links from Link annotations (§12.5.6.5: page ``/Annots``
+    -> ``/Subtype /Link`` -> ``/A << /S /URI >>``), page order then
+    array order — the discovery edges a PDF contributes to the crawl
+    frontier (cited URLs, DOIs, homepages); real corpora resolve them
+    into the same link graph as HTML anchors.  GoTo/internal actions
+    are not out-links and are skipped; annotation lists are bounded
+    (poison caps, quarantine contract: ValueError ONLY)."""
+    try:
+        doc = _PdfDoc(bytes(data) if data is not None else b"")
+        out: list[str] = []
+        for page in _page_leaves(doc):
+            annots = doc.resolve(page.get("Annots"))
+            if not isinstance(annots, list):
+                continue
+            if len(annots) > 10_000:
+                raise ValueError("annotation list too large")
+            for a in annots:
+                a = doc.resolve(a)
+                if not isinstance(a, dict) or a.get("Subtype") != "Link":
+                    continue
+                act = doc.resolve(a.get("A"))
+                if not isinstance(act, dict) or act.get("S") != "URI":
+                    continue
+                uri = doc.resolve(act.get("URI"))
+                if isinstance(uri, bytes):
+                    out.append(_decode_pdf_string(uri))
+        return out
+    except ValueError:
+        raise
+    except (struct.error, IndexError, KeyError, OverflowError, zlib.error,
+            EOFError, TypeError, AttributeError, RecursionError,
+            UnicodeDecodeError, MemoryError) as exc:
+        raise ValueError(f"malformed pdf: {type(exc).__name__}: {exc}") from exc
+
+
+def pdf_link_edges(
+    df: DataFrame, pdf_col: str = "pdf", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, pdf-bytes) -> exploded (id, pos, url, url_canon) out-edges:
+    the real annotation walk, then the SAME canonicalizer the HTML link
+    graph uses — PDFs and pages feed one frontier.  Poison PDFs
+    quarantine to a visible (pos=-1, url='error') row.  One Arrow
+    kernel + explode, shuffle-free; stateless (stream-safe)."""
+    from esgopeta_spark.operators.web import canonicalize_url
+
+    @F.pandas_udf("array<struct<pos: int, url: string, url_canon: string>>")
+    def _links(s: pd.Series) -> pd.Series:
+        def one(b):
+            try:
+                return [
+                    {"pos": k, "url": u, "url_canon": canonicalize_url(u)}
+                    for k, u in enumerate(extract_pdf_links(b))
+                ]
+            except ValueError:
+                return [{"pos": -1, "url": "error", "url_canon": ""}]
+
+        return pd.Series([one(b) for b in s])
+
+    return (
+        df.select(F.col(id_col), F.explode(_links(F.col(pdf_col))).alias("e"))
+        .select(id_col, "e.pos", "e.url", "e.url_canon")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Encoder twin
 # ---------------------------------------------------------------------------
@@ -879,7 +944,12 @@ def _pdf_string(s: str) -> bytes:
     return s.translate(_PDF_ESC).encode("cp1252", "replace")
 
 
-def build_pdf(doc_id: int, text: str, modern: bool | None = None) -> bytes:
+def build_pdf(
+    doc_id: int,
+    text: str,
+    modern: bool | None = None,
+    links: tuple[str, ...] = (),
+) -> bytes:
     """Deterministic two-page fixture PDF (the encoder twin for
     ``extract_pdf_text``): page 1 shows 'Doc <id>' then the corpus text
     (content stream FlateDecode-compressed for even ids — exercises the
@@ -923,11 +993,24 @@ def build_pdf(doc_id: int, text: str, modern: bool | None = None) -> bytes:
         + f"{did % 12 + 1:02d}{did % 28 + 1:02d}".encode("ascii")
         + b"093000Z) >>"
     )
+    # Link annotations (§12.5.6.5) on page 1: /Annots -> /Subtype /Link
+    # -> /A << /S /URI >> — the out-edges a PDF contributes to the
+    # crawl frontier.  Object numbers 12.. keep 1-11 byte-identical
+    # when no links are requested.
+    annot_refs = b""
+    if links:
+        annot_refs = (
+            b" /Annots ["
+            + b" ".join(f"{12 + k} 0 R".encode("ascii")
+                        for k in range(len(links)))
+            + b"]"
+        )
     objs: dict[int, bytes] = {
         1: b"<< /Type /Catalog /Pages 2 0 R >>",
         2: b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>",
         3: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            b"/Resources << /Font << /F1 7 0 R >> >> /Contents 4 0 R >>"),
+            b"/Resources << /Font << /F1 7 0 R >> >> /Contents 4 0 R"
+            + annot_refs + b" >>"),
         4: (b"<< /Length " + str(len(c1)).encode("ascii") + filter1
             + b" >>\nstream\n" + c1 + b"\nendstream"),
         5: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
@@ -938,6 +1021,12 @@ def build_pdf(doc_id: int, text: str, modern: bool | None = None) -> bytes:
         8: str(len(c2)).encode("ascii"),
         11: info,
     }
+    for k, u in enumerate(links):
+        objs[12 + k] = (
+            b"<< /Type /Annot /Subtype /Link /Rect [72 700 300 714] "
+            b"/A << /S /URI /URI (" + _pdf_string(u) + b") >> >>"
+        )
+    size = 12 + len(links)
     if not modern:
         out = bytearray(b"%PDF-1.4\n%\xc2\xa5\xc2\xb1\n")  # binary marker
         offsets: dict[int, int] = {}
@@ -946,20 +1035,24 @@ def build_pdf(doc_id: int, text: str, modern: bool | None = None) -> bytes:
             out += str(num).encode("ascii") + b" 0 obj\n" + objs[num] + b"\nendobj\n"
         xref_off = len(out)
         out += b"xref\n"
-        # two subsections (0..8 and 11) — exercises subsection handling
+        # two subsections (0..8 and 11..) — exercises subsection handling
         out += b"0 9\n0000000000 65535 f \n"
         for num in range(1, 9):
             out += f"{offsets[num]:010d} 00000 n \n".encode("ascii")
-        out += b"11 1\n" + f"{offsets[11]:010d} 00000 n \n".encode("ascii")
+        out += f"11 {size - 11}\n".encode("ascii")
+        for num in range(11, size):
+            out += f"{offsets[num]:010d} 00000 n \n".encode("ascii")
         out += (
-            b"trailer\n<< /Size 12 /Root 1 0 R /Info 11 0 R"
+            b"trailer\n<< /Size " + str(size).encode("ascii")
+            + b" /Root 1 0 R /Info 11 0 R"
             b" >>\nstartxref\n" + str(xref_off).encode("ascii")
             + b"\n%%EOF\n"
         )
         return bytes(out)
 
     # --- PDF 1.5 layout: ObjStm(9) + xref stream(10) ------------------
-    packed = [1, 2, 3, 5, 7, 8, 11]  # no streams -> packable
+    # annotation dicts carry no streams, so they pack too
+    packed = [1, 2, 3, 5, 7, 8, 11] + [12 + k for k in range(len(links))]
     bodies = [objs[n] for n in packed]
     offs, pos = [], 0
     for body in bodies:
@@ -984,7 +1077,7 @@ def build_pdf(doc_id: int, text: str, modern: bool | None = None) -> bytes:
     offsets[10] = len(out)
     # rows: (type:1, field2:3, field3:1), PNG Up predictor over 5 columns
     rows = [(0, 0, 255)]
-    for num in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11):
+    for num in range(1, size):
         if num in offsets:
             rows.append((1, offsets[num], 0))
         else:
@@ -998,8 +1091,10 @@ def build_pdf(doc_id: int, text: str, modern: bool | None = None) -> bytes:
         prev = row
     zx = zlib.compress(bytes(filtered), 6)
     out += (
-        b"10 0 obj\n<< /Type /XRef /Size 12 /Root 1 0 R /Info 11 0 R "
-        b"/W [1 3 1] /Index [0 12] /Filter /FlateDecode "
+        b"10 0 obj\n<< /Type /XRef /Size " + str(size).encode("ascii")
+        + b" /Root 1 0 R /Info 11 0 R "
+        b"/W [1 3 1] /Index [0 " + str(size).encode("ascii")
+        + b"] /Filter /FlateDecode "
         b"/DecodeParms << /Predictor 12 /Columns 5 >> /Length "
         + str(len(zx)).encode("ascii") + b" >>\nstream\n" + zx
         + b"\nendstream\nendobj\nstartxref\n"
@@ -1015,15 +1110,18 @@ def build_pdf(doc_id: int, text: str, modern: bool | None = None) -> bytes:
 
 def synth_pdf(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    out_col: str = "pdf",
+    out_col: str = "pdf", links_of=None,
 ) -> DataFrame:
     """Append the fixture PDF built from (id, text) — the encoder-twin
-    Arrow kernel (the synth_mixed_warc shape)."""
+    Arrow kernel (the synth_mixed_warc shape).  ``links_of`` (optional
+    ``doc_id -> tuple[str, ...]``, a driver-built closure) adds Link
+    annotations for the out-link entries."""
 
     @F.pandas_udf("binary")
     def _build(did: pd.Series, txt: pd.Series) -> pd.Series:
         return pd.Series(
-            [build_pdf(int(i), t if isinstance(t, str) else "")
+            [build_pdf(int(i), t if isinstance(t, str) else "",
+                       links=(links_of(int(i)) if links_of else ()))
              for i, t in zip(did, txt)]
         )
 

@@ -2255,3 +2255,53 @@ def web_template_lines(spark, sf):
         "doc_id", F.concat(F.lit("site"), h).alias("host"), text.alias("text")
     )
     return host_template_lines(d)
+
+
+@register(
+    "web_pdf_links",
+    "G4,A1",
+    r"""
+    SELECT doc_id, CAST(0 AS INTEGER) AS pos,
+           'https://ref' || (doc_id % 9) || '.example.org/p/' || (doc_id % 31)
+             AS url,
+           'https://ref' || (doc_id % 9) || '.example.org/p/' || (doc_id % 31)
+             AS url_canon
+    FROM documents
+    UNION ALL
+    SELECT doc_id, CAST(1 AS INTEGER),
+           'HTTPS://CITE' || (doc_id % 5) || '.EXAMPLE.ORG:443/d/' || doc_id
+             || '?utm_source=pdf&x=' || (doc_id % 3),
+           'https://cite' || (doc_id % 5) || '.example.org/d/' || doc_id
+             || '?x=' || (doc_id % 3)
+    FROM documents
+    """,
+    doc="PDF out-link extraction (r11 third wave — PDFs cite URLs/DOIs "
+    "via Link annotations, §12.5.6.5, and a crawl frontier wants those "
+    "edges exactly like HTML anchors): per doc the encoder twin builds "
+    "the fixture PDF (BOTH file layouts by id%3 — classic xref table "
+    "and PDF 1.5 ObjStm+xref-stream, where the annotation dicts pack "
+    "INTO the object stream) carrying two /Annots Link->URI actions — "
+    "one clean absolute URL, one adversarial (uppercase scheme/host, "
+    "explicit :443, a utm_ param) — then the REAL chain walks pages -> "
+    "/Annots -> /Subtype /Link -> /A /S /URI and canonicalizes with "
+    "the SAME kernel the HTML link graph uses (one frontier).  Oracle "
+    "recomputes both edges per doc in closed form; the canonicalized "
+    "second URL proves scheme/host folding, default-port and tracking "
+    "strip THROUGH the PDF string decode.  Plan: two Arrow kernels + "
+    "explode, shuffle-free; stateless (stream-safe); operators/pdf.py "
+    "extract_pdf_links/pdf_link_edges",
+)
+def web_pdf_links(spark, sf):
+    from esgopeta_spark.operators.pdf import pdf_link_edges, synth_pdf
+
+    def links_of(did):
+        return (
+            f"https://ref{did % 9}.example.org/p/{did % 31}",
+            f"HTTPS://CITE{did % 5}.EXAMPLE.ORG:443/d/{did}"
+            f"?utm_source=pdf&x={did % 3}",
+        )
+
+    d = T(spark, sf, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    return pdf_link_edges(synth_pdf(d, links_of=links_of).drop("text"))

@@ -424,3 +424,98 @@ def test_pdf_info_df_quarantines(spark):
     assert got[1] == ("Doc 1: good words here now", "corpus", "2024-02-02", 2)
     assert got[2] == ("", "", "", -1)
     assert got[3] == ("", "", "", -1)
+
+
+# ---------------------------------------------------------------------------
+# Link annotations (r11 third wave)
+# ---------------------------------------------------------------------------
+
+
+def test_extract_pdf_links_matrix():
+    """Annotation walk corners: URI actions in page/array order across
+    BOTH file layouts (annots pack into the ObjStm in 1.5), escaped
+    parens in the URI string, no /Annots -> [], non-Link subtypes and
+    GoTo (internal) actions skipped, and the no-links build stays
+    byte-compatible with extraction (text/info unchanged)."""
+    from esgopeta_spark.operators.pdf import (
+        build_pdf,
+        extract_pdf_links,
+        extract_pdf_text,
+    )
+
+    links = ("https://a.org/x", "https://b.org/(p)?q=1")
+    for modern in (False, True):
+        pdf = build_pdf(3, "body", modern, links=links)
+        assert extract_pdf_links(pdf) == list(links)
+        assert extract_pdf_text(pdf).startswith("Doc 3\nbody\nLength: 4")
+    assert extract_pdf_links(build_pdf(3, "body")) == []
+    # handcrafted: a Text (non-Link) annot and a GoTo action must skip
+    doctored = build_pdf(3, "body", False, links=("https://keep.org/",))
+    doctored = doctored.replace(
+        b"/Subtype /Link /Rect [72 700 300 714] /A << /S /URI /URI (https://keep.org/) >>",
+        b"/Subtype /Link /Rect [0 0 1 1] /A << /S /GoTo /D (page2) >>",
+    )
+    assert extract_pdf_links(doctored) == []
+    doctored2 = build_pdf(3, "body", False, links=("https://keep.org/",)).replace(
+        b"/Subtype /Link", b"/Subtype /Text"
+    )
+    assert extract_pdf_links(doctored2) == []
+
+
+def test_pdf_links_quarantine_fuzz():
+    """Byte flips / truncations over a links-bearing fixture:
+    extract_pdf_links returns a list or raises ValueError ONLY."""
+    import random
+
+    from esgopeta_spark.operators.pdf import build_pdf, extract_pdf_links
+
+    rng = random.Random(0x9DF12)
+    base = build_pdf(7, "fuzz text", True, links=("https://f.org/a", "https://f.org/b"))
+    for trial in range(300):
+        b = bytearray(base)
+        if trial % 3 == 0:
+            for _ in range(rng.randrange(1, 8)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        elif trial % 3 == 1:
+            b = b[: rng.randrange(1, len(b))]
+        else:
+            i = base.find(b"stream\n") + 7
+            b[i + rng.randrange(10)] ^= 0xFF
+        try:
+            out = extract_pdf_links(bytes(b))
+            assert isinstance(out, list)
+        except ValueError:
+            pass
+
+
+def test_pdf_link_edges_stream_twin(spark, tmp_path):
+    """pdf_link_edges is stateless: stream matches batch, poison rows
+    quarantine visibly (pos=-1) without killing the batch."""
+    from pyspark.sql import functions as F
+
+    from esgopeta_spark.operators.pdf import build_pdf, pdf_link_edges
+
+    rows = [
+        (0, build_pdf(0, "a", False, links=("https://h.org/0",))),
+        (1, build_pdf(1, "b", True, links=("HTTPS://H.ORG:443/1?utm_x=1",))),
+        (2, b"%PDF-1.4 garbage"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, pdf: binary")
+    want = {tuple(r) for r in pdf_link_edges(df).collect()}
+    assert (0, 0, "https://h.org/0", "https://h.org/0") in want
+    assert (1, 0, "HTTPS://H.ORG:443/1?utm_x=1", "https://h.org/1") in want
+    assert (2, -1, "error", "") in want
+
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "pdfl_in"))
+    stream = spark.readStream.schema(df.schema).parquet(str(tmp_path / "pdfl_in"))
+    q = (
+        pdf_link_edges(stream)
+        .writeStream.format("memory").queryName("pdflstream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM pdflstream").collect()}
+    assert got == want
