@@ -133,6 +133,11 @@ HEADLINE = [
     # (pipeline_crawl_frontier above also gained the redirect stage)
     "text_pdf_extract",
     "web_redirect_resolve",
+    # r11 third wave: the wire-encoding unwrap (gzip/deflate/chunked
+    # through the full WARC->HTTP->charset chain) and the cross-page
+    # host-template cut (all-codegen, two natural-key shuffles)
+    "web_content_encoding",
+    "web_template_lines",
 ]
 
 

@@ -1920,66 +1920,6 @@ def text_inverted_index(spark, sf):
 
 
 @register(
-    "text_top_terms_tfidf",
-    "G4,E4,E5",
-    """
-    WITH n AS (
-      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
-      FROM documents),
-    tok AS (
-      SELECT doc_id, UNNEST(string_split(norm, ' ')) AS token
-      FROM n WHERE length(norm) > 0),
-    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
-    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
-    nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok),
-    scored AS (
-      SELECT tf.doc_id, tf.token,
-             tf.tf * ((nd.n_docs * 1000) // df.df) AS score_milli
-      FROM tf JOIN df ON tf.token = df.token CROSS JOIN nd),
-    r AS (
-      SELECT doc_id, token, score_milli,
-             ROW_NUMBER() OVER (PARTITION BY doc_id
-                                ORDER BY score_milli DESC, token ASC) AS rank
-      FROM scored)
-    SELECT doc_id, token, CAST(score_milli AS BIGINT) AS score_milli, rank
-    FROM r WHERE rank <= 5
-    """,
-    doc="top-5 salient terms per document by tf * integer-idf "
-    "(idf_milli = N*1000 DIV df — all-integer so the score is bit-identical "
-    "cross-engine; libm ln() is NOT and would flake the hash).  Plan: two "
-    "partial-agg shuffles + one broadcast of the (tiny) df side + per-doc "
-    "top-k window — the corpus-salience primitive for keyword filters",
-)
-def text_top_terms_tfidf(spark, sf):
-    from esgopeta_spark.operators.text import words
-    from pyspark.sql.window import Window as W
-
-    d = T(spark, sf, "documents")
-    tok = d.select("doc_id", F.explode(words(F.col("text"))).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
-    # deferred 1-row aggregate broadcast-cross-joined in, NOT a driver-side
-    # .count(): keeps the whole entry lazy (analysis stays execution-free)
-    # and mirrors the oracle's CROSS JOIN nd
-    nd = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
-    scored = (
-        tf.join(F.broadcast(df_), "token")
-        .crossJoin(F.broadcast(nd))
-        .select(
-            "doc_id",
-            "token",
-            (F.col("tf") * F.expr("(n_docs * 1000) DIV df")).alias("score_milli"),
-        )
-    )
-    w = W.partitionBy("doc_id").orderBy(F.col("score_milli").desc(), F.col("token").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("doc_id", "token", F.col("score_milli").cast("bigint").alias("score_milli"), "rank")
-    )
-
-
-@register(
     "corpus_adaptive_length_filter",
     "G4,E4,E3",
     """
