@@ -2305,3 +2305,103 @@ def web_pdf_links(spark, sf):
         "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
     )
     return pdf_link_edges(synth_pdf(d, links_of=links_of).drop("text"))
+
+
+@register(
+    "pipeline_policy_frontier",
+    "G4,G1,A1",
+    r"""
+    WITH h AS (
+      SELECT doc_id, doc_id % 40 AS hh, doc_id % 4 AS m FROM documents
+    ), e AS (
+      SELECT 'site' || hh || '.example.com' AS host,
+             'https://site' || hh || '.example.com/f' || (doc_id % 11)
+               AS url_canon,
+             doc_id
+      FROM h WHERE m IN (0, 1)
+      UNION ALL
+      SELECT 'ref' || (doc_id % 9) || '.example.org',
+             'https://ref' || (doc_id % 9) || '.example.org/p/'
+               || (doc_id % 31),
+             doc_id
+      FROM h WHERE doc_id % 2 = 0
+    ), g AS (
+      SELECT host, url_canon,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_sources
+      FROM e GROUP BY host, url_canon
+    )
+    SELECT host, url_canon, n_sources,
+           CAST((ROW_NUMBER() OVER (PARTITION BY host ORDER BY url_canon)
+                 - 1) // 4 AS BIGINT) AS fetch_wave
+    FROM g
+    """,
+    doc="policy-gated discovery capstone (r11 third wave, ONE lineage): "
+    "HTML pages run the POLICY link extractor — meta robots class "
+    "cycling none/noindex/nofollow/none-token by id%4, one plain and "
+    "one rel-nofollow anchor — and only follow=1 edges (plain anchors "
+    "on pages whose meta allows following, id%4 in (0,1)) survive; "
+    "even-id docs ALSO carry a fixture PDF whose Link annotation "
+    "contributes its out-edge through the SAME canonicalizer (odd-id "
+    "PDFs are absent — the no-annotation path at scale); the union "
+    "dedups per (host, target) counting distinct contributing docs, "
+    "then per-host politeness waves of 4 by url order — the frontier "
+    "a polite crawler actually queues.  Oracle recomputes every "
+    "surviving edge, source count, and wave in closed form from the "
+    "id arithmetic.  Plan: two Arrow kernels + explode feeding ONE "
+    "dedup aggregate + ONE host-keyed window — the two shuffles any "
+    "100 TB frontier build needs, both on its natural keys; "
+    "operators/web.py policy_link_edges + operators/pdf.py "
+    "pdf_link_edges",
+)
+def pipeline_policy_frontier(spark, sf):
+    from pyspark.sql import Window
+
+    from esgopeta_spark.operators.pdf import pdf_link_edges, synth_pdf
+    from esgopeta_spark.operators.web import policy_link_edges
+
+    did = F.col("doc_id")
+    m = did % 4
+    meta = (
+        F.when(m == 1, F.lit('<meta name="robots" content="noindex">'))
+        .when(m == 2, F.lit('<meta name="robots" content="nofollow">'))
+        .when(m == 3, F.lit('<meta name="robots" content="none">'))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<html><head>"), meta,
+        F.lit('</head><body><a href="/f'), (did % 11).cast("string"),
+        F.lit('">a</a><a rel="nofollow" href="/n'), (did % 13).cast("string"),
+        F.lit('">b</a></body></html>'),
+    )
+    docs = T(spark, sf, "documents")
+    pages = docs.select(
+        "doc_id", _seed_url(did).alias("base_url"), html.alias("html")
+    )
+    html_edges = (
+        policy_link_edges(pages)
+        .where(F.col("follow") == 1)
+        .select("doc_id", "url_canon")
+    )
+
+    def links_of(i):
+        return (f"https://ref{i % 9}.example.org/p/{i % 31}",)
+
+    pdfs = docs.where(did % 2 == 0).select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    pdf_edges = pdf_link_edges(
+        synth_pdf(pdfs, links_of=links_of).drop("text")
+    ).select("doc_id", "url_canon")
+
+    edges = html_edges.unionByName(pdf_edges).select(
+        "doc_id", "url_canon",
+        F.regexp_extract("url_canon", r"^https://([^/]+)", 1).alias("host"),
+    )
+    g = edges.groupBy("host", "url_canon").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_sources")
+    )
+    w = Window.partitionBy("host").orderBy(F.col("url_canon").asc())
+    return g.select(
+        "host", "url_canon", "n_sources",
+        ((F.row_number().over(w) - 1) / 4).cast("bigint").alias("fetch_wave"),
+    )

@@ -1730,3 +1730,15 @@ def test_template_lines_plan_posture(spark, sf_dir):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
     assert "BroadcastHashJoin" in p, p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+
+def test_policy_frontier_plan_posture(spark, sf_dir):
+    """The r11 policy-frontier capstone: one dedup aggregate + one
+    host-keyed window; no cartesian, no nested loop, and no join at
+    all (the union IS the fan-in)."""
+    from esgopeta_spark.plans import REGISTRY
+    from tests.test_plans import plan_of
+
+    p = plan_of(REGISTRY["pipeline_policy_frontier"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "Union" in p and "Window" in p, p
