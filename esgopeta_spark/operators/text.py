@@ -929,6 +929,56 @@ def gopher_rules(
     )
 
 
+def fim_transform(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rate_milli: int = 900,
+    pre: str = "<PRE>",
+    suf: str = "<SUF>",
+    mid: str = "<MID>",
+) -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022 — the
+    infilling pretraining op code models train on): a deterministic
+    ``rate_milli``/1000 of docs (an md5-of-id integer draw — the
+    split_shards discipline, so the same doc gets the same treatment
+    on any engine/partitioning/rerun) are rearranged into PSM order
+    ``<PRE>prefix<SUF>suffix<MID>middle``; the two split points are
+    independent integer draws from the NEXT md5 hex windows mod
+    (len+1), ordered, so prefix+middle+suffix always reassembles the
+    original text.  Unselected docs pass through verbatim with
+    ``fim=0``.  All integer/substring codegen — no floats, no Python —
+    one projection, shuffle-free; stateless (stream-safe)."""
+    h = F.md5(F.col(id_col).cast("string"))
+    d1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    d2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")
+    d3 = F.conv(F.substring(h, 17, 8), 16, 10).cast("bigint")
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(t)
+    p1 = d2 % (n + 1)
+    p2 = d3 % (n + 1)
+    lo = F.least(p1, p2)
+    hi = F.greatest(p1, p2)
+    selected = (d1 % 1000) < F.lit(int(rate_milli))
+    prefix = F.substr(t, F.lit(1), lo)
+    middle = F.substr(t, lo + 1, hi - lo)
+    suffix = F.substr(t, hi + 1, n - hi)
+    fim_text = F.concat(
+        F.lit(pre), prefix, F.lit(suf), suffix, F.lit(mid), middle
+    )
+    return df.select(
+        F.col(id_col),
+        selected.cast("int").alias("fim"),
+        F.when(selected, lo).otherwise(F.lit(0)).cast("bigint")
+        .alias("n_prefix"),
+        F.when(selected, hi - lo).otherwise(F.lit(0)).cast("bigint")
+        .alias("n_middle"),
+        F.when(selected, n - hi).otherwise(F.lit(0)).cast("bigint")
+        .alias("n_suffix"),
+        F.when(selected, fim_text).otherwise(t).alias("fim_text"),
+    )
+
+
 def split_shards(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -3148,3 +3148,55 @@ def test_corpus_lcp_and_lcp_boundary_cases(spark):
     got2 = {(r["id_a"], r["id_b"], r["dist"])
             for r in edit_distance_pairs(df2, lcp="auto").collect()}
     assert want <= got2
+
+
+def test_fim_transform_invariants(spark):
+    """FIM contract: reassembly (prefix+middle+suffix == original, read
+    back from the PSM sentinels), deterministic selection at the draw
+    boundary (rate 0 -> none, 1000 -> all), count arithmetic, and
+    empty-text totality."""
+    from esgopeta_spark.operators.text import fim_transform
+
+    rows = [(i, "abcdefghij"[: i % 11]) for i in range(40)] + [(99, None)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r["doc_id"]: r for r in fim_transform(df, rate_milli=1000).collect()}
+    for i, t in rows:
+        t = t or ""
+        r = out[i]
+        assert r["fim"] == 1
+        body = r["fim_text"]
+        assert body.startswith("<PRE>")
+        pre_rest = body[len("<PRE>"):]
+        prefix, _, rest = pre_rest.partition("<SUF>")
+        suffix, _, middle = rest.partition("<MID>")
+        assert prefix + middle + suffix == t, (i, t, body)
+        assert (len(prefix), len(middle), len(suffix)) == (
+            r["n_prefix"], r["n_middle"], r["n_suffix"])
+    none = fim_transform(df, rate_milli=0).collect()
+    assert all(r["fim"] == 0 and r["n_prefix"] == 0 for r in none)
+    passthru = {r["doc_id"]: r["fim_text"] for r in none}
+    for i, t in rows:
+        assert passthru[i] == (t or "")
+
+
+def test_fim_transform_stream_twin(spark, tmp_path):
+    from esgopeta_spark.operators.text import fim_transform
+
+    rows = [(i, f"body text number {i} with some length") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    want = {tuple(r) for r in fim_transform(df).collect()}
+    assert any(r[1] == 1 for r in want)  # default rate selects some
+
+    df.coalesce(1).write.mode("overwrite").json(str(tmp_path / "fim_in"))
+    stream = spark.readStream.schema(df.schema).json(str(tmp_path / "fim_in"))
+    q = (
+        fim_transform(stream)
+        .writeStream.format("memory").queryName("fimstream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM fimstream").collect()}
+    assert got == want
