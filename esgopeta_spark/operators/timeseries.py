@@ -333,3 +333,109 @@ def holt_trend(
         f"{key_col} bigint, day date, total_cents bigint, level_cents bigint, "
         "trend_cents bigint, forecast_next_cents bigint",
     )
+
+
+def holt_winters(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha_milli: int = 300,
+    beta_milli: int = 100,
+    gamma_milli: int = 200,
+    period: int = 7,
+) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing (level + trend +
+    day-of-week seasonality) over per-key daily totals — the
+    weekly-rhythm forecaster above :func:`holt_trend` — in EXACT
+    integer arithmetic.  Seasonal state is keyed by CALENDAR phase
+    (epoch-day mod ``period``), not series position, so gapped series
+    stay phase-aligned; phases start at the additive-neutral 0 and
+    warm up as observed:
+
+        phase p_t = epochday(day_t) mod m
+        l_1 = x_1,  b_1 = 0,  s_i = 0
+        l_t = (α·(x_t − s[p_t]) + (1000−α)·(l_{t−1} + b_{t−1})) fdiv 1000
+        b_t = (β·(l_t − l_{t−1}) + (1000−β)·b_{t−1}) fdiv 1000
+        s[p_t] ← (γ·(x_t − l_t) + (1000−γ)·s[p_t]) fdiv 1000
+
+    forecast_next = l_t + b_t + s[(p_t+1) mod m] (the one-step-ahead
+    prediction for the NEXT calendar day, read from the post-update
+    seasonal array).  Same engine-exactness discipline as holt_trend:
+    one key-sorted Arrow ``mapInPandas`` pass Spark-side, the
+    identical RECURSIVE CTE oracle-side with every division floored
+    via the non-negative-mod idiom (deltas go negative routinely).
+
+    Output: (key, day, total_cents, level_cents, trend_cents,
+    seasonal_cents, forecast_next_cents).
+
+    Scale shape: one daily partial-agg shuffle + one key-sorted Arrow
+    pass; per-key state is level+trend+m ints — bounded."""
+    import datetime
+
+    import pandas as pd
+
+    a = int(alpha_milli)
+    b_ = int(beta_milli)
+    g = int(gamma_milli)
+    m = int(period)
+    epoch = datetime.date(1970, 1, 1)
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    daily = (
+        df.filter(F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col)))
+        .select(
+            F.col(key_col).cast("bigint").alias("_k"),
+            day.alias("day"),
+            F.col(value_col).cast("decimal(12,2)").alias("_v"),
+        )
+        .groupBy("_k", "day")
+        .agg((F.sum("_v") * 100).cast("bigint").alias("total_cents"))
+    )
+    part = daily.repartition("_k").sortWithinPartitions("_k", "day")
+
+    def fdiv(n):
+        return (n - ((n % 1000 + 1000) % 1000)) // 1000
+
+    def kernel(batches):
+        cur, lev, tr, s = None, None, 0, [0] * m
+        for pdf in batches:
+            out = {"k": [], "day": [], "x": [], "lv": [], "t": [],
+                   "sc": [], "fc": []}
+            for k, d, x in zip(pdf["_k"], pdf["day"], pdf["total_cents"]):
+                k, x = int(k), int(x)
+                if k != cur:
+                    cur, lev, tr, s = k, None, 0, [0] * m
+                p = (d - epoch).days % m
+                if lev is None:
+                    lev, tr = x, 0
+                    s[p] = 0
+                else:
+                    prev = lev
+                    lev = fdiv(a * (x - s[p]) + (1000 - a) * (lev + tr))
+                    tr = fdiv(b_ * (lev - prev) + (1000 - b_) * tr)
+                    s[p] = fdiv(g * (x - lev) + (1000 - g) * s[p])
+                out["k"].append(k)
+                out["day"].append(d)
+                out["x"].append(x)
+                out["lv"].append(lev)
+                out["t"].append(tr)
+                out["sc"].append(s[p])
+                out["fc"].append(lev + tr + s[(p + 1) % m])
+            if out["k"]:
+                yield pd.DataFrame(
+                    {
+                        key_col: pd.Series(out["k"], dtype="int64"),
+                        "day": out["day"],
+                        "total_cents": pd.Series(out["x"], dtype="int64"),
+                        "level_cents": pd.Series(out["lv"], dtype="int64"),
+                        "trend_cents": pd.Series(out["t"], dtype="int64"),
+                        "seasonal_cents": pd.Series(out["sc"], dtype="int64"),
+                        "forecast_next_cents": pd.Series(out["fc"], dtype="int64"),
+                    }
+                )
+
+    return part.mapInPandas(
+        kernel,
+        f"{key_col} bigint, day date, total_cents bigint, level_cents bigint,"
+        " trend_cents bigint, seasonal_cents bigint, forecast_next_cents bigint",
+    )

@@ -1081,3 +1081,89 @@ def corpus_sample_k_per_source(spark, sf):
     from esgopeta_spark.operators.text import sample_k_per_group
 
     return sample_k_per_group(T(spark, sf, "documents"), k=5)
+
+
+def _holt_winters_oracle(a: int = 300, b: int = 100, g: int = 200, m: int = 7) -> str:
+    """RECURSIVE-CTE twin of operators/timeseries.holt_winters: the
+    identical integer recursion with every division floored via the
+    non-negative-mod idiom and the seasonal array carried as m columns
+    through the recursion (phase = calendar epoch-day mod m)."""
+
+    def fd(e: str) -> str:
+        return (f"CAST((({e}) - ((({e}) % 1000 + 1000) % 1000)) // 1000"
+                " AS BIGINT)")
+
+    def scase(prefix: str, pexpr: str) -> str:
+        whens = " ".join(f"WHEN {i} THEN {prefix}s{i}" for i in range(m))
+        return f"CASE {pexpr} {whens} END"
+
+    zeros = ", ".join(f"CAST(0 AS BIGINT) AS s{i}" for i in range(m))
+    hw_s = ", ".join(f"hw.s{i} AS s{i}" for i in range(m))
+    upd = ", ".join(f"CASE WHEN p = {i} THEN snew ELSE s{i} END"
+                    for i in range(m))
+    pday = f"(seq.day - DATE '1970-01-01') % {m}"
+    pout = f"(day - DATE '1970-01-01') % {m}"
+    lvl = fd(f"{a} * (total_cents - sp) + {1000 - a} * (prev_level + prev_trend)")
+    trend = fd(f"{b} * (lvl - prev_level) + {1000 - b} * prev_trend")
+    snew = fd(f"{g} * (total_cents - lvl) + {1000 - g} * sp")
+    return f"""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(user_id AS BIGINT) AS user_id,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS total_cents
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY 1, 2),
+    seq AS (
+      SELECT user_id, day, total_cents,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM daily),
+    hw AS (
+      SELECT user_id, day, total_cents, rn,
+             total_cents AS level_cents, CAST(0 AS BIGINT) AS trend_cents,
+             {zeros}
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT user_id, day, total_cents, rn, lvl, {trend}, {upd}
+      FROM (
+        SELECT *, {snew} AS snew
+        FROM (
+          SELECT *, {lvl} AS lvl
+          FROM (
+            SELECT seq.user_id AS user_id, seq.day AS day,
+                   seq.total_cents AS total_cents, seq.rn AS rn,
+                   hw.level_cents AS prev_level, hw.trend_cents AS prev_trend,
+                   {hw_s}, {pday} AS p,
+                   {scase("hw.", pday)} AS sp
+            FROM seq JOIN hw ON seq.user_id = hw.user_id AND seq.rn = hw.rn + 1
+          ) q1
+        ) q2
+      ) q3)
+    SELECT user_id, day, total_cents, level_cents, trend_cents,
+           {scase("", pout)} AS seasonal_cents,
+           CAST(level_cents + trend_cents
+                + {scase("", f"(({pout}) + 1) % {m}")} AS BIGINT)
+             AS forecast_next_cents
+    FROM hw
+    """
+
+
+@register(
+    "ts_holt_winters_daily",
+    "E4,E5,E9",
+    _holt_winters_oracle(),
+    doc="Holt-Winters ADDITIVE seasonal smoothing over per-user daily "
+    "spend (alpha=0.3, beta=0.1, gamma=0.2, weekly period) in EXACT "
+    "integer arithmetic — level + trend + a day-of-week seasonal array "
+    "keyed by CALENDAR phase (epoch-day mod 7, so gapped series stay "
+    "phase-aligned), phases warming up from the additive-neutral 0; "
+    "forecast_next = level + trend + next phase's post-update seasonal "
+    "(the one-step-ahead prediction with weekly rhythm).  Same "
+    "engine-exactness discipline as ts_holt_trend_daily: one "
+    "key-sorted Arrow pass vs the identical RECURSIVE CTE carrying the "
+    "seasonal array as 7 columns, every oracle division floored via "
+    "the non-negative-mod idiom.  One daily partial agg + one grouped "
+    "Arrow pass (operators/timeseries.holt_winters)",
+)
+def ts_holt_winters_daily(spark, sf):
+    from esgopeta_spark.operators.timeseries import holt_winters
+
+    return holt_winters(T(spark, sf, "events"))

@@ -3200,3 +3200,54 @@ def test_fim_transform_stream_twin(spark, tmp_path):
         q.stop()
     got = {tuple(r) for r in spark.sql("SELECT * FROM fimstream").collect()}
     assert got == want
+
+
+def test_holt_winters_seasonal_phase_and_floor_semantics(spark):
+    """Holt-Winters pins: seasonal state keys on CALENDAR phase (a
+    gapped series updates the right day-of-week slot), warm-up is the
+    additive-neutral 0, updates/forecast match a pure-python floor
+    reference, and negative deltas occur (the floor-vs-truncate
+    regime)."""
+    import datetime
+
+    from esgopeta_spark.operators.timeseries import holt_winters
+
+    # 10 observations with a 3-day gap; weekly-cycling values force
+    # seasonal slots apart, declining baseline forces negatives
+    days = [1, 2, 3, 4, 5, 9, 10, 11, 12, 13]
+    vals = [100.0, 40.0, 90.0, 35.0, 80.0, 70.0, 25.0, 60.0, 20.0, 50.0]
+    rows = [
+        (i, datetime.datetime(2024, 3, d, 12), 7, "x", v, None)
+        for i, (d, v) in enumerate(zip(days, vals))
+    ]
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        str(r["day"]): (r["level_cents"], r["trend_cents"],
+                        r["seasonal_cents"], r["forecast_next_cents"])
+        for r in holt_winters(df).collect()
+    }
+
+    def fd(n):
+        return (n - ((n % 1000 + 1000) % 1000)) // 1000
+
+    epoch = datetime.date(1970, 1, 1)
+    lev, tr, s = None, 0, [0] * 7
+    want = {}
+    for d, v in zip(days, vals):
+        day = datetime.date(2024, 3, d)
+        x = int(v * 100)
+        p = (day - epoch).days % 7
+        if lev is None:
+            lev, tr = x, 0
+            s[p] = 0
+        else:
+            prev = lev
+            lev = fd(300 * (x - s[p]) + 700 * (lev + tr))
+            tr = fd(100 * (lev - prev) + 900 * tr)
+            s[p] = fd(200 * (x - lev) + 800 * s[p])
+        want[str(day)] = (lev, tr, s[p], lev + tr + s[(p + 1) % 7])
+    assert got == want
+    assert any(t < 0 for _, t, _, _ in want.values())
+    assert any(sc != 0 for _, _, sc, _ in want.values())

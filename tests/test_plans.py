@@ -567,7 +567,8 @@ def test_keyed_recursion_plan_posture(spark, sf_dir):
 
     from esgopeta_spark.plans import REGISTRY
 
-    for name in ("ts_ewma_daily", "ts_holt_trend_daily"):
+    for name in ("ts_ewma_daily", "ts_holt_trend_daily",
+                 "ts_holt_winters_daily"):
         p = plan_of(REGISTRY[name].fn(spark, sf_dir))
         assert len(re.findall(r"\(\d+\) Exchange", p)) == 2, (name, p)
         assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, (name, p)
