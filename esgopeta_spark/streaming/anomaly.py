@@ -453,3 +453,118 @@ def streaming_holt(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+HOLT_WINTERS_OUTPUT_SCHEMA = (
+    "user_id bigint, day date, total_cents bigint, level_cents bigint, "
+    "trend_cents bigint, seasonal_cents bigint, forecast_next_cents bigint, "
+    "upd_seq bigint"
+)
+
+
+def _make_holt_winters_handler(alpha_milli: int, beta_milli: int,
+                               gamma_milli: int, period: int):
+    """Per-key Holt-Winters handler — the Holt handler's convergent
+    day->cents state, recomputing the level/trend/seasonal recursion
+    over the full series each batch (calendar-phase seasonal slots,
+    floor division — identical to batch ``timeseries.holt_winters``)."""
+    import datetime as _dt
+    import json as _json
+    from decimal import ROUND_HALF_UP as _RHU
+    from decimal import Decimal as _Dec
+
+    a = int(alpha_milli)
+    b_ = int(beta_milli)
+    g = int(gamma_milli)
+    m = int(period)
+    epoch = _dt.date(1970, 1, 1)
+
+    def _fd(n):
+        return (n - ((n % 1000 + 1000) % 1000)) // 1000
+
+    def _series(day_cents):
+        days = sorted(day_cents)
+        out = []
+        lev, tr, s = None, 0, [0] * m
+        for d in days:
+            x = day_cents[d]
+            p = (_dt.date.fromisoformat(d) - epoch).days % m
+            if lev is None:
+                lev, tr = x, 0
+                s[p] = 0
+            else:
+                prev = lev
+                lev = _fd(a * (x - s[p]) + (1000 - a) * (lev + tr))
+                tr = _fd(b_ * (lev - prev) + (1000 - b_) * tr)
+                s[p] = _fd(g * (x - lev) + (1000 - g) * s[p])
+            out.append((d, x, lev, tr, s[p], lev + tr + s[(p + 1) % m]))
+        return out
+
+    def handler(key, pdfs, gstate):
+        (user,) = key
+        if gstate.exists:
+            st = gstate.get
+            day_cents = {k: int(v) for k, v in _json.loads(st[0]).items()}
+            seq = int(st[1])
+        else:
+            day_cents, seq = {}, 0
+        prev = {r[0]: r for r in _series(day_cents)} if day_cents else {}
+
+        for pdf in pdfs:
+            for rec in pdf.to_dict("records"):
+                v = rec["value"]
+                if v is None or (isinstance(v, float) and v != v):
+                    continue
+                d = rec["ts"].floor("D").date().isoformat()
+                cents = int(_Dec(repr(float(v))).quantize(_Dec("0.01"), _RHU) * 100)
+                day_cents[d] = day_cents.get(d, 0) + cents
+
+        seq += 1
+        gstate.update((_json.dumps(day_cents, sort_keys=True), seq))
+
+        changed = [r for r in _series(day_cents) if prev.get(r[0]) != r]
+        if changed:
+            import pandas as _pd
+
+            yield _pd.DataFrame(
+                [
+                    {
+                        "user_id": user,
+                        "day": _dt.date.fromisoformat(d),
+                        "total_cents": x,
+                        "level_cents": lv,
+                        "trend_cents": t,
+                        "seasonal_cents": sc,
+                        "forecast_next_cents": fc,
+                        "upd_seq": seq,
+                    }
+                    for d, x, lv, t, sc, fc in changed
+                ]
+            )
+
+    return handler
+
+
+def streaming_holt_winters(
+    events: DataFrame,
+    alpha_milli: int = 300,
+    beta_milli: int = 100,
+    gamma_milli: int = 200,
+    period: int = 7,
+) -> DataFrame:
+    """Streaming twin of ``operators/timeseries.holt_winters`` — the
+    Holt twin's convergence argument verbatim (a late day re-smooths
+    the suffix INCLUDING downstream seasonal slots, since the recursion
+    replays the full day->cents state); update-mode keyed (user, day)."""
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_holt_winters_handler(alpha_milli, beta_milli,
+                                       gamma_milli, period),
+            outputStructType=HOLT_WINTERS_OUTPUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1573,3 +1573,29 @@ def test_streaming_nb_predict_matches_batch(spark, sf_dir, tmp_path):
         for r in spark.sql("SELECT * FROM nbstream").collect()
     }
     assert got == want
+
+
+def test_streaming_holt_winters_matches_batch(spark, sf_dir):
+    """The stateful streaming Holt-Winters twin drained over the events
+    table must converge to EXACTLY the batch holt_winters rows —
+    including the calendar-phase seasonal column."""
+    from esgopeta_spark.operators.timeseries import holt_winters
+    from esgopeta_spark.streaming.anomaly import streaming_holt_winters
+
+    static = read_table(spark, sf_dir, "events")
+    stream = read_events_stream(spark, sf_dir)
+    run_stream_to_memory(streaming_holt_winters(stream), "hwstream", mode="update")
+    rows = spark.sql("select * from hwstream").collect()
+    latest: dict = {}
+    for r in rows:
+        k = (r["user_id"], r["day"])
+        if k not in latest or r["upd_seq"] > latest[k]["upd_seq"]:
+            latest[k] = r
+    got = {k: (r["total_cents"], r["level_cents"], r["trend_cents"],
+               r["seasonal_cents"], r["forecast_next_cents"])
+           for k, r in latest.items()}
+    want = {(r["user_id"], r["day"]): (r["total_cents"], r["level_cents"],
+                                       r["trend_cents"], r["seasonal_cents"],
+                                       r["forecast_next_cents"])
+            for r in holt_winters(static).collect()}
+    assert got == want and got
