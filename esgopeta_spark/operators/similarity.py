@@ -1127,3 +1127,145 @@ def topk_ip_ivfpq(
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", "ip_micro12", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8) — the byte-per-dimension ANN tier
+# ---------------------------------------------------------------------------
+
+
+def _sq8_minmax(corpus: DataFrame, dim: int, vec_col: str):
+    """Per-dimension (min, max) over the micro-quantized corpus — the
+    SQ8 training artifact: 2*dim int64s, one aggregate, one driver
+    collect (KBs at ANY corpus scale)."""
+    vm = corpus.select(F.expr(_pq_micro_expr(vec_col, dim)).alias("vm"))
+    aggs = []
+    for d in range(dim):
+        e = F.element_at(F.col("vm"), d + 1)
+        aggs.append(F.min(e).alias(f"mn{d}"))
+        aggs.append(F.max(e).alias(f"mx{d}"))
+    row = vm.agg(*aggs).first()
+    mins = np.array([row[f"mn{d}"] for d in range(dim)], dtype=np.int64)
+    maxs = np.array([row[f"mx{d}"] for d in range(dim)], dtype=np.int64)
+    return mins, maxs
+
+
+def sq8_encode(
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    minmax=None,
+) -> DataFrame:
+    """SQ8 scalar-quantization codes (the uint8-per-dimension tier
+    faiss calls SQ8, between PQ's m-bytes-per-vector and exact float):
+    each dimension maps affinely onto [0, 255] by the corpus per-dim
+    (min, max) —
+
+        code_d = ((v_d − min_d) · 255) floordiv (max_d − min_d)
+
+    in exact int64 micro-units (numerator non-negative by construction,
+    so floor == truncate on every engine); a degenerate dimension
+    (max == min) codes to 0.  Returns (id, codes array<int> of length
+    dim).  4x smaller than float32 with far better recall than PQ at
+    the same speed class — the standard memory/recall middle tier.
+
+    Scale shape: the 2*dim-int minmax artifact broadcasts in the kernel
+    closure; encoding is one mapInPandas pass, never shuffled."""
+    mins, maxs = minmax if minmax is not None else _sq8_minmax(corpus, dim, vec_col)
+    rng = maxs - mins
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vm = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["vm"]])
+            num = (vm - mins[None, :]) * 255
+            codes = np.where(
+                rng[None, :] > 0, num // np.where(rng == 0, 1, rng)[None, :], 0
+            ).astype(np.int32)
+            yield pd.DataFrame({"id": pdf["id"], "codes": list(codes)})
+
+    quant = corpus.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.expr(_pq_micro_expr(vec_col, dim)).alias("vm"),
+    )
+    return quant.mapInPandas(kernel, "id bigint, codes array<int>")
+
+
+def topk_ip_sq8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k inner-product search over SQ8 codes with asymmetric
+    reconstruction: queries stay exact micro-units, and the score
+    against a coded vector is the exact-integer inner product with its
+    affine reconstruction, rescaled by 255 to stay integral —
+
+        score_d = q_d · (min_d·255 + code_d·(max_d − min_d))
+
+    i.e. score = 255·dot(q, min) + dot(q ⊙ range, code): one constant
+    per query plus an int64 code-vector dot — computed as an exact
+    integer matmul (integer ops are order-independent, so numpy matmul
+    is engine-exact here; no float-order caveat applies).
+
+    Returns (query_id, nbr_id, score_scaled, rank), ties to the
+    smallest nbr_id.  DuckDB-hash-checkable end to end.
+
+    Scale shape: minmax (2·dim ints) and the query batch (a BOUNDED
+    query set — the ANN serving shape, same contract as the IVF/PQ
+    tiers' broadcast probe side) ride the kernel closure; the corpus
+    is ONE mapInPandas pass that emits only each batch's per-query
+    top-k (tournament top-k — the global winner set is a subset of
+    per-batch winners under the same (score desc, id asc) order), so
+    what shuffles into the final window is batches·Q·k candidate rows,
+    never n·Q scores, and never vectors."""
+    mins, maxs = _sq8_minmax(corpus, dim, vec_col)
+    rng = maxs - mins
+    codes = sq8_encode(corpus, dim, id_col, vec_col, minmax=(mins, maxs))
+
+    qrows = (
+        queries.select(
+            F.col(query_id_col).cast("bigint").alias("qid"),
+            F.expr(_pq_micro_expr(vec_col, dim)).alias("vm"),
+        )
+        .collect()
+    )
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    qm = np.stack([np.asarray(r["vm"], dtype=np.int64) for r in qrows])
+    w = qm * rng[None, :]                      # (Q, dim) int64
+    const = (qm * (mins * 255)[None, :]).sum(axis=1)  # (Q,) int64
+    kk = int(k)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cm = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["codes"]])
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            scores = cm @ w.T + const[None, :]      # (n, Q) exact int64
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(qids)):
+                col = scores[:, j]
+                order = np.lexsort((ids, -col))[:kk]
+                out_q.extend([qids[j]] * len(order))
+                out_n.extend(ids[order])
+                out_s.extend(col[order])
+            yield pd.DataFrame({
+                "query_id": pd.Series(out_q, dtype="int64"),
+                "nbr_id": pd.Series(out_n, dtype="int64"),
+                "score_scaled": pd.Series(out_s, dtype="int64"),
+            })
+
+    cand = codes.mapInPandas(
+        kernel, "query_id bigint, nbr_id bigint, score_scaled bigint"
+    )
+    w_ = Window.partitionBy("query_id").orderBy(
+        F.col("score_scaled").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w_))
+        .filter(F.col("rank") <= kk)
+        .select("query_id", "nbr_id", "score_scaled", "rank")
+    )

@@ -1301,3 +1301,62 @@ def sim_topk_ivfpq(spark, sf):
         emb, queries, dim=64, k=5, m=8, ks=16,
         centroid_stride=25, n_probe=3, rerank=20,
     )
+
+
+@register(
+    "sim_topk_ip_sq8",
+    "G3",
+    r"""
+    WITH c AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x*1000000+0.5) AS BIGINT)) AS vm
+      FROM embeddings),
+    dv AS (
+      SELECT vec_id, UNNEST(vm) AS val, UNNEST(range(1, len(vm) + 1)) AS d
+      FROM c),
+    mm AS (SELECT d, min(val) AS mn, max(val) AS mx FROM dv GROUP BY d),
+    code AS (
+      SELECT dv.vec_id, dv.d, mm.mn, mm.mx,
+             CASE WHEN mm.mx > mm.mn
+                  THEN ((dv.val - mm.mn) * 255) // (mm.mx - mm.mn)
+                  ELSE 0 END AS cd
+      FROM dv JOIN mm USING (d)),
+    q AS (SELECT vec_id AS query_id, d, val AS qv FROM dv WHERE vec_id % 50 = 0),
+    s AS (
+      SELECT q.query_id, code.vec_id AS nbr_id,
+             CAST(SUM(q.qv * (code.mn * 255 + code.cd * (code.mx - code.mn)))
+                  AS BIGINT) AS score_scaled
+      FROM q JOIN code ON q.d = code.d
+      GROUP BY 1, 2),
+    r AS (
+      SELECT query_id, nbr_id, score_scaled,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score_scaled DESC, nbr_id ASC) AS rank
+      FROM s)
+    SELECT query_id, nbr_id, score_scaled, CAST(rank AS INTEGER) AS rank
+    FROM r WHERE rank <= 5
+    """,
+    doc="SQ8 scalar-quantization top-k (r11 — the byte-per-dimension "
+    "tier between PQ codes and exact float, faiss's SQ8): per-dim "
+    "affine codes ((v-min)*255 fdiv range over the corpus per-dim "
+    "min/max, exact int64 micro-units, non-negative numerators so "
+    "floor==truncate on every engine), asymmetric scoring 255*dot(q,"
+    "min) + dot(q*range, code) as an EXACT integer matmul (integer "
+    "ops are order-independent — no float-order caveat), ties to the "
+    "smallest id.  Oracle recomputes minmax/codes/scores identically.  "
+    "Plan: one minmax aggregate (2*dim ints collected), one encode "
+    "pass, one scoring pass that emits only per-batch per-query top-k "
+    "(tournament top-k: the global winner set is a subset of "
+    "per-batch winners under the same order), final window over "
+    "batches*Q*k candidates — the corpus never shuffles, vectors "
+    "never move; operators/similarity.py sq8_encode/topk_ip_sq8",
+)
+def sim_topk_ip_sq8(spark, sf):
+    from esgopeta_spark.operators.similarity import topk_ip_sq8
+
+    emb = T(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return topk_ip_sq8(emb, queries, dim=64, k=5)

@@ -3251,3 +3251,46 @@ def test_holt_winters_seasonal_phase_and_floor_semantics(spark):
     assert got == want
     assert any(t < 0 for _, t, _, _ in want.values())
     assert any(sc != 0 for _, _, sc, _ in want.values())
+
+
+def test_sq8_recall_and_tournament_topk(spark, sf_dir):
+    """SQ8 pins: (1) recall vs the exact inner-product top-5 is high —
+    byte-per-dim quantization is far finer than PQ's 16-centroid seed
+    codebook, this is WHY the tier exists; (2) the tournament top-k is
+    partition-invariant (repartitioned corpus gives identical rows);
+    (3) a degenerate constant dimension codes to 0 without dividing."""
+    import numpy as np
+
+    from esgopeta_spark.operators.similarity import sq8_encode, topk_ip_sq8
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got_rows = topk_ip_sq8(emb, queries, dim=64, k=5).collect()
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    truth = {}
+    for qid in [r["query_id"] for r in queries.collect()]:
+        scores = sorted(
+            ((float(vecs[qid] @ v), -i) for i, v in vecs.items()), reverse=True
+        )[:5]
+        truth[qid] = {-i for _, i in scores}
+    got = {}
+    for r in got_rows:
+        got.setdefault(r["query_id"], set()).add(r["nbr_id"])
+    hits = sum(len(got[q] & truth[q]) for q in truth)
+    recall = hits / (5 * len(truth))
+    assert recall >= 0.9, f"SQ8 recall too low: {recall}"
+
+    # partition invariance of the tournament (different batch borders)
+    reparted = topk_ip_sq8(emb.repartition(13), queries, dim=64, k=5).collect()
+    assert {tuple(r) for r in reparted} == {tuple(r) for r in got_rows}
+
+    # degenerate dim: constant column -> code 0 everywhere, no div-by-0
+    rows = [(i, [float(i), 2.5]) for i in range(6)]
+    small = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    codes = {r["id"]: r["codes"] for r in sq8_encode(small, dim=2).collect()}
+    assert all(c[1] == 0 for c in codes.values())
+    assert codes[0][0] == 0 and codes[5][0] == 255
