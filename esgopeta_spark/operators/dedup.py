@@ -1294,3 +1294,52 @@ def remove_duplicated_spans(
             F.size(kept).cast("bigint").alias("n_kept_words"),
         )
     )
+
+
+def incremental_dedup(
+    prior: DataFrame,
+    incr: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Snapshot-INCREMENTAL exact dedup — the operational shape at
+    100 TB, where yesterday's keeper set is already materialized and
+    only today's crawl increment is new work: each increment row dedups
+    (a) against the prior store (prior ALWAYS wins — a re-crawled
+    duplicate never displaces an existing keeper, so downstream shard
+    assignments and training mixes stay stable across snapshots) and
+    (b) within the increment (lowest id wins, the exact_dedup rule).
+
+    Returns one verdict row per increment doc: (id, status, keeper_id)
+    with status 'dup_prior' (hash already kept in prior — keeper is the
+    prior keeper), 'new' (first of its hash, unseen in prior — its own
+    keeper), or 'dup_incr' (loses to a lower-id increment row).
+
+    Scale shape: prior collapses once to (hash, keeper) — in practice
+    that relation IS the store you maintain between snapshots; the
+    increment takes one hash window + one hash-equi left join against
+    it.  Work is O(increment) plus the join probe — the whole point:
+    the full corpus never rescans.  sha2-256 keys (the exact_dedup
+    birthday-bound argument)."""
+    h = F.sha2(normalize_text(F.col(text_col)), 256)
+    prior_keep = (
+        prior.select(h.alias("_th"), F.col(id_col))
+        .groupBy("_th")
+        .agg(F.min(id_col).alias("_prior_keeper"))
+    )
+    iw = Window.partitionBy("_th")
+    im = incr.select(F.col(id_col), h.alias("_th")).withColumn(
+        "_incr_min", F.min(id_col).over(iw)
+    )
+    out = im.join(prior_keep, "_th", "left")
+    status = (
+        F.when(F.col("_prior_keeper").isNotNull(), F.lit("dup_prior"))
+        .when(F.col(id_col) == F.col("_incr_min"), F.lit("new"))
+        .otherwise(F.lit("dup_incr"))
+    )
+    return out.select(
+        id_col,
+        status.alias("status"),
+        F.coalesce("_prior_keeper", "_incr_min").cast("bigint")
+        .alias("keeper_id"),
+    )

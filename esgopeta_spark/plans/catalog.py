@@ -1964,3 +1964,60 @@ def corpus_adaptive_length_filter(spark, sf):
         .groupBy("source")
         .agg(F.count("*").alias("n_kept"), F.sum("n_chars").cast("bigint").alias("sum_chars_kept"))
     )
+
+
+@register(
+    "dedup_incremental_exact",
+    "G1,E3",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN 'dup family ' || (doc_id % 17)
+                  ELSE coalesce(text, '') || ' uniq ' || doc_id END AS t
+      FROM documents
+    ), n AS (
+      SELECT doc_id, regexp_replace(lower(trim(t)), '\s+', ' ', 'g') AS k
+      FROM d
+    ), prior AS (
+      SELECT k, MIN(doc_id) AS prior_keeper
+      FROM n WHERE doc_id % 3 = 0 GROUP BY k
+    ), im AS (
+      SELECT doc_id, k, MIN(doc_id) OVER (PARTITION BY k) AS incr_min
+      FROM n WHERE doc_id % 3 <> 0
+    )
+    SELECT im.doc_id,
+           CASE WHEN prior_keeper IS NOT NULL THEN 'dup_prior'
+                WHEN im.doc_id = incr_min THEN 'new'
+                ELSE 'dup_incr' END AS status,
+           CAST(coalesce(prior_keeper, incr_min) AS BIGINT) AS keeper_id
+    FROM im LEFT JOIN prior ON im.k = prior.k
+    """,
+    doc="snapshot-incremental exact dedup (r11 — the operational 100 TB "
+    "shape: only the crawl increment is new work, the full corpus never "
+    "rescans): ids%3==0 are yesterday's store, the rest today's "
+    "increment; id%5==0 docs share forced 'dup family' texts spanning "
+    "both snapshots.  Prior ALWAYS wins (re-crawled dups never displace "
+    "existing keepers — shard stability across snapshots), increment "
+    "ties break to lowest id; every increment row gets a visible "
+    "verdict (new / dup_prior / dup_incr) with its keeper.  Spark keys "
+    "sha2-256 of normalized text, the oracle joins on the normalized "
+    "text itself — equal up to a 256-bit collision.  Plan: prior "
+    "collapses once to (hash, keeper) = the store you'd maintain "
+    "anyway; ONE hash window + ONE hash-equi left join, work "
+    "O(increment); operators/dedup.py incremental_dedup",
+)
+def dedup_incremental_exact(spark, sf):
+    from esgopeta_spark.operators.dedup import incremental_dedup
+
+    did = F.col("doc_id")
+    t = F.when(
+        did % 5 == 0,
+        F.concat(F.lit("dup family "), (did % 17).cast("string")),
+    ).otherwise(
+        F.concat(F.coalesce(F.col("text"), F.lit("")),
+                 F.lit(" uniq "), did.cast("string"))
+    )
+    d = T(spark, sf, "documents").select("doc_id", t.alias("text"))
+    prior = d.where(did % 3 == 0)
+    incr = d.where(did % 3 != 0)
+    return incremental_dedup(prior, incr)

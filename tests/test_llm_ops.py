@@ -3294,3 +3294,44 @@ def test_sq8_recall_and_tournament_topk(spark, sf_dir):
     codes = {r["id"]: r["codes"] for r in sq8_encode(small, dim=2).collect()}
     assert all(c[1] == 0 for c in codes.values())
     assert codes[0][0] == 0 and codes[5][0] == 255
+
+
+def test_incremental_dedup_prior_wins_and_stability(spark):
+    """Incremental-dedup contract: a re-crawled duplicate NEVER
+    displaces a prior keeper even when the increment id is lower (the
+    shard-stability guarantee), within-increment ties break to lowest
+    id, and every increment row gets exactly one verdict."""
+    from esgopeta_spark.operators.dedup import incremental_dedup
+
+    prior = spark.createDataFrame(
+        [(100, "shared text"), (101, "prior only")],
+        "doc_id: long, text: string",
+    )
+    incr = spark.createDataFrame(
+        [
+            (1, "Shared   TEXT"),   # normalizes equal -> dup_prior, keeper 100
+            (2, "fresh a"),          # new
+            (3, "fresh a"),          # dup_incr, keeper 2
+            (4, "fresh b"),          # new
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {r["doc_id"]: (r["status"], r["keeper_id"])
+           for r in incremental_dedup(prior, incr).collect()}
+    assert got == {
+        1: ("dup_prior", 100),  # id 1 < 100 but prior still wins
+        2: ("new", 2),
+        3: ("dup_incr", 2),
+        4: ("new", 4),
+    }
+
+
+def test_incremental_dedup_plan_posture(spark, sf_dir):
+    """One hash-equi LEFT join against the collapsed prior store, one
+    hash window; no cartesian, no nested loop."""
+    from esgopeta_spark.plans import REGISTRY
+    from tests.test_plans import plan_of
+
+    p = plan_of(REGISTRY["dedup_incremental_exact"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p, p
