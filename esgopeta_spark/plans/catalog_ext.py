@@ -1167,3 +1167,58 @@ def ts_holt_winters_daily(spark, sf):
     from esgopeta_spark.operators.timeseries import holt_winters
 
     return holt_winters(T(spark, sf, "events"))
+
+
+@register(
+    "io_compaction_plan",
+    "E1,E5",
+    r"""
+    WITH f AS (
+      SELECT o_orderpriority AS part, o_orderkey AS file_id,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS bytes
+      FROM orders
+    ), p AS (
+      SELECT part, file_id, bytes,
+             coalesce(SUM(bytes) OVER (PARTITION BY part ORDER BY file_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS before
+      FROM f
+    ), g AS (
+      SELECT part, file_id, bytes,
+             (before - (before % 50000000)) // 50000000 AS merge_group
+      FROM p
+    )
+    SELECT part, file_id, bytes, CAST(merge_group AS BIGINT) AS merge_group,
+           CAST(SUM(bytes) OVER (PARTITION BY part, merge_group) AS BIGINT)
+             AS group_bytes,
+           CAST(COUNT(*) OVER (PARTITION BY part, merge_group) AS BIGINT)
+             AS group_files,
+           CAST(CASE WHEN COUNT(*) OVER (PARTITION BY part, merge_group) = 1
+                      AND bytes >= 50000000 THEN 1 ELSE 0 END AS INTEGER)
+             AS already_compact
+    FROM g
+    """,
+    doc="small-file compaction planning (r11 — the nightly table-"
+    "maintenance op of every 100 TB lakehouse: streaming commits leave "
+    "KB-scale files that scans pay per-open for): within each "
+    "partition, files pack greedily in deterministic id order by the "
+    "pure-window quotient merge_group = running_sum_before div target "
+    "— every group lands within one file of the target, NO sequential "
+    "driver state; emits the work order (group bytes/file counts, "
+    "already-compact markers).  Fixture treats orders as the manifest "
+    "(priority = partition, totalprice cents = file bytes, 50 MB "
+    "target).  Oracle runs the identical window arithmetic.  Plan: two "
+    "windows on the manifest's natural clustering — manifests are "
+    "rows-about-files, so this costs nothing at any table size; "
+    "sources/io.py compaction_plan",
+)
+def io_compaction_plan(spark, sf):
+    from esgopeta_spark.sources.io import compaction_plan
+
+    f = T(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("part"),
+        F.col("o_orderkey").alias("file_id"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint").alias("bytes"),
+    )
+    return compaction_plan(f, target_bytes=50_000_000)

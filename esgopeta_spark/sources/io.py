@@ -33,7 +33,7 @@ import json
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from esgopeta_spark.types import QUAD_SCHEMA
@@ -352,3 +352,61 @@ def write_bucketed_table(
     if sort_col:
         w = w.sortBy(sort_col)
     w.saveAsTable(table)
+
+
+def compaction_plan(
+    files: DataFrame,
+    part_col: str = "part",
+    id_col: str = "file_id",
+    bytes_col: str = "bytes",
+    target_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Small-file COMPACTION planning — the table-maintenance op every
+    100 TB lakehouse runs nightly (a day of streaming commits leaves
+    thousands of KB-scale files per partition; scans then pay per-file
+    open cost): within each partition, files are taken in deterministic
+    id order and packed greedily by cumulative size —
+
+        merge_group = (running_sum_before_this_file) div target
+
+    — a pure-window quotient pack: every group lands within one file of
+    ``target_bytes`` (a file straddling a boundary joins the earlier
+    group), no per-group sequential state, so the plan itself is one
+    window over the manifest, not a driver loop.  Emits one row per
+    input file with its (partition, merge_group) assignment plus the
+    group's total bytes and file count — the work order a compactor
+    executes.  Single-file groups whose file already exceeds the target
+    are left alone by the executor (they're already compact); the plan
+    marks them ``already_compact = 1``.
+
+    Scale shape: manifests are rows-about-files (millions of rows for
+    billions of data rows), so the two windows here — the running sum
+    and the per-group rollup — cost nothing at any table size; both key
+    on the partition column the manifest is naturally clustered by."""
+    w = Window.partitionBy(part_col).orderBy(F.col(id_col).asc())
+    before = F.coalesce(
+        F.sum(bytes_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    planned = files.select(
+        F.col(part_col),
+        F.col(id_col),
+        F.col(bytes_col).cast("bigint").alias(bytes_col),
+        # integer quotient via divisible numerator (house discipline: no
+        # float division crosses an oracle boundary, whatever the range)
+        ((before - (before % F.lit(int(target_bytes))))
+         / F.lit(int(target_bytes))).cast("bigint").alias("merge_group"),
+    )
+    gw = Window.partitionBy(part_col, "merge_group")
+    return planned.select(
+        part_col,
+        id_col,
+        bytes_col,
+        "merge_group",
+        F.sum(bytes_col).over(gw).cast("bigint").alias("group_bytes"),
+        F.count("*").over(gw).cast("bigint").alias("group_files"),
+        (
+            (F.count("*").over(gw) == 1)
+            & (F.col(bytes_col) >= F.lit(int(target_bytes)))
+        ).cast("int").alias("already_compact"),
+    )

@@ -275,3 +275,30 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_compaction_plan_semantics(spark):
+    """Quotient-pack contract: groups fill to within one file of the
+    target, a straddling file joins the earlier group, oversized
+    singletons mark already_compact, deterministic in id order."""
+    from esgopeta_spark.sources.io import compaction_plan
+
+    rows = [
+        # partition A, target 100: 60+60 straddles -> same group 0;
+        # then 30 starts group 1 (before=120); 500 oversized alone later
+        ("A", 1, 60), ("A", 2, 60), ("A", 3, 30), ("A", 4, 500),
+        # partition B: a lone oversized file is its own compact group
+        ("B", 1, 1000),
+        # partition C: tiny files all pack into group 0
+        ("C", 1, 10), ("C", 2, 10), ("C", 3, 10),
+    ]
+    df = spark.createDataFrame(rows, "part: string, file_id: long, bytes: long")
+    got = {(r["part"], r["file_id"]): (r["merge_group"], r["group_bytes"],
+                                       r["group_files"], r["already_compact"])
+           for r in compaction_plan(df, target_bytes=100).collect()}
+    assert got[("A", 1)] == (0, 120, 2, 0)
+    assert got[("A", 2)] == (0, 120, 2, 0)   # before=60 < 100: straddles in
+    assert got[("A", 3)] == (1, 530, 2, 0)   # before=120 -> group 1
+    assert got[("A", 4)] == (1, 530, 2, 0)   # before=150 -> still group 1
+    assert got[("B", 1)] == (0, 1000, 1, 1)  # oversized singleton: compact
+    assert got[("C", 1)][0] == 0 and got[("C", 3)] == (0, 30, 3, 0)
