@@ -2880,3 +2880,111 @@ def feed_entries(
         return xml.map(parse_feed)
 
     return df.select(F.col(id_col), _entries(F.col(xml_col)).alias("entries"))
+
+
+def synth_conditional_warc(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    uri_col: str = "uri",
+    page_col: str = "page",
+    out_col: str = "warc",
+) -> DataFrame:
+    """Encoder-twin fixture for the conditional-fetch entry: ids with
+    id%3==0 answer the revalidation with ``304 Not Modified`` (empty
+    body + ETag — the bandwidth the conditional GET saved); the rest
+    ship a fresh ``200`` body.  One WARC response record per doc."""
+
+    @F.pandas_udf("binary")
+    def _build(did: pd.Series, uri: pd.Series, page: pd.Series) -> pd.Series:
+        def one(d, u, p):
+            d = int(d)
+            if d % 3 == 0:
+                payload = (
+                    f'HTTP/1.1 304 Not Modified\r\nETag: "e{d}"\r\n\r\n'
+                ).encode("latin-1")
+            else:
+                body = (p if isinstance(p, str) else "").encode("utf-8")
+                payload = (
+                    f"HTTP/1.1 200 OK\r\nContent-Length: {len(body)}\r\n\r\n"
+                ).encode("latin-1") + body
+            return build_warc_record(u if isinstance(u, str) else "", payload)
+
+        return pd.Series([one(d, u, p) for d, u, p in zip(did, uri, page)])
+
+    return df.withColumn(
+        out_col, _build(F.col(id_col), F.col(uri_col), F.col(page_col))
+    )
+
+
+def conditional_fetch_merge(
+    warc: DataFrame,
+    store: DataFrame,
+    blob_col: str = "warc",
+    id_col: str = "doc_id",
+    store_url_col: str = "url",
+    store_md5_col: str = "page_md5",
+) -> DataFrame:
+    """The receive side of HTTP revalidation (RFC 9110 §15.4.5 — the
+    step after ``warc_revalidation_plan`` sends its conditional GETs):
+    a ``304 Not Modified`` carries NO body, so the document is the
+    STORED copy — resolve it with one url-equi left join against the
+    fetch store; a ``200`` ships fresh bytes (source 'network'); a 304
+    whose url the store has lost emits a VISIBLE 'miss' row (refetch
+    unconditionally), never a silent drop.  One Arrow parse kernel +
+    ONE equi join for every row class — no split/re-union, so the
+    kernel relation is consumed once.  Poison records quarantine."""
+    import hashlib
+
+    @F.pandas_udf(
+        "array<struct<uri: string, status: int, body_md5: string>>"
+    )
+    def _parse(s: pd.Series) -> pd.Series:
+        def one(b):
+            try:
+                recs = parse_warc(maybe_gunzip_warc(bytes(b) if b is not None else b""))
+            except ValueError as exc:
+                return [{"uri": str(exc)[:80], "status": -1, "body_md5": ""}]
+            out = []
+            for r in recs:
+                try:
+                    status, _h, body = parse_http_response(r["payload"])
+                    out.append({
+                        "uri": r["uri"], "status": status,
+                        "body_md5": hashlib.md5(bytes(body)).hexdigest(),
+                    })
+                except ValueError:
+                    out.append({"uri": r["uri"], "status": -1, "body_md5": ""})
+            return out
+
+        return pd.Series([one(b) for b in s])
+
+    parsed = (
+        warc.select(F.col(id_col), F.explode(_parse(F.col(blob_col))).alias("r"))
+        .select(id_col, "r.uri", "r.status", "r.body_md5")
+    )
+    st = store.select(
+        F.col(store_url_col).alias("uri"),
+        F.col(store_md5_col).alias("_stored_md5"),
+    )
+    j = parsed.join(st, "uri", "left")
+    source = (
+        F.when(F.col("status") == 200, F.lit("network"))
+        .when(
+            (F.col("status") == 304) & F.col("_stored_md5").isNotNull(),
+            F.lit("cache"),
+        )
+        .when(F.col("status") == 304, F.lit("miss"))
+        .otherwise(F.lit("error"))
+    )
+    page_md5 = (
+        F.when(F.col("status") == 200, F.col("body_md5"))
+        .when(
+            (F.col("status") == 304) & F.col("_stored_md5").isNotNull(),
+            F.col("_stored_md5"),
+        )
+        .otherwise(F.lit(""))
+    )
+    return j.select(
+        id_col, "uri", "status",
+        source.alias("fetch_source"), page_md5.alias("page_md5"),
+    )

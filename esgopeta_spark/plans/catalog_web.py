@@ -2405,3 +2405,61 @@ def pipeline_policy_frontier(spark, sf):
         "host", "url_canon", "n_sources",
         ((F.row_number().over(w) - 1) / 4).cast("bigint").alias("fetch_wave"),
     )
+
+
+@register(
+    "web_conditional_fetch",
+    "G4,E3",
+    r"""
+    WITH b AS (
+      SELECT doc_id,
+             'https://site' || (doc_id % 40) || '.example.com/articles/'
+               || doc_id || '?page=' || (doc_id % 7) AS uri,
+             md5('cached:' || doc_id || ':' || coalesce(text, '')) AS old_md5,
+             md5('fresh:' || doc_id || ':' || coalesce(text, '')) AS new_md5
+      FROM documents
+    )
+    SELECT doc_id, uri, CAST(304 AS INTEGER) AS status,
+           CASE WHEN doc_id % 15 = 3 THEN 'miss' ELSE 'cache' END
+             AS fetch_source,
+           CASE WHEN doc_id % 15 = 3 THEN '' ELSE old_md5 END AS page_md5
+    FROM b WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, uri, CAST(200 AS INTEGER), 'network', new_md5
+    FROM b WHERE doc_id % 3 <> 0
+    """,
+    doc="conditional-GET receive side (r11 — closes the revalidation "
+    "loop web_revalidation_plan opens, RFC 9110 §15.4.5): ids%3==0 "
+    "answer 304 Not Modified (no body — the saved bandwidth) and "
+    "resolve to the STORED copy via one url-equi left join against the "
+    "fetch store; the rest ship fresh 200 bodies (source 'network'); "
+    "ids%15==3 are 304s whose store row was lost — a VISIBLE 'miss' "
+    "verdict (refetch unconditionally), never a silent drop.  All row "
+    "classes flow through ONE join (no split/re-union — the parse "
+    "kernel is consumed once).  Oracle recomputes every verdict and "
+    "both md5 families in closed form.  Plan: one Arrow kernel + one "
+    "equi join on the store's natural url key; operators/web.py "
+    "conditional_fetch_merge",
+)
+def web_conditional_fetch(spark, sf):
+    from esgopeta_spark.operators.web import (
+        conditional_fetch_merge,
+        synth_conditional_warc,
+    )
+
+    did = F.col("doc_id")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    docs = T(spark, sf, "documents")
+    fixed = synth_conditional_warc(
+        docs.select(
+            "doc_id", _seed_url(did).alias("uri"),
+            F.concat(F.lit("fresh:"), did.cast("string"), F.lit(":"), t)
+            .alias("page"),
+        )
+    ).drop("page")
+    store = docs.where(did % 15 != 3).select(
+        _seed_url(did).alias("url"),
+        F.md5(F.concat(F.lit("cached:"), did.cast("string"), F.lit(":"), t))
+        .alias("page_md5"),
+    )
+    return conditional_fetch_merge(fixed, store)

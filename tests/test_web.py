@@ -1742,3 +1742,40 @@ def test_policy_frontier_plan_posture(spark, sf_dir):
     p = plan_of(REGISTRY["pipeline_policy_frontier"].fn(spark, sf_dir))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
     assert "Union" in p and "Window" in p, p
+
+
+def test_conditional_fetch_merge_semantics(spark):
+    """Receive-side revalidation pins: 304 resolves to the stored copy,
+    200 to the network body, a store-less 304 is a VISIBLE miss, a
+    poison record a visible error row; one equi join, no cartesian."""
+    import hashlib
+
+    from esgopeta_spark.operators.web import (
+        build_warc_record,
+        conditional_fetch_merge,
+    )
+
+    def warc(uri, payload):
+        return build_warc_record(uri, payload)
+
+    rows = [
+        (0, warc("https://h/a", b'HTTP/1.1 304 Not Modified\r\nETag: "x"\r\n\r\n')),
+        (1, warc("https://h/b", b"HTTP/1.1 200 OK\r\n\r\nfresh body")),
+        (2, warc("https://h/c", b'HTTP/1.1 304 Not Modified\r\n\r\n')),  # no store
+        (3, b"not a warc at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, warc: binary")
+    store = spark.createDataFrame(
+        [("https://h/a", "cafecafe"), ("https://h/b", "ignored")],
+        "url: string, page_md5: string",
+    )
+    out = conditional_fetch_merge(df, store)
+    got = {r["doc_id"]: (r["status"], r["fetch_source"], r["page_md5"])
+           for r in out.collect()}
+    assert got[0] == (304, "cache", "cafecafe")
+    assert got[1] == (200, "network",
+                      hashlib.md5(b"fresh body").hexdigest())
+    assert got[2] == (304, "miss", "")
+    assert got[3][1] == "error" and got[3][2] == ""
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
