@@ -1360,3 +1360,40 @@ def sim_topk_ip_sq8(spark, sf):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return topk_ip_sq8(emb, queries, dim=64, k=5)
+
+
+@register(
+    "stream_join_attribution_outer",
+    "F1,E3",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id,
+           epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS c_us,
+           CASE WHEN c.value IS NOT NULL
+                THEN CAST(floor(c.value * 1000000 + 0.5) AS BIGINT) END
+             AS click_value_micro,
+           CAST(CASE WHEN c.ts IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+             AS attributed
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 DAY
+    """,
+    doc="LEFT OUTER stream-stream interval join (r11 — the attribution "
+    "shape that also reports NON-converted purchases, the conversion-"
+    "rate denominator; batch form graded here, watermark-expiry "
+    "null-emission pinned batch==stream in test_streaming): unmatched "
+    "purchases emit once with null click fields and attributed=0.  On "
+    "a stream the null row can only emit once the right watermark "
+    "passes the window end — the case that NEEDS the watermark; the "
+    "two-sided event-time bound stays the state-eviction horizon; "
+    "streaming/joins.py interval_join_outer",
+)
+def stream_join_attribution_outer(spark, sf):
+    from esgopeta_spark.streaming.joins import purchase_click_attribution_outer
+
+    ev = T(spark, sf, "events")
+    return purchase_click_attribution_outer(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+        lookback="1 day",
+    )

@@ -1599,3 +1599,75 @@ def test_streaming_holt_winters_matches_batch(spark, sf_dir):
                                        r["forecast_next_cents"])
             for r in holt_winters(static).collect()}
     assert got == want and got
+
+
+def test_stream_stream_outer_join_emits_unmatched_at_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream join: matched pairs equal the batch
+    result AND the unmatched purchases' null rows actually emit once
+    the watermark passes their window — the semantics that make the
+    outer form need the watermark at all.  Far-future flush events
+    (filtered from the comparison) advance both watermarks across
+    micro-batches.  (The flush rows carry a REAL user id and are
+    excluded by purchase_id: a predicate on a left-side column — like
+    the user_id>=0 guard this test first tried — gets pushed through
+    the outer join to BOTH scans, silently dropping the flush rows at
+    the source so the watermark never moves; excluding on the OUTPUT
+    key after collect keeps them watermark-visible.)"""
+    import datetime
+
+    from esgopeta_spark.streaming.joins import purchase_click_attribution_outer
+
+    t0 = datetime.datetime(2024, 5, 1, 12, 0, 0)
+
+    def ev(eid, uid, kind, ts, value=1.0):
+        return (eid, ts, uid, kind, value, None)
+
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    purchases = [
+        ev(1, 10, "purchase", t0),                                  # matched
+        ev(2, 11, "purchase", t0 + datetime.timedelta(hours=1)),    # unmatched
+        ev(3, 12, "purchase", t0 + datetime.timedelta(hours=2)),    # matched
+    ]
+    clicks = [
+        ev(100, 10, "click", t0 - datetime.timedelta(hours=3), 2.5),
+        ev(101, 12, "click", t0 - datetime.timedelta(hours=1), 1.25),
+        ev(102, 13, "click", t0, 9.9),  # no purchase: right-only, no row
+    ]
+    flush1 = [ev(900, 999, "purchase", t0 + datetime.timedelta(days=10)),
+              ev(901, 999, "click", t0 + datetime.timedelta(days=10))]
+    flush2 = [ev(902, 999, "purchase", t0 + datetime.timedelta(days=20)),
+              ev(903, 999, "click", t0 + datetime.timedelta(days=20))]
+
+    static_p = spark.createDataFrame(purchases + flush1 + flush2, schema)
+    static_c = spark.createDataFrame(clicks + flush1 + flush2, schema)
+    want = {
+        tuple(r)
+        for r in purchase_click_attribution_outer(
+            static_p.filter("event_type = 'purchase'"),
+            static_c.filter("event_type = 'click'"),
+        ).collect()
+        if r["purchase_id"] < 900
+    }
+    assert {(w[0], w[5]) for w in want} == {(1, 1), (3, 1), (2, 0)}
+
+    import time
+
+    pdir, cdir = str(tmp_path / "p"), str(tmp_path / "c")
+    for pb, cb in zip([purchases, flush1, flush2], [clicks, flush1, flush2]):
+        spark.createDataFrame(pb, schema).coalesce(1).write.mode(
+            "append").parquet(pdir)
+        spark.createDataFrame(cb, schema).coalesce(1).write.mode(
+            "append").parquet(cdir)
+        time.sleep(1.1)  # distinct mtimes: file-source admission order
+    sp = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(pdir)
+    sc = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(cdir)
+    out = purchase_click_attribution_outer(
+        sp.filter("event_type = 'purchase'"), sc.filter("event_type = 'click'")
+    )
+    run_stream_to_memory(out, "attribouter", mode="append")
+    got = {tuple(r) for r in spark.sql("select * from attribouter").collect()
+           if r["purchase_id"] < 900}
+    assert got == want, (got, want)
+    # the unmatched purchase really came through the null-emission path
+    assert (2, 11, None) in {(g[0], g[1], g[3]) for g in got}
