@@ -483,6 +483,18 @@ def canonicalize_url(url: str) -> str:
     scheme = scheme.lower()
     host, sep, port = hostport.lower().partition(":")
     host = host.rstrip(".")
+    if not host.isascii():
+        # IDN: non-ASCII labels fold to their punycode ACE form (RFC
+        # 3490 via the stdlib idna codec) so 'münchen.example' and its
+        # xn-- wire form dedup to ONE canonical key; an unencodable
+        # label keeps the host as-is (total, never raises)
+        try:
+            host = ".".join(
+                l if l.isascii() else l.encode("idna").decode("ascii")
+                for l in host.split(".")
+            )
+        except UnicodeError:
+            pass
     if not sep or port == _DEFAULT_PORTS.get(scheme) or port == "":
         hostport = host
     else:

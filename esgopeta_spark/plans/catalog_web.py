@@ -2463,3 +2463,61 @@ def web_conditional_fetch(spark, sf):
         .alias("page_md5"),
     )
     return conditional_fetch_merge(fixed, store)
+
+
+@register(
+    "web_idn_canonical",
+    "G1,G4",
+    r"""
+    WITH h AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN 'xn--mnchen-3ya.example'
+               WHEN 1 THEN 'xn--bcher-kva.example'
+               WHEN 2 THEN 'ascii.example'
+               ELSE 'docs.xn--r8jz45g.example' END AS host
+      FROM documents
+    )
+    SELECT doc_id,
+           'https://' || host || '/p/' || doc_id AS url_canon,
+           host,
+           CAST(CASE WHEN doc_id % 4 = 2 THEN 0 ELSE 1 END AS INTEGER)
+             AS was_idn
+    FROM h
+    """,
+    doc="IDN host canonicalization (r11 fifth wave, RFC 3490 — a real "
+    "frontier sees the SAME site as both 'münchen.example' and its "
+    "xn-- wire form, and URL-level dedup must fold them to one key): "
+    "fixture urls cycle Unicode hosts MÜNCHEN.example / "
+    "bücher.example / an ASCII control / a mixed-label docs.例え"
+    ".example (the non-ASCII label folds, the ASCII label passes), "
+    "with uppercase + trailing-dot + :443 adversaria riding along; "
+    "the canonicalizer lowercases, strips, then punycodes each "
+    "non-ASCII label via the stdlib idna codec (unencodable labels "
+    "keep the host — total).  Oracle maps each row class to its "
+    "KNOWN ACE literal — the punycode algorithm itself is pinned by "
+    "the fixed expected strings, no IDN machinery oracle-side.  Plan: "
+    "one Arrow kernel, shuffle-free; stateless (stream-safe); "
+    "operators/web.py canonicalize_url",
+)
+def web_idn_canonical(spark, sf):
+    from esgopeta_spark.operators.web import url_canonicalize
+
+    did = F.col("doc_id")
+    host = (
+        F.when(did % 4 == 0, F.lit("MÜNCHEN.example."))
+        .when(did % 4 == 1, F.lit("bücher.example"))
+        .when(did % 4 == 2, F.lit("ASCII.example"))
+        .otherwise(F.lit("docs.例え.example"))
+    )
+    url = F.concat(
+        F.lit("HTTPS://"), host, F.lit(":443/p/"), did.cast("string")
+    )
+    d = T(spark, sf, "documents").select("doc_id", url.alias("url"))
+    out = url_canonicalize(d).drop("url")
+    return out.select(
+        "doc_id", "url_canon",
+        F.regexp_extract("url_canon", r"^https://([^/]+)", 1).alias("host"),
+        F.when(did % 4 == 2, F.lit(0)).otherwise(F.lit(1))
+        .cast("int").alias("was_idn"),
+    )

@@ -1779,3 +1779,26 @@ def test_conditional_fetch_merge_semantics(spark):
     assert got[3][1] == "error" and got[3][2] == ""
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_idn_canonicalization_matrix():
+    """IDN folding in the canonicalizer: non-ASCII labels punycode
+    (after lowercasing), ASCII labels pass, both wire forms of one
+    host dedup to one key, unencodable labels keep the host (total),
+    and pure-ASCII behavior is bit-unchanged (regression guard)."""
+    from esgopeta_spark.operators.web import canonicalize_url
+
+    assert canonicalize_url("https://münchen.example/p") == \
+        "https://xn--mnchen-3ya.example/p"
+    assert canonicalize_url("https://MÜNCHEN.example.:443/p") == \
+        "https://xn--mnchen-3ya.example/p"
+    # already-encoded wire form: same canonical key
+    assert canonicalize_url("https://xn--mnchen-3ya.example/p") == \
+        "https://xn--mnchen-3ya.example/p"
+    assert canonicalize_url("https://docs.例え.example/x") == \
+        "https://docs.xn--r8jz45g.example/x"
+    # unencodable (an empty label from '..') keeps the host, total
+    assert canonicalize_url("https://a..ü.example/x").startswith("https://")
+    # ASCII regression: untouched
+    assert canonicalize_url("HTTP://Site.Example.com:80/a?utm_x=1&b=2") == \
+        "http://site.example.com/a?b=2"
