@@ -774,6 +774,114 @@ def extract_canonical(html: str) -> str:
         i = e + 1
 
 
+_REFRESH_RX = re.compile(
+    r"^\s*(\d+)(?:\.(\d*))?\s*(?:[;,]\s*(?:url\s*=\s*)?(.*))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def extract_meta_refresh(html: str) -> tuple[int, str] | None:
+    """The page's ``<meta http-equiv=refresh>`` directive — the
+    CLIENT-side redirect class HTTP-status collapse never sees (real
+    crawls meet it constantly on moved pages and interstitials):
+    returns (delay_milli, target-href) or None.  Parsing follows the
+    WHATWG shared declarative refresh steps, simplified: first
+    matching meta wins; content is ``delay [;|, [url=] target]``;
+    the delay parses digit-wise to integer milli (never through a
+    float); a quoted target unquotes; a delay with no target refreshes
+    the page itself (target '').  Total on any str."""
+    lower = html.lower()
+    i, n = 0, len(html)
+    while True:
+        i = lower.find("<meta", i)
+        if i < 0:
+            return None
+        j = i + 5
+        if j < n and (html[j].isalnum() or html[j] in "-:"):
+            i = j
+            continue
+        q, e = None, j
+        while e < n:
+            c = html[e]
+            if q:
+                if c == q:
+                    q = None
+            elif c in "\"'":
+                q = c
+            elif c == ">":
+                break
+            e += 1
+        if e >= n:
+            return None  # unterminated tag drops the tail
+        attrs = html[j:e]
+        he = re.search(
+            r"""http-equiv\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""",
+            attrs,
+            re.IGNORECASE,
+        )
+        if he and (
+            (he.group(2) or he.group(3) or he.group(4) or "").strip().lower()
+            == "refresh"
+        ):
+            content = re.search(
+                r"""content\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""",
+                attrs,
+                re.IGNORECASE,
+            )
+            raw = (
+                content.group(2) or content.group(3) or content.group(4) or ""
+            ) if content else ""
+            m = _REFRESH_RX.match(decode_entities(raw))
+            if m is None:
+                return None  # malformed directive declares nothing
+            whole, frac = m.group(1), (m.group(2) or "")
+            milli = int(whole) * 1000 + int((frac + "000")[:3] or 0)
+            target = (m.group(3) or "").strip()
+            if len(target) >= 2 and target[0] in "\"'" and target[-1] == target[0]:
+                target = target[1:-1].strip()
+            return milli, target
+        i = e + 1
+
+
+def meta_refresh_edges(
+    df: DataFrame,
+    html_col: str = "html",
+    base_col: str = "base_url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Client-side redirect edges: pages declaring a meta refresh emit
+    (id, delay_milli, target href, canonical target) — resolved against
+    the page URL with the shared RFC 3986 kernel, so these edges union
+    straight into ``collapse_redirects`` beside the 3xx edges.  A
+    refresh with no target (self-reload) and pages without the
+    directive emit nothing.  One Arrow kernel + explode, shuffle-free;
+    stateless (stream-safe)."""
+
+    @F.pandas_udf(
+        "array<struct<delay_milli: bigint, href: string, url_canon: string>>"
+    )
+    def _edges(html: pd.Series, base: pd.Series) -> pd.Series:
+        def one(h, b):
+            r = extract_meta_refresh(h if isinstance(h, str) else "")
+            if r is None or not r[1]:
+                return []
+            milli, target = r
+            return [{
+                "delay_milli": milli,
+                "href": target,
+                "url_canon": canonicalize_url(
+                    resolve_url(b if isinstance(b, str) else "", target)
+                ),
+            }]
+
+        return pd.Series([one(h, b) for h, b in zip(html, base)])
+
+    return (
+        df.select(F.col(id_col), F.explode(_edges(F.col(html_col), F.col(base_col))).alias("e"))
+        .select(id_col, "e.delay_milli", "e.href", "e.url_canon")
+    )
+
+
 def canonical_hints(
     df: DataFrame,
     html_col: str = "html",

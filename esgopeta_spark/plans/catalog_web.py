@@ -2521,3 +2521,79 @@ def web_idn_canonical(spark, sf):
         F.when(did % 4 == 2, F.lit(0)).otherwise(F.lit(1))
         .cast("int").alias("was_idn"),
     )
+
+
+@register(
+    "web_meta_refresh",
+    "G4,A1",
+    r"""
+    WITH b AS (
+      SELECT doc_id, doc_id % 40 AS h, doc_id % 3 AS m FROM documents
+      WHERE doc_id % 3 <> 2
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN m = 0 THEN 0
+                     ELSE (doc_id % 30) * 1000 + 500 END AS BIGINT)
+             AS delay_milli,
+           CASE WHEN m = 0 THEN '/moved/' || (doc_id % 13)
+                ELSE 'HTTPS://SITE' || h || '.EXAMPLE.COM:443/next/'
+                     || doc_id || '?utm_source=r&x=1' END AS href,
+           CASE WHEN m = 0
+                THEN 'https://site' || h || '.example.com/moved/'
+                     || (doc_id % 13)
+                ELSE 'https://site' || h || '.example.com/next/'
+                     || doc_id || '?x=1' END AS url_canon
+    FROM b
+    """,
+    doc="meta-refresh client-side redirects (r11 fifth wave, the WHATWG "
+    "declarative refresh — the redirect class HTTP-status collapse "
+    "never sees; moved pages and interstitials use it constantly): "
+    "id%3==0 pages declare content='0;url=/moved/k' (instant, "
+    "root-relative, quoted url), id%3==1 pages "
+    "'<k>.5 , URL = \"ABSOLUTE...\"' (fractional delay parsed "
+    "digit-wise to milli — never through a float — comma separator, "
+    "spaced URL= key, quoted absolute target with uppercase host/"
+    ":443/utm param that the shared canonicalizer must fold), id%3==2 "
+    "pages declare nothing and emit nothing; a decoy non-refresh meta "
+    "rides every page.  Edges resolve against the page URL with the "
+    "same RFC 3986 kernel as 3xx Location edges, so they union "
+    "straight into collapse_redirects.  Oracle recomputes every "
+    "(delay, href, canonical target) in closed form.  Plan: one Arrow "
+    "kernel + explode, shuffle-free; stateless (stream-safe); "
+    "operators/web.py extract_meta_refresh/meta_refresh_edges",
+)
+def web_meta_refresh(spark, sf):
+    from esgopeta_spark.operators.web import meta_refresh_edges
+
+    did = F.col("doc_id")
+    m = did % 3
+    meta = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit('<meta http-equiv="refresh" content=\'0;url="/moved/'),
+                (did % 13).cast("string"), F.lit("\"'>"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit('<META HTTP-EQUIV=Refresh CONTENT="'),
+                (did % 30).cast("string"),
+                F.lit('.5 , URL = HTTPS://SITE'),
+                (did % 40).cast("string"),
+                F.lit(".EXAMPLE.COM:443/next/"), did.cast("string"),
+                F.lit('?utm_source=r&amp;x=1">'),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit('<html><head><meta name="viewport" content="width=1">'),
+        meta,
+        F.lit("</head><body>x</body></html>"),
+    )
+    d = T(spark, sf, "documents").select(
+        "doc_id", _seed_url(did).alias("base_url"), html.alias("html")
+    )
+    return meta_refresh_edges(d)

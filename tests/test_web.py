@@ -1802,3 +1802,28 @@ def test_idn_canonicalization_matrix():
     # ASCII regression: untouched
     assert canonicalize_url("HTTP://Site.Example.com:80/a?utm_x=1&b=2") == \
         "http://site.example.com/a?b=2"
+
+
+def test_extract_meta_refresh_matrix():
+    """WHATWG declarative-refresh corners: bare delay (self-reload,
+    target ''), fractional digit-wise milli, comma/semicolon
+    separators, spaced URL= key, quoted targets, first-wins,
+    non-refresh metas skipped, malformed content declares nothing,
+    total on garbage."""
+    from esgopeta_spark.operators.web import extract_meta_refresh
+
+    f = extract_meta_refresh
+    assert f('<meta http-equiv="refresh" content="5">') == (5000, "")
+    assert f('<meta http-equiv="refresh" content="0;url=/x">') == (0, "/x")
+    assert f("<META HTTP-EQUIV=Refresh CONTENT='2.5 , URL = \"/y\"'>") == (2500, "/y")
+    assert f('<meta http-equiv="refresh" content="1.25;/bare">') == (1250, "/bare")
+    assert f('<meta http-equiv="refresh" content="3;url=a&amp;b">') == (3000, "a&b")
+    assert f(
+        '<meta http-equiv="refresh" content="1;url=/first">'
+        '<meta http-equiv="refresh" content="2;url=/second">'
+    ) == (1000, "/first")
+    assert f('<meta name="refresh" content="1;url=/n">') is None
+    assert f('<meta http-equiv="refresh" content="soon;url=/n">') is None
+    assert f('<meta http-equiv="refresh">') is None
+    assert f("") is None and f("<p>hi</p>") is None
+    assert f('<meta http-equiv="refresh" content="1;url=/u"') is None  # unterminated
