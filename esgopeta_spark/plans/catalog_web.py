@@ -2597,3 +2597,82 @@ def web_meta_refresh(spark, sf):
         "doc_id", _seed_url(did).alias("base_url"), html.alias("html")
     )
     return meta_refresh_edges(d)
+
+
+@register(
+    "web_host_components",
+    "G4,G2,A1",
+    r"""
+    WITH g AS (SELECT DISTINCT doc_id % 40 AS h FROM documents)
+    SELECT CAST(h AS BIGINT) AS host_id,
+           CAST(CASE WHEN h = 37 THEN 37 ELSE (h // 4) * 4 END AS BIGINT)
+             AS comp,
+           CAST(CASE WHEN h = 37 THEN 1
+                     WHEN (h // 4) * 4 = 36 THEN 3
+                     ELSE 4 END AS BIGINT) AS comp_size
+    FROM g
+    """,
+    doc="host-graph connected components (r11 fifth wave — the "
+    "whole-DOMAIN view link spam and mirror detection key on: a mirror "
+    "farm is one component however many hostnames it spreads over): "
+    "per doc a fixture page links its host h=id%40 to its group-of-4 "
+    "leader (h - h%4), EXCEPT host 37 whose docs declare nothing — "
+    "the isolated-host class that must come back as its own singleton "
+    "via the left-join-coalesce rule, never silently vanish.  Edges "
+    "come off the REAL quote-aware link scanner + RFC 3986 resolve + "
+    "canonicalizer (host ids parsed back from the canonical urls), "
+    "components from the shared min-label pointer-jumping operator "
+    "(one localCheckpoint per round, O(log diameter) rounds — the "
+    "SemDeDup machinery re-used on the web graph).  Oracle states the "
+    "designed component structure in closed form.  Plan: one kernel + "
+    "explode -> distinct host edges (tiny) -> iterative equi joins, "
+    "no cartesian; operators/web.py link_edges + operators/dedup.py "
+    "dup_components",
+)
+def web_host_components(spark, sf):
+    from esgopeta_spark.operators.dedup import dup_components
+    from esgopeta_spark.operators.web import link_edges
+    from pyspark.sql import Window
+
+    did = F.col("doc_id")
+    h = did % 40
+    leader = h - (h % 4)
+    html = F.when(
+        h != 37,
+        F.concat(
+            F.lit('<p><a href="https://site'), leader.cast("string"),
+            F.lit('.example.com/">leader</a></p>'),
+        ),
+    ).otherwise(F.lit("<p>no links</p>"))
+    d = T(spark, sf, "documents").select(
+        "doc_id", _seed_url(did).alias("base_url"), html.alias("html")
+    )
+    edges = (
+        link_edges(d)
+        .select(
+            F.regexp_extract(
+                _seed_url(F.col("doc_id")), r"^https://site(\d+)\.", 1
+            ).cast("bigint").alias("id_a"),
+            F.regexp_extract("url_canon", r"^https://site(\d+)\.", 1)
+            .cast("bigint").alias("id_b"),
+        )
+        .where(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
+    comps = dup_components(edges)
+    hosts = (
+        T(spark, sf, "documents")
+        .select((F.col("doc_id") % 40).cast("bigint").alias("host_id"))
+        .distinct()
+    )
+    out = hosts.join(
+        comps.withColumnRenamed("id", "host_id"), "host_id", "left"
+    ).select(
+        "host_id",
+        F.coalesce("comp", F.col("host_id")).cast("bigint").alias("comp"),
+    )
+    return out.select(
+        "host_id", "comp",
+        F.count("*").over(Window.partitionBy("comp")).cast("bigint")
+        .alias("comp_size"),
+    )

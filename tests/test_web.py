@@ -1827,3 +1827,17 @@ def test_extract_meta_refresh_matrix():
     assert f('<meta http-equiv="refresh">') is None
     assert f("") is None and f("<p>hi</p>") is None
     assert f('<meta http-equiv="refresh" content="1;url=/u"') is None  # unterminated
+
+
+def test_host_components_plan_posture(spark, sf_dir):
+    """Host components: iterative equi joins only (the dup_components
+    machinery); no cartesian, no nested loop anywhere in the lineage;
+    the isolated host comes back as a singleton."""
+    from esgopeta_spark.plans import REGISTRY
+    from tests.test_plans import plan_of
+
+    df = REGISTRY["web_host_components"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    rows = {r["host_id"]: (r["comp"], r["comp_size"]) for r in df.collect()}
+    assert rows[37] == (37, 1) and rows[36] == (36, 3) and rows[5] == (4, 4)
