@@ -929,6 +929,76 @@ def gopher_rules(
     )
 
 
+_ABBREV = frozenset(
+    "dr mr mrs ms prof st no vs etc fig al jr sr eg ie".split()
+)
+
+
+def split_sentences(text: str) -> list[str]:
+    """Rule-based sentence splitting — the segmentation step sentence-
+    level dedup, PII context windows, and readability scoring all sit
+    on.  Deterministic rules (documented, no model): a boundary is a
+    run of ``.!?``, optional closing quotes/brackets, whitespace, then
+    an uppercase letter / digit / opening quote; a SINGLE period whose
+    preceding word is a known abbreviation (dr, mr, fig, etc, e.g-
+    style tokens...) never splits; decimals never split (no whitespace
+    follows the dot); text without boundaries is one sentence.
+    Sentences return trimmed, empties dropped.  Total on any str."""
+    s = text if isinstance(text, str) else ""
+    out: list[str] = []
+    start, i, n = 0, 0, len(s)
+    while i < n:
+        if s[i] in ".!?":
+            j = i
+            while j < n and s[j] in ".!?":
+                j += 1
+            k = j
+            while k < n and s[k] in "\"')]":
+                k += 1
+            m = k
+            while m < n and s[m] in " \t\n\r\f\v":
+                m += 1
+            boundary = m > k and m < n and (
+                s[m].isupper() or s[m].isdigit() or s[m] in "\"'(["
+            )
+            if boundary and j - i == 1 and s[i] == ".":
+                w = i - 1
+                while w >= 0 and s[w].isalpha():
+                    w -= 1
+                if s[w + 1 : i].lower() in _ABBREV:
+                    boundary = False
+            if boundary:
+                piece = s[start:k].strip()
+                if piece:
+                    out.append(piece)
+                start = m
+                i = m
+                continue
+            i = j
+        else:
+            i += 1
+    tail = s[start:].strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def sentence_split(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Explode each doc into (id, sent_idx, sentence) via one Arrow
+    kernel over :func:`split_sentences`.  Stateless (stream-safe)."""
+
+    @F.pandas_udf("array<string>")
+    def _split(s: pd.Series) -> pd.Series:
+        return s.map(split_sentences)
+
+    return (
+        df.select(F.col(id_col), F.posexplode(_split(F.col(text_col))).alias("sent_idx", "sentence"))
+        .select(id_col, F.col("sent_idx").cast("int"), "sentence")
+    )
+
+
 def fim_transform(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -3335,3 +3335,50 @@ def test_incremental_dedup_plan_posture(spark, sf_dir):
     p = plan_of(REGISTRY["dedup_incremental_exact"].fn(spark, sf_dir))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
     assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p, p
+
+
+def test_split_sentences_matrix():
+    """Boundary rules, pinned one by one: abbreviation guard (single
+    period only — 'Dr!' still splits), decimals never split, closing
+    wrappers stay with their sentence, ellipsis runs split once,
+    lowercase continuation never splits, boundary-before-digit splits
+    (unless abbreviation-guarded), no-boundary text is one sentence,
+    totality on empty/garbage."""
+    from esgopeta_spark.operators.text import split_sentences
+
+    f = split_sentences
+    assert f("One. Two! Three?") == ["One.", "Two!", "Three?"]
+    assert f("Dr. Smith left. He ran.") == ["Dr. Smith left.", "He ran."]
+    assert f("It cost 3.50 total. Cheap.") == ["It cost 3.50 total.", "Cheap."]
+    assert f('He said "stop." Then left.') == ['He said "stop."', "Then left."]
+    assert f("Wait... Now.") == ["Wait...", "Now."]
+    assert f("mixed case. no split here") == ["mixed case. no split here"]
+    assert f("See page 4. 5 more follow.") == ["See page 4.", "5 more follow."]
+    assert f("See fig. 3 for details.") == ["See fig. 3 for details."]
+    assert f("Really?! Yes.") == ["Really?!", "Yes."]
+    assert f("no boundary at all") == ["no boundary at all"]
+    assert f("") == [] and f("   ") == []
+    assert f("Dr! Loud. Ok.") == ["Dr!", "Loud.", "Ok."]  # guard is '.'-only
+
+
+def test_sentence_split_stream_twin(spark, tmp_path):
+    from esgopeta_spark.operators.text import sentence_split
+
+    rows = [(i, f"First {i}. Second part! Done?") for i in range(15)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    want = {tuple(r) for r in sentence_split(df).collect()}
+    assert len(want) == 45
+
+    df.coalesce(1).write.mode("overwrite").json(str(tmp_path / "sent_in"))
+    stream = spark.readStream.schema(df.schema).json(str(tmp_path / "sent_in"))
+    q = (
+        sentence_split(stream)
+        .writeStream.format("memory").queryName("sentstream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM sentstream").collect()}
+    assert got == want
