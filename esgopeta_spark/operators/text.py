@@ -319,6 +319,43 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def chat_template(
+    df: DataFrame,
+    system_col: str = "system",
+    user_col: str = "user",
+    assistant_col: str = "assistant",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SFT chat-template rendering — the instruction-tuning data-prep
+    step between raw (system, user, assistant) triples and the packer:
+    rendered = ``<|system|>S<|user|>U<|assistant|>A<|end|>`` plus the
+    LOSS-MASK span (the assistant span's [start, end) character
+    offsets — SFT trains loss only on the assistant turn, and the
+    masker downstream needs exact offsets, not a re-parse).  All
+    offsets are pure length arithmetic in the same projection as the
+    concat, so they can never drift from the rendered string.  One
+    codegen projection, shuffle-free; stateless (stream-safe)."""
+    s = F.coalesce(F.col(system_col), F.lit(""))
+    u = F.coalesce(F.col(user_col), F.lit(""))
+    a = F.coalesce(F.col(assistant_col), F.lit(""))
+    pre = F.lit("<|system|>")
+    mid = F.lit("<|user|>")
+    ast = F.lit("<|assistant|>")
+    end = F.lit("<|end|>")
+    rendered = F.concat(pre, s, mid, u, ast, a, end)
+    loss_start = (
+        F.length(pre) + F.length(s) + F.length(mid) + F.length(u)
+        + F.length(ast)
+    )
+    return df.select(
+        F.col(id_col),
+        rendered.alias("rendered"),
+        F.length(rendered).cast("bigint").alias("n_chars"),
+        loss_start.cast("bigint").alias("loss_start"),
+        (loss_start + F.length(a)).cast("bigint").alias("loss_end"),
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     window_tokens: int = 2048,

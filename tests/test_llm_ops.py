@@ -3382,3 +3382,27 @@ def test_sentence_split_stream_twin(spark, tmp_path):
         q.stop()
     got = {tuple(r) for r in spark.sql("SELECT * FROM sentstream").collect()}
     assert got == want
+
+
+def test_chat_template_loss_mask_offsets(spark):
+    """The loss-mask contract: rendered[loss_start:loss_end] IS the
+    assistant text, for empty and non-ASCII turns too (offsets count
+    codepoints, matching Spark length())."""
+    from esgopeta_spark.operators.text import chat_template
+
+    rows = [
+        (0, "sys", "ask", "answer"),
+        (1, "", "", ""),                      # all-empty turns
+        (2, "s", "café ☃", "ünïcode réply"),  # non-ASCII both sides
+        (3, None, "u", None),                  # nulls coalesce to ''
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id: long, system: string, user: string, assistant: string"
+    )
+    got = {r["doc_id"]: r for r in chat_template(df).collect()}
+    for i, s, u, a in rows:
+        r = got[i]
+        a = a or ""
+        assert r["rendered"][r["loss_start"]:r["loss_end"]] == a, (i, r)
+        assert r["n_chars"] == len(r["rendered"])
+        assert r["rendered"].endswith("<|end|>")
