@@ -1343,3 +1343,178 @@ def incremental_dedup(
         F.coalesce("_prior_keeper", "_incr_min").cast("bigint")
         .alias("keeper_id"),
     )
+
+
+def decontaminate_minhash(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold_milli: int = 200,
+) -> DataFrame:
+    """FUZZY benchmark decontamination (the near-dup tier above
+    ``contamination_overlap``'s exact n-gram probe: verbatim leaks
+    share grams, paraphrase-lite leaks with small edits need the
+    near-dup machinery): portable-md5 banded MinHash on BOTH relations,
+    a BIPARTITE band-equi join (corpus x eval collisions only — never
+    corpus x corpus, never all-pairs), then EXACT word-n-gram Jaccard
+    verification of every candidate, kept at >= ``threshold_milli``.
+
+    Returns (corpus_id, eval_id, jaccard_milli).  Every stage is the
+    portable-twin computation, so a DuckDB oracle
+    (:func:`portable_decontam_sql`) replays it hash-exactly —
+    candidates, verification, and threshold included.
+
+    Scale shape: the eval set is SMALL (a benchmark), so its banded
+    rows broadcast; the corpus pays one signature pass + the band
+    probe; exact verification touches only candidate docs (semi-prune
+    before the gram explode)."""
+    cb = portable_minhash_bands(
+        corpus, text_col, id_col, num_hashes, bands, shingle_n
+    ).localCheckpoint()
+    eb = portable_minhash_bands(
+        eval_set, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    cands = (
+        cb.alias("c")
+        .join(
+            F.broadcast(eb.alias("e")),
+            (F.col("c.band") == F.col("e.band")) & (F.col("c.bh") == F.col("e.bh")),
+        )
+        .select(
+            F.col("c._id").alias("corpus_id"), F.col("e._id").alias("eval_id")
+        )
+        .distinct()
+    ).localCheckpoint()
+
+    def grams(df, idc):
+        g = df.select(
+            F.col(id_col).alias(idc),
+            F.explode(
+                F.array_distinct(shingles(F.col(text_col), shingle_n))
+            ).alias("g"),
+        )
+        return g
+
+    cg = grams(
+        corpus.join(cands.select("corpus_id").distinct(),
+                    F.col(id_col) == F.col("corpus_id"), "left_semi"),
+        "corpus_id",
+    )
+    eg = grams(
+        eval_set.join(cands.select("eval_id").distinct(),
+                      F.col(id_col) == F.col("eval_id"), "left_semi"),
+        "eval_id",
+    )
+    csize = cg.groupBy("corpus_id").agg(F.count("*").alias("na"))
+    esize = eg.groupBy("eval_id").agg(F.count("*").alias("nb"))
+    inter = (
+        cands.join(cg, "corpus_id")
+        .join(eg, ["eval_id", "g"])
+        .groupBy("corpus_id", "eval_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(F.broadcast(csize), "corpus_id")
+        .join(F.broadcast(esize), "eval_id")
+        .select(
+            "corpus_id", "eval_id",
+            F.expr("(inter * 1000) DIV (na + nb - inter)").cast("bigint")
+            .alias("jaccard_milli"),
+        )
+        .where(F.col("jaccard_milli") >= F.lit(int(threshold_milli)))
+    )
+
+
+def portable_decontam_sql(
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold_milli: int = 200,
+    corpus_pred: str = "source <> 'src19'",
+    eval_pred: str = "source = 'src19'",
+    table: str = "documents",
+    src_sql: str | None = None,
+) -> str:
+    """DuckDB oracle for :func:`decontaminate_minhash`: the SAME
+    normalization / gram build / md5 lanes / band md5 / bipartite band
+    join / exact-Jaccard verify / integer-milli threshold, generated
+    from the shared constants.  ``src_sql`` (optional) overrides the
+    (doc_id, side, text) source relation — callers that CONSTRUCT
+    their corpus (e.g. injected leak fixtures) pass the same
+    construction here."""
+    A, B = portable_lane_consts(num_hashes)
+    rows = num_hashes // bands
+    mins = ",\n             ".join(
+        f"MIN(({A[k]} * g + {B[k]}) % {PORTABLE_P}) AS m{k}"
+        for k in range(num_hashes)
+    )
+    bhs = ",\n             ".join(
+        "md5("
+        + " || '_' || ".join(f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows))
+        + f") AS bh{b}"
+        for b in range(bands)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, side, {b} AS band, bh{b} AS bh FROM bh"
+        for b in range(bands)
+    )
+    if src_sql is None:
+        src_sql = f"""
+      SELECT doc_id,
+             CASE WHEN {corpus_pred} THEN 'c' ELSE 'e' END AS side,
+             text
+      FROM {table}
+      WHERE ({corpus_pred}) OR ({eval_pred})"""
+    return f"""
+    WITH src AS (
+      {src_sql}
+    ), nd AS (
+      SELECT doc_id, side,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM src
+    ), w AS (
+      SELECT doc_id, side,
+             CASE WHEN length(norm) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(norm, ' ') END AS ws
+      FROM nd
+    ), gr AS (
+      SELECT doc_id, side,
+             unnest(list_distinct([array_to_string(ws[i : i + {shingle_n - 1}], ' ')
+                                   for i in range(1, len(ws) - {shingle_n - 2})])) AS gram
+      FROM w WHERE len(ws) >= {shingle_n}
+    ), gh AS (
+      SELECT doc_id, side,
+             CAST(CAST(('0x' || substr(md5(gram), 1, 8)) AS UBIGINT) AS BIGINT) AS g
+      FROM gr
+    ), l AS (
+      SELECT doc_id, side, {mins}
+      FROM gh GROUP BY doc_id, side
+    ), bh AS (
+      SELECT doc_id, side, {bhs} FROM l
+    ), br AS (
+      {band_rows}
+    ), cand AS (
+      SELECT DISTINCT c.doc_id AS corpus_id, e.doc_id AS eval_id
+      FROM br c JOIN br e
+        ON c.band = e.band AND c.bh = e.bh AND c.side = 'c' AND e.side = 'e'
+    ), sz AS (
+      SELECT doc_id, side, COUNT(*) AS n FROM gr GROUP BY doc_id, side
+    ), inter AS (
+      SELECT cand.corpus_id, cand.eval_id, COUNT(*) AS i
+      FROM cand
+      JOIN gr gc ON gc.doc_id = cand.corpus_id AND gc.side = 'c'
+      JOIN gr ge ON ge.doc_id = cand.eval_id AND ge.side = 'e'
+                AND ge.gram = gc.gram
+      GROUP BY cand.corpus_id, cand.eval_id
+    )
+    SELECT inter.corpus_id, inter.eval_id,
+           CAST((i * 1000) // (sc.n + se.n - i) AS BIGINT) AS jaccard_milli
+    FROM inter
+    JOIN sz sc ON sc.doc_id = inter.corpus_id AND sc.side = 'c'
+    JOIN sz se ON se.doc_id = inter.eval_id AND se.side = 'e'
+    WHERE (i * 1000) // (sc.n + se.n - i) >= {threshold_milli}
+    """

@@ -3406,3 +3406,30 @@ def test_chat_template_loss_mask_offsets(spark):
         assert r["rendered"][r["loss_start"]:r["loss_end"]] == a, (i, r)
         assert r["n_chars"] == len(r["rendered"])
         assert r["rendered"].endswith("<|end|>")
+
+
+def test_decontaminate_minhash_finds_injected_leaks(spark, sf_dir):
+    """The fuzzy-decontamination entry must actually FIND the injected
+    paraphrase-lite leaks: every surfaced pair maps a re-keyed leak to
+    its source eval doc at high Jaccard, and banding recall on the
+    injected class stays >= 0.7 (one-band misses are honest LSH
+    behavior, replayed identically by the oracle)."""
+    from esgopeta_spark.plans import REGISTRY
+
+    rows = REGISTRY["decontaminate_minhash_fuzzy"].fn(spark, sf_dir).collect()
+    assert rows, "entry must surface leaks"
+    found_injected = 0
+    for r in rows:
+        assert r["jaccard_milli"] >= 200
+        if r["corpus_id"] >= 1000000:
+            # injected leak: must map to exactly its source eval doc
+            assert r["corpus_id"] == r["eval_id"] + 1000000, r
+            found_injected += 1
+        # corpus_id < 1000000 rows are NATURAL cross-source near-dups —
+        # the tool finding real leaks beyond the planted ones
+    injected = (
+        read_table(spark, sf_dir, "documents")
+        .filter("source = 'src19' AND doc_id % 3 = 0")
+        .count()
+    )
+    assert found_injected / injected >= 0.7, (found_injected, injected)
