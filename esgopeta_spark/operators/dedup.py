@@ -1354,30 +1354,43 @@ def decontaminate_minhash(
     bands: int = 4,
     shingle_n: int = 3,
     threshold_milli: int = 200,
+    portable: bool = True,
 ) -> DataFrame:
     """FUZZY benchmark decontamination (the near-dup tier above
     ``contamination_overlap``'s exact n-gram probe: verbatim leaks
     share grams, paraphrase-lite leaks with small edits need the
-    near-dup machinery): portable-md5 banded MinHash on BOTH relations,
-    a BIPARTITE band-equi join (corpus x eval collisions only — never
-    corpus x corpus, never all-pairs), then EXACT word-n-gram Jaccard
+    near-dup machinery): banded MinHash on BOTH relations, a BIPARTITE
+    band-equi join (corpus x eval collisions only — never corpus x
+    corpus, never all-pairs), then EXACT word-n-gram Jaccard
     verification of every candidate, kept at >= ``threshold_milli``.
 
-    Returns (corpus_id, eval_id, jaccard_milli).  Every stage is the
-    portable-twin computation, so a DuckDB oracle
-    (:func:`portable_decontam_sql`) replays it hash-exactly —
-    candidates, verification, and threshold included.
+    Returns (corpus_id, eval_id, jaccard_milli).  With
+    ``portable=True`` every stage is the portable-md5 twin
+    computation, so a DuckDB oracle (:func:`portable_decontam_sql`)
+    replays it hash-exactly — candidates, verification, and threshold
+    included; this tier is by-design ~6x dearer (md5-per-gram) and is
+    the ORACLE-SCALE path.  ``portable=False`` is the production tier:
+    the same shape on JVM-xxhash64 signatures (``banded_signatures``),
+    pytest-pinned to equal recall on the injected-leak class.
 
     Scale shape: the eval set is SMALL (a benchmark), so its banded
     rows broadcast; the corpus pays one signature pass + the band
     probe; exact verification touches only candidate docs (semi-prune
     before the gram explode)."""
-    cb = portable_minhash_bands(
-        corpus, text_col, id_col, num_hashes, bands, shingle_n
-    ).localCheckpoint()
-    eb = portable_minhash_bands(
-        eval_set, text_col, id_col, num_hashes, bands, shingle_n
-    )
+    if portable:
+        cb = portable_minhash_bands(
+            corpus, text_col, id_col, num_hashes, bands, shingle_n
+        ).localCheckpoint()
+        eb = portable_minhash_bands(
+            eval_set, text_col, id_col, num_hashes, bands, shingle_n
+        )
+    else:
+        cb = banded_signatures(
+            corpus, text_col, id_col, max(num_hashes, 64), 16, shingle_n
+        ).localCheckpoint()
+        eb = banded_signatures(
+            eval_set, text_col, id_col, max(num_hashes, 64), 16, shingle_n
+        )
     cands = (
         cb.alias("c")
         .join(

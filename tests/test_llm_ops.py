@@ -3433,3 +3433,30 @@ def test_decontaminate_minhash_finds_injected_leaks(spark, sf_dir):
         .count()
     )
     assert found_injected / injected >= 0.7, (found_injected, injected)
+
+
+def test_decontaminate_production_tier_recall(spark, sf_dir):
+    """The xxhash64 production tier of the fuzzy decontamination probe
+    (portable=False) must find the injected leaks at least as well as
+    the oracle-paired portable tier — same shape, denser signatures."""
+    from esgopeta_spark.operators.dedup import decontaminate_minhash
+    from pyspark.sql import functions as F
+
+    d = read_table(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    ev = d.filter("source = 'src19'").select("doc_id", t.alias("text"))
+    leaks = ev.filter("doc_id % 3 = 0").select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" leaked into training")).alias("text"),
+    )
+    corpus = d.filter("source <> 'src19'").select(
+        "doc_id", t.alias("text")).unionByName(leaks)
+    injected = leaks.count()
+
+    def recall(portable):
+        rows = decontaminate_minhash(corpus, ev, portable=portable).collect()
+        return sum(1 for r in rows
+                   if r["corpus_id"] == r["eval_id"] + 1000000) / injected
+
+    r_prod, r_port = recall(False), recall(True)
+    assert r_prod >= r_port >= 0.7, (r_prod, r_port)
