@@ -1167,7 +1167,11 @@ def robots_filter(
 
 
 def build_warc_record(
-    uri: str, payload: bytes, rec_type: str = "response", rec_id: str = ""
+    uri: str,
+    payload: bytes,
+    rec_type: str = "response",
+    rec_id: str = "",
+    concurrent_to: str = "",
 ) -> bytes:
     """One WARC/1.0 record: version line, named headers, CRLFCRLF,
     payload, CRLFCRLF terminator.  The encoder twin for ``parse_warc``
@@ -1179,6 +1183,7 @@ def build_warc_record(
         f"WARC-Type: {rec_type}\r\n"
         f"WARC-Target-URI: {uri}\r\n"
         + (f"WARC-Record-ID: {rec_id}\r\n" if rec_id else "")
+        + (f"WARC-Concurrent-To: {concurrent_to}\r\n" if concurrent_to else "")
         + f"Content-Length: {len(payload)}\r\n"
         "\r\n"
     )
@@ -1270,6 +1275,10 @@ def parse_warc(blob: bytes) -> list[dict]:
                 "payload": payload,
                 "offset": rec_start,
                 "reclen": i - rec_start,
+                # record linkage (ISO 28500 §5.4/§5.7): how a response
+                # finds the request that produced it
+                "rec_id": hdrs.get("warc-record-id", ""),
+                "concurrent_to": hdrs.get("warc-concurrent-to", ""),
             }
         )
     return out
@@ -3107,4 +3116,113 @@ def conditional_fetch_merge(
     return j.select(
         id_col, "uri", "status",
         source.alias("fetch_source"), page_md5.alias("page_md5"),
+    )
+
+
+def synth_paired_warc(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    uri_col: str = "uri",
+    page_col: str = "page",
+    out_col: str = "warc",
+) -> DataFrame:
+    """Encoder-twin fixture for request/response pairing: per doc ONE
+    blob holding the request record (``<urn:req:{id}>``, a GET message)
+    followed by its response (``WARC-Concurrent-To`` pointing back) —
+    the record-pair layout real crawlers write (ISO 28500 §6.3.2).
+    Docs with id%7==3 get a response whose Concurrent-To points at a
+    request that is NOT in the blob (the dangling class the pairing
+    must surface, not drop)."""
+
+    @F.pandas_udf("binary")
+    def _build(did: pd.Series, uri: pd.Series, page: pd.Series) -> pd.Series:
+        def one(d, u, p):
+            d = int(d)
+            u = u if isinstance(u, str) else ""
+            body = (p if isinstance(p, str) else "").encode("utf-8")
+            path = u.split(".com", 1)[-1] if ".com" in u else "/"
+            req_payload = (
+                f"GET {path} HTTP/1.1\r\nHost: example\r\n\r\n"
+            ).encode("latin-1")
+            resp_payload = (
+                f"HTTP/1.1 200 OK\r\nContent-Length: {len(body)}\r\n\r\n"
+            ).encode("latin-1") + body
+            req_id = f"<urn:req:{d}>"
+            blob = b""
+            if d % 7 != 3:
+                blob += build_warc_record(
+                    u, req_payload, rec_type="request", rec_id=req_id
+                )
+            blob += build_warc_record(
+                u, resp_payload, rec_type="response",
+                rec_id=f"<urn:resp:{d}>", concurrent_to=req_id,
+            )
+            return blob
+
+        return pd.Series([one(d, u, p) for d, u, p in zip(did, uri, page)])
+
+    return df.withColumn(
+        out_col, _build(F.col(id_col), F.col(uri_col), F.col(page_col))
+    )
+
+
+def warc_request_pairs(
+    df: DataFrame, blob_col: str = "warc", id_col: str = "doc_id"
+) -> DataFrame:
+    """Pair each WARC ``response`` with the ``request`` that produced
+    it via ``WARC-Concurrent-To`` (ISO 28500 §5.7) — the step that
+    recovers the request METHOD and exact request path for response
+    records (politeness audits, POST filtering, soft-404 analysis all
+    need the request side).  Pairing is KERNEL-LOCAL: a crawler writes
+    the pair adjacently in one file, so the join never shuffles.  A
+    response whose request is missing from the blob emits a VISIBLE
+    unpaired row (method/path '', paired=0), never a silent drop.
+    Poison blobs quarantine.  One Arrow kernel + explode,
+    shuffle-free; stateless (stream-safe)."""
+
+    @F.pandas_udf(
+        "array<struct<uri: string, method: string, path: string,"
+        " status: int, n_body: bigint, paired: int>>"
+    )
+    def _pairs(s: pd.Series) -> pd.Series:
+        def one(b):
+            try:
+                recs = parse_warc(maybe_gunzip_warc(bytes(b) if b is not None else b""))
+            except ValueError as exc:
+                return [{"uri": str(exc)[:80], "method": "", "path": "",
+                         "status": -1, "n_body": -1, "paired": 0}]
+            reqs = {}
+            for r in recs:
+                if r["type"] == "request" and r["rec_id"]:
+                    line = bytes(r["payload"]).split(b"\r\n", 1)[0]
+                    parts = line.decode("latin-1", "replace").split(" ")
+                    if len(parts) >= 2:
+                        reqs[r["rec_id"]] = (parts[0], parts[1])
+            out = []
+            for r in recs:
+                if r["type"] != "response":
+                    continue
+                try:
+                    status, _h, body = parse_http_response(r["payload"])
+                except ValueError:
+                    out.append({"uri": r["uri"], "method": "", "path": "",
+                                "status": -1, "n_body": -1, "paired": 0})
+                    continue
+                m = reqs.get(r["concurrent_to"])
+                out.append({
+                    "uri": r["uri"],
+                    "method": m[0] if m else "",
+                    "path": m[1] if m else "",
+                    "status": status,
+                    "n_body": len(body),
+                    "paired": 1 if m else 0,
+                })
+            return out
+
+        return pd.Series([one(b) for b in s])
+
+    return (
+        df.select(F.col(id_col), F.explode(_pairs(F.col(blob_col))).alias("r"))
+        .select(id_col, "r.uri", "r.method", "r.path", "r.status",
+                "r.n_body", "r.paired")
     )

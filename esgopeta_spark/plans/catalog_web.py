@@ -2676,3 +2676,60 @@ def web_host_components(spark, sf):
         F.count("*").over(Window.partitionBy("comp")).cast("bigint")
         .alias("comp_size"),
     )
+
+
+def _warc_pairs_oracle():
+    from esgopeta_spark.operators.web import synth_html_sql
+
+    return rf"""
+    WITH p AS (
+      SELECT doc_id, {synth_html_sql()} AS page,
+             '/articles/' || doc_id || '?page=' || (doc_id % 7) AS path,
+             {_SEED_SQL} AS uri
+      FROM documents
+    )
+    SELECT doc_id, uri,
+           CASE WHEN doc_id % 7 = 3 THEN '' ELSE 'GET' END AS method,
+           CASE WHEN doc_id % 7 = 3 THEN '' ELSE path END AS path,
+           CAST(200 AS INTEGER) AS status,
+           CAST(octet_length(encode(page)) AS BIGINT) AS n_body,
+           CAST(CASE WHEN doc_id % 7 = 3 THEN 0 ELSE 1 END AS INTEGER)
+             AS paired
+    FROM p
+    """
+
+
+@register(
+    "web_warc_pairing",
+    "G4,E1",
+    _warc_pairs_oracle(),
+    doc="WARC request/response pairing (r11 — real crawlers write the "
+    "request record beside its response, linked by WARC-Concurrent-To, "
+    "ISO 28500 §5.7; politeness audits, POST filtering, and soft-404 "
+    "analysis need the request side back): per doc the encoder twin "
+    "writes the adjacent pair (GET message with the real path; 200 "
+    "response framing the fixture page), EXCEPT id%7==3 whose request "
+    "is omitted — the dangling class that must surface as a VISIBLE "
+    "unpaired row (method/path '', paired=0), never a silent drop.  "
+    "Pairing is kernel-local (the pair is adjacent in the file — no "
+    "shuffle at any corpus size).  Oracle recomputes method/path/"
+    "status/body-octets per row class in closed form; n_body's "
+    "octet_length(page) proves the response body framed and recovered "
+    "byte-exactly through the pairing path.  Plan: two Arrow kernels "
+    "over one scan, shuffle-free; stateless (stream-safe); "
+    "operators/web.py synth_paired_warc/warc_request_pairs",
+)
+def web_warc_pairing(spark, sf):
+    from esgopeta_spark.operators.web import (
+        synth_html,
+        synth_paired_warc,
+        warc_request_pairs,
+    )
+
+    did = F.col("doc_id")
+    d = T(spark, sf, "documents").select(
+        "doc_id",
+        _seed_url(did).alias("uri"),
+        synth_html(did, F.coalesce(F.col("text"), F.lit(""))).alias("page"),
+    )
+    return warc_request_pairs(synth_paired_warc(d).drop("page"))
