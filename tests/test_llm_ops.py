@@ -3460,3 +3460,26 @@ def test_decontaminate_production_tier_recall(spark, sf_dir):
 
     r_prod, r_port = recall(False), recall(True)
     assert r_prod >= r_port >= 0.7, (r_prod, r_port)
+
+
+def test_incremental_snapshot_plan_posture(spark, sf_dir):
+    """The nightly-update capstone: keeper-store probe and gram gate
+    are equi/anti joins, no cartesian, no nested loop; and the gate
+    actually drops leaked eval docs (a src19 doc in the increment
+    never reaches a shard)."""
+    from esgopeta_spark.plans import REGISTRY
+    from tests.test_plans import plan_of
+
+    df = REGISTRY["pipeline_incremental_snapshot"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    out_ids = {r["doc_id"] for r in df.collect()}
+    assert out_ids, "survivors must exist"
+    eval_incr = {
+        r["doc_id"]
+        for r in read_table(spark, sf_dir, "documents")
+        .filter("source = 'src19' AND doc_id % 3 <> 0")
+        .select("doc_id").collect()
+    }
+    leaked = out_ids & eval_incr
+    assert not leaked, f"eval docs reached the shards: {sorted(leaked)[:5]}"
