@@ -3226,3 +3226,46 @@ def warc_request_pairs(
         .select(id_col, "r.uri", "r.method", "r.path", "r.status",
                 "r.n_body", "r.paired")
     )
+
+
+# soft-404 content phrases (lowercase substring probes — the classic
+# crawl-QA heuristic set; a trained classifier would sit downstream)
+_SOFT404_PHRASES = (
+    "page not found", "404 not found", "does not exist",
+    "no longer available", "page cannot be found",
+)
+
+
+def soft404_flags(
+    df: DataFrame,
+    status_col: str = "status",
+    text_col: str = "clean_text",
+    id_col: str = "doc_id",
+    short_chars: int = 120,
+) -> DataFrame:
+    """Soft-404 detection — the crawl-QA cut after extraction: a server
+    that answers 200 with an error PAGE poisons dedup (thousands of
+    hosts share one 'not found' template) and wastes training tokens.
+    Signals, all codegen: any of the classic error phrases in the
+    lowercased clean text (``phrase_hit``), a very short body
+    (``short_body``), and the verdict ``soft404`` = 200-status AND
+    phrase hit (shortness alone is NOT an error signal — stub pages
+    are real content; it rides along for the threshold study).  Real
+    4xx/5xx rows are ``hard_error`` instead — already visible, no
+    content model needed.  One projection, no kernel, no shuffle;
+    stateless (stream-safe)."""
+    low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    hit = None
+    for ph in _SOFT404_PHRASES:
+        h = F.contains(low, F.lit(ph))
+        hit = h if hit is None else (hit | h)
+    status = F.col(status_col)
+    return df.select(
+        F.col(id_col),
+        status.cast("int").alias("status"),
+        hit.cast("int").alias("phrase_hit"),
+        (F.length(low) < F.lit(int(short_chars))).cast("int")
+        .alias("short_body"),
+        ((status == 200) & hit).cast("int").alias("soft404"),
+        ((status >= 400)).cast("int").alias("hard_error"),
+    )

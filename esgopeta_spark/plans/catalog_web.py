@@ -2733,3 +2733,64 @@ def web_warc_pairing(spark, sf):
         synth_html(did, F.coalesce(F.col("text"), F.lit(""))).alias("page"),
     )
     return warc_request_pairs(synth_paired_warc(d).drop("page"))
+
+
+@register(
+    "web_soft404_flags",
+    "G4",
+    r"""
+    WITH b AS (
+      SELECT doc_id, doc_id % 4 AS m,
+             trim(regexp_replace(coalesce(text, ''), '[ \t\n\r\f\v]+', ' ',
+                  'g')) AS body
+      FROM documents
+    ), r AS (
+      SELECT doc_id, m,
+             CASE WHEN m = 1 THEN 'Error 404 Not Found - the page you '
+                       || 'requested does not exist on this server'
+                  WHEN m = 2 THEN 'Sorry! Page Not Found. ' || body
+                  ELSE body END AS t,
+             CASE WHEN m = 3 THEN 404 ELSE 200 END AS status
+      FROM b
+    )
+    SELECT doc_id, CAST(status AS INTEGER) AS status,
+           CAST(CASE WHEN m IN (1, 2) THEN 1 ELSE 0 END AS INTEGER)
+             AS phrase_hit,
+           CAST(CASE WHEN length(lower(t)) < 120 THEN 1 ELSE 0 END
+                AS INTEGER) AS short_body,
+           CAST(CASE WHEN m IN (1, 2) THEN 1 ELSE 0 END AS INTEGER)
+             AS soft404,
+           CAST(CASE WHEN m = 3 THEN 1 ELSE 0 END AS INTEGER) AS hard_error
+    FROM r
+    """,
+    doc="soft-404 detection (r11 — the crawl-QA cut: servers answering "
+    "200 with an error PAGE poison dedup with a corpus-wide shared "
+    "template and waste training tokens): fixture classes cycle a real "
+    "page / an uppercase '404 Not Found ... does not exist' template "
+    "(case-folded phrase probe) / an error phrase PREFIXED onto real "
+    "content (long bodies still flag — shortness is a side signal, "
+    "not the verdict) / a real 404 (hard_error, not soft404).  All "
+    "codegen substring probes; oracle recomputes every flag per row "
+    "class.  Plan: one projection, no kernel, no shuffle; stateless "
+    "(stream-safe); operators/web.py soft404_flags",
+)
+def web_soft404_flags(spark, sf):
+    from esgopeta_spark.operators.web import soft404_flags
+
+    did = F.col("doc_id")
+    m = did % 4
+    body = F.trim(
+        F.regexp_replace(F.coalesce(F.col("text"), F.lit("")),
+                         r"[ \t\n\r\f\v]+", " ")
+    )
+    t = (
+        F.when(m == 1, F.lit("Error 404 Not Found - the page you "
+                             "requested does not exist on this server"))
+        .when(m == 2, F.concat(F.lit("Sorry! Page Not Found. "), body))
+        .otherwise(body)
+    )
+    status = F.when(m == 3, F.lit(404)).otherwise(F.lit(200))
+    d = T(spark, sf, "documents").select(
+        "doc_id", status.alias("status"), t.alias("clean_text")
+    )
+    return soft404_flags(d)
