@@ -1400,3 +1400,67 @@ def c4_rules(
         & (F.col("has_brace") == 0)
     ).cast("int")
     return agg.select(F.col("_id").alias(id_col), *agg.columns[1:], keep.alias("keep"))
+
+
+def readability_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade in INTEGER MILLI
+    units — the classic readability pair quality filters bucket docs
+    by (too-hard and too-easy tails both correlate with boilerplate
+    and spam).  Heuristics, all codegen: sentences = count of [.!?]+
+    runs (min 1 for terminator-less text), words = whitespace tokens,
+    syllables = per-word vowel-group count clamped to >= 1 (the
+    standard approximation; y counts as a vowel).  Every division is
+    non-negative integer milli — floor == truncate on both engines:
+
+        wps_milli = words*1000 div sentences
+        spw_milli = syllables*1000 div words
+        flesch_milli = 206835 - 1015*wps_milli div 1000
+                              - 84600*spw_milli div 1000
+        fk_grade_milli = 390*wps_milli div 1000
+                       + 11800*spw_milli div 1000 - 15590
+
+    Empty docs (no words) are excluded — no denominator exists.
+    Plan: one word explode + per-doc aggregate (one shuffle on the
+    doc key), everything else a projection; stateless."""
+    norm = F.regexp_replace(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " ")
+    base = df.select(
+        F.col(id_col),
+        norm.alias("_n"),
+        F.regexp_count(norm, F.lit(r"[.!?]+")).cast("bigint").alias("_sent_raw"),
+    ).where(F.length("_n") > 0)
+    words = base.select(
+        id_col, "_sent_raw", F.explode(F.split(F.col("_n"), " ")).alias("_w")
+    ).where(F.col("_w") != "")
+    agg = words.groupBy(id_col, "_sent_raw").agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.sum(
+            F.greatest(
+                F.lit(1), F.regexp_count(F.col("_w"), F.lit(r"[aeiouy]+"))
+            )
+        ).cast("bigint").alias("n_syllables"),
+    )
+    sentences = F.greatest(F.lit(1).cast("bigint"), F.col("_sent_raw"))
+    # integer milli via expr DIV (engine-agreeing truncation, all >= 0)
+    out = agg.select(
+        F.col(id_col),
+        sentences.alias("n_sentences"),
+        "n_words",
+        "n_syllables",
+        F.expr("n_words * 1000").cast("bigint").alias("_w1000"),
+    ).withColumn(
+        "wps_milli", F.expr("_w1000 DIV greatest(1, n_sentences)").cast("bigint")
+    ).withColumn(
+        "spw_milli", F.expr("(n_syllables * 1000) DIV n_words").cast("bigint")
+    )
+    return out.select(
+        id_col, "n_sentences", "n_words", "n_syllables", "wps_milli",
+        "spw_milli",
+        (F.lit(206835) - F.expr("(1015 * wps_milli) DIV 1000")
+         - F.expr("(84600 * spw_milli) DIV 1000")).cast("bigint")
+        .alias("flesch_milli"),
+        (F.expr("(390 * wps_milli) DIV 1000")
+         + F.expr("(11800 * spw_milli) DIV 1000") - F.lit(15590))
+        .cast("bigint").alias("fk_grade_milli"),
+    )

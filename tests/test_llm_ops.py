@@ -3519,3 +3519,36 @@ def test_ivfsq8_recall_and_plan(spark, sf_dir):
     assert recall >= 0.3, f"IVF-SQ8 recall collapsed: {recall}"
     p = plan_of(df)
     assert "CartesianProduct" not in p, p
+
+
+def test_readability_hand_fixture(spark):
+    """Readability arithmetic against hand-computed values: the classic
+    'The cat sat on the mat.' single-syllable sentence, a polysyllabic
+    doc, a terminator-less doc (1 sentence), vowel-less tokens clamping
+    to 1 syllable, and empty docs excluded."""
+    from esgopeta_spark.operators.text import readability_profile
+
+    rows = [
+        (0, "The cat sat on the mat."),
+        (1, "Extraordinary universities evaluate examinations! Truly."),
+        (2, "no terminator here"),
+        (3, "hmm 123 xyz"),   # zero-vowel tokens -> 1 syllable each
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r["doc_id"]: r for r in readability_profile(df).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    r0 = got[0]
+    # 6 words, 1 sentence, 6 syllables: wps=6000, spw=1000
+    assert (r0["n_sentences"], r0["n_words"], r0["n_syllables"]) == (1, 6, 6)
+    assert (r0["wps_milli"], r0["spw_milli"]) == (6000, 1000)
+    assert r0["flesch_milli"] == 206835 - (1015 * 6000) // 1000 - 84600
+    assert r0["fk_grade_milli"] == (390 * 6000) // 1000 + 11800 - 15590
+    r2 = got[2]
+    assert r2["n_sentences"] == 1 and r2["n_words"] == 3
+    r3 = got[3]
+    # 'hmm' and 'xyz' clamp to 1 each; '123' clamps to 1 -> 3 syllables
+    assert r3["n_syllables"] == 3
+    r1 = got[1]
+    assert r1["n_sentences"] == 2 and r1["n_syllables"] > r1["n_words"] * 3
