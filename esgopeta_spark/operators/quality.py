@@ -91,3 +91,28 @@ def k_anonymity_audit(
         .agg(F.count(F.lit(1)).alias("class_size"))
         .filter(F.col("class_size") < F.lit(int(k)))
     )
+
+
+def l_diversity_audit(
+    df: DataFrame, quasi_cols: list, sensitive_col: str, l: int = 3
+) -> DataFrame:
+    """l-diversity check (Machanavajjhala et al. 2007 — the privacy
+    notion k-anonymity is NOT enough for: a k-large equivalence class
+    whose SENSITIVE attribute is constant still discloses it for every
+    member): every quasi-identifier class must see at least ``l``
+    distinct sensitive values.  Returns one row per VIOLATING class
+    (quasi values, class size, distinct sensitive count); empty result
+    = the release is l-diverse.  Run BESIDE :func:`k_anonymity_audit`
+    — the two audits catch disjoint disclosure modes.
+
+    Scale shape: one partial-agg shuffle on the quasi tuple with a
+    distinct-count (map-side partial via the per-group distinct
+    expand); output bounded by violating classes."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct(F.col(sensitive_col)).alias("n_sensitive"),
+        )
+        .filter(F.col("n_sensitive") < F.lit(int(l)))
+    )

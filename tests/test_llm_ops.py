@@ -3552,3 +3552,20 @@ def test_readability_hand_fixture(spark):
     assert r3["n_syllables"] == 3
     r1 = got[1]
     assert r1["n_sentences"] == 2 and r1["n_syllables"] > r1["n_words"] * 3
+
+
+def test_l_diversity_semantics(spark):
+    """l-diversity catches what k-anonymity misses: a LARGE class with
+    a constant sensitive value violates; a small-but-diverse class
+    does not (that's k-anonymity's job)."""
+    from esgopeta_spark.operators.quality import l_diversity_audit
+
+    rows = (
+        [("A", "x", 1)] * 10              # big class, constant sensitive
+        + [("B", "y", v) for v in (1, 2, 3)]  # diverse: passes l=3
+        + [("C", "z", 1), ("C", "z", 2)]       # 2 distinct < 3: violates
+    )
+    df = spark.createDataFrame(rows, "q1: string, q2: string, s: long")
+    got = {(r["q1"], r["q2"]): (r["class_size"], r["n_sensitive"])
+           for r in l_diversity_audit(df, ["q1", "q2"], "s", l=3).collect()}
+    assert got == {("A", "x"): (10, 1), ("C", "z"): (2, 2)}
