@@ -116,3 +116,60 @@ def l_diversity_audit(
         )
         .filter(F.col("n_sensitive") < F.lit(int(l)))
     )
+
+
+def t_closeness_audit(
+    df: DataFrame, quasi_cols: list, sensitive_col: str, t_milli: int = 300
+) -> DataFrame:
+    """t-closeness check (Li et al. 2007 — the refinement after
+    l-diversity: a class can be diverse yet still SKEWED far from the
+    table-wide sensitive distribution, leaking probabilistic
+    information): per quasi class, the total-variation distance
+    between its sensitive distribution and the global one, in EXACT
+    integer milli —
+
+        tv_milli = sum_s |n_cs*Ng - n_gs*Nc| * 1000 div (2*Nc*Ng)
+
+    (one floor at the end; every term int64 at any realistic table).
+    Returns one row per class whose distance EXCEEDS ``t_milli`` —
+    empty result = the release is t-close.  The trio
+    k-anonymity / l-diversity / t-closeness catches the three
+    disclosure modes a per-person release has.
+
+    Scale shape: one (quasi, sensitive) partial-agg shuffle; the
+    global distribution is sensitive-cardinality rows and BROADCASTS
+    back; one per-class rollup."""
+    cs = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("_ncs")
+    )
+    g = df.groupBy(sensitive_col).agg(F.count(F.lit(1)).alias("_ngs"))
+    nc = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("_nc"))
+    # deferred 1-row table-size aggregate, broadcast-cross-joined in —
+    # NOT a driver .count(): keeps the entry lazy (catalog rule)
+    ngdf = df.agg(F.count(F.lit(1)).cast("bigint").alias("_ng"))
+    # classes miss some sensitive values: n_cs = 0 contributes
+    # |0 - n_gs*Nc| — build the full (class x global-sensitive) grid
+    # from the BROADCAST global side so absent cells count
+    grid = nc.crossJoin(F.broadcast(g)).crossJoin(F.broadcast(ngdf))
+    joined = grid.join(
+        cs, [*quasi_cols, sensitive_col], "left"
+    ).select(
+        *quasi_cols, "_nc", "_ng",
+        F.coalesce("_ncs", F.lit(0)).alias("_ncs"), "_ngs",
+    )
+    diff = F.abs(
+        F.col("_ncs").cast("bigint") * F.col("_ng")
+        - F.col("_ngs").cast("bigint") * F.col("_nc").cast("bigint")
+    )
+    per_class = joined.groupBy(*quasi_cols, "_nc", "_ng").agg(
+        F.sum(diff).alias("_sd")
+    )
+    tv = F.expr("(_sd * 1000) DIV (2 * _nc * _ng)").cast("bigint")
+    return (
+        per_class.select(
+            *quasi_cols,
+            F.col("_nc").cast("bigint").alias("class_size"),
+            tv.alias("tv_milli"),
+        )
+        .filter(F.col("tv_milli") > F.lit(int(t_milli)))
+    )

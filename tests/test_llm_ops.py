@@ -3569,3 +3569,26 @@ def test_l_diversity_semantics(spark):
     got = {(r["q1"], r["q2"]): (r["class_size"], r["n_sensitive"])
            for r in l_diversity_audit(df, ["q1", "q2"], "s", l=3).collect()}
     assert got == {("A", "x"): (10, 1), ("C", "z"): (2, 2)}
+
+
+def test_t_closeness_semantics(spark):
+    """t-closeness catches what l-diversity misses: a diverse class
+    whose distribution is far from global violates; a class matching
+    the global mix passes; absent sensitive cells count toward the
+    distance (the grid, not just observed cells)."""
+    from esgopeta_spark.operators.quality import t_closeness_audit
+
+    # global mix: s=1 and s=2 each half.  Class A mirrors it (passes);
+    # class B is all s=1 (diverse? no - but l-diversity would need a
+    # third value to flag it at l=3; t-closeness flags the skew):
+    # tv(B) = |4*16 - 8*8|/2 + |0*16 - 8*8|/(2*...) -> 500 milli
+    rows = (
+        [("A", 1)] * 4 + [("A", 2)] * 4
+        + [("B", 1)] * 8
+    )
+    df = spark.createDataFrame(rows, "q: string, s: long")
+    got = {r["q"]: (r["class_size"], r["tv_milli"])
+           for r in t_closeness_audit(df, ["q"], "s", t_milli=300).collect()}
+    assert got == {"B": (8, 500)}
+    # threshold inclusive-exclusive: at t_milli=500 nothing violates
+    assert t_closeness_audit(df, ["q"], "s", t_milli=500).count() == 0
