@@ -3578,17 +3578,16 @@ def test_t_closeness_semantics(spark):
     distance (the grid, not just observed cells)."""
     from esgopeta_spark.operators.quality import t_closeness_audit
 
-    # global mix: s=1 and s=2 each half.  Class A mirrors it (passes);
-    # class B is all s=1 (diverse? no - but l-diversity would need a
-    # third value to flag it at l=3; t-closeness flags the skew):
-    # tv(B) = |4*16 - 8*8|/2 + |0*16 - 8*8|/(2*...) -> 500 milli
+    # global mix: s=1 and s=2 each half (A mirrors it; B all s=1, C all
+    # s=2).  N=24, Ng(1)=Ng(2)=12: tv(A) = 0 (passes); tv(B) = tv(C) =
+    # (|8*24-12*8| + |0-12*8|)*1000 // (2*8*24) = 500 milli
     rows = (
         [("A", 1)] * 4 + [("A", 2)] * 4
-        + [("B", 1)] * 8
+        + [("B", 1)] * 8 + [("C", 2)] * 8
     )
     df = spark.createDataFrame(rows, "q: string, s: long")
     got = {r["q"]: (r["class_size"], r["tv_milli"])
            for r in t_closeness_audit(df, ["q"], "s", t_milli=300).collect()}
-    assert got == {"B": (8, 500)}
-    # threshold inclusive-exclusive: at t_milli=500 nothing violates
+    assert got == {"B": (8, 500), "C": (8, 500)}
+    # the threshold is strictly-greater: at t_milli=500 nothing violates
     assert t_closeness_audit(df, ["q"], "s", t_milli=500).count() == 0
