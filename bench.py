@@ -1,13 +1,20 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints exactly ONE JSON line:
+The LAST stdout line is one COMPACT headline JSON, guaranteed under the
+driver's 2000-char tail capture (r12, verdict #1: the r11 line outgrew
+the capture when the per-query ext_core_s map was added, so the round's
+official perf record was unparseable):
   {"metric": "headline_queries_total", "value": <sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "ext_core_s": {name: core_s, ...},
-   "sf": <float>, "loadavg_1m": <float>, "cpu_canary_ms": <float>,
-   "contaminated": <bool>, "start_gate_timeout": <bool>,
-   "midrun_retries": [name, ...], "dirty_queries": [name, ...],
-   "external_core_s": <float>, "repeats": <int>}
+   "queries": {name: sec, ...}, "sf": <float>, "loadavg_1m": <float>,
+   "cpu_canary_ms": <float>, "contaminated": <bool>,
+   "start_gate_timeout": <bool>, "dirty_n": <int>, "repeats": <int>}
+If even the compact form would exceed the budget the queries map moves
+wholesale to the sidecar and the headline carries
+"queries_in": "bench_detail.json" instead — the headline NEVER truncates
+mid-JSON.  Full detail (per-query ext_core_s, midrun_retries,
+dirty_queries, external_core_s, and the same queries map) is always
+written to bench_detail.json beside this script.
 
 A run does not START until the box is idle (loadavg-1m <= 0.6 AND
 loadavg-5m <= 0.8 AND cpu canary <= 2.5 ms — measured-idle thresholds),
@@ -138,6 +145,10 @@ HEADLINE = [
     # host-template cut (all-codegen, two natural-key shuffles)
     "web_content_encoding",
     "web_template_lines",
+    # r12 graded-window rotation: the fuzzy-decontamination class and the
+    # nightly-update capstone (incremental dedup -> decontam gate -> split)
+    "decontaminate_minhash_fuzzy",
+    "pipeline_incremental_snapshot",
 ]
 
 
@@ -188,6 +199,11 @@ def cpu_canary_ms() -> float:
 CANARY_MAX_MS = 2.5
 LOADAVG_MAX = 0.6
 LOADAVG5_MAX = 0.8
+# the measured idle norm for the start canary; the contamination label
+# trips at 2x this (r12 verdict #2)
+CANARY_IDLE_NORM_MS = 1.5
+# the driver's stdout tail capture is 2000 chars; keep margin
+HEADLINE_BUDGET_CHARS = 1900
 MAX_WAIT_S = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT_S", "600"))
 WAIT_STEP_S = 20
 
@@ -342,28 +358,47 @@ def main() -> None:
         external_core_s += ext
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "ext_core_s": ext_map,
-                "sf": sf,
-                "loadavg_1m": round(load_start, 2),
-                "cpu_canary_ms": canary,
-                # per-query-evidence verdict: contaminated only when some
-                # query never produced a clean attempt within the cap
-                "contaminated": bool(dirty_queries),
-                "start_gate_timeout": start_gate_timeout,
-                "midrun_retries": midrun_retries,
-                "dirty_queries": dirty_queries,
-                "external_core_s": round(external_core_s, 2),
-                "repeats": REPEATS,
-            }
-        )
+    # Contamination verdict (r12, verdict #2): the label keys on the
+    # START-GATE evidence — canary drift past ~2x the measured 1.5 ms
+    # idle norm, or the gate timing out entirely (the r11 driver run
+    # read canary 50.9 ms + gate timeout yet labeled clean, while an
+    # idle rerun labeled dirty on per-query ext residue).  Per-query
+    # external CPU now ANNOTATES (dirty_n here, full lists + ext map in
+    # the sidecar) rather than solely deciding.
+    contaminated = start_gate_timeout or canary > 2 * CANARY_IDLE_NORM_MS
+    headline = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "loadavg_1m": round(load_start, 2),
+        "cpu_canary_ms": canary,
+        "contaminated": contaminated,
+        "start_gate_timeout": start_gate_timeout,
+        "dirty_n": len(dirty_queries),
+        "repeats": REPEATS,
+    }
+    detail = dict(
+        headline,
+        ext_core_s=ext_map,
+        midrun_retries=midrun_retries,
+        dirty_queries=dirty_queries,
+        external_core_s=round(external_core_s, 2),
     )
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    with open(sidecar, "w") as f:
+        json.dump(detail, f, indent=1)
+    line = json.dumps(headline, separators=(",", ":"))
+    if len(line) > HEADLINE_BUDGET_CHARS:
+        # never emit a line the driver's tail capture would cut mid-JSON:
+        # shed the queries map (it lives in the sidecar regardless)
+        headline.pop("queries")
+        headline["queries_in"] = "bench_detail.json"
+        line = json.dumps(headline, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

@@ -1350,8 +1350,8 @@ def decontaminate_minhash(
     eval_set: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hashes: int = 16,
-    bands: int = 4,
+    num_hashes: int | None = None,
+    bands: int | None = None,
     shingle_n: int = 3,
     threshold_milli: int = 200,
     portable: bool = True,
@@ -1376,7 +1376,23 @@ def decontaminate_minhash(
     Scale shape: the eval set is SMALL (a benchmark), so its banded
     rows broadcast; the corpus pays one signature pass + the band
     probe; exact verification touches only candidate docs (semi-prune
-    before the gram explode)."""
+    before the gram explode).
+
+    LSH parameters: ``num_hashes``/``bands`` default PER TIER —
+    portable 16/4 (oracle-scale md5 lanes), production 64/16 (the
+    cheap-lane JVM path keeps more bands for recall).  A caller that
+    passes them EXPLICITLY gets exactly those values in EITHER tier,
+    so the two tiers are comparable at matched LSH parameters
+    (r12, per ADVICE: the production tier previously clamped to
+    64/16 silently)."""
+    if num_hashes is None:
+        num_hashes = 16 if portable else 64
+    if bands is None:
+        bands = 4 if portable else 16
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
     if portable:
         cb = portable_minhash_bands(
             corpus, text_col, id_col, num_hashes, bands, shingle_n
@@ -1386,10 +1402,10 @@ def decontaminate_minhash(
         )
     else:
         cb = banded_signatures(
-            corpus, text_col, id_col, max(num_hashes, 64), 16, shingle_n
+            corpus, text_col, id_col, num_hashes, bands, shingle_n
         ).localCheckpoint()
         eb = banded_signatures(
-            eval_set, text_col, id_col, max(num_hashes, 64), 16, shingle_n
+            eval_set, text_col, id_col, num_hashes, bands, shingle_n
         )
     cands = (
         cb.alias("c")

@@ -38,7 +38,10 @@ GRADED_WINDOW = [
     # twin — still a semi join (family covered), now with the runtime-
     # filter-pushdown shape the 100 TB plan wants graded
     "join_bloom_semi_lineitem",
-    "join_anti_customers_without_orders",
+    # (r12: the plain anti join demoted to parity-only — E3 stays 3-deep
+    # in-window via Bloom-semi + as-of + skew-salted, and the
+    # incremental-snapshot capstone below carries an anti-join stage —
+    # for the r11 capability classes below)
     # (theta-band join demoted to parity-only in r6 — non-equi joins stay
     # covered by as-of + range below — to make room for the r6 k-core entry;
     # cross join demoted in r5)
@@ -56,10 +59,9 @@ GRADED_WINDOW = [
     # r6: Count-Min heavy hitters — the frequency-sketch family's first
     # in-window representative (KMV stayed parity-only in r5)
     "agg_cms_heavy_hitters",
-    # r7: exact median rotated out for the mergeable histogram-sketch
-    # quantiles (percentile family stays; the sketch is the shape that
-    # survives 100 TB — single pass, bounded state)
-    "agg_histogram_quantiles",
+    # (r12: the histogram-quantile sketch demoted to parity-only — E4
+    # stays 3-deep via rollup + CMS + pivot, and the sketch keeps its
+    # parity check + one-bin error pin — for the r11 classes below)
     "pivot_status_by_priority",
     # (r9 late: unpivot demoted to parity-only — pivot keeps the reshape
     # family graded — for the image-stats strong-oracle entry; r10:
@@ -93,7 +95,9 @@ GRADED_WINDOW = [
     "graph_ham_lexical_ties",
     # GraphX-style analytics
     "graph_pagerank_transactions",
-    "graph_triangles_coorder",
+    # (r12: triangles demoted to parity-only — graph analytics stays
+    # graded via pagerank + LPA, exactly the demotion the r11 verdict
+    # named — for the r11 capability classes below)
     # (r11: cheapest-path rotated to parity-only — iterative-frontier
     # algorithms stay graded via pagerank + LPA — for the r11 redirect
     # flagship below)
@@ -115,7 +119,9 @@ GRADED_WINDOW = [
     # for the IMAGE near-dup flagship — G2 dedup extended to the
     # multimodal corpus, hash-exact class-self-join oracle
     "dedup_image_dhash",
-    "dedup_embedding_components",
+    # (r12: embedding-components demoted to parity-only — the min-label
+    # closure stays exercised inside dedup_semantic_kmeans's graded
+    # pipeline and G2 stays 5-deep — for the r11 classes below)
     # r5: the r4 flagship LLM ops rotated into the gate (hash-exact oracles)
     "dedup_semantic_kmeans",
     "dedup_substring_spans",
@@ -173,6 +179,17 @@ GRADED_WINDOW = [
     # r10: the keyed-recursion family's graded representative — EWMA on
     # the daily grid (recursive-CTE oracle, integer milli state)
     "ts_ewma_daily",
+    # r12 rotation (r11 verdict #2 / COVERAGE.md candidates): the four
+    # r11 capability CLASSES with no graded representative enter —
+    # wire-encoding unwrap (gzip/deflate/chunked through the full
+    # WARC->HTTP->charset chain), cross-page host-template boilerplate,
+    # fuzzy benchmark decontamination (bipartite banded MinHash +
+    # exact-Jaccard verify), and the nightly-update capstone
+    # (incremental dedup -> decontam gate -> split, one lineage)
+    "web_content_encoding",
+    "web_template_lines",
+    "decontaminate_minhash_fuzzy",
+    "pipeline_incremental_snapshot",
     # (emb_label_stats demoted to parity-only in r6 — embedding columns are
     # amply graded by the sim_* / dedup_semantic_kmeans entries)
 ]

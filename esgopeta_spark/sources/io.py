@@ -392,10 +392,17 @@ def compaction_plan(
         F.col(part_col),
         F.col(id_col),
         F.col(bytes_col).cast("bigint").alias(bytes_col),
-        # integer quotient via divisible numerator (house discipline: no
-        # float division crosses an oracle boundary, whatever the range)
-        ((before - (before % F.lit(int(target_bytes))))
-         / F.lit(int(target_bytes))).cast("bigint").alias("merge_group"),
+        before.cast("bigint").alias("_before"),
+    ).select(
+        F.col(part_col),
+        F.col(id_col),
+        F.col(bytes_col),
+        # pure-integer quotient (house discipline: no float `/` crosses
+        # an oracle boundary — a double rounds cumulative bytes past
+        # 2^53 and can mis-assign a group vs DuckDB's exact `//`).
+        # _before >= 0, so DIV truncation == floor == the oracle.
+        F.expr(f"_before DIV {int(target_bytes)}").cast("bigint")
+        .alias("merge_group"),
     )
     gw = Window.partitionBy(part_col, "merge_group")
     return planned.select(

@@ -20,8 +20,12 @@ REQUIRED_IN_WINDOW = {
     "graph_fetch_path",  # group A (fetch path, D1 null-vs-absent)
     "graph_ham_stream_replay",  # F5 oracle twin
     "graph_pagerank_transactions",  # GraphX analytics
-    "graph_triangles_coorder",
-    "dedup_embedding_components",  # G2 with oracle
+    # (r12 rotations: triangles -> parity (the demotion the r11 verdict
+    # named; analytics stays graded via pagerank + LPA),
+    # dedup_embedding_components -> parity (the min-label closure stays
+    # graded inside dedup_semantic_kmeans), agg_histogram_quantiles ->
+    # parity (E4 stays 3-deep), plain anti join -> parity (E3 stays
+    # 3-deep + the incremental-snapshot capstone carries an anti stage))
     # r8 rotations: ngram_jaccard + date battery to parity-only (their
     # families keep in-window reps); the image/audio near-dup flagships
     # in — G2 dedup graded across modalities
@@ -69,7 +73,6 @@ REQUIRED_IN_WINDOW = {
     # sketch), plain semi join (Bloom twin IS a semi join) and BFS
     # (weighted superset graded) rotated to parity-only
     "join_bloom_semi_lineitem",  # E3 semi + runtime-filter pushdown shape
-    "agg_histogram_quantiles",  # E4 percentiles, mergeable-sketch tier
     # (r11 rotations: cheapest-path -> parity — iterative-frontier stays
     # graded via pagerank + LPA; gap-fill/LOCF -> parity — time-series
     # stays graded via ts_ewma_daily; left join -> parity — E3 stays
@@ -80,6 +83,11 @@ REQUIRED_IN_WINDOW = {
     "web_redirect_resolve",  # G1/G4 redirect chains, visible markers
     "pipeline_crawl_to_shards",  # crawl capstone: warc -> html+pdf -> shards
     "select_nb_langid",  # trained-classifier curation (NB, milli-log2)
+    # r12 additions: the r11 capability classes' first graded reps
+    "web_content_encoding",  # wire-encoding unwrap (gzip/deflate/chunked)
+    "web_template_lines",  # cross-page host-template boilerplate cut
+    "decontaminate_minhash_fuzzy",  # fuzzy benchmark decontamination
+    "pipeline_incremental_snapshot",  # nightly-update capstone
 }
 
 
