@@ -28,11 +28,38 @@ the PNG/FLAC/MPEG decoders):
 - content-stream text operators: ``BT/ET``, ``Tj``, ``TJ`` (strings
   shown, kerning numbers ignored), ``'`` and ``"`` (implicit ``T*``),
   ``Td``/``TD`` (a vertical move breaks the line), ``T*``, ``Tm`` (a
-  new text matrix breaks the line); ``Tf/TL/Tc/Tw/Tz/Ts/Tr`` consume
-  operands only
-- string bytes decode as UTF-16BE when BOM-prefixed, else WinAnsi
-  (cp1252; the five undefined bytes -> U+FFFD) — the bounded single-
-  byte-font contract, documented
+  new text matrix breaks the line); ``Tf`` selects the CURRENT FONT
+  (r12 — its decoder applies to every shown string until the next
+  ``Tf``); ``TL/Tc/Tw/Tz/Ts/Tr`` consume operands only
+- FONT-AWARE string decoding (r12, verdict #3 — real-corpus PDFs
+  overwhelmingly map glyphs through font tables, and the previous
+  BOM-or-WinAnsi contract returned mojibake on them):
+
+  * ``/ToUnicode`` CMap streams (§9.10.3) take precedence when
+    present: ``begincodespacerange`` fixes the code byte-width,
+    ``beginbfchar`` maps single codes, ``beginbfrange`` maps ranges
+    (offset form AND array form), destinations are UTF-16BE and may
+    be MULTI-character (ligature expansions) — this is how Type0/CID
+    (``Identity-H``) text extracts in practice
+  * ``/Encoding`` dictionaries (§9.6.5): ``/BaseEncoding`` table
+    patched by the ``/Differences`` array (code numbers set the next
+    code, glyph NAMES map through the Adobe glyph list subset below)
+  * base encodings by name: ``WinAnsiEncoding`` (cp1252),
+    ``MacRomanEncoding`` (stdlib mac_roman), ``StandardEncoding``
+    (bounded: printable ASCII identity, high range U+FFFD —
+    documented deviation: 0x27/0x60 stay ASCII)
+  * glyph names resolve through a bounded AGL subset (ASCII +
+    Latin-1 + common typographic names + ``fi``/``fl`` ligatures)
+    plus the algorithmic ``uniXXXX`` / ``uXXXX-XXXXXX`` forms;
+    unknown names -> U+FFFD (visible, never dropped)
+  * Type0 fonts WITHOUT a ToUnicode map decode each 2-byte code to
+    U+FFFD (the honest floor: without the CMap there is no text)
+  * ``/Resources`` inherit down the page tree (§7.7.3.4) — real
+    files hang the font dict on the /Pages node
+
+- strings shown with NO font selected (or an unresolvable one) keep
+  the original bounded contract: UTF-16BE when BOM-prefixed, else
+  WinAnsi (cp1252; the five undefined bytes -> U+FFFD)
 
 Text assembly: shown strings append VERBATIM to the current line (no
 whitespace collapsing — unlike the HTML extractor, PDF strings are the
@@ -642,6 +669,297 @@ def _decode_pdf_string(raw: bytes) -> str:
     return raw.decode("latin-1").translate(_WINANSI_HIGH)
 
 
+# ---------------------------------------------------------------------------
+# Font-aware string decoding (r12, verdict #3): /Encoding /Differences
+# arrays, /ToUnicode CMaps, Type0/Identity-H — the way real-corpus PDFs
+# map bytes to text.
+# ---------------------------------------------------------------------------
+
+# Bounded Adobe-glyph-list subset: ASCII names, Latin-1 names, common
+# typographic names, fi/fl ligatures.  Letters and digits-as-words cover
+# every /Differences array a western-text PDF emits; anything outside
+# resolves through uniXXXX/uXXXX or falls to U+FFFD (visible, not
+# dropped).
+_GLYPH_UNI: dict[str, str] = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    # Latin-1 / WinAnsi names
+    "exclamdown": "¡", "cent": "¢", "sterling": "£",
+    "currency": "¤", "yen": "¥", "brokenbar": "¦",
+    "section": "§", "dieresis": "¨", "copyright": "©",
+    "ordfeminine": "ª", "guillemotleft": "«",
+    "logicalnot": "¬", "registered": "®", "macron": "¯",
+    "degree": "°", "plusminus": "±", "acute": "´",
+    "mu": "µ", "paragraph": "¶", "periodcentered": "·",
+    "cedilla": "¸", "ordmasculine": "º",
+    "guillemotright": "»", "onequarter": "¼",
+    "onehalf": "½", "threequarters": "¾",
+    "questiondown": "¿", "multiply": "×", "divide": "÷",
+    # typographic
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "bullet": "•", "endash": "–", "emdash": "—",
+    "ellipsis": "…", "dagger": "†", "daggerdbl": "‡",
+    "perthousand": "‰", "guilsinglleft": "‹",
+    "guilsinglright": "›", "fraction": "⁄",
+    "florin": "ƒ", "circumflex": "ˆ", "tilde": "˜",
+    "Euro": "€", "trademark": "™", "minus": "−",
+    "fi": "fi", "fl": "fl",  # ligatures expand (multi-char, like bfchar)
+    "dotlessi": "ı", "OE": "Œ", "oe": "œ",
+    "Scaron": "Š", "scaron": "š", "Ydieresis": "Ÿ",
+    "Zcaron": "Ž", "zcaron": "ž", "germandbls": "ß",
+    "eth": "ð", "Eth": "Ð", "thorn": "þ",
+    "Thorn": "Þ", "ae": "æ", "AE": "Æ",
+    "oslash": "ø", "Oslash": "Ø", "aring": "å",
+    "Aring": "Å", "ccedilla": "ç", "Ccedilla": "Ç",
+    "ntilde": "ñ", "Ntilde": "Ñ",
+}
+# single letters name themselves; accented Latin names are systematic
+for _ch in "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ":
+    _GLYPH_UNI[_ch] = _ch
+for _base, _marks in (
+    ("a", "graveà acuteá circumflexâ tildeã dieresisä"),
+    ("e", "graveè acuteé circumflexê dieresisë"),
+    ("i", "graveì acuteí circumflexî dieresisï"),
+    ("o", "graveò acuteó circumflexô tildeõ dieresisö"),
+    ("u", "graveù acuteú circumflexû dieresisü"),
+    ("y", "acuteý dieresisÿ"),
+):
+    for _m in _marks.split():
+        _GLYPH_UNI[_base + _m[:-1]] = _m[-1]
+        _up = _m[-1].upper()
+        if _up != _m[-1]:
+            _GLYPH_UNI[_base.upper() + _m[:-1]] = _up
+del _ch, _base, _marks, _m
+
+_UNI_GLYPH_RX = re.compile(r"uni((?:[0-9A-Fa-f]{4})+)$")
+_U_GLYPH_RX = re.compile(r"u([0-9A-Fa-f]{4,6})$")
+
+
+def _glyph_text(name: str) -> str:
+    """Glyph name -> text: AGL-subset table, then the algorithmic
+    uniXXXX[XXXX..] / uXXXX[XX] forms, else U+FFFD."""
+    g = _GLYPH_UNI.get(name)
+    if g is not None:
+        return g
+    m = _UNI_GLYPH_RX.match(name)
+    if m is not None:
+        h = m.group(1)
+        return "".join(chr(int(h[i:i + 4], 16)) for i in range(0, len(h), 4))
+    m = _U_GLYPH_RX.match(name)
+    if m is not None:
+        cp = int(m.group(1), 16)
+        if cp <= 0x10FFFF:
+            return chr(cp)
+    return "�"
+
+
+_MACROMAN = bytes(range(256)).decode("mac_roman")
+# StandardEncoding, bounded: printable ASCII identity (documented
+# deviation: 0x27 quoteright / 0x60 quoteleft kept as the ASCII bytes),
+# everything else U+FFFD
+_STANDARD = "�" * 32 + bytes(range(32, 127)).decode("ascii") + "�" * 129
+
+
+def _base_encoding_table(name) -> str:
+    if name == "MacRomanEncoding":
+        return _MACROMAN
+    if name == "StandardEncoding":
+        return _STANDARD
+    return _WINANSI  # WinAnsiEncoding and the documented default
+
+
+def _encoding_diff_table(doc: "_PdfDoc", enc: dict) -> list[str]:
+    """A 256-slot code->text table: /BaseEncoding patched by the
+    /Differences array (integers set the next code, names map through
+    the glyph list)."""
+    table = list(_base_encoding_table(doc.resolve(enc.get("BaseEncoding"))))
+    diffs = doc.resolve(enc.get("Differences"))
+    if isinstance(diffs, list):
+        if len(diffs) > 2048:
+            raise ValueError("oversized /Differences array")
+        code = 0
+        for el in diffs:
+            el = doc.resolve(el)
+            if isinstance(el, bool):
+                continue
+            if isinstance(el, (int, float)):
+                code = int(el)
+            elif isinstance(el, _Name):
+                if 0 <= code <= 255:
+                    table[code] = _glyph_text(str(el))
+                code += 1
+    return table
+
+
+_CMAP_HEX_RX = re.compile(rb"<([0-9A-Fa-f\s]*)>")
+_CMAP_SECTION_RX = re.compile(
+    rb"begin(codespacerange|bfchar|bfrange)(.*?)end\1", re.S
+)
+
+
+def _cmap_hex_items(body: bytes) -> list[bytes]:
+    out = []
+    for m in _CMAP_HEX_RX.finditer(body):
+        hx = bytes(c for c in m.group(1) if c not in _WS)
+        if len(hx) % 2:
+            hx += b"0"
+        out.append(bytes.fromhex(hx.decode("ascii")))
+    return out
+
+
+def _parse_tounicode(data: bytes) -> tuple[dict[int, str], int]:
+    """ToUnicode CMap stream -> (code -> text map, code byte-width).
+    Bounded: <= 65536 mappings total, range spans capped, width from
+    the first codespacerange (default 2 — Identity-H's shape)."""
+    cmap: dict[int, str] = {}
+    width = 0
+    for m in _CMAP_SECTION_RX.finditer(data):
+        kind, body = m.group(1), m.group(2)
+        if kind == b"codespacerange":
+            items = _cmap_hex_items(body)
+            if items and width == 0:
+                width = max(1, min(4, len(items[0])))
+        elif kind == b"bfchar":
+            items = _cmap_hex_items(body)
+            for i in range(0, len(items) - 1, 2):
+                if len(cmap) >= 65536:
+                    raise ValueError("oversized ToUnicode CMap")
+                src, dst = items[i], items[i + 1]
+                cmap[int.from_bytes(src, "big")] = dst.decode(
+                    "utf-16-be", "replace")
+        else:  # bfrange — offset form; the array form needs the parser
+            pos = 0
+            while True:
+                mm = _CMAP_HEX_RX.search(body, pos)
+                if mm is None:
+                    break
+                lo_b = _cmap_hex_items(mm.group(0))[0]
+                nxt = _CMAP_HEX_RX.search(body, mm.end())
+                if nxt is None:
+                    break
+                hi_b = _cmap_hex_items(nxt.group(0))[0]
+                # destination: hex string OR [ <..> <..> ... ] array
+                j = _skip_ws(body, nxt.end())
+                lo, hi = int.from_bytes(lo_b, "big"), int.from_bytes(hi_b, "big")
+                if hi < lo or hi - lo > 65535 or len(cmap) + (hi - lo) >= 65536:
+                    raise ValueError("oversized ToUnicode bfrange")
+                if j < len(body) and body[j] == 0x5B:  # '['
+                    end = body.find(b"]", j)
+                    if end < 0:
+                        break
+                    dsts = _cmap_hex_items(body[j:end])
+                    for k, d in enumerate(dsts):
+                        if lo + k > hi:
+                            break
+                        cmap[lo + k] = d.decode("utf-16-be", "replace")
+                    pos = end + 1
+                else:
+                    dm = _CMAP_HEX_RX.search(body, j)
+                    if dm is None:
+                        break
+                    dst = _cmap_hex_items(dm.group(0))[0]
+                    base = int.from_bytes(dst, "big") if dst else 0
+                    nb = max(2, len(dst))
+                    for k in range(hi - lo + 1):
+                        # offset form increments the LAST code unit
+                        cmap[lo + k] = (base + k).to_bytes(nb, "big").decode(
+                            "utf-16-be", "replace")
+                    pos = dm.end()
+    return cmap, (width or 2)
+
+
+def _font_decoder(doc: "_PdfDoc", font):
+    """Font dict -> callable(bytes) -> str.  Precedence per §9.10.2:
+    /ToUnicode CMap when present; else /Encoding (dict with
+    /Differences, or a base-encoding name); Type0 without a CMap
+    decodes per-code U+FFFD; anything unresolvable keeps the default
+    BOM-or-WinAnsi contract."""
+    font = doc.resolve(font)
+    if not isinstance(font, dict):
+        return _decode_pdf_string
+    tu = font.get("ToUnicode")
+    if isinstance(tu, _Ref):
+        obj, raw = doc.get_object(tu.num)
+        if isinstance(obj, dict) and raw is not None:
+            cmap, width = _parse_tounicode(doc.stream_data(obj, raw))
+
+            def _dec_cid(s: bytes, _c=cmap, _w=width) -> str:
+                out = []
+                for i in range(0, len(s) - _w + 1, _w):
+                    out.append(_c.get(int.from_bytes(s[i:i + _w], "big"),
+                                      "�"))
+                if len(s) % _w:
+                    out.append("�")
+                return "".join(out)
+
+            return _dec_cid
+    enc = doc.resolve(font.get("Encoding"))
+    if isinstance(enc, dict):
+        table = _encoding_diff_table(doc, enc)
+
+        def _dec_table(s: bytes, _t=table) -> str:
+            if s[:2] == b"\xfe\xff":  # BOM'd text under a simple font:
+                return s[2:].decode("utf-16-be", "replace")  # writers do this
+            return "".join(_t[b] for b in s)
+
+        return _dec_table
+    if font.get("Subtype") == "Type0":
+        # CID font with no ToUnicode: codes are glyph indices, not text
+        def _dec_blind(s: bytes) -> str:
+            return "�" * ((len(s) + 1) // 2)
+
+        return _dec_blind
+    if isinstance(enc, _Name):
+        table2 = _base_encoding_table(str(enc))
+
+        def _dec_base(s: bytes, _t=table2) -> str:
+            if s[:2] == b"\xfe\xff":
+                return s[2:].decode("utf-16-be", "replace")
+            return "".join(_t[b] for b in s)
+
+        return _dec_base
+    return _decode_pdf_string
+
+
+def _page_fonts(doc: "_PdfDoc", page: dict) -> dict[str, object]:
+    """The page's /Resources /Font dict resolved to name -> decoder
+    (memoized per font object across pages via doc._font_memo)."""
+    memo = getattr(doc, "_font_memo", None)
+    if memo is None:
+        memo = doc._font_memo = {}
+    res = doc.resolve(page.get("Resources"))
+    if not isinstance(res, dict):
+        return {}
+    fonts = doc.resolve(res.get("Font"))
+    if not isinstance(fonts, dict):
+        return {}
+    out: dict[str, object] = {}
+    for name, ref in list(fonts.items())[:256]:
+        key = ref.num if isinstance(ref, _Ref) else None
+        if key is not None and key in memo:
+            out[str(name)] = memo[key]
+            continue
+        try:
+            dec = _font_decoder(doc, ref)
+        except (ValueError, OverflowError):
+            dec = _decode_pdf_string  # malformed font: per-font fallback
+        if key is not None:
+            memo[key] = dec
+        out[str(name)] = dec
+    return out
+
+
 # text-showing / text-positioning operator arities (operands consumed)
 _TEXT_OPS_IGNORED = {
     b"Tf": 2, b"TL": 1, b"Tc": 1, b"Tw": 1, b"Tz": 1, b"Ts": 1, b"Tr": 1,
@@ -649,16 +967,21 @@ _TEXT_OPS_IGNORED = {
 _OP_RX = re.compile(rb"[A-Za-z'\"][A-Za-z0-9*'\"]*")
 
 
-def _content_text_lines(data: bytes) -> list[str]:
+def _content_text_lines(data: bytes, fonts: dict | None = None) -> list[str]:
     """Interpret one page's (concatenated) content streams: shown
     strings append verbatim to the current line; Td/TD with a vertical
     move, T*, Tm, ' and \" break the line; ET flushes.  Non-text
     operators and their operands are skipped (operand stack discipline:
-    operands collect until any operator token)."""
+    operands collect until any operator token).  ``fonts`` maps
+    resource names to string decoders; ``Tf`` switches the current one
+    (r12 — font-aware decoding; no selection keeps the BOM-or-WinAnsi
+    default)."""
     lines: list[str] = []
     buf: list[str] = []
     stack: list = []
     i, n = 0, len(data)
+    fonts = fonts or {}
+    decoder = [_decode_pdf_string]  # current font's decoder (cell: closure-mutable)
 
     def flush() -> None:
         line = "".join(buf)
@@ -668,7 +991,7 @@ def _content_text_lines(data: bytes) -> list[str]:
 
     def show(v) -> None:
         if isinstance(v, bytes):
-            buf.append(_decode_pdf_string(v))
+            buf.append(decoder[0](v))
 
     while i < n:
         i = _skip_ws(data, i)
@@ -705,6 +1028,9 @@ def _content_text_lines(data: bytes) -> list[str]:
             flush()
             if stack:
                 show(stack[-1])
+        elif op == b"Tf":
+            if len(stack) >= 2 and isinstance(stack[-2], _Name):
+                decoder[0] = fonts.get(str(stack[-2]), _decode_pdf_string)
         elif op in (b"Td", b"TD"):
             if len(stack) >= 2 and isinstance(stack[-1], (int, float)) and stack[-1] != 0:
                 flush()
@@ -729,14 +1055,20 @@ def _page_leaves(doc: _PdfDoc) -> list[dict]:
     out: list[dict] = []
     seen: set[int] = set()
 
-    def walk(node, depth: int) -> None:
+    def walk(node, depth: int, inherited_res) -> None:
         if depth > 64 or len(out) > 10_000:
             raise ValueError("page tree too deep/large")
         node = doc.resolve(node)
         if not isinstance(node, dict):
             return
+        # /Resources inherit down the page tree (§7.7.3.4) — real files
+        # hang the shared font dict on the /Pages node (r12)
+        res = node.get("Resources", inherited_res)
         t = node.get("Type")
         if t == "Page":
+            if "Resources" not in node and res is not None:
+                node = dict(node)
+                node["Resources"] = res
             out.append(node)
             return
         kids = doc.resolve(node.get("Kids"))
@@ -746,9 +1078,9 @@ def _page_leaves(doc: _PdfDoc) -> list[dict]:
                     if k.num in seen:
                         continue  # cycle guard
                     seen.add(k.num)
-                walk(k, depth + 1)
+                walk(k, depth + 1, res)
 
-    walk(pages, 0)
+    walk(pages, 0, None)
     return out
 
 
@@ -778,7 +1110,9 @@ def _extract_pages(data: bytes) -> list[str]:
         doc = _PdfDoc(bytes(data) if data is not None else b"")
         page_texts: list[str] = []
         for page in _page_leaves(doc):
-            lines = _content_text_lines(_page_content(doc, page))
+            lines = _content_text_lines(
+                _page_content(doc, page), _page_fonts(doc, page)
+            )
             if lines:
                 page_texts.append("\n".join(lines))
         return page_texts
@@ -1103,9 +1437,143 @@ def build_pdf(
     return bytes(out)
 
 
+_DIGIT_NAMES = ["zero", "one", "two", "three", "four",
+                "five", "six", "seven", "eight", "nine"]
+
+
+def _rot_cipher(s: str) -> str:
+    """The fixture's code cipher (rot13 letters, +5 digits — both
+    involutions, so encoding = applying it once): the bytes WRITTEN
+    into the content stream, which the /Differences table maps back to
+    the shown glyphs."""
+    out = []
+    for ch in s:
+        o = ord(ch)
+        if 97 <= o <= 122:
+            out.append(chr((o - 97 + 13) % 26 + 97))
+        elif 65 <= o <= 90:
+            out.append(chr((o - 65 + 13) % 26 + 65))
+        elif 48 <= o <= 57:
+            out.append(chr((o - 48 + 5) % 10 + 48))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def build_pdf_fontmapped(doc_id: int, text: str) -> bytes:
+    """Deterministic fixture PDF whose text extracts CORRECTLY only
+    through the r12 font machinery (the encoder twin for the
+    /Differences + /ToUnicode decode paths):
+
+    - page 1 shows 'Doc <id>' and the corpus text through /F1, a Type1
+      font whose /Encoding dict patches WinAnsi with a /Differences
+      array remapping EVERY letter (rot13) and digit (+5): the content
+      stream bytes are ciphered, the table deciphers them — a reader
+      ignoring /Differences returns mojibake, never silently passes
+    - page 2 shows 'CID: <text>' and an 'End.' trailer through /F2, a
+      Type0 /Identity-H font with 2-byte hex-string codes at
+      ord(ch)+0x1000 and a /ToUnicode CMap: one bfrange in offset form
+      (<1020> <107e> -> <0020>) plus one MULTI-char bfchar
+      (<0001> -> 'End.') — both CMap shapes load-bearing
+    - /Resources (both fonts) hang on the /Pages NODE, not the pages —
+      the §7.7.3.4 inheritance real files use
+
+    Expected extraction, closed form (layout-independent):
+    ``Doc <id>\\n[<text>\\n]CID: <text>\\nEnd.``"""
+    did = int(doc_id)
+    t = text if isinstance(text, str) else ""
+    c1 = (
+        b"BT /F1 12 Tf 72 720 Td (" + _pdf_string(_rot_cipher(f"Doc {did}"))
+        + b") Tj 0 -14 TD (" + _pdf_string(_rot_cipher(t)) + b") Tj ET"
+    )
+    cid = b"".join(
+        (ord(ch) + 0x1000 if 0x20 <= ord(ch) <= 0x7E
+         else 0x103F).to_bytes(2, "big")  # out-of-range -> '?' code
+        for ch in "CID: " + t
+    )
+    c2 = (
+        b"BT /F2 10 Tf 72 720 Td <" + cid.hex().encode("ascii")
+        + b"> Tj 0 -14 TD <0001> Tj ET"
+    )
+    diffs = (
+        b"48 " + b" ".join(b"/" + _DIGIT_NAMES[(d + 5) % 10].encode("ascii")
+                           for d in range(10))
+        + b" 65 " + b" ".join(b"/" + chr((c + 13) % 26 + 65).encode("ascii")
+                              for c in range(26))
+        + b" 97 " + b" ".join(b"/" + chr((c + 13) % 26 + 97).encode("ascii")
+                              for c in range(26))
+    )
+    tounicode = (
+        b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        b"/CMapName /Fixture def\n"
+        b"1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+        b"1 beginbfrange\n<1020> <107e> <0020>\nendbfrange\n"
+        b"1 beginbfchar\n<0001> <0045006e0064002e>\nendbfchar\n"
+        b"endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend"
+    )
+    objs: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: (b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 "
+            b"/Resources << /Font << /F1 7 0 R /F2 9 0 R >> >> >>"),
+        3: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R >>"),
+        4: (b"<< /Length " + str(len(c1)).encode("ascii")
+            + b" >>\nstream\n" + c1 + b"\nendstream"),
+        5: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 6 0 R >>"),
+        6: (b"<< /Length " + str(len(c2)).encode("ascii")
+            + b" >>\nstream\n" + c2 + b"\nendstream"),
+        7: (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding "
+            b"/Differences [" + diffs + b"] >> >>"),
+        9: (b"<< /Type /Font /Subtype /Type0 /BaseFont /Fixture "
+            b"/Encoding /Identity-H /DescendantFonts [10 0 R] "
+            b"/ToUnicode 12 0 R >>"),
+        10: b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Fixture >>",
+        12: (b"<< /Length " + str(len(tounicode)).encode("ascii")
+             + b" >>\nstream\n" + tounicode + b"\nendstream"),
+    }
+    out = bytearray(b"%PDF-1.4\n%\xc2\xa5\xc2\xb1\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += str(num).encode("ascii") + b" 0 obj\n" + objs[num] + b"\nendobj\n"
+    xref_off = len(out)
+    size = max(objs) + 1
+    out += b"xref\n0 " + str(size).encode("ascii") + b"\n0000000000 65535 f \n"
+    for num in range(1, size):
+        if num in offsets:
+            out += f"{offsets[num]:010d} 00000 n \n".encode("ascii")
+        else:
+            out += b"0000000000 65535 f \n"
+    out += (
+        b"trailer\n<< /Size " + str(size).encode("ascii")
+        + b" /Root 1 0 R >>\nstartxref\n" + str(xref_off).encode("ascii")
+        + b"\n%%EOF\n"
+    )
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # DataFrame ops
 # ---------------------------------------------------------------------------
+
+
+def synth_pdf_fontmapped(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    out_col: str = "pdf",
+) -> DataFrame:
+    """Append the font-remapped fixture PDF (the /Differences +
+    /ToUnicode encoder twin) built from (id, text)."""
+
+    @F.pandas_udf("binary")
+    def _build(did: pd.Series, txt: pd.Series) -> pd.Series:
+        return pd.Series(
+            [build_pdf_fontmapped(int(i), t if isinstance(t, str) else "")
+             for i, t in zip(did, txt)]
+        )
+
+    return df.withColumn(out_col, _build(F.col(id_col), F.col(text_col)))
 
 
 def synth_pdf(

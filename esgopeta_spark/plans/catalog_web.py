@@ -779,6 +779,42 @@ def text_pdf_extract(spark, sf):
 
 
 @register(
+    "text_pdf_font_remap",
+    "G4,G5",
+    r"""
+    WITH c AS (
+      SELECT doc_id, coalesce(text, '') AS t FROM documents
+    )
+    SELECT doc_id,
+           'Doc ' || doc_id || chr(10)
+           || CASE WHEN t = '' THEN '' ELSE t || chr(10) END
+           || 'CID: ' || t || chr(10) || 'End.' AS pdf_text,
+           CAST(CASE WHEN t = '' THEN 3 ELSE 4 END AS INTEGER) AS n_lines,
+           CAST(2 AS INTEGER) AS n_pages
+    FROM c
+    """,
+    doc="PDF real-corpus FONT fidelity (r12, verdict #3): the fixture "
+    "PDF shows page 1 through a /Differences-remapped Type1 font "
+    "(every letter rot13'd, every digit +5 IN THE CONTENT BYTES — a "
+    "reader ignoring the /Encoding dict returns mojibake, never "
+    "silently passes) and page 2 through a Type0 /Identity-H font "
+    "with 2-byte codes and a /ToUnicode CMap (offset-form bfrange + "
+    "a multi-char bfchar); /Resources inherit from the /Pages node. "
+    "Extraction must walk the font tables to recover the corpus text; "
+    "oracle recomputes the expected text in closed form from "
+    "documents.text.  Plan: two Arrow kernels over one scan, "
+    "shuffle-free; operators/pdf.py build_pdf_fontmapped/_font_decoder",
+)
+def text_pdf_font_remap(spark, sf):
+    from esgopeta_spark.operators.pdf import pdf_extract, synth_pdf_fontmapped
+
+    d = T(spark, sf, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    return pdf_extract(synth_pdf_fontmapped(d))
+
+
+@register(
     "web_url_features",
     "G4",
     r"""

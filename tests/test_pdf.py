@@ -519,3 +519,169 @@ def test_pdf_link_edges_stream_twin(spark, tmp_path):
         q.stop()
     got = {tuple(r) for r in spark.sql("SELECT * FROM pdflstream").collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r12: font-aware decoding (/Differences, /ToUnicode, Type0, base
+# encodings, glyph names, resource inheritance)
+# ---------------------------------------------------------------------------
+
+
+def _one_page_pdf(content: bytes, font_obj: bytes | None = None,
+                  extra_objs: dict[int, bytes] | None = None,
+                  resources_on_pages: bool = False) -> bytes:
+    """Minimal classic-layout single-page PDF around ``content``; the
+    optional font object registers as /F1 (on the page, or on the
+    /Pages node when resources_on_pages)."""
+    res = b" /Resources << /Font << /F1 7 0 R >> >>" if font_obj else b""
+    objs: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: (b"<< /Type /Pages /Kids [3 0 R] /Count 1"
+            + (res if resources_on_pages else b"") + b" >>"),
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+            + (res if font_obj and not resources_on_pages else b"") + b" >>"),
+        4: (b"<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream"),
+    }
+    if font_obj:
+        objs[7] = font_obj
+    if extra_objs:
+        objs.update(extra_objs)
+    out = bytearray(b"%PDF-1.4\n")
+    for num in sorted(objs):
+        out += str(num).encode() + b" 0 obj\n" + objs[num] + b"\nendobj\n"
+    out += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"  # fallback scan resolves
+    return bytes(out)
+
+
+def test_differences_array_remaps_codes():
+    font = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding << /BaseEncoding /WinAnsiEncoding "
+            b"/Differences [65 /b /a /four 97 /exclam] >> >>")
+    # codes: A->b, B->a, C->4, a->!, everything else base WinAnsi
+    pdf = _one_page_pdf(b"BT /F1 12 Tf (ABCa zz) Tj ET", font)
+    assert extract_pdf_text(pdf) == "ba4! zz"
+
+
+def test_differences_glyph_name_forms():
+    font = (b"<< /Type /Font /Subtype /Type1 "
+            b"/Encoding << /Differences "
+            b"[65 /uni0416 /u1F600 /eacute /fi /nosuchglyph] >> >>")
+    pdf = _one_page_pdf(b"BT /F1 12 Tf (ABCDE) Tj ET", font)
+    # uniXXXX, uXXXXX (astral), AGL accent, ligature expansion, unknown
+    assert extract_pdf_text(pdf) == "Ж\U0001F600éfi�"
+
+
+def test_base_encoding_names():
+    mac = (b"<< /Type /Font /Subtype /Type1 "
+           b"/Encoding /MacRomanEncoding >>")
+    # 0x8E is eacute in MacRoman, aecute-ish in cp1252 (Z-caron there)
+    pdf = _one_page_pdf(b"BT /F1 12 Tf (caf\x8e) Tj ET", mac)
+    assert extract_pdf_text(pdf) == "café"
+    std = (b"<< /Type /Font /Subtype /Type1 "
+           b"/Encoding /StandardEncoding >>")
+    pdf = _one_page_pdf(b"BT /F1 12 Tf (ok \x8e) Tj ET", std)
+    # bounded StandardEncoding: printable ASCII identity, high -> U+FFFD
+    assert extract_pdf_text(pdf) == "ok �"
+
+
+def test_tounicode_bfchar_bfrange_and_array_form():
+    cmap = (b"begincmap\n"
+            b"1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+            b"1 beginbfrange\n<1041> <1043> <0061>\nendbfrange\n"
+            b"1 beginbfrange\n<2000> <2001> [<0058> <00590059>]\nendbfrange\n"
+            b"1 beginbfchar\n<0007> <00410042>\nendbfchar\nendcmap")
+    font = (b"<< /Type /Font /Subtype /Type0 /Encoding /Identity-H "
+            b"/ToUnicode 8 0 R >>")
+    extra = {8: (b"<< /Length " + str(len(cmap)).encode()
+                 + b" >>\nstream\n" + cmap + b"\nendstream")}
+    # codes: 1041->a 1042->b 1043->c (offset range), 2000->X 2001->YY
+    # (array range, multi-char), 0007->AB (bfchar multi-char),
+    # 9999 -> unmapped U+FFFD
+    pdf = _one_page_pdf(
+        b"BT /F1 12 Tf <104110421043200020010007 9999> Tj ET", font, extra)
+    assert extract_pdf_text(pdf) == "abcXYYAB�"
+
+
+def test_type0_without_tounicode_is_visible_fffd():
+    font = b"<< /Type /Font /Subtype /Type0 /Encoding /Identity-H >>"
+    pdf = _one_page_pdf(b"BT /F1 12 Tf <00410042> Tj ET", font)
+    # glyph indices are NOT text without a CMap: per-code U+FFFD
+    assert extract_pdf_text(pdf) == "��"
+
+
+def test_resources_inherit_from_pages_node():
+    font = (b"<< /Type /Font /Subtype /Type1 "
+            b"/Encoding << /Differences [88 /Y] >> >>")
+    pdf = _one_page_pdf(b"BT /F1 12 Tf (X) Tj ET", font,
+                        resources_on_pages=True)
+    assert extract_pdf_text(pdf) == "Y"
+
+
+def test_unfonted_strings_keep_bom_winansi_contract():
+    # no Tf before Tj: BOM'd UTF-16 and WinAnsi both still decode
+    font = b"<< /Type /Font /Subtype /Type1 /Encoding << /Differences [97 /b] >> >>"
+    pdf = _one_page_pdf(b"BT (a) Tj T* <FEFF0414> Tj T* /F1 1 Tf (a) Tj ET",
+                        font)
+    assert extract_pdf_text(pdf) == "a\nД\nb"
+
+
+def test_fontmapped_fixture_round_trip_matrix():
+    from esgopeta_spark.operators.pdf import (
+        _rot_cipher, build_pdf_fontmapped)
+
+    for did, t in [(0, ""), (5, "plain lower words"), (12, "digits 0159"),
+                   (7, "Mixed CASE (and) escapes \\ here"),
+                   (99, "a" * 500)]:
+        got = extract_pdf_text(build_pdf_fontmapped(did, t))
+        exp = f"Doc {did}\n" + (t + "\n" if t else "") + f"CID: {t}\nEnd."
+        assert got == exp, (did, got[:80])
+    # the cipher is an involution and NOT the identity on alnum: a
+    # reader that ignores /Differences must see mojibake, not the text
+    assert _rot_cipher(_rot_cipher("abz 019")) == "abz 019"
+    assert _rot_cipher("abz 019") != "abz 019"
+
+
+def test_fontmapped_fuzz_quarantine():
+    """The r12 font paths obey the quarantine contract: seeded flips /
+    truncations / splices over the font-mapped fixture return str or
+    raise ValueError only."""
+    from esgopeta_spark.operators.pdf import build_pdf_fontmapped
+
+    rng = random.Random(0xF0117)
+    base = build_pdf_fontmapped(3, "fuzz body for the font mapped fixture")
+    for trial in range(400):
+        b = bytearray(base)
+        kind = trial % 4
+        if kind == 0:
+            for _ in range(rng.randrange(1, 8)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        elif kind == 1:
+            b = b[: rng.randrange(1, len(b))]
+        elif kind == 2:
+            i = rng.randrange(len(b))
+            b = b[:i] + bytes(rng.randrange(256) for _ in range(16)) + b[i:]
+        else:
+            # target the CMap / Differences bytes specifically
+            anchor = rng.choice([b"beginbfrange", b"/Differences", b"<1020>"])
+            i = base.find(anchor)
+            b[i + rng.randrange(len(anchor) + 24)] ^= 0xFF
+        try:
+            out = extract_pdf_text(bytes(b))
+            assert isinstance(out, str)
+        except ValueError:
+            pass
+
+
+def test_pdf_font_remap_entry_matches_kernel(spark):
+    """The catalog entry's Spark pipeline equals the pure-python
+    round trip on a small frame (the kernel IS the python function)."""
+    from esgopeta_spark.operators.pdf import synth_pdf_fontmapped
+
+    rows = [(0, "alpha beta"), (1, ""), (2, "gamma 42")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r["doc_id"]: (r["pdf_text"], r["n_lines"], r["n_pages"])
+           for r in pdf_extract(synth_pdf_fontmapped(df)).collect()}
+    for did, t in rows:
+        exp = f"Doc {did}\n" + (t + "\n" if t else "") + f"CID: {t}\nEnd."
+        assert got[did] == (exp, 4 if t else 3, 2), got[did]
