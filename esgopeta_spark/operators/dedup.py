@@ -675,6 +675,8 @@ def edit_distance_keys(
     id_col: str = "doc_id",
     max_dist: int = 2,
     lcp: int = 0,
+    lcp_col: str | None = None,
+    key_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The PassJoin key projection shared by the batch self-join and
     the streaming bucket handler: one row per (role, i, ell, p, _id,
@@ -700,15 +702,27 @@ def edit_distance_keys(
     The pigeonhole argument is boundary-agnostic — any partition into
     k+1 segments works as long as index and probe share the shape
     function — so recall stays COMPLETE and the output exact for any
-    lcp; lcp=0 reproduces the classic even split bit-for-bit."""
+    lcp; lcp=0 reproduces the classic even split bit-for-bit.
+
+    ``lcp_col`` (r12, verdict #4): the fold amount as a PER-ROW column
+    (the per-family boilerplate path) instead of the corpus-global
+    constant; ``key_cols`` ride through to the output so the caller
+    can scope the join (a family key).  The per-row shape is sound
+    ONLY when both join sides of a sought pair carry the same value —
+    which family-scoped joins guarantee by construction."""
     k = int(max_dist)
     nparts = k + 1
-    lcp = int(lcp)
+    lcp_expr = (
+        F.col(lcp_col).cast("bigint") if lcp_col is not None
+        else F.lit(int(lcp)).cast("bigint")
+    )
     base = df.select(
         F.col(id_col).alias("_id"),
         F.col(text_col).alias("_t"),
         F.length(text_col).cast("bigint").alias("_L"),
-    ).filter(F.length(text_col) >= F.lit(lcp + nparts))
+        lcp_expr.alias("_lcp"),
+        *[F.col(c) for c in key_cols],
+    ).filter(F.length(text_col) >= F.col("_lcp") + F.lit(nparts))
 
     params = [(1, i, 0, 0) for i in range(nparts)] + [
         (2, i, o, d)
@@ -721,29 +735,32 @@ def edit_distance_keys(
         for r, i, o, d in params
     ) + ")"
     ex = base.select(
-        "_id", "_t", "_L", F.explode(F.expr(params_sql)).alias("_prm")
+        "_id", "_t", "_L", "_lcp", *key_cols,
+        F.explode(F.expr(params_sql)).alias("_prm")
     ).select(
-        "_id", "_t", "_L",
+        "_id", "_t", "_L", "_lcp", *key_cols,
         F.col("_prm.role").alias("role"), F.col("_prm.i").alias("i"),
         F.col("_prm.o").alias("_o"), F.col("_prm.d").alias("_d"),
     )
     ell = F.col("_L") + F.col("_o")  # role 1 has o=0: ell = own length
-    suf = ell - F.lit(lcp)
+    suf = ell - F.col("_lcp")
     su_i = F.floor((suf * F.col("i")) / F.lit(nparts)).cast("int")
     su_i1 = F.floor((suf * (F.col("i") + 1)) / F.lit(nparts)).cast("int")
     start = (
-        F.when(F.col("i") == 0, F.lit(0)).otherwise(F.lit(lcp) + su_i)
+        F.when(F.col("i") == 0, F.lit(0)).otherwise(F.col("_lcp") + su_i)
         + F.col("_d")
     ).cast("int")
     plen = (
-        su_i1 - su_i + F.when(F.col("i") == 0, F.lit(lcp)).otherwise(F.lit(0))
+        su_i1 - su_i
+        + F.when(F.col("i") == 0, F.col("_lcp")).otherwise(F.lit(0))
     ).cast("int")
     p = F.when(
         (start >= 0) & (plen > 0) & (start + plen <= F.col("_L")),
         F.col("_t").substr(start + F.lit(1), plen),
     )
     return (
-        ex.select("_id", "_t", "role", "i", ell.alias("ell"), p.alias("p"))
+        ex.select("_id", "_t", "role", "i", ell.alias("ell"), p.alias("p"),
+                  *key_cols)
         .filter(F.col("p").isNotNull())
     )
 
@@ -771,6 +788,7 @@ def edit_distance_pairs(
     id_col: str = "doc_id",
     max_dist: int = 2,
     lcp: int | str = "auto",
+    family_col: str | None = None,
 ) -> DataFrame:
     """All pairs within Levenshtein distance ``max_dist`` — the
     PassJoin partition pigeonhole (Li et al. 2011, public): split each
@@ -807,32 +825,93 @@ def edit_distance_pairs(
     boundary-agnostic) and the output identical — only the candidate
     volume changes.  The auto statistic is corpus-GLOBAL: one outlier
     title without the boilerplate zeroes it (then behavior = classic
-    even split); per-FAMILY boilerplate needs an upstream grouping
-    projection, the line_dedup hot-key discipline.  Pass ``lcp=0`` to
+    even split); Pass ``lcp=0`` to
     force the classic split (the streaming twin's default — a stream
     cannot see corpus statistics; compute offline and pass in, the NB
-    model pattern)."""
+    model pattern).
+
+    ``family_col`` (r12, verdict #4 — per-FAMILY boilerplate): when a
+    grouping column is given, pairs are sought WITHIN each family only
+    (the family joins as an extra equi key) and the boilerplate
+    statistic is computed PER FAMILY from one (min, max, min-length)
+    group aggregate, each family's own prefix folding into its
+    segment-0 boundary.  One outlier family no longer zeroes every
+    other family's fold.  Within-family recall stays COMPLETE (both
+    sides of any sought pair share the family and therefore the shape
+    function); cross-family pairs are out of the operator's declared
+    scope — the production shape, since per-host/per-source template
+    titles are exactly what must NOT merge across families.  The
+    family->lcp map is bounded driver state (the codebook/NB-model
+    discipline, <= 100k families)."""
     k_ = int(max_dist)
-    if lcp == "auto":
-        mn = df.select(F.min(F.length(text_col)).alias("m")).collect()[0]["m"]
-        lcp = 0 if mn is None else max(
-            0, min(corpus_lcp(df, text_col), int(mn) - (k_ + 1))
-        )
-    keyed = edit_distance_keys(df, text_col, id_col, max_dist, lcp=int(lcp))
+    fam_keys: tuple[str, ...] = ()
+    if family_col is not None:
+        fam_keys = (family_col,)
+        if lcp == "auto":
+            rows = (
+                df.groupBy(family_col)
+                .agg(
+                    F.min(text_col).alias("lo"),
+                    F.max(text_col).alias("hi"),
+                    F.min(F.length(text_col)).alias("mn"),
+                )
+                .collect()
+            )
+            if len(rows) > 100_000:
+                raise ValueError(
+                    f"family_col {family_col!r} has {len(rows)} families — "
+                    "beyond the bounded driver-state contract"
+                )
+            fam_lcp = []
+            for r in rows:
+                lo, hi = r["lo"] or "", r["hi"] or ""
+                n = min(len(lo), len(hi))
+                i = 0
+                while i < n and lo[i] == hi[i]:
+                    i += 1
+                fam_lcp.append(
+                    (r[family_col],
+                     max(0, min(i, int(r["mn"] or 0) - (k_ + 1))))
+                )
+            from pyspark.sql.types import IntegerType, StructField, StructType
+
+            lcp_schema = StructType(
+                [df.schema[family_col], StructField("_fam_lcp", IntegerType())]
+            )
+            lcp_df = df.sparkSession.createDataFrame(fam_lcp, lcp_schema)
+            src = df.join(F.broadcast(lcp_df), family_col)
+            keyed = edit_distance_keys(
+                src, text_col, id_col, max_dist,
+                lcp_col="_fam_lcp", key_cols=fam_keys,
+            )
+        else:
+            keyed = edit_distance_keys(
+                df, text_col, id_col, max_dist, lcp=int(lcp),
+                key_cols=fam_keys,
+            )
+    else:
+        if lcp == "auto":
+            mn = df.select(F.min(F.length(text_col)).alias("m")).collect()[0]["m"]
+            lcp = 0 if mn is None else max(
+                0, min(corpus_lcp(df, text_col), int(mn) - (k_ + 1))
+            )
+        keyed = edit_distance_keys(df, text_col, id_col, max_dist, lcp=int(lcp))
     keyed = keyed.localCheckpoint()
     k = int(max_dist)
     idx = keyed.filter(F.col("role") == 1)
     probe = keyed.filter(F.col("role") == 2)
 
+    join_cond = (
+        (F.col("a.i") == F.col("b.i"))
+        & (F.col("a.ell") == F.col("b.ell"))
+        & (F.col("a.p") == F.col("b.p"))
+        & (F.col("a._id") != F.col("b._id"))
+    )
+    for fk in fam_keys:
+        join_cond = join_cond & (F.col(f"a.{fk}") == F.col(f"b.{fk}"))
     cands = (
         idx.alias("a")
-        .join(
-            probe.alias("b"),
-            (F.col("a.i") == F.col("b.i"))
-            & (F.col("a.ell") == F.col("b.ell"))
-            & (F.col("a.p") == F.col("b.p"))
-            & (F.col("a._id") != F.col("b._id")),
-        )
+        .join(probe.alias("b"), join_cond)
         .select(
             F.least(F.col("a._id"), F.col("b._id")).alias("id_a"),
             F.greatest(F.col("a._id"), F.col("b._id")).alias("id_b"),

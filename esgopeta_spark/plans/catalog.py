@@ -1348,6 +1348,78 @@ def dedup_fuzzy_titles(spark, sf):
 
 
 @register(
+    "dedup_fuzzy_family_titles",
+    "G2,E3",
+    r"""
+    WITH tdocs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id = 0 THEN 'misc'
+                  WHEN doc_id % 2 = 0 THEN 'report' ELSE 'memo' END AS fam,
+             CASE WHEN doc_id = 0 THEN 'odd one out '
+                  WHEN doc_id % 2 = 0
+                  THEN 'quarterly financial report for fiscal period '
+                  ELSE 'internal memo draft revision ' END
+             || 'sec ' || ((doc_id // 7) % 1000)
+             || ' item ' || ((doc_id // 7) % 997)
+             || ' rev ' || ((doc_id // 7) % 991) ||
+             CASE doc_id % 7 WHEN 0 THEN '' WHEN 1 THEN ' x' WHEN 2 THEN ' xx'
+                  WHEN 3 THEN ' y' WHEN 4 THEN ' yy' WHEN 5 THEN ' z'
+                  ELSE ' zz' END AS title
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.title, b.title) AS INTEGER) AS dist
+    FROM tdocs a JOIN tdocs b
+      ON a.doc_id < b.doc_id
+     AND a.fam = b.fam
+     AND abs(length(a.title) - length(b.title)) <= 2
+     AND levenshtein(a.title, b.title) <= 2
+    """,
+    doc="PER-FAMILY edit-distance fuzzy join (r12, verdict #4): two "
+    "boilerplate families with DISTINCT constant prefixes plus one "
+    "outlier doc whose title zeroes the corpus-GLOBAL LCP statistic — "
+    "the case the r11 auto-fold cannot help.  family_col scopes the "
+    "PassJoin within each family (the family is an extra equi key) "
+    "and folds each family's OWN prefix into its segment-0 boundary, "
+    "computed from one (min, max, min-length) group aggregate "
+    "(bounded driver map, the codebook discipline).  The ORACLE is "
+    "the brute-force same-family levenshtein cross join in DuckDB, so "
+    "the hash compare proves full within-family banding recall.  "
+    "Plan: one checkpointed key projection, one equi shuffle "
+    "including the family key, never all-pairs; "
+    "operators/dedup.py edit_distance_pairs(family_col=...)",
+)
+def dedup_fuzzy_family_titles(spark, sf):
+    from esgopeta_spark.operators.dedup import edit_distance_pairs
+
+    did = F.col("doc_id")
+    g = F.expr("doc_id div 7")
+    titles = T(spark, sf, "documents").select(
+        "doc_id",
+        F.when(did == 0, F.lit("misc"))
+        .when(did % 2 == 0, F.lit("report"))
+        .otherwise(F.lit("memo")).alias("fam"),
+        F.concat(
+            F.when(did == 0, F.lit("odd one out "))
+            .when(did % 2 == 0,
+                  F.lit("quarterly financial report for fiscal period "))
+            .otherwise(F.lit("internal memo draft revision ")),
+            F.lit("sec "), (g % 1000).cast("string"),
+            F.lit(" item "), (g % 997).cast("string"),
+            F.lit(" rev "), (g % 991).cast("string"),
+            F.when(did % 7 == 1, F.lit(" x"))
+            .when(did % 7 == 2, F.lit(" xx"))
+            .when(did % 7 == 3, F.lit(" y"))
+            .when(did % 7 == 4, F.lit(" yy"))
+            .when(did % 7 == 5, F.lit(" z"))
+            .when(did % 7 == 6, F.lit(" zz"))
+            .otherwise(F.lit("")),
+        ).alias("title"),
+    )
+    return edit_distance_pairs(titles, family_col="fam")
+
+
+@register(
     "text_profile_docs",
     "G4",
     None,  # oracle SQL set in _TEXT_PROFILE_ORACLE below (long); see module bottom

@@ -3591,3 +3591,66 @@ def test_t_closeness_semantics(spark):
     assert got == {"B": (8, 500), "C": (8, 500)}
     # the threshold is strictly-greater: at t_milli=500 nothing violates
     assert t_closeness_audit(df, ["q"], "s", t_milli=500).count() == 0
+
+
+def test_edit_distance_pairs_family_scoped_vs_bruteforce(spark):
+    """family_col (r12): within-family pairs equal brute force exactly
+    — per-family boilerplate folds into segment 0 even when a single
+    outlier zeroes the corpus-global LCP — and cross-family pairs are
+    out of scope by construction (near-identical template titles in
+    different families must NOT pair)."""
+    from esgopeta_spark.operators.dedup import edit_distance_pairs
+
+    pre = {"r": "quarterly financial report for fiscal period ",
+           "m": "internal memo draft revision "}
+    rows = []
+    i = 0
+    for fam in ("r", "m"):
+        for gid in range(4):
+            for suf in ("", " x", " xx", " yy"):
+                rows.append((i, fam, f"{pre[fam]}sec {gid} item {gid*3}{suf}"))
+                i += 1
+    rows.append((i, "misc", "odd one out"))  # zeroes the GLOBAL statistic
+    df = spark.createDataFrame(rows, "doc_id: long, fam: string, title: string")
+    got = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in edit_distance_pairs(df, family_col="fam").collect()}
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for x, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], x
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    want = {}
+    for ia, fa, ta in rows:
+        for ib, fb, tb in rows:
+            if ia < ib and fa == fb and lev(ta, tb) <= 2:
+                want[(ia, ib)] = lev(ta, tb)
+    assert got == want and want, (len(got), len(want))
+    # the same titles WITHOUT the family scope pair ACROSS families on
+    # the shared selective tail — the semantic family_col removes
+    unscoped = {(r["id_a"], r["id_b"])
+                for r in edit_distance_pairs(df).collect()}
+    crossers = {(a, b) for (a, b) in unscoped
+                if dict((r[0], r[1]) for r in rows)[a]
+                != dict((r[0], r[1]) for r in rows)[b]}
+    assert not any(p in got for p in crossers)
+
+
+def test_edit_distance_family_explicit_lcp_and_keys_ride_through(spark):
+    """family_col with an EXPLICIT integer lcp uses the constant for
+    every family (still family-scoped); output matches the auto path on
+    a fixture whose families share a prefix length."""
+    from esgopeta_spark.operators.dedup import edit_distance_pairs
+
+    rows = [(0, "a", "prefix00 body one"), (1, "a", "prefix00 body onX"),
+            (2, "b", "prefix11 body one"), (3, "b", "prefix11 body onX")]
+    df = spark.createDataFrame(rows, "doc_id: long, fam: string, title: string")
+    auto = {(r["id_a"], r["id_b"], r["dist"])
+            for r in edit_distance_pairs(df, family_col="fam").collect()}
+    const = {(r["id_a"], r["id_b"], r["dist"])
+             for r in edit_distance_pairs(df, family_col="fam", lcp=8).collect()}
+    assert auto == const == {(0, 1, 1), (2, 3, 1)}

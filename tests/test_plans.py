@@ -281,6 +281,20 @@ def test_portable_pairs_plan_posture(spark, sf_dir):
         assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p, p
 
 
+def test_family_fuzzy_join_plan_posture(spark, sf_dir):
+    """The r12 per-family PassJoin: the candidate join is an EQUI join
+    whose key set INCLUDES the family column (the scope that keeps one
+    family's boilerplate out of another's buckets); the family->lcp map
+    joins broadcast; no cartesian, no nested loop."""
+    from esgopeta_spark.plans import REGISTRY
+
+    p = plan_of(REGISTRY["dedup_fuzzy_family_titles"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p, p
+    # the family key participates in the candidate equi join
+    assert "fam" in p, p
+
+
 def test_sitemap_recursion_plan_posture(spark, sf_dir):
     """The r11 recursive sitemap expansion: every store probe and the
     seen anti-join are url-EQUI joins; no cartesian, no nested loop."""
