@@ -3045,23 +3045,16 @@ def synth_conditional_warc(
     )
 
 
-def conditional_fetch_merge(
+def warc_fetch_records(
     warc: DataFrame,
-    store: DataFrame,
     blob_col: str = "warc",
     id_col: str = "doc_id",
-    store_url_col: str = "url",
-    store_md5_col: str = "page_md5",
 ) -> DataFrame:
-    """The receive side of HTTP revalidation (RFC 9110 §15.4.5 — the
-    step after ``warc_revalidation_plan`` sends its conditional GETs):
-    a ``304 Not Modified`` carries NO body, so the document is the
-    STORED copy — resolve it with one url-equi left join against the
-    fetch store; a ``200`` ships fresh bytes (source 'network'); a 304
-    whose url the store has lost emits a VISIBLE 'miss' row (refetch
-    unconditionally), never a silent drop.  One Arrow parse kernel +
-    ONE equi join for every row class — no split/re-union, so the
-    kernel relation is consumed once.  Poison records quarantine."""
+    """(id, warc-blob) -> one row per record (id, uri, status, body_md5)
+    — the revalidation parse projection (r12: extracted so the batch
+    merge and the streaming twin SHARE it; stateless Arrow kernel, runs
+    on streams AS-IS).  Poison blobs/records quarantine to visible
+    status=-1 rows."""
     import hashlib
 
     @F.pandas_udf(
@@ -3087,10 +3080,30 @@ def conditional_fetch_merge(
 
         return pd.Series([one(b) for b in s])
 
-    parsed = (
+    return (
         warc.select(F.col(id_col), F.explode(_parse(F.col(blob_col))).alias("r"))
         .select(id_col, "r.uri", "r.status", "r.body_md5")
     )
+
+
+def conditional_fetch_merge(
+    warc: DataFrame,
+    store: DataFrame,
+    blob_col: str = "warc",
+    id_col: str = "doc_id",
+    store_url_col: str = "url",
+    store_md5_col: str = "page_md5",
+) -> DataFrame:
+    """The receive side of HTTP revalidation (RFC 9110 §15.4.5 — the
+    step after ``warc_revalidation_plan`` sends its conditional GETs):
+    a ``304 Not Modified`` carries NO body, so the document is the
+    STORED copy — resolve it with one url-equi left join against the
+    fetch store; a ``200`` ships fresh bytes (source 'network'); a 304
+    whose url the store has lost emits a VISIBLE 'miss' row (refetch
+    unconditionally), never a silent drop.  One Arrow parse kernel +
+    ONE equi join for every row class — no split/re-union, so the
+    kernel relation is consumed once.  Poison records quarantine."""
+    parsed = warc_fetch_records(warc, blob_col, id_col)
     st = store.select(
         F.col(store_url_col).alias("uri"),
         F.col(store_md5_col).alias("_stored_md5"),

@@ -2395,3 +2395,89 @@ def test_mpeg1_l3_linbits_table_injection_end_to_end():
         assert not (got3 == ix).all()
     except ValueError:
         pass
+
+
+def test_mpeg1_l3_table13_15_injection_end_to_end(monkeypatch):
+    """r12 (r11 verdict #5): prove the Table B.7 injection path on the
+    13/15 pair — the big NON-escape 16x16 companions of the linbits
+    family (r11 proved 16; r10 proved 7 + count1A).  Install validated
+    ALTERNATE codes for BOTH (distinct fixed 8-bit codes — prefix-free
+    and Kraft-complete; stand-in data proving the mechanism, NOT a
+    conformance claim), confirm provenance flips for the pair, confirm
+    a dense granule peaking at 15 selects table 13 and round-trips
+    under the injected code, force the encoder's big-table pick to 15
+    (same alphabet, wire-legal) and round-trip a full PCM stream under
+    it, and confirm the injected-dialect payload no longer decodes
+    under the restored canonical tables."""
+    from esgopeta_spark.operators import mpeg1_audio as m
+
+    def granule_roundtrip(ix):
+        w = m._BitW()
+        side = m._write_granule(
+            w, ix, 0, 0, 0, np.zeros(m._N_SF_LONG, dtype=np.int64), 0
+        )
+        if w.n:
+            w.put(0, 8 - w.n)
+        payload = bytes(w.buf)
+        side.update(scalefac_compress=0, window_switching=0, block_type=0)
+        got, _sf, _end = m._read_granule(m._BitR(payload), 0, side, 0, 0, None)
+        return side, payload, got
+
+    rng = np.random.default_rng(0x1315)
+    ix = np.zeros(576, dtype=np.int64)
+    ix[:96] = rng.integers(-14, 15, 96)
+    ix[0], ix[40], ix[90] = 15, -15, 15  # peak 15 in region 0 and beyond
+    side, payload_canon, got = granule_roundtrip(ix)
+    assert 13 in side["table_select"], side["table_select"]
+    assert m._INDEX_MAP[13] == (13, 0)  # 16x16, NO linbits
+    assert (got == ix).all()
+    prov = m.huffman_provenance()
+    assert prov[13] == prov[15] == "canonical-dialect"
+
+    # two DISTINCT alternate codes over the 16x16 alphabet: fixed 8-bit
+    # codes, the second XOR-permuted (both bijections on 0..255 ->
+    # prefix-free and Kraft-complete)
+    entries13 = [(s // 16, s % 16, 8, s) for s in range(256)]
+    entries15 = [(s // 16, s % 16, 8, s ^ 0x5A) for s in range(256)]
+    snapshot = dict(m._SPEC_DATA)
+    try:
+        m.load_spec_tables({13: entries13, 15: entries15})
+        prov = m.huffman_provenance()
+        assert prov[13] == prov[15] == "iso-b7"
+        assert prov[16] == "canonical-dialect"  # untouched
+        side2, payload_alt, got2 = granule_roundtrip(ix)
+        assert 13 in side2["table_select"]
+        assert (got2 == ix).all(), "values must survive the injected 13 code"
+        assert payload_alt != payload_canon, "injected code must reach the wire"
+        # table 15: same alphabet -> forcing the pick is wire-legal;
+        # the encoder then emits table_select 15 and the injected 15
+        # code (distinct from 13's) must round-trip
+        orig_pick = m._pick_table
+        monkeypatch.setattr(
+            m, "_pick_table",
+            lambda rmax: 15 if orig_pick(rmax) == 13 else orig_pick(rmax),
+        )
+        side3, payload_15, got3 = granule_roundtrip(ix)
+        assert 15 in side3["table_select"], side3["table_select"]
+        assert (got3 == ix).all(), "values must survive the injected 15 code"
+        assert payload_15 != payload_alt  # 15's code is NOT 13's
+        # a full PCM stream round-trips with 15 as the big-table pick
+        pcm = _tone16(440, 1152 * 2, 44100)
+        out, _ = m.decode_mpeg1_audio(m.encode_mpeg1_audio(pcm, 44100, layer=3))
+        assert _snr_db(pcm, out) > 40.0
+    finally:
+        m._SPEC_DATA.clear()
+        m._SPEC_DATA.update(snapshot)
+        m._HUFF.clear()
+        m._COUNT1A = m._Count1A()
+    prov = m.huffman_provenance()
+    assert prov[13] == prov[15] == "canonical-dialect"
+    # dialect sensitivity: the injected-13 payload must NOT decode to ix
+    # under the restored canonical tables
+    try:
+        got4, _sf, _end = m._read_granule(
+            m._BitR(payload_alt), 0, dict(side2), 0, 0, None
+        )
+        assert not (got4 == ix).all()
+    except ValueError:
+        pass

@@ -1671,3 +1671,78 @@ def test_stream_stream_outer_join_emits_unmatched_at_watermark(spark, tmp_path):
     assert got == want, (got, want)
     # the unmatched purchase really came through the null-emission path
     assert (2, 11, None) in {(g[0], g[1], g[3]) for g in got}
+
+
+def test_streaming_conditional_fetch_matches_batch(spark, tmp_path):
+    """r12 (r11 verdict #6): the conditional-GET merge's stateful twin.
+    The fetch store is keyed state per url; 304s resolve against it;
+    store-less 304s emit the VISIBLE miss marker.  Drained over
+    micro-batches in BOTH arrival orders — installs behind the 304s
+    they resolve forces the miss->cache retro-correction path — the
+    final max-upd_seq verdicts equal the batch conditional_fetch_merge
+    bit-for-bit."""
+    from esgopeta_spark.operators.web import (
+        conditional_fetch_merge,
+        synth_conditional_warc,
+        warc_fetch_records,
+    )
+    from esgopeta_spark.streaming.crawl import (
+        conditional_fetch_events,
+        streaming_conditional_fetch,
+    )
+
+    docs = spark.createDataFrame(
+        [(d, f"https://h{d % 5}.org/p{d}", f"page body {d}") for d in range(30)],
+        "doc_id long, uri string, page string",
+    )
+    warc = synth_conditional_warc(docs).drop("page")
+    store = docs.where("doc_id % 15 != 3").selectExpr(
+        "uri as url", "md5(concat('cached:', doc_id)) as page_md5"
+    )
+    want = {
+        (r["doc_id"], r["uri"]): (r["status"], r["fetch_source"], r["page_md5"])
+        for r in conditional_fetch_merge(warc, store).collect()
+    }
+    assert {v[1] for v in want.values()} == {"network", "cache", "miss"}
+
+    ev_schema = "kind int, doc_id long, uri string, status int, body_md5 string"
+    fetch_ev = [tuple(r) for r in conditional_fetch_events(
+        warc_fetch_records(warc), store.limit(0)).collect()]
+    store_ev = [tuple(r) for r in conditional_fetch_events(
+        warc_fetch_records(warc.limit(0)), store).collect()]
+    case = 0
+    for order in ("store_first", "store_last"):
+        case += 1
+        d = str(tmp_path / f"cf{case}")
+        os.makedirs(d)
+        b1, b2 = ((store_ev, fetch_ev) if order == "store_first"
+                  else (fetch_ev, store_ev))
+        spark.createDataFrame(b1, ev_schema).coalesce(1).write.parquet(d + "/b1")
+        spark.createDataFrame(b2, ev_schema).coalesce(1).write.parquet(d + "/b2")
+        stream = (
+            spark.readStream.schema(ev_schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(d)
+        )
+        run_stream_to_memory(
+            streaming_conditional_fetch(stream), f"cfstream{case}", mode="update"
+        )
+        latest: dict = {}
+        for r in spark.sql(f"select * from cfstream{case}").collect():
+            k = (r["doc_id"], r["uri"])
+            if k not in latest or r["upd_seq"] > latest[k]["upd_seq"]:
+                latest[k] = r
+        got = {k: (r["status"], r["fetch_source"], r["page_md5"])
+               for k, r in latest.items()}
+        assert got == want, (order, {k: (got.get(k), want.get(k))
+                                     for k in set(got) ^ set(want) or set()})
+        if order == "store_last":
+            # the retro path really fired: some 304 was first emitted as
+            # a visible miss, then flipped to cache with a higher seq
+            flips = [
+                r for r in spark.sql(f"select * from cfstream{case}").collect()
+                if r["fetch_source"] == "miss"
+                and want[(r["doc_id"], r["uri"])][1] == "cache"
+            ]
+            assert flips, "expected miss->cache retro-corrections"
