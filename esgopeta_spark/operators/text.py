@@ -1148,6 +1148,69 @@ def split_shards(
     )
 
 
+def rendezvous_shards(
+    df: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    out_col: str = "shard",
+    salt: str = "",
+) -> DataFrame:
+    """Highest-random-weight (rendezvous / HRW — Thaler & Ravishankar
+    1998, the public consistent-placement scheme) shard assignment:
+
+        shard(id) = argmax over s in [0, n) of md5(id || '#salt#' || s)
+
+    Why it exists beside ``split_shards``'s mod-hash (r12): RESHARDING.
+    A 100 TB corpus outgrows its writer/shard count; under mod-hash,
+    changing n moves ~(n-1)/n of EVERY existing doc (new files, new
+    dedup-keeper locality, cache blown).  Under HRW a doc moves only if
+    the NEW shard's weight beats all its old ones — expected movement
+    1/(n+1), and every moved doc lands ON the new shard (a one-sided
+    fill, pinned in pytest).  Deleting a shard moves only that shard's
+    docs.  Same corpus, same salt => the same assignment on any engine,
+    any partitioning, any rerun.
+
+    Scale shape: one codegen projection — the n weight strings unroll
+    into a ``greatest`` + first-match CASE (Catalyst's subexpression
+    elimination computes each md5 once); no join, no shuffle, no
+    driver state.  Bounded to n <= 64 (beyond that the unrolled
+    expression's codegen cost dominates — route larger rings through a
+    two-level HRW: rendezvous over 64 groups, then within the group)."""
+    n = int(n_shards)
+    if not 1 <= n <= 64:
+        raise ValueError(f"n_shards must be in [1, 64], got {n}")
+    ws = [
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"#{salt}#{s}")))
+        for s in range(n)
+    ]
+    mx = ws[0] if n == 1 else F.greatest(*ws)
+    shard = F.when(ws[0] == mx, F.lit(0))
+    for s in range(1, n):
+        shard = shard.when(ws[s] == mx, F.lit(s))
+    return df.withColumn(out_col, shard.cast("int"))
+
+
+def rendezvous_sql(id_sql: str, n_shards: int, salt: str = "") -> str:
+    """The DuckDB twin of :func:`rendezvous_shards` as a scalar CASE
+    expression over pre-named weight columns ``w{salt}_{s}`` — callers
+    put ``md5(id || '#salt#s') AS w{salt}_{s}`` in a CTE (so each md5
+    computes once, mirroring Catalyst's subexpression elimination) and
+    splice this on top.  Generated from the same constants as the Spark
+    side — the encoder-twin discipline."""
+    n = int(n_shards)
+    cols = [f"w{salt}_{s}" for s in range(n)]
+    mx = cols[0] if n == 1 else "greatest(" + ", ".join(cols) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {cols[s]} = {mx} THEN {s}" for s in range(n)
+    ) + " END"
+    return case
+
+
+def rendezvous_weight_sql(id_sql: str, s: int, salt: str = "") -> str:
+    """One HRW weight term for the oracle CTE (see rendezvous_sql)."""
+    return f"md5({id_sql} || '#{salt}#{int(s)}')"
+
+
 def entropy_profile(
     df: DataFrame,
     text_col: str = "text",

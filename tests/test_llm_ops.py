@@ -3654,3 +3654,32 @@ def test_edit_distance_family_explicit_lcp_and_keys_ride_through(spark):
     const = {(r["id_a"], r["id_b"], r["dist"])
              for r in edit_distance_pairs(df, family_col="fam", lcp=8).collect()}
     assert auto == const == {(0, 1, 1), (2, 3, 1)}
+
+
+def test_rendezvous_shards_minimal_movement(spark):
+    """HRW resharding pins (r12): growing 8 -> 9 shards moves only the
+    docs whose new weight wins, every mover lands ON the new shard,
+    the movement fraction sits near 1/9 (never the mod-hash ~8/9),
+    shards stay roughly uniform, and deleting a shard moves ONLY that
+    shard's docs."""
+    from esgopeta_spark.operators.text import rendezvous_shards
+
+    n = 3000
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    a = rendezvous_shards(df, 8, out_col="s8")
+    b = rendezvous_shards(a, 9, out_col="s9").collect()
+    moved = [r for r in b if r["s8"] != r["s9"]]
+    assert all(r["s9"] == 8 for r in moved), "movers must land on the new shard"
+    frac = len(moved) / n
+    assert 0.05 < frac < 0.18, frac  # ~1/9 expected; mod-hash would be ~8/9
+    from collections import Counter
+
+    c9 = Counter(r["s9"] for r in b)
+    assert min(c9.values()) > n / 9 * 0.7 and max(c9.values()) < n / 9 * 1.3, c9
+    # deleting shard 7 (an 8-ring doc re-ranked over shards 0..6): only
+    # shard-7 residents move — simulate by recomputing argmax over 0..6
+    c = {r["doc_id"]: r["s8"] for r in b}
+    d7 = rendezvous_shards(df, 7, out_col="s7").collect()
+    for r in d7:
+        if c[r["doc_id"]] != 7:
+            assert r["s7"] == c[r["doc_id"]], "non-residents must not move"
