@@ -1148,6 +1148,80 @@ def split_shards(
     )
 
 
+_MOJI_ROUNDS = 8
+
+
+def repair_mojibake(s: str) -> str:
+    """Undo UTF-8-decoded-as-cp1252/latin-1 double encoding ('café' ->
+    'cafÃ©' — the classic crawl-corpus corruption the C4/ftfy lineage
+    repairs before any quality signal runs): re-encode through the
+    SAME single-byte map and, if the bytes form valid UTF-8 that
+    differs, accept; iterate to the fixpoint (each accepted round
+    strictly SHRINKS the string — a >=0xC2 byte in valid UTF-8 heads a
+    multibyte sequence — so double/triple/N-fold encodings collapse one
+    layer per round and the loop terminates; the 8-round cap only
+    bounds adversarial nesting cost).  TOTAL and conservative:
+
+    - pure-ASCII text exits on the lead-byte evidence gate (no byte
+      >= 0xC2 -> nothing to undo);
+    - genuine Latin-1-ish prose ('Ã is a letter') re-encodes to an
+      INVALID UTF-8 sequence (lead byte followed by ASCII) and passes
+      through unchanged;
+    - text that cannot round-trip through cp1252 OR latin-1 (real
+      non-Latin content mixed in) passes through unchanged;
+    - never raises; idempotent at the fixpoint — fuzz-pinned.
+
+    cp1252 is tried before latin-1: mojibake made by a cp1252 decode
+    shows the 0x80-0x9F specials (''"€), latin-1-made mojibake shows
+    C1 controls — each inverts only through its own map."""
+    if not isinstance(s, str):
+        return ""
+    for _ in range(_MOJI_ROUNDS):
+        b = None
+        for enc in ("cp1252", "latin-1"):
+            try:
+                b = s.encode(enc)
+                break
+            except UnicodeEncodeError:
+                continue
+        if b is None or not any(c >= 0xC2 for c in b):
+            return s
+        try:
+            t = b.decode("utf-8")
+        except UnicodeDecodeError:
+            return s
+        if t == s:
+            return s
+        s = t
+    return s
+
+
+def fix_mojibake(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, text) -> (id, fixed_text, changed) via one Arrow kernel —
+    the encoding-repair pass a crawl corpus runs between charset decode
+    and every downstream quality/dedup stage (a mojibake'd duplicate
+    hashes differently from its clean twin until this runs).  Stateless
+    projection: runs on streams AS-IS (share, don't mirror)."""
+
+    @F.pandas_udf("string")
+    def _fix(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [repair_mojibake(t if isinstance(t, str) else "") for t in s]
+        )
+
+    return df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_orig"),
+        _fix(F.col(text_col)).alias("fixed_text"),
+    ).select(
+        id_col,
+        "fixed_text",
+        (F.col("fixed_text") != F.col("_orig")).cast("int").alias("changed"),
+    )
+
+
 def rendezvous_shards(
     df: DataFrame,
     n_shards: int = 8,

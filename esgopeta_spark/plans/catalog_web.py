@@ -2830,3 +2830,53 @@ def web_soft404_flags(spark, sf):
         "doc_id", status.alias("status"), t.alias("clean_text")
     )
     return soft404_flags(d)
+
+
+# -- r12: mojibake (double-encoding) repair ----------------------------------
+# the shared fixture constants: every engine-side literal derives from
+# _MOJI_TRUE, so the oracle recomputes the expected repair in closed form
+_MOJI_TRUE = " café naïve fiancée ©«»"
+_MOJI_1 = _MOJI_TRUE.encode("utf-8").decode("cp1252")       # single mojibake
+_MOJI_2 = _MOJI_1.encode("utf-8").decode("cp1252")          # double mojibake
+
+
+@register(
+    "text_fix_mojibake",
+    "G4",
+    f"""
+    WITH c AS (SELECT doc_id, coalesce(text, '') AS t FROM documents)
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN t
+                ELSE t || '{_MOJI_TRUE}' END AS fixed_text,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS INTEGER)
+             AS changed
+    FROM c
+    """,
+    doc="mojibake repair (r12 — the encoding-fix pass of the C4/ftfy "
+    "lineage, between charset decode and every downstream stage: a "
+    "double-encoded duplicate hashes differently from its clean twin "
+    "until this runs): re-encode through the same cp1252/latin-1 map "
+    "and accept only bytes that form valid UTF-8 that differs, "
+    "iterated to the strictly-shrinking fixpoint; pure-ASCII, genuine "
+    "Latin-1 prose, and non-Latin text all pass through unchanged "
+    "(conservative, total, idempotent — fuzz-pinned).  Fixture: "
+    "id%3==1 docs carry a single-encoded suffix, id%3==2 a "
+    "DOUBLE-encoded one (two repair rounds), id%3==0 stay clean "
+    "(changed=0 pins the no-false-positive side); every literal "
+    "derives from one shared constant so the oracle recomputes the "
+    "expected repair in closed form.  Plan: one Arrow kernel over one "
+    "scan, shuffle-free; stateless (streams as-is); "
+    "operators/text.py repair_mojibake/fix_mojibake",
+)
+def text_fix_mojibake(spark, sf):
+    from esgopeta_spark.operators.text import fix_mojibake
+
+    did = F.col("doc_id")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    inp = (
+        F.when(did % 3 == 1, F.concat(t, F.lit(_MOJI_1)))
+        .when(did % 3 == 2, F.concat(t, F.lit(_MOJI_2)))
+        .otherwise(t)
+    )
+    d = T(spark, sf, "documents").select("doc_id", inp.alias("text"))
+    return fix_mojibake(d)

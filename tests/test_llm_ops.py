@@ -3683,3 +3683,58 @@ def test_rendezvous_shards_minimal_movement(spark):
     for r in d7:
         if c[r["doc_id"]] != 7:
             assert r["s7"] == c[r["doc_id"]], "non-residents must not move"
+
+
+def test_repair_mojibake_matrix_and_fuzz():
+    """Encoding-repair pins (r12): single/double/triple cp1252 mojibake
+    collapse to the original; latin-1-made mojibake (C1 controls)
+    inverts through the fallback map; pure ASCII, genuine Latin-1
+    prose, already-clean accents, and non-Latin text pass through
+    unchanged (no false positives); total + idempotent under fuzz."""
+    import random
+
+    from esgopeta_spark.operators.text import repair_mojibake as fix
+
+    true = " café naïve fiancée ©«»"
+    m1 = true.encode("utf-8").decode("cp1252")
+    m2 = m1.encode("utf-8").decode("cp1252")
+    m3 = m2.encode("utf-8").decode("cp1252")
+    assert fix(m1) == fix(m2) == fix(m3) == true
+    l1 = "héllo wörld — ok".encode("utf-8").decode("latin-1")
+    assert fix(l1) == "héllo wörld — ok"
+    for clean in ("plain ascii text", "Ã is a letter",
+                  "Ελληνικά and ascii", "café already clean", ""):
+        assert fix(clean) == clean, clean
+    rng = random.Random(7)
+    for _ in range(3000):
+        s = "".join(chr(rng.randrange(1, 0x2500))
+                    for _ in range(rng.randrange(0, 30)))
+        t = fix(s)
+        assert isinstance(t, str) and fix(t) == t  # total + idempotent
+
+
+def test_fix_mojibake_streams_as_is(spark, tmp_path):
+    """The repair kernel is a stateless projection: the stream output
+    equals batch bit-for-bit (share, don't mirror)."""
+    import os
+
+    from esgopeta_spark.operators.text import fix_mojibake
+
+    true = " café naïve fiancée ©«»"
+    m1 = true.encode("utf-8").decode("cp1252")
+    rows = [(0, "clean text"), (1, "dirty" + m1), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {tuple(r) for r in fix_mojibake(df).collect()}
+    assert (1, "dirty" + true, 1) in want and (0, "clean text", 0) in want
+    d = str(tmp_path / "moji")
+    df.coalesce(1).write.parquet(d)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(d)
+    q = (fix_mojibake(stream).writeStream.format("memory")
+         .queryName("mojistream").outputMode("append")
+         .trigger(availableNow=True).start())
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.sql("select * from mojistream").collect()}
+    assert got == want
