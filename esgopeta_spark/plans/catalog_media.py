@@ -1623,3 +1623,82 @@ def multimodal_decode_flac(spark, sf):
             yield pd.DataFrame(out)
 
     return ids.mapInPandas(kernel, out_schema)
+
+
+@register(
+    "multimodal_audio_vad",
+    "G5,E2",
+    """
+    WITH sel AS (
+      SELECT doc_id,
+             3 + (doc_id // 10) % 5 AS a,
+             2 + (doc_id // 7) % 3 AS b,
+             CASE WHEN (doc_id // 10) % 2 = 0 THEN 3 ELSE 0 END AS d,
+             CASE WHEN (doc_id // 10) % 6 = 5 THEN 1 ELSE 0 END AS poison
+      FROM documents WHERE doc_id % 10 = 4)
+    SELECT doc_id AS media_id,
+      CAST(CASE WHEN poison = 1 THEN -1 ELSE a + b + 4 + d + 2 END AS BIGINT)
+        AS n_frames,
+      CAST(CASE WHEN poison = 1 THEN -1 ELSE b + d END AS BIGINT) AS n_active,
+      CAST(CASE WHEN poison = 1 THEN -1 WHEN d > 0 THEN 2 ELSE 1 END
+           AS BIGINT) AS n_segments,
+      CAST(CASE WHEN poison = 1 THEN -1 ELSE a END AS BIGINT) AS first_active,
+      CAST(CASE WHEN poison = 1 THEN -1 WHEN d > 0 THEN a + b + 4 + d - 1
+                ELSE a + b - 1 END AS BIGINT) AS last_active,
+      CAST(CASE WHEN poison = 1 THEN -1 ELSE a END AS BIGINT) AS lead_silence,
+      CAST(CASE WHEN poison = 1 THEN -1 WHEN d > 0 THEN 2 ELSE 6 END
+           AS BIGINT) AS tail_silence
+    FROM sel
+    """,
+    doc="voice-activity SEGMENTATION (r12 — the speech-corpus "
+    "trimmer/segmenter; audio_stats counts quiet samples, this finds "
+    "the quiet STRUCTURE): fixed 512-sample frames, integer "
+    "mean-|sample| threshold, segments = maximal active runs; lead/"
+    "tail silence = the frames a pipeline cuts before paying storage "
+    "and training tokens for dead air.  Per selected doc, render "
+    "silence(a) tone(b) silence(4) [tone(3)] silence(2) frame spans "
+    "(span lengths doc_id arithmetic) through a REAL WAV round-trip; "
+    "PCM16 is lossless and every output exact int64, so the oracle is "
+    "closed-form span arithmetic.  One (doc_id//10)%6==5 class ships "
+    "a poison payload and must surface as the VISIBLE all--1 marker "
+    "row, never a silent drop.  Plan: one Arrow decode pass, "
+    "kernel-local segmentation, no shuffle; "
+    "operators/multimodal.py audio_vad_segments",
+)
+def multimodal_audio_vad(spark, sf):
+    from esgopeta_spark.operators.multimodal import audio_vad_segments
+    from esgopeta_spark.session import ensure_min_partitions
+
+    ids = T(spark, sf, "documents").filter(F.col("doc_id") % 10 == 4).select("doc_id")
+    ids = ensure_min_partitions(ids)
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from esgopeta_spark.operators import codecs
+
+        FR = 512
+
+        def clip(did):
+            if (did // 10) % 6 == 5:
+                return b"not audio at all"  # the visible-marker class
+            a = 3 + (did // 10) % 5
+            b = 2 + (did // 7) % 3
+            d = 3 if (did // 10) % 2 == 0 else 0
+            spans = [(a, 0), (b, 8000), (4, 0), (d, 8000), (2, 0)]
+            s = np.concatenate(
+                [np.full(n * FR, amp, dtype=np.int16) for n, amp in spans]
+            )
+            return codecs.encode_wav(s, 8000)
+
+        for pdf in batches:
+            ids_, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                payloads.append(clip(did))
+                ids_.append(did)
+            yield pd.DataFrame({"media_id": pd.Series(ids_, dtype="int64"),
+                                "payload": payloads})
+
+    media = ids.mapInPandas(render, "media_id bigint, payload binary")
+    return audio_vad_segments(media)

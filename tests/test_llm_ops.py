@@ -3738,3 +3738,45 @@ def test_fix_mojibake_streams_as_is(spark, tmp_path):
         q.stop()
     got = {tuple(r) for r in spark.sql("select * from mojistream").collect()}
     assert got == want
+
+
+def test_audio_vad_segments_semantics(spark):
+    """VAD pins (r12): segment count/boundaries on planted spans, the
+    all-silent clip, the all-active clip, FLAC input (lossless — same
+    integer verdicts as WAV), the partial-tail-frame drop, and the
+    visible all--1 poison marker."""
+    import numpy as np
+
+    from esgopeta_spark.operators import codecs
+    from esgopeta_spark.operators.multimodal import audio_vad_segments
+
+    FR = 512
+
+    def wav(spans, tail_extra=0):
+        s = np.concatenate(
+            [np.full(n * FR, amp, dtype=np.int16) for n, amp in spans]
+            + ([np.full(tail_extra, 9000, dtype=np.int16)] if tail_extra else [])
+        )
+        return codecs.encode_wav(s, 8000)
+
+    rows = [
+        (0, wav([(2, 0), (3, 8000), (1, 0), (2, 8000), (4, 0)])),  # 2 segments
+        (1, wav([(5, 0)])),                                        # all silent
+        (2, wav([(4, 8000)])),                                     # all active
+        (3, wav([(1, 0), (2, 8000)], tail_extra=100)),  # partial tail dropped
+        (4, b"poison"),                                            # marker row
+        (5, codecs.encode_flac(
+            np.concatenate([np.zeros(2 * FR, dtype=np.int16),
+                            np.full(3 * FR, 8000, dtype=np.int16)]), 8000)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: (r["n_frames"], r["n_active"], r["n_segments"],
+                           r["first_active"], r["last_active"],
+                           r["lead_silence"], r["tail_silence"])
+           for r in audio_vad_segments(df).collect()}
+    assert got[0] == (12, 5, 2, 2, 7, 2, 4)
+    assert got[1] == (5, 0, 0, -1, -1, 5, 5)
+    assert got[2] == (4, 4, 1, 0, 3, 0, 0)
+    assert got[3] == (3, 2, 1, 1, 2, 1, 0)   # 100 trailing samples ignored
+    assert got[4] == (-1, -1, -1, -1, -1, -1, -1)
+    assert got[5] == (5, 3, 1, 2, 4, 2, 0)   # FLAC decodes to the same ints
