@@ -94,6 +94,69 @@ def kmv_state(df: DataFrame, key_col: str, group_cols: list[str], k: int = 64) -
     return hashed.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
 
 
+def kmv_overlap(
+    df: DataFrame, key_col: str, side_col: str, k: int = 64
+) -> DataFrame:
+    """Cross-corpus OVERLAP estimation from two mergeable KMV sketches
+    — |A∪B|, |A∩B| and Jaccard WITHOUT joining the corpora (Beyer et
+    al., SIGMOD 2007, "On synopses for distinct value estimation under
+    multiset operations" — the KMV set-operation result, public).  The
+    snapshot-diff question every recrawl asks ("how much of crawl B is
+    already in crawl A?") answered from two k-row states:
+
+    - per side: the k smallest distinct Lehmer hashes (``kmv_state``)
+    - merged: the k smallest of the two states' union — EXACTLY the
+      k smallest of H(A∪B), the KMV merge property
+    - shared = merged hashes present in BOTH states; K(shared)/K is an
+      unbiased Jaccard estimator over the merged sample
+    - union_est = (k-1)·M div h_k (exact count when the union holds
+      fewer than k distinct keys); inter_est = shared·union div k_eff
+
+    One row: (n_merged, shared, union_est, jaccard_milli, inter_est) —
+    all integer arithmetic (milli Jaccard, floor divisions), so DuckDB
+    replays the whole estimator bit-for-bit.
+
+    Scale shape: ONE distinct partial-agg shuffle over the corpus; the
+    windows and joins after it touch <= 2k state rows (the bounded-
+    state sketch discipline — only 2k narrow integer rows survive)."""
+    hashed = df.select(
+        F.col(side_col).alias("side"), kmv_hash(F.col(key_col)).alias("h")
+    ).distinct()
+    w = Window.partitionBy("side").orderBy(F.col("h").asc())
+    kept = hashed.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    # global window over <= 2k state rows — bounded by construction
+    mw = Window.orderBy(F.col("h").asc())
+    merged = (
+        kept.select("h").distinct()
+        .withColumn("_mr", F.row_number().over(mw))
+        .filter(F.col("_mr") <= k)
+    )
+    ns = kept.groupBy("h").agg(F.countDistinct("side").alias("_ns"))
+    j = merged.join(ns, "h")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_merged"),
+        F.coalesce(F.sum((F.col("_ns") == 2).cast("bigint")), F.lit(0))
+        .alias("shared"),
+        F.max(F.when(F.col("_mr") == k, F.col("h"))).alias("_hk"),
+    )
+    return agg.select(
+        F.col("n_merged").cast("bigint").alias("n_merged"),
+        F.col("shared").cast("bigint").alias("shared"),
+        F.coalesce(
+            F.expr(f"(({k} - 1) * CAST({KMV_MOD} AS BIGINT)) div _hk"),
+            F.col("n_merged"),
+        ).cast("bigint").alias("union_est"),
+        F.expr("(shared * 1000) div n_merged").cast("bigint")
+        .alias("jaccard_milli"),
+    ).select(
+        "n_merged", "shared", "union_est", "jaccard_milli",
+        F.expr("(shared * union_est) div n_merged").cast("bigint")
+        .alias("inter_est"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Count-Min sketch (Cormode & Muthukrishnan 2005, "An improved data stream
 # summary: the count-min sketch and its applications" — public).  The

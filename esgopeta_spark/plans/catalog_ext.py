@@ -1222,3 +1222,65 @@ def io_compaction_plan(spark, sf):
         .cast("bigint").alias("bytes"),
     )
     return compaction_plan(f, target_bytes=50_000_000)
+
+
+@register(
+    "sketch_kmv_overlap",
+    "E4,G1",
+    """
+    WITH keys AS (
+      SELECT 'a' AS side, doc_id AS key FROM documents WHERE doc_id % 4 < 3
+      UNION ALL
+      SELECT 'b', doc_id FROM documents WHERE doc_id % 4 > 0),
+    h AS (
+      SELECT DISTINCT side,
+             ((((CAST(key AS BIGINT) % 2147483647 + 2147483647) % 2147483647)
+               * 48271) % 2147483647 * 69621) % 2147483647 + 1 AS hh
+      FROM keys),
+    st AS (
+      SELECT side, hh,
+             ROW_NUMBER() OVER (PARTITION BY side ORDER BY hh ASC) AS rn
+      FROM h),
+    kept AS (SELECT side, hh FROM st WHERE rn <= 64),
+    m AS (
+      SELECT hh, ROW_NUMBER() OVER (ORDER BY hh ASC) AS mr
+      FROM (SELECT DISTINCT hh FROM kept)),
+    mk AS (SELECT hh, mr FROM m WHERE mr <= 64),
+    ns AS (SELECT hh, COUNT(DISTINCT side) AS nsides FROM kept GROUP BY hh),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_merged,
+             CAST(SUM(CASE WHEN nsides = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS shared,
+             CAST(COALESCE(
+               (63 * CAST(2147483647 AS BIGINT))
+                 // MAX(CASE WHEN mr = 64 THEN hh END),
+               COUNT(*)) AS BIGINT) AS union_est
+      FROM mk JOIN ns USING (hh))
+    SELECT n_merged, shared, union_est,
+           CAST((shared * 1000) // n_merged AS BIGINT) AS jaccard_milli,
+           CAST((shared * union_est) // n_merged AS BIGINT) AS inter_est
+    FROM agg
+    """,
+    doc="KMV set-operation estimates (r12 — Beyer et al. 2007): "
+    "cross-snapshot overlap (|A∪B|, |A∩B|, Jaccard) from two mergeable "
+    "k=64 sketches WITHOUT joining the corpora — the recrawl diff "
+    "question ('how much of crawl B is already in A?') answered from "
+    "2k integer state rows.  Sides: doc_id%4<3 vs doc_id%4>0 (true "
+    "Jaccard 1/2).  The Lehmer hashes, merge-and-retruncate, shared "
+    "fraction and floor-divided estimates are all portable integer "
+    "arithmetic, so the oracle replays the estimator bit-for-bit.  "
+    "Plan: ONE distinct partial-agg shuffle over the corpus; "
+    "everything after touches <= 2k rows; "
+    "operators/sketches.py kmv_overlap",
+)
+def sketch_kmv_overlap(spark, sf):
+    from esgopeta_spark.operators.sketches import kmv_overlap
+
+    d = T(spark, sf, "documents").select("doc_id")
+    did = F.col("doc_id")
+    keys = d.where(did % 4 < 3).select(
+        F.lit("a").alias("side"), did.alias("key")
+    ).unionByName(
+        d.where(did % 4 > 0).select(F.lit("b").alias("side"), did.alias("key"))
+    )
+    return kmv_overlap(keys, "key", "side", k=64)

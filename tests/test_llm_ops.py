@@ -3780,3 +3780,40 @@ def test_audio_vad_segments_semantics(spark):
     assert got[3] == (3, 2, 1, 1, 2, 1, 0)   # 100 trailing samples ignored
     assert got[4] == (-1, -1, -1, -1, -1, -1, -1)
     assert got[5] == (5, 3, 1, 2, 4, 2, 0)   # FLAC decodes to the same ints
+
+
+def test_kmv_overlap_estimator(spark):
+    """KMV set-operation pins (r12): on a 50%-overlap universe the
+    Jaccard estimate lands near 500 milli and the union/intersection
+    estimates near truth; identical sides read exactly 1000; disjoint
+    sides exactly 0; a small universe (< k distinct) reports EXACT
+    counts (the sketch IS the value set)."""
+    from pyspark.sql import functions as F
+
+    from esgopeta_spark.operators.sketches import kmv_overlap
+
+    n = 4000
+    ids = spark.range(n).withColumnRenamed("id", "key")
+    half = (
+        ids.where("key % 4 < 3").select(F.lit("a").alias("side"), "key")
+        .unionByName(ids.where("key % 4 > 0")
+                     .select(F.lit("b").alias("side"), "key"))
+    )
+    r = kmv_overlap(half, "key", "side", k=128).collect()[0]
+    assert 350 <= r["jaccard_milli"] <= 650, r
+    assert 0.6 * n <= r["union_est"] <= 1.4 * n, r
+    assert 0.3 * n / 2 <= r["inter_est"] <= 1.7 * n / 2, r
+
+    same = ids.select(F.lit("a").alias("side"), "key").unionByName(
+        ids.select(F.lit("b").alias("side"), "key"))
+    assert kmv_overlap(same, "key", "side").collect()[0]["jaccard_milli"] == 1000
+
+    disj = ids.where("key < 100").select(F.lit("a").alias("side"), "key").unionByName(
+        ids.where("key >= 3000").select(F.lit("b").alias("side"), "key"))
+    assert kmv_overlap(disj, "key", "side").collect()[0]["shared"] == 0
+
+    tiny = ids.where("key < 30").select(F.lit("a").alias("side"), "key").unionByName(
+        ids.where("key >= 20 and key < 50").select(F.lit("b").alias("side"), "key"))
+    t = kmv_overlap(tiny, "key", "side", k=64).collect()[0]
+    assert (t["n_merged"], t["shared"], t["union_est"], t["inter_est"]) == \
+        (50, 10, 50, 10)
