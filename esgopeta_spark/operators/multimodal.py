@@ -768,6 +768,73 @@ def image_stats(
     return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
 
 
+def image_blur_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Second-derivative BLUR detection per image (r12) — the standard
+    Laplacian blur metric image-curation filters threshold on (LAION-
+    style pipelines drop low-Laplacian images).  ``image_stats``'s
+    edge_h/edge_v first derivatives cannot tell a SMOOTH RAMP (high
+    gradient, no detail) from a true edge; the Laplacian can — a
+    linear ramp's second derivative is exactly 0 while a step or
+    texture scores high (both pinned closed-form in the oracle).
+
+    Over the 4·luma plane (r + 2g + b — integer, no division):
+
+      lap_l1  = Σ over strict-interior pixels |4c − up − down − left − right|
+      grad_l1 = Σ over the same pixels |right − left| + |down − up|
+                (centered first differences, same support)
+      lap_mean_milli = lap_l1 · 1000 div n_interior
+
+    Exact int64 end-to-end, so through a lossless codec every value is
+    closed-form computable from planted patterns: constant (both 0),
+    step edge (both ∝ edge length), linear ramp (grad high, LAP ZERO —
+    the case that separates this op from image_stats), checkerboard
+    (lap maximal, centered grad ZERO).  Undecodable payloads emit the
+    VISIBLE all--1 marker row.  One Arrow decode pass, no shuffle."""
+    out_schema = (
+        f"{id_col} bigint, width int, height int, n_interior bigint, "
+        "lap_l1 bigint, grad_l1 bigint, lap_mean_milli bigint"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    arr = decode_image_any(bytes(b) if b is not None else b"")
+                except ValueError:
+                    rows.append({id_col: int(mid), "width": -1, "height": -1,
+                                 "n_interior": -1, "lap_l1": -1,
+                                 "grad_l1": -1, "lap_mean_milli": -1})
+                    continue
+                a = arr.astype(np.int64)
+                g = a[..., 0] + 2 * a[..., 1] + a[..., 2]  # 4*luma, exact
+                h, w = g.shape
+                if h < 3 or w < 3:
+                    rows.append({id_col: int(mid), "width": w, "height": h,
+                                 "n_interior": 0, "lap_l1": 0,
+                                 "grad_l1": 0, "lap_mean_milli": 0})
+                    continue
+                c = g[1:-1, 1:-1]
+                up, dn = g[:-2, 1:-1], g[2:, 1:-1]
+                lf, rt = g[1:-1, :-2], g[1:-1, 2:]
+                lap = int(np.abs(4 * c - up - dn - lf - rt).sum())
+                grad = int(np.abs(rt - lf).sum() + np.abs(dn - up).sum())
+                ni = (h - 2) * (w - 2)
+                rows.append({
+                    id_col: int(mid), "width": w, "height": h,
+                    "n_interior": ni, "lap_l1": lap, "grad_l1": grad,
+                    "lap_mean_milli": (lap * 1000) // ni,
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
+
+
 def image_dup_pairs(
     df: DataFrame,
     max_hamming: int = 3,

@@ -1702,3 +1702,92 @@ def multimodal_audio_vad(spark, sf):
 
     media = ids.mapInPandas(render, "media_id bigint, payload binary")
     return audio_vad_segments(media)
+
+
+@register(
+    "multimodal_image_blur",
+    "G5,E2",
+    """
+    WITH sel AS (
+      SELECT doc_id, (doc_id // 10) % 4 AS c,
+             10 + doc_id % 7 AS k,
+             5 + doc_id % 11 AS m,
+             CASE WHEN doc_id % 50 = 6 THEN 1 ELSE 0 END AS poison
+      FROM documents WHERE doc_id % 10 = 6)
+    SELECT doc_id AS media_id,
+      CAST(CASE WHEN poison = 1 THEN -1 ELSE 16 END AS INTEGER) AS width,
+      CAST(CASE WHEN poison = 1 THEN -1 ELSE 12 END AS INTEGER) AS height,
+      CAST(CASE WHEN poison = 1 THEN -1 ELSE 140 END AS BIGINT) AS n_interior,
+      CAST(CASE WHEN poison = 1 THEN -1
+                WHEN c = 1 THEN 80 * k
+                WHEN c = 3 THEN 2240 * m
+                ELSE 0 END AS BIGINT) AS lap_l1,
+      CAST(CASE WHEN poison = 1 THEN -1
+                WHEN c = 1 THEN 80 * k
+                WHEN c = 2 THEN 5600
+                ELSE 0 END AS BIGINT) AS grad_l1,
+      CAST(CASE WHEN poison = 1 THEN -1
+                WHEN c = 1 THEN (80 * k * 1000) // 140
+                WHEN c = 3 THEN 16000 * m
+                ELSE 0 END AS BIGINT) AS lap_mean_milli
+    FROM sel
+    """,
+    doc="Laplacian blur detection (r12 — the LAION-style low-detail "
+    "image cut; image_stats' first-derivative edge energy cannot tell "
+    "a smooth ramp from a true edge, the second derivative can): per "
+    "selected doc, render one of 4 planted 16x12 patterns through a "
+    "REAL PNG round-trip — constant (lap 0, grad 0), vertical step of "
+    "id-derived height (lap = grad = 80k), LINEAR RAMP (grad 5600 but "
+    "lap EXACTLY 0 — the separating case), checkerboard of id-derived "
+    "amplitude (lap 2240m, centered grad EXACTLY 0).  PNG is lossless "
+    "and every statistic exact int64, so the oracle is closed-form "
+    "pattern arithmetic; doc_id%50==6 ships poison and must surface "
+    "as the visible all--1 marker row.  Plan: one Arrow decode pass, "
+    "no shuffle; operators/multimodal.py image_blur_stats",
+)
+def multimodal_image_blur(spark, sf):
+    from esgopeta_spark.operators.multimodal import image_blur_stats
+    from esgopeta_spark.session import ensure_min_partitions
+
+    ids = T(spark, sf, "documents").filter(F.col("doc_id") % 10 == 6).select("doc_id")
+    ids = ensure_min_partitions(ids)
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from esgopeta_spark.operators import codecs
+
+        W, H = 16, 12
+
+        def img(did):
+            if did % 50 == 6:
+                return b"not an image"
+            c = (did // 10) % 4
+            k = 10 + did % 7
+            m = 5 + did % 11
+            v = np.zeros((H, W), dtype=np.int64)
+            if c == 0:
+                v[:] = 100
+            elif c == 1:
+                v[:, :8] = 60
+                v[:, 8:] = 60 + k
+            elif c == 2:
+                v[:] = 40 + 5 * np.arange(W)[None, :]
+            else:
+                v[:] = 30
+                rr, cc = np.indices((H, W))
+                v[(rr + cc) % 2 == 1] = 30 + m
+            rgb = np.repeat(v.astype(np.uint8)[:, :, None], 3, axis=2)
+            return codecs.encode_png(rgb)
+
+        for pdf in batches:
+            ids_, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                payloads.append(img(did))
+                ids_.append(did)
+            yield pd.DataFrame({"media_id": pd.Series(ids_, dtype="int64"),
+                                "payload": payloads})
+
+    media = ids.mapInPandas(render, "media_id bigint, payload binary")
+    return image_blur_stats(media)

