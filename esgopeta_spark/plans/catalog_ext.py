@@ -1284,3 +1284,63 @@ def sketch_kmv_overlap(spark, sf):
         d.where(did % 4 > 0).select(F.lit("b").alias("side"), did.alias("key"))
     )
     return kmv_overlap(keys, "key", "side", k=64)
+
+
+@register(
+    "scan_jsonl_quarantine",
+    "E1,E8",
+    """
+    WITH c AS (
+      SELECT doc_id, coalesce(lang, 'xx') AS lg, coalesce(n_chars, 0) AS nc
+      FROM documents)
+    SELECT doc_id,
+      CASE WHEN doc_id % 9 IN (0, 4) THEN NULL ELSE doc_id END AS j_id,
+      CASE WHEN doc_id % 9 IN (0, 4) THEN NULL ELSE lg END AS j_lang,
+      CASE WHEN doc_id % 9 IN (0, 4) THEN NULL ELSE nc END AS j_n,
+      CAST(CASE WHEN doc_id % 9 IN (0, 4) THEN 1 ELSE 0 END AS INTEGER)
+        AS is_corrupt
+    FROM c
+    """,
+    doc="semi-structured JSONL ingest with per-row corrupt-record "
+    "quarantine (r12, E1 depth — the log/event ingest shape): one "
+    "codegen projection builds a JSONL line per doc (id%9==0 truncated "
+    "mid-object, id%9==4 not JSON at all, id%9==7 carries an UNKNOWN "
+    "extra field the schema must tolerate, rest well-formed), then "
+    "Spark's native from_json parses under PERMISSIVE mode with "
+    "columnNameOfCorruptRecord — malformed rows surface as VISIBLE "
+    "is_corrupt=1 rows with null fields (never a dropped row, never a "
+    "failed stage), well-formed rows land typed.  JVM-side end to end "
+    "(no Python in the parse path); oracle recomputes the expected "
+    "verdicts in closed form.  Plan: one scan, one projection, no "
+    "shuffle",
+)
+def scan_jsonl_quarantine(spark, sf):
+    did = F.col("doc_id")
+    lg = F.coalesce(F.col("lang"), F.lit("xx"))
+    nc = F.coalesce(F.col("n_chars"), F.lit(0)).cast("bigint")
+    line = (
+        F.when(did % 9 == 0,
+               F.concat(F.lit('{"id": '), did.cast("string"), F.lit(', "lang":')))
+        .when(did % 9 == 4, F.concat(F.lit("garbage line "), did.cast("string")))
+        .when(did % 9 == 7,
+              F.concat(F.lit('{"id": '), did.cast("string"),
+                       F.lit(', "extra": [1, {"deep": true}], "lang": "'),
+                       lg, F.lit('", "n": '), nc.cast("string"), F.lit("}")))
+        .otherwise(
+            F.concat(F.lit('{"id": '), did.cast("string"),
+                     F.lit(', "lang": "'), lg,
+                     F.lit('", "n": '), nc.cast("string"), F.lit("}")))
+    )
+    d = T(spark, sf, "documents").select("doc_id", line.alias("_line"))
+    parsed = F.from_json(
+        F.col("_line"),
+        "id BIGINT, lang STRING, n BIGINT, _bad STRING",
+        {"columnNameOfCorruptRecord": "_bad", "mode": "PERMISSIVE"},
+    )
+    return d.select("doc_id", parsed.alias("_j")).select(
+        "doc_id",
+        F.col("_j.id").alias("j_id"),
+        F.col("_j.lang").alias("j_lang"),
+        F.col("_j.n").alias("j_n"),
+        F.col("_j._bad").isNotNull().cast("int").alias("is_corrupt"),
+    )

@@ -646,3 +646,20 @@ def test_recrawl_schedule_plan_posture(spark, sf_dir):
     assert "Join" not in p and "CartesianProduct" not in p, p
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
     assert n_exchanges == 1, p
+
+
+def test_r12_entries_plan_posture(spark, sf_dir):
+    """The r12 wave entries keep the house physical posture: the
+    projection/kernel ops (rendezvous, mojibake, VAD, blur) plan no
+    join at all; kmv_overlap's state join is hash-equi on the sketch
+    hash (bounded <= 2k rows a side); nothing plans a cartesian or a
+    data-sized nested loop."""
+    from esgopeta_spark.plans import REGISTRY
+
+    for entry in ("shard_rendezvous_stable", "text_fix_mojibake",
+                  "multimodal_audio_vad", "multimodal_image_blur"):
+        p = plan_of(REGISTRY[entry].fn(spark, sf_dir))
+        assert "CartesianProduct" not in p, (entry, p)
+        assert "Join" not in p, (entry, p)  # pure projection/kernel lineage
+    p = plan_of(REGISTRY["sketch_kmv_overlap"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
