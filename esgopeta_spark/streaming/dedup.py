@@ -375,3 +375,124 @@ def streaming_edit_pairs(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# r12: streaming twin of dedup.incremental_dedup — the nightly-update
+# capstone's core as a LIVE loop.
+# ---------------------------------------------------------------------------
+
+INCR_DEDUP_OUTPUT_SCHEMA = (
+    "doc_id bigint, status string, keeper_id bigint, upd_seq bigint"
+)
+INCR_DEDUP_STATE_SCHEMA = StructType(
+    [
+        StructField("prior_keeper", LongType()),   # null = no store entry yet
+        StructField("incr_ids", StringType()),     # json residents (pre-install)
+        StructField("seq", LongType()),
+    ]
+)
+
+
+def incremental_events(prior_store, incr, text_col="text", id_col="doc_id"):
+    """Union the two batch-shaped inputs into the ONE event relation the
+    stateful handler consumes: kind 0 = a keeper-store install (the
+    hash's prior keeper — build ``prior_store`` with the SAME
+    ``sha2(normalize_text)`` groupBy-min the batch operator derives),
+    kind 1 = an increment doc.  The hash projection is literally the
+    batch expression (share, don't mirror)."""
+    from pyspark.sql import functions as F
+
+    from esgopeta_spark.operators.dedup import normalize_text
+
+    h = F.sha2(normalize_text(F.col(text_col)), 256)
+    installs = prior_store.select(
+        F.lit(0).alias("kind"),
+        h.alias("th"),
+        F.col(id_col).cast("long").alias("doc_id"),
+    )
+    docs = incr.select(
+        F.lit(1).alias("kind"),
+        h.alias("th"),
+        F.col(id_col).cast("long").alias("doc_id"),
+    )
+    return installs.unionByName(docs)
+
+
+def _make_incr_dedup_handler():
+    """Per-hash handler (closure, cloudpickle-by-value)."""
+    import json as _json
+
+    def verdicts(prior, ids):
+        if prior is not None:
+            return {d: ("dup_prior", prior) for d in ids}
+        if not ids:
+            return {}
+        m = min(ids)
+        return {d: ("new", m) if d == m else ("dup_incr", m) for d in ids}
+
+    def handler(key, pdfs, gstate):
+        installs: list[int] = []
+        docs: list[int] = []
+        for pdf in pdfs:
+            for rec in pdf.to_dict("records"):
+                (installs if int(rec["kind"]) == 0 else docs).append(
+                    int(rec["doc_id"])
+                )
+        if not installs and not docs:
+            return
+        import pandas as _pd
+
+        if gstate.exists:
+            st = gstate.get
+            prior = None if st[0] is None else int(st[0])
+            ids = _json.loads(st[1])
+            seq = int(st[2])
+        else:
+            prior, ids, seq = None, [], 0
+        old = verdicts(prior, ids)
+        if installs:
+            # the store holds ONE keeper per hash (min prior id) — take
+            # min across duplicate installs for determinism
+            prior = min(installs + ([prior] if prior is not None else []))
+        ids2 = ids + docs
+        new = verdicts(prior, ids2)
+        seq += 1
+        rows = [
+            {"doc_id": d, "status": s, "keeper_id": k, "upd_seq": seq}
+            for d, (s, k) in sorted(new.items())
+            if old.get(d) != (s, k)
+        ]
+        # once the store entry is known every future doc of this hash is
+        # decided instantly — residents need no further tracking (state
+        # bounded after install, the line-dedup crossing discipline)
+        gstate.update((prior, _json.dumps([] if prior is not None else ids2),
+                       seq))
+        if rows:
+            yield _pd.DataFrame(rows)
+
+    return handler
+
+
+def streaming_incremental_dedup(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``dedup.incremental_dedup`` (r12): the keeper
+    store as keyed state per text hash; arriving increment docs get
+    their verdict immediately and RE-EMIT with a higher ``upd_seq``
+    when later arrivals change it — a late store install flips
+    new/dup_incr residents to dup_prior, a late smaller increment id
+    steals 'new' (the batch keeper is min(id), not arrival order).
+    Take the max-``upd_seq`` row per doc downstream; that final answer
+    equals the batch operator under ANY cross-batch arrival order —
+    pinned in tests/test_streaming.py.
+
+    State per hash: the prior keeper + (until it is known) the resident
+    increment ids; an install CLEARS the resident list, so long-lived
+    state is one bigint per hash — the store itself, which IS the
+    operator's honest working set."""
+    return events.groupBy("th").applyInPandasWithState(
+        _make_incr_dedup_handler(),
+        outputStructType=INCR_DEDUP_OUTPUT_SCHEMA,
+        stateStructType=INCR_DEDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

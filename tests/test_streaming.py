@@ -1746,3 +1746,76 @@ def test_streaming_conditional_fetch_matches_batch(spark, tmp_path):
                 and want[(r["doc_id"], r["uri"])][1] == "cache"
             ]
             assert flips, "expected miss->cache retro-corrections"
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
+    """r12: the nightly-loop core as a live stream.  The keeper store is
+    keyed state per text hash; verdicts re-emit on flips (late store
+    install: new/dup_incr -> dup_prior; late smaller increment id
+    steals 'new').  Final max-upd_seq verdicts equal the batch
+    incremental_dedup bit-for-bit in BOTH arrival orders."""
+    import random
+
+    from esgopeta_spark.operators.dedup import incremental_dedup
+    from esgopeta_spark.streaming.dedup import (
+        incremental_events,
+        streaming_incremental_dedup,
+    )
+
+    rng = random.Random(12)
+    prior_rows, incr_rows = [], []
+    for g in range(12):  # dup families spanning prior and increment
+        text = f"family {g} body text"
+        for j in range(rng.randint(0, 2)):
+            prior_rows.append((g * 100 + j, text))
+        for j in range(rng.randint(0, 3)):
+            incr_rows.append((10000 + g * 100 + j, text))
+    for j in range(8):  # increment-only uniques
+        incr_rows.append((20000 + j, f"unique {j}"))
+    prior = spark.createDataFrame(prior_rows, "doc_id long, text string")
+    incr = spark.createDataFrame(incr_rows, "doc_id long, text string")
+    want = {r["doc_id"]: (r["status"], r["keeper_id"])
+            for r in incremental_dedup(prior, incr).collect()}
+
+    ev_schema = "kind int, th string, doc_id long"
+    inst = [tuple(r) for r in incremental_events(prior, incr.limit(0)).collect()]
+    docs = [tuple(r) for r in incremental_events(prior.limit(0), incr).collect()]
+    # split increment docs so each family's smaller ids can arrive LAST
+    docs_desc = sorted(docs, key=lambda t: -t[2])
+    half = len(docs_desc) // 2
+    case = 0
+    for order, batches in [
+        ("store_first", [inst, docs_desc[:half], docs_desc[half:]]),
+        ("store_last", [docs_desc[:half], docs_desc[half:], inst]),
+    ]:
+        case += 1
+        d = str(tmp_path / f"incr{case}")
+        os.makedirs(d)
+        for i, b in enumerate(batches):
+            spark.createDataFrame(b, ev_schema).coalesce(1).write.parquet(
+                f"{d}/b{i}")
+        stream = (
+            spark.readStream.schema(ev_schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(d)
+        )
+        run_stream_to_memory(
+            streaming_incremental_dedup(stream), f"incrstream{case}",
+            mode="update",
+        )
+        latest: dict = {}
+        for r in spark.sql(f"select * from incrstream{case}").collect():
+            if (r["doc_id"] not in latest
+                    or r["upd_seq"] > latest[r["doc_id"]]["upd_seq"]):
+                latest[r["doc_id"]] = r
+        got = {d_: (r["status"], r["keeper_id"]) for d_, r in latest.items()}
+        assert got == want, (order, {k: (got.get(k), want.get(k))
+                                     for k in set(got) ^ set(want) or
+                                     {k for k in got if got[k] != want.get(k)}})
+        if order == "store_last":
+            flips = [r for r in spark.sql(
+                f"select * from incrstream{case}").collect()
+                if r["status"] in ("new", "dup_incr")
+                and want[r["doc_id"]][0] == "dup_prior"]
+            assert flips, "expected late-install retro-corrections"
