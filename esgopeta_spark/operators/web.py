@@ -3045,6 +3045,128 @@ def synth_conditional_warc(
     )
 
 
+_XROBOTS_DIRECTIVES = {
+    "noindex", "nofollow", "none", "noarchive", "nosnippet",
+    "notranslate", "noimageindex", "all", "index", "follow",
+}
+
+
+def parse_xrobots(value: str) -> tuple[int, int]:
+    """(noindex, nofollow) from one ``X-Robots-Tag`` header value — the
+    HEADER-level robots directive (how non-HTML documents, PDFs above
+    all, get noindexed; the meta tag can't ride a PDF).  Comma-token
+    list, case-insensitive, ``none`` = both; an AGENT-SCOPED value
+    (``googlebot: noindex`` — prefix before ':' is not a directive) is
+    for someone else and is ignored, exactly like a scoped meta name;
+    ``unavailable_after: <date>`` parses as its own (ignored) token.
+    Total on any str."""
+    v = (value or "").strip()
+    head = v.split(":", 1)[0].strip().lower()
+    if ":" in v and head not in _XROBOTS_DIRECTIVES and "," not in head \
+            and head != "unavailable_after":
+        return 0, 0  # agent-scoped: not addressed to us
+    noindex = nofollow = 0
+    for tok in v.lower().split(","):
+        tok = tok.split(":", 1)[0].strip()
+        if tok == "none":
+            noindex = nofollow = 1
+        elif tok == "noindex":
+            noindex = 1
+        elif tok == "nofollow":
+            nofollow = 1
+    return noindex, nofollow
+
+
+def warc_robots_directives(
+    df: DataFrame, blob_col: str = "warc", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per WARC record, the COMBINED page-level robots verdict (r12 —
+    completes the indexability chain: RFC 9309 robots.txt gates the
+    FETCH, meta robots gates HTML pages, X-Robots-Tag gates everything
+    else, PDFs above all): unwrap the HTTP message, read the
+    ``X-Robots-Tag`` header, read ``<meta name=robots>`` from html
+    bodies (charset-sniffed decode, the prescan discipline), and union
+    (most-restrictive-wins).  One Arrow kernel over one scan,
+    shuffle-free; poison records quarantine to a VISIBLE all--1 row."""
+
+    @F.pandas_udf(
+        "array<struct<uri: string, hdr_noindex: int, hdr_nofollow: int, "
+        "meta_noindex: int, meta_nofollow: int, noindex: int, nofollow: int>>"
+    )
+    def _gate(s: pd.Series) -> pd.Series:
+        def one(b):
+            try:
+                recs = parse_warc(maybe_gunzip_warc(bytes(b) if b is not None else b""))
+            except ValueError:
+                return [{"uri": "error", "hdr_noindex": -1, "hdr_nofollow": -1,
+                         "meta_noindex": -1, "meta_nofollow": -1,
+                         "noindex": -1, "nofollow": -1}]
+            out = []
+            for r in recs:
+                try:
+                    _status, hdrs, body = parse_http_response(r["payload"])
+                    hn, hf = parse_xrobots(hdrs.get("x-robots-tag", ""))
+                    mn = mf = 0
+                    if sniff_payload(bytes(body)) == "html":
+                        mn, mf = meta_robots(decode_html_bytes(bytes(body), hdrs))
+                    out.append({
+                        "uri": r["uri"], "hdr_noindex": hn, "hdr_nofollow": hf,
+                        "meta_noindex": mn, "meta_nofollow": mf,
+                        "noindex": int(bool(hn or mn)),
+                        "nofollow": int(bool(hf or mf)),
+                    })
+                except ValueError:
+                    out.append({"uri": r["uri"], "hdr_noindex": -1,
+                                "hdr_nofollow": -1, "meta_noindex": -1,
+                                "meta_nofollow": -1, "noindex": -1,
+                                "nofollow": -1})
+            return out
+
+        return pd.Series([one(b) for b in s])
+
+    return (
+        df.select(F.col(id_col), F.explode(_gate(F.col(blob_col))).alias("r"))
+        .select(id_col, "r.uri", "r.hdr_noindex", "r.hdr_nofollow",
+                "r.meta_noindex", "r.meta_nofollow", "r.noindex", "r.nofollow")
+    )
+
+
+def synth_xrobots_warc(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    uri_col: str = "uri",
+    out_col: str = "warc",
+) -> DataFrame:
+    """Encoder-twin fixture for the header/meta robots gate: header
+    class id%4 (none / noindex / 'nofollow, noarchive' / agent-scoped
+    'googlebot: noindex' which MUST be ignored), meta class (id//4)%3
+    (none / noindex / 'none' = both), id%23==1 ships poison."""
+
+    @F.pandas_udf("binary")
+    def _build(did: pd.Series, uri: pd.Series) -> pd.Series:
+        def one(d, u):
+            d = int(d)
+            if d % 23 == 1:
+                return b"not a warc"
+            hc, mc = d % 4, (d // 4) % 3
+            hdr = {1: 'X-Robots-Tag: noindex\r\n',
+                   2: 'X-Robots-Tag: nofollow, noarchive\r\n',
+                   3: 'X-Robots-Tag: googlebot: noindex\r\n'}.get(hc, "")
+            meta = {1: '<meta name="robots" content="noindex">',
+                    2: "<meta name='robots' content='none'>"}.get(mc, "")
+            body = (f"<!DOCTYPE html><html><head>{meta}</head>"
+                    f"<body><p>doc {d}</p></body></html>").encode()
+            payload = (
+                f"HTTP/1.1 200 OK\r\n{hdr}Content-Type: text/html\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode("latin-1") + body
+            return build_warc_record(u if isinstance(u, str) else "", payload)
+
+        return pd.Series([one(d, u) for d, u in zip(did, uri)])
+
+    return df.withColumn(out_col, _build(F.col(id_col), F.col(uri_col)))
+
+
 def warc_fetch_records(
     warc: DataFrame,
     blob_col: str = "warc",

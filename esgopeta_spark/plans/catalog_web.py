@@ -2880,3 +2880,57 @@ def text_fix_mojibake(spark, sf):
     )
     d = T(spark, sf, "documents").select("doc_id", inp.alias("text"))
     return fix_mojibake(d)
+
+
+@register(
+    "web_xrobots_gate",
+    "G4,E1",
+    """
+    WITH c AS (
+      SELECT doc_id, doc_id % 4 AS hc, (doc_id // 4) % 3 AS mc,
+             CASE WHEN doc_id % 23 = 1 THEN 1 ELSE 0 END AS poison
+      FROM documents)
+    SELECT doc_id,
+      CASE WHEN poison = 1 THEN 'error'
+           ELSE 'https://site' || (doc_id % 40) || '.example.com/articles/'
+                || doc_id || '?page=' || (doc_id % 7) END AS uri,
+      CAST(CASE WHEN poison = 1 THEN -1 WHEN hc = 1 THEN 1 ELSE 0 END
+           AS INTEGER) AS hdr_noindex,
+      CAST(CASE WHEN poison = 1 THEN -1 WHEN hc = 2 THEN 1 ELSE 0 END
+           AS INTEGER) AS hdr_nofollow,
+      CAST(CASE WHEN poison = 1 THEN -1 WHEN mc IN (1, 2) THEN 1 ELSE 0 END
+           AS INTEGER) AS meta_noindex,
+      CAST(CASE WHEN poison = 1 THEN -1 WHEN mc = 2 THEN 1 ELSE 0 END
+           AS INTEGER) AS meta_nofollow,
+      CAST(CASE WHEN poison = 1 THEN -1
+                WHEN hc = 1 OR mc IN (1, 2) THEN 1 ELSE 0 END
+           AS INTEGER) AS noindex,
+      CAST(CASE WHEN poison = 1 THEN -1
+                WHEN hc = 2 OR mc = 2 THEN 1 ELSE 0 END
+           AS INTEGER) AS nofollow
+    FROM c
+    """,
+    doc="page-level robots verdict, header + meta combined (r12 — "
+    "completes the indexability chain: robots.txt gates the FETCH, "
+    "meta robots gates html, X-Robots-Tag gates everything else — "
+    "PDFs above all, which no meta tag can ride): unwrap the HTTP "
+    "message from the WARC record, parse the X-Robots-Tag header "
+    "(comma tokens, 'none' = both, AGENT-SCOPED values ignored — the "
+    "googlebot-scoped class must read 0), read <meta name=robots> "
+    "from the charset-sniffed html body, union most-restrictive.  "
+    "Fixture crosses 4 header classes x 3 meta classes; id%23==1 "
+    "ships poison and must surface as the visible all--1 marker row.  "
+    "Plan: one Arrow kernel over one scan, shuffle-free; "
+    "operators/web.py parse_xrobots/warc_robots_directives",
+)
+def web_xrobots_gate(spark, sf):
+    from esgopeta_spark.operators.web import (
+        synth_xrobots_warc,
+        warc_robots_directives,
+    )
+
+    did = F.col("doc_id")
+    d = T(spark, sf, "documents").select(
+        "doc_id", _seed_url(did).alias("uri")
+    )
+    return warc_robots_directives(synth_xrobots_warc(d).drop("uri"))

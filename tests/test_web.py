@@ -1841,3 +1841,50 @@ def test_host_components_plan_posture(spark, sf_dir):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
     rows = {r["host_id"]: (r["comp"], r["comp_size"]) for r in df.collect()}
     assert rows[37] == (37, 1) and rows[36] == (36, 3) and rows[5] == (4, 4)
+
+
+def test_parse_xrobots_matrix():
+    """X-Robots-Tag parsing pins (r12): token lists, 'none', case,
+    agent-scoped values ignored, unavailable_after tolerated, total on
+    junk."""
+    from esgopeta_spark.operators.web import parse_xrobots
+
+    assert parse_xrobots("") == (0, 0)
+    assert parse_xrobots("noindex") == (1, 0)
+    assert parse_xrobots("NOFOLLOW , noarchive") == (0, 1)
+    assert parse_xrobots("none") == (1, 1)
+    assert parse_xrobots("noindex, nofollow") == (1, 1)
+    assert parse_xrobots("googlebot: noindex") == (0, 0)  # scoped: not us
+    assert parse_xrobots("otherbot: none, nofollow") == (0, 0)
+    assert parse_xrobots("unavailable_after: 25 Jun 2030 15:00:00 PST") == (0, 0)
+    assert parse_xrobots("noindex, unavailable_after: 25 Jun 2030") == (1, 0)
+    assert parse_xrobots(":::,,,") == (0, 0)
+
+
+def test_warc_robots_directives_header_beats_missing_meta(spark):
+    """The header path works on NON-html bodies (the PDF case meta can
+    never cover) and unions with meta on html; poison surfaces."""
+    from esgopeta_spark.operators.web import (
+        build_warc_record,
+        warc_robots_directives,
+    )
+
+    pdfish = b"%PDF-1.4 fake body"
+    rows = [
+        (0, build_warc_record(
+            "https://h/a.pdf",
+            b"HTTP/1.1 200 OK\r\nX-Robots-Tag: noindex\r\n\r\n" + pdfish)),
+        (1, build_warc_record(
+            "https://h/b",
+            b"HTTP/1.1 200 OK\r\nX-Robots-Tag: nofollow\r\n\r\n"
+            b"<!DOCTYPE html><html><head>"
+            b'<meta name="robots" content="noindex"></head><body>x</body></html>')),
+        (2, b"garbage"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, warc: binary")
+    got = {r["doc_id"]: (r["hdr_noindex"], r["meta_noindex"],
+                         r["noindex"], r["nofollow"])
+           for r in warc_robots_directives(df).collect()}
+    assert got[0] == (1, 0, 1, 0)   # header gates the PDF
+    assert got[1] == (0, 1, 1, 1)   # union of header nofollow + meta noindex
+    assert got[2] == (-1, -1, -1, -1)
