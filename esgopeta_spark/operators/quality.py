@@ -173,3 +173,74 @@ def t_closeness_audit(
         )
         .filter(F.col("tv_milli") > F.lit(int(t_milli)))
     )
+
+
+def corpus_datasheet(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    source_col: str = "source",
+    short_tokens: int = 20,
+    long_tokens: int = 200,
+) -> DataFrame:
+    """The one-row release DATASHEET every corpus ships with (r12 —
+    the "Datasheets for Datasets" summary, Gebru et al. 2018, public):
+    size, emptiness, token mass, language/source breadth, exact-dup
+    mass, and the length-tail shape — the numbers a consumer reads
+    before a single training token is spent.
+
+      n_docs, n_empty            rows; rows with null/empty text
+      total_tokens               Σ whitespace-token counts (exact)
+      mean_tokens_milli          (total·1000) div n_docs
+      n_langs, n_sources         exact distinct
+      n_dup_docs                 docs whose normalized text occurs >= 2
+                                 (the exact_dedup key — every copy
+                                 counts, including the keeper)
+      dup_milli                  (n_dup_docs·1000) div n_docs
+      n_short / n_long           docs under/over the token thresholds
+
+    Exact integers end to end.  Scale shape: one partial-agg pass for
+    the global sums + ONE hash groupBy on the normalized-text key for
+    the dup mass (the same shuffle exact_dedup pays) joined back as a
+    1-row broadcast — two shuffles total, output one row."""
+    from esgopeta_spark.operators.dedup import normalize_text
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(t), r"\s+", -1))
+    ).cast("bigint")
+    base = df.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.col(source_col),
+        t.alias("_t"),
+        toks.alias("_n"),
+        normalize_text(t).alias("_k"),
+    )
+    dup_mass = (
+        base.groupBy("_k").agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= 2)
+        .agg(F.coalesce(F.sum("_c"), F.lit(0)).cast("bigint").alias("n_dup_docs"))
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.length(F.trim("_t")) == 0).cast("bigint")).cast("bigint")
+        .alias("n_empty"),
+        F.sum("_n").cast("bigint").alias("total_tokens"),
+        F.countDistinct(lang_col).cast("bigint").alias("n_langs"),
+        F.countDistinct(source_col).cast("bigint").alias("n_sources"),
+        F.sum((F.col("_n") < short_tokens).cast("bigint")).cast("bigint")
+        .alias("n_short"),
+        F.sum((F.col("_n") > long_tokens).cast("bigint")).cast("bigint")
+        .alias("n_long"),
+    )
+    return stats.join(F.broadcast(dup_mass)).select(
+        "n_docs", "n_empty", "total_tokens",
+        F.expr("(total_tokens * 1000) div n_docs").cast("bigint")
+        .alias("mean_tokens_milli"),
+        "n_langs", "n_sources", "n_dup_docs",
+        F.expr("(n_dup_docs * 1000) div n_docs").cast("bigint")
+        .alias("dup_milli"),
+        "n_short", "n_long",
+    )

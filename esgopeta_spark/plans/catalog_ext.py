@@ -1344,3 +1344,70 @@ def scan_jsonl_quarantine(spark, sf):
         F.col("_j.n").alias("j_n"),
         F.col("_j._bad").isNotNull().cast("int").alias("is_corrupt"),
     )
+
+
+@register(
+    "corpus_datasheet",
+    "E4,G4",
+    r"""
+    WITH d AS (
+      SELECT doc_id, lang, source,
+             CASE WHEN doc_id % 7 = 0 THEN 'dup family ' || (doc_id % 13)
+                  WHEN doc_id % 11 = 5 THEN ''
+                  ELSE coalesce(text, '') || ' u' || doc_id END AS t
+      FROM documents
+    ), b AS (
+      SELECT doc_id, lang, source, t,
+             CASE WHEN length(trim(t)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(t), '\s+')) END AS n,
+             regexp_replace(lower(trim(t)), '\s+', ' ', 'g') AS k
+      FROM d
+    ), dup AS (
+      SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_dup_docs
+      FROM (SELECT COUNT(*) AS c FROM b GROUP BY k HAVING COUNT(*) >= 2)
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN length(trim(t)) = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_empty,
+             CAST(SUM(n) AS BIGINT) AS total_tokens,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(SUM(CASE WHEN n < 20 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_short,
+             CAST(SUM(CASE WHEN n > 200 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_long
+      FROM b)
+    SELECT n_docs, n_empty, total_tokens,
+           CAST((total_tokens * 1000) // n_docs AS BIGINT)
+             AS mean_tokens_milli,
+           n_langs, n_sources, n_dup_docs,
+           CAST((n_dup_docs * 1000) // n_docs AS BIGINT) AS dup_milli,
+           n_short, n_long
+    FROM s, dup
+    """,
+    doc="one-row release DATASHEET (r12 — Gebru et al. 2018 shape): "
+    "size, empty mass, exact token mass, language/source breadth, "
+    "exact-dup mass on the exact_dedup normalization key, and the "
+    "length-tail shape — the numbers a consumer reads before spending "
+    "a training token.  Fixture plants dup families (id%7==0 share 13 "
+    "texts) and empty docs (id%11==5) over the corpus text so every "
+    "counter is exercised; all integers exact.  Plan: one partial-agg "
+    "pass + ONE normalized-key hash groupBy (the exact_dedup shuffle) "
+    "joined back as a 1-row broadcast; "
+    "operators/quality.py corpus_datasheet",
+)
+def corpus_datasheet(spark, sf):
+    from esgopeta_spark.operators.quality import corpus_datasheet as ds
+
+    did = F.col("doc_id")
+    t = (
+        F.when(did % 7 == 0,
+               F.concat(F.lit("dup family "), (did % 13).cast("string")))
+        .when(did % 11 == 5, F.lit(""))
+        .otherwise(F.concat(F.coalesce(F.col("text"), F.lit("")),
+                            F.lit(" u"), did.cast("string")))
+    )
+    d = T(spark, sf, "documents").select(
+        "doc_id", "lang", "source", t.alias("text")
+    )
+    return ds(d)

@@ -3850,3 +3850,30 @@ def test_image_blur_stats_separates_ramp_from_edge(spark):
     # second derivative separates hard from soft
     assert got[2]["grad_l1"] > 0
     assert got[3]["lap_l1"] == -1 and got[3]["n_interior"] == -1
+
+
+def test_corpus_datasheet_counters(spark):
+    """Datasheet pins (r12): every counter on a hand-built corpus —
+    dup mass counts EVERY copy (keeper included), empty/null text in
+    n_empty and zero tokens, whitespace collapse in token counts,
+    null lang excluded from the distinct, short/long thresholds."""
+    from esgopeta_spark.operators.quality import corpus_datasheet
+
+    rows = [
+        (0, "en", "s1", "same text"),
+        (1, "en", "s1", "  Same   TEXT  "),   # dup after normalization
+        (2, "de", "s2", None),                # null text
+        (3, None, "s2", ""),                  # empty + null lang
+        (4, "fr", "s1", " ".join(["w"] * 250)),  # long
+        (5, "en", "s3", "short one"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string, text string")
+    r = corpus_datasheet(df).collect()[0]
+    assert r["n_docs"] == 6 and r["n_empty"] == 2
+    assert r["total_tokens"] == 2 + 2 + 0 + 0 + 250 + 2
+    assert r["n_langs"] == 3 and r["n_sources"] == 3
+    # TWO dup groups: the normalized "same text" pair AND the two empty
+    # docs (identical normalized text — exactly what exact_dedup keys on)
+    assert r["n_dup_docs"] == 4 and r["dup_milli"] == 666
+    assert r["n_short"] == 5 and r["n_long"] == 1
+    assert r["mean_tokens_milli"] == (256 * 1000) // 6
