@@ -84,3 +84,89 @@ def windowed_cms_state(
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         .select(F.unix_millis("w.start").alias("w_start_ms"), "cms_row", "cms_bucket", "cnt")
     )
+
+
+# ---------------------------------------------------------------------------
+# r12: windowed KMV distinct — the distinct-family sketch joins CMS in
+# having a streaming form (windowed_cms_state has carried the
+# frequency family since r6).
+# ---------------------------------------------------------------------------
+
+KMV_WIN_OUTPUT_SCHEMA = (
+    "w_start_ms bigint, n_kept bigint, est_distinct bigint, upd_seq bigint"
+)
+
+
+def streaming_kmv_distinct(
+    events: DataFrame,
+    width_ms: int = 3600_000,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    k: int = 64,
+) -> DataFrame:
+    """KMV distinct-count sketch PER EVENT-TIME WINDOW on a stream —
+    the approximate-distinct companion to ``windowed_cms_state``.  The
+    per-row hash is the SAME Lehmer projection as the batch sketch
+    (``sketches.kmv_hash`` — stateless, share don't mirror); the k-min
+    SET per window is order-independent (a merge of all arrivals), so
+    the handler's state is just the current sorted k-minimum list and
+    the stream CONVERGES to the batch ``kmv_distinct`` verdict under
+    any arrival order — pinned in tests/test_streaming.py.  Each batch
+    that changes a window's k-set re-emits that window's estimate with
+    a higher ``upd_seq`` (take the max downstream).
+
+    A rank window (the batch formulation) is not stream-legal; the
+    applyInPandasWithState handler IS the k-smallest combine, state
+    bounded at k int64s per window."""
+    import json as _json
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from esgopeta_spark.operators.sketches import KMV_MOD, kmv_hash
+
+    hashed = events.select(
+        F.expr(
+            f"(unix_millis({ts_col}) div {int(width_ms)}) * {int(width_ms)}"
+        ).cast("bigint").alias("w_start_ms"),
+        kmv_hash(F.col(key_col)).alias("h"),
+    )
+    kk, mod = int(k), int(KMV_MOD)
+
+    def handler(key, pdfs, gstate):
+        (w,) = key
+        new = set()
+        for pdf in pdfs:
+            new.update(int(h) for h in pdf["h"])
+        if not new:
+            return
+        import pandas as _pd
+
+        if gstate.exists:
+            st = gstate.get
+            mins = _json.loads(st[0])
+            seq = int(st[1])
+        else:
+            mins, seq = [], 0
+        merged = sorted(set(mins) | new)[:kk]
+        if merged == mins:
+            return  # the k-set is unchanged: nothing to re-emit
+        seq += 1
+        gstate.update((_json.dumps(merged), seq))
+        n = len(merged)
+        est = ((kk - 1) * mod) // merged[kk - 1] if n == kk else n
+        yield _pd.DataFrame(
+            [{"w_start_ms": int(w), "n_kept": n, "est_distinct": est,
+              "upd_seq": seq}]
+        )
+
+    state_schema = StructType(
+        [StructField("mins", StringType()), StructField("seq", LongType())]
+    )
+    return hashed.groupBy("w_start_ms").applyInPandasWithState(
+        handler,
+        outputStructType=KMV_WIN_OUTPUT_SCHEMA,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1819,3 +1819,55 @@ def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
                 if r["status"] in ("new", "dup_incr")
                 and want[r["doc_id"]][0] == "dup_prior"]
             assert flips, "expected late-install retro-corrections"
+
+
+def test_streaming_kmv_distinct_matches_batch(spark, tmp_path):
+    """r12: the distinct-family sketch joins CMS in having a streaming
+    form.  The per-window k-min set is arrival-order independent, so
+    the drained stream's max-upd_seq estimates equal the batch
+    kmv_distinct per window — in both arrival orders."""
+    from pyspark.sql import functions as F
+
+    from esgopeta_spark.operators.sketches import kmv_distinct
+    from esgopeta_spark.streaming.windows import streaming_kmv_distinct
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts")
+    width = 24 * 3600_000
+    batch = ev.select(
+        F.expr(f"(unix_millis(ts) div {width}) * {width}").cast("bigint")
+        .alias("w_start_ms"), "user_id",
+    )
+    want = {r["w_start_ms"]: (r["n_kept"], r["est_distinct"])
+            for r in kmv_distinct(batch, "user_id", ["w_start_ms"], k=4)
+            .collect()}
+    assert want and any(n == 4 for n, _ in want.values()), want
+
+    rows = [(r["user_id"], r["ts"]) for r in ev.collect()]
+    case = 0
+    for order in ("fwd", "rev"):
+        case += 1
+        ordered = rows if order == "fwd" else rows[::-1]
+        half = len(ordered) // 2
+        d = str(tmp_path / f"kmv{case}")
+        os.makedirs(d)
+        for i, b in enumerate((ordered[:half], ordered[half:])):
+            spark.createDataFrame(b, ev.schema).coalesce(1).write.parquet(
+                f"{d}/b{i}")
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(d)
+        )
+        run_stream_to_memory(
+            streaming_kmv_distinct(stream, width_ms=width, k=4),
+            f"kmvstream{case}", mode="update",
+        )
+        latest: dict = {}
+        for r in spark.sql(f"select * from kmvstream{case}").collect():
+            w = r["w_start_ms"]
+            if w not in latest or r["upd_seq"] > latest[w]["upd_seq"]:
+                latest[w] = r
+        got = {w: (r["n_kept"], r["est_distinct"]) for w, r in latest.items()}
+        assert got == want, (order, got, want)
