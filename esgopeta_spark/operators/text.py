@@ -403,6 +403,66 @@ def pack_sequences(
     )
 
 
+def pack_mask_spans(
+    docs: DataFrame,
+    window_tokens: int = 2048,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ATTENTION-MASK metadata of the packed layout (r12 —
+    ``pack_sequences`` says which window each doc lands in; a
+    doc-masked trainer also needs the window's span SHAPE): per
+    (source, seq_bin)
+
+      n_docs, tokens_used     the pack_sequences rollup
+      max_doc_tokens          largest single-doc span (the attention
+                              block-size bound for this window)
+      n_straddle              docs that START here but END in a later
+                              window ((cum-1) div W != start bin —
+                              the carry-over the tokenizer must split)
+      pad_tokens              max(W - tokens_used, 0) — the padding a
+                              non-carrying writer burns
+      waste_milli             pad·1000 div W (the padding-waste rate
+                              batch-shape tuning minimizes)
+
+    Same all-integer cumsum layout as ``pack_sequences`` (one window
+    shuffle on the source key, then a partial-agg rollup), so the
+    oracle shares the CTE shape; engine-exact everywhere."""
+    from pyspark.sql.window import Window
+
+    wdef = Window.partitionBy("source").orderBy("doc_id")
+    W = int(window_tokens)
+    d = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        regex_token_count(F.col(text_col)).cast("bigint").alias("n_tok"),
+    )
+    binned = (
+        d.withColumn("_cum", F.sum("n_tok").over(wdef))
+        .withColumn("seq_bin", F.expr(f"(_cum - n_tok) div {W}"))
+        .withColumn(
+            "_straddle",
+            F.when(
+                (F.col("n_tok") > 0)
+                & (F.expr(f"(_cum - 1) div {W}") != F.col("seq_bin")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    return binned.groupBy("source", "seq_bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("tokens_used"),
+        F.max("n_tok").alias("max_doc_tokens"),
+        F.sum("_straddle").cast("bigint").alias("n_straddle"),
+        F.greatest(F.lit(W) - F.sum("n_tok"), F.lit(0)).cast("bigint")
+        .alias("pad_tokens"),
+    ).withColumn(
+        "waste_milli",
+        F.expr(f"(pad_tokens * 1000) div {W}").cast("bigint"),
+    )
+
+
 def ngram_commonness(
     docs: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1487,3 +1487,56 @@ def sim_topk_ivfsq8(spark, sf):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return topk_ip_ivfsq8(emb, queries, dim=64, k=5)
+
+
+def _pack_mask_oracle() -> str:
+    from esgopeta_spark.operators.text import TOKEN_REGEX
+
+    return f"""
+    WITH d AS (
+      SELECT source, doc_id,
+             CAST(len(regexp_extract_all(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+               '{TOKEN_REGEX}')) AS BIGINT) AS n_tok
+      FROM documents),
+    c AS (
+      SELECT source, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+      FROM d),
+    b AS (
+      SELECT source, n_tok, (cum - n_tok) // 2048 AS seq_bin,
+             CASE WHEN n_tok > 0 AND (cum - 1) // 2048 <> (cum - n_tok) // 2048
+                  THEN 1 ELSE 0 END AS straddle
+      FROM c),
+    r AS (
+      SELECT source, CAST(seq_bin AS BIGINT) AS seq_bin,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS tokens_used,
+             CAST(MAX(n_tok) AS BIGINT) AS max_doc_tokens,
+             CAST(SUM(straddle) AS BIGINT) AS n_straddle,
+             CAST(GREATEST(2048 - SUM(n_tok), 0) AS BIGINT) AS pad_tokens
+      FROM b GROUP BY source, seq_bin)
+    SELECT source, seq_bin, n_docs, tokens_used, max_doc_tokens,
+           n_straddle, pad_tokens,
+           CAST((pad_tokens * 1000) // 2048 AS BIGINT) AS waste_milli
+    FROM r
+    """
+
+
+@register(
+    "corpus_pack_mask_spans",
+    "G4,E5,E4",
+    _pack_mask_oracle(),
+    doc="attention-mask metadata of the packed layout (r12 — what a "
+    "doc-masked trainer needs beyond pack_sequences' window "
+    "assignment): per (source, window) the largest single-doc span "
+    "(attention block bound), the straddling-doc count (the carry the "
+    "tokenizer must split), the padding a non-carrying writer burns "
+    "and its integer waste rate.  Same all-integer cumsum layout and "
+    "single source-keyed window shuffle as pack_sequences; "
+    "operators/text.py pack_mask_spans",
+)
+def corpus_pack_mask_spans(spark, sf):
+    from esgopeta_spark.operators.text import pack_mask_spans
+
+    return pack_mask_spans(T(spark, sf, "documents"), window_tokens=2048)

@@ -3877,3 +3877,27 @@ def test_corpus_datasheet_counters(spark):
     assert r["n_dup_docs"] == 4 and r["dup_milli"] == 666
     assert r["n_short"] == 5 and r["n_long"] == 1
     assert r["mean_tokens_milli"] == (256 * 1000) // 6
+
+
+def test_pack_mask_spans_semantics(spark):
+    """Mask-span pins (r12): windows, straddle counting, max span, pad
+    arithmetic on a hand-built layout (window = 10 tokens)."""
+    from esgopeta_spark.operators.text import pack_mask_spans
+
+    rows = [  # source s: token counts 4, 4, 5 (third straddles bin 0->1)
+        (0, "s", "a b c d"),
+        (1, "s", "e f g h"),
+        (2, "s", "i j k l m"),
+        (3, "t", "one two"),           # t: 2 tokens, pad 8
+        (4, "t", ""),                  # zero-token doc: never a straddle
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {(r["source"], r["seq_bin"]): r
+           for r in pack_mask_spans(df, window_tokens=10).collect()}
+    s0 = got[("s", 0)]
+    assert (s0["n_docs"], s0["tokens_used"], s0["max_doc_tokens"],
+            s0["n_straddle"], s0["pad_tokens"]) == (3, 13, 5, 1, 0)
+    t0 = got[("t", 0)]
+    assert (t0["n_docs"], t0["tokens_used"], t0["max_doc_tokens"],
+            t0["n_straddle"], t0["pad_tokens"], t0["waste_milli"]) == \
+        (2, 2, 2, 0, 8, 800)
