@@ -1105,6 +1105,87 @@ def audio_vad_segments(
     return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
 
 
+def audio_curation_profile(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    frame: int = 512,
+    thresh_milli: int = 10,
+    quiet_milli: int = 10,
+) -> DataFrame:
+    """DECODE-ONCE audio curation (r12): every per-clip signal the
+    curation gate thresholds on — loudness/energy/clipping/quiet
+    counters (the ``audio_stats`` battery) AND the VAD segment
+    structure (the ``audio_vad_segments`` battery) — from ONE decode
+    pass.  The codec dominates media-pipeline cost; running the two
+    ops separately decodes every clip twice, so the fused kernel is
+    the production shape (the separate ops remain the composable
+    primitives; the math here is identical line-for-line, pinned in
+    pytest by equality against both).
+
+    Output: (id, n_samples, sample_rate, sum_abs, peak, n_clipped,
+    n_quiet, n_frames, n_active, n_segments, lead_silence,
+    tail_silence) — exact int64; undecodable payloads emit the VISIBLE
+    all--1 marker row.  One Arrow mapInPandas pass, no shuffle."""
+    out_schema = (
+        f"{id_col} bigint, n_samples bigint, sample_rate int, "
+        "sum_abs bigint, peak bigint, n_clipped bigint, n_quiet bigint, "
+        "n_frames bigint, n_active bigint, n_segments bigint, "
+        "lead_silence bigint, tail_silence bigint"
+    )
+    fr = int(frame)
+    bar = int(thresh_milli) * 32767 * fr
+    qthr = (32767 * int(quiet_milli)) // 1000
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        marker = {k: -1 for k in (
+            "n_samples", "sample_rate", "sum_abs", "peak", "n_clipped",
+            "n_quiet", "n_frames", "n_active", "n_segments",
+            "lead_silence", "tail_silence")}
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    samples, sr = decode_audio_any(
+                        bytes(b) if b is not None else b"")
+                    a = np.abs(samples.astype(np.int64).reshape(-1))
+                except ValueError:
+                    rows.append({id_col: int(mid), **marker})
+                    continue
+                n = int(a.size)
+                nf = n // fr
+                fa = (a[: nf * fr].reshape(nf, fr).sum(axis=1) * 1000 >= bar
+                      if nf else np.zeros(0, dtype=bool))
+                idx = np.nonzero(fa)[0]
+                if len(idx):
+                    segs = 1 + int((np.diff(idx) > 1).sum())
+                    first, last = int(idx[0]), int(idx[-1])
+                    lead, tail = first, nf - 1 - last
+                    nact = int(len(idx))
+                else:
+                    segs, nact, lead, tail = 0, 0, nf, nf
+                rows.append({
+                    id_col: int(mid),
+                    "n_samples": n,
+                    "sample_rate": int(sr),
+                    "sum_abs": int(a.sum()),
+                    "peak": int(a.max()) if n else 0,
+                    "n_clipped": int((a >= 32767).sum()),
+                    "n_quiet": int((a <= qthr).sum()),
+                    "n_frames": nf,
+                    "n_active": nact,
+                    "n_segments": segs,
+                    "lead_silence": lead,
+                    "tail_silence": tail,
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
+
+
 def audio_fingerprint(df: DataFrame, payload_col: str = "payload", id_col: str = "media_id") -> DataFrame:
     """(id, afp) fingerprints for an audio corpus via one Arrow
     mapInPandas kernel over the from-scratch decoders (WAV + all MPEG-1

@@ -1791,3 +1791,85 @@ def multimodal_image_blur(spark, sf):
 
     media = ids.mapInPandas(render, "media_id bigint, payload binary")
     return image_blur_stats(media)
+
+
+@register(
+    "multimodal_audio_profile",
+    "G5,E2",
+    """
+    WITH sel AS (
+      SELECT doc_id,
+             3 + (doc_id // 10) % 5 AS a,
+             2 + (doc_id // 7) % 3 AS b,
+             CASE WHEN (doc_id // 10) % 2 = 0 THEN 3 ELSE 0 END AS d,
+             CASE WHEN (doc_id // 10) % 6 = 5 THEN 1 ELSE 0 END AS poison
+      FROM documents WHERE doc_id % 10 = 4),
+    f AS (SELECT doc_id, a, b, d, poison, a + b + 4 + d + 2 AS nf FROM sel)
+    SELECT doc_id AS media_id,
+      CAST(CASE WHEN poison = 1 THEN -1 ELSE nf * 512 END AS BIGINT)
+        AS n_samples,
+      CAST(CASE WHEN poison = 1 THEN -1 ELSE 8000 END AS INTEGER)
+        AS sample_rate,
+      CAST(CASE WHEN poison = 1 THEN -1 ELSE (b + d) * 512 * 8000 END
+           AS BIGINT) AS sum_abs,
+      CAST(CASE WHEN poison = 1 THEN -1 ELSE 8000 END AS BIGINT) AS peak,
+      CAST(CASE WHEN poison = 1 THEN -1 ELSE 0 END AS BIGINT) AS n_clipped,
+      CAST(CASE WHEN poison = 1 THEN -1 ELSE (nf - b - d) * 512 END
+           AS BIGINT) AS n_quiet,
+      CAST(CASE WHEN poison = 1 THEN -1 ELSE nf END AS BIGINT) AS n_frames,
+      CAST(CASE WHEN poison = 1 THEN -1 ELSE b + d END AS BIGINT) AS n_active,
+      CAST(CASE WHEN poison = 1 THEN -1 WHEN d > 0 THEN 2 ELSE 1 END
+           AS BIGINT) AS n_segments,
+      CAST(CASE WHEN poison = 1 THEN -1 ELSE a END AS BIGINT) AS lead_silence,
+      CAST(CASE WHEN poison = 1 THEN -1 WHEN d > 0 THEN 2 ELSE 6 END
+           AS BIGINT) AS tail_silence
+    FROM f
+    """,
+    doc="decode-ONCE audio curation profile (r12): every per-clip "
+    "curation signal — the audio_stats loudness/clipping/quiet battery "
+    "AND the VAD segment structure — from one decode pass (the codec "
+    "dominates media cost; the separate ops decode twice; math "
+    "identical line-for-line, pinned).  Same planted span fixture as "
+    "multimodal_audio_vad, so the oracle is the combined closed form "
+    "(sample rate 8000, constant 8000-amplitude tones, silence exact); "
+    "poison class surfaces as the visible all--1 marker row.  Plan: "
+    "one Arrow decode pass, no shuffle; "
+    "operators/multimodal.py audio_curation_profile",
+)
+def multimodal_audio_profile(spark, sf):
+    from esgopeta_spark.operators.multimodal import audio_curation_profile
+    from esgopeta_spark.session import ensure_min_partitions
+
+    ids = T(spark, sf, "documents").filter(F.col("doc_id") % 10 == 4).select("doc_id")
+    ids = ensure_min_partitions(ids)
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from esgopeta_spark.operators import codecs
+
+        FR = 512
+
+        def clip(did):
+            if (did // 10) % 6 == 5:
+                return b"not audio at all"
+            a = 3 + (did // 10) % 5
+            b = 2 + (did // 7) % 3
+            d = 3 if (did // 10) % 2 == 0 else 0
+            spans = [(a, 0), (b, 8000), (4, 0), (d, 8000), (2, 0)]
+            s = np.concatenate(
+                [np.full(n * FR, amp, dtype=np.int16) for n, amp in spans]
+            )
+            return codecs.encode_wav(s, 8000)
+
+        for pdf in batches:
+            ids_, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                payloads.append(clip(did))
+                ids_.append(did)
+            yield pd.DataFrame({"media_id": pd.Series(ids_, dtype="int64"),
+                                "payload": payloads})
+
+    media = ids.mapInPandas(render, "media_id bigint, payload binary")
+    return audio_curation_profile(media)

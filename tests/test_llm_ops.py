@@ -3901,3 +3901,49 @@ def test_pack_mask_spans_semantics(spark):
     assert (t0["n_docs"], t0["tokens_used"], t0["max_doc_tokens"],
             t0["n_straddle"], t0["pad_tokens"], t0["waste_milli"]) == \
         (2, 2, 2, 0, 8, 800)
+
+
+def test_audio_curation_profile_equals_primitives(spark):
+    """The fused decode-once profile must equal audio_stats and
+    audio_vad_segments column-for-column (identical math, one decode),
+    including the poison marker row."""
+    import numpy as np
+
+    from esgopeta_spark.operators import codecs
+    from esgopeta_spark.operators.multimodal import (
+        audio_curation_profile,
+        audio_stats,
+        audio_vad_segments,
+    )
+
+    FR = 512
+    rng = np.random.default_rng(0xAC)
+
+    def wav(spans):
+        s = np.concatenate(
+            [np.full(n * FR, amp, dtype=np.int16) for n, amp in spans])
+        return codecs.encode_wav(s, 8000)
+
+    rows = [
+        (0, wav([(2, 0), (3, 8000), (1, 0), (2, 8000), (4, 0)])),
+        (1, wav([(5, 0)])),
+        (2, codecs.encode_wav(
+            rng.integers(-30000, 30000, 7 * FR).astype(np.int16), 8000)),
+        (3, b"poison"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    prof = {r["media_id"]: r for r in audio_curation_profile(df).collect()}
+    stats = {r["media_id"]: r for r in audio_stats(df).collect()}
+    vad = {r["media_id"]: r for r in audio_vad_segments(df).collect()}
+    for mid in (0, 1, 2):
+        p, s, v = prof[mid], stats[mid], vad[mid]
+        for c in ("n_samples", "sample_rate", "sum_abs", "peak",
+                  "n_clipped", "n_quiet"):
+            assert p[c] == s[c], (mid, c, p[c], s[c])
+        for c in ("n_frames", "n_active", "n_segments",
+                  "lead_silence", "tail_silence"):
+            assert p[c] == v[c], (mid, c, p[c], v[c])
+    assert prof[3]["n_samples"] == -1 and prof[3]["n_segments"] == -1
+    # audio_stats SKIPS poison (its documented quarantine); the fused
+    # profile keeps the visible marker row
+    assert 3 not in stats and vad[3]["n_frames"] == -1
