@@ -125,3 +125,39 @@ def test_nb_model_tables_are_bounded(spark):
     assert cls.schema["denom_milli"].dataType.typeName() == "long"
     # priors milli-log2 of class fractions: both negative (each class < D)
     assert all(r["prior_milli"] < 0 for r in c)
+
+
+def test_nb_margin_separable_vocab_is_confident(spark):
+    """Margin pins (r12): a held-out doc with a separable vocabulary
+    scores a LARGE top1-top2 margin; an empty doc's scores collapse to
+    the priors (margin = prior gap, prediction = the prior argmax)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from esgopeta_spark.operators.classify import nb_scores, nb_train
+
+    train = spark.createDataFrame(
+        [(i, "aa", "apfel brot kase wurst") for i in range(8)]
+        + [(100 + i, "bb", "apple bread cheese ham") for i in range(6)],
+        "doc_id long, lang string, text string",
+    )
+    test = spark.createDataFrame(
+        [(500, "apfel apfel brot"), (501, "apple cheese ham bread"),
+         (502, "")],
+        "doc_id long, text string",
+    )
+    model, cls = nb_train(train)
+    sc = nb_scores(test, model, cls)
+    w = Window.partitionBy("_id").orderBy(
+        F.col("score_milli").desc(), F.col("label").asc())
+    rows = sc.withColumn("rn", F.row_number().over(w)).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["_id"], {})[r["rn"]] = r
+    assert by[500][1]["label"] == "aa" and by[501][1]["label"] == "bb"
+    m500 = by[500][1]["score_milli"] - by[500][2]["score_milli"]
+    m502 = by[502][1]["score_milli"] - by[502][2]["score_milli"]
+    assert m500 > 5000, m500          # separable vocab: decisive
+    assert by[502][1]["label"] == "aa"  # prior argmax (8 > 6 train docs)
+    prior_gap = {r["label"]: r["prior_milli"] for r in cls.collect()}
+    assert m502 == prior_gap["aa"] - prior_gap["bb"]
