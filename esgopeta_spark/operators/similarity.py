@@ -691,6 +691,35 @@ def semantic_dedup(
     )
 
 
+def embedding_alignment_gate(
+    pairs: DataFrame,
+    vec_a: str,
+    vec_b: str,
+    dim: int = 64,
+    threshold_micro: int = 900_000,
+) -> DataFrame:
+    """Cross-modal ALIGNMENT gate (r12 — the CLIP-score-shaped filter of
+    LAION-style multimodal curation: a caption-image pair survives only
+    when the two embeddings agree): appends the exact integer micro
+    cosine between the pair's two vectors and the keep verdict.  The
+    dot/norm folds are the house sequential-IEEE unrolled expressions
+    (bit-equal to DuckDB's list_dot_product fold — the proven
+    cross-engine idiom), cosine floored to micro units.
+
+    Takes an ALREADY-PAIRED relation — upstream pairing is the join
+    (url-equi from caption_media_pairs, or any candidate generator);
+    this stage is one codegen projection, no shuffle of its own."""
+    a, b = as_double(F.col(vec_a)), as_double(F.col(vec_b))
+    cs = cosine_prenormed(
+        a, b, norm_unrolled(a, dim), norm_unrolled(b, dim), dim
+    )
+    return pairs.withColumn(
+        "cos_micro", F.floor(cs * 1000000.0 + 0.5).cast("bigint")
+    ).withColumn(
+        "keep", (F.col("cos_micro") >= F.lit(int(threshold_micro))).cast("int")
+    )
+
+
 def embedding_dup_pairs_exact(
     df: DataFrame,
     threshold: float = 0.95,

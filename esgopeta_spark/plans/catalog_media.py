@@ -1873,3 +1873,56 @@ def multimodal_audio_profile(spark, sf):
 
     media = ids.mapInPandas(render, "media_id bigint, payload binary")
     return audio_curation_profile(media)
+
+
+@register(
+    "multimodal_alignment_gate",
+    "G5,G3",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS cap_id,
+             CASE WHEN a.vec_id % 3 = 0 THEN a.vec_id
+                  ELSE a.vec_id + 1 END AS img_id,
+             a.v AS va
+      FROM e a),
+    j AS (
+      SELECT p.cap_id, p.img_id,
+             list_dot_product(p.va, b.v)
+               / (sqrt(list_dot_product(p.va, p.va))
+                  * sqrt(list_dot_product(b.v, b.v))) AS cs
+      FROM p JOIN e b ON p.img_id = b.vec_id)
+    SELECT cap_id, img_id,
+           CAST(floor(cs * 1000000 + 0.5) AS BIGINT) AS cos_micro,
+           CAST(CASE WHEN floor(cs * 1000000 + 0.5) >= 900000
+                     THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM j
+    """,
+    doc="cross-modal alignment gate (r12 — the CLIP-score-shaped "
+    "filter of LAION-style curation: a caption-image pair survives "
+    "only when the two embeddings agree): exact integer micro cosine "
+    "per pair + keep verdict at 0.9.  Fixture pairs every vector with "
+    "itself (vec_id%3==0 — the aligned class, cos_micro exactly 1e6) "
+    "or its neighbor (the misaligned class, near-zero on random "
+    "vectors); ONE vec_id-equi join builds the pairs, the gate itself "
+    "is a codegen projection (sequential-IEEE unrolled dot — the "
+    "proven cross-engine idiom).  "
+    "operators/similarity.py embedding_alignment_gate",
+)
+def multimodal_alignment_gate(spark, sf):
+    from esgopeta_spark.operators.similarity import embedding_alignment_gate
+
+    e = T(spark, sf, "embeddings").select("vec_id", "embedding")
+    vid = F.col("vec_id")
+    p = e.select(
+        vid.alias("cap_id"),
+        F.when(vid % 3 == 0, vid).otherwise(vid + 1).alias("img_id"),
+        F.col("embedding").alias("cap_vec"),
+    )
+    pairs = p.join(
+        e.select(vid.alias("img_id"), F.col("embedding").alias("img_vec")),
+        "img_id",
+    )
+    return embedding_alignment_gate(
+        pairs, "cap_vec", "img_vec", dim=64, threshold_micro=900_000
+    ).select("cap_id", "img_id", "cos_micro", "keep")

@@ -3947,3 +3947,23 @@ def test_audio_curation_profile_equals_primitives(spark):
     # audio_stats SKIPS poison (its documented quarantine); the fused
     # profile keeps the visible marker row
     assert 3 not in stats and vad[3]["n_frames"] == -1
+
+
+def test_alignment_gate_semantics(spark):
+    """Alignment-gate pins (r12): identical vectors read cos_micro
+    exactly 1e6 and keep=1; orthogonal vectors exactly 0 and keep=0;
+    anti-parallel -1e6."""
+    from esgopeta_spark.operators.similarity import embedding_alignment_gate
+
+    dim = 4
+    v1 = [1.0, 0.0, 0.0, 0.0]
+    v2 = [0.0, 1.0, 0.0, 0.0]
+    rows = [(0, v1, v1), (1, v1, v2), (2, v1, [-x for x in v1])]
+    df = spark.createDataFrame(
+        rows, "pair_id long, cap_vec array<double>, img_vec array<double>")
+    got = {r["pair_id"]: (r["cos_micro"], r["keep"])
+           for r in embedding_alignment_gate(df, "cap_vec", "img_vec",
+                                             dim=dim).collect()}
+    assert got[0] == (1000000, 1)
+    assert got[1] == (0, 0)
+    assert got[2] == (-1000000, 0)
