@@ -3967,3 +3967,51 @@ def test_alignment_gate_semantics(spark):
     assert got[0] == (1000000, 1)
     assert got[1] == (0, 0)
     assert got[2] == (-1000000, 0)
+
+
+def test_length_balanced_sample_flattens(spark):
+    """Length-balance pins (r12): exact-ntile decomposition matches the
+    plain global ntile bit-for-bit; over-represented length buckets
+    downsample toward the uniform share while starved buckets keep
+    everything; the draw is partition-invariant."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from esgopeta_spark.operators.selection import length_balanced_sample
+
+    # skewed corpus: 80% short docs, 20% spread long
+    rows = [(i, "w " * (3 if i % 10 < 8 else 3 + i % 97)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = length_balanced_sample(df, n_buckets=5).collect()
+    got_bucket = {r["doc_id"]: r["bucket"] for r in out}
+    # reference: the global-window ntile (fine at test scale)
+    from esgopeta_spark.operators.text import regex_token_count
+
+    ref = df.select(
+        "doc_id", regex_token_count(F.col("text")).cast("bigint").alias("n")
+    ).withColumn(
+        "b", F.ntile(5).over(Window.orderBy(F.col("n").asc(),
+                                            F.col("doc_id").asc()))
+    ).collect()
+    assert {r["doc_id"]: r["b"] for r in ref} == got_bucket
+    by_bucket: dict = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for b, rs in by_bucket.items():
+        ppm = {r["keep_ppm"] for r in rs}
+        assert len(ppm) == 1  # one rate per bucket
+        # uniform share of 5 equal ntile buckets = everything kept
+        assert ppm == {1000000}
+        assert all(r["kept"] == 1 for r in rs)
+    # a genuinely skewed BUCKETING: duplicate-length mass forces the
+    # rate below 1e6 when bucket sizes are unequal via a 3-bucket split
+    # of 10 docs (sizes 4,3,3)
+    small = spark.createDataFrame(
+        [(i, "w " * (i + 1)) for i in range(10)], "doc_id long, text string")
+    o2 = length_balanced_sample(small, n_buckets=3).collect()
+    sizes = {}
+    for r in o2:
+        sizes[r["bucket"]] = sizes.get(r["bucket"], 0) + 1
+    assert sorted(sizes.values(), reverse=True) == [4, 3, 3]
+    big = [r for r in o2 if sizes[r["bucket"]] == 4]
+    assert {r["keep_ppm"] for r in big} == {(10 * 1000000) // (3 * 4)}
