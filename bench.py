@@ -357,14 +357,39 @@ def main() -> None:
         ext_map[name] = round(ext, 2)
         external_core_s += ext
 
+    line, detail = build_records(
+        timings, ext_map, midrun_retries, dirty_queries, external_core_s,
+        sf, load_start, canary, start_gate_timeout,
+    )
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    with open(sidecar, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(line)
+    spark.stop()
+
+
+def build_records(
+    timings: dict,
+    ext_map: dict,
+    midrun_retries: list,
+    dirty_queries: list,
+    external_core_s: float,
+    sf: float,
+    load_start: float,
+    canary: float,
+    start_gate_timeout: bool,
+) -> tuple[str, dict]:
+    """(compact headline line, full sidecar detail).  The headline is
+    GUARANTEED under HEADLINE_BUDGET_CHARS — the queries map sheds to
+    the sidecar rather than the line truncating mid-JSON — and the
+    contamination verdict keys on the START-GATE evidence (canary
+    drift past ~2x the 1.5 ms idle norm, or gate timeout; r12 verdict
+    #2 — per-query ext CPU annotates via dirty_n + the sidecar lists
+    rather than solely deciding).  Unit-pinned in
+    tests/test_bench_record.py."""
     total = round(sum(timings.values()), 3)
-    # Contamination verdict (r12, verdict #2): the label keys on the
-    # START-GATE evidence — canary drift past ~2x the measured 1.5 ms
-    # idle norm, or the gate timing out entirely (the r11 driver run
-    # read canary 50.9 ms + gate timeout yet labeled clean, while an
-    # idle rerun labeled dirty on per-query ext residue).  Per-query
-    # external CPU now ANNOTATES (dirty_n here, full lists + ext map in
-    # the sidecar) rather than solely deciding.
     contaminated = start_gate_timeout or canary > 2 * CANARY_IDLE_NORM_MS
     headline = {
         "metric": "headline_queries_total",
@@ -386,20 +411,12 @@ def main() -> None:
         dirty_queries=dirty_queries,
         external_core_s=round(external_core_s, 2),
     )
-    sidecar = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
-    )
-    with open(sidecar, "w") as f:
-        json.dump(detail, f, indent=1)
     line = json.dumps(headline, separators=(",", ":"))
     if len(line) > HEADLINE_BUDGET_CHARS:
-        # never emit a line the driver's tail capture would cut mid-JSON:
-        # shed the queries map (it lives in the sidecar regardless)
         headline.pop("queries")
         headline["queries_in"] = "bench_detail.json"
         line = json.dumps(headline, separators=(",", ":"))
-    print(line)
-    spark.stop()
+    return line, detail
 
 
 if __name__ == "__main__":
