@@ -3050,20 +3050,31 @@ _XROBOTS_DIRECTIVES = {
     "notranslate", "noimageindex", "all", "index", "follow",
 }
 
+# Directives that legitimately take a ':'-separated value (RFC-less but
+# documented by every major engine).  A leading token from this set is a
+# directive, NOT an agent scope — 'max-snippet: 20, noindex' must keep
+# its noindex (r12 ADVICE: the old code dropped the whole header).
+_XROBOTS_VALUE_DIRECTIVES = {
+    "max-snippet", "max-image-preview", "max-video-preview",
+    "unavailable_after",
+}
+
 
 def parse_xrobots(value: str) -> tuple[int, int]:
     """(noindex, nofollow) from one ``X-Robots-Tag`` header value — the
     HEADER-level robots directive (how non-HTML documents, PDFs above
     all, get noindexed; the meta tag can't ride a PDF).  Comma-token
     list, case-insensitive, ``none`` = both; an AGENT-SCOPED value
-    (``googlebot: noindex`` — prefix before ':' is not a directive) is
-    for someone else and is ignored, exactly like a scoped meta name;
-    ``unavailable_after: <date>`` parses as its own (ignored) token.
-    Total on any str."""
+    (``googlebot: noindex`` — prefix before ':' is neither a flag nor a
+    value-taking directive) is for someone else and is ignored, exactly
+    like a scoped meta name; value-taking directives
+    (``max-snippet: 20``, ``unavailable_after: <date>``) parse as their
+    own (ignored) tokens without scoping the rest of the list.  Total
+    on any str."""
     v = (value or "").strip()
     head = v.split(":", 1)[0].strip().lower()
-    if ":" in v and head not in _XROBOTS_DIRECTIVES and "," not in head \
-            and head != "unavailable_after":
+    if ":" in v and head not in _XROBOTS_DIRECTIVES \
+            and head not in _XROBOTS_VALUE_DIRECTIVES and "," not in head:
         return 0, 0  # agent-scoped: not addressed to us
     noindex = nofollow = 0
     for tok in v.lower().split(","):
@@ -3138,8 +3149,10 @@ def synth_xrobots_warc(
     out_col: str = "warc",
 ) -> DataFrame:
     """Encoder-twin fixture for the header/meta robots gate: header
-    class id%4 (none / noindex / 'nofollow, noarchive' / agent-scoped
-    'googlebot: noindex' which MUST be ignored), meta class (id//4)%3
+    class id%5 (none / noindex / 'nofollow, noarchive' / agent-scoped
+    'googlebot: noindex' which MUST be ignored / 'max-snippet: -1,
+    noindex' whose value-taking directive must NOT scope away the
+    noindex — the r12 ADVICE regression class), meta class (id//5)%3
     (none / noindex / 'none' = both), id%23==1 ships poison."""
 
     @F.pandas_udf("binary")
@@ -3148,10 +3161,11 @@ def synth_xrobots_warc(
             d = int(d)
             if d % 23 == 1:
                 return b"not a warc"
-            hc, mc = d % 4, (d // 4) % 3
+            hc, mc = d % 5, (d // 5) % 3
             hdr = {1: 'X-Robots-Tag: noindex\r\n',
                    2: 'X-Robots-Tag: nofollow, noarchive\r\n',
-                   3: 'X-Robots-Tag: googlebot: noindex\r\n'}.get(hc, "")
+                   3: 'X-Robots-Tag: googlebot: noindex\r\n',
+                   4: 'X-Robots-Tag: max-snippet: -1, noindex\r\n'}.get(hc, "")
             meta = {1: '<meta name="robots" content="noindex">',
                     2: "<meta name='robots' content='none'>"}.get(mc, "")
             body = (f"<!DOCTYPE html><html><head>{meta}</head>"

@@ -2887,14 +2887,14 @@ def text_fix_mojibake(spark, sf):
     "G4,E1",
     """
     WITH c AS (
-      SELECT doc_id, doc_id % 4 AS hc, (doc_id // 4) % 3 AS mc,
+      SELECT doc_id, doc_id % 5 AS hc, (doc_id // 5) % 3 AS mc,
              CASE WHEN doc_id % 23 = 1 THEN 1 ELSE 0 END AS poison
       FROM documents)
     SELECT doc_id,
       CASE WHEN poison = 1 THEN 'error'
            ELSE 'https://site' || (doc_id % 40) || '.example.com/articles/'
                 || doc_id || '?page=' || (doc_id % 7) END AS uri,
-      CAST(CASE WHEN poison = 1 THEN -1 WHEN hc = 1 THEN 1 ELSE 0 END
+      CAST(CASE WHEN poison = 1 THEN -1 WHEN hc IN (1, 4) THEN 1 ELSE 0 END
            AS INTEGER) AS hdr_noindex,
       CAST(CASE WHEN poison = 1 THEN -1 WHEN hc = 2 THEN 1 ELSE 0 END
            AS INTEGER) AS hdr_nofollow,
@@ -2903,7 +2903,7 @@ def text_fix_mojibake(spark, sf):
       CAST(CASE WHEN poison = 1 THEN -1 WHEN mc = 2 THEN 1 ELSE 0 END
            AS INTEGER) AS meta_nofollow,
       CAST(CASE WHEN poison = 1 THEN -1
-                WHEN hc = 1 OR mc IN (1, 2) THEN 1 ELSE 0 END
+                WHEN hc IN (1, 4) OR mc IN (1, 2) THEN 1 ELSE 0 END
            AS INTEGER) AS noindex,
       CAST(CASE WHEN poison = 1 THEN -1
                 WHEN hc = 2 OR mc = 2 THEN 1 ELSE 0 END
@@ -2916,9 +2916,11 @@ def text_fix_mojibake(spark, sf):
     "PDFs above all, which no meta tag can ride): unwrap the HTTP "
     "message from the WARC record, parse the X-Robots-Tag header "
     "(comma tokens, 'none' = both, AGENT-SCOPED values ignored — the "
-    "googlebot-scoped class must read 0), read <meta name=robots> "
+    "googlebot-scoped class must read 0 — but value-taking directives "
+    "like 'max-snippet: -1' must NOT scope away a trailing noindex, "
+    "the r12 ADVICE regression class), read <meta name=robots> "
     "from the charset-sniffed html body, union most-restrictive.  "
-    "Fixture crosses 4 header classes x 3 meta classes; id%23==1 "
+    "Fixture crosses 5 header classes x 3 meta classes; id%23==1 "
     "ships poison and must surface as the visible all--1 marker row.  "
     "Plan: one Arrow kernel over one scan, shuffle-free; "
     "operators/web.py parse_xrobots/warc_robots_directives",

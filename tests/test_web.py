@@ -1859,6 +1859,15 @@ def test_parse_xrobots_matrix():
     assert parse_xrobots("unavailable_after: 25 Jun 2030 15:00:00 PST") == (0, 0)
     assert parse_xrobots("noindex, unavailable_after: 25 Jun 2030") == (1, 0)
     assert parse_xrobots(":::,,,") == (0, 0)
+    # r13 (r12 ADVICE): a value-taking directive before ':' is NOT an
+    # agent scope — the trailing noindex/nofollow must register
+    assert parse_xrobots("max-snippet: -1, noindex") == (1, 0)
+    assert parse_xrobots("max-snippet: 20, noindex") == (1, 0)
+    assert parse_xrobots("max-image-preview: large, nofollow") == (0, 1)
+    assert parse_xrobots("MAX-VIDEO-PREVIEW: 0, none") == (1, 1)
+    assert parse_xrobots("max-snippet: 20") == (0, 0)  # value alone: no flags
+    # an agent scope wrapping a value-taking directive is still scoped
+    assert parse_xrobots("googlebot: max-snippet: 20, noindex") == (0, 0)
 
 
 def test_warc_robots_directives_header_beats_missing_meta(spark):
