@@ -9,17 +9,27 @@ VISIBLE 'miss' marker row, never a silent drop.
 Convergence under ANY arrival order (the streaming_line_dedup
 discipline): a store install arriving AFTER a 304 already emitted as
 'miss' retro-corrects — the pending doc re-emits as 'cache' with a
-higher ``upd_seq``.  Update-mode semantics: the LAST emission per
-(doc_id, uri) is the truth, and that final answer is BIT-EQUAL to the
-batch ``conditional_fetch_merge`` on the same (warc, store) inputs —
-pinned in tests/test_streaming.py with installs split across
-micro-batches behind the 304s they resolve.
+higher ``upd_seq`` — and an install that CHANGES the stored md5 after
+304s already resolved as 'cache' re-emits those verdicts against the
+new stored copy (r13, r12 ADVICE: last-install-wins without
+re-emission silently diverged from a batch run against the updated
+store).  Install semantics: across micro-batches the last install
+wins (chronology); duplicate installs WITHIN one micro-batch reduce
+deterministically by max(md5) — row order inside a batch is not
+deterministic, the same reason the incremental-dedup twin reduces
+duplicate installs by min().  Update-mode semantics: the LAST
+emission per (doc_id, uri) is the truth, and that final answer is
+BIT-EQUAL to the batch ``conditional_fetch_merge`` against the
+final store — pinned in tests/test_streaming.py with installs split
+across micro-batches behind the 304s they resolve, including the
+md5-changing re-install case.
 
 The parse projection is SHARED with batch (``web.warc_fetch_records``,
 a stateless Arrow kernel — share, don't mirror); only the url-equi
 left join becomes the stateful handler.  State per url is O(1) + the
 pending-miss doc list (bounded by the url's unresolved 304s; installs
-flush it).
+flush it) + the cache-resolved doc list (bounded by the url's 304
+docs — the retro-correction set a changed re-install must re-emit).
 
 Scale shape: one shuffle keyed by uri (the state-store partitioning —
 the same key the batch join shuffles on); emissions O(records +
@@ -41,6 +51,10 @@ CF_STATE_SCHEMA = StructType(
     [
         StructField("md5", StringType()),      # the store's entry ('' = none)
         StructField("pending", StringType()),  # json [doc_id, ...] missed 304s
+        StructField("resolved", StringType()),  # json [doc_id, ...] cache-
+        # resolved 304s — kept so a LATER install with a different md5
+        # retro-corrects their verdicts too (r12 ADVICE: last-install-wins
+        # without re-emission diverged from batch against the updated store)
         StructField("seq", LongType()),
     ]
 )
@@ -101,29 +115,48 @@ def _make_cf_handler():
             st = gstate.get
             md5 = st[0] or ""
             pending = _json.loads(st[1])
-            seq = int(st[2])
+            resolved = _json.loads(st[2])
+            seq = int(st[3])
         else:
-            md5, pending, seq = "", [], 0
+            md5, pending, resolved, seq = "", [], [], 0
         seq += 1
         rows = []
         # installs first: within one micro-batch that mirrors the batch
-        # semantics (the store is given upfront there)
-        for m in installs:
-            md5 = m
-        if installs and md5 and pending:
-            # retro-correction: earlier 'miss' verdicts flip to 'cache'
-            for d in pending:
-                rows.append({
-                    "doc_id": d, "uri": uri, "status": 304,
-                    "fetch_source": "cache", "page_md5": md5,
-                    "upd_seq": seq,
-                })
-            pending = []
+        # semantics (the store is given upfront there).  Across batches
+        # the LAST install wins; within one micro-batch row order is not
+        # deterministic, so duplicate same-batch installs reduce by max()
+        # (the incremental-dedup twin's min() discipline, same reason).
+        if installs:
+            new_md5 = max(installs)
+            if new_md5 != md5:
+                md5 = new_md5
+                if md5 and resolved:
+                    # retro-correction: 304s already resolved as 'cache'
+                    # against the PREVIOUS install re-emit with the new
+                    # stored copy (r12 ADVICE — batch runs against the
+                    # updated store, so the stream must converge to it)
+                    for d in resolved:
+                        rows.append({
+                            "doc_id": d, "uri": uri, "status": 304,
+                            "fetch_source": "cache", "page_md5": md5,
+                            "upd_seq": seq,
+                        })
+            if md5 and pending:
+                # retro-correction: earlier 'miss' verdicts flip to 'cache'
+                for d in pending:
+                    rows.append({
+                        "doc_id": d, "uri": uri, "status": 304,
+                        "fetch_source": "cache", "page_md5": md5,
+                        "upd_seq": seq,
+                    })
+                    resolved.append(d)
+                pending = []
         for d, status, bmd5 in sorted(fetches):
             if status == 200:
                 src, pm = "network", bmd5
             elif status == 304 and md5:
                 src, pm = "cache", md5
+                resolved.append(d)
             elif status == 304:
                 src, pm = "miss", ""
                 pending.append(d)
@@ -133,7 +166,7 @@ def _make_cf_handler():
                 "doc_id": d, "uri": uri, "status": status,
                 "fetch_source": src, "page_md5": pm, "upd_seq": seq,
             })
-        gstate.update((md5, _json.dumps(pending), seq))
+        gstate.update((md5, _json.dumps(pending), _json.dumps(resolved), seq))
         if rows:
             yield _pd.DataFrame(rows)
 

@@ -1748,6 +1748,76 @@ def test_streaming_conditional_fetch_matches_batch(spark, tmp_path):
             assert flips, "expected miss->cache retro-corrections"
 
 
+def test_streaming_conditional_fetch_reinstall_reemits(spark, tmp_path):
+    """r13 (r12 ADVICE): an install that CHANGES the stored md5 AFTER
+    304s already resolved as 'cache' must re-emit those verdicts with
+    the new stored copy — the final max-upd_seq answers equal the
+    batch merge against the FINAL store, not the first install."""
+    from esgopeta_spark.operators.web import (
+        conditional_fetch_merge,
+        synth_conditional_warc,
+        warc_fetch_records,
+    )
+    from esgopeta_spark.streaming.crawl import (
+        conditional_fetch_events,
+        streaming_conditional_fetch,
+    )
+
+    docs = spark.createDataFrame(
+        [(d, f"https://h{d % 5}.org/p{d}", f"page body {d}") for d in range(30)],
+        "doc_id long, uri string, page string",
+    )
+    warc = synth_conditional_warc(docs).drop("page")
+    store_v1 = docs.selectExpr(
+        "uri as url", "md5(concat('v1:', doc_id)) as page_md5")
+    store_v2 = docs.selectExpr(
+        "uri as url", "md5(concat('v2:', doc_id)) as page_md5")
+    # batch truth: the UPDATED store (v2 superseded v1)
+    want = {
+        (r["doc_id"], r["uri"]): (r["status"], r["fetch_source"], r["page_md5"])
+        for r in conditional_fetch_merge(warc, store_v2).collect()
+    }
+    ev_schema = "kind int, doc_id long, uri string, status int, body_md5 string"
+    empty_store = store_v1.limit(0)
+    fetch_ev = [tuple(r) for r in conditional_fetch_events(
+        warc_fetch_records(warc), empty_store).collect()]
+    v1_ev = [tuple(r) for r in conditional_fetch_events(
+        warc_fetch_records(warc.limit(0)), store_v1).collect()]
+    v2_ev = [tuple(r) for r in conditional_fetch_events(
+        warc_fetch_records(warc.limit(0)), store_v2).collect()]
+    d = str(tmp_path / "cf_reinstall")
+    os.makedirs(d)
+    # v1 installs, then the 304s resolve as cache against v1, THEN the
+    # changed v2 install arrives — the divergence window the r12 code hit
+    for i, batch in enumerate([v1_ev, fetch_ev, v2_ev]):
+        spark.createDataFrame(batch, ev_schema).coalesce(1).write.parquet(
+            f"{d}/b{i}")
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    run_stream_to_memory(
+        streaming_conditional_fetch(stream), "cfreinstall", mode="update")
+    emitted = spark.sql("select * from cfreinstall").collect()
+    latest: dict = {}
+    for r in emitted:
+        k = (r["doc_id"], r["uri"])
+        if k not in latest or r["upd_seq"] > latest[k]["upd_seq"]:
+            latest[k] = r
+    got = {k: (r["status"], r["fetch_source"], r["page_md5"])
+           for k, r in latest.items()}
+    assert got == want
+    # the re-emission really fired: some cache verdict exists at BOTH md5s
+    by_doc: dict = {}
+    for r in emitted:
+        if r["fetch_source"] == "cache":
+            by_doc.setdefault((r["doc_id"], r["uri"]), set()).add(r["page_md5"])
+    assert any(len(v) == 2 for v in by_doc.values()), \
+        "expected cache verdicts re-emitted under the changed install"
+
+
 def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
     """r12: the nightly-loop core as a live stream.  The keeper store is
     keyed state per text hash; verdicts re-emit on flips (late store
