@@ -7,8 +7,9 @@ the capture when the per-query ext_core_s map was added, so the round's
 official perf record was unparseable):
   {"metric": "headline_queries_total", "value": <sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <float>, "loadavg_1m": <float>,
-   "cpu_canary_ms": <float>, "contaminated": <bool>,
-   "start_gate_timeout": <bool>, "dirty_n": <int>, "repeats": <int>}
+   "cpu_canary_ms": <float>, "mem_bw_ms": <float>,
+   "contaminated": <bool>, "start_gate_timeout": <bool>,
+   "dirty_n": <int>, "repeats": <int>}
 If even the compact form would exceed the budget the queries map moves
 wholesale to the sidecar and the headline carries
 "queries_in": "bench_detail.json" instead — the headline NEVER truncates
@@ -17,12 +18,15 @@ dirty_queries, external_core_s, and the same queries map) is always
 written to bench_detail.json beside this script.
 
 A run does not START until the box is idle (loadavg-1m <= 0.6 AND
-loadavg-5m <= 0.8 AND cpu canary <= 2.5 ms — measured-idle thresholds),
-polling up to 10 minutes; if the box never settles the run proceeds but
-self-labels "start_gate_timeout" (r7 VERDICT: the gate used to be a
-caption, and a loaded-box recording manufactured a phantom 9%
-regression; r8: the 1m-only gate let a 5m/15m load tail inflate 12
-queries ~1.2x).
+loadavg-5m <= 0.8 AND cpu canary <= 2.5 ms AND memory-bandwidth canary
+<= 20 ms — measured-idle thresholds), polling up to 10 minutes; if the
+box never settles the run proceeds but self-labels
+"start_gate_timeout" (r7 VERDICT: the gate used to be a caption, and a
+loaded-box recording manufactured a phantom 9% regression; r8: the
+1m-only gate let a 5m/15m load tail inflate 12 queries ~1.2x; r13, r12
+verdict #2: the matmul canary is blind to memory-bandwidth/steal
+contention — identical code ran 15-20% slower at MATCHED canary — so a
+100 MB streaming-memcpy probe joins the gate and the record).
 
 r11 (verdict #2 — two consecutive recorded rounds self-labeled
 contaminated under sustained neighbor noise): per-query BOUNDED
@@ -179,6 +183,27 @@ def cpu_canary_ms() -> float:
     return round(best * 1000, 2)
 
 
+def mem_bw_canary_ms() -> float:
+    """Best-of-3 wall time of a 100 MB streaming memcpy (r13, r12
+    verdict #2): the BLAS-matmul canary is compute-bound and BLIND to
+    memory-bandwidth / steal contention — r12's host window ran
+    identical code 15-20% slower at MATCHED matmul canary.  A large
+    copy saturates the memory subsystem instead, so the two probes
+    together separate the contention modes.  One warm pass first-touches
+    the destination so page faults don't pollute the timing."""
+    import numpy as np
+
+    src = np.ones(100 * 1024 * 1024 // 8)
+    dst = np.empty_like(src)
+    np.copyto(dst, src)  # warm: fault in dst pages outside the timing
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.copyto(dst, src)
+        best = min(best, time.perf_counter() - t0)
+    return round(best * 1000, 2)
+
+
 # Idle-box gate (r7 VERDICT: BENCH_r07 was recorded at loadavg 2.97 /
 # canary 3.6 ms and manufactured a phantom 9% regression).  A timing run
 # only starts once the box looks idle; after MAX_WAIT_S we proceed anyway
@@ -200,32 +225,49 @@ CANARY_MAX_MS = 2.5
 LOADAVG_MAX = 0.6
 LOADAVG5_MAX = 0.8
 # the measured idle norm for the start canary; the contamination label
-# trips at 2x this (r12 verdict #2)
+# trips at CONTAM_DRIFT x this (r13: lowered from 2x — at 2x the clause
+# was DEAD code, the 2.5 ms start gate could never admit a 3.0 ms canary)
 CANARY_IDLE_NORM_MS = 1.5
+# r13 (r12 verdict #2): idle norm + start gate for the memory-bandwidth
+# probe — the contention mode the matmul canary can't see.  Norm measured
+# on this box (best-of-3 of a 100 MB copy, repeated idle sessions).
+MEMBW_IDLE_NORM_MS = 12.0
+MEMBW_MAX_MS = 20.0
+# either probe drifting past ~1.3x its idle norm labels the run
+CONTAM_DRIFT = 1.3
+# 2+ queries with NO clean attempt over ACCEPT_ROUNDS x REPEATS tries is
+# sustained mid-run contention, not one unlucky stall (r12 ADVICE: a
+# dirty_n=4 / 16 external core-s run self-labeled clean)
+DIRTY_N_CONTAM = 2
 # the driver's stdout tail capture is 2000 chars; keep margin
 HEADLINE_BUDGET_CHARS = 1900
 MAX_WAIT_S = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT_S", "600"))
 WAIT_STEP_S = 20
 
 
-def wait_for_idle_box(max_wait_s: int = MAX_WAIT_S) -> tuple[float, float, bool]:
-    """Poll until loadavg-1m, loadavg-5m and the cpu canary are under the
-    gates.
+def wait_for_idle_box(
+    max_wait_s: int = MAX_WAIT_S,
+) -> tuple[float, float, float, bool]:
+    """Poll until loadavg-1m, loadavg-5m, the cpu canary AND the
+    memory-bandwidth canary are under the gates (r13: the bandwidth
+    probe joins the gate — r12's noise mode passed the matmul gate).
 
-    Returns (loadavg_1m, canary_ms, contaminated) from the LAST poll — the
-    values that actually preceded the timed run.
+    Returns (loadavg_1m, canary_ms, mem_bw_ms, contaminated) from the
+    LAST poll — the values that actually preceded the timed run.
     """
     deadline = time.monotonic() + max_wait_s
     while True:
         load, load5 = os.getloadavg()[:2]
         canary = cpu_canary_ms()
-        if canary <= CANARY_MAX_MS and load <= LOADAVG_MAX and load5 <= LOADAVG5_MAX:
-            return load, canary, False
+        mem_bw = mem_bw_canary_ms()
+        if (canary <= CANARY_MAX_MS and mem_bw <= MEMBW_MAX_MS
+                and load <= LOADAVG_MAX and load5 <= LOADAVG5_MAX):
+            return load, canary, mem_bw, False
         if time.monotonic() >= deadline:
-            return load, canary, True
+            return load, canary, mem_bw, True
         print(
             f"# bench: box busy (loadavg {load:.2f}/{load5:.2f}, "
-            f"canary {canary:.2f} ms); waiting",
+            f"canary {canary:.2f} ms, membw {mem_bw:.2f} ms); waiting",
             file=sys.stderr,
         )
         time.sleep(WAIT_STEP_S)
@@ -289,7 +331,7 @@ _HZ = os.sysconf("SC_CLK_TCK")
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    load_start, canary, start_gate_timeout = wait_for_idle_box()
+    load_start, canary, mem_bw, start_gate_timeout = wait_for_idle_box()
     spark = get_spark("esgopeta-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -359,7 +401,7 @@ def main() -> None:
 
     line, detail = build_records(
         timings, ext_map, midrun_retries, dirty_queries, external_core_s,
-        sf, load_start, canary, start_gate_timeout,
+        sf, load_start, canary, mem_bw, start_gate_timeout,
     )
     sidecar = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
@@ -379,18 +421,25 @@ def build_records(
     sf: float,
     load_start: float,
     canary: float,
+    mem_bw: float,
     start_gate_timeout: bool,
 ) -> tuple[str, dict]:
     """(compact headline line, full sidecar detail).  The headline is
     GUARANTEED under HEADLINE_BUDGET_CHARS — the queries map sheds to
-    the sidecar rather than the line truncating mid-JSON — and the
-    contamination verdict keys on the START-GATE evidence (canary
-    drift past ~2x the 1.5 ms idle norm, or gate timeout; r12 verdict
-    #2 — per-query ext CPU annotates via dirty_n + the sidecar lists
-    rather than solely deciding).  Unit-pinned in
+    the sidecar rather than the line truncating mid-JSON.  The
+    contamination verdict (r13, r12 verdict #2 + ADVICE): gate timeout,
+    EITHER canary drifting past ~1.3x its idle norm (the old 2x trip
+    was dead code — the 2.5 ms start gate could never admit 3.0 ms), OR
+    sustained mid-run contention (2+ dirty queries — r12's dirty_n=4 /
+    16 external core-s run self-labeled clean).  Unit-pinned in
     tests/test_bench_record.py."""
     total = round(sum(timings.values()), 3)
-    contaminated = start_gate_timeout or canary > 2 * CANARY_IDLE_NORM_MS
+    contaminated = (
+        start_gate_timeout
+        or canary > CONTAM_DRIFT * CANARY_IDLE_NORM_MS
+        or mem_bw > CONTAM_DRIFT * MEMBW_IDLE_NORM_MS
+        or len(dirty_queries) >= DIRTY_N_CONTAM
+    )
     headline = {
         "metric": "headline_queries_total",
         "value": total,
@@ -399,6 +448,7 @@ def build_records(
         "sf": sf,
         "loadavg_1m": round(load_start, 2),
         "cpu_canary_ms": canary,
+        "mem_bw_ms": mem_bw,
         "contaminated": contaminated,
         "start_gate_timeout": start_gate_timeout,
         "dirty_n": len(dirty_queries),

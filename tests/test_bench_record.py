@@ -1,10 +1,15 @@
 """Pin the driver-facing bench record (r12, verdict #1): the FINAL
 stdout line must stay under the driver's 2000-char tail capture and
-never truncate mid-JSON, and the contamination label must key on the
-start-gate evidence (canary drift / gate timeout), not solely on
-per-query external CPU.  Round 11's record was unparseable because the
+never truncate mid-JSON.  Round 11's record was unparseable because the
 line silently outgrew the capture — this module fails BEFORE that can
-recur (e.g. when HEADLINE grows past the budget)."""
+recur (e.g. when HEADLINE grows past the budget).
+
+r13 contamination policy (r12 verdict #2 + ADVICE): the label trips on
+start-gate timeout, EITHER canary (matmul compute / 100 MB streaming
+memcpy bandwidth) drifting past ~1.3x its idle norm, or 2+ dirty
+queries (sustained mid-run contention).  The old 2x-canary trip was
+dead code — the 2.5 ms start gate could never admit a 3.0 ms canary.
+"""
 
 from __future__ import annotations
 
@@ -13,12 +18,14 @@ import json
 import bench
 
 
-def _records(n_queries, canary=1.5, gate_timeout=False, dirty=()):
+def _records(n_queries, canary=1.5, mem_bw=12.0, gate_timeout=False,
+             dirty=()):
     timings = {f"some_quite_long_query_name_{i:03d}": 12.345
                for i in range(n_queries)}
     ext = {k: 0.12 for k in timings}
     return bench.build_records(
-        timings, ext, [], list(dirty), 1.23, 0.1, 0.05, canary, gate_timeout,
+        timings, ext, [], list(dirty), 1.23, 0.1, 0.05, canary, mem_bw,
+        gate_timeout,
     )
 
 
@@ -28,12 +35,13 @@ def test_headline_for_current_roster_fits_and_parses():
     timings = {k: 12.345 for k in bench.HEADLINE}
     ext = {k: 0.12 for k in timings}
     line, detail = bench.build_records(
-        timings, ext, [], [], 1.23, 0.1, 0.05, 1.5, False)
+        timings, ext, [], [], 1.23, 0.1, 0.05, 1.5, 12.0, False)
     assert len(line) <= bench.HEADLINE_BUDGET_CHARS, len(line)
     d = json.loads(line)
     assert d["metric"] == "headline_queries_total" and "queries" in d, (
         "the real roster must fit WITH its queries map — trim HEADLINE "
         "or raise the budget")
+    assert d["mem_bw_ms"] == 12.0  # the bandwidth probe reaches the record
     assert set(detail) >= {"ext_core_s", "dirty_queries", "external_core_s"}
 
 
@@ -45,13 +53,21 @@ def test_oversized_roster_sheds_queries_never_truncates():
     assert len(detail["queries"]) == 200  # nothing lost: sidecar keeps all
 
 
-def test_contamination_label_keys_on_start_gate():
-    # clean gate, clean canary, even WITH dirty queries -> annotate only
-    line, _ = _records(5, canary=1.6, dirty=["a", "b"])
-    d = json.loads(line)
-    assert d["contaminated"] is False and d["dirty_n"] == 2
-    # canary drift past 2x the idle norm trips it (the r11 driver run
-    # read 50.9 ms and labeled clean — the bug this fixes)
-    assert json.loads(_records(5, canary=3.1)[0])["contaminated"] is True
+def test_contamination_label_policy():
+    # clean gate, both canaries at norm, one unlucky dirty query -> clean
+    d = json.loads(_records(5, dirty=["a"])[0])
+    assert d["contaminated"] is False and d["dirty_n"] == 1
+    # 2+ dirty queries = sustained mid-run contention (r12 ADVICE: a
+    # dirty_n=4 run self-labeled clean) -> trips
+    assert json.loads(_records(5, dirty=["a", "b"])[0])["contaminated"] is True
+    # the canary clause must be LIVE below the 2.5 ms start gate (the
+    # old 2x trip at 3.0 ms was unreachable)
+    assert bench.CONTAM_DRIFT * bench.CANARY_IDLE_NORM_MS < bench.CANARY_MAX_MS
+    assert json.loads(_records(5, canary=2.2)[0])["contaminated"] is True
+    assert json.loads(_records(5, canary=1.9)[0])["contaminated"] is False
+    # the bandwidth clause must be LIVE below its start gate too
+    assert bench.CONTAM_DRIFT * bench.MEMBW_IDLE_NORM_MS < bench.MEMBW_MAX_MS
+    assert json.loads(_records(5, mem_bw=17.0)[0])["contaminated"] is True
+    assert json.loads(_records(5, mem_bw=14.0)[0])["contaminated"] is False
+    # gate timeout always trips
     assert json.loads(_records(5, gate_timeout=True)[0])["contaminated"] is True
-    assert json.loads(_records(5, canary=2.9)[0])["contaminated"] is False
