@@ -153,6 +153,13 @@ HEADLINE = [
     # nightly-update capstone (incremental dedup -> decontam gate -> split)
     "decontaminate_minhash_fuzzy",
     "pipeline_incremental_snapshot",
+    # r13 graded-window rotation: the r12 capability classes' graded reps
+    # (PDF font tables, per-family PassJoin, header robots gate, KMV
+    # set-overlap sketch)
+    "text_pdf_font_remap",
+    "dedup_fuzzy_family_titles",
+    "web_xrobots_gate",
+    "sketch_kmv_overlap",
 ]
 
 

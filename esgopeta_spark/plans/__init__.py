@@ -56,9 +56,14 @@ GRADED_WINDOW = [
     # G3 scale tier below)
     "agg_rollup_region_nation",
     # (agg_order_stats demoted to parity-only in r5 — E4 stays 5-deep)
-    # r6: Count-Min heavy hitters — the frequency-sketch family's first
-    # in-window representative (KMV stayed parity-only in r5)
-    "agg_cms_heavy_hitters",
+    # (r13: CMS heavy hitters demoted to parity-only — the sketch
+    # family's graded rep becomes the r12 KMV set-overlap below,
+    # mergeable state + set algebra, strictly richer than point
+    # frequencies; E4 stays 4-deep via q1 + rollup + pivot + KMV)
+    # r13: KMV set-operation overlap — |A∪B|/|A∩B|/Jaccard from two
+    # mergeable k-min sketches WITHOUT joining the corpora; carries E4
+    # and G1 into the window
+    "sketch_kmv_overlap",
     # (r12: the histogram-quantile sketch demoted to parity-only — E4
     # stays 3-deep via rollup + CMS + pivot, and the sketch keeps its
     # parity check + one-bin error pin — for the r11 classes below)
@@ -124,16 +129,27 @@ GRADED_WINDOW = [
     # pipeline and G2 stays 5-deep — for the r11 classes below)
     # r5: the r4 flagship LLM ops rotated into the gate (hash-exact oracles)
     "dedup_semantic_kmeans",
-    "dedup_substring_spans",
+    # (r13: substring spans demoted to parity-only — G2 stays 4-deep
+    # via image dhash + semantic kmeans + audio fingerprint +
+    # decontaminate, and the family-PassJoin entry below adds a fifth —
+    # for the r12 capability classes)
+    # r13: the per-family PassJoin — edit-distance near-dup with the
+    # family equi key and the per-family LCP fold that killed the
+    # measured >54x selective-signature degeneration (dedup.py:785)
+    "dedup_fuzzy_family_titles",
     # r9: the exact cosine tier rotated to parity-only (G3 keeps the
     # deeper IVF + PQ tiers graded) for the DSIR importance-selection
     # flagship — the targeted-data-selection family's first in-window
     # representative, hash-exact on the engine-exact integer milli-log2
     "select_dsir_scores",
-    # r9 late: CCNet per-language perplexity bucketing — the selection
-    # pipeline's quality-tier step, ntile over a unique total order on
-    # the backoff-LM familiarity score (shared oracle CTE chain)
-    "select_perplexity_buckets",
+    # (r13: CCNet perplexity buckets demoted to parity-only — selection
+    # stays 3-deep via DSIR + mixture-materialize + NB langid, E5 stays
+    # via win_topk + sessionize — for the r12 classes)
+    # r13: the indexability chain's header gate — X-Robots-Tag +
+    # charset-sniffed meta robots union (the path that noindexes PDFs),
+    # hardened this round against value-taking directives scoping away
+    # trailing flags (web.py parse_xrobots)
+    "web_xrobots_gate",
     # r10: the selection pipeline's terminal step — DoReMi weights to an
     # actual token-budget document selection (overflow-free ppm products)
     "select_mixture_materialize",
@@ -145,10 +161,14 @@ GRADED_WINDOW = [
     # family stays graded via the image-stats value-exact oracle and the
     # strictly-deeper mp3 decode — for the trained-classifier flagship
     # below)
-    # r9 late: per-image integer quality statistics — PNG is lossless so
-    # the oracle is closed-form pixel arithmetic (the same value-exact
-    # oracle shape as FLAC, on the image side)
-    "multimodal_image_stats",
+    # (r13: image stats demoted to parity-only — media stays graded via
+    # the strictly-deeper mp3 decode + image-dhash's PNG decode path +
+    # the G5-tagged PDF font-remap below — for the r12 classes)
+    # r13: PDF real-corpus FONT fidelity — /Differences cipher page +
+    # Type0/Identity-H 2-byte CIDs under a /ToUnicode CMap; a reader
+    # ignoring the font tables returns mojibake, never silently passes
+    # (pdf.py:1127)
+    "text_pdf_font_remap",
     # r8: REAL MPEG-1 Layer III (mp3) round trip rotated in for its
     # Layer I/II sibling (same decoder machinery, strictly deeper: side
     # info, bit reservoir, Huffman regions, hybrid MDCT, short blocks;

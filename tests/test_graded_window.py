@@ -42,11 +42,15 @@ REQUIRED_IN_WINDOW = {
     "select_dsir_scores",  # G4 targeted data selection (milli-log2)
     # r9 late rotations: range join + unpivot to parity-only (families
     # keep in-window reps via as-of + pivot)
-    "select_perplexity_buckets",  # G4 CCNet quality tiers (ntile, shared LM oracle)
-    "multimodal_image_stats",  # G5 closed-form pixel-arithmetic oracle
+    # (r13 rotations: select_perplexity_buckets -> parity (selection
+    # stays 3-deep via DSIR + mixture + NB langid; E5 via win_topk +
+    # sessionize), multimodal_image_stats -> parity (media stays via
+    # mp3 + image-dhash's PNG path + the G5-tagged font-remap),
+    # dedup_substring_spans -> parity (G2 stays 5-deep incl. the
+    # family-PassJoin), agg_cms_heavy_hitters -> parity (the sketch
+    # family's graded rep becomes KMV overlap))
     # r5 rotation (r4 VERDICT task 1): the r4 flagship LLM/graph ops
     "dedup_semantic_kmeans",  # G2/G3 SemDeDup full pipeline, hash-exact
-    "dedup_substring_spans",  # G1/G2/G4 exact-substring spans (Lee et al.)
     # (r10 rotations: sim_topk_ip_pq -> parity (G3 stays via IVF),
     # graph_kcore_members -> parity (graph analytics stays 4-deep),
     # join_full_customer_supplier -> parity (E3 stays 5-deep),
@@ -55,7 +59,6 @@ REQUIRED_IN_WINDOW = {
     "graph_communities_lpa",  # LPA communities, unrolled-CTE oracle
     # r6 additions (emb_label_stats / theta-band join / json battery rotated
     # out; their families keep in-window representatives)
-    "agg_cms_heavy_hitters",  # E4 frequency-sketch family
     # r10 additions: the crawl front-end (where real pipelines start)
     # and the late-r9 families' graded representatives
     "text_html_extract",  # G4 HTML->text, encoder-twin closed-form oracle
@@ -88,6 +91,11 @@ REQUIRED_IN_WINDOW = {
     "web_template_lines",  # cross-page host-template boilerplate cut
     "decontaminate_minhash_fuzzy",  # fuzzy benchmark decontamination
     "pipeline_incremental_snapshot",  # nightly-update capstone
+    # r13 additions: the r12 capability classes' first graded reps
+    "text_pdf_font_remap",  # G4/G5 /Differences + Identity-H/ToUnicode path
+    "dedup_fuzzy_family_titles",  # G2/E3 per-family PassJoin + LCP fold
+    "web_xrobots_gate",  # G4/E1 header robots gate (r13-hardened parser)
+    "sketch_kmv_overlap",  # E4/G1 mergeable set-algebra sketch
 }
 
 
