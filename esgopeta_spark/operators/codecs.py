@@ -1042,13 +1042,17 @@ def _packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
-def _tiff_lzw_encode(data: bytes) -> bytes:
+def _tiff_lzw_encode(data: bytes, early_change: bool = True) -> bytes:
     """TIFF LZW (spec section 13): MSB-first variable-width codes,
     Clear=256 / EOI=257, table growth from 258, EARLY code-width change
-    (width bumps when the NEXT code to be written reaches 2^w - 1)."""
+    (width bumps when the NEXT code to be written reaches 2^w - 1).
+    PDF's /LZWDecode (ISO 32000-1 §7.4.4) is the SAME algorithm —
+    ``early_change=False`` emits the /EarlyChange 0 dialect (the bump
+    deferred one code, 2^w)."""
     out = bytearray()
     acc = 0
     nbits = 0
+    bump = -1 if early_change else 0
 
     def put(code: int, width: int):
         nonlocal acc, nbits
@@ -1071,7 +1075,7 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
         put(table[w], width)
         table[w + c] = next_code
         next_code += 1
-        if next_code == (1 << width) - 1 and width < 12:  # early change
+        if next_code == (1 << width) + bump and width < 12:
             width += 1
         if next_code >= 4094:
             put(256, width)
@@ -1087,10 +1091,16 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
-    """Inverse of _tiff_lzw_encode, bounded by ``expected`` output bytes."""
+def _tiff_lzw_decode(
+    data: bytes, expected: int | None, early_change: bool = True
+) -> bytes:
+    """Inverse of _tiff_lzw_encode, bounded by ``expected`` output bytes.
+    ``expected=None`` (the PDF /LZWDecode caller — content streams don't
+    declare their decoded length) decodes until EOI or clean bit
+    exhaustion; ``early_change=False`` reads the /EarlyChange 0 dialect."""
     out = bytearray()
     pos = 0  # bit position
+    bump = -2 if early_change else -1
 
     def get(width: int) -> int:
         nonlocal pos
@@ -1106,7 +1116,29 @@ def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
     table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
     width = 9
     prev: bytes | None = None
-    while len(out) < expected:
+    while expected is None or len(out) < expected:
+        if expected is None:
+            rem = len(data) * 8 - pos
+            if rem < width:
+                break  # clean exhaustion: a missing EOI is tolerated
+            if rem <= (width - 1) + 7:
+                # final-code width skew: the encoder never registers a
+                # table entry after its LAST data code, so when that
+                # registration would have crossed the width boundary the
+                # decoder (which registers one code later) sits one bit
+                # wide of the encoder's EOI.  Only one code fits here;
+                # peek it at width-1 — EOI followed by zero padding is
+                # unambiguous (a data code at full width cannot leave
+                # this few bits before its own EOI).
+                save = pos
+                peek = get(width - 1)
+                tail_zero = all(
+                    (data[p >> 3] >> (7 - (p & 7))) & 1 == 0
+                    for p in range(pos, len(data) * 8)
+                )
+                if peek == 257 and tail_zero:
+                    break
+                pos = save
         code = get(width)
         if code == 257:  # EOI
             break
@@ -1132,12 +1164,13 @@ def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
         # early change mirrors the encoder: the decoder's table lags the
         # encoder's next_code by ONE entry (the encoder registers w+c as
         # it emits; the decoder registers on the NEXT code), so the bump
-        # point is 2^w - 2 here vs the encoder's 2^w - 1
-        if len(table) == (1 << width) - 2 and width < 12:
+        # point is 2^w - 2 here vs the encoder's 2^w - 1 (one later each
+        # under /EarlyChange 0)
+        if len(table) == (1 << width) + bump and width < 12:
             width += 1
-    if len(out) < expected:
+    if expected is not None and len(out) < expected:
         raise ValueError("TIFF LZW output shorter than strip")
-    return bytes(out[:expected])
+    return bytes(out[:expected]) if expected is not None else bytes(out)
 
 
 def encode_tiff(

@@ -21,7 +21,13 @@ the PNG/FLAC/MPEG decoders):
   repair tools)
 - streams with ``/Length`` (direct or indirect) and filters: none,
   ``/FlateDecode`` (stdlib zlib, like the PNG path),
-  ``/ASCIIHexDecode``; filter chains as name-or-array
+  ``/ASCIIHexDecode``, ``/ASCII85Decode`` (r13), ``/RunLengthDecode``
+  (r13 — byte-identical to TIFF PackBits plus the EOD marker), and
+  ``/LZWDecode`` (r13, r12 verdict #3 — REUSES the TIFF section-13
+  LZW codec from codecs.py: same MSB-first variable-width early-change
+  algorithm; ``/DecodeParms /EarlyChange 0`` reads the deferred-bump
+  dialect, and the PNG/TIFF predictors apply like Flate); filter
+  chains as name-or-array
 - page tree walk (``/Root -> /Pages -> /Kids`` recursion, cycle-guarded,
   inherited ``/Contents`` not supported — pages carry their own), page
   content streams concatenated per page
@@ -95,6 +101,8 @@ import pandas as pd  # module-level so pandas_udf type hints resolve under PEP 5
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from esgopeta_spark.operators.codecs import _tiff_lzw_decode, _tiff_lzw_encode
 
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
@@ -281,6 +289,79 @@ def _parse_object(b: bytes, i: int):
         if b[i : i + len(kw)] == kw:
             return val, i + len(kw)
     raise ValueError(f"unparsable object at offset {i}: {b[i:i+16]!r}")
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    """§7.4.5 RunLengthDecode (byte-identical to TIFF PackBits plus an
+    EOD marker): length byte L<128 copies the next L+1 literal bytes,
+    L>128 repeats the next byte 257-L times, L==128 is EOD.  Total —
+    truncation raises ValueError (the quarantine type)."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        i += 1
+        if n == 128:  # EOD
+            return bytes(out)
+        if n < 128:
+            chunk = data[i : i + n + 1]
+            if len(chunk) != n + 1:
+                raise ValueError("truncated RunLengthDecode literal")
+            out += chunk
+            i += n + 1
+        else:
+            if i >= len(data):
+                raise ValueError("truncated RunLengthDecode run")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+    return bytes(out)  # missing EOD tolerated (real-world writers omit it)
+
+
+def _runlength_encode(data: bytes) -> bytes:
+    """Fixture twin of _runlength_decode: repeat runs of 3+ become
+    2-byte runs, everything else literal chunks of <= 128."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        j = i
+        while j < n and j - i < 128:
+            r = 1
+            while j + r < n and r < 3 and data[j + r] == data[j]:
+                r += 1
+            if r >= 3:
+                break
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    out.append(128)  # EOD
+    return bytes(out)
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """§7.4.3 ASCII85Decode: base-85 groups, 'z' zero-group shorthand,
+    whitespace ignored, '~>' EOD.  stdlib a85decode does the group
+    math; any of its error types quarantine as ValueError."""
+    import base64
+
+    body = data.split(b"~>", 1)[0]
+    try:
+        return base64.a85decode(bytes(c for c in body if c not in _WS))
+    except ValueError as exc:  # binascii.Error subclasses ValueError
+        raise ValueError(f"bad ASCII85Decode: {exc}") from exc
+
+
+def _ascii85_encode(data: bytes) -> bytes:
+    import base64
+
+    return base64.a85encode(data) + b"~>"
 
 
 def _apply_predictor(data: bytes, predictor: int, columns: int) -> bytes:
@@ -648,6 +729,26 @@ class _PdfDoc:
                     data = bytes.fromhex(hx.decode("ascii"))
                 except (ValueError, UnicodeDecodeError) as exc:
                     raise ValueError(f"bad ASCIIHexDecode: {exc}") from exc
+            elif f == "LZWDecode":
+                # §7.4.4 — the SAME algorithm as TIFF section-13 LZW
+                # (MSB-first variable width, Clear 256 / EOI 257, early
+                # change), so the codec is REUSED from codecs.py (r13,
+                # r12 verdict #3); /EarlyChange 0 defers the width bump
+                early = 1
+                if isinstance(pp, dict):
+                    ec = self.resolve(pp.get("EarlyChange", 1))
+                    early = 1 if ec is None else int(ec)
+                data = _tiff_lzw_decode(data, None, early_change=bool(early))
+                if isinstance(pp, dict):
+                    data = _apply_predictor(
+                        data,
+                        int(self.resolve(pp.get("Predictor", 1)) or 1),
+                        int(self.resolve(pp.get("Columns", 1)) or 1),
+                    )
+            elif f == "RunLengthDecode":
+                data = _runlength_decode(data)
+            elif f == "ASCII85Decode":
+                data = _ascii85_decode(data)
             else:
                 raise ValueError(f"unsupported stream filter {f!r}")
         return data
@@ -1554,9 +1655,88 @@ def build_pdf_fontmapped(doc_id: int, text: str) -> bytes:
     return bytes(out)
 
 
+def build_pdf_filtered(doc_id: int, text: str) -> bytes:
+    """Single-page fixture PDF whose content stream exercises the r13
+    filter set (ISO 32000-1 §7.4.2-7.4.5; r12 verdict #3): class id%5 =
+    0 /LZWDecode, 1 /LZWDecode with /DecodeParms << /EarlyChange 0 >>
+    (the deferred width-bump dialect), 2 /RunLengthDecode,
+    3 /ASCII85Decode, 4 the chain /Filter [/ASCII85Decode /LZWDecode]
+    (array = DECODE order, so the encoder applies LZW first).  Expected
+    extraction, closed form:
+    ``Doc <id>\\n[<text>\\n]Filter: <id%5>``."""
+    did = int(doc_id)
+    t = text if isinstance(text, str) else ""
+    k = did % 5
+    c1 = (
+        b"BT /F1 12 Tf 72 720 Td (Doc " + str(did).encode("ascii")
+        + b") Tj 0 -14 TD (" + _pdf_string(t) + b") Tj 0 -14 TD (Filter: "
+        + str(k).encode("ascii") + b") Tj ET"
+    )
+    parms = b""
+    if k == 0:
+        enc = _tiff_lzw_encode(c1)
+        filt = b" /Filter /LZWDecode"
+    elif k == 1:
+        enc = _tiff_lzw_encode(c1, early_change=False)
+        filt = b" /Filter /LZWDecode"
+        parms = b" /DecodeParms << /EarlyChange 0 >>"
+    elif k == 2:
+        enc = _runlength_encode(c1)
+        filt = b" /Filter /RunLengthDecode"
+    elif k == 3:
+        enc = _ascii85_encode(c1)
+        filt = b" /Filter /ASCII85Decode"
+    else:
+        enc = _ascii85_encode(_tiff_lzw_encode(c1))
+        filt = b" /Filter [/ASCII85Decode /LZWDecode]"
+    objs: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
+        4: (b"<< /Length " + str(len(enc)).encode("ascii") + filt + parms
+            + b" >>\nstream\n" + enc + b"\nendstream"),
+        5: (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding /WinAnsiEncoding >>"),
+    }
+    out = bytearray(b"%PDF-1.4\n%\xc2\xa5\xc2\xb1\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += str(num).encode("ascii") + b" 0 obj\n" + objs[num] + b"\nendobj\n"
+    xref_off = len(out)
+    size = max(objs) + 1
+    out += b"xref\n0 " + str(size).encode("ascii") + b"\n0000000000 65535 f \n"
+    for num in range(1, size):
+        out += f"{offsets[num]:010d} 00000 n \n".encode("ascii")
+    out += (
+        b"trailer\n<< /Size " + str(size).encode("ascii")
+        + b" /Root 1 0 R >>\nstartxref\n" + str(xref_off).encode("ascii")
+        + b"\n%%EOF\n"
+    )
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # DataFrame ops
 # ---------------------------------------------------------------------------
+
+
+def synth_pdf_filtered(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    out_col: str = "pdf",
+) -> DataFrame:
+    """Append the filter-matrix fixture PDF (LZW both dialects /
+    RunLength / ASCII85 / A85+LZW chain) built from (id, text)."""
+
+    @F.pandas_udf("binary")
+    def _build(did: pd.Series, txt: pd.Series) -> pd.Series:
+        return pd.Series(
+            [build_pdf_filtered(int(i), t if isinstance(t, str) else "")
+             for i, t in zip(did, txt)]
+        )
+
+    return df.withColumn(out_col, _build(F.col(id_col), F.col(text_col)))
 
 
 def synth_pdf_fontmapped(

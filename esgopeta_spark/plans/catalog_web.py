@@ -815,6 +815,44 @@ def text_pdf_font_remap(spark, sf):
 
 
 @register(
+    "text_pdf_filters",
+    "G4,G5",
+    r"""
+    WITH c AS (
+      SELECT doc_id, coalesce(text, '') AS t FROM documents
+    )
+    SELECT doc_id,
+           'Doc ' || doc_id || chr(10)
+           || CASE WHEN t = '' THEN '' ELSE t || chr(10) END
+           || 'Filter: ' || (doc_id % 5) AS pdf_text,
+           CAST(CASE WHEN t = '' THEN 2 ELSE 3 END AS INTEGER) AS n_lines,
+           CAST(1 AS INTEGER) AS n_pages
+    FROM c
+    """,
+    doc="PDF stream-filter matrix (r13, r12 verdict #2/missing-list: "
+    "LZWDecode serves pre-2002 PDFs and several generators' content "
+    "streams — previously those records quarantined and the text was "
+    "lost): per doc the fixture's content stream is encoded by class "
+    "id%5 — LZWDecode (the TIFF section-13 codec REUSED from "
+    "codecs.py), LZWDecode under /EarlyChange 0 (deferred width "
+    "bump), RunLengthDecode (PackBits + EOD), ASCII85Decode (z-group, "
+    "~> EOD), and the two-stage /Filter [/ASCII85Decode /LZWDecode] "
+    "chain — then the REAL extractor must decode it to recover the "
+    "corpus text.  Oracle recomputes the expected extraction in "
+    "closed form from documents.text.  Plan: two Arrow kernels over "
+    "one scan, shuffle-free; operators/pdf.py "
+    "build_pdf_filtered/stream_data",
+)
+def text_pdf_filters(spark, sf):
+    from esgopeta_spark.operators.pdf import pdf_extract, synth_pdf_filtered
+
+    d = T(spark, sf, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    return pdf_extract(synth_pdf_filtered(d))
+
+
+@register(
     "web_url_features",
     "G4",
     r"""

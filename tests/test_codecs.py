@@ -321,6 +321,42 @@ def test_tiff_lzw_independent_fixture():
     assert codecs._tiff_lzw_encode(payload) == spec_lzw(payload)
 
 
+def test_lzw_unbounded_eoi_width_skew():
+    """r13 (found by the PDF /LZWDecode parity run, doc 195): the
+    encoder never registers a table entry after its LAST data code, so
+    when that registration would have crossed a width boundary the
+    decoder — which registers one code later — reads the EOI one bit
+    wide and dies (or worse, aliases a valid code).  The unbounded
+    decoder (expected=None, the PDF path — content streams declare no
+    decoded length) peeks the tail at width-1.  Both vectors below are
+    VERIFIED to fail the unfixed decoder; bounded TIFF decode never
+    reads the EOI so it was always immune."""
+    import random as _random
+
+    # exact-boundary synthetic vector: 253 distinct bytes register
+    # exactly 252 entries, so the decoder's table hits 510 == 2^9 - 2
+    # (the early-change bump point) right at the final data code
+    vec = bytes(range(253))
+    enc = codecs._tiff_lzw_encode(vec)
+    assert codecs._tiff_lzw_decode(enc, None) == vec
+    # the found-in-the-wild class: random-word prose (seed 63 is the
+    # deterministic generator of an input that hit the skew)
+    rng = _random.Random(63)
+    words = ["line", "customer", "scan", "column", "query", "stream",
+             "sort", "data", "group", "the", "row", "a", "value",
+             "window", "small", "agg", "part", "spark", "big", "fast",
+             "table", "join", "hash"]
+    txt = " ".join(rng.choice(words) for _ in range(90)).encode()
+    enc = codecs._tiff_lzw_encode(txt)
+    assert codecs._tiff_lzw_decode(enc, None) == txt
+    assert codecs._tiff_lzw_decode(enc, len(txt)) == txt
+    # the late-change dialect's boundary alignment (benign-exhaustion or
+    # peek path, depending on padding) round-trips too
+    vec2 = bytes(range(254))
+    enc2 = codecs._tiff_lzw_encode(vec2, early_change=False)
+    assert codecs._tiff_lzw_decode(enc2, None, early_change=False) == vec2
+
+
 def test_tiff_guards():
     """Unsupported variants raise ValueError (quarantine contract): LZW
     compression, palette photometric, 16-bit samples, out-of-bounds

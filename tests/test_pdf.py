@@ -179,6 +179,111 @@ def test_page_tree_cycle_guard_and_missing_root():
 
 
 # ---------------------------------------------------------------------------
+# stream filters (r13: LZW both dialects / RunLength / ASCII85 / chains)
+# ---------------------------------------------------------------------------
+
+
+def test_runlength_codec_matrix():
+    from esgopeta_spark.operators.pdf import (
+        _runlength_decode,
+        _runlength_encode,
+    )
+
+    rng = random.Random(0xA5)
+    for _ in range(50):
+        n = rng.randrange(0, 2000)
+        # runs + literals mixed: low-entropy alphabet forces both paths
+        data = bytes(rng.choice(b"aab") for _ in range(n))
+        assert _runlength_decode(_runlength_encode(data)) == data
+    # a run longer than 128 must split correctly
+    assert _runlength_decode(_runlength_encode(b"x" * 300)) == b"x" * 300
+    # EOD stops decoding; trailing junk after EOD is ignored
+    assert _runlength_decode(b"\x02abc\x80junk") == b"abc"
+    # missing EOD tolerated
+    assert _runlength_decode(b"\x02abc") == b"abc"
+    # truncations raise the quarantine type
+    with pytest.raises(ValueError):
+        _runlength_decode(b"\x05ab")  # literal cut short
+    with pytest.raises(ValueError):
+        _runlength_decode(b"\xfe")  # run byte missing
+
+
+def test_ascii85_codec_matrix():
+    from esgopeta_spark.operators.pdf import _ascii85_decode, _ascii85_encode
+
+    rng = random.Random(0x85)
+    for _ in range(30):
+        data = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 500)))
+        assert _ascii85_decode(_ascii85_encode(data)) == data
+    # z zero-group shorthand + embedded whitespace + ~> EOD
+    assert _ascii85_decode(b"z~>") == b"\x00\x00\x00\x00"
+    assert _ascii85_decode(b" 9jqo^\nBlbD-BleB1DJ+*+F(f,q~>") == \
+        b"Man is distinguished"
+    with pytest.raises(ValueError):
+        _ascii85_decode(b"\xff\xfe not base85 ~>")
+
+
+def test_pdf_filter_matrix_extracts():
+    """Every id%5 filter class round-trips through the REAL extractor,
+    and the /EarlyChange 0 DecodeParms is honored (decoding that
+    stream in the default dialect would garble past the first width
+    bump)."""
+    from esgopeta_spark.operators.pdf import build_pdf_filtered
+
+    # long repetitive text drives the LZW table past several width bumps
+    t = " ".join(f"word{i % 7} token" for i in range(400))
+    for k in range(5):
+        got = extract_pdf_text(build_pdf_filtered(k + 20, t))
+        assert got == f"Doc {k + 20}\n{t}\nFilter: {k}", k
+        assert extract_pdf_text(build_pdf_filtered(k + 20, "")) == \
+            f"Doc {k + 20}\nFilter: {k}"
+
+
+def test_lzw_early_change_dialects_differ():
+    """The two /EarlyChange dialects really are different bitstreams on
+    table-heavy input — the DecodeParms path is load-bearing, not
+    decorative."""
+    from esgopeta_spark.operators.codecs import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    data = bytes((i * 7) % 251 for i in range(4000))
+    early = _tiff_lzw_encode(data, early_change=True)
+    late = _tiff_lzw_encode(data, early_change=False)
+    assert early != late
+    assert _tiff_lzw_decode(late, None, early_change=False) == data
+    # cross-dialect decode must not silently return the right bytes
+    try:
+        wrong = _tiff_lzw_decode(late, None, early_change=True)
+        assert wrong != data
+    except ValueError:
+        pass  # visible failure is equally acceptable
+
+
+def test_pdf_filtered_fuzz_quarantine():
+    """Byte flips / truncations over every filter class: str or
+    ValueError, never another exception type."""
+    from esgopeta_spark.operators.pdf import build_pdf_filtered
+
+    rng = random.Random(0xF117E5)
+    bases = [build_pdf_filtered(k, "fuzz corpus body with some length")
+             for k in range(5)]
+    for trial in range(300):
+        b = bytearray(bases[trial % 5])
+        if trial % 3 == 0:
+            b = b[: rng.randrange(1, len(b))]
+        else:
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            out = extract_pdf_text(bytes(b))
+            assert isinstance(out, str)
+        except ValueError:
+            pass
+
+
+# ---------------------------------------------------------------------------
 # quarantine / fuzz contract
 # ---------------------------------------------------------------------------
 
