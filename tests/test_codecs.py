@@ -2433,6 +2433,98 @@ def test_mpeg1_l3_linbits_table_injection_end_to_end():
         pass
 
 
+def test_mpeg1_l3_table10_11_12_injection_end_to_end(monkeypatch):
+    """r13 (r12 verdict #5): prove the Table B.7 injection path on the
+    10/11/12 REGION-LADDER triple — the 8x8 tables every mid-rate
+    granule leans on (r12 proved 13/15; r11 proved 16; r10 proved 7 +
+    count1A).  Install three DISTINCT validated alternate codes (fixed
+    6-bit bijections over the 64-symbol alphabet — prefix-free and
+    Kraft-complete; stand-in data proving the mechanism, NOT a
+    conformance claim), confirm provenance flips for all three, confirm
+    a granule peaking at 7 selects table 10 and round-trips under the
+    injected code, force the pick to 11 then 12 (same alphabet,
+    wire-legal) and round-trip — including a full PCM stream — and
+    confirm the injected-dialect payload no longer decodes under the
+    restored canonical tables."""
+    from esgopeta_spark.operators import mpeg1_audio as m
+
+    def granule_roundtrip(ix):
+        w = m._BitW()
+        side = m._write_granule(
+            w, ix, 0, 0, 0, np.zeros(m._N_SF_LONG, dtype=np.int64), 0
+        )
+        if w.n:
+            w.put(0, 8 - w.n)
+        payload = bytes(w.buf)
+        side.update(scalefac_compress=0, window_switching=0, block_type=0)
+        got, _sf, _end = m._read_granule(m._BitR(payload), 0, side, 0, 0, None)
+        return side, payload, got
+
+    rng = np.random.default_rng(0x101112)
+    ix = np.zeros(576, dtype=np.int64)
+    ix[:96] = rng.integers(-6, 7, 96)
+    ix[0], ix[40], ix[90] = 7, -7, 7  # peak 7 -> the 8x8 ladder
+    side, payload_canon, got = granule_roundtrip(ix)
+    assert 10 in side["table_select"], side["table_select"]
+    assert m._INDEX_MAP[10] == (10, 0)  # 8x8, NO linbits
+    assert (got == ix).all()
+    prov = m.huffman_provenance()
+    assert prov[10] == prov[11] == prov[12] == "canonical-dialect"
+
+    # three DISTINCT alternate codes over the 8x8 alphabet: fixed 6-bit
+    # bijections on 0..63 (identity, XOR, bit-reverse) -> prefix-free
+    # and Kraft-complete
+    rev6 = [int(f"{s:06b}"[::-1], 2) for s in range(64)]
+    entries10 = [(s // 8, s % 8, 6, s) for s in range(64)]
+    entries11 = [(s // 8, s % 8, 6, s ^ 0x2D) for s in range(64)]
+    entries12 = [(s // 8, s % 8, 6, rev6[s] ^ 0x15) for s in range(64)]
+    snapshot = dict(m._SPEC_DATA)
+    try:
+        m.load_spec_tables({10: entries10, 11: entries11, 12: entries12})
+        prov = m.huffman_provenance()
+        assert prov[10] == prov[11] == prov[12] == "iso-b7"
+        assert prov[13] == "canonical-dialect"  # untouched
+        side2, payload_alt, got2 = granule_roundtrip(ix)
+        assert 10 in side2["table_select"]
+        assert (got2 == ix).all(), "values must survive the injected 10 code"
+        assert payload_alt != payload_canon, "injected code must reach the wire"
+        orig_pick = m._pick_table
+        payloads = {10: payload_alt}
+        for alt in (11, 12):
+            monkeypatch.setattr(
+                m, "_pick_table",
+                lambda rmax, _a=alt: _a if orig_pick(rmax) == 10
+                else orig_pick(rmax),
+            )
+            side3, payload_n, got3 = granule_roundtrip(ix)
+            assert alt in side3["table_select"], (alt, side3["table_select"])
+            assert (got3 == ix).all(), f"values must survive injected {alt}"
+            payloads[alt] = payload_n
+            # a full PCM stream round-trips with this table as the pick
+            pcm = _tone16(330 + 110 * alt, 1152 * 2, 44100)
+            out, _ = m.decode_mpeg1_audio(
+                m.encode_mpeg1_audio(pcm, 44100, layer=3))
+            assert _snr_db(pcm, out) > 40.0
+        assert len(set(payloads.values())) == 3, \
+            "the three ladder codes must be pairwise distinct on the wire"
+    finally:
+        m._SPEC_DATA.clear()
+        m._SPEC_DATA.update(snapshot)
+        m._HUFF.clear()
+        m._COUNT1A = m._Count1A()
+    prov = m.huffman_provenance()
+    assert prov[10] == prov[11] == prov[12] == "canonical-dialect"
+    # dialect sensitivity: the injected-10 payload must NOT decode to ix
+    # under the restored canonical tables
+    try:
+        got4, _sf, _end = m._read_granule(
+            m._BitR(payloads[10]), 0, dict(side2), 0, 0, None
+        )
+        assert not (got4 == ix).all()
+    except ValueError:
+        pass
+
+
 def test_mpeg1_l3_table13_15_injection_end_to_end(monkeypatch):
     """r12 (r11 verdict #5): prove the Table B.7 injection path on the
     13/15 pair — the big NON-escape 16x16 companions of the linbits

@@ -32,7 +32,7 @@ def main() -> None:
         hashed_bigram_counts,
     )
 
-    load, canary, cont = wait_for_idle_box()
+    load, canary, mem_bw, cont = wait_for_idle_box()
     spark = get_spark("dsir-ab")
     spark.sparkContext.setLogLevel("ERROR")
     docs = read_table(spark, SF, "documents")

@@ -27,7 +27,7 @@ SFS = [
 def main(names: list[str]) -> None:
     from esgopeta_spark.plans import REGISTRY
 
-    load, canary, cont = wait_for_idle_box()
+    load, canary, mem_bw, cont = wait_for_idle_box()
     spark = get_spark("growth-probe")
     spark.sparkContext.setLogLevel("ERROR")
     print(json.dumps({"loadavg": round(load, 2), "canary_ms": canary,

@@ -36,7 +36,7 @@ REPEATS = 2
 
 
 def main() -> None:
-    load, canary, contaminated = wait_for_idle_box()
+    load, canary, mem_bw, contaminated = wait_for_idle_box()
     spark = get_spark("incr-probe")
     spark.sparkContext.setLogLevel("ERROR")
     from pyspark.sql import functions as F

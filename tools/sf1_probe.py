@@ -88,7 +88,7 @@ def build_scales(spark) -> dict[str, str]:
 
 
 def main() -> None:
-    load, canary, contaminated = wait_for_idle_box()
+    load, canary, mem_bw, contaminated = wait_for_idle_box()
     spark = get_spark("sf1-probe")
     spark.sparkContext.setLogLevel("ERROR")
     dirs = build_scales(spark)
