@@ -1221,9 +1221,22 @@ def gzip_record(data: bytes) -> bytes:
 
 def maybe_gunzip_warc(blob: bytes) -> bytes:
     """.warc.gz blobs (gzip magic) decompress to the concatenated
-    records; plain .warc bytes pass through."""
+    records; .warc.zst blobs (zstd magic — r13, the archive format
+    newer crawls ship) decode through the RFC 8878 path (multi-frame
+    concatenation handled, skippable dictionary frames tolerated);
+    plain .warc bytes pass through."""
     if blob[:2] == b"\x1f\x8b":
         return b"".join(gzip_members(blob))
+    if blob[:4] == b"\x28\xb5\x2f\xfd" or (
+        len(blob) >= 4 and blob[1:4] == b"\x2a\x4d\x18"
+        and 0x50 <= blob[0] <= 0x5F
+    ):
+        try:
+            return _pa_stream_decompress(blob, "zstd")
+        except ImportError:
+            from esgopeta_spark.operators.zstd import zstd_decompress
+
+            return zstd_decompress(blob)
     return blob
 
 
@@ -1340,19 +1353,38 @@ def parse_http_response(payload: bytes) -> tuple[int, dict, bytes]:
     return status, headers, body
 
 
+def _pa_stream_decompress(body: bytes, codec: str) -> bytes:
+    """Streaming decompress via pyarrow's bundled C codecs (present in
+    every pyspark container) — the scale tier for br/zstd bodies whose
+    decompressed size the HTTP message does not declare."""
+    import pyarrow as _pa
+
+    try:
+        with _pa.input_stream(_pa.BufferReader(body), compression=codec) as s:
+            return s.read()
+    except (OSError, _pa.ArrowInvalid) as exc:
+        raise ValueError(f"bad {codec} body: {exc}") from exc
+
+
 def decode_content_encoding(enc: str, body: bytes) -> bytes:
     """HTTP ``Content-Encoding`` unwrap (RFC 9110 §8.4.1) — the layer
     between de-chunking and charset decode that ~half of real crawl
     responses carry: ``gzip``/``x-gzip`` (RFC 1952), ``deflate`` (the
     RFC 1950 zlib wrapper the spec means, with the raw-RFC-1951
     fallback misconfigured servers actually send — a well-known interop
-    bug every browser tolerates), ``identity``/empty pass-through.  A
+    bug every browser tolerates), ``zstd`` (RFC 8878 — r13: the
+    from-scratch decoder in operators/zstd.py, conformance-validated
+    against libzstd, with pyarrow's C decoder preferred when importable
+    — byte-equality of the two paths pinned in tests), ``br`` (RFC
+    7932 via pyarrow's bundled brotli — a from-scratch brotli is out of
+    honest scope: its 120 KB static dictionary cannot be retyped
+    verifiably, the B.7 lesson), ``identity``/empty pass-through.  A
     comma list applies codings right-to-left (the header names them in
     the order APPLIED, so the last-listed coding is the outermost).
-    Unknown codings (br/zstd — no decoder in this environment) and
-    corrupt streams raise ValueError: at 100 TB an undecodable body
-    must quarantine to its own visible error row, never pass garbage
-    bytes downstream as if they were the document."""
+    Unknown codings, br without pyarrow, and corrupt streams raise
+    ValueError: at 100 TB an undecodable body must quarantine to its
+    own visible error row, never pass garbage bytes downstream as if
+    they were the document."""
     import zlib as _zlib
 
     for coding in reversed([c.strip() for c in enc.split(",")]):
@@ -1371,6 +1403,20 @@ def decode_content_encoding(enc: str, body: bytes) -> bytes:
                     body = _zlib.decompress(body, wbits=-15)  # raw: server bug
                 except _zlib.error as exc:
                     raise ValueError(f"bad deflate body: {exc}") from exc
+        elif coding == "zstd":
+            try:
+                body = _pa_stream_decompress(body, "zstd")
+            except ImportError:
+                from esgopeta_spark.operators.zstd import zstd_decompress
+
+                body = zstd_decompress(body)
+        elif coding == "br":
+            try:
+                body = _pa_stream_decompress(body, "brotli")
+            except ImportError as exc:
+                raise ValueError(
+                    "brotli body with no decoder available"
+                ) from exc
         else:
             raise ValueError(f"unsupported content-encoding {coding!r}")
     return body
@@ -1391,6 +1437,16 @@ def encode_content_body(coding: str, data: bytes) -> bytes:
     if coding == "deflate-raw":
         c = _zlib.compressobj(wbits=-15)
         return c.compress(data) + c.flush()
+    if coding in ("zstd", "br"):
+        # r13: modern codings via pyarrow's bundled C encoders (fixed
+        # level -> deterministic within a container; the compressed
+        # bytes never cross the oracle boundary — only the recovered
+        # page does)
+        import pyarrow as _pa
+
+        return _pa.Codec(
+            "brotli" if coding == "br" else "zstd", compression_level=3
+        ).compress(data, asbytes=True)
     if coding == "identity":
         return data
     raise ValueError(f"unknown fixture coding {coding!r}")
@@ -1418,6 +1474,15 @@ _ENC_CLASSES = [
     ("deflate", "deflate-raw", False),
     ("gzip", "gzip", True),
 ]
+# r13: the modern codings (RFC 8878 zstd through the from-scratch/
+# pyarrow decoders, RFC 7932 brotli via pyarrow) — plain and
+# chunk-framed forms of each
+_ENC_CLASSES_MODERN = [
+    ("zstd", "zstd", False),
+    ("br", "br", False),
+    ("zstd", "zstd", True),
+    ("br", "br", True),
+]
 
 
 def synth_encoded_warc(
@@ -1426,18 +1491,21 @@ def synth_encoded_warc(
     uri_col: str = "uri",
     page_col: str = "page",
     out_col: str = "warc",
+    classes: list | None = None,
 ) -> DataFrame:
-    """Encoder-twin fixture for the Content-Encoding entry: per doc,
+    """Encoder-twin fixture for the Content-Encoding entries: per doc,
     frame the page's UTF-8 bytes as a FULL HTTP/1.1 200 message whose
-    body is compressed per the doc's ``_ENC_CLASSES[doc_id % 4]`` row
-    class (and chunk-framed where the class says so), inside one
-    WARC/1.0 response record.  Every byte downstream of the page string
-    is produced by the twin encoders the decoder must invert."""
+    body is compressed per the doc's ``classes[doc_id % len(classes)]``
+    row class (default ``_ENC_CLASSES``; and chunk-framed where the
+    class says so), inside one WARC/1.0 response record.  Every byte
+    downstream of the page string is produced by the twin encoders the
+    decoder must invert."""
+    enc_classes = list(classes) if classes is not None else _ENC_CLASSES
 
     @F.pandas_udf("binary")
     def _build(did: pd.Series, uri: pd.Series, page: pd.Series) -> pd.Series:
         def one(d, u, p):
-            hdr_enc, coding, chunked = _ENC_CLASSES[int(d) % 4]
+            hdr_enc, coding, chunked = enc_classes[int(d) % len(enc_classes)]
             body = encode_content_body(
                 coding, (p if isinstance(p, str) else "").encode("utf-8")
             )

@@ -1435,10 +1435,58 @@ def test_content_encoding_matrix():
     assert decode_content_encoding("deflate, gzip", layered) == raw
 
 
+def test_content_encoding_modern_matrix():
+    """r13: zstd (RFC 8878) and brotli (RFC 7932) round-trip through
+    the unwrap; the from-scratch zstd decoder and the pyarrow C path
+    return identical bytes; layered modern codings apply right-to-left."""
+    from esgopeta_spark.operators.web import (
+        decode_content_encoding,
+        encode_content_body,
+    )
+    from esgopeta_spark.operators.zstd import zstd_decompress
+
+    raw = ("page «text» ☃ " * 50).encode("utf-8")
+    for enc in ("zstd", "br"):
+        assert decode_content_encoding(enc, encode_content_body(enc, raw)) == raw
+    comp = encode_content_body("zstd", raw)
+    # the two zstd tiers are byte-equal on the same body
+    assert zstd_decompress(comp) == decode_content_encoding("zstd", comp) == raw
+    # 'zstd, gzip': zstd applied first, gzip outermost
+    layered = encode_content_body("gzip", comp)
+    assert decode_content_encoding("zstd, gzip", layered) == raw
+
+
+def test_warc_zst_ingest():
+    """r13: .warc.zst blobs (the archive format newer crawls ship)
+    decode through maybe_gunzip_warc — plain frames, multi-frame
+    concatenation, and the skippable-dictionary-frame prefix the
+    format convention allows; garbage zstd quarantines as ValueError."""
+    import struct
+
+    import pyarrow as pa
+
+    from esgopeta_spark.operators.web import (
+        build_warc_record,
+        maybe_gunzip_warc,
+        parse_warc,
+    )
+
+    rec = build_warc_record(
+        "https://h/x", b"HTTP/1.1 200 OK\r\nContent-Length: 2\r\n\r\nhi"
+    ) * 3
+    z = pa.Codec("zstd").compress(rec, asbytes=True)
+    assert maybe_gunzip_warc(z) == rec
+    sk = struct.pack("<II", 0x184D2A5D, 4) + b"dict"
+    assert maybe_gunzip_warc(sk + z) == rec
+    assert len(parse_warc(maybe_gunzip_warc(z))) == 3
+    with pytest.raises(ValueError):
+        maybe_gunzip_warc(b"\x28\xb5\x2f\xfd" + b"garbage frame body")
+
+
 def test_content_encoding_quarantine():
-    """Unknown codings and corrupt streams raise ValueError ONLY (the
-    stage-survival contract): br/zstd have no decoder here, truncated
-    and garbage members must not leak zlib.error."""
+    """Corrupt streams raise ValueError ONLY (the stage-survival
+    contract) for EVERY coding — r13: br/zstd now decode for real, so
+    garbage bodies must quarantine through the new decoders too."""
     import pytest as _pytest
 
     from esgopeta_spark.operators.web import (
@@ -1459,7 +1507,7 @@ def test_content_encoding_quarantine():
         except ValueError:
             continue
         # a truncated gzip that zlib happens to accept would return —
-        # only the unknown-coding rows are REQUIRED to raise
+        # only the garbage br/zstd rows are REQUIRED to raise
         assert enc not in ("br", "zstd"), out
 
 

@@ -1,0 +1,149 @@
+"""From-scratch zstd decoder (RFC 8878, r13): CONFORMANCE against the
+in-container libzstd (pyarrow bundles it) — unlike the MP3 B.7
+situation, the reference implementation is available, so every decode
+structure is pinned against real reference output rather than only
+against our own encoder twin.  Plus frame-level forms libzstd's
+one-shot API doesn't emit (concatenation, skippable frames, the
+checksum flag) and the byte-flip/truncation quarantine contract."""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import pytest
+
+pa = pytest.importorskip("pyarrow")
+
+from esgopeta_spark.operators.zstd import (  # noqa: E402
+    _fse_build_table,
+    _fse_read_ncount,
+    zstd_decompress,
+)
+
+
+def _ref(data: bytes, level: int = 3) -> bytes:
+    return pa.Codec("zstd", compression_level=level).compress(
+        data, asbytes=True)
+
+
+def test_conformance_matrix_against_libzstd():
+    """Every payload class x compression level decodes byte-identical
+    to the input libzstd compressed: levels 1/3/9/19 cover predefined
+    vs stream-described FSE tables, single vs 4-stream Huffman
+    literals, treeless/repeat blocks, multi-block frames, and
+    cross-block window references."""
+    rng = random.Random(7)
+    words = ["the", "quick", "brown", "fox", "data", "pipeline",
+             "spark", "zstd", "compression", "frame"]
+    cases = {
+        "words": " ".join(rng.choice(words) for _ in range(40000)).encode(),
+        "random": bytes(rng.randrange(256) for _ in range(300000)),
+        "lowent": bytes(rng.choice(b"ab") for _ in range(200000)),
+        "runs": b"".join(bytes([rng.randrange(4)]) * rng.randrange(1, 300)
+                         for _ in range(3000)),
+        "utf8": ("héllo wörld ünïcode ¡text! " * 8000).encode(),
+        "zeros": b"\x00" * 100000,
+        "tiny": b"x",
+        "empty": b"",
+    }
+    for tag, data in cases.items():
+        for lvl in (1, 3, 9, 19):
+            assert zstd_decompress(_ref(data, lvl)) == data, (tag, lvl)
+        for n in (0, 1, 5, 100, 1000):
+            assert zstd_decompress(_ref(data[:n])) == data[:n], (tag, n)
+
+
+def test_conformance_on_corpus_text():
+    """Real corpus prose (the Content-Encoding unwrap's actual input
+    class) at the level extremes."""
+    import duckdb
+
+    docs = duckdb.sql(
+        "select string_agg(text, ' ') from "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    ).fetchone()[0].encode()
+    for lvl in (1, 19):
+        assert zstd_decompress(_ref(docs, lvl)) == docs
+
+
+def test_frame_forms():
+    """Multi-frame concatenation, skippable frames, and the content
+    checksum flag (crafted — libzstd's one-shot API doesn't emit it;
+    the checksum bytes are consumed, content-size check still binds)."""
+    c1 = _ref(b"first frame ")
+    c2 = _ref(b"second")
+    assert zstd_decompress(c1 + c2) == b"first frame second"
+    sk = struct.pack("<II", 0x184D2A50, 4) + b"meta"
+    assert zstd_decompress(sk + c1 + sk + c2) == b"first frame second"
+    fr = bytearray(c1)
+    fr[4] |= 0x04  # set Content_Checksum_flag
+    fr += b"\x01\x02\x03\x04"
+    assert zstd_decompress(bytes(fr)) == b"first frame "
+    # a checksum flag WITHOUT the 4 bytes must quarantine, not pass
+    fr2 = bytearray(c1)
+    fr2[4] |= 0x04
+    with pytest.raises(ValueError):
+        zstd_decompress(bytes(fr2))
+
+
+def test_quarantine_contract_fuzz():
+    """Seeded byte flips / truncations over a real level-19 frame:
+    bytes or ValueError, never another exception type."""
+    import duckdb
+
+    rng = random.Random(0x25D)
+    docs = duckdb.sql(
+        "select string_agg(text, ' ') from "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    ).fetchone()[0].encode()[:50000]
+    base = _ref(docs, 19)
+    for trial in range(600):
+        fb = bytearray(base)
+        if trial % 3 == 0:
+            fb = fb[: rng.randrange(1, len(fb))]
+        else:
+            for _ in range(rng.randrange(1, 6)):
+                fb[rng.randrange(len(fb))] = rng.randrange(256)
+        try:
+            out = zstd_decompress(bytes(fb))
+            assert isinstance(out, bytes)
+        except ValueError:
+            pass
+
+
+def test_guards():
+    """Forged structures fail loudly: bad magic, reserved header bit,
+    reserved block type, content-size mismatch, output-cap forgery."""
+    with pytest.raises(ValueError):
+        zstd_decompress(b"")
+    with pytest.raises(ValueError):
+        zstd_decompress(b"\x00\x01\x02\x03rest")
+    c = bytearray(_ref(b"hello world"))
+    c[4] |= 0x08  # reserved frame-header bit
+    with pytest.raises(ValueError):
+        zstd_decompress(bytes(c))
+    # declared content size != decoded size
+    c = bytearray(_ref(b"hello world"))
+    assert c[4] >> 6 == 0 and (c[4] >> 5) & 1 == 1  # 1-byte FCS form
+    c[5] ^= 0x01  # off-by-one the declared size
+    with pytest.raises(ValueError):
+        zstd_decompress(bytes(c))
+    # skippable frame overrunning the payload
+    with pytest.raises(ValueError):
+        zstd_decompress(struct.pack("<II", 0x184D2A50, 100) + b"short")
+
+
+def test_fse_ncount_round_trip_shapes():
+    """The FSE normalized-count parser on hand-built descriptions:
+    accuracy log bounds and sum checks."""
+    # accuracy log above the caller's cap
+    with pytest.raises(ValueError):
+        _fse_read_ncount(b"\x0f\xff\xff", 10, 6)
+    # a valid table built from the predefined OF distribution survives
+    # build (spread lands on zero, all cells assigned)
+    from esgopeta_spark.operators.zstd import PREDEF_OF
+
+    tbl = _fse_build_table(PREDEF_OF[1], PREDEF_OF[0])
+    assert len(tbl) == 1 << PREDEF_OF[1]
+    assert all(e is not None for e in tbl)
