@@ -1436,3 +1436,117 @@ def topk_ip_ivfsq8(
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", "ip_micro12", "rank")
     )
+
+
+def mine_bitext_margin(
+    src: DataFrame,
+    tgt: DataFrame,
+    dim: int,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    margin_milli_min: int = 1050,
+) -> DataFrame:
+    """Margin-based bitext mining (r13 — the CCMatrix/WikiMatrix
+    pipeline step that pairs sentences across languages for
+    translation-capable pretraining data; Artetxe & Schwenk 2019's
+    RATIO margin): a candidate pair survives when its cosine stands
+    out from BOTH sides' neighborhoods —
+
+        margin(x, y) = cos(x, y) / ((avgK(x) + avgK(y)) / 2)
+
+    with avgK the mean cosine of the side's k nearest neighbors in the
+    OTHER side — and the pair is MUTUAL-BEST by margin in both
+    directions.  Plain nearest-neighbor pairing over-collects hubs
+    (vectors near everything); the margin denominator normalizes each
+    side's neighborhood density away, which is exactly why the ratio
+    form won for large-scale mining.
+
+    Determinism (the graded-oracle discipline): cosines are the same
+    sequential-order double arithmetic as every sim_* entry
+    (norm-hoisted unrolled dot == DuckDB list_dot_product fold); avgK
+    is computed as a FIXED-ORDER sum of the rank-1..k cosines (one
+    max(case when rank=i) per slot — never a float agg whose order the
+    partitioning picks); the margin is the single expression
+    cos * 2k / (sumK_src + sumK_tgt).  Outputs floor-rounded to
+    micro/milli integers.
+
+    Plan shape: broadcast(tgt) x src for the bipartite score relation
+    (the smaller side is a benchmark-scale set; vectors never leave the
+    scan stage — the pair relation narrows to (src_id, tgt_id, cos)
+    BEFORE any shuffle), then four windows on the two natural keys.
+    At 100 TB the score relation composes with the IVF path instead
+    (assign_cells on both sides, per-cell bipartite pairs — the
+    candidate generation CCMatrix itself uses); this exact form is the
+    oracle-scale tier.
+    """
+    s = src.select(
+        F.col(id_col).alias("src_id"), as_double(F.col(vec_col)).alias("_sv")
+    ).withColumn("_sn", norm_unrolled(F.col("_sv"), dim))
+    t = tgt.select(
+        F.col(id_col).alias("tgt_id"), as_double(F.col(vec_col)).alias("_tv")
+    ).withColumn("_tn", norm_unrolled(F.col("_tv"), dim))
+    pairs = (
+        s.join(F.broadcast(t), F.col("src_id") != F.col("tgt_id"))
+        .withColumn(
+            "_c",
+            cosine_prenormed(
+                F.col("_sv"), F.col("_tv"), F.col("_sn"), F.col("_tn"), dim
+            ),
+        )
+        .select("src_id", "tgt_id", "_c")
+    )
+    wf = Window.partitionBy("src_id").orderBy(
+        F.col("_c").desc(), F.col("tgt_id").asc()
+    )
+    wb = Window.partitionBy("tgt_id").orderBy(
+        F.col("_c").desc(), F.col("src_id").asc()
+    )
+    ranked = pairs.withColumn("_rf", F.row_number().over(wf)).withColumn(
+        "_rb", F.row_number().over(wb)
+    )
+
+    def _ksum(keyed: DataFrame, key: str, rank_col: str, out: str) -> DataFrame:
+        slots = [
+            F.max(F.when(F.col(rank_col) == i + 1, F.col("_c"))).alias(f"_s{i}")
+            for i in range(k)
+        ]
+        agg = keyed.filter(F.col(rank_col) <= k).groupBy(key).agg(*slots)
+        total = F.col("_s0")
+        for i in range(1, k):
+            total = total + F.col(f"_s{i}")  # fixed left-to-right order
+        return agg.select(key, total.alias(out))
+
+    fa = _ksum(ranked, "src_id", "_rf", "_fs")
+    fb = _ksum(ranked, "tgt_id", "_rb", "_bs")
+    m = (
+        pairs.join(F.broadcast(fa), "src_id")
+        .join(F.broadcast(fb), "tgt_id")
+        .withColumn(
+            "_m", (F.col("_c") * F.lit(float(2 * k))) / (F.col("_fs") + F.col("_bs"))
+        )
+        .select("src_id", "tgt_id", "_c", "_m")
+    )
+    bf = Window.partitionBy("src_id").orderBy(
+        F.col("_m").desc(), F.col("tgt_id").asc()
+    )
+    bb = Window.partitionBy("tgt_id").orderBy(
+        F.col("_m").desc(), F.col("src_id").asc()
+    )
+    return (
+        m.withColumn("_bf", F.row_number().over(bf))
+        .withColumn("_bb", F.row_number().over(bb))
+        .filter((F.col("_bf") == 1) & (F.col("_bb") == 1))
+        .withColumn(
+            "margin_milli",
+            F.floor(F.col("_m") * 1000.0 + 0.5).cast("bigint"),
+        )
+        .filter(F.col("margin_milli") >= F.lit(int(margin_milli_min)))
+        .select(
+            "src_id",
+            "tgt_id",
+            F.floor(F.col("_c") * 1000000.0 + 0.5).cast("bigint")
+            .alias("cosine_micro"),
+            "margin_milli",
+        )
+    )

@@ -1540,3 +1540,74 @@ def corpus_pack_mask_spans(spark, sf):
     from esgopeta_spark.operators.text import pack_mask_spans
 
     return pack_mask_spans(T(spark, sf, "documents"), window_tokens=2048)
+
+
+@register(
+    "mine_bitext_margin",
+    "G3,G4",
+    """
+    WITH s AS (SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS sv
+               FROM embeddings WHERE vec_id % 2 = 0),
+         t AS (SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS tv
+               FROM embeddings WHERE vec_id % 2 = 1),
+         p AS (SELECT src_id, tgt_id,
+                      list_dot_product(sv, tv)
+                        / (sqrt(list_dot_product(sv, sv))
+                           * sqrt(list_dot_product(tv, tv))) AS c
+               FROM s, t),
+         r AS (SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY src_id
+                                    ORDER BY c DESC, tgt_id) AS rf,
+                 ROW_NUMBER() OVER (PARTITION BY tgt_id
+                                    ORDER BY c DESC, src_id) AS rb
+               FROM p),
+         fa AS (SELECT src_id,
+                       ((MAX(CASE WHEN rf = 1 THEN c END)
+                         + MAX(CASE WHEN rf = 2 THEN c END))
+                        + MAX(CASE WHEN rf = 3 THEN c END))
+                       + MAX(CASE WHEN rf = 4 THEN c END) AS fs
+                FROM r WHERE rf <= 4 GROUP BY src_id),
+         fb AS (SELECT tgt_id,
+                       ((MAX(CASE WHEN rb = 1 THEN c END)
+                         + MAX(CASE WHEN rb = 2 THEN c END))
+                        + MAX(CASE WHEN rb = 3 THEN c END))
+                       + MAX(CASE WHEN rb = 4 THEN c END) AS bs
+                FROM r WHERE rb <= 4 GROUP BY tgt_id),
+         m AS (SELECT p.src_id, p.tgt_id, p.c,
+                      (p.c * 8.0) / (fa.fs + fb.bs) AS mg
+               FROM p JOIN fa USING (src_id) JOIN fb USING (tgt_id)),
+         mm AS (SELECT *,
+                  ROW_NUMBER() OVER (PARTITION BY src_id
+                                     ORDER BY mg DESC, tgt_id) AS bf,
+                  ROW_NUMBER() OVER (PARTITION BY tgt_id
+                                     ORDER BY mg DESC, src_id) AS bb
+                FROM m)
+    SELECT src_id, tgt_id,
+           CAST(floor(c * 1000000 + 0.5) AS BIGINT) AS cosine_micro,
+           CAST(floor(mg * 1000 + 0.5) AS BIGINT) AS margin_milli
+    FROM mm
+    WHERE bf = 1 AND bb = 1 AND floor(mg * 1000 + 0.5) >= 1050
+    """,
+    doc="margin-based bitext mining (r13 — the CCMatrix/WikiMatrix "
+    "step that pairs sentences across languages for translation-"
+    "capable pretraining; Artetxe & Schwenk 2019 ratio margin): sides "
+    "= even/odd vec_ids, margin = cos / mean of both sides' k-NN "
+    "cosines (k=4), pairs kept when MUTUAL-best by margin and margin "
+    ">= 1.05 — plain nearest-neighbor pairing over-collects hub "
+    "vectors; the denominator normalizes neighborhood density away.  "
+    "Hash-exact: sequential-order double cosines (the sim_* idiom), "
+    "avgK as a FIXED-ORDER sum of rank-slot maxes (never a float agg "
+    "whose order the partitioning picks), margin as one expression.  "
+    "Plan: broadcast bipartite score relation narrowed to 3 columns "
+    "before any shuffle, four natural-key windows; at 100 TB the "
+    "score relation composes with IVF cell assignment instead (the "
+    "candidate generation CCMatrix itself uses); "
+    "operators/similarity.py mine_bitext_margin",
+)
+def mine_bitext_margin(spark, sf):
+    from esgopeta_spark.operators.similarity import mine_bitext_margin as mine
+
+    emb = T(spark, sf, "embeddings")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    return mine(src, tgt, dim=64)

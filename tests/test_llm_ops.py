@@ -4015,3 +4015,97 @@ def test_length_balanced_sample_flattens(spark):
     assert sorted(sizes.values(), reverse=True) == [4, 3, 3]
     big = [r for r in o2 if sizes[r["bucket"]] == 4]
     assert {r["keep_ppm"] for r in big} == {(10 * 1000000) // (3 * 4)}
+
+
+def test_mine_bitext_margin_matches_reference_and_structure(spark):
+    """r13: the ratio-margin bitext miner equals a sequential-order
+    python replay of the same formula (cos, fixed-order k-sums, margin,
+    mutual-best, threshold) on a deterministic vector set, every mined
+    src/tgt appears at most once (mutual-best is one-to-one), and the
+    planted TRUE pair beats the hub distractor that plain best-cosine
+    pairing would collect."""
+    import math
+    import random as _random
+
+    from esgopeta_spark.operators.similarity import mine_bitext_margin
+
+    rng = _random.Random(0xB17E)
+    dim = 8
+    rows = []
+    # 6 src (even ids) / 6 tgt (odd ids) around 3 cluster directions,
+    # plus a HUB tgt (id 13) mid-way between clusters 0 and 1
+    dirs = [[1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+            [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+            [0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0]]
+    for i in range(6):
+        base = dirs[i % 3]
+        vec = [b + rng.uniform(-0.08, 0.08) for b in base]
+        rows.append((2 * i, vec))
+        vec2 = [b + rng.uniform(-0.08, 0.08) for b in base]
+        rows.append((2 * i + 1, vec2))
+    rows.append((13, [0.7, 0.7, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]))  # the hub
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from pyspark.sql import functions as F
+
+    out = mine_bitext_margin(
+        df.filter(F.col("vec_id") % 2 == 0),
+        df.filter(F.col("vec_id") % 2 == 1),
+        dim=dim, k=4, margin_milli_min=1000,
+    ).collect()
+    got = {(r["src_id"], r["tgt_id"]): (r["cosine_micro"], r["margin_milli"])
+           for r in out}
+    # mutual-best is one-to-one
+    assert len({s for s, _ in got}) == len(got)
+    assert len({t for _, t in got}) == len(got)
+
+    # python reference replay (float64 sequential order, as_double casts
+    # each float32 to double exactly like the Spark path)
+    import numpy as np
+
+    vecs = {i: [float(np.float32(x)) for x in v] for i, v in rows}
+    src_ids = sorted(i for i in vecs if i % 2 == 0)
+    tgt_ids = sorted(i for i in vecs if i % 2 == 1)
+
+    def cos(a, b):
+        d = 0.0
+        for x, y in zip(vecs[a], vecs[b]):
+            d += x * y
+        na = nb = 0.0
+        for x in vecs[a]:
+            na += x * x
+        for y in vecs[b]:
+            nb += y * y
+        return d / (math.sqrt(na) * math.sqrt(nb))
+
+    c = {(s, t): cos(s, t) for s in src_ids for t in tgt_ids}
+    k = 4
+
+    def ksum(key, side):
+        nbrs = sorted(
+            ((c[(key, t)] if side == "f" else c[(t, key)]), t)
+            for t in (tgt_ids if side == "f" else src_ids)
+        )
+        top = sorted(nbrs, key=lambda p: (-p[0], p[1]))[:k]
+        total = top[0][0]
+        for v, _ in top[1:]:
+            total = total + v
+        return total
+
+    fs = {s: ksum(s, "f") for s in src_ids}
+    bs = {t: ksum(t, "b") for t in tgt_ids}
+    mg = {(s, t): (c[(s, t)] * 8.0) / (fs[s] + bs[t])
+          for s in src_ids for t in tgt_ids}
+    best_f = {s: min(tgt_ids, key=lambda t: (-mg[(s, t)], t)) for s in src_ids}
+    best_b = {t: min(src_ids, key=lambda s: (-mg[(s, t)], s)) for t in tgt_ids}
+    want = {}
+    for s in src_ids:
+        t = best_f[s]
+        mm = math.floor(mg[(s, t)] * 1000 + 0.5)
+        if best_b[t] == s and mm >= 1000:
+            want[(s, t)] = (math.floor(c[(s, t)] * 1000000 + 0.5), mm)
+    assert got == want
+    # the hub never wins a mutual pairing: its margin is diluted by its
+    # own dense neighborhood
+    assert all(t != 13 for _, t in got)
+    # and at least the three clean cluster pairs were mined
+    assert len(got) >= 3

@@ -663,3 +663,27 @@ def test_r12_entries_plan_posture(spark, sf_dir):
         assert "Join" not in p, (entry, p)  # pure projection/kernel lineage
     p = plan_of(REGISTRY["sketch_kmv_overlap"].fn(spark, sf_dir))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_r13_entries_plan_posture(spark, sf_dir):
+    """The r13 wave entries keep the house physical posture: the
+    bitext miner's bipartite score relation is a BROADCAST of the
+    benchmark-scale side (never a plain cartesian) and narrows to
+    (src_id, tgt_id, cos) before any exchange — vectors stay in the
+    scan stage; the PDF-filter and modern content-encoding entries are
+    pure Arrow-kernel lineages with no join at all."""
+    import re
+
+    from esgopeta_spark.plans import REGISTRY
+
+    p = plan_of(REGISTRY["mine_bitext_margin"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" in p, p  # the bipartite score stage
+    # no exchange ships the 64-wide vector: every shuffle below the
+    # score stage carries only ids + scalars
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", p):
+        assert "embedding" not in m.group(1) and "_sv" not in m.group(1), p
+    for entry in ("text_pdf_filters", "web_content_encoding_modern"):
+        p = plan_of(REGISTRY[entry].fn(spark, sf_dir))
+        assert "CartesianProduct" not in p, (entry, p)
+        assert "Join" not in p, (entry, p)
