@@ -1661,3 +1661,81 @@ def readability_profile(
          + F.expr("(11800 * spw_milli) DIV 1000") - F.lit(15590))
         .cast("bigint").alias("fk_grade_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r13: bounded Unicode compatibility fold (NFKC-lite) — the C4/ftfy-
+# lineage normalization pass BETWEEN mojibake repair and tokenization.
+# Full NFKC needs the Unicode data tables; web prose needs exactly the
+# typographic/width/invisible classes below, and bounding the map is
+# what makes the fold ORACLE-SHARED: both engines' expressions are
+# generated from the ONE constant table here (the milli-log2
+# discipline, applied to text normalization).
+# ---------------------------------------------------------------------------
+
+#: 1:1 folds (ride translate() on both engines)
+FOLD_1TO1 = {
+    "‘": "'", "’": "'", "‚": "'", "‛": "'",  # quotes
+    "“": '"', "”": '"', "„": '"',
+    "–": "-", "—": "-", "−": "-",  # dashes, minus sign
+    " ": " ", " ": " ", " ": " ", " ": " ",  # spaces
+    " ": " ", "　": " ",
+}
+# fullwidth ASCII block: FF01..FF5E -> 21..7E (the width fold)
+FOLD_1TO1.update({chr(0xFF01 + i): chr(0x21 + i) for i in range(0x5E)})
+
+#: invisible characters DROPPED outright (translate's from-without-to)
+FOLD_DROP = "­​‌‍⁠﻿"
+
+#: 1:n folds (ride replace() chains on both engines; fixed dict order)
+FOLD_1TON = {
+    "ﬁ": "fi", "ﬂ": "fl",  # latin ligatures
+    "…": "...",  # horizontal ellipsis
+    "⁄": "/",  # fraction slash
+    "¼": "1/4", "½": "1/2", "¾": "3/4",  # vulgar fractions
+}
+
+
+def unicode_fold(col: Column) -> Column:
+    """Apply the bounded compatibility fold: one ``translate`` for the
+    1:1 map + invisible drops, then a fixed-order ``replace`` chain for
+    the 1:n expansions.  Pure codegen (no kernel, no shuffle); total on
+    null via the caller's coalesce; IDEMPOTENT (every target is plain
+    ASCII outside the map's domain — fuzz-pinned)."""
+    src = "".join(FOLD_1TO1) + FOLD_DROP
+    dst = "".join(FOLD_1TO1.values())
+    out = F.translate(col, src, dst)
+    for k, v in FOLD_1TON.items():
+        out = F.replace(out, F.lit(k), F.lit(v))
+    return out
+
+
+def unicode_fold_sql(expr: str) -> str:
+    """The IDENTICAL fold as a DuckDB expression, generated from the
+    same constants — the oracle side of the pair."""
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    src = "".join(FOLD_1TO1) + FOLD_DROP
+    dst = "".join(FOLD_1TO1.values())
+    out = f"translate({expr}, {q(src)}, {q(dst)})"
+    for k, v in FOLD_1TON.items():
+        out = f"replace({out}, {q(k)}, {q(v)})"
+    return out
+
+
+def fold_unicode(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, text) -> (id, folded, changed) — the DataFrame form of the
+    fold, with the changed flag a real pipeline logs (fold rates are a
+    corpus-quality signal: high fold mass flags scraped-PDF or
+    word-processor provenance)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    folded = unicode_fold(t)
+    return df.select(
+        F.col(id_col),
+        folded.alias("folded"),
+        (folded != t).cast("int").alias("changed"),
+    )

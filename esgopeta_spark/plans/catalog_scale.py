@@ -1611,3 +1611,66 @@ def mine_bitext_margin(spark, sf):
     src = emb.filter(F.col("vec_id") % 2 == 0)
     tgt = emb.filter(F.col("vec_id") % 2 == 1)
     return mine(src, tgt, dim=64)
+
+
+_UFOLD_SUFFIXES = [
+    "",  # class 0: clean (pins the no-false-positive side)
+    " ‘quoted’ “em—dash–set” and −5",  # typographic class
+    " ＦＵＬＬＷＩＤＴＨ　ｔｅｘｔ１２３！",  # width class
+    " ﬁﬂ…so­ft​hy‌phen ¼+½=¾⁄x",  # ligature/invisible class
+]
+
+
+def _ufold_oracle():
+    from esgopeta_spark.operators.text import unicode_fold_sql
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    suffix = ("CASE " + " ".join(
+        f"WHEN doc_id % 4 = {k} THEN {q(s)}"
+        for k, s in enumerate(_UFOLD_SUFFIXES)) + " END")
+    return f"""
+    WITH c AS (
+      SELECT doc_id, coalesce(text, '') || {suffix} AS t FROM documents
+    )
+    SELECT doc_id,
+           {unicode_fold_sql('t')} AS folded,
+           CAST(CASE WHEN {unicode_fold_sql('t')} <> t THEN 1 ELSE 0 END
+                AS INTEGER) AS changed
+    FROM c
+    """
+
+
+@register(
+    "text_unicode_fold",
+    "G4",
+    _ufold_oracle(),
+    doc="bounded Unicode compatibility fold, NFKC-lite (r13 — the "
+    "C4/ftfy-lineage normalization between mojibake repair and "
+    "tokenization): curly quotes/dashes/minus to ASCII, the NBSP/thin/"
+    "ideographic space family to space, the FULLWIDTH ASCII block to "
+    "halfwidth, soft hyphens + zero-widths DROPPED, fi/fl ligatures + "
+    "ellipsis + fraction forms expanded.  Full NFKC needs the Unicode "
+    "tables; bounding the map to the classes web prose actually "
+    "carries is what makes the fold ORACLE-SHARED — BOTH engines' "
+    "expressions are GENERATED from the one constant table "
+    "(text.FOLD_1TO1/FOLD_DROP/FOLD_1TON), so a drifted entry fails "
+    "the hash.  Fixture plants a suffix per id%4 class (clean / "
+    "typographic / fullwidth / ligature+invisible); 'changed' pins the "
+    "clean class reads 0.  Plan: one translate + fixed replace chain, "
+    "pure codegen, no shuffle; stateless (streams as-is); idempotence "
+    "fuzz-pinned; operators/text.py unicode_fold/unicode_fold_sql",
+)
+def text_unicode_fold(spark, sf):
+    from esgopeta_spark.operators.text import fold_unicode
+
+    did = F.col("doc_id")
+    suffix = F.lit(None).cast("string")
+    for k, s in enumerate(_UFOLD_SUFFIXES):
+        suffix = F.when(did % 4 == k, F.lit(s)).otherwise(suffix)
+    d = T(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(F.coalesce(F.col("text"), F.lit("")), suffix).alias("text"),
+    )
+    return fold_unicode(d)

@@ -4109,3 +4109,47 @@ def test_mine_bitext_margin_matches_reference_and_structure(spark):
     assert all(t != 13 for _, t in got)
     # and at least the three clean cluster pairs were mined
     assert len(got) >= 3
+
+
+def test_unicode_fold_matrix_and_idempotence(spark):
+    """r13: the bounded NFKC-lite fold — typographic quotes/dashes,
+    fullwidth block, invisibles dropped, ligature/fraction expansions;
+    clean ASCII and out-of-map unicode pass through unchanged; the fold
+    is IDEMPOTENT on seeded random unicode (every target is ASCII
+    outside the map's domain)."""
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from esgopeta_spark.operators.text import unicode_fold
+
+    cases = [
+        ("‘a’ “b” — c – d − e", "'a' \"b\" - c - d - e"),
+        ("Ｈｅｌｌｏ　Ｗｏｒｌｄ！１２３", "Hello World!123"),
+        ("ﬁﬂ…", "fifl..."),
+        ("so­ft​zw‌‍﻿", "softzw"),
+        ("¼ ½ ¾ a⁄b", "1/4 1/2 3/4 a/b"),
+        ("plain ascii stays", "plain ascii stays"),
+        ("кириллица 漢字 stays", "кириллица 漢字 stays"),
+        ("nbsp thin ideo　x", "nbsp thin ideo x"),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(cases)], "i long, t string"
+    )
+    got = {r["i"]: r["f"] for r in
+           df.select("i", unicode_fold(F.col("t")).alias("f")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+    # idempotence fuzz: fold(fold(x)) == fold(x) over seeded mixed text
+    rng = _random.Random(0xF01D)
+    pool = ("abc ‘’“”—–− ﬁﬂ…¼½¾⁄ ＡＺａｚ０９！ ­​ 　"
+            "кири漢字🎉 ")
+    rows = [(i, "".join(rng.choice(pool) for _ in range(rng.randrange(0, 60))))
+            for i in range(200)]
+    fdf = spark.createDataFrame(rows, "i long, t string").select(
+        "i",
+        unicode_fold(F.col("t")).alias("f1"),
+        unicode_fold(unicode_fold(F.col("t"))).alias("f2"),
+    )
+    assert fdf.filter(F.col("f1") != F.col("f2")).count() == 0
