@@ -1550,3 +1550,129 @@ def mine_bitext_margin(
             "margin_milli",
         )
     )
+
+
+def mine_bitext_margin_ivf(
+    src: DataFrame,
+    tgt: DataFrame,
+    dim: int,
+    k: int = 4,
+    centroid_stride: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    margin_milli_min: int = 1050,
+) -> DataFrame:
+    """The SCALE tier of :func:`mine_bitext_margin` (r13): IVF-bucketed
+    candidate generation — the shape CCMatrix itself mines with — so
+    the bipartite score relation is a hash-EQUI join on the coarse
+    cell id instead of the exact tier's broadcast cross.  Both sides
+    are argmax-assigned to a deterministic id-strided codebook drawn
+    from the union of the sides (the ``topk_cosine_ivf`` discipline,
+    via the driver-collected Arrow kernel ``assign_cells`` — zero
+    codegen of the unrolled cosine); kNN averages and margins are then
+    computed WITHIN cells.  Sides with fewer than k same-cell
+    neighbors average over what the cell offers (fixed-order sum of
+    rank-slot maxes with null coalesce / the actual count); a vector
+    whose cell holds no counterpart simply mines nothing — the
+    documented recall trade of n_probe=1 (scale deployments raise
+    n_probe exactly like the IVF top-k entry).
+
+    Deterministic end to end (assignment argmax, cosines, fixed-order
+    sums, single-expression margins), so the FULL approximate pipeline
+    is DuckDB-hash-checkable — the approximation is in the ALGORITHM,
+    not the execution.  Per-pair work: |cell_src| x |cell_tgt| within
+    each cell, never |A| x |B|.
+    """
+    s = src.select(
+        F.col(id_col).alias("src_id"), as_double(F.col(vec_col)).alias("_sv")
+    )
+    t = tgt.select(
+        F.col(id_col).alias("tgt_id"), as_double(F.col(vec_col)).alias("_tv")
+    )
+    uni = src.select(F.col(id_col), F.col(vec_col)).unionByName(
+        tgt.select(F.col(id_col), F.col(vec_col))
+    )
+    cents = (
+        uni.filter(F.col(id_col) % centroid_stride == 0)
+        .select(
+            F.col(id_col).alias("_cell"),
+            as_double(F.col(vec_col)).alias("_cent"),
+        )
+    )
+    a_s = assign_cells(
+        s, cents, dim, "src_id", "_sv", cell_col="_cell", norm_col="_sn",
+        book_cell_col="_cell", book_vec_col="_cent",
+    ).select("src_id", "_sv", "_sn", "_cell")
+    a_t = assign_cells(
+        t, cents, dim, "tgt_id", "_tv", cell_col="_cell", norm_col="_tn",
+        book_cell_col="_cell", book_vec_col="_cent",
+    ).select("tgt_id", "_tv", "_tn", "_cell")
+    pairs = (
+        a_s.join(a_t, "_cell")
+        .withColumn(
+            "_c",
+            cosine_prenormed(
+                F.col("_sv"), F.col("_tv"), F.col("_sn"), F.col("_tn"), dim
+            ),
+        )
+        .select("src_id", "tgt_id", "_c")
+    )
+    wf = Window.partitionBy("src_id").orderBy(
+        F.col("_c").desc(), F.col("tgt_id").asc()
+    )
+    wb = Window.partitionBy("tgt_id").orderBy(
+        F.col("_c").desc(), F.col("src_id").asc()
+    )
+    ranked = pairs.withColumn("_rf", F.row_number().over(wf)).withColumn(
+        "_rb", F.row_number().over(wb)
+    )
+
+    def _ksum(key: str, rank_col: str, out: str, nout: str) -> DataFrame:
+        slots = [
+            F.max(F.when(F.col(rank_col) == i + 1, F.col("_c"))).alias(f"_s{i}")
+            for i in range(k)
+        ]
+        agg = (
+            ranked.filter(F.col(rank_col) <= k)
+            .groupBy(key)
+            .agg(*slots, F.count("*").alias(nout))
+        )
+        total = F.col("_s0")
+        for i in range(1, k):
+            total = total + F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+        return agg.select(key, total.alias(out), nout)
+
+    fa = _ksum("src_id", "_rf", "_fs", "_fn")
+    fb = _ksum("tgt_id", "_rb", "_bs", "_bn")
+    m = (
+        pairs.join(F.broadcast(fa), "src_id")
+        .join(F.broadcast(fb), "tgt_id")
+        .withColumn(
+            "_m",
+            (F.col("_c") * F.lit(2.0))
+            / ((F.col("_fs") / F.col("_fn")) + (F.col("_bs") / F.col("_bn"))),
+        )
+        .select("src_id", "tgt_id", "_c", "_m")
+    )
+    bf = Window.partitionBy("src_id").orderBy(
+        F.col("_m").desc(), F.col("tgt_id").asc()
+    )
+    bb = Window.partitionBy("tgt_id").orderBy(
+        F.col("_m").desc(), F.col("src_id").asc()
+    )
+    return (
+        m.withColumn("_bf", F.row_number().over(bf))
+        .withColumn("_bb", F.row_number().over(bb))
+        .filter((F.col("_bf") == 1) & (F.col("_bb") == 1))
+        .withColumn(
+            "margin_milli", F.floor(F.col("_m") * 1000.0 + 0.5).cast("bigint")
+        )
+        .filter(F.col("margin_milli") >= F.lit(int(margin_milli_min)))
+        .select(
+            "src_id",
+            "tgt_id",
+            F.floor(F.col("_c") * 1000000.0 + 0.5).cast("bigint")
+            .alias("cosine_micro"),
+            "margin_milli",
+        )
+    )

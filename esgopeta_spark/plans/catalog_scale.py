@@ -1674,3 +1674,95 @@ def text_unicode_fold(spark, sf):
         F.concat(F.coalesce(F.col("text"), F.lit("")), suffix).alias("text"),
     )
     return fold_unicode(d)
+
+
+@register(
+    "mine_bitext_margin_ivf",
+    "G3,G4",
+    """
+    WITH s AS (SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS sv
+               FROM embeddings WHERE vec_id % 2 = 0),
+         t AS (SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS tv
+               FROM embeddings WHERE vec_id % 2 = 1),
+         cents AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings WHERE vec_id % 25 = 0),
+         a_s AS (
+           SELECT src_id, sv, cell FROM (
+             SELECT s.src_id, s.sv, cents.cell,
+                    ROW_NUMBER() OVER (PARTITION BY s.src_id ORDER BY
+                      list_dot_product(s.sv, cents.cv)
+                        / (sqrt(list_dot_product(s.sv, s.sv))
+                           * sqrt(list_dot_product(cents.cv, cents.cv))) DESC,
+                      cents.cell ASC) AS rn
+             FROM s CROSS JOIN cents) WHERE rn = 1),
+         a_t AS (
+           SELECT tgt_id, tv, cell FROM (
+             SELECT t.tgt_id, t.tv, cents.cell,
+                    ROW_NUMBER() OVER (PARTITION BY t.tgt_id ORDER BY
+                      list_dot_product(t.tv, cents.cv)
+                        / (sqrt(list_dot_product(t.tv, t.tv))
+                           * sqrt(list_dot_product(cents.cv, cents.cv))) DESC,
+                      cents.cell ASC) AS rn
+             FROM t CROSS JOIN cents) WHERE rn = 1),
+         p AS (SELECT a_s.src_id, a_t.tgt_id,
+                      list_dot_product(a_s.sv, a_t.tv)
+                        / (sqrt(list_dot_product(a_s.sv, a_s.sv))
+                           * sqrt(list_dot_product(a_t.tv, a_t.tv))) AS c
+               FROM a_s JOIN a_t ON a_s.cell = a_t.cell),
+         r AS (SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY src_id
+                                    ORDER BY c DESC, tgt_id) AS rf,
+                 ROW_NUMBER() OVER (PARTITION BY tgt_id
+                                    ORDER BY c DESC, src_id) AS rb
+               FROM p),
+         fa AS (SELECT src_id,
+                       ((MAX(CASE WHEN rf = 1 THEN c END)
+                         + COALESCE(MAX(CASE WHEN rf = 2 THEN c END), 0.0))
+                        + COALESCE(MAX(CASE WHEN rf = 3 THEN c END), 0.0))
+                       + COALESCE(MAX(CASE WHEN rf = 4 THEN c END), 0.0) AS fs,
+                       COUNT(*) AS fn
+                FROM r WHERE rf <= 4 GROUP BY src_id),
+         fb AS (SELECT tgt_id,
+                       ((MAX(CASE WHEN rb = 1 THEN c END)
+                         + COALESCE(MAX(CASE WHEN rb = 2 THEN c END), 0.0))
+                        + COALESCE(MAX(CASE WHEN rb = 3 THEN c END), 0.0))
+                       + COALESCE(MAX(CASE WHEN rb = 4 THEN c END), 0.0) AS bs,
+                       COUNT(*) AS bn
+                FROM r WHERE rb <= 4 GROUP BY tgt_id),
+         m AS (SELECT p.src_id, p.tgt_id, p.c,
+                      (p.c * 2.0) / ((fa.fs / fa.fn) + (fb.bs / fb.bn)) AS mg
+               FROM p JOIN fa USING (src_id) JOIN fb USING (tgt_id)),
+         mm AS (SELECT *,
+                  ROW_NUMBER() OVER (PARTITION BY src_id
+                                     ORDER BY mg DESC, tgt_id) AS bf,
+                  ROW_NUMBER() OVER (PARTITION BY tgt_id
+                                     ORDER BY mg DESC, src_id) AS bb
+                FROM m)
+    SELECT src_id, tgt_id,
+           CAST(floor(c * 1000000 + 0.5) AS BIGINT) AS cosine_micro,
+           CAST(floor(mg * 1000 + 0.5) AS BIGINT) AS margin_milli
+    FROM mm
+    WHERE bf = 1 AND bb = 1 AND floor(mg * 1000 + 0.5) >= 1050
+    """,
+    doc="bitext mining, IVF SCALE tier (r13): the exact ratio-margin "
+    "miner's candidate generation replaced by coarse-cell bucketing — "
+    "both sides argmax-assigned to a deterministic strided codebook "
+    "drawn from their union (assign_cells Arrow kernel, bit-identical "
+    "to the join argmax), pairs generated per CELL via a hash-equi "
+    "join (never the bipartite broadcast cross — per-pair work is "
+    "|cell_src| x |cell_tgt|, the shape CCMatrix mines 100 TB with), "
+    "kNN averages over what the cell offers (fixed-order coalesce "
+    "sums / actual counts).  The whole APPROXIMATE pipeline is "
+    "hash-exact vs DuckDB — the approximation is in the algorithm, "
+    "not the execution (the IVF top-k discipline); "
+    "operators/similarity.py mine_bitext_margin_ivf",
+)
+def mine_bitext_margin_ivf(spark, sf):
+    from esgopeta_spark.operators.similarity import (
+        mine_bitext_margin_ivf as mine,
+    )
+
+    emb = T(spark, sf, "embeddings")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    return mine(src, tgt, dim=64)

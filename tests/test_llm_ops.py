@@ -4153,3 +4153,66 @@ def test_unicode_fold_matrix_and_idempotence(spark):
         unicode_fold(unicode_fold(F.col("t"))).alias("f2"),
     )
     assert fdf.filter(F.col("f1") != F.col("f2")).count() == 0
+
+
+def test_mine_bitext_ivf_structure_and_planted_recall(spark, sf_dir):
+    """r13: the IVF scale tier keeps the mutual-best one-to-one
+    discipline, agrees with the exact tier BIT-FOR-BIT on every pair
+    both mine (same cosine/margin arithmetic — only the candidate set
+    is approximate), and recovers EVERY planted near-duplicate pair on
+    a constructed corpus (true translations are near-identical vectors,
+    which land in the same coarse cell — the reason IVF candidate
+    generation works for mining at all).  Note the MINED SETS legitimately
+    diverge on diffuse corpora: within-cell kNN averages shift margins,
+    and mutual-best is sensitive to neighborhood composition — that is
+    the documented n_probe=1 trade, not an execution bug."""
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from esgopeta_spark.operators.similarity import (
+        mine_bitext_margin,
+        mine_bitext_margin_ivf,
+    )
+    from esgopeta_spark.plans import REGISTRY
+
+    exact = {(r["src_id"], r["tgt_id"]): r["cosine_micro"]
+             for r in REGISTRY["mine_bitext_margin"].fn(spark, sf_dir).collect()}
+    ivf_rows = REGISTRY["mine_bitext_margin_ivf"].fn(spark, sf_dir).collect()
+    ivf = {(r["src_id"], r["tgt_id"]): r["cosine_micro"] for r in ivf_rows}
+    assert len({s for s, _ in ivf}) == len(ivf)
+    assert len({t for _, t in ivf}) == len(ivf)
+    shared = set(exact) & set(ivf)
+    assert shared, "the two tiers should agree on some pairs"
+    assert all(exact[p] == ivf[p] for p in shared)
+
+    # planted recall: 12 true pairs as near-identical vectors spread
+    # over distinct directions; both tiers must mine every one
+    rng = _random.Random(0x1BF)
+    dim = 16
+    rows = []
+    for i in range(12):
+        base = [0.0] * dim
+        base[i % dim] = 1.0
+        base[(i * 5 + 3) % dim] = 0.6
+        src_v = [b + rng.uniform(-0.02, 0.02) for b in base]
+        tgt_v = [b + rng.uniform(-0.02, 0.02) for b in base]
+        rows.append((2 * i, src_v))
+        rows.append((2 * i + 1, tgt_v))
+    # noise vectors on both sides (ids keep parity)
+    for j in range(12, 30):
+        v = [rng.uniform(-0.3, 0.3) for _ in range(dim)]
+        rows.append((2 * j, v))
+        rows.append((2 * j + 1, [x + rng.uniform(-0.3, 0.3) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    src = df.filter(F.col("vec_id") % 2 == 0)
+    tgt = df.filter(F.col("vec_id") % 2 == 1)
+    true_pairs = {(2 * i, 2 * i + 1) for i in range(12)}
+    for fn in (mine_bitext_margin, mine_bitext_margin_ivf):
+        mined = {(r["src_id"], r["tgt_id"])
+                 for r in fn(src, tgt, dim=dim, centroid_stride=5).collect()} \
+            if fn is mine_bitext_margin_ivf else \
+            {(r["src_id"], r["tgt_id"])
+             for r in fn(src, tgt, dim=dim).collect()}
+        missed = true_pairs - mined
+        assert not missed, (fn.__name__, missed)

@@ -687,3 +687,18 @@ def test_r13_entries_plan_posture(spark, sf_dir):
         p = plan_of(REGISTRY[entry].fn(spark, sf_dir))
         assert "CartesianProduct" not in p, (entry, p)
         assert "Join" not in p, (entry, p)
+
+
+def test_bitext_ivf_plan_posture(spark, sf_dir):
+    """The IVF bitext tier never plans the bipartite broadcast cross:
+    candidates come from a hash-EQUI join on the coarse cell id (the
+    selective-signature discipline), and no exchange ships vectors."""
+    import re
+
+    from esgopeta_spark.plans import REGISTRY
+
+    p = plan_of(REGISTRY["mine_bitext_margin_ivf"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", p):
+        assert "_sv" not in m.group(1) and "_tv" not in m.group(1), p
