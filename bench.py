@@ -104,15 +104,16 @@ HEADLINE = [
     "dedup_substring_spans",
     "sim_topk_ip_pq",
     "graph_communities_lpa",
-    # round-6 flagships: CMS heavy hitters, k-core peel, LOCF gap fill,
-    # real MPEG-1 Layer I/II audio round trip
+    # round-6 flagships: CMS heavy hitters, LOCF gap fill (r13: k-core
+    # and the mp2 sibling retired from the roster to fund the r13
+    # additions under the record budget — k-core has been parity-only
+    # since r10 with pagerank/triangles/LPA still measured, and mp3
+    # strictly supersedes the mp2 decode machinery; their historical
+    # per-round numbers live in BENCH_r*.json)
     "agg_cms_heavy_hitters",
-    "graph_kcore_members",
     "ts_gapfill_daily_locf",
-    "multimodal_decode_mp2_audio",
     # round-8 flagships: REAL MPEG-1 Layer III round trip (Huffman + bit
-    # reservoir + hybrid MDCT; mp2 stays for round-over-round
-    # comparability) and the image/audio near-dup rotations
+    # reservoir + hybrid MDCT) and the image/audio near-dup rotations
     "multimodal_decode_mp3_audio",
     "dedup_image_dhash",
     "dedup_audio_fingerprint",
@@ -128,7 +129,8 @@ HEADLINE = [
     # terminal step)
     "text_html_extract",
     "web_url_canonical_dedup",
-    "pipeline_html_to_shards",
+    # (r13: pipeline_html_to_shards retired from the roster — the
+    # r10 crawl capstone below measures its superset lineage)
     "ts_ewma_daily",
     "select_mixture_materialize",
     # the r10 capstone: raw mixed WARC bytes -> HTTP unwrap -> sniff ->
@@ -160,6 +162,11 @@ HEADLINE = [
     "dedup_fuzzy_family_titles",
     "web_xrobots_gate",
     "sketch_kmv_overlap",
+    # r13 waves: the modern Content-Encoding unwrap (zstd through the
+    # from-scratch RFC 8878 decoder / pyarrow C path, brotli) and the
+    # bitext miner's IVF scale tier (cell-equi candidates)
+    "web_content_encoding_modern",
+    "mine_bitext_margin_ivf",
 ]
 
 
