@@ -2433,6 +2433,107 @@ def test_mpeg1_l3_linbits_table_injection_end_to_end():
         pass
 
 
+def test_mpeg1_l3_table5_6_8_9_injection_end_to_end(monkeypatch):
+    """r13 (r12 verdict #5, continued): the remaining SHARED-alphabet
+    pairs — 5/6 (4x4) and 8/9 (6x6).  5/6 get distinct fixed 4-bit
+    bijections; 8/9 get MIXED-LENGTH canonical codes (28 five-bit +
+    8 six-bit codewords — Kraft-complete, the first injected tables
+    whose codeword lengths VARY, exercising the validator's prefix
+    check beyond fixed-width bijections).  A granule peaking at 3
+    selects table 5; forcing 6, then a peak-5 granule selecting... the
+    ladder's 7 is already iso-b7-proven, so 8/9 are exercised by
+    forcing the pick (same alphabet, wire-legal).  All four round-trip
+    under the injected codes; provenance flips and restores."""
+    from esgopeta_spark.operators import mpeg1_audio as m
+
+    def granule_roundtrip(ix):
+        w = m._BitW()
+        side = m._write_granule(
+            w, ix, 0, 0, 0, np.zeros(m._N_SF_LONG, dtype=np.int64), 0
+        )
+        if w.n:
+            w.put(0, 8 - w.n)
+        payload = bytes(w.buf)
+        side.update(scalefac_compress=0, window_switching=0, block_type=0)
+        got, _sf, _end = m._read_granule(m._BitR(payload), 0, side, 0, 0, None)
+        return side, payload, got
+
+    rng = np.random.default_rng(0x5689)
+    ix3 = np.zeros(576, dtype=np.int64)
+    ix3[:96] = rng.integers(-2, 3, 96)
+    ix3[0], ix3[40], ix3[90] = 3, -3, 3  # peak 3 -> the 4x4 ladder
+    side, _pay, got = granule_roundtrip(ix3)
+    assert 5 in side["table_select"], side["table_select"]
+    assert (got == ix3).all()
+
+    ix5 = np.zeros(576, dtype=np.int64)
+    ix5[:96] = rng.integers(-4, 5, 96)
+    ix5[0], ix5[40], ix5[90] = 5, -5, 5  # peak 5 -> the 6x6 ladder (7)
+
+    entries5 = [(s // 4, s % 4, 4, s) for s in range(16)]
+    entries6 = [(s // 4, s % 4, 4, s ^ 0x9) for s in range(16)]
+    # mixed-length canonical code on the 36-symbol 6x6 alphabet:
+    # symbols 0..27 at 5 bits, 28..35 at 6 bits (Kraft: 28/32+8/64=1)
+    def mixed():
+        lens = [5] * 28 + [6] * 8
+        out, code, prev = [], 0, 0
+        for s in sorted(range(36), key=lambda t: (lens[t], t)):
+            code <<= lens[s] - prev
+            prev = lens[s]
+            out.append((s // 6, s % 6, lens[s], code))
+            code += 1
+        return out
+
+    entries8 = mixed()
+    # table 9: same lengths, symbols permuted (reverse symbol order
+    # within each length class) -> a DIFFERENT valid canonical code
+    def mixed_rev():
+        lens = [5] * 28 + [6] * 8
+        out, code, prev = [], 0, 0
+        for s in sorted(range(36), key=lambda t: (lens[t], -t)):
+            code <<= lens[s] - prev
+            prev = lens[s]
+            out.append((s // 6, s % 6, lens[s], code))
+            code += 1
+        return out
+
+    entries9 = mixed_rev()
+    snapshot = dict(m._SPEC_DATA)
+    try:
+        m.load_spec_tables(
+            {5: entries5, 6: entries6, 8: entries8, 9: entries9})
+        prov = m.huffman_provenance()
+        assert all(prov[t] == "iso-b7" for t in (5, 6, 8, 9))
+        side2, pay5, got2 = granule_roundtrip(ix3)
+        assert 5 in side2["table_select"]
+        assert (got2 == ix3).all()
+        orig_pick = m._pick_table
+        payloads = {5: pay5}
+        for alt, base_pick, ix in ((6, 5, ix3), (8, 7, ix5), (9, 7, ix5)):
+            monkeypatch.setattr(
+                m, "_pick_table",
+                lambda rmax, _a=alt, _b=base_pick: _a
+                if orig_pick(rmax) == _b else orig_pick(rmax),
+            )
+            side3, pay_n, got3 = granule_roundtrip(ix)
+            assert alt in side3["table_select"], (alt, side3["table_select"])
+            assert (got3 == ix).all(), f"values must survive injected {alt}"
+            payloads[alt] = pay_n
+            pcm = _tone16(220 + 55 * alt, 1152 * 2, 44100)
+            out, _ = m.decode_mpeg1_audio(
+                m.encode_mpeg1_audio(pcm, 44100, layer=3))
+            assert _snr_db(pcm, out) > 40.0
+        assert payloads[8] != payloads[9], \
+            "8 and 9 must differ on the wire (permuted canonical codes)"
+    finally:
+        m._SPEC_DATA.clear()
+        m._SPEC_DATA.update(snapshot)
+        m._HUFF.clear()
+        m._COUNT1A = m._Count1A()
+    prov = m.huffman_provenance()
+    assert all(prov[t] == "canonical-dialect" for t in (5, 6, 8, 9))
+
+
 def test_mpeg1_l3_table10_11_12_injection_end_to_end(monkeypatch):
     """r13 (r12 verdict #5): prove the Table B.7 injection path on the
     10/11/12 REGION-LADDER triple — the 8x8 tables every mid-rate
