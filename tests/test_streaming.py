@@ -2015,3 +2015,53 @@ def test_streaming_template_lines_matches_batch(spark, tmp_path):
                 and a["n_dropped"] != b["n_dropped"]
                 for a in multi for b in multi
             ), "expected template-crossing retro-corrections"
+
+
+def test_stateless_r13_ops_run_on_streams_as_is(spark, tmp_path):
+    """r13 stateless ops follow the share-don't-mirror discipline: the
+    unicode fold (pure codegen) and the modern content-encoding unwrap
+    (Arrow kernel chain with zstd/br decode) run on a readStream
+    UNCHANGED, and the drained results equal the batch run row-for-row."""
+    import pyarrow as pa
+
+    from pyspark.sql import functions as F
+
+    from esgopeta_spark.operators.text import fold_unicode
+    from esgopeta_spark.operators.web import (
+        build_warc_record,
+        http_unwrap_digest,
+    )
+
+    rows = [(d, f"d‘oc’ — ＴＥＸＴ ﬁ {d}") for d in range(12)]
+    d1 = str(tmp_path / "fold_in")
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .coalesce(1).write.parquet(d1)
+    batch = {r["doc_id"]: (r["folded"], r["changed"])
+             for r in fold_unicode(spark.read.parquet(d1)).collect()}
+    stream = spark.readStream.schema("doc_id long, text string").parquet(d1)
+    run_stream_to_memory(fold_unicode(stream), "foldstream", mode="append")
+    got = {r["doc_id"]: (r["folded"], r["changed"])
+           for r in spark.sql("select * from foldstream").collect()}
+    assert got == batch and all(c == 1 for _, c in got.values())
+
+    def warc_of(d):
+        body = pa.Codec("zstd").compress(
+            f"page body {d}".encode(), asbytes=True)
+        payload = (
+            f"HTTP/1.1 200 OK\r\nContent-Encoding: zstd\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode("latin-1") + body
+        return build_warc_record(f"https://h/{d}", payload)
+
+    wrows = [(d, warc_of(d)) for d in range(8)]
+    d2 = str(tmp_path / "enc_in")
+    spark.createDataFrame(wrows, "doc_id long, warc binary") \
+        .coalesce(1).write.parquet(d2)
+    batch2 = {r["doc_id"]: (r["status"], r["page_md5"])
+              for r in http_unwrap_digest(spark.read.parquet(d2)).collect()}
+    stream2 = spark.readStream.schema("doc_id long, warc binary").parquet(d2)
+    run_stream_to_memory(
+        http_unwrap_digest(stream2), "encstream", mode="append")
+    got2 = {r["doc_id"]: (r["status"], r["page_md5"])
+            for r in spark.sql("select * from encstream").collect()}
+    assert got2 == batch2 and all(s == 200 for s, _ in got2.values())
