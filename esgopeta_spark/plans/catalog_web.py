@@ -59,9 +59,11 @@ _HTML_EXTRACT_SQL = r"""
     "operators/web.py extract_html_text",
 )
 def text_html_extract(spark, sf):
+    from esgopeta_spark.session import ensure_min_partitions
     from esgopeta_spark.operators.web import html_extract, synth_html
 
-    d = T(spark, sf, "documents").select(
+    d = ensure_min_partitions(  # r13: widen the single-row-group scan
+        T(spark, sf, "documents")).select(
         "doc_id",
         synth_html(F.col("doc_id"), F.coalesce(F.col("text"), F.lit(""))).alias("html"),
     )
@@ -660,6 +662,7 @@ _CRAWL_SHARDS_SQL = r"""
     "operators/pdf.py + operators/text.py split_shards",
 )
 def pipeline_crawl_to_shards(spark, sf):
+    from esgopeta_spark.session import ensure_min_partitions
     from esgopeta_spark.operators.text import split_shards
     from esgopeta_spark.operators.web import (
         synth_html,
@@ -668,7 +671,8 @@ def pipeline_crawl_to_shards(spark, sf):
     )
 
     did = F.col("doc_id")
-    d = T(spark, sf, "documents").select(
+    d = ensure_min_partitions(  # r13: widen the single-row-group scan
+        T(spark, sf, "documents")).select(
         "doc_id",
         _seed_url(did).alias("uri"),
         synth_html(did, F.coalesce(F.col("text"), F.lit(""))).alias("html"),
@@ -771,8 +775,12 @@ def web_redirect_resolve(spark, sf):
 )
 def text_pdf_extract(spark, sf):
     from esgopeta_spark.operators.pdf import pdf_extract, synth_pdf
+    from esgopeta_spark.session import ensure_min_partitions
 
-    d = T(spark, sf, "documents").select(
+    # r13: widen the single-row-group scan so the per-row PDF
+    # build+extract kernels parallelize (the serial-scan artifact the
+    # r13 sf1* probe exposed; a no-op on real multi-split inputs)
+    d = ensure_min_partitions(T(spark, sf, "documents")).select(
         "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
     )
     return pdf_extract(synth_pdf(d))
@@ -807,8 +815,12 @@ def text_pdf_extract(spark, sf):
 )
 def text_pdf_font_remap(spark, sf):
     from esgopeta_spark.operators.pdf import pdf_extract, synth_pdf_fontmapped
+    from esgopeta_spark.session import ensure_min_partitions
 
-    d = T(spark, sf, "documents").select(
+    # r13: widen the single-row-group scan so the per-row PDF
+    # build+extract kernels parallelize (the serial-scan artifact the
+    # r13 sf1* probe exposed; a no-op on real multi-split inputs)
+    d = ensure_min_partitions(T(spark, sf, "documents")).select(
         "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
     )
     return pdf_extract(synth_pdf_fontmapped(d))
@@ -845,8 +857,12 @@ def text_pdf_font_remap(spark, sf):
 )
 def text_pdf_filters(spark, sf):
     from esgopeta_spark.operators.pdf import pdf_extract, synth_pdf_filtered
+    from esgopeta_spark.session import ensure_min_partitions
 
-    d = T(spark, sf, "documents").select(
+    # r13: widen the single-row-group scan so the per-row PDF
+    # build+extract kernels parallelize (the serial-scan artifact the
+    # r13 sf1* probe exposed; a no-op on real multi-split inputs)
+    d = ensure_min_partitions(T(spark, sf, "documents")).select(
         "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
     )
     return pdf_extract(synth_pdf_filtered(d))
@@ -2116,6 +2132,7 @@ def _content_encoding_oracle():
     "http_unwrap_digest",
 )
 def web_content_encoding(spark, sf):
+    from esgopeta_spark.session import ensure_min_partitions
     from esgopeta_spark.operators.web import (
         http_unwrap_digest,
         synth_encoded_warc,
@@ -2123,7 +2140,8 @@ def web_content_encoding(spark, sf):
     )
 
     did = F.col("doc_id")
-    d = T(spark, sf, "documents").select(
+    d = ensure_min_partitions(  # r13: widen the single-row-group scan
+        T(spark, sf, "documents")).select(
         "doc_id",
         _seed_url(did).alias("uri"),
         synth_html(did, F.coalesce(F.col("text"), F.lit(""))).alias("page"),
@@ -2174,6 +2192,7 @@ def _content_encoding_modern_oracle():
     "operators/web.py decode_content_encoding + operators/zstd.py",
 )
 def web_content_encoding_modern(spark, sf):
+    from esgopeta_spark.session import ensure_min_partitions
     from esgopeta_spark.operators.web import (
         _ENC_CLASSES_MODERN,
         http_unwrap_digest,
@@ -2182,7 +2201,8 @@ def web_content_encoding_modern(spark, sf):
     )
 
     did = F.col("doc_id")
-    d = T(spark, sf, "documents").select(
+    d = ensure_min_partitions(  # r13: widen the single-row-group scan
+        T(spark, sf, "documents")).select(
         "doc_id",
         _seed_url(did).alias("uri"),
         synth_html(did, F.coalesce(F.col("text"), F.lit(""))).alias("page"),
