@@ -3486,3 +3486,73 @@ def soft404_flags(
         ((status == 200) & hit).cast("int").alias("soft404"),
         ((status >= 400)).cast("int").alias("hard_error"),
     )
+
+
+def synth_zstd_blobs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    page_col: str = "page",
+    out_col: str = "blob",
+) -> DataFrame:
+    """Encoder-twin fixture for the HOUSE zstd-decoder entry: per doc
+    the page's UTF-8 bytes compressed by libzstd (pyarrow) at a
+    per-class level — 1 (fast path: raw/rle-heavy blocks), 3, 9, 19
+    (max: stream-described FSE tables, treeless blocks, 4-stream
+    literals) — so the from-scratch decoder faces every block shape
+    the reference encoder emits; id%23==1 ships a TRUNCATED frame
+    (last 4 bytes cut — with the declared content size this fails
+    DETERMINISTICALLY, unlike a byte flip whose effect the oracle
+    could not predict) that must quarantine visibly."""
+
+    @F.pandas_udf("binary")
+    def _build(did: pd.Series, page: pd.Series) -> pd.Series:
+        import pyarrow as _pa
+
+        levels = [1, 3, 9, 19]
+
+        def one(d, p):
+            d = int(d)
+            body = (p if isinstance(p, str) else "").encode("utf-8")
+            comp = _pa.Codec(
+                "zstd", compression_level=levels[d % 4]
+            ).compress(body, asbytes=True)
+            if d % 23 == 1:
+                return comp[:-4]
+            return comp
+
+        return pd.Series([one(d, p) for d, p in zip(did, page)])
+
+    return df.withColumn(out_col, _build(F.col(id_col), F.col(page_col)))
+
+
+def zstd_house_digest(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode zstd blobs through the FROM-SCRATCH RFC 8878 decoder
+    (operators/zstd.py — explicitly NOT the pyarrow fast path, which
+    the Content-Encoding unwrap prefers at scale) and emit the
+    recovered page's md5 + length; a frame that fails to decode
+    quarantines to a VISIBLE (ok=0, '', -1) row.  One Arrow kernel
+    over one scan, shuffle-free; stateless (streams as-is)."""
+    import hashlib
+
+    from esgopeta_spark.operators.zstd import zstd_decompress
+
+    @F.pandas_udf("struct<ok: int, page_md5: string, n_chars: bigint>")
+    def _digest(s: pd.Series) -> pd.DataFrame:
+        oks, md5s, ns = [], [], []
+        for b in s:
+            try:
+                body = zstd_decompress(bytes(b) if b is not None else b"")
+                text = body.decode("utf-8")
+                oks.append(1)
+                md5s.append(hashlib.md5(text.encode("utf-8")).hexdigest())
+                ns.append(len(text))
+            except (ValueError, UnicodeDecodeError):
+                oks.append(0)
+                md5s.append("")
+                ns.append(-1)
+        return pd.DataFrame({"ok": oks, "page_md5": md5s, "n_chars": ns})
+
+    out = df.select(F.col(id_col), _digest(F.col(blob_col)).alias("_d"))
+    return out.select(id_col, "_d.ok", "_d.page_md5", "_d.n_chars")

@@ -3055,3 +3055,55 @@ def web_xrobots_gate(spark, sf):
         "doc_id", _seed_url(did).alias("uri")
     )
     return warc_robots_directives(synth_xrobots_warc(d).drop("uri"))
+
+
+def _zstd_house_oracle():
+    from esgopeta_spark.operators.web import synth_html_sql
+
+    return rf"""
+    WITH p AS (
+      SELECT doc_id, {synth_html_sql()} AS page FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 23 = 1 THEN 0 ELSE 1 END AS INTEGER) AS ok,
+           CASE WHEN doc_id % 23 = 1 THEN '' ELSE md5(page) END AS page_md5,
+           CAST(CASE WHEN doc_id % 23 = 1 THEN -1 ELSE length(page) END
+                AS BIGINT) AS n_chars
+    FROM p
+    """
+
+
+@register(
+    "web_zstd_house_decode",
+    "G4,G5,E1",
+    _zstd_house_oracle(),
+    doc="the FROM-SCRATCH RFC 8878 zstd decoder, driver-visible (r13 — "
+    "the runtime Content-Encoding unwrap prefers pyarrow's C path, so "
+    "without this entry the house decoder would be pytest-only): per "
+    "doc the fixture page is compressed by the REFERENCE encoder "
+    "(libzstd via pyarrow) at level 1/3/9/19 by id%4 — spanning "
+    "raw/RLE blocks through stream-described FSE tables, treeless "
+    "blocks and 4-stream Huffman literals — and decoded by "
+    "operators/zstd.py alone; md5+length are over the recovered page "
+    "so one wrong byte in any FSE/Huffman/sequence path mismatches "
+    "the closed-form oracle.  id%23==1 ships a truncated frame that "
+    "must quarantine to the visible (0, '', -1) row (truncation fails "
+    "deterministically against the declared content size; a byte flip "
+    "would not).  Plan: two Arrow kernels over one widened scan, "
+    "shuffle-free; stateless (streams as-is); operators/zstd.py + "
+    "web.synth_zstd_blobs/zstd_house_digest",
+)
+def web_zstd_house_decode(spark, sf):
+    from esgopeta_spark.operators.web import (
+        synth_html,
+        synth_zstd_blobs,
+        zstd_house_digest,
+    )
+    from esgopeta_spark.session import ensure_min_partitions
+
+    did = F.col("doc_id")
+    d = ensure_min_partitions(T(spark, sf, "documents")).select(
+        "doc_id",
+        synth_html(did, F.coalesce(F.col("text"), F.lit(""))).alias("page"),
+    )
+    return zstd_house_digest(synth_zstd_blobs(d).drop("page"))
