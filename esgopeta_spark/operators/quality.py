@@ -244,3 +244,79 @@ def corpus_datasheet(
         .alias("dup_milli"),
         "n_short", "n_long",
     )
+
+
+def snapshot_drift_psi(
+    prior: DataFrame,
+    current: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 10,
+    bucket_chars: int = 200,
+) -> DataFrame:
+    """Population-stability-index drift between two corpus snapshots
+    (r13 — the nightly-loop monitoring step beside incremental dedup:
+    a silent scraper change shifts the LENGTH DISTRIBUTION long before
+    it shows in per-doc quality flags; PSI over a fixed bucketing is
+    the standard drift alarm, >0.2 bits conventionally "significant").
+
+        PSI = sum_b (p_b - q_b) * ln(p_b / q_b)
+
+    computed here ENGINE-EXACTLY in integers (never libm — the Q20
+    milli-log2 discipline): buckets are length-div-``bucket_chars``
+    capped at ``n_buckets``-1; per-side shares in ppm with
+    greatest(.,1) smoothing (empty buckets stay log-defined — the
+    standard epsilon, made integer); each bucket's contribution is the
+    RAW product (p_ppm - q_ppm) * (mlog2(p_ppm) - mlog2(q_ppm)) in
+    nano-bit units (ppm x millibit), non-negative by log monotonicity,
+    and the total rides a window sum.  Base-2 instead of natural log —
+    a constant factor documented in the name (nanoBITs).
+
+    Plan: one partial-agg pass per side on the bucket key (the only
+    shuffles), a broadcast bucket spine for zero-fill, then codegen
+    integer arithmetic — no kernels, no collects.  Returns one row per
+    bucket: (bucket, p_ppm, q_ppm, contrib_nanobits, psi_nanobits)."""
+    from esgopeta_spark.operators.selection import with_milli_log2
+    from pyspark.sql.window import Window
+
+    def shares(df: DataFrame, out: str) -> DataFrame:
+        b = df.select(
+            F.least(
+                F.expr(
+                    f"length(coalesce({text_col}, '')) div {int(bucket_chars)}"
+                ),
+                F.lit(int(n_buckets - 1)),
+            ).cast("bigint").alias("bucket")
+        )
+        cnt = b.groupBy("bucket").agg(F.count("*").cast("bigint").alias("_c"))
+        spine = df.sparkSession.range(int(n_buckets)).select(
+            F.col("id").cast("bigint").alias("bucket")
+        )
+        filled = spine.join(cnt, "bucket", "left").select(
+            "bucket", F.coalesce("_c", F.lit(0)).cast("bigint").alias("_c")
+        )
+        total = Window.partitionBy()
+        return filled.select(
+            "bucket",
+            (F.col("_c") * F.lit(1000000)).cast("bigint").alias("_num"),
+            F.sum("_c").over(total).cast("bigint").alias("_t"),
+        ).select(
+            "bucket",
+            F.greatest(F.expr("_num div _t"), F.lit(1)).cast("bigint")
+            .alias(out),
+        )
+
+    p = shares(prior, "p_ppm")
+    q = shares(current, "q_ppm")
+    j = p.join(q, "bucket")
+    j = with_milli_log2(j, "p_ppm", "_mlp")
+    j = with_milli_log2(j, "q_ppm", "_mlq")
+    contrib = (
+        (F.col("p_ppm") - F.col("q_ppm")) * (F.col("_mlp") - F.col("_mlq"))
+    ).cast("bigint")
+    w = Window.partitionBy()
+    return j.select(
+        "bucket", "p_ppm", "q_ppm",
+        contrib.alias("contrib_nanobits"),
+    ).withColumn(
+        "psi_nanobits", F.sum("contrib_nanobits").over(w).cast("bigint")
+    )

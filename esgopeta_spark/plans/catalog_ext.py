@@ -1411,3 +1411,84 @@ def corpus_datasheet(spark, sf):
         "doc_id", "lang", "source", t.alias("text")
     )
     return ds(d)
+
+
+def _psi_oracle():
+    from esgopeta_spark.operators.selection import milli_log2_sql
+
+    return (
+        r"""
+    WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+    pb AS (SELECT least(length(t) // 200, 9) AS bucket
+           FROM d WHERE doc_id % 3 = 0),
+    cb AS (SELECT least(length(CASE WHEN doc_id % 4 = 0 THEN t || t
+                                    ELSE t END) // 200, 9) AS bucket
+           FROM d WHERE doc_id % 3 <> 0),
+    spine AS (SELECT bucket FROM range(10) t(bucket)),
+    pc AS (SELECT s.bucket, COUNT(p.bucket) AS c
+           FROM spine s LEFT JOIN pb p ON p.bucket = s.bucket
+           GROUP BY s.bucket),
+    cc AS (SELECT s.bucket, COUNT(q.bucket) AS c
+           FROM spine s LEFT JOIN cb q ON q.bucket = s.bucket
+           GROUP BY s.bucket),
+    pp AS (SELECT bucket,
+                  greatest((c * 1000000) // (SELECT SUM(c) FROM pc), 1)
+                    AS ppm FROM pc),
+    cp AS (SELECT bucket,
+                  greatest((c * 1000000) // (SELECT SUM(c) FROM cc), 1)
+                    AS ppm FROM cc),
+    vals AS (
+      SELECT bucket, 'p' AS side, CAST(ppm AS BIGINT) AS v FROM pp
+      UNION ALL
+      SELECT bucket, 'q' AS side, CAST(ppm AS BIGINT) AS v FROM cp
+    )"""
+        + milli_log2_sql("vals", "bucket, side, v", "v", "mlt", "ml")
+        + r"""
+    , piv AS (
+      SELECT bucket,
+             MAX(CASE WHEN side = 'p' THEN v END) AS p_ppm,
+             MAX(CASE WHEN side = 'q' THEN v END) AS q_ppm,
+             MAX(CASE WHEN side = 'p' THEN ml END) AS mlp,
+             MAX(CASE WHEN side = 'q' THEN ml END) AS mlq
+      FROM mlt GROUP BY bucket)
+    SELECT bucket, p_ppm, q_ppm,
+           CAST((p_ppm - q_ppm) * (mlp - mlq) AS BIGINT) AS contrib_nanobits,
+           CAST(SUM((p_ppm - q_ppm) * (mlp - mlq)) OVER () AS BIGINT)
+             AS psi_nanobits
+    FROM piv
+    """
+    )
+
+
+@register(
+    "corpus_drift_psi",
+    "E4,G4",
+    _psi_oracle(),
+    doc="snapshot drift alarm, population stability index (r13 — the "
+    "nightly-loop monitoring step beside incremental dedup: a silent "
+    "scraper change shifts the length DISTRIBUTION long before per-doc "
+    "quality flags fire; PSI over fixed buckets is the standard drift "
+    "metric).  Engine-exact integers end to end: length-div-200 "
+    "buckets capped at 10, per-side ppm shares with greatest(.,1) "
+    "smoothing (empty buckets stay log-defined), per-bucket "
+    "contribution (p_ppm - q_ppm) * (milli_log2(p) - milli_log2(q)) "
+    "in nano-BIT units (base-2, never libm ln — the Q20 shift-and-"
+    "square recurrence both engines replay bit-for-bit), total via a "
+    "window sum.  Fixture: prior = id%3==0 raw; current = the rest "
+    "with id%4==0 docs doubled — a planted length shift the alarm "
+    "must price.  Plan: one partial-agg pass per side on the bucket "
+    "key, broadcast 10-row spine, pure codegen; "
+    "operators/quality.py snapshot_drift_psi",
+)
+def corpus_drift_psi(spark, sf):
+    from esgopeta_spark.operators.quality import snapshot_drift_psi
+
+    d = T(spark, sf, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("t")
+    )
+    prior = d.filter(F.col("doc_id") % 3 == 0).select(F.col("t").alias("text"))
+    current = d.filter(F.col("doc_id") % 3 != 0).select(
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.col("t"), F.col("t")))
+        .otherwise(F.col("t")).alias("text")
+    )
+    return snapshot_drift_psi(prior, current)

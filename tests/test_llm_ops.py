@@ -4216,3 +4216,35 @@ def test_mine_bitext_ivf_structure_and_planted_recall(spark, sf_dir):
              for r in fn(src, tgt, dim=dim).collect()}
         missed = true_pairs - mined
         assert not missed, (fn.__name__, missed)
+
+
+def test_snapshot_drift_psi_semantics(spark):
+    """r13: PSI drift alarm — identical snapshots read EXACTLY zero
+    (p==q per bucket, so every integer contribution is 0), a planted
+    length shift reads loudly positive, every per-bucket contribution
+    is non-negative (log monotonicity x share difference), and empty
+    buckets are smoothed (ppm floor 1), never log-undefined."""
+    from pyspark.sql import functions as F
+
+    from esgopeta_spark.operators.quality import snapshot_drift_psi
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (50 + (i * 37) % 900)) for i in range(200)],
+        "doc_id long, text string",
+    )
+    same = snapshot_drift_psi(
+        docs.select("text"), docs.select("text")).collect()
+    assert len(same) == 10
+    assert all(r["contrib_nanobits"] == 0 for r in same)
+    assert same[0]["psi_nanobits"] == 0
+
+    shifted = docs.select(
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.col("text"), F.col("text")))
+        .otherwise(F.col("text")).alias("text")
+    )
+    out = snapshot_drift_psi(docs.select("text"), shifted).collect()
+    assert all(r["contrib_nanobits"] >= 0 for r in out)
+    assert out[0]["psi_nanobits"] > 0
+    # a bucket present on one side only is smoothed, not dropped
+    assert all(r["p_ppm"] >= 1 and r["q_ppm"] >= 1 for r in out)
