@@ -93,7 +93,9 @@ HEADLINE = [
     # path for the same merge is graph_ham_merge_events above.)
     "join_asof_purchase_click",
     "graph_pagerank_transactions",
-    "graph_triangles_coorder",
+    # (r14: triangles retired from the roster — parity-only since r12
+    # with pagerank + LPA still measured — to fund the r14 graded
+    # additions under the record budget; history in BENCH_r*.json)
     "skew_salted_join",
     # round-4 graded flagships: ANN scale tier + real PNG codec round-trip
     "sim_topk_cosine_ivf",
@@ -110,7 +112,8 @@ HEADLINE = [
     # since r10 with pagerank/triangles/LPA still measured, and mp3
     # strictly supersedes the mp2 decode machinery; their historical
     # per-round numbers live in BENCH_r*.json)
-    "agg_cms_heavy_hitters",
+    # (r14: CMS heavy hitters retired from the roster — parity-only
+    # since r13 with the KMV sketch measured below — same budget trade)
     "ts_gapfill_daily_locf",
     # round-8 flagships: REAL MPEG-1 Layer III round trip (Huffman + bit
     # reservoir + hybrid MDCT) and the image/audio near-dup rotations
@@ -167,6 +170,13 @@ HEADLINE = [
     # bitext miner's IVF scale tier (cell-equi candidates)
     "web_content_encoding_modern",
     "mine_bitext_margin_ivf",
+    # r14 graded-window rotation: the remaining r13 capability classes'
+    # graded reps (from-scratch zstd decode under libzstd input, unicode
+    # fold, PDF stream filters, PSI snapshot-drift alarm)
+    "web_zstd_house_decode",
+    "text_unicode_fold",
+    "text_pdf_filters",
+    "corpus_drift_psi",
 ]
 
 

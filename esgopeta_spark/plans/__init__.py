@@ -37,7 +37,12 @@ GRADED_WINDOW = [
     # r7: the plain semi join rotated out for its Bloom-prefiltered scale
     # twin — still a semi join (family covered), now with the runtime-
     # filter-pushdown shape the 100 TB plan wants graded
-    "join_bloom_semi_lineitem",
+    # (r14: the Bloom-semi twin demoted to parity-only — the r13-verdict
+    # pre-named condition holds: E3 stays 3+ deep in-window via as-of +
+    # skew-salted + q3, with the incremental-snapshot capstone's anti
+    # stage and the fuzzy-family/pagerank/attribution joins on top — for
+    # the r13 capability classes below.  The Bloom twin keeps its parity
+    # check and its plan-posture audit in tests/test_plans.py.)
     # (r12: the plain anti join demoted to parity-only — E3 stays 3-deep
     # in-window via Bloom-semi + as-of + skew-salted, and the
     # incremental-snapshot capstone below carries an anti-join stage —
@@ -87,7 +92,11 @@ GRADED_WINDOW = [
     # the string battery, the third battery was demoted in r6) for the
     # AUDIO near-dup flagship — spectral fingerprint over the real
     # WAV/L2/L3 decode paths, hash-exact class-self-join oracle
-    "dedup_audio_fingerprint",
+    # (r14: the audio fingerprint demoted to parity-only per the r13
+    # verdict's pre-named list — G2 stays 4-deep via image-dhash +
+    # semantic-kmeans + fuzzy-family-PassJoin + decontaminate, and media
+    # keeps mp3 + both PDF entries + the zstd decode below — for the
+    # r13 capability classes.)
     # (json battery demoted to parity-only in r6 — E8 stays 2-deep — to make
     # room for the r6 MPEG-1 audio round trip below)
     # E9 UDF surface
@@ -107,7 +116,10 @@ GRADED_WINDOW = [
     # algorithms stay graded via pagerank + LPA — for the r11 redirect
     # flagship below)
     # r5: deterministic LPA community detection (unrolled-CTE oracle)
-    "graph_communities_lpa",
+    # (r14: LPA demoted to parity-only — exactly the demotion the r13
+    # verdict pre-named: graph analytics keeps pagerank graded and A1
+    # stays 3-deep via traverse + fetch-path + pagerank; LPA keeps its
+    # unrolled-CTE parity oracle and plan audit — for the r13 classes.)
     # (r10: k-core demoted to parity-only — graph analytics stays 4-deep
     # in-window: pagerank, triangles, cheapest-path, LPA — for the
     # URL-dedup flagship below)
@@ -152,7 +164,10 @@ GRADED_WINDOW = [
     "web_xrobots_gate",
     # r10: the selection pipeline's terminal step — DoReMi weights to an
     # actual token-budget document selection (overflow-free ppm products)
-    "select_mixture_materialize",
+    # (r14: mixture-materialize demoted to parity-only per the r13
+    # verdict's pre-named list — selection stays 3-deep in-window via
+    # the DSIR flagship + NB langid + the PSI drift alarm below, and E5
+    # stays 5-deep — for the r13 classes.)
     # G3 SCALE tier under the gate (r4): IVF probe join, hash-exact vs
     # DuckDB (r10: the PQ tier rotated to parity-only — G3 stays graded
     # via IVF — for the HTML-extraction flagship below)
@@ -174,7 +189,11 @@ GRADED_WINDOW = [
     # info, bit reservoir, Huffman regions, hybrid MDCT, short blocks;
     # mp2 stays parity-checked beyond the window)
     "multimodal_decode_mp3_audio",
-    "text_profile_docs",
+    # (r14: the text-profile battery demoted to parity-only — the fifth
+    # slot the five pre-named promotions need; G4 stays the deepest
+    # family in-window (~14 reps incl. DSIR, NB langid, HTML/PDF
+    # extraction, xrobots, unicode fold, PDF filters, PSI) and the
+    # profile battery keeps its parity check + pytest pins.)
     # r10: the crawl front-end — where a real pretraining pipeline
     # STARTS (C4 §2.1, CCNet §3): WET-style HTML->text extraction with
     # the encoder-twin closed-form oracle, and URL canonicalization +
@@ -210,6 +229,23 @@ GRADED_WINDOW = [
     "web_template_lines",
     "decontaminate_minhash_fuzzy",
     "pipeline_incremental_snapshot",
+    # r14 rotation (r13 verdict #1 / COVERAGE.md pre-named candidates):
+    # the five r13 capability classes with no graded representative
+    # enter — the from-scratch RFC 8878 zstd decoder under
+    # reference-encoder (libzstd) input at levels 1-19 (the round's
+    # strongest codec witness; its production-path sibling
+    # web_content_encoding_modern stays parity-checked), the
+    # CCMatrix-lineage bitext miner at its production IVF shape
+    # (cell-equi candidates, whole approximate pipeline hash-exact; the
+    # exact tier stays its parity control), the NFKC-lite unicode fold,
+    # the PDF stream filters (LZW both dialects / RunLength / ASCII85 /
+    # chains — the entry whose parity run caught a real LZW EOI bug),
+    # and the PSI snapshot-drift alarm on the engine-exact integer log.
+    "web_zstd_house_decode",
+    "mine_bitext_margin_ivf",
+    "text_unicode_fold",
+    "text_pdf_filters",
+    "corpus_drift_psi",
     # (emb_label_stats demoted to parity-only in r6 — embedding columns are
     # amply graded by the sim_* / dedup_semantic_kmeans entries)
 ]

@@ -30,7 +30,15 @@ REQUIRED_IN_WINDOW = {
     # families keep in-window reps); the image/audio near-dup flagships
     # in — G2 dedup graded across modalities
     "dedup_image_dhash",
-    "dedup_audio_fingerprint",
+    # (r14 rotations, all pre-named in the r13 verdict / COVERAGE.md:
+    # dedup_audio_fingerprint -> parity (G2 stays 4-deep, media keeps
+    # mp3 + PDF paths + the zstd decode), graph_communities_lpa ->
+    # parity (analytics stays graded via pagerank; A1 stays 3-deep),
+    # select_mixture_materialize -> parity (selection stays 3-deep via
+    # DSIR + NB langid + PSI), join_bloom_semi_lineitem -> parity (E3
+    # stays 3+ deep via as-of + skew-salted + q3 + the snapshot
+    # capstone's anti stage), text_profile_docs -> parity (G4 stays
+    # ~14-deep) — for the r13 capability classes' first graded reps)
     "pivot_status_by_priority",  # E4 pivot (unpivot rotated to
     # parity-only in late r9 for the image-stats strong-oracle entry)
     "sessionize_events_islands",  # E5 gaps-and-islands
@@ -56,7 +64,6 @@ REQUIRED_IN_WINDOW = {
     # join_full_customer_supplier -> parity (E3 stays 5-deep),
     # skew_salted_agg -> parity (skew stays via the join twin) — making
     # room for the crawl front-end + selection/time-series depth below)
-    "graph_communities_lpa",  # LPA communities, unrolled-CTE oracle
     # r6 additions (emb_label_stats / theta-band join / json battery rotated
     # out; their families keep in-window representatives)
     # r10 additions: the crawl front-end (where real pipelines start)
@@ -64,7 +71,6 @@ REQUIRED_IN_WINDOW = {
     "text_html_extract",  # G4 HTML->text, encoder-twin closed-form oracle
     "web_url_canonical_dedup",  # G1/G4 URL canonicalization + dedup
     "ts_ewma_daily",  # keyed-recursion family (recursive-CTE oracle)
-    "select_mixture_materialize",  # selection-pipeline terminal step
     # r8 rotation (r7 VERDICT task 8): Layer III (mp3) in for its Layer
     # I/II sibling — same decoder family, strictly deeper machinery (side
     # info, bit reservoir, Huffman regions, hybrid MDCT, short blocks);
@@ -75,7 +81,6 @@ REQUIRED_IN_WINDOW = {
     # family), agg_median_price (percentiles stay via the histogram
     # sketch), plain semi join (Bloom twin IS a semi join) and BFS
     # (weighted superset graded) rotated to parity-only
-    "join_bloom_semi_lineitem",  # E3 semi + runtime-filter pushdown shape
     # (r11 rotations: cheapest-path -> parity — iterative-frontier stays
     # graded via pagerank + LPA; gap-fill/LOCF -> parity — time-series
     # stays graded via ts_ewma_daily; left join -> parity — E3 stays
@@ -96,6 +101,12 @@ REQUIRED_IN_WINDOW = {
     "dedup_fuzzy_family_titles",  # G2/E3 per-family PassJoin + LCP fold
     "web_xrobots_gate",  # G4/E1 header robots gate (r13-hardened parser)
     "sketch_kmv_overlap",  # E4/G1 mergeable set-algebra sketch
+    # r14 additions: the r13 capability classes' first graded reps
+    "web_zstd_house_decode",  # G4/G5/E1 from-scratch RFC 8878 decode, libzstd input
+    "mine_bitext_margin_ivf",  # G3/G4 bitext mining, production IVF tier
+    "text_unicode_fold",  # G4 NFKC-lite normalization
+    "text_pdf_filters",  # G4/G5 PDF LZW/RunLength/ASCII85 stream filters
+    "corpus_drift_psi",  # E4/G4 PSI snapshot-drift alarm (integer milli-log2)
 }
 
 
