@@ -1467,9 +1467,13 @@ def mine_bitext_margin(
     (norm-hoisted unrolled dot == DuckDB list_dot_product fold); avgK
     is computed as a FIXED-ORDER sum of the rank-1..k cosines (one
     max(case when rank=i) per slot — never a float agg whose order the
-    partitioning picks); the margin is the single expression
-    cos * 2k / (sumK_src + sumK_tgt).  Outputs floor-rounded to
-    micro/milli integers.
+    partitioning picks) with null coalesce over the actual neighbor
+    count (r13 ADVICE — a side with fewer than k cross-side neighbors
+    averages over what exists, the IVF tier's form, instead of a NULL
+    sum silently excluding it); the margin is the single expression
+    cos * 2 / (sumK_src/n_src + sumK_tgt/n_tgt), which reduces to
+    cos * 2k / (sumK_src + sumK_tgt) whenever both sides offer >= k
+    neighbors.  Outputs floor-rounded to micro/milli integers.
 
     Plan shape: broadcast(tgt) x src for the bipartite score relation
     (the smaller side is a benchmark-scale set; vectors never leave the
@@ -1506,24 +1510,36 @@ def mine_bitext_margin(
         "_rb", F.row_number().over(wb)
     )
 
-    def _ksum(keyed: DataFrame, key: str, rank_col: str, out: str) -> DataFrame:
+    def _ksum(keyed: DataFrame, key: str, rank_col: str, out: str,
+              nout: str) -> DataFrame:
         slots = [
             F.max(F.when(F.col(rank_col) == i + 1, F.col("_c"))).alias(f"_s{i}")
             for i in range(k)
         ]
-        agg = keyed.filter(F.col(rank_col) <= k).groupBy(key).agg(*slots)
+        agg = (
+            keyed.filter(F.col(rank_col) <= k)
+            .groupBy(key)
+            .agg(*slots, F.count("*").alias(nout))
+        )
+        # fixed left-to-right order; r14 (r13 ADVICE): sides with fewer
+        # than k cross-side neighbors average over what exists (null
+        # coalesce / actual count — the IVF tier's form, identical
+        # values whenever both sides offer >= k neighbors) instead of a
+        # NULL sum silently excluding the vector from mining
         total = F.col("_s0")
         for i in range(1, k):
-            total = total + F.col(f"_s{i}")  # fixed left-to-right order
-        return agg.select(key, total.alias(out))
+            total = total + F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+        return agg.select(key, total.alias(out), nout)
 
-    fa = _ksum(ranked, "src_id", "_rf", "_fs")
-    fb = _ksum(ranked, "tgt_id", "_rb", "_bs")
+    fa = _ksum(ranked, "src_id", "_rf", "_fs", "_fn")
+    fb = _ksum(ranked, "tgt_id", "_rb", "_bs", "_bn")
     m = (
         pairs.join(F.broadcast(fa), "src_id")
         .join(F.broadcast(fb), "tgt_id")
         .withColumn(
-            "_m", (F.col("_c") * F.lit(float(2 * k))) / (F.col("_fs") + F.col("_bs"))
+            "_m",
+            (F.col("_c") * F.lit(2.0))
+            / ((F.col("_fs") / F.col("_fn")) + (F.col("_bs") / F.col("_bn"))),
         )
         .select("src_id", "tgt_id", "_c", "_m")
     )

@@ -564,6 +564,7 @@ def _decompress(b: bytes) -> bytes:
     pos = 0
     out = bytearray()
     seen_frame = False
+    seen_skippable = False
     while pos < len(b):
         if pos + 4 > len(b):
             raise ValueError("truncated frame magic")
@@ -576,6 +577,7 @@ def _decompress(b: bytes) -> bytes:
             pos += 4 + sz
             if pos > len(b):
                 raise ValueError("skippable frame overruns payload")
+            seen_skippable = True
             continue
         if magic != ZSTD_MAGIC:
             raise ValueError(f"bad zstd magic 0x{magic:08x}")
@@ -649,6 +651,10 @@ def _decompress(b: bytes) -> bytes:
             pos += 4
         if fcs is not None and len(out) - frame_start != fcs:
             raise ValueError("frame content size mismatch")
-    if not seen_frame:
+    if not seen_frame and not seen_skippable:
         raise ValueError("no zstd frame in payload")
+    # RFC 8878 §3.1.2: skippable frames carry no decoded content, so a
+    # well-formed payload of ONLY skippable frames decodes to b"" —
+    # matching libzstd (r13 ADVICE: the two decode paths must not
+    # diverge on such an input).  A fully-empty payload still raises.
     return bytes(out)

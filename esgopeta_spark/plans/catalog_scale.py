@@ -1563,18 +1563,20 @@ def corpus_pack_mask_spans(spark, sf):
                FROM p),
          fa AS (SELECT src_id,
                        ((MAX(CASE WHEN rf = 1 THEN c END)
-                         + MAX(CASE WHEN rf = 2 THEN c END))
-                        + MAX(CASE WHEN rf = 3 THEN c END))
-                       + MAX(CASE WHEN rf = 4 THEN c END) AS fs
+                         + COALESCE(MAX(CASE WHEN rf = 2 THEN c END), 0.0))
+                        + COALESCE(MAX(CASE WHEN rf = 3 THEN c END), 0.0))
+                       + COALESCE(MAX(CASE WHEN rf = 4 THEN c END), 0.0) AS fs,
+                       COUNT(*) AS fn
                 FROM r WHERE rf <= 4 GROUP BY src_id),
          fb AS (SELECT tgt_id,
                        ((MAX(CASE WHEN rb = 1 THEN c END)
-                         + MAX(CASE WHEN rb = 2 THEN c END))
-                        + MAX(CASE WHEN rb = 3 THEN c END))
-                       + MAX(CASE WHEN rb = 4 THEN c END) AS bs
+                         + COALESCE(MAX(CASE WHEN rb = 2 THEN c END), 0.0))
+                        + COALESCE(MAX(CASE WHEN rb = 3 THEN c END), 0.0))
+                       + COALESCE(MAX(CASE WHEN rb = 4 THEN c END), 0.0) AS bs,
+                       COUNT(*) AS bn
                 FROM r WHERE rb <= 4 GROUP BY tgt_id),
          m AS (SELECT p.src_id, p.tgt_id, p.c,
-                      (p.c * 8.0) / (fa.fs + fb.bs) AS mg
+                      (p.c * 2.0) / ((fa.fs / fa.fn) + (fb.bs / fb.bn)) AS mg
                FROM p JOIN fa USING (src_id) JOIN fb USING (tgt_id)),
          mm AS (SELECT *,
                   ROW_NUMBER() OVER (PARTITION BY src_id

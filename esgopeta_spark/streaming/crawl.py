@@ -149,24 +149,31 @@ def _make_cf_handler():
                         "fetch_source": "cache", "page_md5": md5,
                         "upd_seq": seq,
                     })
-                    resolved.append(d)
+                    if d not in resolved:
+                        resolved.append(d)
                 pending = []
         for d, status, bmd5 in sorted(fetches):
             if status == 200:
                 src, pm = "network", bmd5
             elif status == 304 and md5:
                 src, pm = "cache", md5
-                resolved.append(d)
+                # set semantics (r13 ADVICE): a repeated 304 for the same
+                # doc must not grow state unboundedly or re-emit duplicate
+                # retro-correction rows on a later md5-changing install
+                if d not in resolved:
+                    resolved.append(d)
             elif status == 304:
                 src, pm = "miss", ""
-                pending.append(d)
+                if d not in pending:
+                    pending.append(d)
             else:
                 src, pm = "error", ""
             rows.append({
                 "doc_id": d, "uri": uri, "status": status,
                 "fetch_source": src, "page_md5": pm, "upd_seq": seq,
             })
-        gstate.update((md5, _json.dumps(pending), _json.dumps(resolved), seq))
+        gstate.update((md5, _json.dumps(sorted(pending)),
+                       _json.dumps(sorted(resolved)), seq))
         if rows:
             yield _pd.DataFrame(rows)
 

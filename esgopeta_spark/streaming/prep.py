@@ -821,9 +821,11 @@ TEMPLATE_LINES_OUTPUT_SCHEMA = (
 TEMPLATE_RESIDENT_CAP = 10_000
 
 
-def _make_template_handler(min_frac_milli: int, min_docs: int):
+def _make_template_handler(min_frac_milli: int, min_docs: int,
+                           resident_cap: int):
     """Per-host handler (closure, cloudpickle-by-value — see
-    ham_stream._make_handler)."""
+    ham_stream._make_handler).  ``resident_cap`` binds at closure
+    creation (driver side) so tests can shrink it."""
     import json as _json
 
     def handler(key, pdfs, gstate):
@@ -883,12 +885,16 @@ def _make_template_handler(min_frac_milli: int, min_docs: int):
                     rows.append(emit(int(d), t))
         for d, t in sorted(new_docs):
             rows.append(emit(d, t))
-            if len(residents) < TEMPLATE_RESIDENT_CAP:
+            if len(residents) < resident_cap:
                 residents.append([d, t])
             else:
+                # r14 (r13 ADVICE): name WHICH doc lost the
+                # retro-correction guarantee — the marker's doc_id is
+                # -1 - d (always negative, never collides with real
+                # non-negative ids, invertible), not a bare -1 host flag
                 overflow += 1
                 rows.append({
-                    "doc_id": -1, "host": host, "n_lines": -1,
+                    "doc_id": -1 - d, "host": host, "n_lines": -1,
                     "n_dropped": overflow, "clean_text": "", "upd_seq": seq,
                 })
         gstate.update((
@@ -905,6 +911,7 @@ def streaming_template_lines(
     docs: DataFrame,
     min_frac_milli: int = 500,
     min_docs: int = 3,
+    resident_cap: int = TEMPLATE_RESIDENT_CAP,
 ) -> DataFrame:
     """Streaming twin of ``web.host_template_lines`` (r13, r12 verdict
     #6 — the one newly-GRADED r12 batch op without a stream form): the
@@ -921,10 +928,15 @@ def streaming_template_lines(
 
     State per host: the vote map (bounded by the host's distinct-line
     vocabulary) + resident pages for retro-correction, capped at
-    TEMPLATE_RESIDENT_CAP with a VISIBLE doc_id=-1 marker row past the
-    cap (never a silent drop).  Input columns: (doc_id, host, text)."""
+    ``resident_cap`` (default TEMPLATE_RESIDENT_CAP).  **The
+    batch-equality guarantee above holds for RESIDENT docs only**: a doc
+    arriving past the cap is emitted once under the template verdict of
+    its arrival time and is never retro-corrected; the op emits a
+    VISIBLE marker row naming exactly which doc lost the guarantee
+    (``doc_id = -1 - d``, ``n_lines = -1`` — always negative, never a
+    silent drop; r13 ADVICE).  Input columns: (doc_id, host, text)."""
     return docs.groupBy("host").applyInPandasWithState(
-        _make_template_handler(min_frac_milli, min_docs),
+        _make_template_handler(min_frac_milli, min_docs, int(resident_cap)),
         outputStructType=TEMPLATE_LINES_OUTPUT_SCHEMA,
         stateStructType=TEMPLATE_LINES_STATE_SCHEMA,
         outputMode="update",

@@ -4155,6 +4155,49 @@ def test_unicode_fold_matrix_and_idempotence(spark):
     assert fdf.filter(F.col("f1") != F.col("f2")).count() == 0
 
 
+def test_mine_bitext_exact_tier_mines_sides_smaller_than_k(spark):
+    """r14 (r13 ADVICE): a side with fewer than k cross-side neighbors
+    must average over what exists (the IVF tier's coalesce/count form),
+    not get a NULL k-sum that silently excludes it from mining.  Two
+    well-aligned vectors per side, k=4 > |side|: the aligned pairs must
+    still be mined, and the margin must equal the n=2-neighbor average
+    replay."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from esgopeta_spark.operators.similarity import mine_bitext_margin
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]), (1, [0.99, 0.05, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]), (3, [0.05, 0.99, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = mine_bitext_margin(
+        df.filter(F.col("vec_id") % 2 == 0),
+        df.filter(F.col("vec_id") % 2 == 1),
+        dim=4, k=4, margin_milli_min=1000,
+    ).collect()
+    got = {(r["src_id"], r["tgt_id"]): r["margin_milli"] for r in out}
+    assert set(got) == {(0, 1), (2, 3)}, got
+    # replay: margin = c * 2 / (mean2(src side) + mean2(tgt side))
+    vecs = {i: v for i, v in rows}
+
+    def cos(a, b):
+        d = 0.0
+        for x, y in zip(vecs[a], vecs[b]):
+            d += x * y
+        na = math.sqrt(sum(x * x for x in vecs[a]))
+        nb = math.sqrt(sum(x * x for x in vecs[b]))
+        return d / (na * nb)
+
+    for (s, t), mm in got.items():
+        fs = sorted((cos(s, tt) for tt in (1, 3)), reverse=True)
+        bs = sorted((cos(t, ss) for ss in (0, 2)), reverse=True)
+        m = cos(s, t) * 2.0 / ((fs[0] + fs[1]) / 2 + (bs[0] + bs[1]) / 2)
+        assert abs(mm - math.floor(m * 1000 + 0.5)) <= 1, (s, t, mm, m)
+
+
 def test_mine_bitext_ivf_structure_and_planted_recall(spark, sf_dir):
     """r13: the IVF scale tier keeps the mutual-best one-to-one
     discipline, agrees with the exact tier BIT-FOR-BIT on every pair

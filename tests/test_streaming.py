@@ -1818,6 +1818,75 @@ def test_streaming_conditional_fetch_reinstall_reemits(spark, tmp_path):
         "expected cache verdicts re-emitted under the changed install"
 
 
+def test_streaming_conditional_fetch_repeated_304_state_is_set(spark, tmp_path):
+    """r14 (r13 ADVICE): a 304 REPEATED across batches for the same doc
+    must not grow the per-uri 'resolved' state nor re-emit duplicate
+    identical retro-correction rows when a later md5-changing install
+    lands — state keeps set semantics."""
+    from esgopeta_spark.operators.web import (
+        conditional_fetch_merge,
+        synth_conditional_warc,
+        warc_fetch_records,
+    )
+    from esgopeta_spark.streaming.crawl import (
+        conditional_fetch_events,
+        streaming_conditional_fetch,
+    )
+
+    docs = spark.createDataFrame(
+        [(d, f"https://h{d % 3}.org/p{d}", f"page body {d}") for d in range(12)],
+        "doc_id long, uri string, page string",
+    )
+    warc = synth_conditional_warc(docs).drop("page")
+    store_v1 = docs.selectExpr(
+        "uri as url", "md5(concat('v1:', doc_id)) as page_md5")
+    store_v2 = docs.selectExpr(
+        "uri as url", "md5(concat('v2:', doc_id)) as page_md5")
+    want = {
+        (r["doc_id"], r["uri"]): (r["status"], r["fetch_source"], r["page_md5"])
+        for r in conditional_fetch_merge(warc, store_v2).collect()
+    }
+    ev_schema = "kind int, doc_id long, uri string, status int, body_md5 string"
+    empty_store = store_v1.limit(0)
+    fetch_ev = [tuple(r) for r in conditional_fetch_events(
+        warc_fetch_records(warc), empty_store).collect()]
+    v1_ev = [tuple(r) for r in conditional_fetch_events(
+        warc_fetch_records(warc.limit(0)), store_v1).collect()]
+    v2_ev = [tuple(r) for r in conditional_fetch_events(
+        warc_fetch_records(warc.limit(0)), store_v2).collect()]
+    d = str(tmp_path / "cf_rep304")
+    os.makedirs(d)
+    # v1 install, then the SAME fetch batch twice (repeated 304s per
+    # doc), then the changed v2 install — pre-fix the duplicate resolved
+    # appends made the retro-correction emit duplicate identical rows
+    for i, batch in enumerate([v1_ev, fetch_ev, fetch_ev, v2_ev]):
+        spark.createDataFrame(batch, ev_schema).coalesce(1).write.parquet(
+            f"{d}/b{i}")
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    run_stream_to_memory(
+        streaming_conditional_fetch(stream), "cfrep304", mode="update")
+    emitted = spark.sql("select * from cfrep304").collect()
+    latest: dict = {}
+    for r in emitted:
+        k = (r["doc_id"], r["uri"])
+        if k not in latest or r["upd_seq"] > latest[k]["upd_seq"]:
+            latest[k] = r
+    got = {k: (r["status"], r["fetch_source"], r["page_md5"])
+           for k, r in latest.items()}
+    assert got == want
+    # no duplicate identical retro-correction rows: within one handler
+    # invocation (one upd_seq per uri) each doc verdict appears once
+    from collections import Counter
+    counts = Counter((r["doc_id"], r["uri"], r["upd_seq"]) for r in emitted)
+    dupes = {k: n for k, n in counts.items() if n > 1}
+    assert not dupes, f"duplicate rows at the same upd_seq: {dupes}"
+
+
 def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
     """r12: the nightly-loop core as a live stream.  The keeper store is
     keyed state per text hash; verdicts re-emit on flips (late store
@@ -2015,6 +2084,36 @@ def test_streaming_template_lines_matches_batch(spark, tmp_path):
                 and a["n_dropped"] != b["n_dropped"]
                 for a in multi for b in multi
             ), "expected template-crossing retro-corrections"
+
+
+def test_streaming_template_lines_cap_marker_names_doc(spark, tmp_path):
+    """r14 (r13 ADVICE): past the resident cap the marker row must name
+    WHICH doc lost the retro-correction guarantee (doc_id = -1 - d),
+    not a bare -1 host flag; resident docs keep batch equality."""
+    from esgopeta_spark.streaming.prep import streaming_template_lines
+
+    rows = [(d, "h.org", f"line {d}\nshared banner") for d in range(6)]
+    schema = "doc_id long, host string, text string"
+    d = str(tmp_path / "tplcap")
+    os.makedirs(d)
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d + "/b1")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    run_stream_to_memory(
+        streaming_template_lines(stream, resident_cap=4), "tplcap",
+        mode="update",
+    )
+    emitted = spark.sql("select * from tplcap").collect()
+    markers = [r for r in emitted if r["doc_id"] < 0]
+    # docs 0..3 become residents; 4 and 5 overflow — the markers name them
+    assert sorted(-1 - r["doc_id"] for r in markers) == [4, 5]
+    assert all(r["n_lines"] == -1 for r in markers)
+    # every real doc still got its verdict row
+    assert {r["doc_id"] for r in emitted if r["doc_id"] >= 0} == set(range(6))
 
 
 def test_stateless_r13_ops_run_on_streams_as_is(spark, tmp_path):

@@ -85,6 +85,13 @@ def test_frame_forms():
     fr2[4] |= 0x04
     with pytest.raises(ValueError):
         zstd_decompress(bytes(fr2))
+    # RFC 8878 §3.1.2 (r13 ADVICE): a well-formed payload of ONLY
+    # skippable frames decodes to b"" like libzstd — not a quarantine.
+    assert zstd_decompress(sk) == b""
+    assert zstd_decompress(sk + sk) == b""
+    # but a fully-empty payload still quarantines
+    with pytest.raises(ValueError):
+        zstd_decompress(b"")
 
 
 def test_quarantine_contract_fuzz():
