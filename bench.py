@@ -267,34 +267,56 @@ DIRTY_N_CONTAM = 2
 HEADLINE_BUDGET_CHARS = 1900
 MAX_WAIT_S = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT_S", "600"))
 WAIT_STEP_S = 20
+# r14 (r13 verdict #5): on gate timeout, retry the whole wait window a
+# bounded number of extra times before publishing a gate-timeout record
+# — the r13 host flapped 1.5 <-> 150 ms canary between 2-minute polls,
+# so a single 10-minute horizon can miss a clean window that a second
+# horizon catches.  The honest contaminated label still applies if NO
+# window comes clean over the full bounded horizon.
+GATE_RETRY_WINDOWS = int(os.environ.get("SPARK_GRAFT_BENCH_GATE_RETRIES", "2"))
 
 
 def wait_for_idle_box(
     max_wait_s: int = MAX_WAIT_S,
+    retry_windows: int = GATE_RETRY_WINDOWS,
+    wait_step_s: float = WAIT_STEP_S,
 ) -> tuple[float, float, float, bool]:
     """Poll until loadavg-1m, loadavg-5m, the cpu canary AND the
     memory-bandwidth canary are under the gates (r13: the bandwidth
     probe joins the gate — r12's noise mode passed the matmul gate).
+    The wait runs in 1 + ``retry_windows`` horizons of ``max_wait_s``
+    each; only when EVERY horizon times out does the run proceed with
+    the gate-timeout (contaminated) label.
 
     Returns (loadavg_1m, canary_ms, mem_bw_ms, contaminated) from the
     LAST poll — the values that actually preceded the timed run.
     """
-    deadline = time.monotonic() + max_wait_s
-    while True:
-        load, load5 = os.getloadavg()[:2]
-        canary = cpu_canary_ms()
-        mem_bw = mem_bw_canary_ms()
-        if (canary <= CANARY_MAX_MS and mem_bw <= MEMBW_MAX_MS
-                and load <= LOADAVG_MAX and load5 <= LOADAVG5_MAX):
-            return load, canary, mem_bw, False
-        if time.monotonic() >= deadline:
-            return load, canary, mem_bw, True
-        print(
-            f"# bench: box busy (loadavg {load:.2f}/{load5:.2f}, "
-            f"canary {canary:.2f} ms, membw {mem_bw:.2f} ms); waiting",
-            file=sys.stderr,
-        )
-        time.sleep(WAIT_STEP_S)
+    load = canary = mem_bw = float("inf")
+    for window in range(retry_windows + 1):
+        deadline = time.monotonic() + max_wait_s
+        while True:
+            load, load5 = os.getloadavg()[:2]
+            canary = cpu_canary_ms()
+            mem_bw = mem_bw_canary_ms()
+            if (canary <= CANARY_MAX_MS and mem_bw <= MEMBW_MAX_MS
+                    and load <= LOADAVG_MAX and load5 <= LOADAVG5_MAX):
+                return load, canary, mem_bw, False
+            if time.monotonic() >= deadline:
+                break
+            print(
+                f"# bench: box busy (loadavg {load:.2f}/{load5:.2f}, "
+                f"canary {canary:.2f} ms, membw {mem_bw:.2f} ms); waiting",
+                file=sys.stderr,
+            )
+            time.sleep(wait_step_s)
+        if window < retry_windows:
+            print(
+                f"# bench: gate window {window + 1}/{retry_windows + 1} "
+                f"timed out; retrying the wait before accepting a "
+                f"gate-timeout record",
+                file=sys.stderr,
+            )
+    return load, canary, mem_bw, True
 
 
 def _total_busy_jiffies() -> int:
