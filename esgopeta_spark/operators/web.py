@@ -3556,3 +3556,77 @@ def zstd_house_digest(
 
     out = df.select(F.col(id_col), _digest(F.col(blob_col)).alias("_d"))
     return out.select(id_col, "_d.ok", "_d.page_md5", "_d.n_chars")
+
+
+def zstd_house_roundtrip(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    page_col: str = "page",
+) -> DataFrame:
+    """HOUSE zstd ENCODER, driver-visible (r14 — the write side of the
+    RFC 8878 loop): per doc the page's UTF-8 bytes are compressed by
+    the from-scratch encoder (operators/zstd.py zstd_compress) at a
+    per-class level — 1/3/9/19 by id%4, spanning raw/RLE blocks,
+    Huffman 1- and 4-stream literals, and RLE/predefined/
+    stream-described FSE sequence tables — then decoded by the
+    REFERENCE decoder (libzstd via pyarrow), which is the authority:
+    md5 + length are over the libzstd-recovered text, so one wrong bit
+    in any table description or backstream mismatches the closed-form
+    oracle.  ``house_agree`` additionally pins the house decoder to
+    the same bytes (encoder->decoder self-consistency rides along but
+    never substitutes for the reference).  id%23==1 truncates the
+    house frame before decode and must quarantine to the visible
+    (0, '', -1, 0) row.  One Arrow kernel over one scan,
+    shuffle-free; stateless (streams as-is)."""
+    import hashlib
+
+    from esgopeta_spark.operators.zstd import zstd_compress, zstd_decompress
+
+    @F.pandas_udf(
+        "struct<ok: int, page_md5: string, n_chars: bigint, "
+        "house_agree: int>"
+    )
+    def _rt(did: pd.Series, page: pd.Series) -> pd.DataFrame:
+        import pyarrow as _pa
+
+        levels = [1, 3, 9, 19]
+        codec = _pa.Codec("zstd")
+        oks, md5s, ns, agrees = [], [], [], []
+        for d, p in zip(did, page):
+            d = int(d)
+            body = (p if isinstance(p, str) else "").encode("utf-8")
+            try:
+                comp = zstd_compress(body, levels[d % 4])
+                if d % 23 == 1:
+                    comp = comp[: max(0, len(comp) - 4)]
+                ref = codec.decompress(
+                    comp, decompressed_size=len(body), asbytes=True
+                )
+                if len(ref) != len(body):
+                    raise ValueError("reference decode length mismatch")
+                text = ref.decode("utf-8")
+                oks.append(1)
+                md5s.append(hashlib.md5(ref).hexdigest())
+                ns.append(len(text))
+                try:
+                    agrees.append(int(zstd_decompress(comp) == ref))
+                except ValueError:
+                    agrees.append(0)
+            except Exception:
+                # truncated-frame class (and any reference-decoder
+                # rejection): quarantine visibly, never poison the stage
+                oks.append(0)
+                md5s.append("")
+                ns.append(-1)
+                agrees.append(0)
+        return pd.DataFrame(
+            {"ok": oks, "page_md5": md5s, "n_chars": ns,
+             "house_agree": agrees}
+        )
+
+    out = df.select(
+        F.col(id_col), _rt(F.col(id_col), F.col(page_col)).alias("_d")
+    )
+    return out.select(
+        id_col, "_d.ok", "_d.page_md5", "_d.n_chars", "_d.house_agree"
+    )

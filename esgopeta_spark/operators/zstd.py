@@ -658,3 +658,581 @@ def _decompress(b: bytes) -> bytes:
     # matching libzstd (r13 ADVICE: the two decode paths must not
     # diverge on such an input).  A fully-empty payload still raises.
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# encoder (r14, r13 verdict #2): RFC 8878 COMPRESSION — the write side of
+# the loop.  Raw/RLE/compressed blocks, LZ77 greedy matching over the
+# frame window, Huffman-compressed literals (canonical length-limited
+# table construction, direct 4-bit weight serialization, 1- and 4-stream
+# forms), and sequences under all three table disciplines the decoder
+# reads: RLE, predefined, and stream-described FSE (normalized-count
+# construction + serialization — the encode tables are derived from the
+# SAME _fse_build_table the decoder uses, so the two directions cannot
+# drift).  Conformance gate: pyarrow's bundled libzstd must decode every
+# encoder output byte-identical (tests/test_zstd.py), the strictly
+# stronger direction of the r13 decode-conformance evidence.
+# ---------------------------------------------------------------------------
+
+class _FwdBits:
+    """Forward bit accumulator (LE bit order).  ``bytes_forward`` emits
+    a forward bitstream (the ncount description); ``bytes_backstream``
+    appends the sentinel 1 bit and emits a reverse-read stream — fields
+    must have been added in REVERSE read order (first-added = last-read
+    under _BackBits)."""
+
+    def __init__(self):
+        self.acc = 0
+        self.n = 0
+
+    def add(self, val: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        if not (0 <= val < (1 << nbits)):
+            raise ValueError("bit field overflow")
+        self.acc |= val << self.n
+        self.n += nbits
+
+    def bytes_forward(self) -> bytes:
+        return self.acc.to_bytes((self.n + 7) // 8, "little")
+
+    def bytes_backstream(self) -> bytes:
+        acc = self.acc | (1 << self.n)
+        return acc.to_bytes((self.n + 8) // 8, "little")
+
+
+# --- Huffman construction ---------------------------------------------------
+
+def _huff_lengths(freqs: dict[int, int], max_len: int = 11) -> dict[int, int]:
+    """Canonical Huffman code lengths, limited to ``max_len`` with exact
+    Kraft equality (sum 2^(max-len) == 2^max — zstd's implied-weight
+    completion requires a COMPLETE tree)."""
+    import heapq
+
+    syms = sorted(freqs)
+    if len(syms) < 2:
+        raise ValueError("huffman needs >= 2 symbols")
+    heap = [(freqs[s], s, (s,)) for s in syms]
+    heapq.heapify(heap)
+    lengths = {s: 0 for s in syms}
+    while len(heap) > 1:
+        f1, t1, m1 = heapq.heappop(heap)
+        f2, t2, m2 = heapq.heappop(heap)
+        for s in m1 + m2:
+            lengths[s] += 1
+        heapq.heappush(heap, (f1 + f2, min(t1, t2), m1 + m2))
+    # length-limit with Kraft repair: clamp, shrink while over-full,
+    # then grow the shortest-impact codes back to exact equality
+    for s in lengths:
+        if lengths[s] > max_len:
+            lengths[s] = max_len
+    target = 1 << max_len
+
+    def kraft() -> int:
+        return sum(1 << (max_len - L) for L in lengths.values())
+
+    while kraft() > target:
+        # lengthen the longest length still below the cap (cheapest loss)
+        cand = max((s for s in lengths if lengths[s] < max_len),
+                   key=lambda s: (lengths[s], -s))
+        lengths[cand] += 1
+    excess = target - kraft()
+    # give spare mass back by shortening codes (largest first), keeping
+    # the sum exact — a code at length L frees 2^(max-L) when shortened
+    while excess:
+        for s in sorted(lengths, key=lambda s: (-lengths[s], s)):
+            gain = 1 << (max_len - lengths[s])
+            if gain <= excess and lengths[s] > 1:
+                lengths[s] -= 1
+                excess -= gain
+                break
+        else:
+            raise ValueError("kraft repair failed")
+    return lengths
+
+
+def _huff_canonical(weights: list[int]):
+    """Symbol -> (bit pattern, length) under zstd's canonical assignment
+    (the mirror of _huff_read_tree's table build: lower weights — longer
+    codes — first, symbol order within a weight)."""
+    total = sum((1 << (w - 1)) for w in weights if w > 0)
+    if total == 0 or (total & (total - 1)):
+        raise ValueError("weights do not form a complete tree")
+    max_bits = _highbit(total)
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    for w in range(1, max_bits + 1):
+        ln = max_bits + 1 - w
+        for sym, wt in enumerate(weights):
+            if wt == w:
+                span = 1 << (max_bits - ln)
+                codes[sym] = (code >> (max_bits - ln), ln)
+                code += span
+    if code != total:
+        raise ValueError("canonical assignment incomplete")
+    return codes, max_bits
+
+
+def _huff_build(freqs: dict[int, int]):
+    """Frequencies -> (codes, max_bits, serialized tree description) or
+    None when the alphabet cannot use the direct-weight description
+    (a present symbol past 128 — the caller falls back to raw
+    literals; the FSE-compressed weight form is future depth)."""
+    last = max(freqs)
+    if last > 128:
+        return None
+    lengths = _huff_lengths(freqs)
+    max_bits = max(lengths.values())
+    weights = [0] * (last + 1)
+    for s, L in lengths.items():
+        weights[s] = max_bits + 1 - L
+    codes, mb = _huff_canonical(weights)
+    # direct description: weights for symbols 0..last-1; the last
+    # present symbol's weight is implied by power-of-two completion
+    n = last  # number of written weights
+    if n > 128:
+        return None
+    hb = bytearray([127 + n])
+    for i in range(0, n, 2):
+        hi = weights[i] << 4
+        lo = weights[i + 1] if i + 1 < n else 0
+        hb.append(hi | lo)
+    return codes, mb, bytes(hb)
+
+
+def _huff_stream(chunk: bytes, codes) -> bytes:
+    w = _FwdBits()
+    for b in reversed(chunk):  # reverse read order
+        pat, ln = codes[b]
+        w.add(pat, ln)
+    return w.bytes_backstream()
+
+
+# --- FSE construction --------------------------------------------------------
+
+def _fse_normalize(hist: dict[int, int], al: int, max_symbol: int) -> list[int]:
+    """Normalize a histogram to counts summing to exactly 2^al, every
+    present symbol >= 1 (the encoder never emits less-than-one
+    probabilities).  Largest-remainder apportionment, deterministic."""
+    size = 1 << al
+    last = max(hist)
+    if last > max_symbol:
+        raise ValueError("symbol exceeds channel alphabet")
+    total = sum(hist.values())
+    if len(hist) > size:
+        raise ValueError("accuracy log too small for the alphabet")
+    counts = [0] * (last + 1)
+    rema = []
+    assigned = 0
+    for s, c in sorted(hist.items()):
+        exact = c * size / total
+        base = max(1, int(exact))
+        counts[s] = base
+        assigned += base
+        rema.append((exact - base, -c, s))
+    # distribute remainder to largest fractional parts; steal from the
+    # most over-assigned when rounding overshot
+    rema.sort()
+    while assigned < size:
+        _f, _c, s = rema.pop()
+        counts[s] += 1
+        assigned += 1
+        if not rema:
+            rema = [(0.0, 0, s2) for s2 in sorted(hist) ]
+    while assigned > size:
+        s = max((s for s in hist if counts[s] > 1),
+                key=lambda s: (counts[s] - hist[s] * size / total, s))
+        counts[s] -= 1
+        assigned -= 1
+    return counts
+
+
+def _fse_write_ncount(al: int, counts: list[int]) -> bytes:
+    """Serialize a normalized-count table description — the exact
+    inverse of _fse_read_ncount (round-trip pinned in tests)."""
+    w = _FwdBits()
+    w.add(al - 5, 4)
+    remaining = 1 << al
+    i = 0
+    while remaining > 0 and i < len(counts):
+        c = counts[i]
+        bits = _highbit(remaining + 1) + 1
+        lower_mask = (1 << (bits - 1)) - 1
+        threshold = (1 << bits) - 1 - (remaining + 1)
+        v = c + 1  # -1 stored as 0, 0 as 1, etc.
+        if v < threshold:
+            w.add(v, bits - 1)
+        elif v <= lower_mask:
+            w.add(v, bits)
+        else:
+            w.add(v + threshold, bits)
+        remaining -= abs(c)
+        i += 1
+        if c == 0:
+            # zero-repeat flags for runs of following zeros
+            z = 0
+            while i + z < len(counts) and counts[i + z] == 0:
+                z += 1
+            i += z
+            while z >= 3:
+                w.add(3, 2)
+                z -= 3
+            w.add(z, 2)
+    if remaining != 0:
+        raise ValueError("counts do not fill the table")
+    return w.bytes_forward()
+
+
+def _fse_encode_table(al: int, counts: list[int]):
+    """Encoding view of the decode table: per symbol, its decode cells
+    sorted by baseline so the previous state is a bisect away."""
+    import bisect
+
+    table = _fse_build_table(al, counts)
+    by_sym: dict[int, list[tuple[int, int, int]]] = {}
+    for st, (s, nb, base) in enumerate(table):
+        by_sym.setdefault(s, []).append((base, nb, st))
+    for s in by_sym:
+        by_sym[s].sort()
+
+    def prev_state(sym: int, next_state: int) -> tuple[int, int, int]:
+        """-> (state, bits_value, bits_width) such that decoding from
+        ``state`` yields ``sym`` and transitions to ``next_state``."""
+        cells = by_sym[sym]
+        bases = [c[0] for c in cells]
+        k = bisect.bisect_right(bases, next_state) - 1
+        base, nb, st = cells[k]
+        if not (base <= next_state < base + (1 << nb)):
+            raise ValueError("FSE encode interval broken")
+        return st, next_state - base, nb
+
+    return prev_state, by_sym
+
+
+# --- sequence conversion -----------------------------------------------------
+
+def _ll_code(ll: int) -> int:
+    if ll < 16:
+        return ll
+    import bisect
+    return bisect.bisect_right(LL_BASE, ll) - 1
+
+
+def _ml_code(ml: int) -> int:
+    if ml < 35:
+        return ml - 3
+    import bisect
+    return bisect.bisect_right(ML_BASE, ml) - 1
+
+
+_MAX_ML = ML_BASE[-1] + (1 << ML_BITS[-1]) - 1  # 131074
+_MAX_LL = LL_BASE[-1] + (1 << LL_BITS[-1]) - 1  # 131071
+
+
+def _choose_seq_table(kind: str, hist: dict[int, int], nseq: int):
+    """-> (mode, description bytes, table spec) for one channel."""
+    max_sym, predef, max_al = {
+        "ll": (35, PREDEF_LL, 9),
+        "of": (31, PREDEF_OF, 8),
+        "ml": (52, PREDEF_ML, 9),
+    }[kind]
+    if len(hist) == 1:
+        sym = next(iter(hist))
+        return 1, bytes([sym]), ("rle", sym)
+    top = max(hist)
+    predef_ok = all(
+        (predef[0][s] if s < len(predef[0]) else 0) != 0 for s in hist
+    )
+    if nseq < 32 and predef_ok:
+        return 0, b"", ("tbl", predef[1], predef[0])
+    # stream-described FSE from the observed histogram
+    al = max(5, (len(hist) - 1).bit_length(), min((nseq - 1).bit_length(), max_al))
+    al = min(al, max_al)
+    counts = _fse_normalize(hist, al, max_sym)
+    if predef_ok and top < len(predef[0]):
+        # compare real cost only crudely: tiny blocks keep predefined
+        pass
+    return 2, _fse_write_ncount(al, counts), ("tbl", al, counts)
+
+
+def _encode_sequences(seqs: list[tuple[int, int, int]]) -> bytes:
+    """Sequences_Section bytes for [(lit_len, offset, match_len), ...]
+    (offset the PLAIN distance; repeat-offset codes are never emitted).
+    """
+    n = len(seqs)
+    out = bytearray()
+    if n < 128:
+        out.append(n)
+    elif n < 0x7F00:
+        out.append(128 + (n >> 8))
+        out.append(n & 0xFF)
+    else:
+        out.append(255)
+        out += struct.pack("<H", n - 0x7F00)
+    codes = []
+    for ll, off, ml in seqs:
+        ofv = off + 3
+        codes.append((_ll_code(ll), _highbit(ofv), _ml_code(ml)))
+    h_ll: dict[int, int] = {}
+    h_of: dict[int, int] = {}
+    h_ml: dict[int, int] = {}
+    for lc, oc, mc in codes:
+        h_ll[lc] = h_ll.get(lc, 0) + 1
+        h_of[oc] = h_of.get(oc, 0) + 1
+        h_ml[mc] = h_ml.get(mc, 0) + 1
+    m_ll, d_ll, t_ll = _choose_seq_table("ll", h_ll, n)
+    m_of, d_of, t_of = _choose_seq_table("of", h_of, n)
+    m_ml, d_ml, t_ml = _choose_seq_table("ml", h_ml, n)
+    out.append((m_ll << 6) | (m_of << 4) | (m_ml << 2))
+    out += d_ll + d_of + d_ml
+
+    def states_for(tspec, syms: list[int]):
+        """Backward state recurrence; -> (init_state, al, update field
+        per step j in 0..n-2 as (value, width)) or None for RLE."""
+        if tspec[0] == "rle":
+            return None
+        if len(tspec) == 3 and isinstance(tspec[1], int):
+            al, counts = tspec[1], tspec[2]
+        else:
+            counts, al = tspec[1], tspec[2]
+        prev_state, by_sym = _fse_encode_table(al, counts)
+        s_next = by_sym[syms[-1]][0][2]  # smallest-baseline cell
+        upds: list[tuple[int, int]] = [None] * (len(syms) - 1)
+        cur = s_next
+        for j in range(len(syms) - 2, -1, -1):
+            st, v, nb = prev_state(syms[j], cur)
+            upds[j] = (v, nb)
+            cur = st
+        return cur, al, upds
+
+    # normalize tspec layout: predefined stored as ("tbl", al, counts)
+    def norm(mode, tspec, predef):
+        if tspec[0] == "rle":
+            return tspec
+        if mode == 0:
+            return ("tbl", predef[1], predef[0])
+        return tspec
+
+    t_ll = norm(m_ll, t_ll, PREDEF_LL)
+    t_of = norm(m_of, t_of, PREDEF_OF)
+    t_ml = norm(m_ml, t_ml, PREDEF_ML)
+    st_ll = states_for(t_ll, [c[0] for c in codes])
+    st_of = states_for(t_of, [c[1] for c in codes])
+    st_ml = states_for(t_ml, [c[2] for c in codes])
+
+    # build the field list in DECODE-READ order, then write reversed
+    fields: list[tuple[int, int]] = []
+    if st_ll:
+        fields.append((st_ll[0], st_ll[1]))
+    if st_of:
+        fields.append((st_of[0], st_of[1]))
+    if st_ml:
+        fields.append((st_ml[0], st_ml[1]))
+    for j, ((ll, off, ml), (lc, oc, mc)) in enumerate(zip(seqs, codes)):
+        ofv = off + 3
+        fields.append((ofv - (1 << oc), oc))
+        fields.append((ml - ML_BASE[mc], ML_BITS[mc]))
+        fields.append((ll - LL_BASE[lc], LL_BITS[lc]))
+        if j + 1 < n:
+            if st_ll:
+                fields.append(st_ll[2][j])
+            if st_ml:
+                fields.append(st_ml[2][j])
+            if st_of:
+                fields.append(st_of[2][j])
+    w = _FwdBits()
+    for val, nb in reversed(fields):
+        w.add(val, nb)
+    out += w.bytes_backstream()
+    return bytes(out)
+
+
+# --- literals section --------------------------------------------------------
+
+def _encode_literals(lits: bytes) -> bytes:
+    """Smallest of raw / RLE / Huffman-compressed literal forms."""
+    n = len(lits)
+    # raw form (always valid)
+    if n < 32:
+        raw = bytes([0 | (0 << 2) | (n << 3)]) + lits
+    elif n < 4096:
+        raw = bytes([0 | (1 << 2) | ((n & 0xF) << 4),
+                     (n >> 4) & 0xFF]) + lits
+    else:
+        raw = bytes([0 | (3 << 2) | ((n & 0xF) << 4),
+                     (n >> 4) & 0xFF, (n >> 12) & 0xFF]) + lits
+    if n >= 2 and len(set(lits)) == 1:
+        if n < 32:
+            return bytes([1 | (0 << 2) | (n << 3), lits[0]])
+        if n < 4096:
+            return bytes([1 | (1 << 2) | ((n & 0xF) << 4),
+                          (n >> 4) & 0xFF, lits[0]])
+        return bytes([1 | (3 << 2) | ((n & 0xF) << 4),
+                      (n >> 4) & 0xFF, (n >> 12) & 0xFF, lits[0]])
+    if n < 64:
+        return raw  # tree description never pays for itself
+    freqs: dict[int, int] = {}
+    for b in lits:
+        freqs[b] = freqs.get(b, 0) + 1
+    if len(freqs) < 2:
+        return raw
+    built = _huff_build(freqs)
+    if built is None:
+        return raw
+    codes, mb, tree = built
+    if n <= 1023:
+        body = tree + _huff_stream(lits, codes)
+        comp = len(body)
+        if comp > 1023 or comp + 3 >= len(raw):
+            return raw
+        hdr = bytes([
+            2 | (0 << 2) | ((n & 0xF) << 4),
+            ((n >> 4) & 0x3F) | ((comp & 3) << 6),
+            comp >> 2,
+        ])
+        return hdr + body
+    per = (n + 3) // 4
+    chunks = [lits[0:per], lits[per:2 * per], lits[2 * per:3 * per],
+              lits[3 * per:]]
+    streams = [_huff_stream(c, codes) for c in chunks]
+    jump = struct.pack("<HHH", len(streams[0]), len(streams[1]),
+                       len(streams[2]))
+    body = tree + jump + b"".join(streams)
+    comp = len(body)
+    if comp + 5 >= len(raw):
+        return raw
+    if any(len(s) > 0xFFFF for s in streams[:3]):
+        return raw
+    if n <= 1023 or max(n, comp) <= 16383:
+        if n <= 1023 and comp <= 1023:
+            sf, hdr = 1, bytes([
+                2 | (1 << 2) | ((n & 0xF) << 4),
+                ((n >> 4) & 0x3F) | ((comp & 3) << 6),
+                comp >> 2,
+            ])
+        else:
+            hdr = bytes([
+                2 | (2 << 2) | ((n & 0xF) << 4),
+                (n >> 4) & 0xFF,
+                ((n >> 12) & 3) | ((comp & 0x3F) << 2),
+                (comp >> 6) & 0xFF,
+            ])
+        return hdr + body
+    hdr = bytes([
+        2 | (3 << 2) | ((n & 0xF) << 4),
+        (n >> 4) & 0xFF,
+        ((n >> 12) & 0x3F) | ((comp & 3) << 6),
+        (comp >> 2) & 0xFF,
+        (comp >> 10) & 0xFF,
+    ])
+    return hdr + body
+
+
+# --- LZ77 matcher ------------------------------------------------------------
+
+def _lz_parse(data: bytes, start: int, end: int, chains: dict, depth: int):
+    """Greedy hash-chain parse of data[start:end] against the whole
+    preceding frame window.  -> (sequences [(ll, offset, ml)], literal
+    bytes).  ``chains`` maps a 4-byte key to recent positions and
+    persists across blocks (cross-block window references)."""
+    seqs: list[tuple[int, int, int]] = []
+    lits = bytearray()
+    i = start
+    lit_anchor = start
+    n = len(data)
+    while i + 4 <= end:
+        key = data[i:i + 4]
+        cand = chains.get(key)
+        best_len = 0
+        best_off = 0
+        if cand:
+            lim = min(end, i + _MAX_ML)
+            for p in reversed(cand[-depth:]):
+                if data[p:p + 4] != key:
+                    continue
+                L = 4
+                while i + L < lim and data[p + L] == data[i + L]:
+                    L += 1
+                if L > best_len:
+                    best_len, best_off = L, i - p
+                    if i + L >= lim:
+                        break
+        if best_len >= 4 and i - lit_anchor <= _MAX_LL:
+            ll = i - lit_anchor
+            lits += data[lit_anchor:i]
+            seqs.append((ll, best_off, best_len))
+            stop = i + best_len
+            step = 1 if best_len < 64 else 4  # sparse insert on long runs
+            while i < stop:
+                k2 = data[i:i + 4]
+                if len(k2) == 4:
+                    c = chains.setdefault(k2, [])
+                    c.append(i)
+                    if len(c) > 2 * depth:
+                        del c[: len(c) - depth]
+                i += step
+            i = stop
+            lit_anchor = i
+        else:
+            c = chains.setdefault(key, [])
+            c.append(i)
+            if len(c) > 2 * depth:
+                del c[: len(c) - depth]
+            i += 1
+    lits += data[lit_anchor:end]
+    return seqs, bytes(lits)
+
+
+# --- frame assembly ----------------------------------------------------------
+
+_BLOCK_MAX = 128 * 1024
+
+
+def zstd_compress(data: bytes, level: int = 3) -> bytes:
+    """RFC 8878 single-frame compression (single-segment form: the
+    window IS the content, so any in-frame offset is valid).  Per
+    block the encoder picks the smallest of RLE / compressed / raw.
+    Conformance: libzstd (pyarrow) decodes every output byte-identical
+    — pinned across payload classes and levels in tests/test_zstd.py."""
+    n = len(data)
+    depth = 8 if level < 6 else (32 if level < 15 else 96)
+    out = bytearray()
+    out += struct.pack("<I", ZSTD_MAGIC)
+    if n <= 255:
+        out.append((0 << 6) | 0x20)  # fcs flag 0 + single_segment
+        out.append(n)
+    elif n <= 65535 + 256:
+        out.append((1 << 6) | 0x20)
+        out += struct.pack("<H", n - 256)
+    else:
+        out.append((2 << 6) | 0x20)
+        out += struct.pack("<I", n)
+    if n == 0:
+        out += (1).to_bytes(3, "little")  # last raw block, size 0
+        return bytes(out)
+    chains: dict = {}
+    pos = 0
+    while pos < n:
+        blen = min(_BLOCK_MAX, n - pos)
+        last = 1 if pos + blen == n else 0
+        chunk = data[pos:pos + blen]
+        if blen >= 2 and len(set(chunk)) == 1:
+            out += ((last | (1 << 1) | (blen << 3))).to_bytes(3, "little")
+            out.append(chunk[0])
+            pos += blen
+            continue
+        seqs, lits = _lz_parse(data, pos, pos + blen, chains, depth)
+        content = _encode_literals(lits)
+        if seqs:
+            content += _encode_sequences(seqs)
+        else:
+            content += b"\x00"
+        if len(content) < blen:
+            out += ((last | (2 << 1) | (len(content) << 3))).to_bytes(
+                3, "little")
+            out += content
+        else:
+            out += ((last | (0 << 1) | (blen << 3))).to_bytes(3, "little")
+            out += chunk
+        pos += blen
+    return bytes(out)

@@ -3107,3 +3107,42 @@ def web_zstd_house_decode(spark, sf):
         synth_html(did, F.coalesce(F.col("text"), F.lit(""))).alias("page"),
     )
     return zstd_house_digest(synth_zstd_blobs(d).drop("page"))
+
+
+@register(
+    "web_zstd_house_encode",
+    "G4,G5,E1",
+    _zstd_house_oracle().replace(
+        "AS n_chars",
+        "AS n_chars,\n           CAST(CASE WHEN doc_id % 23 = 1 THEN 0 "
+        "ELSE 1 END AS INTEGER) AS house_agree",
+    ),
+    doc="the FROM-SCRATCH RFC 8878 zstd ENCODER (r14, r13 verdict #2 — "
+    "the write side of the loop: a real pipeline writes .warc.zst "
+    "too): per doc the fixture page is compressed by operators/"
+    "zstd.py zstd_compress at level 1/3/9/19 by id%4 — raw/RLE "
+    "blocks, Huffman 1- and 4-stream literals, RLE/predefined/"
+    "stream-described FSE sequence tables — and decoded by the "
+    "REFERENCE decoder (libzstd via pyarrow), the authority on "
+    "conformance; md5+length are over the libzstd-recovered page so "
+    "one wrong bit in any table description or backstream mismatches "
+    "the closed-form oracle.  house_agree pins the house decoder to "
+    "the same bytes (self-consistency rides along, never substitutes)."
+    "  id%23==1 truncates the house frame and must quarantine to the "
+    "visible (0, '', -1, 0) row.  Plan: one Arrow kernel over one "
+    "widened scan, shuffle-free; stateless (streams as-is); "
+    "operators/zstd.py:1191 + web.zstd_house_roundtrip",
+)
+def web_zstd_house_encode(spark, sf):
+    from esgopeta_spark.operators.web import (
+        synth_html,
+        zstd_house_roundtrip,
+    )
+    from esgopeta_spark.session import ensure_min_partitions
+
+    did = F.col("doc_id")
+    d = ensure_min_partitions(T(spark, sf, "documents")).select(
+        "doc_id",
+        synth_html(did, F.coalesce(F.col("text"), F.lit(""))).alias("page"),
+    )
+    return zstd_house_roundtrip(d)
