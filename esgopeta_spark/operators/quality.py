@@ -246,6 +246,20 @@ def corpus_datasheet(
     )
 
 
+def length_bucket(
+    text_col: str, n_buckets: int = 10, bucket_chars: int = 200
+):
+    """The PSI length-bucket projection — stateless, shared by the
+    batch :func:`snapshot_drift_psi` and the streaming twin
+    (streaming/windows.streaming_psi_drift): bucket = length div
+    ``bucket_chars``, capped at ``n_buckets``-1.  Factored so the two
+    forms share one definition rather than mirroring it."""
+    return F.least(
+        F.expr(f"length(coalesce({text_col}, '')) div {int(bucket_chars)}"),
+        F.lit(int(n_buckets - 1)),
+    ).cast("bigint")
+
+
 def snapshot_drift_psi(
     prior: DataFrame,
     current: DataFrame,
@@ -280,12 +294,7 @@ def snapshot_drift_psi(
 
     def shares(df: DataFrame, out: str) -> DataFrame:
         b = df.select(
-            F.least(
-                F.expr(
-                    f"length(coalesce({text_col}, '')) div {int(bucket_chars)}"
-                ),
-                F.lit(int(n_buckets - 1)),
-            ).cast("bigint").alias("bucket")
+            length_bucket(text_col, n_buckets, bucket_chars).alias("bucket")
         )
         cnt = b.groupBy("bucket").agg(F.count("*").cast("bigint").alias("_c"))
         spine = df.sparkSession.range(int(n_buckets)).select(
@@ -320,3 +329,29 @@ def snapshot_drift_psi(
     ).withColumn(
         "psi_nanobits", F.sum("contrib_nanobits").over(w).cast("bigint")
     )
+
+
+def psi_prior_ppm(
+    prior: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 10,
+    bucket_chars: int = 200,
+) -> list:
+    """The PRIOR snapshot's smoothed bucket shares as a bounded
+    driver-side list (``n_buckets`` ints, ppm, greatest(.,1) — the
+    same integer formulas as :func:`snapshot_drift_psi`'s p side) —
+    the honest driver-state pattern (codebook doctrine): the prior
+    distribution is a fixed, tiny reference the streaming PSI twin
+    closes over, exactly like the k-means codebook."""
+    cnt = {
+        int(r["bucket"]): int(r["_c"])
+        for r in prior.select(
+            length_bucket(text_col, n_buckets, bucket_chars).alias("bucket")
+        ).groupBy("bucket").agg(F.count("*").alias("_c")).collect()
+    }
+    total = sum(cnt.values())
+    if total == 0:
+        raise ValueError("prior snapshot is empty")
+    return [
+        max((cnt.get(b, 0) * 1000000) // total, 1) for b in range(n_buckets)
+    ]

@@ -115,6 +115,29 @@ def milli_log2_sql(vals_cte: str, keys: str, vcol: str, out_cte: str, out: str) 
     return "".join(parts)
 
 
+def milli_log2_int(v: int) -> int:
+    """Pure-int Python twin of :func:`with_milli_log2` — the IDENTICAL
+    Q20 shift-and-square recurrence, for driver/handler-side kernels
+    (the streaming PSI twin) that must agree bit-for-bit with the
+    engine and the DuckDB oracle.  Equality across the three forms is
+    pinned in tests/test_llm_ops.py."""
+    if v <= 0:
+        raise ValueError("milli_log2_int needs a positive integer")
+    e = v.bit_length() - 1
+    m = (v >> (e - _FX)) if e >= _FX else (v << (_FX - e))
+    f = 0
+    two_fx1 = 1 << (_FX + 1)
+    for _ in range(_FRAC_BITS):
+        m2 = (m * m) >> _FX
+        if m2 >= two_fx1:
+            m = m2 >> 1
+            f = f * 2 + 1
+        else:
+            m = m2
+            f = f * 2
+    return e * 1000 + (f * 1000) // (1 << _FRAC_BITS)
+
+
 def hash_bucket(gram: Column, buckets: int) -> Column:
     """md5-derived feature bucket (md5 exists identically in both engines;
     xxhash64 is Spark-only — the MinHash lesson)."""

@@ -170,3 +170,113 @@ def streaming_kmv_distinct(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+PSI_WIN_OUTPUT_SCHEMA = (
+    "w_start_ms bigint, bucket bigint, p_ppm bigint, q_ppm bigint, "
+    "contrib_nanobits bigint, psi_nanobits bigint, upd_seq bigint"
+)
+
+
+def streaming_psi_drift(
+    docs: DataFrame,
+    prior_p_ppm: list,
+    width_ms: int = 3600_000,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    n_buckets: int = 10,
+    bucket_chars: int = 200,
+) -> DataFrame:
+    """PSI snapshot drift PER EVENT-TIME WINDOW on a stream (r14, r13
+    verdict #4 — closes the one r13 batch op without a stream form):
+    each window's length-bucket distribution against a FIXED prior
+    snapshot's shares, the nightly-loop drift alarm running live.
+
+    Shares, don't mirror: the per-row bucket projection is the batch
+    op's own ``quality.length_bucket``; the prior side is the bounded
+    driver-state list ``quality.psi_prior_ppm`` computes (n_buckets
+    ints — the codebook doctrine: a fixed tiny reference the handler
+    closes over); the per-bucket log ride is ``selection.
+    milli_log2_int``, the pure-int twin PINNED bit-equal to the
+    engine's Q20 recurrence.  Handler state is the additive per-bucket
+    count vector (order-independent), so the stream CONVERGES: the
+    final max-``upd_seq`` rows per window equal the batch
+    ``snapshot_drift_psi`` on that window's documents under ANY
+    arrival order — pinned in tests/test_streaming.py.  Each batch
+    that changes a window re-emits its full ``n_buckets``-row PSI
+    table with a higher ``upd_seq`` (take the max downstream); state
+    is ``n_buckets`` int64s + a seq per window."""
+    import json as _json
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from esgopeta_spark.operators.quality import length_bucket
+    from esgopeta_spark.operators.selection import milli_log2_int
+
+    if len(prior_p_ppm) != int(n_buckets):
+        raise ValueError("prior_p_ppm must have n_buckets entries")
+    p_ppm = [int(x) for x in prior_p_ppm]
+    if any(x < 1 for x in p_ppm):
+        raise ValueError("prior shares must be >= 1 ppm (smoothed)")
+    nb = int(n_buckets)
+
+    bucketed = docs.select(
+        F.expr(
+            f"(unix_millis({ts_col}) div {int(width_ms)}) * {int(width_ms)}"
+        ).cast("bigint").alias("w_start_ms"),
+        length_bucket(text_col, nb, bucket_chars).alias("bucket"),
+    )
+
+    mlp = [milli_log2_int(x) for x in p_ppm]
+
+    def handler(key, pdfs, gstate):
+        (w,) = key
+        add = [0] * nb
+        got = False
+        for pdf in pdfs:
+            for b in pdf["bucket"]:
+                add[int(b)] += 1
+                got = True
+        if not got:
+            return
+        import pandas as _pd
+
+        if gstate.exists:
+            st = gstate.get
+            counts = _json.loads(st[0])
+            seq = int(st[1])
+        else:
+            counts, seq = [0] * nb, 0
+        counts = [c + a for c, a in zip(counts, add)]
+        seq += 1
+        gstate.update((_json.dumps(counts), seq))
+        total = sum(counts)
+        q_ppm = [max((c * 1000000) // total, 1) for c in counts]
+        contrib = [
+            (p - q) * (mp - milli_log2_int(q))
+            for p, q, mp in zip(p_ppm, q_ppm, mlp)
+        ]
+        psi = sum(contrib)
+        yield _pd.DataFrame(
+            {
+                "w_start_ms": [int(w)] * nb,
+                "bucket": list(range(nb)),
+                "p_ppm": p_ppm,
+                "q_ppm": q_ppm,
+                "contrib_nanobits": contrib,
+                "psi_nanobits": [psi] * nb,
+                "upd_seq": [seq] * nb,
+            }
+        )
+
+    state_schema = StructType(
+        [StructField("counts", StringType()), StructField("seq", LongType())]
+    )
+    return bucketed.groupBy("w_start_ms").applyInPandasWithState(
+        handler,
+        outputStructType=PSI_WIN_OUTPUT_SCHEMA,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

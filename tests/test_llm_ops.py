@@ -4291,3 +4291,28 @@ def test_snapshot_drift_psi_semantics(spark):
     assert out[0]["psi_nanobits"] > 0
     # a bucket present on one side only is smoothed, not dropped
     assert all(r["p_ppm"] >= 1 and r["q_ppm"] >= 1 for r in out)
+
+
+def test_milli_log2_int_matches_engine(spark):
+    """r14: the pure-int Python twin (the streaming PSI handler's log
+    kernel) is bit-equal to the engine's Q20 shift-and-square across
+    small values, ppm-scale values, and wide powers."""
+    from esgopeta_spark.operators.selection import (
+        milli_log2_int,
+        with_milli_log2,
+    )
+
+    vals = (
+        list(range(1, 3000))
+        + [10**6, 10**6 + 1, 999_999, 123_456_789]
+        + [2**k for k in range(1, 63)]
+        + [2**k - 1 for k in range(2, 63)]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v: long")
+    got = {r["v"]: r["ml"] for r in with_milli_log2(df, "v", "ml").collect()}
+    for v in vals:
+        assert got[v] == milli_log2_int(v), v
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        milli_log2_int(0)

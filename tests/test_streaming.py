@@ -2164,3 +2164,80 @@ def test_stateless_r13_ops_run_on_streams_as_is(spark, tmp_path):
     got2 = {r["doc_id"]: (r["status"], r["page_md5"])
             for r in spark.sql("select * from encstream").collect()}
     assert got2 == batch2 and all(s == 200 for s, _ in got2.values())
+
+
+def test_streaming_psi_drift_matches_batch(spark, tmp_path):
+    """r14 (r13 verdict #4): the PSI snapshot-drift alarm's stream
+    form.  Per event-time window the length-bucket distribution drifts
+    against a FIXED prior snapshot (bounded driver-state shares); the
+    per-window count vector is additive, so the drained stream's
+    max-upd_seq rows must equal the batch snapshot_drift_psi on that
+    window's documents — in BOTH arrival orders, across micro-batch
+    splits that land partial windows in different batches."""
+    from pyspark.sql import functions as F
+
+    from esgopeta_spark.operators.quality import (
+        psi_prior_ppm,
+        snapshot_drift_psi,
+    )
+    from esgopeta_spark.streaming.windows import streaming_psi_drift
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    prior = docs.where(F.col("doc_id") % 5 == 0).select("text")
+    p_ppm = psi_prior_ppm(prior)
+    assert len(p_ppm) == 10 and all(x >= 1 for x in p_ppm)
+
+    width = 3600_000
+    base = 1_700_000_000_000
+    cur = docs.select(
+        "doc_id", "text",
+        F.timestamp_millis(
+            F.lit(base) + (F.col("doc_id") % 3) * F.lit(width)
+        ).alias("ts"),
+    )
+
+    # batch expectation: snapshot_drift_psi per event-time window
+    want = {}
+    for k in range(3):
+        w_start = ((base + k * width) // width) * width
+        sub = cur.where(F.col("doc_id") % 3 == k).select("text")
+        for r in snapshot_drift_psi(prior, sub).collect():
+            want[(w_start, r["bucket"])] = (
+                r["p_ppm"], r["q_ppm"], r["contrib_nanobits"],
+                r["psi_nanobits"],
+            )
+
+    rows = [(r["doc_id"], r["text"], r["ts"]) for r in cur.collect()]
+    case = 0
+    for order in ("fwd", "rev"):
+        case += 1
+        ordered = rows if order == "fwd" else rows[::-1]
+        half = len(ordered) // 2
+        d = str(tmp_path / f"psi{case}")
+        os.makedirs(d)
+        for i, b in enumerate((ordered[:half], ordered[half:])):
+            spark.createDataFrame(b, cur.schema).coalesce(1).write.parquet(
+                f"{d}/b{i}")
+        stream = (
+            spark.readStream.schema(cur.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(d)
+        )
+        run_stream_to_memory(
+            streaming_psi_drift(stream, p_ppm, width_ms=width),
+            f"psistream{case}", mode="update",
+        )
+        latest: dict = {}
+        for r in spark.sql(f"select * from psistream{case}").collect():
+            key = (r["w_start_ms"], r["bucket"])
+            if key not in latest or r["upd_seq"] > latest[key]["upd_seq"]:
+                latest[key] = r
+        got = {
+            k: (r["p_ppm"], r["q_ppm"], r["contrib_nanobits"],
+                r["psi_nanobits"])
+            for k, r in latest.items()
+        }
+        assert got == want, (order,
+                             {k: (got.get(k), want.get(k))
+                              for k in set(got) ^ set(want) or list(want)[:2]})
