@@ -79,6 +79,9 @@ _MAGICS = [
     (b"GIF87a", "gif"),
     (b"GIF89a", "gif"),
     (b"%PDF-", "pdf"),  # r11: routed to operators/pdf.extract_pdf_text
+    # r14: MPEG-1 video elementary stream (sequence_header_code) —
+    # routed to operators/mpeg1_video intra decode
+    (b"\x00\x00\x01\xb3", "m1v"),
 ]
 
 DECODABLE = {"bmp", "ppm", "wav", "png", "jpeg", "gif", "tiff", "flac"}
@@ -2004,3 +2007,26 @@ def apply_exif_orientation(arr: np.ndarray, orientation: int | None) -> np.ndarr
     if orientation == 8:
         return np.rot90(arr, k=1)
     raise ValueError(f"invalid Exif orientation {orientation}")
+
+
+@_quarantine
+def decode_mpeg1_video_frames(b: bytes, max_frames: int = 8) -> list:
+    """MPEG-1 video elementary stream -> list of (h, w) uint8 luma
+    frames (INTRA pictures only — P/B pictures are parsed past, the
+    documented scope of operators/mpeg1_video.py).  Quarantined like
+    every decode entry point: malformed payloads raise ValueError."""
+    from esgopeta_spark.operators.mpeg1_video import decode_mpeg1_video
+
+    return decode_mpeg1_video(b, max_frames=max_frames)["frames"]
+
+
+@_quarantine
+def encode_mpeg1_video_stream(
+    frames, rate_code: int = 3, qscale: int = 4, stuffing: bool = False
+) -> bytes:
+    """Encoder-twin fixture builder: grayscale frames -> intra-only
+    MPEG-1 video elementary stream (operators/mpeg1_video.py)."""
+    from esgopeta_spark.operators.mpeg1_video import encode_mpeg1_video
+
+    return encode_mpeg1_video(
+        frames, rate_code=rate_code, qscale=qscale, stuffing=stuffing)

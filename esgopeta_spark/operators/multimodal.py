@@ -1258,6 +1258,10 @@ def video_frame_hashes(
                         frames = codecs.decode_gif_frames(b, max_frames=max_frames)
                     elif fmt == "mp4":
                         frames = codecs.decode_mjpeg_frames(b, max_frames=max_frames)
+                    elif fmt == "m1v":
+                        # r14: real MPEG-1 intra decode (keyframes)
+                        frames = codecs.decode_mpeg1_video_frames(
+                            b, max_frames=max_frames)
                     else:
                         continue
                 except ValueError:

@@ -1926,3 +1926,106 @@ def multimodal_alignment_gate(spark, sf):
     return embedding_alignment_gate(
         pairs, "cap_vec", "img_vec", dim=64, threshold_micro=900_000
     ).select("cap_id", "img_id", "cos_micro", "keep")
+
+
+@register(
+    "multimodal_decode_mpeg1_video",
+    "G5",
+    """
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 23 = 1 THEN -1
+                WHEN doc_id % 3 = 0 THEN 64 WHEN doc_id % 3 = 1 THEN 48
+                ELSE 32 END AS INTEGER) AS width,
+           CAST(CASE WHEN doc_id % 23 = 1 THEN -1
+                WHEN doc_id % 3 = 0 THEN 32 WHEN doc_id % 3 = 1 THEN 48
+                ELSE 64 END AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 23 = 1 THEN -1
+                ELSE 1 + doc_id % 5 END AS INTEGER) AS rate_code,
+           CAST(CASE WHEN doc_id % 23 = 1 THEN -1
+                ELSE 4 + doc_id % 3 END AS INTEGER) AS n_frames,
+           CAST(CASE WHEN doc_id % 23 = 1 THEN -1
+                WHEN doc_id % 4 = 1 THEN 0 ELSE 1 END AS INTEGER) AS n_cuts,
+           CAST(CASE WHEN doc_id % 23 = 1 THEN -1
+                WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INTEGER)
+                AS n_skipped,
+           CAST(doc_id % 23 <> 1 AS BOOLEAN) AS fidelity_ok
+    FROM documents WHERE doc_id % 20 = 3
+    """,
+    doc="REAL MPEG-1 VIDEO (ISO 11172-2) intra round trip, r14 (r13 "
+    "verdict #3 — the video stack's first real inter-frame-capable "
+    "codec; MJPEG/GIF stay beside it): per selected doc, synthesize a "
+    "deterministic intra-only clip (geometry/rate/length/quantizer by "
+    "residue class; a designed luminance-ramp SCENE CUT unless id%4==1; "
+    "id%7==0 adds B.1 macroblock stuffing; id%5==0 injects a P-picture "
+    "header the decoder must COUNT and skip), encode through the "
+    "from-scratch encoder twin (operators/mpeg1_video.py — B.1/B.2a/"
+    "B.5a/B.5b VLCs, short run/level table + 6-bit escapes, MPEG-1 "
+    "dequant oddification, one slice per MB row, flat-DC 4:2:0 "
+    "chroma), decode back and emit the structural facts plus dHash "
+    "scene-cut count (within-scene drift <= 2 bits, cut >= 40 bits — "
+    "class-separation pinned at the sf0.1 id range in tests/"
+    "test_mpeg1_video.py) and a >30 dB PSNR flag the oracle asserts "
+    "TRUE.  id%23==1 ships a header-truncated stream that must "
+    "quarantine to the visible all--1 row.  Plan: pruned 1-column scan "
+    "-> widened partitions -> one Arrow mapInPandas kernel, no "
+    "shuffle, no collect; stateless (streams as-is)",
+)
+def multimodal_decode_mpeg1_video(spark, sf):
+    from esgopeta_spark.session import ensure_min_partitions
+
+    ids = T(spark, sf, "documents").filter(
+        F.col("doc_id") % 20 == 3).select("doc_id")
+    ids = ensure_min_partitions(ids)
+    out_schema = (
+        "doc_id bigint, width int, height int, rate_code int, "
+        "n_frames int, n_cuts int, n_skipped int, fidelity_ok boolean"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from esgopeta_spark.operators import codecs
+        from esgopeta_spark.operators.mpeg1_video import synth_fixture
+        from esgopeta_spark.operators.multimodal import dhash64
+
+        mask = (1 << 64) - 1
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                fx = synth_fixture(d)
+                payload = fx["payload"]
+                if d % 23 == 1:
+                    payload = payload[:9]  # header-truncated poison
+                try:
+                    from esgopeta_spark.operators.mpeg1_video import (
+                        decode_mpeg1_video,
+                    )
+
+                    dec = decode_mpeg1_video(payload)
+                except ValueError:
+                    out.append(dict(
+                        doc_id=d, width=-1, height=-1, rate_code=-1,
+                        n_frames=-1, n_cuts=-1, n_skipped=-1,
+                        fidelity_ok=False))
+                    continue
+                hs = [dhash64(np.stack([fr] * 3, axis=-1))
+                      for fr in dec["frames"]]
+                n_cuts = sum(
+                    1 for a, b in zip(hs, hs[1:])
+                    if bin((a ^ b) & mask).count("1") > 8)
+                psnr_min = 1e9
+                for a, b in zip(fx["frames"], dec["frames"]):
+                    err = a.astype(np.float64) - b.astype(np.float64)
+                    mse = max(float((err * err).mean()), 1e-12)
+                    psnr_min = min(
+                        psnr_min, 10 * np.log10(255.0 ** 2 / mse))
+                out.append(dict(
+                    doc_id=d, width=dec["width"], height=dec["height"],
+                    rate_code=dec["rate_code"],
+                    n_frames=len(dec["frames"]), n_cuts=n_cuts,
+                    n_skipped=dec["n_skipped"],
+                    fidelity_ok=bool(psnr_min > 30.0)))
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(kernel, out_schema)

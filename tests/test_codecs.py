@@ -878,6 +878,14 @@ def test_decoder_quarantine_contract_fuzz():
         _np.stack([_tone, (_tone * 0.7).astype(_np.int16)], axis=1).astype(_np.int32),
         8000, block_size=256, stereo_mode="ms", rice2=True,
     )
+    # MPEG-1 VIDEO intra (r14): fuzz the start-code walk, slice/MB VLC
+    # machinery and the coefficient escape forms
+    decoders["m1v"] = codecs.decode_mpeg1_video_frames
+    magics["m1v"] = b"\x00\x00\x01\xb3"
+    valid["m1v"] = codecs.encode_mpeg1_video_stream(
+        [(_np.arange(32)[None, :] * 8 + _np.zeros((16, 1))).astype(_np.uint8)] * 2,
+        qscale=2, stuffing=True,
+    )
     # PNG depth variants (late r9): 16-bit gray, sub-byte paletted with
     # tRNS, 1-bit gray — hand-built spec streams join the fuzz corpus so
     # the new unfilter/bit-unpack/alpha paths inherit the contract
