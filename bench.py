@@ -83,9 +83,12 @@ HEADLINE = [
     "stream_session_windows",
     "dedup_exact_docs",
     "dedup_minhash_pairs",
-    "text_profile_docs",
+    # (r14: text_profile_docs retired from the roster — demoted to
+    # parity-only in the r14 graded rotation, G4 stays the most-measured
+    # family on the roster — to fund the r14 additions below)
     "sim_topk_cosine",
-    "sim_topk_cosine_lsh",
+    # (r14: the LSH sim tier retired from the roster — parity-only with
+    # the exact + IVF + PQ tiers all still measured; same budget trade)
     # round-3 graded flagships: temporal join, graph analytics, skew ops.
     # (graph_ham_stream_replay is deliberately NOT here: it funnels every
     # row through the per-key Python streaming handler to prove
@@ -114,7 +117,9 @@ HEADLINE = [
     # per-round numbers live in BENCH_r*.json)
     # (r14: CMS heavy hitters retired from the roster — parity-only
     # since r13 with the KMV sketch measured below — same budget trade)
-    "ts_gapfill_daily_locf",
+    # (r14: ts_gapfill_daily_locf retired from the roster — parity-only
+    # since r11 with the keyed-recursion family still measured via
+    # ts_ewma_daily below; same budget trade)
     # round-8 flagships: REAL MPEG-1 Layer III round trip (Huffman + bit
     # reservoir + hybrid MDCT) and the image/audio near-dup rotations
     "multimodal_decode_mp3_audio",
@@ -123,7 +128,10 @@ HEADLINE = [
     # round-9 flagships: FLAC lossless round trip (exact-sum oracle),
     # DSIR importance selection, entropy/KL quality signals (both on the
     # engine-exact integer milli-log2)
-    "multimodal_decode_flac",
+    # (r14: the FLAC round trip retired from the roster — parity-only
+    # since r11; the lossless-codec class stays measured via the PNG
+    # exact-sum entry and the strictly deeper mp3 + MPEG-1 video
+    # decodes below; same budget trade)
     "select_dsir_scores",
     "text_entropy_kl_profile",
     # round-10 flagships: the crawl front-end (HTML->text extraction,
@@ -135,7 +143,9 @@ HEADLINE = [
     # (r13: pipeline_html_to_shards retired from the roster — the
     # r10 crawl capstone below measures its superset lineage)
     "ts_ewma_daily",
-    "select_mixture_materialize",
+    # (r14: select_mixture_materialize retired from the roster —
+    # demoted to parity-only in the r14 rotation; selection stays
+    # measured via DSIR + NB langid; same budget trade)
     # the r10 capstone: raw mixed WARC bytes -> HTTP unwrap -> sniff ->
     # extract -> gate -> split/shard rollup, one lineage
     "pipeline_crawl_to_shards",
@@ -177,6 +187,11 @@ HEADLINE = [
     "text_unicode_fold",
     "text_pdf_filters",
     "corpus_drift_psi",
+    # r14 waves (r15 rotation candidates, pre-named in COVERAGE.md):
+    # the from-scratch zstd ENCODER under libzstd-decode authority and
+    # the MPEG-1 VIDEO intra round trip with dHash scene cuts
+    "web_zstd_house_encode",
+    "multimodal_decode_mpeg1_video",
 ]
 
 
