@@ -3146,3 +3146,112 @@ def web_zstd_house_encode(spark, sf):
         synth_html(did, F.coalesce(F.col("text"), F.lit(""))).alias("page"),
     )
     return zstd_house_roundtrip(d)
+
+
+def _srt_oracle() -> str:
+    from esgopeta_spark.operators.subtitles import synth_srt_sql  # noqa: F401
+
+    clean = "regexp_replace(coalesce(text, ''), '[\\n\\r]', ' ', 'g')"
+    return rf"""
+    SELECT d.doc_id,
+           CAST(k.k AS BIGINT) AS cue_idx,
+           CAST(CASE WHEN d.doc_id % 23 = 1 AND k.k = 1 THEN 0 ELSE 1 END
+                AS INTEGER) AS ok,
+           CAST(CASE WHEN d.doc_id % 23 = 1 AND k.k = 1 THEN -1
+                ELSE k.k * 2000 + (d.doc_id % 7) * 111 END AS BIGINT)
+                AS start_ms,
+           CAST(CASE WHEN d.doc_id % 23 = 1 AND k.k = 1 THEN -1
+                ELSE k.k * 2000 + (d.doc_id % 7) * 111
+                     + 1500 + (d.doc_id % 3) * 200 END AS BIGINT) AS end_ms,
+           CAST(CASE WHEN d.doc_id % 23 = 1 AND k.k = 1 THEN -1
+                ELSE 1500 + (d.doc_id % 3) * 200 END AS BIGINT) AS dur_ms,
+           CAST(CASE WHEN d.doc_id % 23 = 1 AND k.k = 1 THEN -1
+                ELSE length('cue ' || (k.k + 1) || ': '
+                            || substr({clean}, 1 + k.k * 17, 23)) END
+                AS BIGINT) AS n_chars,
+           CASE WHEN d.doc_id % 23 = 1 AND k.k = 1 THEN ''
+                ELSE md5('cue ' || (k.k + 1) || ': '
+                         || substr({clean}, 1 + k.k * 17, 23)) END
+                AS text_md5
+    FROM documents d, generate_series(0, 5) AS k(k)
+    WHERE k.k < 3 + d.doc_id % 4
+    """
+
+
+@register(
+    "text_srt_cues",
+    "G4,G5,E2",
+    _srt_oracle(),
+    doc="SRT subtitle parsing, all-codegen (r14 — the video<->text "
+    "modality: caption files are the textual supervision video-LM "
+    "corpora train on): per doc the fixture SRT (cue count/timing/"
+    "phase by residue class, text = corpus slices, newline-sanitized; "
+    "synth twin byte-identical across engines) parses through builtin "
+    "split/posexplode/regexp expressions alone — block structure, "
+    "index-line verification against the block position, the "
+    "HH:MM:SS,mmm timing regex, ms arithmetic, and the per-cue text "
+    "md5, so one wrong capture group or off-by-one slice mismatches "
+    "the closed-form oracle on every cue.  id%23==1 plants a "
+    "malformed arrow on cue 1 that must degrade to the visible "
+    "(0, -1, '') row.  Plan: one scan -> posexplode -> codegen "
+    "projections, no shuffle, no kernels; stateless (streams as-is); "
+    "operators/subtitles.py",
+)
+def text_srt_cues(spark, sf):
+    from esgopeta_spark.operators.subtitles import parse_srt_cues, synth_srt
+
+    d = T(spark, sf, "documents").select(
+        "doc_id",
+        synth_srt(F.col("doc_id"), F.col("text")).alias("srt"),
+    )
+    return parse_srt_cues(d)
+
+
+def _srt_align_oracle() -> str:
+    return """
+    SELECT d.doc_id,
+           CAST(t.t AS BIGINT) AS t_ms,
+           CAST(CASE
+             WHEN t.t >= (d.doc_id % 7) * 111
+                  AND ((t.t - (d.doc_id % 7) * 111) % 2000)
+                      < 1500 + (d.doc_id % 3) * 200
+                  AND (t.t - (d.doc_id % 7) * 111) // 2000
+                      < 3 + d.doc_id % 4
+                  AND NOT (d.doc_id % 23 = 1
+                           AND (t.t - (d.doc_id % 7) * 111) // 2000 = 1)
+             THEN (t.t - (d.doc_id % 7) * 111) // 2000
+             ELSE -1 END AS BIGINT) AS cue_idx
+    FROM documents d, generate_series(0, 13000, 1000) AS t(t)
+    """
+
+
+@register(
+    "pipeline_srt_frame_align",
+    "G4,G5,E3",
+    _srt_align_oracle(),
+    doc="subtitle->frame alignment (r14 — the video-text pair "
+    "builder's join): the parsed cue intervals land on the uniform "
+    "1 s frame-sampling grid; each frame takes the covering cue or "
+    "the visible -1 (gaps between cues, the pre-phase lead-in, past "
+    "the last cue — and every frame the poison doc's MALFORMED cue 1 "
+    "failed to claim, so upstream degradation propagates through the "
+    "alignment instead of vanishing).  The oracle derives coverage in "
+    "closed form from the fixture's timing arithmetic — the Spark "
+    "side must reproduce it through the real parse + interval join.  "
+    "Plan: codegen parse -> per-doc sequence explode -> ONE left "
+    "equi+range join (doc key hash-partitions both sides, the "
+    "interval predicate filters in-partition; never cartesian, at "
+    "most 1:1 by the non-overlap contract); operators/subtitles.py",
+)
+def pipeline_srt_frame_align(spark, sf):
+    from esgopeta_spark.operators.subtitles import (
+        align_cues_to_frames,
+        parse_srt_cues,
+        synth_srt,
+    )
+
+    d = T(spark, sf, "documents").select(
+        "doc_id",
+        synth_srt(F.col("doc_id"), F.col("text")).alias("srt"),
+    )
+    return align_cues_to_frames(parse_srt_cues(d))
