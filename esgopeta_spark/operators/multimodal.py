@@ -1364,3 +1364,44 @@ def video_dup_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared_frames"))
         .filter(F.col("n_shared_frames") >= F.lit(int(min_shared_frames)))
     )
+
+
+def video_keyframes(
+    df: DataFrame,
+    cut_hamming: int = 8,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_frames: int = 8,
+) -> DataFrame:
+    """Scene-representative KEYFRAME selection (r14 — the video
+    training pipeline's frame-sampling step: one frame per scene beats
+    uniform sampling, SURVEY §2 G5): frame 0 and every frame that
+    opens a new scene (lag-dHash Hamming above ``cut_hamming``) is a
+    keyframe; each carries its scene ordinal.  Returns
+    (id, frame_idx, scene_idx, dhash) — one row per keyframe.
+
+    Scale shape: the decode+hash kernel is the SHARED
+    ``video_frame_hashes`` Arrow pass (GIF / MJPEG / MPEG-1 intra);
+    selection is one lag window partitioned by video (frames bounded
+    by ``max_frames``, no skew) — no joins, nothing all-pairs."""
+    fh = video_frame_hashes(df, payload_col, id_col, max_frames)
+    win = Window.partitionBy(id_col).orderBy("frame_idx")
+    d = fh.select(
+        id_col, "frame_idx", "dhash",
+        F.lag("dhash").over(win).alias("_prev"),
+    )
+    is_cut = F.when(F.col("_prev").isNull(), F.lit(1)).otherwise(
+        (F.bit_count(F.expr("_prev ^ dhash")) > F.lit(int(cut_hamming)))
+        .cast("int")
+    )
+    scored = d.select(
+        id_col, "frame_idx", "dhash", is_cut.alias("_key"),
+        F.sum(is_cut).over(
+            win.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("_scene1"),
+    )
+    return scored.where(F.col("_key") == 1).select(
+        id_col, "frame_idx",
+        (F.col("_scene1") - 1).cast("bigint").alias("scene_idx"),
+        "dhash",
+    )

@@ -2029,3 +2029,62 @@ def multimodal_decode_mpeg1_video(spark, sf):
             yield pd.DataFrame(out)
 
     return ids.mapInPandas(kernel, out_schema)
+
+
+@register(
+    "multimodal_video_keyframes",
+    "G5,E5",
+    """
+    SELECT doc_id, CAST(0 AS INTEGER) AS frame_idx,
+           CAST(0 AS BIGINT) AS scene_idx
+    FROM documents WHERE doc_id % 20 = 3 AND doc_id % 23 <> 1
+    UNION ALL
+    SELECT doc_id, CAST(2 + doc_id % 2 AS INTEGER) AS frame_idx,
+           CAST(1 AS BIGINT) AS scene_idx
+    FROM documents
+    WHERE doc_id % 20 = 3 AND doc_id % 23 <> 1 AND doc_id % 4 <> 1
+    """,
+    doc="scene-representative KEYFRAME selection over the MPEG-1 "
+    "fixtures (r14 — the video training pipeline's frame-sampling "
+    "step: one frame per scene beats uniform sampling): the same "
+    "encoder-twin clips as multimodal_decode_mpeg1_video decode "
+    "through the real intra codec, hash through the shared "
+    "video_frame_hashes Arrow pass, and multimodal.video_keyframes "
+    "picks frame 0 plus every scene-opening frame via the lag-dHash "
+    "window.  The oracle derives the keyframe set in closed form from "
+    "the fixture's scene design (frame 0 always; frame 2+id%2 exactly "
+    "when the cut exists) — resting on the class-separation margins "
+    "pinned at the sf0.1 id range in tests/test_mpeg1_video.py.  "
+    "Poison docs (id%23==1, truncated header) decode to nothing and "
+    "are absent by construction on both sides (their quarantine "
+    "VISIBILITY is graded by the decode entry).  Plan: two Arrow "
+    "kernels (synth, decode+hash) over one pruned scan, ONE bounded "
+    "per-video lag window (frames <= 8, no skew), no joins",
+)
+def multimodal_video_keyframes(spark, sf):
+    from esgopeta_spark.session import ensure_min_partitions
+
+    ids = T(spark, sf, "documents").filter(
+        F.col("doc_id") % 20 == 3).select("doc_id")
+    ids = ensure_min_partitions(ids)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from esgopeta_spark.operators.mpeg1_video import synth_fixture
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                fx = synth_fixture(d)
+                payload = fx["payload"]
+                if d % 23 == 1:
+                    payload = payload[:9]
+                out.append(dict(media_id=d, payload=payload))
+            yield pd.DataFrame(out)
+
+    media = ids.mapInPandas(synth, "media_id bigint, payload binary")
+    from esgopeta_spark.operators.multimodal import video_keyframes
+
+    kf = video_keyframes(media)
+    return kf.select(
+        F.col("media_id").alias("doc_id"), "frame_idx", "scene_idx")

@@ -214,3 +214,34 @@ def test_sniff_and_frame_hash_routing(spark):
     assert sc[0]["n_cuts"] == fx0["n_cuts"]
     assert sc[1]["n_cuts"] == fx1["n_cuts"]
     assert sc[0]["n_scenes"] == fx0["n_cuts"] + 1
+
+
+def test_video_keyframes_selects_scene_openers(spark):
+    """video_keyframes picks frame 0 + every scene-opening frame with
+    the right scene ordinals, across MPEG-1 AND the existing MJPEG
+    route (shared kernel)."""
+    import numpy as _np
+
+    from esgopeta_spark.operators import codecs
+    from esgopeta_spark.operators.multimodal import video_keyframes
+
+    fx_cut, fx_flat = synth_fixture(3), synth_fixture(5)   # 5%4==1: no cut
+    assert fx_cut["n_cuts"] == 1 and fx_flat["n_cuts"] == 0
+    # an MJPEG clip with a designed cut at frame 1
+    a = (_np.arange(48)[None, :] * 5 + _np.zeros((16, 1))).astype(_np.uint8)
+    a3 = _np.stack([a] * 3, axis=-1)
+    b3 = 255 - a3
+    mj = codecs.encode_mjpeg_mp4([a3, a3, b3, b3])
+    df = spark.createDataFrame(
+        [(0, bytearray(fx_cut["payload"])), (1, bytearray(fx_flat["payload"])),
+         (2, bytearray(mj))],
+        "media_id: long, payload: binary",
+    )
+    rows = {(r["media_id"], r["frame_idx"]): r["scene_idx"]
+            for r in video_keyframes(df).collect()}
+    cut_at = 2 + 3 % 2
+    assert rows == {
+        (0, 0): 0, (0, cut_at): 1,    # mpeg1 with a designed cut
+        (1, 0): 0,                    # mpeg1 flat: only frame 0
+        (2, 0): 0, (2, 2): 1,         # mjpeg cut at frame 2
+    }, rows
