@@ -203,3 +203,156 @@ def align_cues_to_frames(
         id_col, "t_ms",
         F.coalesce("cue_idx", F.lit(-1)).cast("bigint").alias("cue_idx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WebVTT dialect (the web's caption format — W3C spec, public):
+# a WEBVTT header block, OPTIONAL per-cue identifier lines, dot
+# milliseconds, an optional-hours timestamp form, and cue settings
+# after the end timestamp.  Shares the block discipline with SRT.
+# ---------------------------------------------------------------------------
+
+_VTT_TIME_RE = (
+    r"^(?:(\d{2,3}):)?(\d{2}):(\d{2})\.(\d{3}) --> "
+    r"(?:(\d{2,3}):)?(\d{2}):(\d{2})\.(\d{3})( .*)?$"
+)
+
+
+def synth_vtt(doc_id_col, text_col):
+    """Deterministic WebVTT per doc (same cue arithmetic as
+    :func:`synth_srt` so the two dialects' parsers are directly
+    comparable): a WEBVTT header block; cue k carries an identifier
+    line only when k is even (the optional-id branch), uses the
+    HOURLESS 'MM:SS.mmm' form when k == 0 (both branches of the
+    optional-hours regex), and appends ' align:start' settings when
+    k % 3 == 0 (the settings tail must not break end-timestamp
+    parsing).  id%23==1 docs malform cue 1's arrow.  Twin:
+    :func:`synth_vtt_sql`."""
+    d = doc_id_col
+    clean = F.regexp_replace(
+        F.coalesce(text_col, F.lit("")), "[\\n\\r]", " ")
+    off = (d % 7) * 111
+    dur = F.lit(1500) + (d % 3) * 200
+    n_cues = F.lit(3) + d % 4
+
+    def vtt_ts(ms_col, hourless: bool):
+        ms_col = ms_col.cast("bigint")
+        p2 = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+        mm_ss = F.concat(
+            p2(F.floor(ms_col / 60000).cast("bigint") % 60), F.lit(":"),
+            p2(F.floor(ms_col / 1000).cast("bigint") % 60), F.lit("."),
+            F.lpad((ms_col % 1000).cast("string"), 3, "0"),
+        )
+        if hourless:
+            return mm_ss
+        return F.concat(
+            p2(F.floor(ms_col / 3600000).cast("bigint")), F.lit(":"), mm_ss)
+
+    blocks = [F.lit("WEBVTT")]
+    for k in range(MAX_CUES):
+        start = F.lit(k * CUE_SPACING_MS) + off
+        arrow = F.when(
+            (d % 23 == 1) & (F.lit(k) == 1), F.lit(" -> ")
+        ).otherwise(F.lit(" --> "))
+        ident = F.lit(f"c{k + 1}\n" if k % 2 == 0 else "")
+        settings = F.lit(" align:start" if k % 3 == 0 else "")
+        block = F.concat(
+            F.lit("\n\n"), ident,
+            vtt_ts(start, k == 0), arrow, vtt_ts(start + dur, k == 0),
+            settings, F.lit("\n"),
+            F.lit(f"cue {k + 1}: "),
+            F.substring(clean, 1 + k * 17, 23),
+        )
+        blocks.append(F.when(F.lit(k) < n_cues, block).otherwise(F.lit("")))
+    return F.concat(*blocks)
+
+
+def synth_vtt_sql(text_expr: str = "coalesce(text, '')",
+                  id_expr: str = "doc_id") -> str:
+    """DuckDB expression rebuilding :func:`synth_vtt` byte-identically."""
+    clean = f"regexp_replace({text_expr}, '[\\n\\r]', ' ', 'g')"
+
+    def ts(ms: str, hourless: bool) -> str:
+        mm_ss = (
+            f"lpad(CAST((({ms}) // 60000) % 60 AS VARCHAR), 2, '0') || ':' || "
+            f"lpad(CAST((({ms}) // 1000) % 60 AS VARCHAR), 2, '0') || '.' || "
+            f"lpad(CAST(({ms}) % 1000 AS VARCHAR), 3, '0')"
+        )
+        if hourless:
+            return mm_ss
+        return (
+            f"lpad(CAST(({ms}) // 3600000 AS VARCHAR), 2, '0') || ':' || "
+            + mm_ss
+        )
+
+    parts = ["'WEBVTT'"]
+    for k in range(MAX_CUES):
+        start = f"({k * CUE_SPACING_MS} + ({id_expr} % 7) * 111)"
+        end = f"({start} + 1500 + ({id_expr} % 3) * 200)"
+        arrow = (
+            f"CASE WHEN {id_expr} % 23 = 1 AND {k} = 1 "
+            f"THEN ' -> ' ELSE ' --> ' END"
+        )
+        ident = (f"'c{k + 1}' || e'\\n' || " if k % 2 == 0 else "")
+        settings = ("' align:start' || " if k % 3 == 0 else "")
+        block = (
+            f"e'\\n\\n' || {ident}{ts(start, k == 0)} || {arrow} || "
+            f"{ts(end, k == 0)} || {settings}e'\\n' || "
+            f"'cue {k + 1}: ' || substr({clean}, {1 + k * 17}, 23)"
+        )
+        parts.append(
+            f"CASE WHEN {k} < 3 + {id_expr} % 4 THEN {block} ELSE '' END")
+    return "(" + " || ".join(parts) + ")"
+
+
+def parse_vtt_cues(
+    df: DataFrame, vtt_col: str = "vtt", id_col: str = "doc_id"
+) -> DataFrame:
+    """WebVTT -> one row per cue: the same output contract as
+    :func:`parse_srt_cues` (doc_id, cue_idx, ok, start_ms, end_ms,
+    dur_ms, n_chars, text_md5), ALL CODEGEN.  Handles the header
+    block (cue_idx counts CUES, not blocks), optional identifier
+    lines (the timing line is found by its arrow, not its position),
+    optional hours, and cue settings after the end timestamp.
+    A stream whose first block is not WEBVTT degrades every cue
+    (ok=0) — header validation is part of the contract.  Stateless:
+    streams as-is."""
+    blocks = df.select(
+        F.col(id_col),
+        F.when(
+            F.split(F.col(vtt_col), "\n\n")[0].startswith("WEBVTT"),
+            F.lit(1)).otherwise(F.lit(0)).alias("_hdr_ok"),
+        F.posexplode(F.split(F.col(vtt_col), "\n\n")).alias("_pos", "_b"),
+    ).where((F.col("_pos") > 0) & (F.length("_b") > 0))
+    lines = blocks.withColumn("_l", F.split("_b", "\n"))
+    l1 = F.element_at("_l", 1)
+    has_id = ~l1.contains(" --> ")
+    tline = F.when(has_id, F.element_at("_l", 2)).otherwise(l1)
+    text_from = F.when(has_id, F.lit(3)).otherwise(F.lit(2))
+    g = [F.regexp_extract(tline, _VTT_TIME_RE, i) for i in range(1, 9)]
+
+    def ms(h, m, s, f3):
+        hh = F.when(h == "", F.lit(0)).otherwise(h.cast("bigint"))
+        return (hh * 3600000 + m.cast("bigint") * 60000
+                + s.cast("bigint") * 1000 + f3.cast("bigint"))
+
+    start_ms = ms(g[0], g[1], g[2], g[3])
+    end_ms = ms(g[4], g[5], g[6], g[7])
+    time_ok = g[1] != ""
+    text = F.array_join(
+        F.slice("_l", text_from, MAX_CUES + 999), " ")
+    n_lines_ok = F.size("_l") >= text_from
+    ok = ((F.col("_hdr_ok") == 1) & time_ok & (end_ms > start_ms)
+          & n_lines_ok).cast("int")
+    return lines.select(
+        id_col,
+        (F.col("_pos") - 1).cast("bigint").alias("cue_idx"),
+        ok.alias("ok"),
+        F.when(ok == 1, start_ms).otherwise(F.lit(-1)).alias("start_ms"),
+        F.when(ok == 1, end_ms).otherwise(F.lit(-1)).alias("end_ms"),
+        F.when(ok == 1, end_ms - start_ms).otherwise(F.lit(-1))
+        .alias("dur_ms"),
+        F.when(ok == 1, F.length(text)).otherwise(F.lit(-1))
+        .cast("bigint").alias("n_chars"),
+        F.when(ok == 1, F.md5(text)).otherwise(F.lit("")).alias("text_md5"),
+    )

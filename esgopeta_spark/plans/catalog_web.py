@@ -3255,3 +3255,32 @@ def pipeline_srt_frame_align(spark, sf):
         synth_srt(F.col("doc_id"), F.col("text")).alias("srt"),
     )
     return align_cues_to_frames(parse_srt_cues(d))
+
+
+@register(
+    "text_vtt_cues",
+    "G4,G5,E2",
+    # the VTT fixture's parsed fields are the SAME closed forms as the
+    # SRT oracle (shared cue arithmetic by design): reuse it verbatim
+    _srt_oracle(),
+    doc="WebVTT subtitle parsing, all-codegen (r14 — the web's caption "
+    "dialect beside SRT; shared cue arithmetic so the two parsers are "
+    "directly comparable and the SRT oracle applies verbatim): the "
+    "fixture exercises the WEBVTT header block (cue_idx counts cues, "
+    "not blocks), OPTIONAL identifier lines (the timing line is "
+    "found by its arrow, not its position), the hourless MM:SS.mmm "
+    "timestamp form on cue 0, dot milliseconds, and cue settings "
+    "after the end timestamp ('align:start' must not break parsing). "
+    " id%23==1 malforms cue 1's arrow -> the visible (0, -1, '') "
+    "row.  Plan: one scan -> posexplode -> codegen projections, no "
+    "shuffle, no kernels; stateless (streams as-is); "
+    "operators/subtitles.py parse_vtt_cues/synth_vtt",
+)
+def text_vtt_cues(spark, sf):
+    from esgopeta_spark.operators.subtitles import parse_vtt_cues, synth_vtt
+
+    d = T(spark, sf, "documents").select(
+        "doc_id",
+        synth_vtt(F.col("doc_id"), F.col("text")).alias("vtt"),
+    )
+    return parse_vtt_cues(d)

@@ -134,3 +134,58 @@ def test_parser_streams_as_is(spark, tmp_path):
     run_stream_to_memory(parse_srt_cues(stream), "srtstream", mode="append")
     got = {tuple(r) for r in spark.sql("select * from srtstream").collect()}
     assert got == want
+
+
+def _parse_vtt(spark, vtt: str):
+    df = spark.createDataFrame([(0, vtt)], "doc_id: long, vtt: string")
+    from esgopeta_spark.operators.subtitles import parse_vtt_cues
+
+    return sorted(
+        (r["cue_idx"], r["ok"], r["start_ms"], r["end_ms"], r["n_chars"])
+        for r in parse_vtt_cues(df).collect()
+    )
+
+
+def test_vtt_parser_dialect_branches(spark):
+    """Header validation, optional cue ids, the hourless timestamp
+    form, settings tails, and per-cue degradation."""
+    base = "WEBVTT\n\n00:01.000 --> 00:02.500\nhello"
+    assert _parse_vtt(spark, base) == [(0, 1, 1000, 2500, 5)]
+    # identifier line + hours form + settings tail
+    full = ("WEBVTT\n\nintro\n00:00:01.000 --> 00:00:02.000 align:start\nx y")
+    assert _parse_vtt(spark, full) == [(0, 1, 1000, 2000, 3)]
+    # 3-digit hours
+    big = "WEBVTT\n\n100:00:01.000 --> 100:00:02.000\nx"
+    assert _parse_vtt(spark, big) == [
+        (0, 1, 360001000, 360002000, 1)]
+    # missing WEBVTT header degrades every cue
+    hdrless = "NOTVTT\n\n00:01.000 --> 00:02.000\nx"
+    assert all(r[1] == 0 for r in _parse_vtt(spark, hdrless))
+    # SRT-style comma milliseconds are NOT valid VTT
+    comma = "WEBVTT\n\n00:00:01,000 --> 00:00:02,000\nx"
+    assert _parse_vtt(spark, comma)[0][1] == 0
+    # a poisoned cue leaves its neighbor parsed
+    two = ("WEBVTT\n\n00:01.000 -> 00:02.000\nbad"
+           "\n\n00:03.000 --> 00:04.000\ngood")
+    got = _parse_vtt(spark, two)
+    assert got[0][1] == 0 and got[1] == (1, 1, 3000, 4000, 4)
+
+
+def test_vtt_synth_twin_byte_identical(spark):
+    from esgopeta_spark.operators.subtitles import synth_vtt, synth_vtt_sql
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    got = {
+        r["doc_id"]: r["v"]
+        for r in docs.select(
+            "doc_id", synth_vtt(F.col("doc_id"), F.col("text")).alias("v")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        "'/root/testdata/sf0.001/documents.parquet'")
+    want = dict(
+        con.execute(
+            f"select doc_id, {synth_vtt_sql()} from documents").fetchall())
+    assert got == want
