@@ -3630,3 +3630,76 @@ def zstd_house_roundtrip(
     return out.select(
         id_col, "_d.ok", "_d.page_md5", "_d.n_chars", "_d.house_agree"
     )
+
+
+def warc_zst_house_write(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    page_col: str = "page",
+) -> DataFrame:
+    """.warc.zst WRITE side (r14 — the archive format newer crawls
+    ship, now writable without libzstd): per doc a two-record WARC
+    (response carrying the fixture page + a metadata record) is
+    compressed FRAME-PER-RECORD by the house RFC 8878 encoder (the
+    standard .warc.zst layout — each record its own frame so readers
+    can seek by offset), id%5==0 docs prepend a skippable
+    dictionary-slot frame, and the blob is read back through the
+    PRODUCTION ingest chain (maybe_gunzip_warc -> parse_warc, which
+    prefers pyarrow's libzstd streaming decode — the reference
+    implementation again the authority on the house encoder's
+    output).  Emits (ok, n_records, page_md5, n_chars); id%23==1
+    truncates the final frame and must quarantine to the visible
+    (0, -1, '', -1) row.  One Arrow kernel over one widened scan,
+    shuffle-free; stateless (streams as-is)."""
+    import hashlib
+
+    from esgopeta_spark.operators.zstd import zstd_compress
+
+    @F.pandas_udf(
+        "struct<ok: int, n_records: int, page_md5: string, "
+        "n_chars: bigint>"
+    )
+    def _rt(did: pd.Series, page: pd.Series) -> pd.DataFrame:
+        import struct as _struct
+
+        levels = [1, 3, 9, 19]
+        oks, nrecs, md5s, ns = [], [], [], []
+        for d, p in zip(did, page):
+            d = int(d)
+            body = (p if isinstance(p, str) else "").encode("utf-8")
+            uri = f"https://corpus.example/doc/{d}"
+            recs = [
+                build_warc_record(uri, body),
+                build_warc_record(uri, b"fetch-meta: ok", rec_type="metadata"),
+            ]
+            frames = [
+                zstd_compress(r, level=levels[d % 4]) for r in recs
+            ]
+            blob = b"".join(frames)
+            if d % 5 == 0:
+                blob = (_struct.pack("<II", 0x184D2A50, 4) + b"dict" + blob)
+            if d % 23 == 1:
+                blob = blob[: max(0, len(blob) - 6)]
+            try:
+                parsed = parse_warc(maybe_gunzip_warc(blob))
+                if len(parsed) != 2:
+                    raise ValueError("record count mismatch")
+                pay = parsed[0]["payload"]
+                text = pay.decode("utf-8")
+                oks.append(1)
+                nrecs.append(len(parsed))
+                md5s.append(hashlib.md5(pay).hexdigest())
+                ns.append(len(text))
+            except Exception:
+                oks.append(0)
+                nrecs.append(-1)
+                md5s.append("")
+                ns.append(-1)
+        return pd.DataFrame(
+            {"ok": oks, "n_records": nrecs, "page_md5": md5s, "n_chars": ns}
+        )
+
+    out = df.select(
+        F.col(id_col), _rt(F.col(id_col), F.col(page_col)).alias("_d"))
+    return out.select(
+        id_col, "_d.ok", "_d.n_records", "_d.page_md5", "_d.n_chars")

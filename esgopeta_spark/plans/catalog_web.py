@@ -3284,3 +3284,42 @@ def text_vtt_cues(spark, sf):
         synth_vtt(F.col("doc_id"), F.col("text")).alias("vtt"),
     )
     return parse_vtt_cues(d)
+
+
+@register(
+    "web_warc_zst_write",
+    "G4,G5,E1",
+    _zstd_house_oracle().replace(
+        "CASE WHEN doc_id % 23 = 1 THEN '' ELSE md5(page) END AS page_md5",
+        "CAST(CASE WHEN doc_id % 23 = 1 THEN -1 ELSE 2 END AS INTEGER) "
+        "AS n_records,\n           "
+        "CASE WHEN doc_id % 23 = 1 THEN '' ELSE md5(page) END AS page_md5",
+    ),
+    doc="the .warc.zst WRITE path (r14 — closes the archive loop the "
+    "r13 decode opened: a real pipeline WRITES its crawl archives "
+    "too): per doc a two-record WARC is compressed frame-per-record "
+    "by the HOUSE RFC 8878 encoder (the standard seekable layout; "
+    "id%5==0 prepends a skippable dictionary-slot frame) and read "
+    "back through the PRODUCTION ingest chain — maybe_gunzip_warc's "
+    "pyarrow/libzstd streaming decode, the reference implementation "
+    "as authority — then parse_warc's declared-length framing; md5 + "
+    "length are over the recovered response payload so one wrong "
+    "byte anywhere in frame assembly or record framing mismatches "
+    "the closed-form oracle.  id%23==1 truncates the final frame -> "
+    "the visible (0, -1, '', -1) row.  Plan: one Arrow kernel over "
+    "one widened scan, shuffle-free; stateless (streams as-is); "
+    "operators/zstd.py + web.warc_zst_house_write",
+)
+def web_warc_zst_write(spark, sf):
+    from esgopeta_spark.operators.web import (
+        synth_html,
+        warc_zst_house_write,
+    )
+    from esgopeta_spark.session import ensure_min_partitions
+
+    did = F.col("doc_id")
+    d = ensure_min_partitions(T(spark, sf, "documents")).select(
+        "doc_id",
+        synth_html(did, F.coalesce(F.col("text"), F.lit(""))).alias("page"),
+    )
+    return warc_zst_house_write(d)

@@ -291,3 +291,30 @@ def test_encoder_compression_is_real():
     ref = len(_ref(docs, 3))
     assert house < 0.4 * len(docs)
     assert house < 1.6 * ref
+
+
+def test_house_frame_per_record_warc_zst_through_production_ingest():
+    """The .warc.zst WRITE loop: house frame-per-record output (plus a
+    leading skippable dictionary-slot frame) must decode through the
+    PRODUCTION ingest chain (maybe_gunzip_warc -> parse_warc, pyarrow
+    streaming zstd preferred) record-exactly; a truncated final frame
+    must fail the chain (quarantine direction), never partial-parse."""
+    from esgopeta_spark.operators.web import (
+        build_warc_record,
+        maybe_gunzip_warc,
+        parse_warc,
+    )
+
+    recs = [build_warc_record(f"https://ex.com/{i}",
+                              f"payload {i}".encode() * (i + 1))
+            for i in range(4)]
+    blob = b"".join(zstd_compress(r, level=(1, 3, 9, 19)[i % 4])
+                    for i, r in enumerate(recs))
+    sk = struct.pack("<II", 0x184D2A50, 4) + b"dict"
+    for b in (blob, sk + blob):
+        parsed = parse_warc(maybe_gunzip_warc(b))
+        assert [p["uri"] for p in parsed] == [
+            f"https://ex.com/{i}" for i in range(4)]
+        assert parsed[2]["payload"] == b"payload 2" * 3
+    with pytest.raises(ValueError):  # quarantine contract: never OSError
+        parse_warc(maybe_gunzip_warc(blob[:-6]))
