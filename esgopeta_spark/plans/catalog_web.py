@@ -3323,3 +3323,72 @@ def web_warc_zst_write(spark, sf):
         synth_html(did, F.coalesce(F.col("text"), F.lit(""))).alias("page"),
     )
     return warc_zst_house_write(d)
+
+
+def _docx_oracle() -> str:
+    from esgopeta_spark.operators.docx import synth_docx_expected_sql
+
+    exp = synth_docx_expected_sql()
+    return rf"""
+    WITH p AS (SELECT doc_id, {exp} AS txt FROM documents)
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 23 = 1 THEN 0 ELSE 1 END AS INTEGER) AS ok,
+           CASE WHEN doc_id % 23 = 1 THEN '' ELSE md5(txt) END AS text_md5,
+           CAST(CASE WHEN doc_id % 23 = 1 THEN -1 ELSE length(txt) END
+                AS BIGINT) AS n_chars
+    FROM p
+    """
+
+
+@register(
+    "text_docx_extract",
+    "G4,E1",
+    _docx_oracle(),
+    doc="DOCX text extraction (r14 — the office-document ingest format "
+    "beside HTML and PDF; OPC zip + WordprocessingML): per doc the "
+    "fixture package (three paragraphs of corpus slices with a "
+    "split-across-runs middle, an explicit tab, a line break, entity "
+    "escaping, and a 1x2 TABLE whose cells read as text — the C4 "
+    "lineage choice) extracts through the real zip walk + w:t/w:tab/"
+    "w:br/paragraph token scan (operators/docx.py), so one wrong join "
+    "rule, missed whitespace control, or unescape slip mismatches the "
+    "closed-form md5.  id%23==1 ships a corrupted central directory "
+    "that must quarantine to the visible (0, '', -1) row.  Plan: one "
+    "Arrow kernel over one widened scan, shuffle-free; stateless "
+    "(streams as-is)",
+)
+def text_docx_extract(spark, sf):
+    from esgopeta_spark.session import ensure_min_partitions
+
+    d = ensure_min_partitions(
+        T(spark, sf, "documents").select("doc_id", "text"))
+
+    @F.pandas_udf("struct<ok: int, text_md5: string, n_chars: bigint>")
+    def _ex(did, text):
+        import hashlib
+
+        import pandas as _pd
+
+        from esgopeta_spark.operators.docx import (
+            extract_docx_text,
+            synth_docx,
+        )
+
+        oks, md5s, ns = [], [], []
+        for dd, t in zip(did, text):
+            dd = int(dd)
+            blob = synth_docx(dd, t if isinstance(t, str) else "")
+            try:
+                txt = extract_docx_text(blob)
+                oks.append(1)
+                md5s.append(hashlib.md5(txt.encode("utf-8")).hexdigest())
+                ns.append(len(txt))
+            except ValueError:
+                oks.append(0)
+                md5s.append("")
+                ns.append(-1)
+        return _pd.DataFrame({"ok": oks, "text_md5": md5s, "n_chars": ns})
+
+    out = d.select(
+        F.col("doc_id"), _ex(F.col("doc_id"), F.col("text")).alias("_d"))
+    return out.select("doc_id", "_d.ok", "_d.text_md5", "_d.n_chars")
