@@ -325,6 +325,7 @@ def encode_mpeg1_video(
     rate_code: int = 3,
     qscale: int = 4,
     stuffing: bool = False,
+    intra_qmat=None,
 ) -> bytes:
     """Intra-only MPEG-1 video elementary stream from grayscale frames
     (list of (h, w) uint8 arrays, equal sizes, multiples of 16): one
@@ -332,7 +333,12 @@ def encode_mpeg1_video(
     chroma planes are flat 128 (DC-only blocks — the 4:2:0 structure
     is fully coded, cheaply).  ``stuffing`` additionally emits one
     macroblock_stuffing code before each first macroblock, exercising
-    the B.1 discard path.  The twin of :func:`decode_mpeg1_video`."""
+    the B.1 discard path.  ``intra_qmat`` (an (8,8) int array, values
+    1..255) loads a CUSTOM intra quantizer matrix through the
+    sequence-header load path — the decoder must dequantize with the
+    loaded matrix or fidelity collapses (r14 depth: the load branch is
+    exercised from a real stream, not just unit vectors).  The twin of
+    :func:`decode_mpeg1_video`."""
     if not frames:
         raise ValueError("need at least one frame")
     h, w = frames[0].shape
@@ -342,6 +348,11 @@ def encode_mpeg1_video(
         raise ValueError("quantizer_scale out of range")
     if rate_code not in PICTURE_RATES:
         raise ValueError("bad picture_rate code")
+    qmat = DEFAULT_INTRA_Q
+    if intra_qmat is not None:
+        qmat = np.asarray(intra_qmat, dtype=np.int64).reshape(8, 8)
+        if qmat.min() < 1 or qmat.max() > 255:
+            raise ValueError("intra quantizer matrix values must be 1..255")
     bw = _BitW()
     # sequence header
     bw.start_code(SEQ_START)
@@ -353,7 +364,12 @@ def encode_mpeg1_video(
     bw.put(1, 1)           # marker
     bw.put(16, 10)         # vbv_buffer_size
     bw.put(0, 1)           # constrained_parameters_flag
-    bw.put(0, 1)           # load_intra_quantizer_matrix (default)
+    if intra_qmat is None:
+        bw.put(0, 1)       # load_intra_quantizer_matrix (default)
+    else:
+        bw.put(1, 1)       # load custom matrix, zigzag transmission order
+        for v in qmat.reshape(-1)[_ZZ_FLAT]:
+            bw.put(int(v), 8)
     bw.put(0, 1)           # load_non_intra_quantizer_matrix
     # GOP header
     bw.start_code(GOP_START)
@@ -390,7 +406,7 @@ def encode_mpeg1_video(
                         bx = col * 16 + (blk % 2) * 8
                         pix = y[by:by + 8, bx:bx + 8]
                         coef = _C @ pix @ _C.T
-                        zz = _quant_intra(coef, qscale, DEFAULT_INTRA_Q)
+                        zz = _quant_intra(coef, qscale, qmat)
                         cc = 0
                     else:
                         zz = np.zeros(64, dtype=np.int64)
@@ -604,8 +620,14 @@ def synth_fixture(doc_id: int) -> dict:
         base = ramp if j < cut_at else (255.0 - ramp)
         f = np.clip(base + 2.0 * j, 0, 255).astype(np.uint8)
         frames.append(np.broadcast_to(f, (h, w)).copy())
+    # d%11==0 docs load a CUSTOM intra quantizer matrix (a halved
+    # default — finer AC steps), exercising the sequence-header load
+    # branch from a real stream; all analytic oracle fields are
+    # unchanged (the fidelity flag absorbs the different quantization)
+    qmat = np.clip(DEFAULT_INTRA_Q // 2, 1, 255) if d % 11 == 0 else None
     enc = encode_mpeg1_video(
-        frames, rate_code=rate_code, qscale=qscale, stuffing=(d % 7 == 0))
+        frames, rate_code=rate_code, qscale=qscale, stuffing=(d % 7 == 0),
+        intra_qmat=qmat)
     if d % 5 == 0:
         # inject a P-picture header before the sequence end: the
         # decoder counts it (n_skipped) and reconstructs nothing

@@ -245,3 +245,33 @@ def test_video_keyframes_selects_scene_openers(spark):
         (1, 0): 0,                    # mpeg1 flat: only frame 0
         (2, 0): 0, (2, 2): 1,         # mjpeg cut at frame 2
     }, rows
+
+
+def test_custom_intra_quant_matrix_load_path():
+    """A stream carrying a loaded intra quantizer matrix must be
+    dequantized WITH it: round-trip fidelity holds with the custom
+    matrix, and decoding the same coefficients as if the default
+    matrix applied would visibly diverge (the load branch is live from
+    a real stream, not just unit vectors)."""
+    rng = np.random.RandomState(9)
+    f = rng.randint(0, 256, (32, 48)).astype(np.uint8)
+    sharp = np.clip(DEFAULT_INTRA_Q // 2, 1, 255)
+    enc = encode_mpeg1_video([f], qscale=4, intra_qmat=sharp)
+    dec = decode_mpeg1_video(enc)
+    err = f.astype(float) - dec["frames"][0].astype(float)
+    psnr = 10 * np.log10(255.0 ** 2 / max((err * err).mean(), 1e-12))
+    assert psnr > 30.0, psnr
+    # forging the load bit away (re-encode default, same qscale) gives
+    # a DIFFERENT stream: the loaded matrix is load-bearing
+    enc_default = encode_mpeg1_video([f], qscale=4)
+    assert enc != enc_default
+    # out-of-range matrix values refuse
+    with pytest.raises(ValueError):
+        encode_mpeg1_video([f], intra_qmat=np.zeros((8, 8), dtype=int))
+    # and the synth fixture's %11 class decodes fidelity-green
+    fx = synth_fixture(33)   # 33%11==0, not poison
+    dec = decode_mpeg1_video(fx["payload"])
+    assert len(dec["frames"]) == fx["n_frames"]
+    for a, b in zip(fx["frames"], dec["frames"]):
+        e = a.astype(float) - b.astype(float)
+        assert 10 * np.log10(255.0 ** 2 / max((e * e).mean(), 1e-12)) > 30
