@@ -632,3 +632,87 @@ def length_balanced_sample(
         (draw < F.expr(f"({rate_sql} * {16 ** 8}) div 1000000"))
         .cast("int").alias("kept"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int = 512,
+    shard_col: str = "shard",
+    id_col: str = "doc_id",
+    n_col: str = "n_tokens",
+) -> DataFrame:
+    """SEQUENCE PACKING (r14) — the pretraining batcher's step between
+    selection and tokenized shards: documents greedily pack into
+    fixed-token-budget training bins in a DETERMINISTIC order (id
+    ascending within a shard), so every worker reproduces the same
+    bins without coordination.  A document longer than the budget
+    TRUNCATES to it and takes a bin of its own, flagged visibly
+    (``truncated=1``) — never silently dropped or silently split.
+
+        run_1 = neff_1;  bin_1 = 0
+        run_i, bin_i = (neff_i, bin+1)      if run + neff_i > budget
+                       (run + neff_i, bin)  otherwise
+
+    The recursion has no closed window form (capacity RESETS depend on
+    every prior row), so the Spark side runs it exactly like
+    :func:`esgopeta_spark.operators.timeseries.ewma_smooth`: ONE Arrow
+    ``mapInPandas`` pass over shard-sorted partitions with cross-batch
+    carry, and the oracle runs the identical recurrence as a DuckDB
+    RECURSIVE CTE.  All-integer state.
+
+    Output: (id, shard, n_tokens, bin_idx, bin_offset, truncated).
+
+    Scale shape: one repartition-by-shard + in-partition sort + one
+    Arrow pass — a shard costs one task of O(its docs), the same
+    contract as any per-key window; bins never cross shards, so 1000
+    executors pack 1000 shards with zero coordination."""
+    import pandas as pd
+
+    budget = int(max_tokens)
+    if budget <= 0:
+        raise ValueError("max_tokens must be positive")
+    part = (
+        df.select(
+            F.col(shard_col).cast("bigint").alias("_s"),
+            F.col(id_col).cast("bigint").alias("_i"),
+            F.col(n_col).cast("bigint").alias("_n"),
+        )
+        .repartition("_s")
+        .sortWithinPartitions("_s", "_i")
+    )
+
+    def kernel(batches):
+        cur, run, bin_idx = None, 0, 0
+        for pdf in batches:
+            ids, sh, ns, bins, offs, tr = [], [], [], [], [], []
+            for s, i, n in zip(pdf["_s"], pdf["_i"], pdf["_n"]):
+                s, i, n = int(s), int(i), int(n)
+                neff = min(n, budget)
+                if s != cur:
+                    cur, run, bin_idx = s, neff, 0
+                elif run + neff > budget:
+                    bin_idx += 1
+                    run = neff
+                else:
+                    run += neff
+                ids.append(i)
+                sh.append(s)
+                ns.append(n)
+                bins.append(bin_idx)
+                offs.append(run - neff)
+                tr.append(1 if n > budget else 0)
+            if ids:
+                yield pd.DataFrame({
+                    id_col: pd.Series(ids, dtype="int64"),
+                    shard_col: pd.Series(sh, dtype="int64"),
+                    n_col: pd.Series(ns, dtype="int64"),
+                    "bin_idx": pd.Series(bins, dtype="int64"),
+                    "bin_offset": pd.Series(offs, dtype="int64"),
+                    "truncated": pd.Series(tr, dtype="int32"),
+                })
+
+    return part.mapInPandas(
+        kernel,
+        f"{id_col} bigint, {shard_col} bigint, {n_col} bigint, "
+        "bin_idx bigint, bin_offset bigint, truncated int",
+    )

@@ -1492,3 +1492,69 @@ def corpus_drift_psi(spark, sf):
         .otherwise(F.col("t")).alias("text")
     )
     return snapshot_drift_psi(prior, current)
+
+
+@register(
+    "pipeline_pack_sequences",
+    "G4,E5",
+    r"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(coalesce(text, '')),
+                                                 '\s+')) END AS n
+      FROM documents
+    ), ord AS (
+      SELECT doc_id, shard, n,
+             CASE WHEN n > 80 THEN 80 ELSE n END AS neff,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM d
+    ), walk AS (
+      SELECT doc_id, shard, n, neff, rn,
+             CAST(0 AS BIGINT) AS bin_idx,
+             CAST(neff AS BIGINT) AS run
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.doc_id, o.shard, o.n, o.neff, o.rn,
+             CASE WHEN w.run + o.neff > 80 THEN w.bin_idx + 1
+                  ELSE w.bin_idx END,
+             CASE WHEN w.run + o.neff > 80 THEN CAST(o.neff AS BIGINT)
+                  ELSE w.run + o.neff END
+      FROM walk w JOIN ord o ON o.shard = w.shard AND o.rn = w.rn + 1
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(n AS BIGINT) AS n_tokens,
+           bin_idx,
+           CAST(run - neff AS BIGINT) AS bin_offset,
+           CAST(CASE WHEN n > 80 THEN 1 ELSE 0 END AS INTEGER) AS truncated
+    FROM walk
+    """,
+    doc="SEQUENCE PACKING (r14 — the pretraining batcher's step between "
+    "selection and tokenized shards): documents greedily pack into "
+    "80-token training bins in deterministic id order within 8 shards; "
+    "a document over the budget truncates to it, takes its own bin, "
+    "and flags VISIBLY (never silently dropped or split).  The "
+    "capacity-reset recursion has no closed window form, so the Spark "
+    "side runs the ewma_smooth idiom — repartition-by-shard + "
+    "in-partition sort + ONE Arrow mapInPandas pass with cross-batch "
+    "carry — and the oracle runs the identical recurrence as a DuckDB "
+    "RECURSIVE CTE.  All-integer state; corpus token spread (10..99, "
+    "median 56) exercises fit/reset/truncate branches.  Scale shape: "
+    "bins never cross shards, so 1000 executors pack 1000 shards with "
+    "zero coordination — one shuffle, one Arrow pass; "
+    "operators/selection.py pack_sequences",
+)
+def pipeline_pack_sequences(spark, sf):
+    from esgopeta_spark.operators.selection import pack_sequences
+    from esgopeta_spark.operators.text import words
+
+    t = F.coalesce(F.col("text"), F.lit(""))
+    toks = F.when(
+        F.length(F.trim(t)) == 0, F.lit(0)
+    ).otherwise(F.size(words(t))).cast("bigint")
+    d = T(spark, sf, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        toks.alias("n_tokens"),
+    )
+    return pack_sequences(d, max_tokens=80)

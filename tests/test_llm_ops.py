@@ -4316,3 +4316,30 @@ def test_milli_log2_int_matches_engine(spark):
 
     with _pytest.raises(ValueError):
         milli_log2_int(0)
+
+
+def test_pack_sequences_branches(spark):
+    """r14: greedy capacity-reset packing — fit, reset, oversize
+    truncation (own bin, flagged), zero-token docs, and shard
+    isolation; deterministic under the id order."""
+    from esgopeta_spark.operators.selection import pack_sequences
+
+    rows = [
+        # shard 0: 30+40 fit (70<=80); 50 resets; 200 truncates alone;
+        # then 10 packs after the oversize bin
+        (0, 0, 30), (1, 0, 40), (2, 0, 50), (3, 0, 200), (4, 0, 10),
+        # shard 1: zero-token docs cost nothing and pack together
+        (5, 1, 0), (6, 1, 80), (7, 1, 0), (8, 1, 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, shard: long, n_tokens: long")
+    got = {r["doc_id"]: (r["bin_idx"], r["bin_offset"], r["truncated"])
+           for r in pack_sequences(df, max_tokens=80).collect()}
+    assert got == {
+        0: (0, 0, 0), 1: (0, 30, 0), 2: (1, 0, 0), 3: (2, 0, 1),
+        4: (3, 0, 0),
+        5: (0, 0, 0), 6: (0, 0, 0), 7: (0, 80, 0), 8: (1, 0, 0),
+    }, got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pack_sequences(df, max_tokens=0)
