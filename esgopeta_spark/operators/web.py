@@ -3704,94 +3704,3 @@ def warc_zst_house_write(
     return out.select(
         id_col, "_d.ok", "_d.n_records", "_d.page_md5", "_d.n_chars")
 
-
-# ---------------------------------------------------------------------------
-# RSS 2.0 / Atom feed parsing (r14) — the crawl-discovery seed source
-# beside sitemaps: news/blog pipelines find fresh URLs through feeds
-# long before sitemaps update.  House scanning-parser style: total on
-# any str, malformed items degrade to fewer entries, never raise.
-# ---------------------------------------------------------------------------
-
-_FEED_ITEM_RX = re.compile(
-    r"<(item|entry)\b[^>]*>(.*?)</\1\s*>", re.IGNORECASE | re.DOTALL)
-_FEED_TITLE_RX = re.compile(
-    r"<title\b[^>]*>(.*?)</title\s*>", re.IGNORECASE | re.DOTALL)
-_FEED_LINK_RSS_RX = re.compile(
-    r"<link\b[^>]*>(.*?)</link\s*>", re.IGNORECASE | re.DOTALL)
-_FEED_LINK_ATOM_RX = re.compile(
-    r"<link\b[^>]*?href\s*=\s*\"([^\"]*)\"[^>]*/?>", re.IGNORECASE)
-_FEED_PUBDATE_RX = re.compile(
-    r"<pubDate\b[^>]*>(.*?)</pubDate\s*>", re.IGNORECASE | re.DOTALL)
-_FEED_UPDATED_RX = re.compile(
-    r"<updated\b[^>]*>(.*?)</updated\s*>", re.IGNORECASE | re.DOTALL)
-_RFC822_DATE_RX = re.compile(
-    r"(\d{1,2})\s+(Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)\s+(\d{4})",
-    re.IGNORECASE)
-_ISO_DATE_RX = re.compile(r"(\d{4})-(\d{2})-(\d{2})")
-_MONTHS = {m: i + 1 for i, m in enumerate(
-    ["jan", "feb", "mar", "apr", "may", "jun",
-     "jul", "aug", "sep", "oct", "nov", "dec"])}
-
-
-def parse_feed(text: str) -> list[tuple[str, str, str, str]]:
-    """RSS 2.0 or Atom feed text -> [(fmt, link, title, pub_date)] in
-    document order; fmt is 'rss' or 'atom', pub_date normalizes both
-    date dialects (RFC 822 'Tue, 09 Apr 2024 ...' month-name form and
-    ISO 8601) to 'YYYY-MM-DD' ('' when absent/unparseable).  Items
-    without a link are DROPPED (a feed entry you cannot fetch is not a
-    frontier seed); titles entity-decode.  Total on any str."""
-    out: list[tuple[str, str, str, str]] = []
-    if not isinstance(text, str):
-        return out
-    low = text[:500].lower()
-    is_atom = "<feed" in low and "<rss" not in low
-    fmt = "atom" if is_atom else "rss"
-    for m in _FEED_ITEM_RX.finditer(text):
-        body = m.group(2)
-        if is_atom:
-            lk = _FEED_LINK_ATOM_RX.search(body)
-            link = decode_entities(lk.group(1)).strip() if lk else ""
-            dm = _FEED_UPDATED_RX.search(body)
-            raw_date = dm.group(1) if dm else ""
-            im = _ISO_DATE_RX.search(raw_date)
-            pub = im.group(0) if im else ""
-        else:
-            lk = _FEED_LINK_RSS_RX.search(body)
-            link = decode_entities(lk.group(1)).strip() if lk else ""
-            dm = _FEED_PUBDATE_RX.search(body)
-            raw_date = dm.group(1) if dm else ""
-            rm = _RFC822_DATE_RX.search(raw_date)
-            if rm:
-                day, mon, year = rm.groups()
-                pub = (f"{int(year):04d}-{_MONTHS[mon.lower()]:02d}-"
-                       f"{int(day):02d}")
-            else:
-                pub = ""
-        if not link:
-            continue
-        tm = _FEED_TITLE_RX.search(body)
-        title = decode_entities(tm.group(1)).strip() if tm else ""
-        out.append((fmt, link, title, pub))
-    return out
-
-
-def feed_entries(
-    df: DataFrame, xml_col: str = "feed_xml", id_col: str = "doc_id"
-) -> DataFrame:
-    """(id, fmt, link, title, pub_date) — one row per parsed feed item
-    (the ``sitemap_entries`` shape: one stateless Arrow kernel +
-    posexplode, batch and streams share it)."""
-
-    @F.pandas_udf(
-        "array<struct<fmt: string, link: string, title: string, "
-        "pub_date: string>>"
-    )
-    def _entries(xml: pd.Series) -> pd.Series:
-        return xml.map(parse_feed)
-
-    e = df.select(
-        F.col(id_col), F.posexplode(_entries(F.col(xml_col)))
-        .alias("item_idx", "_e"))
-    return e.select(
-        id_col, F.col("item_idx").cast("bigint").alias("item_idx"),
-        "_e.fmt", "_e.link", "_e.title", "_e.pub_date")

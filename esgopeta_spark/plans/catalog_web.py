@@ -3392,107 +3392,3 @@ def text_docx_extract(spark, sf):
     out = d.select(
         F.col("doc_id"), _ex(F.col("doc_id"), F.col("text")).alias("_d"))
     return out.select("doc_id", "_d.ok", "_d.text_md5", "_d.n_chars")
-
-
-def _feed_oracle() -> str:
-    clean = "regexp_replace(coalesce(text, ''), '[\\n\\r]', ' ', 'g')"
-    return rf"""
-    WITH it AS (
-      SELECT d.doc_id, k.k,
-             {clean} AS txt,
-             CASE WHEN d.doc_id % 23 = 1 AND k.k > 1 THEN k.k - 1
-                  ELSE k.k END AS item_idx
-      FROM documents d, generate_series(0, 5) AS k(k)
-      WHERE k.k < 2 + d.doc_id % 4
-        AND NOT (d.doc_id % 23 = 1 AND k.k = 1)
-    )
-    SELECT doc_id,
-           CAST(item_idx AS BIGINT) AS item_idx,
-           CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS fmt,
-           'https://feeds.example/d/' || doc_id || '/item/' || k AS link,
-           trim('post ' || (k + 1) || ': ' || substr(txt, 1 + k * 13, 19))
-               AS title,
-           strftime(DATE '2024-01-01'
-                    + ((doc_id % 97) + k * 3) * INTERVAL 1 DAY,
-                    '%Y-%m-%d') AS pub_date
-    FROM it
-    """
-
-
-@register(
-    "web_feed_discovery",
-    "G4,E1,E2",
-    _feed_oracle(),
-    doc="RSS 2.0 / Atom feed parsing (r14 — the crawl-discovery seed "
-    "source beside sitemaps: news/blog pipelines find fresh URLs "
-    "through feeds long before sitemaps update): per doc the fixture "
-    "feed (RSS by even id with RFC 822 month-name pubDates, Atom by "
-    "odd id with ISO 8601 updated stamps and href-attribute links; "
-    "titles are entity-escaped corpus slices) parses through the "
-    "total scanning parser — both date dialects normalize to "
-    "YYYY-MM-DD, titles entity-decode, and id%23==1 docs plant a "
-    "LINKLESS item 1 that must be DROPPED (a feed entry you cannot "
-    "fetch is not a frontier seed), shifting later item indexes — "
-    "the oracle reproduces link/title/date/index in closed form "
-    "including the drop accounting.  Plan: one stateless Arrow "
-    "kernel + posexplode over one scan, no shuffle; stateless "
-    "(streams as-is); operators/web.py parse_feed/feed_entries",
-)
-def web_feed_discovery(spark, sf):
-    from esgopeta_spark.operators.web import feed_entries
-    from esgopeta_spark.session import ensure_min_partitions
-
-    d = ensure_min_partitions(T(spark, sf, "documents"))
-
-    @F.pandas_udf("string")
-    def _synth(did, text):
-        import datetime as _dt
-
-        import pandas as _pd
-
-        from esgopeta_spark.operators.web import escape_html_text  # noqa: F401
-
-        def esc(s):
-            return (s.replace("&", "&amp;").replace("<", "&lt;")
-                    .replace(">", "&gt;"))
-
-        out = []
-        base = _dt.date(2024, 1, 1)
-        for dd, t in zip(did, text):
-            dd = int(dd)
-            txt = (t if isinstance(t, str) else "")
-            import re as _re
-
-            txt = _re.sub(r"[\n\r]", " ", txt)
-            n = 2 + dd % 4
-            items = []
-            for k in range(n):
-                link = f"https://feeds.example/d/{dd}/item/{k}"
-                title = esc(f"post {k + 1}: " + txt[k * 13: k * 13 + 19])
-                day = base + _dt.timedelta(days=(dd % 97) + k * 3)
-                if dd % 2 == 0:
-                    pub = day.strftime("Mon, %d %b %Y 08:00:00 GMT")
-                    linkx = ("" if (dd % 23 == 1 and k == 1)
-                             else f"<link>{link}</link>")
-                    items.append(
-                        f"<item><title>{title}</title>{linkx}"
-                        f"<pubDate>{pub}</pubDate></item>")
-                else:
-                    pub = day.strftime("%Y-%m-%dT08:00:00Z")
-                    linkx = ("" if (dd % 23 == 1 and k == 1)
-                             else f'<link href="{link}"/>')
-                    items.append(
-                        f"<entry><title>{title}</title>{linkx}"
-                        f"<updated>{pub}</updated></entry>")
-            if dd % 2 == 0:
-                xml = ("<rss version=\"2.0\"><channel><title>c</title>"
-                       + "".join(items) + "</channel></rss>")
-            else:
-                xml = ("<feed xmlns=\"http://www.w3.org/2005/Atom\">"
-                       "<title>c</title>" + "".join(items) + "</feed>")
-            out.append(xml)
-        return _pd.Series(out)
-
-    feeds = d.select(
-        "doc_id", _synth(F.col("doc_id"), F.col("text")).alias("feed_xml"))
-    return feed_entries(feeds)

@@ -1945,40 +1945,3 @@ def test_warc_robots_directives_header_beats_missing_meta(spark):
     assert got[0] == (1, 0, 1, 0)   # header gates the PDF
     assert got[1] == (0, 1, 1, 1)   # union of header nofollow + meta noindex
     assert got[2] == (-1, -1, -1, -1)
-
-
-def test_parse_feed_dialects_and_degradation():
-    """r14: RSS vs Atom detection, both date dialects normalized, the
-    linkless-item drop, entity decode, and totality on garbage."""
-    from esgopeta_spark.operators.web import parse_feed
-
-    rss = (
-        '<rss version="2.0"><channel><title>c</title>'
-        "<item><title>A &amp; B</title><link>https://e.com/1</link>"
-        "<pubDate>Tue, 09 Apr 2024 08:00:00 GMT</pubDate></item>"
-        "<item><title>no link, dropped</title>"
-        "<pubDate>Wed, 10 Apr 2024 08:00:00 GMT</pubDate></item>"
-        "<item><title>bad date</title><link>https://e.com/3</link>"
-        "<pubDate>soonish</pubDate></item>"
-        "</channel></rss>"
-    )
-    assert parse_feed(rss) == [
-        ("rss", "https://e.com/1", "A & B", "2024-04-09"),
-        ("rss", "https://e.com/3", "bad date", ""),
-    ]
-    atom = (
-        '<feed xmlns="http://www.w3.org/2005/Atom"><title>c</title>'
-        '<entry><title>T1</title><link href="https://e.com/a"/>'
-        "<updated>2024-04-09T08:00:00Z</updated></entry>"
-        '<entry><title>T2</title><link href="https://e.com/b"/></entry>'
-        "</feed>"
-    )
-    assert parse_feed(atom) == [
-        ("atom", "https://e.com/a", "T1", "2024-04-09"),
-        ("atom", "https://e.com/b", "T2", ""),
-    ]
-    # totality
-    assert parse_feed("") == []
-    assert parse_feed("<html>not a feed</html>") == []
-    assert parse_feed(None) == []
-    assert parse_feed("<rss><channel><item><link>x</link>") == []
