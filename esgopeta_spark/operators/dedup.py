@@ -467,27 +467,36 @@ def portable_minhash_bands(
     band hash = md5 of the '_'-joined lane values.  Docs with no
     full-length gram are EXCLUDED (an empty shingle set must not pair —
     the r4 lesson; the sentinel signature would bucket all short docs
-    together).  The gram-hash array is checkpointed once so the k lane
-    mins iterate a materialized array instead of re-hashing grams per
-    lane."""
+    together).
+
+    r14 (optimization): the gram stream is EXPLODED to (doc, gram-hash)
+    rows and the k lane mins are ONE groupBy with k ``min`` aggregates —
+    all codegen, map-side partial aggregation, one narrow shuffle of
+    (id, 16 longs).  The previous shape (gram-hash array + a
+    ``filter(size > 0)`` + per-lane interpreted HOF mins over an eager
+    localCheckpoint) hit a Catalyst trap: the size>0 filter on the
+    DERIVED array column was pushed below the widening repartition into
+    the scan-side Filter, so the whole gram+md5 expression ran TWICE —
+    and the filter copy ran on the pre-repartition single-split scan,
+    serially (measured 6.5 s vs 0.6 s for the identical rows at sf0.1).
+    Exploding needs no empty-set filter at all (empty arrays emit no
+    rows), so nothing heavy is left for predicate pushdown to clone.
+    Values are bit-identical: min over the distinct gram multiset and
+    the same integer lane recurrence."""
     A, B = portable_lane_consts(num_hashes)
     rows = num_hashes // bands
-    ghs = df.select(
+    gh = df.select(
         F.col(id_col).alias("_id"),
-        F.transform(shingles(F.col(text_col), shingle_n), md5_hash32).alias("_ghs"),
-    ).filter(F.size("_ghs") > 0)
-    ghs = ghs.localCheckpoint()
-
-    def _lane(k: int) -> Column:
-        # bind the lane constants OUTSIDE the HOF lambda: pyspark treats a
-        # two-parameter lambda as (value, index), so a k=k default would
-        # receive the index Column
-        a, b = F.lit(A[k]), F.lit(B[k])
-        return F.array_min(
-            F.transform(F.col("_ghs"), lambda g: (a * g + b) % F.lit(PORTABLE_P))
-        ).alias(f"_m{k}")
-
-    lanes = ghs.select("_id", *[_lane(k) for k in range(num_hashes)])
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("_g"),
+    ).select("_id", md5_hash32(F.col("_g")).alias("_g32"))
+    lanes = gh.groupBy("_id").agg(
+        *[
+            F.min((F.lit(A[k]) * F.col("_g32") + F.lit(B[k])) % F.lit(PORTABLE_P)).alias(
+                f"_m{k}"
+            )
+            for k in range(num_hashes)
+        ]
+    )
     return lanes.select(
         "_id",
         F.explode(
@@ -1472,17 +1481,20 @@ def decontaminate_minhash(
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
         )
+    # r14: no checkpoint on the corpus band relation — it feeds exactly
+    # one consumer (the candidate join below), so the materialization
+    # bought nothing and its eager job cost a full extra pass
     if portable:
         cb = portable_minhash_bands(
             corpus, text_col, id_col, num_hashes, bands, shingle_n
-        ).localCheckpoint()
+        )
         eb = portable_minhash_bands(
             eval_set, text_col, id_col, num_hashes, bands, shingle_n
         )
     else:
         cb = banded_signatures(
             corpus, text_col, id_col, num_hashes, bands, shingle_n
-        ).localCheckpoint()
+        )
         eb = banded_signatures(
             eval_set, text_col, id_col, num_hashes, bands, shingle_n
         )
