@@ -1214,6 +1214,12 @@ def _positioned_grams(
     (measured 8-11s -> 5.4s at sf0.1).  Same checkpoint="local"|"reliable"
     durability knob as the other materializing operators.
     """
+    from esgopeta_spark.session import ensure_min_partitions
+
+    # r14 (optimization): the windowed slice+concat explode below is the
+    # dominant per-row cost; over a single-row-group scan it would run on
+    # ONE input split, serially (no-op on real multi-split inputs)
+    docs = ensure_min_partitions(docs)
     words = F.split(normalize_text(F.col(text_col)), " ")
     windows = F.when(
         F.size(words) >= n,

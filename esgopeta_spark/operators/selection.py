@@ -198,32 +198,37 @@ def dsir_lambda(
         .groupBy("bucket")
         .agg(F.sum("c").alias("pc"))
     )
-    qtot = q.agg((F.sum("qc") + F.lit(buckets)).cast("bigint").alias("v"))
-    ptot = p.agg((F.sum("pc") + F.lit(buckets)).cast("bigint").alias("v"))
-
-    ml_q = with_milli_log2(
-        q.select("bucket", (F.col("qc") + 1).cast("bigint").alias("v")), "v", "ml"
-    ).select("bucket", F.col("ml").alias("ml_q"))
-    ml_p = with_milli_log2(
-        p.select("bucket", (F.col("pc") + 1).cast("bigint").alias("v")), "v", "ml"
-    ).select("bucket", F.col("ml").alias("ml_p"))
-    ml_qtot = with_milli_log2(qtot, "v", "ml").select(F.col("ml").alias("ml_qtot"))
-    ml_ptot = with_milli_log2(ptot, "v", "ml").select(F.col("ml").alias("ml_ptot"))
-
-    # λ table: every RAW bucket; absent target buckets contribute
-    # mlog2(0+1) = 0 exactly, so a left join + coalesce(ml_p, 0) is the
-    # smoothed value, not an approximation.
-    return (
-        ml_q.join(ml_p, "bucket", "left")
-        .crossJoin(F.broadcast(ml_qtot))
-        .crossJoin(F.broadcast(ml_ptot))
-        .select(
-            "bucket",
+    # r14 (optimization): the λ tail is BOUNDED at ≤``buckets`` rows per
+    # side by construction, at any corpus size — the honest
+    # bounded-driver-state pattern (assign_cells / the streaming twin,
+    # which already collects this very table).  Collect the two bucket
+    # aggregates and run the four milli-log2 recurrences in pure int
+    # Python (``milli_log2_int`` — pinned bit-equal to the engine
+    # expression chain and the DuckDB CTE in tests/test_llm_ops.py).
+    # The previous all-engine tail built FOUR 10-step shift-and-square
+    # projection chains plus three joins over ≤1024-row frames — pure
+    # plan/codegen overhead (measured ~1.6 s of the 4 s entry at sf0.1);
+    # the distributed gram passes, which carry the corpus-sized work,
+    # are unchanged.
+    qrows = {int(r["bucket"]): int(r["qc"]) for r in q.collect()}
+    prows = {int(r["bucket"]): int(r["pc"]) for r in p.collect()}
+    ml_qtot = milli_log2_int(sum(qrows.values()) + buckets)
+    ml_ptot = milli_log2_int(sum(prows.values()) + buckets)
+    # λ per RAW bucket; absent target buckets contribute mlog2(0+1) = 0
+    # exactly, so the .get default is the smoothed value, not an
+    # approximation.
+    lam_rows = [
+        (
+            b,
             (
-                (F.coalesce(F.col("ml_p"), F.lit(0)) - F.col("ml_ptot"))
-                - (F.col("ml_q") - F.col("ml_qtot"))
-            ).cast("bigint").alias("lam_milli"),
+                ((milli_log2_int(prows[b] + 1) if b in prows else 0) - ml_ptot)
+                - (milli_log2_int(qc + 1) - ml_qtot)
+            ),
         )
+        for b, qc in sorted(qrows.items())
+    ]
+    return raw.sparkSession.createDataFrame(
+        lam_rows, "bucket bigint, lam_milli bigint"
     )
 
 
