@@ -1639,9 +1639,20 @@ def mine_bitext_margin_ivf(
     wb = Window.partitionBy("tgt_id").orderBy(
         F.col("_c").desc(), F.col("src_id").asc()
     )
-    ranked = pairs.withColumn("_rf", F.row_number().over(wf)).withColumn(
-        "_rb", F.row_number().over(wb)
+    # r14 (optimization): the scored pair relation feeds FOUR consumers
+    # (both k-sum aggregates and both sides of the margin join); without
+    # a cut the cell join + unrolled cosine recompute per branch
+    # (exchange reuse does not bridge aliased branches under AQE — the
+    # r3 materialize-once lesson).  One localCheckpoint, values
+    # unchanged; at cluster scale this becomes reliable checkpoint.
+    from esgopeta_spark.operators.checkpoint import materialize
+
+    ranked = materialize(
+        pairs.withColumn("_rf", F.row_number().over(wf)).withColumn(
+            "_rb", F.row_number().over(wb)
+        )
     )
+    pairs = ranked.select("src_id", "tgt_id", "_c")
 
     def _ksum(key: str, rank_col: str, out: str, nout: str) -> DataFrame:
         slots = [
