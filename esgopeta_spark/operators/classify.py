@@ -23,20 +23,24 @@ argmax is preserved up to the documented ~2.5-milli floor quantization
 (ties broken deterministically by smallest label, both engines).
 
 Scale shape: training is one token stream (posexplode, no HOF folds)
-into a (label, bucket) groupBy bounded by C·B; scoring broadcasts the
-model into the per-doc bucket counts (one doc-keyed groupBy) and takes
-the per-doc argmax with one doc-keyed window — the same shuffle key, so
-AQE reuses the exchange.  No collect in the batch path, nothing
-all-pairs; C (labels) and B (buckets) are bounded by construction, so
-the broadcast holds at any corpus size.
+into a (label, bucket) groupBy bounded by C·B, whose ≤C·B-row result is
+collected ONCE and turned into the two model tables with the pure-int
+milli-log2 twin (bounded driver state — the codebook doctrine; the
+corpus-sized scans stay distributed); scoring broadcasts the model into
+the per-doc bucket counts (one doc-keyed groupBy) and takes the per-doc
+argmax with one doc-keyed window — the same shuffle key, so AQE reuses
+the exchange.  Nothing all-pairs; C (labels) and B (buckets) are
+bounded by construction, so the collect and the broadcast hold at any
+corpus size.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 from pyspark.sql.window import Window
 
-from esgopeta_spark.operators.selection import hash_bucket, with_milli_log2
+from esgopeta_spark.operators.selection import hash_bucket
 from esgopeta_spark.operators.text import words
 
 
@@ -60,33 +64,71 @@ def nb_train(
         .groupBy("label", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    model = with_milli_log2(
-        ncb.select("label", "bucket", (F.col("n") + 1).cast("bigint").alias("v")),
-        "v",
-        "lw_milli",
-    ).select("label", "bucket", "lw_milli")
+    # r14 (optimization): the model tail is BOUNDED at <= C*B rows by
+    # construction at ANY corpus size — the honest bounded-driver-state
+    # pattern (assign_cells / dsir_lambda; the streaming scorer already
+    # collects these very tables).  Collect the token aggregate and the
+    # per-label doc counts ONCE and run every milli-log2 recurrence in
+    # pure int Python (``milli_log2_int``, pinned bit-equal to the
+    # engine expression chain and the DuckDB CTE in tests).  The
+    # previous all-engine tail built FOUR 10-step shift-and-square
+    # projection chains plus joins over the bounded frames, and — the
+    # real cost — the model and cls broadcasts each re-ran the
+    # corpus-sized token scan (ReuseExchange does not bridge separate
+    # broadcast jobs).  The distributed token scan now runs exactly
+    # once; the doc-count aggregate is a second cheap label-only pass.
+    from esgopeta_spark.operators.selection import milli_log2_int
 
-    nc = ncb.groupBy("label").agg(
-        (F.sum("n") + F.lit(buckets)).cast("bigint").alias("v")
-    )
-    ml_nc = with_milli_log2(nc, "v", "ml").select(
-        "label", F.col("ml").alias("denom_milli")
-    )
-    dc = train.groupBy(F.col(label_col).alias("label")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("v")
-    )
-    ml_dc = with_milli_log2(dc, "v", "ml").select("label", F.col("ml").alias("ml_dc"))
-    dtot = train.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
-    ml_dtot = with_milli_log2(dtot, "v", "ml").select(F.col("ml").alias("ml_dtot"))
-
-    cls = (
-        ml_dc.crossJoin(F.broadcast(ml_dtot))
-        .join(ml_nc, "label")
-        .select(
-            "label",
-            (F.col("ml_dc") - F.col("ml_dtot")).cast("bigint").alias("prior_milli"),
-            "denom_milli",
+    ncb_rows = [
+        (r["label"], int(r["bucket"]), int(r["n"])) for r in ncb.collect()
+    ]
+    dc_rows = {
+        r["label"]: int(r["v"])
+        for r in train.groupBy(F.col(label_col).alias("label"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+        .collect()
+    }
+    ml_dtot = milli_log2_int(sum(dc_rows.values()))
+    n_c: dict = {}
+    for lab, _b, n in ncb_rows:
+        n_c[lab] = n_c.get(lab, 0) + n
+    skey = lambda x: (x is None, x)  # noqa: E731 — stable order w/ null label
+    model_rows = [
+        (lab, b, milli_log2_int(n + 1))
+        for lab, b, n in sorted(ncb_rows, key=lambda t: (skey(t[0]), t[1]))
+    ]
+    # cls mirrors the previous inner join on label: a label present in
+    # the doc counts but absent from the token stream (all-empty docs)
+    # stays out, exactly as before.
+    cls_rows = [
+        (
+            lab,
+            milli_log2_int(dc_rows[lab]) - ml_dtot,
+            milli_log2_int(n_c[lab] + buckets),
         )
+        for lab in sorted(dc_rows, key=skey)
+        if lab in n_c
+    ]
+    ltype = train.schema[label_col].dataType
+    model = train.sparkSession.createDataFrame(
+        model_rows,
+        StructType(
+            [
+                StructField("label", ltype),
+                StructField("bucket", LongType()),
+                StructField("lw_milli", LongType()),
+            ]
+        ),
+    )
+    cls = train.sparkSession.createDataFrame(
+        cls_rows,
+        StructType(
+            [
+                StructField("label", ltype),
+                StructField("prior_milli", LongType()),
+                StructField("denom_milli", LongType()),
+            ]
+        ),
     )
     return model, cls
 

@@ -158,15 +158,23 @@ class _BitW:
         self.n = 0
 
     def put(self, val: int, bits: int):
-        self.acc = (self.acc << bits) | (val & ((1 << bits) - 1))
-        self.n += bits
-        while self.n >= 8:
-            self.n -= 8
-            self.buf.append((self.acc >> self.n) & 0xFF)
+        # r14 (optimization): mask acc after the flush — the unmasked
+        # form grows a big-int limb per byte and turns every later
+        # shift O(bytes written), quadratic per stream (same fix as
+        # mpeg1_audio._BitW.put; byte-identical output, pinned by the
+        # video round-trip/fuzz tests).
+        acc = (self.acc << bits) | (val & ((1 << bits) - 1))
+        n = self.n + bits
+        buf = self.buf
+        while n >= 8:
+            n -= 8
+            buf.append((acc >> n) & 0xFF)
+        self.acc = acc & ((1 << n) - 1)
+        self.n = n
 
     def put_code(self, code: str):
-        for ch in code:
-            self.put(1 if ch == "1" else 0, 1)
+        if code:
+            self.put(int(code, 2), len(code))
 
     def align(self):
         if self.n:
@@ -183,14 +191,20 @@ class _BitR:
         self.pos = pos_bits
 
     def get(self, bits: int) -> int:
-        out = 0
-        for _ in range(bits):
-            byte = self.pos >> 3
-            if byte >= len(self.b):
-                raise ValueError("truncated mpeg1 video stream")
-            out = (out << 1) | ((self.b[byte] >> (7 - (self.pos & 7))) & 1)
-            self.pos += 1
-        return out
+        # r14 (optimization): bulk byte extraction over the covering
+        # span — value- and error-identical to the per-bit loop (same
+        # fix as mpeg1_audio._BitR.get).
+        if bits == 0:
+            return 0
+        pos = self.pos
+        end = pos + bits
+        last = (end - 1) >> 3
+        b = self.b
+        if last >= len(b):
+            raise ValueError("truncated mpeg1 video stream")
+        chunk = int.from_bytes(b[pos >> 3 : last + 1], "big")
+        self.pos = end
+        return (chunk >> (((last + 1) << 3) - end)) & ((1 << bits) - 1)
 
     def read_vlc(self, table: dict, max_len: int = 12):
         code = ""

@@ -285,49 +285,50 @@ def snapshot_drift_psi(
     and the total rides a window sum.  Base-2 instead of natural log —
     a constant factor documented in the name (nanoBITs).
 
-    Plan: one partial-agg pass per side on the bucket key (the only
-    shuffles), a broadcast bucket spine for zero-fill, then codegen
-    integer arithmetic — no kernels, no collects.  Returns one row per
-    bucket: (bucket, p_ppm, q_ppm, contrib_nanobits, psi_nanobits)."""
-    from esgopeta_spark.operators.selection import with_milli_log2
-    from pyspark.sql.window import Window
+    Plan (r14 optimization): one partial-agg pass per side on the
+    bucket key (the only distributed work — each collapses the corpus
+    to <= ``n_buckets`` rows at ANY corpus size), then the bounded
+    driver-state tail (the codebook / dsir_lambda doctrine): shares,
+    milli-log2s, contributions and the PSI total are pure-int Python
+    over the two collected <= ``n_buckets``-row aggregates, via
+    ``milli_log2_int`` — pinned bit-equal to the engine expression
+    chain and the DuckDB CTE, so every value is identical to the
+    previous all-engine form (which spent its time on two 10-step
+    shift-and-square projection chains, a spine join per side and two
+    single-partition window sums over a 10-row frame — pure plan
+    overhead).  Returns one row per bucket:
+    (bucket, p_ppm, q_ppm, contrib_nanobits, psi_nanobits)."""
+    from esgopeta_spark.operators.selection import milli_log2_int
 
-    def shares(df: DataFrame, out: str) -> DataFrame:
-        b = df.select(
-            length_bucket(text_col, n_buckets, bucket_chars).alias("bucket")
+    def ppm_list(df: DataFrame) -> list[int]:
+        cnt = (
+            df.select(
+                length_bucket(text_col, n_buckets, bucket_chars).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count("*").cast("bigint").alias("_c"))
+            .collect()
         )
-        cnt = b.groupBy("bucket").agg(F.count("*").cast("bigint").alias("_c"))
-        spine = df.sparkSession.range(int(n_buckets)).select(
-            F.col("id").cast("bigint").alias("bucket")
-        )
-        filled = spine.join(cnt, "bucket", "left").select(
-            "bucket", F.coalesce("_c", F.lit(0)).cast("bigint").alias("_c")
-        )
-        total = Window.partitionBy()
-        return filled.select(
-            "bucket",
-            (F.col("_c") * F.lit(1000000)).cast("bigint").alias("_num"),
-            F.sum("_c").over(total).cast("bigint").alias("_t"),
-        ).select(
-            "bucket",
-            F.greatest(F.expr("_num div _t"), F.lit(1)).cast("bigint")
-            .alias(out),
-        )
+        c = {int(r["bucket"]): int(r["_c"]) for r in cnt}
+        t = sum(c.values())
+        # `_num div _t` on non-negative bigints == Python //; an empty
+        # side (t == 0) mirrors greatest(null, 1) = 1 from the old form
+        return [
+            max((c.get(b, 0) * 1000000) // t, 1) if t > 0 else 1
+            for b in range(int(n_buckets))
+        ]
 
-    p = shares(prior, "p_ppm")
-    q = shares(current, "q_ppm")
-    j = p.join(q, "bucket")
-    j = with_milli_log2(j, "p_ppm", "_mlp")
-    j = with_milli_log2(j, "q_ppm", "_mlq")
-    contrib = (
-        (F.col("p_ppm") - F.col("q_ppm")) * (F.col("_mlp") - F.col("_mlq"))
-    ).cast("bigint")
-    w = Window.partitionBy()
-    return j.select(
-        "bucket", "p_ppm", "q_ppm",
-        contrib.alias("contrib_nanobits"),
-    ).withColumn(
-        "psi_nanobits", F.sum("contrib_nanobits").over(w).cast("bigint")
+    p = ppm_list(prior)
+    q = ppm_list(current)
+    contrib = [
+        (p[b] - q[b]) * (milli_log2_int(p[b]) - milli_log2_int(q[b]))
+        for b in range(int(n_buckets))
+    ]
+    psi = sum(contrib)
+    return prior.sparkSession.createDataFrame(
+        [(b, p[b], q[b], contrib[b], psi) for b in range(int(n_buckets))],
+        "bucket bigint, p_ppm bigint, q_ppm bigint, "
+        "contrib_nanobits bigint, psi_nanobits bigint",
     )
 
 

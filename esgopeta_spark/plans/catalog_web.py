@@ -737,8 +737,12 @@ def web_redirect_resolve(spark, sf):
         synth_redirect_warc,
         warc_redirect_edges,
     )
+    from esgopeta_spark.session import ensure_min_partitions
 
-    d = T(spark, sf, "documents").select("doc_id")
+    # r14 (optimization): widen the single-row-group scan so the WARC
+    # synth + redirect-edge Arrow kernels parallelize (the r13
+    # serial-scan artifact; a no-op on real multi-split inputs)
+    d = ensure_min_partitions(T(spark, sf, "documents").select("doc_id"))
     edges = warc_redirect_edges(synth_redirect_warc(d))
     return collapse_redirects(edges)
 
@@ -1463,7 +1467,12 @@ def pipeline_crawl_frontier(spark, sf):
     )
 
     did = F.col("doc_id")
-    d = T(spark, sf, "documents").select(
+    # r14 (optimization): widen the single-row-group scans so the
+    # sitemap-parse / WARC-redirect Arrow kernels parallelize (the r13
+    # serial-scan artifact; a no-op on real multi-split inputs)
+    from esgopeta_spark.session import ensure_min_partitions
+
+    d = ensure_min_partitions(T(spark, sf, "documents").select("doc_id")).select(
         "doc_id", synth_sitemap(did).alias("sitemap_xml")
     )
     urls = (
@@ -1472,7 +1481,9 @@ def pipeline_crawl_frontier(spark, sf):
         .filter(F.col("ent.kind") == "url")
         .select("doc_id", F.col("ent.loc").alias("url"))
     )
-    heads = T(spark, sf, "documents").filter(did % 10 == 3).select("doc_id")
+    heads = ensure_min_partitions(
+        T(spark, sf, "documents").filter(did % 10 == 3).select("doc_id")
+    )
     rmap = (
         collapse_redirects(warc_redirect_edges(synth_frontier_redirect_warc(heads)))
         .filter(F.col("resolved") == 1)
