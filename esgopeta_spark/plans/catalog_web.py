@@ -93,6 +93,10 @@ def text_html_extract(spark, sf):
 def web_url_canonical_dedup(spark, sf):
     from esgopeta_spark.operators.web import synth_url_variants, url_canonicalize
 
+    # r14 (optimization): A/B'd a scan widening and left the serial
+    # shape — the canonicalizer is a light per-row kernel; the clean
+    # interleaved probe (paired with web_xrobots_gate) read serial
+    # 1.18 s vs widened 1.86 s for the pair.
     d = T(spark, sf, "documents").select(
         "doc_id", F.explode(synth_url_variants(F.col("doc_id"))).alias("url")
     )
@@ -737,12 +741,14 @@ def web_redirect_resolve(spark, sf):
         synth_redirect_warc,
         warc_redirect_edges,
     )
-    from esgopeta_spark.session import ensure_min_partitions
 
-    # r14 (optimization): widen the single-row-group scan so the WARC
-    # synth + redirect-edge Arrow kernels parallelize (the r13
-    # serial-scan artifact; a no-op on real multi-split inputs)
-    d = ensure_min_partitions(T(spark, sf, "documents").select("doc_id"))
+    # r14 (optimization): A/B'd a scan widening here and REVERTED it —
+    # the WARC synth/parse kernels are light per row, and the clean
+    # interleaved probe read serial 1.56 s vs widened 2.11 s (the
+    # exchange + extra kernel-stage scheduling cost more than the
+    # serial compute; contrast text_pdf_extract, where the kernel is
+    # heavy and the same widening won 4.7x).
+    d = T(spark, sf, "documents").select("doc_id")
     edges = warc_redirect_edges(synth_redirect_warc(d))
     return collapse_redirects(edges)
 
@@ -1467,12 +1473,11 @@ def pipeline_crawl_frontier(spark, sf):
     )
 
     did = F.col("doc_id")
-    # r14 (optimization): widen the single-row-group scans so the
-    # sitemap-parse / WARC-redirect Arrow kernels parallelize (the r13
-    # serial-scan artifact; a no-op on real multi-split inputs)
-    from esgopeta_spark.session import ensure_min_partitions
-
-    d = ensure_min_partitions(T(spark, sf, "documents").select("doc_id")).select(
+    # r14 (optimization): A/B'd scan widenings here and REVERTED them —
+    # the sitemap/WARC kernels are light per row; the clean interleaved
+    # probe read serial 2.69 s vs widened 3.64 s (same verdict as
+    # web_redirect_resolve; the widening only pays for HEAVY kernels).
+    d = T(spark, sf, "documents").select(
         "doc_id", synth_sitemap(did).alias("sitemap_xml")
     )
     urls = (
@@ -1481,9 +1486,7 @@ def pipeline_crawl_frontier(spark, sf):
         .filter(F.col("ent.kind") == "url")
         .select("doc_id", F.col("ent.loc").alias("url"))
     )
-    heads = ensure_min_partitions(
-        T(spark, sf, "documents").filter(did % 10 == 3).select("doc_id")
-    )
+    heads = T(spark, sf, "documents").filter(did % 10 == 3).select("doc_id")
     rmap = (
         collapse_redirects(warc_redirect_edges(synth_frontier_redirect_warc(heads)))
         .filter(F.col("resolved") == 1)
@@ -3062,6 +3065,9 @@ def web_xrobots_gate(spark, sf):
     )
 
     did = F.col("doc_id")
+    # r14 (optimization): A/B'd a scan widening and left the serial
+    # shape — light kernels (see web_url_canonical_dedup; the paired
+    # clean probe read serial 1.18 s vs widened 1.86 s).
     d = T(spark, sf, "documents").select(
         "doc_id", _seed_url(did).alias("uri")
     )
