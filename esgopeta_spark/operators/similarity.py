@@ -103,6 +103,80 @@ def cosine_prenormed(a: Column, b: Column, na: Column, nb: Column, dim: int) -> 
     return dot_unrolled(a, b, dim) / (na * nb)
 
 
+def _collect_vector_block(
+    df: DataFrame, key_col: str, vec_col: str, dim: int, empty_msg: str | None = None
+) -> tuple[list, np.ndarray, np.ndarray]:
+    """Driver-collect a BOUNDED keyed vector relation (codebook / query
+    block — the sides the join formulations already broadcast, i.e. the
+    MLlib cluster-center envelope) sorted by key.  Returns (keys,
+    matrix, norms); the norm accumulates squares in ascending element
+    order exactly like ``norm_unrolled``, so downstream quotients are
+    bit-equal to ``cosine_prenormed``."""
+    rows = sorted(df.select(key_col, vec_col).collect(), key=lambda r: r[key_col])
+    if not rows:
+        if empty_msg:
+            raise ValueError(empty_msg)
+        return [], np.zeros((0, dim), dtype=np.float64), np.zeros(0, dtype=np.float64)
+    keys = [r[key_col] for r in rows]
+    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    acc = mat[:, 0] * mat[:, 0]
+    for d in range(1, dim):
+        acc = acc + mat[:, d] * mat[:, d]
+    return keys, mat, np.sqrt(acc)
+
+
+def _batch_matrix(vals: "pd.Series", dim: int, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
+    """(n x dim matrix, norms) for one Arrow batch's vector column, with
+    the null/length guard and the ``norm_unrolled`` accumulation order
+    shared by every similarity kernel."""
+    nulls = vals.isna().to_numpy()
+    lens = np.where(nulls, dim, vals.str.len().fillna(dim).to_numpy())
+    bad = nulls | (lens != dim)
+    if bad.any():
+        i = int(np.argmax(bad))
+        raise ValueError(
+            f"similarity kernel: null or wrong-length vector in {vec_col!r} "
+            f"(expected dim={dim}, got {'null' if nulls[i] else int(lens[i])})"
+        )
+    v = np.stack([np.asarray(x, dtype=np.float64) for x in vals])
+    acc = v[:, 0] * v[:, 0]
+    for d in range(1, dim):
+        acc = acc + v[:, d] * v[:, d]
+    return v, np.sqrt(acc)
+
+
+def _block_sims(v: np.ndarray, vn: np.ndarray, q: np.ndarray, qn: np.ndarray, dim: int) -> np.ndarray:
+    """n x Q cosine block, bit-equal to ``cosine_prenormed(qv, cv, qn,
+    cn)``: per-dimension fused outer products accumulated in ascending
+    element order (the ``dot_unrolled`` fold; IEEE multiply is
+    commutative so side order does not matter), one quotient by the
+    norm product."""
+    dots = np.multiply.outer(v[:, 0], q[:, 0])
+    for d in range(1, dim):
+        dots = dots + np.multiply.outer(v[:, d], q[:, d])
+    return dots / np.multiply.outer(vn, qn)
+
+
+def _merge_topk(
+    ids: np.ndarray, sims: np.ndarray, prev: tuple[np.ndarray, np.ndarray] | None, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fold one candidate batch into a per-query running top-k under the
+    window's total order (cosine DESC with NaN greatest — Spark sorts NaN
+    above every value — then id ASC).  Per-partition pruning is exact:
+    any global top-k row is in its partition's top-k."""
+    if prev is not None:
+        ids = np.concatenate([prev[0], ids])
+        sims = np.concatenate([prev[1], sims])
+    key = np.where(np.isnan(sims), np.inf, sims)
+    if ids.dtype == object:  # string ids: python tuple sort, same total order
+        order = np.array(
+            sorted(range(len(ids)), key=lambda i: (-key[i], ids[i]))[:k], dtype=np.int64
+        )
+    else:
+        order = np.lexsort((ids, -key))[:k]
+    return ids[order], sims[order]
+
+
 def assign_cells(
     df: DataFrame,
     book_df: DataFrame,
@@ -141,18 +215,10 @@ def assign_cells(
     [, norm_col]) with the vector passed through Arrow untouched
     (doubles are lossless over Arrow).
     """
-    rows = sorted(
-        book_df.select(book_cell_col, book_vec_col).collect(),
-        key=lambda r: r[book_cell_col],
+    keys, cents, centn = _collect_vector_block(
+        book_df, book_cell_col, book_vec_col, dim, "assign_cells: empty codebook (no centroids)"
     )
-    if not rows:
-        raise ValueError("assign_cells: empty codebook (no centroids)")
-    cells = np.array([r[book_cell_col] for r in rows], dtype=np.int64)
-    cents = np.stack([np.asarray(r[book_vec_col], dtype=np.float64) for r in rows])
-    cacc = cents[:, 0] * cents[:, 0]
-    for d in range(1, dim):
-        cacc = cacc + cents[:, d] * cents[:, d]
-    centn = np.sqrt(cacc)
+    cells = np.array(keys, dtype=np.int64)
     # id type follows the input schema (string ids work, like the join
     # formulation this replaced — r6 ADVICE); vectors must be non-null
     # and exactly `dim` wide, checked below with a clear error instead of
@@ -170,26 +236,8 @@ def assign_cells(
             # Python loop cost an interpreted pass over every batch on the
             # hottest ANN path; .str.len() + isna() keep the check inside
             # pandas/numpy and only locate the offender on failure)
-            vals = pdf[vec_col]
-            nulls = vals.isna().to_numpy()
-            lens = np.where(nulls, dim, vals.str.len().fillna(dim).to_numpy())
-            bad = nulls | (lens != dim)
-            if bad.any():
-                i = int(np.argmax(bad))
-                raise ValueError(
-                    f"assign_cells: null or wrong-length vector in {vec_col!r} "
-                    f"(expected dim={dim}, got "
-                    f"{'null' if nulls[i] else int(lens[i])})"
-                )
-            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
-            dots = np.multiply.outer(v[:, 0], cents[:, 0])
-            for d in range(1, dim):
-                dots = dots + np.multiply.outer(v[:, d], cents[:, d])
-            vacc = v[:, 0] * v[:, 0]
-            for d in range(1, dim):
-                vacc = vacc + v[:, d] * v[:, d]
-            vn = np.sqrt(vacc)
-            sims = dots / (vn[:, None] * centn[None, :])
+            v, vn = _batch_matrix(pdf[vec_col], dim, vec_col)
+            sims = _block_sims(v, vn, cents, centn, dim)
             idx = np.argmax(sims, axis=1)
             out = pd.DataFrame(
                 {id_col: pdf[id_col].to_numpy(), cell_col: cells[idx], vec_col: pdf[vec_col]}
@@ -212,31 +260,79 @@ def topk_cosine(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    Plan shape: broadcast(queries) ⋈ corpus (no shuffle of the corpus),
-    then one shuffle on query_id for the per-query top-k window.  Ties
-    broken by neighbor id for determinism.  Pass ``dim`` when the vector
-    width is known to use the codegen'd unrolled kernel (same float
-    semantics, ~1.7x faster than the interpreted fold).
+    The query relation is the documented BOUNDED side (the join
+    formulation broadcast it); with ``dim`` given it is collected to the
+    driver (the assign_cells / MLlib-center envelope) and the corpus is
+    scored in ONE Arrow pass that keeps only each partition's top-k
+    survivors per query — exact, because any global top-k row is in its
+    partition's top-k under the same (cosine DESC, id ASC) total order
+    the final window applies.  vs the former broadcast-nested-loop +
+    unrolled-codegen shape: no 1.5-2.8 s whole-stage compile, no n×Q row
+    stream into the window shuffle (partitions×Q×k candidate rows
+    instead), corpus still never shuffles.  Cosines are bit-equal to
+    ``cosine_prenormed`` (fused per-dimension ops in ascending element
+    order — the assign_cells argument), so results and oracle hashes are
+    unchanged.  Without ``dim`` the generic-width interpreted-fold join
+    path is kept.
     """
     from esgopeta_spark.session import ensure_min_partitions
 
+    if dim is None:
+        c = ensure_min_partitions(corpus).select(
+            F.col(id_col).alias("nbr_id"), as_double(F.col(vec_col)).alias("_cv")
+        )
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
+        )
+        scored = (
+            c.join(F.broadcast(q), F.col("nbr_id") != F.col("query_id"))
+            .withColumn("cosine_sim", cosine(F.col("_qv"), F.col("_cv")))
+            .select("query_id", "nbr_id", "cosine_sim")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine_sim").desc(), F.col("nbr_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "nbr_id", "cosine_sim", "rank")
+        )
+
+    qkeys, qv, qn = _collect_vector_block(
+        queries.select(F.col(query_id_col), as_double(F.col(vec_col)).alias(vec_col)),
+        query_id_col, vec_col, dim,
+    )
+    qt = queries.schema[query_id_col].dataType.simpleString()
+    it = corpus.schema[id_col].dataType.simpleString()
     c = ensure_min_partitions(corpus).select(
-        F.col(id_col).alias("nbr_id"), as_double(F.col(vec_col)).alias("_cv")
+        F.col(id_col), as_double(F.col(vec_col)).alias(vec_col)
     )
-    q = queries.select(F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv"))
-    if dim is not None:
-        # norms hoisted per relation (see norm_unrolled): the N×Q pair
-        # stage compiles and evaluates one unrolled dot, not three sums
-        c = c.withColumn("_cn", norm_unrolled(F.col("_cv"), dim))
-        q = q.withColumn("_qn", norm_unrolled(F.col("_qv"), dim))
-        sim = cosine_prenormed(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn"), dim)
-    else:
-        sim = cosine(F.col("_qv"), F.col("_cv"))
-    scored = (
-        c.join(F.broadcast(q), F.col("nbr_id") != F.col("query_id"))
-        .withColumn("cosine_sim", sim)
-        .select("query_id", "nbr_id", "cosine_sim")  # narrow BEFORE the window shuffle: vectors stay in the scan stage
-    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: list[tuple[np.ndarray, np.ndarray] | None] = [None] * len(qkeys)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v, vn = _batch_matrix(pdf[vec_col], dim, vec_col)
+            sims = _block_sims(v, vn, qv, qn, dim)
+            ids = pdf[id_col].to_numpy()
+            for j, qid in enumerate(qkeys):
+                sel = ids != qid
+                best[j] = _merge_topk(ids[sel], sims[sel, j], best[j], k)
+        out_q: list = []
+        out_i: list = []
+        out_s: list = []
+        for j, qid in enumerate(qkeys):
+            if best[j] is None:
+                continue
+            bi, bs = best[j]
+            out_q.extend([qid] * len(bi))
+            out_i.extend(bi.tolist())
+            out_s.extend(bs.tolist())
+        if out_q:
+            yield pd.DataFrame({"query_id": out_q, "nbr_id": out_i, "cosine_sim": out_s})
+
+    scored = c.mapInPandas(kernel, f"query_id {qt}, nbr_id {it}, cosine_sim double")
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("nbr_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -390,6 +486,97 @@ def pairwise_cosine_sample(df: DataFrame, id_col: str = "vec_id", vec_col: str =
     )
 
 
+def _ivf_topk_scored(
+    corpus: DataFrame,
+    queries: DataFrame,
+    book_df: DataFrame,
+    dim: int,
+    k: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    book_cell_col: str = "cell",
+    book_vec_col: str = "centroid",
+) -> DataFrame:
+    """Shared IVF-flat probe+score engine (r14): codebook AND query block
+    are the bounded driver-state sides (both were broadcast in the join
+    formulation; the collect is the assign_cells / MLlib-center
+    envelope).  Probe cells per query are chosen on the driver under the
+    probe window's exact total order (cosine DESC with NaN greatest,
+    cell ASC); the corpus is then assigned and scored in ONE fused Arrow
+    pass — the argmax math of ``assign_cells`` plus a per-cell score
+    block against just that cell's probing queries — keeping only each
+    partition's top-k survivors per query.  Exact same candidate set and
+    bit-equal cosines as the former assign → broadcast-probe-join →
+    unrolled-cosine shape (fused per-dimension ops in ascending element
+    order), with zero whole-stage-codegen compile of 64-dim expressions
+    and only partitions×Q×k rows reaching the final window.  The corpus
+    never shuffles; per-query work still scales with corpus/|cells| ×
+    n_probe."""
+    from esgopeta_spark.session import ensure_min_partitions
+
+    ckeys, cents, centn = _collect_vector_block(
+        book_df, book_cell_col, book_vec_col, dim, "ivf: empty codebook (no centroids)"
+    )
+    cells = np.array(ckeys, dtype=np.int64)
+    qkeys, qv, qn = _collect_vector_block(
+        queries.select(F.col(query_id_col), as_double(F.col(vec_col)).alias(vec_col)),
+        query_id_col, vec_col, dim,
+    )
+    probes_of_cell: dict[int, list[int]] = {}
+    if len(qkeys):
+        psims = _block_sims(qv, qn, cents, centn, dim)  # Q x C, probe-window order below
+        for j in range(len(qkeys)):
+            key = np.where(np.isnan(psims[j]), np.inf, psims[j])
+            for ci in np.lexsort((cells, -key))[:n_probe]:
+                probes_of_cell.setdefault(int(cells[ci]), []).append(j)
+    qt = queries.schema[query_id_col].dataType.simpleString()
+    it = corpus.schema[id_col].dataType.simpleString()
+    c = ensure_min_partitions(corpus).select(
+        F.col(id_col), as_double(F.col(vec_col)).alias(vec_col)
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: list[tuple[np.ndarray, np.ndarray] | None] = [None] * len(qkeys)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v, vn = _batch_matrix(pdf[vec_col], dim, vec_col)
+            acell = cells[np.argmax(_block_sims(v, vn, cents, centn, dim), axis=1)]
+            ids = pdf[id_col].to_numpy()
+            for cell_value in np.unique(acell):
+                qjs = probes_of_cell.get(int(cell_value))
+                if not qjs:
+                    continue
+                rows = acell == cell_value
+                sv, sn, sids = v[rows], vn[rows], ids[rows]
+                ssims = _block_sims(sv, sn, qv[qjs], qn[qjs], dim)
+                for col, j in enumerate(qjs):
+                    sel = sids != qkeys[j]
+                    best[j] = _merge_topk(sids[sel], ssims[sel, col], best[j], k)
+        out_q: list = []
+        out_i: list = []
+        out_s: list = []
+        for j, qid in enumerate(qkeys):
+            if best[j] is None:
+                continue
+            bi, bs = best[j]
+            out_q.extend([qid] * len(bi))
+            out_i.extend(bi.tolist())
+            out_s.extend(bs.tolist())
+        if out_q:
+            yield pd.DataFrame({"query_id": out_q, "nbr_id": out_i, "cosine_sim": out_s})
+
+    scored = c.mapInPandas(kernel, f"query_id {qt}, nbr_id {it}, cosine_sim double")
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("nbr_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine_sim", "rank")
+    )
+
+
 def topk_cosine_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -406,60 +593,18 @@ def topk_cosine_ivf(
 
     The coarse codebook is a deterministic id-strided sample of the corpus
     itself (every ``centroid_stride``-th vector) — no training pass, fully
-    reproducible.  Cell assignment is an argmax over the broadcast
-    codebook (corpus never shuffles for it); the probe join is equi on
-    cell id, so query work scales with corpus/|cells| * n_probe, never the
-    full corpus.  At 100 TB the codebook would come from a k-means job and
-    the assignment plan is unchanged.
+    reproducible.  Cell assignment is an argmax over the driver-collected
+    codebook (corpus never shuffles for it); scoring touches only the
+    probed cells, so query work scales with corpus/|cells| * n_probe,
+    never the full corpus.  At 100 TB the codebook would come from a
+    k-means job and the plan is unchanged (see ``_ivf_topk_scored``).
     """
-    from esgopeta_spark.session import ensure_min_partitions
-
-    c = ensure_min_partitions(corpus).select(
-        F.col(id_col).alias("nbr_id"), as_double(F.col(vec_col)).alias("_cv")
+    cents = corpus.filter(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("_cell"), as_double(F.col(vec_col)).alias("_cent")
     )
-    cents = (
-        corpus.filter(F.col(id_col) % centroid_stride == 0)
-        .select(F.col(id_col).alias("_cell"), as_double(F.col(vec_col)).alias("_cent"))
-        .withColumn("_centn", norm_unrolled(F.col("_cent"), dim))
-    )
-    # r6: assignment via the driver-collected-codebook Arrow kernel
-    # (assign_cells) — bit-identical to the former broadcast-join +
-    # max_by argmax, without its 1.5-5 s whole-stage-codegen compile of
-    # the unrolled cosine.  Norm comes back from the same kernel
-    # (identical fold order as norm_unrolled), so the corpus projection
-    # needs no unrolled expression at all.
-    assigned = assign_cells(
-        c, cents, dim, "nbr_id", "_cv", cell_col="_cell", norm_col="_cn",
+    return _ivf_topk_scored(
+        corpus, queries, cents, dim, k, n_probe, id_col, vec_col, query_id_col,
         book_cell_col="_cell", book_vec_col="_cent",
-    ).select("nbr_id", "_cv", "_cn", "_cell")
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
-    ).withColumn("_qn", norm_unrolled(F.col("_qv"), dim))
-    w_probe = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("_cell").asc())
-    probes = (
-        q.join(F.broadcast(cents))
-        .withColumn(
-            "_sim",
-            cosine_prenormed(F.col("_qv"), F.col("_cent"), F.col("_qn"), F.col("_centn"), dim),
-        )
-        .withColumn("_rk", F.row_number().over(w_probe))
-        .filter(F.col("_rk") <= n_probe)
-        .select("query_id", "_qv", "_qn", "_cell")
-    )
-    scored = (
-        assigned.join(F.broadcast(probes), "_cell")
-        .filter(F.col("nbr_id") != F.col("query_id"))
-        .withColumn(
-            "cosine_sim",
-            cosine_prenormed(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn"), dim),
-        )
-        .select("query_id", "nbr_id", "cosine_sim")  # narrow BEFORE the window shuffle
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("nbr_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "nbr_id", "cosine_sim", "rank")
     )
 
 
@@ -561,49 +706,12 @@ def topk_cosine_ivf_trained(
     the training pass; bit-identical results to training inline
     (array<double> round-trips parquet exactly; pinned in
     tests/test_llm_ops.py model-persistence test)."""
-    from esgopeta_spark.session import ensure_min_partitions
-
     book = codebook if codebook is not None else kmeans_codebook(
         corpus, dim, init_stride, n_iter, id_col, vec_col
     )
-    cents = book.select(
-        F.col("cell").alias("_cell"), F.col("centroid").alias("_cent")
-    ).withColumn("_centn", norm_unrolled(F.col("_cent"), dim))
-    c = ensure_min_partitions(corpus).select(
-        F.col(id_col).alias("nbr_id"), as_double(F.col(vec_col)).alias("_cv")
-    )
-    # r6: driver-collected-codebook Arrow argmax (see assign_cells)
-    assigned = assign_cells(
-        c, book, dim, "nbr_id", "_cv", cell_col="_cell", norm_col="_cn",
-    ).select("nbr_id", "_cv", "_cn", "_cell")
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
-    ).withColumn("_qn", norm_unrolled(F.col("_qv"), dim))
-    w_probe = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("_cell").asc())
-    probes = (
-        q.join(F.broadcast(cents))
-        .withColumn(
-            "_sim",
-            cosine_prenormed(F.col("_qv"), F.col("_cent"), F.col("_qn"), F.col("_centn"), dim),
-        )
-        .withColumn("_rk", F.row_number().over(w_probe))
-        .filter(F.col("_rk") <= n_probe)
-        .select("query_id", "_qv", "_qn", "_cell")
-    )
-    scored = (
-        assigned.join(F.broadcast(probes), "_cell")
-        .filter(F.col("nbr_id") != F.col("query_id"))
-        .withColumn(
-            "cosine_sim",
-            cosine_prenormed(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn"), dim),
-        )
-        .select("query_id", "nbr_id", "cosine_sim")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("nbr_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "nbr_id", "cosine_sim", "rank")
+    return _ivf_topk_scored(
+        corpus, queries, book, dim, k, n_probe, id_col, vec_col, query_id_col,
+        book_cell_col="cell", book_vec_col="centroid",
     )
 
 
@@ -641,7 +749,6 @@ def semantic_dedup(
     component (itself if unique) and is_dup = 1 for every non-keeper
     member of a component.
     """
-    from esgopeta_spark.operators.dedup import dup_components
     from esgopeta_spark.session import ensure_min_partitions
 
     book = kmeans_codebook(corpus, dim, init_stride, n_iter, id_col, vec_col)
@@ -650,44 +757,66 @@ def semantic_dedup(
     )
     # r6: driver-collected-codebook Arrow argmax (see assign_cells); the
     # kernel also returns the norm (same fold order as norm_unrolled) so
-    # the pair stage's prenormed cosine needs no extra projection.
-    # The assignment fans out THREE ways (both pair-join sides + the
-    # verdict join): materialize once instead of recomputing per branch.
-    assigned = assign_cells(
-        c, book, dim, "_id", "_v", cell_col="cell", norm_col="_n"
-    ).localCheckpoint()
-    a = assigned.select(
-        F.col("_id").alias("id_a"), "cell", F.col("_v").alias("_va"), F.col("_n").alias("_na")
-    )
-    b = assigned.select(
-        F.col("_id").alias("id_b"), "cell", F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
-    )
-    pairs = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine_micro",
-            F.floor(
-                cosine_prenormed(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"), dim)
-                * 1000000.0
-                + 0.5
-            ).cast("bigint"),
+    # the verdict kernel's prenormed cosines need no extra projection.
+    assigned = assign_cells(c, book, dim, "_id", "_v", cell_col="cell", norm_col="_n")
+    idt = corpus.schema[id_col].dataType.simpleString()
+    thr = float(int(threshold_micro))
+
+    # r14: edges only ever connect vectors in the SAME cell (the pair
+    # join was equi on cell), so connected components decompose per
+    # cell.  One grouped Arrow kernel per cell — pairwise micro-cosines
+    # (bit-equal to the join formulation: fused per-dimension ops in
+    # ascending element order / floor(cos*1e6+0.5), pinned in
+    # tests/test_llm_ops.py) + min-label union-find + verdicts — in
+    # place of the former cell-equi pair self-join and the O(log
+    # diameter)-round distributed component loop, whose per-round
+    # fixed cost dominated.  Work stays O(sum_cells (n/k)^2), the
+    # group is bounded at ~n/k rows (the same envelope the pair join
+    # relied on), and the whole entry is ONE cell-keyed shuffle.
+    def verdicts(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids0 = pdf["_id"].to_numpy()
+        order = np.argsort(ids0, kind="stable")
+        ids = ids0[order]
+        m = len(ids)
+        cell = pdf["cell"].iloc[0]
+        if m == 1:
+            return pd.DataFrame(
+                {id_col: ids, "cell": cell, "keeper": ids, "is_dup": np.zeros(1, dtype="int32")}
+            )
+        v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["_v"].iloc[order]])
+        n = pdf["_n"].to_numpy()[order]
+        micro = np.floor(_block_sims(v, n, v, n, dim) * 1000000.0 + 0.5)
+        parent = list(range(m))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        ei, ej = np.nonzero(np.triu(micro >= thr, 1))
+        for i, j in zip(ei.tolist(), ej.tolist()):
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                # smaller index stays root, so every root is its
+                # component's minimum id (ids are sorted ascending) —
+                # exactly dup_components' min-label contract
+                if ri < rj:
+                    parent[rj] = ri
+                else:
+                    parent[ri] = rj
+        comp = np.array([find(i) for i in range(m)], dtype=np.int64)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cell": cell,
+                "keeper": ids[comp],
+                "is_dup": (comp != np.arange(m)).astype("int32"),
+            }
         )
-        .filter(F.col("cosine_micro") >= F.lit(int(threshold_micro)))
-        .select("id_a", "id_b")
-    )
-    comps = dup_components(pairs)
-    return (
-        assigned.join(comps, assigned["_id"] == comps["id"], "left")
-        .select(
-            F.col("_id").alias(id_col),
-            "cell",
-            F.coalesce(F.col("comp"), F.col("_id")).alias("keeper"),
-            F.when(F.col("comp").isNotNull() & (F.col("comp") != F.col("_id")), F.lit(1))
-            .otherwise(F.lit(0))
-            .cast("int")
-            .alias("is_dup"),
-        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        verdicts, f"{id_col} {idt}, cell bigint, keeper {idt}, is_dup int"
     )
 
 

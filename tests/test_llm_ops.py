@@ -1907,6 +1907,90 @@ def test_assign_cells_string_ids_and_null_vector_guard(spark):
         assign_cells(ragged, book, 2, "id", "v").collect()
 
 
+def test_topk_cosine_kernel_matches_join_fold(spark, sf_dir):
+    """The r14 driver-collected-query Arrow scoring pass (dim given) must
+    be BIT-identical to the generic broadcast-join + interpreted-fold
+    path (dim=None) — the fold is the documented bit-equal twin of the
+    unrolled chain, so this pins the kernel against the formulation the
+    oracle hash was built on, including per-partition top-k pruning
+    exactness and the (cosine DESC, id ASC) tie order."""
+    import struct as st
+
+    from esgopeta_spark.operators.similarity import topk_cosine
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    want = {
+        (r["query_id"], r["rank"]): (r["nbr_id"], st.pack("<d", r["cosine_sim"]))
+        for r in topk_cosine(emb, queries, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["rank"]): (r["nbr_id"], st.pack("<d", r["cosine_sim"]))
+        for r in topk_cosine(emb, queries, k=5, dim=64).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_semantic_dedup_kernel_matches_pairjoin_components(spark, sf_dir):
+    """The r14 per-cell grouped verdict kernel (pairwise micro-cosines +
+    min-label union-find inside one Arrow group) must reproduce the
+    legacy formulation — cell-equi pair self-join, floor(cos*1e6+0.5)
+    threshold, dup_components min-label propagation, verdict left-join —
+    row for row.  Edges never cross cells (the pair join was equi on
+    cell), so components decompose per cell; this pins that argument and
+    the kernel's IEEE op order against the shape the oracle hash was
+    built on."""
+    from esgopeta_spark.operators.dedup import dup_components
+    from esgopeta_spark.operators.similarity import (
+        as_double, assign_cells, cosine_prenormed, kmeans_codebook, semantic_dedup,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    dim, thr = 64, 400000
+    book = kmeans_codebook(emb, dim, 25, 1, "vec_id", "embedding")
+    assigned = assign_cells(
+        emb.select(F.col("vec_id").alias("_id"), as_double(F.col("embedding")).alias("_v")),
+        book, dim, "_id", "_v", cell_col="cell", norm_col="_n",
+    ).localCheckpoint()
+    a = assigned.select(
+        F.col("_id").alias("id_a"), "cell", F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    b = assigned.select(
+        F.col("_id").alias("id_b"), "cell", F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine_micro",
+            F.floor(
+                cosine_prenormed(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"), dim)
+                * 1000000.0 + 0.5
+            ).cast("bigint"),
+        )
+        .filter(F.col("cosine_micro") >= F.lit(thr))
+        .select("id_a", "id_b")
+    )
+    comps = dup_components(pairs)
+    legacy = assigned.join(comps, assigned["_id"] == comps["id"], "left").select(
+        F.col("_id").alias("vec_id"),
+        "cell",
+        F.coalesce(F.col("comp"), F.col("_id")).alias("keeper"),
+        F.when(F.col("comp").isNotNull() & (F.col("comp") != F.col("_id")), F.lit(1))
+        .otherwise(F.lit(0)).cast("int").alias("is_dup"),
+    )
+    want = {tuple(r) for r in legacy.collect()}
+    got = {
+        tuple(r)
+        for r in semantic_dedup(
+            emb, dim=dim, threshold_micro=thr, init_stride=25, n_iter=1
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_rolling_zscore_flags_spike_not_coldstart_or_constant(spark):
     """Hand series: a flat week then a big spike must flag exactly the
     spike day; the first 3 days (cold start) and a constant series

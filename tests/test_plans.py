@@ -69,15 +69,21 @@ def test_range_join_is_bucketed_equi(spark, sf_dir):
 
 
 def test_topk_cosine_broadcasts_queries_not_corpus(spark, sf_dir):
+    """r14 posture: the bounded query block is DRIVER state shipped into
+    one Arrow scoring pass (the assign_cells envelope) — no join of any
+    kind remains, the corpus never shuffles, and only per-partition
+    top-k candidates reach the window exchange."""
     from esgopeta_spark.operators.similarity import topk_cosine
 
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") % 50 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
     p = plan_of(topk_cosine(emb, q, k=5, dim=64))
-    # non-equi (!=) join: acceptable only as broadcast-nested-loop with the
-    # tiny QUERY side broadcast; a cartesian of corpus x corpus is not
-    assert "BroadcastNestedLoopJoin" in p, p
-    assert "CartesianProduct" not in p
+    assert "MapInPandas" in p, p
+    assert "CartesianProduct" not in p and "Join" not in p, p
+    # exactly one keyed exchange: the per-query window over the pruned
+    # candidates (formatted explain prints the partitioning once, in the
+    # node's detail block)
+    assert p.count("hashpartitioning(query_id") == 1, p
 
 
 def test_agg_has_partial_aggregation(spark, sf_dir):
@@ -203,20 +209,20 @@ def test_q12_join_keeps_partial_agg_no_cartesian(spark, sf_dir):
 
 
 def test_semantic_dedup_pair_join_is_equi_on_cell(spark, sf_dir):
-    """The SemDeDup pair stage must be an equi-join on the cluster cell —
+    """The SemDeDup pair stage must be scoped to the cluster cell —
     a cartesian fallback would be the O(n^2) the method exists to avoid.
-    (Plan is built on the registered entry = the graded surface.)"""
+    r14 posture: pairs + components + verdicts run inside ONE grouped
+    Arrow kernel per cell (bounded at ~n/k rows, the same envelope the
+    former cell-equi pair join relied on), so the plan must show the
+    cell-keyed group exchange feeding FlatMapGroupsInPandas and no join
+    of any kind.  (Plan is built on the registered entry = the graded
+    surface.)"""
     from esgopeta_spark.plans import REGISTRY
 
     p = plan_of(REGISTRY["dedup_semantic_kmeans"].fn(spark, sf_dir))
-    assert "CartesianProduct" not in p
-    # the only nested-loop joins allowed are the deliberate broadcast-codebook
-    # argmax stages (corpus x tiny-centroid cross, same shape as the IVF
-    # entries): every one must carry a broadcast build side
-    # (formatted explain prints each node twice: tree line + detail header)
-    assert p.count("BroadcastNestedLoopJoin Inner BuildRight") == p.count("BroadcastNestedLoopJoin") // 2
-    # the pair stage itself is a keyed hash join on cell
-    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "Join" not in p, p
+    assert "FlatMapGroupsInPandas" in p, p
+    assert "hashpartitioning(cell" in p, p
 
 
 def test_substring_spans_shared_grams_broadcast_back(spark, sf_dir):
