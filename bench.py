@@ -83,12 +83,12 @@ HEADLINE = [
     "stream_session_windows",
     "dedup_exact_docs",
     "dedup_minhash_pairs",
-    # (r14: text_profile_docs retired from the roster — demoted to
-    # parity-only in the r14 graded rotation, G4 stays the most-measured
-    # family on the roster — to fund the r14 additions below)
+    # (r14-opt: the r14-build "retirements" below were restored — the
+    # bench contract is append-only; the line fits via 2-decimal
+    # display precision in the headline map, 3-decimal in the sidecar)
+    "text_profile_docs",
     "sim_topk_cosine",
-    # (r14: the LSH sim tier retired from the roster — parity-only with
-    # the exact + IVF + PQ tiers all still measured; same budget trade)
+    "sim_topk_cosine_lsh",
     # round-3 graded flagships: temporal join, graph analytics, skew ops.
     # (graph_ham_stream_replay is deliberately NOT here: it funnels every
     # row through the per-key Python streaming handler to prove
@@ -96,9 +96,7 @@ HEADLINE = [
     # path for the same merge is graph_ham_merge_events above.)
     "join_asof_purchase_click",
     "graph_pagerank_transactions",
-    # (r14: triangles retired from the roster — parity-only since r12
-    # with pagerank + LPA still measured — to fund the r14 graded
-    # additions under the record budget; history in BENCH_r*.json)
+    "graph_triangles_coorder",
     "skew_salted_join",
     # round-4 graded flagships: ANN scale tier + real PNG codec round-trip
     "sim_topk_cosine_ivf",
@@ -115,11 +113,8 @@ HEADLINE = [
     # since r10 with pagerank/triangles/LPA still measured, and mp3
     # strictly supersedes the mp2 decode machinery; their historical
     # per-round numbers live in BENCH_r*.json)
-    # (r14: CMS heavy hitters retired from the roster — parity-only
-    # since r13 with the KMV sketch measured below — same budget trade)
-    # (r14: ts_gapfill_daily_locf retired from the roster — parity-only
-    # since r11 with the keyed-recursion family still measured via
-    # ts_ewma_daily below; same budget trade)
+    "agg_cms_heavy_hitters",
+    "ts_gapfill_daily_locf",
     # round-8 flagships: REAL MPEG-1 Layer III round trip (Huffman + bit
     # reservoir + hybrid MDCT) and the image/audio near-dup rotations
     "multimodal_decode_mp3_audio",
@@ -128,10 +123,7 @@ HEADLINE = [
     # round-9 flagships: FLAC lossless round trip (exact-sum oracle),
     # DSIR importance selection, entropy/KL quality signals (both on the
     # engine-exact integer milli-log2)
-    # (r14: the FLAC round trip retired from the roster — parity-only
-    # since r11; the lossless-codec class stays measured via the PNG
-    # exact-sum entry and the strictly deeper mp3 + MPEG-1 video
-    # decodes below; same budget trade)
+    "multimodal_decode_flac",
     "select_dsir_scores",
     "text_entropy_kl_profile",
     # round-10 flagships: the crawl front-end (HTML->text extraction,
@@ -143,9 +135,7 @@ HEADLINE = [
     # (r13: pipeline_html_to_shards retired from the roster — the
     # r10 crawl capstone below measures its superset lineage)
     "ts_ewma_daily",
-    # (r14: select_mixture_materialize retired from the roster —
-    # demoted to parity-only in the r14 rotation; selection stays
-    # measured via DSIR + NB langid; same budget trade)
+    "select_mixture_materialize",
     # the r10 capstone: raw mixed WARC bytes -> HTTP unwrap -> sniff ->
     # extract -> gate -> split/shard rollup, one lineage
     "pipeline_crawl_to_shards",
@@ -278,8 +268,16 @@ CONTAM_DRIFT = 1.3
 # sustained mid-run contention, not one unlucky stall (r12 ADVICE: a
 # dirty_n=4 / 16 external core-s run self-labeled clean)
 DIRTY_N_CONTAM = 2
-# the driver's stdout tail capture is 2000 chars; keep margin
-HEADLINE_BUDGET_CHARS = 1900
+# the driver's stdout tail capture is 2000 chars; the line prints last
+# (spark already stopped), so line + newline <= 2000 is the hard cap.
+# r14 optimization round: the roster is append-only (the driver contract
+# forbids removing or renaming existing queries), so the r14-build
+# "retirements" were restored; with 59 entries the map fits only at
+# 2-decimal display precision (sidecar keeps 3) with the static
+# "repeats" field moved to the sidecar; budget 1970 = 29 chars of
+# margin under the capture (nothing prints after the line — spark is
+# already stopped, r13's captured tail ends exactly at the JSON+\n).
+HEADLINE_BUDGET_CHARS = 1970
 MAX_WAIT_S = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT_S", "600"))
 WAIT_STEP_S = 20
 # r14 (r13 verdict #5): on gate timeout, retry the whole wait window a
@@ -505,7 +503,9 @@ def build_records(
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        # 2-decimal display precision keeps the 59-entry roster inside
+        # the driver's tail capture; the sidecar keeps 3 decimals
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf,
         "loadavg_1m": round(load_start, 2),
         "cpu_canary_ms": canary,
@@ -513,10 +513,11 @@ def build_records(
         "contaminated": contaminated,
         "start_gate_timeout": start_gate_timeout,
         "dirty_n": len(dirty_queries),
-        "repeats": REPEATS,
     }
     detail = dict(
         headline,
+        queries=timings,
+        repeats=REPEATS,
         ext_core_s=ext_map,
         midrun_retries=midrun_retries,
         dirty_queries=dirty_queries,
