@@ -274,10 +274,11 @@ DIRTY_N_CONTAM = 2
 # forbids removing or renaming existing queries), so the r14-build
 # "retirements" were restored; with 59 entries the map fits only at
 # 2-decimal display precision (sidecar keeps 3) with the static
-# "repeats" field moved to the sidecar; budget 1970 = 29 chars of
+# "repeats" field moved to the sidecar; budget 1985 = 15 chars of
 # margin under the capture (nothing prints after the line — spark is
-# already stopped, r13's captured tail ends exactly at the JSON+\n).
-HEADLINE_BUDGET_CHARS = 1970
+# already stopped, r13's captured tail ends exactly at the JSON+\n;
+# the shed-to-sidecar guard below still backstops a freak overrun).
+HEADLINE_BUDGET_CHARS = 1985
 MAX_WAIT_S = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT_S", "600"))
 WAIT_STEP_S = 20
 # r14 (r13 verdict #5): on gate timeout, retry the whole wait window a
@@ -384,6 +385,28 @@ EXT_CORES_MAX = 0.5
 # settle between rounds (NOT loadavg-gated — see the loop comment)
 ACCEPT_ROUNDS = 3
 RETRY_SETTLE_S = 15
+# r14 (session 2): attempt-DISPERSION retry + label.  The host has a
+# contention mode that is invisible to BOTH per-query judges: a
+# neighbor VM saturating memory bandwidth / stealing cycles makes our
+# own tasks run 4-20x longer while every core reads busy in OUR
+# process subtree (ext = 0.0) and the start-gate canaries were clean
+# minutes earlier (measured: dedup_image_dhash 18.4 s at ext 1.28 on a
+# start-gated run whose idle-window norm is 1.4 s, with the box canary
+# flapping 0.8 <-> 102 ms between polls that same hour).  Post-attempt
+# canary probes CANNOT arbitrate this — our own executor tail pollutes
+# them for seconds after a heavy query (measured 4.5-17 ms right after
+# a clean-pre-probe query; the r11 deadlock lesson again).  What IS
+# reliable is the spread of our own repeated attempts: the queries are
+# deterministic and a clean box repeats them within a few percent, so
+# a max/min ratio past UNSTABLE_SPREAD (with an absolute floor so
+# 0.3-s queries' jitter doesn't trip it) is a neighbor signature.
+# Such a query gets the same bounded extra rounds the ext meter
+# triggers, keeps its best attempt, and if the spread never settles it
+# is listed in "unstable_queries"; 2+ such queries label the record
+# contaminated (same threshold as dirty_n).  On an idle box the spread
+# test passes after round 1 and NOTHING changes.
+UNSTABLE_SPREAD = 1.6
+UNSTABLE_FLOOR_S = 0.5
 _HZ = os.sysconf("SC_CLK_TCK")
 
 
@@ -422,6 +445,15 @@ def main() -> None:
     midrun_retries: list[str] = []
     dirty_queries: list[str] = []
     external_core_s = 0.0
+    unstable_queries: list[str] = []
+
+    def _unstable(pool: list[tuple[float, float]]) -> bool:
+        # neighbor signature: deterministic attempts spread past
+        # UNSTABLE_SPREAD with more than UNSTABLE_FLOOR_S between them
+        lo = min(a[0] for a in pool)
+        hi = max(a[0] for a in pool)
+        return hi - lo > UNSTABLE_FLOOR_S and hi / lo > UNSTABLE_SPREAD
+
     for name in HEADLINE:
         fn = REGISTRY[name].fn
         attempts: list[tuple[float, float]] = []
@@ -430,21 +462,28 @@ def main() -> None:
             attempts += timing_round(fn)
             # clean = ran beside <= EXT_CORES_MAX external cores.  The
             # ext meter (all-core busy jiffies minus OUR process
-            # subtree) is the only per-query judge: the canary and the
-            # loadavg gates cannot distinguish a neighbor from the
-            # bench's own 32-thread tail, so using them here deadlocks
-            # the retry path against our own decaying load (r11-hit:
-            # a 5-minute bench ran 40+ minutes of self-inflicted
-            # idle-waits).  The canary stays in the START gate, where
-            # nothing of ours has run yet.
+            # subtree) is the only per-query judge of EXTERNAL-PROCESS
+            # contention: the canary and the loadavg gates cannot
+            # distinguish a neighbor from the bench's own 32-thread
+            # tail, so using them here deadlocks the retry path against
+            # our own decaying load (r11-hit: a 5-minute bench ran 40+
+            # minutes of self-inflicted idle-waits).  The canary stays
+            # in the START gate, where nothing of ours has run yet.
+            # Host-level steal/bandwidth neighbors are invisible to the
+            # ext meter too — the attempt-DISPERSION test (see
+            # UNSTABLE_SPREAD) arbitrates those from our own repeats.
             clean = [a for a in attempts if a[1] <= EXT_CORES_MAX * a[0]]
-            if clean:
+            if clean and not _unstable(clean):
                 break
             if rnd + 1 < ACCEPT_ROUNDS:
                 b = min(attempts, key=lambda a: a[0])
+                why = (
+                    f"unstable spread {max(a[0] for a in attempts):.2f}/"
+                    f"{b[0]:.2f} s" if clean else
+                    f"no clean attempt (best ext {b[1]:.2f} core-s / {b[0]:.2f} s)"
+                )
                 print(
-                    f"# bench: no clean attempt for {name} "
-                    f"(best ext {b[1]:.2f} core-s / {b[0]:.2f} s); "
+                    f"# bench: {why} for {name}; "
                     f"settling {RETRY_SETTLE_S}s and re-timing",
                     file=sys.stderr,
                 )
@@ -453,6 +492,8 @@ def main() -> None:
         pool = clean or attempts
         if not clean:
             dirty_queries.append(name)
+        if _unstable(pool):
+            unstable_queries.append(name)
         best, ext = min(pool, key=lambda a: a[0])
         timings[name] = round(best, 3)
         ext_map[name] = round(ext, 2)
@@ -461,6 +502,7 @@ def main() -> None:
     line, detail = build_records(
         timings, ext_map, midrun_retries, dirty_queries, external_core_s,
         sf, load_start, canary, mem_bw, start_gate_timeout,
+        unstable_queries,
     )
     sidecar = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
@@ -482,22 +524,28 @@ def build_records(
     canary: float,
     mem_bw: float,
     start_gate_timeout: bool,
+    unstable_queries: list | None = None,
 ) -> tuple[str, dict]:
     """(compact headline line, full sidecar detail).  The headline is
     GUARANTEED under HEADLINE_BUDGET_CHARS — the queries map sheds to
     the sidecar rather than the line truncating mid-JSON.  The
-    contamination verdict (r13, r12 verdict #2 + ADVICE): gate timeout,
-    EITHER canary drifting past ~1.3x its idle norm (the old 2x trip
-    was dead code — the 2.5 ms start gate could never admit 3.0 ms), OR
-    sustained mid-run contention (2+ dirty queries — r12's dirty_n=4 /
-    16 external core-s run self-labeled clean).  Unit-pinned in
+    contamination verdict (r13, r12 verdict #2 + ADVICE; r14 session 2
+    adds the dispersion clause): gate timeout, EITHER canary drifting
+    past ~1.3x its idle norm (the old 2x trip was dead code — the
+    2.5 ms start gate could never admit 3.0 ms), sustained mid-run
+    contention (2+ dirty queries — r12's dirty_n=4 / 16 external
+    core-s run self-labeled clean), OR 2+ queries whose attempts never
+    stabilized (the steal/bandwidth neighbor mode both other judges
+    are blind to — see UNSTABLE_SPREAD).  Unit-pinned in
     tests/test_bench_record.py."""
+    unstable_queries = unstable_queries or []
     total = round(sum(timings.values()), 3)
     contaminated = (
         start_gate_timeout
         or canary > CONTAM_DRIFT * CANARY_IDLE_NORM_MS
         or mem_bw > CONTAM_DRIFT * MEMBW_IDLE_NORM_MS
         or len(dirty_queries) >= DIRTY_N_CONTAM
+        or len(unstable_queries) >= DIRTY_N_CONTAM
     )
     headline = {
         "metric": "headline_queries_total",
@@ -513,11 +561,13 @@ def build_records(
         "contaminated": contaminated,
         "start_gate_timeout": start_gate_timeout,
         "dirty_n": len(dirty_queries),
+        "unstable_n": len(unstable_queries),
     }
     detail = dict(
         headline,
         queries=timings,
         repeats=REPEATS,
+        unstable_queries=unstable_queries,
         ext_core_s=ext_map,
         midrun_retries=midrun_retries,
         dirty_queries=dirty_queries,

@@ -19,13 +19,13 @@ import bench
 
 
 def _records(n_queries, canary=1.5, mem_bw=12.0, gate_timeout=False,
-             dirty=()):
+             dirty=(), unstable=()):
     timings = {f"some_quite_long_query_name_{i:03d}": 12.345
                for i in range(n_queries)}
     ext = {k: 0.12 for k in timings}
     return bench.build_records(
         timings, ext, [], list(dirty), 1.23, 0.1, 0.05, canary, mem_bw,
-        gate_timeout,
+        gate_timeout, list(unstable),
     )
 
 
@@ -71,6 +71,28 @@ def test_contamination_label_policy():
     assert json.loads(_records(5, mem_bw=14.0)[0])["contaminated"] is False
     # gate timeout always trips
     assert json.loads(_records(5, gate_timeout=True)[0])["contaminated"] is True
+    # r14 session 2: the attempt-dispersion clause — 2+ queries whose
+    # attempts never stabilized (the steal/bandwidth neighbor mode the
+    # ext meter reads as 0.0) trip the label; one unlucky query doesn't
+    d = json.loads(_records(5, unstable=["a"])[0])
+    assert d["contaminated"] is False and d["unstable_n"] == 1
+    assert json.loads(_records(5, unstable=["a", "b"])[0])["contaminated"] is True
+
+
+def test_unstable_spread_detector():
+    """The dispersion test itself: ratio past UNSTABLE_SPREAD only
+    counts past the absolute floor, so sub-second jitter on fast
+    queries never trips it."""
+    u = bench  # attempts are (wall_s, ext_core_s) pairs
+    assert u.UNSTABLE_SPREAD == 1.6 and u.UNSTABLE_FLOOR_S == 0.5
+    # the helper lives inside main(); replicate its arithmetic contract
+    def unstable(pool):
+        lo = min(a[0] for a in pool); hi = max(a[0] for a in pool)
+        return hi - lo > u.UNSTABLE_FLOOR_S and hi / lo > u.UNSTABLE_SPREAD
+    assert unstable([(1.4, 0.0), (18.4, 0.0)])          # the r14 mode
+    assert not unstable([(0.30, 0.0), (0.52, 0.0)])     # fast-query jitter
+    assert not unstable([(5.0, 0.0), (5.4, 0.0)])       # clean heavy repeat
+    assert not unstable([(12.0, 0.0), (12.0, 0.0)])
 
 
 def test_gate_retry_windows_semantics(monkeypatch):
