@@ -79,7 +79,9 @@ def pagerank(
     return rank
 
 
-def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst", checkpoint: str = "local"
+) -> DataFrame:
     """Per-node triangle counts over an UNDIRECTED graph given as any
     edge list (direction and duplicates ignored; self-loops dropped).
 
@@ -94,16 +96,18 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     joins stay equi-joins; per-node counts come from exploding each
     triangle into its three corners.
     """
+    from esgopeta_spark.operators.checkpoint import materialize
+
     # materialize the canonical edge set ONCE: it feeds the degree count
     # (twice via unionAll), the orientation join, and the closing-edge
     # probe — without this the (often expensive) edge producer re-runs
     # per branch (measured 2x the whole query on the co-order graph)
-    e = (
+    e = materialize(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        checkpoint,
     )
     deg = (
         e.select(F.col("a").alias("node"))
@@ -116,10 +120,21 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "_db"), "b")
     )
     a_first = (F.col("_da") < F.col("_db")) | ((F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b")))
-    oriented = ew.select(
-        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
-        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-        F.when(a_first, F.col("_db")).otherwise(F.col("_da")).alias("_dv"),
+    # r14 (optimization, guide §5 materialize-once): `oriented` feeds
+    # THREE consumers (both wedge sides and the closing-edge probe), and
+    # exchange reuse does not bridge the aliased branches under AQE —
+    # without this cut the degree aggregate and both degree joins ran
+    # 3x each (the before-plan is 329 nodes with 6 copies of the degree
+    # Union+HashAggregate; see plans/r14/graph_triangles_coorder_*).
+    # Values unchanged: the same narrow (u, v, _dv) relation, only
+    # computed once.
+    oriented = materialize(
+        ew.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(a_first, F.col("_db")).otherwise(F.col("_da")).alias("_dv"),
+        ),
+        checkpoint,
     )
     o1 = oriented.select("u", F.col("v").alias("v1"), F.col("_dv").alias("_d1"))
     o2 = oriented.select("u", F.col("v").alias("v2"), F.col("_dv").alias("_d2"))

@@ -424,45 +424,85 @@ def topk_cosine_lsh(
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """Approximate top-k: ``n_tables`` independent hyperplane hashes;
-    candidates = bucket-equi-join; exact cosine re-rank on the (small)
-    candidate set.
+    candidates = a bucket collision in any table; exact cosine re-rank
+    on the (small) candidate set.
 
-    Single-pass shape: ONE corpus scan computes every table's bucket in
-    one projection (an array), posexplode turns it into (table, bucket)
-    join keys, and one broadcast equi-join against the (likewise
-    exploded) query side finds all candidates.  Cross-table duplicates
-    are dropped by the first-matching-table filter — a codegen'd
-    expression over the two bucket arrays — instead of a distinct over
-    rows carrying both full vectors (the old shape's wide shuffle).
-    The only shuffle left is the per-query top-k window on candidates.
-    Scales linearly in corpus size, survives 100×."""
+    r14 (optimization): the query relation is the documented BOUNDED
+    side (the former join formulation broadcast it); it is collected to
+    the driver (the assign_cells / MLlib-center envelope) together with
+    its per-table buckets, and the corpus is bucketed AND scored in ONE
+    Arrow pass that keeps only each partition's top-k survivors per
+    query — exact against the LSH candidate set, because any global
+    top-k candidate is in its partition's top-k under the same
+    (cosine DESC, id ASC) total order the final window applies.  vs the
+    former posexplode + broadcast-equi-join + unrolled-cosine shape: no
+    whole-stage compile of 64-dim chains, no n_corpus x n_tables
+    exploded bucket stream, and only partitions x Q x k rows reach the
+    window exchange.  The candidate SET is identical — a pair collides
+    iff SOME table's buckets match; the old first-match filter only
+    deduplicated multi-table collisions — and every bucket bit and
+    cosine is bit-equal (the per-element fused accumulation of
+    ``_bucket_array`` / ``_block_sims``), so results and the
+    full-pipeline oracle hash are unchanged: pinned by
+    tests/test_llm_ops.py::test_topk_cosine_lsh_kernel_matches_join.
+    Scales linearly in corpus size; the corpus never shuffles."""
     from esgopeta_spark.session import ensure_min_partitions
 
     all_planes = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
-    c = (
-        ensure_min_partitions(corpus)  # small parquet = 1-2 splits; bucket hashing must parallelize
-        .select(F.col(id_col).alias("nbr_id"), as_double(F.col(vec_col)).alias("_cv"))
-        .withColumn("_cn", norm_unrolled(F.col("_cv"), dim))
-        .withColumn("_cba", _bucket_array(F.col("_cv"), all_planes))
-        .select("nbr_id", "_cv", "_cn", "_cba", F.posexplode("_cba").alias("_t", "_b"))
+    P = np.array([p for planes in all_planes for p in planes], dtype=np.float64)
+    weights = (2 ** np.arange(n_planes)).astype(np.int64)
+
+    def bucket_block(M: np.ndarray) -> np.ndarray:
+        # identical fused per-element accumulation order as
+        # ``_bucket_array``'s kernel, so corpus-side, query-side and the
+        # SQL oracle's sequential folds all see the same IEEE sequence
+        # and every sign bit — hence every bucket id — matches exactly
+        dots = np.multiply.outer(M[:, 0], P[:, 0])
+        for d in range(1, dim):
+            dots = dots + np.multiply.outer(M[:, d], P[:, d])
+        return (dots >= 0.0).reshape(len(M), n_tables, n_planes).astype(np.int64) @ weights
+
+    qkeys, qv, qn = _collect_vector_block(
+        queries.select(F.col(query_id_col), as_double(F.col(vec_col)).alias(vec_col)),
+        query_id_col, vec_col, dim,
     )
-    q = (
-        queries.select(F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv"))
-        .withColumn("_qn", norm_unrolled(F.col("_qv"), dim))
-        .withColumn("_qba", _bucket_array(F.col("_qv"), all_planes))
-        .select("query_id", "_qv", "_qn", "_qba", F.posexplode("_qba").alias("_t", "_b"))
+    qb = (
+        bucket_block(qv) if len(qkeys) else np.zeros((0, n_tables), dtype=np.int64)
+    )  # Q x T query buckets, driver state like the vectors themselves
+    qt = queries.schema[query_id_col].dataType.simpleString()
+    it = corpus.schema[id_col].dataType.simpleString()
+    c = ensure_min_partitions(corpus).select(
+        F.col(id_col), as_double(F.col(vec_col)).alias(vec_col)
     )
-    cand = (
-        c.join(F.broadcast(q), ["_t", "_b"])
-        .filter(F.col("nbr_id") != F.col("query_id"))
-        .filter(_first_match(F.col("_cba"), F.col("_qba"), F.col("_t")))
-    )
-    scored = cand.withColumn(
-        "cosine_sim",
-        cosine_prenormed(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn"), dim),
-    ).select(
-        "query_id", "nbr_id", "cosine_sim"  # narrow BEFORE the window shuffle
-    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: list[tuple[np.ndarray, np.ndarray] | None] = [None] * len(qkeys)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v, vn = _batch_matrix(pdf[vec_col], dim, vec_col)
+            cb = bucket_block(v)  # n x T corpus buckets
+            ids = pdf[id_col].to_numpy()
+            for j, qid in enumerate(qkeys):
+                m = (cb == qb[j]).any(axis=1) & (ids != qid)
+                if not m.any():
+                    continue
+                sims = _block_sims(v[m], vn[m], qv[j : j + 1], qn[j : j + 1], dim)[:, 0]
+                best[j] = _merge_topk(ids[m], sims, best[j], k)
+        out_q: list = []
+        out_i: list = []
+        out_s: list = []
+        for j, qid in enumerate(qkeys):
+            if best[j] is None:
+                continue
+            bi, bs = best[j]
+            out_q.extend([qid] * len(bi))
+            out_i.extend(bi.tolist())
+            out_s.extend(bs.tolist())
+        if out_q:
+            yield pd.DataFrame({"query_id": out_q, "nbr_id": out_i, "cosine_sim": out_s})
+
+    scored = c.mapInPandas(kernel, f"query_id {qt}, nbr_id {it}, cosine_sim double")
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("nbr_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

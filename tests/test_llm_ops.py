@@ -817,6 +817,70 @@ def test_lsh_cosine_recall(spark, sf_dir):
     assert recall >= 0.5, f"LSH ANN recall {recall} too low"  # 64-dim uniform data is hard; scale path, not exactness
 
 
+def test_topk_cosine_lsh_kernel_matches_join(spark, sf_dir):
+    """The r14 driver-collected-query LSH Arrow pass must be
+    BIT-identical to the posexplode + broadcast-equi-join + unrolled
+    cosine formulation it replaced (rebuilt inline here), including the
+    candidate set (any-table collision == first-match-dedup'd equi
+    join), every bucket bit (same fused per-element accumulation), every
+    cosine (same IEEE fold), and the (cosine DESC, id ASC) tie order —
+    this equality is what keeps the full-pipeline DuckDB oracle hash of
+    sim_topk_cosine_lsh valid."""
+    import struct as st
+
+    from pyspark.sql.window import Window
+
+    from esgopeta_spark.operators.similarity import (
+        _bucket_array, _first_match, _hyperplanes, as_double,
+        cosine_prenormed, norm_unrolled, topk_cosine_lsh,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    dim, k, n_planes, n_tables, seed = 64, 5, 6, 4, 42  # the catalog entry's params
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    all_planes = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    c = (
+        emb.select(F.col("vec_id").alias("nbr_id"), as_double(F.col("embedding")).alias("_cv"))
+        .withColumn("_cn", norm_unrolled(F.col("_cv"), dim))
+        .withColumn("_cba", _bucket_array(F.col("_cv"), all_planes))
+        .select("nbr_id", "_cv", "_cn", "_cba", F.posexplode("_cba").alias("_t", "_b"))
+    )
+    q = (
+        queries.select("query_id", as_double(F.col("embedding")).alias("_qv"))
+        .withColumn("_qn", norm_unrolled(F.col("_qv"), dim))
+        .withColumn("_qba", _bucket_array(F.col("_qv"), all_planes))
+        .select("query_id", "_qv", "_qn", "_qba", F.posexplode("_qba").alias("_t", "_b"))
+    )
+    cand = (
+        c.join(F.broadcast(q), ["_t", "_b"])
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .filter(_first_match(F.col("_cba"), F.col("_qba"), F.col("_t")))
+    )
+    scored = cand.withColumn(
+        "cosine_sim",
+        cosine_prenormed(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn"), dim),
+    ).select("query_id", "nbr_id", "cosine_sim")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("nbr_id").asc()
+    )
+    legacy = (
+        scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    )
+    want = {
+        (r["query_id"], r["rank"]): (r["nbr_id"], st.pack("<d", r["cosine_sim"]))
+        for r in legacy.collect()
+    }
+    got = {
+        (r["query_id"], r["rank"]): (r["nbr_id"], st.pack("<d", r["cosine_sim"]))
+        for r in topk_cosine_lsh(
+            emb, queries, dim=dim, k=k, n_planes=n_planes, n_tables=n_tables, seed=seed
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_asof_join(spark):
     from esgopeta_spark.operators.asof import asof_join
 

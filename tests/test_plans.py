@@ -86,6 +86,23 @@ def test_topk_cosine_broadcasts_queries_not_corpus(spark, sf_dir):
     assert p.count("hashpartitioning(query_id") == 1, p
 
 
+def test_topk_cosine_lsh_is_single_arrow_pass(spark, sf_dir):
+    """r14 posture (session 2): the LSH tier gets the same treatment as
+    the exact/IVF tiers — query block + its per-table buckets are driver
+    state, the corpus is bucketed and scored in one Arrow pass, no join
+    and no posexploded bucket stream remain, and only per-partition
+    top-k candidates reach the window exchange."""
+    from esgopeta_spark.operators.similarity import topk_cosine_lsh
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    p = plan_of(topk_cosine_lsh(emb, q, dim=64, k=5, n_planes=6, n_tables=4))
+    assert "MapInPandas" in p, p
+    assert "CartesianProduct" not in p and "Join" not in p, p
+    assert "Generate" not in p, p  # no posexplode of per-table buckets
+    assert p.count("hashpartitioning(query_id") == 1, p
+
+
 def test_agg_has_partial_aggregation(spark, sf_dir):
     li = read_table(spark, sf_dir, "lineitem")
     q = li.groupBy("l_returnflag").agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("s"))
