@@ -79,20 +79,25 @@ def test_contamination_label_policy():
     assert json.loads(_records(5, unstable=["a", "b"])[0])["contaminated"] is True
 
 
-def test_unstable_spread_detector():
-    """The dispersion test itself: ratio past UNSTABLE_SPREAD only
-    counts past the absolute floor, so sub-second jitter on fast
-    queries never trips it."""
+def test_unstable_corroboration_detector():
+    """The dispersion statistic: the kept minimum must be CORROBORATED
+    by a second attempt within CORROB_RATIO (or CORROB_ABS_S for
+    sub-second queries) — one stall outlier among agreeing attempts
+    does not damn a query, an uncorroborated minimum does."""
     u = bench  # attempts are (wall_s, ext_core_s) pairs
-    assert u.UNSTABLE_SPREAD == 1.6 and u.UNSTABLE_FLOOR_S == 0.5
-    # the helper lives inside main(); replicate its arithmetic contract
-    def unstable(pool):
-        lo = min(a[0] for a in pool); hi = max(a[0] for a in pool)
-        return hi - lo > u.UNSTABLE_FLOOR_S and hi / lo > u.UNSTABLE_SPREAD
-    assert unstable([(1.4, 0.0), (18.4, 0.0)])          # the r14 mode
-    assert not unstable([(0.30, 0.0), (0.52, 0.0)])     # fast-query jitter
-    assert not unstable([(5.0, 0.0), (5.4, 0.0)])       # clean heavy repeat
-    assert not unstable([(12.0, 0.0), (12.0, 0.0)])
+
+    def unstable(pool):  # replicate main()'s helper contract
+        dts = sorted(a[0] for a in pool)
+        if len(dts) < 2:
+            return True
+        return dts[1] - dts[0] > u.CORROB_ABS_S and dts[1] / dts[0] > u.CORROB_RATIO
+
+    assert u.CORROB_RATIO == 1.25 and u.CORROB_ABS_S == 0.25
+    assert unstable([(1.4, 0.0), (18.4, 0.0), (9.2, 0.0)])   # nothing agrees
+    assert not unstable([(1.27, 0.0), (10.92, 0.0), (1.31, 0.0)])  # outlier amid repeats
+    assert not unstable([(0.30, 0.0), (0.52, 0.0)])          # fast-query jitter (abs band)
+    assert not unstable([(5.0, 0.0), (5.4, 0.0)])            # clean heavy repeat
+    assert unstable([(5.0, 0.0), (7.9, 0.0)])                # 1.6x apart, no agreement
 
 
 def test_gate_retry_windows_semantics(monkeypatch):
