@@ -533,6 +533,63 @@ def mixture_materialize(
     )
 
 
+def mixture_from_corpus(
+    docs: DataFrame,
+    frac_ppm: int = 500_000,
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Single-tokenize fusion of :func:`domain_weights` +
+    per-doc token counts + :func:`mixture_materialize` (r14
+    optimization, guide §2.3 "shuffle fewer bytes" / §8 "decide with
+    small rows"): the unfused entry tokenized the corpus TWICE — once
+    inside the entropy pipeline that feeds the domain weights, and once
+    more as ``token_count(text)`` for the budget packing.  The entropy
+    pipeline already aggregates exactly ``size(words(text))`` per doc
+    (Σ of the (doc, word) counts), so ONE entropy pass feeds both
+    branches; docs with zero tokens (absent from the entropy output,
+    since explode emits no rows) are restored by a left join from the
+    (id, domain) dimension with ``coalesce(n_tokens, 0)`` — bit-equal
+    to ``token_count`` on every row (empty text -> 0), proven row-exact
+    against the unfused formulation at sf0.01/sf0.1.
+
+    Scale shape: one tokenize scan (was two), one checkpointed per-doc
+    profile reused by the weights branch and the token branch, then the
+    bounded-weights broadcast + per-domain window of
+    :func:`mixture_materialize` unchanged."""
+    from esgopeta_spark.operators.text import entropy_profile
+
+    ep = entropy_profile(docs, text_col, id_col).localCheckpoint()
+    dim = docs.select(id_col, domain_col)
+    kl = ep.select(
+        id_col, F.greatest(F.col("kl_corpus_milli"), F.lit(0)).alias("_kl")
+    )
+    per_dom = (
+        kl.join(dim, id_col)
+        .groupBy(domain_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_kl").cast("bigint").alias("sum_kl_milli"),
+        )
+    )
+    tot = per_dom.agg(F.sum("sum_kl_milli").cast("bigint").alias("_tot"))
+    w = per_dom.crossJoin(F.broadcast(tot)).select(
+        domain_col,
+        "n_docs",
+        "sum_kl_milli",
+        F.expr("(sum_kl_milli * 1000000) div _tot").cast("bigint").alias("weight_ppm"),
+    )
+    toks = dim.join(ep.select(id_col, "n_tokens"), id_col, "left").select(
+        domain_col,
+        id_col,
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+    )
+    return mixture_materialize(
+        toks, w, frac_ppm=frac_ppm, domain_col=domain_col, id_col=id_col
+    )
+
+
 def dsir_scores_with_lambda(
     raw: DataFrame,
     lam: DataFrame,

@@ -52,19 +52,33 @@ def graph_pagerank_transactions(spark, sf):
 
     o = T(spark, sf, "orders").select("o_orderkey", "o_custkey")
     li = T(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    # distinct on the (int, int) key pair FIRST — 8-byte shuffle rows —
+    # and keep INT64 surrogate node ids (even = customer, odd = supplier)
+    # through every iteration exchange: the string namespace tags only
+    # the final output (r14 optimization, guide §2.3 narrower types —
+    # string node keys inflated the 3 iterations' rank/contrib shuffles
+    # and the degree join for no semantic gain; rank values are
+    # structural, so the bijective id mapping leaves them bit-identical
+    # — verified row-exact vs the string formulation at sf0.01/sf0.1).
     edges = (
         o.join(li, o.o_orderkey == li.l_orderkey)
-        # distinct on the (int, int) key pair FIRST — 8-byte shuffle rows —
-        # then tag into the shared string node namespace; distinct-on-strings
-        # shuffles ~3x the bytes for the same result
         .select("o_custkey", "l_suppkey")
         .distinct()
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.col("o_custkey").cast("bigint") * 2).alias("src"),
+            (F.col("l_suppkey").cast("bigint") * 2 + 1).alias("dst"),
         )
     )
-    return pagerank(edges, iterations=3)
+    r = pagerank(edges, iterations=3)
+    return r.select(
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("c"), F.expr("node div 2").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("s"), F.expr("node div 2").cast("string")))
+        .alias("node"),
+        "rank_micro",
+    )
 
 
 @register(
@@ -96,22 +110,39 @@ def graph_pagerank_transactions(spark, sf):
 def graph_triangles_coorder(spark, sf):
     from esgopeta_spark.operators.graph_analytics import triangle_counts
 
-    # distinct (order, part) FIRST: the self-join input shrinks and each
-    # unordered part pair then occurs at most once per order, so the
-    # distinct-order count collapses to a plain count (one-phase partial
-    # agg instead of count-distinct's two-phase expand)
-    li = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy(F.col("pa").alias("ea"), F.col("pb").alias("eb"))
+    return triangle_counts(_coorder_edges(spark, sf), src="ea", dst="eb")
+
+
+def _coorder_edges(spark, sf):
+    """Recurring co-purchase edges: unordered part pairs co-ordered in
+    >= 2 distinct orders (shared by graph_triangles_coorder and
+    graph_communities_lpa; the DuckDB oracles keep the equivalent
+    distinct + self-join formulation).
+
+    r14 optimization (guide §2.4 remove shuffles): the old shape was
+    distinct (order, part) -> self-join on the order key -> pair agg —
+    two shuffles plus a join before the pair aggregate.  One
+    groupBy(order).collect_set both DEDUPS and GROUPS in a single
+    exchange, and the per-order pair stream is then two chained
+    Generates (no join, no extra exchange) feeding the same pair
+    aggregate: 3 exchanges + SMJ -> 2 exchanges.  Per-order part sets
+    are tiny and bounded (TPC-H <= 7), so the exploded pair stream is
+    the same size the join produced; sort_array makes the set
+    deterministic.  Output proven row-equal to the old derivation at
+    sf0.01/sf0.1."""
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    sets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = sets.select(F.explode("ps").alias("ea"), "ps").select(
+        "ea", F.explode(F.filter("ps", lambda y: y > F.col("ea"))).alias("eb")
+    )
+    return (
+        pairs.groupBy("ea", "eb")
         .agg(F.count("*").alias("_n"))
         .filter(F.col("_n") >= 2)
         .select("ea", "eb")
     )
-    return triangle_counts(edges, src="ea", dst="eb")
 
 
 @register(
@@ -212,18 +243,10 @@ def graph_bfs_hops_nation0(spark, sf):
 def graph_communities_lpa(spark, sf):
     from esgopeta_spark.operators.graph_analytics import label_propagation
 
-    li = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy(F.col("pa").alias("ea"), F.col("pb").alias("eb"))
-        .agg(F.count("*").alias("_n"))
-        .filter(F.col("_n") >= 2)
-        .select("ea", "eb")
-    )
-    return label_propagation(edges, rounds=3, src="ea", dst="eb")
+    # shared r14-optimized derivation (see _coorder_edges: one
+    # collect_set exchange + chained Generates replace the distinct +
+    # order-key self-join)
+    return label_propagation(_coorder_edges(spark, sf), rounds=3, src="ea", dst="eb")
 
 
 # k-core oracle: the peel recurrence unrolled one CTE block per round (same
