@@ -296,3 +296,69 @@ def test_kcore_and_cheapest_path_reliable_checkpoint(spark, tmp_path):
 
     wrote = any(files for _, _, files in os.walk(tmp_path / "ckpt"))
     assert wrote, "reliable checkpoint produced no files"
+
+
+def test_coorder_edges_match_legacy_self_join(spark, sf_dir):
+    """r14 optimization equivalence pin: the fused collect_set +
+    chained-Generate co-purchase derivation returns exactly the edge
+    set of the legacy distinct + order-key self-join it replaced."""
+    from pyspark.sql import functions as F
+
+    from esgopeta_spark.plans.catalog_graphx import _coorder_edges
+    from esgopeta_spark.session import read_table
+
+    got = sorted(map(tuple, _coorder_edges(spark, sf_dir).collect()))
+
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    want = sorted(
+        map(
+            tuple,
+            a.join(b, "k")
+            .filter(F.col("pa") < F.col("pb"))
+            .groupBy(F.col("pa").alias("ea"), F.col("pb").alias("eb"))
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") >= 2)
+            .select("ea", "eb")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_pagerank_entry_int_surrogates_match_string_namespace(spark, sf_dir):
+    """r14 optimization equivalence pin: the graded pagerank entry runs
+    its 3 iterations on int64 surrogate node ids (even = customer,
+    odd = supplier) and tags the 'c…'/'s…' string namespace only on the
+    final projection — output must equal the legacy formulation that
+    carried strings through every exchange."""
+    from pyspark.sql import functions as F
+
+    from esgopeta_spark.plans import REGISTRY
+    from esgopeta_spark.session import read_table
+
+    got = sorted(
+        map(
+            tuple,
+            REGISTRY["graph_pagerank_transactions"].fn(spark, sf_dir).collect(),
+        )
+    )
+
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+    )
+    want = sorted(map(tuple, pagerank(edges, iterations=3).collect()))
+    assert got == want and len(got) > 0

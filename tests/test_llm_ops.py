@@ -4491,3 +4491,64 @@ def test_pack_sequences_branches(spark):
 
     with _pytest.raises(ValueError):
         pack_sequences(df, max_tokens=0)
+
+
+def test_mixture_from_corpus_matches_unfused(spark, sf_dir):
+    """r14 optimization equivalence pin: the single-tokenize fusion
+    (entropy pass supplies both the domain weights and the per-doc
+    token counts) returns exactly the rows of the unfused
+    domain_weights + token_count + mixture_materialize formulation."""
+    from pyspark.sql import functions as F
+
+    from esgopeta_spark.operators.selection import (
+        domain_weights,
+        mixture_from_corpus,
+        mixture_materialize,
+    )
+    from esgopeta_spark.operators.text import token_count
+    from esgopeta_spark.session import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    fused = sorted(map(tuple, mixture_from_corpus(d).collect()))
+    w = domain_weights(d)
+    toks = d.select(
+        "source", "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    unfused = sorted(map(tuple, mixture_materialize(toks, w).collect()))
+    assert fused == unfused and len(fused) > 0
+
+
+def test_mixture_from_corpus_zero_token_docs(spark):
+    """The fusion's left-join + coalesce(0) must restore docs whose text
+    tokenizes to NOTHING (absent from the entropy output) exactly as
+    token_count(text) = 0 did — the empty-doc semantics the oracle
+    depends on."""
+    from pyspark.sql import functions as F
+
+    from esgopeta_spark.operators.selection import (
+        domain_weights,
+        mixture_from_corpus,
+        mixture_materialize,
+    )
+    from esgopeta_spark.operators.text import token_count
+
+    rows = [
+        (1, "a", "alpha beta gamma"),
+        (2, "a", ""),
+        (3, "a", "   "),
+        (4, "b", "delta delta"),
+        (5, "b", "epsilon zeta eta theta"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    fused = sorted(map(tuple, mixture_from_corpus(d).collect()))
+    w = domain_weights(d)
+    toks = d.select(
+        "source", "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    unfused = sorted(map(tuple, mixture_materialize(toks, w).collect()))
+    assert fused == unfused
+    # the zero-token docs must appear in the fused per-doc token base:
+    # both formulations keep or drop them IDENTICALLY (cum <= budget)
+    fused_ids = {r[1] for r in fused}
+    unfused_ids = {r[1] for r in unfused}
+    assert fused_ids == unfused_ids

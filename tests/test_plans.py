@@ -725,3 +725,21 @@ def test_bitext_ivf_plan_posture(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p, p
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", p):
         assert "_sv" not in m.group(1) and "_tv" not in m.group(1), p
+
+
+def test_coorder_edges_plan_posture(spark, sf_dir):
+    """r14 optimization: the co-purchase edge derivation shared by
+    graph_triangles_coorder and graph_communities_lpa is one
+    collect_set exchange + chained Generates + one pair-agg exchange —
+    never the legacy distinct + order-key SELF-JOIN (3 exchanges +
+    SMJ).  If a join or a third exchange reappears here, the shared
+    derivation has regressed to shuffling the (order, part) relation
+    an extra full pass at 100 TB."""
+    import re
+
+    from esgopeta_spark.plans.catalog_graphx import _coorder_edges
+
+    p = plan_of(_coorder_edges(spark, sf_dir))
+    assert "Join" not in p, p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2, p
+    assert p.count("Generate") >= 2, p  # the chained pair explodes
